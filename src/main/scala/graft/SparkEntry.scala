@@ -1,13 +1,500 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.tables.ResourceTable
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract — the operator inventory of SURVEY.md §2 plus the
+  * LLM-data-pipeline extensions, each as a named query over the driver
+  * testdata with (where SQL-expressible) a DuckDB oracle.
+  *
+  * Determinism rules used throughout so the oracle hash-compare is
+  * byte-stable:
+  *  - double sums over unordered groups go through DECIMAL (exact,
+  *    order-independent) and are cast back to DOUBLE at the end;
+  *  - integral-valued double columns (l_quantity) may be summed
+  *    directly (exact in IEEE754 below 2^53);
+  *  - every window/top-k has a unique tie-break key;
+  *  - counts/sizes are cast to BIGINT on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark only reads as
+    * long (spark.sql.legacy.parquet.nanosAsLong=true, set in
+    * Verify/Bench). Rebuild a microsecond TIMESTAMP_NTZ with integer
+    * division (ns epoch values overflow double precision — never go
+    * through double) — matching DuckDB's ns→µs truncation exactly.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts",
+        expr("timestamp_micros(ts DIV 1000)").cast(TimestampNTZType))
+    else raw.withColumn("ts", col("ts").cast(TimestampNTZType))
+  }
+
+  /** sum(CAST(x AS DECIMAL(18,s))) cast back to double — exact,
+    * order-independent aggregation of a double column.
+    */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  // =================================================================
+  // Queries — one per implemented operator from SURVEY.md §2 (+ LLM ops)
+  // =================================================================
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- §2.4 aggregation: TPC-H Q1 shape (A1/A4 + scalar arith) ----
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1).cast(DecimalType(18, 2)) -
+               col("l_discount").cast(DecimalType(18, 2))))
+            .cast(DoubleType).as("sum_disc_price"))
+    }),
+
+    // ---- §2.2 P7/P9 filter + projection (pushdown surface) ----
+    "q_filter_proj" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast(DateType) <
+          lit(java.sql.Date.valueOf("1996-01-01")))
+        .filter(col("l_quantity") >= 30)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice")
+    }),
+
+    // ---- §2.5/§2.6 join + agg (the MERGE-shaped equi-join) ----
+    "q_join_agg" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      orders
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("o_totalprice")).as("total_price"))
+    }),
+
+    // ---- broadcast join explicit (small dim side) ----
+    "q_broadcast_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val part = t(s, dir, "part").filter(col("p_size") <= 10)
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // ---- §2.3 W1: latest-wins dedup (row_number, desc order) ----
+    "q_window_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "event_type", "value")
+    }),
+
+    // ---- running/analytic window frame ----
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir).select(
+        col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("running_cnt"),
+        sum(col("value").cast(DecimalType(18, 6))).over(w)
+          .cast(DoubleType).as("running_val"))
+    }),
+
+    // ---- per-group top-n (rank window) ----
+    "q_topn_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    }),
+
+    // ---- §2.2 P3 explode (the reference's only generator) ----
+    "q_explode_wordcount" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+    }),
+
+    // ---- §2.2 P2 from_json (partial fixed schema, resource opaque) ----
+    "q_from_json" -> ((s, dir) => {
+      events(s, dir)
+        .select(from_json(col("props"),
+          StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("cnt"))
+    }),
+
+    // ---- §2.2 P5/P6 split + getItem (the request_url parse) ----
+    "q_split_part" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("request_url",
+          concat_ws("/", col("event_type"), col("user_id")))
+        .withColumn("parts", split(col("request_url"), "/"))
+        .select(col("event_id"), col("request_url"),
+          col("parts").getItem(0).as("rtype"),
+          col("parts").getItem(1).as("rid"))
+    }),
+
+    // ---- §2.2 P8 isin / NOT IN fan-out filter ----
+    "q_isin_filter" -> ((s, dir) => {
+      events(s, dir)
+        .filter(!col("event_type").isin("click", "view"))
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    }),
+
+    // ---- §2.4 A3 distinct ----
+    "q_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+    }),
+
+    // ---- §2.9 order by + limit (deterministic tie-break) ----
+    "q_topn" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    }),
+
+    // ---- §2.6 J1 MERGE upsert semantics (pure-query form) ----
+    "q_merge_upsert" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val source = customer.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), upper(col("c_name")).as("c_name"),
+          col("c_nationkey"), (col("c_acctbal") + 1000).as("c_acctbal"),
+          col("c_mktsegment"))
+      ResourceTable.mergeUpsert(customer, source, "c_custkey")
+    }),
+
+    // ---- §2.6 J2 MERGE delete semantics (anti join) ----
+    "q_merge_delete" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val buildingCust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      ResourceTable.mergeDelete(orders, buildingCust, "o_custkey")
+    }),
+
+    // ---- left semi join (EXISTS) ----
+    "q_semi_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val bigLines = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+      orders.join(bigLines, col("o_orderkey") === col("l_orderkey"),
+          "left_semi")
+        .select("o_orderkey", "o_totalprice")
+    }),
+
+    // ---- set op: INTERSECT ----
+    "q_intersect" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      orders.filter(col("o_orderstatus") === "O").select("o_custkey")
+        .intersect(
+          orders.filter(col("o_orderstatus") === "F").select("o_custkey"))
+    }),
+
+    // ---- set op: UNION ALL ----
+    "q_union_all" -> ((s, dir) => {
+      t(s, dir, "supplier")
+        .select(col("s_suppkey").as("id"), lit("supplier").as("kind"))
+        .unionByName(t(s, dir, "customer")
+          .select(col("c_custkey").as("id"), lit("customer").as("kind")))
+    }),
+
+    // ---- §2.8 event-time tumbling window (streaming-shaped agg) ----
+    "q_time_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(18, 6)))
+            .cast(DoubleType).as("sum_val"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("cnt"), col("sum_val"))
+    }),
+
+    // ---- §2.2 P1 casts across types ----
+    "q_cast_types" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(LongType).as("qty_int"),
+        col("l_orderkey").cast(StringType).as("key_str"),
+        col("l_shipdate").cast(DateType).cast(StringType).as("ship_date"))
+    }),
+
+    // ---- scalar expressions: CASE WHEN / coalesce / floor ----
+    "q_case_expr" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_discount") >= 0.05, "hi")
+          .when(col("l_discount") >= 0.02, "mid")
+          .otherwise("lo").as("disc_band"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        coalesce(lit(null).cast(StringType), col("l_returnflag")).as("rf"))
+    }),
+
+    // =============================================================
+    // LLM-data-pipeline operators (north star, first-class)
+    // =============================================================
+
+    // ---- exact dedup: hash groupBy ----
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- normalized content fingerprint (md5, oracle-matched) ----
+    "q_dedup_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+    }),
+
+    // ---- MinHash + LSH near-dup candidates (no SQL oracle) ----
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        minJaccard = 0.2)),
+
+    // ---- SimHash near-dup pairs (no SQL oracle) ----
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 8)),
+
+    // ---- exact n-gram Jaccard on LSH candidates (no SQL oracle) ----
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        minJaccard = 0.1)),
+
+    // ---- embedding cosine near-dup pairs (exact, oracle-matched) ----
+    "q_dedup_embedding" -> ((s, dir) =>
+      Similarity.cosinePairs(t(s, dir, "embeddings"), threshold = 0.45)),
+
+    // ---- ANN: brute-force cosine top-k (oracle-matched) ----
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 3), emb.filter(col("vec_id") >= 3),
+        k = 10)
+    }),
+
+    // ---- ANN scale path: LSH-bucketed near-dup (no SQL oracle) ----
+    "q_ann_lsh" -> ((s, dir) =>
+      Similarity.lshCosinePairs(t(s, dir, "embeddings"), threshold = 0.3,
+        planes = 8)),
+
+    // ---- token counting ----
+    "q_token_count" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextStats.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast(LongType).as("n_chars"))
+    }),
+
+    // ---- quality scoring ----
+    "q_text_quality" -> ((s, dir) => {
+      TextStats.qualityFeatures(t(s, dir, "documents"))
+        .select("doc_id", "n_tokens", "avg_word_len", "stopword_ratio")
+    }),
+
+    // ---- language ID heuristic (no SQL oracle) ----
+    "q_lang_id" -> ((s, dir) =>
+      TextStats.langId(t(s, dir, "documents"))
+        .select("doc_id", "lang", "predicted_lang")),
+
+    // ---- multimodal plumbing: binary payloads + features (no oracle) --
+    "q_multimodal_features" -> ((s, dir) => {
+      Multimodal.extractFeatures(
+          Multimodal.asMediaTable(t(s, dir, "documents")))
+        .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("features"))
+    })
+  )
+
+  // =================================================================
+  // DuckDB oracles — same column names/types as the Spark results.
+  // =================================================================
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_filter_proj" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) < DATE '1996-01-01' AND l_quantity >= 30""".stripMargin,
+
+    "q_join_agg" ->
+      """SELECT n_name, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q_broadcast_join" ->
+      """SELECT p_brand, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 10 GROUP BY p_brand""".stripMargin,
+
+    "q_window_dedup" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS running_cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_val
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_topn_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 2""".stripMargin,
+
+    "q_explode_wordcount" ->
+      """SELECT word, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word""".stripMargin,
+
+    "q_from_json" ->
+      """SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+        |  count(*) AS cnt
+        |FROM events GROUP BY k""".stripMargin,
+
+    "q_split_part" ->
+      """SELECT event_id,
+        |  concat(event_type, '/', CAST(user_id AS VARCHAR)) AS request_url,
+        |  split_part(concat(event_type, '/', CAST(user_id AS VARCHAR)), '/', 1) AS rtype,
+        |  split_part(concat(event_type, '/', CAST(user_id AS VARCHAR)), '/', 2) AS rid
+        |FROM events""".stripMargin,
+
+    "q_isin_filter" ->
+      """SELECT event_type, count(*) AS cnt FROM events
+        |WHERE event_type NOT IN ('click', 'view') GROUP BY event_type""".stripMargin,
+
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q_topn" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_merge_upsert" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey % 10 <> 0
+        |UNION ALL
+        |SELECT c_custkey, upper(c_name) AS c_name, c_nationkey,
+        |  c_acctbal + 1000 AS c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey % 10 = 0""".stripMargin,
+
+    "q_merge_delete" ->
+      """SELECT * FROM orders
+        |WHERE o_custkey NOT IN (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "q_union_all" ->
+      """SELECT s_suppkey AS id, 'supplier' AS kind FROM supplier
+        |UNION ALL
+        |SELECT c_custkey AS id, 'customer' AS kind FROM customer""".stripMargin,
+
+    "q_time_window" ->
+      """SELECT date_trunc('hour', ts) AS w_start, event_type,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_cast_types" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS BIGINT) AS qty_int,
+        |  CAST(l_orderkey AS VARCHAR) AS key_str,
+        |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date
+        |FROM lineitem""".stripMargin,
+
+    "q_case_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_discount >= 0.05 THEN 'hi'
+        |       WHEN l_discount >= 0.02 THEN 'mid'
+        |       ELSE 'lo' END AS disc_band,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  coalesce(NULL, l_returnflag) AS rf
+        |FROM lineitem""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |  count(*) AS dup_cnt
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q_dedup_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
+
+    "q_ann_topk" ->
+      """SELECT q_id, n_id, rank FROM (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
+        |               n.vec_id ASC) AS rank
+        |  FROM embeddings q, embeddings n
+        |  WHERE q.vec_id < 3 AND n.vec_id >= 3)
+        |WHERE rank <= 10""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+        |    / length(string_split_regex(trim(text), '\s+')) AS avg_word_len,
+        |  CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+        |    / length(string_split_regex(trim(text), '\s+')) AS stopword_ratio
+        |FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns with a typed metadata struct. The
+  * Spark-side machinery — schema, partition-friendly batch shape,
+  * row-local feature extraction, frame sampling — is real and tested;
+  * the actual media *decode* is a clearly-marked STUB (no codec
+  * libraries in this environment) implemented as a deterministic fake
+  * so the pipeline shape can be exercised end-to-end.
+  *
+  * Scale notes: payloads never leave their executor (all ops are
+  * row-local projections), and the metadata struct is a separate
+  * column, so `select(meta.*)`-only queries prune the binary column at
+  * the Parquet scan (verified via ReadSchema in .explain).
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType),
+      StructField("n_bytes", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType))))))
+
+  /** Wrap a text corpus as a fake media table: payload = UTF-8 bytes of
+    * the text (a deterministic stand-in for image bytes), metadata
+    * derived from content. Used by tests/queries since the driver
+    * testdata has no binary column.
+    */
+  def asMediaTable(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).as("media_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        lit("fake/raw").as("format"),
+        length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes"),
+        pmod(xxhash64(col(textCol)), lit(1920)).cast("int").as("width"),
+        pmod(xxhash64(col(textCol), lit(1)), lit(1080)).cast("int")
+          .as("height")).as("meta"))
+
+  /** STUB decode: a real deployment would decode the payload with an
+    * image/audio codec here (e.g. via a vectorized native library per
+    * partition). This deterministic fake derives an 8-dim feature
+    * vector from byte-range hashes — same signature, same batch shape,
+    * zero external deps.
+    */
+  def extractFeatures(media: DataFrame, dims: Int = 8): DataFrame = {
+    val feats = (0 until dims).map { d =>
+      // STUB(decode): xxhash64 over a byte slice stands in for a codec+
+      // CNN featurizer; deterministic and branchless.
+      (pmod(xxhash64(substring(col("payload"), d * 16 + 1, 64), lit(d)),
+        lit(1000000)).cast("double") / 1000000.0)
+    }
+    media.withColumn("features", array(feats: _*))
+  }
+
+  /** Frame sampling: split the payload into fixed-size "frames" and
+    * keep every `stride`-th one — the video-pipeline shape (explode to
+    * one row per sampled frame) without a real container parser.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 256,
+                   stride: Int = 4): DataFrame = {
+    val nFrames = ceil(col("meta.n_bytes") / lit(frameBytes)).cast("int")
+    media.select(col("media_id"), col("meta"),
+        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride)))
+          .as("frame_idx"),
+        col("payload"))
+      .withColumn("frame",
+        col("payload").substr(col("frame_idx") * frameBytes + 1,
+          lit(frameBytes)))
+      .drop("payload")
+  }
+
+  /** Resize stub: recompute metadata for a target resolution, keeping
+    * the payload (a real impl would transcode per partition).
+    */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame =
+    media.withColumn("meta", struct(
+      col("meta.format").as("format"),
+      col("meta.n_bytes").as("n_bytes"),
+      lit(w).as("width"), lit(h).as("height")))
+}

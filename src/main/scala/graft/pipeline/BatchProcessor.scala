@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import graft.fhir.FhirEncoder
+import graft.tables.ResourceTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-micro-batch processing — the reference's `process_batch`
+  * (bzkf/fhir-to-lakehouse src/bundle_processor.py:79–155) re-expressed
+  * Spark-first:
+  *
+  *   count → isEmpty gate → distinct resource types (driver list) →
+  *   per type: filter → latest-wins dedup (W1) → PUT rows → encode (E1)
+  *   → create-if-not-exists (S3) → MERGE upsert (J1) → DELETE rows →
+  *   MERGE delete (J2) → every `upkeepInterval` batches OPTIMIZE+VACUUM
+  *   (J3/J4; batch 0 triggers it, as in the reference — tests rely on
+  *   `batch_id % interval == 0`).
+  *
+  * The only driver-side materialization is the distinct resource-type
+  * list (a handful of strings per batch, same as the reference's
+  * `.distinct().collect()` at bundle_processor.py:96–99); all row
+  * processing is distributed.
+  */
+final class BatchProcessor(
+    tableDir: String,
+    upkeepInterval: Int = 50,
+    vacuumRetentionMs: Long = 24L * 3600 * 1000,
+    clusteringColumns: Map[String, Seq[String]] = Map.empty,
+    metrics: BatchMetrics = BatchMetrics.noop) {
+
+  def tablePath(resourceType: String): String =
+    s"$tableDir/$resourceType.parquet"
+
+  /** Process one micro-batch of *prepared* envelope rows (the output of
+    * [[BundlePipeline.prepare]]). Returns per-type (upserted, deleted)
+    * counts.
+    */
+  def processBatch(df: DataFrame, batchId: Long): Map[String, (Long, Long)] = {
+    val spark = df.sparkSession
+    if (df.isEmpty) return Map.empty // A2 gate
+
+    metrics.batchSize(df.count()) // A1
+
+    // A3 — the types present in this batch (driver-side, tiny)
+    val types = df.select("resource_type").distinct().collect()
+      .map(_.getString(0)).filter(_ != null)
+
+    types.map { rt =>
+      val forType = df.filter(col("resource_type") === rt) // P9
+      val deduped = BundlePipeline.deduplicate(forType)    // W1
+      deduped.cache()
+      try {
+        val putDf = deduped.filter(col("request_method") === "PUT")
+        val encoded = FhirEncoder.encode(putDf, rt)        // E1
+
+        val table = ResourceTable(spark, tablePath(rt))
+          .createIfNotExists(encoded.schema,
+            clusteringColumns.getOrElse(rt, Seq.empty))    // S3
+
+        val upserted = timeIt(metrics.mergeSeconds) {
+          table.upsert(encoded, "id")                      // J1
+        }
+        metrics.resourcesWritten(rt, upserted)
+
+        val deleteIds = deduped
+          .filter(col("request_method") === "DELETE")      // P9
+          .select("request_resource_id")
+        val deleted =
+          if (deleteIds.isEmpty) 0L
+          else timeIt(metrics.deleteSeconds) {
+            table.deleteMatching(deleteIds, "id")          // J2
+          }
+        metrics.resourcesDeleted(rt, deleted)
+
+        if (upkeepInterval > 0 && batchId % upkeepInterval == 0) {
+          timeIt(metrics.upkeepSeconds) {
+            table.optimize()                               // J3
+            table.vacuum(vacuumRetentionMs)                // J4
+          }
+        }
+        rt -> (upserted, deleted)
+      } finally deduped.unpersist()
+    }.toMap
+  }
+
+  private def timeIt[T](record: Double => Unit)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    record((System.nanoTime() - t0) / 1e9)
+    r
+  }
+}
+
+/** Metric hooks matching the reference's OTel surface
+  * (src/metrics.py:37–144): batch sizes, per-type written/deleted
+  * counters, delta-op duration histograms.
+  */
+trait BatchMetrics {
+  def batchSize(n: Long): Unit
+  def resourcesWritten(resourceType: String, n: Long): Unit
+  def resourcesDeleted(resourceType: String, n: Long): Unit
+  def mergeSeconds(s: Double): Unit
+  def deleteSeconds(s: Double): Unit
+  def upkeepSeconds(s: Double): Unit
+}
+
+object BatchMetrics {
+  val noop: BatchMetrics = new BatchMetrics {
+    def batchSize(n: Long): Unit = ()
+    def resourcesWritten(resourceType: String, n: Long): Unit = ()
+    def resourcesDeleted(resourceType: String, n: Long): Unit = ()
+    def mergeSeconds(s: Double): Unit = ()
+    def deleteSeconds(s: Double): Unit = ()
+    def upkeepSeconds(s: Double): Unit = ()
+  }
+
+  /** Simple in-memory accumulator (test/observability default). */
+  final class Recording extends BatchMetrics {
+    val written = scala.collection.mutable.Map.empty[String, Long]
+    val deleted = scala.collection.mutable.Map.empty[String, Long]
+    var batches = 0L
+    var rows = 0L
+    def batchSize(n: Long): Unit = { batches += 1; rows += n }
+    def resourcesWritten(rt: String, n: Long): Unit =
+      written(rt) = written.getOrElse(rt, 0L) + n
+    def resourcesDeleted(rt: String, n: Long): Unit =
+      deleted(rt) = deleted.getOrElse(rt, 0L) + n
+    def mergeSeconds(s: Double): Unit = ()
+    def deleteSeconds(s: Double): Unit = ()
+    def upkeepSeconds(s: Double): Unit = ()
+  }
+}
