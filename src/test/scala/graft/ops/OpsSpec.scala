@@ -1,0 +1,179 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different content about spark engines and scale"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (4L, "spark engines and scale are a completely different topic here")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val res = Dedup.exact(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("dup_cnt")).toMap
+    assert(res(0L) == 2) // docs 0 and 3
+    assert(res.values.sum == 5)
+  }
+
+  test("minhash LSH finds the near-dup pair and the exact pair") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+        minJaccard = 0.4, k = 16, bands = 8, w = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L))) // near-dup
+    assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("estimated jaccard is 1.0 for identical docs") {
+    val sig = Dedup.minhashSignature(
+      Dedup.shingles(col("text"), 2), 16)
+    val sigs = docs.filter($"doc_id".isin(0, 3)).select(sig.as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("simhash: identical docs share simhash; hamming pairs found") {
+    val sims = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc") -> r.getAs[Long]("simhash")).toMap
+    assert(sims(0L) == sims(3L))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  test("ngram jaccard verifies candidates exactly") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        minJaccard = 0.99, k = 16, bands = 8, w = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 3L))) // only the exact dup has jaccard 1.0
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),  // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),  // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)), // opposite of 0
+    (4L, Array(1.0f, 0.05f, 0.0f, 0.0f))  // very close to 0
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identity 1, orthogonal 0, opposite -1") {
+    val sims = vecs.crossJoin(
+        vecs.select($"vec_id".as("b_id"), $"embedding".as("b")))
+      .filter($"vec_id" === 0)
+      .select($"b_id", Similarity.cosine($"embedding", $"b").as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(sims(0L) - 1.0) < 1e-9)
+    assert(math.abs(sims(2L)) < 1e-9)
+    assert(math.abs(sims(3L) + 1.0) < 1e-9)
+  }
+
+  test("brute-force top-k ranks by similarity with id tie-break") {
+    val res = Similarity.bruteForceTopK(
+        vecs.filter($"vec_id" === 0), vecs.filter($"vec_id" > 0), k = 2)
+      .collect().map(r => (r.getAs[Long]("n_id"), r.getAs[Int]("rank")))
+    assert(res.sortBy(_._2).map(_._1).toSeq == Seq(4L, 1L))
+  }
+
+  test("LSH pairs find high-cosine neighbors") {
+    val pairs = Similarity.lshCosinePairs(vecs, threshold = 0.9,
+        planes = 8, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 0-1, 0-4, 1-4 are all > 0.9 cosine; LSH may miss some but must
+    // never emit a below-threshold pair
+    assert(pairs.subsetOf(Set((0L, 1L), (0L, 4L), (1L, 4L))))
+    assert(pairs.nonEmpty)
+  }
+
+  test("ivf assigns every vector to a cell") {
+    val cells = Similarity.ivfAssign(vecs, nCells = 4, dim = 4)
+      .select("cell").collect().map(_.getInt(0))
+    assert(cells.length == 5 && cells.forall(c => c >= 0 && c < 4))
+  }
+}
+
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token count and quality features") {
+    val df = Seq((1L, "the quick  brown fox"), (2L, "a"))
+      .toDF("doc_id", "text")
+    val q = TextStats.qualityFeatures(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(q(1L).getAs[Long]("n_tokens") == 4)
+    assert(q(2L).getAs[Long]("n_tokens") == 1)
+    assert(q(1L).getAs[Double]("stopword_ratio") == 0.25) // "the"
+    assert(q(2L).getAs[Double]("stopword_ratio") == 1.0)  // "a"
+  }
+
+  test("langId picks the profile with most stopword hits") {
+    val df = Seq(
+      (1L, "the cat and the dog in the house"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "el perro y la casa es un lugar")).toDF("doc_id", "text")
+    val got = TextStats.langId(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang"))
+      .toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "es")
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val df = Seq((1L, "Hello   World"), (2L, "hello world")).toDF("id", "t")
+    val fps = df.select(TextStats.fingerprint($"t")).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+
+  test("shingle fingerprints are sorted distinct hashes") {
+    val fp = Seq((1L, "a b c d e f g")).toDF("id", "t")
+      .select(TextStats.shingleFingerprints($"t", 3).as("fp"))
+      .collect().head.getSeq[Long](0)
+    assert(fp == fp.sorted && fp.distinct == fp && fp.size == 5)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "some text payload standing in for image bytes"),
+    (2L, "another, longer, text payload that stands in for a larger binary blob " * 10)
+  ).toDF("doc_id", "text")
+
+  test("media table carries binary payload + typed metadata") {
+    val m = Multimodal.asMediaTable(docs).collect()
+    assert(m.length == 2)
+    val r = m.find(_.getAs[Long]("media_id") == 1L).get
+    assert(new String(r.getAs[Array[Byte]]("payload")).startsWith("some text"))
+    val meta = r.getStruct(r.fieldIndex("meta"))
+    assert(meta.getAs[Long]("n_bytes") == 45L)
+  }
+
+  test("feature extraction is deterministic and bounded") {
+    val f1 = Multimodal.extractFeatures(Multimodal.asMediaTable(docs))
+      .select("features").collect().map(_.getSeq[Double](0))
+    val f2 = Multimodal.extractFeatures(Multimodal.asMediaTable(docs))
+      .select("features").collect().map(_.getSeq[Double](0))
+    assert(f1.toSeq.map(_.toSeq) == f2.toSeq.map(_.toSeq))
+    assert(f1.forall(v => v.size == 8 && v.forall(x => x >= 0 && x < 1)))
+  }
+
+  test("frame sampling yields strided fixed-size frames") {
+    val frames = Multimodal.sampleFrames(
+        Multimodal.asMediaTable(docs), frameBytes = 100, stride = 2)
+      .collect()
+    val byId = frames.groupBy(_.getAs[Long]("media_id"))
+    assert(byId(2L).length > 1) // long payload → multiple sampled frames
+    assert(byId(2L).map(_.getAs[Int]("frame_idx")).forall(_ % 2 == 0))
+  }
+}
