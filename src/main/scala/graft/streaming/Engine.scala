@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.pipeline.{BatchMetrics, BatchProcessor, BundlePipeline}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Engine settings — mirrors the reference's typed-settings surface
+  * (bzkf/fhir-to-lakehouse src/settings.py), same defaults.
+  */
+final case class Settings(
+    kafkaBootstrapServers: String = "localhost:9092",
+    kafkaTopics: Seq[String] = Seq("fhir.msg"),
+    maxOffsetsPerTrigger: Long = 10000L,     // settings.py:23
+    minOffsetsPerTrigger: Long = 1L,         // settings.py:24
+    maxTriggerDelay: String = "15m",         // settings.py:25
+    failOnDataLoss: Boolean = false,         // main.py:130
+    checkpointDir: String = "/tmp/graft/checkpoint",
+    deltaDatabaseDir: String = "/tmp/graft/delta/default",
+    triggerProcessingTime: String = "0 seconds", // settings.py:40
+    resourceTypes: Seq[String] =             // settings.py:69–75
+      Seq("Patient", "Observation", "Encounter", "Condition", "Procedure"),
+    upkeepInterval: Int = 50,                // settings.py:39
+    vacuumRetentionHours: Long = 24L,        // settings.py:62
+    clusteringColumns: Map[String, Seq[String]] = Map.empty) // settings.py:51
+
+/** The streaming shell: N+1 independent `foreachBatch` queries over one
+  * prepared source — one per configured resource type plus a default
+  * query for everything else (reference main.py:157–188; the fan-out
+  * isolates starvation between types, comment main.py:119–124).
+  *
+  * Source-agnostic: any streaming DataFrame with the Kafka wire schema
+  * plugs in — the real Kafka source via [[kafkaOptions]] when the
+  * spark-sql-kafka jar is on the classpath, a file source or
+  * `MemoryStream[KafkaRecord]` in tests. Each query gets its own
+  * checkpoint dir `{checkpointDir}/{resourceType}` so offsets replay
+  * independently (T3: at-least-once delivery + idempotent MERGE ⇒
+  * exactly-once table state).
+  */
+object Engine {
+
+  /** The Kafka source option set — identical option names/defaults to
+    * the reference (main.py:125–153). Apply to
+    * `spark.readStream.format("kafka")` when the connector jar exists.
+    */
+  def kafkaOptions(s: Settings): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> s.kafkaBootstrapServers,
+    "subscribe" -> s.kafkaTopics.mkString(","),
+    "startingOffsets" -> "earliest",
+    "maxOffsetsPerTrigger" -> s.maxOffsetsPerTrigger.toString,
+    "minOffsetsPerTrigger" -> s.minOffsetsPerTrigger.toString,
+    "maxTriggerDelay" -> s.maxTriggerDelay,
+    "failOnDataLoss" -> s.failOnDataLoss.toString,
+    "includeHeaders" -> "true")
+
+  /** Start the N+1 fan-out queries over a Kafka-wire-schema streaming
+    * DataFrame. Returns the running queries (await with
+    * `spark.streams.awaitAnyTermination()`, which crashes the process
+    * if any query dies — T7).
+    */
+  def start(source: DataFrame, settings: Settings,
+            metrics: BatchMetrics = BatchMetrics.noop): Seq[StreamingQuery] = {
+    val prepared = BundlePipeline.prepare(source)
+    val processor = new BatchProcessor(
+      settings.deltaDatabaseDir,
+      settings.upkeepInterval,
+      settings.vacuumRetentionHours * 3600 * 1000,
+      settings.clusteringColumns,
+      metrics)
+
+    def startQuery(name: String, df: DataFrame): StreamingQuery =
+      df.writeStream
+        .queryName(name)
+        .outputMode("append") // T2
+        .option("checkpointLocation", s"${settings.checkpointDir}/$name")
+        .trigger(Trigger.ProcessingTime(settings.triggerProcessingTime)) // T1
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          processor.processBatch(batch, batchId): Unit // S2
+        }
+        .start()
+
+    val typed = settings.resourceTypes.map { rt =>
+      startQuery(rt, BundlePipeline.forType(prepared, rt)) // P7
+    }
+    val default = startQuery("default",
+      BundlePipeline.forOtherTypes(prepared, settings.resourceTypes)) // P8
+    typed :+ default
+  }
+
+  /** Convenience: full engine from a live Kafka source (requires the
+    * spark-sql-kafka connector jar at runtime).
+    */
+  def startFromKafka(spark: SparkSession, settings: Settings,
+                     metrics: BatchMetrics = BatchMetrics.noop): Seq[StreamingQuery] = {
+    val src = kafkaOptions(settings)
+      .foldLeft(spark.readStream.format("kafka")) {
+        case (r, (k, v)) => r.option(k, v)
+      }
+      .load()
+    start(src, settings, metrics)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+
+/** Streaming observability — the reference's `StreamingQueryListener`
+  * surface (src/metrics.py:70–144): per-query processed-rows/s gauge
+  * and per-(query, topic, partition) source-offset gauges parsed from
+  * the progress event's startOffset/endOffset/latestOffset JSON.
+  * Metric names kept; the sink here is an in-memory registry that a
+  * Prometheus/OTel bridge can scrape.
+  */
+final class QueryProgressListener extends StreamingQueryListener {
+
+  /** query name → last processedRowsPerSecond. */
+  val rowsPerSecond = new ConcurrentHashMap[String, Double]()
+  /** (query, topic, partition, kind) → offset; kind ∈ start|end|latest. */
+  val kafkaOffsets = new ConcurrentHashMap[(String, String, String, String), Long]()
+  /** query name → cumulative input rows. */
+  val inputRows = new ConcurrentHashMap[String, Long]()
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    val p = event.progress
+    val name = Option(p.name).getOrElse(p.id.toString)
+    if (!p.processedRowsPerSecond.isNaN)
+      rowsPerSecond.put(name, p.processedRowsPerSecond)
+    inputRows.merge(name, p.numInputRows, (a, b) => a + b)
+    p.sources.foreach { s =>
+      recordOffsets(name, "start", s.startOffset)
+      recordOffsets(name, "end", s.endOffset)
+      recordOffsets(name, "latest", s.latestOffset)
+    }
+  }
+
+  /** Kafka offset JSON has the shape
+    * {"topic":{"0":123,"1":456}} (metrics.py:96–113). Parsed with a
+    * small regex walk — no JSON library needed for this fixed shape.
+    */
+  private def recordOffsets(query: String, kind: String,
+                            json: String): Unit = {
+    if (json == null) return
+    val topicBlock = """"([^"]+)"\s*:\s*\{([^}]*)\}""".r
+    val partOffset = """"(\d+)"\s*:\s*(-?\d+)""".r
+    topicBlock.findAllMatchIn(json).foreach { tm =>
+      val topic = tm.group(1)
+      partOffset.findAllMatchIn(tm.group(2)).foreach { pm =>
+        kafkaOffsets.put((query, topic, pm.group(1), kind),
+          pm.group(2).toLong)
+      }
+    }
+  }
+
+  /** Snapshot for scraping/logging. */
+  def snapshot(): Map[String, Any] = Map(
+    "rows_per_second" -> rowsPerSecond.asScala.toMap,
+    "input_rows" -> inputRows.asScala.toMap,
+    "kafka_offsets" -> kafkaOffsets.asScala.toMap)
+}
