@@ -39,6 +39,16 @@ object SparkEntry {
     else raw.withColumn("ts", col("ts").cast(TimestampNTZType))
   }
 
+  /** events with an epoch-microseconds long column (integral
+    * timestamps end-to-end; DuckDB's `epoch_us` matches exactly).
+    */
+  private def eventsUs(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts_us", expr("ts DIV 1000"))
+    else raw.withColumn("ts_us", unix_micros(col("ts")))
+  }
+
   /** sum(CAST(x AS DECIMAL(18,s))) cast back to double — exact,
     * order-independent aggregation of a double column.
     */
@@ -317,6 +327,58 @@ object SparkEntry {
       TextStats.langId(t(s, dir, "documents"))
         .select("doc_id", "lang", "predicted_lang")),
 
+    // ---- gap sessionization (batch form of the stateful op) ----
+    "q_sessionize" -> ((s, dir) =>
+      graft.ops.Sessionize.byGap(eventsUs(s, dir), gapSeconds = 21600)),
+
+    // ---- the FHIR envelope pipeline itself (P1–P6 + W1), fed with
+    //      bundles synthesized from the events table; the oracle
+    //      computes the expected relational result directly ----
+    "q_fhir_pipeline" -> ((s, dir) => {
+      val kafkaish = t(s, dir, "events").select(
+        to_json(struct(array(struct(
+          to_json(struct(
+            lit("Patient").as("resourceType"),
+            col("user_id").cast(StringType).as("id"))).as("resource"),
+          struct(
+            when(col("event_type") === "error", "DELETE")
+              .otherwise("PUT").as("method"),
+            concat_ws("/", lit("Patient"), col("user_id")).as("url"))
+            .as("request"))).as("entry"))).as("value"),
+        (col("user_id") % 4).cast(IntegerType).as("partition"),
+        col("event_id").as("offset"))
+      graft.pipeline.BundlePipeline.deduplicate(
+          graft.pipeline.BundlePipeline.prepare(kafkaish))
+        .select(col("request_url"), col("request_method"),
+          col("resource_type"), col("request_resource_id"),
+          col("partition").as("msg_partition"),
+          col("offset").as("msg_offset"))
+    }),
+
+    // ---- approx distinct (HLL++) next to the exact count (no oracle:
+    //      DuckDB's sketch differs; rows-only determinism check) ----
+    "q_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+    }),
+
+    // ---- ANN scale path 2: IVF cell-pruned top-k (no oracle) ----
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 3), emb.filter(col("vec_id") >= 3),
+        k = 5)
+    }),
+
+    // ---- BPE-ish subword counting (regex with lookahead — not
+    //      RE2-expressible, so no DuckDB oracle) ----
+    "q_subword_count" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextStats.subwordCount(col("text")).as("n_subwords"))
+    }),
+
     // ---- multimodal plumbing: binary payloads + features (no oracle) --
     "q_multimodal_features" -> ((s, dir) => {
       Multimodal.extractFeatures(
@@ -480,6 +542,42 @@ object SparkEntry {
         |  FROM embeddings q, embeddings n
         |  WHERE q.vec_id < 3 AND n.vec_id >= 3)
         |WHERE rank <= 10""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |              OR ts_us - lag(ts_us) OVER w > 21600000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |numbered AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+        |  min(event_id) AS first_event_id
+        |FROM numbered GROUP BY user_id, session_id""".stripMargin,
+
+    "q_fhir_pipeline" ->
+      """SELECT request_url, request_method, resource_type,
+        |  request_resource_id, msg_partition, msg_offset
+        |FROM (
+        |  SELECT concat('Patient/', CAST(user_id AS VARCHAR)) AS request_url,
+        |    CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'PUT' END
+        |      AS request_method,
+        |    'Patient' AS resource_type,
+        |    CAST(user_id AS VARCHAR) AS request_resource_id,
+        |    CAST(user_id % 4 AS INTEGER) AS msg_partition,
+        |    event_id AS msg_offset,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY user_id % 4 ASC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

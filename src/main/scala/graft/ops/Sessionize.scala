@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Sessionization over an event stream — the classic gap-based session
+  * operator in both execution styles:
+  *
+  *  - [[byGap]]: batch/SQL formulation (lag + cumulative sum over a
+  *    user window) — oracle-checkable, used by `q_sessionize`;
+  *  - [[streaming]]: `flatMapGroupsWithState` with processing-time
+  *    timeout — the Structured Streaming stateful form for unbounded
+  *    input (the reference has no stateful ops — T4 — this is a
+  *    north-star extension).
+  *
+  * Scale: both shapes shuffle once on `user_id`. The batch window
+  * sorts within user partitions (Spark's window exec spills); the
+  * streaming form keeps O(1) state per key.
+  */
+object Sessionize {
+
+  /** Batch gap sessionization. `tsMicrosCol` is an epoch-microseconds
+    * long column (timestamps stay integral end-to-end — no
+    * double-precision timestamps). Emits one row per session.
+    */
+  def byGap(events: DataFrame, gapSeconds: Long,
+            userCol: String = "user_id",
+            tsMicrosCol: String = "ts_us",
+            idCol: String = "event_id"): DataFrame = {
+    val order = Window.partitionBy(userCol)
+      .orderBy(col(tsMicrosCol).asc, col(idCol).asc)
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("prev_ts", lag(col(tsMicrosCol), 1).over(order))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col(tsMicrosCol) - col("prev_ts") > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(running))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsMicrosCol)).as("session_start_us"),
+        max(col(tsMicrosCol)).as("session_end_us"),
+        min(col(idCol)).as("first_event_id"))
+  }
+
+  case class Event(userId: Long, tsMicros: Long, eventId: Long)
+  case class SessionState(start: Long, last: Long, n: Long, firstId: Long)
+  case class Session(userId: Long, sessionStartUs: Long, sessionEndUs: Long,
+                     nEvents: Long, firstEventId: Long)
+
+  /** Streaming sessionization: emits a session when no event arrives
+    * for `gapSeconds` of processing time. Input must be a typed
+    * event stream.
+    */
+  def streaming(events: Dataset[Event], gapSeconds: Long): Dataset[Session] = {
+    implicit val sessionEnc = Encoders.product[Session]
+    implicit val stateEnc = Encoders.product[SessionState]
+    events.groupByKey(_.userId)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, s.start, s.last, s.n, s.firstId))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.eventId))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.tsMicros - s.last <= gapSeconds * 1000000L =>
+                  cur = Some(s.copy(last = e.tsMicros, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(userId, s.start, s.last, s.n, s.firstId)
+                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.eventId))
+                case None =>
+                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.eventId))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapSeconds * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -106,6 +106,26 @@ object Similarity {
       .select(col("l.id").as("a_id"), col("r.id").as("b_id"))
   }
 
+  /** IVF top-k: both sides are assigned to coarse cells and the scan
+    * is restricted to the query's cell — the partition-pruning shape
+    * for vector search (single-probe; recall trades against nCells).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCells: Int = 8, dim: Int = 64, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val qa = ivfAssign(queries, nCells, dim, vecCol)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"), col("cell"))
+    val ca = ivfAssign(corpus, nCells, dim, vecCol)
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cell"))
+    val scored = ca.join(broadcast(qa), "cell")
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank")
+  }
+
   /** IVF-style coarse quantization: assign each vector to the nearest
     * of `nCells` deterministic centroid directions (hyperplane-derived),
     * so ANN queries probe only matching cells. This is the partition

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan audits — the "would this survive a 100× scale-up"
+  * checks: filters reach the parquet scan, column pruning holds,
+  * small sides broadcast, and the LSH pipelines never degenerate into
+  * cartesian products.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q_filter_proj pushes the quantity predicate into the scan") {
+    val p = plan("q_filter_proj")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity,30"), p)
+  }
+
+  test("q1_agg prunes to only the five needed columns") {
+    val p = plan("q1_agg")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_suppkey"), readSchema)
+    assert(!readSchema.contains("l_shipdate"), readSchema)
+    assert(readSchema.contains("l_quantity"), readSchema)
+  }
+
+  test("dimension joins broadcast the small side") {
+    assert(plan("q_broadcast_join").contains("BroadcastHashJoin"))
+    assert(plan("q_join_agg").contains("BroadcastHashJoin"))
+  }
+
+  test("LSH dedup plans contain no cartesian/nested-loop join") {
+    Seq("q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q")
+    }
+  }
+
+  test("aggregations use partial (map-side) aggregation") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"), p)
+    // two HashAggregate nodes = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("brute-force topk broadcasts the query side, not the corpus") {
+    val p = plan("q_ann_topk")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("whole-stage codegen covers the scan→filter→project pipelines") {
+    val p = plan("q_filter_proj")
+    // formatted explain marks codegen'd operators with [codegen id : N]
+    assert(p.contains("[codegen id :"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("Filter") && l.contains("codegen")), p)
+  }
+}
