@@ -327,6 +327,49 @@ object SparkEntry {
       TextStats.langId(t(s, dir, "documents"))
         .select("doc_id", "lang", "predicted_lang")),
 
+    // ---- rollup (hierarchical grouping sets) ----
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // ---- pivot (wide conditional aggregation) ----
+    "q_pivot" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "view", "signup", "purchase", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
+    // ---- scalar function batch: strings, dates, math ----
+    "q_scalar_funcs" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
+        lpad(col("o_orderkey").cast(StringType), 10, "0").as("key_pad"),
+        regexp_extract(col("o_orderpriority"), "(\\d+)", 1).as("prio_num"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        abs(col("o_totalprice") * -1).as("abs_price"),
+        sqrt(col("o_totalprice")).as("sqrt_price"),
+        (col("o_totalprice") * col("o_totalprice")).as("price_sq"),
+        length(col("o_orderpriority")).cast(LongType).as("prio_len"))
+    }),
+
+    // ---- null semantics: coalesce / nullif / null-safe equality ----
+    "q_null_semantics" -> ((s, dir) => {
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")),
+          lit("REDACTED")).as("seg_coalesced"),
+        (nullif(col("c_mktsegment"), lit("BUILDING")) <=> lit(null))
+          .as("is_building"))
+    }),
+
     // ---- gap sessionization (batch form of the stateful op) ----
     "q_sessionize" -> ((s, dir) =>
       graft.ops.Sessionize.byGap(eventsUs(s, dir), gapSeconds = 21600)),
@@ -542,6 +585,42 @@ object SparkEntry {
         |  FROM embeddings q, embeddings n
         |  WHERE q.vec_id < 3 AND n.vec_id >= 3)
         |WHERE rank <= 10""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS "click",
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS "view",
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS "signup",
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS "purchase",
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS "error"
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  substring(o_orderpriority, 1, 1) AS prio_code,
+        |  lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_pad,
+        |  regexp_extract(o_orderpriority, '(\d+)', 1) AS prio_num,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
+        |  abs(o_totalprice * -1) AS abs_price,
+        |  sqrt(o_totalprice) AS sqrt_price,
+        |  o_totalprice * o_totalprice AS price_sq,
+        |  CAST(length(o_orderpriority) AS BIGINT) AS prio_len
+        |FROM orders""".stripMargin,
+
+    "q_null_semantics" ->
+      """SELECT c_custkey,
+        |  nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'REDACTED')
+        |    AS seg_coalesced,
+        |  nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL
+        |    AS is_building
+        |FROM customer""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (

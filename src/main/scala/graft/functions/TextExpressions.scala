@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text-hashing expressions for the dedup hot paths: one pass
+  * per document, no intermediate string materialization, no explode.
+  *
+  * Hash family: a 31-polynomial rolling char hash finalized with
+  * splitmix64 — self-consistent within this library (LSH needs
+  * uniformity, not cross-engine compatibility). Tokenization is
+  * whitespace-run splitting, matching `TextStats.tokens` semantics.
+  */
+object TextExpressions {
+
+  @inline private def splitmix(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Per-token 64-bit hashes of a text (whitespace tokenization). */
+  private def tokenHashes(s: String): Array[Long] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      if (i < n) {
+        var h = 1125899906842597L
+        while (i < n && !Character.isWhitespace(s.charAt(i))) {
+          h = h * 31 + s.charAt(i)
+          i += 1
+        }
+        out += splitmix(h)
+      }
+    }
+    out.toArray
+  }
+
+  /** Distinct, sorted hashes of the w-token shingles of `child` —
+    * the single-pass replacement for
+    * split → transform(sequence) → concat_ws → xxhash64 →
+    * array_distinct (which allocated a string per shingle).
+    */
+  case class ShingleHashes(child: Expression, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(w >= 1)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val toks = tokenHashes(v.asInstanceOf[UTF8String].toString)
+      val nSh = math.max(toks.length - w + 1, 0)
+      if (nSh == 0) return new GenericArrayData(Array.empty[Long])
+      val sh = new Array[Long](nSh)
+      var i = 0
+      while (i < nSh) {
+        var h = 0L
+        var j = 0
+        while (j < w) { h = h * 0x100000001B3L + toks(i + j); j += 1 }
+        sh(i) = splitmix(h)
+        i += 1
+      }
+      java.util.Arrays.sort(sh)
+      // in-place dedup of the sorted array
+      var out = 1
+      var k = 1
+      while (k < nSh) {
+        if (sh(k) != sh(k - 1)) { sh(out) = sh(k); out += 1 }
+        k += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(sh, out))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** 64-bit SimHash of a text in one row-local pass: token hashes →
+    * signed per-bit counts → sign bits. Replaces the
+    * explode + 64-column aggregation formulation — no shuffle at all;
+    * simhash becomes a projection.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = {
+      val toks = tokenHashes(v.asInstanceOf[UTF8String].toString)
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < toks.length) {
+        val h = toks(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var sim = 0L
+      var b = 0
+      while (b < 64) {
+        if (counts(b) > 0) sim |= (1L << b)
+        b += 1
+      }
+      sim
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  // ----- Column API -----
+  def shingle_hashes(text: Column, w: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), w))
+
+  def simhash64(text: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
+}

@@ -37,18 +37,17 @@ object Dedup {
   // -------------------------------------------------------------- minhash
 
   /** (doc, sh, sig) per document in a single materialized pass:
-    * `sh` = distinct xxhash64 values of the w-token shingles,
-    * `sig` = k-permutation MinHash signature (native expression, one
-    * pass over `sh`). Each stage references the previous stage's
-    * *attribute*, never re-evaluates its expression tree.
+    * `sh` = distinct sorted hashes of the w-token shingles (native
+    * one-pass expression — no per-shingle string materialization),
+    * `sig` = k-permutation MinHash signature (native, one pass over
+    * `sh`). Each stage references the previous stage's *attribute*,
+    * never re-evaluates its expression tree.
     */
   def signatures(df: DataFrame, idCol: String, textCol: String,
                  k: Int = 16, w: Int = 3): DataFrame =
-    df.select(col(idCol).as("doc"), TextStats.tokens(col(textCol)).as("toks"))
-      .select(col("doc"), array_distinct(transform(
-        sequence(lit(0), greatest(size(col("toks")) - w, lit(0))),
-        i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(w))))))
-        .as("sh"))
+    df.select(col(idCol).as("doc"),
+        graft.functions.TextExpressions.shingle_hashes(col(textCol), w)
+          .as("sh"))
       .select(col("doc"), col("sh"),
         minhash_signature(col("sh"), k).as("sig"))
 
@@ -124,25 +123,14 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash per document via one exploded-token aggregation:
-    * per (doc, bit) the signed counts are 64 codegen'd SUM aggregates
-    * (map-side combinable — this is the scalable formulation; a
-    * per-row HOF fold would not partial-aggregate).
+  /** 64-bit SimHash per document — a row-local native expression
+    * (tokenize → per-bit signed counts → sign bits in one pass), so
+    * simhash computation is a pure projection with NO shuffle; the
+    * only shuffle in simhash dedup is the band-bucket groupBy.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("doc"),
-        explode(TextStats.tokens(col(textCol))).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when((shiftright(col("h"), b).bitwiseAND(1)) === 1, 1)
-        .otherwise(-1)).as(s"_b$b")
-    }
-    val agg = tok.groupBy("doc").agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64).map { b =>
-      when(col(s"_b$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseXOR(b))
-    agg.select(col("doc"), sim.as("simhash"))
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"),
+      graft.functions.TextExpressions.simhash64(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, via
     * 4×16-bit band LSH (pigeonhole: distance ≤ 3 ⇒ ≥1 band equal for

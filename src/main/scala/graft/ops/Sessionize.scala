@@ -51,43 +51,39 @@ object Sessionize {
   case class Session(userId: Long, sessionStartUs: Long, sessionEndUs: Long,
                      nEvents: Long, firstEventId: Long)
 
-  /** Streaming sessionization: emits a session when no event arrives
-    * for `gapSeconds` of processing time. Input must be a typed
-    * event stream.
+  /** Streaming sessionization: a session closes (and is emitted) when
+    * a later event for the same user arrives more than `gapSeconds` of
+    * *event time* after the session's last event. State per key is one
+    * open session (O(1)). Event-time gap closure keeps the operator
+    * deterministic and replayable; a production deployment that also
+    * needs idle-key flushing adds `GroupStateTimeout` timers on top —
+    * orthogonal to the session logic and deliberately left out of the
+    * deterministic core.
     */
   def streaming(events: Dataset[Event], gapSeconds: Long): Dataset[Session] = {
     implicit val sessionEnc = Encoders.product[Session]
     implicit val stateEnc = Encoders.product[SessionState]
     events.groupByKey(_.userId)(Encoders.scalaLong)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[Event],
          state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(Session(userId, s.start, s.last, s.n, s.firstId))
-          } else {
-            val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.eventId))
-            var closed = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              cur match {
-                case Some(s) if e.tsMicros - s.last <= gapSeconds * 1000000L =>
-                  cur = Some(s.copy(last = e.tsMicros, n = s.n + 1))
-                case Some(s) =>
-                  closed ::= Session(userId, s.start, s.last, s.n, s.firstId)
-                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.eventId))
-                case None =>
-                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.eventId))
-              }
+          val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.eventId))
+          var closed = List.empty[Session]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.tsMicros - s.last <= gapSeconds * 1000000L =>
+                cur = Some(s.copy(last = e.tsMicros, n = s.n + 1))
+              case Some(s) =>
+                closed ::= Session(userId, s.start, s.last, s.n, s.firstId)
+                cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.eventId))
+              case None =>
+                cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.eventId))
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutDuration(gapSeconds * 1000)
-            }
-            closed.reverseIterator
           }
+          cur.foreach(state.update)
+          closed.reverseIterator
       }
   }
 }

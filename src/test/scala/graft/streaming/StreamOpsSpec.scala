@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.Sessionize
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+case class Ev(ts: java.sql.Timestamp, user_id: Long, value: Double)
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) =
+    new java.sql.Timestamp(1700000000000L + minute * 60000L)
+
+  test("watermarked tumbling window counts (append after watermark passes)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.windowedCounts(stream.toDF(), "ts", "user_id",
+        windowLength = "10 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(Ev(ts(0), 1, 1.0), Ev(ts(1), 1, 2.0), Ev(ts(2), 2, 3.0))
+      q.processAllAvailable()
+      // advance event time far past the watermark → first window closes
+      stream.addData(Ev(ts(60), 1, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+      val u1 = rows.find(_.getAs[Long]("user_id") == 1L)
+      assert(u1.isDefined, rows.mkString(";"))
+      assert(u1.get.getAs[Long]("cnt") == 2)
+      assert(u1.get.getAs[Double]("sum_val") == 3.0)
+    } finally q.stop()
+  }
+
+  test("stateful sessionize emits sessions for separated event groups") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Sessionize.Event]
+    val q = Sessionize.streaming(stream.toDS(), gapSeconds = 60)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000000000L // micros
+      // two bursts 10 minutes apart → first burst closes as a session
+      // when the second arrives in a later batch
+      stream.addData(
+        Sessionize.Event(7, t0, 1),
+        Sessionize.Event(7, t0 + 30000000L, 2))
+      q.processAllAvailable()
+      stream.addData(Sessionize.Event(7, t0 + 600000000L, 3))
+      q.processAllAvailable()
+      val sessions = spark.table("sess").collect()
+      assert(sessions.length == 1, sessions.mkString(";"))
+      val s = sessions.head
+      assert(s.getAs[Long]("nEvents") == 2)
+      assert(s.getAs[Long]("firstEventId") == 1)
+    } finally q.stop()
+  }
+}
