@@ -407,6 +407,15 @@ object SparkEntry {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
     }),
 
+    // ---- ANN via typed per-partition-heap Aggregator — must equal
+    //      the rank-window result exactly (same oracle) ----
+    "q_ann_topk_agg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.TopK.bruteForceTopKAgg(
+        emb.filter(col("vec_id") < 3), emb.filter(col("vec_id") >= 3),
+        k = 10)
+    }),
+
     // ---- ANN scale path 2: IVF cell-pruned top-k (no oracle) ----
     "q_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -657,6 +666,16 @@ object SparkEntry {
         |      ORDER BY user_id % 4 ASC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1""".stripMargin,
+
+    "q_ann_topk_agg" ->
+      """SELECT q_id, n_id, rank FROM (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
+        |               n.vec_id ASC) AS rank
+        |  FROM embeddings q, embeddings n
+        |  WHERE q.vec_id < 3 AND n.vec_id >= 3)
+        |WHERE rank <= 10""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

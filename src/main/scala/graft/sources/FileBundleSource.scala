@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** File-based bundle source — the drop-in stand-in for the Kafka source
+  * (SURVEY.md §7.0: same wire schema behind a pluggable source, so
+  * `BundlePipeline`/`Engine` are source-agnostic).
+  *
+  * Input is a *journal* of NDJSON lines, each carrying its own ordering
+  * envelope:
+  *
+  * {{{ {"topic":"fhir.msg","partition":0,"offset":12,"bundle":"{...}"} }}}
+  *
+  * Explicit (partition, offset) keeps the latest-wins dedup semantics
+  * well-defined on files exactly as on Kafka (the reference's
+  * data/bundles.ndjson feed has the same need — ordering must come
+  * from the journal, not file listing order). Spark's file stream
+  * source provides the incremental discovery + checkpointing.
+  */
+object FileBundleSource {
+
+  val journalSchema: StructType = StructType(Seq(
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("bundle", StringType)))
+
+  private def toWire(lines: DataFrame): DataFrame =
+    lines
+      .withColumn("j", from_json(col("value"), journalSchema))
+      .select(
+        lit(null).cast(BinaryType).as("key"),
+        encode(col("j.bundle"), "UTF-8").as("value"),
+        coalesce(col("j.topic"), lit("file")).as("topic"),
+        coalesce(col("j.partition"), lit(0)).as("partition"),
+        coalesce(col("j.offset"), lit(0L)).as("offset"),
+        lit(null).cast(TimestampType).as("timestamp"))
+
+  /** Streaming read of a journal directory (new files picked up
+    * incrementally, offsets checkpointed by the engine).
+    */
+  def stream(spark: SparkSession, dir: String): DataFrame =
+    toWire(spark.readStream.format("text")
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .load(dir))
+
+  /** Batch read of the same journal (for reprocessing/backfill). */
+  def batch(spark: SparkSession, dir: String): DataFrame =
+    toWire(spark.read.format("text").load(dir)
+      .select(col("value").cast(StringType).as("value")))
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.sources.FileBundleSource
+import graft.tables.ResourceTable
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join is row-identical to the plain join") {
+    val big = Seq.tabulate(200)(i => (i % 3L, s"row$i")) // 3 hot keys
+      .toDF("k", "payload")
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "unused"))
+      .toDF("k", "dim")
+    val plain = big.join(small, Seq("k"))
+      .select("k", "payload", "dim").collect().toSet
+    val salted = Skew.saltedJoin(big, small, "k", salts = 4)
+      .select("k", "payload", "dim").collect().toSet
+    assert(salted == plain)
+    assert(salted.size == 200)
+  }
+
+  test("salted two-phase aggregation matches direct aggregation") {
+    val df = Seq.tabulate(500)(i => (i % 2L, (i % 7).toDouble))
+      .toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_val"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = Skew.saltedSumCount(df, "k", "v", salts = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == direct)
+  }
+}
+
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("heap aggregator top-k equals rank-window top-k incl. tie-break") {
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 7 + d * 13) % 17).toFloat / 17f))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 2)
+    val c = vecs.filter($"vec_id" >= 2)
+    val win = Similarity.bruteForceTopK(q, c, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val agg = TopK.bruteForceTopKAgg(q, c, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(agg == win)
+    assert(agg.size == 10) // 2 queries × 5
+  }
+}
+
+class FileBundleSourceSpec extends SparkSpec {
+  import graft.SparkSpec._
+
+  private def journalLine(bundle: String, part: Int, off: Long): String = {
+    // bundle JSON embedded as a string value → escape quotes/backslashes
+    val esc = bundle.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "")
+    s"""{"topic":"fhir.msg","partition":$part,"offset":$off,"bundle":"$esc"}"""
+  }
+
+  test("batch journal read produces the kafka wire schema and flows through the pipeline") {
+    val dir = tmpDir("journal")
+    val lines = Seq(
+      journalLine(fixture("batches/put-2.json"), 0, 1),
+      journalLine(fixture("batches/put-2-newer.json"), 0, 99))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/j0.ndjson"),
+      lines.mkString("\n").getBytes)
+
+    val wire = FileBundleSource.batch(spark, dir)
+    assert(wire.schema.fieldNames.toSeq ==
+      Seq("key", "value", "topic", "partition", "offset", "timestamp"))
+    val deduped = graft.pipeline.BundlePipeline.deduplicate(
+      graft.pipeline.BundlePipeline.prepare(wire))
+    val rows = deduped.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("offset") == 99L) // newer PUT wins
+  }
+
+  test("streaming journal source drives the full engine") {
+    val base = tmpDir("journal-stream")
+    val srcDir = s"$base/in"
+    new java.io.File(srcDir).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$srcDir/j0.ndjson"),
+      journalLine(fixture("single-patient.json"), 0, 0).getBytes)
+
+    val settings = graft.streaming.Settings(
+      checkpointDir = s"$base/checkpoint",
+      deltaDatabaseDir = s"$base/delta/default",
+      resourceTypes = Seq("Patient"), upkeepInterval = 0)
+    val queries = graft.streaming.Engine.start(
+      FileBundleSource.stream(spark, srcDir), settings)
+    try {
+      queries.foreach(_.processAllAvailable())
+      val t = ResourceTable(spark, s"${settings.deltaDatabaseDir}/Patient.parquet")
+      assert(t.read().count() == 1)
+    } finally queries.foreach(_.stop())
+  }
+}
