@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.{TextExpressions, VectorExpressions}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering this library's native expressions as
+  * SQL functions, so `spark.sql("SELECT cosine_similarity(a, b) ...")`
+  * works next to the Column API:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions)...
+  * // or on an existing session:
+  * GraftExtensions.register(spark)
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  private type Builder = Seq[Expression] => Expression
+
+  val definitions: Seq[(String, ExpressionInfo, Builder)] = Seq(
+    ("cosine_similarity",
+      info("cosine_similarity",
+        "cosine_similarity(a, b) - cosine of two float/double arrays"),
+      (es: Seq[Expression]) =>
+        VectorExpressions.CosineSimilarity(es(0), es(1))),
+    ("dot_product",
+      info("dot_product", "dot_product(a, b) - dot of two numeric arrays"),
+      (es: Seq[Expression]) => VectorExpressions.DotProduct(es(0), es(1))),
+    ("minhash_signature",
+      info("minhash_signature",
+        "minhash_signature(shingle_hashes, k) - k-permutation minhash"),
+      (es: Seq[Expression]) => VectorExpressions.MinHashSignature(es(0),
+        es(1).eval().asInstanceOf[Int])),
+    ("shingle_hashes",
+      info("shingle_hashes",
+        "shingle_hashes(text, w) - distinct sorted w-token shingle hashes"),
+      (es: Seq[Expression]) => TextExpressions.ShingleHashes(es(0),
+        es(1).eval().asInstanceOf[Int])),
+    ("simhash64",
+      info("simhash64", "simhash64(text) - 64-bit simhash of a text"),
+      (es: Seq[Expression]) => TextExpressions.SimHash64(es(0))),
+    ("hamming_distance",
+      info("hamming_distance",
+        "hamming_distance(a, b) - bit distance of two long arrays"),
+      (es: Seq[Expression]) => VectorExpressions.HammingDistance(es(0), es(1))))
+
+  /** Register on an already-built session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

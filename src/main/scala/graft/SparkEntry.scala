@@ -334,6 +334,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // ---- cube (full grouping-set lattice) ----
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("o_totalprice")).as("total_price"))
+    }),
+
     // ---- pivot (wide conditional aggregation) ----
     "q_pivot" -> ((s, dir) => {
       events(s, dir)
@@ -599,6 +607,12 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         |  sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id,

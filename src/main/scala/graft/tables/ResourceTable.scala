@@ -171,7 +171,10 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
   private def commit(df: DataFrame, expectedCurrent: Option[Long]): Long = {
     val next = expectedCurrent.getOrElse(-1L) + 1
     val dir = snapDir(next)
-    df.write.mode("overwrite").parquet(dir.toString)
+    // zstd like the reference's compaction writer properties
+    // (lakehousekeeper.py:206–214)
+    df.write.mode("overwrite").option("compression", "zstd")
+      .parquet(dir.toString)
     val commitFile = new HPath(logDir, f"$next%020d.commit")
     val out = fs.create(commitFile, /*overwrite=*/ false)
     try out.write(s"""{"version":$next,"dir":"${dir.getName}"}"""

@@ -1,0 +1,96 @@
+package graft
+
+import graft.fhir.FhirEncoder
+
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |  simhash64('the quick brown fox') AS s1,
+        |  simhash64('the quick brown fox') AS s2,
+        |  size(shingle_hashes('a b c d', 2)) AS nsh,
+        |  size(minhash_signature(shingle_hashes('a b c d', 2), 8)) AS k
+        |""".stripMargin).collect().head
+    assert(r.getAs[Double]("c") == 1.0)
+    assert(r.getAs[Double]("d") == 11.0)
+    assert(r.getAs[Long]("s1") == r.getAs[Long]("s2"))
+    assert(r.getAs[Int]("nsh") == 3)
+    assert(r.getAs[Int]("k") == 8)
+  }
+
+  test("sql hamming_distance over long arrays") {
+    GraftExtensions.register(spark)
+    val d = spark.sql(
+      "SELECT hamming_distance(array(0L), array(7L)) AS h")
+      .collect().head.getAs[Int]("h")
+    assert(d == 3)
+  }
+}
+
+/** Deeper FHIR encode checks: nested arrays/structs/decimals for
+  * Observation and Condition resources.
+  */
+class FhirEncoderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val obsJson =
+    """{"resourceType":"Observation","id":"ob-1","status":"final",
+      |"effectiveDateTime":"2020-03-02T09:30:10+01:00",
+      |"code":{"coding":[{"system":"http://loinc.org","code":"8867-4",
+      |"display":"Heart rate"}],"text":"Heart rate"},
+      |"subject":{"reference":"Patient/p1"},
+      |"valueQuantity":{"value":71.5,"unit":"beats/minute",
+      |"system":"http://unitsofmeasure.org","code":"/min"}}"""
+      .stripMargin.replaceAll("\n", "")
+
+  private val condJson =
+    """{"resourceType":"Condition","id":"c-1",
+      |"recordedDate":"2019-01-05",
+      |"clinicalStatus":{"coding":[{"system":"x","code":"active"}]},
+      |"code":{"coding":[{"system":"http://snomed.info/sct",
+      |"code":"44054006","display":"Diabetes"}]},
+      |"subject":{"reference":"Patient/p1"}}"""
+      .stripMargin.replaceAll("\n", "")
+
+  test("Observation encode: nested code.coding, reference, decimal quantity") {
+    val df = Seq(obsJson).toDF("resource")
+    val out = FhirEncoder.encode(df, "Observation").collect().head
+    assert(out.getAs[String]("id") == "ob-1")
+    assert(out.getAs[String]("status") == "final")
+    val code = out.getStruct(out.fieldIndex("code"))
+    val coding = code.getSeq[org.apache.spark.sql.Row](0)
+    assert(coding.head.getAs[String]("code") == "8867-4")
+    val vq = out.getStruct(out.fieldIndex("valueQuantity"))
+    assert(vq.getAs[java.math.BigDecimal]("value")
+      .compareTo(new java.math.BigDecimal("71.5")) == 0)
+    assert(out.getStruct(out.fieldIndex("subject"))
+      .getAs[String]("reference") == "Patient/p1")
+  }
+
+  test("Condition encode keeps dates as strings (precision-preserving)") {
+    val df = Seq(condJson).toDF("resource")
+    val out = FhirEncoder.encode(df, "Condition").collect().head
+    assert(out.getAs[String]("recordedDate") == "2019-01-05")
+    assert(out.schema("recordedDate").dataType ==
+      org.apache.spark.sql.types.StringType)
+  }
+
+  test("encode filters out rows of other resource types") {
+    val df = Seq(obsJson, condJson).toDF("resource")
+    assert(FhirEncoder.encode(df, "Observation").count() == 1)
+    assert(FhirEncoder.encode(df, "Condition").count() == 1)
+  }
+
+  test("unknown resource types fall back to the generic schema") {
+    val df = Seq("""{"resourceType":"Medication","id":"m-1"}""")
+      .toDF("resource")
+    val out = FhirEncoder.encode(df, "Medication").collect().head
+    assert(out.getAs[String]("id") == "m-1")
+    assert(out.getAs[String]("resource_json").contains("Medication"))
+  }
+}
