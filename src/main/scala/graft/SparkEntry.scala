@@ -176,6 +176,50 @@ object SparkEntry {
         .groupBy("event_type").agg(count(lit(1)).as("cnt"))
     }),
 
+    // ---- analytic window functions: lag/lead/first/last/ntile ----
+    "q_window_analytics" -> ((s, dir) => {
+      val order = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val frame = order.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      events(s, dir).select(
+        col("user_id"), col("event_id"),
+        lag(col("event_id"), 1).over(order).as("prev_id"),
+        lead(col("event_id"), 1).over(order).as("next_id"),
+        first(col("event_id")).over(frame).as("first_id"),
+        last(col("event_id")).over(frame).as("last_id"),
+        ntile(4).over(order).as("quartile"))
+    }),
+
+    // ---- left outer join with null-group aggregation ----
+    "q_left_join" -> ((s, dir) => {
+      val customer = t(s, dir, "customer")
+      val bigOrders = t(s, dir, "orders")
+        .filter(col("o_totalprice") >= 200000)
+      customer.join(bigOrders,
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_big_orders"),
+          dsum(coalesce(col("o_totalprice"), lit(0.0))).as("big_total"))
+    }),
+
+    // ---- PII redaction (emails/phone runs → placeholders) ----
+    "q_pii_redact" -> ((s, dir) => {
+      events(s, dir).select(
+        col("event_id"),
+        TextStats.redactPii(concat_ws(" ",
+          lit("contact"),
+          concat(col("event_type"), lit("@example.com")),
+          lit("tel"),
+          (col("user_id") * 1234567).cast(StringType))).as("redacted"))
+    }),
+
+    // ---- dedup cluster resolution over near-dup pairs (no oracle) ----
+    "q_dedup_resolve" -> ((s, dir) =>
+      Dedup.resolveClusters(
+        Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          minJaccard = 0.2))),
+
     // ---- §2.4 A3 distinct ----
     "q_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
@@ -522,6 +566,36 @@ object SparkEntry {
 
     "q_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q_window_analytics" ->
+      """SELECT user_id, event_id,
+        |  lag(event_id, 1) OVER w AS prev_id,
+        |  lead(event_id, 1) OVER w AS next_id,
+        |  first_value(event_id) OVER wf AS first_id,
+        |  last_value(event_id) OVER wf AS last_id,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+        |  wf AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
+    "q_left_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_big_orders,
+        |  CAST(sum(CAST(coalesce(o_totalprice, 0) AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS big_total
+        |FROM customer LEFT JOIN (
+        |  SELECT * FROM orders WHERE o_totalprice >= 200000) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+
+    "q_pii_redact" ->
+      """SELECT event_id,
+        |  regexp_replace(regexp_replace(
+        |    concat('contact ', event_type, '@example.com tel ',
+        |           CAST(user_id * 1234567 AS VARCHAR)),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9][0-9 ()+.-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM events""".stripMargin,
 
     "q_topn" ->
       """SELECT o_orderkey, o_totalprice FROM orders

@@ -121,6 +121,45 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
 
+  /** Resolve duplicate pairs into clusters: every document mapped to a
+    * canonical id (the minimum doc id reachable through the pair
+    * graph). Iterative min-label propagation — each round is one
+    * join + one aggregation, converging in O(log(longest chain))
+    * rounds; `maxIter` bounds pathological chains. This is the
+    * "keep one per duplicate cluster" step after any pair producer
+    * (exact, minhash, simhash, embedding).
+    */
+  def resolveClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    var labels = edges.select(col("a").as("doc"))
+      .union(edges.select(col("b").as("doc")))
+      .distinct()
+      .withColumn("label", col("doc"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // each doc adopts the min label among itself and its neighbors
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("doc", "b")
+          .withColumnRenamed("label", "nlabel"), Seq("b"))
+        .groupBy(col("a").as("doc"))
+        .agg(min(col("nlabel")).as("minNeighbor"))
+      val next = labels.join(neighborLabels, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("label"), coalesce(col("minNeighbor"), col("label")))
+            .as("label"))
+      val changed = next.alias("n")
+        .join(labels.alias("o"), Seq("doc"))
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count() > 0
+      labels = next.localCheckpoint(true) // cut the growing lineage
+      converged = !changed
+      i += 1
+    }
+    labels.select(col("doc").as("doc_id"), col("label").as("canonical_id"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash per document — a row-local native expression

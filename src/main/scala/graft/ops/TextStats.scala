@@ -82,6 +82,17 @@ object TextStats {
     df.withColumn("predicted_lang", array_max(array(scored: _*)).getField("lang"))
   }
 
+  /** PII redaction for training corpora: emails and long digit runs
+    * (phone-ish) replaced with placeholder tokens. RE2-compatible
+    * patterns (no lookaround) so the same regexes run in the DuckDB
+    * oracle.
+    */
+  def redactPii(text: Column): Column = {
+    val noEmail = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(noEmail, "[0-9][0-9 ()+.-]{6,}[0-9]", "<PHONE>")
+  }
+
   /** Normalized content fingerprint: md5 over
     * lowercase(whitespace-collapsed) text. Matches the DuckDB oracle
     * expression md5(lower(regexp_replace(text,'\s+',' ','g'))).

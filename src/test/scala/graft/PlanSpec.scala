@@ -57,6 +57,18 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("partitioned writes get partition pruning (PartitionFilters)") {
+    val base = java.nio.file.Files.createTempDirectory("ppart").toString
+    SparkEntry.queries("q_cast_types")(spark, dir)
+      .withColumn("part_key", org.apache.spark.sql.functions.col("l_linenumber"))
+      .write.partitionBy("part_key").mode("overwrite").parquet(s"$base/t")
+    val df = spark.read.parquet(s"$base/t")
+      .filter(org.apache.spark.sql.functions.col("part_key") === 1)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("part_key"), p)
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipelines") {
     val p = plan("q_filter_proj")
     // formatted explain marks codegen'd operators with [codegen id : N]

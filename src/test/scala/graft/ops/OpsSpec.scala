@@ -47,6 +47,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 3L)))
   }
 
+  test("resolveClusters: chained pairs collapse to one canonical id") {
+    // chain 1-2, 2-3, 3-4 plus isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val res = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res(1L) == 1L && res(2L) == 1L && res(3L) == 1L && res(4L) == 1L)
+    assert(res(10L) == 10L && res(11L) == 10L)
+  }
+
+  test("redactPii masks emails and phone runs, leaves prose alone") {
+    val df = Seq(
+      (1L, "write to jane.doe+x@corp.example.org or call 555 123-4567 now"),
+      (2L, "no pii here, just words and the number 7")).toDF("id", "t")
+    val out = df.select($"id", TextStats.redactPii($"t").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "write to <EMAIL> or call <PHONE> now")
+    assert(out(2L) == "no pii here, just words and the number 7")
+  }
+
   test("ngram jaccard verifies candidates exactly") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         minJaccard = 0.99, k = 16, bands = 8, w = 2)
