@@ -287,6 +287,36 @@ object SparkEntry {
           col("cnt"), col("sum_val"))
     }),
 
+    // ---- Structured Streaming in the gate: a real streaming query
+    //      (parquet file stream → event-time window agg → memory sink,
+    //      complete mode) whose final table must equal the batch
+    //      oracle — exactly-once stream/batch parity ----
+    "q_stream_window" -> ((s, dir) => {
+      val raw = t(s, dir, "events")
+      // the file-stream source needs a directory/glob base — a glob
+      // matching exactly events.parquet keeps the parent as basePath
+      val stream = s.readStream.schema(raw.schema)
+        .parquet(s"$dir/events.parque[t]")
+      val withTs =
+        if (raw.schema("ts").dataType == LongType)
+          stream.withColumn("ts",
+            expr("timestamp_micros(ts DIV 1000)").cast(TimestampNTZType))
+        else stream.withColumn("ts", col("ts").cast(TimestampNTZType))
+      val agg = withTs
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("cnt"))
+      val name = s"stream_window_${System.nanoTime()}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      // materialize before the sink table goes away
+      val out = s.table(name).cache()
+      out.count()
+      out
+    }),
+
     // ---- §2.2 P1 casts across types ----
     "q_cast_types" -> ((s, dir) => {
       t(s, dir, "lineitem").select(
@@ -633,6 +663,11 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS w_start, event_type,
         |  count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS w_start, event_type,
+        |  count(*) AS cnt
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_cast_types" ->

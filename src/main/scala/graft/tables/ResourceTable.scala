@@ -59,8 +59,20 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
 
   /** Snapshot read of the current table state (S5). */
   def read(): DataFrame = latestVersion match {
-    case Some(v) => spark.read.schema(schema()).parquet(snapDir(v).toString)
+    case Some(v) => readVersion(v)
     case None => throw new IllegalStateException(s"no table at $path")
+  }
+
+  /** Time travel: read any retained snapshot version (Delta's
+    * `versionAsOf`). Vacuumed versions are gone; the commit log keeps
+    * the full version history.
+    */
+  def readVersion(v: Long): DataFrame = {
+    val dir = snapDir(v)
+    if (!fs.exists(dir))
+      throw new IllegalStateException(
+        s"version $v of $path was vacuumed or never existed")
+    spark.read.schema(schema()).parquet(dir.toString)
   }
 
   def schema(): StructType =

@@ -57,6 +57,47 @@ class ResourceTableSpec extends SparkSpec {
     assert(ids == ids.sorted) // single file, sorted by id
   }
 
+  test("time travel: readVersion sees historical snapshots until vacuumed") {
+    val t = ResourceTable(spark, s"${tmpDir("rt")}/T.parquet")
+      .createIfNotExists(schema)
+    t.upsert(df("a" -> 1), "id")            // v1
+    t.upsert(df("a" -> 2, "b" -> 9), "id")  // v2
+    assert(t.readVersion(1).collect().map(r => (r.getString(0), r.getInt(1)))
+      .toSet == Set("a" -> 1))
+    assert(t.read().count() == 2)
+    t.vacuum(retentionMs = -1000)
+    intercept[IllegalStateException] { t.readVersion(1).collect() }
+  }
+
+  test("schema is pinned: upsert drops columns outside the table schema") {
+    // the reference disables delta schema autoMerge (main.py:72)
+    val t = ResourceTable(spark, s"${tmpDir("rt")}/T.parquet")
+      .createIfNotExists(schema)
+    val widened = df("a" -> 1)
+      .withColumn("extra", org.apache.spark.sql.functions.lit("x"))
+    t.upsert(widened, "id")
+    assert(t.read().schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  test("concurrent commit conflict: loser retries onto the next version") {
+    val t = ResourceTable(spark, s"${tmpDir("rt")}/T.parquet")
+      .createIfNotExists(schema)
+    t.upsert(df("a" -> 1), "id") // v1
+    // simulate a rival writer publishing v2 under our feet
+    val logDir = new java.io.File(s"${t.path}/_log")
+    val snap = new java.io.File(s"${t.path}/snap-2")
+    // rival snapshot = copy of v1 files
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"${t.path}/snap-1"), snap)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$logDir/${"%020d".format(2)}.commit"),
+      """{"version":2,"dir":"snap-2"}""".getBytes)
+    // our upsert first targets v2, collides, retries onto v3
+    t.upsert(df("b" -> 5), "id")
+    assert(t.latestVersion.contains(3L))
+    assert(t.read().collect().map(_.getString(0)).toSet == Set("a", "b"))
+  }
+
   test("property: random PUT/DELETE interleavings == naive foldLeft replay") {
     val rnd = new scala.util.Random(42) // deterministic
     (1 to 4).foreach { _ =>
