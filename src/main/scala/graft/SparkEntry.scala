@@ -176,6 +176,21 @@ object SparkEntry {
         .groupBy("event_type").agg(count(lit(1)).as("cnt"))
     }),
 
+    // ---- as-of join: latest purchase at-or-before each event ----
+    "q_asof_join" -> ((s, dir) => {
+      val ev = eventsUs(s, dir)
+        .select("event_id", "user_id", "ts_us", "event_type")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("user_id"),
+          col("ts_us").as("p_ts_us"), col("event_id"))
+      graft.ops.AsOf.joinAsOf(
+        ev, purchases, key = "user_id",
+        leftTime = "ts_us", rightTime = "p_ts_us",
+        rightCols = Map("p_event_id" -> "purchase_id",
+          "p_ts_us" -> "purchase_ts_us"),
+        tieBreak = "event_id")
+    }),
+
     // ---- analytic window functions: lag/lead/first/last/ntile ----
     "q_window_analytics" -> ((s, dir) => {
       val order = Window.partitionBy("user_id")
@@ -596,6 +611,14 @@ object SparkEntry {
 
     "q_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  e.event_type, p.event_id AS purchase_id,
+        |  epoch_us(p.ts) AS purchase_ts_us
+        |FROM events e ASOF LEFT JOIN (
+        |  SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
 
     "q_window_analytics" ->
       """SELECT user_id, event_id,

@@ -57,6 +57,24 @@ object FhirEncoder {
     StructField("system", StringType),
     StructField("code", StringType)))
 
+  /** FHIR extensions (enable_extensions=True parity, main.py:107–113):
+    * url + common value[x] choices, nested one level (recursion
+    * truncated like Pathling truncates the recursive schema).
+    */
+  private val extensionType = ArrayType(StructType(Seq(
+    StructField("url", StringType),
+    StructField("valueString", StringType),
+    StructField("valueCode", StringType),
+    StructField("valueDecimal", DecimalType(32, 6)),
+    StructField("extension", ArrayType(StructType(Seq(
+      StructField("url", StringType),
+      StructField("valueString", StringType),
+      StructField("valueDecimal", DecimalType(32, 6)),
+      StructField("valueCoding", StructType(Seq(
+        StructField("system", StringType),
+        StructField("code", StringType),
+        StructField("display", StringType)))))))))))
+
   /** Per-resource-type schemas. Minimum parity columns come from the
     * reference's tests and clustering docs (FIXTURES.md §4): Patient
     * {id, active, birthDate}, Observation {id, effectiveDateTime,
@@ -74,7 +92,8 @@ object FhirEncoder {
       StructField("identifier", identifierType),
       StructField("name", humanName),
       StructField("address", address),
-      StructField("maritalStatus", codeableConcept))),
+      StructField("maritalStatus", codeableConcept),
+      StructField("extension", extensionType))),
     "Observation" -> StructType(Seq(
       StructField("resourceType", StringType),
       StructField("id", StringType),

@@ -26,7 +26,8 @@ final class BatchProcessor(
     upkeepInterval: Int = 50,
     vacuumRetentionMs: Long = 24L * 3600 * 1000,
     clusteringColumns: Map[String, Seq[String]] = Map.empty,
-    metrics: BatchMetrics = BatchMetrics.noop) {
+    metrics: BatchMetrics = BatchMetrics.noop,
+    logTopicCounts: Boolean = false) {
 
   def tablePath(resourceType: String): String =
     s"$tableDir/$resourceType.parquet"
@@ -40,6 +41,11 @@ final class BatchProcessor(
     if (df.isEmpty) return Map.empty // A2 gate
 
     metrics.batchSize(df.count()) // A1
+
+    if (logTopicCounts) // A4 — opt-in per-topic counts (settings.py:68)
+      df.groupBy(col("topic")).count().collect().foreach { r =>
+        metrics.topicCount(r.getAs[String]("topic"), r.getAs[Long]("count"))
+      }
 
     // A3 — the types present in this batch (driver-side, tiny)
     val types = df.select("resource_type").distinct().collect()
@@ -97,6 +103,7 @@ final class BatchProcessor(
   */
 trait BatchMetrics {
   def batchSize(n: Long): Unit
+  def topicCount(topic: String, n: Long): Unit = ()
   def resourcesWritten(resourceType: String, n: Long): Unit
   def resourcesDeleted(resourceType: String, n: Long): Unit
   def mergeSeconds(s: Double): Unit
@@ -118,8 +125,11 @@ object BatchMetrics {
   final class Recording extends BatchMetrics {
     val written = scala.collection.mutable.Map.empty[String, Long]
     val deleted = scala.collection.mutable.Map.empty[String, Long]
+    val topics = scala.collection.mutable.Map.empty[String, Long]
     var batches = 0L
     var rows = 0L
+    override def topicCount(topic: String, n: Long): Unit =
+      topics(topic) = topics.getOrElse(topic, 0L) + n
     def batchSize(n: Long): Unit = { batches += 1; rows += n }
     def resourcesWritten(rt: String, n: Long): Unit =
       written(rt) = written.getOrElse(rt, 0L) + n

@@ -92,8 +92,10 @@ object Lakehousekeeper {
       cmd match {
         case "vacuum" =>
           val hours = args.lift(2).map(_.toLong).getOrElse(24L)
-          vacuum(spark, dir, hours).foreach { case (p, n) =>
-            println(s"vacuumed $p: $n snapshots removed")
+          val dry = args.lift(3).contains("dry") // VACUUM ... DRY RUN parity
+          vacuum(spark, dir, hours, dry).foreach { case (p, n) =>
+            println(s"vacuumed $p: $n snapshots removed" +
+              (if (dry) " (dry run)" else ""))
           }
         case "optimize" =>
           val files = args.lift(2).map(_.toInt).getOrElse(4)

@@ -86,6 +86,28 @@ class FhirEncoderSpec extends SparkSpec {
     assert(FhirEncoder.encode(df, "Condition").count() == 1)
   }
 
+  test("Patient extensions are captured (us-core-race etc.)") {
+    val json = graft.SparkSpec.fixture("single-patient.json")
+    // pull the patient resource out of the bundle via the pipeline
+    val wire = graft.SparkSpec.kafkaBatch(spark, Seq((json, 0, 0L)))
+    val prepared = graft.pipeline.BundlePipeline.prepare(wire)
+    val out = FhirEncoder.encode(prepared, "Patient").collect().head
+    val exts = out.getSeq[org.apache.spark.sql.Row](out.fieldIndex("extension"))
+    assert(exts.nonEmpty)
+    val urls = exts.map(_.getAs[String]("url"))
+    assert(urls.exists(_.endsWith("us-core-race")))
+    val dly = exts.find(_.getAs[String]("url")
+      .endsWith("disability-adjusted-life-years")).get
+    assert(dly.getAs[java.math.BigDecimal]("valueDecimal") != null)
+  }
+
+  test("corrupt resource JSON rows are dropped by encode, not crashing") {
+    val df = Seq("not a json {{{", """{"resourceType":"Patient","id":"ok"}""")
+      .toDF("resource")
+    val out = FhirEncoder.encode(df, "Patient").collect()
+    assert(out.map(_.getAs[String]("id")).toSeq == Seq("ok"))
+  }
+
   test("unknown resource types fall back to the generic schema") {
     val df = Seq("""{"resourceType":"Medication","id":"m-1"}""")
       .toDF("resource")

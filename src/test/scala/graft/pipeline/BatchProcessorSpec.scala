@@ -89,6 +89,15 @@ class BatchProcessorSpec extends SparkSpec {
       Seq("id", "birthDate"))
   }
 
+  test("opt-in per-topic counts reach the metrics hook") {
+    val dir = tmpDir("bp")
+    val m = new BatchMetrics.Recording
+    val bp = new BatchProcessor(dir, upkeepInterval = 0, metrics = m,
+      logTopicCounts = true)
+    bp.processBatch(prepared(Seq((fixture("single-patient.json"), 0, 0L))), 1)
+    assert(m.topics == scala.collection.mutable.Map("fhir.msg" -> 1L))
+  }
+
   test("metrics hooks record written/deleted counts") {
     val dir = tmpDir("bp")
     val m = new BatchMetrics.Recording
