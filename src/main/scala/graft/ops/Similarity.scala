@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   * per-partition heap `Aggregator`, but the broadcast-scan shape is
   * already the right plan (no corpus shuffle). The LSH variant replaces
   * the full scan with a bucket equi-join on signature prefixes.
+  *
+  * Top-k shapes follow the distributed top-k similarity literature
+  * (PAPERS.md: "Incremental ... Top-K Similarity Search", EDBT 2020;
+  * REPOSE, ICDE 2021): score-once, bounded per-partition candidates,
+  * never a corpus shuffle.
   */
 object Similarity {
 

@@ -34,7 +34,9 @@ final case class Settings(
   * `MemoryStream[KafkaRecord]` in tests. Each query gets its own
   * checkpoint dir `{checkpointDir}/{resourceType}` so offsets replay
   * independently (T3: at-least-once delivery + idempotent MERGE ⇒
-  * exactly-once table state).
+  * exactly-once table state). The micro-batch + idempotent-sink
+  * design follows the Structured Streaming model (PAPERS.md:
+  * SIGMOD 2018).
   */
 object Engine {
 

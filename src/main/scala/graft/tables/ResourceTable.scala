@@ -141,16 +141,23 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
   }
 
   /** J3 — compaction: rewrite the current snapshot into `numFiles`
-    * files; when clustering columns are configured, range-partition and
-    * sort by them (the liquid-clustering analogue: co-locates key ranges
-    * per file so Parquet row-group stats give data skipping).
+    * files; when clustering columns are configured, cluster by them —
+    * one column: range-partition + sort (classic clustering); several
+    * columns: sort by the Z-order key (the `OPTIMIZE ZORDER` / liquid
+    * clustering analogue — row-group min/max stats then prune on
+    * EVERY clustered column, not just the sort prefix).
     */
   def optimize(numFiles: Int = 4): Unit = retry() {
     val cur = latestVersion
     val df = read()
     val cols = clusterBy()
     val rewritten =
-      if (cols.nonEmpty)
+      if (cols.size > 1) {
+        graft.functions.ZOrder.withZOrderKey(df, cols)
+          .repartitionByRange(numFiles, col("_zorder"))
+          .sortWithinPartitions("_zorder")
+          .drop("_zorder")
+      } else if (cols.size == 1)
         df.repartitionByRange(numFiles, cols.map(col): _*)
           .sortWithinPartitions(cols.map(col): _*)
       else df.repartition(numFiles)

@@ -57,6 +57,32 @@ class ResourceTableSpec extends SparkSpec {
     assert(ids == ids.sorted) // single file, sorted by id
   }
 
+  test("zorder key interleaves and preserves per-dimension locality") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("p", 0), Row("p", 1), Row("p", 1000), Row("q", 0))),
+      StructType(Seq(StructField("s", StringType),
+        StructField("n", IntegerType))))
+    val keyed = graft.functions.ZOrder
+      .withZOrderKey(df, Seq("s", "n"), relativeError = 0.0)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getAs[Long]("_zorder"))
+      .toMap
+    // same string, closer numbers → closer z keys (bucketed ranks)
+    val d01 = math.abs(keyed(("p", 0)) - keyed(("p", 1)))
+    val d0k = math.abs(keyed(("p", 0)) - keyed(("p", 1000)))
+    assert(d01 < d0k, keyed.toString)
+    assert(keyed(("p", 0)) != keyed(("q", 0)))
+  }
+
+  test("multi-column clustering compacts via zorder ordering") {
+    val t = ResourceTable(spark, s"${tmpDir("rt")}/T.parquet")
+      .createIfNotExists(schema, clusterCols = Seq("id", "v"))
+    t.upsert(df("d" -> 40, "a" -> 1, "c" -> 30, "b" -> 2), "id")
+    t.optimize(numFiles = 1)
+    assert(t.read().count() == 4) // content preserved under zorder rewrite
+  }
+
   test("time travel: readVersion sees historical snapshots until vacuumed") {
     val t = ResourceTable(spark, s"${tmpDir("rt")}/T.parquet")
       .createIfNotExists(schema)
