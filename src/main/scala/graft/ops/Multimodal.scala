@@ -78,6 +78,39 @@ object Multimodal {
       .drop("payload")
   }
 
+  /** Batched per-partition decode — the Scala analogue of
+    * `mapInPandas`: one decoder instance per partition (codec init is
+    * expensive in real deployments), iterator-to-iterator so Spark
+    * pipelines and spills, batch shape = one row in, one feature row
+    * out. The `decoder` argument is where a real codec goes; the
+    * default is the deterministic STUB.
+    */
+  def decodeBatched(media: DataFrame, dims: Int = 8)(
+      decoder: Array[Byte] => Array[Double] = stubDecode(dims, _))
+      : DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition init of the (stub) codec happens here
+        rows.map { case (id, payload) => (id, decoder(payload)) }
+      }
+      .toDF("media_id", "features")
+  }
+
+  /** STUB(decode): deterministic feature fake — a real implementation
+    * decodes with an image/audio library here.
+    */
+  def stubDecode(dims: Int, payload: Array[Byte]): Array[Double] =
+    Array.tabulate(dims) { d =>
+      var h = 1125899906842597L + d
+      var i = d * 16
+      val end = math.min(payload.length, i + 64)
+      while (i < end) { h = h * 31 + payload(i); i += 1 }
+      h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+      math.abs(h % 1000000) / 1000000.0
+    }
+
   /** Resize stub: recompute metadata for a target resolution, keeping
     * the payload (a real impl would transcode per partition).
     */

@@ -17,6 +17,8 @@ final case class Settings(
     checkpointDir: String = "/tmp/graft/checkpoint",
     deltaDatabaseDir: String = "/tmp/graft/delta/default",
     triggerProcessingTime: String = "0 seconds", // settings.py:40
+    // drain-all-then-stop batch mode (backfill/reprocessing runs)
+    triggerAvailableNow: Boolean = false,
     resourceTypes: Seq[String] =             // settings.py:69–75
       Seq("Patient", "Observation", "Encounter", "Condition", "Procedure"),
     upkeepInterval: Int = 50,                // settings.py:39
@@ -69,12 +71,16 @@ object Engine {
       settings.clusteringColumns,
       metrics)
 
+    val trigger =
+      if (settings.triggerAvailableNow) Trigger.AvailableNow()
+      else Trigger.ProcessingTime(settings.triggerProcessingTime) // T1
+
     def startQuery(name: String, df: DataFrame): StreamingQuery =
       df.writeStream
         .queryName(name)
         .outputMode("append") // T2
         .option("checkpointLocation", s"${settings.checkpointDir}/$name")
-        .trigger(Trigger.ProcessingTime(settings.triggerProcessingTime)) // T1
+        .trigger(trigger)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           processor.processBatch(batch, batchId): Unit // S2
         }

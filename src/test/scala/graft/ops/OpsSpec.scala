@@ -188,6 +188,22 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.forall(v => v.size == 8 && v.forall(x => x >= 0 && x < 1)))
   }
 
+  test("batched mapPartitions decode yields per-row feature vectors") {
+    val media = Multimodal.asMediaTable(docs)
+    val feats = Multimodal.decodeBatched(media)()
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getSeq[Double](1))
+      .toMap
+    assert(feats.size == 2)
+    assert(feats.values.forall(v => v.size == 8 &&
+      v.forall(x => x >= 0 && x < 1)))
+    // deterministic across runs
+    val again = Multimodal.decodeBatched(media)()
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getSeq[Double](1))
+      .toMap
+    assert(feats.view.mapValues(_.toSeq).toMap ==
+      again.view.mapValues(_.toSeq).toMap)
+  }
+
   test("frame sampling yields strided fixed-size frames") {
     val frames = Multimodal.sampleFrames(
         Multimodal.asMediaTable(docs), frameBytes = 100, stride = 2)

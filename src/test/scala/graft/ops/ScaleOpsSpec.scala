@@ -80,6 +80,62 @@ class FileBundleSourceSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("offset") == 99L) // newer PUT wins
   }
 
+  test("checkpoint recovery: engine restart resumes from committed offsets") {
+    val base = tmpDir("journal-restart")
+    val srcDir = s"$base/in"
+    new java.io.File(srcDir).mkdirs()
+    val settings = graft.streaming.Settings(
+      checkpointDir = s"$base/checkpoint",
+      deltaDatabaseDir = s"$base/delta/default",
+      resourceTypes = Seq("Patient"), upkeepInterval = 0)
+
+    // run 1: ingest the PUT, then stop (simulated crash/redeploy)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$srcDir/j0.ndjson"),
+      journalLine(fixture("single-patient.json"), 0, 0).getBytes)
+    val run1 = graft.streaming.Engine.start(
+      FileBundleSource.stream(spark, srcDir), settings)
+    try run1.foreach(_.processAllAvailable()) finally run1.foreach(_.stop())
+    val table = ResourceTable(spark,
+      s"${settings.deltaDatabaseDir}/Patient.parquet")
+    assert(table.read().count() == 1)
+    val versionAfterRun1 = table.latestVersion.get
+
+    // run 2: same checkpoint dir; only the NEW file (a DELETE) may be
+    // processed — the PUT offsets are already committed
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$srcDir/j1.ndjson"),
+      journalLine(fixture("delete-single-patient.json"), 0, 1).getBytes)
+    val run2 = graft.streaming.Engine.start(
+      FileBundleSource.stream(spark, srcDir), settings)
+    try run2.foreach(_.processAllAvailable()) finally run2.foreach(_.stop())
+    assert(table.read().count() == 0) // DELETE applied
+    // exactly one new batch of mutations, not a replay of file j0
+    assert(table.latestVersion.get > versionAfterRun1)
+  }
+
+  test("AvailableNow trigger drains the source then stops on its own") {
+    val base = tmpDir("available-now")
+    val srcDir = s"$base/in"
+    new java.io.File(srcDir).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$srcDir/j0.ndjson"),
+      journalLine(fixture("single-patient.json"), 0, 0).getBytes)
+    val settings = graft.streaming.Settings(
+      checkpointDir = s"$base/checkpoint",
+      deltaDatabaseDir = s"$base/delta/default",
+      resourceTypes = Seq("Patient"), upkeepInterval = 0,
+      triggerAvailableNow = true)
+    val queries = graft.streaming.Engine.start(
+      FileBundleSource.stream(spark, srcDir), settings)
+    try {
+      queries.foreach(_.awaitTermination(60000))
+      assert(queries.forall(!_.isActive)) // drained and self-stopped
+      assert(ResourceTable(spark,
+        s"${settings.deltaDatabaseDir}/Patient.parquet").read().count() == 1)
+    } finally queries.foreach(_.stop())
+  }
+
   test("streaming journal source drives the full engine") {
     val base = tmpDir("journal-stream")
     val srcDir = s"$base/in"
