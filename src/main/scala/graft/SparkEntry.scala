@@ -332,6 +332,31 @@ object SparkEntry {
       out
     }),
 
+    // ---- the REAL ingest path in the gate: bundles synthesized from
+    //      orders go through BatchProcessor (prepare → dedup → encode
+    //      → ResourceTable upsert), then the table is read back; its
+    //      id set must equal the relational oracle ----
+    "q_ingest_e2e" -> ((s, dir) => {
+      val bundles = t(s, dir, "orders").select(
+        to_json(struct(array(struct(
+          to_json(struct(
+            lit("Patient").as("resourceType"),
+            col("o_orderkey").cast(StringType).as("id"),
+            (col("o_orderstatus") === "O").as("active"))).as("resource"),
+          struct(lit("PUT").as("method"),
+            concat_ws("/", lit("Patient"), col("o_orderkey")).as("url"))
+            .as("request"))).as("entry"))).as("value"),
+        lit(0).as("partition"),
+        col("o_orderkey").as("offset"))
+      val tableDir = java.nio.file.Files
+        .createTempDirectory("graft_ingest").toString
+      val bp = new graft.pipeline.BatchProcessor(tableDir, upkeepInterval = 0)
+      bp.processBatch(
+        graft.pipeline.BundlePipeline.prepare(bundles), batchId = 1)
+      graft.tables.ResourceTable(s, s"$tableDir/Patient.parquet")
+        .read().select(col("id"), col("active"))
+    }),
+
     // ---- §2.2 P1 casts across types ----
     "q_cast_types" -> ((s, dir) => {
       t(s, dir, "lineitem").select(
@@ -687,6 +712,11 @@ object SparkEntry {
         |  count(*) AS cnt,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_ingest_e2e" ->
+      """SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS id,
+        |  o_orderstatus = 'O' AS active
+        |FROM orders""".stripMargin,
 
     "q_stream_window" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type,

@@ -130,8 +130,12 @@ object Dedup {
     * (exact, minhash, simhash, embedding).
     */
   def resolveClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // materialize the edge list once — every iteration re-reads it, and
+    // without this the (possibly expensive) pair-producing pipeline
+    // upstream would re-execute per round
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .localCheckpoint(true)
     var labels = edges.select(col("a").as("doc"))
       .union(edges.select(col("b").as("doc")))
       .distinct()
