@@ -119,13 +119,19 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
     * key; unmatched source rows are inserted. Correct because the caller
     * (W1 dedup) guarantees key-uniqueness within the source.
     */
-  def upsert(source: DataFrame, key: String): Long = retry() {
-    val cur = latestVersion
-    val target = read()
-    val kept = target.join(source.select(key), Seq(key), "left_anti")
-    val next = kept.unionByName(source.select(target.columns.map(col): _*))
-    commit(next, cur)
-    source.count()
+  def upsert(source: DataFrame, key: String): Long = {
+    // the source is a bounded micro-batch (maxOffsetsPerTrigger); cache
+    // it so the anti-join probe side, the union side, and the returned
+    // count are one computation, not three
+    val src = source.cache()
+    try retry() {
+      val cur = latestVersion
+      val target = read()
+      val kept = target.join(src.select(key), Seq(key), "left_anti")
+      val next = kept.unionByName(src.select(target.columns.map(col): _*))
+      commit(next, cur)
+      src.count()
+    } finally src.unpersist()
   }
 
   /** J2 — MERGE delete: drop target rows whose key appears in `ids`
