@@ -553,6 +553,25 @@ object SparkEntry {
         TextStats.subwordCount(col("text")).as("n_subwords"))
     }),
 
+    // ---- KMV bottom-k sketches: per-language vocabulary sketch and
+    //      pairwise Jaccard between languages (TypedImperativeAggregate;
+    //      deterministic; no SQL oracle — DuckDB has no KMV) ----
+    "q_sketch_jaccard" -> ((s, dir) => {
+      import graft.functions.BottomKSketch.{bottom_k_sketch, jaccard}
+      val k = 128
+      val words = t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      val sketches = words.groupBy("lang")
+        .agg(bottom_k_sketch(col("word"), k).as("sketch"))
+      val a = sketches.select(col("lang").as("lang_a"),
+        col("sketch").as("sk_a"))
+      val b = sketches.select(col("lang").as("lang_b"),
+        col("sketch").as("sk_b"))
+      a.join(b, col("lang_a") < col("lang_b"))
+        .select(col("lang_a"), col("lang_b"),
+          jaccard(col("sk_a"), col("sk_b"), k).as("est_jaccard"))
+    }),
+
     // ---- multimodal plumbing: binary payloads + features (no oracle) --
     "q_multimodal_features" -> ((s, dir) => {
       Multimodal.extractFeatures(

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -29,11 +29,22 @@ object VectorExpressions {
         throw new IllegalArgumentException(s"not a float/double array: $other")
     }
 
+  /** Per-element java accessor snippet for codegen. */
+  private def genRead(dt: DataType, arr: String, i: String): String =
+    dt match {
+      case ArrayType(FloatType, _) => s"(double) $arr.getFloat($i)"
+      case ArrayType(DoubleType, _) => s"$arr.getDouble($i)"
+      case other =>
+        throw new IllegalArgumentException(s"not a float/double array: $other")
+    }
+
   /** dot(a, b): double, left-to-right accumulation (deterministic,
     * same order as the HOF form so oracle results are unchanged).
+    * Full `doGenCode` so the loop inlines into whole-stage codegen —
+    * no boxing, no virtual calls in the 100 TB scan path.
     */
   case class DotProduct(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     @transient private lazy val readL = elemReader(left.dataType)
     @transient private lazy val readR = elemReader(right.dataType)
@@ -46,14 +57,32 @@ object VectorExpressions {
       while (i < n) { s += readL(a, i) * readR(b, i); i += 1 }
       s
     }
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double ${ev.value}_acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  ${ev.value}_acc +=
+           |    (${genRead(left.dataType, a, i)}) *
+           |    (${genRead(right.dataType, b, i)});
+           |}
+           |${ev.value} = ${ev.value}_acc;
+           |""".stripMargin
+      })
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
   }
 
-  /** cosine(a, b) in a single pass (dot and both norms together). */
+  /** cosine(a, b) in a single pass (dot and both norms together),
+    * codegen'd like [[DotProduct]].
+    */
   case class CosineSimilarity(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     @transient private lazy val readL = elemReader(left.dataType)
     @transient private lazy val readR = elemReader(right.dataType)
@@ -70,6 +99,28 @@ object VectorExpressions {
       }
       dot / math.sqrt(na) / math.sqrt(nb)
     }
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $x = ${genRead(left.dataType, a, i)};
+           |  double $y = ${genRead(right.dataType, b, i)};
+           |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+           |}
+           |${ev.value} = $dot / java.lang.Math.sqrt($na)
+           |  / java.lang.Math.sqrt($nb);
+           |""".stripMargin
+      })
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)

@@ -23,6 +23,35 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getAs[Int]("k") == 8)
   }
 
+  test("bottom-k sketch: exact jaccard for identical sets, mergeable, bounded") {
+    import graft.functions.BottomKSketch.{bottom_k_sketch, jaccard}
+    import org.apache.spark.sql.functions._
+    val df = Seq.tabulate(1000)(i => (i % 2, s"val${(i / 2) % 300}"))
+      .toDF("g", "v") // group 0 and 1 see identical value sets
+    val sk = df.repartition(7) // force partial-aggregate merges
+      .groupBy("g").agg(bottom_k_sketch(col("v"), 64).as("sk"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(sk(0).size == 64 && sk(1).size == 64)
+    assert(sk(0) == sk(0).sorted)
+    assert(sk(0) == sk(1)) // same set → same sketch
+    val j = df.groupBy("g").agg(bottom_k_sketch(col("v"), 64).as("sk"))
+      .agg(min(col("sk")).as("a"), max(col("sk")).as("b"))
+      .select(jaccard(col("a"), col("b"), 64).as("j"))
+      .collect().head.getDouble(0)
+    assert(j == 1.0)
+  }
+
+  test("bottom-k sketch jaccard separates disjoint sets") {
+    import graft.functions.BottomKSketch.{bottom_k_sketch, jaccard}
+    import org.apache.spark.sql.functions._
+    val df = Seq.tabulate(600)(i => (i % 2, s"g${i % 2}_val$i")).toDF("g", "v")
+    val j = df.groupBy("g").agg(bottom_k_sketch(col("v"), 64).as("sk"))
+      .agg(min(col("sk")).as("a"), max(col("sk")).as("b"))
+      .select(jaccard(col("a"), col("b"), 64).as("j"))
+      .collect().head.getDouble(0)
+    assert(j == 0.0) // disjoint sets share nothing
+  }
+
   test("sql hamming_distance over long arrays") {
     GraftExtensions.register(spark)
     val d = spark.sql(
