@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // dozens of whole-stage-codegen'd queries in one JVM overflow the
+  // default 240m JIT code cache -> late queries run deoptimized with
+  // order-of-magnitude slowdowns. Size it like a long-lived Spark app.
+  "-XX:ReservedCodeCacheSize=1g",
 )
