@@ -235,6 +235,20 @@ object SparkEntry {
         Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
           minJaccard = 0.2))),
 
+    // ---- the SQL entry point itself + correlated scalar subquery:
+    //      identical SQL text runs on spark.sql and the oracle ----
+    "q_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT o_orderkey,
+          |  (SELECT count(*) FROM lineitem_v l
+          |   WHERE l.l_orderkey = o.o_orderkey) AS n_items,
+          |  (SELECT sum(l_quantity) FROM lineitem_v l
+          |   WHERE l.l_orderkey = o.o_orderkey) AS total_qty
+          |FROM orders_v o""".stripMargin)
+    }),
+
     // ---- §2.4 A3 distinct ----
     "q_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
@@ -655,6 +669,14 @@ object SparkEntry {
 
     "q_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey,
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE l.l_orderkey = o.o_orderkey) AS n_items,
+        |  (SELECT sum(l_quantity) FROM lineitem l
+        |   WHERE l.l_orderkey = o.o_orderkey) AS total_qty
+        |FROM orders o""".stripMargin,
 
     "q_asof_join" ->
       """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
