@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked JVM's stdout must reach the console WITHOUT sbt's "[info] "
+// log prefix: the bench driver parses graft.Bench's single JSON line, and
+// a prefixed line is unparseable (round-1 BENCH came back parsed:null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -588,11 +588,18 @@ object SparkEntry {
 
     // ---- multimodal plumbing: binary payloads + features (no oracle) --
     "q_multimodal_features" -> ((s, dir) => {
+      // Scalars only in the output: the driver's rows-only stability
+      // check sorts the result with pandas, and an array column crashes
+      // that sort (round-1 q_multimodal_features err). The array itself
+      // is exercised by reducing it, not by returning it.
       Multimodal.extractFeatures(
           Multimodal.asMediaTable(t(s, dir, "documents")))
         .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
           col("meta.width").as("width"), col("meta.height").as("height"),
-          col("features"))
+          size(col("features")).cast("long").as("n_features"),
+          aggregate(col("features"), lit(0.0d), (a, x) => a + x)
+            .as("feat_sum"),
+          element_at(col("features"), 1).as("feat0"))
     })
   )
 
