@@ -130,10 +130,13 @@ object ZOrder {
         ColumnBridge.expression(col(c)))).as(s"_zn$i")
     }
     val withOrd = df.select((df.columns.map(col) ++ ordCols): _*)
+    // one pass over the data for ALL dimensions' split points (the
+    // multi-column overload), not one scan per clustered column
+    val allSplits = withOrd.stat.approxQuantile(
+      cols.indices.map(i => s"_zn$i").toArray, probs, relativeError)
     val bucketExprs = cols.indices.map { i =>
-      val splits = withOrd.stat.approxQuantile(s"_zn$i", probs, relativeError)
       RangeBucket(ColumnBridge.expression(col(s"_zn$i")),
-        splits.distinct.sorted)
+        allSplits(i).distinct.sorted)
     }
     withOrd
       .withColumn("_zorder", ColumnBridge.column(

@@ -123,11 +123,13 @@ object Dedup {
 
   /** Resolve duplicate pairs into clusters: every document mapped to a
     * canonical id (the minimum doc id reachable through the pair
-    * graph). Iterative min-label propagation — each round is one
-    * join + one aggregation, converging in O(log(longest chain))
-    * rounds; `maxIter` bounds pathological chains. This is the
-    * "keep one per duplicate cluster" step after any pair producer
-    * (exact, minhash, simhash, embedding).
+    * graph). Each round combines min-label propagation (one hop through
+    * the edges) with pointer jumping (label := label-of-label, which
+    * halves the remaining chain depth), so convergence is
+    * O(log(longest chain)) rounds, not O(diameter); `maxIter` bounds
+    * pathological graphs and non-convergence is logged rather than
+    * silently returned. This is the "keep one per duplicate cluster"
+    * step after any pair producer (exact, minhash, simhash, embedding).
     */
   def resolveClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     // materialize the edge list once — every iteration re-reads it, and
@@ -143,16 +145,23 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // each doc adopts the min label among itself and its neighbors
+      // hop: each doc adopts the min label among itself and its neighbors
       val neighborLabels = edges
         .join(labels.withColumnRenamed("doc", "b")
           .withColumnRenamed("label", "nlabel"), Seq("b"))
         .groupBy(col("a").as("doc"))
         .agg(min(col("nlabel")).as("minNeighbor"))
-      val next = labels.join(neighborLabels, Seq("doc"), "left")
+      val hopped = labels.join(neighborLabels, Seq("doc"), "left")
         .select(col("doc"),
           least(col("label"), coalesce(col("minNeighbor"), col("label")))
             .as("label"))
+      // jump: label := label's own label. Labels only ever decrease, so
+      // the parent's label is ≤ ours; following it halves chain depth
+      // each round (pointer jumping — true O(log n) convergence).
+      val next = hopped.alias("l")
+        .join(hopped.select(col("doc").as("label"),
+          col("label").as("plabel")).alias("p"), Seq("label"), "left")
+        .select(col("doc"), coalesce(col("plabel"), col("label")).as("label"))
       val changed = next.alias("n")
         .join(labels.alias("o"), Seq("doc"))
         .filter(col("n.label") =!= col("o.label"))
@@ -161,6 +170,10 @@ object Dedup {
       converged = !changed
       i += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"resolveClusters did not converge in $maxIter rounds; " +
+          "returned labels may be non-canonical (raise maxIter)")
     labels.select(col("doc").as("doc_id"), col("label").as("canonical_id"))
   }
 

@@ -42,11 +42,6 @@ final class BatchProcessor(
 
     metrics.batchSize(df.count()) // A1
 
-    if (logTopicCounts) // A4 — opt-in per-topic counts (settings.py:68)
-      df.groupBy(col("topic")).count().collect().foreach { r =>
-        metrics.topicCount(r.getAs[String]("topic"), r.getAs[Long]("count"))
-      }
-
     // A3 — the types present in this batch (driver-side, tiny)
     val types = df.select("resource_type").distinct().collect()
       .map(_.getString(0)).filter(_ != null)
@@ -56,6 +51,14 @@ final class BatchProcessor(
       val deduped = BundlePipeline.deduplicate(forType)    // W1
       deduped.cache()
       try {
+        // A4 — opt-in per-topic counts, computed per type on the
+        // post-dedup rows like the reference's only_latest_df logging
+        // (bundle_processor.py:131), not on the raw batch
+        if (logTopicCounts)
+          deduped.groupBy(col("topic")).count().collect().foreach { r =>
+            metrics.topicCount(r.getAs[String]("topic"), r.getAs[Long]("count"))
+          }
+
         val putDf = deduped.filter(col("request_method") === "PUT")
         val encoded = FhirEncoder.encode(putDf, rt)        // E1
 

@@ -62,8 +62,10 @@ object Lakehousekeeper {
     listTables(spark, dir).map { p =>
       val (schema, table) = tableName(p)
       val t = ResourceTable(spark, p)
+      // resolve the dir through the commit log — snapshot dirs are
+      // writer-unique (snap-<v>-<uuid>), never derived by naming
       val snap = t.latestVersion
-        .map(v => s"$p/snap-$v")
+        .map(t.snapshotLocation)
         .getOrElse(throw new IllegalStateException(s"no snapshot in $p"))
       spark.sql(s"CREATE SCHEMA IF NOT EXISTS `$schema`")
       // point the external table at the current snapshot; re-register

@@ -21,13 +21,16 @@ import java.nio.charset.StandardCharsets
   *                           sortWithinPartitions analogue] (J3)
   *  - `vacuum`             ≙ VACUUM retentionHours (J4)
   *
-  * Commit protocol: each mutation writes a brand-new snapshot directory
-  * `snap-<v>` then atomically publishes it by *creating*
-  * `_log/<v%020d>.commit` (create-fails-if-exists ⇒ optimistic
-  * concurrency: a losing writer retries on the next version). Readers
-  * list `_log` and read the snapshot of the highest commit — a consistent
-  * snapshot at all times, no locks. Vacuum deletes snapshot dirs older
-  * than retention that are not current.
+  * Commit protocol: each mutation writes a brand-new *writer-unique*
+  * snapshot directory `snap-<v>-<uuid>` then atomically publishes it by
+  * *creating* `_log/<v%020d>.commit`, whose body records the dir
+  * (create-fails-if-exists ⇒ optimistic concurrency: a losing writer
+  * deletes its orphan snapshot and retries on the next version — it can
+  * never clobber the winner's already-published files, because no two
+  * writers ever share a snapshot dir). Readers list `_log` and follow
+  * the highest commit's dir pointer — a consistent snapshot at all
+  * times, no locks. Vacuum deletes snapshot dirs older than retention
+  * that the current commit does not point to.
   *
   * Scale notes: all data movement is `spark.read.parquet` →
   * `df.write.parquet` — fully distributed, no driver materialization.
@@ -45,7 +48,14 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
   private def fs: FileSystem =
     root.getFileSystem(spark.sessionState.newHadoopConf())
   private def logDir = new HPath(root, "_log")
-  private def snapDir(v: Long) = new HPath(root, f"snap-$v%d")
+  private def commitFile(v: Long) = new HPath(logDir, f"$v%020d.commit")
+
+  /** Test-only seam: runs between the snapshot write and the
+    * commit-file create, i.e. inside the optimistic-concurrency window.
+    * Lets a spec inject a rival commit to deterministically exercise
+    * the create-fails-if-exists conflict path.
+    */
+  private[tables] var onBeforePublish: () => Unit = () => ()
 
   def exists: Boolean = fs.exists(logDir) && latestVersion.isDefined
 
@@ -68,11 +78,34 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
     * the full version history.
     */
   def readVersion(v: Long): DataFrame = {
-    val dir = snapDir(v)
+    val dir = snapshotDirOf(v)
     if (!fs.exists(dir))
       throw new IllegalStateException(
-        s"version $v of $path was vacuumed or never existed")
+        s"version $v of $path was vacuumed")
     spark.read.schema(schema()).parquet(dir.toString)
+  }
+
+  /** Absolute path of the snapshot dir version `v` points to (for
+    * external-table registration against the current snapshot).
+    */
+  def snapshotLocation(v: Long): String = snapshotDirOf(v).toString
+
+  /** The snapshot dir of a committed version comes from its commit
+    * file, never from a naming convention: snapshot dirs are
+    * writer-unique (`snap-<v>-<uuid>`), so a losing concurrent writer
+    * can never overwrite a published snapshot — it only ever touches
+    * its own uuid'd dir, which stays orphaned until vacuum.
+    */
+  private def snapshotDirOf(v: Long): HPath = {
+    val cf = commitFile(v)
+    if (!fs.exists(cf))
+      throw new IllegalStateException(
+        s"version $v of $path never existed")
+    readFile(cf) match {
+      case CommitDirRe(name) => new HPath(root, name)
+      case other => throw new IllegalStateException(
+        s"corrupt commit file $cf: $other")
+    }
   }
 
   def schema(): StructType =
@@ -175,13 +208,15 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
     */
   def vacuum(retentionMs: Long = 24L * 3600 * 1000): Int = {
     val cur = latestVersion.getOrElse(return 0)
+    // only the exact dir the current commit points to is protected;
+    // same-version orphans from losing writers are collectable
+    val curDir = snapshotDirOf(cur).getName
     val cutoff = System.currentTimeMillis() - retentionMs
     val snaps = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("snap-"))
     var n = 0
     snaps.foreach { s =>
-      val v = s.getPath.getName.stripPrefix("snap-").toLong
-      if (v != cur && s.getModificationTime < cutoff) {
+      if (s.getPath.getName != curDir && s.getModificationTime < cutoff) {
         fs.delete(s.getPath, true); n += 1
       }
     }
@@ -189,19 +224,31 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
   }
 
   /** Write `df` as the next snapshot and publish it atomically. The
-    * commit file is created with overwrite=false: if another writer won
-    * the race the create throws and the caller's retry recomputes
-    * against the new state (optimistic concurrency, like Delta).
+    * snapshot lands in a writer-unique dir (`snap-<v>-<uuid>`) so two
+    * writers racing for the same version never touch each other's
+    * files; the commit file — created with overwrite=false — is the
+    * only pointer readers follow. If another writer won the race the
+    * create throws, this writer's orphan snapshot is deleted, and the
+    * caller's retry recomputes against the new state (optimistic
+    * concurrency, like Delta).
     */
   private def commit(df: DataFrame, expectedCurrent: Option[Long]): Long = {
     val next = expectedCurrent.getOrElse(-1L) + 1
-    val dir = snapDir(next)
+    val dir = new HPath(root,
+      s"snap-$next-${java.util.UUID.randomUUID().toString.take(8)}")
     // zstd like the reference's compaction writer properties
     // (lakehousekeeper.py:206–214)
     df.write.mode("overwrite").option("compression", "zstd")
       .parquet(dir.toString)
-    val commitFile = new HPath(logDir, f"$next%020d.commit")
-    val out = fs.create(commitFile, /*overwrite=*/ false)
+    onBeforePublish()
+    val out =
+      try fs.create(commitFile(next), /*overwrite=*/ false)
+      catch { case e: Throwable =>
+        // lost the race: remove this writer's unpublished snapshot so
+        // it doesn't linger until vacuum, then let retry() re-drive
+        fs.delete(dir, true)
+        throw e
+      }
     try out.write(s"""{"version":$next,"dir":"${dir.getName}"}"""
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -218,6 +265,9 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
 object ResourceTable {
   def apply(spark: SparkSession, path: String): ResourceTable =
     new ResourceTable(spark, path)
+
+  /** Extracts the snapshot dir name from a commit file's JSON body. */
+  private val CommitDirRe = """(?s).*"dir"\s*:\s*"([^"]+)".*""".r
 
   /** J5 — the reference's tenacity retry (exponential backoff ×5) around
     * table commits (bundle_processor.py:240–244).

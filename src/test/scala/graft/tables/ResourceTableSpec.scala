@@ -105,23 +105,23 @@ class ResourceTableSpec extends SparkSpec {
     assert(t.read().schema.fieldNames.toSeq == Seq("id", "v"))
   }
 
-  test("concurrent commit conflict: loser retries onto the next version") {
+  test("concurrent commit conflict: loser retries, winner's snapshot intact") {
     val t = ResourceTable(spark, s"${tmpDir("rt")}/T.parquet")
       .createIfNotExists(schema)
     t.upsert(df("a" -> 1), "id") // v1
-    // simulate a rival writer publishing v2 under our feet
-    val logDir = new java.io.File(s"${t.path}/_log")
-    val snap = new java.io.File(s"${t.path}/snap-2")
-    // rival snapshot = copy of v1 files
-    org.apache.commons.io.FileUtils.copyDirectory(
-      new java.io.File(s"${t.path}/snap-1"), snap)
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$logDir/${"%020d".format(2)}.commit"),
-      """{"version":2,"dir":"snap-2"}""".getBytes)
-    // our upsert first targets v2, collides, retries onto v3
-    t.upsert(df("b" -> 5), "id")
+    val rival = ResourceTable(spark, t.path)
+    // Inject the rival INSIDE t's publish window — after t has written
+    // its v2 snapshot, before t creates the v2 commit file — so t's
+    // create-fails-if-exists genuinely fires and retry() re-drives.
+    t.onBeforePublish = () => {
+      t.onBeforePublish = () => () // only the first publish attempt races
+      rival.upsert(df("r" -> 7), "id") // rival wins v2
+    }
+    t.upsert(df("b" -> 5), "id") // loses v2, retries onto v3
     assert(t.latestVersion.contains(3L))
-    assert(t.read().collect().map(_.getString(0)).toSet == Set("a", "b"))
+    assert(t.read().collect().map(_.getString(0)).toSet == Set("a", "r", "b"))
+    // the winner's published v2 must be untouched by the loser's attempt
+    assert(t.readVersion(2).collect().map(_.getString(0)).toSet == Set("a", "r"))
   }
 
   test("property: random PUT/DELETE interleavings == naive foldLeft replay") {
