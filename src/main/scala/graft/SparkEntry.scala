@@ -235,6 +235,17 @@ object SparkEntry {
         Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
           minJaccard = 0.2))),
 
+    // ---- cluster resolution over EXACT cosine pairs — the same
+    //      resolveClusters, but with a deterministic pair producer so a
+    //      DuckDB recursive CTE (min-label connected components) can
+    //      oracle the clustering itself ----
+    "q_dedup_resolve_exact" -> ((s, dir) =>
+      Dedup.resolveClusters(
+        Similarity.cosinePairs(t(s, dir, "embeddings"), threshold = 0.45)
+          .select(col("a_id").as("doc_a"), col("b_id").as("doc_b")))
+        .select(col("doc_id").cast(LongType).as("doc_id"),
+          col("canonical_id").cast(LongType).as("canonical_id"))),
+
     // ---- the SQL entry point itself + correlated scalar subquery:
     //      identical SQL text runs on spark.sql and the oracle ----
     "q_scalar_subquery" -> ((s, dir) => {
@@ -450,7 +461,8 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "avg_word_len", "stopword_ratio")
     }),
 
-    // ---- language ID heuristic (no SQL oracle) ----
+    // ---- language ID heuristic (stopword-fraction argmax; oracled:
+    //      the same scoring is plain SQL over a profiles VALUES list) --
     "q_lang_id" -> ((s, dir) =>
       TextStats.langId(t(s, dir, "documents"))
         .select("doc_id", "lang", "predicted_lang")),
@@ -802,6 +814,47 @@ object SparkEntry {
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
+
+    // connected components (min reachable id) over the exact cosine
+    // pairs, as a recursive CTE — oracles resolveClusters' semantics
+    "q_dedup_resolve_exact" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS pa, b.vec_id AS pb
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
+        |edges AS (SELECT pa AS ea, pb AS eb FROM pairs
+        |          UNION SELECT pb, pa FROM pairs),
+        |nodes AS (SELECT DISTINCT ea AS doc FROM edges),
+        |reach(doc, lbl) AS (
+        |  SELECT doc, doc FROM nodes
+        |  UNION
+        |  SELECT e.ea, r.lbl FROM edges e JOIN reach r ON r.doc = e.eb)
+        |SELECT CAST(doc AS BIGINT) AS doc_id,
+        |       CAST(min(lbl) AS BIGINT) AS canonical_id
+        |FROM reach GROUP BY doc""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH profiles(plang, stops) AS (VALUES
+        |  ('en', ['the','and','of','to','a','in','is','it','that']),
+        |  ('de', ['der','die','das','und','ist','nicht','ein','zu']),
+        |  ('fr', ['le','la','les','et','est','un','une','que']),
+        |  ('es', ['el','la','los','y','es','un','una','que']),
+        |  ('zh', ['的','是','了','在','和','有'])),
+        |toks AS (
+        |  SELECT doc_id, lang,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang, plang,
+        |    CAST(len(list_filter(ts, t -> list_contains(stops, t))) AS DOUBLE)
+        |      / greatest(len(ts), 1) AS score
+        |  FROM toks CROSS JOIN profiles)
+        |SELECT doc_id, lang, plang AS predicted_lang FROM (
+        |  SELECT doc_id, lang, plang,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, plang DESC) AS rn
+        |  FROM scored) WHERE rn = 1""".stripMargin,
 
     "q_ann_topk" ->
       """SELECT q_id, n_id, rank FROM (
