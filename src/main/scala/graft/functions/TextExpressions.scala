@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -15,6 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * splitmix64 — self-consistent within this library (LSH needs
   * uniformity, not cross-engine compatibility). Tokenization is
   * whitespace-run splitting, matching `TextStats.tokens` semantics.
+  *
+  * Both expressions carry full `doGenCode` (a static call into the
+  * shared eval helper), so they stay inside whole-stage codegen spans
+  * instead of falling back to interpreted `eval` per row.
   */
 object TextExpressions {
 
@@ -49,33 +53,43 @@ object TextExpressions {
     * split → transform(sequence) → concat_ws → xxhash64 →
     * array_distinct (which allocated a string per shingle).
     */
+  /** Shared eval body — also the static call target of the generated
+    * code (Scala object methods surface as Java statics).
+    */
+  def shingleHashesEval(v: UTF8String, w: Int): ArrayData = {
+    val toks = tokenHashes(v.toString)
+    val nSh = math.max(toks.length - w + 1, 0)
+    if (nSh == 0) return new GenericArrayData(Array.empty[Long])
+    val sh = new Array[Long](nSh)
+    var i = 0
+    while (i < nSh) {
+      var h = 0L
+      var j = 0
+      while (j < w) { h = h * 0x100000001B3L + toks(i + j); j += 1 }
+      sh(i) = splitmix(h)
+      i += 1
+    }
+    java.util.Arrays.sort(sh)
+    // in-place dedup of the sorted array
+    var out = 1
+    var k = 1
+    while (k < nSh) {
+      if (sh(k) != sh(k - 1)) { sh(out) = sh(k); out += 1 }
+      k += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(sh, out))
+  }
+
   case class ShingleHashes(child: Expression, w: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(w >= 1)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(v: Any): Any = {
-      val toks = tokenHashes(v.asInstanceOf[UTF8String].toString)
-      val nSh = math.max(toks.length - w + 1, 0)
-      if (nSh == 0) return new GenericArrayData(Array.empty[Long])
-      val sh = new Array[Long](nSh)
-      var i = 0
-      while (i < nSh) {
-        var h = 0L
-        var j = 0
-        while (j < w) { h = h * 0x100000001B3L + toks(i + j); j += 1 }
-        sh(i) = splitmix(h)
-        i += 1
-      }
-      java.util.Arrays.sort(sh)
-      // in-place dedup of the sorted array
-      var out = 1
-      var k = 1
-      while (k < nSh) {
-        if (sh(k) != sh(k - 1)) { sh(out) = sh(k); out += 1 }
-        k += 1
-      }
-      new GenericArrayData(java.util.Arrays.copyOf(sh, out))
-    }
+    override def nullSafeEval(v: Any): Any =
+      shingleHashesEval(v.asInstanceOf[UTF8String], w)
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExpressions.shingleHashesEval($c, $w);")
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
   }
@@ -85,30 +99,40 @@ object TextExpressions {
     * explode + 64-column aggregation formulation — no shuffle at all;
     * simhash becomes a projection.
     */
-  case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = LongType
-    override def nullSafeEval(v: Any): Any = {
-      val toks = tokenHashes(v.asInstanceOf[UTF8String].toString)
-      val counts = new Array[Int](64)
-      var i = 0
-      while (i < toks.length) {
-        val h = toks(i)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-          b += 1
-        }
-        i += 1
-      }
-      var sim = 0L
+  /** Shared eval body / static codegen target, like
+    * [[shingleHashesEval]].
+    */
+  def simhash64Eval(v: UTF8String): Long = {
+    val toks = tokenHashes(v.toString)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = toks(i)
       var b = 0
       while (b < 64) {
-        if (counts(b) > 0) sim |= (1L << b)
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
         b += 1
       }
-      sim
+      i += 1
     }
+    var sim = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sim |= (1L << b)
+      b += 1
+    }
+    sim
+  }
+
+  case class SimHash64(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      simhash64Eval(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExpressions.simhash64Eval($c);")
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
   }

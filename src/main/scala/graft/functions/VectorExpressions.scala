@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -132,30 +132,39 @@ object VectorExpressions {
     * no per-permutation array materialization. Empty input → all
     * Long.MaxValue (deterministic).
     */
+  /** Shared eval body — also the static call target of the generated
+    * code (Scala object methods surface as Java statics).
+    */
+  def minhashEval(a: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = a.numElements()
+    var j = 0
+    while (j < n) {
+      val base = a.getLong(j)
+      var i = 0
+      while (i < k) {
+        var z = base + (i + 1) * 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^= z >>> 31
+        if (z < mins(i)) mins(i) = z
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   case class MinHashSignature(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(k > 0)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(v: Any): Any = {
-      val a = v.asInstanceOf[ArrayData]
-      val mins = Array.fill(k)(Long.MaxValue)
-      val n = a.numElements()
-      var j = 0
-      while (j < n) {
-        val base = a.getLong(j)
-        var i = 0
-        while (i < k) {
-          var z = base + (i + 1) * 0x9E3779B97F4A7C15L
-          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-          z ^= z >>> 31
-          if (z < mins(i)) mins(i) = z
-          i += 1
-        }
-        j += 1
-      }
-      new GenericArrayData(mins)
-    }
+    override def nullSafeEval(v: Any): Any =
+      minhashEval(v.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.VectorExpressions.minhashEval($c, $k);")
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
   }
@@ -164,19 +173,25 @@ object VectorExpressions {
     * packed as array<long> — or use directly on two longs via
     * bit_count(xor); kept for multi-word signatures.
     */
-  case class HammingDistance(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
-    override def dataType: DataType = IntegerType
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData]
-      val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
-      var d = 0; var i = 0
-      while (i < n) {
-        d += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i)); i += 1
-      }
-      d
+  /** Shared eval body / static codegen target. */
+  def hammingEval(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0; var i = 0
+    while (i < n) {
+      d += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i)); i += 1
     }
+    d
+  }
+
+  case class HammingDistance(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      hammingEval(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VectorExpressions.hammingEval($a, $b);")
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)

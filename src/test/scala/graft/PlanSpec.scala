@@ -76,4 +76,25 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.exists(l =>
       l.contains("Filter") && l.contains("codegen")), p)
   }
+
+  test("native text/vector expressions generate code (no eval fallback)") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    // the minhash projection stage must be codegen'd AND its generated
+    // source must call the static eval helpers — proof the expressions
+    // implement doGenCode and the generated Java actually compiles
+    // (Spark silently reverts to interpreted eval on codegen errors).
+    // AQE off: its wrapper hides WholeStageCodegenExec pre-execution.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def genFor(q: String): String =
+        SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.collect {
+          case w: WholeStageCodegenExec => w.doCodeGen()._2.body
+        }.mkString("\n")
+      val gen = genFor("q_dedup_minhash")
+      assert(gen.contains("shingleHashesEval"), "shingle codegen missing")
+      assert(gen.contains("minhashEval"), "minhash codegen missing")
+      assert(genFor("q_dedup_simhash").contains("simhash64Eval"),
+        "simhash codegen missing")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
