@@ -461,6 +461,21 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "avg_word_len", "stopword_ratio")
     }),
 
+    // ---- bucketed co-located join: both sides pre-shuffled at write
+    //      time by the join key, join itself is exchange-free ----
+    "q_bucketed_join" -> ((s, dir) => {
+      import graft.tables.Bucketing
+      val joined = Bucketing.bucketedEquiJoin(
+        t(s, dir, "orders").withColumnRenamed("o_custkey", "custkey"),
+        t(s, dir, "customer").withColumnRenamed("c_custkey", "custkey"),
+        key = "custkey", buckets = 8,
+        leftName = "b_orders", rightName = "b_customer")
+      joined.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total_price"))
+    }),
+
     // ---- language ID heuristic (stopword-fraction argmax; oracled:
     //      the same scoring is plain SQL over a profiles VALUES list) --
     "q_lang_id" -> ((s, dir) =>
@@ -572,6 +587,15 @@ object SparkEntry {
         k = 5)
     }),
 
+    // ---- IVF multi-probe: queries fan out to their 3 best cells —
+    //      the recall knob of the scale path (no oracle) ----
+    "q_ann_ivf_probe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 3), emb.filter(col("vec_id") >= 3),
+        k = 5, probes = 3)
+    }),
+
     // ---- BPE-ish subword counting (regex with lookahead — not
     //      RE2-expressible, so no DuckDB oracle) ----
     "q_subword_count" -> ((s, dir) => {
@@ -644,6 +668,12 @@ object SparkEntry {
       """SELECT p_brand, count(*) AS cnt, sum(l_quantity) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_size <= 10 GROUP BY p_brand""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "q_window_dedup" ->
       """SELECT user_id, event_id, event_type, value FROM (

@@ -117,8 +117,12 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nCells: Int = 8, dim: Int = 64, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    val qa = ivfAssign(queries, nCells, dim, vecCol)
+              vecCol: String = "embedding", probes: Int = 1): DataFrame = {
+    // multi-probe: each QUERY fans out to its `probes` best cells (the
+    // standard IVF recall knob); the corpus keeps exactly one cell per
+    // vector, so a (query, neighbor) pair can never appear twice and
+    // the probe-1 result is always a subset of the probe-p result.
+    val qa = ivfProbe(queries, nCells, dim, vecCol, probes)
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"), col("cell"))
     val ca = ivfAssign(corpus, nCells, dim, vecCol)
       .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cell"))
@@ -147,5 +151,26 @@ object Similarity {
         lit(i).as("cell"))
     }
     df.withColumn("cell", array_max(array(scores: _*)).getField("cell"))
+  }
+
+  /** Multi-probe assignment: one row per (vector, cell) for the
+    * vector's top-`probes` centroid cells, best first. probes=1 is
+    * exactly [[ivfAssign]].
+    */
+  def ivfProbe(df: DataFrame, nCells: Int = 16, dim: Int = 64,
+               vecCol: String = "embedding", probes: Int = 1): DataFrame = {
+    require(probes >= 1 && probes <= nCells)
+    if (probes == 1) return ivfAssign(df, nCells, dim, vecCol)
+    val cents = (0 until nCells).map(c => hyperplane(1000 + c, dim))
+    val scores = cents.zipWithIndex.map { case (cent, i) =>
+      struct(
+        graft.functions.VectorExpressions.dot_product(
+          col(vecCol), typedlit(cent.toSeq)).as("score"),
+        lit(i).as("cell"))
+    }
+    df.withColumn("cell",
+        explode(transform(
+          slice(reverse(array_sort(array(scores: _*))), 1, probes),
+          s => s.getField("cell"))))
   }
 }

@@ -77,6 +77,32 @@ class PlanSpec extends SparkSpec {
       l.contains("Filter") && l.contains("codegen")), p)
   }
 
+  test("bucketed join is exchange-free on both sides") {
+    import graft.tables.Bucketing
+    import org.apache.spark.sql.functions.col
+    // broadcast off so the join must be a SortMergeJoin — the audit is
+    // that bucketing removed BOTH shuffle exchanges, not that the
+    // optimizer broadcast one side
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = Bucketing.bucketedEquiJoin(
+        SparkEntry.queries("q_cast_types")(spark, dir)
+          .withColumnRenamed("l_orderkey", "okey"),
+        spark.read.parquet(s"$dir/orders.parquet")
+          .withColumnRenamed("o_orderkey", "okey"),
+        key = "okey", buckets = 4,
+        leftName = "bt_lineitem", rightName = "bt_orders")
+      val p = joined.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("native text/vector expressions generate code (no eval fallback)") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     // the minhash projection stage must be codegen'd AND its generated

@@ -119,6 +119,23 @@ class SimilaritySpec extends SparkSpec {
       .select("cell").collect().map(_.getInt(0))
     assert(cells.length == 5 && cells.forall(c => c >= 0 && c < 4))
   }
+
+  test("ivf multi-probe: probe-1 hits are a subset; probes widen recall") {
+    val qs = vecs.filter($"vec_id" === 0)
+    val corpus = vecs.filter($"vec_id" > 0)
+    def hits(p: Int): Set[Long] =
+      Similarity.ivfTopK(qs, corpus, k = 4, nCells = 4, dim = 4, probes = p)
+        .collect().map(_.getAs[Long]("n_id")).toSet
+    val p1 = hits(1)
+    val p4 = hits(4)
+    assert(p1.subsetOf(p4), s"$p1 not ⊆ $p4")
+    // probing every cell = brute force: all 4 corpus vectors found
+    assert(p4 == Set(1L, 2L, 3L, 4L))
+    // multi-probe rows per (vector, cell) are the top cells, best first
+    val probed = Similarity.ivfProbe(qs, nCells = 4, dim = 4, probes = 2)
+      .select("cell").collect().map(_.getInt(0))
+    assert(probed.length == 2 && probed.distinct.length == 2)
+  }
 }
 
 class TextStatsSpec extends SparkSpec {
