@@ -86,4 +86,71 @@ object Sessionize {
           closed.reverseIterator
       }
   }
+
+  case class TimedEvent(userId: Long, tsMicros: Long, eventId: Long,
+                        ts: java.sql.Timestamp)
+
+  /** Streaming sessionization with idle-key flushing: like
+    * [[streaming]], but a watermark plus event-time timers close a
+    * session once the watermark passes `last + gap` — a key that never
+    * sends another event still emits its final session, and state for
+    * dead keys is dropped (the unbounded-key-space requirement at
+    * 100 TB: without timers, one-visit users leak state forever).
+    *
+    * Still deterministic: timers fire on watermark progress (event
+    * time), never on wall-clock.
+    */
+  def streamingWithFlush(events: Dataset[Event], gapSeconds: Long,
+                         watermarkDelay: String = "0 seconds"
+                        ): Dataset[Session] = {
+    implicit val sessionEnc = Encoders.product[Session]
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val timedEnc = Encoders.product[TimedEvent]
+    val gapUs = gapSeconds * 1000000L
+    events
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", watermarkDelay)
+      .as[TimedEvent]
+      .groupByKey(_.userId)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[TimedEvent],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events: final flush
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start, s.last, s.n, s.firstId))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.eventId))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.tsMicros - s.last <= gapUs =>
+                  cur = Some(s.copy(last = e.tsMicros, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(userId, s.start, s.last, s.n, s.firstId)
+                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.eventId))
+                case None =>
+                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.eventId))
+              }
+            }
+            cur.foreach { s =>
+              val closeAtMs = s.last / 1000 + gapSeconds * 1000
+              if (closeAtMs <= state.getCurrentWatermarkMs()) {
+                // another key already advanced the watermark past this
+                // session's gap — it is closed on arrival (timers must
+                // be set strictly beyond the current watermark)
+                closed ::= Session(userId, s.start, s.last, s.n, s.firstId)
+                if (state.exists) state.remove()
+              } else {
+                state.update(s)
+                state.setTimeoutTimestamp(closeAtMs)
+              }
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 }

@@ -57,4 +57,31 @@ class StreamOpsSpec extends SparkSpec {
       assert(s.getAs[Long]("firstEventId") == 1)
     } finally q.stop()
   }
+
+  test("sessionize with flush: idle key emits when watermark passes gap") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Sessionize.Event]
+    val q = Sessionize.streamingWithFlush(stream.toDS(), gapSeconds = 60)
+      .writeStream.format("memory").queryName("sessf")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val t0 = 1700000000000000L // micros
+      stream.addData(
+        Sessionize.Event(7, t0, 1),
+        Sessionize.Event(7, t0 + 30000000L, 2))
+      q.processAllAvailable()
+      assert(spark.table("sessf").isEmpty) // session still open
+      // a DIFFERENT key advances the watermark past 7's last+gap; the
+      // event-time timer must flush 7's session with no further 7 events
+      stream.addData(Sessionize.Event(99, t0 + 600000000L, 3))
+      q.processAllAvailable()
+      stream.addData(Sessionize.Event(99, t0 + 601000000L, 4))
+      q.processAllAvailable()
+      val flushed = spark.table("sessf").collect()
+        .filter(_.getAs[Long]("userId") == 7L)
+      assert(flushed.length == 1, flushed.mkString(";"))
+      assert(flushed.head.getAs[Long]("nEvents") == 2)
+      assert(flushed.head.getAs[Long]("sessionEndUs") == t0 + 30000000L)
+    } finally q.stop()
+  }
 }
