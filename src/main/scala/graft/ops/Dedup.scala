@@ -3,6 +3,7 @@ package graft.ops
 import graft.functions.VectorExpressions.minhash_signature
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Deduplication operators for training-data pipelines, each designed
   * around shuffles that scale: exact dedup is one hash aggregation;
@@ -130,14 +131,24 @@ object Dedup {
     * pathological graphs and non-convergence is logged rather than
     * silently returned. This is the "keep one per duplicate cluster"
     * step after any pair producer (exact, minhash, simhash, embedding).
+    *
+    * Hybrid execution (the AQE-style runtime smallness decision): dedup
+    * pair graphs are tiny relative to their corpora — after LSH, edges
+    * ≈ true duplicates, not documents². When the materialized edge list
+    * is under `driverEdgeLimit`, a driver-side union-find answers in
+    * one job instead of paying several join+checkpoint rounds; larger
+    * graphs take the distributed label-propagation loop.
     */
-  def resolveClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def resolveClusters(pairs: DataFrame, maxIter: Int = 10,
+                      driverEdgeLimit: Long = 100000): DataFrame = {
     // materialize the edge list once — every iteration re-reads it, and
     // without this the (possibly expensive) pair-producing pipeline
     // upstream would re-execute per round
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .localCheckpoint(true)
+    if (edges.count() <= driverEdgeLimit * 2)
+      return resolveOnDriver(edges)
     var labels = edges.select(col("a").as("doc"))
       .union(edges.select(col("b").as("doc")))
       .distinct()
@@ -175,6 +186,46 @@ object Dedup {
         s"resolveClusters did not converge in $maxIter rounds; " +
           "returned labels may be non-canonical (raise maxIter)")
     labels.select(col("doc").as("doc_id"), col("label").as("canonical_id"))
+  }
+
+  /** Small-graph fast path: classic union-find with path compression
+    * on the driver, components relabeled by their minimum member —
+    * identical semantics to the distributed loop, one Spark job total.
+    * Ids compare via natural ordering (numeric or string keys alike).
+    */
+  private def resolveOnDriver(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val idType = edges.schema("a").dataType
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) {
+        val next = parent(c); parent(c) = r; c = next
+      }
+      r
+    }
+    edges.collect().foreach { row =>
+      val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+      if (ra != rb) parent(rb) = ra
+      parent.getOrElseUpdate(ra, ra)
+    }
+    val docs = parent.keysIterator.toArray
+    @inline def lt(x: Any, y: Any): Boolean =
+      x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    val minOf = scala.collection.mutable.HashMap.empty[Any, Any]
+    docs.foreach { d =>
+      val r = find(d)
+      val cur = minOf.get(r)
+      if (cur.isEmpty || lt(d, cur.get)) minOf(r) = d
+    }
+    val rows = docs.map(d =>
+      org.apache.spark.sql.Row(d, minOf(find(d)))).toSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("doc_id", idType),
+        StructField("canonical_id", idType))))
   }
 
   // -------------------------------------------------------------- simhash

@@ -48,13 +48,18 @@ class DedupSpec extends SparkSpec {
   }
 
   test("resolveClusters: chained pairs collapse to one canonical id") {
-    // chain 1-2, 2-3, 3-4 plus isolated pair 10-11
+    // chain 1-2, 2-3, 3-4 plus isolated pair 10-11 — resolved twice:
+    // once on the driver union-find fast path, once forced through the
+    // distributed label-propagation loop (driverEdgeLimit = 0)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("doc_a", "doc_b")
-    val res = Dedup.resolveClusters(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(res(1L) == 1L && res(2L) == 1L && res(3L) == 1L && res(4L) == 1L)
-    assert(res(10L) == 10L && res(11L) == 10L)
+    Seq(100000L, 0L).foreach { limit =>
+      val res = Dedup.resolveClusters(pairs, driverEdgeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(res(1L) == 1L && res(2L) == 1L && res(3L) == 1L && res(4L) == 1L,
+        s"limit=$limit: $res")
+      assert(res(10L) == 10L && res(11L) == 10L, s"limit=$limit: $res")
+    }
   }
 
   test("redactPii masks emails and phone runs, leaves prose alone") {
