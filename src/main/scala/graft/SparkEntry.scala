@@ -461,6 +461,29 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "avg_word_len", "stopword_ratio")
     }),
 
+    // ---- salted skew join: hot keys scatter over (key, salt); result
+    //      must be row-identical to the plain join ----
+    "q_skew_join" -> ((s, dir) => {
+      import graft.ops.Skew
+      Skew.saltedJoin(
+          t(s, dir, "lineitem").withColumnRenamed("l_suppkey", "suppkey"),
+          t(s, dir, "supplier")
+            .select(col("s_suppkey").as("suppkey"), col("s_nationkey")),
+          key = "suppkey", salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // ---- deterministic hash split (train/val/test): stable across
+    //      re-runs/appends; md5 makes it engine-reproducible ----
+    "q_hash_split" -> ((s, dir) => {
+      graft.ops.Sampling.hashSplit(t(s, dir, "documents"), "doc_id", "s1",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+    }),
+
     // ---- bucketed co-located join: both sides pre-shuffled at write
     //      time by the join key, join itself is exchange-free ----
     "q_bucketed_join" -> ((s, dir) => {
@@ -668,6 +691,23 @@ object SparkEntry {
       """SELECT p_brand, count(*) AS cnt, sum(l_quantity) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_size <= 10 GROUP BY p_brand""".stripMargin,
+
+    "q_skew_join" ->
+      """SELECT s_nationkey, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
+
+    // thresholds: floor(0.8*65536)=52428=0xcccc, floor(0.9*65536)=58982=0xe666
+    "q_hash_split" ->
+      """SELECT split, count(*) AS cnt,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN md5('s1:' || CAST(doc_id AS VARCHAR)) < 'cccc' THEN 'train'
+        |         WHEN md5('s1:' || CAST(doc_id AS VARCHAR)) < 'e666' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |GROUP BY split""".stripMargin,
 
     "q_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS cnt,

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting for training-data pipelines.
+  *
+  * `sample(fraction)` is seed-dependent and repartition-sensitive; a
+  * corpus split must instead be a pure function of the row key so that
+  * (a) re-runs, backfills and incremental appends land every document
+  * in the same split, and (b) train/val never leak into each other
+  * when the pipeline is re-sharded. The standard trick: hash the key
+  * with a salt, compare against cumulative-fraction thresholds.
+  *
+  * md5 is used (not xxhash64) because its hex form is bit-identical
+  * across engines — the same split is reproducible from Spark, DuckDB
+  * or anything else that can md5 a string (and it is the t2 oracle).
+  * Row-local projection: no shuffle, scan-scales to 100 TB.
+  */
+object Sampling {
+
+  /** Salted row hash in hex — uniform over [0,1) when read as a
+    * hex fraction.
+    */
+  def splitHash(idCol: Column, salt: String): Column =
+    md5(concat(lit(salt + ":"), idCol.cast("string")))
+
+  /** Assign each row a named split by deterministic hash threshold.
+    * `fractions` must sum to 1 (e.g. train 0.8 / val 0.1 / test 0.1).
+    * Thresholds are 4-hex-digit prefixes (1/65536 granularity).
+    */
+  def hashSplit(df: DataFrame, idCol: String, salt: String,
+                fractions: Seq[(String, Double)],
+                splitCol: String = "split"): DataFrame = {
+    require(fractions.nonEmpty &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      "fractions must sum to 1")
+    val h = splitHash(col(idCol), salt)
+    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assigned = fractions.init.zip(cum.init)
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), c)) =>
+        val t = f"${math.floor(c * 65536).toLong}%04x"
+        Some(acc match {
+          case None => when(h < lit(t), name)
+          case Some(w) => w.when(h < lit(t), name)
+        })
+      }
+    val expr = assigned match {
+      case Some(w) => w.otherwise(fractions.last._1)
+      case None => lit(fractions.last._1) // single split
+    }
+    df.withColumn(splitCol, expr)
+  }
+
+  /** Deterministic fraction sample: keep rows whose salted hash falls
+    * under the fraction threshold — stable across runs and appends.
+    */
+  def hashSample(df: DataFrame, idCol: String, salt: String,
+                 fraction: Double): DataFrame = {
+    require(fraction > 0 && fraction <= 1)
+    val t = f"${math.floor(fraction * 65536).toLong}%04x"
+    df.filter(splitHash(col(idCol), salt) < lit(t))
+  }
+}

@@ -33,6 +33,41 @@ class SkewSpec extends SparkSpec {
   }
 }
 
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (0L until 2000L).toDF("id")
+
+  test("hash split: total partition, stable across runs, fractions near") {
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.hashSplit(docs, "id", "s1", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.hashSplit(docs, "id", "s1", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b) // pure function of (salt, id)
+    assert(a.size == 2000) // every row assigned exactly one split
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 1600) < 100, counts.toString)
+    assert(counts("val") > 100 && counts("test") > 100, counts.toString)
+    // a different salt reshuffles membership
+    val c = Sampling.hashSplit(docs, "id", "s2", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a != c)
+  }
+
+  test("hash sample is a subset that matches the split threshold") {
+    val sampled = Sampling.hashSample(docs, "id", "s1", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(sampled.nonEmpty && sampled.size < 2000)
+    assert(math.abs(sampled.size - 500) < 80, sampled.size.toString)
+    // appending new rows never changes membership of existing ones
+    val wider = Sampling.hashSample(
+        (0L until 4000L).toDF("id"), "id", "s1", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(sampled.subsetOf(wider))
+  }
+}
+
 class TopKSpec extends SparkSpec {
   import spark.implicits._
 
