@@ -505,6 +505,58 @@ object SparkEntry {
       TextStats.langId(t(s, dir, "documents"))
         .select("doc_id", "lang", "predicted_lang")),
 
+    // ---- UNPIVOT/melt (wide → long) ----
+    "q_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount")),
+          variableColumnName = "metric", valueColumnName = "val")
+    }),
+
+    // ---- explicit GROUPING SETS with grouping_id ----
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+          |  count(*) AS cnt
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+          .stripMargin)
+    }),
+
+    // ---- correlated EXISTS through the SQL entry point ----
+    "q_exists_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_ex")
+      t(s, dir, "orders").createOrReplaceTempView("orders_ex")
+      s.sql(
+        """SELECT c_custkey, c_name FROM customer_ex c
+          |WHERE EXISTS (SELECT 1 FROM orders_ex o
+          |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)"""
+          .stripMargin)
+    }),
+
+    // ---- higher-order array functions (filter/transform/aggregate) --
+    "q_hof_arrays" -> ((s, dir) => {
+      val ts = split(trim(col("text")), "\\s+")
+      t(s, dir, "documents").select(col("doc_id"),
+        size(filter(ts, x => length(x) > 3)).cast(LongType).as("n_long"),
+        aggregate(ts, lit(0L), (a, x) => a + length(x).cast(LongType))
+          .as("total_len"))
+    }),
+
+    // ---- exact interpolated percentiles per group ----
+    "q_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"))
+    }),
+
     // ---- rollup (hierarchical grouping sets) ----
     "q_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -696,6 +748,42 @@ object SparkEntry {
       """SELECT s_nationkey, count(*) AS cnt, sum(l_quantity) AS sum_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+        |  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+        |             l_extendedprice, l_discount FROM lineitem)
+        |  ON l_quantity, l_extendedprice, l_discount
+        |  INTO NAME metric VALUE val)""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+        .stripMargin,
+
+    "q_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)"""
+        .stripMargin,
+
+    "q_hof_arrays" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(ts, t -> length(t) > 3)) AS BIGINT) AS n_long,
+        |  CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT) AS total_len
+        |FROM (SELECT doc_id,
+        |        regexp_split_to_array(trim(text), '\s+') AS ts
+        |      FROM documents)""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     // thresholds: floor(0.8*65536)=52428=0xcccc, floor(0.9*65536)=58982=0xe666
     "q_hash_split" ->
