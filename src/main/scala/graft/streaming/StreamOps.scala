@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Event-time streaming operators (north-star extensions — the
@@ -38,4 +38,34 @@ object StreamOps {
       .groupBy(window(col(tsCol), windowLength, slide))
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("w_start"), col("cnt"))
+
+  /** Streaming exact dedup with bounded state: a duplicate key arriving
+    * within the watermark delay of the first sighting is dropped, and
+    * the key's state is evicted once the watermark passes — at-least-
+    * once sources (Kafka redelivery) dedup in O(active keys), not
+    * O(all keys ever). Unlike `dropDuplicates`, this never grows
+    * without bound on an unbounded stream.
+    */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+                           keyCols: Seq[String],
+                           watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Watermarked stream-stream inner join with an event-time range
+    * bound (the impression→click attribution shape). The range bound
+    * plus both watermarks let Spark size the join state: a buffered
+    * left row is dropped once the right watermark passes
+    * `leftTs + maxDelay`, so state stays bounded on unbounded inputs.
+    */
+  def eventTimeRangeJoin(left: DataFrame, right: DataFrame,
+                         leftTs: String, rightTs: String,
+                         keyEq: Column, maxDelay: String = "1 minute",
+                         watermark: String = "10 seconds"): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        keyEq &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
 }

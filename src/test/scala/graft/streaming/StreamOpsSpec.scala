@@ -6,6 +6,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
 case class Ev(ts: java.sql.Timestamp, user_id: Long, value: Double)
+case class Imp(imp_id: Long, imp_ts: java.sql.Timestamp)
+case class Click(c_imp_id: Long, click_ts: java.sql.Timestamp)
 
 class StreamOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -55,6 +57,46 @@ class StreamOpsSpec extends SparkSpec {
       val s = sessions.head
       assert(s.getAs[Long]("nEvents") == 2)
       assert(s.getAs[Long]("firstEventId") == 1)
+    } finally q.stop()
+  }
+
+  test("dedup within watermark drops redelivered keys, bounded state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.dedupWithinWatermark(stream.toDF(), "ts",
+        Seq("user_id"), watermark = "5 minutes")
+      .writeStream.format("memory").queryName("ddw")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // same key delivered three times within the watermark window
+      stream.addData(Ev(ts(0), 1, 1.0), Ev(ts(1), 1, 1.0), Ev(ts(2), 2, 5.0))
+      q.processAllAvailable()
+      stream.addData(Ev(ts(3), 1, 1.0)) // redelivery, still within delay
+      q.processAllAvailable()
+      val rows = spark.table("ddw").collect()
+      assert(rows.map(_.getAs[Long]("user_id")).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("stream-stream range join attributes clicks to impressions") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val imps = MemoryStream[Imp]
+    val clicks = MemoryStream[Click]
+    val joined = StreamOps.eventTimeRangeJoin(
+      imps.toDF(), clicks.toDF(), "imp_ts", "click_ts",
+      org.apache.spark.sql.functions.expr("imp_id = c_imp_id"),
+      maxDelay = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      imps.addData(Imp(100, ts(0)), Imp(200, ts(0)))
+      clicks.addData(
+        Click(100, ts(1)),  // within 1 min → attributed
+        Click(200, ts(30))) // 30 min later → outside the range bound
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+      assert(rows.map(_.getAs[Long]("imp_id")).toSeq == Seq(100L),
+        rows.mkString(";"))
     } finally q.stop()
   }
 
