@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -24,12 +25,57 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ZOrder {
 
+  /** Static codegen target: first 8 bytes of the string, big-endian,
+    * as an unsigned magnitude (order-preserving up to that prefix).
+    */
+  def stringOrderedDouble(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    var acc = 0.0
+    var i = 0
+    while (i < 8) {
+      acc = acc * 256.0 + (if (i < bytes.length) bytes(i) & 0xFF else 0)
+      i += 1
+    }
+    acc
+  }
+
+  /** Static codegen target: bucket id via binary search over sorted
+    * split points (id in [0, splits.length]).
+    */
+  def bucketOf(x: Double, splits: Array[Double]): Int = {
+    var lo = 0
+    var hi = splits.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (x <= splits(mid)) hi = mid else lo = mid + 1
+    }
+    lo
+  }
+
+  /** Static codegen target: interleave the low `bitsPer` bits of each
+    * id, round-robin from the most significant bit.
+    */
+  def interleave(ids: Array[Long], bitsPer: Int): Long = {
+    var z = 0L
+    var b = bitsPer - 1
+    while (b >= 0) {
+      var c = 0
+      while (c < ids.length) {
+        z = (z << 1) | ((ids(c) >>> b) & 1L)
+        c += 1
+      }
+      b -= 1
+    }
+    z
+  }
+
   /** Order-preserving conversion of any supported column type to
     * double (for quantile bucketing; exactness is not required, only
-    * monotonicity up to bucket resolution).
+    * monotonicity up to bucket resolution). Codegen'd: numeric types
+    * inline as a plain cast, strings as one static call.
     */
   case class OrderPreservingDouble(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = DoubleType
     override def nullSafeEval(v: Any): Any = child.dataType match {
       case LongType => v.asInstanceOf[Long].toDouble
@@ -42,40 +88,46 @@ object ZOrder {
       case FloatType => v.asInstanceOf[Float].toDouble
       case BooleanType => if (v.asInstanceOf[Boolean]) 1.0 else 0.0
       case StringType =>
-        // first 8 bytes, big-endian, as an unsigned magnitude
-        val bytes = v.asInstanceOf[UTF8String].getBytes
-        var acc = 0.0
-        var i = 0
-        while (i < 8) {
-          acc = acc * 256.0 + (if (i < bytes.length) bytes(i) & 0xFF else 0)
-          i += 1
-        }
-        acc
+        stringOrderedDouble(v.asInstanceOf[UTF8String])
       case other =>
         throw new IllegalArgumentException(s"zorder: unsupported $other")
     }
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => child.dataType match {
+        case BooleanType => s"${ev.value} = $c ? 1.0 : 0.0;"
+        case StringType =>
+          s"${ev.value} = graft.functions.ZOrder.stringOrderedDouble($c);"
+        case DoubleType => s"${ev.value} = $c;"
+        case _ => s"${ev.value} = (double) $c;"
+      })
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
   }
 
   /** Bucket id from sorted split points (binary search; id in
-    * [0, splits.length]). Nulls → bucket 0 (nulls-first).
+    * [0, splits.length]). Nulls → bucket 0 (nulls-first). The split
+    * array rides into generated code as a referenced object.
     */
   case class RangeBucket(child: Expression, splits: Array[Double])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType = IntegerType
     override def nullable: Boolean = false
     override def eval(input: InternalRow): Any = {
       val v = child.eval(input)
       if (v == null) return 0
-      val x = v.asInstanceOf[Double]
-      var lo = 0
-      var hi = splits.length
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (x <= splits(mid)) hi = mid else lo = mid + 1
-      }
-      lo
+      bucketOf(v.asInstanceOf[Double], splits)
+    }
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val splitsRef = ctx.addReferenceObj("splits", splits, "double[]")
+      val childGen = child.genCode(ctx)
+      ev.copy(code =
+        code"""
+           |${childGen.code}
+           |int ${ev.value} = ${childGen.isNull} ? 0 :
+           |  graft.functions.ZOrder.bucketOf(${childGen.value}, $splitsRef);
+           |""".stripMargin, isNull = FalseLiteral)
     }
     override protected def withNewChildInternal(c: Expression): Expression =
       copy(child = c)
@@ -85,7 +137,7 @@ object ZOrder {
     * from the most significant bit.
     */
   case class InterleaveBits(children: Seq[Expression], bitsPer: Int)
-      extends Expression with CodegenFallback {
+      extends Expression {
     require(children.nonEmpty && children.size * bitsPer <= 63)
     override def dataType: DataType = LongType
     override def nullable: Boolean = false
@@ -98,17 +150,23 @@ object ZOrder {
         ids(i) = if (v == null) 0L else v.asInstanceOf[Int].toLong
         i += 1
       }
-      var z = 0L
-      var b = bitsPer - 1
-      while (b >= 0) {
-        var c = 0
-        while (c < n) {
-          z = (z << 1) | ((ids(c) >>> b) & 1L)
-          c += 1
-        }
-        b -= 1
-      }
-      z
+      interleave(ids, bitsPer)
+    }
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val gens = children.map(_.genCode(ctx))
+      val arr = ctx.freshName("ids")
+      val evalAll = gens.map(_.code).reduce(_ + _)
+      val fills = gens.zipWithIndex.map { case (g, i) =>
+        s"$arr[$i] = ${g.isNull} ? 0L : (long) (${g.value});"
+      }.mkString("\n")
+      ev.copy(code = evalAll +
+        code"""
+           |long[] $arr = new long[${children.size}];
+           |$fills
+           |long ${ev.value} =
+           |  graft.functions.ZOrder.interleave($arr, $bitsPer);
+           |""".stripMargin, isNull = FalseLiteral)
     }
     override protected def withNewChildrenInternal(
         newChildren: IndexedSeq[Expression]): Expression =

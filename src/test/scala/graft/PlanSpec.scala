@@ -121,6 +121,16 @@ class PlanSpec extends SparkSpec {
       assert(gen.contains("minhashEval"), "minhash codegen missing")
       assert(genFor("q_dedup_simhash").contains("simhash64Eval"),
         "simhash codegen missing")
+      // the z-order key projection (used by clustered optimize rewrites)
+      val zdf = graft.functions.ZOrder.withZOrderKey(
+        spark.read.parquet(s"$dir/lineitem.parquet")
+          .select("l_orderkey", "l_quantity"),
+        Seq("l_orderkey", "l_quantity"))
+      val zgen = zdf.queryExecution.executedPlan.collect {
+        case w: WholeStageCodegenExec => w.doCodeGen()._2.body
+      }.mkString("\n")
+      assert(zgen.contains("bucketOf"), "range-bucket codegen missing")
+      assert(zgen.contains("interleave"), "interleave codegen missing")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
