@@ -697,6 +697,19 @@ object SparkEntry {
           jaccard(col("sk_a"), col("sk_b"), k).as("est_jaccard"))
     }),
 
+    // ---- multimodal frame sampling: explode payload into strided
+    //      fixed-size frames, aggregate per media (integer math only,
+    //      so the frame arithmetic oracles exactly) ----
+    "q_multimodal_frames" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+          Multimodal.asMediaTable(t(s, dir, "documents")),
+          frameBytes = 64, stride = 2)
+        .groupBy(col("media_id"))
+        .agg(first(col("meta.n_bytes")).as("n_bytes"),
+          count(lit(1)).as("n_frames"),
+          max(col("frame_idx")).cast(LongType).as("max_idx"))
+    }),
+
     // ---- multimodal plumbing: binary payloads + features (no oracle) --
     "q_multimodal_features" -> ((s, dir) => {
       // Scalars only in the output: the driver's rows-only stability
@@ -784,6 +797,16 @@ object SparkEntry {
         |  quantile_cont(l_quantity, 0.5) AS p50,
         |  quantile_cont(l_quantity, 0.9) AS p90
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // frame arithmetic: nFrames = ceil(bytes/64), sampled every 2nd
+    "q_multimodal_frames" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  (greatest(CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0)
+        |     AS BIGINT) - 1, 0) // 2) + 1 AS n_frames,
+        |  (greatest(CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0)
+        |     AS BIGINT) - 1, 0) // 2) * 2 AS max_idx
+        |FROM documents""".stripMargin,
 
     // thresholds: floor(0.8*65536)=52428=0xcccc, floor(0.9*65536)=58982=0xe666
     "q_hash_split" ->
