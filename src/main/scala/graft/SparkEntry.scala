@@ -132,6 +132,19 @@ object SparkEntry {
           .cast(DoubleType).as("running_val"))
     }),
 
+    // ---- event-time RANGE frame: sliding 60 s per-user activity
+    //      window (range frames size by VALUE distance, not row
+    //      count — order within the frame is irrelevant) ----
+    "q_window_range" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").asc)
+        .rangeBetween(-60000000L, 0L) // 60 s of microseconds back
+      eventsUs(s, dir).select(
+        col("event_id"), col("user_id"), col("ts_us"),
+        count(lit(1)).over(w).as("cnt_60s"),
+        max(col("value")).over(w).as("max_60s"))
+    }),
+
     // ---- per-group top-n (rank window) ----
     "q_topn_per_group" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
@@ -839,6 +852,15 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  count(*) OVER w AS cnt_60s,
+        |  max(value) OVER w AS max_60s
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC
+        |             RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW)"""
+        .stripMargin,
 
     "q_topn_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (

@@ -154,4 +154,16 @@ object FhirEncoder {
       col(s"_r.`$f`").as(f))
     parsed.select(fields :+ col(column).as("resource_json"): _*)
   }
+
+  /** Schema-drift retention as a typed VARIANT column (Spark 4): the
+    * raw resource JSON parses once into the binary variant encoding, so
+    * fields the fixed schema never projected stay queryable with
+    * `variant_get(col, '$.path', 'type')` — typed access with
+    * per-field pushdown instead of re-parsing `resource_json` strings
+    * per query. The shredded binary form is also far cheaper to scan
+    * at 100 TB than JSON text.
+    */
+  def withVariant(df: DataFrame, column: String = "resource",
+                  as: String = "resource_variant"): DataFrame =
+    df.withColumn(as, parse_json(col(column)))
 }

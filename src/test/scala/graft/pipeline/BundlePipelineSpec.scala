@@ -9,6 +9,29 @@ import org.apache.spark.sql.functions._
 class BundlePipelineSpec extends SparkSpec {
   import graft.SparkSpec._
 
+  test("variant retention: unprojected fields stay typed-queryable") {
+    import spark.implicits._
+    // a resource with a field NO registered schema knows about
+    val df = Seq(
+      """{"resourceType":"Patient","id":"p1",
+        | "novel":{"scores":[3,9],"flag":true}}""".stripMargin
+        .replace("\n", "")).toDF("resource")
+    val v = graft.fhir.FhirEncoder.withVariant(df)
+    val row = v.select(
+      expr("variant_get(resource_variant, '$.id', 'string')").as("id"),
+      expr("variant_get(resource_variant, '$.novel.scores[1]', 'int')")
+        .as("s1"),
+      expr("variant_get(resource_variant, '$.novel.flag', 'boolean')")
+        .as("flag")).head()
+    assert(row.getString(0) == "p1")
+    assert(row.getInt(1) == 9)
+    assert(row.getBoolean(2))
+    // missing paths are null, not errors (drift-tolerant)
+    assert(v.select(
+      expr("variant_get(resource_variant, '$.absent', 'string')"))
+      .head().isNullAt(0))
+  }
+
   test("prepare explodes bundle entries and parses request urls") {
     val df = kafkaBatch(spark,
       Seq((fixture("single-patient.json"), 0, 0L)))
