@@ -518,6 +518,14 @@ object SparkEntry {
       TextStats.langId(t(s, dir, "documents"))
         .select("doc_id", "lang", "predicted_lang")),
 
+    // ---- VARIANT ingestion: parse JSON once to the binary variant
+    //      encoding, typed path access via variant_get ----
+    "q_variant_get" -> ((s, dir) => {
+      t(s, dir, "events").select(
+        col("event_id"),
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+    }),
+
     // ---- UNPIVOT/melt (wide → long) ----
     "q_unpivot" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -774,6 +782,11 @@ object SparkEntry {
       """SELECT s_nationkey, count(*) AS cnt, sum(l_quantity) AS sum_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey""".stripMargin,
+
+    "q_variant_get" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS INTEGER) AS k
+        |FROM events""".stripMargin,
 
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, metric, val FROM (
