@@ -745,6 +745,179 @@ object SparkEntry {
           aggregate(col("features"), lit(0.0d), (a, x) => a + x)
             .as("feat_sum"),
           element_at(col("features"), 1).as("feat0"))
+    }),
+
+    // ---- anti join (NOT EXISTS shape — the complement of q_semi_join) --
+    "q_anti_join" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .select("o_orderkey", "o_totalprice")
+    }),
+
+    // ---- EXCEPT (set difference, null-safe distinct semantics) ----
+    "q_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+    }),
+
+    // ---- FULL OUTER join with unmatched rows on both sides ----
+    "q_full_outer" -> ((s, dir) => {
+      val bigOrders = t(s, dir, "orders")
+        .filter(col("o_totalprice") >= 250000)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      val richCust = t(s, dir, "customer")
+        .filter(col("c_acctbal") >= 9000)
+        .select(col("c_custkey").as("custkey"), col("c_name"))
+      richCust.join(bigOrders, Seq("custkey"), "full_outer")
+    }),
+
+    // ---- explicit CROSS join (dimension lattice, no key) ----
+    "q_cross_join" -> ((s, dir) => {
+      t(s, dir, "nation").crossJoin(t(s, dir, "region"))
+        .select(col("n_name"), col("r_name"),
+          (col("n_regionkey") === col("r_regionkey")).as("is_home"))
+    }),
+
+    // ---- several DISTINCT aggregates in one GROUP BY (Expand plan) ----
+    "q_count_distinct_multi" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // ---- conditional aggregation: count_if / FILTER-style sums /
+    //      boolean any/all ----
+    "q_conditional_agg" -> ((s, dir) => {
+      t(s, dir, "orders").groupBy(col("o_orderpriority"))
+        .agg(expr("count_if(o_totalprice > 150000)").as("n_big"),
+          dsum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+            .otherwise(lit(0))).as("f_total"),
+          expr("bool_or(o_orderstatus = 'P')").as("any_pending"),
+          expr("bool_and(o_totalprice > 0)").as("all_positive"))
+    }),
+
+    // ---- ranking distributions: rank / dense_rank / percent_rank /
+    //      cume_dist / ntile (unique order key ⇒ deterministic) ----
+    "q_rank_dist" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).as("quartile"))
+    }),
+
+    // ---- value windows over explicit ROWS frames: first/last/nth ----
+    "q_first_last" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val w3 = w.rowsBetween(-2, 0)
+      val wf = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      events(s, dir).select(col("user_id"), col("event_id"),
+        first(col("event_id")).over(w3).as("first_in_3"),
+        last(col("event_id")).over(w3).as("last_in_3"),
+        nth_value(col("event_id"), 2).over(wf).as("second_id"))
+    }),
+
+    // ---- global total sort (range-partitioned exchange + sort) ----
+    "q_global_sort" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").cast(DateType).cast(StringType).as("ship_date"))
+    }),
+
+    // ---- string edit/transform functions (levenshtein & friends) ----
+    "q_string_edit" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_custkey"),
+        levenshtein(col("c_name"), lit("Customer#000000001"))
+          .cast(LongType).as("edit_dist"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_tr"),
+        reverse(col("c_name")).as("name_rev"),
+        instr(col("c_name"), "9").cast(LongType).as("pos9"),
+        repeat(col("c_mktsegment"), 2).as("seg2"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"))
+    }),
+
+    // ---- calendar functions: trunc/extract/diff/last_day/add_months --
+    "q_date_funcs" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).cast(DateType)
+          .cast(StringType).as("month_start"),
+        quarter(col("o_orderdate")).as("qtr"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        datediff(lit(java.sql.Date.valueOf("1998-12-31")),
+          col("o_orderdate").cast(DateType)).as("days_to_end"),
+        last_day(col("o_orderdate").cast(DateType)).cast(StringType)
+          .as("month_end"),
+        add_months(col("o_orderdate").cast(DateType), 3).cast(StringType)
+          .as("plus3m"))
+    }),
+
+    // ---- KMV (k-minimum-values) distinct sketch, oracled: md5 is
+    //      bit-identical across engines, so the kth-smallest-hash
+    //      estimate is an EXACT cross-engine match — the oracle-able
+    //      twin of the HLL path in q_approx_distinct ----
+    "q_kmv_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_kmv")
+      s.sql(
+        """WITH hashed AS (
+          |  SELECT DISTINCT l_returnflag AS flag,
+          |    CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15),
+          |         16, 10) AS BIGINT) AS h
+          |  FROM lineitem_kmv),
+          |ranked AS (
+          |  SELECT flag, h,
+          |    row_number() OVER (PARTITION BY flag ORDER BY h ASC) AS rn,
+          |    count(*) OVER (PARTITION BY flag) AS total
+          |  FROM hashed)
+          |SELECT flag,
+          |  CAST(CASE WHEN total < 256 THEN CAST(total AS DOUBLE)
+          |       ELSE 255.0 / (CAST(h AS DOUBLE) / 1152921504606846976.0)
+          |       END AS DOUBLE) AS est_distinct,
+          |  CAST(total AS BIGINT) AS n_hashes
+          |FROM ranked WHERE rn = least(256, total)""".stripMargin)
+    }),
+
+    // ---- exact character-3-gram Jaccard, all pairs over a pinned
+    //      subset — the oracle-able anchor for the LSH candidate paths
+    //      (q_dedup_minhash / q_ngram_jaccard estimate this) ----
+    "q_ngram_exact" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("documents_ng")
+      s.sql(
+        """WITH docs AS (
+          |  SELECT doc_id,
+          |    array_distinct(transform(sequence(1, char_length(text) - 2),
+          |      i -> substring(text, i, 3))) AS sh
+          |  FROM documents_ng WHERE doc_id < 60 AND char_length(text) >= 3)
+          |SELECT doc_a, doc_b, jaccard FROM (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |    CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE) /
+          |    CAST(size(a.sh) + size(b.sh)
+          |         - size(array_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+          |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id)
+          |WHERE jaccard >= 0.1""".stripMargin)
+    }),
+
+    // ---- MapType construction + lookup (scalar outputs only) ----
+    "q_map_ops" -> ((s, dir) => {
+      val m = map(lit("type"), col("event_type"),
+        lit("user"), col("user_id").cast(StringType))
+      t(s, dir, "events").select(col("event_id"),
+        element_at(m, "type").as("m_type"),
+        element_at(m, "user").as("m_user"),
+        element_at(m, "missing").as("m_missing"),
+        size(m).cast(LongType).as("m_size"))
     })
   )
 
@@ -1184,6 +1357,138 @@ object SparkEntry {
         |  CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
         |      x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
         |    / length(string_split_regex(trim(text), '\s+')) AS stopword_ratio
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)""".stripMargin,
+
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "q_full_outer" ->
+      """SELECT coalesce(c.custkey, o.custkey) AS custkey, c.c_name,
+        |  o.n_orders
+        |FROM (SELECT c_custkey AS custkey, c_name FROM customer
+        |      WHERE c_acctbal >= 9000) c
+        |FULL OUTER JOIN (
+        |  SELECT o_custkey AS custkey, count(*) AS n_orders FROM orders
+        |  WHERE o_totalprice >= 250000 GROUP BY o_custkey) o
+        |  USING (custkey)""".stripMargin,
+
+    "q_cross_join" ->
+      """SELECT n_name, r_name, n_regionkey = r_regionkey AS is_home
+        |FROM nation CROSS JOIN region""".stripMargin,
+
+    "q_count_distinct_multi" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_conditional_agg" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_totalprice > 150000) AS n_big,
+        |  CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice
+        |       ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS f_total,
+        |  bool_or(o_orderstatus = 'P') AS any_pending,
+        |  bool_and(o_totalprice > 0) AS all_positive
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_rank_dist" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
+
+    "q_first_last" ->
+      """SELECT user_id, event_id,
+        |  first_value(event_id) OVER w3 AS first_in_3,
+        |  last_value(event_id) OVER w3 AS last_in_3,
+        |  nth_value(event_id, 2) OVER wf AS second_id
+        |FROM events
+        |WINDOW w3 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
+        .stripMargin,
+
+    "q_global_sort" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date
+        |FROM lineitem
+        |ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC""".stripMargin,
+
+    "q_string_edit" ->
+      """SELECT c_custkey,
+        |  CAST(levenshtein(c_name, 'Customer#000000001') AS BIGINT)
+        |    AS edit_dist,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+        |  reverse(c_name) AS name_rev,
+        |  CAST(strpos(c_name, '9') AS BIGINT) AS pos9,
+        |  repeat(c_mktsegment, 2) AS seg2,
+        |  concat_ws('|', c_mktsegment, c_name) AS joined
+        |FROM customer""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR)
+        |    AS month_start,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE),
+        |       DATE '1998-12-31') AS INTEGER) AS days_to_end,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+        |  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+        |       AS VARCHAR) AS plus3m
+        |FROM orders""".stripMargin,
+
+    "q_kmv_distinct" ->
+      """WITH hashed AS (
+        |  SELECT DISTINCT l_returnflag AS flag,
+        |    ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |ranked AS (
+        |  SELECT flag, h,
+        |    row_number() OVER (PARTITION BY flag ORDER BY h ASC) AS rn,
+        |    count(*) OVER (PARTITION BY flag) AS total
+        |  FROM hashed)
+        |SELECT flag,
+        |  CAST(CASE WHEN total < 256 THEN CAST(total AS DOUBLE)
+        |       ELSE 255.0 / (CAST(h AS DOUBLE) / 1152921504606846976.0)
+        |       END AS DOUBLE) AS est_distinct,
+        |  CAST(total AS BIGINT) AS n_hashes
+        |FROM ranked WHERE rn = least(256, total)""".stripMargin,
+
+    "q_ngram_exact" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, length(text) - 1),
+        |      i -> substr(text, CAST(i AS INT), 3))) AS sh
+        |  FROM documents WHERE doc_id < 60 AND length(text) >= 3)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    CAST(len(a.sh) + len(b.sh)
+        |         - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+        |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.1""".stripMargin,
+
+    "q_map_ops" ->
+      """SELECT event_id, event_type AS m_type,
+        |  CAST(user_id AS VARCHAR) AS m_user,
+        |  CAST(NULL AS VARCHAR) AS m_missing,
+        |  CAST(2 AS BIGINT) AS m_size
+        |FROM events""".stripMargin
   )
 }
