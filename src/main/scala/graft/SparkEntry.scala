@@ -909,6 +909,38 @@ object SparkEntry {
           |WHERE jaccard >= 0.1""".stripMargin)
     }),
 
+    // ---- stats-based data skipping: a clustered ResourceTable read
+    //      with a selective key range opens only the files whose
+    //      commit-log min/max overlap it (Delta data-skipping parity);
+    //      results must equal the plain relational filter ----
+    "q_table_skipping" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_skip").toString
+      val rt = graft.tables.ResourceTable(s, s"$tdir/orders_t.parquet")
+      rt.createIfNotExists(orders.schema, clusterCols = Seq("o_orderkey"))
+      rt.upsert(orders, "o_orderkey")
+      rt.optimize(numFiles = 8)
+      rt.read(col("o_orderkey").between(100L, 1500L))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("o_totalprice")).as("total_price"))
+    }),
+
+    // ---- hive-style partitioned layout: the scan must prune to the
+    //      one matching partition directory (PartitionFilters) ----
+    "q_partition_pruning" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_ppart").toString
+      events(s, dir).write.partitionBy("event_type")
+        .mode("overwrite").parquet(s"$base/ev")
+      s.read.parquet(s"$base/ev")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("value"), 6).as("sum_val"))
+    }),
+
     // ---- MapType construction + lookup (scalar outputs only) ----
     "q_map_ops" -> ((s, dir) => {
       val m = map(lit("type"), col("event_type"),
@@ -1483,6 +1515,19 @@ object SparkEntry {
         |         - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
         |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.1""".stripMargin,
+
+    "q_table_skipping" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders WHERE o_orderkey BETWEEN 100 AND 1500
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "q_partition_pruning" ->
+      """SELECT user_id, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id""".stripMargin,
 
     "q_map_ops" ->
       """SELECT event_id, event_type AS m_type,

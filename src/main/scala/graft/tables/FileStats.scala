@@ -1,0 +1,294 @@
+package graft.tables
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** Per-file column statistics for data skipping — the engine-side
+  * analogue of Delta's per-file stats (`delta.checkpoint.writeStatsAsStruct`,
+  * reference bundle_processor.py:188–195): ResourceTable commits record
+  * min/max/nullCount per top-level scalar column, and filtered reads
+  * prune whole files whose stats prove no row can match.
+  *
+  * Stats come from the parquet FOOTERS of the just-written snapshot —
+  * row groups already carry typed min/max, so collection is a
+  * metadata-only read (no second data scan). At this table's scale
+  * (micro-batch snapshots, bounded file counts) footer reads are
+  * driver-side; a 100 TB table layer would lift the same loop into
+  * `sc.parallelize(files).map(readFooter)` unchanged.
+  *
+  * Skipping is CONSERVATIVE: any expression shape, type pairing, or
+  * missing statistic we cannot reason about keeps the file. String
+  * comparisons only skip when both operands are pure ASCII (parquet
+  * orders binary stats by unsigned byte, which matches code-point order
+  * exactly there); the row-level filter is always re-applied after the
+  * scan, so pruning can never change results — only IO.
+  */
+object FileStats {
+
+  /** min/max live in a small normalized domain: Long (ints, dates as
+    * epoch days, timestamps as epoch micros), Double, or String.
+    */
+  final case class ColStats(min: Option[Any], max: Option[Any],
+                            numNulls: Option[Long])
+  final case class FileStat(rows: Long, cols: Map[String, ColStats])
+
+  // ---------------- collection (parquet footer → FileStat) -----------
+
+  def readFooter(conf: Configuration, file: HPath): FileStat = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      // column → per-row-group stats, merged; a single unusable row
+      // group poisons that column (None) — never guess
+      var merged = Map.empty[String, Option[ColStats]]
+      blocks.foreach { b =>
+        b.getColumns.asScala.foreach { cc =>
+          val name = cc.getPath.toDotString
+          if (!name.contains('.')) {
+            val next = toColStats(cc)
+            merged += (name -> ((merged.get(name), next) match {
+              case (None, n) => n
+              case (Some(None), _) | (_, None) => None
+              case (Some(Some(a)), Some(b2)) => mergeStats(a, b2)
+            }))
+          }
+        }
+      }
+      FileStat(rows, merged.collect { case (k, Some(v)) => k -> v })
+    } finally reader.close()
+  }
+
+  private def toColStats(
+      cc: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData)
+      : Option[ColStats] = {
+    val st = cc.getStatistics
+    if (st == null) return None
+    val nulls = if (st.isNumNullsSet) Some(st.getNumNulls) else None
+    if (!st.hasNonNullValue)
+      // all-null (or empty) chunk: min/max undefined but nulls known
+      return Some(ColStats(None, None, nulls))
+    val isString = cc.getPrimitiveType.getLogicalTypeAnnotation match {
+      case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => true
+      case _ => false
+    }
+    def norm(v: Any): Option[Any] = v match {
+      case i: java.lang.Integer => Some(i.longValue)
+      case l: java.lang.Long => Some(l.longValue)
+      case f: java.lang.Float => Some(f.doubleValue)
+      case d: java.lang.Double => Some(d.doubleValue)
+      case b: Binary if isString => Some(b.toStringUsingUTF8)
+      case _ => None
+    }
+    (norm(st.genericGetMin), norm(st.genericGetMax)) match {
+      case (Some(mn), Some(mx)) => Some(ColStats(Some(mn), Some(mx), nulls))
+      case _ => None
+    }
+  }
+
+  private def mergeStats(a: ColStats, b: ColStats): Option[ColStats] = {
+    def pick(x: Option[Any], y: Option[Any], wantMin: Boolean): Option[Option[Any]] =
+      (x, y) match {
+        case (None, o) => Some(o)
+        case (o, None) => Some(o)
+        case (Some(v1), Some(v2)) => cmp(v1, v2) match {
+          case Some(c) => Some(Some(if ((c <= 0) == wantMin) v1 else v2))
+          case None => None // incomparable across groups → poison
+        }
+      }
+    for {
+      mn <- pick(a.min, b.min, wantMin = true)
+      mx <- pick(a.max, b.max, wantMin = false)
+    } yield ColStats(mn, mx,
+      for (n1 <- a.numNulls; n2 <- b.numNulls) yield n1 + n2)
+  }
+
+  // ---------------- JSON round-trip (commit-log embedding) -----------
+
+  import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+  import com.fasterxml.jackson.databind.node.{JsonNodeFactory, ObjectNode}
+  private val mapper = new ObjectMapper()
+
+  def toJsonNode(stats: Map[String, FileStat]): ObjectNode = {
+    val f = JsonNodeFactory.instance
+    val root = f.objectNode()
+    stats.foreach { case (file, fsStat) =>
+      val fo = f.objectNode()
+      fo.put("rows", fsStat.rows)
+      val cols = f.objectNode()
+      fsStat.cols.foreach { case (c, cs) =>
+        val co = f.objectNode()
+        def put(key: String, v: Option[Any]): Unit = v.foreach {
+          case l: Long => co.put(key, l)
+          case d: Double => co.put(key, d)
+          case s: String => co.put(key, s)
+          case _ => ()
+        }
+        put("min", cs.min); put("max", cs.max)
+        cs.numNulls.foreach(co.put("nulls", _))
+        cols.replace(c, co)
+      }
+      fo.replace("cols", cols)
+      root.replace(file, fo)
+    }
+    root
+  }
+
+  /** The snapshot dir name a commit body points to. */
+  def dirOf(body: String): Option[String] =
+    Option(mapper.readTree(body).get("dir")).map(_.asText)
+
+  def fromJson(body: String): Map[String, FileStat] = {
+    val root = mapper.readTree(body)
+    val files = root.get("files")
+    if (files == null || !files.isObject) return Map.empty
+    files.fields().asScala.map { e =>
+      val fo = e.getValue
+      val cols = Option(fo.get("cols")).filter(_.isObject)
+        .map(_.fields().asScala.map { ce =>
+          val co = ce.getValue
+          def get(k: String): Option[Any] = Option(co.get(k)).map {
+            case n: JsonNode if n.isIntegralNumber => n.asLong: Any
+            case n: JsonNode if n.isFloatingPointNumber => n.asDouble: Any
+            case n: JsonNode => n.asText: Any
+          }
+          ce.getKey -> ColStats(get("min"), get("max"),
+            Option(co.get("nulls")).map(_.asLong))
+        }.toMap).getOrElse(Map.empty[String, ColStats])
+      e.getKey -> FileStat(fo.get("rows").asLong, cols)
+    }.toMap
+  }
+
+  // ---------------- predicate evaluation (skip decision) -------------
+
+  /** True iff `stats` PROVE no row of the file can satisfy `pred`. */
+  def canSkip(pred: Expression, stat: FileStat): Boolean = pred match {
+    case And(l, r) => canSkip(l, stat) || canSkip(r, stat)
+    case Or(l, r) => canSkip(l, stat) && canSkip(r, stat)
+    case EqualTo(Attr(c), Lit(v)) => outOfRange(stat, c, v)
+    case EqualTo(Lit(v), Attr(c)) => outOfRange(stat, c, v)
+    case EqualNullSafe(Attr(c), Lit(v)) =>
+      if (v == null) noNulls(stat, c) else outOfRange(stat, c, v)
+    case GreaterThan(Attr(c), Lit(v)) => boundSkip(stat, c)(mx => le(mx, v))
+    case GreaterThan(Lit(v), Attr(c)) => // v > col ⇔ col < v
+      boundSkipMin(stat, c)(mn => ge(mn, v))
+    case GreaterThanOrEqual(Attr(c), Lit(v)) =>
+      boundSkip(stat, c)(mx => lt(mx, v))
+    case GreaterThanOrEqual(Lit(v), Attr(c)) =>
+      boundSkipMin(stat, c)(mn => gt(mn, v))
+    case LessThan(Attr(c), Lit(v)) => boundSkipMin(stat, c)(mn => ge(mn, v))
+    case LessThan(Lit(v), Attr(c)) => boundSkip(stat, c)(mx => le(mx, v))
+    case LessThanOrEqual(Attr(c), Lit(v)) =>
+      boundSkipMin(stat, c)(mn => gt(mn, v))
+    case LessThanOrEqual(Lit(v), Attr(c)) =>
+      boundSkip(stat, c)(mx => lt(mx, v))
+    case In(Attr(c), vs) =>
+      val lits = vs.map(Lit.unapply)
+      lits.forall(_.isDefined) &&
+        lits.flatten.forall(v => outOfRange(stat, c, v))
+    case IsNull(Attr(c)) => noNulls(stat, c)
+    case IsNotNull(Attr(c)) => allNulls(stat, c)
+    case StartsWith(Attr(c), Lit(v: String)) => prefixSkip(stat, c, v)
+    case _ => false
+  }
+
+  private object Attr {
+    def unapply(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case u: UnresolvedAttribute if u.nameParts.size == 1 =>
+        Some(u.nameParts.head)
+      case _ => None
+    }
+  }
+
+  private def normLit(l: Literal): Any = l.value match {
+    case null => null
+    case b: java.lang.Byte => b.longValue
+    case s: java.lang.Short => s.longValue
+    case i: java.lang.Integer => i.longValue // ints, DateType days
+    case j: java.lang.Long => j.longValue // longs, timestamp micros
+    case f: java.lang.Float => f.doubleValue
+    case d: java.lang.Double => d.doubleValue
+    case u: UTF8String => u.toString
+    case other => other
+  }
+
+  private object Lit {
+    def unapply(e: Expression): Option[Any] = e match {
+      case l: Literal => Some(normLit(l))
+      case c if c.foldable && c.deterministic =>
+        // the analyzer wraps literals in implicit Casts; fold them
+        Some(normLit(Literal.create(c.eval(), c.dataType)))
+      case _ => None
+    }
+  }
+
+  /** Three-way compare across the normalized stat/literal domain; None
+    * when the pairing is incomparable (→ never skip on it).
+    */
+  private[tables] def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+    case (x: Long, y: Double) =>
+      Some(BigDecimal(x).compare(BigDecimal(y)))
+    case (x: Double, y: Long) =>
+      Some(BigDecimal(x).compare(BigDecimal(y)))
+    case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+    case (x: String, y: String) if isAscii(x) && isAscii(y) =>
+      Some(Integer.signum(x.compareTo(y)))
+    case _ => None
+  }
+
+  private def isAscii(s: String): Boolean = s.forall(_ < 0x80)
+
+  private def lt(a: Any, b: Any) = cmp(a, b).exists(_ < 0)
+  private def le(a: Any, b: Any) = cmp(a, b).exists(_ <= 0)
+  private def gt(a: Any, b: Any) = cmp(a, b).exists(_ > 0)
+  private def ge(a: Any, b: Any) = cmp(a, b).exists(_ >= 0)
+
+  private def outOfRange(stat: FileStat, c: String, v: Any): Boolean =
+    v != null && stat.cols.get(c).exists(cs =>
+      cs.min.exists(mn => lt(v, mn)) || cs.max.exists(mx => gt(v, mx)))
+
+  private def boundSkip(stat: FileStat, c: String)(f: Any => Boolean) =
+    stat.cols.get(c).exists(_.max.exists(f))
+  private def boundSkipMin(stat: FileStat, c: String)(f: Any => Boolean) =
+    stat.cols.get(c).exists(_.min.exists(f))
+
+  private def noNulls(stat: FileStat, c: String): Boolean =
+    stat.cols.get(c).exists(_.numNulls.contains(0L))
+  private def allNulls(stat: FileStat, c: String): Boolean =
+    stat.cols.get(c).exists(_.numNulls.contains(stat.rows)) && stat.rows > 0
+
+  /** startsWith(prefix): matching rows live in [prefix, nextPrefix).
+    * Skip when the file's whole range is outside that interval.
+    */
+  private def prefixSkip(stat: FileStat, c: String, p: String): Boolean =
+    stat.cols.get(c).exists { cs =>
+      val below = cs.max.exists(mx => lt(mx, p))
+      val above = nextPrefix(p).exists(np => cs.min.exists(mn => ge(mn, np)))
+      below || above
+    }
+
+  private def nextPrefix(p: String): Option[String] = {
+    if (!isAscii(p)) return None
+    val chars = p.toCharArray
+    var i = chars.length - 1
+    while (i >= 0) {
+      if (chars(i) < 0x7f) {
+        chars(i) = (chars(i) + 1).toChar
+        return Some(new String(chars, 0, i + 1))
+      }
+      i -= 1
+    }
+    None
+  }
+}

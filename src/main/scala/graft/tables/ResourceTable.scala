@@ -85,6 +85,55 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
     spark.read.schema(schema()).parquet(dir.toString)
   }
 
+  /** Data-skipping read (Delta stats-based file pruning): files whose
+    * commit-log min/max stats prove `filter` can match no row are not
+    * even opened; the filter is re-applied row-level after the scan, so
+    * results are identical to `read().filter(filter)` — only the IO
+    * differs. With clustered optimize() (disjoint key ranges per file)
+    * a selective key predicate reads O(1) files instead of the table.
+    */
+  def read(filter: org.apache.spark.sql.Column): DataFrame = {
+    val (kept, _) = pruneFiles(filter)
+    if (kept.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema())
+    else spark.read.schema(schema()).parquet(kept: _*).filter(filter)
+  }
+
+  /** (files read, files total) for `filter` — the skipping telemetry. */
+  def pruneInfo(filter: org.apache.spark.sql.Column): (Int, Int) = {
+    val (kept, total) = pruneFiles(filter)
+    (kept.size, total)
+  }
+
+  private def pruneFiles(
+      filter: org.apache.spark.sql.Column): (Seq[String], Int) = {
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no table at $path"))
+    val dir = snapshotDirOf(v)
+    if (!fs.exists(dir))
+      throw new IllegalStateException(s"version $v of $path was vacuumed")
+    val files = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).toSeq
+    val stats = FileStats.fromJson(readFile(commitFile(v)))
+    // Resolve the Column against the table schema: the Column DSL
+    // builds UnresolvedFunction nodes (">=", "and", …) that only the
+    // analyzer turns into the comparison expressions stats understand.
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema())
+    val pred = empty.filter(filter).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+    }
+    val kept = files.filter { f =>
+      (pred, stats.get(f.getName)) match {
+        case (Some(p), Some(st)) => !FileStats.canSkip(p, st)
+        case _ => true // no stats / no predicate → never skip
+      }
+    }
+    (kept.map(_.toString), files.size)
+  }
+
   /** Absolute path of the snapshot dir version `v` points to (for
     * external-table registration against the current snapshot).
     */
@@ -101,10 +150,10 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
     if (!fs.exists(cf))
       throw new IllegalStateException(
         s"version $v of $path never existed")
-    readFile(cf) match {
-      case CommitDirRe(name) => new HPath(root, name)
-      case other => throw new IllegalStateException(
-        s"corrupt commit file $cf: $other")
+    FileStats.dirOf(readFile(cf)) match {
+      case Some(name) => new HPath(root, name)
+      case None => throw new IllegalStateException(
+        s"corrupt commit file $cf")
     }
   }
 
@@ -240,6 +289,13 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
     // (lakehousekeeper.py:206–214)
     df.write.mode("overwrite").option("compression", "zstd")
       .parquet(dir.toString)
+    // per-file min/max/null stats for data skipping, straight from the
+    // just-written parquet footers (metadata-only read, no data rescan)
+    val conf = spark.sessionState.newHadoopConf()
+    val stats = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(p => p.getName -> FileStats.readFooter(conf, p)).toMap
+    val statsJson = FileStats.toJsonNode(stats).toString
     onBeforePublish()
     val out =
       try fs.create(commitFile(next), /*overwrite=*/ false)
@@ -249,8 +305,9 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
         fs.delete(dir, true)
         throw e
       }
-    try out.write(s"""{"version":$next,"dir":"${dir.getName}"}"""
-      .getBytes(StandardCharsets.UTF_8))
+    try out.write(
+      s"""{"version":$next,"dir":"${dir.getName}","files":$statsJson}"""
+        .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     next
   }
@@ -265,9 +322,6 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
 object ResourceTable {
   def apply(spark: SparkSession, path: String): ResourceTable =
     new ResourceTable(spark, path)
-
-  /** Extracts the snapshot dir name from a commit file's JSON body. */
-  private val CommitDirRe = """(?s).*"dir"\s*:\s*"([^"]+)".*""".r
 
   /** J5 — the reference's tenacity retry (exponential backoff ×5) around
     * table commits (bundle_processor.py:240–244).

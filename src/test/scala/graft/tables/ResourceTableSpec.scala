@@ -146,4 +146,54 @@ class ResourceTableSpec extends SparkSpec {
       assert(got == expected, s"ops: $ops")
     }
   }
+
+  test("data skipping: clustered files are pruned by min/max stats") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t = ResourceTable(spark, s"${tmpDir("rtskip")}/T.parquet")
+    val data = (1 to 10000).map(i => (i.toLong, s"name_$i", i % 7))
+      .toDF("id", "name", "grp")
+    t.createIfNotExists(data.schema, clusterCols = Seq("id"))
+    t.upsert(data, "id")
+    t.optimize(numFiles = 8) // range-clustered: disjoint id ranges/file
+    // a selective range predicate must open a strict subset of files
+    val pred = col("id") >= 9900L && col("id") <= 9950L
+    val (kept, total) = t.pruneInfo(pred)
+    assert(total == 8, s"expected 8 files, saw $total")
+    assert(kept < total, s"no pruning: $kept of $total")
+    // and the pruned read is row-identical to the unpruned one
+    val viaSkip = t.read(pred).collect().map(_.getLong(0)).sorted
+    val full = t.read().filter(pred).collect().map(_.getLong(0)).sorted
+    assert(viaSkip.toSeq == full.toSeq && viaSkip.length == 51)
+    // equality + IN prune too
+    assert(t.pruneInfo(col("id") === 42L)._1 == 1)
+    assert(t.pruneInfo(col("id").isin(5L, 9999L))._1 == 2)
+    // disjunction keeps a file if either side might match
+    assert(t.pruneInfo(col("id") === 42L || col("id") === 9999L)._1 == 2)
+    // no-stats columns / unsupported shapes never skip
+    assert(t.pruneInfo(length(col("name")) > 3)._1 == total)
+    // impossible predicate reads nothing but still answers
+    assert(t.read(col("id") > 99999L).count() == 0)
+  }
+
+  test("data skipping: string prefix and null-count pruning") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t = ResourceTable(spark, s"${tmpDir("rtskip2")}/T.parquet")
+    val data = (1 to 1000).map { i =>
+      val key = f"k$i%04d"
+      (key, if (i <= 500) null else s"v$i")
+    }.toDF("id", "maybe")
+    t.createIfNotExists(data.schema, clusterCols = Seq("id"))
+    t.upsert(data, "id")
+    t.optimize(numFiles = 4)
+    // prefix predicate hits one range-clustered file
+    val (kept, total) = t.pruneInfo(col("id").startsWith("k099"))
+    assert(total == 4 && kept < total, s"$kept of $total")
+    assert(t.read(col("id").startsWith("k099")).count() == 10)
+    // files where `maybe` has no nulls are pruned for IS NULL
+    val (keptNull, _) = t.pruneInfo(col("maybe").isNull)
+    assert(keptNull < total, s"isNull kept $keptNull of $total")
+    assert(t.read(col("maybe").isNull).count() == 500)
+  }
 }
