@@ -55,6 +55,32 @@ object SparkEntry {
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
 
+  /** Moment statistics recomputed from exact decimal sums — one SQL
+    * text valid in BOTH Spark and DuckDB, so every double operation
+    * (the only inexact steps) is literally the same expression tree on
+    * both sides and the results hash-match bit-for-bit.
+    */
+  private def statsFormulaSql(table: String): String =
+    s"""WITH s AS (
+       |  SELECT l_returnflag AS flag, count(*) AS n,
+       |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+       |             * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+       |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+       |             * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+       |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+       |             * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+       |  FROM $table GROUP BY l_returnflag)
+       |SELECT flag, n,
+       |  sx / CAST(n AS DOUBLE) AS mean_qty,
+       |  sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))
+       |    AS stddev_qty,
+       |  (sxy - sx * sy / CAST(n AS DOUBLE)) /
+       |    sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+       |         * (syy - sy * sy / CAST(n AS DOUBLE))) AS corr_qty_price
+       |FROM s""".stripMargin
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -941,6 +967,47 @@ object SparkEntry {
           dsum(col("value"), 6).as("sum_val"))
     }),
 
+    // ---- stream ⋈ static-dimension broadcast join (T5-style fan-out
+    //      enrichment; the static side never re-scans per batch) ----
+    "q_stream_static_join" -> ((s, dir) => {
+      import s.implicits._
+      val raw = t(s, dir, "events")
+      val stream = s.readStream.schema(raw.schema)
+        .parquet(s"$dir/events.parque[t]")
+      val dim = Seq(("click", 1L), ("view", 2L), ("signup", 5L),
+        ("purchase", 10L), ("error", 0L)).toDF("event_type", "weight")
+      val agg = stream.join(broadcast(dim), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("weight")).as("weighted"))
+      val name = s"stream_static_${System.nanoTime()}"
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table(name).cache()
+      out.count()
+      out
+    }),
+
+    // ---- built-in session_window (event-time gap sessions as a
+    //      native operator — must agree with the q_sessionize logic) --
+    "q_session_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
+        .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event_id"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start").cast(TimestampType))
+            .as("session_start_us"),
+          col("n_events"), col("first_event_id"))
+    }),
+
+    // ---- moment statistics through exact decimal sums: stddev and
+    //      correlation recomputed from (n, Σx, Σx², Σxy) so the double
+    //      math is bit-identical across engines ----
+    "q_stats_formula" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_st")
+      s.sql(statsFormulaSql("lineitem_st"))
+    }),
+
     // ---- MapType construction + lookup (scalar outputs only) ----
     "q_map_ops" -> ((s, dir) => {
       val m = map(lit("type"), col("event_type"),
@@ -1528,6 +1595,35 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY user_id""".stripMargin,
+
+    "q_stream_static_join" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  count(*) * CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+        |    WHEN 'signup' THEN 5 WHEN 'purchase' THEN 10 ELSE 0 END
+        |    AS weighted
+        |FROM events
+        |WHERE event_type IN ('click','view','signup','purchase','error')
+        |GROUP BY event_type""".stripMargin,
+
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |              OR ts_us - lag(ts_us) OVER w > 21600000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |numbered AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts_us) AS session_start_us,
+        |  count(*) AS n_events, min(event_id) AS first_event_id
+        |FROM numbered GROUP BY user_id, sid""".stripMargin,
+
+    "q_stats_formula" -> statsFormulaSql("lineitem"),
 
     "q_map_ops" ->
       """SELECT event_id, event_type AS m_type,
