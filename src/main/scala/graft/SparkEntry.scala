@@ -897,11 +897,14 @@ object SparkEntry {
     "q_kmv_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("lineitem_kmv")
       s.sql(
-        """WITH hashed AS (
-          |  SELECT DISTINCT l_returnflag AS flag,
+        """WITH keys AS (
+          |  SELECT DISTINCT l_returnflag AS flag, l_partkey
+          |  FROM lineitem_kmv),
+          |hashed AS (
+          |  SELECT DISTINCT flag,
           |    CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15),
           |         16, 10) AS BIGINT) AS h
-          |  FROM lineitem_kmv),
+          |  FROM keys),
           |ranked AS (
           |  SELECT flag, h,
           |    row_number() OVER (PARTITION BY flag ORDER BY h ASC) AS rn,
@@ -1553,10 +1556,13 @@ object SparkEntry {
         |FROM orders""".stripMargin,
 
     "q_kmv_distinct" ->
-      """WITH hashed AS (
-        |  SELECT DISTINCT l_returnflag AS flag,
-        |    ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      """WITH keys AS (
+        |  SELECT DISTINCT l_returnflag AS flag, l_partkey
         |  FROM lineitem),
+        |hashed AS (
+        |  SELECT DISTINCT flag,
+        |    ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM keys),
         |ranked AS (
         |  SELECT flag, h,
         |    row_number() OVER (PARTITION BY flag ORDER BY h ASC) AS rn,
