@@ -1011,6 +1011,80 @@ object SparkEntry {
       s.sql(statsFormulaSql("lineitem_st"))
     }),
 
+    // ---- TPC-H Q3 shape: selective 3-table join → agg → top-k.
+    //      customer is the small filtered side (broadcast); lineitem
+    //      never shuffles before the aggregate ----
+    "q_tpch_q3" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate").cast(DateType) <
+          lit(java.sql.Date.valueOf("1997-06-01")))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast(DateType) >
+          lit(java.sql.Date.valueOf("1997-06-01")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          col("o_orderdate").cast(DateType).cast(StringType)
+            .as("order_date"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1).cast(DecimalType(18, 2)) -
+             col("l_discount").cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // ---- TPC-H Q5 shape: six-table snowflake join with the dimension
+    //      chain broadcast and one shuffle on the fact key ----
+    "q_tpch_q5" -> ((s, dir) => {
+      val asia = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nat = t(s, dir, "nation")
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate").cast(DateType) >=
+            lit(java.sql.Date.valueOf("1996-01-01")) &&
+          col("o_orderdate").cast(DateType) <
+            lit(java.sql.Date.valueOf("1997-01-01")))
+      val sup = t(s, dir, "supplier")
+      t(s, dir, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust.select("c_custkey", "c_nationkey", "n_name")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1).cast(DecimalType(18, 2)) -
+             col("l_discount").cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("revenue"))
+    }),
+
+    // ---- TF-IDF-style top term per document (tf weighted by inverse
+    //      document frequency; exact int ratio so it oracles) ----
+    "q_tfidf" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val tf = toks.groupBy("doc_id", "word")
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = toks.groupBy("word")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("word").asc)
+      tf.join(dfreq, Seq("word"))
+        .withColumn("score",
+          col("tf").cast(DoubleType) / col("df").cast(DoubleType))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("word").as("top_word"),
+          col("tf"), col("df"), col("score"))
+    }),
+
     // ---- MapType construction + lookup (scalar outputs only) ----
     "q_map_ops" -> ((s, dir) => {
       val m = map(lit("type"), col("event_type"),
@@ -1636,6 +1710,56 @@ object SparkEntry {
         |  CAST(user_id AS VARCHAR) AS m_user,
         |  CAST(NULL AS VARCHAR) AS m_missing,
         |  CAST(2 AS BIGINT) AS m_size
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-06-01'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1997-06-01'
+        |GROUP BY l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
+        |dfreq AS (
+        |  SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY word),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
+        |    CAST(tf.tf AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf AS DOUBLE) / CAST(dfreq.df AS DOUBLE) DESC,
+        |               tf.word ASC) AS rn
+        |  FROM tf JOIN dfreq USING (word))
+        |SELECT doc_id, word AS top_word, tf, df, score
+        |FROM scored WHERE rn = 1""".stripMargin
   )
 }
