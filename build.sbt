@@ -34,5 +34,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // dozens of whole-stage-codegen'd queries in one JVM overflow the
   // default 240m JIT code cache -> late queries run deoptimized with
   // order-of-magnitude slowdowns. Size it like a long-lived Spark app.
-  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:ReservedCodeCacheSize=2g",
 )

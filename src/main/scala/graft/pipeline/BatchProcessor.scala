@@ -37,10 +37,19 @@ final class BatchProcessor(
     * counts.
     */
   def processBatch(df: DataFrame, batchId: Long): Map[String, (Long, Long)] = {
-    val spark = df.sparkSession
-    if (df.isEmpty) return Map.empty // A2 gate
+    // One cached pass serves the A1/A2/A3 driver actions and the
+    // per-type filters below; without it every action re-executes the
+    // upstream prepare pipeline (source decode + from_json + explode).
+    df.persist()
+    try processCached(df, batchId) finally df.unpersist()
+  }
 
-    metrics.batchSize(df.count()) // A1
+  private def processCached(
+      df: DataFrame, batchId: Long): Map[String, (Long, Long)] = {
+    val spark = df.sparkSession
+    val batchRows = df.count() // A1; doubles as the A2 empty gate
+    if (batchRows == 0) return Map.empty
+    metrics.batchSize(batchRows)
 
     // A3 — the types present in this batch (driver-side, tiny)
     val types = df.select("resource_type").distinct().collect()
