@@ -1094,8 +1094,68 @@ object SparkEntry {
         element_at(m, "user").as("m_user"),
         element_at(m, "missing").as("m_missing"),
         size(m).cast(LongType).as("m_size"))
+    }),
+
+    // ---- LATERAL correlated subquery join (per-customer top-3 orders
+    //      by price; Catalyst decorrelates to a ranked window) ----
+    "q_lateral" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_lat")
+      t(s, dir, "orders").createOrReplaceTempView("orders_lat")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          |FROM customer_lat c,
+          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat o
+          |         WHERE o.o_custkey = c.c_custkey
+          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+          |WHERE c.c_custkey % 7 = 0""".stripMargin)
+    }),
+
+    // ---- time travel (Delta versionAsOf parity): read the snapshot
+    //      BEFORE the delete that followed it; the oracle reconstructs
+    //      that intermediate state relationally ----
+    "q_time_travel" -> ((s, dir) => {
+      val (tab, _, v2, _) = versionedDemo(s, dir)
+      tab.readVersion(v2)
+    }),
+
+    // ---- change data feed (Delta table_changes parity): row-level
+    //      diff between the base version and the head across an
+    //      upsert+insert batch and a delete batch ----
+    "q_change_feed" -> ((s, dir) => {
+      val (tab, v1, _, v3) = versionedDemo(s, dir)
+      tab.changes(v1, v3, "c_custkey")
     })
   )
+
+  /** Shared fixture for the time-travel/CDF queries: a versioned table
+    * built from `customer` with three deterministic commits — base
+    * load, an update+insert upsert, then a segment delete. Returns the
+    * table plus the three commit versions.
+    */
+  private def versionedDemo(
+      s: SparkSession, dir: String): (ResourceTable, Long, Long, Long) = {
+    val base = t(s, dir, "customer")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tt").toString
+    val tab = ResourceTable(s, s"$tmp/customer.parquet")
+    tab.createIfNotExists(base.schema)
+    tab.upsert(base, "c_custkey")
+    val v1 = tab.latestVersion.get
+    val mods = base.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), upper(col("c_name")).as("c_name"),
+        col("c_nationkey"), (col("c_acctbal") + 1000).as("c_acctbal"),
+        col("c_mktsegment"))
+    val news = base.filter(col("c_custkey") % 100 === 1)
+      .select((col("c_custkey") + 1000000).as("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"),
+        lit("NEWSEG").as("c_mktsegment"))
+    tab.upsert(mods.unionByName(news), "c_custkey")
+    val v2 = tab.latestVersion.get
+    tab.deleteMatching(
+      base.filter(col("c_mktsegment") === "MACHINERY").select("c_custkey"),
+      "c_custkey")
+    val v3 = tab.latestVersion.get
+    (tab, v1, v2, v3)
+  }
 
   // =================================================================
   // DuckDB oracles — same column names/types as the Spark results.
@@ -1760,6 +1820,41 @@ object SparkEntry {
         |               tf.word ASC) AS rn
         |  FROM tf JOIN dfreq USING (word))
         |SELECT doc_id, word AS top_word, tf, df, score
-        |FROM scored WHERE rn = 1""".stripMargin
+        |FROM scored WHERE rn = 1""".stripMargin,
+
+    "q_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        |WHERE c.c_custkey % 7 = 0""".stripMargin,
+
+    "q_time_travel" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey % 10 <> 0
+        |UNION ALL
+        |SELECT c_custkey, upper(c_name), c_nationkey, c_acctbal + 1000,
+        |       c_mktsegment
+        |FROM customer WHERE c_custkey % 10 = 0
+        |UNION ALL
+        |SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+        |       'NEWSEG'
+        |FROM customer WHERE c_custkey % 100 = 1""".stripMargin,
+
+    "q_change_feed" ->
+      """SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey,
+        |       c_acctbal, 'NEWSEG' AS c_mktsegment,
+        |       'insert' AS _change_type
+        |FROM customer WHERE c_custkey % 100 = 1
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |       'delete'
+        |FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |UNION ALL
+        |SELECT c_custkey, upper(c_name), c_nationkey, c_acctbal + 1000,
+        |       c_mktsegment, 'update_postimage'
+        |FROM customer
+        |WHERE c_custkey % 10 = 0 AND c_mktsegment <> 'MACHINERY'""".stripMargin
   )
 }

@@ -37,6 +37,24 @@ class ResourceTableSpec extends SparkSpec {
     assert(t.latestVersion.contains(3L)) // create + 3 mutations
   }
 
+  test("changes: CDF diff tags inserts, deletes, and changed rows only") {
+    val t = ResourceTable(spark, s"${tmpDir("rtcdf")}/T.parquet")
+      .createIfNotExists(schema)
+    t.upsert(df("a" -> 1, "b" -> 2, "c" -> 3), "id")
+    val v1 = t.latestVersion.get
+    t.upsert(df("b" -> 20, "d" -> 4), "id") // change b, insert d, keep a/c
+    t.deleteMatching(df("c" -> 0).select("id"), "id")
+    val v3 = t.latestVersion.get
+    val got = t.changes(v1, v3, "id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("d", 4, "insert"),
+      ("c", 3, "delete"),
+      ("b", 20, "update_postimage")))
+    // unchanged window (same version twice) is empty
+    assert(t.changes(v3, v3, "id").count() == 0)
+  }
+
   test("optimize preserves content; vacuum removes old snapshots") {
     val base = tmpDir("rt")
     val t = ResourceTable(spark, s"$base/T.parquet").createIfNotExists(schema)
