@@ -1110,6 +1110,13 @@ object SparkEntry {
           |WHERE c.c_custkey % 7 = 0""".stripMargin)
     }),
 
+    // ---- blocked fuzzy dedup: (lang, length-bucket) blocking, banded
+    //      levenshtein verify over a 100-char prefix ----
+    "q_dedup_fuzzy" -> ((s, dir) =>
+      Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
+        blockKey = struct(col("lang"),
+          (length(col("text")) / lit(50)).cast(IntegerType)))),
+
     // ---- time travel (Delta versionAsOf parity): read the snapshot
     //      BEFORE the delete that followed it; the oracle reconstructs
     //      that intermediate state relationally ----
@@ -1829,6 +1836,17 @@ object SparkEntry {
         |         WHERE o.o_custkey = c.c_custkey
         |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
         |WHERE c.c_custkey % 7 = 0""".stripMargin,
+
+    "q_dedup_fuzzy" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, length(text) // 50 AS lb,
+        |         substr(text, 1, 100) AS pref
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.pref, b.pref) AS BIGINT) AS dist
+        |FROM docs a JOIN docs b
+        |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.pref, b.pref) <= 25""".stripMargin,
 
     "q_time_travel" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

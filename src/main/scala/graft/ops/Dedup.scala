@@ -122,6 +122,34 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
 
+  /** Blocked fuzzy near-duplicate pairs by edit distance: candidates
+    * are generated only within a blocking key (the join shuffles on
+    * the block, never documents²), then verified with Spark's banded
+    * `levenshtein(l, r, threshold)` over a bounded text prefix —
+    * O(prefix·maxDist) per pair instead of O(prefix²), and pairs past
+    * the band abort early. At corpus scale the block key bounds the
+    * candidate volume the same way LSH bands do for minhash
+    * (reference: src/bundle_processor.py:114–128 uses exact keys only;
+    * this is the fuzzy member of the dedup family).
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        blockKey: Column, prefixLen: Int = 100,
+                        maxDist: Int = 25): DataFrame = {
+    val docs = df.select(col(idCol).as("_id"),
+      substring(col(textCol), 1, prefixLen).as("_pref"),
+      blockKey.as("_blk"))
+    val a = docs.select(col("_blk"), col("_id").as("id_a"),
+      col("_pref").as("pref_a"))
+    val b = docs.select(col("_blk"), col("_id").as("id_b"),
+      col("_pref").as("pref_b"))
+    a.join(b, Seq("_blk")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("pref_a"), col("pref_b"), maxDist)
+          .cast("long").as("dist"))
+      // the banded form returns -1 past the threshold
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
+  }
+
   /** Resolve duplicate pairs into clusters: every document mapped to a
     * canonical id (the minimum doc id reachable through the pair
     * graph). Each round combines min-label propagation (one hop through
