@@ -1592,6 +1592,19 @@ object SparkEntry {
         |  CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents""".stripMargin,
 
+    // Spark splits with a lookahead ("(?=[\p{Punct}])|\s+") that RE2
+    // can't run; the RE2-safe identity counts token STARTS instead:
+    // every punct char opens a token, plus every non-punct non-space
+    // char at string start or after whitespace (verified char-exact
+    // against the Spark split on the full corpus).
+    "q_subword_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) +
+        |       len(regexp_extract_all(text,
+        |         '(?:^|[\t\n\x0b\f\r ])[^\t\n\x0b\f\r !-/:-@\[-`{-~]'))
+        |       AS BIGINT) AS n_subwords
+        |FROM documents""".stripMargin,
+
     "q_text_quality" ->
       """SELECT doc_id,
         |  CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
