@@ -226,8 +226,18 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
   /** J1 — MERGE upsert: source rows replace target rows with the same
     * key; unmatched source rows are inserted. Correct because the caller
     * (W1 dedup) guarantees key-uniqueness within the source.
+    *
+    * `mergeSchema = false` (default) pins the table schema like the
+    * reference (`delta.schema.autoMerge.enabled=false`, main.py:72):
+    * source columns outside the table schema are dropped. With
+    * `mergeSchema = true` the table schema widens by the source's new
+    * top-level columns (Delta's autoMerge): existing rows read back
+    * with nulls in the added columns, and the widened schema is
+    * committed atomically with the data (the meta file flips only
+    * after the snapshot publishes).
     */
-  def upsert(source: DataFrame, key: String): Long = {
+  def upsert(source: DataFrame, key: String,
+             mergeSchema: Boolean = false): Long = {
     // the source is a bounded micro-batch (maxOffsetsPerTrigger); cache
     // it so the anti-join probe side, the union side, and the returned
     // count are one computation, not three
@@ -235,9 +245,20 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
     try retry() {
       val cur = latestVersion
       val target = read()
-      val kept = target.join(src.select(key), Seq(key), "left_anti")
-      val next = kept.unionByName(src.select(target.columns.map(col): _*))
+      val newCols = source.schema.fields
+        .filterNot(f => target.columns.contains(f.name))
+      val (wideTarget, widened) =
+        if (mergeSchema && newCols.nonEmpty)
+          (newCols.foldLeft(target)((t, f) =>
+            t.withColumn(f.name, lit(null).cast(f.dataType))),
+            StructType(schema().fields ++ newCols))
+        else (target, null)
+      val kept = wideTarget.join(src.select(key), Seq(key), "left_anti")
+      val next = kept.unionByName(
+        src.select(wideTarget.columns.map(col): _*))
       commit(next, cur)
+      if (widened != null)
+        writeFile(new HPath(root, "_meta_schema.json"), widened.json)
       src.count()
     } finally src.unpersist()
   }

@@ -123,6 +123,25 @@ class ResourceTableSpec extends SparkSpec {
     assert(t.read().schema.fieldNames.toSeq == Seq("id", "v"))
   }
 
+  test("schema evolution: mergeSchema widens; old rows and old snapshots read null-filled") {
+    import org.apache.spark.sql.functions.lit
+    val t = ResourceTable(spark, s"${tmpDir("rtevo")}/T.parquet")
+      .createIfNotExists(schema)
+    t.upsert(df("a" -> 1, "b" -> 2), "id")
+    val v1 = t.latestVersion.get
+    val widened = df("b" -> 20, "c" -> 3).withColumn("extra", lit("x"))
+    t.upsert(widened, "id", mergeSchema = true)
+    assert(t.schema().fieldNames.toSeq == Seq("id", "v", "extra"))
+    val rows = t.read().collect()
+      .map(r => r.getString(0) -> Option(r.getString(2))).toMap
+    assert(rows == Map("a" -> None, "b" -> Some("x"), "c" -> Some("x")))
+    // time travel across the evolution: the pre-widening snapshot reads
+    // under the current schema with the added column null-filled
+    val old = t.readVersion(v1).collect()
+      .map(r => r.getString(0) -> Option(r.getString(2))).toMap
+    assert(old == Map("a" -> None, "b" -> None))
+  }
+
   test("concurrent commit conflict: loser retries, winner's snapshot intact") {
     val t = ResourceTable(spark, s"${tmpDir("rt")}/T.parquet")
       .createIfNotExists(schema)
