@@ -718,8 +718,20 @@ object SparkEntry {
         k = 5, probes = 3)
     }),
 
-    // ---- BPE-ish subword counting (regex with lookahead — not
-    //      RE2-expressible, so no DuckDB oracle) ----
+    // ---- persisted IVF index: corpus partitioned by coarse cell at
+    //      write time, probes prune partitions before IO; identical
+    //      results to q_ann_ivf_probe by construction (no oracle) ----
+    "q_ann_ivf_indexed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_ivf").toString
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") >= 3), idx)
+      Similarity.ivfTopKIndexed(emb.filter(col("vec_id") < 3),
+        s.read.parquet(idx), k = 5, probes = 3)
+    }),
+
+    // ---- BPE-ish subword counting (the lookahead split itself is not
+    //      RE2-expressible; the oracle counts token starts instead) ----
     "q_subword_count" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
         TextStats.subwordCount(col("text")).as("n_subwords"))

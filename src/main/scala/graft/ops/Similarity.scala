@@ -135,6 +135,41 @@ object Similarity {
       .select("q_id", "n_id", "rank")
   }
 
+  /** Persist an IVF index: the corpus written as Parquet PARTITIONED BY
+    * its coarse cell. This is the build-once/probe-many scale path —
+    * at 100 TB the index build is one full pass, and every subsequent
+    * query reads only `probes/nCells` of the storage because the cell
+    * predicate prunes Hive-style partition directories before any IO.
+    */
+  def writeIvfIndex(corpus: DataFrame, path: String, nCells: Int = 8,
+                    dim: Int = 64, vecCol: String = "embedding"): Unit =
+    ivfAssign(corpus, nCells, dim, vecCol)
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** Top-k over a persisted IVF index. The probed cell set is collected
+    * first (≤ nCells driver-side ints — an AQE-style runtime smallness
+    * decision, not a data collect) so the scan carries a static
+    * `cell IN (...)` partition filter: non-probed partitions are never
+    * listed, opened, or read.
+    */
+  def ivfTopKIndexed(queries: DataFrame, index: DataFrame, k: Int,
+                     nCells: Int = 8, dim: Int = 64,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     probes: Int = 1): DataFrame = {
+    val qa = ivfProbe(queries, nCells, dim, vecCol, probes)
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"), col("cell"))
+    val cells = qa.select("cell").distinct().collect().map(_.getInt(0))
+    val ca = index.filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cell"))
+    val scored = ca.join(broadcast(qa), "cell")
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank")
+  }
+
   /** IVF-style coarse quantization: assign each vector to the nearest
     * of `nCells` deterministic centroid directions (hyperplane-derived),
     * so ANN queries probe only matching cells. This is the partition

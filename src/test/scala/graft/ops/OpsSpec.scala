@@ -141,6 +141,28 @@ class SimilaritySpec extends SparkSpec {
       .select("cell").collect().map(_.getInt(0))
     assert(probed.length == 2 && probed.distinct.length == 2)
   }
+
+  test("persisted ivf index: results match direct ivf; scan carries a partition filter") {
+    val qs = vecs.filter($"vec_id" === 0)
+    val corpus = vecs.filter($"vec_id" > 0)
+    val path = graft.SparkSpec.tmpDir("ivfidx")
+    Similarity.writeIvfIndex(corpus, path, nCells = 4, dim = 4)
+    val index = spark.read.parquet(path)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"),
+        r.getAs[Int]("rank"))).toSet
+    val direct = Similarity.ivfTopK(qs, corpus, k = 4, nCells = 4,
+      dim = 4, probes = 2)
+    val indexed = Similarity.ivfTopKIndexed(qs, index, k = 4, nCells = 4,
+      dim = 4, probes = 2)
+    assert(rows(indexed) == rows(direct))
+    // the cell IN (...) predicate must reach the scan as a PARTITION
+    // filter (directory pruning), not a data filter
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)].*", "$1")
+        .contains("cell"), s"no cell partition filter in:\n$plan")
+  }
 }
 
 class TextStatsSpec extends SparkSpec {
