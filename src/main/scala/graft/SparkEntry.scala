@@ -1108,6 +1108,22 @@ object SparkEntry {
         size(m).cast(LongType).as("m_size"))
     }),
 
+    // ---- array aggregation: collect_list/collect_set canonicalized by
+    //      sort_array + array_join so the output stays scalar and
+    //      order-independent (collect_* ordering is nondeterministic
+    //      under parallel merge — never emit the raw array) ----
+    "q_array_agg" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_custkey") <= 200)
+        .groupBy(col("o_custkey"))
+        .agg(
+          array_join(sort_array(collect_list(col("o_orderstatus"))), ",")
+            .as("statuses"),
+          array_join(sort_array(collect_set(col("o_orderpriority"))), ",")
+            .as("priorities"),
+          count(lit(1)).as("n_orders"))
+    }),
+
     // ---- LATERAL correlated subquery join (per-customer top-3 orders
     //      by price; Catalyst decorrelates to a ranked window) ----
     "q_lateral" -> ((s, dir) => {
@@ -1853,6 +1869,15 @@ object SparkEntry {
         |  FROM tf JOIN dfreq USING (word))
         |SELECT doc_id, word AS top_word, tf, df, score
         |FROM scored WHERE rn = 1""".stripMargin,
+
+    "q_array_agg" ->
+      """SELECT o_custkey,
+        |  array_to_string(list_sort(list(o_orderstatus)), ',') AS statuses,
+        |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+        |    AS priorities,
+        |  count(*) AS n_orders
+        |FROM orders WHERE o_custkey <= 200
+        |GROUP BY o_custkey""".stripMargin,
 
     "q_lateral" ->
       """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
