@@ -396,6 +396,60 @@ object SparkEntry {
       out
     }),
 
+    // ---- watermarked stream-stream LEFT-OUTER range join in the gate:
+    //      views attributed to purchases within 10 minutes; unmatched
+    //      views are RELEASED with null once the watermark proves no
+    //      purchase can arrive (two far-future sentinel batches advance
+    //      it; sentinels are filtered back out). MemoryStream feeding
+    //      is gate harness plumbing, not operator semantics — the
+    //      operator itself holds bounded state keyed by the watermark ----
+    "q_stream_outer_join" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev = eventsUs(s, dir)
+        .select(col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"))
+        .filter(col("event_type").isin("view", "purchase"))
+        .collect()
+      val views = MemoryStream[(Long, Long, Long)]
+      val purch = MemoryStream[(Long, Long, Long)]
+      def tup(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      views.addData(ev.filter(_.getString(3) == "view").map(tup).toSeq)
+      purch.addData(ev.filter(_.getString(3) == "purchase").map(tup).toSeq)
+      val maxTs = ev.map(_.getLong(1)).max
+      val vDf = views.toDF().toDF("v_id", "v_ts_us", "user_id")
+        .withColumn("v_ts", expr("timestamp_micros(v_ts_us)"))
+      val pDf = purch.toDF().toDF("p_id", "p_ts_us", "p_user")
+        .withColumn("p_ts", expr("timestamp_micros(p_ts_us)"))
+      val joined = graft.streaming.StreamOps.eventTimeRangeJoinOuter(
+        vDf, pDf, "v_ts", "p_ts", col("p_user") === col("user_id"),
+        maxDelay = "10 minutes")
+      val name = s"stream_outer_${System.nanoTime()}"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // two sentinel rounds: watermark advances at batch END, and the
+        // eviction that releases unmatched rows runs in the NEXT batch
+        for (day <- 1 to 2) {
+          val ts = maxTs + day * 86400000000L
+          views.addData(Seq((-1L, ts, -1L)))
+          purch.addData(Seq((-1L, ts, -1L)))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val out = s.table(name)
+        .filter(col("user_id") >= 0)
+        .select(col("v_id"), col("user_id"), col("v_ts_us"),
+          coalesce(col("p_id"), lit(-1L)).as("p_id"),
+          coalesce(col("p_ts_us"), lit(-1L)).as("p_ts_us"))
+        .cache()
+      out.count()
+      out
+    }),
+
     // ---- the REAL ingest path in the gate: bundles synthesized from
     //      orders go through BatchProcessor (prepare → dedup → encode
     //      → ResourceTable upsert), then the table is read back; its
@@ -1869,6 +1923,20 @@ object SparkEntry {
         |  FROM tf JOIN dfreq USING (word))
         |SELECT doc_id, word AS top_word, tf, df, score
         |FROM scored WHERE rn = 1""".stripMargin,
+
+    "q_stream_outer_join" ->
+      """WITH v AS (
+        |  SELECT event_id AS v_id, user_id, epoch_us(ts) AS v_ts_us
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_ts_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT v.v_id, v.user_id, v.v_ts_us,
+        |  coalesce(p.p_id, -1) AS p_id,
+        |  coalesce(p.p_ts_us, -1) AS p_ts_us
+        |FROM v LEFT JOIN p ON v.user_id = p.user_id
+        |  AND p.p_ts_us >= v.v_ts_us
+        |  AND p.p_ts_us <= v.v_ts_us + 600000000""".stripMargin,
 
     "q_array_agg" ->
       """SELECT o_custkey,

@@ -62,10 +62,26 @@ object StreamOps {
   def eventTimeRangeJoin(left: DataFrame, right: DataFrame,
                          leftTs: String, rightTs: String,
                          keyEq: Column, maxDelay: String = "1 minute",
-                         watermark: String = "10 seconds"): DataFrame =
+                         watermark: String = "10 seconds",
+                         joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTs, watermark)
       .join(right.withWatermark(rightTs, watermark),
         keyEq &&
           col(rightTs) >= col(leftTs) &&
-          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"))
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"),
+        joinType)
+
+  /** Left-outer attribution: like [[eventTimeRangeJoin]] but an
+    * unmatched left row is EMITTED with nulls once the watermark
+    * proves no match can still arrive (impression with no click) —
+    * the engine holds it exactly until `leftTs + maxDelay + watermark`
+    * and then releases it, so "no match" is a definite, bounded-delay
+    * outcome, not an absence.
+    */
+  def eventTimeRangeJoinOuter(left: DataFrame, right: DataFrame,
+                              leftTs: String, rightTs: String,
+                              keyEq: Column, maxDelay: String = "1 minute",
+                              watermark: String = "10 seconds"): DataFrame =
+    eventTimeRangeJoin(left, right, leftTs, rightTs, keyEq, maxDelay,
+      watermark, joinType = "left_outer")
 }

@@ -100,6 +100,37 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer range join releases unmatched impressions after the watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val imps = MemoryStream[Imp]
+    val clicks = MemoryStream[Click]
+    val joined = StreamOps.eventTimeRangeJoinOuter(
+      imps.toDF(), clicks.toDF(), "imp_ts", "click_ts",
+      org.apache.spark.sql.functions.expr("imp_id = c_imp_id"),
+      maxDelay = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("attribo")
+      .outputMode(OutputMode.Append).start()
+    try {
+      imps.addData(Imp(100, ts(0)), Imp(200, ts(0)))
+      clicks.addData(Click(100, ts(1))) // only 100 gets a click
+      q.processAllAvailable()
+      // advance BOTH watermarks far past imp_ts + maxDelay so the
+      // engine can prove no click for 200 can still arrive
+      imps.addData(Imp(999, ts(60)))
+      clicks.addData(Click(999, ts(60)))
+      q.processAllAvailable()
+      imps.addData(Imp(998, ts(62)))
+      clicks.addData(Click(998, ts(62)))
+      q.processAllAvailable()
+      val byImp = spark.table("attribo").collect()
+        .map(r => r.getAs[Long]("imp_id") ->
+          Option(r.getAs[Any]("c_imp_id"))).toMap
+      assert(byImp(100L).contains(100L))        // matched, click joined
+      assert(byImp.contains(200L) && byImp(200L).isEmpty,
+        s"unmatched imp not released: $byImp")  // released with nulls
+    } finally q.stop()
+  }
+
   test("sessionize with flush: idle key emits when watermark passes gap") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[Sessionize.Event]
