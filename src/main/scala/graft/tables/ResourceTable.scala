@@ -300,9 +300,12 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
   }
 
   /** J4 — vacuum: delete snapshot directories older than
-    * `retentionMs` that are no longer current.
+    * `retentionMs` that are no longer current. With `dryRun` the
+    * candidates are counted and reported but nothing is deleted
+    * (`VACUUM ... DRY RUN` parity, lakehousekeeper.py:167–182).
     */
-  def vacuum(retentionMs: Long = 24L * 3600 * 1000): Int = {
+  def vacuum(retentionMs: Long = 24L * 3600 * 1000,
+             dryRun: Boolean = false): Int = {
     val cur = latestVersion.getOrElse(return 0)
     // only the exact dir the current commit points to is protected;
     // same-version orphans from losing writers are collectable
@@ -313,7 +316,29 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
     var n = 0
     snaps.foreach { s =>
       if (s.getPath.getName != curDir && s.getModificationTime < cutoff) {
-        fs.delete(s.getPath, true); n += 1
+        if (!dryRun) fs.delete(s.getPath, true)
+        n += 1
+      }
+    }
+    n
+  }
+
+  /** delta-rs `cleanup_metadata` parity: drop commit-log entries whose
+    * snapshots were already vacuumed, keeping at least `keepLast`
+    * most-recent commits. Bounds log growth on a long-lived table; time
+    * travel to a cleaned version fails the same way a vacuumed one
+    * does.
+    */
+  def cleanupMetadata(keepLast: Int = 100): Int = {
+    val cur = latestVersion.getOrElse(return 0)
+    val commits = fs.listStatus(logDir).map(_.getPath)
+      .filter(_.getName.endsWith(".commit"))
+      .map(p => p.getName.stripSuffix(".commit").toLong -> p)
+      .sortBy(_._1)
+    var n = 0
+    commits.dropRight(keepLast).foreach { case (v, p) =>
+      if (v != cur && !fs.exists(snapshotDirOf(v))) {
+        fs.delete(p, false); n += 1
       }
     }
     n
