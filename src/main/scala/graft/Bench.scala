@@ -44,10 +44,34 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver captures only the LAST 2000 chars of combined output and
+    // parses the JSON line out of that window (BENCH_r01/r02 were lost to
+    // it: full-precision doubles * 66 queries overflowed the window and the
+    // line's opening brace fell outside -> "parsed": null). Keep the line
+    // comfortably under budget: millisecond precision, and if the per-query
+    // map would still not fit, drop the fastest queries from the map (the
+    // total always covers every query; "nq" records how many ran).
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def line(qs: Seq[(String, Double)]): String = {
+      val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":$m,"sf":"$sfDir"}"""
+    }
+    // Keep the slowest queries (the ones that matter for perf grading),
+    // re-sorted by name for stable output.
+    val budget = 1700
+    var keep = results.size
+    val bySlow = results.sortBy(-_._2)
+    while (keep > 1 && line(bySlow.take(keep).sortBy(_._1)).length > budget)
+      keep -= 1
+    val out = line(bySlow.take(keep).sortBy(_._1))
+    // Stop everything BEFORE printing so no late WARN/shutdown chatter can
+    // land after the JSON line and push it out of the driver's tail window.
+    spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
     spark.stop()
+    println(out)
+    System.out.flush()
   }
 }

@@ -1853,7 +1853,7 @@ object SparkEntry {
         |flagged AS (
         |  SELECT user_id, event_id, ts_us,
         |    CASE WHEN lag(ts_us) OVER w IS NULL
-        |              OR ts_us - lag(ts_us) OVER w > 21600000000
+        |              OR ts_us - lag(ts_us) OVER w >= 21600000000
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
         |numbered AS (

@@ -16,19 +16,33 @@ import org.apache.spark.sql.DataFrame
   */
 object Bucketing {
 
+  /** JVM-unique tag baked into every table name this object writes:
+    * two sessions pointed at the same warehouse dir each get their own
+    * table location, so neither can drop/delete the other's live
+    * bucketed files mid-join. Within one JVM, re-runs reuse the tag and
+    * the idempotent overwrite only ever touches this run's own dirs.
+    */
+  private val runTag =
+    java.util.UUID.randomUUID().toString.take(8)
+
+  /** Per-run unique catalog name for a logical table name. */
+  def scopedName(name: String): String = s"${name}_$runTag"
+
   /** Write both sides into the session catalog bucketed (and sorted)
     * by the shared join key, then return the co-located join of the
     * two bucketed tables. With broadcast disabled, the physical plan
     * is a SortMergeJoin with NO Exchange on either side (see
-    * PlanSpec's bucketed-join audit).
+    * PlanSpec's bucketed-join audit). Names are scoped per-run — pass
+    * logical names, not catalog-unique ones.
     */
   def bucketedEquiJoin(left: DataFrame, right: DataFrame, key: String,
                        buckets: Int, leftName: String,
                        rightName: String): DataFrame = {
     val spark = left.sparkSession
-    writeBucketed(left, key, buckets, leftName)
-    writeBucketed(right, key, buckets, rightName)
-    spark.table(leftName).join(spark.table(rightName), key)
+    val (l, r) = (scopedName(leftName), scopedName(rightName))
+    writeBucketed(left, key, buckets, l)
+    writeBucketed(right, key, buckets, r)
+    spark.table(l).join(spark.table(r), key)
   }
 
   /** Save `df` as a bucketed+sorted catalog table (idempotent

@@ -147,6 +147,12 @@ object FileStats {
   def dirOf(body: String): Option[String] =
     Option(mapper.readTree(body).get("dir")).map(_.asText)
 
+  /** The schema JSON a commit body embeds (absent in pre-schema-field
+    * commits, whose readers fall back to `_meta_schema.json`).
+    */
+  def schemaOf(body: String): Option[String] =
+    Option(mapper.readTree(body).get("schema")).map(_.toString)
+
   def fromJson(body: String): Map[String, FileStat] = {
     val root = mapper.readTree(body)
     val files = root.get("files")
@@ -237,9 +243,11 @@ object FileStats {
     */
   private[tables] def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
-    case (x: Long, y: Double) =>
+    // BigDecimal(double) throws on NaN/Infinity; a parquet stat or a
+    // literal can legally be non-finite -> incomparable, never skip.
+    case (x: Long, y: Double) if java.lang.Double.isFinite(y) =>
       Some(BigDecimal(x).compare(BigDecimal(y)))
-    case (x: Double, y: Long) =>
+    case (x: Double, y: Long) if java.lang.Double.isFinite(x) =>
       Some(BigDecimal(x).compare(BigDecimal(y)))
     case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
     case (x: String, y: String) if isAscii(x) && isAscii(y) =>

@@ -183,9 +183,19 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
     }
   }
 
-  def schema(): StructType =
-    DataType.fromJson(readFile(new HPath(root, "_meta_schema.json")))
+  /** Table schema at the current version: the commit body is
+    * authoritative (it flips atomically with the data — an
+    * upsert(mergeSchema=true) can never publish columns the schema
+    * doesn't show); `_meta_schema.json` only serves pre-schema-field
+    * commit logs and empty tables.
+    */
+  def schema(): StructType = {
+    val fromCommit = latestVersion.flatMap(v =>
+      FileStats.schemaOf(readFile(commitFile(v))))
+    DataType.fromJson(fromCommit.getOrElse(
+        readFile(new HPath(root, "_meta_schema.json"))))
       .asInstanceOf[StructType]
+  }
 
   def clusterBy(): Seq[String] = {
     val p = new HPath(root, "_meta_cluster.txt")
@@ -233,8 +243,9 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
     * `mergeSchema = true` the table schema widens by the source's new
     * top-level columns (Delta's autoMerge): existing rows read back
     * with nulls in the added columns, and the widened schema is
-    * committed atomically with the data (the meta file flips only
-    * after the snapshot publishes).
+    * committed atomically with the data — the commit body embeds the
+    * snapshot schema, so both flip in the commit file's single atomic
+    * create.
     */
   def upsert(source: DataFrame, key: String,
              mergeSchema: Boolean = false): Long = {
@@ -247,18 +258,15 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
       val target = read()
       val newCols = source.schema.fields
         .filterNot(f => target.columns.contains(f.name))
-      val (wideTarget, widened) =
+      val wideTarget =
         if (mergeSchema && newCols.nonEmpty)
-          (newCols.foldLeft(target)((t, f) =>
-            t.withColumn(f.name, lit(null).cast(f.dataType))),
-            StructType(schema().fields ++ newCols))
-        else (target, null)
+          newCols.foldLeft(target)((t, f) =>
+            t.withColumn(f.name, lit(null).cast(f.dataType)))
+        else target
       val kept = wideTarget.join(src.select(key), Seq(key), "left_anti")
       val next = kept.unionByName(
         src.select(wideTarget.columns.map(col): _*))
       commit(next, cur)
-      if (widened != null)
-        writeFile(new HPath(root, "_meta_schema.json"), widened.json)
       src.count()
     } finally src.unpersist()
   }
@@ -354,6 +362,10 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
     * concurrency, like Delta).
     */
   private def commit(df: DataFrame, expectedCurrent: Option[Long]): Long = {
+    // The commit body embeds the snapshot's schema so schema and data
+    // publish in the SAME atomic create (a crash can never leave a
+    // committed snapshot whose columns schema() doesn't know about).
+    // `_meta_schema.json` remains as the pre-schema-field fallback.
     val next = expectedCurrent.getOrElse(-1L) + 1
     val dir = new HPath(root,
       s"snap-$next-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -378,7 +390,7 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
         throw e
       }
     try out.write(
-      s"""{"version":$next,"dir":"${dir.getName}","files":$statsJson}"""
+      s"""{"version":$next,"dir":"${dir.getName}","schema":${df.schema.json},"files":$statsJson}"""
         .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     next

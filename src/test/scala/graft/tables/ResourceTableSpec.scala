@@ -233,4 +233,42 @@ class ResourceTableSpec extends SparkSpec {
     assert(keptNull < total, s"isNull kept $keptNull of $total")
     assert(t.read(col("maybe").isNull).count() == 500)
   }
+
+  test("widened schema flips atomically with the commit: stale meta file is ignored") {
+    import org.apache.spark.sql.functions.lit
+    val root = s"${tmpDir("rtatomic")}/T.parquet"
+    val t = ResourceTable(spark, root).createIfNotExists(schema)
+    t.upsert(df("a" -> 1), "id")
+    t.upsert(df("b" -> 2).withColumn("extra", lit("x")), "id",
+      mergeSchema = true)
+    // Simulate the crash window the old design had: the snapshot is
+    // committed but no post-commit meta write ever happened — force the
+    // fallback file back to the ORIGINAL schema and assert schema()
+    // still sees the widened columns (from the commit body).
+    val metaPath = new org.apache.hadoop.fs.Path(root, "_meta_schema.json")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(metaPath, true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    assert(t.schema().fieldNames.toSeq == Seq("id", "v", "extra"))
+    assert(t.read().columns.contains("extra"))
+  }
+
+  test("stat compare never skips on non-finite doubles") {
+    // a parquet double stat of Inf (legal when data contains Inf) must
+    // make the file incomparable -> kept, not crash BigDecimal
+    assert(FileStats.cmp(1L, Double.PositiveInfinity).isEmpty)
+    assert(FileStats.cmp(Double.NaN, 1L).isEmpty)
+    assert(FileStats.cmp(1L, Double.NaN).isEmpty)
+    assert(FileStats.cmp(1L, 2.0).contains(-1))
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val t = ResourceTable(spark, s"${tmpDir("rtinf")}/T.parquet")
+    val data = Seq(("a", 1.0), ("b", Double.PositiveInfinity),
+      ("c", Double.NaN)).toDF("id", "x")
+    t.createIfNotExists(data.schema)
+    t.upsert(data, "id")
+    // predicate over the Inf/NaN-bearing stats: must answer, never throw
+    assert(t.read(col("x") > 0.5).count() >= 1)
+    assert(t.read(col("x") === Double.PositiveInfinity).count() == 1)
+  }
 }
