@@ -577,6 +577,33 @@ object SparkEntry {
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
     }),
 
+    // ---- stratified deterministic sampling: sampleBy semantics with a
+    //      content hash — per-source up/down-weighting of a corpus ----
+    "q_stratified_sample" -> ((s, dir) => {
+      graft.ops.Sampling.stratifiedByHash(t(s, dir, "documents"),
+          "doc_id", "lang", "mix1",
+          Seq("en" -> 0.25, "de" -> 1.0, "fr" -> 0.5, "zh" -> 0.1))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+    }),
+
+    // ---- GPT-style sequence packing: per-shard token stream cut into
+    //      fixed 512-token training sequences; window running sum ----
+    "q_seq_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextStats.tokenCount(col("text")).as("n_tokens"))
+      graft.ops.Packing.packSequences(docs, "source", "doc_id",
+        "n_tokens", budget = 512L)
+    }),
+
+    // ---- fixed-size overlapping chunk windows (RAG/context prep) ----
+    "q_chunk_windows" -> ((s, dir) => {
+      graft.ops.Packing.chunkWindows(
+        t(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", size = 120, stride = 90)
+    }),
+
     // ---- bucketed co-located join: both sides pre-shuffled at write
     //      time by the join key, join itself is exchange-free ----
     "q_bucketed_join" -> ((s, dir) => {
@@ -1343,6 +1370,47 @@ object SparkEntry {
         |         ELSE 'test' END AS split
         |  FROM documents)
         |GROUP BY split""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT lang, count(*) AS cnt,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents
+        |WHERE md5('mix1:' || CAST(doc_id AS VARCHAR)) <
+        |  CASE lang WHEN 'en' THEN '4000' WHEN 'de' THEN 'g'
+        |            WHEN 'fr' THEN '8000' WHEN 'zh' THEN '1999'
+        |            ELSE '0000' END
+        |GROUP BY lang""".stripMargin,
+
+    "q_seq_pack" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |placed AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+        |  FROM docs)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(floor(start_offset / 512) AS BIGINT) AS seq_id,
+        |  CAST(start_offset % 512 AS BIGINT) AS seq_pos,
+        |  CASE WHEN n_tokens = 0 THEN 1
+        |       ELSE CAST(floor((start_offset + n_tokens - 1) / 512)
+        |              - floor(start_offset / 512) + 1 AS BIGINT)
+        |  END AS n_seqs
+        |FROM placed""".stripMargin,
+
+    "q_chunk_windows" ->
+      """SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+        |  substring(text, CAST(1 + k * 90 AS INT), 120) AS chunk_text,
+        |  CAST(1 + k * 90 AS BIGINT) AS chunk_start,
+        |  CAST(length(substring(text, CAST(1 + k * 90 AS INT), 120))
+        |    AS BIGINT) AS chunk_len
+        |FROM documents,
+        |  LATERAL unnest(range(0, CAST(ceil(greatest(length(text), 1)
+        |    / 90.0) AS BIGINT))) AS t(k)
+        |WHERE doc_id < 100""".stripMargin,
 
     "q_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS cnt,

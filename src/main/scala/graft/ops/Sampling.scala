@@ -25,6 +25,13 @@ object Sampling {
   def splitHash(idCol: Column, salt: String): Column =
     md5(concat(lit(salt + ":"), idCol.cast("string")))
 
+  /** 4-hex-digit threshold for a keep-fraction. fraction==1 must keep
+    * everything: "10000" would lexicographically DROP hashes >= "11",
+    * so use "g" — above the entire hex alphabet.
+    */
+  private[ops] def hexThreshold(fraction: Double): String =
+    if (fraction >= 1.0) "g" else f"${math.floor(fraction * 65536).toLong}%04x"
+
   /** Assign each row a named split by deterministic hash threshold.
     * `fractions` must sum to 1 (e.g. train 0.8 / val 0.1 / test 0.1).
     * Thresholds are 4-hex-digit prefixes (1/65536 granularity).
@@ -58,7 +65,24 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, salt: String,
                  fraction: Double): DataFrame = {
     require(fraction > 0 && fraction <= 1)
-    val t = f"${math.floor(fraction * 65536).toLong}%04x"
-    df.filter(splitHash(col(idCol), salt) < lit(t))
+    df.filter(splitHash(col(idCol), salt) < lit(hexThreshold(fraction)))
+  }
+
+  /** Stratified deterministic sample — `sampleBy` semantics with a
+    * content hash instead of a seeded RNG: each stratum keeps its own
+    * fraction (strata absent from `rates` keep nothing). Used for
+    * dataset mixing / up-and-down-weighting sources in a training
+    * corpus; row-local filter, reproducible across engines and
+    * re-shardings.
+    */
+  def stratifiedByHash(df: DataFrame, idCol: String, strataCol: String,
+                       salt: String,
+                       rates: Seq[(String, Double)]): DataFrame = {
+    require(rates.nonEmpty && rates.forall { case (_, r) => r >= 0 && r <= 1 })
+    val h = splitHash(col(idCol), salt)
+    val threshold = rates.foldLeft(lit("0000")) { case (acc, (stratum, r)) =>
+      when(col(strataCol) === stratum, lit(hexThreshold(r))).otherwise(acc)
+    }
+    df.filter(h < threshold)
   }
 }

@@ -257,3 +257,79 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(2L).map(_.getAs[Int]("frame_idx")).forall(_ % 2 == 0))
   }
 }
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packSequences lays docs head-to-tail per shard and splits at the budget") {
+    val docs = Seq(
+      ("a", 1L, 300L), ("a", 2L, 300L), ("a", 3L, 500L), // stream: 1100 toks
+      ("b", 1L, 1200L), ("b", 2L, 10L) // one doc spanning 3 seqs
+    ).toDF("shard", "id", "n")
+    val out = Packing.packSequences(docs, "shard", "id", "n", budget = 512L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getAs[Long]("seq_id"), r.getAs[Long]("seq_pos"),
+          r.getAs[Long]("n_seqs")))).toMap
+    assert(out(("a", 1L)) == ((0L, 0L, 1L)))   // [0,300)
+    assert(out(("a", 2L)) == ((0L, 300L, 2L))) // [300,600) crosses 512
+    assert(out(("a", 3L)) == ((1L, 88L, 2L)))  // [600,1100) crosses 1024
+    assert(out(("b", 1L)) == ((0L, 0L, 3L)))   // [0,1200) spans 3 budgets
+    assert(out(("b", 2L)) == ((2L, 176L, 1L)))
+  }
+
+  test("packSequences: zero-token doc occupies one sequence, zero width") {
+    val docs = Seq(("a", 1L, 512L), ("a", 2L, 0L), ("a", 3L, 5L))
+      .toDF("shard", "id", "n")
+    val out = Packing.packSequences(docs, "shard", "id", "n", 512L)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getAs[Long]("seq_id"), r.getAs[Long]("seq_pos"),
+          r.getAs[Long]("n_seqs")))).toMap
+    assert(out(2L) == ((1L, 0L, 1L))) // lands exactly on the boundary
+    assert(out(3L) == ((1L, 0L, 1L)))
+  }
+
+  test("chunkWindows: stride/size tiling with short tail chunk") {
+    val docs = Seq((1L, "x" * 250), (2L, "ab"), (3L, "")).toDF("doc_id", "text")
+    val out = Packing.chunkWindows(docs, "doc_id", "text",
+        size = 120, stride = 90)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("chunk_id")) ->
+        ((r.getAs[Long]("chunk_start"), r.getAs[String]("chunk_text").length)))
+      .toMap
+    // len 250: starts 1, 91, 181 -> lens 120, 120, 70
+    assert(out((1L, 0L)) == ((1L, 120)))
+    assert(out((1L, 1L)) == ((91L, 120)))
+    assert(out((1L, 2L)) == ((181L, 70)))
+    assert(!out.contains((1L, 3L)))
+    assert(out((2L, 0L)) == ((1L, 2)))
+    assert(out((3L, 0L)) == ((1L, 0))) // empty doc -> one empty chunk
+    // overlap invariant: consecutive chunks share size-stride chars
+    val texts = Packing.chunkWindows(docs.filter($"doc_id" === 1), "doc_id",
+        "text", 120, 90).collect().map(_.getAs[String]("chunk_text"))
+    assert(texts(0).substring(90) == texts(1).substring(0, 30))
+  }
+}
+
+class SamplingStratifiedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratifiedByHash keeps per-stratum fractions; absent strata drop") {
+    val df = (0 until 4000).map(i => (i.toLong, Seq("a", "b", "c")(i % 3)))
+      .toDF("id", "grp")
+    val kept = Sampling.stratifiedByHash(df, "id", "grp", "s",
+        Seq("a" -> 1.0, "b" -> 0.25))
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("a") == 1334) // rate 1.0 keeps EVERY row (no "10000" trap)
+    assert(kept("b") > 200 && kept("b") < 470, s"b=${kept("b")}")
+    assert(!kept.contains("c"))
+  }
+
+  test("stratified sample is stable under re-sharding") {
+    val df = (0 until 1000).map(i => (i.toLong, "a")).toDF("id", "grp")
+    val once = Sampling.stratifiedByHash(df, "id", "grp", "s",
+      Seq("a" -> 0.5)).collect().map(_.getLong(0)).toSet
+    val again = Sampling.stratifiedByHash(df.repartition(7), "id", "grp",
+      "s", Seq("a" -> 0.5)).collect().map(_.getLong(0)).toSet
+    assert(once == again)
+  }
+}
