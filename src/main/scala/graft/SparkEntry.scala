@@ -426,9 +426,18 @@ object SparkEntry {
       val joined = graft.streaming.StreamOps.eventTimeRangeJoinOuter(
         vDf, pDf, "v_ts", "p_ts", col("p_user") === col("user_id"),
         maxDelay = "10 minutes")
+      // Stateful-operator cost here is per-partition fixed overhead
+      // (state store open/commit/eviction × partitions × sides ×
+      // batches), not row throughput — pin the stream's shuffle
+      // partitions low; the conf is captured at query START, so restore
+      // right after. (On a real cluster you'd size this to executors.)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       val name = s"stream_outer_${System.nanoTime()}"
-      val q = joined.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
+      val q =
+        try joined.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       try {
         q.processAllAvailable()
         // two sentinel rounds: watermark advances at batch END, and the
