@@ -403,6 +403,46 @@ object SparkEntry {
     //      it; sentinels are filtered back out). MemoryStream feeding
     //      is gate harness plumbing, not operator semantics — the
     //      operator itself holds bounded state keyed by the watermark ----
+    // ---- stream-stream LEFT SEMI range join: "views that converted
+    //      within 10 minutes", emitted as soon as the match arrives —
+    //      no watermark wait for matched rows, state still bounded by
+    //      the range condition + watermarks ----
+    "q_stream_semi_join" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val ev = eventsUs(s, dir)
+        .select(col("event_id"), col("ts_us"), col("user_id"),
+          col("event_type"))
+        .filter(col("event_type").isin("view", "purchase"))
+        .collect()
+      val views = MemoryStream[(Long, Long, Long)]
+      val purch = MemoryStream[(Long, Long, Long)]
+      def tup(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      views.addData(ev.filter(_.getString(3) == "view").map(tup).toSeq)
+      purch.addData(ev.filter(_.getString(3) == "purchase").map(tup).toSeq)
+      val vDf = views.toDF().toDF("v_id", "v_ts_us", "user_id")
+        .withColumn("v_ts", expr("timestamp_micros(v_ts_us)"))
+      val pDf = purch.toDF().toDF("p_id", "p_ts_us", "p_user")
+        .withColumn("p_ts", expr("timestamp_micros(p_ts_us)"))
+      val joined = graft.streaming.StreamOps.eventTimeRangeJoin(
+        vDf, pDf, "v_ts", "p_ts", col("p_user") === col("user_id"),
+        maxDelay = "10 minutes", joinType = "left_semi")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val name = s"stream_semi_${System.nanoTime()}"
+      val q =
+        try joined.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table(name)
+        .select(col("v_id"), col("user_id"), col("v_ts_us")).cache()
+      out.count()
+      out
+    }),
+
     "q_stream_outer_join" -> ((s, dir) => {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -2000,6 +2040,20 @@ object SparkEntry {
         |  FROM tf JOIN dfreq USING (word))
         |SELECT doc_id, word AS top_word, tf, df, score
         |FROM scored WHERE rn = 1""".stripMargin,
+
+    "q_stream_semi_join" ->
+      """WITH v AS (
+        |  SELECT event_id AS v_id, epoch_us(ts) AS v_ts_us, user_id
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT event_id, epoch_us(ts) AS p_ts_us, user_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT v_id, user_id, v_ts_us FROM v
+        |WHERE EXISTS (
+        |  SELECT 1 FROM p
+        |  WHERE p.user_id = v.user_id
+        |    AND p.p_ts_us >= v.v_ts_us
+        |    AND p.p_ts_us <= v.v_ts_us + 600000000)""".stripMargin,
 
     "q_stream_outer_join" ->
       """WITH v AS (

@@ -71,15 +71,41 @@ object TextStats {
   def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = tokens(lower(col(textCol)))
     val n = greatest(size(toks), lit(1)).cast("double")
-    val scored = langProfiles.map { case (lang, stops) =>
+    // Single pass over the token array: each stopword maps to a packed
+    // long carrying one counter field per language (63/nLangs bits —
+    // 12 bits for 5 profiles, exact while no per-language count can
+    // reach the field mask). The old shape scanned the array once PER
+    // language; this is one aggregate + per-lang bit extraction, and
+    // the repeated `acc` reference is shared by codegen subexpression
+    // elimination. Docs with more tokens than a field can count (only
+    // possible above 4095 tokens) take the per-language scan instead —
+    // overflow can never silently corrupt a neighboring counter.
+    val bits = 63 / langProfiles.size
+    val mask = (1L << bits) - 1
+    val packed: Map[String, Long] = langProfiles.zipWithIndex.flatMap {
+      case ((_, stops), k) => stops.map(_ -> (1L << (bits * k)))
+    }.groupMapReduce(_._1)(_._2)(_ + _)
+    val inc = typedLit(packed)
+    val acc = aggregate(toks, lit(0L),
+      (a, t) => a + coalesce(element_at(inc, t), lit(0L)))
+    def pick(scored: Seq[Column]): Column =
+      // array_max on struct(score, lang) picks highest score; for equal
+      // scores the lexicographically greatest lang wins — deterministic.
+      array_max(array(scored: _*)).getField("lang")
+    val fast = pick(langProfiles.zipWithIndex.map { case ((lang, _), k) =>
+      struct(
+        (shiftright(acc, bits * k).bitwiseAND(lit(mask)).cast("double") / n)
+          .as("score"),
+        lit(lang).as("lang"))
+    })
+    val exactWide = pick(langProfiles.map { case (lang, stops) =>
       struct(
         (size(filter(toks, t => t.isInCollection(stops))).cast("double") / n)
           .as("score"),
         lit(lang).as("lang"))
-    }
-    // array_max on struct(score, lang) picks highest score; for equal
-    // scores the lexicographically greatest lang wins — deterministic.
-    df.withColumn("predicted_lang", array_max(array(scored: _*)).getField("lang"))
+    })
+    df.withColumn("predicted_lang",
+      when(size(toks) <= lit(mask.toInt), fast).otherwise(exactWide))
   }
 
   /** PII redaction for training corpora: emails and long digit runs
