@@ -1297,9 +1297,22 @@ object SparkEntry {
     * load, an update+insert upsert, then a segment delete. Returns the
     * table plus the three commit versions.
     */
+  private val versionedDemoMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (ResourceTable, Long, Long, Long)]()
+
   private def versionedDemo(
+      s: SparkSession, dir: String): (ResourceTable, Long, Long, Long) =
+    // one immutable fixture per input dir & JVM: q_time_travel and
+    // q_change_feed read DIFFERENT versions of the SAME version
+    // history, so building it twice is pure waste
+    versionedDemoMemo.computeIfAbsent(dir, _ => buildVersionedDemo(s, dir))
+
+  private def buildVersionedDemo(
       s: SparkSession, dir: String): (ResourceTable, Long, Long, Long) = {
-    val base = t(s, dir, "customer")
+    // the fixture table is small (customer rows); 4-file snapshots keep
+    // the per-commit footer-stat reads proportionate
+    val base = t(s, dir, "customer").repartition(4)
     val tmp = java.nio.file.Files.createTempDirectory("graft_tt").toString
     val tab = ResourceTable(s, s"$tmp/customer.parquet")
     tab.createIfNotExists(base.schema)
