@@ -403,6 +403,26 @@ object SparkEntry {
     //      it; sentinels are filtered back out). MemoryStream feeding
     //      is gate harness plumbing, not operator semantics — the
     //      operator itself holds bounded state keyed by the watermark ----
+    // ---- time-series resample + gap-fill: hourly activity grid per
+    //      user over each user's own active span, missing hours
+    //      zero-filled (sequence+explode up-sample, then a left join
+    //      back to the observed buckets) ----
+    "q_resample" -> ((s, dir) => {
+      val hourUs = 3600000000L
+      val ev = eventsUs(s, dir).select(col("user_id"),
+        (col("ts_us") - (col("ts_us") % hourUs)).as("hr_us"))
+      val counts = ev.groupBy(col("user_id"), col("hr_us"))
+        .agg(count(lit(1)).as("cnt"))
+      val slots = counts.groupBy(col("user_id"))
+        .agg(min(col("hr_us")).as("lo"), max(col("hr_us")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), lit(hourUs))).as("hr_us"))
+      slots.join(counts, Seq("user_id", "hr_us"), "left")
+        .select(col("user_id"), col("hr_us"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"),
+          col("cnt").isNull.as("is_gap"))
+    }),
+
     // ---- stream-stream LEFT SEMI range join: "views that converted
     //      within 10 minutes", emitted as soon as the match arrives —
     //      no watermark wait for matched rows, state still bounded by
@@ -2053,6 +2073,25 @@ object SparkEntry {
         |  FROM tf JOIN dfreq USING (word))
         |SELECT doc_id, word AS top_word, tf, df, score
         |FROM scored WHERE rn = 1""".stripMargin,
+
+    "q_resample" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS hr_us
+        |  FROM events),
+        |counts AS (
+        |  SELECT user_id, hr_us, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT user_id, min(hr_us) AS lo, max(hr_us) AS hi
+        |  FROM counts GROUP BY 1),
+        |slots AS (
+        |  SELECT user_id, CAST(h AS BIGINT) AS hr_us
+        |  FROM spans, LATERAL unnest(
+        |    range(lo, hi + 3600000000, 3600000000)) AS t(h))
+        |SELECT s.user_id, s.hr_us,
+        |  COALESCE(c.cnt, 0) AS cnt, c.cnt IS NULL AS is_gap
+        |FROM slots s
+        |LEFT JOIN counts c ON s.user_id = c.user_id AND s.hr_us = c.hr_us""".stripMargin,
 
     "q_stream_semi_join" ->
       """WITH v AS (
