@@ -423,6 +423,29 @@ object SparkEntry {
           col("cnt").isNull.as("is_gap"))
     }),
 
+    // ---- gap-fill with LOCF interpolation: hourly max(value) per
+    //      user, missing hours carry the last observed value forward
+    //      (last(ignoreNulls) over a rows window) ----
+    "q_gap_ffill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourUs = 3600000000L
+      val ev = eventsUs(s, dir).select(col("user_id"),
+        (col("ts_us") - (col("ts_us") % hourUs)).as("hr_us"), col("value"))
+      val hourly = ev.groupBy(col("user_id"), col("hr_us"))
+        .agg(max(col("value")).as("v"))
+      val slots = hourly.groupBy(col("user_id"))
+        .agg(min(col("hr_us")).as("lo"), max(col("hr_us")).as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), lit(hourUs))).as("hr_us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hr_us"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      slots.join(hourly, Seq("user_id", "hr_us"), "left")
+        .select(col("user_id"), col("hr_us"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_ffill"),
+          col("v").isNull.as("is_filled"))
+        .filter(col("user_id") < 200)
+    }),
+
     // ---- stream-stream LEFT SEMI range join: "views that converted
     //      within 10 minutes", emitted as soon as the match arrives —
     //      no watermark wait for matched rows, state still bounded by
@@ -2073,6 +2096,28 @@ object SparkEntry {
         |  FROM tf JOIN dfreq USING (word))
         |SELECT doc_id, word AS top_word, tf, df, score
         |FROM scored WHERE rn = 1""".stripMargin,
+
+    "q_gap_ffill" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS hr_us, value
+        |  FROM events),
+        |hourly AS (
+        |  SELECT user_id, hr_us, max(value) AS v FROM e GROUP BY 1, 2),
+        |spans AS (
+        |  SELECT user_id, min(hr_us) AS lo, max(hr_us) AS hi
+        |  FROM hourly GROUP BY 1),
+        |slots AS (
+        |  SELECT user_id, CAST(h AS BIGINT) AS hr_us
+        |  FROM spans, LATERAL unnest(
+        |    range(lo, hi + 3600000000, 3600000000)) AS t(h))
+        |SELECT s.user_id, s.hr_us,
+        |  last_value(h.v IGNORE NULLS) OVER (PARTITION BY s.user_id
+        |    ORDER BY s.hr_us ROWS UNBOUNDED PRECEDING) AS v_ffill,
+        |  h.v IS NULL AS is_filled
+        |FROM slots s
+        |LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hr_us = h.hr_us
+        |WHERE s.user_id < 200""".stripMargin,
 
     "q_resample" ->
       """WITH e AS (
