@@ -942,6 +942,15 @@ object SparkEntry {
           max(col("frame_idx")).cast(LongType).as("max_idx"))
     }),
 
+    // ---- multimodal metadata path: the oracle-able slice of the media
+    //      table (format + byte count; width/height are xxhash-derived
+    //      fakes, excluded). Reading meta.* only also proves the binary
+    //      payload column is pruned at the scan ----
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal.asMediaTable(t(s, dir, "documents"))
+        .select(col("media_id"), col("meta.format").as("format"),
+          col("meta.n_bytes").as("n_bytes"))),
+
     // ---- multimodal plumbing: binary payloads + features (no oracle) --
     "q_multimodal_features" -> ((s, dir) => {
       // Scalars only in the output: the driver's rows-only stability
@@ -2118,6 +2127,11 @@ object SparkEntry {
         |FROM slots s
         |LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hr_us = h.hr_us
         |WHERE s.user_id < 200""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'fake/raw' AS format,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
 
     "q_resample" ->
       """WITH e AS (
