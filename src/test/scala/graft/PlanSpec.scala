@@ -69,6 +69,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("part_key"), p)
   }
 
+  private def exchangeNodes(p: String): Int =
+    "(?m)^\\(\\d+\\) Exchange".r.findAllIn(p).size
+
+  test("seq packing shuffles exactly once (on the shard key)") {
+    val p = plan("q_seq_pack")
+    assert(exchangeNodes(p) == 1, p)
+    // the scan reads only the three needed columns, not the whole table
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("lang"), readSchema)
+  }
+
+  test("chunk windows and stratified sample are shuffle-free row-local plans") {
+    Seq("q_chunk_windows", "q_stratified_sample").foreach { q =>
+      val p = plan(q)
+      // stratified_sample ends in a groupBy for the gate's compact
+      // output; the SAMPLING itself must add no exchange beyond it
+      val allowed = if (q == "q_stratified_sample") 1 else 0
+      assert(exchangeNodes(p) <= allowed, s"$q: $p")
+    }
+  }
+
+  test("multimodal meta projection prunes the binary payload at the scan") {
+    val p = plan("q_multimodal_meta")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("payload"), readSchema)
+  }
+
+  test("resample/gap-fill joins stay shuffle-bounded (no cartesian)") {
+    Seq("q_resample", "q_gap_ffill").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q")
+    }
+  }
+
   test("whole-stage codegen covers the scan→filter→project pipelines") {
     val p = plan("q_filter_proj")
     // formatted explain marks codegen'd operators with [codegen id : N]
