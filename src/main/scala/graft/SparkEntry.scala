@@ -1341,6 +1341,36 @@ object SparkEntry {
     "q_change_feed" -> ((s, dir) => {
       val (tab, v1, _, v3) = versionedDemo(s, dir)
       tab.changes(v1, v3, "c_custkey")
+    }),
+
+    // ---- incremental view maintenance from the change feed: a
+    //      per-segment (count, sum) aggregate at v1 is advanced to the
+    //      v3 state purely from CDF deltas (+post/insert, -pre/delete)
+    //      — never rescanning the new snapshot. The oracle aggregates
+    //      the reconstructed v3 directly, so a hash match proves the
+    //      feed is algebraically complete (preimages included). At
+    //      100 TB this is the difference between touching the delta
+    //      and recomputing the world ----
+    "q_incremental_agg" -> ((s, dir) => {
+      val (tab, v1, _, v3) = versionedDemo(s, dir)
+      val dec = col("c_acctbal").cast(DecimalType(18, 2))
+      val base = tab.readVersion(v1).groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("bcnt"), sum(dec).as("bsum"))
+      val delta = tab.changes(v1, v3, "c_custkey")
+        .withColumn("sgn",
+          when(col("_change_type").isin("insert", "update_postimage"), 1L)
+            .otherwise(-1L))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(col("sgn")).as("dcnt"),
+          sum(dec * col("sgn").cast(DecimalType(18, 2))).as("dsum"))
+      base.join(delta, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+          (coalesce(col("bcnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L)))
+            .as("cnt"),
+          (coalesce(col("bsum"), lit(0).cast(DecimalType(28, 2))) +
+           coalesce(col("dsum"), lit(0).cast(DecimalType(28, 2))))
+            .cast(DoubleType).as("sum_bal"))
+        .filter(col("cnt") > 0)
     })
   )
 
@@ -2233,6 +2263,25 @@ object SparkEntry {
         |SELECT c_custkey, upper(c_name), c_nationkey, c_acctbal + 1000,
         |       c_mktsegment, 'update_postimage'
         |FROM customer
-        |WHERE c_custkey % 10 = 0 AND c_mktsegment <> 'MACHINERY'""".stripMargin
+        |WHERE c_custkey % 10 = 0 AND c_mktsegment <> 'MACHINERY'
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+        |       c_mktsegment, 'update_preimage'
+        |FROM customer
+        |WHERE c_custkey % 10 = 0 AND c_mktsegment <> 'MACHINERY'""".stripMargin,
+
+    "q_incremental_agg" ->
+      """WITH v3 AS (
+        |  SELECT c_acctbal, c_mktsegment FROM customer
+        |  WHERE c_mktsegment <> 'MACHINERY' AND c_custkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT c_acctbal + 1000, c_mktsegment FROM customer
+        |  WHERE c_mktsegment <> 'MACHINERY' AND c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_acctbal, 'NEWSEG' FROM customer
+        |  WHERE c_custkey % 100 = 1)
+        |SELECT c_mktsegment, count(*) AS cnt,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM v3 GROUP BY c_mktsegment""".stripMargin
   )
 }

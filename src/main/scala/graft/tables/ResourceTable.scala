@@ -88,9 +88,13 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
   /** Change data feed between two retained versions (Delta CDF's
     * `table_changes` semantics, computed from snapshots): every row is
     * tagged `insert` (key only in `toV`), `delete` (key only in
-    * `fromV`, pre-image), or `update_postimage` (key in both, any
-    * column changed). Implemented as key anti/semi joins plus a
-    * full-row EXCEPT for the update set — all shuffle on the key, no
+    * `fromV`, pre-image), or — for keys in both versions with any
+    * column changed — an `update_preimage`/`update_postimage` PAIR,
+    * like Delta's. The preimages make the feed algebraically complete:
+    * any distributive aggregate over the table can be maintained
+    * incrementally by adding post-rows and subtracting pre-rows (see
+    * q_incremental_agg). Implemented as key anti/semi joins plus
+    * full-row EXCEPTs for the update set — all shuffle on the key, no
     * driver-side state, so the diff scales to arbitrarily large
     * snapshots (reference parity: delta CDF via delta-rs,
     * lakehousekeeper.py uses table history the same way).
@@ -103,12 +107,15 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
       .withColumn("_change_type", lit("insert"))
     val deleted = from.join(to, Seq(key), "left_anti")
       .withColumn("_change_type", lit("delete"))
-    // post-images of keys present in both versions whose full row
-    // changed: EXCEPT is exact on every column, no per-column compare
-    val both = to.join(from.select(col(key)), Seq(key), "left_semi")
-    val updated = both.exceptAll(from)
+    // images of keys present in both versions whose full row changed:
+    // EXCEPT is exact on every column, no per-column compare
+    val toBoth = to.join(from.select(col(key)), Seq(key), "left_semi")
+    val fromBoth = from.join(to.select(col(key)), Seq(key), "left_semi")
+    val post = toBoth.exceptAll(from)
       .withColumn("_change_type", lit("update_postimage"))
-    inserted.unionByName(deleted).unionByName(updated)
+    val pre = fromBoth.exceptAll(to)
+      .withColumn("_change_type", lit("update_preimage"))
+    inserted.unionByName(deleted).unionByName(pre).unionByName(post)
   }
 
   /** Data-skipping read (Delta stats-based file pruning): files whose

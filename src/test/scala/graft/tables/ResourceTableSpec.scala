@@ -37,7 +37,7 @@ class ResourceTableSpec extends SparkSpec {
     assert(t.latestVersion.contains(3L)) // create + 3 mutations
   }
 
-  test("changes: CDF diff tags inserts, deletes, and changed rows only") {
+  test("changes: CDF diff tags inserts, deletes, and update pre/post pairs only") {
     val t = ResourceTable(spark, s"${tmpDir("rtcdf")}/T.parquet")
       .createIfNotExists(schema)
     t.upsert(df("a" -> 1, "b" -> 2, "c" -> 3), "id")
@@ -50,6 +50,7 @@ class ResourceTableSpec extends SparkSpec {
     assert(got == Set(
       ("d", 4, "insert"),
       ("c", 3, "delete"),
+      ("b", 2, "update_preimage"),
       ("b", 20, "update_postimage")))
     // unchanged window (same version twice) is empty
     assert(t.changes(v3, v3, "id").count() == 0)
