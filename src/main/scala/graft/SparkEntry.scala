@@ -777,6 +777,28 @@ object SparkEntry {
           expr("percentile(l_quantity, 0.9)").as("p90"))
     }),
 
+    // ---- approximate percentile sketch (KLL-style mergeable summary;
+    //      estimator output → rows-only in the gate, the exact target
+    //      is anchored by q_percentile) ----
+    "q_approx_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 1000)").as("ap50"),
+          expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("ap90"))
+    }),
+
+    // ---- explicit shuffle-hash join strategy (no sort phase; the
+    //      right physical choice when both sides are large but one
+    //      hashes comfortably per partition) ----
+    "q_shuffle_hash_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders").hint("shuffle_hash")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).as("sum_qty"))
+    }),
+
     // ---- rollup (hierarchical grouping sets) ----
     "q_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -2269,6 +2291,12 @@ object SparkEntry {
         |       c_mktsegment, 'update_preimage'
         |FROM customer
         |WHERE c_custkey % 10 = 0 AND c_mktsegment <> 'MACHINERY'""".stripMargin,
+
+    "q_shuffle_hash_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "q_incremental_agg" ->
       """WITH v3 AS (

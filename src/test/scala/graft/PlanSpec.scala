@@ -90,6 +90,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("shuffle_hash hint produces a ShuffledHashJoin (no sort phase)") {
+    val p = plan("q_shuffle_hash_join")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("multimodal meta projection prunes the binary payload at the scan") {
     val p = plan("q_multimodal_meta")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
