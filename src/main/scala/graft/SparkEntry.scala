@@ -403,6 +403,16 @@ object SparkEntry {
     //      it; sentinels are filtered back out). MemoryStream feeding
     //      is gate harness plumbing, not operator semantics — the
     //      operator itself holds bounded state keyed by the watermark ----
+    // ---- benchmark decontamination: char-5-gram overlap of the
+    //      corpus (doc_id % 50 != 0) against a broadcast holdout set
+    //      (doc_id % 50 == 0) ----
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextStats.contamination(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+    }),
+
     // ---- time-series resample + gap-fill: hourly activity grid per
     //      user over each user's own active span, missing hours
     //      zero-filled (sequence+explode up-sample, then a left join
@@ -2179,6 +2189,27 @@ object SparkEntry {
         |FROM slots s
         |LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hr_us = h.hr_us
         |WHERE s.user_id < 200""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, length(text) - 3),
+        |    i -> substr(text, CAST(i AS INT), 5)))) AS sh
+        |  FROM documents WHERE length(text) >= 5),
+        |bench AS (
+        |  SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+        |corpus AS (
+        |  SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0),
+        |overlap AS (
+        |  SELECT doc_id, count(*) AS n_overlap FROM corpus
+        |  WHERE sh IN (SELECT sh FROM bench) GROUP BY doc_id),
+        |totals AS (
+        |  SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_shingles,
+        |  COALESCE(o.n_overlap, 0) AS n_overlap,
+        |  CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) /
+        |    CAST(t.n_shingles AS DOUBLE) AS contamination
+        |FROM totals t LEFT JOIN overlap o ON t.doc_id = o.doc_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'fake/raw' AS format,

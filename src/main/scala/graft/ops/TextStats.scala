@@ -126,6 +126,41 @@ object TextStats {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
 
+  /** Benchmark decontamination: per-document overlap of character
+    * n-gram shingles against a (small) benchmark/holdout set — the
+    * standard check that a training corpus does not contain eval data.
+    * Returns one row per corpus doc with its distinct-shingle count,
+    * the count overlapping the benchmark, and the overlap ratio.
+    *
+    * Scale shape: the benchmark side is collapsed to a distinct
+    * shingle set and BROADCAST — the corpus (the 100 TB side) is
+    * touched in one scan-parallel semi-join pass, no corpus shuffle
+    * beyond the per-doc aggregation. For benchmark sets too large to
+    * broadcast, swap the semi-join for a bloom-filter pushdown; the
+    * per-doc aggregation is unchanged.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    n: Int = 5): DataFrame = {
+    def shingles(df: DataFrame) = df
+      .filter(length(col(textCol)) >= n)
+      .select(col(idCol),
+        explode(array_distinct(transform(
+          sequence(lit(1), length(col(textCol)) - (n - 1)),
+          i => substring(col(textCol), i, lit(n))))).as("sh"))
+    val benchSet = shingles(benchmark).select(col("sh")).distinct()
+    val corpusSh = shingles(corpus)
+    val overlap = corpusSh
+      .join(broadcast(benchSet), Seq("sh"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    corpusSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+      .join(overlap, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("contamination"))
+  }
+
   /** Rolling-hash shingle fingerprint: xxhash64 of each w-token window,
     * giving a compact per-document signature set for containment
     * detection. Returns array<long>, sorted for determinism.

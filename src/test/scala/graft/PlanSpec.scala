@@ -96,6 +96,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("decontamination broadcasts the benchmark set (semi join, no corpus shuffle)") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
   test("multimodal meta projection prunes the binary payload at the scan") {
     val p = plan("q_multimodal_meta")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
