@@ -333,3 +333,36 @@ class SamplingStratifiedSpec extends SparkSpec {
     assert(once == again)
   }
 }
+
+class PackingPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("property: packing reproduces a sequential replay on random corpora") {
+    val rnd = new scala.util.Random(42)
+    val docs = (0 until 500).map { i =>
+      (s"shard${rnd.nextInt(7)}", i.toLong, rnd.nextInt(2000).toLong)
+    }
+    val out = Packing.packSequences(
+        docs.toDF("shard", "id", "n"), "shard", "id", "n", budget = 512L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getAs[Long]("seq_id"), r.getAs[Long]("seq_pos"),
+          r.getAs[Long]("n_seqs")))).toMap
+    // sequential replay: lay each shard's docs head-to-tail and derive
+    // the expected placement directly
+    docs.groupBy(_._1).foreach { case (_, ds) =>
+      var off = 0L
+      ds.sortBy(_._2).foreach { case (shard, id, n) =>
+        val (gotN, seqId, seqPos, nSeqs) = out((shard, id))
+        assert(gotN == n)
+        assert(seqId == off / 512, s"$shard/$id")
+        assert(seqPos == off % 512)
+        assert(seqPos >= 0 && seqPos < 512)
+        val expSeqs =
+          if (n == 0) 1L else (off + n - 1) / 512 - off / 512 + 1
+        assert(nSeqs == expSeqs, s"$shard/$id: $nSeqs != $expSeqs")
+        off += n
+      }
+    }
+  }
+}
