@@ -67,6 +67,12 @@ object Bench {
     while (keep > 1 && line(bySlow.take(keep).sortBy(_._1)).length > budget)
       keep -= 1
     val out = line(bySlow.take(keep).sortBy(_._1))
+    // The stdout line is budget-trimmed; the FULL per-query map goes to
+    // a repo-local file for anyone auditing individual query times.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      line(results.sortBy(_._1)) + "\n")
+    catch { case _: Throwable => () }
     // Stop everything BEFORE printing so no late WARN/shutdown chatter can
     // land after the JSON line and push it out of the driver's tail window.
     spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
