@@ -47,13 +47,15 @@ final class BatchProcessor(
   private def processCached(
       df: DataFrame, batchId: Long): Map[String, (Long, Long)] = {
     val spark = df.sparkSession
-    val batchRows = df.count() // A1; doubles as the A2 empty gate
+    // A1 + A2 + A3 in ONE job over the cache: per-type counts give the
+    // total row count (empty gate) and the distinct type list (driver
+    // side, a handful of rows) without a second scan.
+    val typeCounts = df.groupBy("resource_type").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1))
+    val batchRows = typeCounts.map(_._2).sum
     if (batchRows == 0) return Map.empty
     metrics.batchSize(batchRows)
-
-    // A3 — the types present in this batch (driver-side, tiny)
-    val types = df.select("resource_type").distinct().collect()
-      .map(_.getString(0)).filter(_ != null)
+    val types = typeCounts.flatMap(_._1)
 
     types.map { rt =>
       val forType = df.filter(col("resource_type") === rt) // P9

@@ -270,7 +270,13 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
           newCols.foldLeft(target)((t, f) =>
             t.withColumn(f.name, lit(null).cast(f.dataType)))
         else target
-      val kept = wideTarget.join(src.select(key), Seq(key), "left_anti")
+      // The source is a bounded micro-batch; broadcast its key column so
+      // the target side never shuffles — at cluster scale the anti-join
+      // cost is one broadcast + the (unavoidable) target scan, never a
+      // full-table exchange. AQE would usually pick this anyway; the hint
+      // makes it deterministic.
+      val kept = wideTarget.join(
+        broadcast(src.select(key)), Seq(key), "left_anti")
       val next = kept.unionByName(
         src.select(wideTarget.columns.map(col): _*))
       commit(next, cur)
@@ -285,7 +291,8 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
     val cur = latestVersion
     val target = read()
     val idsKeyed = ids.toDF(key)
-    val next = target.join(idsKeyed, Seq(key), "left_anti")
+    // same micro-batch contract as upsert: broadcast the id list
+    val next = target.join(broadcast(idsKeyed), Seq(key), "left_anti")
     commit(next, cur)
     idsKeyed.count()
   }

@@ -67,6 +67,37 @@ object ProfileIngest {
       noop(graft.tables.ResourceTable(
         spark, s"$tableDir/Patient.parquet").read())
     }
+
+    // ---- upsert sub-profile: where do the write-path seconds go? ----
+    val cached = encoded.cache()
+    noop(cached) // materialize so the timings below are write-only
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_profile_w").toString
+    time("raw write (zstd)") {
+      cached.write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$base/zstd")
+    }
+    time("raw write (snappy)") {
+      cached.write.mode("overwrite").option("compression", "snappy")
+        .parquet(s"$base/snappy")
+    }
+    time("raw write (zstd, 4 files)") {
+      cached.coalesce(4).write.mode("overwrite")
+        .option("compression", "zstd").parquet(s"$base/zstd4")
+    }
+    time("footer stats (driver)") {
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(conf)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/zstd"))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+        .foreach(p => graft.tables.FileStats.readFooter(conf, p))
+    }
+    time("upsert into fresh table") {
+      val t2 = graft.tables.ResourceTable(spark, s"$base/fresh.parquet")
+        .createIfNotExists(cached.schema)
+      t2.upsert(cached, "id")
+    }
     spark.stop()
   }
 }
