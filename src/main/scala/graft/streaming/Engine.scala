@@ -4,6 +4,18 @@ import graft.pipeline.{BatchMetrics, BatchProcessor, BundlePipeline}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+/** Kafka TLS client settings — the reference's `KafkaSslSettings`
+  * (src/settings.py:9–15), same defaults: PKCS12 stores at the
+  * operator-mounted cert paths.
+  */
+final case class KafkaSslSettings(
+    truststoreType: String = "PKCS12",                       // settings.py:10
+    truststoreLocation: String = "/opt/kafka-certs/ca.p12",  // settings.py:11
+    truststorePassword: String = "",                         // settings.py:12
+    keystoreType: String = "PKCS12",                         // settings.py:13
+    keystoreLocation: String = "/opt/kafka-certs/user.p12",  // settings.py:14
+    keystorePassword: String = "")                           // settings.py:15
+
 /** Engine settings — mirrors the reference's typed-settings surface
   * (bzkf/fhir-to-lakehouse src/settings.py), same defaults.
   */
@@ -13,6 +25,8 @@ final case class Settings(
     maxOffsetsPerTrigger: Long = 10000L,     // settings.py:23
     minOffsetsPerTrigger: Long = 1L,         // settings.py:24
     maxTriggerDelay: String = "15m",         // settings.py:25
+    securityProtocol: String = "PLAINTEXT",  // settings.py:26
+    kafkaSsl: KafkaSslSettings = KafkaSslSettings(),
     failOnDataLoss: Boolean = false,         // main.py:130
     checkpointDir: String = "/tmp/graft/checkpoint",
     deltaDatabaseDir: String = "/tmp/graft/delta/default",
@@ -45,16 +59,31 @@ object Engine {
   /** The Kafka source option set — identical option names/defaults to
     * the reference (main.py:125–153). Apply to
     * `spark.readStream.format("kafka")` when the connector jar exists.
+    * With `securityProtocol = "SSL"` the PKCS12 truststore/keystore
+    * client options are emitted exactly as main.py:137–153; any other
+    * protocol omits every `kafka.ssl.*` key.
     */
-  def kafkaOptions(s: Settings): Map[String, String] = Map(
-    "kafka.bootstrap.servers" -> s.kafkaBootstrapServers,
-    "subscribe" -> s.kafkaTopics.mkString(","),
-    "startingOffsets" -> "earliest",
-    "maxOffsetsPerTrigger" -> s.maxOffsetsPerTrigger.toString,
-    "minOffsetsPerTrigger" -> s.minOffsetsPerTrigger.toString,
-    "maxTriggerDelay" -> s.maxTriggerDelay,
-    "failOnDataLoss" -> s.failOnDataLoss.toString,
-    "includeHeaders" -> "true")
+  def kafkaOptions(s: Settings): Map[String, String] = {
+    val base = Map(
+      "kafka.bootstrap.servers" -> s.kafkaBootstrapServers,
+      "subscribe" -> s.kafkaTopics.mkString(","),
+      "startingOffsets" -> "earliest",
+      "groupIdPrefix" -> "fhir-to-lakehouse", // main.py:131
+      "maxOffsetsPerTrigger" -> s.maxOffsetsPerTrigger.toString,
+      "minOffsetsPerTrigger" -> s.minOffsetsPerTrigger.toString,
+      "maxTriggerDelay" -> s.maxTriggerDelay,
+      "failOnDataLoss" -> s.failOnDataLoss.toString,
+      "includeHeaders" -> "true")
+    if (s.securityProtocol != "SSL") base
+    else base ++ Map( // main.py:137–153
+      "kafka.security.protocol" -> "SSL",
+      "kafka.ssl.truststore.type" -> s.kafkaSsl.truststoreType,
+      "kafka.ssl.truststore.location" -> s.kafkaSsl.truststoreLocation,
+      "kafka.ssl.truststore.password" -> s.kafkaSsl.truststorePassword,
+      "kafka.ssl.keystore.type" -> s.kafkaSsl.keystoreType,
+      "kafka.ssl.keystore.location" -> s.kafkaSsl.keystoreLocation,
+      "kafka.ssl.keystore.password" -> s.kafkaSsl.keystorePassword)
+  }
 
   /** Start the N+1 fan-out queries over a Kafka-wire-schema streaming
     * DataFrame. Returns the running queries (await with

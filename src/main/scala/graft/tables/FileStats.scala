@@ -266,6 +266,47 @@ object FileStats {
     v != null && stat.cols.get(c).exists(cs =>
       cs.min.exists(mn => lt(v, mn)) || cs.max.exists(mx => gt(v, mx)))
 
+  // -------- MERGE rewrite-scope helpers (ResourceTable upsert/delete) --
+
+  /** Normalize a runtime value (from `Row.get`) into the stats compare
+    * domain (Long/Double/String), mirroring parquet's stat encodings:
+    * dates as epoch days, timestamps as epoch micros. Unknown types
+    * stay as-is and fall out as incomparable (→ never skip).
+    */
+  private def normValue(v: Any): Any = v match {
+    case b: java.lang.Byte => b.longValue
+    case s: java.lang.Short => s.longValue
+    case i: java.lang.Integer => i.longValue
+    case l: java.lang.Long => l.longValue
+    case f: java.lang.Float => f.doubleValue
+    case d: java.lang.Double => d.doubleValue
+    case u: UTF8String => u.toString
+    case d: java.sql.Date => d.toLocalDate.toEpochDay
+    case d: java.time.LocalDate => d.toEpochDay
+    case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    case t: java.time.Instant =>
+      t.getEpochSecond * 1000000L + t.getNano / 1000
+    case other => other
+  }
+
+  /** True iff stats PROVE no value of `keys` occurs in the file's
+    * column `c` — every key sits outside the file's [min,max]. Missing
+    * or poisoned stats, incomparable types, and null keys keep the file
+    * (conservative).
+    */
+  def canSkipKeys(stat: FileStat, c: String, keys: Iterable[Any]): Boolean =
+    keys.forall(k => outOfRange(stat, c, normValue(k)))
+
+  /** True iff stats prove the file's `c` range and [lo, hi] are
+    * disjoint. Null bounds (all-null batch keys) never skip.
+    */
+  def canSkipRange(stat: FileStat, c: String, lo: Any, hi: Any): Boolean = {
+    val l = normValue(lo)
+    val h = normValue(hi)
+    l != null && h != null && stat.cols.get(c).exists(cs =>
+      cs.min.exists(mn => lt(h, mn)) || cs.max.exists(mx => gt(l, mx)))
+  }
+
   private def boundSkip(stat: FileStat, c: String)(f: Any => Boolean) =
     stat.cols.get(c).exists(_.max.exists(f))
   private def boundSkipMin(stat: FileStat, c: String)(f: Any => Boolean) =

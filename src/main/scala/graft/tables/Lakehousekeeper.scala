@@ -34,18 +34,27 @@ object Lakehousekeeper {
       .sorted
   }
 
+  /** VACUUM every table, then trim vacuumed-away commit-log entries —
+    * the reference's `dt.vacuum(...)` + `dt.cleanup_metadata()` pair
+    * (lakehousekeeper.py:157–163). `enforceRetention` defaults ON like
+    * the CLI's `--enforce-retention-duration` (lakehousekeeper.py:122):
+    * sub-minimum retention is refused unless explicitly disabled.
+    */
   def vacuum(spark: SparkSession, dir: String,
-             retentionHours: Long = 24, dryRun: Boolean = false): Seq[(String, Int)] =
+             retentionHours: Long = 24, dryRun: Boolean = false,
+             enforceRetention: Boolean = true): Seq[(String, Int)] =
     listTables(spark, dir).map { p =>
       val t = ResourceTable(spark, p)
-      val n = if (dryRun) 0 else t.vacuum(retentionHours * 3600 * 1000)
+      val n = t.vacuum(retentionHours * 3600 * 1000, dryRun,
+        enforceRetention)
+      if (!dryRun) t.cleanupMetadata()
       p -> n
     }
 
-  def optimize(spark: SparkSession, dir: String,
-               numFiles: Int = 4): Seq[String] =
+  def optimize(spark: SparkSession, dir: String, numFiles: Int = 4,
+               compression: String = "zstd"): Seq[String] =
     listTables(spark, dir).map { p =>
-      ResourceTable(spark, p).optimize(numFiles); p
+      ResourceTable(spark, p).optimize(numFiles, compression); p
     }
 
   /** schema/table name from the path, exactly the reference's string
@@ -62,11 +71,16 @@ object Lakehousekeeper {
     listTables(spark, dir).map { p =>
       val (schema, table) = tableName(p)
       val t = ResourceTable(spark, p)
+      val v0 = t.latestVersion
+        .getOrElse(throw new IllegalStateException(s"no snapshot in $p"))
+      // a chain of file-granular merges spans snapshot dirs, but an
+      // external `LOCATION` must be one dir — compact first (the
+      // reference's upkeep pairs OPTIMIZE with registration the same
+      // way, lakehousekeeper.py:196–291)
+      if (!t.isSingleLocation(v0)) t.optimize()
       // resolve the dir through the commit log — snapshot dirs are
       // writer-unique (snap-<v>-<uuid>), never derived by naming
-      val snap = t.latestVersion
-        .map(t.snapshotLocation)
-        .getOrElse(throw new IllegalStateException(s"no snapshot in $p"))
+      val snap = t.snapshotLocation(t.latestVersion.get)
       spark.sql(s"CREATE SCHEMA IF NOT EXISTS `$schema`")
       // point the external table at the current snapshot; re-register
       // after mutations to roll the pointer forward
@@ -81,7 +95,8 @@ object Lakehousekeeper {
     val dir = args.lift(1).getOrElse("/tmp/graft/delta/default")
     if (cmd == "help") {
       System.err.println(
-        "usage: lakehousekeeper vacuum|optimize|register <databaseDir> [retentionHours|numFiles]")
+        "usage: lakehousekeeper vacuum <dir> [retentionHours] [dry] [no-enforce]" +
+          " | optimize <dir> [numFiles] [compression] | register <dir>")
       return
     }
     val spark = SparkSession.builder()
@@ -95,13 +110,17 @@ object Lakehousekeeper {
         case "vacuum" =>
           val hours = args.lift(2).map(_.toLong).getOrElse(24L)
           val dry = args.lift(3).contains("dry") // VACUUM ... DRY RUN parity
-          vacuum(spark, dir, hours, dry).foreach { case (p, n) =>
-            println(s"vacuumed $p: $n snapshots removed" +
+          // --enforce-retention-duration=false analogue
+          val enforce = !args.drop(3).contains("no-enforce")
+          vacuum(spark, dir, hours, dry, enforce).foreach { case (p, n) =>
+            println(s"vacuumed $p: $n files removed" +
               (if (dry) " (dry run)" else ""))
           }
         case "optimize" =>
           val files = args.lift(2).map(_.toInt).getOrElse(4)
-          optimize(spark, dir, files).foreach(p => println(s"optimized $p"))
+          val codec = args.lift(3).getOrElse("zstd")
+          optimize(spark, dir, files, codec)
+            .foreach(p => println(s"optimized $p"))
         case "register" =>
           register(spark, dir).foreach(n => println(s"registered $n"))
         case other =>

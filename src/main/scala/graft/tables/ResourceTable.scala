@@ -7,11 +7,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
 
 import java.nio.charset.StandardCharsets
 
-/** A versioned, ACID-ish table over Parquet: immutable snapshot
-  * directories plus a Delta-style ordered commit log. This supplies the
-  * reference's Delta Lake semantics (bzkf/fhir-to-lakehouse
-  * src/bundle_processor.py:168–321) in an environment without the
-  * delta-spark jar:
+/** A versioned, ACID-ish table over Parquet: immutable data files plus a
+  * Delta-style ordered commit log. This supplies the reference's Delta
+  * Lake semantics (bzkf/fhir-to-lakehouse src/bundle_processor.py:168–321)
+  * in an environment without the delta-spark jar:
   *
   *  - `createIfNotExists`  ≙ DeltaTable.createIfNotExists (S3)
   *  - `upsert`             ≙ MERGE whenMatchedUpdateAll /
@@ -21,27 +20,41 @@ import java.nio.charset.StandardCharsets
   *                           sortWithinPartitions analogue] (J3)
   *  - `vacuum`             ≙ VACUUM retentionHours (J4)
   *
-  * Commit protocol: each mutation writes a brand-new *writer-unique*
-  * snapshot directory `snap-<v>-<uuid>` then atomically publishes it by
-  * *creating* `_log/<v%020d>.commit`, whose body records the dir
-  * (create-fails-if-exists ⇒ optimistic concurrency: a losing writer
-  * deletes its orphan snapshot and retries on the next version — it can
-  * never clobber the winner's already-published files, because no two
-  * writers ever share a snapshot dir). Readers list `_log` and follow
-  * the highest commit's dir pointer — a consistent snapshot at all
-  * times, no locks. Vacuum deletes snapshot dirs older than retention
-  * that the current commit does not point to.
+  * Commit protocol — FILE-GRANULAR, like Delta's MERGE rewrite scope:
+  * every commit file `_log/<v%020d>.commit` embeds the snapshot's full
+  * data-file MANIFEST (root-relative paths + per-file min/max/null
+  * stats) and schema. A mutation writes ONLY the files it must — new
+  * rows plus rewrites of the files whose key-range stats overlap the
+  * batch — into a brand-new *writer-unique* dir `snap-<v>-<uuid>`, and
+  * carries every untouched file forward BY REFERENCE in the manifest.
+  * The commit file is created with overwrite=false ⇒ optimistic
+  * concurrency: a losing writer deletes its own orphan dir and retries
+  * on the next version — it can never clobber the winner's published
+  * files, because no two writers ever share a dir. Readers follow the
+  * manifest of the highest commit — a consistent snapshot at all times,
+  * no locks. Vacuum deletes files the current manifest does not
+  * reference once they age past retention.
+  *
+  * At 100 TB this is the difference between O(batch ∩ table) and
+  * O(table) of write amplification per micro-batch: an upsert whose
+  * keys land in one clustered file rewrites exactly that file, exactly
+  * like Delta MERGE prunes to matched files. `_log` reads are bounded
+  * by a `_last_checkpoint` pointer written every `checkpointInterval`
+  * commits (reference settings.py:48, checkpoint_interval=100):
+  * `latestVersion` probes forward from the checkpoint instead of
+  * listing the whole, ever-growing log.
   *
   * Scale notes: all data movement is `spark.read.parquet` →
-  * `df.write.parquet` — fully distributed, no driver materialization.
-  * The upsert is a single `left_anti` join on the key (broadcast when the
-  * batch side is small — which it always is here: micro-batches are
-  * bounded by maxOffsetsPerTrigger) followed by a union; at cluster scale
-  * the rewrite cost is the table scan, same as Delta's
-  * merge-on-read-less MERGE. Uses the Hadoop FileSystem API throughout so
-  * the same code runs on HDFS/S3A, not just local disk.
+  * `df.write.parquet` — fully distributed, no driver row
+  * materialization. The merge anti-join broadcasts the bounded
+  * micro-batch side (maxOffsetsPerTrigger) and falls back to a shuffled
+  * join past `graft.table.merge.broadcastRowLimit` rows, so an
+  * oversized backfill batch degrades to a shuffle instead of OOMing the
+  * driver. Uses the Hadoop FileSystem API throughout so the same code
+  * runs on HDFS/S3A, not just local disk.
   */
-final class ResourceTable(val spark: SparkSession, val path: String) {
+final class ResourceTable(val spark: SparkSession, val path: String,
+                          val checkpointInterval: Int = 100) {
   import ResourceTable._
 
   private val root = new HPath(path)
@@ -49,6 +62,7 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
     root.getFileSystem(spark.sessionState.newHadoopConf())
   private def logDir = new HPath(root, "_log")
   private def commitFile(v: Long) = new HPath(logDir, f"$v%020d.commit")
+  private def lastCheckpointFile = new HPath(logDir, "_last_checkpoint")
 
   /** Test-only seam: runs between the snapshot write and the
     * commit-file create, i.e. inside the optimistic-concurrency window.
@@ -56,16 +70,48 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
     * the create-fails-if-exists conflict path.
     */
   private[tables] var onBeforePublish: () => Unit = () => ()
+  /** Test-only: physical plan of the last merge anti-join (broadcast
+    * vs shuffled fallback assertions).
+    */
+  private[tables] var lastMergePlan: Option[String] = None
+  /** Test-only: #fs calls (probes or listed entries) of the last
+    * latestVersion lookup — asserts checkpointed lookups stay O(tail),
+    * not O(#commits).
+    */
+  private[tables] var lastLookupCost: Int = 0
 
   def exists: Boolean = fs.exists(logDir) && latestVersion.isDefined
 
+  /** Highest committed version. With a `_last_checkpoint` pointer the
+    * lookup probes forward from the checkpointed version (O(commits
+    * since checkpoint) existence checks); only checkpoint-less logs pay
+    * the full O(#commits) listing.
+    */
   def latestVersion: Option[Long] = {
-    if (!fs.exists(logDir)) return None
-    val vs = fs.listStatus(logDir).map(_.getPath.getName)
-      .filter(_.endsWith(".commit"))
-      .map(n => n.stripSuffix(".commit").toLong)
-    if (vs.isEmpty) None else Some(vs.max)
+    if (!fs.exists(logDir)) { lastLookupCost = 1; return None }
+    checkpointHint() match {
+      case Some(v) if fs.exists(commitFile(v)) =>
+        var cur = v
+        var cost = 2 // hint read + first probe
+        while (fs.exists(commitFile(cur + 1))) { cur += 1; cost += 1 }
+        lastLookupCost = cost
+        Some(cur)
+      case _ => // no/corrupt/stale checkpoint: authoritative listing
+        val vs = fs.listStatus(logDir).map(_.getPath.getName)
+          .filter(_.endsWith(".commit"))
+          .map(n => n.stripSuffix(".commit").toLong)
+        lastLookupCost = math.max(vs.length, 1)
+        if (vs.isEmpty) None else Some(vs.max)
+    }
   }
+
+  private def checkpointHint(): Option[Long] =
+    try {
+      if (!fs.exists(lastCheckpointFile)) None
+      else """"version"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(readFile(lastCheckpointFile))
+        .map(_.group(1).toLong)
+    } catch { case _: Throwable => None } // a hint, never load-bearing
 
   /** Snapshot read of the current table state (S5). */
   def read(): DataFrame = latestVersion match {
@@ -78,11 +124,15 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
     * the full version history.
     */
   def readVersion(v: Long): DataFrame = {
-    val dir = snapshotDirOf(v)
-    if (!fs.exists(dir))
+    val files = fileListAt(v)
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema())
+    if (missingFiles(files.map(_._1)).nonEmpty)
       throw new IllegalStateException(
         s"version $v of $path was vacuumed")
-    spark.read.schema(schema()).parquet(dir.toString)
+    spark.read.schema(schema())
+      .parquet(files.map(f => resolve(f._1).toString): _*)
   }
 
   /** Change data feed between two retained versions (Delta CDF's
@@ -143,12 +193,7 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
       filter: org.apache.spark.sql.Column): (Seq[String], Int) = {
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"no table at $path"))
-    val dir = snapshotDirOf(v)
-    if (!fs.exists(dir))
-      throw new IllegalStateException(s"version $v of $path was vacuumed")
-    val files = fs.listStatus(dir).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).toSeq
-    val stats = FileStats.fromJson(readFile(commitFile(v)))
+    val files = fileListAt(v)
     // Resolve the Column against the table schema: the Column DSL
     // builds UnresolvedFunction nodes (">=", "and", …) that only the
     // analyzer turns into the comparison expressions stats understand.
@@ -158,35 +203,92 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         f.condition
     }
-    val kept = files.filter { f =>
-      (pred, stats.get(f.getName)) match {
-        case (Some(p), Some(st)) => !FileStats.canSkip(p, st)
-        case _ => true // no stats / no predicate → never skip
+    val kept = files.filter { case (_, st) =>
+      pred match {
+        case Some(p) => !FileStats.canSkip(p, st)
+        case None => true // no predicate → never skip
       }
     }
-    (kept.map(_.toString), files.size)
+    (kept.map(f => resolve(f._1).toString), files.size)
   }
 
-  /** Absolute path of the snapshot dir version `v` points to (for
-    * external-table registration against the current snapshot).
-    */
-  def snapshotLocation(v: Long): String = snapshotDirOf(v).toString
+  // ---------------- manifest plumbing ---------------------------------
 
-  /** The snapshot dir of a committed version comes from its commit
-    * file, never from a naming convention: snapshot dirs are
-    * writer-unique (`snap-<v>-<uuid>`), so a losing concurrent writer
-    * can never overwrite a published snapshot — it only ever touches
-    * its own uuid'd dir, which stays orphaned until vacuum.
-    */
-  private def snapshotDirOf(v: Long): HPath = {
+  private def commitBody(v: Long): String = {
     val cf = commitFile(v)
     if (!fs.exists(cf))
       throw new IllegalStateException(
         s"version $v of $path never existed")
-    FileStats.dirOf(readFile(cf)) match {
-      case Some(name) => new HPath(root, name)
-      case None => throw new IllegalStateException(
-        s"corrupt commit file $cf")
+    readFile(cf)
+  }
+
+  /** The version's data-file manifest: root-relative path → stats.
+    * Pre-file-granular commit bodies keyed files by bare name; those
+    * resolve against the commit's own `dir` field.
+    */
+  private def fileListAt(v: Long): Seq[(String, FileStats.FileStat)] = {
+    val body = commitBody(v)
+    val dir = FileStats.dirOf(body).getOrElse(
+      throw new IllegalStateException(s"corrupt commit ${commitFile(v)}"))
+    FileStats.fromJson(body).toSeq
+      .map { case (k, st) =>
+        (if (k.contains('/')) k else s"$dir/$k") -> st
+      }
+      .sortBy(_._1)
+  }
+
+  private def resolve(rel: String): HPath = new HPath(root, rel)
+
+  /** The data files (root-relative) version `v` references — Delta's
+    * `DESCRIBE DETAIL`-ish surface, and how specs assert the MERGE
+    * rewrite scope (untouched files carry the same path across
+    * versions).
+    */
+  def fileManifest(v: Long): Seq[String] = fileListAt(v).map(_._1)
+
+  /** Referenced files that no longer exist, via ONE listing per
+    * distinct dir (not one existence probe per file).
+    */
+  private def missingFiles(rels: Seq[String]): Seq[String] =
+    rels.groupBy(r => r.substring(0, r.lastIndexOf('/'))).flatMap {
+      case (d, group) =>
+        val dirPath = new HPath(root, d)
+        if (!fs.exists(dirPath)) group
+        else {
+          val present = fs.listStatus(dirPath)
+            .map(_.getPath.getName).toSet
+          group.filterNot(r =>
+            present(r.substring(r.lastIndexOf('/') + 1)))
+        }
+    }.toSeq
+
+  /** All referenced files of `v` exist (readable without error). */
+  private def versionIntact(v: Long): Boolean =
+    missingFiles(fileListAt(v).map(_._1)).isEmpty
+
+  /** True when every data file of `v` lives in one directory — the
+    * precondition for registering that dir as an external `LOCATION`.
+    * Fresh rewrites (create/optimize) are single-dir; a chain of
+    * file-granular merges usually is not (run optimize() first).
+    */
+  def isSingleLocation(v: Long): Boolean =
+    fileListAt(v).map(f => f._1.substring(0, f._1.lastIndexOf('/')))
+      .distinct.size <= 1
+
+  /** Absolute path of the snapshot dir holding version `v`'s files
+    * (for external-table registration against the current snapshot).
+    * Multi-dir versions have no single location — optimize() first.
+    */
+  def snapshotLocation(v: Long): String = {
+    val dirs = fileListAt(v)
+      .map(f => f._1.substring(0, f._1.lastIndexOf('/'))).distinct
+    dirs match {
+      case Seq(d) => resolve(d).toString
+      case Seq() => // empty snapshot: its own commit dir stands in
+        new HPath(root, FileStats.dirOf(commitBody(v)).get).toString
+      case many => throw new IllegalStateException(
+        s"version $v of $path spans ${many.size} directories; " +
+          "run optimize() before registering an external location")
     }
   }
 
@@ -235,66 +337,146 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
           clusterCols.mkString("\n"))
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      commit(empty, expectedCurrent = None)
+      commitFiles(Some(empty), Seq.empty, schema.json,
+        expectedCurrent = None)
     }
     this
+  }
+
+  /** Micro-batch rows above this are merged with a shuffled anti-join
+    * instead of a driver-hosted broadcast (backfill batches under
+    * Trigger.AvailableNow can blow past maxOffsetsPerTrigger sizing).
+    */
+  private def broadcastRowLimit: Long =
+    spark.conf.get("graft.table.merge.broadcastRowLimit", "4000000").toLong
+
+  /** Batches at most this many rows get their distinct keys collected
+    * for per-key file pruning (tight); larger batches prune on the
+    * batch's [min,max] key range only (coarse, still conservative).
+    */
+  private def collectKeysLimit: Long =
+    spark.conf.get("graft.table.merge.collectKeysLimit", "100000").toLong
+
+  /** Which current files might hold any of the batch's keys — the
+    * MERGE rewrite scope. Decided from commit-manifest stats alone (no
+    * data IO): per collected key for bounded batches, else by key
+    * range. Missing/poisoned stats keep the file (conservative).
+    */
+  private def overlapPredicate(src: DataFrame, key: String,
+      srcRows: Long): FileStats.FileStat => Boolean = {
+    if (srcRows <= collectKeysLimit) {
+      val keys = src.select(key).distinct().collect().map(_.get(0)).toSeq
+      st => !FileStats.canSkipKeys(st, key, keys)
+    } else {
+      val r = src.select(min(col(key)).as("mn"), max(col(key)).as("mx"))
+        .head()
+      st => !FileStats.canSkipRange(st, key, r.get(0), r.get(1))
+    }
   }
 
   /** J1 — MERGE upsert: source rows replace target rows with the same
     * key; unmatched source rows are inserted. Correct because the caller
     * (W1 dedup) guarantees key-uniqueness within the source.
     *
+    * File-granular: only files whose key-range stats overlap the batch
+    * are read, anti-joined, and rewritten; every other file rides along
+    * by manifest reference (Delta MERGE's rewrite scope). On a
+    * key-clustered table a localized batch rewrites O(overlap) files,
+    * not O(table).
+    *
     * `mergeSchema = false` (default) pins the table schema like the
     * reference (`delta.schema.autoMerge.enabled=false`, main.py:72):
     * source columns outside the table schema are dropped. With
     * `mergeSchema = true` the table schema widens by the source's new
-    * top-level columns (Delta's autoMerge): existing rows read back
-    * with nulls in the added columns, and the widened schema is
-    * committed atomically with the data — the commit body embeds the
-    * snapshot schema, so both flip in the commit file's single atomic
-    * create.
+    * top-level columns (Delta's autoMerge): existing rows — including
+    * copied-forward files, which keep their physical schema — read
+    * back with nulls in the added columns, and the widened schema is
+    * committed atomically with the data in the commit file's single
+    * atomic create.
     */
   def upsert(source: DataFrame, key: String,
              mergeSchema: Boolean = false): Long = {
     // the source is a bounded micro-batch (maxOffsetsPerTrigger); cache
-    // it so the anti-join probe side, the union side, and the returned
-    // count are one computation, not three
+    // it so the pruning stats, the anti-join probe side, the union
+    // side, and the returned count are one computation, not several
     val src = source.cache()
     try retry() {
       val cur = latestVersion
-      val target = read()
-      val newCols = source.schema.fields
-        .filterNot(f => target.columns.contains(f.name))
-      val wideTarget =
+      val curV = cur.getOrElse(
+        throw new IllegalStateException(s"no table at $path"))
+      val files = fileListAt(curV)
+      val tableSchema = schema()
+      val newCols = src.schema.fields
+        .filterNot(f => tableSchema.fieldNames.contains(f.name))
+      val outSchema =
         if (mergeSchema && newCols.nonEmpty)
-          newCols.foldLeft(target)((t, f) =>
-            t.withColumn(f.name, lit(null).cast(f.dataType)))
-        else target
-      // The source is a bounded micro-batch; broadcast its key column so
-      // the target side never shuffles — at cluster scale the anti-join
-      // cost is one broadcast + the (unavoidable) target scan, never a
-      // full-table exchange. AQE would usually pick this anyway; the hint
-      // makes it deterministic.
-      val kept = wideTarget.join(
-        broadcast(src.select(key)), Seq(key), "left_anti")
-      val next = kept.unionByName(
-        src.select(wideTarget.columns.map(col): _*))
-      commit(next, cur)
-      src.count()
+          StructType(tableSchema.fields ++ newCols)
+        else tableSchema
+      val outCols = outSchema.fieldNames.toSeq
+      val srcRows = src.count()
+
+      val mayOverlap = overlapPredicate(src, key, srcRows)
+      val (touched, untouched) = files.partition(f => mayOverlap(f._2))
+      // empty files add nothing — merge them away instead of carrying
+      val kept = untouched.filterNot(_._2.rows == 0)
+
+      val srcOut = src.select(outCols.map(col): _*)
+      val newData =
+        if (touched.isEmpty) srcOut // pure insert: write only the batch
+        else {
+          val target0 = spark.read.schema(tableSchema)
+            .parquet(touched.map(f => resolve(f._1).toString): _*)
+          val target =
+            if (mergeSchema && newCols.nonEmpty)
+              newCols.foldLeft(target0)((t, f) =>
+                t.withColumn(f.name, lit(null).cast(f.dataType)))
+            else target0
+          // Broadcast the bounded micro-batch's key column so the
+          // target side never shuffles; past the row limit (oversized
+          // backfill) fall back to a shuffled anti-join rather than
+          // materializing the batch on the driver.
+          val probe = src.select(key)
+          val joined = target.join(
+            if (srcRows <= broadcastRowLimit) broadcast(probe) else probe,
+            Seq(key), "left_anti")
+          lastMergePlan = Some(joined.queryExecution.sparkPlan.toString)
+          joined.select(outCols.map(col): _*).unionByName(srcOut)
+        }
+      commitFiles(Some(newData), kept, outSchema.json, cur)
+      srcRows
     } finally src.unpersist()
   }
 
   /** J2 — MERGE delete: drop target rows whose key appears in `ids`
-    * (a single-column DataFrame of key values).
+    * (a single-column DataFrame of key values). Same file-granular
+    * scope as upsert: only files whose stats admit a listed key are
+    * rewritten.
     */
-  def deleteMatching(ids: DataFrame, key: String): Long = retry() {
-    val cur = latestVersion
-    val target = read()
-    val idsKeyed = ids.toDF(key)
-    // same micro-batch contract as upsert: broadcast the id list
-    val next = target.join(broadcast(idsKeyed), Seq(key), "left_anti")
-    commit(next, cur)
-    idsKeyed.count()
+  def deleteMatching(ids: DataFrame, key: String): Long = {
+    val idsKeyed = ids.toDF(key).cache()
+    try retry() {
+      val cur = latestVersion
+      val curV = cur.getOrElse(
+        throw new IllegalStateException(s"no table at $path"))
+      val files = fileListAt(curV)
+      val nIds = idsKeyed.count()
+      val mayOverlap = overlapPredicate(idsKeyed, key, nIds)
+      val (touched, untouched) = files.partition(f => mayOverlap(f._2))
+      val kept = untouched.filterNot(_._2.rows == 0)
+      val newData =
+        if (touched.isEmpty) None // no file can hold a listed key
+        else {
+          val target = spark.read.schema(schema())
+            .parquet(touched.map(f => resolve(f._1).toString): _*)
+          val joined = target.join(
+            if (nIds <= broadcastRowLimit) broadcast(idsKeyed) else idsKeyed,
+            Seq(key), "left_anti")
+          lastMergePlan = Some(joined.queryExecution.sparkPlan.toString)
+          Some(joined)
+        }
+      commitFiles(newData, kept, schema().json, cur)
+      nIds
+    } finally idsKeyed.unpersist()
   }
 
   /** J3 — compaction: rewrite the current snapshot into `numFiles`
@@ -302,9 +484,12 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
     * one column: range-partition + sort (classic clustering); several
     * columns: sort by the Z-order key (the `OPTIMIZE ZORDER` / liquid
     * clustering analogue — row-group min/max stats then prune on
-    * EVERY clustered column, not just the sort prefix).
+    * EVERY clustered column, not just the sort prefix). `compression`
+    * mirrors the reference compactor's writer properties
+    * (lakehousekeeper.py:196–214, default ZSTD).
     */
-  def optimize(numFiles: Int = 4): Unit = retry() {
+  def optimize(numFiles: Int = 4,
+               compression: String = "zstd"): Unit = retry() {
     val cur = latestVersion
     val df = read()
     val cols = clusterBy()
@@ -318,38 +503,68 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
         df.repartitionByRange(numFiles, cols.map(col): _*)
           .sortWithinPartitions(cols.map(col): _*)
       else df.repartition(numFiles)
-    commit(rewritten, cur)
+    commitFiles(Some(rewritten), Seq.empty, schema().json, cur,
+      compression)
   }
 
-  /** J4 — vacuum: delete snapshot directories older than
-    * `retentionMs` that are no longer current. With `dryRun` the
-    * candidates are counted and reported but nothing is deleted
-    * (`VACUUM ... DRY RUN` parity, lakehousekeeper.py:167–182).
+  /** J4 — vacuum: delete data files older than `retentionMs` that the
+    * CURRENT manifest no longer references (rewritten away, deleted,
+    * compacted over, or orphaned by a losing writer), then sweep
+    * emptied snapshot dirs. Returns the number of data files removed
+    * (counted, not deleted, under `dryRun` — `VACUUM ... DRY RUN`
+    * parity, lakehousekeeper.py:167–182).
+    *
+    * `enforceRetention` is Delta's retentionDurationCheck
+    * (lakehousekeeper.py:122–146): when enabled, a retention below
+    * `minRetentionMs` (default 1 week, Delta's
+    * deletedFileRetentionDuration) is refused — pass
+    * `enforceRetention = false` to override deliberately. The engine's
+    * own upkeep runs unchecked, as the reference disables the check in
+    * its session (main.py:71).
     */
   def vacuum(retentionMs: Long = 24L * 3600 * 1000,
-             dryRun: Boolean = false): Int = {
+             dryRun: Boolean = false,
+             enforceRetention: Boolean = false,
+             minRetentionMs: Long = DefaultMinRetentionMs): Int = {
+    if (enforceRetention && retentionMs < minRetentionMs)
+      throw new IllegalArgumentException(
+        s"retention ${retentionMs}ms is below the minimum " +
+          s"${minRetentionMs}ms; pass enforceRetention=false to " +
+          "override (lakehousekeeper --enforce-retention-duration)")
     val cur = latestVersion.getOrElse(return 0)
-    // only the exact dir the current commit points to is protected;
-    // same-version orphans from losing writers are collectable
-    val curDir = snapshotDirOf(cur).getName
+    val referenced = fileListAt(cur).map(_._1).toSet
+    val curDir = FileStats.dirOf(commitBody(cur)).getOrElse("")
     val cutoff = System.currentTimeMillis() - retentionMs
-    val snaps = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("snap-"))
     var n = 0
-    snaps.foreach { s =>
-      if (s.getPath.getName != curDir && s.getModificationTime < cutoff) {
-        if (!dryRun) fs.delete(s.getPath, true)
-        n += 1
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("snap-"))
+      .foreach { s =>
+        val dname = s.getPath.getName
+        val entries = fs.listStatus(s.getPath)
+        var remaining = entries.length
+        entries.foreach { e =>
+          val rel = s"$dname/${e.getPath.getName}"
+          if (!e.isDirectory && !referenced(rel) &&
+              e.getModificationTime < cutoff) {
+            if (!dryRun) fs.delete(e.getPath, false)
+            if (e.getPath.getName.endsWith(".parquet")) n += 1
+            remaining -= 1
+          }
+        }
+        // sweep dirs emptied by file deletion (never the current
+        // commit's own dir — its next write target may race)
+        if (!dryRun && remaining == 0 && dname != curDir &&
+            s.getModificationTime < cutoff)
+          fs.delete(s.getPath, true)
       }
-    }
     n
   }
 
-  /** delta-rs `cleanup_metadata` parity: drop commit-log entries whose
-    * snapshots were already vacuumed, keeping at least `keepLast`
-    * most-recent commits. Bounds log growth on a long-lived table; time
-    * travel to a cleaned version fails the same way a vacuumed one
-    * does.
+  /** delta-rs `cleanup_metadata` parity (lakehousekeeper.py:163): drop
+    * commit-log entries whose data files were already vacuumed, keeping
+    * at least `keepLast` most-recent commits. Bounds log growth on a
+    * long-lived table; time travel to a cleaned version fails the same
+    * way a vacuumed one does.
     */
   def cleanupMetadata(keepLast: Int = 100): Int = {
     val cur = latestVersion.getOrElse(return 0)
@@ -359,54 +574,73 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
       .sortBy(_._1)
     var n = 0
     commits.dropRight(keepLast).foreach { case (v, p) =>
-      if (v != cur && !fs.exists(snapshotDirOf(v))) {
+      if (v != cur && !versionIntact(v)) {
         fs.delete(p, false); n += 1
       }
     }
     n
   }
 
-  /** Write `df` as the next snapshot and publish it atomically. The
-    * snapshot lands in a writer-unique dir (`snap-<v>-<uuid>`) so two
-    * writers racing for the same version never touch each other's
-    * files; the commit file — created with overwrite=false — is the
-    * only pointer readers follow. If another writer won the race the
-    * create throws, this writer's orphan snapshot is deleted, and the
-    * caller's retry recomputes against the new state (optimistic
-    * concurrency, like Delta).
+  /** Write `newData` (when present) into a writer-unique dir, then
+    * publish the commit whose manifest = new files ∪ `keptFiles`
+    * (carried forward by reference with their existing stats). The
+    * commit file — created with overwrite=false — is the only pointer
+    * readers follow. If another writer won the race the create throws,
+    * this writer's orphan dir is deleted, and the caller's retry
+    * recomputes against the new state (optimistic concurrency, like
+    * Delta). Schema and manifest flip in the same atomic create.
     */
-  private def commit(df: DataFrame, expectedCurrent: Option[Long]): Long = {
-    // The commit body embeds the snapshot's schema so schema and data
-    // publish in the SAME atomic create (a crash can never leave a
-    // committed snapshot whose columns schema() doesn't know about).
-    // `_meta_schema.json` remains as the pre-schema-field fallback.
+  private def commitFiles(newData: Option[DataFrame],
+      keptFiles: Seq[(String, FileStats.FileStat)],
+      schemaJson: String,
+      expectedCurrent: Option[Long],
+      compression: String = "zstd"): Long = {
     val next = expectedCurrent.getOrElse(-1L) + 1
-    val dir = new HPath(root,
-      s"snap-$next-${java.util.UUID.randomUUID().toString.take(8)}")
-    // zstd like the reference's compaction writer properties
-    // (lakehousekeeper.py:206–214)
-    df.write.mode("overwrite").option("compression", "zstd")
-      .parquet(dir.toString)
-    // per-file min/max/null stats for data skipping, straight from the
-    // just-written parquet footers (metadata-only read, no data rescan)
+    val dirName =
+      s"snap-$next-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dir = new HPath(root, dirName)
     val conf = spark.sessionState.newHadoopConf()
-    val stats = fs.listStatus(dir).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet"))
-      .map(p => p.getName -> FileStats.readFooter(conf, p)).toMap
-    val statsJson = FileStats.toJsonNode(stats).toString
+    val newStats: Seq[(String, FileStats.FileStat)] = newData match {
+      case Some(df) =>
+        // zstd like the reference's writer properties
+        // (lakehousekeeper.py:206–214)
+        df.write.mode("overwrite").option("compression", compression)
+          .parquet(dir.toString)
+        // per-file min/max/null stats for data skipping, straight from
+        // the just-written parquet footers (metadata-only read)
+        fs.listStatus(dir).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(p => s"$dirName/${p.getName}" ->
+            FileStats.readFooter(conf, p))
+          .toSeq
+          // empty part files (a writer partition with no rows) carry no
+          // data and have no stats, so every later merge would
+          // conservatively rewrite them — keep them out of the
+          // manifest; vacuum sweeps the orphaned bytes
+          .filter(_._2.rows > 0)
+      case None => Seq.empty
+    }
+    val statsJson =
+      FileStats.toJsonNode((keptFiles ++ newStats).toMap).toString
     onBeforePublish()
     val out =
       try fs.create(commitFile(next), /*overwrite=*/ false)
       catch { case e: Throwable =>
-        // lost the race: remove this writer's unpublished snapshot so
-        // it doesn't linger until vacuum, then let retry() re-drive
+        // lost the race: remove this writer's unpublished dir so it
+        // doesn't linger until vacuum, then let retry() re-drive
         fs.delete(dir, true)
         throw e
       }
     try out.write(
-      s"""{"version":$next,"dir":"${dir.getName}","schema":${df.schema.json},"files":$statsJson}"""
+      s"""{"version":$next,"dir":"$dirName","schema":$schemaJson,"files":$statsJson}"""
         .getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    // roll the lookup checkpoint forward every checkpointInterval
+    // commits (reference settings.py:48). A plain overwrite: the file
+    // is a monotone hint, never load-bearing for correctness.
+    if (checkpointInterval > 0 && next > 0 &&
+        next % checkpointInterval == 0)
+      writeFile(lastCheckpointFile, s"""{"version":$next}""")
     next
   }
 
@@ -418,8 +652,15 @@ final class ResourceTable(val spark: SparkSession, val path: String) {
 }
 
 object ResourceTable {
+  /** Delta's default deletedFileRetentionDuration: 1 week. */
+  val DefaultMinRetentionMs: Long = 7L * 24 * 3600 * 1000
+
   def apply(spark: SparkSession, path: String): ResourceTable =
     new ResourceTable(spark, path)
+
+  def apply(spark: SparkSession, path: String,
+            checkpointInterval: Int): ResourceTable =
+    new ResourceTable(spark, path, checkpointInterval)
 
   /** J5 — the reference's tenacity retry (exponential backoff ×5) around
     * table commits (bundle_processor.py:240–244).

@@ -103,6 +103,63 @@ class EngineSpec extends SparkSpec {
     assert(l.kafkaOffsets.get(("q1", "fhir.msg", "1", "end")) == 456L)
   }
 
+  test("kafka options: SSL emits security+store keys, PLAINTEXT omits them") {
+    // reference settings.py:9–27 applied in main.py:137–153
+    val plain = Engine.kafkaOptions(Settings())
+    assert(!plain.contains("kafka.security.protocol"))
+    assert(!plain.keys.exists(_.startsWith("kafka.ssl.")))
+    assert(plain("groupIdPrefix") == "fhir-to-lakehouse") // main.py:131
+
+    val ssl = Engine.kafkaOptions(Settings(
+      securityProtocol = "SSL",
+      kafkaSsl = KafkaSslSettings(
+        truststorePassword = "ts-secret", keystorePassword = "ks-secret")))
+    assert(ssl("kafka.security.protocol") == "SSL")
+    assert(ssl("kafka.ssl.truststore.type") == "PKCS12")
+    assert(ssl("kafka.ssl.truststore.location") == "/opt/kafka-certs/ca.p12")
+    assert(ssl("kafka.ssl.truststore.password") == "ts-secret")
+    assert(ssl("kafka.ssl.keystore.type") == "PKCS12")
+    assert(ssl("kafka.ssl.keystore.location") == "/opt/kafka-certs/user.p12")
+    assert(ssl("kafka.ssl.keystore.password") == "ks-secret")
+    // the non-SSL option surface is unchanged by the SSL block
+    assert(ssl.filterNot(kv => kv._1.startsWith("kafka.s")) ==
+      plain.filterNot(kv => kv._1.startsWith("kafka.s")))
+  }
+
+  test("prometheus endpoint scrapes batch histograms, counters, and listener gauges") {
+    val base = tmpDir("prom")
+    val bridge = new PrometheusBridge
+    val listener = new QueryProgressListener
+    // seed listener state the way onQueryProgress would
+    listener.rowsPerSecond.put("Patient", 123.5)
+    listener.kafkaOffsets.put(("Patient", "fhir.msg", "0", "end"), 42L)
+    // run a real batch through the processor with the bridge attached
+    val bp = new graft.pipeline.BatchProcessor(
+      s"$base/delta/default", upkeepInterval = 50, metrics = bridge)
+    bp.processBatch(
+      graft.pipeline.BundlePipeline.prepare(kafkaBatch(spark,
+        Seq((fixture("single-patient.json"), 0, 0L)))), 0) // batch 0 → upkeep too
+    val server = new MetricsServer(bridge, Some(listener), port = 0)
+    try {
+      val url = new java.net.URL(
+        s"http://127.0.0.1:${server.boundPort}/metrics")
+      val body = scala.io.Source.fromInputStream(url.openStream())
+        .mkString
+      assert(body.contains(
+        """spark_streaming_query_processed_rows_per_second{query_name="Patient"} 123.5"""))
+      assert(body.contains(
+        """spark_streaming_query_kafka_offset{type="end",query_name="Patient",topic="fhir.msg",partition="0"} 42"""))
+      assert(body.contains(
+        """resources_processed_total{operation="written",resource_type="Patient"} 1"""))
+      assert(body.contains(
+        """delta_operation_duration_seconds_count{operation="merge"} 1"""))
+      // batch 0 crossed the upkeep cadence → optimize+vacuum histogram
+      assert(body.contains(
+        """delta_operation_duration_seconds_count{operation="upkeep"} 1"""))
+      assert(body.contains("""le="+Inf"""))
+    } finally server.stop()
+  }
+
   test("lakehousekeeper discovers, optimizes and registers tables") {
     val base = tmpDir("lhk")
     val dbDir = s"$base/default"

@@ -254,6 +254,154 @@ class ResourceTableSpec extends SparkSpec {
     assert(t.read().columns.contains("extra"))
   }
 
+  test("file-granular merge: upsert touching 1 of 8 clustered files rewrites exactly 1") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val t = ResourceTable(spark, s"${tmpDir("rtgran")}/T.parquet")
+    val data = (1 to 8000).map(i => (i.toLong, s"name_$i")).toDF("id", "name")
+    t.createIfNotExists(data.schema, clusterCols = Seq("id"))
+    t.upsert(data, "id")
+    t.optimize(numFiles = 8) // disjoint id ranges per file
+    val v = t.latestVersion.get
+    val before = t.fileManifest(v)
+    assert(before.size == 8)
+    // a batch whose keys land in ONE file's range
+    val batch = Seq((10L, "updated_10"), (20L, "updated_20")).toDF("id", "name")
+    t.upsert(batch, "id")
+    val after = t.fileManifest(t.latestVersion.get)
+    val carried = after.toSet intersect before.toSet
+    assert(carried.size == 7,
+      s"expected 7 carried-forward files, got ${carried.size}")
+    assert((after.toSet -- before.toSet).nonEmpty) // the one rewrite
+    // content is still exact
+    assert(t.read().count() == 8000)
+    assert(t.read(col("id") === 10L).collect().head.getString(1) == "updated_10")
+    // delete scoped the same way: ids in one file's range
+    val beforeDel = t.fileManifest(t.latestVersion.get)
+    t.deleteMatching(Seq(30L).toDF("id"), "id")
+    val afterDel = t.fileManifest(t.latestVersion.get)
+    assert((afterDel.toSet intersect beforeDel.toSet).size >= 7)
+    assert(t.read().count() == 7999)
+  }
+
+  test("non-overlapping delete commits without touching any data file") {
+    import spark.implicits._
+    val t = ResourceTable(spark, s"${tmpDir("rtnoop")}/T.parquet")
+    val data = (1 to 100).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+    t.createIfNotExists(data.schema, clusterCols = Seq("id"))
+    t.upsert(data, "id")
+    val v = t.latestVersion.get
+    val before = t.fileManifest(v)
+    t.deleteMatching(Seq(99999L).toDF("id"), "id") // provably out of range
+    assert(t.latestVersion.contains(v + 1)) // still a committed version
+    assert(t.fileManifest(v + 1) == before) // pure copy-forward
+    assert(t.read().count() == 100)
+  }
+
+  test("checkpointed latestVersion reads hint + tail, not the whole log") {
+    import spark.implicits._
+    val base = s"${tmpDir("rtckpt")}/T.parquet"
+    val t = ResourceTable(spark, base, checkpointInterval = 5)
+    val data = Seq((1L, "a")).toDF("id", "name")
+    t.createIfNotExists(data.schema)
+    (1 to 6).foreach(i => t.upsert(Seq((i.toLong, s"v$i")).toDF("id", "name"), "id"))
+    // v5 crossed the interval → _last_checkpoint exists and is used
+    assert(t.latestVersion.contains(6L))
+    assert(t.lastLookupCost <= 4, s"cost ${t.lastLookupCost}")
+    // fabricate a long log the way a year of micro-batches would:
+    // commit files are the protocol, so writing them directly is fair
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val schemaJson = t.schema().json
+    (7L to 249L).foreach { v =>
+      val p = new org.apache.hadoop.fs.Path(base, f"_log/$v%020d.commit")
+      val out = fs.create(p, false)
+      try out.write(
+        s"""{"version":$v,"dir":"snap-$v-fab","schema":$schemaJson,"files":{}}"""
+          .getBytes("UTF-8"))
+      finally out.close()
+    }
+    val ckpt = new org.apache.hadoop.fs.Path(base, "_log/_last_checkpoint")
+    val out = fs.create(ckpt, true)
+    try out.write("""{"version":245}""".getBytes("UTF-8")) finally out.close()
+    assert(t.latestVersion.contains(249L))
+    assert(t.lastLookupCost <= 10,
+      s"lookup cost ${t.lastLookupCost} — should probe from checkpoint, not list 250 commits")
+    // time travel to a real retained version still works
+    assert(t.readVersion(1).count() == 1)
+    // a corrupt/stale checkpoint falls back to the full listing
+    val out2 = fs.create(ckpt, true)
+    try out2.write("""{"version":9999}""".getBytes("UTF-8")) finally out2.close()
+    assert(t.latestVersion.contains(249L))
+  }
+
+  test("oversized batch falls back from broadcast to shuffled anti-join") {
+    import spark.implicits._
+    val t = ResourceTable(spark, s"${tmpDir("rtbig")}/T.parquet")
+    val data = (1 to 500).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+    t.createIfNotExists(data.schema)
+    t.upsert(data, "id")
+    // default path: micro-batch side is broadcast
+    t.lastMergePlan = None
+    t.upsert(Seq((1L, "x")).toDF("id", "name"), "id")
+    assert(t.lastMergePlan.exists(_.contains("Broadcast")),
+      t.lastMergePlan.getOrElse("no plan"))
+    // forced-large batch: the explicit broadcast hint must NOT be
+    // planted (auto-broadcast off so the planner can't re-add it)
+    spark.conf.set("graft.table.merge.broadcastRowLimit", "10")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      t.lastMergePlan = None
+      val big = (1 to 50).map(i => (i.toLong, s"big$i")).toDF("id", "name")
+      t.upsert(big, "id")
+      assert(t.lastMergePlan.exists(p => !p.contains("BroadcastHashJoin")),
+        t.lastMergePlan.getOrElse("no plan"))
+      val got = t.read().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got(25L) == "big25" && got(500L) == "n500" && got.size == 500)
+    } finally {
+      spark.conf.unset("graft.table.merge.broadcastRowLimit")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("vacuum enforce-retention-duration: refuses sub-minimum retention unless disabled") {
+    import spark.implicits._
+    val t = ResourceTable(spark, s"${tmpDir("rtenf")}/T.parquet")
+    val data = Seq((1L, "a")).toDF("id", "name")
+    t.createIfNotExists(data.schema)
+    t.upsert(data, "id")
+    intercept[IllegalArgumentException] {
+      t.vacuum(retentionMs = 24L * 3600 * 1000, enforceRetention = true)
+    }
+    // above the minimum passes the check
+    assert(t.vacuum(retentionMs = 8L * 24 * 3600 * 1000,
+      enforceRetention = true) >= 0)
+    // explicit override allows sub-minimum (the CLI's no-enforce)
+    assert(t.vacuum(retentionMs = -1000, enforceRetention = false) >= 0)
+  }
+
+  test("optimize compression knob writes the requested parquet codec") {
+    import spark.implicits._
+    val base = s"${tmpDir("rtcodec")}/T.parquet"
+    val t = ResourceTable(spark, base)
+    val data = (1 to 100).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+    t.createIfNotExists(data.schema)
+    t.upsert(data, "id")
+    def codecOf(): String = {
+      val file = t.fileManifest(t.latestVersion.get).head
+      val p = new org.apache.hadoop.fs.Path(base, file)
+      val conf = spark.sessionState.newHadoopConf()
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try r.getFooter.getBlocks.get(0).getColumns.get(0).getCodec.toString
+      finally r.close()
+    }
+    t.optimize(numFiles = 1, compression = "snappy")
+    assert(codecOf() == "SNAPPY")
+    t.optimize(numFiles = 1) // default parity: zstd (lakehousekeeper.py:198)
+    assert(codecOf() == "ZSTD")
+  }
+
   test("stat compare never skips on non-finite doubles") {
     // a parquet double stat of Inf (legal when data contains Inf) must
     // make the file incomparable -> kept, not crash BigDecimal
