@@ -143,29 +143,36 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     * like Delta's. The preimages make the feed algebraically complete:
     * any distributive aggregate over the table can be maintained
     * incrementally by adding post-rows and subtracting pre-rows (see
-    * q_incremental_agg). Implemented as key anti/semi joins plus
-    * full-row EXCEPTs for the update set — all shuffle on the key, no
-    * driver-side state, so the diff scales to arbitrarily large
-    * snapshots (reference parity: delta CDF via delta-rs,
-    * lakehousekeeper.py uses table history the same way).
+    * q_incremental_agg). Implemented as ONE full-outer join of the two
+    * snapshots on the key (each side packed into a struct), classified
+    * with a null-safe struct compare and exploded into 0/1/2 image
+    * rows — a single key shuffle, no driver-side state, so the diff
+    * costs one co-partitioned pass however large the snapshots
+    * (reference parity: delta CDF via delta-rs, lakehousekeeper.py
+    * uses table history the same way).
     */
   def changes(fromV: Long, toV: Long, key: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
     val from = readVersion(fromV)
     val to = readVersion(toV)
-    val inserted = to.join(from, Seq(key), "left_anti")
-      .withColumn("_change_type", lit("insert"))
-    val deleted = from.join(to, Seq(key), "left_anti")
-      .withColumn("_change_type", lit("delete"))
-    // images of keys present in both versions whose full row changed:
-    // EXCEPT is exact on every column, no per-column compare
-    val toBoth = to.join(from.select(col(key)), Seq(key), "left_semi")
-    val fromBoth = from.join(to.select(col(key)), Seq(key), "left_semi")
-    val post = toBoth.exceptAll(from)
-      .withColumn("_change_type", lit("update_postimage"))
-    val pre = fromBoth.exceptAll(to)
-      .withColumn("_change_type", lit("update_preimage"))
-    inserted.unionByName(deleted).unionByName(pre).unionByName(post)
+    val cols = from.columns.toSeq
+    val f = from.select(col(key).as("_k"),
+      struct(cols.map(col): _*).as("_pre"))
+    val t = to.select(col(key).as("_k"),
+      struct(cols.map(col): _*).as("_post"))
+    def img(src: String, ct: String) =
+      struct(col(src).as("_img"), lit(ct).as("_ct"))
+    f.join(t, Seq("_k"), "full_outer")
+      .select(explode(
+        when(col("_pre").isNull, array(img("_post", "insert")))
+          .when(col("_post").isNull, array(img("_pre", "delete")))
+          .when(!(col("_pre") <=> col("_post")),
+            array(img("_pre", "update_preimage"),
+              img("_post", "update_postimage")))).as("_e"))
+      // unchanged keys fall through every branch to a NULL array, and
+      // explode emits no row for NULL — exactly "no change event"
+      .select((cols.map(c => col(s"_e._img.$c")) :+
+        col("_e._ct").as("_change_type")): _*)
   }
 
   /** Data-skipping read (Delta stats-based file pruning): files whose
@@ -357,20 +364,27 @@ final class ResourceTable(val spark: SparkSession, val path: String,
   private def collectKeysLimit: Long =
     spark.conf.get("graft.table.merge.collectKeysLimit", "100000").toLong
 
-  /** Which current files might hold any of the batch's keys — the
-    * MERGE rewrite scope. Decided from commit-manifest stats alone (no
-    * data IO): per collected key for bounded batches, else by key
-    * range. Missing/poisoned stats keep the file (conservative).
+  /** The batch's (row count, rewrite-scope predicate) in ONE Spark job
+    * for bounded batches: a per-key groupBy capped at
+    * `collectKeysLimit + 1` rows yields the distinct keys (tight
+    * per-key file pruning) AND the total row count (sum of per-key
+    * counts). Only an overflowing batch pays a second job — a single
+    * count+min/max aggregate — and prunes on the key range (coarse,
+    * still conservative). Missing/poisoned stats keep the file.
     */
-  private def overlapPredicate(src: DataFrame, key: String,
-      srcRows: Long): FileStats.FileStat => Boolean = {
-    if (srcRows <= collectKeysLimit) {
-      val keys = src.select(key).distinct().collect().map(_.get(0)).toSeq
-      st => !FileStats.canSkipKeys(st, key, keys)
+  private def keyProfile(src: DataFrame, key: String)
+      : (Long, FileStats.FileStat => Boolean) = {
+    val lim = collectKeysLimit.min(Int.MaxValue - 1).toInt
+    val grouped = src.groupBy(col(key))
+      .agg(count(lit(1)).as("_n")).limit(lim + 1).collect()
+    if (grouped.length <= lim) {
+      val rows = grouped.map(_.getLong(1)).sum
+      val keys = grouped.map(_.get(0)).toSeq
+      (rows, st => !FileStats.canSkipKeys(st, key, keys))
     } else {
-      val r = src.select(min(col(key)).as("mn"), max(col(key)).as("mx"))
-        .head()
-      st => !FileStats.canSkipRange(st, key, r.get(0), r.get(1))
+      val r = src.agg(count(lit(1)).as("_n"),
+        min(col(key)).as("_mn"), max(col(key)).as("_mx")).head()
+      (r.getLong(0), st => !FileStats.canSkipRange(st, key, r.get(1), r.get(2)))
     }
   }
 
@@ -413,37 +427,47 @@ final class ResourceTable(val spark: SparkSession, val path: String,
           StructType(tableSchema.fields ++ newCols)
         else tableSchema
       val outCols = outSchema.fieldNames.toSeq
-      val srcRows = src.count()
 
-      val mayOverlap = overlapPredicate(src, key, srcRows)
-      val (touched, untouched) = files.partition(f => mayOverlap(f._2))
-      // empty files add nothing — merge them away instead of carrying
-      val kept = untouched.filterNot(_._2.rows == 0)
+      // Empty table (or only zero-row placeholder files): pure insert,
+      // ONE Spark job — no pruning stats are needed and the returned
+      // row count rides along as an observed metric of the write job.
+      if (!files.exists(_._2.rows > 0)) {
+        val obs = org.apache.spark.sql.Observation()
+        commitFiles(Some(src.select(outCols.map(col): _*)
+            .observe(obs, count(lit(1)).as("_rows"))),
+          Seq.empty, outSchema.json, cur)
+        obs.get("_rows").asInstanceOf[Long]
+      } else {
+        val (srcRows, mayOverlap) = keyProfile(src, key)
+        val (touched, untouched) = files.partition(f => mayOverlap(f._2))
+        // empty files add nothing — merge them away instead of carrying
+        val kept = untouched.filterNot(_._2.rows == 0)
 
-      val srcOut = src.select(outCols.map(col): _*)
-      val newData =
-        if (touched.isEmpty) srcOut // pure insert: write only the batch
-        else {
-          val target0 = spark.read.schema(tableSchema)
-            .parquet(touched.map(f => resolve(f._1).toString): _*)
-          val target =
-            if (mergeSchema && newCols.nonEmpty)
-              newCols.foldLeft(target0)((t, f) =>
-                t.withColumn(f.name, lit(null).cast(f.dataType)))
-            else target0
-          // Broadcast the bounded micro-batch's key column so the
-          // target side never shuffles; past the row limit (oversized
-          // backfill) fall back to a shuffled anti-join rather than
-          // materializing the batch on the driver.
-          val probe = src.select(key)
-          val joined = target.join(
-            if (srcRows <= broadcastRowLimit) broadcast(probe) else probe,
-            Seq(key), "left_anti")
-          lastMergePlan = Some(joined.queryExecution.sparkPlan.toString)
-          joined.select(outCols.map(col): _*).unionByName(srcOut)
-        }
-      commitFiles(Some(newData), kept, outSchema.json, cur)
-      srcRows
+        val srcOut = src.select(outCols.map(col): _*)
+        val newData =
+          if (touched.isEmpty) srcOut // pure insert: write only the batch
+          else {
+            val target0 = spark.read.schema(tableSchema)
+              .parquet(touched.map(f => resolve(f._1).toString): _*)
+            val target =
+              if (mergeSchema && newCols.nonEmpty)
+                newCols.foldLeft(target0)((t, f) =>
+                  t.withColumn(f.name, lit(null).cast(f.dataType)))
+              else target0
+            // Broadcast the bounded micro-batch's key column so the
+            // target side never shuffles; past the row limit (oversized
+            // backfill) fall back to a shuffled anti-join rather than
+            // materializing the batch on the driver.
+            val probe = src.select(key)
+            val joined = target.join(
+              if (srcRows <= broadcastRowLimit) broadcast(probe) else probe,
+              Seq(key), "left_anti")
+            lastMergePlan = Some(joined.queryExecution.sparkPlan.toString)
+            joined.select(outCols.map(col): _*).unionByName(srcOut)
+          }
+        commitFiles(Some(newData), kept, outSchema.json, cur)
+        srcRows
+      }
     } finally src.unpersist()
   }
 
@@ -459,8 +483,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       val curV = cur.getOrElse(
         throw new IllegalStateException(s"no table at $path"))
       val files = fileListAt(curV)
-      val nIds = idsKeyed.count()
-      val mayOverlap = overlapPredicate(idsKeyed, key, nIds)
+      val (nIds, mayOverlap) = keyProfile(idsKeyed, key)
       val (touched, untouched) = files.partition(f => mayOverlap(f._2))
       val kept = untouched.filterNot(_._2.rows == 0)
       val newData =
