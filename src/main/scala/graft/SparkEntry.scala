@@ -1311,6 +1311,105 @@ object SparkEntry {
           col("tf"), col("df"), col("score"))
     }),
 
+    // ---- Gopher-style repetition filters per document: distinct-word
+    //      ratio, top word share, top bigram share (word-granular — the
+    //      corpus is single-line). Boilerplate/degenerate-generation
+    //      detection that exact and near dedup both miss ----
+    "q_doc_repetition" -> ((s, dir) =>
+      TextStats.repetitionFeatures(t(s, dir, "documents"))),
+
+    // ---- frequency-ranked vocabulary (tokenizer-training precursor):
+    //      global wordcount, top-100 by (count desc, word) ----
+    "q_vocab_build" -> ((s, dir) =>
+      TextStats.vocabulary(t(s, dir, "documents"), topN = 100)),
+
+    // ---- BM25 retrieval scoring for a 3-term query, top-25 docs.
+    //      The double score ranks but is NOT output (ln() is not
+    //      bit-portable across engines); rank + the exact integer
+    //      evidence (dl, per-term tf) hash-match ----
+    "q_bm25" -> ((s, dir) => {
+      val scored = TextStats.bm25(t(s, dir, "documents"),
+        Seq("spark", "merge", "window"))
+      scored.orderBy(col("score").desc, col("doc_id")).limit(25)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast(LongType))
+        .select(col("rank"), col("doc_id"), col("dl"),
+          col("tf_spark"), col("tf_merge"), col("tf_window"))
+    }),
+
+    // ---- NFC unicode normalization via the native codegen'd
+    //      expression; decomposed combining marks appended to corpus
+    //      text so the normalization is observable (composed output is
+    //      shorter in codepoints) ----
+    "q_unicode_norm" -> ((s, dir) => {
+      // combining marks e+U+0301, n+U+0303, u+U+0308 — NFC composes
+      // them to é/ñ/ü, so len_nfc < len_raw proves the pass ran
+      val decomposed = concat(substring(col("text"), 1, 16),
+        lit(" cafe\u0301 nin\u0303o plu\u0308s"))
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.TextExpressions.nfc_normalize(decomposed)
+          .as("norm"),
+        length(decomposed).cast(LongType).as("len_raw"),
+        length(graft.functions.TextExpressions.nfc_normalize(decomposed))
+          .cast(LongType).as("len_nfc"))
+    }),
+
+    // ---- URL parsing (host / path / query param) + per-host rollup;
+    //      URLs synthesized from source/doc_id/lang so the oracle can
+    //      regex the same parts ----
+    "q_url_extract" -> ((s, dir) => {
+      val url = concat(lit("https://"), col("source"),
+        lit(".example.com/d/"), col("doc_id").cast(StringType),
+        lit("?ref="), col("lang"))
+      t(s, dir, "documents")
+        .select(parse_url(url, lit("HOST")).as("host"),
+          parse_url(url, lit("PATH")).as("path"),
+          parse_url(url, lit("QUERY"), lit("ref")).as("ref"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("ref")).as("n_refs"),
+          min(col("path")).as("first_path"))
+    }),
+
+    // ---- deterministic k-per-group sample (reservoir semantics,
+    //      content-hash order instead of an RNG) ----
+    "q_sample_per_group" -> ((s, dir) =>
+      graft.ops.Sampling.samplePerGroup(
+          t(s, dir, "documents"), "doc_id", "source", k = 5)
+        .select(col("source"), col("doc_id"), col("sample_rank"))),
+
+    // ---- streaming dedup with watermarked state eviction: duplicate
+    //      (user_id, event_type) arrivals within the watermark are
+    //      dropped and key state is evicted as the watermark advances —
+    //      bounded state on unbounded streams (vs dropDuplicates'
+    //      unbounded key set) ----
+    "q_stream_dedup" -> ((s, dir) => {
+      val raw = t(s, dir, "events")
+      val stream = s.readStream.schema(raw.schema)
+        .parquet(s"$dir/events.parque[t]")
+      // watermarks require TIMESTAMP (not NTZ); the session is UTC and
+      // no time column is output, so the cast cannot skew results
+      val withTs =
+        if (raw.schema("ts").dataType == LongType)
+          stream.withColumn("ts",
+            expr("timestamp_micros(ts DIV 1000)").cast(TimestampType))
+        else stream.withColumn("ts", col("ts").cast(TimestampType))
+      val dd = graft.streaming.StreamOps.dedupWithinWatermark(
+          withTs, "ts", Seq("user_id", "event_type"), watermark = "1 hour")
+        .select(col("user_id"), col("event_type"))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val name = s"stream_dedup_${System.nanoTime()}"
+      val q =
+        try dd.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table(name).cache()
+      out.count()
+      out
+    }),
+
     // ---- MapType construction + lookup (scalar outputs only) ----
     "q_map_ops" -> ((s, dir) => {
       val m = map(lit("type"), col("event_type"),
@@ -2167,6 +2266,112 @@ object SparkEntry {
         |  FROM tf JOIN dfreq USING (word))
         |SELECT doc_id, word AS top_word, tf, df, score
         |FROM scored WHERE rn = 1""".stripMargin,
+
+    "q_doc_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents),
+        |ucnt AS (
+        |  SELECT doc_id, g, count(*) AS n
+        |  FROM (SELECT doc_id, unnest(l) AS g FROM toks)
+        |  GROUP BY doc_id, g),
+        |uagg AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS total_w,
+        |    CAST(max(n) AS BIGINT) AS top_w,
+        |    CAST(count(*) AS BIGINT) AS distinct_w
+        |  FROM ucnt GROUP BY doc_id),
+        |bcnt AS (
+        |  SELECT doc_id, g, count(*) AS n
+        |  FROM (SELECT doc_id,
+        |          unnest(list_transform(range(1, len(l)),
+        |                                i -> l[i] || ' ' || l[i + 1])) AS g
+        |        FROM toks WHERE len(l) >= 2)
+        |  GROUP BY doc_id, g),
+        |bagg AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS total_b,
+        |    CAST(max(n) AS BIGINT) AS top_b
+        |  FROM bcnt GROUP BY doc_id)
+        |SELECT u.doc_id, u.total_w AS n_words,
+        |  CAST(u.distinct_w AS DOUBLE) / u.total_w AS distinct_word_ratio,
+        |  CAST(u.top_w AS DOUBLE) / u.total_w AS top_word_share,
+        |  CAST(COALESCE(b.top_b, 0) AS DOUBLE) /
+        |    GREATEST(COALESCE(b.total_b, 0), 1) AS top_bigram_share
+        |FROM uagg u LEFT JOIN bagg b ON u.doc_id = b.doc_id""".stripMargin,
+
+    "q_vocab_build" ->
+      """WITH cnt AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        |        FROM documents)
+        |  GROUP BY word)
+        |SELECT word, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank
+        |FROM cnt ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
+
+    "q_bm25" ->
+      """WITH tf AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                         x -> x = 'spark')) AS BIGINT) AS tf_spark,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                         x -> x = 'merge')) AS BIGINT) AS tf_merge,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                         x -> x = 'window')) AS BIGINT) AS tf_window
+        |  FROM documents),
+        |st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |    CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+        |    CAST(sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_merge,
+        |    CAST(sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_window
+        |  FROM tf),
+        |sc AS (
+        |  SELECT doc_id, dl, tf_spark, tf_merge, tf_window,
+        |      ln(1 + (n - df_spark + 0.5) / (df_spark + 0.5)) * tf_spark
+        |        * (1.2 + 1) / (tf_spark + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        |    + ln(1 + (n - df_merge + 0.5) / (df_merge + 0.5)) * tf_merge
+        |        * (1.2 + 1) / (tf_merge + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        |    + ln(1 + (n - df_window + 0.5) / (df_window + 0.5)) * tf_window
+        |        * (1.2 + 1) / (tf_window + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        |    AS score
+        |  FROM tf, st)
+        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |    AS rank,
+        |  doc_id, dl, tf_spark, tf_merge, tf_window
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    "q_unicode_norm" ->
+      """SELECT doc_id,
+        |  nfc_normalize(substr(text, 1, 16) || ' café niño plüs') AS norm,
+        |  CAST(length(substr(text, 1, 16) || ' café niño plüs') AS BIGINT) AS len_raw,
+        |  CAST(length(nfc_normalize(substr(text, 1, 16) || ' café niño plüs')) AS BIGINT) AS len_nfc
+        |FROM documents""".stripMargin,
+
+    "q_url_extract" ->
+      """WITH p AS (
+        |  SELECT
+        |    regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+        |    regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+        |    regexp_extract(url, '\?ref=([^&]*)', 1) AS ref
+        |  FROM (SELECT 'https://' || source || '.example.com/d/' ||
+        |          CAST(doc_id AS VARCHAR) || '?ref=' || lang AS url
+        |        FROM documents))
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT ref) AS BIGINT) AS n_refs,
+        |  min(path) AS first_path
+        |FROM p GROUP BY host""".stripMargin,
+
+    "q_sample_per_group" ->
+      """SELECT source, doc_id, sample_rank FROM (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |      AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 5""".stripMargin,
+
+    "q_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
 
     "q_gap_ffill" ->
       """WITH e AS (

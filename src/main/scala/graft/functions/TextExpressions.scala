@@ -137,10 +137,40 @@ object TextExpressions {
       copy(child = c)
   }
 
+  /** Unicode NFC normalization (canonical composition) — the standard
+    * first step of training-corpus text cleaning (é as e+U+0301 and é
+    * as U+00E9 must dedup/tokenize identically). Row-local; the
+    * already-normalized fast path (the overwhelming majority of real
+    * text) costs one `Normalizer.isNormalized` scan and zero
+    * allocation.
+    */
+  def nfcNormalizeEval(v: UTF8String): UTF8String = {
+    val s = v.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) v
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  case class NfcNormalize(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any =
+      nfcNormalizeEval(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExpressions.nfcNormalizeEval($c);")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // ----- Column API -----
   def shingle_hashes(text: Column, w: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), w))
 
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
+
+  def nfc_normalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
 }

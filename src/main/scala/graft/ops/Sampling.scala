@@ -85,4 +85,23 @@ object Sampling {
     }
     df.filter(h < threshold)
   }
+
+  /** Deterministic k-per-group sample — reservoir-sampling semantics
+    * without the RNG: rank rows inside each group by their content
+    * hash (id tie-break) and keep the first `k`. Because the hash
+    * order is a fixed pseudo-random permutation, the kept set is a
+    * uniform-ish sample that is reproducible across runs, engines, and
+    * re-shardings — unlike `reservoir`/`TABLESAMPLE`, appends only
+    * perturb it marginally. One hash shuffle on the group key; with
+    * many groups the per-group window state is tiny.
+    */
+  def samplePerGroup(df: DataFrame, idCol: String, groupCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
 }

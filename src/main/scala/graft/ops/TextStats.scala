@@ -165,6 +165,96 @@ object TextStats {
     * giving a compact per-document signature set for containment
     * detection. Returns array<long>, sorted for determinism.
     */
+  /** Gopher-style repetition features per document, word-granular
+    * (these corpora are single-line): distinct-word ratio, share of the
+    * most frequent word, share of the most frequent bigram. Filters
+    * like `top_bigram_share > 0.18 → drop` catch boilerplate and
+    * degenerate generations that exact/near dedup misses.
+    *
+    * Shape at scale: explode → two-level hash aggregate keyed on
+    * (doc_id, gram) then (doc_id) — partial aggregation combines
+    * map-side, and both shuffles hash on doc_id so the per-doc reduce
+    * never sees skew wider than one document's vocabulary.
+    */
+  def repetitionFeatures(df: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nm1 = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(slice(toks, lit(1), nm1),
+      slice(toks, lit(2), nm1), (a, b) => concat_ws(" ", a, b))
+    def shares(gramCol: Column, label: String) =
+      df.select(col(idCol), explode(gramCol).as("_g"))
+        .groupBy(col(idCol), col("_g")).agg(count(lit(1)).as("_n"))
+        .groupBy(col(idCol))
+        .agg(max(col("_n")).as(s"_top_$label"),
+          sum(col("_n")).as(s"_total_$label"),
+          count(lit(1)).as(s"_distinct_$label"))
+    val words = shares(toks, "w")
+    val pairs = shares(bigrams, "b")
+    words.join(pairs, Seq(idCol), "left")
+      .select(col(idCol),
+        col("_total_w").cast("long").as("n_words"),
+        (col("_distinct_w").cast("double") / col("_total_w"))
+          .as("distinct_word_ratio"),
+        (col("_top_w").cast("double") / col("_total_w"))
+          .as("top_word_share"),
+        (coalesce(col("_top_b"), lit(0L)).cast("double") /
+          greatest(coalesce(col("_total_b"), lit(0L)), lit(1L)))
+          .as("top_bigram_share"))
+  }
+
+  /** Frequency-ranked vocabulary over a corpus — the tokenizer-training
+    * precursor: global word counts, rank by (count desc, word) for a
+    * deterministic ordering, truncated to `topN`.
+    *
+    * Shape at scale: wordcount (map-side combine) then TakeOrdered for
+    * the top-N — no global sort of the full vocabulary.
+    */
+  def vocabulary(df: DataFrame, textCol: String = "text",
+                 topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(topN)
+    counts.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("word")))
+        .cast("long"))
+  }
+
+  /** BM25 scoring of every document against a bag of query terms
+    * (k1 = 1.2, b = 0.75, Lucene-style idf). Term frequencies are
+    * row-local array scans (no explode); the corpus constants (N,
+    * avgdl, per-term document frequencies) are one small aggregate
+    * broadcast back over the scan — two passes total, no shuffle by
+    * key. Returns the full scored corpus; callers top-k it.
+    */
+  def bm25(df: DataFrame, terms: Seq[String], idCol: String = "doc_id",
+           textCol: String = "text", k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    val toks = tokens(col(textCol))
+    def tf(t: String) = size(filter(toks, x => x === t)).cast("long")
+    val withTf = df.select(
+      (col(idCol) +: size(toks).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) => tf(t).as(s"_tf$i") }): _*)
+    val aggs = count(lit(1)).as("n") +: avg(col("dl")).as("avgdl") +:
+      terms.indices.map(i =>
+        sum((col(s"_tf$i") > 0).cast("long")).as(s"_df$i"))
+    val statsRow = withTf.agg(aggs.head, aggs.tail: _*).head()
+    val n = statsRow.getAs[Long]("n").toDouble
+    val avgdl = statsRow.getAs[Double]("avgdl")
+    val score = terms.indices.map { i =>
+      val dfT = statsRow.getAs[Long](s"_df$i").toDouble
+      val idf = math.log1p((n - dfT + 0.5) / (dfT + 0.5))
+      val tfc = col(s"_tf$i").cast("double")
+      lit(idf) * tfc * lit(k1 + 1) /
+        (tfc + lit(k1) *
+          (lit(1 - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))
+    }.reduce(_ + _)
+    withTf.select(
+      (col(idCol) +: col("dl") +: score.as("score") +:
+        terms.indices.map(i => col(s"_tf$i").as(s"tf_${terms(i)}"))): _*)
+  }
+
   def shingleFingerprints(text: Column, w: Int = 5): Column = {
     val toks = tokens(text)
     val n = size(toks)

@@ -57,6 +57,17 @@ object Lakehousekeeper {
       ResourceTable(spark, p).optimize(numFiles, compression); p
     }
 
+  /** Size-targeted variant (delta-rs `target_size` writer property,
+    * lakehousekeeper.py:206–214): per table, the output file count is
+    * derived from the snapshot's bytes, not fixed.
+    */
+  def optimizeBySize(spark: SparkSession, dir: String,
+                     targetBytes: Long = 1L << 30,
+                     compression: String = "zstd"): Seq[(String, Int)] =
+    listTables(spark, dir).map { p =>
+      p -> ResourceTable(spark, p).optimizeBySize(targetBytes, compression)
+    }
+
   /** schema/table name from the path, exactly the reference's string
     * derivation: parent dir name → schema, file stem → table.
     */
@@ -96,7 +107,8 @@ object Lakehousekeeper {
     if (cmd == "help") {
       System.err.println(
         "usage: lakehousekeeper vacuum <dir> [retentionHours] [dry] [no-enforce]" +
-          " | optimize <dir> [numFiles] [compression] | register <dir>")
+          " | optimize <dir> [numFiles|<size>g|<size>m] [compression]" +
+          " | register <dir>")
       return
     }
     val spark = SparkSession.builder()
@@ -117,10 +129,20 @@ object Lakehousekeeper {
               (if (dry) " (dry run)" else ""))
           }
         case "optimize" =>
-          val files = args.lift(2).map(_.toInt).getOrElse(4)
+          val sizing = args.lift(2).getOrElse("4")
           val codec = args.lift(3).getOrElse("zstd")
-          optimize(spark, dir, files, codec)
-            .foreach(p => println(s"optimized $p"))
+          // "8" = 8 files; "1g"/"512m" = size-targeted compaction
+          val sizeTarget = "^(\\d+)([gm])$".r
+          sizing.toLowerCase match {
+            case sizeTarget(n, unit) =>
+              val bytes = n.toLong << (if (unit == "g") 30 else 20)
+              optimizeBySize(spark, dir, bytes, codec).foreach {
+                case (p, k) => println(s"optimized $p into $k files")
+              }
+            case f =>
+              optimize(spark, dir, f.toInt, codec)
+                .foreach(p => println(s"optimized $p"))
+          }
         case "register" =>
           register(spark, dir).foreach(n => println(s"registered $n"))
         case other =>

@@ -530,6 +530,34 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       compression)
   }
 
+  /** Size-targeted compaction (Delta `OPTIMIZE` maxFileSize /
+    * delta-rs `target_size` parity, lakehousekeeper.py:206–214): pick
+    * the output file count from the snapshot's ACTUAL bytes — one FS
+    * listing per snapshot dir, no data read — so compacted files land
+    * near `targetBytes` each. At 100 TB a fixed file COUNT is always
+    * wrong (4 files of 25 TB or 10⁶ tiny files); a size target keeps
+    * scan parallelism and open-file cost balanced at any scale.
+    * Returns the chosen file count.
+    */
+  def optimizeBySize(targetBytes: Long = 1L << 30,
+                     compression: String = "zstd"): Int = {
+    require(targetBytes > 0)
+    val cur = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no table at $path"))
+    val rels = fileListAt(cur).map(_._1)
+    val totalBytes = rels
+      .groupBy(r => r.substring(0, r.lastIndexOf('/')))
+      .iterator.map { case (d, group) =>
+        val names = group.map(r => r.substring(r.lastIndexOf('/') + 1)).toSet
+        fs.listStatus(new HPath(root, d))
+          .filter(s => names(s.getPath.getName)).map(_.getLen).sum
+      }.sum
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+      .min(Int.MaxValue).toInt
+    optimize(n, compression)
+    n
+  }
+
   /** J4 — vacuum: delete data files older than `retentionMs` that the
     * CURRENT manifest no longer references (rewritten away, deleted,
     * compacted over, or orphaned by a losing writer), then sweep

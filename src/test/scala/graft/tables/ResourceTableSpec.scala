@@ -402,6 +402,26 @@ class ResourceTableSpec extends SparkSpec {
     assert(codecOf() == "ZSTD")
   }
 
+  test("optimizeBySize derives the file count from snapshot bytes") {
+    import spark.implicits._
+    val base = s"${tmpDir("rtsize")}/T.parquet"
+    val t = ResourceTable(spark, base)
+    val data = (1 to 20000)
+      .map(i => (i.toLong, s"padpadpadpadpadpad$i")).toDF("id", "name")
+    t.createIfNotExists(data.schema)
+    t.upsert(data.repartition(8), "id")
+    assert(t.fileManifest(t.latestVersion.get).size == 8)
+    // a huge target collapses to one file
+    assert(t.optimizeBySize(targetBytes = 1L << 40) == 1)
+    assert(t.fileManifest(t.latestVersion.get).size == 1)
+    // a tiny target splits the snapshot into many near-target files,
+    // and the results stay identical
+    val n = t.optimizeBySize(targetBytes = 16 * 1024)
+    assert(n > 1)
+    assert(t.fileManifest(t.latestVersion.get).size == n)
+    assert(t.read().count() == 20000)
+  }
+
   test("stat compare never skips on non-finite doubles") {
     // a parquet double stat of Inf (legal when data contains Inf) must
     // make the file incomparable -> kept, not crash BigDecimal
