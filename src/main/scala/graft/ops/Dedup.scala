@@ -139,10 +139,15 @@ object Dedup {
       substring(col(textCol), 1, prefixLen).as("_pref"),
       blockKey.as("_blk"))
     val a = docs.select(col("_blk"), col("_id").as("id_a"),
-      col("_pref").as("pref_a"))
+      col("_pref").as("pref_a"), length(col("_pref")).as("len_a"))
     val b = docs.select(col("_blk"), col("_id").as("id_b"),
-      col("_pref").as("pref_b"))
-    a.join(b, Seq("_blk")).where(col("id_a") < col("id_b"))
+      col("_pref").as("pref_b"), length(col("_pref")).as("len_b"))
+    // levenshtein(a,b) >= |len(a)-len(b)|, so the length gate drops
+    // pairs BEFORE the O(maxDist·len) banded comparison ever runs —
+    // an exact (never lossy) pre-filter evaluated in the join itself
+    a.join(b, a("_blk") === b("_blk") &&
+        abs(col("len_a") - col("len_b")) <= maxDist &&
+        col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         levenshtein(col("pref_a"), col("pref_b"), maxDist)
           .cast("long").as("dist"))
