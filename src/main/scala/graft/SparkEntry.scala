@@ -413,6 +413,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 50 === 0))
     }),
 
+    // ---- decontamination at unbroadcastable benchmark scale: Bloom
+    //      membership gate on the corpus scan (codegen'd two-hash
+    //      probe, no join) + exact confirm on the survivors only.
+    //      Shares q_decontaminate's oracle — bloom+confirm must equal
+    //      the exact set intersection bit-for-bit ----
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextStats.contaminationBloom(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0))
+    }),
+
     // ---- time-series resample + gap-fill: hourly activity grid per
     //      user over each user's own active span, missing hours
     //      zero-filled (sequence+explode up-sample, then a left join
@@ -2396,6 +2408,30 @@ object SparkEntry {
         |WHERE s.user_id < 200""".stripMargin,
 
     "q_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, length(text) - 3),
+        |    i -> substr(text, CAST(i AS INT), 5)))) AS sh
+        |  FROM documents WHERE length(text) >= 5),
+        |bench AS (
+        |  SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+        |corpus AS (
+        |  SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0),
+        |overlap AS (
+        |  SELECT doc_id, count(*) AS n_overlap FROM corpus
+        |  WHERE sh IN (SELECT sh FROM bench) GROUP BY doc_id),
+        |totals AS (
+        |  SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_shingles,
+        |  COALESCE(o.n_overlap, 0) AS n_overlap,
+        |  CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) /
+        |    CAST(t.n_shingles AS DOUBLE) AS contamination
+        |FROM totals t LEFT JOIN overlap o ON t.doc_id = o.doc_id""".stripMargin,
+
+    // identical semantics to q_decontaminate by construction: the
+    // bloom filter admits a superset (never a false negative) and the
+    // exact confirm strips the rest
+    "q_decontaminate_bloom" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, length(text) - 3),

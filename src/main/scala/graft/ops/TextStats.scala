@@ -139,26 +139,71 @@ object TextStats {
     * broadcast, swap the semi-join for a bloom-filter pushdown; the
     * per-doc aggregation is unchanged.
     */
-  def contamination(corpus: DataFrame, benchmark: DataFrame,
-                    idCol: String = "doc_id", textCol: String = "text",
-                    n: Int = 5): DataFrame = {
-    def shingles(df: DataFrame) = df
-      .filter(length(col(textCol)) >= n)
-      .select(col(idCol),
-        explode(array_distinct(transform(
-          sequence(lit(1), length(col(textCol)) - (n - 1)),
-          i => substring(col(textCol), i, lit(n))))).as("sh"))
-    val benchSet = shingles(benchmark).select(col("sh")).distinct()
-    val corpusSh = shingles(corpus)
-    val overlap = corpusSh
-      .join(broadcast(benchSet), Seq("sh"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+  private def charShingles(df: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame = df
+    .filter(length(col(textCol)) >= n)
+    .select(col(idCol),
+      explode(array_distinct(transform(
+        sequence(lit(1), length(col(textCol)) - (n - 1)),
+        i => substring(col(textCol), i, lit(n))))).as("sh"))
+
+  /** Shared final assembly: per-doc shingle totals joined with the
+    * per-doc overlap counts → contamination fraction.
+    */
+  private def contaminationReport(corpusSh: DataFrame, overlap: DataFrame,
+                                  idCol: String): DataFrame =
     corpusSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
       .join(overlap, Seq(idCol), "left")
       .select(col(idCol), col("n_shingles"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         (coalesce(col("n_overlap"), lit(0L)).cast("double") /
           col("n_shingles").cast("double")).as("contamination"))
+
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    n: Int = 5): DataFrame = {
+    val benchSet = charShingles(benchmark, idCol, textCol, n)
+      .select(col("sh")).distinct()
+    val corpusSh = charShingles(corpus, idCol, textCol, n)
+    val overlap = corpusSh
+      .join(broadcast(benchSet), Seq("sh"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    contaminationReport(corpusSh, overlap, idCol)
+  }
+
+  /** [[contamination]] for benchmark sets too large to broadcast as a
+    * hash relation: the benchmark shingles build a ~9.6-bits/item
+    * Bloom filter (distributed treeAggregate), the corpus scan keeps
+    * only shingles the filter admits (a codegen'd two-hash probe per
+    * row — no join, no shuffle on the corpus side), and only those
+    * CANDIDATES pay an exact semi-join to strip the filter's false
+    * positives. Results are therefore IDENTICAL to [[contamination]]
+    * — the gate query shares its oracle — while the per-row scan cost
+    * is independent of benchmark size: at 1 B benchmark shingles the
+    * exact set is ~50 GB (unbroadcastable) but the filter is ~1.2 GB
+    * at 1% fpp, and the residual join only ever sees true overlaps
+    * plus the fpp fraction of the corpus.
+    */
+  def contaminationBloom(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         n: Int = 5, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.BloomExpressions.might_contain_long
+    // materialized once: the distinct set feeds the count, the filter
+    // build, and the exact-confirm join
+    val benchSet = charShingles(benchmark, idCol, textCol, n)
+      .select(col("sh")).distinct().localCheckpoint(true)
+    val expected = math.max(benchSet.count(), 1L)
+    val bf = benchSet.select(xxhash64(col("sh")).as("shl"))
+      .stat.bloomFilter("shl", expected, fpp)
+    val corpusSh = charShingles(corpus, idCol, textCol, n)
+    val candidates = corpusSh
+      .filter(might_contain_long(bf, xxhash64(col("sh"))))
+    // exact confirm on the bloom survivors only; NOT broadcast — at
+    // scale the benchmark set is the big side, and the candidate side
+    // is already tiny (true overlaps + fpp), so AQE picks the join
+    val overlap = candidates.join(benchSet, Seq("sh"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    contaminationReport(corpusSh, overlap, idCol)
   }
 
   /** Rolling-hash shingle fingerprint: xxhash64 of each w-token window,

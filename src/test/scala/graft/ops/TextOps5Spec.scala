@@ -87,6 +87,32 @@ class TextOps5Spec extends SparkSpec {
     assert(out(1).getAs[Int]("ln") == out(1).getAs[Int]("lr"))
   }
 
+  test("contaminationBloom equals exact contamination (no false negatives)") {
+    val docs = (0L until 60L).map { i =>
+      val body =
+        if (i % 10 == 0) s"shared benchmark passage number ${i / 10} here"
+        else s"unique corpus document $i with its own distinct words"
+      (i, body)
+    }.toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_overlap"))).sortBy(_._1).toSeq
+    assert(canon(TextStats.contaminationBloom(corpus, bench)) ==
+      canon(TextStats.contamination(corpus, bench)))
+  }
+
+  test("bloom gate: every true member is admitted (no false negatives)") {
+    import graft.functions.BloomExpressions.might_contain_long
+    val items = (0L until 5000L).map(i => s"item-$i").toDF("sh")
+    val bf = items.select(xxhash64(col("sh")).as("h"))
+      .stat.bloomFilter("h", 5000, 0.01)
+    val admitted = items
+      .filter(might_contain_long(bf, xxhash64(col("sh")))).count()
+    assert(admitted == 5000) // bloom filters never false-negative
+  }
+
   test("nfc_normalize: null in, null out") {
     val df = Seq(Option.empty[String], Some("ok")).toDF("s")
     val out = df.select(TextExpressions.nfc_normalize(col("s")).as("n"))
