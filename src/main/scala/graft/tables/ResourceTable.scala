@@ -221,12 +221,37 @@ final class ResourceTable(val spark: SparkSession, val path: String,
 
   // ---------------- manifest plumbing ---------------------------------
 
+  /** A commit file becomes VISIBLE at its atomic create() — that is
+    * the winner-election point — but its bytes land between create and
+    * close. A reader that opens the file inside that window sees a
+    * truncated body (or a checksum mismatch on ChecksumFileSystems).
+    * Writers never touch a commit after close, so the first
+    * well-formed read is final: retry the read until the body parses,
+    * bounded by a deadline that is orders of magnitude beyond the
+    * write window (commit bodies are a few KB written in one call).
+    */
   private def commitBody(v: Long): String = {
     val cf = commitFile(v)
     if (!fs.exists(cf))
       throw new IllegalStateException(
         s"version $v of $path never existed")
-    readFile(cf)
+    val deadline = System.nanoTime() + 5000L * 1000 * 1000
+    var last: Throwable = null
+    while (true) {
+      try {
+        val body = readFile(cf)
+        // written in one write(): a complete body parses and closes
+        if (FileStats.dirOf(body).isDefined && body.trim.endsWith("}"))
+          return body
+        last = null
+      } catch { case e: Throwable => last = e }
+      if (System.nanoTime() > deadline)
+        throw new IllegalStateException(
+          s"commit $cf still unreadable at deadline " +
+            "(in-flight write should settle in ms)", last)
+      Thread.sleep(5)
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** The version's data-file manifest: root-relative path → stats.
@@ -307,7 +332,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     */
   def schema(): StructType = {
     val fromCommit = latestVersion.flatMap(v =>
-      FileStats.schemaOf(readFile(commitFile(v))))
+      FileStats.schemaOf(commitBody(v)))
     DataType.fromJson(fromCommit.getOrElse(
         readFile(new HPath(root, "_meta_schema.json"))))
       .asInstanceOf[StructType]
@@ -675,7 +700,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       FileStats.toJsonNode((keptFiles ++ newStats).toMap).toString
     onBeforePublish()
     val out =
-      try fs.create(commitFile(next), /*overwrite=*/ false)
+      try createExclusive(commitFile(next))
       catch { case e: Throwable =>
         // lost the race: remove this writer's unpublished dir so it
         // doesn't linger until vacuum, then let retry() re-drive
@@ -700,6 +725,23 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
+
+  /** Create-fails-if-exists with REAL atomicity per filesystem — the
+    * commit protocol's winner election. HDFS's create(overwrite=false)
+    * is atomic at the NameNode, but Hadoop's RawLocalFileSystem
+    * implements it as exists()-then-create: two racing local writers
+    * can BOTH pass the check and the second silently overwrites the
+    * first — a lost commit (caught by the concurrent-writer stress
+    * spec). On file:// the O_EXCL open (NIO CREATE_NEW) is the true
+    * atomic create; everywhere else the store's own create is.
+    */
+  private def createExclusive(p: HPath): java.io.OutputStream =
+    if (fs.getUri.getScheme == "file")
+      java.nio.file.Files.newOutputStream(
+        java.nio.file.Paths.get(p.toUri.getPath),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+    else fs.create(p, /*overwrite=*/ false)
 }
 
 object ResourceTable {
