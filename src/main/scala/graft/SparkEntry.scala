@@ -642,6 +642,12 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, dir) =>
       Similarity.cosinePairs(t(s, dir, "embeddings"), threshold = 0.45)),
 
+    // ---- per-label embedding centroids (k-means E-step / IVF coarse
+    //      quantizer training): DECIMAL sums → order-independent,
+    //      engine-reproducible ----
+    "q_centroids" -> ((s, dir) =>
+      Similarity.centroids(t(s, dir, "embeddings"), "label", "embedding")),
+
     // ---- ANN: brute-force cosine top-k (oracle-matched) ----
     "q_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1883,6 +1889,18 @@ object SparkEntry {
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
+
+    // fixed-point accumulation: ×2^20 (exact for float→double), floor,
+    // exact integer sum, ÷2^20 — order- and engine-independent
+    "q_centroids" ->
+      """SELECT label, pos,
+        |  CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT))
+        |       AS DOUBLE) / 1048576.0 AS sum_v,
+        |  count(*) AS n_vecs
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |        unnest(range(0, len(embedding))) AS pos
+        |      FROM embeddings)
+        |GROUP BY label, pos""".stripMargin,
 
     // connected components (min reachable id) over the exact cosine
     // pairs, as a recursive CTE — oracles resolveClusters' semantics

@@ -31,6 +31,32 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.cosine_similarity(a, b)
 
+  /** Per-group embedding centroids as (group, dimension, sum, count)
+    * rows — the k-means E-step / IVF-coarse-quantizer training
+    * primitive. Elements are accumulated in FIXED POINT: scaled by
+    * 2^20 (a power of two, so the float→double product is exact),
+    * floored to integers, summed exactly, and divided back — float
+    * addition is not associative, so a plain double sum would vary
+    * with partitioning and re-sharding; the fixed-point sum is
+    * order-independent and bit-reproducible across engines. The 2^-20
+    * quantization (≤1e-6 per element) sits far below float32's own
+    * representational noise. Plan: posexplode → one hash aggregate on
+    * (group, dim) with map-side partials; skew is bounded because
+    * every vector contributes exactly `dim` rows. Callers divide
+    * sum_v/n_vecs for the mean.
+    */
+  def centroids(df: DataFrame, groupCol: String = "label",
+                vecCol: String = "embedding"): DataFrame = {
+    val scale = 1048576L // 2^20
+    df.select(col(groupCol),
+        posexplode(col(vecCol)).as(Seq("pos", "_v")))
+      .groupBy(col(groupCol), col("pos").cast("long").as("pos"))
+      .agg(
+        (sum(floor(col("_v").cast("double") * scale)).cast("double") /
+          lit(scale.toDouble)).as("sum_v"),
+        count(lit(1)).as("n_vecs"))
+  }
+
   /** Exact brute-force top-k: for each query vector, the k most cosine-
     * similar corpus vectors (ties broken by corpus id — deterministic).
     * Plan: broadcast(queries) ⋈ corpus (no shuffle of the corpus), then

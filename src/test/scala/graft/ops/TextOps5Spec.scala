@@ -113,6 +113,23 @@ class TextOps5Spec extends SparkSpec {
     assert(admitted == 5000) // bloom filters never false-negative
   }
 
+  test("centroids: exact fixed-point sums, partition-order independent") {
+    val vecs = Seq(
+      (0, Array(1.0f, -2.0f)), (0, Array(3.0f, 0.5f)),
+      (1, Array(0.25f, 0.25f)))
+      .toDF("label", "embedding")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("pos"),
+        r.getAs[Double]("sum_v"), r.getAs[Long]("n_vecs")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val one = canon(graft.ops.Similarity.centroids(vecs))
+    // powers of two survive the 2^20 grid exactly
+    assert(one == Seq((0, 0L, 4.0, 2L), (0, 1L, -1.5, 2L),
+      (1, 0L, 0.25, 1L), (1, 1L, 0.25, 1L)))
+    // re-sharding must not change a single bit
+    assert(canon(graft.ops.Similarity.centroids(vecs.repartition(7))) == one)
+  }
+
   test("nfc_normalize: null in, null out") {
     val df = Seq(Option.empty[String], Some("ok")).toDF("s")
     val out = df.select(TextExpressions.nfc_normalize(col("s")).as("n"))
