@@ -142,17 +142,24 @@ object Dedup {
       col("_pref").as("pref_a"), length(col("_pref")).as("len_a"))
     val b = docs.select(col("_blk"), col("_id").as("id_b"),
       col("_pref").as("pref_b"), length(col("_pref")).as("len_b"))
-    // levenshtein(a,b) >= |len(a)-len(b)|, so the length gate drops
-    // pairs BEFORE the O(maxDist·len) banded comparison ever runs —
-    // an exact (never lossy) pre-filter evaluated in the join itself
+    // The ENTIRE predicate is authored into the join condition in
+    // cheap-first order — if the distance test were left as a filter
+    // on the join output, Catalyst would push it into the join and
+    // prepend it, running the O(maxDist·len) levenshtein before the
+    // id ordering and the length gate (levenshtein(a,b) >= |len(a)-
+    // len(b)|, so the gate is exact, never lossy). The residual now
+    // evaluates per hash match as: id order → length gate → banded
+    // levenshtein (which returns -1 past the threshold); survivors —
+    // a tiny fraction — recompute the distance once in the projection.
+    // the banded levenshtein yields values in {-1} ∪ [0, maxDist]
+    // only, so `>= 0` alone is the full threshold test — ONE
+    // evaluation per gated pair in the join condition
+    val lev = levenshtein(col("pref_a"), col("pref_b"), maxDist)
     a.join(b, a("_blk") === b("_blk") &&
+        col("id_a") < col("id_b") &&
         abs(col("len_a") - col("len_b")) <= maxDist &&
-        col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("pref_a"), col("pref_b"), maxDist)
-          .cast("long").as("dist"))
-      // the banded form returns -1 past the threshold
-      .where(col("dist") >= 0 && col("dist") <= maxDist)
+        lev >= 0)
+      .select(col("id_a"), col("id_b"), lev.cast("long").as("dist"))
   }
 
   /** Resolve duplicate pairs into clusters: every document mapped to a
