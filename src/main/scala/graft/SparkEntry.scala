@@ -1283,6 +1283,48 @@ object SparkEntry {
 
     // ---- TPC-H Q5 shape: six-table snowflake join with the dimension
     //      chain broadcast and one shuffle on the fact key ----
+    // ---- TPC-H Q18 shape (large-volume customers): HAVING over a
+    //      lineitem rollup, then joins back to orders/customer. The
+    //      big-order key set is tiny after the HAVING (<1% of orders),
+    //      so both enrichment joins broadcast it — one full lineitem
+    //      aggregation, zero fact-table shuffles beyond it ----
+    "q_tpch_q18" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      t(s, dir, "orders")
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("sum_qty"))
+    }),
+
+    // ---- event funnel (view → click → purchase, order-respecting):
+    //      stage k's first timestamp must not precede stage k-1's.
+    //      Three conditional min-aggregations chained on user_id — one
+    //      shuffle key throughout, so every join after the first
+    //      reuses the partitioning (or broadcasts the shrinking
+    //      stage sets) ----
+    "q_funnel" -> ((s, dir) => {
+      val ev = eventsUs(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_type"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("vt"))
+      val c = ev.join(v, "user_id")
+        .filter(col("event_type") === "click" && col("ts_us") >= col("vt"))
+        .groupBy("user_id").agg(min("ts_us").as("ct"))
+      val p = ev.join(c, "user_id")
+        .filter(col("event_type") === "purchase" && col("ts_us") >= col("ct"))
+        .groupBy("user_id").agg(min("ts_us").as("pt"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("vt"),
+          coalesce(col("ct"), lit(-1L)).as("ct"),
+          coalesce(col("pt"), lit(-1L)).as("pt"),
+          when(col("pt").isNotNull, 3).when(col("ct").isNotNull, 2)
+            .otherwise(1).cast(LongType).as("stage"))
+    }),
+
     "q_tpch_q5" -> ((s, dir) => {
       val asia = t(s, dir, "region").filter(col("r_name") === "ASIA")
       val nat = t(s, dir, "nation")
@@ -1395,6 +1437,35 @@ object SparkEntry {
       graft.ops.Sampling.samplePerGroup(
           t(s, dir, "documents"), "doc_id", "source", k = 5)
         .select(col("source"), col("doc_id"), col("sample_rank"))),
+
+    // ---- sliding event-time windows (10 min length / 5 min slide):
+    //      each event lands in two overlapping windows; watermarked
+    //      state is dropped as windows close ----
+    "q_stream_sliding" -> ((s, dir) => {
+      val raw = t(s, dir, "events")
+      val stream = s.readStream.schema(raw.schema)
+        .parquet(s"$dir/events.parque[t]")
+      val withTs =
+        if (raw.schema("ts").dataType == LongType)
+          stream.withColumn("ts",
+            expr("timestamp_micros(ts DIV 1000)").cast(TimestampType))
+        else stream.withColumn("ts", col("ts").cast(TimestampType))
+      val agg = graft.streaming.StreamOps.slidingCounts(
+          withTs, "ts", windowLength = "10 minutes", slide = "5 minutes",
+          watermark = "30 minutes")
+        .select(unix_micros(col("w_start")).as("w_start_us"), col("cnt"))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val name = s"stream_sliding_${System.nanoTime()}"
+      val q =
+        try agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table(name).cache()
+      out.count()
+      out
+    }),
 
     // ---- streaming dedup with watermarked state eviction: duplicate
     //      (user_id, event_type) arrivals within the watermark are
@@ -2262,6 +2333,37 @@ object SparkEntry {
         |GROUP BY l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
 
+    "q_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q_funnel" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+        |v AS (
+        |  SELECT user_id, min(t) AS vt FROM u
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT u.user_id, min(t) AS ct FROM u JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND t >= vt GROUP BY u.user_id),
+        |p AS (
+        |  SELECT u.user_id, min(t) AS pt FROM u JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND t >= ct GROUP BY u.user_id)
+        |SELECT v.user_id, v.vt,
+        |  COALESCE(c.ct, -1) AS ct,
+        |  COALESCE(p.pt, -1) AS pt,
+        |  CAST(CASE WHEN p.pt IS NOT NULL THEN 3
+        |            WHEN c.ct IS NOT NULL THEN 2
+        |            ELSE 1 END AS BIGINT) AS stage
+        |FROM v
+        |LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+
     "q_tpch_q5" ->
       """SELECT n_name,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
@@ -2402,6 +2504,15 @@ object SparkEntry {
 
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // each event belongs to the two 10-min windows whose starts are
+    // floor(t/5min)*5min and that minus 5min (µs integer arithmetic)
+    "q_stream_sliding" ->
+      """SELECT ws AS w_start_us, count(*) AS cnt FROM (
+        |  SELECT (epoch_us(ts) // 300000000) * 300000000
+        |           - k.k * 300000000 AS ws
+        |  FROM events, (SELECT unnest([0, 1]) AS k) k)
+        |GROUP BY ws""".stripMargin,
 
     "q_gap_ffill" ->
       """WITH e AS (
