@@ -597,6 +597,14 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     * `enforceRetention = false` to override deliberately. The engine's
     * own upkeep runs unchecked, as the reference disables the check in
     * its session (main.py:71).
+    *
+    * SAFETY: retention must exceed the longest possible in-flight
+    * write. A concurrent writer's files sit UNREFERENCED in its
+    * unpublished snap dir until its commit lands; a vacuum with
+    * retention shorter than that window would reap them and the
+    * writer would publish a manifest pointing at deleted files. This
+    * is exactly why Delta refuses sub-minimum retention — never run
+    * `vacuum(0)` against a live table outside a quiesced test.
     */
   def vacuum(retentionMs: Long = 24L * 3600 * 1000,
              dryRun: Boolean = false,

@@ -185,6 +185,33 @@ class ResourceTableSpec extends SparkSpec {
     (1L to 6L).foreach(v => t0.readVersion(v).count())
   }
 
+  test("stress: optimize racing concurrent upserts never loses rows") {
+    val t0 = ResourceTable(spark, s"${tmpDir("rto")}/T.parquet")
+      .createIfNotExists(schema)
+    t0.upsert(df((1 to 20).map(i => s"base$i" -> i): _*), "id")
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val upserter = new Thread(() => {
+      try {
+        val t = ResourceTable(spark, t0.path)
+        (0 until 3).foreach(i => t.upsert(df(s"new$i" -> i), "id"))
+      } catch { case e: Throwable => failures.add(e) }
+    })
+    val optimizer = new Thread(() => {
+      try {
+        val t = ResourceTable(spark, t0.path)
+        (0 until 2).foreach(_ => t.optimize(numFiles = 2))
+      } catch { case e: Throwable => failures.add(e) }
+    })
+    upserter.start(); optimizer.start()
+    upserter.join(); optimizer.join()
+    assert(failures.isEmpty, s"failed: ${failures.peek()}")
+    val ids = t0.read().collect().map(_.getString(0)).toSet
+    assert(ids == ((1 to 20).map(i => s"base$i") ++
+      (0 until 3).map(i => s"new$i")).toSet)
+    // 1 base + 3 upserts + 2 optimizes, each on its own version
+    assert(t0.latestVersion.contains(6L))
+  }
+
   test("property: random PUT/DELETE interleavings == naive foldLeft replay") {
     val rnd = new scala.util.Random(42) // deterministic
     (1 to 4).foreach { _ =>
