@@ -230,6 +230,23 @@ object SparkEntry {
         tieBreak = "event_id")
     }),
 
+    // ---- interval containment join: views attributed to 2-hour
+    //      purchase windows via the bin-bucketed equi-join (a bare
+    //      range-predicate join would plan as a nested loop; see
+    //      ops/IntervalJoin for the 100 TB shape) ----
+    "q_interval_join" -> ((s, dir) => {
+      val ev = eventsUs(s, dir)
+      val points = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val iv = ev.filter(col("event_type") === "purchase" &&
+          col("event_id") % 40 === 0)
+        .select(col("event_id").as("iv_id"), col("ts_us").as("start_us"),
+          (col("ts_us") + 7200000000L).as("end_us"))
+      graft.ops.IntervalJoin.joinPointsToIntervals(
+          points, "ts_us", iv, "start_us", "end_us", binUs = 7200000000L)
+        .select("event_id", "user_id", "ts_us", "iv_id", "start_us")
+    }),
+
     // ---- analytic window functions: lag/lead/first/last/ntile ----
     "q_window_analytics" -> ((s, dir) => {
       val order = Window.partitionBy("user_id")
@@ -647,6 +664,23 @@ object SparkEntry {
     //      engine-reproducible ----
     "q_centroids" -> ((s, dir) =>
       Similarity.centroids(t(s, dir, "embeddings"), "label", "embedding")),
+
+    // ---- int8 symmetric embedding quantization (the training-serving
+    //      compression step), exploded to scalar rows so the gate
+    //      hash-compares pure integers. q = floor(v·127/max|v| + 0.5):
+    //      identical-expression half-up rounding in both engines;
+    //      row-local, zero shuffles, codegen'd end to end ----
+    "q_quantize_embedding" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .withColumn("_maxabs",
+          array_max(transform(col("embedding"), v => abs(v)))
+            .cast(DoubleType))
+        .select(col("vec_id"), col("_maxabs"),
+          posexplode(col("embedding")).as(Seq("idx", "v")))
+        .select(col("vec_id"), col("idx"),
+          floor(col("v").cast(DoubleType) * lit(127.0) / col("_maxabs")
+            + lit(0.5)).cast(IntegerType).as("qv"))
+    }),
 
     // ---- ANN: brute-force cosine top-k (oracle-matched) ----
     "q_ann_topk" -> ((s, dir) => {
@@ -1350,6 +1384,20 @@ object SparkEntry {
              col("l_discount").cast(DecimalType(18, 2))))
           .cast(DoubleType).as("revenue"))
     }),
+
+    // ---- TPC-H Q6 shape: forecasting-revenue-change — a pure
+    //      scan+filter+agg with every predicate pushed to parquet;
+    //      per-row double product cast to DECIMAL before the sum so
+    //      the total is partition-order independent ----
+    "q_tpch_q6" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast(DateType) >= lit("1996-01-01") &&
+          col("l_shipdate").cast(DateType) < lit("1997-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+            .cast(DecimalType(18, 4)))
+          .cast(DoubleType).as("revenue"))),
 
     // ---- TF-IDF-style top term per document (tf weighted by inverse
     //      document frequency; exact int ratio so it oracles) ----
@@ -2380,6 +2428,36 @@ object SparkEntry {
         |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
         |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
         |GROUP BY n_name""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_interval_join" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  iv.iv_id, iv.start_us
+        |FROM events e
+        |JOIN (SELECT event_id AS iv_id, epoch_us(ts) AS start_us,
+        |        epoch_us(ts) + 7200000000 AS end_us
+        |      FROM events
+        |      WHERE event_type = 'purchase' AND event_id % 40 = 0) iv
+        |  ON epoch_us(e.ts) >= iv.start_us AND epoch_us(e.ts) < iv.end_us
+        |WHERE e.event_type = 'view'""".stripMargin,
+
+    "q_quantize_embedding" ->
+      """SELECT m.vec_id, CAST(t.i - 1 AS INTEGER) AS idx,
+        |  CAST(floor(CAST(m.embedding[t.i] AS DOUBLE) * 127.0 / m.maxabs
+        |    + 0.5) AS INTEGER) AS qv
+        |FROM (SELECT vec_id, embedding,
+        |        CAST(list_max(list_transform(embedding, x -> abs(x)))
+        |          AS DOUBLE) AS maxabs
+        |      FROM embeddings) m,
+        |  UNNEST(generate_series(1, len(m.embedding))) AS t(i)""".stripMargin,
 
     "q_tfidf" ->
       """WITH toks AS (

@@ -53,8 +53,11 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
-  /** Watermarked stream-stream inner join with an event-time range
-    * bound (the impression→click attribution shape). The range bound
+  /** Watermarked stream-stream join with an event-time range bound
+    * (the impression→click attribution shape). `joinType` covers
+    * inner, left_outer, left_semi, and full_outer — outer variants
+    * additionally RELEASE unmatched buffered rows (with nulls) once
+    * the watermark proves no match can still arrive. The range bound
     * plus both watermarks let Spark size the join state: a buffered
     * left row is dropped once the right watermark passes
     * `leftTs + maxDelay`, so state stays bounded on unbounded inputs.

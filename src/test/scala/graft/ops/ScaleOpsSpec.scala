@@ -192,3 +192,49 @@ class FileBundleSourceSpec extends SparkSpec {
     } finally queries.foreach(_.stop())
   }
 }
+
+class IntervalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val points = Seq(
+    (1L, 100L), (2L, 199L), (3L, 200L), (4L, 350L), (5L, 999L)
+  ).toDF("p_id", "ts")
+  private lazy val intervals = Seq(
+    (10L, 100L, 200L),  // half-open: holds ts 100,199 but NOT 200
+    (11L, 150L, 400L),  // spans several bins; holds 199, 200, 350
+    (12L, 500L, 500L),  // empty interval: matches nothing
+    (13L, 600L, 550L)   // inverted: matches nothing
+  ).toDF("iv_id", "start_ts", "end_ts")
+
+  private def pairs(binUs: Long): Set[(Long, Long)] =
+    IntervalJoin.joinPointsToIntervals(
+        points, "ts", intervals, "start_ts", "end_ts", binUs)
+      .select("p_id", "iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private val expected =
+    Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L), (4L, 11L))
+
+  test("half-open containment, empty/inverted intervals excluded") {
+    assert(pairs(binUs = 100L) == expected)
+  }
+
+  test("result is bin-size invariant (no duplicate pairs at any bin)") {
+    for (bin <- Seq(1L, 7L, 50L, 1000L)) {
+      val got = IntervalJoin.joinPointsToIntervals(
+          points, "ts", intervals, "start_ts", "end_ts", bin)
+        .select("p_id", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.toSet.size, s"duplicates at bin=$bin")
+      assert(got.toSet == expected, s"wrong pairs at bin=$bin")
+    }
+  }
+
+  test("plans as an equi-join on the bin, not a nested loop") {
+    val plan = IntervalJoin.joinPointsToIntervals(
+        points, "ts", intervals, "start_ts", "end_ts", 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Join"), plan)
+  }
+}

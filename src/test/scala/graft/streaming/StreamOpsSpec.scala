@@ -131,6 +131,43 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full-outer range join releases unmatched rows from BOTH sides") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val imps = MemoryStream[Imp]
+    val clicks = MemoryStream[Click]
+    val joined = StreamOps.eventTimeRangeJoin(
+      imps.toDF(), clicks.toDF(), "imp_ts", "click_ts",
+      org.apache.spark.sql.functions.expr("imp_id = c_imp_id"),
+      maxDelay = "1 minute", joinType = "full_outer")
+    val q = joined.writeStream.format("memory").queryName("attribf")
+      .outputMode(OutputMode.Append).start()
+    try {
+      imps.addData(Imp(100, ts(0)), Imp(200, ts(0))) // 200 never clicks
+      clicks.addData(Click(100, ts(1)),
+        Click(300, ts(1))) // 300 has no impression at all
+      q.processAllAvailable()
+      // advance both watermarks so the engine can evict and release
+      // the unmatched buffered rows on each side
+      imps.addData(Imp(999, ts(60)))
+      clicks.addData(Click(999, ts(60)))
+      q.processAllAvailable()
+      imps.addData(Imp(998, ts(62)))
+      clicks.addData(Click(998, ts(62)))
+      q.processAllAvailable()
+      val rows = spark.table("attribf").collect()
+      val matched = rows.filter(r =>
+        Option(r.getAs[Any]("imp_id")).contains(100L))
+      assert(matched.exists(r =>
+        Option(r.getAs[Any]("c_imp_id")).contains(100L)))
+      assert(rows.exists(r => // left release: imp 200 with null click
+        Option(r.getAs[Any]("imp_id")).contains(200L) &&
+          Option(r.getAs[Any]("c_imp_id")).isEmpty), rows.mkString(";"))
+      assert(rows.exists(r => // right release: click 300 with null imp
+        Option(r.getAs[Any]("c_imp_id")).contains(300L) &&
+          Option(r.getAs[Any]("imp_id")).isEmpty), rows.mkString(";"))
+    } finally q.stop()
+  }
+
   test("sessionize with flush: idle key emits when watermark passes gap") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[Sessionize.Event]
