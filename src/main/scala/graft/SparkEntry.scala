@@ -742,6 +742,24 @@ object SparkEntry {
           max(col("doc_id")).as("max_doc"))
     }),
 
+    // ---- temperature-based source mixing: per-source keep rates
+    //      (n_min/n_s)^(1-α) flatten a skewed corpus toward uniform;
+    //      hash-threshold selection, corpus never shuffles. The
+    //      stratum is synthesized skewed (6:3:1) because the fixture's
+    //      real sources are uniform ----
+    "q_temperature_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("src_grp",
+        when(col("doc_id") % 10 < 6, "big")
+          .when(col("doc_id") % 10 < 9, "mid")
+          .otherwise("small"))
+      graft.ops.Sampling.temperatureMix(docs, "doc_id", "src_grp",
+          salt = "mix2", alpha = 0.5)
+        .groupBy(col("src_grp"))
+        .agg(count(lit(1)).as("kept_cnt"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+    }),
+
     // ---- GPT-style sequence packing: per-shard token stream cut into
     //      fixed 512-token training sequences; window running sum ----
     "q_seq_pack" -> ((s, dir) => {
@@ -1792,6 +1810,28 @@ object SparkEntry {
         |            WHEN 'fr' THEN '8000' WHEN 'zh' THEN '1999'
         |            ELSE '0000' END
         |GROUP BY lang""".stripMargin,
+
+    "q_temperature_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 6 THEN 'big'
+        |         WHEN doc_id % 10 < 9 THEN 'mid'
+        |         ELSE 'small' END AS src_grp
+        |  FROM documents),
+        |n AS (SELECT src_grp, count(*) AS cnt FROM d GROUP BY src_grp),
+        |r AS (SELECT src_grp,
+        |        pow(CAST((SELECT min(cnt) FROM n) AS DOUBLE) / cnt,
+        |            0.5) AS rate
+        |      FROM n),
+        |kept AS (
+        |  SELECT d.doc_id, d.src_grp FROM d JOIN r USING (src_grp)
+        |  WHERE md5('mix2:' || CAST(d.doc_id AS VARCHAR)) <
+        |    CASE WHEN r.rate >= 1.0 THEN 'g'
+        |         ELSE lower(lpad(hex(CAST(floor(r.rate * 65536)
+        |           AS BIGINT)), 4, '0')) END)
+        |SELECT src_grp, count(*) AS kept_cnt,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM kept GROUP BY src_grp""".stripMargin,
 
     "q_seq_pack" ->
       """WITH docs AS (

@@ -86,6 +86,39 @@ object Sampling {
     df.filter(h < threshold)
   }
 
+  /** Temperature-based source mixing — the multilingual/multi-source
+    * LM resampling step: downsample every source toward a flattened
+    * distribution. With per-source counts n_s and temperature
+    * α ∈ (0, 1], source s keeps rate_s = (n_min / n_s)^(1-α):
+    * α = 1 keeps everything, α → 0 levels every source down to the
+    * smallest. Row selection is the same salted-md5 threshold as
+    * [[hashSplit]] — deterministic, append-stable, reshard-proof,
+    * reproducible from any engine that can md5 a string.
+    *
+    * Plan shape at 100 TB: one per-source count aggregate (a handful
+    * of rows) cross-joined with its own min and broadcast back onto
+    * the corpus scan, then a row-local hash filter — the corpus
+    * itself never shuffles.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
+                     salt: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("_n")).as("_nmin"))))
+      .select(col(sourceCol),
+        pow(col("_nmin").cast("double") / col("_n").cast("double"),
+          lit(1.0 - alpha)).as("_rate"))
+    // columnar hexThreshold: rate >= 1 must keep EVERYTHING ("g" sorts
+    // above the hex alphabet; "10000" would drop hashes >= "11")
+    val thresh = when(col("_rate") >= 1.0, lit("g"))
+      .otherwise(lower(lpad(
+        hex(floor(col("_rate") * 65536).cast("long")), 4, "0")))
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(splitHash(col(idCol), salt) < thresh)
+      .drop("_rate")
+  }
+
   /** Deterministic k-per-group sample — reservoir-sampling semantics
     * without the RNG: rank rows inside each group by their content
     * hash (id tie-break) and keep the first `k`. Because the hash

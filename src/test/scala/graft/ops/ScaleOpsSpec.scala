@@ -66,6 +66,29 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(sampled.subsetOf(wider))
   }
+
+  test("temperature mix: alpha=1 keeps all; low alpha flattens sources") {
+    // skewed corpus: 1600 big / 320 mid / 80 small
+    val corpus = (0L until 2000L).toDF("id").withColumn("src",
+      when($"id" < 1600L, "big")
+        .when($"id" < 1920L, "mid").otherwise("small"))
+    assert(Sampling.temperatureMix(corpus, "id", "src", "t1", 1.0)
+      .count() == 2000) // rate 1 everywhere
+    val mixed = Sampling.temperatureMix(corpus, "id", "src", "t1", 0.3)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the smallest source is untouched; others level toward it
+    assert(mixed("small") == 80, mixed.toString)
+    // expected: 1600*(80/1600)^0.7 ≈ 197, 320*(80/320)^0.7 ≈ 121
+    assert(math.abs(mixed("big") - 197) < 60, mixed.toString)
+    assert(math.abs(mixed("mid") - 121) < 50, mixed.toString)
+    // deterministic: the kept id set reproduces exactly
+    val again = Sampling.temperatureMix(corpus, "id", "src", "t1", 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val first = Sampling.temperatureMix(corpus, "id", "src", "t1", 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == first)
+  }
 }
 
 class TopKSpec extends SparkSpec {
