@@ -261,3 +261,32 @@ class IntervalJoinSpec extends SparkSpec {
     assert(plan.contains("Join"), plan)
   }
 }
+
+class IntervalJoinPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("property: binned join equals brute force on random data") {
+    val rnd = new scala.util.Random(7)
+    val pts = (0 until 300).map(i => (i.toLong, rnd.nextInt(10000).toLong))
+    val ivs = (0 until 60).map { i =>
+      val start = rnd.nextInt(10000).toLong
+      // include empty (len 0) and inverted (len < 0) intervals
+      (1000L + i, start, start + rnd.nextInt(451) - 50L)
+    }
+    val expected = (for {
+      (pid, ts) <- pts
+      (ivId, s, e) <- ivs
+      if ts >= s && ts < e
+    } yield (pid, ivId)).toSet
+    val ptsDf = pts.toDF("p_id", "ts")
+    val ivsDf = ivs.toDF("iv_id", "start_ts", "end_ts")
+    for (bin <- Seq(1L, 37L, 256L, 100000L)) {
+      val got = IntervalJoin.joinPointsToIntervals(
+          ptsDf, "ts", ivsDf, "start_ts", "end_ts", bin)
+        .select("p_id", "iv_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.toSet.size, s"dup pairs at bin=$bin")
+      assert(got.toSet == expected, s"mismatch at bin=$bin")
+    }
+  }
+}
