@@ -760,6 +760,49 @@ object SparkEntry {
           max(col("doc_id")).as("max_doc"))
     }),
 
+    // ---- STREAMING near-dup against a corpus LSH index: incoming
+    //      docs (a simulated re-crawl: corpus docs re-keyed +10000)
+    //      probe the banded minhash index as a stateless stream-static
+    //      equi-join; candidates are confirmed by exact text equality,
+    //      which makes the result exactly oracle-able — an identical
+    //      text has an identical signature, so LSH NEVER misses an
+    //      exact duplicate ----
+    "q_stream_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val index = Dedup.bandedIndex(docs, "doc_id", "text")
+      val stream = s.readStream.schema(docs.schema)
+        .parquet(s"$dir/documents.parque[t]")
+        .filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      val cand = Dedup.nearDupAgainstIndex(
+        stream, index, "doc_id", "text", minJaccard = 0.5)
+      // exact confirm: join the candidate's corpus doc back to its
+      // text and compare with the incoming text (both stream-static)
+      val corpusText = docs.select(col("doc_id").as("corpus_doc"),
+        col("text").as("corpus_text"))
+      val inText = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 10000).as("doc"),
+          col("text").as("in_text"))
+      val confirmed = cand
+        .join(corpusText, Seq("corpus_doc"))
+        .join(inText, Seq("doc"))
+        .filter(col("in_text") === col("corpus_text"))
+        .select(col("doc"), col("corpus_doc"))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val name = s"stream_neardup_${System.nanoTime()}"
+      val q =
+        try confirmed.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try q.processAllAvailable() finally q.stop()
+      // band multiplicity collapses AFTER materialization (a stream
+      // can't dropDuplicates unboundedly; the memory table can)
+      val out = s.table(name).distinct().cache()
+      out.count()
+      out
+    }),
+
     // ---- GPT-style sequence packing: per-shard token stream cut into
     //      fixed 512-token training sequences; window running sum ----
     "q_seq_pack" -> ((s, dir) => {
@@ -2622,6 +2665,14 @@ object SparkEntry {
 
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // exact-dup recall of the LSH index probe is total (identical
+    // text ⇒ identical signature ⇒ every band collides), so the
+    // text-confirmed candidate set IS the exact equality join
+    "q_stream_neardup" ->
+      """SELECT DISTINCT a.doc_id + 10000 AS doc, b.doc_id AS corpus_doc
+        |FROM documents a JOIN documents b ON a.text = b.text
+        |WHERE a.doc_id % 7 = 0""".stripMargin,
 
     // each event belongs to the two 10-min windows whose starts are
     // floor(t/5min)*5min and that minus 5min (µs integer arithmetic)

@@ -309,4 +309,54 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)
   }
+
+  // ------------------------------------------ stream-vs-corpus near-dup
+
+  /** The persistable LSH index of a corpus: one row per (band, bucket)
+    * membership — (band_idx, band_hash, doc, sig). Write it out
+    * partitioned/bucketed by (band_idx, band_hash) and incoming data
+    * can be near-dup-checked against the corpus WITHOUT re-reading the
+    * corpus text: the index is O(docs × bands) small rows.
+    */
+  def bandedIndex(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 16, bands: Int = 4, w: Int = 3): DataFrame = {
+    val r = k / bands
+    require(r * bands == k, "bands must divide k")
+    val bandStructs = (0 until bands).map(b =>
+      struct(lit(b).as("band_idx"),
+        xxhash64(slice(col("sig"), b * r + 1, r)).as("band_hash")))
+    signatures(df, idCol, textCol, k, w)
+      .select(col("doc"), col("sig"),
+        explode(array(bandStructs: _*)).as("band"))
+      .select(col("band.band_idx"), col("band.band_hash"),
+        col("doc"), col("sig"))
+  }
+
+  /** Near-dup candidates of `incoming` against a prebuilt
+    * [[bandedIndex]] — the STREAMING dedup-against-the-corpus shape:
+    * every transformation on the incoming side is row-local
+    * (shingle → signature → band explode), so this runs unchanged on
+    * a streaming DataFrame as a stateless stream-static equi-join on
+    * (band_idx, band_hash); with a batch input it is the ordinary
+    * incremental-ingest dedup check. Emits
+    * (doc, corpus_doc, est_jaccard) with est_jaccard ≥ `minJaccard`.
+    * A pair colliding in several bands is emitted once per band
+    * (deduplicating across bands would need unbounded stream state);
+    * batch callers and foreachBatch sinks dropDuplicates if needed.
+    * `k/bands/w` MUST match the index's build parameters.
+    */
+  def nearDupAgainstIndex(incoming: DataFrame, index: DataFrame,
+                          idCol: String, textCol: String,
+                          minJaccard: Double = 0.5, k: Int = 16,
+                          bands: Int = 4, w: Int = 3): DataFrame = {
+    val probes = bandedIndex(incoming, idCol, textCol, k, bands, w)
+      .withColumnsRenamed(Map("doc" -> "_in_doc", "sig" -> "_in_sig"))
+    probes.join(index, Seq("band_idx", "band_hash"))
+      .filter(col("_in_doc") =!= col("doc"))
+      .withColumn("est_jaccard",
+        estimatedJaccard(col("_in_sig"), col("sig")))
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("_in_doc").as("doc"), col("doc").as("corpus_doc"),
+        col("est_jaccard"))
+  }
 }

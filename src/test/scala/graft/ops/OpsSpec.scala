@@ -78,6 +78,22 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 3L))) // only the exact dup has jaccard 1.0
   }
+
+  test("banded index probe: incoming exact dup always found, distinct miss absent") {
+    val index = Dedup.bandedIndex(docs, "doc_id", "text", k = 16,
+      bands = 8, w = 2)
+    // index cardinality: one row per (doc, band)
+    assert(index.count() == docs.count() * 8)
+    val incoming = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // dup of 0,3
+      (101L, "totally novel text that matches nothing in the corpus xyz")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.nearDupAgainstIndex(incoming, index, "doc_id",
+        "text", minJaccard = 0.99, k = 16, bands = 8, w = 2)
+      .select("doc", "corpus_doc").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((100L, 0L), (100L, 3L)), hits.toString)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

@@ -168,6 +168,32 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream near-dup probe against a static LSH index is stateless and finds dups") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely different content about spark engines and scale"))
+      .toDF("doc_id", "text")
+    val index = graft.ops.Dedup.bandedIndex(corpus, "doc_id", "text",
+      k = 16, bands = 8, w = 2)
+    val ms = MemoryStream[(Long, String)]
+    val cand = graft.ops.Dedup.nearDupAgainstIndex(
+      ms.toDF().toDF("doc_id", "text"), index, "doc_id", "text",
+      minJaccard = 0.99, k = 16, bands = 8, w = 2)
+    val q = cand.writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      ms.addData((50L, "the quick brown fox jumps over the lazy dog"),
+        (51L, "nothing like anything indexed at all whatsoever"))
+      q.processAllAvailable()
+      val hits = spark.table("neardup").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).distinct
+      assert(hits.toSet == Set((50L, 0L)), hits.mkString(";"))
+      // stateless probe: no stateful operator in the executed plan
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("sessionize with flush: idle key emits when watermark passes gap") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[Sessionize.Event]

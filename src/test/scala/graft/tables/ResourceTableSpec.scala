@@ -348,6 +348,26 @@ class ResourceTableSpec extends SparkSpec {
     assert(t.read().count() == 100)
   }
 
+  test("append-only upsert (keys above every file range) rewrites zero files") {
+    import spark.implicits._
+    val t = ResourceTable(spark, s"${tmpDir("rtapp")}/T.parquet")
+    val data = (1 to 1000).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+    t.createIfNotExists(data.schema, clusterCols = Seq("id"))
+    t.upsert(data, "id")
+    t.optimize(numFiles = 4)
+    val before = t.fileManifest(t.latestVersion.get)
+    // the streaming append pattern: all keys past the table's max —
+    // no existing file can overlap, so the batch is a pure insert and
+    // every prior file carries forward by reference
+    val batch = (2001 to 2100).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+    t.upsert(batch, "id")
+    val after = t.fileManifest(t.latestVersion.get)
+    assert(before.toSet.subsetOf(after.toSet),
+      s"carried=${(after.toSet intersect before.toSet).size} of ${before.size}")
+    assert((after.toSet -- before.toSet).nonEmpty) // the new batch files
+    assert(t.read().count() == 1100)
+  }
+
   test("checkpointed latestVersion reads hint + tail, not the whole log") {
     import spark.implicits._
     val base = s"${tmpDir("rtckpt")}/T.parquet"
