@@ -54,7 +54,11 @@ object GraftExtensions {
     ("hamming_distance",
       info("hamming_distance",
         "hamming_distance(a, b) - bit distance of two long arrays"),
-      (es: Seq[Expression]) => VectorExpressions.HammingDistance(es(0), es(1))))
+      (es: Seq[Expression]) => VectorExpressions.HammingDistance(es(0), es(1))),
+    ("nfc_normalize",
+      info("nfc_normalize",
+        "nfc_normalize(text) - Unicode NFC normalization (isNormalized fast path)"),
+      (es: Seq[Expression]) => TextExpressions.NfcNormalize(es(0))))
 
   /** Register on an already-built session (temp functions). */
   def register(spark: SparkSession): Unit =

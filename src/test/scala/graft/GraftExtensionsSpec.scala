@@ -14,13 +14,15 @@ class GraftExtensionsSpec extends SparkSpec {
         |  simhash64('the quick brown fox') AS s1,
         |  simhash64('the quick brown fox') AS s2,
         |  size(shingle_hashes('a b c d', 2)) AS nsh,
-        |  size(minhash_signature(shingle_hashes('a b c d', 2), 8)) AS k
+        |  size(minhash_signature(shingle_hashes('a b c d', 2), 8)) AS k,
+        |  nfc_normalize('café') AS nfc
         |""".stripMargin).collect().head
     assert(r.getAs[Double]("c") == 1.0)
     assert(r.getAs[Double]("d") == 11.0)
     assert(r.getAs[Long]("s1") == r.getAs[Long]("s2"))
     assert(r.getAs[Int]("nsh") == 3)
     assert(r.getAs[Int]("k") == 8)
+    assert(r.getAs[String]("nfc") == "caf\u00e9")
   }
 
   test("bottom-k sketch: exact jaccard for identical sets, mergeable, bounded") {
