@@ -153,6 +153,15 @@ object FileStats {
   def schemaOf(body: String): Option[String] =
     Option(mapper.readTree(body).get("schema")).map(_.toString)
 
+  /** Operation name / wall-clock millis newer commits embed (DESCRIBE
+    * HISTORY surface); absent in older commit bodies.
+    */
+  def opOf(body: String): Option[String] =
+    Option(mapper.readTree(body).get("op")).map(_.asText)
+
+  def tsOf(body: String): Option[Long] =
+    Option(mapper.readTree(body).get("ts")).map(_.asLong)
+
   def fromJson(body: String): Map[String, FileStat] = {
     val root = mapper.readTree(body)
     val files = root.get("files")

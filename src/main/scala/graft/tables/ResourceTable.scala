@@ -370,7 +370,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       commitFiles(Some(empty), Seq.empty, schema.json,
-        expectedCurrent = None)
+        expectedCurrent = None, op = "CREATE TABLE")
     }
     this
   }
@@ -460,7 +460,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         val obs = org.apache.spark.sql.Observation()
         commitFiles(Some(src.select(outCols.map(col): _*)
             .observe(obs, count(lit(1)).as("_rows"))),
-          Seq.empty, outSchema.json, cur)
+          Seq.empty, outSchema.json, cur, op = "MERGE")
         obs.get("_rows").asInstanceOf[Long]
       } else {
         val (srcRows, mayOverlap) = keyProfile(src, key)
@@ -490,7 +490,8 @@ final class ResourceTable(val spark: SparkSession, val path: String,
             lastMergePlan = Some(joined.queryExecution.sparkPlan.toString)
             joined.select(outCols.map(col): _*).unionByName(srcOut)
           }
-        commitFiles(Some(newData), kept, outSchema.json, cur)
+        commitFiles(Some(newData), kept, outSchema.json, cur,
+          op = "MERGE")
         srcRows
       }
     } finally src.unpersist()
@@ -522,7 +523,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
           lastMergePlan = Some(joined.queryExecution.sparkPlan.toString)
           Some(joined)
         }
-      commitFiles(newData, kept, schema().json, cur)
+      commitFiles(newData, kept, schema().json, cur, op = "DELETE")
       nIds
     } finally idsKeyed.unpersist()
   }
@@ -552,7 +553,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
           .sortWithinPartitions(cols.map(col): _*)
       else df.repartition(numFiles)
     commitFiles(Some(rewritten), Seq.empty, schema().json, cur,
-      compression)
+      compression, op = "OPTIMIZE")
   }
 
   /** Size-targeted compaction (Delta `OPTIMIZE` maxFileSize /
@@ -569,14 +570,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     require(targetBytes > 0)
     val cur = latestVersion.getOrElse(
       throw new IllegalStateException(s"no table at $path"))
-    val rels = fileListAt(cur).map(_._1)
-    val totalBytes = rels
-      .groupBy(r => r.substring(0, r.lastIndexOf('/')))
-      .iterator.map { case (d, group) =>
-        val names = group.map(r => r.substring(r.lastIndexOf('/') + 1)).toSet
-        fs.listStatus(new HPath(root, d))
-          .filter(s => names(s.getPath.getName)).map(_.getLen).sum
-      }.sum
+    val totalBytes = manifestBytes(fileListAt(cur).map(_._1))
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
       .min(Int.MaxValue).toInt
     optimize(n, compression)
@@ -665,6 +659,55 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     n
   }
 
+  /** Delta `DESCRIBE HISTORY` parity: one row per retained commit —
+    * (version, timestamp, operation, num_files, num_rows, is_intact).
+    * `operation`/`timestamp` come from the commit body (null for
+    * commits written before the fields existed); `is_intact` reports
+    * whether the version can still be time-traveled to (false once
+    * vacuum reaped its files). Driver-side metadata like Delta's own
+    * history — bounded by [[cleanupMetadata]], never O(data).
+    */
+  def history(): DataFrame = {
+    import spark.implicits._
+    val rows = fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.endsWith(".commit"))
+      .map(_.stripSuffix(".commit").toLong).sorted.reverse.toSeq
+      .map { v =>
+        val body = commitBody(v)
+        val files = fileListAt(v)
+        (v, FileStats.tsOf(body).map(new java.sql.Timestamp(_)).orNull,
+          FileStats.opOf(body).orNull, files.size.toLong,
+          files.map(_._2.rows).sum, missingFiles(files.map(_._1)).isEmpty)
+      }
+    rows.toDF("version", "timestamp", "operation", "num_files",
+      "num_rows", "is_intact")
+  }
+
+  /** Delta `DESCRIBE DETAIL` parity: a one-row summary of the CURRENT
+    * snapshot — location, version, file count, total bytes, row count
+    * (from manifest stats — no data read).
+    */
+  def describeDetail(): DataFrame = {
+    import spark.implicits._
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no table at $path"))
+    val files = fileListAt(v)
+    Seq((path, v, files.size.toLong, manifestBytes(files.map(_._1)),
+        files.map(_._2.rows).sum))
+      .toDF("location", "version", "num_files", "size_bytes", "num_rows")
+  }
+
+  /** Physical bytes of manifest-referenced files: one FS listing per
+    * distinct snapshot dir, no data read.
+    */
+  private def manifestBytes(rels: Seq[String]): Long = rels
+    .groupBy(r => r.substring(0, r.lastIndexOf('/')))
+    .iterator.map { case (d, group) =>
+      val names = group.map(r => r.substring(r.lastIndexOf('/') + 1)).toSet
+      fs.listStatus(new HPath(root, d))
+        .filter(s => names(s.getPath.getName)).map(_.getLen).sum
+    }.sum
+
   /** Write `newData` (when present) into a writer-unique dir, then
     * publish the commit whose manifest = new files ∪ `keptFiles`
     * (carried forward by reference with their existing stats). The
@@ -678,7 +721,8 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       keptFiles: Seq[(String, FileStats.FileStat)],
       schemaJson: String,
       expectedCurrent: Option[Long],
-      compression: String = "zstd"): Long = {
+      compression: String = "zstd",
+      op: String = "WRITE"): Long = {
     val next = expectedCurrent.getOrElse(-1L) + 1
     val dirName =
       s"snap-$next-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -716,7 +760,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         throw e
       }
     try out.write(
-      s"""{"version":$next,"dir":"$dirName","schema":$schemaJson,"files":$statsJson}"""
+      s"""{"version":$next,"op":"$op","ts":${System.currentTimeMillis()},"dir":"$dirName","schema":$schemaJson,"files":$statsJson}"""
         .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // roll the lookup checkpoint forward every checkpointInterval

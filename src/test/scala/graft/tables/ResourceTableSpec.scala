@@ -348,6 +348,36 @@ class ResourceTableSpec extends SparkSpec {
     assert(t.read().count() == 100)
   }
 
+  test("history and describeDetail report operations, counts, and intactness") {
+    import spark.implicits._
+    val t = ResourceTable(spark, s"${tmpDir("rthist")}/T.parquet")
+    val data = (1 to 100).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+    t.createIfNotExists(data.schema)
+    t.upsert(data, "id")
+    t.deleteMatching(Seq(1L, 2L).toDF("id"), "id")
+    t.optimize(numFiles = 2)
+    val h = t.history().collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(h == Map(0L -> "CREATE TABLE", 1L -> "MERGE",
+      2L -> "DELETE", 3L -> "OPTIMIZE"), h.toString)
+    val hd = t.history().collect().head // newest first
+    assert(hd.getLong(0) == 3L)
+    assert(hd.getAs[java.sql.Timestamp]("timestamp") != null)
+    assert(hd.getAs[Long]("num_rows") == 98L)
+    assert(hd.getAs[Boolean]("is_intact"))
+    val d = t.describeDetail().collect().head
+    assert(d.getAs[Long]("version") == 3L)
+    assert(d.getAs[Long]("num_files") == 2L)
+    assert(d.getAs[Long]("num_rows") == 98L)
+    assert(d.getAs[Long]("size_bytes") > 0L)
+    // vacuum the pre-optimize snapshots away -> old versions lose intactness
+    t.vacuum(retentionMs = 0)
+    val intact = t.history().collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("is_intact")).toMap
+    assert(intact(3L))
+    assert(!intact(1L), intact.toString)
+  }
+
   test("append-only upsert (keys above every file range) rewrites zero files") {
     import spark.implicits._
     val t = ResourceTable(spark, s"${tmpDir("rtapp")}/T.parquet")
