@@ -742,6 +742,18 @@ object SparkEntry {
           max(col("doc_id")).as("max_doc"))
     }),
 
+    // ---- corpus-level segment dedup (C4-style boilerplate removal):
+    //      fixed 8-word windows; any window text appearing >= 2 times
+    //      ACROSS the corpus is dropped from every document ----
+    "q_dedup_segments" -> ((s, dir) => {
+      val segmented = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, (size(w)-1) DIV 8), " +
+            "i -> array_join(slice(w, i*8+1, 8), ' '))").as("segs"))
+      Dedup.dedupSegments(segmented, "doc_id", "segs", minDupCount = 2)
+    }),
+
     // ---- temperature-based source mixing: per-source keep rates
     //      (n_min/n_s)^(1-α) flatten a skewed corpus toward uniform;
     //      hash-threshold selection, corpus never shuffles. The
@@ -1853,6 +1865,18 @@ object SparkEntry {
         |            WHEN 'fr' THEN '8000' WHEN 'zh' THEN '1999'
         |            ELSE '0000' END
         |GROUP BY lang""".stripMargin,
+
+    "q_dedup_segments" ->
+      """WITH segs AS (
+        |  SELECT doc_id AS doc, CAST(t.i AS INTEGER) AS seg_idx,
+        |    array_to_string(words[t.i*8+1 : t.i*8+8], ' ') AS segment
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS words
+        |        FROM documents),
+        |    UNNEST(generate_series(0, (len(words)-1)//8)) AS t(i)),
+        |freq AS (
+        |  SELECT segment FROM segs GROUP BY segment HAVING count(*) >= 2)
+        |SELECT s.doc, s.seg_idx, s.segment FROM segs s
+        |WHERE s.segment NOT IN (SELECT segment FROM freq)""".stripMargin,
 
     "q_temperature_mix" ->
       """WITH d AS (

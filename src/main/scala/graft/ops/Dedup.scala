@@ -310,6 +310,40 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------------------- sub-document dedup
+
+  /** Corpus-level SEGMENT dedup (the C4/RefinedWeb trick, one level
+    * below document dedup): drop every occurrence of a segment (line,
+    * sentence, fixed word-window) whose corpus-wide frequency reaches
+    * `minDupCount` — boilerplate headers, footers, and templated
+    * spans repeat across documents while each document as a whole
+    * stays unique, so document-level dedup never sees them.
+    *
+    * `segsCol` is an array<string> column (callers choose the
+    * segmentation); returns the SURVIVING segments as rows
+    * (doc, seg_idx, segment) — reassembly is a groupBy away and
+    * keeping rows keeps the result exactly oracle-able.
+    *
+    * Shape at scale: one hash-aggregate shuffle keyed on the segment
+    * string to count corpus frequency, one anti-join of segments
+    * against the frequent set. For very long segments, pre-hashing
+    * the join key (md5/xxhash64 with a collision re-check) shrinks
+    * shuffle bytes; the exact string key here keeps semantics
+    * bit-exact.
+    */
+  def dedupSegments(df: DataFrame, idCol: String, segsCol: String,
+                    minDupCount: Long = 2): DataFrame = {
+    require(minDupCount >= 2, s"minDupCount must be >= 2, got $minDupCount")
+    val segs = df.select(col(idCol).as("doc"),
+      posexplode(col(segsCol)).as(Seq("seg_idx", "segment")))
+    val frequent = segs.groupBy(col("segment"))
+      .agg(count(lit(1)).as("_f"))
+      .filter(col("_f") >= minDupCount)
+      .select("segment")
+    segs.join(frequent, Seq("segment"), "left_anti")
+      .select(col("doc"), col("seg_idx"), col("segment"))
+  }
+
   // ------------------------------------------ stream-vs-corpus near-dup
 
   /** The persistable LSH index of a corpus: one row per (band, bucket)

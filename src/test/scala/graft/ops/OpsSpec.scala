@@ -79,6 +79,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((0L, 3L))) // only the exact dup has jaccard 1.0
   }
 
+  test("segment dedup drops corpus-frequent segments from every doc") {
+    val segged = Seq(
+      (1L, Seq("unique one", "shared footer", "unique two")),
+      (2L, Seq("other text", "shared footer")),
+      (3L, Seq("shared footer", "shared footer")) // both occurrences go
+    ).toDF("doc_id", "segs")
+    val out = Dedup.dedupSegments(segged, "doc_id", "segs")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(out == Set((1L, 0, "unique one"), (1L, 2, "unique two"),
+      (2L, 0, "other text")), out.toString)
+  }
+
   test("banded index probe: incoming exact dup always found, distinct miss absent") {
     val index = Dedup.bandedIndex(docs, "doc_id", "text", k = 16,
       bands = 8, w = 2)
