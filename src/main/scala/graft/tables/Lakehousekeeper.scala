@@ -78,6 +78,17 @@ object Lakehousekeeper {
     (schema, table)
   }
 
+  /** Per-table snapshot summary — `DESCRIBE DETAIL` over the database
+    * (version, files, bytes, manifest rows per table).
+    */
+  def describe(spark: SparkSession, dir: String)
+      : Seq[(String, Long, Long, Long, Long)] =
+    listTables(spark, dir).map { p =>
+      val d = ResourceTable(spark, p).describeDetail().collect().head
+      (p, d.getAs[Long]("version"), d.getAs[Long]("num_files"),
+        d.getAs[Long]("size_bytes"), d.getAs[Long]("num_rows"))
+    }
+
   def register(spark: SparkSession, dir: String): Seq[String] =
     listTables(spark, dir).map { p =>
       val (schema, table) = tableName(p)
@@ -108,7 +119,7 @@ object Lakehousekeeper {
       System.err.println(
         "usage: lakehousekeeper vacuum <dir> [retentionHours] [dry] [no-enforce]" +
           " | optimize <dir> [numFiles|<size>g|<size>m] [compression]" +
-          " | register <dir>")
+          " | register <dir> | describe <dir>")
       return
     }
     val spark = SparkSession.builder()
@@ -145,6 +156,10 @@ object Lakehousekeeper {
           }
         case "register" =>
           register(spark, dir).foreach(n => println(s"registered $n"))
+        case "describe" =>
+          describe(spark, dir).foreach { case (p, v, nf, bytes, rows) =>
+            println(s"$p: v$v, $nf files, $bytes bytes, $rows rows")
+          }
         case other =>
           System.err.println(s"unknown command: $other"); sys.exit(2)
       }

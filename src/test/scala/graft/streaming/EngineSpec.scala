@@ -174,6 +174,12 @@ class EngineSpec extends SparkSpec {
     val registered = Lakehousekeeper.register(spark, dbDir)
     assert(registered == Seq("default.Patient"))
     assert(spark.table("`default`.`Patient`").count() == 1)
+
+    val described = Lakehousekeeper.describe(spark, dbDir)
+    assert(described.size == 1)
+    val (path, _, nFiles, bytes, rows) = described.head
+    assert(path.endsWith("Patient.parquet"))
+    assert(nFiles == 1 && rows == 1 && bytes > 0, described.toString)
   }
 }
 
