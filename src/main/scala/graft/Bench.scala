@@ -78,7 +78,14 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // UNTIMED hygiene between queries: the stream/table gate queries
+      // cache their materialized outputs and never unpersist (the
+      // fixture caches are per-query perf aids, not cross-query state),
+      // so a 120+-query run otherwise accumulates storage memory and
+      // late queries measure their neighbors' GC pressure.
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      name -> elapsed
     }
     val out = renderLine(results, sfDir)
     // The stdout line is budget-trimmed; the FULL per-query map goes to

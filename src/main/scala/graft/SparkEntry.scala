@@ -742,6 +742,33 @@ object SparkEntry {
           max(col("doc_id")).as("max_doc"))
     }),
 
+    // ---- STREAMING similarity search: a stream of query vectors
+    //      scored against the static corpus (stateless stream-static
+    //      join) — the exact-threshold baseline of the ANN family,
+    //      run through a real streaming query and hash-matched. The
+    //      brute-force scan is the semantics here; the LSH/IVF gate
+    //      queries are the sub-linear scale paths ----
+    "q_stream_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val stream = s.readStream.schema(emb.schema)
+        .parquet(s"$dir/embeddings.parque[t]")
+        .filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("q_id"),
+          col("embedding").as("q_vec"))
+      val corpus = emb.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_vec"))
+      val hits = stream.join(corpus,
+          Similarity.cosine(col("q_vec"), col("c_vec")) >= 0.45)
+        .select(col("q_id"), col("c_id"))
+      val name = s"stream_ann_${System.nanoTime()}"
+      val q = hits.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table(name).cache()
+      out.count()
+      out
+    }),
+
     // ---- corpus-level segment dedup (C4-style boilerplate removal):
     //      fixed 8-word windows; any window text appearing >= 2 times
     //      ACROSS the corpus is dropped from every document ----
@@ -1865,6 +1892,13 @@ object SparkEntry {
         |            WHEN 'fr' THEN '8000' WHEN 'zh' THEN '1999'
         |            ELSE '0000' END
         |GROUP BY lang""".stripMargin,
+
+    "q_stream_ann" ->
+      """SELECT a.vec_id + 100000 AS q_id, b.vec_id AS c_id
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id % 10 = 0
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45"""
+        .stripMargin,
 
     "q_dedup_segments" ->
       """WITH segs AS (
