@@ -27,7 +27,8 @@ final class BatchProcessor(
     vacuumRetentionMs: Long = 24L * 3600 * 1000,
     clusteringColumns: Map[String, Seq[String]] = Map.empty,
     metrics: BatchMetrics = BatchMetrics.noop,
-    logTopicCounts: Boolean = false) {
+    logTopicCounts: Boolean = false,
+    checkpointInterval: Int = 100) { // delta checkpoint_interval, settings.py:48
 
   def tablePath(resourceType: String): String =
     s"$tableDir/$resourceType.parquet"
@@ -73,7 +74,7 @@ final class BatchProcessor(
         val putDf = deduped.filter(col("request_method") === "PUT")
         val encoded = FhirEncoder.encode(putDf, rt)        // E1
 
-        val table = ResourceTable(spark, tablePath(rt))
+        val table = ResourceTable(spark, tablePath(rt), checkpointInterval)
           .createIfNotExists(encoded.schema,
             clusteringColumns.getOrElse(rt, Seq.empty))    // S3
 

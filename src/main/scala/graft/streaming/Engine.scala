@@ -37,7 +37,12 @@ final case class Settings(
       Seq("Patient", "Observation", "Encounter", "Condition", "Procedure"),
     upkeepInterval: Int = 50,                // settings.py:39
     vacuumRetentionHours: Long = 24L,        // settings.py:62
-    clusteringColumns: Map[String, Seq[String]] = Map.empty) // settings.py:51
+    clusteringColumns: Map[String, Seq[String]] = Map.empty, // settings.py:51
+    outputMode: String = "append",           // settings.py:41
+    logResourceCountBySourceTopic: Boolean = false, // settings.py:66–68
+    metricsAddr: String = "127.0.0.1",       // settings.py:64
+    metricsPort: Int = 8000,                 // settings.py:63
+    deltaCheckpointInterval: Int = 100)      // settings.py:48
 
 /** The streaming shell: N+1 independent `foreachBatch` queries over one
   * prepared source — one per configured resource type plus a default
@@ -98,7 +103,9 @@ object Engine {
       settings.upkeepInterval,
       settings.vacuumRetentionHours * 3600 * 1000,
       settings.clusteringColumns,
-      metrics)
+      metrics,
+      settings.logResourceCountBySourceTopic,
+      settings.deltaCheckpointInterval)
 
     val trigger =
       if (settings.triggerAvailableNow) Trigger.AvailableNow()
@@ -107,7 +114,7 @@ object Engine {
     def startQuery(name: String, df: DataFrame): StreamingQuery =
       df.writeStream
         .queryName(name)
-        .outputMode("append") // T2
+        .outputMode(settings.outputMode) // T2, settings.py:41
         .option("checkpointLocation", s"${settings.checkpointDir}/$name")
         .trigger(trigger)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -37,13 +37,28 @@ object EngineMain {
       checkpointDir = s"$dbDir/_checkpoints",
       deltaDatabaseDir = dbDir,
       triggerAvailableNow = !follow)
+    // Prometheus exposition like the reference's start_http_server
+    // (main.py:34) — serves for the life of the engine
+    val bridge = new PrometheusBridge
+    val metricsServer =
+      try Some(new MetricsServer(bridge, Some(listener),
+        settings.metricsAddr, settings.metricsPort))
+      catch { case e: Throwable =>
+        System.err.println(s"metrics endpoint unavailable: ${e.getMessage}")
+        None
+      }
+    if (metricsServer.isDefined)
+      println(s"metrics on http://${settings.metricsAddr}:" +
+        s"${metricsServer.get.boundPort}/metrics")
     val queries = Engine.start(
-      FileBundleSource.stream(spark, journalDir), settings)
-    if (follow) spark.streams.awaitAnyTermination()
-    else {
-      queries.foreach(_.awaitTermination())
-      println(s"ingest complete: ${listener.snapshot()}")
-    }
+      FileBundleSource.stream(spark, journalDir), settings, bridge)
+    try {
+      if (follow) spark.streams.awaitAnyTermination()
+      else {
+        queries.foreach(_.awaitTermination())
+        println(s"ingest complete: ${listener.snapshot()}")
+      }
+    } finally metricsServer.foreach(_.stop())
     spark.stop()
   }
 }

@@ -41,6 +41,25 @@ class EngineSpec extends SparkSpec {
     } finally queries.foreach(_.stop())
   }
 
+  test("settings pass through: per-topic counts recorded when enabled") {
+    val base = tmpDir("engine")
+    val settings = Settings(
+      checkpointDir = s"$base/checkpoint",
+      deltaDatabaseDir = s"$base/delta/default",
+      resourceTypes = Seq("Patient"),
+      upkeepInterval = 0,
+      logResourceCountBySourceTopic = true) // settings.py:66–68
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rec2 = new graft.pipeline.BatchMetrics.Recording
+    val stream = MemoryStream[KafkaRecord]
+    val queries = Engine.start(stream.toDF(), settings, rec2)
+    try {
+      stream.addData(rec(fixture("single-patient.json"), 0, 0L))
+      queries.foreach(_.processAllAvailable())
+      assert(rec2.topics.getOrElse("fhir.msg", 0L) == 1L, rec2.topics.toString)
+    } finally queries.foreach(_.stop())
+  }
+
   test("fan-out: unknown types go to the default query, not the typed one") {
     val base = tmpDir("engine")
     val settings = Settings(
