@@ -42,7 +42,9 @@ final case class Settings(
     logResourceCountBySourceTopic: Boolean = false, // settings.py:66–68
     metricsAddr: String = "127.0.0.1",       // settings.py:64
     metricsPort: Int = 8000,                 // settings.py:63
-    deltaCheckpointInterval: Int = 100)      // settings.py:48
+    deltaCheckpointInterval: Int = 100,      // settings.py:48
+    autoOptimizeOptimizeWrite: Boolean = false, // settings.py:47
+    autoOptimizeAutoCompact: Boolean = false)   // settings.py:46
 
 /** The streaming shell: N+1 independent `foreachBatch` queries over one
   * prepared source — one per configured resource type plus a default
@@ -97,6 +99,12 @@ object Engine {
     */
   def start(source: DataFrame, settings: Settings,
             metrics: BatchMetrics = BatchMetrics.noop): Seq[StreamingQuery] = {
+    // Delta's optimized-write/auto-compact session properties
+    // (settings.py:46–47, both default false like the reference)
+    source.sparkSession.conf.set("graft.table.optimizeWrite",
+      settings.autoOptimizeOptimizeWrite.toString)
+    source.sparkSession.conf.set("graft.table.autoCompact",
+      settings.autoOptimizeAutoCompact.toString)
     val prepared = BundlePipeline.prepare(source)
     val processor = new BatchProcessor(
       settings.deltaDatabaseDir,

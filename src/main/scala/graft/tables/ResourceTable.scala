@@ -389,6 +389,51 @@ final class ResourceTable(val spark: SparkSession, val path: String,
   private def collectKeysLimit: Long =
     spark.conf.get("graft.table.merge.collectKeysLimit", "100000").toLong
 
+  /** Delta's optimizedWrite (settings.py:47, default false): when
+    * enabled and the table is clustered, each mutation's NEW files are
+    * range-partitioned + sorted on the cluster key at write time, so
+    * per-file min/max stats are disjoint from the first commit — merge
+    * pruning gets optimize()-quality skipping without waiting for the
+    * next compaction. Costs one extra shuffle of the (bounded) batch.
+    */
+  private def optimizeWriteEnabled: Boolean =
+    spark.conf.get("graft.table.optimizeWrite", "false").toBoolean
+
+  /** Delta's autoCompact (settings.py:46, default false): after a
+    * mutation commits, compact when the manifest has accumulated at
+    * least `graft.table.autoCompactMinFiles` files (Delta's
+    * minNumFiles, default 50).
+    */
+  private def autoCompactEnabled: Boolean =
+    spark.conf.get("graft.table.autoCompact", "false").toBoolean
+  private def autoCompactMinFiles: Int =
+    spark.conf.get("graft.table.autoCompactMinFiles", "50").toInt
+
+  /** Rows per clustered output file under optimizedWrite. */
+  private def optimizeWriteRowsPerFile: Long =
+    spark.conf.get("graft.table.optimizeWrite.rowsPerFile", "4000000").toLong
+
+  private def clusterForWrite(df: DataFrame, rows: Long): DataFrame = {
+    val cols = clusterBy()
+    if (!optimizeWriteEnabled || cols.isEmpty) return df
+    val n = math.max(1L, (rows + optimizeWriteRowsPerFile - 1) /
+      optimizeWriteRowsPerFile).min(Int.MaxValue).toInt
+    if (cols.size > 1)
+      graft.functions.ZOrder.withZOrderKey(df, cols)
+        .repartitionByRange(n, col("_zorder"))
+        .sortWithinPartitions("_zorder")
+        .drop("_zorder")
+    else df.repartitionByRange(n, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+  }
+
+  private def maybeAutoCompact(): Unit =
+    if (autoCompactEnabled) {
+      val v = latestVersion
+      if (v.exists(fileManifest(_).size >= autoCompactMinFiles))
+        optimize(numFiles = math.max(1, autoCompactMinFiles / 8))
+    }
+
   /** The batch's (row count, rewrite-scope predicate) in ONE Spark job
     * for bounded batches: a per-key groupBy capped at
     * `collectKeysLimit + 1` rows yields the distinct keys (tight
@@ -439,7 +484,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     // it so the pruning stats, the anti-join probe side, the union
     // side, and the returned count are one computation, not several
     val src = source.cache()
-    try retry() {
+    val result = try retry() {
       val cur = latestVersion
       val curV = cur.getOrElse(
         throw new IllegalStateException(s"no table at $path"))
@@ -456,12 +501,22 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       // Empty table (or only zero-row placeholder files): pure insert,
       // ONE Spark job — no pruning stats are needed and the returned
       // row count rides along as an observed metric of the write job.
+      // (optimizedWrite pays one extra count to size its range files —
+      // the knob is off by default, so the hot path stays single-job.)
       if (!files.exists(_._2.rows > 0)) {
-        val obs = org.apache.spark.sql.Observation()
-        commitFiles(Some(src.select(outCols.map(col): _*)
-            .observe(obs, count(lit(1)).as("_rows"))),
-          Seq.empty, outSchema.json, cur, op = "MERGE")
-        obs.get("_rows").asInstanceOf[Long]
+        if (optimizeWriteEnabled && clusterBy().nonEmpty) {
+          val n = src.count()
+          commitFiles(Some(clusterForWrite(
+              src.select(outCols.map(col): _*), n)),
+            Seq.empty, outSchema.json, cur, op = "MERGE")
+          n
+        } else {
+          val obs = org.apache.spark.sql.Observation()
+          commitFiles(Some(src.select(outCols.map(col): _*)
+              .observe(obs, count(lit(1)).as("_rows"))),
+            Seq.empty, outSchema.json, cur, op = "MERGE")
+          obs.get("_rows").asInstanceOf[Long]
+        }
       } else {
         val (srcRows, mayOverlap) = keyProfile(src, key)
         val (touched, untouched) = files.partition(f => mayOverlap(f._2))
@@ -490,11 +545,16 @@ final class ResourceTable(val spark: SparkSession, val path: String,
             lastMergePlan = Some(joined.queryExecution.sparkPlan.toString)
             joined.select(outCols.map(col): _*).unionByName(srcOut)
           }
-        commitFiles(Some(newData), kept, outSchema.json, cur,
-          op = "MERGE")
+        // upper bound on the new files' rows: the batch plus every
+        // row of the rewritten files (sizes clustered output)
+        val newRowsBound = srcRows + touched.map(_._2.rows).sum
+        commitFiles(Some(clusterForWrite(newData, newRowsBound)), kept,
+          outSchema.json, cur, op = "MERGE")
         srcRows
       }
     } finally src.unpersist()
+    maybeAutoCompact()
+    result
   }
 
   /** J2 — MERGE delete: drop target rows whose key appears in `ids`
@@ -504,7 +564,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     */
   def deleteMatching(ids: DataFrame, key: String): Long = {
     val idsKeyed = ids.toDF(key).cache()
-    try retry() {
+    val result = try retry() {
       val cur = latestVersion
       val curV = cur.getOrElse(
         throw new IllegalStateException(s"no table at $path"))
@@ -526,6 +586,8 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       commitFiles(newData, kept, schema().json, cur, op = "DELETE")
       nIds
     } finally idsKeyed.unpersist()
+    maybeAutoCompact()
+    result
   }
 
   /** J3 — compaction: rewrite the current snapshot into `numFiles`

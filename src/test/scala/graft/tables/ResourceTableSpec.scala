@@ -348,6 +348,41 @@ class ResourceTableSpec extends SparkSpec {
     assert(t.read().count() == 100)
   }
 
+  test("optimizedWrite clusters new files at write time; autoCompact bounds file count") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    spark.conf.set("graft.table.optimizeWrite", "true")
+    spark.conf.set("graft.table.optimizeWrite.rowsPerFile", "1000")
+    spark.conf.set("graft.table.autoCompact", "true")
+    spark.conf.set("graft.table.autoCompactMinFiles", "6")
+    try {
+      val t = ResourceTable(spark, s"${tmpDir("rtow")}/T.parquet")
+      val data = (1 to 4000).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+        .repartition(8) // scatter ids across partitions
+      t.createIfNotExists(data.schema, clusterCols = Seq("id"))
+      t.upsert(data, "id")
+      // ~4 range files straight from the first MERGE, disjoint on id:
+      // a selective key predicate must prune to ONE file, no optimize()
+      val (read, total) = t.pruneInfo(col("id") === 7L)
+      assert(total >= 2 && total <= 6, s"files=$total")
+      assert(read == 1, s"read $read of $total files")
+      // pile on small upserts past the autoCompact threshold
+      (0 until 6).foreach { k =>
+        t.upsert(Seq((100000L + k, "x")).toDF("id", "name"), "id")
+      }
+      val files = t.fileManifest(t.latestVersion.get).size
+      assert(files < 6, s"autoCompact left $files files")
+      assert(t.history().collect().exists(r =>
+        r.getString(2) == "OPTIMIZE"), "no OPTIMIZE commit recorded")
+      assert(t.read().count() == 4006)
+    } finally {
+      spark.conf.unset("graft.table.optimizeWrite")
+      spark.conf.unset("graft.table.optimizeWrite.rowsPerFile")
+      spark.conf.unset("graft.table.autoCompact")
+      spark.conf.unset("graft.table.autoCompactMinFiles")
+    }
+  }
+
   test("history and describeDetail report operations, counts, and intactness") {
     import spark.implicits._
     val t = ResourceTable(spark, s"${tmpDir("rthist")}/T.parquet")
