@@ -1545,6 +1545,35 @@ object SparkEntry {
           col("tf_spark"), col("tf_merge"), col("tf_window"))
     }),
 
+    // ---- hybrid retrieval: BM25 lexical ranks fused with embedding
+    //      cosine ranks (reciprocal-rank-fusion shape, integer rank
+    //      arithmetic so it oracles exactly). Corpus-sized windows are
+    //      fine here because the corpus IS the candidate set; at scale
+    //      each side would top-k first (TakeOrdered) and fusion runs
+    //      on the two k-sized lists ----
+    "q_hybrid_retrieval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val qvec = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_vec"))
+      val scored = TextStats.bm25(docs, Seq("spark", "merge", "window"))
+        .select(col("doc_id"), col("score"))
+      val cos = emb.crossJoin(broadcast(qvec))
+        .select(col("vec_id").as("doc_id"),
+          Similarity.cosine(col("embedding"), col("q_vec")).as("cos"))
+      val fused = scored.join(cos, Seq("doc_id"))
+        .withColumn("bm25_rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).cast(LongType))
+        .withColumn("ann_rank", row_number().over(
+          Window.orderBy(col("cos").desc, col("doc_id"))).cast(LongType))
+      fused.withColumn("rank", row_number().over(
+          Window.orderBy((col("bm25_rank") + col("ann_rank")).asc,
+            col("doc_id").asc)).cast(LongType))
+        .filter(col("rank") <= 10)
+        .select(col("rank"), col("doc_id"), col("bm25_rank"),
+          col("ann_rank"))
+    }),
+
     // ---- NFC unicode normalization via the native codegen'd
     //      expression; decomposed combining marks appended to corpus
     //      text so the normalization is observable (composed output is
@@ -2690,6 +2719,52 @@ object SparkEntry {
         |    AS rank,
         |  doc_id, dl, tf_spark, tf_merge, tf_window
         |FROM sc ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+    "q_hybrid_retrieval" ->
+      """WITH tf AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                         x -> x = 'spark')) AS BIGINT) AS tf_spark,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                         x -> x = 'merge')) AS BIGINT) AS tf_merge,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |                         x -> x = 'window')) AS BIGINT) AS tf_window
+        |  FROM documents),
+        |st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+        |    CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+        |    CAST(sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_merge,
+        |    CAST(sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_window
+        |  FROM tf),
+        |sc AS (
+        |  SELECT doc_id,
+        |      ln(1 + (n - df_spark + 0.5) / (df_spark + 0.5)) * tf_spark
+        |        * (1.2 + 1) / (tf_spark + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        |    + ln(1 + (n - df_merge + 0.5) / (df_merge + 0.5)) * tf_merge
+        |        * (1.2 + 1) / (tf_merge + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        |    + ln(1 + (n - df_window + 0.5) / (df_window + 0.5)) * tf_window
+        |        * (1.2 + 1) / (tf_window + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        |    AS score
+        |  FROM tf, st),
+        |qv AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
+        |cs AS (
+        |  SELECT vec_id AS doc_id,
+        |    list_cosine_similarity(embedding, q_vec) AS cos
+        |  FROM embeddings, qv),
+        |ranks AS (
+        |  SELECT sc.doc_id,
+        |    CAST(row_number() OVER (ORDER BY sc.score DESC, sc.doc_id)
+        |      AS BIGINT) AS bm25_rank,
+        |    CAST(row_number() OVER (ORDER BY cs.cos DESC, cs.doc_id)
+        |      AS BIGINT) AS ann_rank
+        |  FROM sc JOIN cs ON sc.doc_id = cs.doc_id)
+        |SELECT CAST(row_number() OVER (
+        |    ORDER BY bm25_rank + ann_rank ASC, doc_id ASC) AS BIGINT)
+        |    AS rank,
+        |  doc_id, bm25_rank, ann_rank
+        |FROM ranks
+        |ORDER BY bm25_rank + ann_rank ASC, doc_id ASC LIMIT 10""".stripMargin,
 
     "q_unicode_norm" ->
       """SELECT doc_id,
