@@ -78,6 +78,18 @@ object Lakehousekeeper {
     (schema, table)
   }
 
+  /** Incremental bin-packing over every table (Delta OPTIMIZE's real
+    * scope): coalesce only files under `minBytes`, carry right-sized
+    * files by reference — O(small files), the routine-upkeep variant
+    * of the O(table) `optimize`.
+    */
+  def compact(spark: SparkSession, dir: String,
+              minBytes: Long = 32L << 20,
+              targetBytes: Long = 1L << 30): Seq[(String, (Int, Int))] =
+    listTables(spark, dir).map { p =>
+      p -> ResourceTable(spark, p).compactSmallFiles(minBytes, targetBytes)
+    }
+
   /** Per-table snapshot summary — `DESCRIBE DETAIL` over the database
     * (version, files, bytes, manifest rows per table).
     */
@@ -119,7 +131,7 @@ object Lakehousekeeper {
       System.err.println(
         "usage: lakehousekeeper vacuum <dir> [retentionHours] [dry] [no-enforce]" +
           " | optimize <dir> [numFiles|<size>g|<size>m] [compression]" +
-          " | register <dir> | describe <dir>")
+          " | compact <dir> [min<m>] | register <dir> | describe <dir>")
       return
     }
     val spark = SparkSession.builder()
@@ -156,6 +168,16 @@ object Lakehousekeeper {
           }
         case "register" =>
           register(spark, dir).foreach(n => println(s"registered $n"))
+        case "compact" =>
+          val minB = args.lift(2) match {
+            case Some(v) if v.toLowerCase.endsWith("m") =>
+              v.dropRight(1).toLong << 20
+            case Some(v) => v.toLong
+            case None => 32L << 20
+          }
+          compact(spark, dir, minB).foreach { case (p, (c, kept)) =>
+            println(s"compacted $p: $c small files coalesced, $kept carried")
+          }
         case "describe" =>
           describe(spark, dir).foreach { case (p, v, nf, bytes, rows) =>
             println(s"$p: v$v, $nf files, $bytes bytes, $rows rows")

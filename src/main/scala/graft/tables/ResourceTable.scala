@@ -430,8 +430,11 @@ final class ResourceTable(val spark: SparkSession, val path: String,
   private def maybeAutoCompact(): Unit =
     if (autoCompactEnabled) {
       val v = latestVersion
+      // incremental bin-packing, NOT the whole-snapshot optimize():
+      // auto-compaction after every mutation must stay O(small files)
+      // or it is itself the write-amplification problem at 100 TB
       if (v.exists(fileManifest(_).size >= autoCompactMinFiles))
-        optimize(numFiles = math.max(1, autoCompactMinFiles / 8))
+        compactSmallFiles()
     }
 
   /** The batch's (row count, rewrite-scope predicate) in ONE Spark job
@@ -617,6 +620,55 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     commitFiles(Some(rewritten), Seq.empty, schema().json, cur,
       compression, op = "OPTIMIZE")
   }
+
+  /** INCREMENTAL compaction — Delta OPTIMIZE's actual bin-packing
+    * scope: only files smaller than `minBytes` are read and rewritten
+    * (coalesced toward `targetBytes` each); every already-right-sized
+    * file carries forward BY REFERENCE. This is the O(small-files)
+    * upkeep a 100 TB table needs — the whole-snapshot `optimize()` is
+    * O(table) write amplification per run and exists for explicit
+    * re-clustering, not routine upkeep. Like Delta's bin-packing, the
+    * compacted output is not re-clustered against the carried files
+    * (their stats ranges may overlap); run `optimize()` when global
+    * clustering matters more than write cost. Returns
+    * (files compacted, files carried).
+    */
+  def compactSmallFiles(minBytes: Long = 32L << 20,
+                        targetBytes: Long = 1L << 30,
+                        compression: String = "zstd"): (Int, Int) = {
+    require(minBytes > 0 && targetBytes >= minBytes)
+    retry() {
+      val cur = latestVersion.getOrElse(
+        throw new IllegalStateException(s"no table at $path"))
+      val files = fileListAt(cur)
+      val sizes = fileSizes(files.map(_._1))
+      val (small, large) = files.partition(f => sizes(f._1) < minBytes)
+      if (small.size < 2) (0, files.size) // nothing worth coalescing
+      else {
+        val smallBytes = small.map(f => sizes(f._1)).sum
+        val n = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes)
+          .min(Int.MaxValue).toInt
+        val compacted = spark.read.schema(schema())
+          .parquet(small.map(f => resolve(f._1).toString): _*)
+          .repartition(n)
+        commitFiles(Some(compacted), large, schema().json, Some(cur),
+          compression, op = "OPTIMIZE")
+        (small.size, large.size)
+      }
+    }
+  }
+
+  /** Per-file physical bytes of manifest entries: one FS listing per
+    * distinct snapshot dir.
+    */
+  private def fileSizes(rels: Seq[String]): Map[String, Long] = rels
+    .groupBy(r => r.substring(0, r.lastIndexOf('/')))
+    .iterator.flatMap { case (d, group) =>
+      val byName = fs.listStatus(new HPath(root, d))
+        .map(s => s.getPath.getName -> s.getLen).toMap
+      group.map(r =>
+        r -> byName.getOrElse(r.substring(r.lastIndexOf('/') + 1), 0L))
+    }.toMap
 
   /** Size-targeted compaction (Delta `OPTIMIZE` maxFileSize /
     * delta-rs `target_size` parity, lakehousekeeper.py:206–214): pick

@@ -348,6 +348,32 @@ class ResourceTableSpec extends SparkSpec {
     assert(t.read().count() == 100)
   }
 
+  test("compactSmallFiles coalesces only small files; big files carry by reference") {
+    import spark.implicits._
+    val t = ResourceTable(spark, s"${tmpDir("rtcompact")}/T.parquet")
+    val data = (1 to 20000)
+      .map(i => (i.toLong, s"name_${i}_${(i * 2654435761L).toHexString}"))
+      .toDF("id", "name")
+    t.createIfNotExists(data.schema, clusterCols = Seq("id"))
+    t.upsert(data, "id")
+    t.optimize(numFiles = 2) // two comfortably-large files
+    val bigFiles = t.fileManifest(t.latestVersion.get)
+    (0 until 5).foreach { k => // streaming trickle: five tiny appends
+      t.upsert(Seq((50000L + k, "x")).toDF("id", "name"), "id")
+    }
+    assert(t.fileManifest(t.latestVersion.get).size == 7)
+    val (compacted, carried) = t.compactSmallFiles(minBytes = 10L << 10)
+    assert(compacted == 5 && carried == 2, s"($compacted, $carried)")
+    val after = t.fileManifest(t.latestVersion.get)
+    assert(bigFiles.toSet.subsetOf(after.toSet),
+      "large files must carry forward by reference, not rewrite")
+    assert(after.size == 3)
+    assert(t.read().count() == 20005)
+    // nothing left to coalesce: a second run is a no-op
+    assert(t.compactSmallFiles(minBytes = 10L << 10)._1 == 0)
+    assert(t.history().collect().head.getString(2) == "OPTIMIZE")
+  }
+
   test("optimizedWrite clusters new files at write time; autoCompact bounds file count") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
