@@ -95,7 +95,14 @@ final class BatchProcessor(
 
         if (upkeepInterval > 0 && batchId % upkeepInterval == 0) {
           timeIt(metrics.upkeepSeconds) {
-            table.optimize()                               // J3
+            // J3 — Delta OPTIMIZE parity: routine upkeep bin-packs
+            // only small files (O(small), no-op when nothing to do);
+            // a CLUSTERED table reclusters fully, like OPTIMIZE on
+            // liquid-clustering tables. A fixed full rewrite every 50
+            // batches would be O(table) write amplification at scale.
+            if (clusteringColumns.getOrElse(rt, Seq.empty).nonEmpty)
+              table.optimize()
+            else table.compactSmallFiles()
             table.vacuum(vacuumRetentionMs)                // J4
           }
         }

@@ -71,13 +71,30 @@ class BatchProcessorSpec extends SparkSpec {
 
   test("batch 0 triggers optimize+vacuum (upkeep cadence)") {
     val dir = tmpDir("bp")
-    val bp = new BatchProcessor(dir, upkeepInterval = 50)
+    // clustered table → upkeep reclusters (full optimize commit)
+    val bp = new BatchProcessor(dir, upkeepInterval = 50,
+      clusteringColumns = Map("Patient" -> Seq("id")))
     // batch_id 0 % 50 == 0 → upkeep runs (reference tests:230–231)
     bp.processBatch(prepared(Seq((fixture("single-patient.json"), 0, 0L))), 0)
     val t = ResourceTable(spark, s"$dir/Patient.parquet")
     assert(t.read().count() == 1)
     // upkeep committed an optimize snapshot on top of create+upsert
     assert(t.latestVersion.exists(_ >= 2L))
+  }
+
+  test("unclustered upkeep bin-packs small files instead of rewriting the table") {
+    val dir = tmpDir("bp")
+    val bp = new BatchProcessor(dir, upkeepInterval = 2)
+    // two non-upkeep batches leave two small files...
+    bp.processBatch(prepared(Seq((fixture("single-patient.json"), 0, 0L))), 1)
+    bp.processBatch(prepared(Seq((fixture("batches/put-2.json"), 0, 1L))), 3)
+    val t = ResourceTable(spark, s"$dir/Patient.parquet")
+    val before = t.fileManifest(t.latestVersion.get).size
+    assert(before >= 2, s"expected >=2 files, got $before")
+    // ...and the next upkeep batch coalesces them (O(small files))
+    bp.processBatch(prepared(Seq((fixture("batches/put-2-newer.json"), 0, 2L))), 4)
+    assert(t.fileManifest(t.latestVersion.get).size < before + 1)
+    assert(t.history().collect().exists(_.getString(2) == "OPTIMIZE"))
   }
 
   test("clustering columns flow through to the table layer") {
