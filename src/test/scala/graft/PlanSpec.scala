@@ -149,6 +149,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("interval join is a hash equi-join on the bin, never a nested loop") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("quantization is a shuffle-free row-local generator plan") {
+    val p = plan("q_quantize_embedding")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate"), p)
+  }
+
+  test("temperature mix broadcasts rates; the corpus never shuffles pre-filter") {
+    val p = plan("q_temperature_mix")
+    // the only exchange feeds the tiny per-source aggregate / final
+    // gate groupBy — the documents scan side joins via broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("segment dedup: frequency anti-join, no doc-by-doc join") {
+    val p = plan("q_dedup_segments")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+  }
+
   test("native text/vector expressions generate code (no eval fallback)") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     // the minhash projection stage must be codegen'd AND its generated

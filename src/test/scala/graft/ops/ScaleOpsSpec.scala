@@ -267,9 +267,12 @@ class IntervalJoinPropertySpec extends SparkSpec {
 
   test("property: binned join equals brute force on random data") {
     val rnd = new scala.util.Random(7)
-    val pts = (0 until 300).map(i => (i.toLong, rnd.nextInt(10000).toLong))
+    // straddle zero: truncating DIV (not floor) must stay consistent
+    // between the point bin and the interval's bin range on negatives
+    val pts = (0 until 300).map(i =>
+      (i.toLong, rnd.nextInt(10000).toLong - 5000L))
     val ivs = (0 until 60).map { i =>
-      val start = rnd.nextInt(10000).toLong
+      val start = rnd.nextInt(10000).toLong - 5000L
       // include empty (len 0) and inverted (len < 0) intervals
       (1000L + i, start, start + rnd.nextInt(451) - 50L)
     }
