@@ -429,12 +429,22 @@ final class ResourceTable(val spark: SparkSession, val path: String,
 
   private def maybeAutoCompact(): Unit =
     if (autoCompactEnabled) {
-      val v = latestVersion
-      // incremental bin-packing, NOT the whole-snapshot optimize():
-      // auto-compaction after every mutation must stay O(small files)
-      // or it is itself the write-amplification problem at 100 TB
-      if (v.exists(fileManifest(_).size >= autoCompactMinFiles))
-        compactSmallFiles()
+      // BEST-EFFORT: the mutation that triggered this has already
+      // committed; a compaction that loses every concurrency retry
+      // (hot multi-writer table) must not fail the caller — the next
+      // mutation, or upkeep, gets another shot.
+      try {
+        val v = latestVersion
+        // incremental bin-packing, NOT the whole-snapshot optimize():
+        // auto-compaction after every mutation must stay O(small
+        // files) or it is itself the write-amplification problem
+        if (v.exists(fileManifest(_).size >= autoCompactMinFiles))
+          compactSmallFiles()
+      } catch {
+        case e: Throwable =>
+          System.err.println(
+            s"auto-compact skipped for $path: ${e.getMessage}")
+      }
     }
 
   /** The batch's (row count, rewrite-scope predicate) in ONE Spark job
