@@ -413,19 +413,29 @@ final class ResourceTable(val spark: SparkSession, val path: String,
   private def optimizeWriteRowsPerFile: Long =
     spark.conf.get("graft.table.optimizeWrite.rowsPerFile", "4000000").toLong
 
-  private def clusterForWrite(df: DataFrame, rows: Long): DataFrame = {
+  /** Partition `df` into `n` cluster-ordered output files: multi-col
+    * clustering → Z-order key sort, one col → range + sort, none →
+    * plain repartition. The single source of truth for optimize(),
+    * optimizedWrite, and incremental compaction.
+    */
+  private def clusterInto(df: DataFrame, n: Int): DataFrame = {
     val cols = clusterBy()
-    if (!optimizeWriteEnabled || cols.isEmpty) return df
-    val n = math.max(1L, (rows + optimizeWriteRowsPerFile - 1) /
-      optimizeWriteRowsPerFile).min(Int.MaxValue).toInt
     if (cols.size > 1)
       graft.functions.ZOrder.withZOrderKey(df, cols)
         .repartitionByRange(n, col("_zorder"))
         .sortWithinPartitions("_zorder")
         .drop("_zorder")
-    else df.repartitionByRange(n, cols.map(col): _*)
-      .sortWithinPartitions(cols.map(col): _*)
+    else if (cols.size == 1)
+      df.repartitionByRange(n, cols.map(col): _*)
+        .sortWithinPartitions(cols.map(col): _*)
+    else df.repartition(n)
   }
+
+  private def clusterForWrite(df: DataFrame, rows: Long): DataFrame =
+    if (!optimizeWriteEnabled || clusterBy().isEmpty) df
+    else clusterInto(df, math.max(1L,
+      (rows + optimizeWriteRowsPerFile - 1) / optimizeWriteRowsPerFile)
+      .min(Int.MaxValue).toInt)
 
   private def maybeAutoCompact(): Unit =
     if (autoCompactEnabled) {
@@ -615,18 +625,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
   def optimize(numFiles: Int = 4,
                compression: String = "zstd"): Unit = retry() {
     val cur = latestVersion
-    val df = read()
-    val cols = clusterBy()
-    val rewritten =
-      if (cols.size > 1) {
-        graft.functions.ZOrder.withZOrderKey(df, cols)
-          .repartitionByRange(numFiles, col("_zorder"))
-          .sortWithinPartitions("_zorder")
-          .drop("_zorder")
-      } else if (cols.size == 1)
-        df.repartitionByRange(numFiles, cols.map(col): _*)
-          .sortWithinPartitions(cols.map(col): _*)
-      else df.repartition(numFiles)
+    val rewritten = clusterInto(read(), numFiles)
     commitFiles(Some(rewritten), Seq.empty, schema().json, cur,
       compression, op = "OPTIMIZE")
   }
@@ -658,11 +657,15 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         val smallBytes = small.map(f => sizes(f._1)).sum
         val n = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes)
           .min(Int.MaxValue).toInt
-        val compacted = spark.read.schema(schema())
+        val read = spark.read.schema(schema())
           .parquet(small.map(f => resolve(f._1).toString): _*)
-          .repartition(n)
-        commitFiles(Some(compacted), large, schema().json, Some(cur),
-          compression, op = "OPTIMIZE")
+        // incremental clustering: on a clustered table the coalesced
+        // output is range-sorted on the cluster key so the NEW files
+        // get disjoint, prunable stats — existing large files keep
+        // their ranges untouched (Delta's incremental OPTIMIZE shape;
+        // full optimize() remains the global re-cluster)
+        commitFiles(Some(clusterInto(read, n)), large, schema().json,
+          Some(cur), compression, op = "OPTIMIZE")
         (small.size, large.size)
       }
     }
