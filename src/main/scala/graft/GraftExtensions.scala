@@ -16,10 +16,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // rung (c): optimizer rule — naive range joins become bin-bucketed
+    // equi-joins (inert until graft.rules.intervalJoin.binUs is set)
+    e.injectOptimizerRule(_ => graft.plans.RangeBinJoinRule)
+  }
 }
 
 object GraftExtensions {
@@ -60,10 +64,17 @@ object GraftExtensions {
         "nfc_normalize(text) - Unicode NFC normalization (isNormalized fast path)"),
       (es: Seq[Expression]) => TextExpressions.NfcNormalize(es(0))))
 
-  /** Register on an already-built session (temp functions). */
-  def register(spark: SparkSession): Unit =
+  /** Register on an already-built session (temp functions + the
+    * optimizer rule via the experimental hook).
+    */
+  def register(spark: SparkSession): Unit = {
     definitions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.RangeBinJoinRule))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.RangeBinJoinRule)
+  }
 }

@@ -61,6 +61,41 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().head.getAs[Int]("h")
     assert(d == 3)
   }
+
+  test("optimizer rule: naive range join becomes a bin equi-join, results identical") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 400).map(i =>
+      (i.toLong, rnd.nextInt(5000).toLong - 2500L)).toDF("p_id", "ts")
+    val ivs = (0 until 50).map { i =>
+      val lo = rnd.nextInt(5000).toLong - 2500L
+      (900L + i, lo, lo + rnd.nextInt(300) - 20L) // incl. empty/inverted
+    }.toDF("iv_id", "lo", "hi")
+    def q = pts.join(ivs, col("ts") >= col("lo") && col("ts") < col("hi"))
+      .select("p_id", "iv_id")
+    val naive = q.collect().toSet // rule inert: BNLJ baseline
+    assert(q.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+
+    GraftExtensions.register(spark)
+    spark.conf.set("graft.rules.intervalJoin.binUs", "128")
+    try {
+      val rewritten = q
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(rewritten.collect().toSet == naive)
+      // closed upper bound (<=) rewrites too, and stays correct
+      def qc = pts.join(ivs,
+          col("ts") >= col("lo") && col("ts") <= col("hi"))
+        .select("p_id", "iv_id")
+      spark.conf.unset("graft.rules.intervalJoin.binUs")
+      val naiveClosed = qc.collect().toSet
+      spark.conf.set("graft.rules.intervalJoin.binUs", "128")
+      assert(qc.collect().toSet == naiveClosed)
+      assert(!qc.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+    } finally spark.conf.unset("graft.rules.intervalJoin.binUs")
+  }
 }
 
 /** Deeper FHIR encode checks: nested arrays/structs/decimals for
