@@ -247,6 +247,37 @@ object SparkEntry {
         .select("event_id", "user_id", "ts_us", "iv_id", "start_us")
     }),
 
+    // ---- the SAME semantics written as a NAIVE range join, fixed by
+    //      the Catalyst optimizer rule (plans/RangeBinJoinRule): the
+    //      rule rewrites the nested-loop shape into the bin equi-join
+    //      inside this query, and the driver's oracle hash-verifies
+    //      the rewrite end-to-end ----
+    "q_interval_join_rule" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      val prev = try Some(s.conf.get("graft.rules.intervalJoin.binUs"))
+        catch { case _: Throwable => None }
+      s.conf.set("graft.rules.intervalJoin.binUs", "7200000000")
+      try {
+        val ev = eventsUs(s, dir)
+        val points = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        val iv = ev.filter(col("event_type") === "purchase" &&
+            col("event_id") % 40 === 0)
+          .select(col("event_id").as("iv_id"),
+            col("ts_us").as("start_us"),
+            (col("ts_us") + 7200000000L).as("end_us"))
+        // the naive join Catalyst would nested-loop; the rule fixes it
+        val out = points.join(iv,
+            col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
+          .select("event_id", "user_id", "ts_us", "iv_id", "start_us")
+        out.cache().count() // materialize while the conf is set
+        out
+      } finally prev match {
+        case Some(v) => s.conf.set("graft.rules.intervalJoin.binUs", v)
+        case None => s.conf.unset("graft.rules.intervalJoin.binUs")
+      }
+    }),
+
     // ---- analytic window functions: lag/lead/first/last/ntile ----
     "q_window_analytics" -> ((s, dir) => {
       val order = Window.partitionBy("user_id")
@@ -2609,6 +2640,17 @@ object SparkEntry {
         |  AND l_quantity < 24""".stripMargin,
 
     "q_interval_join" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  iv.iv_id, iv.start_us
+        |FROM events e
+        |JOIN (SELECT event_id AS iv_id, epoch_us(ts) AS start_us,
+        |        epoch_us(ts) + 7200000000 AS end_us
+        |      FROM events
+        |      WHERE event_type = 'purchase' AND event_id % 40 = 0) iv
+        |  ON epoch_us(e.ts) >= iv.start_us AND epoch_us(e.ts) < iv.end_us
+        |WHERE e.event_type = 'view'""".stripMargin,
+
+    "q_interval_join_rule" ->
       """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
         |  iv.iv_id, iv.start_us
         |FROM events e
