@@ -1166,6 +1166,15 @@ object SparkEntry {
         .select(col("media_id"), col("meta.format").as("format"),
           col("meta.n_bytes").as("n_bytes"))),
 
+    // ---- multimodal exact dedup: checksum the opaque BINARY payload
+    //      (the first dedup pass of any image/audio corpus — no decode
+    //      needed, one hash-aggregate shuffle) ----
+    "q_multimodal_dedup" -> ((s, dir) =>
+      Multimodal.asMediaTable(t(s, dir, "documents"))
+        .groupBy(md5(col("payload")).as("payload_md5"))
+        .agg(min(col("media_id")).as("keep_id"),
+          count(lit(1)).as("dup_cnt"))),
+
     // ---- multimodal plumbing: binary payloads + features (no oracle) --
     "q_multimodal_features" -> ((s, dir) => {
       // Scalars only in the output: the driver's rows-only stability
@@ -2929,6 +2938,12 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 'fake/raw' AS format,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
+
+    // md5 of the payload BYTES == md5 of the UTF-8 text both engines
+    "q_multimodal_dedup" ->
+      """SELECT md5(text) AS payload_md5,
+        |  min(doc_id) AS keep_id, count(*) AS dup_cnt
+        |FROM documents GROUP BY md5(text)""".stripMargin,
 
     "q_resample" ->
       """WITH e AS (
