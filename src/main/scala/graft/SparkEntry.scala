@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats, TopK}
 import graft.tables.ResourceTable
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1580,18 +1580,22 @@ object SparkEntry {
         Seq("spark", "merge", "window"))
       scored.orderBy(col("score").desc, col("doc_id")).limit(25)
         .withColumn("rank", row_number().over(
-          Window.orderBy(col("score").desc, col("doc_id"))).cast(LongType))
+          Window.partitionBy(TopK.singleBucket(col("doc_id")))
+            .orderBy(col("score").desc, col("doc_id"))).cast(LongType))
         .select(col("rank"), col("doc_id"), col("dl"),
           col("tf_spark"), col("tf_merge"), col("tf_window"))
     }),
 
     // ---- hybrid retrieval: BM25 lexical ranks fused with embedding
     //      cosine ranks (reciprocal-rank-fusion shape, integer rank
-    //      arithmetic so it oracles exactly). Corpus-sized windows are
-    //      fine here because the corpus IS the candidate set; at scale
-    //      each side would top-k first (TakeOrdered) and fusion runs
-    //      on the two k-sized lists ----
+    //      arithmetic so it oracles exactly). Each side is top-k'd
+    //      FIRST (TakeOrderedAndProject — per-partition heaps, no
+    //      global sort, no corpus-sized window); ranks within a top-k
+    //      list equal the global ranks (prefix of the same total
+    //      order), a doc absent from one list takes rank k+1, and the
+    //      fusion window runs over the ≤2k-row candidate union ----
     "q_hybrid_retrieval" -> ((s, dir) => {
+      val k = 50
       val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
       val qvec = emb.filter(col("vec_id") === 0)
@@ -1601,14 +1605,25 @@ object SparkEntry {
       val cos = emb.crossJoin(broadcast(qvec))
         .select(col("vec_id").as("doc_id"),
           Similarity.cosine(col("embedding"), col("q_vec")).as("cos"))
-      val fused = scored.join(cos, Seq("doc_id"))
+      val one = TopK.singleBucket(col("doc_id"))
+      val bmTop = scored.orderBy(col("score").desc, col("doc_id")).limit(k)
         .withColumn("bm25_rank", row_number().over(
-          Window.orderBy(col("score").desc, col("doc_id"))).cast(LongType))
+          Window.partitionBy(one)
+            .orderBy(col("score").desc, col("doc_id"))).cast(LongType))
+        .select(col("doc_id"), col("bm25_rank"))
+      val annTop = cos.orderBy(col("cos").desc, col("doc_id")).limit(k)
         .withColumn("ann_rank", row_number().over(
-          Window.orderBy(col("cos").desc, col("doc_id"))).cast(LongType))
+          Window.partitionBy(one)
+            .orderBy(col("cos").desc, col("doc_id"))).cast(LongType))
+        .select(col("doc_id"), col("ann_rank"))
+      val fused = bmTop.join(annTop, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("bm25_rank"), lit(k + 1L)).as("bm25_rank"),
+          coalesce(col("ann_rank"), lit(k + 1L)).as("ann_rank"))
       fused.withColumn("rank", row_number().over(
-          Window.orderBy((col("bm25_rank") + col("ann_rank")).asc,
-            col("doc_id").asc)).cast(LongType))
+          Window.partitionBy(one)
+            .orderBy((col("bm25_rank") + col("ann_rank")).asc,
+              col("doc_id").asc)).cast(LongType))
         .filter(col("rank") <= 10)
         .select(col("rank"), col("doc_id"), col("bm25_rank"),
           col("ann_rank"))
@@ -2803,18 +2818,26 @@ object SparkEntry {
         |  SELECT vec_id AS doc_id,
         |    list_cosine_similarity(embedding, q_vec) AS cos
         |  FROM embeddings, qv),
-        |ranks AS (
-        |  SELECT sc.doc_id,
-        |    CAST(row_number() OVER (ORDER BY sc.score DESC, sc.doc_id)
-        |      AS BIGINT) AS bm25_rank,
-        |    CAST(row_number() OVER (ORDER BY cs.cos DESC, cs.doc_id)
+        |bm AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |      AS BIGINT) AS bm25_rank
+        |  FROM sc ORDER BY score DESC, doc_id LIMIT 50),
+        |an AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
         |      AS BIGINT) AS ann_rank
-        |  FROM sc JOIN cs ON sc.doc_id = cs.doc_id)
+        |  FROM cs ORDER BY cos DESC, doc_id LIMIT 50),
+        |fused AS (
+        |  SELECT COALESCE(bm.doc_id, an.doc_id) AS doc_id,
+        |    COALESCE(bm.bm25_rank, 51) AS bm25_rank,
+        |    COALESCE(an.ann_rank, 51) AS ann_rank
+        |  FROM bm FULL OUTER JOIN an ON bm.doc_id = an.doc_id)
         |SELECT CAST(row_number() OVER (
         |    ORDER BY bm25_rank + ann_rank ASC, doc_id ASC) AS BIGINT)
         |    AS rank,
         |  doc_id, bm25_rank, ann_rank
-        |FROM ranks
+        |FROM fused
         |ORDER BY bm25_rank + ann_rank ASC, doc_id ASC LIMIT 10""".stripMargin,
 
     "q_unicode_norm" ->

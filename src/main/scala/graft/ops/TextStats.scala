@@ -261,8 +261,11 @@ object TextStats {
     val counts = df.select(explode(tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word")).limit(topN)
+    // the rank window runs over the topN-row limit result, so a
+    // constant single-bucket partition key is the correct distribution
     counts.withColumn("rank",
-      row_number().over(Window.orderBy(col("cnt").desc, col("word")))
+      row_number().over(Window.partitionBy(TopK.singleBucket(col("cnt")))
+        .orderBy(col("cnt").desc, col("word")))
         .cast("long"))
   }
 

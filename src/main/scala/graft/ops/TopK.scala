@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -13,6 +13,20 @@ import org.apache.spark.sql.functions._
   * ranking).
   */
 object TopK {
+
+  /** A window partition key that is constant-valued (always 0) but NOT
+    * foldable, for ranking inputs that a `limit(k)` has already bounded
+    * to k rows. An empty partitionSpec makes WindowExec move the whole
+    * input to one task and warn about it; a constant key gives the same
+    * single bucket through a defined HashPartitioning, which is exactly
+    * right when the input IS k rows. The key must reference a column —
+    * a foldable literal gets stripped from the partitionSpec by the
+    * optimizer and the undefined-partition path comes back. Never use
+    * this on an unbounded input: the single bucket is only safe because
+    * the limit ran first.
+    */
+  def singleBucket(anchor: Column): Column =
+    pmod(coalesce(anchor.cast("long"), lit(0L)), lit(1L))
 
   /** (neighborId, similarity) entries, kept sorted by
     * (sim desc, id asc), capped at k.
