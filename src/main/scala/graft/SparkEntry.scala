@@ -2008,11 +2008,14 @@ object SparkEntry {
         |        pow(CAST((SELECT min(cnt) FROM n) AS DOUBLE) / cnt,
         |            0.5) AS rate
         |      FROM n),
+        |r4 AS (SELECT src_grp,
+        |         CAST(floor(rate * 10000 + 0.5) AS BIGINT) AS rate1e4
+        |       FROM r),
         |kept AS (
-        |  SELECT d.doc_id, d.src_grp FROM d JOIN r USING (src_grp)
+        |  SELECT d.doc_id, d.src_grp FROM d JOIN r4 USING (src_grp)
         |  WHERE md5('mix2:' || CAST(d.doc_id AS VARCHAR)) <
-        |    CASE WHEN r.rate >= 1.0 THEN 'g'
-        |         ELSE lower(lpad(hex(CAST(floor(r.rate * 65536)
+        |    CASE WHEN r4.rate1e4 >= 10000 THEN 'g'
+        |         ELSE lower(lpad(hex(CAST(floor(r4.rate1e4 * 65536 / 10000.0)
         |           AS BIGINT)), 4, '0')) END)
         |SELECT src_grp, count(*) AS kept_cnt,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc

@@ -109,11 +109,18 @@ object Sampling {
       .select(col(sourceCol),
         pow(col("_nmin").cast("double") / col("_n").cast("double"),
           lit(1.0 - alpha)).as("_rate"))
+    // FIXED-POINT thresholding: quantize the pow() rate to 1e-4 first
+    // (floor(x*10000 + 0.5) — the identical double op on any engine),
+    // then derive the 16-bit hash threshold in exact integer
+    // arithmetic. floor(pow(...) * 65536) directly exposed pow's
+    // cross-engine ULP differences at every 1/65536 boundary; the
+    // quantized form only at the far rarer 0.5e-4 rounding edge.
+    val rate1e4 = floor(col("_rate") * 10000d + 0.5d).cast("long")
     // columnar hexThreshold: rate >= 1 must keep EVERYTHING ("g" sorts
     // above the hex alphabet; "10000" would drop hashes >= "11")
-    val thresh = when(col("_rate") >= 1.0, lit("g"))
+    val thresh = when(rate1e4 >= 10000L, lit("g"))
       .otherwise(lower(lpad(
-        hex(floor(col("_rate") * 65536).cast("long")), 4, "0")))
+        hex(floor(rate1e4 * lit(65536L) / 10000d).cast("long")), 4, "0")))
     df.join(broadcast(rates), Seq(sourceCol))
       .filter(splitHash(col(idCol), salt) < thresh)
       .drop("_rate")

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.fhir.FhirEncoder
-import graft.tables.ResourceTable
+import graft.tables.{Lakehousekeeper, ResourceTable}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -28,7 +28,15 @@ final class BatchProcessor(
     clusteringColumns: Map[String, Seq[String]] = Map.empty,
     metrics: BatchMetrics = BatchMetrics.noop,
     logTopicCounts: Boolean = false,
-    checkpointInterval: Int = 100) { // delta checkpoint_interval, settings.py:48
+    checkpointInterval: Int = 100, // delta checkpoint_interval, settings.py:48
+    // engine-scoped write behavior (never session-global — two engines
+    // on one session must not race): None defers to the session conf
+    optimizeWrite: Option[Boolean] = None,
+    autoCompact: Option[Boolean] = None,
+    // in-engine S6: (re-)register each touched table in the catalog
+    // per batch, like the reference under metastore_url
+    // (bundle_processor.py:212–217)
+    registerTables: Boolean = false) {
 
   def tablePath(resourceType: String): String =
     s"$tableDir/$resourceType.parquet"
@@ -74,7 +82,8 @@ final class BatchProcessor(
         val putDf = deduped.filter(col("request_method") === "PUT")
         val encoded = FhirEncoder.encode(putDf, rt)        // E1
 
-        val table = ResourceTable(spark, tablePath(rt), checkpointInterval)
+        val table = ResourceTable(spark, tablePath(rt), checkpointInterval,
+            optimizeWrite, autoCompact)
           .createIfNotExists(encoded.schema,
             clusteringColumns.getOrElse(rt, Seq.empty))    // S3
 
@@ -106,6 +115,17 @@ final class BatchProcessor(
             table.vacuum(vacuumRetentionMs)                // J4
           }
         }
+
+        // S6 in-engine: roll the catalog entry forward to this batch's
+        // snapshot (after upkeep, so it reflects any compaction). The
+        // reference registers per batch under metastore_url with the
+        // same retry wrapper (bundle_processor.py:212–217, :325–329);
+        // its Delta pointer is static where ours advances, so ours
+        // registers after the merge instead of before it.
+        if (registerTables)
+          ResourceTable.retry() {
+            Lakehousekeeper.registerTable(spark, tablePath(rt)): Unit
+          }
         rt -> (upserted, deleted)
       } finally deduped.unpersist()
     }.toMap

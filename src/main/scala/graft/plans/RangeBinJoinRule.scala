@@ -34,8 +34,13 @@ import org.apache.spark.sql.types.LongType
   */
 object RangeBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
+  // a malformed conf value (e.g. "2h") must DISABLE the rule, not
+  // throw inside the optimizer — that would poison every query in the
+  // session, the worst possible blast radius for a tuning knob
   private def binUs: Long =
-    conf.getConfString("graft.rules.intervalJoin.binUs", "0").toLong
+    scala.util.Try(
+      conf.getConfString("graft.rules.intervalJoin.binUs", "0").toLong
+    ).getOrElse(0L)
 
   /** (point ts, lower bound, upper bound, upper is exclusive) when the
     * condition is exactly a two-sided long range with no equi part.

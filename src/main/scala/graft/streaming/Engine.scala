@@ -27,7 +27,9 @@ final case class Settings(
     maxTriggerDelay: String = "15m",         // settings.py:25
     securityProtocol: String = "PLAINTEXT",  // settings.py:26
     kafkaSsl: KafkaSslSettings = KafkaSslSettings(),
-    failOnDataLoss: Boolean = false,         // main.py:130
+    // true like the reference (settings.py:27) — silently tolerating
+    // lost Kafka offsets is the unsafe default
+    failOnDataLoss: Boolean = true,
     checkpointDir: String = "/tmp/graft/checkpoint",
     deltaDatabaseDir: String = "/tmp/graft/delta/default",
     triggerProcessingTime: String = "0 seconds", // settings.py:40
@@ -44,7 +46,22 @@ final case class Settings(
     metricsPort: Int = 8000,                 // settings.py:63
     deltaCheckpointInterval: Int = 100,      // settings.py:48
     autoOptimizeOptimizeWrite: Boolean = false, // settings.py:47
-    autoOptimizeAutoCompact: Boolean = false)   // settings.py:46
+    autoOptimizeAutoCompact: Boolean = false,   // settings.py:46
+    // deployment surface (SparkSettings, settings.py:30–41, and the
+    // top-level AWS/metastore fields, settings.py:58–64). The S3A and
+    // driver-memory values are threaded into the session builder by
+    // [[Engine.sessionConfigs]]; inert without a hadoop-aws jar, like
+    // the reference's spark.jars.packages line without egress.
+    master: String = "local[*]",             // settings.py:32
+    s3Endpoint: String = "localhost:9000",   // settings.py:33
+    s3ConnectionSslEnabled: String = "false", // settings.py:34 (str there too)
+    warehouseDir: String = "warehouse",      // settings.py:35
+    driverMemory: String = "4g",             // settings.py:38
+    awsAccessKeyId: String = "admin",        // settings.py:58
+    awsSecretAccessKey: String = "miniopass", // settings.py:59
+    // when set, every table a batch touches is (re-)registered in the
+    // catalog from inside the batch path (settings.py:64 + main.py:96–98)
+    metastoreUrl: Option[String] = None)
 
 /** The streaming shell: N+1 independent `foreachBatch` queries over one
   * prepared source — one per configured resource type plus a default
@@ -62,6 +79,37 @@ final case class Settings(
   * SIGMOD 2018).
   */
 object Engine {
+
+  /** Session-builder configuration mirroring the reference's
+    * SparkSession.builder chain (main.py:60–100): driver memory,
+    * console-progress/Prometheus UI flags, warehouse dir, S3A
+    * endpoint + path-style + magic-committer + credentials, and — when
+    * `metastoreUrl` is set — the Hive metastore wiring (main.py:96–98).
+    * Apply before `getOrCreate`:
+    * {{{
+    * Engine.sessionConfigs(s).foldLeft(
+    *   SparkSession.builder().master(s.master)) {
+    *     case (b, (k, v)) => b.config(k, v) }.getOrCreate()
+    * }}}
+    */
+  def sessionConfigs(s: Settings): Map[String, String] = {
+    val base = Map(
+      "spark.driver.memory" -> s.driverMemory,            // main.py:60–63
+      "spark.ui.showConsoleProgress" -> "false",          // main.py:64
+      "spark.ui.prometheus.enabled" -> "true",            // main.py:65
+      "spark.sql.warehouse.dir" -> s.warehouseDir,        // main.py:70
+      "spark.hadoop.fs.s3a.path.style.access" -> "true",  // main.py:79
+      "spark.hadoop.fs.s3a.endpoint" -> s.s3Endpoint,     // main.py:82–85
+      "spark.hadoop.fs.s3a.connection.ssl.enabled" ->
+        s.s3ConnectionSslEnabled,                         // main.py:86–89
+      "fs.s3a.committer.name" -> "magic",                 // main.py:90
+      "fs.s3a.committer.magic.enabled" -> "true",         // main.py:91
+      "fs.s3a.access.key" -> s.awsAccessKeyId,            // main.py:92
+      "fs.s3a.secret.key" -> s.awsSecretAccessKey)        // main.py:93
+    s.metastoreUrl.fold(base)(url => base ++ Map(         // main.py:96–99
+      "spark.hive.metastore.uris" -> url,
+      "spark.sql.catalogImplementation" -> "hive"))
+  }
 
   /** The Kafka source option set — identical option names/defaults to
     * the reference (main.py:125–153). Apply to
@@ -99,13 +147,11 @@ object Engine {
     */
   def start(source: DataFrame, settings: Settings,
             metrics: BatchMetrics = BatchMetrics.noop): Seq[StreamingQuery] = {
-    // Delta's optimized-write/auto-compact session properties
-    // (settings.py:46–47, both default false like the reference)
-    source.sparkSession.conf.set("graft.table.optimizeWrite",
-      settings.autoOptimizeOptimizeWrite.toString)
-    source.sparkSession.conf.set("graft.table.autoCompact",
-      settings.autoOptimizeAutoCompact.toString)
     val prepared = BundlePipeline.prepare(source)
+    // Delta's optimized-write/auto-compact properties (settings.py:46–47,
+    // both default false like the reference) are scoped to THIS
+    // processor's table handles, never written to the session conf —
+    // two engines sharing a session must not race on global flags
     val processor = new BatchProcessor(
       settings.deltaDatabaseDir,
       settings.upkeepInterval,
@@ -113,7 +159,10 @@ object Engine {
       settings.clusteringColumns,
       metrics,
       settings.logResourceCountBySourceTopic,
-      settings.deltaCheckpointInterval)
+      settings.deltaCheckpointInterval,
+      optimizeWrite = Some(settings.autoOptimizeOptimizeWrite),
+      autoCompact = Some(settings.autoOptimizeAutoCompact),
+      registerTables = settings.metastoreUrl.isDefined)
 
     val trigger =
       if (settings.triggerAvailableNow) Trigger.AvailableNow()

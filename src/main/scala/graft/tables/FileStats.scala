@@ -39,12 +39,19 @@ object FileStats {
     */
   final case class ColStats(min: Option[Any], max: Option[Any],
                             numNulls: Option[Long])
-  final case class FileStat(rows: Long, cols: Map[String, ColStats])
+  /** `bytes` is the file's physical length, recorded at commit time so
+    * size-driven upkeep (auto-compact gate, size-targeted compaction,
+    * DESCRIBE DETAIL) never needs an FS listing; `None` only in
+    * pre-bytes commit bodies, whose readers fall back to listing.
+    */
+  final case class FileStat(rows: Long, cols: Map[String, ColStats],
+                            bytes: Option[Long] = None)
 
   // ---------------- collection (parquet footer → FileStat) -----------
 
   def readFooter(conf: Configuration, file: HPath): FileStat = {
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    val input = HadoopInputFile.fromPath(file, conf)
+    val reader = ParquetFileReader.open(input)
     try {
       val blocks = reader.getFooter.getBlocks.asScala
       val rows = blocks.map(_.getRowCount).sum
@@ -64,7 +71,8 @@ object FileStats {
           }
         }
       }
-      FileStat(rows, merged.collect { case (k, Some(v)) => k -> v })
+      FileStat(rows, merged.collect { case (k, Some(v)) => k -> v },
+        bytes = Some(input.getLength))
     } finally reader.close()
   }
 
@@ -124,6 +132,7 @@ object FileStats {
     stats.foreach { case (file, fsStat) =>
       val fo = f.objectNode()
       fo.put("rows", fsStat.rows)
+      fsStat.bytes.foreach(fo.put("bytes", _))
       val cols = f.objectNode()
       fsStat.cols.foreach { case (c, cs) =>
         val co = f.objectNode()
@@ -179,7 +188,8 @@ object FileStats {
           ce.getKey -> ColStats(get("min"), get("max"),
             Option(co.get("nulls")).map(_.asLong))
         }.toMap).getOrElse(Map.empty[String, ColStats])
-      e.getKey -> FileStat(fo.get("rows").asLong, cols)
+      e.getKey -> FileStat(fo.get("rows").asLong, cols,
+        Option(fo.get("bytes")).map(_.asLong))
     }.toMap
   }
 

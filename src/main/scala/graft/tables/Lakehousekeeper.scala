@@ -101,27 +101,65 @@ object Lakehousekeeper {
         d.getAs[Long]("size_bytes"), d.getAs[Long]("num_rows"))
     }
 
+  /** Register one table's CURRENT snapshot in the session catalog —
+    * the registration primitive behind both the CLI `register` command
+    * and the streaming engine's in-batch registration (S6, reference
+    * bundle_processor.py:330–357: CREATE SCHEMA IF NOT EXISTS +
+    * CREATE TABLE IF NOT EXISTS ... LOCATION). Delta's table location
+    * never moves, so the reference's pointer is static; this layer's
+    * snapshot advances with every commit, so registration ROLLS the
+    * catalog entry forward instead:
+    *
+    *  - single-dir snapshot → external parquet TABLE at that dir
+    *    (what an external engine wants), with the commit log's schema
+    *    spelled out so even an empty table resolves;
+    *  - multi-dir snapshot (a chain of file-granular merges) → an
+    *    exact snapshot VIEW over the manifest's files, so the hot
+    *    write path is never forced through a compaction just to keep
+    *    the catalog current.
+    *
+    * Catalog DDL only — no data is read or moved.
+    */
+  def registerTable(spark: SparkSession, p: String): String = {
+    val (schema, table) = tableName(p)
+    val t = ResourceTable(spark, p)
+    val v = t.latestVersion
+      .getOrElse(throw new IllegalStateException(s"no snapshot in $p"))
+    spark.sql(s"CREATE SCHEMA IF NOT EXISTS `$schema`")
+    val fq = s"`$schema`.`$table`"
+    // the previous registration may be either object type; DROP TABLE
+    // on a view (and vice versa) errors even with IF EXISTS
+    if (spark.catalog.tableExists(s"$schema.$table")) {
+      if (spark.catalog.getTable(schema, table).tableType == "VIEW")
+        spark.sql(s"DROP VIEW $fq")
+      else spark.sql(s"DROP TABLE $fq")
+    }
+    if (t.isSingleLocation(v)) {
+      // resolve the dir through the commit log — snapshot dirs are
+      // writer-unique (snap-<v>-<uuid>), never derived by naming
+      spark.sql(s"CREATE TABLE $fq (${t.schema().toDDL}) " +
+        s"USING parquet LOCATION '${t.snapshotLocation(v)}'")
+    } else {
+      // Hadoop glob alternation: one path string enumerating exactly
+      // the manifest's files — an exact snapshot, zero data movement
+      val files = t.fileManifest(v)
+      spark.sql(s"CREATE VIEW $fq AS SELECT * FROM " +
+        s"parquet.`$p/{${files.mkString(",")}}`")
+    }
+    s"$schema.$table"
+  }
+
   def register(spark: SparkSession, dir: String): Seq[String] =
     listTables(spark, dir).map { p =>
-      val (schema, table) = tableName(p)
       val t = ResourceTable(spark, p)
       val v0 = t.latestVersion
         .getOrElse(throw new IllegalStateException(s"no snapshot in $p"))
-      // a chain of file-granular merges spans snapshot dirs, but an
-      // external `LOCATION` must be one dir — compact first (the
+      // the CLI favors external engines: an external `LOCATION` must
+      // be one dir, so compact multi-dir snapshots first (the
       // reference's upkeep pairs OPTIMIZE with registration the same
       // way, lakehousekeeper.py:196–291)
       if (!t.isSingleLocation(v0)) t.optimize()
-      // resolve the dir through the commit log — snapshot dirs are
-      // writer-unique (snap-<v>-<uuid>), never derived by naming
-      val snap = t.snapshotLocation(t.latestVersion.get)
-      spark.sql(s"CREATE SCHEMA IF NOT EXISTS `$schema`")
-      // point the external table at the current snapshot; re-register
-      // after mutations to roll the pointer forward
-      spark.sql(s"DROP TABLE IF EXISTS `$schema`.`$table`")
-      spark.sql(
-        s"CREATE TABLE `$schema`.`$table` USING parquet LOCATION '$snap'")
-      s"$schema.$table"
+      registerTable(spark, p)
     }
 
   def main(args: Array[String]): Unit = {

@@ -54,7 +54,9 @@ import java.nio.charset.StandardCharsets
   * runs on HDFS/S3A, not just local disk.
   */
 final class ResourceTable(val spark: SparkSession, val path: String,
-                          val checkpointInterval: Int = 100) {
+                          val checkpointInterval: Int = 100,
+                          optimizeWriteOverride: Option[Boolean] = None,
+                          autoCompactOverride: Option[Boolean] = None) {
   import ResourceTable._
 
   private val root = new HPath(path)
@@ -395,19 +397,32 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     * per-file min/max stats are disjoint from the first commit — merge
     * pruning gets optimize()-quality skipping without waiting for the
     * next compaction. Costs one extra shuffle of the (bounded) batch.
+    * The constructor override (how the streaming engine scopes its
+    * Settings to its own tables) wins over the session conf — two
+    * engines sharing one session must not race on a global flag.
     */
   private def optimizeWriteEnabled: Boolean =
-    spark.conf.get("graft.table.optimizeWrite", "false").toBoolean
+    optimizeWriteOverride.getOrElse(
+      spark.conf.get("graft.table.optimizeWrite", "false").toBoolean)
 
   /** Delta's autoCompact (settings.py:46, default false): after a
     * mutation commits, compact when the manifest has accumulated at
-    * least `graft.table.autoCompactMinFiles` files (Delta's
-    * minNumFiles, default 50).
+    * least `graft.table.autoCompactMinFiles` files SMALLER than the
+    * compaction threshold (Delta autoCompact's minNumFiles semantics —
+    * it counts compaction candidates, not table size).
     */
   private def autoCompactEnabled: Boolean =
-    spark.conf.get("graft.table.autoCompact", "false").toBoolean
+    autoCompactOverride.getOrElse(
+      spark.conf.get("graft.table.autoCompact", "false").toBoolean)
   private def autoCompactMinFiles: Int =
     spark.conf.get("graft.table.autoCompactMinFiles", "50").toInt
+  /** What "small" means to the auto-compact gate AND to the compaction
+    * it triggers — one threshold so the gate counts exactly what the
+    * compactor would coalesce.
+    */
+  private def autoCompactMinBytes: Long =
+    spark.conf.get("graft.table.autoCompact.minBytes",
+      DefaultCompactMinBytes.toString).toLong
 
   /** Rows per clustered output file under optimizedWrite. */
   private def optimizeWriteRowsPerFile: Long =
@@ -444,12 +459,21 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       // (hot multi-writer table) must not fail the caller — the next
       // mutation, or upkeep, gets another shot.
       try {
-        val v = latestVersion
         // incremental bin-packing, NOT the whole-snapshot optimize():
         // auto-compaction after every mutation must stay O(small
-        // files) or it is itself the write-amplification problem
-        if (v.exists(fileManifest(_).size >= autoCompactMinFiles))
-          compactSmallFiles()
+        // files) or it is itself the write-amplification problem. The
+        // gate counts files BELOW the compaction threshold from the
+        // manifest's recorded bytes — a table of right-sized files
+        // pays one commit read here, no FS listing and no no-op
+        // compaction pass, on every mutation forever.
+        val minBytes = autoCompactMinBytes
+        val smallFiles = latestVersion.fold(0) { ver =>
+          val files = fileListAt(ver)
+          val sizes = manifestSizes(files)
+          files.count(f => sizes(f._1) < minBytes)
+        }
+        if (smallFiles >= autoCompactMinFiles)
+          compactSmallFiles(minBytes, math.max(1L << 30, minBytes))
       } catch {
         case e: Throwable =>
           System.err.println(
@@ -642,7 +666,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     * clustering matters more than write cost. Returns
     * (files compacted, files carried).
     */
-  def compactSmallFiles(minBytes: Long = 32L << 20,
+  def compactSmallFiles(minBytes: Long = DefaultCompactMinBytes,
                         targetBytes: Long = 1L << 30,
                         compression: String = "zstd"): (Int, Int) = {
     require(minBytes > 0 && targetBytes >= minBytes)
@@ -650,7 +674,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       val cur = latestVersion.getOrElse(
         throw new IllegalStateException(s"no table at $path"))
       val files = fileListAt(cur)
-      val sizes = fileSizes(files.map(_._1))
+      val sizes = manifestSizes(files)
       val (small, large) = files.partition(f => sizes(f._1) < minBytes)
       if (small.size < 2) (0, files.size) // nothing worth coalescing
       else {
@@ -671,16 +695,43 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     }
   }
 
-  /** Per-file physical bytes of manifest entries: one FS listing per
-    * distinct snapshot dir.
+  /** Per-file physical bytes of manifest entries: straight from the
+    * manifest's commit-time recorded lengths (zero FS calls); only
+    * legacy entries written before bytes were recorded fall back to an
+    * FS listing.
+    */
+  private def manifestSizes(
+      files: Seq[(String, FileStats.FileStat)]): Map[String, Long] = {
+    val (known, legacy) = files.partition(_._2.bytes.isDefined)
+    known.map(f => f._1 -> f._2.bytes.get).toMap ++
+      fileSizes(legacy.map(_._1))
+  }
+
+  /** FS-listed bytes of manifest entries: one listing per distinct
+    * snapshot dir. A manifest-referenced file missing from the
+    * filesystem (vacuumed snapshot, external deletion) fails FAST with
+    * the offending path — classifying it as 0 bytes would send it into
+    * a compaction read that dies with an opaque parquet error.
     */
   private def fileSizes(rels: Seq[String]): Map[String, Long] = rels
     .groupBy(r => r.substring(0, r.lastIndexOf('/')))
     .iterator.flatMap { case (d, group) =>
-      val byName = fs.listStatus(new HPath(root, d))
+      val dirPath = new HPath(root, d)
+      if (!fs.exists(dirPath))
+        throw new IllegalStateException(
+          s"$path: manifest references ${group.size} file(s) in missing " +
+            s"directory $d — snapshot vacuumed or externally deleted")
+      val byName = fs.listStatus(dirPath)
         .map(s => s.getPath.getName -> s.getLen).toMap
-      group.map(r =>
-        r -> byName.getOrElse(r.substring(r.lastIndexOf('/') + 1), 0L))
+      group.map { r =>
+        val name = r.substring(r.lastIndexOf('/') + 1)
+        byName.get(name) match {
+          case Some(len) => r -> len
+          case None => throw new IllegalStateException(
+            s"$path: manifest references missing file $r — " +
+              "snapshot vacuumed or externally deleted")
+        }
+      }
     }.toMap
 
   /** Size-targeted compaction (Delta `OPTIMIZE` maxFileSize /
@@ -697,7 +748,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     require(targetBytes > 0)
     val cur = latestVersion.getOrElse(
       throw new IllegalStateException(s"no table at $path"))
-    val totalBytes = manifestBytes(fileListAt(cur).map(_._1))
+    val totalBytes = manifestBytes(fileListAt(cur))
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
       .min(Int.MaxValue).toInt
     optimize(n, compression)
@@ -819,21 +870,17 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"no table at $path"))
     val files = fileListAt(v)
-    Seq((path, v, files.size.toLong, manifestBytes(files.map(_._1)),
+    Seq((path, v, files.size.toLong, manifestBytes(files),
         files.map(_._2.rows).sum))
       .toDF("location", "version", "num_files", "size_bytes", "num_rows")
   }
 
-  /** Physical bytes of manifest-referenced files: one FS listing per
-    * distinct snapshot dir, no data read.
+  /** Total physical bytes of manifest-referenced files — recorded
+    * manifest lengths, FS listing only for legacy entries.
     */
-  private def manifestBytes(rels: Seq[String]): Long = rels
-    .groupBy(r => r.substring(0, r.lastIndexOf('/')))
-    .iterator.map { case (d, group) =>
-      val names = group.map(r => r.substring(r.lastIndexOf('/') + 1)).toSet
-      fs.listStatus(new HPath(root, d))
-        .filter(s => names(s.getPath.getName)).map(_.getLen).sum
-    }.sum
+  private def manifestBytes(
+      files: Seq[(String, FileStats.FileStat)]): Long =
+    manifestSizes(files).values.sum
 
   /** Write `newData` (when present) into a writer-unique dir, then
     * publish the commit whose manifest = new files ∪ `keptFiles`
@@ -927,12 +974,29 @@ object ResourceTable {
   /** Delta's default deletedFileRetentionDuration: 1 week. */
   val DefaultMinRetentionMs: Long = 7L * 24 * 3600 * 1000
 
+  /** Files below this are compaction candidates — compactSmallFiles'
+    * default threshold AND the auto-compact gate's definition of
+    * "small", so the gate counts exactly what the compactor would
+    * coalesce.
+    */
+  val DefaultCompactMinBytes: Long = 32L << 20
+
   def apply(spark: SparkSession, path: String): ResourceTable =
     new ResourceTable(spark, path)
 
   def apply(spark: SparkSession, path: String,
             checkpointInterval: Int): ResourceTable =
     new ResourceTable(spark, path, checkpointInterval)
+
+  /** Engine-scoped write behavior: `Some(...)` pins optimizedWrite /
+    * autoCompact for THIS table handle regardless of session confs, so
+    * two engines with different Settings can share one SparkSession.
+    */
+  def apply(spark: SparkSession, path: String, checkpointInterval: Int,
+            optimizeWrite: Option[Boolean],
+            autoCompact: Option[Boolean]): ResourceTable =
+    new ResourceTable(spark, path, checkpointInterval,
+      optimizeWrite, autoCompact)
 
   /** J5 — the reference's tenacity retry (exponential backoff ×5) around
     * table commits (bundle_processor.py:240–244).

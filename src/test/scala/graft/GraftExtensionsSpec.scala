@@ -96,6 +96,22 @@ class GraftExtensionsSpec extends SparkSpec {
         .contains("BroadcastNestedLoopJoin"))
     } finally spark.conf.unset("graft.rules.intervalJoin.binUs")
   }
+
+  test("optimizer rule: malformed binUs disables the rule instead of poisoning the session") {
+    import org.apache.spark.sql.functions.col
+    GraftExtensions.register(spark)
+    spark.conf.set("graft.rules.intervalJoin.binUs", "2h") // not a long
+    try {
+      val pts = Seq((1L, 10L), (2L, 50L)).toDF("p_id", "ts")
+      val ivs = Seq((9L, 0L, 20L)).toDF("iv_id", "lo", "hi")
+      val q = pts.join(ivs, col("ts") >= col("lo") && col("ts") < col("hi"))
+        .select("p_id", "iv_id")
+      // rule inert (no throw), query correct, and UNRELATED queries in
+      // the same session keep working
+      assert(q.collect().toSet == Set(org.apache.spark.sql.Row(1L, 9L)))
+      assert(spark.range(3).count() == 3)
+    } finally spark.conf.unset("graft.rules.intervalJoin.binUs")
+  }
 }
 
 /** Deeper FHIR encode checks: nested arrays/structs/decimals for

@@ -200,6 +200,88 @@ class EngineSpec extends SparkSpec {
     assert(path.endsWith("Patient.parquet"))
     assert(nFiles == 1 && rows == 1 && bytes > 0, described.toString)
   }
+
+  test("registerTable: multi-dir snapshot registers an exact snapshot VIEW and rolls forward") {
+    val base = tmpDir("regview")
+    val path = s"$base/viewdb/T.parquet"
+    val data = Seq(("a", 1)).toDF("id", "v")
+    val t = ResourceTable(spark, path).createIfNotExists(data.schema)
+    t.upsert(data, "id")
+    // disjoint key range: the merge carries the first file by
+    // reference → the snapshot spans two dirs
+    t.upsert(Seq(("z", 2)).toDF("id", "v"), "id")
+    assert(!t.isSingleLocation(t.latestVersion.get)) // precondition
+    try {
+      assert(Lakehousekeeper.registerTable(spark, path) == "viewdb.T")
+      assert(spark.table("viewdb.T").count() == 2)
+      assert(spark.catalog.getTable("viewdb", "T").tableType == "VIEW")
+      // re-registration rolls the entry to the newest snapshot
+      t.upsert(Seq(("m", 3)).toDF("id", "v"), "id")
+      Lakehousekeeper.registerTable(spark, path)
+      assert(spark.table("viewdb.T").count() == 3)
+    } finally spark.sql("DROP SCHEMA IF EXISTS viewdb CASCADE")
+  }
+
+  test("failOnDataLoss defaults TRUE like the reference (settings.py:27)") {
+    assert(Settings().failOnDataLoss)
+    assert(Engine.kafkaOptions(Settings())("failOnDataLoss") == "true")
+  }
+
+  test("deployment settings parity: sessionConfigs mirrors main.py:60–100") {
+    val s = Settings(master = "local[2]", s3Endpoint = "minio:9000",
+      s3ConnectionSslEnabled = "true", warehouseDir = "/tmp/wh",
+      driverMemory = "2g", awsAccessKeyId = "ak", awsSecretAccessKey = "sk")
+    assert(s.master == "local[2]") // settings.py:32 field surface
+    val c = Engine.sessionConfigs(s)
+    assert(c("spark.driver.memory") == "2g")
+    assert(c("spark.sql.warehouse.dir") == "/tmp/wh")
+    assert(c("spark.hadoop.fs.s3a.path.style.access") == "true")
+    assert(c("spark.hadoop.fs.s3a.endpoint") == "minio:9000")
+    assert(c("spark.hadoop.fs.s3a.connection.ssl.enabled") == "true")
+    assert(c("fs.s3a.committer.name") == "magic")
+    assert(c("fs.s3a.access.key") == "ak")
+    assert(c("fs.s3a.secret.key") == "sk")
+    // metastore wiring only under metastore_url, like main.py:96–98
+    assert(!c.contains("spark.hive.metastore.uris"))
+    val m = Engine.sessionConfigs(
+      s.copy(metastoreUrl = Some("thrift://ms:9083")))
+    assert(m("spark.hive.metastore.uris") == "thrift://ms:9083")
+    assert(m("spark.sql.catalogImplementation") == "hive")
+  }
+
+  test("S6 in-engine: streamed tables resolve via spark.sql without the CLI") {
+    val base = tmpDir("engine-reg")
+    val settings = Settings(
+      checkpointDir = s"$base/checkpoint",
+      deltaDatabaseDir = s"$base/delta/regdb",
+      resourceTypes = Seq("Patient"),
+      upkeepInterval = 0,
+      // non-empty metastore_url gates registration like the reference
+      // (bundle_processor.py:212); the catalog here is the session's
+      metastoreUrl = Some("thrift://metastore:9083"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[KafkaRecord]
+    val queries = Engine.start(stream.toDF(), settings)
+    try {
+      stream.addData(rec(fixture("batches/put-0.json"), 0, 0L))
+      queries.foreach(_.processAllAvailable())
+      // single-dir first snapshot → external TABLE pointer
+      assert(spark.sql("SELECT id FROM regdb.Patient").count() == 1)
+
+      // a second batch leaves the first file carried by reference →
+      // multi-dir snapshot → exact snapshot VIEW, still current
+      stream.addData(rec(fixture("batches/put-1.json"), 0, 1L))
+      queries.foreach(_.processAllAvailable())
+      assert(spark.sql("SELECT id FROM regdb.Patient").count() == 2)
+      val table = ResourceTable(
+        spark, s"${settings.deltaDatabaseDir}/Patient.parquet")
+      assert(spark.sql("SELECT id FROM regdb.Patient").count()
+        == table.read().count())
+    } finally {
+      queries.foreach(_.stop())
+      spark.sql("DROP SCHEMA IF EXISTS regdb CASCADE")
+    }
+  }
 }
 
 class EngineRestartSpec extends graft.SparkSpec {

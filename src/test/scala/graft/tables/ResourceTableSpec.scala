@@ -601,4 +601,81 @@ class ResourceTableSpec extends SparkSpec {
     assert(t.read(col("x") > 0.5).count() >= 1)
     assert(t.read(col("x") === Double.PositiveInfinity).count() == 1)
   }
+
+  test("autoCompact gate counts sub-threshold files — a right-sized table never compacts") {
+    spark.conf.set("graft.table.autoCompact", "true")
+    spark.conf.set("graft.table.autoCompactMinFiles", "3")
+    // every file this spec writes is tiny; minBytes=1 marks them ALL
+    // right-sized — the gate must stay silent no matter how many pile up
+    spark.conf.set("graft.table.autoCompact.minBytes", "1")
+    try {
+      val t = ResourceTable(spark, s"${tmpDir("acg")}/T.parquet")
+        .createIfNotExists(schema)
+      (1 to 5).foreach(i => t.upsert(df(s"k$i" -> i), "id"))
+      assert(t.fileManifest(t.latestVersion.get).size >= 3)
+      assert(!t.history().collect().exists(_.getString(2) == "OPTIMIZE"),
+        "compacted a table of right-sized files")
+      // realistic threshold: the same files are now candidates and the
+      // next mutation trips the gate
+      spark.conf.set("graft.table.autoCompact.minBytes",
+        ResourceTable.DefaultCompactMinBytes.toString)
+      t.upsert(df("k9" -> 9), "id")
+      assert(t.history().collect().exists(_.getString(2) == "OPTIMIZE"),
+        "no OPTIMIZE commit after crossing the small-file threshold")
+      assert(t.read().count() == 6)
+    } finally {
+      spark.conf.unset("graft.table.autoCompact")
+      spark.conf.unset("graft.table.autoCompactMinFiles")
+      spark.conf.unset("graft.table.autoCompact.minBytes")
+    }
+  }
+
+  test("write-behavior overrides are per-handle — two engines on one session cannot race") {
+    spark.conf.set("graft.table.autoCompactMinFiles", "3")
+    try {
+      // session conf says nothing (default false); the handle pins ON
+      val on = ResourceTable(spark, s"${tmpDir("ovr")}/T.parquet", 100,
+        None, Some(true)).createIfNotExists(schema)
+      (1 to 4).foreach(i => on.upsert(df(s"k$i" -> i), "id"))
+      assert(on.history().collect().exists(_.getString(2) == "OPTIMIZE"),
+        "Some(true) override ignored")
+      // session conf says ON; the handle pins OFF
+      spark.conf.set("graft.table.autoCompact", "true")
+      val off = ResourceTable(spark, s"${tmpDir("ovr")}/U.parquet", 100,
+        None, Some(false)).createIfNotExists(schema)
+      (1 to 4).foreach(i => off.upsert(df(s"k$i" -> i), "id"))
+      assert(!off.history().collect().exists(_.getString(2) == "OPTIMIZE"),
+        "Some(false) override ignored")
+    } finally {
+      spark.conf.unset("graft.table.autoCompact")
+      spark.conf.unset("graft.table.autoCompactMinFiles")
+    }
+  }
+
+  test("manifest records bytes at commit; legacy manifests fail FAST on missing files") {
+    val base = tmpDir("ffast")
+    val t = ResourceTable(spark, s"$base/T.parquet").createIfNotExists(schema)
+    t.upsert(df("a" -> 1, "b" -> 2), "id")
+    // size arithmetic runs off commit-time recorded bytes — no listing
+    val detail = t.describeDetail().collect().head
+    assert(detail.getAs[Long]("size_bytes") > 0L)
+    // forge a LEGACY (pre-bytes) manifest and delete a data file: the
+    // listing fallback must NAME the missing file, not size it 0 and
+    // die later inside a parquet read
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/T.parquet/_log"))
+      .iterator().asScala.filter(_.toString.endsWith(".commit"))
+      .foreach { p =>
+        val body = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        java.nio.file.Files.write(p,
+          body.replaceAll("\"bytes\":\\d+,", "").getBytes("UTF-8"))
+      }
+    val rel = t.fileManifest(t.latestVersion.get).head
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$base/T.parquet/$rel"))
+    val e = intercept[IllegalStateException] {
+      t.compactSmallFiles()
+    }
+    assert(e.getMessage.contains(rel.substring(rel.lastIndexOf('/') + 1)),
+      s"message does not name the missing file: ${e.getMessage}")
+  }
 }
