@@ -721,7 +721,8 @@ object SparkEntry {
         k = 10)
     }),
 
-    // ---- ANN scale path: LSH-bucketed near-dup (no SQL oracle) ----
+    // ---- ANN scale path: LSH-bucketed near-dup. Exact oracle: the
+    //      deterministic hyperplanes are inlined into the SQL ----
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshCosinePairs(t(s, dir, "embeddings"), threshold = 0.3,
         planes = 8)),
@@ -1098,7 +1099,8 @@ object SparkEntry {
     }),
 
     // ---- IVF multi-probe: queries fan out to their 3 best cells —
-    //      the recall knob of the scale path (no oracle) ----
+    //      the recall knob of the scale path. Exact oracle: the
+    //      deterministic centroids are inlined into the SQL ----
     "q_ann_ivf_probe" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.ivfTopK(
@@ -1108,7 +1110,7 @@ object SparkEntry {
 
     // ---- persisted IVF index: corpus partitioned by coarse cell at
     //      write time, probes prune partitions before IO; identical
-    //      results to q_ann_ivf_probe by construction (no oracle) ----
+    //      results to q_ann_ivf_probe by construction (same oracle) ----
     "q_ann_ivf_indexed" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val idx = java.nio.file.Files
@@ -1869,6 +1871,44 @@ object SparkEntry {
     (tab, v1, v2, v3)
   }
 
+  /** IVF oracle: the deterministic coarse quantization inlined as SQL.
+    * The centroid constants are rendered shortest-round-trip (Double
+    * .toString parses back to the identical bits on any engine), cell
+    * argmax is ORDER BY dot DESC, cell DESC (array_max's struct
+    * tie-break), queries fan out to their `probes` best cells via
+    * LATERAL, and the corpus pins to its single best cell — exactly
+    * [[graft.ops.Similarity.ivfTopK]].
+    */
+  private def ivfOracle(k: Int, probes: Int): String = {
+    val values = graft.ops.Similarity.ivfCentroids(8, 64).zipWithIndex
+      .map { case (c, i) => s"($i, [${c.mkString(",")}]::DOUBLE[])" }
+      .mkString(",\n        ")
+    s"""WITH cents(cell, cvec) AS (VALUES $values),
+       |qa AS (
+       |  SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cell
+       |  FROM embeddings q, LATERAL (
+       |    SELECT cell FROM cents
+       |    ORDER BY list_dot_product(q.embedding::DOUBLE[], cvec) DESC,
+       |             cell DESC
+       |    LIMIT $probes) c
+       |  WHERE q.vec_id < 3),
+       |ca AS (
+       |  SELECT n.vec_id AS n_id, n.embedding AS n_vec, c.cell
+       |  FROM embeddings n, LATERAL (
+       |    SELECT cell FROM cents
+       |    ORDER BY list_dot_product(n.embedding::DOUBLE[], cvec) DESC,
+       |             cell DESC
+       |    LIMIT 1) c
+       |  WHERE n.vec_id >= 3)
+       |SELECT q_id, n_id, rank FROM (
+       |  SELECT qa.q_id, ca.n_id,
+       |    row_number() OVER (PARTITION BY qa.q_id
+       |      ORDER BY list_cosine_similarity(qa.q_vec, ca.n_vec) DESC,
+       |               ca.n_id ASC) AS rank
+       |  FROM ca JOIN qa USING (cell))
+       |WHERE rank <= $k""".stripMargin
+  }
+
   // =================================================================
   // DuckDB oracles — same column names/types as the Spark results.
   // =================================================================
@@ -2299,6 +2339,31 @@ object SparkEntry {
         |  FROM embeddings q, embeddings n
         |  WHERE q.vec_id < 3 AND n.vec_id >= 3)
         |WHERE rank <= 10""".stripMargin,
+
+    "q_ann_ivf" -> ivfOracle(k = 5, probes = 1),
+    "q_ann_ivf_probe" -> ivfOracle(k = 5, probes = 3),
+    // identical semantics to q_ann_ivf_probe — the index is the same
+    // assignment persisted as cell-partitioned parquet
+    "q_ann_ivf_indexed" -> ivfOracle(k = 5, probes = 3),
+
+    "q_ann_lsh" -> {
+      // the 8 hyperplanes inlined (shortest-round-trip doubles); bucket
+      // = packed sign bits, then pairs on equal buckets verified by
+      // exact cosine — exactly Similarity.lshCosinePairs(threshold=0.3)
+      val planes = graft.ops.Similarity.lshHyperplanes(8).zipWithIndex
+        .map { case (h, p) => s"($p, [${h.mkString(",")}]::DOUBLE[])" }
+        .mkString(",\n        ")
+      s"""WITH hp(p, hvec) AS (VALUES $planes),
+         |b AS (
+         |  SELECT e.vec_id AS id, e.embedding AS vec,
+         |    (SELECT sum(CASE WHEN
+         |        list_dot_product(e.embedding::DOUBLE[], hvec) >= 0
+         |        THEN 1 << p ELSE 0 END) FROM hp) AS bucket
+         |  FROM embeddings e)
+         |SELECT l.id AS a_id, r.id AS b_id
+         |FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
+         |WHERE list_cosine_similarity(l.vec, r.vec) >= 0.3""".stripMargin
+    },
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,

@@ -103,6 +103,12 @@ object Similarity {
       (z.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
     }
 
+  /** The deterministic LSH hyperplanes — public for the same reason as
+    * [[ivfCentroids]]: gate oracles inline the exact constants into SQL.
+    */
+  def lshHyperplanes(planes: Int, dim: Int = 64): Seq[Array[Double]] =
+    (0 until planes).map(p => hyperplane(p, dim))
+
   /** Random-hyperplane (SimHash-for-vectors) bucket signature: `planes`
     * sign bits packed into one long. Vectors in the same bucket are
     * near-duplicate candidates; expected collision prob = (1 - θ/π)^planes.
@@ -110,7 +116,7 @@ object Similarity {
   def lshBuckets(df: DataFrame, planes: Int = 16, dim: Int = 64,
                  vecCol: String = "embedding"): DataFrame = {
     require(planes <= 63, "bucket signature must fit a long")
-    val hp = (0 until planes).map(p => hyperplane(p, dim))
+    val hp = lshHyperplanes(planes, dim)
     val sig = (0 until planes).map { p =>
       val proj = graft.functions.VectorExpressions.dot_product(
         col(vecCol), typedlit(hp(p).toSeq))
@@ -196,6 +202,14 @@ object Similarity {
       .select("q_id", "n_id", "rank")
   }
 
+  /** The deterministic IVF coarse-centroid directions — public so gate
+    * oracles can inline the exact constants into SQL (the assignment is
+    * then fully reproducible on any engine; shortest-round-trip double
+    * rendering parses back to the identical bits).
+    */
+  def ivfCentroids(nCells: Int = 16, dim: Int = 64): Seq[Array[Double]] =
+    (0 until nCells).map(c => hyperplane(1000 + c, dim))
+
   /** IVF-style coarse quantization: assign each vector to the nearest
     * of `nCells` deterministic centroid directions (hyperplane-derived),
     * so ANN queries probe only matching cells. This is the partition
@@ -204,7 +218,7 @@ object Similarity {
     */
   def ivfAssign(df: DataFrame, nCells: Int = 16, dim: Int = 64,
                 vecCol: String = "embedding"): DataFrame = {
-    val cents = (0 until nCells).map(c => hyperplane(1000 + c, dim))
+    val cents = ivfCentroids(nCells, dim)
     val scores = cents.zipWithIndex.map { case (cent, i) =>
       struct(
         graft.functions.VectorExpressions.dot_product(
@@ -222,7 +236,7 @@ object Similarity {
                vecCol: String = "embedding", probes: Int = 1): DataFrame = {
     require(probes >= 1 && probes <= nCells)
     if (probes == 1) return ivfAssign(df, nCells, dim, vecCol)
-    val cents = (0 until nCells).map(c => hyperplane(1000 + c, dim))
+    val cents = ivfCentroids(nCells, dim)
     val scores = cents.zipWithIndex.map { case (cent, i) =>
       struct(
         graft.functions.VectorExpressions.dot_product(
