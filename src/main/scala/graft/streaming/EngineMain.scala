@@ -22,21 +22,30 @@ object EngineMain {
       "usage: EngineMain <journalDir> <dbDir> [--follow]")
     val Array(journalDir, dbDir) = args.take(2)
     val follow = args.contains("--follow")
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val listener = new QueryProgressListener
-    spark.streams.addListener(listener)
     val settings = Settings(
       checkpointDir = s"$dbDir/_checkpoints",
       deltaDatabaseDir = dbDir,
-      triggerAvailableNow = !follow)
+      triggerAvailableNow = !follow,
+      master = sys.env.getOrElse("SPARK_MASTER", "local[4]"),
+      warehouseDir = s"$dbDir/_warehouse",
+      metastoreUrl = sys.env.get("GRAFT_METASTORE_URL"))
+    // the reference's builder chain (main.py:60–100) via sessionConfigs;
+    // hive wiring is skipped here — no Hive jars in this environment,
+    // and in-engine registration targets the session catalog anyway
+    val spark = (Engine.sessionConfigs(settings) -
+        "spark.sql.catalogImplementation" - "spark.hive.metastore.uris")
+      .foldLeft(SparkSession.builder()
+        .master(settings.master)
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")) {
+        case (b, (k, v)) => b.config(k, v)
+      }.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new QueryProgressListener
+    spark.streams.addListener(listener)
     // Prometheus exposition like the reference's start_http_server
     // (main.py:34) — serves for the life of the engine
     val bridge = new PrometheusBridge
