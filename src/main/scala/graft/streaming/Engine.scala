@@ -168,9 +168,20 @@ object Engine {
       if (settings.triggerAvailableNow) Trigger.AvailableNow()
       else Trigger.ProcessingTime(settings.triggerProcessingTime) // T1
 
-    def startQuery(name: String, df: DataFrame): StreamingQuery =
+    def startQuery(name: String, df: DataFrame): StreamingQuery = {
+      // query names are session-global; a second engine on the same
+      // session must not fail to start because the first already owns
+      // "Patient" — disambiguate with the smallest free numeric suffix
+      // (checkpoint paths keep the PLAIN name: they are already scoped
+      // by this engine's checkpointDir and must be restart-stable)
+      val taken = source.sparkSession.streams.active
+        .flatMap(q => Option(q.name)).toSet
+      val queryName =
+        if (!taken.contains(name)) name
+        else Iterator.from(1).map(i => s"$name-$i")
+          .find(!taken.contains(_)).get
       df.writeStream
-        .queryName(name)
+        .queryName(queryName)
         .outputMode(settings.outputMode) // T2, settings.py:41
         .option("checkpointLocation", s"${settings.checkpointDir}/$name")
         .trigger(trigger)
@@ -178,6 +189,7 @@ object Engine {
           processor.processBatch(batch, batchId): Unit // S2
         }
         .start()
+    }
 
     val typed = settings.resourceTypes.map { rt =>
       startQuery(rt, BundlePipeline.forType(prepared, rt)) // P7

@@ -222,6 +222,52 @@ class EngineSpec extends SparkSpec {
     } finally spark.sql("DROP SCHEMA IF EXISTS viewdb CASCADE")
   }
 
+  test("two engines with different write settings share a session without racing") {
+    // engine A: autoCompact ON; engine B: OFF — scoped per processor,
+    // never via the session conf, so neither clobbers the other
+    spark.conf.set("graft.table.autoCompactMinFiles", "3")
+    val baseA = tmpDir("eng-a")
+    val baseB = tmpDir("eng-b")
+    def settingsFor(base: String, compact: Boolean) = Settings(
+      checkpointDir = s"$base/checkpoint",
+      deltaDatabaseDir = s"$base/delta/default",
+      resourceTypes = Seq("Patient"),
+      upkeepInterval = 0,
+      autoOptimizeAutoCompact = compact)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sa = MemoryStream[KafkaRecord]
+    val sb = MemoryStream[KafkaRecord]
+    val qa = Engine.start(sa.toDF(), settingsFor(baseA, compact = true))
+    val qb =
+      try Engine.start(sb.toDF(), settingsFor(baseB, compact = false))
+      catch { case e: Throwable => qa.foreach(_.stop()); throw e }
+    try {
+      // interleave batches of DISTINCT patients so small files pile up
+      // in both tables while both engines run
+      def putBundle(id: String) =
+        s"""{"resourceType":"Bundle","type":"transaction","entry":[""" +
+          s"""{"fullUrl":"$id","resource":{"resourceType":"Patient",""" +
+          s""""id":"$id"},"request":{"method":"PUT","url":"Patient/$id"}}]}"""
+      (0 until 4).foreach { i =>
+        sa.addData(rec(putBundle(s"p$i"), 0, i.toLong))
+        sb.addData(rec(putBundle(s"p$i"), 0, i.toLong))
+        (qa ++ qb).foreach(_.processAllAvailable())
+      }
+      val ta = ResourceTable(spark, s"$baseA/delta/default/Patient.parquet")
+      val tb = ResourceTable(spark, s"$baseB/delta/default/Patient.parquet")
+      assert(ta.history().collect().exists(_.getString(2) == "OPTIMIZE"),
+        "engine A's autoCompact=true did not compact")
+      assert(!tb.history().collect().exists(_.getString(2) == "OPTIMIZE"),
+        "engine B compacted despite autoCompact=false")
+      // and the session conf was never touched by either engine
+      assert(spark.conf.getOption("graft.table.autoCompact").isEmpty)
+      assert(spark.conf.getOption("graft.table.optimizeWrite").isEmpty)
+    } finally {
+      (qa ++ qb).foreach(_.stop())
+      spark.conf.unset("graft.table.autoCompactMinFiles")
+    }
+  }
+
   test("failOnDataLoss defaults TRUE like the reference (settings.py:27)") {
     assert(Settings().failOnDataLoss)
     assert(Engine.kafkaOptions(Settings())("failOnDataLoss") == "true")
