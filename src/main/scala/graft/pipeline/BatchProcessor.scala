@@ -121,10 +121,17 @@ final class BatchProcessor(
         // reference registers per batch under metastore_url with the
         // same retry wrapper (bundle_processor.py:212–217, :325–329);
         // its Delta pointer is static where ours advances, so ours
-        // registers after the merge instead of before it.
+        // registers after the merge instead of before it — and because
+        // the data is already durably committed by then, a registration
+        // failure must not crash-loop the stream over a catalog entry:
+        // warn loudly and let the next batch (or the CLI) retry.
         if (registerTables)
-          ResourceTable.retry() {
+          try ResourceTable.retry() {
             Lakehousekeeper.registerTable(spark, tablePath(rt)): Unit
+          } catch {
+            case e: Throwable => System.err.println(
+              s"catalog registration failed for ${tablePath(rt)} " +
+                s"(data committed, entry stale): ${e.getMessage}")
           }
         rt -> (upserted, deleted)
       } finally deduped.unpersist()

@@ -141,8 +141,20 @@ object Lakehousekeeper {
         s"USING parquet LOCATION '${t.snapshotLocation(v)}'")
     } else {
       // Hadoop glob alternation: one path string enumerating exactly
-      // the manifest's files — an exact snapshot, zero data movement
+      // the manifest's files — an exact snapshot, zero data movement.
+      // Bounded: a view body enumerating 10⁵ paths would be megabytes
+      // of SQL re-parsed per query — past the cap, refuse (the caller
+      // should compact first, which upkeep does anyway; the CLI
+      // register path always compacts multi-dir snapshots)
       val files = t.fileManifest(v)
+      val cap = spark.conf
+        .get("graft.register.maxViewFiles", "4096").toInt
+      if (files.size > cap)
+        throw new IllegalStateException(
+          s"$p: snapshot v$v spans ${files.size} files across " +
+            "multiple directories — beyond " +
+            s"graft.register.maxViewFiles=$cap for an exact-view " +
+            "registration; run optimize()/compactSmallFiles() first")
       spark.sql(s"CREATE VIEW $fq AS SELECT * FROM " +
         s"parquet.`$p/{${files.mkString(",")}}`")
     }
