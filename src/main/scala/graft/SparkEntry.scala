@@ -1789,6 +1789,25 @@ object SparkEntry {
       tab.readVersion(v2)
     }),
 
+    // ---- schema evolution (Delta mergeSchema parity): a widened
+    //      upsert flips schema and data in one atomic commit; files
+    //      written before the new column existed read back null-filled
+    //      through the evolved schema ----
+    "q_schema_evolution" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_evo").toString
+      val nation = t(s, dir, "nation")
+      val tab = ResourceTable(s, s"$tmp/Nation.parquet")
+        .createIfNotExists(nation.schema)
+      tab.upsert(nation, "n_nationkey")
+      val widened = nation.filter(col("n_nationkey") < 10)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          concat(lit("note-"), col("n_name")).as("note"))
+      tab.upsert(widened, "n_nationkey", mergeSchema = true)
+      tab.read().select(col("n_nationkey"), col("n_name"),
+        col("n_regionkey"), col("note"))
+    }),
+
     // ---- change data feed (Delta table_changes parity): row-level
     //      diff between the base version and the head across an
     //      upsert+insert batch and a delete batch ----
@@ -3122,6 +3141,12 @@ object SparkEntry {
         |SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
         |       'NEWSEG'
         |FROM customer WHERE c_custkey % 100 = 1""".stripMargin,
+
+    "q_schema_evolution" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        |  CASE WHEN n_nationkey < 10 THEN 'note-' || n_name
+        |       ELSE NULL END AS note
+        |FROM nation""".stripMargin,
 
     "q_change_feed" ->
       """SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey,
