@@ -22,6 +22,12 @@ object EngineMain {
       "usage: EngineMain <journalDir> <dbDir> [--follow]")
     val Array(journalDir, dbDir) = args.take(2)
     val follow = args.contains("--follow")
+    // a nonexistent journal dir makes the file stream wait forever
+    // (streaming sources tolerate missing globs) — fail fast on the
+    // obvious typo instead of hanging the first micro-batch
+    require(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(journalDir)),
+      s"journal dir does not exist: $journalDir")
     val settings = Settings(
       checkpointDir = s"$dbDir/_checkpoints",
       deltaDatabaseDir = dbDir,
