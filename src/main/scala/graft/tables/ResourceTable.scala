@@ -446,8 +446,12 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     else df.repartition(n)
   }
 
+  // Delta optimizedWrite bin-packs UNCLUSTERED writes too (its whole
+  // point is right-sized files regardless of layout) — clusterInto with
+  // no cluster columns is the plain repartition that delivers that.
+  // Cost in both shapes: one extra shuffle of the (bounded) batch.
   private def clusterForWrite(df: DataFrame, rows: Long): DataFrame =
-    if (!optimizeWriteEnabled || clusterBy().isEmpty) df
+    if (!optimizeWriteEnabled) df
     else clusterInto(df, math.max(1L,
       (rows + optimizeWriteRowsPerFile - 1) / optimizeWriteRowsPerFile)
       .min(Int.MaxValue).toInt)
@@ -551,7 +555,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       // (optimizedWrite pays one extra count to size its range files —
       // the knob is off by default, so the hot path stays single-job.)
       if (!files.exists(_._2.rows > 0)) {
-        if (optimizeWriteEnabled && clusterBy().nonEmpty) {
+        if (optimizeWriteEnabled) {
           val n = src.count()
           commitFiles(Some(clusterForWrite(
               src.select(outCols.map(col): _*), n)),

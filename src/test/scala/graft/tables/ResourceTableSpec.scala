@@ -602,6 +602,26 @@ class ResourceTableSpec extends SparkSpec {
     assert(t.read(col("x") === Double.PositiveInfinity).count() == 1)
   }
 
+  test("optimizedWrite bin-packs unclustered writes to the rows-per-file target") {
+    import spark.implicits._
+    spark.conf.set("graft.table.optimizeWrite", "true")
+    spark.conf.set("graft.table.optimizeWrite.rowsPerFile", "1000")
+    try {
+      val t = ResourceTable(spark, s"${tmpDir("rtowu")}/T.parquet")
+      val data = (1 to 4000).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+        .repartition(16) // a wide upstream layout would write 16 files
+      t.createIfNotExists(data.schema) // NO clustering columns
+      t.upsert(data, "id")
+      val files = t.fileManifest(t.latestVersion.get).size
+      assert(files >= 3 && files <= 5, // ceil(4000/1000) ± empty parts
+        s"unclustered optimizedWrite wrote $files files")
+      assert(t.read().count() == 4000)
+    } finally {
+      spark.conf.unset("graft.table.optimizeWrite")
+      spark.conf.unset("graft.table.optimizeWrite.rowsPerFile")
+    }
+  }
+
   test("autoCompact gate counts sub-threshold files — a right-sized table never compacts") {
     spark.conf.set("graft.table.autoCompact", "true")
     spark.conf.set("graft.table.autoCompactMinFiles", "3")
