@@ -1789,6 +1789,29 @@ object SparkEntry {
       tab.readVersion(v2)
     }),
 
+    // ---- RESTORE (Delta RESTORE ... VERSION AS OF parity): mutate
+    //      twice, then roll the head back to the pre-mutation snapshot
+    //      as a NEW commit (history preserved, no data copied); the
+    //      read-back equals the original table exactly ----
+    "q_restore" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_restore").toString
+      val supplier = t(s, dir, "supplier")
+      val tab = ResourceTable(s, s"$tmp/Supplier.parquet")
+        .createIfNotExists(supplier.schema)
+      tab.upsert(supplier, "s_suppkey")
+      val v1 = tab.latestVersion.get
+      tab.upsert(supplier.filter(col("s_suppkey") % 3 === 0)
+          .select(col("s_suppkey"), upper(col("s_name")).as("s_name"),
+            col("s_nationkey"), (col("s_acctbal") + 1).as("s_acctbal")),
+        "s_suppkey")
+      tab.deleteMatching(
+        supplier.filter(col("s_suppkey") % 4 === 0).select("s_suppkey"),
+        "s_suppkey")
+      tab.restore(v1)
+      tab.read()
+    }),
+
     // ---- schema evolution (Delta mergeSchema parity): a widened
     //      upsert flips schema and data in one atomic commit; files
     //      written before the new column existed read back null-filled
@@ -3141,6 +3164,9 @@ object SparkEntry {
         |SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
         |       'NEWSEG'
         |FROM customer WHERE c_custkey % 100 = 1""".stripMargin,
+
+    "q_restore" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
 
     "q_schema_evolution" ->
       """SELECT n_nationkey, n_name, n_regionkey,

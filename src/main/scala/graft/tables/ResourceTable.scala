@@ -137,6 +137,47 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       .parquet(files.map(f => resolve(f._1).toString): _*)
   }
 
+  /** Version visible at `tsMs` — Delta `timestampAsOf` resolution: the
+    * newest commit published at or before the timestamp. Walks the
+    * commit list newest-first, so cost is O(commits newer than tsMs) +
+    * one log listing. Legacy commits without a recorded timestamp are
+    * skipped (conservative — never guess a publish time).
+    */
+  def versionAsOf(tsMs: Long): Long = {
+    val vs = fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.endsWith(".commit"))
+      .map(_.stripSuffix(".commit").toLong).sorted.reverse
+    vs.find(v => FileStats.tsOf(commitBody(v)).exists(_ <= tsMs))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path has no snapshot at or before timestamp $tsMs"))
+  }
+
+  /** Delta `timestampAsOf` read: the table as of a wall-clock instant. */
+  def readAsOf(tsMs: Long): DataFrame = readVersion(versionAsOf(tsMs))
+
+  /** Delta `RESTORE TABLE ... TO VERSION AS OF v` parity: publish a NEW
+    * commit whose manifest and schema are version `v`'s. History is
+    * preserved (the restore is itself a commit, like Delta's), no data
+    * is copied — old files are carried by reference and become
+    * vacuum-protected again as part of the head manifest. A vacuumed
+    * version cannot be restored: fail fast naming the missing files.
+    */
+  def restore(v: Long): Long = retry() {
+    val cur = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no table at $path"))
+    require(v <= cur, s"cannot restore $path to unknown version $v")
+    val files = fileListAt(v)
+    val missing = missingFiles(files.map(_._1))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"$path: version $v was vacuumed — cannot restore (missing " +
+          s"${missing.take(3).mkString(", ")}" +
+          (if (missing.size > 3) s" and ${missing.size - 3} more)" else ")"))
+    val schemaJson = FileStats.schemaOf(commitBody(v))
+      .getOrElse(schema().json)
+    commitFiles(None, files, schemaJson, Some(cur), op = "RESTORE")
+  }
+
   /** Change data feed between two retained versions (Delta CDF's
     * `table_changes` semantics, computed from snapshots): every row is
     * tagged `insert` (key only in `toV`), `delete` (key only in

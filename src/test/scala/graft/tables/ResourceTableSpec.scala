@@ -672,6 +672,36 @@ class ResourceTableSpec extends SparkSpec {
     }
   }
 
+  test("timestampAsOf resolves versions by commit time; restore republishes an old snapshot") {
+    val t = ResourceTable(spark, s"${tmpDir("rtasof")}/T.parquet")
+      .createIfNotExists(schema)
+    t.upsert(df("a" -> 1), "id")
+    val v1 = t.latestVersion.get
+    val ts1 = System.currentTimeMillis()
+    Thread.sleep(15) // commit timestamps are ms-granular
+    t.upsert(df("a" -> 2, "b" -> 9), "id")
+    // as-of a moment between the commits → v1's content
+    assert(t.versionAsOf(ts1) == v1)
+    assert(t.readAsOf(ts1).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap == Map("a" -> 1))
+    // before the first commit → no snapshot
+    intercept[IllegalArgumentException](t.versionAsOf(0L))
+
+    // RESTORE: new head commit, v1 content, history preserved
+    val restored = t.restore(v1)
+    assert(restored == t.latestVersion.get && restored > v1 + 1)
+    assert(t.read().collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap == Map("a" -> 1))
+    assert(t.history().collect().head.getString(2) == "RESTORE")
+    // the pre-restore head is still readable (restore is not a rollback)
+    assert(t.readVersion(restored - 1).count() == 2)
+    // a vacuumed version cannot be restored — fail fast, named files
+    t.upsert(df("c" -> 3), "id")
+    t.vacuum(retentionMs = 0, enforceRetention = false)
+    val e = intercept[IllegalStateException](t.restore(v1 + 1))
+    assert(e.getMessage.contains("vacuum"), e.getMessage)
+  }
+
   test("manifest records bytes at commit; legacy manifests fail FAST on missing files") {
     val base = tmpDir("ffast")
     val t = ResourceTable(spark, s"$base/T.parquet").createIfNotExists(schema)
