@@ -1789,6 +1789,24 @@ object SparkEntry {
       tab.readVersion(v2)
     }),
 
+    // ---- STREAMING change feed (Delta readChangeFeed-as-a-stream):
+    //      the commit log replayed through a checkpointed file source,
+    //      one exactly-once micro-batch event per committed version;
+    //      the union of every streamed version's row-level changes
+    //      hash-matches a per-version SQL reconstruction ----
+    "q_change_feed_stream" -> ((s, dir) => {
+      val (tab, _, _, _) = versionedDemo(s, dir)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_cdfs").toString
+      val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      val q = graft.streaming.ChangeFeed.start(s, tab.path, "c_custkey",
+        ckpt, (v, df) => buf.synchronized {
+          buf += df.withColumn("version", lit(v)): Unit
+        })
+      q.awaitTermination() // AvailableNow: drain the log, then stop
+      buf.synchronized(buf.reduce(_.unionByName(_)))
+    }),
+
     // ---- RESTORE (Delta RESTORE ... VERSION AS OF parity): mutate
     //      twice, then roll the head back to the pre-mutation snapshot
     //      as a NEW commit (history preserved, no data copied); the
@@ -3167,6 +3185,32 @@ object SparkEntry {
 
     "q_restore" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+
+    "q_change_feed_stream" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  'insert' AS _change_type, CAST(1 AS BIGINT) AS version
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |  'update_preimage', 2
+        |FROM customer WHERE c_custkey % 10 = 0
+        |UNION ALL
+        |SELECT c_custkey, upper(c_name), c_nationkey, c_acctbal + 1000,
+        |  c_mktsegment, 'update_postimage', 2
+        |FROM customer WHERE c_custkey % 10 = 0
+        |UNION ALL
+        |SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+        |  'NEWSEG', 'insert', 2
+        |FROM customer WHERE c_custkey % 100 = 1
+        |UNION ALL
+        |SELECT c_custkey,
+        |  CASE WHEN c_custkey % 10 = 0 THEN upper(c_name)
+        |       ELSE c_name END,
+        |  c_nationkey,
+        |  CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000
+        |       ELSE c_acctbal END,
+        |  c_mktsegment, 'delete', 3
+        |FROM customer WHERE c_mktsegment = 'MACHINERY'""".stripMargin,
 
     "q_schema_evolution" ->
       """SELECT n_nationkey, n_name, n_regionkey,

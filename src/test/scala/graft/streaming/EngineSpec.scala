@@ -201,6 +201,39 @@ class EngineSpec extends SparkSpec {
     assert(nFiles == 1 && rows == 1 && bytes > 0, described.toString)
   }
 
+  test("ChangeFeed streams each commit's row-level changes exactly once across restarts") {
+    val base = tmpDir("cdfstream")
+    val path = s"$base/T.parquet"
+    val data1 = Seq(("a", 1), ("b", 2)).toDF("id", "v")
+    val t = ResourceTable(spark, path).createIfNotExists(data1.schema)
+    t.upsert(data1, "id")                                  // v1
+    t.upsert(Seq(("b", 20), ("c", 3)).toDF("id", "v"), "id") // v2
+    t.deleteMatching(Seq("a").toDF("id"), "id")            // v3
+
+    val got = scala.collection.mutable.Map.empty[Long, Set[(String, Int, String)]]
+    def run(): Unit = {
+      val q = ChangeFeed.start(spark, path, "id", s"$base/ckpt",
+        (v, df) => got.synchronized {
+          got(v) = df.collect()
+            .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+        })
+      q.awaitTermination() // AvailableNow drains then stops
+    }
+    run()
+    assert(got.keySet == Set(1L, 2L, 3L)) // v0 CREATE skipped
+    assert(got(1L) == Set(("a", 1, "insert"), ("b", 2, "insert")))
+    assert(got(2L) == Set(("b", 2, "update_preimage"),
+      ("b", 20, "update_postimage"), ("c", 3, "insert")))
+    assert(got(3L) == Set(("a", 1, "delete")))
+
+    // restart with the same checkpoint: ONLY the new commit arrives
+    got.clear()
+    t.upsert(Seq(("d", 4)).toDF("id", "v"), "id")          // v4
+    run()
+    assert(got.keySet == Set(4L), got.toString)
+    assert(got(4L) == Set(("d", 4, "insert")))
+  }
+
   test("registerTable: multi-dir snapshot registers an exact snapshot VIEW and rolls forward") {
     val base = tmpDir("regview")
     val path = s"$base/viewdb/T.parquet"
