@@ -387,6 +387,77 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     else readFile(p).split("\n").map(_.trim).filter(_.nonEmpty).toSeq
   }
 
+  // ------------------------------------------------- CHECK constraints
+
+  private def constraintsFile = new HPath(root, "_meta_constraints.txt")
+
+  /** The table's CHECK constraints, name → boolean SQL expression —
+    * Delta `ALTER TABLE ... ADD CONSTRAINT` parity. Persisted like the
+    * clustering metadata (one `name\texpr` line each).
+    */
+  def checkConstraints(): Map[String, String] =
+    if (!fs.exists(constraintsFile)) Map.empty
+    else readFile(constraintsFile).split("\n").iterator
+      .map(_.trim).filter(_.nonEmpty)
+      .map { line =>
+        val i = line.indexOf('\t')
+        line.substring(0, i) -> line.substring(i + 1)
+      }.toMap
+
+  /** Add a named CHECK constraint. Like Delta, the EXISTING data is
+    * validated first (one aggregate over the current snapshot) and the
+    * add is refused if any row violates; subsequent `upsert`s reject
+    * batches containing violating rows before anything is written. A
+    * row violates when the expression is not TRUE (false or NULL).
+    */
+  def addCheckConstraint(name: String, sqlExpr: String): Unit = {
+    require(!name.exists(c => c == '\t' || c == '\n') &&
+      !sqlExpr.exists(_ == '\n'),
+      "constraint names/expressions must be single-line, tab-free")
+    val existing = checkConstraints()
+    require(!existing.contains(name), s"constraint $name already exists")
+    val bad = violations(read(), Map(name -> sqlExpr))
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"cannot add CHECK constraint $name to $path: " +
+          s"${bad.head._2} existing row(s) violate ($sqlExpr)")
+    writeFile(constraintsFile, (existing + (name -> sqlExpr))
+      .map { case (n, e) => s"$n\t$e" }.mkString("\n"))
+  }
+
+  def dropCheckConstraint(name: String): Unit = {
+    val remaining = checkConstraints() - name
+    if (remaining.isEmpty) { fs.delete(constraintsFile, false); () }
+    else writeFile(constraintsFile,
+      remaining.map { case (n, e) => s"$n\t$e" }.mkString("\n"))
+  }
+
+  /** (constraint, violating-row count) for every violated constraint —
+    * ALL constraints evaluated in ONE aggregate job over `df`.
+    */
+  private def violations(df: DataFrame,
+      cs: Map[String, String]): Seq[(String, Long)] = {
+    if (cs.isEmpty) return Seq.empty
+    val counts = df.select(cs.toSeq.map { case (n, e) =>
+      sum(when(!coalesce(expr(e), lit(false)), 1L).otherwise(0L)).as(n)
+    }: _*).collect().headOption
+    cs.keys.toSeq.sorted.flatMap { n =>
+      counts.map(r => Option(r.getAs[Long](n)).getOrElse(0L))
+        .filter(_ > 0).map(n -> _)
+    }
+  }
+
+  /** Abort (before anything is written) if `src` contains rows that
+    * violate any CHECK constraint — the upsert-side enforcement.
+    */
+  private def enforceConstraints(src: DataFrame): Unit = {
+    val bad = violations(src, checkConstraints())
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"CHECK constraint violation writing to $path: " +
+          bad.map { case (n, c) => s"$n ($c row(s))" }.mkString(", "))
+  }
+
   private def readFile(p: HPath): String = {
     val in = fs.open(p)
     try {
@@ -576,6 +647,12 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     // it so the pruning stats, the anti-join probe side, the union
     // side, and the returned count are one computation, not several
     val src = source.cache()
+    // CHECK constraints gate the batch BEFORE anything is written (one
+    // aggregate over the bounded batch, all constraints at once);
+    // deletes can't introduce violations, so only the upsert pays
+    // this — and a violation runs once, never burning the retry budget
+    try enforceConstraints(src)
+    catch { case e: Throwable => src.unpersist(); throw e }
     val result = try retry() {
       val cur = latestVersion
       val curV = cur.getOrElse(

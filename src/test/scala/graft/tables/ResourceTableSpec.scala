@@ -672,6 +672,39 @@ class ResourceTableSpec extends SparkSpec {
     }
   }
 
+  test("CHECK constraints: validated on add, enforced on upsert, persisted, droppable") {
+    val path = s"${tmpDir("rtck")}/T.parquet"
+    val t = ResourceTable(spark, path).createIfNotExists(schema)
+    t.upsert(df("a" -> 1, "b" -> 2), "id")
+    // adding a constraint the existing data violates is refused
+    val eAdd = intercept[IllegalArgumentException](
+      t.addCheckConstraint("v_big", "v >= 2"))
+    assert(eAdd.getMessage.contains("v_big"), eAdd.getMessage)
+    // a satisfiable constraint adds, persists, and gates future writes
+    t.addCheckConstraint("v_pos", "v > 0")
+    t.addCheckConstraint("id_set", "id IS NOT NULL")
+    val t2 = ResourceTable(spark, path) // fresh handle: persisted
+    assert(t2.checkConstraints().keySet == Set("v_pos", "id_set"))
+    t2.upsert(df("c" -> 3), "id") // satisfying batch passes
+    val eUp = intercept[IllegalArgumentException](
+      t2.upsert(df("d" -> 4, "e" -> 0), "id")) // e violates v > 0
+    assert(eUp.getMessage.contains("v_pos") &&
+      eUp.getMessage.contains("1 row"), eUp.getMessage)
+    // nothing was written by the rejected batch
+    assert(t2.read().collect().map(_.getString(0)).toSet ==
+      Set("a", "b", "c"))
+    // NULL is a violation (constraint must be TRUE), like Delta
+    val nullRow = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row("f", null))),
+      schema)
+    intercept[IllegalArgumentException](t2.upsert(nullRow, "id"))
+    // dropped constraint stops gating
+    t2.dropCheckConstraint("v_pos")
+    t2.dropCheckConstraint("id_set")
+    t2.upsert(df("e" -> 0), "id")
+    assert(t2.read().count() == 4)
+  }
+
   test("timestampAsOf resolves versions by commit time; restore republishes an old snapshot") {
     val t = ResourceTable(spark, s"${tmpDir("rtasof")}/T.parquet")
       .createIfNotExists(schema)
