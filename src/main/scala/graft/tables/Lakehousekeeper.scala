@@ -181,7 +181,8 @@ object Lakehousekeeper {
       System.err.println(
         "usage: lakehousekeeper vacuum <dir> [retentionHours] [dry] [no-enforce]" +
           " | optimize <dir> [numFiles|<size>g|<size>m] [compression]" +
-          " | compact <dir> [min<m>] | register <dir> | describe <dir>")
+          " | compact <dir> [min<m>] | register <dir> | describe <dir>" +
+          " | history <tablePath> | restore <tablePath> <version>")
       return
     }
     val spark = SparkSession.builder()
@@ -232,6 +233,21 @@ object Lakehousekeeper {
           describe(spark, dir).foreach { case (p, v, nf, bytes, rows) =>
             println(s"$p: v$v, $nf files, $bytes bytes, $rows rows")
           }
+        // DESCRIBE HISTORY of ONE table (`dir` is the table path here)
+        case "history" =>
+          ResourceTable(spark, dir).history().collect().foreach { r =>
+            println(s"v${r.getLong(0)} ${r.getString(2)} " +
+              s"${r.getAs[java.sql.Timestamp]("timestamp")} " +
+              s"${r.getLong(3)} files, ${r.getLong(4)} rows" +
+              (if (r.getBoolean(5)) "" else " (vacuumed)"))
+          }
+        // RESTORE TABLE ... TO VERSION AS OF (`dir` is the table path)
+        case "restore" =>
+          val v = args.lift(2).map(_.toLong).getOrElse {
+            System.err.println("restore needs a version"); sys.exit(2)
+          }
+          val newV = ResourceTable(spark, dir).restore(v)
+          println(s"restored $dir to v$v as new commit v$newV")
         case other =>
           System.err.println(s"unknown command: $other"); sys.exit(2)
       }
