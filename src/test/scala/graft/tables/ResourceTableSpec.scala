@@ -672,6 +672,50 @@ class ResourceTableSpec extends SparkSpec {
     }
   }
 
+  test("property: snapshot(v-1) + changes(v-1,v) reproduces snapshot(v) over random mutations") {
+    val rnd = new scala.util.Random(7)
+    val t = ResourceTable(spark, s"${tmpDir("rtprop")}/T.parquet")
+      .createIfNotExists(schema)
+    var model = Map.empty[String, Int]
+    val ids = ('a' to 'j').map(_.toString)
+    (1 to 10).foreach { step =>
+      if (rnd.nextInt(4) == 0 && model.nonEmpty) {
+        val del = rnd.shuffle(model.keys.toList).take(rnd.nextInt(3) + 1)
+        t.deleteMatching(df(del.map(_ -> 0): _*).select("id"), "id")
+        model = model -- del
+      } else {
+        val ups = rnd.shuffle(ids.toList).take(rnd.nextInt(4) + 1)
+          .map(_ -> rnd.nextInt(100))
+        t.upsert(df(ups: _*), "id")
+        model = model ++ ups
+      }
+      val v = t.latestVersion.get
+      val snap = t.readVersion(v).collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(snap == model, s"step $step: snapshot != model")
+      // CDF completeness: the previous snapshot plus the version's
+      // change rows reconstructs the new snapshot exactly
+      val prev = t.readVersion(v - 1).collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+      val ch = t.changes(v - 1, v, "id").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      val applied = ch.foldLeft(prev) {
+        case (m, (id, _, "delete")) => m - id
+        case (m, (id, nv, "insert")) => m + (id -> nv)
+        case (m, (id, nv, "update_postimage")) => m + (id -> nv)
+        case (m, (_, _, "update_preimage")) => m
+        case (m, other) => fail(s"unexpected change row $other"); m
+      }
+      assert(applied == model, s"step $step: CDF replay != model")
+      // pre-images are faithful to the prior snapshot
+      ch.foreach {
+        case (id, pv, "update_preimage") => assert(prev(id) == pv)
+        case (id, pv, "delete") => assert(prev(id) == pv)
+        case _ => ()
+      }
+    }
+  }
+
   test("CHECK constraints: validated on add, enforced on upsert, persisted, droppable") {
     val path = s"${tmpDir("rtck")}/T.parquet"
     val t = ResourceTable(spark, path).createIfNotExists(schema)
