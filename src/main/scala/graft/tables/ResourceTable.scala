@@ -196,8 +196,21 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     */
   def changes(fromV: Long, toV: Long, key: String): DataFrame = {
     import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
-    val from = readVersion(fromV)
-    val to = readVersion(toV)
+    // FILE-GRANULAR CDF scope: a file carried by reference between the
+    // two versions holds byte-identical rows on both sides and can emit
+    // no change event, so only the symmetric difference of the two
+    // manifests is read — O(files the range touched), never O(2·table).
+    // (Delta CDF reads per-commit add/remove actions the same way.)
+    // A key row in a shared file cannot also have a newer image in a
+    // touched file: the merge would have rewritten that file, not
+    // carried it. Bonus: CDF between historical versions survives
+    // vacuum as long as the TOUCHED files are retained — carried files
+    // are never opened.
+    val fromRels = fileListAt(fromV).filter(_._2.rows > 0).map(_._1)
+    val toRels = fileListAt(toV).filter(_._2.rows > 0).map(_._1)
+    val shared = fromRels.toSet.intersect(toRels.toSet)
+    val from = readFilesWithSchema(fromRels.filterNot(shared))
+    val to = readFilesWithSchema(toRels.filterNot(shared))
     val cols = from.columns.toSeq
     val f = from.select(col(key).as("_k"),
       struct(cols.map(col): _*).as("_pre"))
@@ -313,6 +326,23 @@ final class ResourceTable(val spark: SparkSession, val path: String,
   }
 
   private def resolve(rel: String): HPath = new HPath(root, rel)
+
+  /** Read a manifest-file subset under the CURRENT schema (how all
+    * snapshot reads work — older files surface missing columns as
+    * null). Empty subset → empty frame; vacuumed files → fail fast.
+    */
+  private def readFilesWithSchema(rels: Seq[String]): DataFrame = {
+    if (rels.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema())
+    val gone = missingFiles(rels)
+    if (gone.nonEmpty)
+      throw new IllegalStateException(
+        s"$path: ${gone.size} referenced file(s) vacuumed " +
+          s"(first: ${gone.head})")
+    spark.read.schema(schema())
+      .parquet(rels.map(r => resolve(r).toString): _*)
+  }
 
   /** The data files (root-relative) version `v` references — Delta's
     * `DESCRIBE DETAIL`-ish surface, and how specs assert the MERGE
