@@ -206,6 +206,17 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     // carried it. Bonus: CDF between historical versions survives
     // vacuum as long as the TOUCHED files are retained — carried files
     // are never opened.
+    // A single OPTIMIZE step rewrites files without changing logical
+    // content (Delta's dataChange=false commits) — its diff is empty by
+    // construction, so don't even open the compacted files. Ranges
+    // spanning an optimize still work through the file diff below.
+    if (toV == fromV + 1 &&
+        FileStats.opOf(commitBody(toV)).contains("OPTIMIZE"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(schema().fields :+
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType)))
     val fromRels = fileListAt(fromV).filter(_._2.rows > 0).map(_._1)
     val toRels = fileListAt(toV).filter(_._2.rows > 0).map(_._1)
     val shared = fromRels.toSet.intersect(toRels.toSet)

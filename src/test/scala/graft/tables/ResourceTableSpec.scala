@@ -672,6 +672,22 @@ class ResourceTableSpec extends SparkSpec {
     }
   }
 
+  test("CDF across an OPTIMIZE step is empty without opening the compacted files") {
+    val t = ResourceTable(spark, s"${tmpDir("rtcdfo")}/T.parquet")
+      .createIfNotExists(schema)
+    t.upsert(df("a" -> 1, "b" -> 2), "id")
+    t.upsert(df("c" -> 3), "id")
+    t.optimize(numFiles = 1)
+    val v = t.latestVersion.get
+    val ch = t.changes(v - 1, v, "id")
+    assert(ch.count() == 0)
+    assert(ch.columns.toSeq == Seq("id", "v", "_change_type"))
+    // and a range SPANNING the optimize still reports the real changes
+    val spanning = t.changes(v - 2, v, "id").collect()
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    assert(spanning == Set("c" -> "insert"))
+  }
+
   test("property: snapshot(v-1) + changes(v-1,v) reproduces snapshot(v) over random mutations") {
     val rnd = new scala.util.Random(7)
     val t = ResourceTable(spark, s"${tmpDir("rtprop")}/T.parquet")
