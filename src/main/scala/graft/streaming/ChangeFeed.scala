@@ -33,11 +33,15 @@ object ChangeFeed {
     * empty CREATE TABLE commit) is skipped. `trigger` defaults to
     * drain-everything-then-stop for backfill-style consumption; pass
     * `Trigger.ProcessingTime(...)` to follow the table live.
+    * `startingVersion` (Delta CDF's option of the same name) skips the
+    * replay of history before it — versions below it are still
+    * checkpointed as consumed, just never handled.
     */
   def start(spark: SparkSession, tablePath: String, key: String,
             checkpointDir: String,
             handler: (Long, DataFrame) => Unit,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            startingVersion: Long = 1L): StreamingQuery = {
     val table = ResourceTable(spark, tablePath)
     spark.readStream
       .schema(StructType(Seq(StructField("value", StringType))))
@@ -56,7 +60,8 @@ object ChangeFeed {
         val versions = batch.select("file").distinct().collect()
           .map(r => versionOf(r.getString(0))).sorted
         versions.foreach { v =>
-          if (v > 0) handler(v, table.changes(v - 1, v, key))
+          if (v >= math.max(startingVersion, 1L))
+            handler(v, table.changes(v - 1, v, key))
         }: Unit
       }
       .start()

@@ -232,6 +232,16 @@ class EngineSpec extends SparkSpec {
     run()
     assert(got.keySet == Set(4L), got.toString)
     assert(got(4L) == Set(("d", 4, "insert")))
+
+    // a FRESH consumer with startingVersion skips the history replay
+    got.clear()
+    val q2 = ChangeFeed.start(spark, path, "id", s"$base/ckpt2",
+      (v, df) => got.synchronized {
+        got(v) = df.collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+      }, startingVersion = 4L)
+    q2.awaitTermination()
+    assert(got.keySet == Set(4L), got.toString)
   }
 
   test("registerTable: multi-dir snapshot registers an exact snapshot VIEW and rolls forward") {
