@@ -43,6 +43,15 @@ object ChangeFeed {
             trigger: Trigger = Trigger.AvailableNow(),
             startingVersion: Long = 1L): StreamingQuery = {
     val table = ResourceTable(spark, tablePath)
+    // SILENT-GAP GUARD: if `cleanupMetadata` trims commit files a
+    // lagging consumer has not processed yet, the file source simply
+    // never lists them and their changes would vanish from the feed.
+    // Track contiguity across micro-batches (within this run — a
+    // restart re-anchors at the checkpoint) and fail loudly instead.
+    // Operators size cleanupMetadata's keepLast above the worst-case
+    // consumer lag, exactly like Delta couples CDF readers to the
+    // log retention.
+    @volatile var lastSeen = -1L
     spark.readStream
       .schema(StructType(Seq(StructField("value", StringType))))
       .option("pathGlobFilter", "*.commit")
@@ -60,6 +69,13 @@ object ChangeFeed {
         val versions = batch.select("file").distinct().collect()
           .map(r => versionOf(r.getString(0))).sorted
         versions.foreach { v =>
+          if (lastSeen >= 0 && v > lastSeen + 1)
+            throw new IllegalStateException(
+              s"change feed gap on $tablePath: versions " +
+                s"${lastSeen + 1}..${v - 1} never arrived — commit log " +
+                "trimmed under a lagging consumer? raise " +
+                "cleanupMetadata keepLast above the consumer lag")
+          lastSeen = v
           if (v >= math.max(startingVersion, 1L))
             handler(v, table.changes(v - 1, v, key))
         }: Unit
