@@ -168,6 +168,23 @@ object FileStats {
   def opOf(body: String): Option[String] =
     Option(mapper.readTree(body).get("op")).map(_.asText)
 
+  /** Writer-transaction watermarks the commit carries (Delta's
+    * `txnAppId`/`txnVersion` idempotence mechanism): appId → highest
+    * batch id applied. Carried forward commit-to-commit so a replayed
+    * foreachBatch append can be recognized and skipped.
+    */
+  def txnsOf(body: String): Map[String, Long] =
+    Option(mapper.readTree(body).get("txns")).filter(_.isObject)
+      .map(_.fields().asScala
+        .map(e => e.getKey -> e.getValue.asLong).toMap)
+      .getOrElse(Map.empty)
+
+  def txnsToJson(txns: Map[String, Long]): String = {
+    val o = JsonNodeFactory.instance.objectNode()
+    txns.foreach { case (k, v) => o.put(k, v) }
+    o.toString
+  }
+
   def tsOf(body: String): Option[Long] =
     Option(mapper.readTree(body).get("ts")).map(_.asLong)
 

@@ -297,7 +297,20 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     * bounded by a deadline that is orders of magnitude beyond the
     * write window (commit bodies are a few KB written in one call).
     */
+  // Commits are immutable once well-formed, so the last body read is
+  // safe to memoize — fileListAt/opOf/txn lookups on the same version
+  // (the common pattern within one mutation) cost one FS read total.
+  @volatile private var bodyCache: (Long, String) = (-1L, "")
+
   private def commitBody(v: Long): String = {
+    val cached = bodyCache
+    if (cached._1 == v) return cached._2
+    val body = readCommitBody(v)
+    bodyCache = (v, body)
+    body
+  }
+
+  private def readCommitBody(v: Long): String = {
     val cf = commitFile(v)
     if (!fs.exists(cf))
       throw new IllegalStateException(
@@ -767,6 +780,67 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     result
   }
 
+  /** Highest batch id the writer `appId` has committed, if any —
+    * Delta's `txnVersion` idempotence lookup, answered from the head
+    * commit's carried watermark map.
+    */
+  def txnVersion(appId: String): Option[Long] =
+    latestVersion.flatMap(v => FileStats.txnsOf(commitBody(v)).get(appId))
+
+  /** Pure APPEND — the fact/event-table write path: the batch's rows
+    * land as new files and every existing file carries forward by
+    * reference. No key semantics, no anti-join, no rewrites — O(batch)
+    * work at any table size. CHECK constraints gate the batch like
+    * upsert.
+    *
+    * `txn = Some((appId, batchId))` makes the append IDEMPOTENT under
+    * replays (Delta's txnAppId/txnVersion): a batch at or below the
+    * appId's committed watermark is skipped and 0 is returned — how a
+    * restarted streaming sink achieves exactly-once appends on top of
+    * at-least-once `foreachBatch` delivery.
+    */
+  def append(source: DataFrame, mergeSchema: Boolean = false,
+             txn: Option[(String, Long)] = None): Long = {
+    val src = source.cache()
+    try enforceConstraints(src)
+    catch { case e: Throwable => src.unpersist(); throw e }
+    val result = try retry() {
+      val cur = latestVersion
+      val curV = cur.getOrElse(
+        throw new IllegalStateException(s"no table at $path"))
+      val replayed = txn.exists { case (app, batch) =>
+        FileStats.txnsOf(commitBody(curV)).get(app).exists(batch <= _)
+      }
+      if (replayed) 0L
+      else {
+        val tableSchema = schema()
+        val newCols = src.schema.fields
+          .filterNot(f => tableSchema.fieldNames.contains(f.name))
+        val outSchema =
+          if (mergeSchema && newCols.nonEmpty)
+            StructType(tableSchema.fields ++ newCols)
+          else tableSchema
+        val outCols = outSchema.fieldNames.toSeq
+        val files = fileListAt(curV).filterNot(_._2.rows == 0)
+        if (optimizeWriteEnabled) {
+          val n = src.count()
+          commitFiles(Some(clusterForWrite(
+              src.select(outCols.map(col): _*), n)),
+            files, outSchema.json, cur, op = "APPEND", txn = txn)
+          n
+        } else {
+          val obs = org.apache.spark.sql.Observation()
+          commitFiles(Some(src.select(outCols.map(col): _*)
+              .observe(obs, count(lit(1)).as("_rows"))),
+            files, outSchema.json, cur, op = "APPEND", txn = txn)
+          obs.get("_rows").asInstanceOf[Long]
+        }
+      }
+    } finally src.unpersist()
+    maybeAutoCompact()
+    result
+  }
+
   /** J2 — MERGE delete: drop target rows whose key appears in `ids`
     * (a single-column DataFrame of key values). Same file-granular
     * scope as upsert: only files whose stats admit a listed key are
@@ -1059,7 +1133,8 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       schemaJson: String,
       expectedCurrent: Option[Long],
       compression: String = "zstd",
-      op: String = "WRITE"): Long = {
+      op: String = "WRITE",
+      txn: Option[(String, Long)] = None): Long = {
     val next = expectedCurrent.getOrElse(-1L) + 1
     val dirName =
       s"snap-$next-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -1087,6 +1162,15 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     }
     val statsJson =
       FileStats.toJsonNode((keptFiles ++ newStats).toMap).toString
+    // txn watermarks carry forward so any later commit can answer
+    // "has (appId, batchId) already been applied?" from the head
+    // alone; computed BEFORE the winner election so nothing lengthens
+    // the create-to-write window
+    val txns = expectedCurrent.map(v => FileStats.txnsOf(commitBody(v)))
+      .getOrElse(Map.empty) ++ txn
+    val txnsJson =
+      if (txns.isEmpty) ""
+      else s""","txns":${FileStats.txnsToJson(txns)}"""
     onBeforePublish()
     val out =
       try createExclusive(commitFile(next))
@@ -1097,7 +1181,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         throw e
       }
     try out.write(
-      s"""{"version":$next,"op":"$op","ts":${System.currentTimeMillis()},"dir":"$dirName","schema":$schemaJson,"files":$statsJson}"""
+      s"""{"version":$next,"op":"$op","ts":${System.currentTimeMillis()},"dir":"$dirName"$txnsJson,"schema":$schemaJson,"files":$statsJson}"""
         .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // roll the lookup checkpoint forward every checkpointInterval

@@ -244,6 +244,46 @@ class EngineSpec extends SparkSpec {
     assert(got.keySet == Set(4L), got.toString)
   }
 
+  test("TableSink: exactly-once streaming append and idempotent streaming upsert") {
+    val base = tmpDir("tsink")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // append sink: restart with the same checkpoint appends only new data
+    val sa = MemoryStream[(Long, String)]
+    def runAppend(): Unit = {
+      val q = TableSink.append(sa.toDF().toDF("id", "name"),
+        s"$base/events.parquet", s"$base/ckpt-a")
+      q.awaitTermination()
+    }
+    sa.addData((1L, "x"), (2L, "y"))
+    runAppend()
+    val t = ResourceTable(spark, s"$base/events.parquet")
+    assert(t.read().count() == 2)
+    sa.addData((3L, "z"))
+    runAppend()
+    assert(t.read().count() == 3)
+    // the foreachBatch-replay guard: re-applying an already-committed
+    // batch id is a no-op even outside the checkpoint's protection
+    assert(t.append(Seq((9L, "dup")).toDF("id", "name"),
+      txn = Some((s"$base/ckpt-a", 0L))) == 0L)
+    assert(t.read().count() == 3)
+
+    // upsert sink: replays converge (idempotent MERGE), latest wins
+    val su = MemoryStream[(Long, String)]
+    def runUpsert(): Unit = {
+      val q = TableSink.upsert(su.toDF().toDF("id", "name"),
+        s"$base/dims.parquet", "id", s"$base/ckpt-u")
+      q.awaitTermination()
+    }
+    su.addData((1L, "a"), (2L, "b"))
+    runUpsert()
+    su.addData((2L, "b2"))
+    runUpsert()
+    val dims = ResourceTable(spark, s"$base/dims.parquet").read()
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dims == Map(1L -> "a", 2L -> "b2"))
+  }
+
   test("registerTable: multi-dir snapshot registers an exact snapshot VIEW and rolls forward") {
     val base = tmpDir("regview")
     val path = s"$base/viewdb/T.parquet"

@@ -672,6 +672,33 @@ class ResourceTableSpec extends SparkSpec {
     }
   }
 
+  test("append adds rows without key semantics; txn watermarks make replays no-ops") {
+    val t = ResourceTable(spark, s"${tmpDir("rtapp")}/T.parquet")
+      .createIfNotExists(schema)
+    assert(t.append(df("a" -> 1, "b" -> 2)) == 2L)
+    // no key semantics: a second append of the same rows DUPLICATES
+    assert(t.append(df("a" -> 1)) == 1L)
+    assert(t.read().count() == 3)
+    // every prior file carried by reference — append never rewrites
+    assert(t.history().collect().head.getString(2) == "APPEND")
+
+    // idempotent transactional appends (Delta txnAppId/txnVersion)
+    assert(t.append(df("c" -> 3), txn = Some(("job", 1L))) == 1L)
+    assert(t.append(df("c" -> 3), txn = Some(("job", 1L))) == 0L) // replay
+    assert(t.read().count() == 4)
+    assert(t.txnVersion("job").contains(1L))
+    assert(t.append(df("d" -> 4), txn = Some(("job", 2L))) == 1L)
+    assert(t.txnVersion("job").contains(2L))
+    // the watermark survives UNRELATED commits in between
+    t.upsert(df("e" -> 5), "id")
+    assert(t.append(df("x" -> 9), txn = Some(("job", 2L))) == 0L)
+    assert(t.read().count() == 6)
+    // independent writers have independent watermarks
+    assert(t.append(df("f" -> 6), txn = Some(("other", 1L))) == 1L)
+    assert(t.txnVersion("job").contains(2L))
+    assert(t.txnVersion("nope").isEmpty)
+  }
+
   test("CDF across an OPTIMIZE step is empty without opening the compacted files") {
     val t = ResourceTable(spark, s"${tmpDir("rtcdfo")}/T.parquet")
       .createIfNotExists(schema)
@@ -815,8 +842,12 @@ class ResourceTableSpec extends SparkSpec {
       }
     val rel = t.fileManifest(t.latestVersion.get).head
     java.nio.file.Files.delete(java.nio.file.Paths.get(s"$base/T.parquet/$rel"))
+    // a FRESH handle, like any real reader of a legacy table — commit
+    // bodies are immutable by contract, so handles memoize them and
+    // the forged rewrite above is invisible to `t`
+    val legacy = ResourceTable(spark, s"$base/T.parquet")
     val e = intercept[IllegalStateException] {
-      t.compactSmallFiles()
+      legacy.compactSmallFiles()
     }
     assert(e.getMessage.contains(rel.substring(rel.lastIndexOf('/') + 1)),
       s"message does not name the missing file: ${e.getMessage}")
