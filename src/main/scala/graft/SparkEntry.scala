@@ -1807,6 +1807,23 @@ object SparkEntry {
       buf.synchronized(buf.reduce(_.unionByName(_)))
     }),
 
+    // ---- transactional APPEND (Delta txnAppId/txnVersion parity):
+    //      a replayed (appId, batchId) append is a no-op, a later
+    //      batch id lands — duplicate rows from the real append prove
+    //      no key semantics interfered ----
+    "q_append_txn" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_append").toString
+      val supplier = t(s, dir, "supplier")
+      val tab = ResourceTable(s, s"$tmp/S.parquet")
+        .createIfNotExists(supplier.schema)
+      tab.append(supplier, txn = Some(("gate", 1L)))
+      tab.append(supplier, txn = Some(("gate", 1L))) // replay: skipped
+      tab.append(supplier.filter(col("s_suppkey") <= 10),
+        txn = Some(("gate", 2L)))
+      tab.read()
+    }),
+
     // ---- RESTORE (Delta RESTORE ... VERSION AS OF parity): mutate
     //      twice, then roll the head back to the pre-mutation snapshot
     //      as a NEW commit (history preserved, no data copied); the
@@ -3185,6 +3202,12 @@ object SparkEntry {
 
     "q_restore" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+
+    "q_append_txn" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+        |UNION ALL
+        |SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+        |WHERE s_suppkey <= 10""".stripMargin,
 
     "q_change_feed_stream" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
