@@ -1,10 +1,11 @@
 package graft.streaming
 
 import graft.tables.ResourceTable
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType, TimestampType}
 
 /** Streaming change-data-feed over a [[ResourceTable]] — the Delta
   * `readChangeFeed`-as-a-stream shape, composed from built-ins: the
@@ -21,12 +22,52 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * per version across restarts (T3's pattern applied to the feed
   * itself); `cleanupMetadata` trimming old commit files is safe because
   * file sources ignore the disappearance of already-processed input.
+  *
+  * The source is `binaryFile`, not `text`, ON PURPOSE: a commit file
+  * becomes visible at its atomic create but its bytes land between
+  * create and close (the winner-election window —
+  * [[ResourceTable]] commit protocol), and the text source emits ZERO
+  * rows for a still-empty file while checkpointing it as consumed —
+  * that version's changes would be dropped forever. binaryFile emits
+  * exactly one row per listed FILE independent of body state, so the
+  * event (the file name) always arrives; the body itself is read by
+  * [[ResourceTable.changes]] through the deadline-retrying commit
+  * reader that already tolerates the in-flight window. `select("path")`
+  * prunes the content column, so the source never reads commit bodies
+  * at all.
   */
 object ChangeFeed {
 
   /** Version number of a commit-file path (`.../_log/<v>.commit`). */
   private def versionOf(path: String): Long =
     path.substring(path.lastIndexOf('/') + 1).stripSuffix(".commit").toLong
+
+  /** The feed's persisted contiguity high-water mark lives NEXT TO the
+    * checkpoint and shares its lifecycle: one empty marker file named
+    * by the highest version this consumer has observed. A marker's
+    * NAME carries the value, so publication is a single atomic file
+    * create — no torn-content window to re-read on restart; older
+    * markers are pruned best-effort after each advance.
+    */
+  private def highWaterDir(checkpointDir: String) =
+    new HPath(checkpointDir, "graft-cdf-high-water")
+
+  private def readHighWater(fs: FileSystem, dir: HPath): Option[Long] =
+    if (!fs.exists(dir)) None
+    else {
+      val vs = fs.listStatus(dir).map(_.getPath.getName)
+        .flatMap(n => scala.util.Try(n.toLong).toOption)
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+
+  private def advanceHighWater(fs: FileSystem, dir: HPath, v: Long): Unit = {
+    fs.mkdirs(dir): Unit
+    fs.create(new HPath(dir, v.toString), true).close()
+    // best-effort prune; a leftover lower marker is harmless (max wins)
+    fs.listStatus(dir).map(_.getPath)
+      .filter(p => scala.util.Try(p.getName.toLong).toOption.exists(_ < v))
+      .foreach(p => try fs.delete(p, false): Unit catch { case _: Throwable => })
+  }
 
   /** Start the feed. `handler` is called once per committed version in
     * ascending order with that version's change rows; version 0 (the
@@ -36,6 +77,22 @@ object ChangeFeed {
     * `startingVersion` (Delta CDF's option of the same name) skips the
     * replay of history before it — versions below it are still
     * checkpointed as consumed, just never handled.
+    *
+    * SILENT-GAP GUARD: if `cleanupMetadata` trims commit files a
+    * lagging consumer has not processed yet, the file source simply
+    * never lists them and their changes would vanish from the feed.
+    * Contiguity is tracked from the first HANDLED version onward and
+    * persisted as a high-water marker beside the checkpoint, so the
+    * check survives restarts: a consumer that comes back up after its
+    * unprocessed commits were trimmed fails loudly instead of silently
+    * re-anchoring. Operators size cleanupMetadata's keepLast above the
+    * worst-case consumer lag, exactly like Delta couples CDF readers
+    * to the log retention. One deliberate exception: a FRESH consumer
+    * (no high-water mark yet) starting on an already-trimmed log
+    * treats the earliest retained version as its base snapshot — its
+    * delta is uncomputable (the predecessor's manifest is gone) and
+    * nothing was ever promised to this consumer, so the feed logs the
+    * re-anchor and streams from the next version.
     */
   def start(spark: SparkSession, tablePath: String, key: String,
             checkpointDir: String,
@@ -43,21 +100,26 @@ object ChangeFeed {
             trigger: Trigger = Trigger.AvailableNow(),
             startingVersion: Long = 1L): StreamingQuery = {
     val table = ResourceTable(spark, tablePath)
-    // SILENT-GAP GUARD: if `cleanupMetadata` trims commit files a
-    // lagging consumer has not processed yet, the file source simply
-    // never lists them and their changes would vanish from the feed.
-    // Track contiguity across micro-batches (within this run — a
-    // restart re-anchors at the checkpoint) and fail loudly instead.
-    // Operators size cleanupMetadata's keepLast above the worst-case
-    // consumer lag, exactly like Delta couples CDF readers to the
-    // log retention.
-    @volatile var lastSeen = -1L
+    val wmDir = highWaterDir(checkpointDir)
+    val wmFs = wmDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val floor = math.max(startingVersion, 1L)
+    // lastSeen < 1 ⇔ nothing real consumed yet (fresh consumer);
+    // version 0 never advances it, so contiguity anchors at the first
+    // version ≥ 1 this consumer observes.
+    @volatile var lastSeen = readHighWater(wmFs, wmDir).getOrElse(-1L)
     spark.readStream
-      .schema(StructType(Seq(StructField("value", StringType))))
+      .format("binaryFile")
+      // the format's own fixed schema — streaming sources refuse to
+      // infer, and binaryFile refuses anything BUT this schema
+      .schema(StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
       .option("pathGlobFilter", "*.commit")
-      .text(s"$tablePath/_log")
-      // the commit BODY rides along unused — the file NAME is the event
-      .select(col("_metadata.file_path").as("file"))
+      .load(s"$tablePath/_log")
+      // the commit BODY is never read — the file NAME is the event
+      .select(col("path").as("file"))
       .writeStream
       .queryName(s"changefeed-${versionSafeName(tablePath)}")
       .option("checkpointLocation", checkpointDir)
@@ -69,16 +131,30 @@ object ChangeFeed {
         val versions = batch.select("file").distinct().collect()
           .map(r => versionOf(r.getString(0))).sorted
         versions.foreach { v =>
-          if (lastSeen >= 0 && v > lastSeen + 1)
+          if (lastSeen >= 1 && v > lastSeen + 1)
             throw new IllegalStateException(
               s"change feed gap on $tablePath: versions " +
-                s"${lastSeen + 1}..${v - 1} never arrived — commit log " +
+                s"${lastSeen + 1}..${v - 1} never arrived (high-water " +
+                s"mark $lastSeen persisted at $wmDir) — commit log " +
                 "trimmed under a lagging consumer? raise " +
                 "cleanupMetadata keepLast above the consumer lag")
-          lastSeen = v
-          if (v >= math.max(startingVersion, 1L))
+          // fresh consumer, first real version, predecessor already
+          // trimmed: v is this consumer's base snapshot, not a gap
+          val baseSnapshot =
+            lastSeen < 1 && v > floor && !table.versionExists(v - 1)
+          if (baseSnapshot)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"change feed on $tablePath: log already trimmed below " +
+                s"v$v — treating v$v as this consumer's base snapshot, " +
+                s"streaming changes from v${v + 1}")
+          if (!baseSnapshot && v >= floor)
             handler(v, table.changes(v - 1, v, key))
-        }: Unit
+          if (v >= 1 && v > lastSeen) lastSeen = v
+        }
+        // persist once per batch — the batch is the replay unit
+        // (foreachBatch is at-least-once), so a crash before this line
+        // replays the whole batch against the old mark, never past it
+        if (lastSeen >= 1) advanceHighWater(wmFs, wmDir, lastSeen)
       }
       .start()
   }

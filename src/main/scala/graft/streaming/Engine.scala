@@ -57,8 +57,14 @@ final case class Settings(
     s3ConnectionSslEnabled: String = "false", // settings.py:34 (str there too)
     warehouseDir: String = "warehouse",      // settings.py:35
     driverMemory: String = "4g",             // settings.py:38
-    awsAccessKeyId: String = "admin",        // settings.py:58
-    awsSecretAccessKey: String = "miniopass", // settings.py:59
+    // the reference bakes working MinIO dev credentials in as defaults
+    // (settings.py:58–59, "admin"/"miniopass"); deliberately NOT
+    // mirrored — session configs are exposed on the Spark UI
+    // environment page, so credentials only flow when explicitly set
+    // (otherwise the S3A provider chain — env vars, instance profile —
+    // applies)
+    awsAccessKeyId: String = "",
+    awsSecretAccessKey: String = "",
     // when set, every table a batch touches is (re-)registered in the
     // catalog from inside the batch path (settings.py:64 + main.py:96–98)
     metastoreUrl: Option[String] = None)
@@ -103,10 +109,16 @@ object Engine {
       "spark.hadoop.fs.s3a.connection.ssl.enabled" ->
         s.s3ConnectionSslEnabled,                         // main.py:86–89
       "fs.s3a.committer.name" -> "magic",                 // main.py:90
-      "fs.s3a.committer.magic.enabled" -> "true",         // main.py:91
-      "fs.s3a.access.key" -> s.awsAccessKeyId,            // main.py:92
-      "fs.s3a.secret.key" -> s.awsSecretAccessKey)        // main.py:93
-    s.metastoreUrl.fold(base)(url => base ++ Map(         // main.py:96–99
+      "fs.s3a.committer.magic.enabled" -> "true")         // main.py:91
+    // credentials only when explicitly configured (main.py:92–93 emits
+    // dev defaults unconditionally; see the Settings field comment)
+    val creds =
+      (if (s.awsAccessKeyId.nonEmpty)
+        Map("fs.s3a.access.key" -> s.awsAccessKeyId) else Map.empty) ++
+      (if (s.awsSecretAccessKey.nonEmpty)
+        Map("fs.s3a.secret.key" -> s.awsSecretAccessKey) else Map.empty)
+    val all = base ++ creds
+    s.metastoreUrl.fold(all)(url => all ++ Map(           // main.py:96–99
       "spark.hive.metastore.uris" -> url,
       "spark.sql.catalogImplementation" -> "hive"))
   }

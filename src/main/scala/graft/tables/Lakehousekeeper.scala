@@ -155,8 +155,30 @@ object Lakehousekeeper {
             "multiple directories — beyond " +
             s"graft.register.maxViewFiles=$cap for an exact-view " +
             "registration; run optimize()/compactSmallFiles() first")
-      spark.sql(s"CREATE VIEW $fq AS SELECT * FROM " +
-        s"parquet.`$p/{${files.mkString(",")}}`")
+      // One projection PER SNAP DIR, not one glob over all files: the
+      // view body's `parquet.`…`` relation re-infers its schema from a
+      // single footer at every query (spark.sql.parquet.mergeSchema is
+      // off), so a glob mixing pre- and post-evolution files would
+      // silently drop evolved columns. Files within one snap dir were
+      // written by exactly one commit and share a schema, so each dir
+      // gets an explicit projection under the CURRENT commit-log
+      // schema, null-filling the columns its files predate — an exact
+      // snapshot, still zero data movement.
+      val fields = t.schema().fields
+      val selects = files
+        .groupBy(f => f.substring(0, f.lastIndexOf('/')))
+        .toSeq.sortBy(_._1)
+        .map { case (dir, group) =>
+          val present = spark.read
+            .parquet(s"$p/${group.head}").schema.fieldNames.toSet
+          val proj = fields.map { fld =>
+            if (present(fld.name)) s"`${fld.name}`"
+            else s"CAST(NULL AS ${fld.dataType.sql}) AS `${fld.name}`"
+          }.mkString(", ")
+          val names = group.map(_.substring(dir.length + 1))
+          s"SELECT $proj FROM parquet.`$p/$dir/{${names.mkString(",")}}`"
+        }
+      spark.sql(s"CREATE VIEW $fq AS ${selects.mkString(" UNION ALL ")}")
     }
     s"$schema.$table"
   }

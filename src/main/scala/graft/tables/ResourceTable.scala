@@ -84,6 +84,13 @@ final class ResourceTable(val spark: SparkSession, val path: String,
 
   def exists: Boolean = fs.exists(logDir) && latestVersion.isDefined
 
+  /** Whether version `v`'s commit file is still present in the log
+    * (false once [[cleanupMetadata]] trimmed it). Presence of the
+    * commit ≠ the version's DATA being intact — see `history()`'s
+    * `is_intact` for that.
+    */
+  def versionExists(v: Long): Boolean = v >= 0 && fs.exists(commitFile(v))
+
   /** Highest committed version. With a `_last_checkpoint` pointer the
     * lookup probes forward from the checkpointed version (O(commits
     * since checkpoint) existence checks); only checkpoint-less logs pay
@@ -816,6 +823,16 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         val tableSchema = schema()
         val newCols = src.schema.fields
           .filterNot(f => tableSchema.fieldNames.contains(f.name))
+        // Delta parity: without mergeSchema an append carrying columns
+        // the table doesn't have is a misconfiguration — reject it
+        // loudly rather than silently projecting the data away (a
+        // streaming sink pointed at the wrong table would otherwise
+        // lose columns with zero signal)
+        if (!mergeSchema && newCols.nonEmpty)
+          throw new IllegalArgumentException(
+            s"append to $path: source has column(s) not in the table " +
+              s"schema: ${newCols.map(_.name).mkString(", ")} — pass " +
+              "mergeSchema=true to evolve the schema, or drop them")
         val outSchema =
           if (mergeSchema && newCols.nonEmpty)
             StructType(tableSchema.fields ++ newCols)

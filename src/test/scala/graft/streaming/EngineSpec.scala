@@ -244,6 +244,52 @@ class EngineSpec extends SparkSpec {
     assert(got.keySet == Set(4L), got.toString)
   }
 
+  test("ChangeFeed contiguity guard survives restarts; fresh consumers re-anchor on a trimmed log") {
+    val base = tmpDir("cdftrim")
+    val path = s"$base/T.parquet"
+    val t = ResourceTable(spark, path)
+      .createIfNotExists(Seq(("a", 1)).toDF("id", "v").schema)
+    t.upsert(Seq(("a", 1)).toDF("id", "v"), "id") // v1
+    t.upsert(Seq(("a", 2)).toDF("id", "v"), "id") // v2
+
+    val got = scala.collection.mutable.Set.empty[Long]
+    def run(ckpt: String): Unit = {
+      val q = ChangeFeed.start(spark, path, "id", ckpt,
+        (v, df) => { df.count(); got.synchronized { got += v }: Unit })
+      q.awaitTermination()
+    }
+    run(s"$base/ckpt") // consumer up to date at v2
+    assert(got == Set(1L, 2L), got.toString)
+
+    // consumer down; writer keeps committing, then upkeep trims the
+    // log PAST the consumer's position (each upsert rewrites the same
+    // file, so vacuum(0) orphans every pre-head version)
+    t.upsert(Seq(("a", 3)).toDF("id", "v"), "id") // v3
+    t.upsert(Seq(("a", 4)).toDF("id", "v"), "id") // v4
+    t.upsert(Seq(("a", 5)).toDF("id", "v"), "id") // v5
+    t.vacuum(0)
+    assert(t.cleanupMetadata(keepLast = 1) > 0)
+    assert(!t.versionExists(3) && !t.versionExists(4)) // really trimmed
+
+    // restart with the same checkpoint: v3/v4 can never arrive — the
+    // PERSISTED high-water mark turns the silent skip into a loud stop
+    got.clear()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(s"$base/ckpt")
+    }
+    assert(ex.toString.contains("change feed gap"), ex.toString)
+    assert(got.isEmpty, got.toString)
+
+    // a FRESH consumer (no mark) on the same trimmed log starts
+    // cleanly: earliest retained version = its base snapshot, and the
+    // feed resumes with the next commit
+    run(s"$base/ckpt-fresh")
+    assert(got.isEmpty, got.toString) // v5 base-skipped, nothing newer
+    t.upsert(Seq(("a", 6)).toDF("id", "v"), "id") // v6
+    run(s"$base/ckpt-fresh")
+    assert(got == Set(6L), got.toString)
+  }
+
   test("TableSink: exactly-once streaming append and idempotent streaming upsert") {
     val base = tmpDir("tsink")
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -303,6 +349,48 @@ class EngineSpec extends SparkSpec {
       Lakehousekeeper.registerTable(spark, path)
       assert(spark.table("viewdb.T").count() == 3)
     } finally spark.sql("DROP SCHEMA IF EXISTS viewdb CASCADE")
+  }
+
+  test("registerTable: evolved columns survive the multi-dir VIEW (no single-footer inference loss)") {
+    val base = tmpDir("regevo")
+    val path = s"$base/evodb/T.parquet"
+    val t = ResourceTable(spark, path)
+      .createIfNotExists(Seq(("a", 1)).toDF("id", "v").schema)
+    t.upsert(Seq(("a", 1)).toDF("id", "v"), "id")
+    // widen the schema in a second dir; the first file carries forward
+    // by reference, so the snapshot mixes pre- and post-evolution files
+    t.upsert(Seq(("z", 2, "zed")).toDF("id", "v", "tag"), "id",
+      mergeSchema = true)
+    assert(!t.isSingleLocation(t.latestVersion.get)) // precondition
+    try {
+      Lakehousekeeper.registerTable(spark, path)
+      val rows = spark.table("evodb.T").select("id", "tag").collect()
+        .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      // the evolved column resolves for EVERY file: null-filled for the
+      // pre-evolution dir, real data for the new one
+      assert(rows == Map("a" -> None, "z" -> Some("zed")), rows.toString)
+    } finally spark.sql("DROP SCHEMA IF EXISTS evodb CASCADE")
+  }
+
+  test("registerTable past maxViewFiles refuses, naming cap, count, and remedy") {
+    val base = tmpDir("regcap")
+    val path = s"$base/capdb/T.parquet"
+    val t = ResourceTable(spark, path)
+      .createIfNotExists(Seq(("a", 1)).toDF("id", "v").schema)
+    t.upsert(Seq(("a", 1)).toDF("id", "v"), "id")
+    t.upsert(Seq(("z", 2)).toDF("id", "v"), "id") // second dir
+    assert(!t.isSingleLocation(t.latestVersion.get))
+    spark.conf.set("graft.register.maxViewFiles", "1")
+    try {
+      val ex = intercept[IllegalStateException](
+        Lakehousekeeper.registerTable(spark, path))
+      assert(ex.getMessage.contains("maxViewFiles=1"), ex.getMessage)
+      assert(ex.getMessage.contains("2 files"), ex.getMessage)
+      assert(ex.getMessage.contains("optimize"), ex.getMessage)
+    } finally {
+      spark.conf.unset("graft.register.maxViewFiles")
+      spark.sql("DROP SCHEMA IF EXISTS capdb CASCADE")
+    }
   }
 
   test("two engines with different write settings share a session without racing") {
@@ -370,6 +458,14 @@ class EngineSpec extends SparkSpec {
     assert(c("fs.s3a.committer.name") == "magic")
     assert(c("fs.s3a.access.key") == "ak")
     assert(c("fs.s3a.secret.key") == "sk")
+    // no baked-in credentials: the defaults emit NO s3a key configs
+    // (the provider chain applies), and nothing credential-shaped
+    // leaks into the session conf map
+    val d = Engine.sessionConfigs(Settings())
+    assert(!d.contains("fs.s3a.access.key"))
+    assert(!d.contains("fs.s3a.secret.key"))
+    assert(Settings().awsAccessKeyId.isEmpty &&
+      Settings().awsSecretAccessKey.isEmpty)
     // metastore wiring only under metastore_url, like main.py:96–98
     assert(!c.contains("spark.hive.metastore.uris"))
     val m = Engine.sessionConfigs(

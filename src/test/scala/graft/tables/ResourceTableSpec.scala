@@ -697,6 +697,19 @@ class ResourceTableSpec extends SparkSpec {
     assert(t.append(df("f" -> 6), txn = Some(("other", 1L))) == 1L)
     assert(t.txnVersion("job").contains(2L))
     assert(t.txnVersion("nope").isEmpty)
+
+    // extra source columns without mergeSchema are REJECTED, not
+    // silently projected away (Delta parity — a misconfigured sink
+    // must not lose data with zero signal)
+    val before = t.read().count()
+    val extra = spark.createDataFrame(Seq(("g", 7, "oops")))
+      .toDF("id", "v", "surprise")
+    val ex = intercept[IllegalArgumentException](t.append(extra))
+    assert(ex.getMessage.contains("surprise"), ex.getMessage)
+    assert(t.read().count() == before) // nothing committed
+    // with mergeSchema=true the same append evolves the schema instead
+    assert(t.append(extra, mergeSchema = true) == 1L)
+    assert(t.schema().fieldNames.contains("surprise"))
   }
 
   test("CDF across an OPTIMIZE step is empty without opening the compacted files") {
