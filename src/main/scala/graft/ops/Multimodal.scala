@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -28,6 +28,15 @@ object Multimodal {
       StructField("width", IntegerType),
       StructField("height", IntegerType))))))
 
+  /** A 60-bit deterministic content hash as a Column: the first 15 hex
+    * digits of md5, as a BIGINT. md5 is the one hash DuckDB and Spark
+    * compute bit-identically (the Sampling.splitHash pattern), so every
+    * stub value derived from it is exactly oracle-able cross-engine —
+    * DuckDB spells it `('0x' || substring(md5(x), 1, 15))::BIGINT`.
+    */
+  private def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
   /** Wrap a text corpus as a fake media table: payload = UTF-8 bytes of
     * the text (a deterministic stand-in for image bytes), metadata
     * derived from content. Used by tests/queries since the driver
@@ -41,9 +50,11 @@ object Multimodal {
       struct(
         lit("fake/raw").as("format"),
         length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes"),
-        pmod(xxhash64(col(textCol)), lit(1920)).cast("int").as("width"),
-        pmod(xxhash64(col(textCol), lit(1)), lit(1080)).cast("int")
-          .as("height")).as("meta"))
+        // STUB(decode) dimensions: content-hash fakes, md5-derived so
+        // the oracle recomputes them exactly (see md5Long)
+        pmod(md5Long(col(textCol)), lit(1920L)).cast("int").as("width"),
+        pmod(md5Long(concat(col(textCol), lit("#h"))), lit(1080L))
+          .cast("int").as("height")).as("meta"))
 
   /** STUB decode: a real deployment would decode the payload with an
     * image/audio codec here (e.g. via a vectorized native library per
@@ -53,10 +64,12 @@ object Multimodal {
     */
   def extractFeatures(media: DataFrame, dims: Int = 8): DataFrame = {
     val feats = (0 until dims).map { d =>
-      // STUB(decode): xxhash64 over a byte slice stands in for a codec+
-      // CNN featurizer; deterministic and branchless.
-      (pmod(xxhash64(substring(col("payload"), d * 16 + 1, 64), lit(d)),
-        lit(1000000)).cast("double") / 1000000.0)
+      // STUB(decode): a salted content hash over a character slice
+      // stands in for a codec + CNN featurizer; deterministic,
+      // row-local, and md5-based so the features oracle exactly
+      (pmod(md5Long(concat(lit(s"f$d#"),
+          substring(col("payload").cast(StringType), d * 16 + 1, 64))),
+        lit(1000000L)).cast("double") / 1000000.0)
     }
     media.withColumn("features", array(feats: _*))
   }
