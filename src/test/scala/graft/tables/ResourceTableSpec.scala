@@ -212,6 +212,57 @@ class ResourceTableSpec extends SparkSpec {
     assert(t0.latestVersion.contains(6L))
   }
 
+  test("stress: two txn-appenders race an upserter and an OPTIMIZE — no lost or duplicated batch") {
+    // the commit body's txns watermark map must MERGE forward under
+    // retry (a losing appender recomputes against the winner's head),
+    // never clobber: each appId's batches land exactly once even while
+    // unrelated upserts and an OPTIMIZE interleave arbitrary commits
+    val t0 = ResourceTable(spark, s"${tmpDir("rttxn")}/T.parquet")
+      .createIfNotExists(schema)
+    t0.upsert(df((1 to 10).map(i => s"base$i" -> i): _*), "id")
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def appender(app: String, n: Int) = new Thread(() => {
+      try {
+        val t = ResourceTable(spark, t0.path)
+        (0 until n).foreach { b =>
+          assert(t.append(df(s"$app-$b" -> b), txn = Some((app, b.toLong))) == 1L)
+          // at-least-once delivery: every batch REPLAYS once and must
+          // be recognized as already applied whatever else committed
+          assert(t.append(df(s"$app-$b-dup" -> b),
+            txn = Some((app, b.toLong))) == 0L)
+        }
+      } catch { case e: Throwable => failures.add(e) }
+    })
+    val upserter = new Thread(() => {
+      try {
+        val t = ResourceTable(spark, t0.path)
+        (0 until 3).foreach(i => t.upsert(df(s"up$i" -> i), "id"))
+      } catch { case e: Throwable => failures.add(e) }
+    })
+    val optimizer = new Thread(() => {
+      try {
+        val t = ResourceTable(spark, t0.path)
+        (0 until 2).foreach(_ => t.optimize(numFiles = 2))
+      } catch { case e: Throwable => failures.add(e) }
+    })
+    val threads = Seq(appender("appA", 3), appender("appB", 3),
+      upserter, optimizer)
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(failures.isEmpty, s"failed: ${failures.peek()}")
+    val ids = t0.read().collect().map(_.getString(0)).toList
+    // no duplicated batch: the -dup replays appended nothing
+    assert(!ids.exists(_.contains("dup")), ids.toString)
+    assert(ids.size == ids.distinct.size, "duplicated rows")
+    // no lost batch: every (appId, batchId) landed exactly once
+    assert(ids.toSet == ((1 to 10).map(i => s"base$i") ++
+      (0 until 3).map(i => s"up$i") ++
+      (for (a <- Seq("appA", "appB"); b <- 0 until 3) yield s"$a-$b")).toSet)
+    // both watermarks survived every interleaved commit
+    assert(t0.txnVersion("appA").contains(2L))
+    assert(t0.txnVersion("appB").contains(2L))
+  }
+
   test("property: random PUT/DELETE interleavings == naive foldLeft replay") {
     val rnd = new scala.util.Random(42) // deterministic
     (1 to 4).foreach { _ =>
@@ -770,6 +821,92 @@ class ResourceTableSpec extends SparkSpec {
         case _ => ()
       }
     }
+  }
+
+  test("property: CDF replay holds across mergeSchema evolutions interleaved with mutations") {
+    // changes() diffs manifests whose files may carry DIFFERENT
+    // schemas after mergeSchema appends/upserts — the replay identity
+    // (snapshot(v-1) + changes = snapshot(v)) must hold through the
+    // widening, with pre-evolution rows surfacing null for new columns
+    val rnd = new scala.util.Random(11)
+    val t = ResourceTable(spark, s"${tmpDir("rtpropevo")}/T.parquet")
+      .createIfNotExists(schema) // (id STRING, v INT)
+    var model = Map.empty[String, (Int, Option[String])]
+    var evolved = false
+    val ids = ('a' to 'j').map(_.toString)
+    var freshId = 0
+    val wideSchema = StructType(schema.fields :+ StructField("tag", StringType))
+    def wideDf(rows: Seq[(String, Int, Option[String])]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map(r => Row(r._1, r._2, r._3.orNull))), wideSchema)
+    def rowTuple(r: org.apache.spark.sql.Row) =
+      (r.getString(r.fieldIndex("id")), r.getInt(r.fieldIndex("v")),
+        if (r.schema.fieldNames.contains("tag"))
+          Option(r.getString(r.fieldIndex("tag"))) else None)
+    (1 to 14).foreach { step =>
+      rnd.nextInt(5) match {
+        case 0 if model.nonEmpty => // delete
+          val del = rnd.shuffle(model.keys.toList).take(rnd.nextInt(2) + 1)
+          t.deleteMatching(spark.createDataFrame(
+            spark.sparkContext.parallelize(del.map(Row(_))),
+            StructType(Seq(StructField("id", StringType)))), "id")
+          model --= del
+        case 1 | 2 if evolved || step > 4 => // WIDENING upsert
+          evolved = true
+          val ups = rnd.shuffle(ids.toList).take(rnd.nextInt(3) + 1)
+            .map(i => (i, rnd.nextInt(100),
+              if (rnd.nextBoolean()) Some(s"t$step") else None))
+          t.upsert(wideDf(ups), "id", mergeSchema = true)
+          model ++= ups.map { case (i, vv, tg) => i -> (vv, tg) }
+        case 3 if evolved => // mergeSchema APPEND of brand-new keys
+          val news = (0 to rnd.nextInt(2)).map { _ =>
+            freshId += 1
+            (s"n$freshId", rnd.nextInt(100), Some(s"a$step"))
+          }
+          t.append(wideDf(news), mergeSchema = true): Unit
+          model ++= news.map { case (i, vv, tg) => i -> (vv, tg) }
+        case _ => // narrow upsert (pre-evolution schema)
+          if (!evolved) {
+            val ups = rnd.shuffle(ids.toList).take(rnd.nextInt(3) + 1)
+              .map(_ -> rnd.nextInt(100))
+            t.upsert(df(ups: _*), "id")
+            model ++= ups.map { case (i, vv) => i -> (vv, None) }
+          } else { // table already wide: sources must carry all columns
+            val ups = rnd.shuffle(ids.toList).take(rnd.nextInt(2) + 1)
+              .map(i => (i, rnd.nextInt(100), Option.empty[String]))
+            t.upsert(wideDf(ups), "id")
+            model ++= ups.map { case (i, vv, tg) => i -> (vv, tg) }
+          }
+      }
+      val v = t.latestVersion.get
+      val snap = t.readVersion(v).collect()
+        .map(rowTuple).map(x => x._1 -> (x._2, x._3)).toMap
+      assert(snap == model, s"step $step: snapshot != model")
+      val prev = t.readVersion(v - 1).collect()
+        .map(rowTuple).map(x => x._1 -> (x._2, x._3)).toMap
+      val ch = t.changes(v - 1, v, "id").collect()
+        .map(r => (rowTuple(r), r.getString(r.fieldIndex("_change_type"))))
+      val applied = ch.foldLeft(prev) {
+        case (m, ((id, _, _), "delete")) => m - id
+        case (m, ((id, vv, tg), "insert")) => m + (id -> (vv, tg))
+        case (m, ((id, vv, tg), "update_postimage")) => m + (id -> (vv, tg))
+        case (m, (_, "update_preimage")) => m
+        case (m, other) => fail(s"unexpected change row $other"); m
+      }
+      assert(applied == model, s"step $step: CDF replay != model")
+      // pre-images are faithful to the prior snapshot (note: prev is
+      // read under the CURRENT schema, so a just-widened column reads
+      // null for rows whose pre-image predates it — same as Delta CDF)
+      ch.foreach {
+        case ((id, pv, ptg), "update_preimage") =>
+          assert(prev(id) == ((pv, ptg)), s"step $step preimage $id")
+        case ((id, pv, ptg), "delete") =>
+          assert(prev(id) == ((pv, ptg)), s"step $step delete pre $id")
+        case _ => ()
+      }
+    }
+    assert(evolved, "random walk never evolved the schema — adjust seed")
   }
 
   test("CHECK constraints: validated on add, enforced on upsert, persisted, droppable") {
