@@ -1903,6 +1903,21 @@ object SparkEntry {
            coalesce(col("dsum"), lit(0).cast(DecimalType(28, 2))))
             .cast(DoubleType).as("sum_bal"))
         .filter(col("cnt") > 0)
+    }),
+
+    // ---- Delta Lake log interop (the reference's tables are REAL
+    //      Delta tables read by Trino/DuckDB delta_scan,
+    //      hack/trino/catalog/fhir.properties:1–9): mirror the commit
+    //      log as a standard `_delta_log`, then read the snapshot back
+    //      ONLY through that exported log — a hash match against the
+    //      relational v3 oracle proves the exported actions describe
+    //      the exact snapshot any external delta reader would see ----
+    "q_delta_export" -> ((s, dir) => {
+      val (tab, _, _, _) = versionedDemo(s, dir)
+      graft.tables.DeltaExport.export(tab)
+      graft.tables.DeltaExport.readSnapshot(s, tab.path)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
     })
   )
 
@@ -3329,6 +3344,20 @@ object SparkEntry {
         |  WHERE c_custkey % 100 = 1)
         |SELECT c_mktsegment, count(*) AS cnt,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
-        |FROM v3 GROUP BY c_mktsegment""".stripMargin
+        |FROM v3 GROUP BY c_mktsegment""".stripMargin,
+
+    "q_delta_export" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |WHERE c_mktsegment <> 'MACHINERY' AND c_custkey % 10 <> 0
+        |UNION ALL
+        |SELECT c_custkey, upper(c_name), c_nationkey, c_acctbal + 1000,
+        |       c_mktsegment
+        |FROM customer
+        |WHERE c_mktsegment <> 'MACHINERY' AND c_custkey % 10 = 0
+        |UNION ALL
+        |SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+        |       'NEWSEG'
+        |FROM customer WHERE c_custkey % 100 = 1""".stripMargin
   )
 }

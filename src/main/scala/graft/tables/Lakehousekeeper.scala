@@ -204,6 +204,7 @@ object Lakehousekeeper {
         "usage: lakehousekeeper vacuum <dir> [retentionHours] [dry] [no-enforce]" +
           " | optimize <dir> [numFiles|<size>g|<size>m] [compression]" +
           " | compact <dir> [min<m>] | register <dir> | describe <dir>" +
+          " | export-delta <dir>" +
           " | history <tablePath> | restore <tablePath> <version>")
       return
     }
@@ -262,6 +263,16 @@ object Lakehousekeeper {
               s"${r.getAs[java.sql.Timestamp]("timestamp")} " +
               s"${r.getLong(3)} files, ${r.getLong(4)} rows" +
               (if (r.getBoolean(5)) "" else " (vacuumed)"))
+          }
+        // Mirror each table's commit log as a standard _delta_log so
+        // external delta readers (Trino, DuckDB delta_scan, delta-rs)
+        // can read the snapshots — the reference's tables are real
+        // Delta tables consumed exactly that way
+        // (hack/trino/catalog/fhir.properties:1–9)
+        case "export-delta" =>
+          listTables(spark, dir).foreach { p =>
+            val dv = DeltaExport.export(ResourceTable(spark, p))
+            println(s"exported $p: delta log at v$dv")
           }
         // RESTORE TABLE ... TO VERSION AS OF (`dir` is the table path)
         case "restore" =>

@@ -60,7 +60,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
   import ResourceTable._
 
   private val root = new HPath(path)
-  private def fs: FileSystem =
+  private[tables] def fs: FileSystem =
     root.getFileSystem(spark.sessionState.newHadoopConf())
   private def logDir = new HPath(root, "_log")
   private def commitFile(v: Long) = new HPath(logDir, f"$v%020d.commit")
@@ -309,7 +309,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
   // (the common pattern within one mutation) cost one FS read total.
   @volatile private var bodyCache: (Long, String) = (-1L, "")
 
-  private def commitBody(v: Long): String = {
+  private[tables] def commitBody(v: Long): String = {
     val cached = bodyCache
     if (cached._1 == v) return cached._2
     val body = readCommitBody(v)
@@ -345,7 +345,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     * Pre-file-granular commit bodies keyed files by bare name; those
     * resolve against the commit's own `dir` field.
     */
-  private def fileListAt(v: Long): Seq[(String, FileStats.FileStat)] = {
+  private[tables] def fileListAt(v: Long): Seq[(String, FileStats.FileStat)] = {
     val body = commitBody(v)
     val dir = FileStats.dirOf(body).getOrElse(
       throw new IllegalStateException(s"corrupt commit ${commitFile(v)}"))
@@ -356,7 +356,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       .sortBy(_._1)
   }
 
-  private def resolve(rel: String): HPath = new HPath(root, rel)
+  private[tables] def resolve(rel: String): HPath = new HPath(root, rel)
 
   /** Read a manifest-file subset under the CURRENT schema (how all
     * snapshot reads work — older files surface missing columns as
@@ -1191,11 +1191,19 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     onBeforePublish()
     val out =
       try createExclusive(commitFile(next))
-      catch { case e: Throwable =>
+      catch {
         // lost the race: remove this writer's unpublished dir so it
         // doesn't linger until vacuum, then let retry() re-drive
-        fs.delete(dir, true)
-        throw e
+        // against the winner's head — typed as a CONFLICT so the
+        // retry wrapper charges its concurrency budget, not the
+        // failure budget
+        case e @ (_: java.nio.file.FileAlreadyExistsException |
+                  _: org.apache.hadoop.fs.FileAlreadyExistsException) =>
+          fs.delete(dir, true)
+          throw new CommitConflictException(path, next, e)
+        case e: Throwable =>
+          fs.delete(dir, true)
+          throw e
       }
     try out.write(
       s"""{"version":$next,"op":"$op","ts":${System.currentTimeMillis()},"dir":"$dirName"$txnsJson,"schema":$schemaJson,"files":$statsJson}"""
@@ -1235,6 +1243,15 @@ final class ResourceTable(val spark: SparkSession, val path: String,
 }
 
 object ResourceTable {
+  /** Another writer published this version first — ordinary optimistic
+    * concurrency (Delta's ConcurrentAppendException analogue), retried
+    * from its own budget by [[ResourceTable.retry]].
+    */
+  final class CommitConflictException(path: String, version: Long,
+                                      cause: Throwable)
+    extends RuntimeException(
+      s"$path: version $version was committed by another writer", cause)
+
   /** Delta's default deletedFileRetentionDuration: 1 week. */
   val DefaultMinRetentionMs: Long = 7L * 24 * 3600 * 1000
 
@@ -1263,14 +1280,33 @@ object ResourceTable {
       optimizeWrite, autoCompact)
 
   /** J5 — the reference's tenacity retry (exponential backoff ×5) around
-    * table commits (bundle_processor.py:240–244).
+    * table commits (bundle_processor.py:240–244), with one crucial
+    * split: a LOST WINNER ELECTION is not a failure, it is optimistic
+    * concurrency working as designed, so [[CommitConflictException]]
+    * draws from its own much larger budget with short jittered sleeps
+    * (Delta's commit loop likewise retries conflicts essentially
+    * unboundedly while real errors stay at tenacity's ×5). Folding
+    * conflicts into the failure budget made 5 concurrent writers
+    * enough to spuriously exhaust it — at 1000 executors that would
+    * be every micro-batch.
     */
-  def retry[T](attempts: Int = 5, backoffMs: Long = 100)(body: => T): T = {
+  def retry[T](attempts: Int = 5, backoffMs: Long = 100,
+               conflictAttempts: Int = 200)(body: => T): T = {
     var left = attempts
+    var conflictsLeft = conflictAttempts
     var backoff = backoffMs
     while (true) {
       try return body
       catch {
+        case e: CommitConflictException =>
+          if (conflictsLeft <= 1) throw e
+          conflictsLeft -= 1
+          // flat jittered sleep: desynchronizes the losers; an
+          // exponential curve here would serialize high contention
+          // into multi-second convoys
+          Thread.sleep(
+            10 + java.util.concurrent.ThreadLocalRandom.current()
+              .nextLong(90))
         case e: Throwable =>
           if (left <= 1) throw e
           left -= 1

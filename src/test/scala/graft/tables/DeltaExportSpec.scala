@@ -1,0 +1,178 @@
+package graft.tables
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+class DeltaExportSpec extends SparkSpec {
+  import graft.SparkSpec._
+
+  private val mapper = new ObjectMapper()
+  private val schema = StructType(Seq(
+    StructField("id", StringType),
+    StructField("v", IntegerType)))
+
+  private def df(rows: (String, Int)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2))), schema)
+
+  private def logLines(path: String, v: Long) =
+    Files.readAllLines(
+      Paths.get(path, "_delta_log", f"$v%020d.json"),
+      StandardCharsets.UTF_8).asScala.filter(_.nonEmpty)
+      .map(mapper.readTree).toSeq
+
+  private def logVersions(path: String): Seq[Long] = {
+    val d = Paths.get(path, "_delta_log")
+    if (!Files.exists(d)) Seq.empty
+    else Files.list(d).iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .map(_.stripSuffix(".json").toLong).toSeq.sorted
+  }
+
+  test("first export anchors delta v0: protocol, metaData, full add set") {
+    val path = s"${tmpDir("dx")}/T.parquet"
+    val t = ResourceTable(spark, path).createIfNotExists(schema)
+    t.upsert(df("a" -> 1, "b" -> 2, "c" -> 3), "id")
+    assert(DeltaExport.export(t) == 0L)
+    val lines = logLines(path, 0L)
+    val proto = lines.flatMap(n => Option(n.get("protocol")))
+    assert(proto.size == 1 && proto.head.get("minReaderVersion").asInt == 1)
+    val meta = lines.flatMap(n => Option(n.get("metaData")))
+    assert(meta.size == 1)
+    assert(DataType.fromJson(meta.head.get("schemaString").asText) ==
+      t.schema())
+    assert(meta.head.get("partitionColumns").size() == 0)
+    val adds = lines.flatMap(n => Option(n.get("add")))
+    assert(adds.map(_.get("path").asText).sorted ==
+      t.fileManifest(t.latestVersion.get).sorted)
+    // sizes and row stats must match the physical files
+    adds.foreach { a =>
+      val f = Paths.get(path, a.get("path").asText)
+      assert(a.get("size").asLong == Files.size(f))
+      assert(a.get("dataChange").asBoolean)
+      assert(mapper.readTree(a.get("stats").asText)
+        .get("numRecords").asLong >= 0)
+    }
+    assert(adds.map(a => mapper.readTree(a.get("stats").asText)
+      .get("numRecords").asLong).sum == 3L)
+  }
+
+  test("re-export is incremental: one entry per new commit, diff-only") {
+    val path = s"${tmpDir("dx")}/T.parquet"
+    val t = ResourceTable(spark, path).createIfNotExists(schema)
+    t.upsert(df("a" -> 1, "b" -> 2), "id")
+    DeltaExport.export(t)
+    assert(DeltaExport.export(t) == 0L) // idempotent: nothing new
+    assert(logVersions(path) == Seq(0L))
+    val before = t.fileManifest(t.latestVersion.get).toSet
+    t.upsert(df("b" -> 20, "c" -> 3), "id")
+    t.deleteMatching(df("a" -> 0).select("id"), "id")
+    assert(DeltaExport.export(t) == 2L)
+    assert(logVersions(path) == Seq(0L, 1L, 2L))
+    val after = t.fileManifest(t.latestVersion.get).toSet
+    // replaying adds minus removes across all entries = live manifest
+    val live = collection.mutable.Set.empty[String]
+    logVersions(path).foreach(v => logLines(path, v).foreach { n =>
+      Option(n.get("add")).foreach(a => live += a.get("path").asText)
+      Option(n.get("remove")).foreach(r => live -= r.get("path").asText)
+    })
+    assert(live == after)
+    // incremental entries touch only the diff, never the carried files
+    val touched = Seq(1L, 2L).flatMap(v => logLines(path, v)).flatMap(n =>
+      Option(n.get("add")).orElse(Option(n.get("remove")))
+        .map(_.get("path").asText))
+    assert(touched.toSet.intersect(before.intersect(after)).isEmpty)
+  }
+
+  test("schema evolution emits a new metaData action with the widened schema") {
+    val path = s"${tmpDir("dx")}/T.parquet"
+    val t = ResourceTable(spark, path).createIfNotExists(schema)
+    t.upsert(df("a" -> 1), "id")
+    DeltaExport.export(t)
+    val widened = StructType(schema.fields :+ StructField("w", LongType))
+    val wdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("b", 2, 9L))), widened)
+    t.upsert(wdf, "id", mergeSchema = true)
+    val dv = DeltaExport.export(t)
+    val meta = logLines(path, dv).flatMap(n => Option(n.get("metaData")))
+    assert(meta.size == 1)
+    assert(DataType.fromJson(meta.head.get("schemaString").asText) ==
+      t.schema())
+    // and the reader surfaces pre-evolution rows null-filled
+    val back = DeltaExport.readSnapshot(spark, path)
+    assert(back.schema == t.schema())
+    assert(back.collect().map(r => (r.getString(0),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet ==
+      Set(("a", -1L), ("b", 9L)))
+  }
+
+  test("readSnapshot round-trips every exported snapshot state") {
+    val path = s"${tmpDir("dx")}/T.parquet"
+    val t = ResourceTable(spark, path).createIfNotExists(schema)
+    t.upsert(df("a" -> 1, "b" -> 2, "c" -> 3), "id")
+    t.upsert(df("b" -> 20, "d" -> 4), "id")
+    t.deleteMatching(df("c" -> 0).select("id"), "id")
+    DeltaExport.export(t)
+    val direct = t.read().collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val viaDelta = DeltaExport.readSnapshot(spark, path).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(viaDelta == direct)
+    assert(viaDelta == Map("a" -> 1, "b" -> 20, "d" -> 4))
+  }
+
+  test("trimmed source log re-anchors: one commit, still an exact snapshot") {
+    val path = s"${tmpDir("dx")}/T.parquet"
+    val t = ResourceTable(spark, path, checkpointInterval = 2)
+      .createIfNotExists(schema)
+    t.upsert(df("a" -> 1), "id")
+    DeltaExport.export(t)
+    // advance several commits, then trim the log so the chain from the
+    // exported graft version is broken (optimize leaves old versions'
+    // files unreferenced; vacuum(0) reaps them so the old versions are
+    // not intact and cleanupMetadata may trim their commits)
+    t.upsert(df("b" -> 2), "id")
+    t.upsert(df("c" -> 3), "id")
+    t.optimize(numFiles = 1)
+    t.vacuum(retentionMs = 0L)
+    t.cleanupMetadata(keepLast = 1)
+    val dv = DeltaExport.export(t)
+    assert(logVersions(path).last == dv)
+    val info = logLines(path, dv)
+      .flatMap(n => Option(n.get("commitInfo"))).head
+    assert(info.get("operation").asText.contains("RE-ANCHOR"))
+    val viaDelta = DeltaExport.readSnapshot(spark, path).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(viaDelta == Map("a" -> 1, "b" -> 2, "c" -> 3))
+    // further incremental export keeps working after the re-anchor
+    t.upsert(df("d" -> 4), "id")
+    assert(DeltaExport.export(t) == dv + 1)
+    assert(DeltaExport.readSnapshot(spark, path).count() == 4L)
+  }
+
+  test("reader refuses foreign protocols instead of misreading") {
+    val path = s"${tmpDir("dx")}/T.parquet"
+    val t = ResourceTable(spark, path).createIfNotExists(schema)
+    t.upsert(df("a" -> 1), "id")
+    DeltaExport.export(t)
+    // bump minReaderVersion beyond what the reader supports
+    val f0 = Paths.get(path, "_delta_log", f"${0L}%020d.json")
+    val rewritten = Files.readAllLines(f0, StandardCharsets.UTF_8).asScala
+      .map(_.replace("\"minReaderVersion\":1", "\"minReaderVersion\":3"))
+      .mkString("\n")
+    Files.write(f0, rewritten.getBytes(StandardCharsets.UTF_8))
+    // the out-of-band rewrite invalidates the local fs checksum sidecar
+    Files.deleteIfExists(
+      Paths.get(path, "_delta_log", f".${0L}%020d.json.crc"))
+    val e = intercept[IllegalStateException] {
+      DeltaExport.readSnapshot(spark, path)
+    }
+    assert(e.getMessage.contains("reader version"))
+  }
+}

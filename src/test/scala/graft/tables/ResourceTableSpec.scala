@@ -162,6 +162,27 @@ class ResourceTableSpec extends SparkSpec {
     assert(t.readVersion(2).collect().map(_.getString(0)).toSet == Set("a", "r"))
   }
 
+  test("commit conflicts draw from their own budget, not the ×5 failure budget") {
+    // a writer that loses MORE winner elections than the transient-
+    // failure budget (5) must still land: lost elections are ordinary
+    // optimistic concurrency (Delta retries them essentially
+    // unboundedly), not failures. Injects a rival win inside EVERY
+    // publish window for 8 straight attempts.
+    val t = ResourceTable(spark, s"${tmpDir("rtcb")}/T.parquet")
+      .createIfNotExists(schema)
+    t.upsert(df("a" -> 1), "id")
+    val rival = ResourceTable(spark, t.path)
+    var rivals = 8
+    t.onBeforePublish = () => {
+      if (rivals > 0) { rivals -= 1; rival.upsert(df(s"r$rivals" -> 0), "id") }
+    }
+    t.upsert(df("b" -> 2), "id") // loses 8 elections, lands on the 9th
+    assert(rivals == 0)
+    assert(t.read().collect().map(_.getString(0)).toSet ==
+      (Set("a", "b") ++ (0 until 8).map(i => s"r$i")))
+    assert(t.latestVersion.contains(10L)) // base + 8 rivals + b
+  }
+
   test("stress: 3 genuinely concurrent writers all land; history stays linear") {
     val t0 = ResourceTable(spark, s"${tmpDir("rtc")}/T.parquet")
       .createIfNotExists(schema)
