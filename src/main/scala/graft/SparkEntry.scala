@@ -333,6 +333,21 @@ object SparkEntry {
         .select(col("doc_id").cast(LongType).as("doc_id"),
           col("canonical_id").cast(LongType).as("canonical_id"))),
 
+    // ---- survivor selection after clustering: keep the best-quality
+    //      member of each duplicate cluster (score = n_chars of the
+    //      matching document, deterministic in both engines), ties to
+    //      the smaller id. ONE max_by aggregate — no corpus window ----
+    "q_dedup_keepbest" -> ((s, dir) => {
+      val labels = Dedup.resolveClusters(
+        Similarity.cosinePairs(t(s, dir, "embeddings"), threshold = 0.45)
+          .select(col("a_id").as("doc_a"), col("b_id").as("doc_b")))
+        .select(col("doc_id").cast(LongType).as("doc_id"),
+          col("canonical_id").cast(LongType).as("canonical_id"))
+      val scores = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast(DoubleType).as("score"))
+      Dedup.keepBest(labels, scores)
+    }),
+
     // ---- the SQL entry point itself + correlated scalar subquery:
     //      identical SQL text runs on spark.sql and the oracle ----
     "q_scalar_subquery" -> ((s, dir) => {
@@ -2422,6 +2437,37 @@ object SparkEntry {
         |SELECT CAST(doc AS BIGINT) AS doc_id,
         |       CAST(min(lbl) AS BIGINT) AS canonical_id
         |FROM reach GROUP BY doc""".stripMargin,
+
+    // same connected components, then argmax-by-(score, -id) per
+    // cluster — oracles keepBest's survivor pick and tie-break
+    "q_dedup_keepbest" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS pa, b.vec_id AS pb
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
+        |edges AS (SELECT pa AS ea, pb AS eb FROM pairs
+        |          UNION SELECT pb, pa FROM pairs),
+        |nodes AS (SELECT DISTINCT ea AS doc FROM edges),
+        |reach(doc, lbl) AS (
+        |  SELECT doc, doc FROM nodes
+        |  UNION
+        |  SELECT e.ea, r.lbl FROM edges e JOIN reach r ON r.doc = e.eb),
+        |labels AS (
+        |  SELECT CAST(doc AS BIGINT) AS doc_id,
+        |         CAST(min(lbl) AS BIGINT) AS canonical_id
+        |  FROM reach GROUP BY doc),
+        |scored AS (
+        |  SELECT l.canonical_id, l.doc_id,
+        |         CAST(d.n_chars AS DOUBLE) AS score
+        |  FROM labels l JOIN documents d ON d.doc_id = l.doc_id)
+        |SELECT canonical_id, keep_id, keep_score, cluster_size
+        |FROM (
+        |  SELECT canonical_id, doc_id AS keep_id, score AS keep_score,
+        |    count(*) OVER (PARTITION BY canonical_id) AS cluster_size,
+        |    row_number() OVER (PARTITION BY canonical_id
+        |      ORDER BY score DESC, doc_id ASC) AS rn
+        |  FROM scored) WHERE rn = 1""".stripMargin,
 
     "q_lang_id" ->
       """WITH profiles(plang, stops) AS (VALUES

@@ -228,6 +228,33 @@ object Dedup {
     labels.select(col("doc").as("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** Survivor selection — the step a training-data pipeline runs AFTER
+    * clustering: per duplicate cluster keep exactly one document, the
+    * highest-`scoreCol` member (quality score, length, recency —
+    * caller's choice), ties broken by the smaller id so the pick is
+    * deterministic. `labels` is [[resolveClusters]]' output
+    * (doc_id, canonical_id); `scores` carries (idCol, scoreCol).
+    * Returns (canonical_id, keep_id, keep_score, cluster_size).
+    *
+    * ONE shuffle on canonical_id with full map-side partial
+    * aggregation (`max_by` over a (score, -id) struct — no window over
+    * the corpus, no per-cluster sort), after a broadcast-eligible join
+    * of labels to scores. At 100 TB the aggregate state is one
+    * (id, score) pair per cluster per partition — bounded regardless
+    * of cluster size, unlike a row_number window which would sort
+    * every cluster's rows.
+    */
+  def keepBest(labels: DataFrame, scores: DataFrame,
+               idCol: String = "doc_id",
+               scoreCol: String = "score"): DataFrame =
+    labels.join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
+      .groupBy(col("canonical_id"))
+      .agg(
+        max_by(col(idCol),
+          struct(col(scoreCol), (-col(idCol)).as("_tb"))).as("keep_id"),
+        max(col(scoreCol)).as("keep_score"),
+        count(lit(1)).as("cluster_size"))
+
   /** Small-graph fast path: classic union-find with path compression
     * on the driver, components relabeled by their minimum member —
     * identical semantics to the distributed loop, one Spark job total.

@@ -4,7 +4,8 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.{JsonNodeFactory, ObjectNode}
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType,
+  IntegerType, LongType, MapType, StringType, StructField, StructType}
 
 import java.nio.charset.StandardCharsets
 import scala.collection.mutable
@@ -197,6 +198,14 @@ object DeltaExport {
       throw new IllegalStateException(s"no table at ${t.path}"))
     val entries = listEntries(t)
     if (entries.isEmpty) {
+      // a checkpoint with no json entries would make a fresh anchor at
+      // v0 INVISIBLE to checkpoint-aware readers (they replay ckpt +
+      // entries after it) — refuse rather than silently export stale
+      if (t.fs.exists(new HPath(deltaDir(t), "_last_checkpoint")))
+        throw new IllegalStateException(
+          s"${t.path}: _delta_log has a checkpoint but no json " +
+            "entries; cannot determine export state — remove the " +
+            "_delta_log directory and re-export")
       val ts = commitTs(t, latest)
       val files = t.fileListAt(latest)
       val sz = sizes(t, files)
@@ -228,6 +237,7 @@ object DeltaExport {
           (prev.keys.toSeq.sorted.filterNot(cur).map(remove(_, ts)) ++
             files.map { case (r, st) =>
               add(r, st, sz(r), ts) }))
+      maybeCheckpoint(t, dv + 1, t.schema().json, ts)
       return dv + 1
     }
     while (lastG < latest) {
@@ -254,13 +264,46 @@ object DeltaExport {
       writeEntry(t, dv, body)
       lastG = g
     }
+    if (dv > lastDelta)
+      maybeCheckpoint(t, dv, t.schema().json, commitTs(t, latest))
     dv
   }
 
-  /** Replay the exported log's live add set: path → add node. */
+  /** Replay the exported log's live add set: path → add node. Starts
+    * from the newest checkpoint when one exists (a log whose old json
+    * entries were cleaned is still fully replayable, exactly as a
+    * reader would see it).
+    */
   private def replayAdds(t: ResourceTable): Map[String, ObjectNode] = {
     val live = mutable.LinkedHashMap.empty[String, ObjectNode]
-    listEntries(t).foreach { v =>
+    val lc = new HPath(deltaDir(t), "_last_checkpoint")
+    val ckptV: Long =
+      if (!t.fs.exists(lc)) -1L
+      else {
+        val in = t.fs.open(lc)
+        val v =
+          try mapper.readTree(new String(
+            in.readAllBytes(), StandardCharsets.UTF_8))
+            .get("version").asLong
+          finally in.close()
+        t.spark.read.parquet(
+            new HPath(deltaDir(t), f"$v%020d.checkpoint.parquet").toString)
+          .filter("add IS NOT NULL").select("add.*").collect()
+          .foreach { a =>
+            val node = f.objectNode()
+            node.put("path", a.getString(a.fieldIndex("path")))
+            node.put("size", a.getLong(a.fieldIndex("size")))
+            node.put("modificationTime",
+              a.getLong(a.fieldIndex("modificationTime")))
+            node.put("dataChange",
+              a.getBoolean(a.fieldIndex("dataChange")))
+            Option(a.getString(a.fieldIndex("stats")))
+              .foreach(node.put("stats", _))
+            live(node.get("path").asText) = node
+          }
+        v
+      }
+    listEntries(t).filter(_ > ckptV).foreach { v =>
       val in = t.fs.open(entryFile(t, v))
       val body =
         try new String(in.readAllBytes(), StandardCharsets.UTF_8)
@@ -276,6 +319,105 @@ object DeltaExport {
     live.toMap
   }
 
+  // ------------------------------------------------------ checkpoints
+
+  /** Delta checkpoints every 10 commits by default; readers then replay
+    * checkpoint + tail instead of the whole log — O(tail) at any
+    * history length.
+    */
+  val CheckpointInterval = 10
+
+  /** The Delta checkpoint schema (PROTOCOL.md "Checkpoints"): one row
+    * per action, exactly one of the struct columns non-null.
+    */
+  private def checkpointSchema: StructType = StructType(Seq(
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))),
+    StructField("metaData", StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType))))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))),
+    StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType))))))
+
+  /** Write the checkpoint for delta version `dv`: the REPLAYED state
+    * (protocol + metaData + live adds) as one parquet file named by
+    * the protocol's convention, then flip `_last_checkpoint`. Written
+    * via a Spark job (distributed like Delta's own checkpointing, not
+    * a driver loop) into a temp dir, then renamed into place — the
+    * `_last_checkpoint` pointer flips only after the parquet is fully
+    * landed, so a concurrent reader never follows it into a torn file.
+    */
+  private def writeCheckpoint(t: ResourceTable, dv: Long,
+                              schemaJson: String, ts: Long): Unit = {
+    import org.apache.spark.sql.Row
+    val spark = t.spark
+    val live = replayAdds(t)
+    val emptyMap = Map.empty[String, String]
+    val rows =
+      Row(Row(1, 2), null, null) +:
+        Row(null, Row(tableId(t), Row("parquet", emptyMap), schemaJson,
+          Seq.empty[String], emptyMap, ts), null) +:
+        live.values.toSeq.map { a =>
+          Row(null, null, Row(a.get("path").asText, emptyMap,
+            a.get("size").asLong, a.get("modificationTime").asLong,
+            a.get("dataChange").asBoolean,
+            Option(a.get("stats")).map(_.asText).orNull))
+        }
+    val tmp = new HPath(deltaDir(t), f".ckpt-$dv%020d.tmp")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), checkpointSchema)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val part = t.fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"${t.path}: checkpoint write produced no parquet part"))
+    val dest = new HPath(deltaDir(t), f"$dv%020d.checkpoint.parquet")
+    t.fs.delete(dest, false)
+    if (!t.fs.rename(part, dest))
+      throw new IllegalStateException(
+        s"${t.path}: could not publish checkpoint $dv")
+    t.fs.delete(tmp, true)
+    val lc = new HPath(deltaDir(t), "_last_checkpoint")
+    val tmpLc = new HPath(deltaDir(t), "._last_checkpoint.tmp")
+    val out = t.fs.create(tmpLc, true)
+    try out.write(s"""{"version":$dv,"size":${rows.size}}"""
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    t.fs.delete(lc, false)
+    if (!t.fs.rename(tmpLc, lc))
+      throw new IllegalStateException(
+        s"${t.path}: could not publish _last_checkpoint")
+  }
+
+  /** Checkpoint cadence check after exporting up to `dv`. */
+  private def maybeCheckpoint(t: ResourceTable, dv: Long,
+                              schemaJson: String, ts: Long): Unit = {
+    val lc = new HPath(deltaDir(t), "_last_checkpoint")
+    val lastCkpt =
+      if (!t.fs.exists(lc)) -1L
+      else {
+        val in = t.fs.open(lc)
+        val body =
+          try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+          finally in.close()
+        mapper.readTree(body).get("version").asLong
+      }
+    if (dv - lastCkpt >= CheckpointInterval)
+      writeCheckpoint(t, dv, schemaJson, ts)
+  }
+
   /** Standalone reader for the exported protocol subset: replays
     * `_delta_log/` (protocol gate, last metaData schema, add/remove
     * set) and reads the live files under the log's schema. Works on
@@ -289,11 +431,53 @@ object DeltaExport {
     val dir = new HPath(root, "_delta_log")
     if (!fs.exists(dir))
       throw new IllegalStateException(s"$tablePath: no _delta_log")
+    var schemaJson: String = null
+    val live = mutable.LinkedHashMap.empty[String, String]
+    // start from the checkpoint when one is published: replay is then
+    // O(tail), not O(#commits) — how Delta keeps 100k-commit logs
+    // readable. Foreign checkpoints may carry txn/remove tombstone
+    // rows; only protocol/metaData/add matter for a snapshot.
+    val lcFile = new HPath(dir, "_last_checkpoint")
+    val ckptV: Long =
+      if (!fs.exists(lcFile)) -1L
+      else {
+        val in = fs.open(lcFile)
+        val v =
+          try mapper.readTree(new String(
+            in.readAllBytes(), StandardCharsets.UTF_8)).get("version").asLong
+        finally in.close()
+        val ck = spark.read.parquet(
+          new HPath(dir, f"$v%020d.checkpoint.parquet").toString)
+        val cols = ck.columns.toSet
+        ck.collect().foreach { row =>
+          if (cols("protocol") && !row.isNullAt(row.fieldIndex("protocol"))) {
+            val p = row.getStruct(row.fieldIndex("protocol"))
+            val mrv = p.getInt(p.fieldIndex("minReaderVersion"))
+            if (mrv > 1) throw new IllegalStateException(
+              s"$tablePath: requires delta reader version $mrv; " +
+                "this reader supports 1")
+          }
+          if (cols("metaData") && !row.isNullAt(row.fieldIndex("metaData"))) {
+            val m = row.getStruct(row.fieldIndex("metaData"))
+            schemaJson = m.getString(m.fieldIndex("schemaString"))
+            val parts = m.getSeq[String](m.fieldIndex("partitionColumns"))
+            if (parts != null && parts.nonEmpty)
+              throw new IllegalStateException(
+                s"$tablePath: partitioned delta tables not supported " +
+                  "by this reader")
+          }
+          if (cols("add") && !row.isNullAt(row.fieldIndex("add"))) {
+            val a = row.getStruct(row.fieldIndex("add"))
+            val p = a.getString(a.fieldIndex("path"))
+            live(p) = p
+          }
+        }
+        v
+      }
     val versions = fs.listStatus(dir).map(_.getPath.getName)
       .filter(n => n.endsWith(".json") && !n.startsWith("."))
       .map(_.stripSuffix(".json").toLong).sorted
-    var schemaJson: String = null
-    val live = mutable.LinkedHashMap.empty[String, String]
+      .filter(_ > ckptV)
     versions.foreach { v =>
       val in = fs.open(new HPath(dir, f"$v%020d.json"))
       val body =

@@ -156,6 +156,58 @@ class DeltaExportSpec extends SparkSpec {
     assert(DeltaExport.readSnapshot(spark, path).count() == 4L)
   }
 
+  test("checkpoint every 10 entries: pointer flips, reader replays only the tail") {
+    val path = s"${tmpDir("dx")}/T.parquet"
+    val t = ResourceTable(spark, path).createIfNotExists(schema)
+    t.upsert(df("k0" -> 0), "id")
+    DeltaExport.export(t) // delta v0, no checkpoint yet (interval 10)
+    assert(!Files.exists(Paths.get(path, "_delta_log", "_last_checkpoint")))
+    (1 to 10).foreach(i => t.upsert(df(s"k$i" -> i), "id"))
+    val dv = DeltaExport.export(t) // delta v10 → checkpoint due
+    assert(dv == 10L)
+    val lc = Paths.get(path, "_delta_log", "_last_checkpoint")
+    assert(Files.exists(lc))
+    val lcNode = mapper.readTree(
+      new String(Files.readAllBytes(lc), StandardCharsets.UTF_8))
+    assert(lcNode.get("version").asLong == 10L)
+    val ckpt = Paths.get(path, "_delta_log",
+      f"${10L}%020d.checkpoint.parquet")
+    assert(Files.exists(ckpt))
+    // checkpoint contents = protocol + metaData + the live add set
+    val ck = spark.read.parquet(ckpt.toString)
+    assert(ck.count() == lcNode.get("size").asLong)
+    val addPaths = ck.filter("add IS NOT NULL")
+      .select("add.path").collect().map(_.getString(0)).sorted
+    assert(addPaths.toSeq == t.fileManifest(t.latestVersion.get).sorted)
+    // reader from the checkpoint equals the direct read, and still
+    // applies entries AFTER the checkpoint
+    t.upsert(df("after" -> 99), "id")
+    DeltaExport.export(t)
+    val viaDelta = DeltaExport.readSnapshot(spark, path).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val direct = t.read().collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(viaDelta == direct)
+    assert(viaDelta.contains("after"))
+    // and the checkpoint is actually the replay base: delete the
+    // pre-checkpoint json entries — the reader must not need them
+    (0L to 9L).foreach { v =>
+      Files.deleteIfExists(
+        Paths.get(path, "_delta_log", f"$v%020d.json"))
+      Files.deleteIfExists(
+        Paths.get(path, "_delta_log", f".$v%020d.json.crc"))
+    }
+    assert(DeltaExport.readSnapshot(spark, path).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap == direct)
+    // exports continue normally on the cleaned log (replayAdds and the
+    // incremental chain both anchor on checkpoint + surviving tail)
+    t.upsert(df("post_clean" -> 7), "id")
+    DeltaExport.export(t)
+    assert(DeltaExport.readSnapshot(spark, path).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap ==
+      direct + ("post_clean" -> 7))
+  }
+
   test("reader refuses foreign protocols instead of misreading") {
     val path = s"${tmpDir("dx")}/T.parquet"
     val t = ResourceTable(spark, path).createIfNotExists(schema)
