@@ -418,6 +418,41 @@ object DeltaExport {
       writeCheckpoint(t, dv, schemaJson, ts)
   }
 
+  /** Delta's metadata cleanup (`delta.logRetentionDuration`) for the
+    * exported log: delete json entries and superseded checkpoint files
+    * that are BOTH strictly below the newest published checkpoint
+    * (readers replay checkpoint + tail, so these are never consulted
+    * for the current snapshot) AND older than `retentionMs` by file
+    * modification time (external time travel over the exported log
+    * stays possible inside the window). Without this, a 100k-commit
+    * table carries 100k json files forever; with it the log is
+    * O(CheckpointInterval + retention-window commits). No-op until a
+    * checkpoint exists — a checkpoint-less log needs every entry.
+    * Returns the deleted entry versions.
+    */
+  def cleanupLog(t: ResourceTable,
+                 retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[Long] = {
+    val lc = new HPath(deltaDir(t), "_last_checkpoint")
+    if (!t.fs.exists(lc)) return Seq.empty
+    val in = t.fs.open(lc)
+    val ckptV =
+      try mapper.readTree(new String(
+        in.readAllBytes(), StandardCharsets.UTF_8)).get("version").asLong
+      finally in.close()
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val dead = listEntries(t).filter(v => v < ckptV &&
+      t.fs.getFileStatus(entryFile(t, v)).getModificationTime < cutoff)
+    dead.foreach(v => t.fs.delete(entryFile(t, v), false))
+    // superseded checkpoints below the live one age out the same way
+    t.fs.listStatus(deltaDir(t)).map(_.getPath)
+      .filter(_.getName.endsWith(".checkpoint.parquet"))
+      .filter { p =>
+        p.getName.stripSuffix(".checkpoint.parquet").toLong < ckptV &&
+          t.fs.getFileStatus(p).getModificationTime < cutoff
+      }.foreach(t.fs.delete(_, false))
+    dead
+  }
+
   /** Standalone reader for the exported protocol subset: replays
     * `_delta_log/` (protocol gate, last metaData schema, add/remove
     * set) and reads the live files under the log's schema. Works on

@@ -208,6 +208,43 @@ class DeltaExportSpec extends SparkSpec {
       direct + ("post_clean" -> 7))
   }
 
+  test("cleanupLog trims entries behind the checkpoint; readers unaffected") {
+    val path = s"${tmpDir("dx")}/T.parquet"
+    val t = ResourceTable(spark, path).createIfNotExists(schema)
+    t.upsert(df("k0" -> 0), "id")
+    DeltaExport.export(t)
+    // no checkpoint yet → cleanup must refuse to touch anything (a
+    // checkpoint-less log needs every entry to replay)
+    assert(DeltaExport.cleanupLog(t, retentionMs = 0L).isEmpty)
+    assert(logVersions(path) == Seq(0L))
+    (1 to 10).foreach(i => t.upsert(df(s"k$i" -> i), "id"))
+    DeltaExport.export(t) // delta v10 → checkpoint written
+    // entries inside the retention window survive even below the ckpt
+    assert(DeltaExport.cleanupLog(t, retentionMs = 24L * 3600 * 1000).isEmpty)
+    assert(logVersions(path) == (0L to 10L))
+    // past retention: everything strictly below the checkpoint goes,
+    // the checkpoint version's own entry and the tail stay
+    assert(DeltaExport.cleanupLog(t, retentionMs = 0L) == (0L to 9L))
+    assert(logVersions(path) == Seq(10L))
+    val direct = t.read().collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(DeltaExport.readSnapshot(spark, path).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap == direct)
+    // the trimmed log keeps exporting incrementally and a second
+    // checkpoint supersedes the first, which then ages out too
+    (11 to 20).foreach(i => t.upsert(df(s"k$i" -> i), "id"))
+    assert(DeltaExport.export(t) == 20L)
+    assert(Files.exists(Paths.get(path, "_delta_log",
+      f"${20L}%020d.checkpoint.parquet")))
+    assert(DeltaExport.cleanupLog(t, retentionMs = 0L) == (10L to 19L))
+    assert(logVersions(path) == Seq(20L))
+    assert(!Files.exists(Paths.get(path, "_delta_log",
+      f"${10L}%020d.checkpoint.parquet")))
+    assert(Files.exists(Paths.get(path, "_delta_log",
+      f"${20L}%020d.checkpoint.parquet")))
+    assert(DeltaExport.readSnapshot(spark, path).count() == 21L)
+  }
+
   test("reader refuses foreign protocols instead of misreading") {
     val path = s"${tmpDir("dx")}/T.parquet"
     val t = ResourceTable(spark, path).createIfNotExists(schema)
