@@ -245,6 +245,36 @@ class DeltaExportSpec extends SparkSpec {
     assert(DeltaExport.readSnapshot(spark, path).count() == 21L)
   }
 
+  test("property: readSnapshot == model over random histories incl. trim + cleanup") {
+    val rnd = new scala.util.Random(8) // deterministic
+    (1 to 3).foreach { trial =>
+      val path = s"${tmpDir("dxp")}/T.parquet"
+      val t = ResourceTable(spark, path, checkpointInterval = 2)
+        .createIfNotExists(schema)
+      var model = Map.empty[String, Int]
+      (1 to 12).foreach { step =>
+        (if (model.isEmpty) 0 else rnd.nextInt(6)) match {
+          case 0 | 1 => // upsert 1–3 keys from a small colliding space
+            val kv = (0 until 1 + rnd.nextInt(3))
+              .map(_ => s"k${rnd.nextInt(6)}" -> rnd.nextInt(100)).toMap
+            t.upsert(df(kv.toSeq: _*), "id"); model ++= kv
+          case 2 => // delete (possibly absent) key
+            val k = s"k${rnd.nextInt(6)}"
+            t.deleteMatching(df(k -> 0).select("id"), "id"); model -= k
+          case 3 => t.optimize(numFiles = 1)
+          case 4 => // reap old versions + trim the source log: the next
+            // export must RE-ANCHOR, not fail or misread
+            t.vacuum(retentionMs = 0L); t.cleanupMetadata(keepLast = 1)
+          case 5 => DeltaExport.cleanupLog(t, retentionMs = 0L)
+        }
+        DeltaExport.export(t)
+        val got = DeltaExport.readSnapshot(spark, path).collect()
+          .map(r => r.getString(0) -> r.getInt(1)).toMap
+        assert(got == model, s"trial $trial step $step: $got != $model")
+      }
+    }
+  }
+
   test("reader refuses foreign protocols instead of misreading") {
     val path = s"${tmpDir("dx")}/T.parquet"
     val t = ResourceTable(spark, path).createIfNotExists(schema)
