@@ -459,8 +459,17 @@ object DeltaExport {
     * ANY checkpoint-less delta log at protocol (1,x) with
     * `partitionColumns: []`, not just our own exports — refuses
     * loudly otherwise instead of returning wrong rows.
+    *
+    * `versionAsOf >= 0` time-travels to that delta version (Delta's
+    * `versionAsOf` reader option): replay stops at the requested
+    * version, and the checkpoint is used as the base only when it
+    * does not overshoot it. Unreachable history fails loudly — a
+    * version past the newest entry, a version whose entries were
+    * cleaned by [[cleanupLog]], or files vacuumed since — never a
+    * silently wrong snapshot.
     */
-  def readSnapshot(spark: SparkSession, tablePath: String): DataFrame = {
+  def readSnapshot(spark: SparkSession, tablePath: String,
+                   versionAsOf: Long = -1L): DataFrame = {
     val root = new HPath(tablePath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val dir = new HPath(root, "_delta_log")
@@ -473,14 +482,36 @@ object DeltaExport {
     // readable. Foreign checkpoints may carry txn/remove tombstone
     // rows; only protocol/metaData/add matter for a snapshot.
     val lcFile = new HPath(dir, "_last_checkpoint")
-    val ckptV: Long =
+    val pointerV: Long =
       if (!fs.exists(lcFile)) -1L
       else {
         val in = fs.open(lcFile)
-        val v =
-          try mapper.readTree(new String(
-            in.readAllBytes(), StandardCharsets.UTF_8)).get("version").asLong
+        try mapper.readTree(new String(
+          in.readAllBytes(), StandardCharsets.UTF_8)).get("version").asLong
         finally in.close()
+      }
+    // time travel may not replay THROUGH a checkpoint newer than the
+    // requested version — it would bake in later state
+    val useCkpt = pointerV >= 0 && (versionAsOf < 0 || pointerV <= versionAsOf)
+    val allJson = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .map(_.stripSuffix(".json").toLong).sorted
+    if (versionAsOf >= 0) {
+      val newest = math.max(pointerV, allJson.lastOption.getOrElse(-1L))
+      if (versionAsOf > newest) throw new IllegalArgumentException(
+        s"$tablePath: versionAsOf $versionAsOf is past the newest " +
+          s"exported delta version $newest")
+      if (!useCkpt && (allJson.isEmpty || allJson.head > 0))
+        throw new IllegalStateException(
+          s"$tablePath: delta version $versionAsOf is no longer " +
+            s"available — entries before ${allJson.headOption.getOrElse(pointerV)} " +
+            "were cleaned (cleanupLog) and the checkpoint is newer than " +
+            "the requested version")
+    }
+    val ckptV: Long =
+      if (!useCkpt) -1L
+      else {
+        val v = pointerV
         val ck = spark.read.parquet(
           new HPath(dir, f"$v%020d.checkpoint.parquet").toString)
         val cols = ck.columns.toSet
@@ -509,10 +540,8 @@ object DeltaExport {
         }
         v
       }
-    val versions = fs.listStatus(dir).map(_.getPath.getName)
-      .filter(n => n.endsWith(".json") && !n.startsWith("."))
-      .map(_.stripSuffix(".json").toLong).sorted
-      .filter(_ > ckptV)
+    val versions = allJson
+      .filter(v => v > ckptV && (versionAsOf < 0 || v <= versionAsOf))
     versions.foreach { v =>
       val in = fs.open(new HPath(dir, f"$v%020d.json"))
       val body =
@@ -546,6 +575,17 @@ object DeltaExport {
     if (live.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // historical snapshots may reference files VACUUM has since reaped;
+    // fail naming them (Delta's own time travel fails the same way)
+    // instead of a mid-job FileNotFound
+    if (versionAsOf >= 0) {
+      val gone = live.keys.toSeq.sorted
+        .filterNot(r => fs.exists(new HPath(root, r)))
+      if (gone.nonEmpty) throw new IllegalStateException(
+        s"$tablePath: delta version $versionAsOf references " +
+          s"${gone.size} file(s) removed by vacuum: " +
+          gone.take(5).mkString(", "))
+    }
     spark.read.schema(schema)
       .parquet(live.keys.toSeq.sorted
         .map(r => new HPath(root, r).toString): _*)

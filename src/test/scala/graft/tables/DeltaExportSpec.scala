@@ -245,6 +245,49 @@ class DeltaExportSpec extends SparkSpec {
     assert(DeltaExport.readSnapshot(spark, path).count() == 21L)
   }
 
+  test("versionAsOf time-travels the exported log; unreachable history is loud") {
+    val path = s"${tmpDir("dx")}/T.parquet"
+    val t = ResourceTable(spark, path).createIfNotExists(schema)
+    t.upsert(df("a" -> 1), "id")
+    DeltaExport.export(t) // delta v0
+    t.upsert(df("b" -> 2), "id")
+    DeltaExport.export(t) // delta v1
+    t.upsert(df("a" -> 10), "id")
+    t.deleteMatching(df("b" -> 0).select("id"), "id")
+    DeltaExport.export(t) // delta v2, v3
+    def at(v: Long) = DeltaExport.readSnapshot(spark, path, v).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(at(0L) == Map("a" -> 1))
+    assert(at(1L) == Map("a" -> 1, "b" -> 2))
+    assert(at(2L) == Map("a" -> 10, "b" -> 2))
+    assert(at(3L) == Map("a" -> 10))
+    // past the newest exported version → loud
+    val over = intercept[IllegalArgumentException](at(4L))
+    assert(over.getMessage.contains("past the newest"))
+    // a version still reachable THROUGH a later checkpoint path: push
+    // the log across the checkpoint interval, then clean — versions
+    // below the checkpoint become unavailable and say so
+    (4 to 13).foreach(i => t.upsert(df(s"k$i" -> i), "id"))
+    DeltaExport.export(t) // crosses delta v10 → checkpoint
+    assert(at(3L) == Map("a" -> 10)) // pre-ckpt json still present
+    DeltaExport.cleanupLog(t, retentionMs = 0L)
+    val gone = intercept[IllegalStateException](at(3L))
+    assert(gone.getMessage.contains("no longer available"))
+    // vacuum reaps an old version's files → named failure, not a
+    // mid-job FileNotFound (probe the checkpoint version itself: its
+    // json entry survives cleanup, but optimize+vacuum reaps its files)
+    val ckptV = mapper.readTree(new String(Files.readAllBytes(
+      Paths.get(path, "_delta_log", "_last_checkpoint")),
+      StandardCharsets.UTF_8)).get("version").asLong
+    t.optimize(numFiles = 1)
+    DeltaExport.export(t)
+    t.vacuum(retentionMs = 0L)
+    val reaped = intercept[IllegalStateException](at(ckptV))
+    assert(reaped.getMessage.contains("removed by vacuum"))
+    // the latest snapshot stays readable throughout
+    assert(DeltaExport.readSnapshot(spark, path).count() == 11L)
+  }
+
   test("property: readSnapshot == model over random histories incl. trim + cleanup") {
     val rnd = new scala.util.Random(8) // deterministic
     (1 to 3).foreach { trial =>
