@@ -85,6 +85,12 @@ object Bench {
       // so a 120+-query run otherwise accumulates storage memory and
       // late queries measure their neighbors' GC pressure.
       try spark.catalog.clearCache() catch { case _: Throwable => () }
+      // ...and collect the garbage the unpersist just unreferenced:
+      // otherwise the NEXT allocation-heavy query pays this query's
+      // collection debt, and a floating multi-second outlier wanders
+      // through the suite (observed q_lang_id 0.8 s -> 9 s with the
+      // same code, purely by alphabetical neighborhood)
+      System.gc()
       name -> elapsed
     }
     val out = renderLine(results, sfDir)

@@ -4,8 +4,9 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.{JsonNodeFactory, ObjectNode}
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType,
-  IntegerType, LongType, MapType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, ByteType,
+  DataType, DateType, DoubleType, FloatType, IntegerType, LongType,
+  MapType, ShortType, StringType, StructField, StructType}
 
 import java.nio.charset.StandardCharsets
 import scala.collection.mutable
@@ -29,8 +30,11 @@ import scala.collection.mutable
   * coincide — Delta's schemaString IS the Spark StructType JSON),
   * add actions with file size, modification time and `numRecords`
   * stats (from the manifest — no data re-read), remove actions with
-  * deletion timestamps. No checkpoints, deletion vectors, or column
-  * mapping — none are required of a reader at protocol (1,2).
+  * deletion timestamps, and parquet checkpoints every 10 commits with
+  * a `_last_checkpoint` pointer (PROTOCOL.md "Checkpoints"), so
+  * readers replay checkpoint + tail instead of the whole log. No
+  * deletion vectors or column mapping — neither is required of a
+  * reader at protocol (1,2).
   *
   * Export is INCREMENTAL and idempotent: delta versions map 1:1 onto
   * graft commits from the anchor forward; a re-export after k new
@@ -121,16 +125,76 @@ object DeltaExport {
   }
 
   private def add(rel: String, st: FileStats.FileStat, size: Long,
-                  ts: Long): ObjectNode = {
+                  ts: Long, types: Map[String, DataType]): ObjectNode = {
     val a = f.objectNode()
     a.put("path", rel)
     a.set("partitionValues", f.objectNode())
     a.put("size", size)
     a.put("modificationTime", ts)
     a.put("dataChange", true)
-    a.put("stats", s"""{"numRecords":${st.rows}}""")
+    a.put("stats", statsJson(st, types))
     wrap("add", a)
   }
+
+  /** Delta per-file statistics (PROTOCOL.md "Per-file Statistics"):
+    * `numRecords` plus `minValues`/`maxValues`/`nullCount` maps, so
+    * external readers (delta-rs, DuckDB delta_scan, Trino) get the
+    * same file skipping the engine's own [[FileStats]] reads do —
+    * straight from the manifest, no data re-read.
+    *
+    * Bounds are emitted CONSERVATIVELY: a wrong bound makes an
+    * external reader skip a file it needed, so any value we cannot
+    * render exactly in the column's Delta JSON encoding is omitted
+    * (omission only costs the reader a pruning opportunity). Omitted:
+    * timestamps (their stats-JSON rendering is writer-dependent),
+    * non-finite doubles (JSON cannot encode them), and non-ASCII
+    * string bounds (parquet footer order is unsigned-byte; only on
+    * ASCII does it provably match the reader's code-point order —
+    * the same discipline FileStats.canSkip applies). `nullCount` is
+    * exact from the footers and always emitted.
+    */
+  private def statsJson(st: FileStats.FileStat,
+                        types: Map[String, DataType]): String = {
+    val o = f.objectNode()
+    o.put("numRecords", st.rows)
+    val minV = f.objectNode()
+    val maxV = f.objectNode()
+    val nulls = f.objectNode()
+    st.cols.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+      cs.numNulls.foreach(nulls.put(c, _))
+      types.get(c).foreach { dt =>
+        def render(v: Any, into: ObjectNode): Unit = (dt, v) match {
+          case (ByteType | ShortType | IntegerType | LongType, l: Long) =>
+            into.put(c, l)
+          case (FloatType | DoubleType, d: Double)
+              if !d.isNaN && !d.isInfinite =>
+            into.put(c, d)
+          case (StringType, s: String) if s.forall(_ < 128) =>
+            into.put(c, s)
+          case (DateType, l: Long) =>
+            into.put(c, java.time.LocalDate.ofEpochDay(l).toString)
+          case _ => ()
+        }
+        cs.min.foreach(render(_, minV))
+        cs.max.foreach(render(_, maxV))
+      }
+    }
+    if (minV.size() > 0) o.set("minValues", minV)
+    if (maxV.size() > 0) o.set("maxValues", maxV)
+    if (nulls.size() > 0) o.set("nullCount", nulls)
+    mapper.writeValueAsString(o)
+  }
+
+  /** Column → type for stats rendering, from the schema the given
+    * graft commit recorded (falling back to the current table schema
+    * for pre-schema-field commit bodies).
+    */
+  private def typesAt(t: ResourceTable, g: Long): Map[String, DataType] =
+    FileStats.schemaOf(t.commitBody(g))
+      .flatMap(j => scala.util.Try(
+        DataType.fromJson(j).asInstanceOf[StructType]).toOption)
+      .getOrElse(t.schema())
+      .fields.map(fd => fd.name -> fd.dataType).toMap
 
   private def remove(rel: String, ts: Long): ObjectNode = {
     val r = f.objectNode()
@@ -209,10 +273,11 @@ object DeltaExport {
       val ts = commitTs(t, latest)
       val files = t.fileListAt(latest)
       val sz = sizes(t, files)
+      val types = typesAt(t, latest)
       writeEntry(t, 0L,
         commitInfo(latest, ts, "GRAFT EXPORT ANCHOR") +: protocol() +:
           metaData(t, t.schema().json, ts) +:
-          files.map { case (r, st) => add(r, st, sz(r), ts) })
+          files.map { case (r, st) => add(r, st, sz(r), ts, types) })
       return 0L
     }
     val lastDelta = entries.last
@@ -229,6 +294,7 @@ object DeltaExport {
       val prev = replayAdds(t)
       val files = t.fileListAt(latest)
       val sz = sizes(t, files)
+      val types = typesAt(t, latest)
       val cur = files.map(_._1).toSet
       writeEntry(t, dv + 1,
         commitInfo(latest, ts,
@@ -236,7 +302,7 @@ object DeltaExport {
           metaData(t, t.schema().json, ts) +:
           (prev.keys.toSeq.sorted.filterNot(cur).map(remove(_, ts)) ++
             files.map { case (r, st) =>
-              add(r, st, sz(r), ts) }))
+              add(r, st, sz(r), ts, types) }))
       maybeCheckpoint(t, dv + 1, t.schema().json, ts)
       return dv + 1
     }
@@ -251,15 +317,22 @@ object DeltaExport {
       val schemaChanged =
         FileStats.schemaOf(t.commitBody(g)) !=
           FileStats.schemaOf(t.commitBody(g - 1))
+      val types = typesAt(t, g)
       val body =
         commitInfo(g, ts, FileStats.opOf(t.commitBody(g))
             .getOrElse("GRAFT COMMIT")) +:
+          // the schema AT g, not the table's current one: exporting
+          // two schema evolutions in one batch must leave the
+          // intermediate version readable (versionAsOf) under the
+          // schema its files were written with
           ((if (schemaChanged)
-              Seq(metaData(t, t.schema().json, ts))
+              Seq(metaData(t,
+                FileStats.schemaOf(t.commitBody(g))
+                  .getOrElse(t.schema().json), ts))
             else Seq.empty) ++
             before.map(_._1).filterNot(afterSet).map(remove(_, ts)) ++
             after.filterNot(f => beforeSet(f._1)).map { case (r, st) =>
-              add(r, st, sz(r), ts) })
+              add(r, st, sz(r), ts, types) })
       dv += 1
       writeEntry(t, dv, body)
       lastG = g

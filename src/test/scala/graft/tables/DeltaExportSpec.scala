@@ -318,6 +318,51 @@ class DeltaExportSpec extends SparkSpec {
     }
   }
 
+  test("add actions carry Delta-spec min/max/nullCount stats, " +
+      "conservatively omitted where the encoding is unsafe") {
+    val path = s"${tmpDir("dx")}/T.parquet"
+    val wide = StructType(Seq(
+      StructField("id", StringType),
+      StructField("n", IntegerType),
+      StructField("d", DoubleType),
+      StructField("day", DateType),
+      StructField("uni", StringType)))
+    val t = ResourceTable(spark, path).createIfNotExists(wide)
+    val rows = Seq(
+      Row("a", 5, 1.5, java.sql.Date.valueOf("2024-01-03"), "héllo"),
+      Row("b", -2, 9.25, java.sql.Date.valueOf("2024-02-14"), "wörld"),
+      Row("c", 11, null, java.sql.Date.valueOf("2024-01-01"), "zz"))
+    t.upsert(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), wide), "id")
+    DeltaExport.export(t)
+    val adds = logLines(path, 0L).flatMap(n => Option(n.get("add")))
+    assert(adds.nonEmpty)
+    val stats = adds.map(a => mapper.readTree(a.get("stats").asText))
+    assert(stats.map(_.get("numRecords").asLong).sum == 3L)
+    // single-file table: the one add's bounds are the table's bounds
+    val s = stats.find(_.get("numRecords").asLong == 3L).get
+    assert(s.get("minValues").get("id").asText == "a")
+    assert(s.get("maxValues").get("id").asText == "c")
+    assert(s.get("minValues").get("n").asLong == -2L)
+    assert(s.get("maxValues").get("n").asLong == 11L)
+    assert(s.get("minValues").get("d").asDouble == 1.5)
+    assert(s.get("maxValues").get("d").asDouble == 9.25)
+    // dates render as ISO LocalDate strings (the Delta JSON encoding)
+    assert(s.get("minValues").get("day").asText == "2024-01-01")
+    assert(s.get("maxValues").get("day").asText == "2024-02-14")
+    // bounds are per-side conservative: the non-ASCII min ("héllo") is
+    // omitted (unsigned-byte footer order is only provably code-point
+    // order on ASCII), while the ASCII max ("zz") is still emitted —
+    // absence over a wrong bound, but no pruning power thrown away
+    assert(s.get("minValues").get("uni") == null)
+    assert(s.get("maxValues").get("uni").asText == "zz")
+    // nullCount is exact: d has one null, others none
+    assert(s.get("nullCount").get("d").asLong == 1L)
+    assert(s.get("nullCount").get("n").asLong == 0L)
+    // and an external-style reader of the same log still round-trips
+    assert(DeltaExport.readSnapshot(spark, path).count() == 3L)
+  }
+
   test("reader refuses foreign protocols instead of misreading") {
     val path = s"${tmpDir("dx")}/T.parquet"
     val t = ResourceTable(spark, path).createIfNotExists(schema)
