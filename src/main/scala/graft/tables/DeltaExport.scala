@@ -342,6 +342,19 @@ object DeltaExport {
     dv
   }
 
+  /** Whether the table carries an exported `_delta_log` with at least
+    * one entry (what [[ResourceTable.vacuum]]'s dangling-reader guard
+    * keys on).
+    */
+  def exported(t: ResourceTable): Boolean =
+    t.fs.exists(deltaDir(t)) && listEntries(t).nonEmpty
+
+  /** The exported log's CURRENT live file set — the table-relative
+    * paths an external reader of the log resolves right now.
+    */
+  def liveFiles(t: ResourceTable): Set[String] =
+    if (!exported(t)) Set.empty else replayAdds(t).keySet.toSet
+
   /** Replay the exported log's live add set: path → add node. Starts
     * from the newest checkpoint when one exists (a log whose old json
     * entries were cleaned is still fully replayable, exactly as a

@@ -1043,6 +1043,23 @@ final class ResourceTable(val spark: SparkSession, val path: String,
           "override (lakehousekeeper --enforce-retention-duration)")
     val cur = latestVersion.getOrElse(return 0)
     val referenced = fileListAt(cur).map(_._1).toSet
+    // An exported _delta_log pins its LAST-EXPORTED snapshot for
+    // external readers; if that export is stale, its live files may be
+    // unreferenced by the current manifest and about to be reaped —
+    // every external reader would dangle. Bring the export current
+    // first (incremental, O(new commits)): a current export's live set
+    // is the current manifest, which vacuum never touches. Old delta
+    // ENTRIES may still reference reaped files — external time travel
+    // past retention breaks exactly as Delta's own vacuum documents.
+    if (!dryRun && DeltaExport.exported(this) &&
+        (DeltaExport.liveFiles(this) -- referenced).nonEmpty)
+      try DeltaExport.export(this)
+      catch { case e: IllegalStateException =>
+        throw new IllegalStateException(
+          s"$path: vacuum would reap files still live in the exported " +
+            "_delta_log, and the export could not be brought current — " +
+            "fix or remove the _delta_log directory first", e)
+      }
     val curDir = FileStats.dirOf(commitBody(cur)).getOrElse("")
     val cutoff = System.currentTimeMillis() - retentionMs
     var n = 0

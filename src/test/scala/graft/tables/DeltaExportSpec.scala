@@ -133,15 +133,20 @@ class DeltaExportSpec extends SparkSpec {
       .createIfNotExists(schema)
     t.upsert(df("a" -> 1), "id")
     DeltaExport.export(t)
-    // advance several commits, then trim the log so the chain from the
-    // exported graft version is broken (optimize leaves old versions'
-    // files unreferenced; vacuum(0) reaps them so the old versions are
-    // not intact and cleanupMetadata may trim their commits)
+    val gAtExport = t.latestVersion.get
+    // advance several commits, then break the chain from the exported
+    // graft version OUT OF BAND (delete a commit body directly, as a
+    // foreign cleanup would). The in-band path can no longer produce
+    // this state: vacuum's dangling-reader guard auto-exports before
+    // reaping, so cleanupMetadata never trims an un-exported commit —
+    // the re-anchor is the safety net for trims the engine didn't do.
     t.upsert(df("b" -> 2), "id")
     t.upsert(df("c" -> 3), "id")
     t.optimize(numFiles = 1)
-    t.vacuum(retentionMs = 0L)
-    t.cleanupMetadata(keepLast = 1)
+    Files.delete(
+      Paths.get(path, "_log", f"${gAtExport + 1}%020d.commit"))
+    Files.deleteIfExists(
+      Paths.get(path, "_log", f".${gAtExport + 1}%020d.commit.crc"))
     val dv = DeltaExport.export(t)
     assert(logVersions(path).last == dv)
     val info = logLines(path, dv)
@@ -361,6 +366,35 @@ class DeltaExportSpec extends SparkSpec {
     assert(s.get("nullCount").get("n").asLong == 0L)
     // and an external-style reader of the same log still round-trips
     assert(DeltaExport.readSnapshot(spark, path).count() == 3L)
+  }
+
+  test("vacuum brings a stale export current instead of stranding " +
+      "external readers on reaped files") {
+    val path = s"${tmpDir("dx")}/T.parquet"
+    val t = ResourceTable(spark, path).createIfNotExists(schema)
+    t.upsert(df("a" -> 1, "b" -> 2), "id")
+    DeltaExport.export(t)
+    val staleLive = DeltaExport.liveFiles(t)
+    // rewrite every row: the new manifest shares no files with the
+    // exported snapshot, so the stale export's live set is exactly
+    // what a retention-0 vacuum would reap
+    t.upsert(df("a" -> 10, "b" -> 20), "id")
+    assert((DeltaExport.liveFiles(t) --
+      t.fileManifest(t.latestVersion.get).toSet) == staleLive)
+    val reaped = t.vacuum(retentionMs = 0L)
+    assert(reaped > 0) // the old snapshot's files did get reaped...
+    staleLive.foreach(rel =>
+      assert(!Files.exists(Paths.get(path, rel))))
+    // ...but the export was brought current first, so the external
+    // read path still resolves — to the CURRENT snapshot
+    assert(DeltaExport.readSnapshot(spark, path).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap ==
+      Map("a" -> 10, "b" -> 20))
+    // dry-run never writes: a fresh stale export stays untouched
+    t.upsert(df("c" -> 3), "id")
+    val entriesBefore = logVersions(path)
+    t.vacuum(retentionMs = 0L, dryRun = true)
+    assert(logVersions(path) == entriesBefore)
   }
 
   test("reader refuses foreign protocols instead of misreading") {
