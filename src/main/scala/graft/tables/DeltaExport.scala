@@ -28,13 +28,15 @@ import scala.collection.mutable
   * Emitted subset of the protocol (Delta PROTOCOL.md, public spec):
   * protocol v1/v2, metaData with Spark-JSON schemaString (the formats
   * coincide — Delta's schemaString IS the Spark StructType JSON),
-  * add actions with file size, modification time and `numRecords`
-  * stats (from the manifest — no data re-read), remove actions with
-  * deletion timestamps, and parquet checkpoints every 10 commits with
-  * a `_last_checkpoint` pointer (PROTOCOL.md "Checkpoints"), so
-  * readers replay checkpoint + tail instead of the whole log. No
-  * deletion vectors or column mapping — neither is required of a
-  * reader at protocol (1,2).
+  * add actions with file size, modification time and
+  * `numRecords`/`minValues`/`maxValues`/`nullCount` stats (from the
+  * manifest — no data re-read), remove actions with deletion
+  * timestamps, `txn` (SetTransaction) actions mirroring the table's
+  * idempotent-append watermarks, and parquet checkpoints every 10
+  * commits with a `_last_checkpoint` pointer (PROTOCOL.md
+  * "Checkpoints"), so readers replay checkpoint + tail instead of
+  * the whole log. No deletion vectors or column mapping — neither is
+  * required of a reader at protocol (1,2).
   *
   * Export is INCREMENTAL and idempotent: delta versions map 1:1 onto
   * graft commits from the anchor forward; a re-export after k new
@@ -204,6 +206,29 @@ object DeltaExport {
     wrap("remove", r)
   }
 
+  /** Delta SetTransaction action (PROTOCOL.md "Transaction
+    * Identifiers"): the idempotent-append watermark graft commits
+    * carry (txnAppId → version), mirrored so an external delta WRITER
+    * resuming the same appId sees exactly the state an in-engine
+    * writer would.
+    */
+  private def txn(appId: String, version: Long, ts: Long): ObjectNode = {
+    val n = f.objectNode()
+    n.put("appId", appId)
+    n.put("version", version)
+    n.put("lastUpdated", ts)
+    wrap("txn", n)
+  }
+
+  /** The txn actions commit `g` must emit: appIds whose watermark is
+    * new or advanced relative to `g`'s predecessor state.
+    */
+  private def txnDelta(prev: Map[String, Long], cur: Map[String, Long],
+                       ts: Long): Seq[ObjectNode] =
+    cur.toSeq.sortBy(_._1).collect {
+      case (app, v) if !prev.get(app).contains(v) => txn(app, v, ts)
+    }
+
   private def wrap(kind: String, node: ObjectNode): ObjectNode = {
     val o = f.objectNode(); o.set(kind, node); o
   }
@@ -277,7 +302,9 @@ object DeltaExport {
       writeEntry(t, 0L,
         commitInfo(latest, ts, "GRAFT EXPORT ANCHOR") +: protocol() +:
           metaData(t, t.schema().json, ts) +:
-          files.map { case (r, st) => add(r, st, sz(r), ts, types) })
+          (txnDelta(Map.empty,
+            FileStats.txnsOf(t.commitBody(latest)), ts) ++
+            files.map { case (r, st) => add(r, st, sz(r), ts, types) }))
       return 0L
     }
     val lastDelta = entries.last
@@ -300,7 +327,12 @@ object DeltaExport {
         commitInfo(latest, ts,
           "GRAFT EXPORT RE-ANCHOR (source log trimmed)") +:
           metaData(t, t.schema().json, ts) +:
-          (prev.keys.toSeq.sorted.filterNot(cur).map(remove(_, ts)) ++
+          // full txn state, not a delta: the trimmed source chain
+          // means the predecessor state is unknowable, and re-stating
+          // a watermark is idempotent under log replay
+          (txnDelta(Map.empty,
+            FileStats.txnsOf(t.commitBody(latest)), ts) ++
+            prev.keys.toSeq.sorted.filterNot(cur).map(remove(_, ts)) ++
             files.map { case (r, st) =>
               add(r, st, sz(r), ts, types) }))
       maybeCheckpoint(t, dv + 1, t.schema().json, ts)
@@ -330,6 +362,8 @@ object DeltaExport {
                 FileStats.schemaOf(t.commitBody(g))
                   .getOrElse(t.schema().json), ts))
             else Seq.empty) ++
+            txnDelta(FileStats.txnsOf(t.commitBody(g - 1)),
+              FileStats.txnsOf(t.commitBody(g)), ts) ++
             before.map(_._1).filterNot(afterSet).map(remove(_, ts)) ++
             after.filterNot(f => beforeSet(f._1)).map { case (r, st) =>
               add(r, st, sz(r), ts, types) })
@@ -360,7 +394,15 @@ object DeltaExport {
     * entries were cleaned is still fully replayable, exactly as a
     * reader would see it).
     */
-  private def replayAdds(t: ResourceTable): Map[String, ObjectNode] = {
+  private def replayAdds(t: ResourceTable): Map[String, ObjectNode] =
+    replayState(t)._1
+
+  /** Replayed (live adds, txn watermarks) of the exported log — the
+    * full state a checkpoint must restate.
+    */
+  private def replayState(t: ResourceTable)
+      : (Map[String, ObjectNode], Map[String, Long]) = {
+    val txns = mutable.LinkedHashMap.empty[String, Long]
     val live = mutable.LinkedHashMap.empty[String, ObjectNode]
     val lc = new HPath(deltaDir(t), "_last_checkpoint")
     val ckptV: Long =
@@ -372,9 +414,9 @@ object DeltaExport {
             in.readAllBytes(), StandardCharsets.UTF_8))
             .get("version").asLong
           finally in.close()
-        t.spark.read.parquet(
-            new HPath(deltaDir(t), f"$v%020d.checkpoint.parquet").toString)
-          .filter("add IS NOT NULL").select("add.*").collect()
+        val ckpt = t.spark.read.parquet(
+          new HPath(deltaDir(t), f"$v%020d.checkpoint.parquet").toString)
+        ckpt.filter("add IS NOT NULL").select("add.*").collect()
           .foreach { a =>
             val node = f.objectNode()
             node.put("path", a.getString(a.fieldIndex("path")))
@@ -387,6 +429,12 @@ object DeltaExport {
               .foreach(node.put("stats", _))
             live(node.get("path").asText) = node
           }
+        // pre-txn checkpoints (and foreign ones) may lack the column
+        if (ckpt.schema.fieldNames.contains("txn"))
+          ckpt.filter("txn IS NOT NULL").select("txn.*").collect()
+            .foreach(r =>
+              txns(r.getString(r.fieldIndex("appId"))) =
+                r.getLong(r.fieldIndex("version")))
         v
       }
     listEntries(t).filter(_ > ckptV).foreach { v =>
@@ -400,9 +448,11 @@ object DeltaExport {
             live(a.get("path").asText) = a.asInstanceOf[ObjectNode])
           Option(n.get("remove")).foreach(r =>
             live.remove(r.get("path").asText))
+          Option(n.get("txn")).foreach(x =>
+            txns(x.get("appId").asText) = x.get("version").asLong)
         }
     }
-    live.toMap
+    (live.toMap, txns.toMap)
   }
 
   // ------------------------------------------------------ checkpoints
@@ -435,7 +485,10 @@ object DeltaExport {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType))))))
+      StructField("stats", StringType)))),
+    StructField("txn", StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType))))))
 
   /** Write the checkpoint for delta version `dv`: the REPLAYED state
     * (protocol + metaData + live adds) as one parquet file named by
@@ -449,18 +502,20 @@ object DeltaExport {
                               schemaJson: String, ts: Long): Unit = {
     import org.apache.spark.sql.Row
     val spark = t.spark
-    val live = replayAdds(t)
+    val (live, txns) = replayState(t)
     val emptyMap = Map.empty[String, String]
     val rows =
-      Row(Row(1, 2), null, null) +:
+      Row(Row(1, 2), null, null, null) +:
         Row(null, Row(tableId(t), Row("parquet", emptyMap), schemaJson,
-          Seq.empty[String], emptyMap, ts), null) +:
-        live.values.toSeq.map { a =>
+          Seq.empty[String], emptyMap, ts), null, null) +:
+        (live.values.toSeq.map { a =>
           Row(null, null, Row(a.get("path").asText, emptyMap,
             a.get("size").asLong, a.get("modificationTime").asLong,
             a.get("dataChange").asBoolean,
-            Option(a.get("stats")).map(_.asText).orNull))
-        }
+            Option(a.get("stats")).map(_.asText).orNull), null)
+        } ++ txns.toSeq.sortBy(_._1).map { case (app, v) =>
+          Row(null, null, null, Row(app, v))
+        })
     val tmp = new HPath(deltaDir(t), f".ckpt-$dv%020d.tmp")
     spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), checkpointSchema)

@@ -397,6 +397,42 @@ class DeltaExportSpec extends SparkSpec {
     assert(logVersions(path) == entriesBefore)
   }
 
+  test("idempotent-append watermarks export as txn actions and " +
+      "survive checkpoint replay") {
+    val path = s"${tmpDir("dx")}/T.parquet"
+    val t = ResourceTable(spark, path).createIfNotExists(schema)
+    t.upsert(df("a" -> 1), "id")
+    t.append(df("b" -> 2), txn = Some(("sinkA", 7L)))
+    t.append(df("c" -> 3), txn = Some(("sinkB", 1L)))
+    val dv = DeltaExport.export(t)
+    val txnActions = (0L to dv).flatMap(v => logLines(path, v))
+      .flatMap(n => Option(n.get("txn")))
+    assert(txnActions.map(x =>
+      x.get("appId").asText -> x.get("version").asLong).toMap ==
+      Map("sinkA" -> 7L, "sinkB" -> 1L))
+    // an advanced watermark re-exports; an unchanged one does not
+    t.append(df("d" -> 4), txn = Some(("sinkA", 9L)))
+    val dv2 = DeltaExport.export(t)
+    val latestTxns = logLines(path, dv2)
+      .flatMap(n => Option(n.get("txn")))
+    assert(latestTxns.map(x =>
+      x.get("appId").asText -> x.get("version").asLong) ==
+      Seq("sinkA" -> 9L))
+    // force a checkpoint, then assert the txn state is restated in it
+    (1 to 10).foreach(i => t.upsert(df(s"k$i" -> i), "id"))
+    val dv3 = DeltaExport.export(t)
+    val ckpt = Paths.get(path, "_delta_log",
+      f"$dv3%020d.checkpoint.parquet")
+    assert(Files.exists(ckpt))
+    val txnRows = spark.read.parquet(ckpt.toString)
+      .filter("txn IS NOT NULL").select("txn.appId", "txn.version")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(txnRows == Map("sinkA" -> 9L, "sinkB" -> 1L))
+    // and the snapshot read-back still resolves every row
+    assert(DeltaExport.readSnapshot(spark, path).count() ==
+      t.read().count())
+  }
+
   test("reader refuses foreign protocols instead of misreading") {
     val path = s"${tmpDir("dx")}/T.parquet"
     val t = ResourceTable(spark, path).createIfNotExists(schema)
