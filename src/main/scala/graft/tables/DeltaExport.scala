@@ -80,19 +80,36 @@ object DeltaExport {
       .map(_.stripSuffix(".json").toLong).sorted.toSeq
   }
 
+  /** A concurrent exporter published this entry first. [[export]]
+    * re-drives incrementally against the winner's log — the same
+    * optimistic-concurrency discipline as ResourceTable's own
+    * CommitConflictException.
+    */
+  final class ExportConflictException(path: String, v: Long)
+    extends RuntimeException(
+      s"$path: delta log entry $v was published by a concurrent export")
+
   private def writeEntry(t: ResourceTable, v: Long,
                          lines: Seq[ObjectNode]): Unit = {
     val dir = deltaDir(t)
     t.fs.mkdirs(dir)
-    val tmp = new HPath(dir, f".$v%020d.json.tmp")
+    // tmp name unique PER WRITER: concurrent exporters each stage
+    // their own file and let the rename onto the destination decide
+    // the winner — a shared tmp name would have them clobbering each
+    // other's staging (and its checksum sidecar) mid-write
+    val tmp = new HPath(dir, f".$v%020d.json.${
+      java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = t.fs.create(tmp, true)
     try out.write(lines.map(mapper.writeValueAsString)
       .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (!t.fs.rename(tmp, entryFile(t, v)))
+    if (!t.fs.rename(tmp, entryFile(t, v))) {
+      t.fs.delete(tmp, false)
+      if (t.fs.exists(entryFile(t, v)))
+        throw new ExportConflictException(t.path, v)
       throw new IllegalStateException(
-        s"${t.path}: could not publish delta log entry $v " +
-          "(concurrent export?)")
+        s"${t.path}: could not publish delta log entry $v")
+    }
   }
 
   private def commitInfo(graftV: Long, ts: Long, op: String): ObjectNode = {
@@ -281,8 +298,29 @@ object DeltaExport {
     * external readers want the data, not the archaeology). Returns the
     * latest delta version. Idempotent: nothing new to export → no
     * writes.
+    *
+    * Safe under CONCURRENT exporters: entries publish by atomic
+    * rename, a lost race surfaces as [[ExportConflictException]], and
+    * this wrapper re-drives incrementally against the winner's
+    * entries — both exporters converge on the same log. (Racing
+    * checkpoint writers are likewise benign: both restate the same
+    * replayed state.)
     */
   def export(t: ResourceTable): Long = {
+    var conflictsLeft = 50
+    while (true) {
+      try return exportOnce(t)
+      catch { case e: ExportConflictException =>
+        conflictsLeft -= 1
+        if (conflictsLeft <= 0) throw e
+        Thread.sleep(10 + java.util.concurrent.ThreadLocalRandom
+          .current().nextLong(90))
+      }
+    }
+    -1L // unreachable
+  }
+
+  private def exportOnce(t: ResourceTable): Long = {
     val latest = t.latestVersion.getOrElse(
       throw new IllegalStateException(s"no table at ${t.path}"))
     val entries = listEntries(t)
@@ -516,7 +554,8 @@ object DeltaExport {
         } ++ txns.toSeq.sortBy(_._1).map { case (app, v) =>
           Row(null, null, null, Row(app, v))
         })
-    val tmp = new HPath(deltaDir(t), f".ckpt-$dv%020d.tmp")
+    val tmp = new HPath(deltaDir(t), f".ckpt-$dv%020d-${
+      java.util.UUID.randomUUID().toString.take(8)}.tmp")
     spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), checkpointSchema)
       .write.mode("overwrite").parquet(tmp.toString)
@@ -526,20 +565,30 @@ object DeltaExport {
         s"${t.path}: checkpoint write produced no parquet part"))
     val dest = new HPath(deltaDir(t), f"$dv%020d.checkpoint.parquet")
     t.fs.delete(dest, false)
-    if (!t.fs.rename(part, dest))
-      throw new IllegalStateException(
-        s"${t.path}: could not publish checkpoint $dv")
+    if (!t.fs.rename(part, dest)) {
+      t.fs.delete(tmp, true)
+      // a concurrent exporter checkpointing the SAME version restates
+      // identical replayed state — losing that race is benign
+      if (!t.fs.exists(dest))
+        throw new IllegalStateException(
+          s"${t.path}: could not publish checkpoint $dv")
+      return
+    }
     t.fs.delete(tmp, true)
     val lc = new HPath(deltaDir(t), "_last_checkpoint")
-    val tmpLc = new HPath(deltaDir(t), "._last_checkpoint.tmp")
+    val tmpLc = new HPath(deltaDir(t), s"._last_checkpoint.${
+      java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = t.fs.create(tmpLc, true)
     try out.write(s"""{"version":$dv,"size":${rows.size}}"""
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     t.fs.delete(lc, false)
-    if (!t.fs.rename(tmpLc, lc))
-      throw new IllegalStateException(
-        s"${t.path}: could not publish _last_checkpoint")
+    if (!t.fs.rename(tmpLc, lc)) {
+      t.fs.delete(tmpLc, false)
+      if (!t.fs.exists(lc))
+        throw new IllegalStateException(
+          s"${t.path}: could not publish _last_checkpoint")
+    }
   }
 
   /** Checkpoint cadence check after exporting up to `dv`. */

@@ -204,7 +204,7 @@ object Lakehousekeeper {
         "usage: lakehousekeeper vacuum <dir> [retentionHours] [dry] [no-enforce]" +
           " | optimize <dir> [numFiles|<size>g|<size>m] [compression]" +
           " | compact <dir> [min<m>] | register <dir> | describe <dir>" +
-          " | export-delta <dir>" +
+          " | export-delta <dir> | cleanup-delta-log <dir> [retentionMs]" +
           " | history <tablePath> | restore <tablePath> <version>")
       return
     }
@@ -273,6 +273,19 @@ object Lakehousekeeper {
           listTables(spark, dir).foreach { p =>
             val dv = DeltaExport.export(ResourceTable(spark, p))
             println(s"exported $p: delta log at v$dv")
+          }
+        // delta-rs cleanup_metadata parity for the EXPORTED logs:
+        // age out json entries/checkpoints superseded by the newest
+        // checkpoint and older than the retention window
+        case "cleanup-delta-log" =>
+          val retentionMs = args.lift(2).map(_.toLong)
+            .getOrElse(7L * 24 * 3600 * 1000)
+          listTables(spark, dir).foreach { p =>
+            val t = ResourceTable(spark, p)
+            if (DeltaExport.exported(t)) {
+              val dead = DeltaExport.cleanupLog(t, retentionMs)
+              println(s"$p: cleaned ${dead.size} delta log entries")
+            }
           }
         // RESTORE TABLE ... TO VERSION AS OF (`dir` is the table path)
         case "restore" =>

@@ -433,6 +433,34 @@ class DeltaExportSpec extends SparkSpec {
       t.read().count())
   }
 
+  test("concurrent exporters converge on one consistent log") {
+    val path = s"${tmpDir("dx")}/T.parquet"
+    val t = ResourceTable(spark, path).createIfNotExists(schema)
+    (0 until 8).foreach(i => t.upsert(df(s"k$i" -> i), "id"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 3).map { _ =>
+      new Thread(() =>
+        try DeltaExport.export(ResourceTable(spark, path))
+        catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(errs.isEmpty, s"export raced into: ${errs.peek()}")
+    // one contiguous log, no gaps, no leftover tmp files
+    val vs = logVersions(path)
+    assert(vs == (0L to vs.last))
+    assert(Files.list(Paths.get(path, "_delta_log")).iterator().asScala
+      .forall(!_.getFileName.toString.endsWith(".tmp")))
+    // and the replayed snapshot is exactly the table
+    assert(DeltaExport.readSnapshot(spark, path).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap ==
+      t.read().collect().map(r => r.getString(0) -> r.getInt(1)).toMap)
+    // a later incremental export still lines up
+    t.upsert(df("z" -> 99), "id")
+    DeltaExport.export(t)
+    assert(DeltaExport.readSnapshot(spark, path).count() ==
+      t.read().count())
+  }
+
   test("reader refuses foreign protocols instead of misreading") {
     val path = s"${tmpDir("dx")}/T.parquet"
     val t = ResourceTable(spark, path).createIfNotExists(schema)
