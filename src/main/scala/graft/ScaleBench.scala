@@ -33,10 +33,14 @@ import org.apache.spark.sql.types.{FloatType, LongType}
 object ScaleBench {
   private val Copies = 10
 
-  /** The six queries VERDICT r7 item 3 names. */
+  /** The six queries VERDICT r7 item 3 names, plus the delta-export
+    * round trip (export is O(files touched); the read-back is the
+    * external-reader path over the exported log).
+    */
   private val Headline = Seq(
     "q_ingest_e2e", "q_dedup_fuzzy", "q_change_feed",
-    "q_hybrid_retrieval", "q_ann_ivf_indexed", "q_stream_outer_join")
+    "q_hybrid_retrieval", "q_ann_ivf_indexed", "q_stream_outer_join",
+    "q_delta_export")
 
   private def offset(c: org.apache.spark.sql.Column) =
     col("copy") * lit(10000000L) + c

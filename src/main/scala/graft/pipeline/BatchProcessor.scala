@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.fhir.FhirEncoder
-import graft.tables.{Lakehousekeeper, ResourceTable}
+import graft.tables.{DeltaExport, Lakehousekeeper, ResourceTable}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -36,7 +36,12 @@ final class BatchProcessor(
     // in-engine S6: (re-)register each touched table in the catalog
     // per batch, like the reference under metastore_url
     // (bundle_processor.py:212–217)
-    registerTables: Boolean = false) {
+    registerTables: Boolean = false,
+    // keep each touched table's exported _delta_log current per batch,
+    // so external delta readers track the stream the way they track
+    // the reference's real Delta tables (S8) — incremental, O(files
+    // touched by the batch)
+    deltaExport: Boolean = false) {
 
   def tablePath(resourceType: String): String =
     s"$tableDir/$resourceType.parquet"
@@ -132,6 +137,16 @@ final class BatchProcessor(
             case e: Throwable => System.err.println(
               s"catalog registration failed for ${tablePath(rt)} " +
                 s"(data committed, entry stale): ${e.getMessage}")
+          }
+        // same durability stance as registration: the data is already
+        // committed, so a failed log mirror must not crash-loop the
+        // stream — warn and let the next batch (or the CLI) catch up
+        if (deltaExport)
+          try DeltaExport.export(table): Unit
+          catch {
+            case e: Throwable => System.err.println(
+              s"delta export failed for ${tablePath(rt)} " +
+                s"(data committed, exported log stale): ${e.getMessage}")
           }
         rt -> (upserted, deleted)
       } finally deduped.unpersist()

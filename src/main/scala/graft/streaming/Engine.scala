@@ -67,7 +67,12 @@ final case class Settings(
     awsSecretAccessKey: String = "",
     // when set, every table a batch touches is (re-)registered in the
     // catalog from inside the batch path (settings.py:64 + main.py:96–98)
-    metastoreUrl: Option[String] = None)
+    metastoreUrl: Option[String] = None,
+    // keep each table's exported _delta_log current per batch, so
+    // external delta readers track the stream the way they track the
+    // reference's real Delta tables (no flag there — its tables ARE
+    // delta; here the mirror is opt-in)
+    deltaExport: Boolean = false)
 
 /** The streaming shell: N+1 independent `foreachBatch` queries over one
   * prepared source — one per configured resource type plus a default
@@ -174,7 +179,8 @@ object Engine {
       settings.deltaCheckpointInterval,
       optimizeWrite = Some(settings.autoOptimizeOptimizeWrite),
       autoCompact = Some(settings.autoOptimizeAutoCompact),
-      registerTables = settings.metastoreUrl.isDefined)
+      registerTables = settings.metastoreUrl.isDefined,
+      deltaExport = settings.deltaExport)
 
     val trigger =
       if (settings.triggerAvailableNow) Trigger.AvailableNow()

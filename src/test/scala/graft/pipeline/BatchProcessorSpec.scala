@@ -40,6 +40,21 @@ class BatchProcessorSpec extends SparkSpec {
     assert(table.read().count() == 0)
   }
 
+  test("deltaExport keeps the exported log current per batch") {
+    import graft.tables.DeltaExport
+    val dir = tmpDir("bp")
+    val bp = new BatchProcessor(dir, upkeepInterval = 0,
+      deltaExport = true)
+    bp.processBatch(prepared(Seq((fixture("single-patient.json"), 0, 0L))), 1)
+    val path = s"$dir/Patient.parquet"
+    assert(new java.io.File(s"$path/_delta_log").isDirectory)
+    assert(DeltaExport.readSnapshot(spark, path).count() == 1L)
+    // the next batch's delete is mirrored in the same batch path
+    bp.processBatch(
+      prepared(Seq((fixture("delete-single-patient.json"), 0, 1L))), 2)
+    assert(DeltaExport.readSnapshot(spark, path).count() == 0L)
+  }
+
   test("re-processing the same batch is idempotent (streaming replay)") {
     val dir = tmpDir("bp")
     val bp = new BatchProcessor(dir, upkeepInterval = 0)
