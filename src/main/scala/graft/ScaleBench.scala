@@ -119,7 +119,10 @@ object ScaleBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "16g")
+      // NOTE: spark.driver.memory cannot be set here — in local mode
+      // the driver IS this already-running JVM, so the heap comes from
+      // the launcher (sbt -mem / SBT_OPTS -Xmx). Setting it via
+      // .config() would be a silent no-op that only LOOKS like 16g.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     generate(spark, base, out)

@@ -131,25 +131,39 @@ object ChangeFeed {
         val versions = batch.select("file").distinct().collect()
           .map(r => versionOf(r.getString(0))).sorted
         versions.foreach { v =>
-          if (lastSeen >= 1 && v > lastSeen + 1)
-            throw new IllegalStateException(
-              s"change feed gap on $tablePath: versions " +
-                s"${lastSeen + 1}..${v - 1} never arrived (high-water " +
-                s"mark $lastSeen persisted at $wmDir) — commit log " +
-                "trimmed under a lagging consumer? raise " +
-                "cleanupMetadata keepLast above the consumer lag")
-          // fresh consumer, first real version, predecessor already
-          // trimmed: v is this consumer's base snapshot, not a gap
-          val baseSnapshot =
-            lastSeen < 1 && v > floor && !table.versionExists(v - 1)
-          if (baseSnapshot)
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              s"change feed on $tablePath: log already trimmed below " +
-                s"v$v — treating v$v as this consumer's base snapshot, " +
-                s"streaming changes from v${v + 1}")
-          if (!baseSnapshot && v >= floor)
-            handler(v, table.changes(v - 1, v, key))
-          if (v >= 1 && v > lastSeen) lastSeen = v
+          if (v <= lastSeen) {
+            // replay of an already-persisted version: the high-water
+            // mark only advances after v was fully handled, so a crash
+            // BETWEEN the marker write and Spark's batch commit replays
+            // this batch — re-handling would double-deliver and, on a
+            // base-snapshotted version, re-drive changes(v-1, v) into
+            // a trimmed predecessor and crash-loop. Exactly-once here
+            // means skip.
+            ()
+          } else {
+            if (lastSeen >= 1 && v > lastSeen + 1)
+              throw new IllegalStateException(
+                s"change feed gap on $tablePath: versions " +
+                  s"${lastSeen + 1}..${v - 1} never arrived (high-water " +
+                  s"mark $lastSeen persisted at $wmDir) — commit log " +
+                  "trimmed under a lagging consumer? raise " +
+                  "cleanupMetadata keepLast above the consumer lag")
+            // fresh consumer, first real version, predecessor already
+            // trimmed: v is this consumer's base snapshot, not a gap.
+            // `v >= floor`, not `>`: an explicit startingVersion that
+            // lands exactly on the oldest retained commit must base-
+            // snapshot too, not chase its trimmed predecessor
+            val baseSnapshot =
+              lastSeen < 1 && v >= floor && !table.versionExists(v - 1)
+            if (baseSnapshot)
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"change feed on $tablePath: log already trimmed below " +
+                  s"v$v — treating v$v as this consumer's base snapshot, " +
+                  s"streaming changes from v${v + 1}")
+            if (!baseSnapshot && v >= floor)
+              handler(v, table.changes(v - 1, v, key))
+            if (v >= 1) lastSeen = v
+          }
         }
         // persist once per batch — the batch is the replay unit
         // (foreachBatch is at-least-once), so a crash before this line

@@ -81,13 +81,13 @@ object DeltaExport {
   }
 
   /** A concurrent exporter published this entry first. [[export]]
-    * re-drives incrementally against the winner's log — the same
-    * optimistic-concurrency discipline as ResourceTable's own
-    * CommitConflictException.
+    * re-drives incrementally against the winner's log via the shared
+    * [[ResourceTable.retry]] conflict budget.
     */
   final class ExportConflictException(path: String, v: Long)
     extends RuntimeException(
       s"$path: delta log entry $v was published by a concurrent export")
+    with ResourceTable.ConflictRetryable
 
   private def writeEntry(t: ResourceTable, v: Long,
                          lines: Seq[ObjectNode]): Unit = {
@@ -301,24 +301,17 @@ object DeltaExport {
     *
     * Safe under CONCURRENT exporters: entries publish by atomic
     * rename, a lost race surfaces as [[ExportConflictException]], and
-    * this wrapper re-drives incrementally against the winner's
-    * entries — both exporters converge on the same log. (Racing
-    * checkpoint writers are likewise benign: both restate the same
-    * replayed state.)
+    * [[ResourceTable.retry]]'s conflict budget re-drives incrementally
+    * against the winner's entries — both exporters converge on the
+    * same log. (Racing checkpoint writers are likewise benign: both
+    * restate the same replayed state.) Real failures surface
+    * immediately (`attempts = 1`): an export is maintenance, not a
+    * commit — nothing is lost by failing fast.
     */
-  def export(t: ResourceTable): Long = {
-    var conflictsLeft = 50
-    while (true) {
-      try return exportOnce(t)
-      catch { case e: ExportConflictException =>
-        conflictsLeft -= 1
-        if (conflictsLeft <= 0) throw e
-        Thread.sleep(10 + java.util.concurrent.ThreadLocalRandom
-          .current().nextLong(90))
-      }
+  def export(t: ResourceTable): Long =
+    ResourceTable.retry(attempts = 1, conflictAttempts = 50) {
+      exportOnce(t)
     }
-    -1L // unreachable
-  }
 
   private def exportOnce(t: ResourceTable): Long = {
     val latest = t.latestVersion.getOrElse(
@@ -353,8 +346,12 @@ object DeltaExport {
           s"$latest) — was the table restored under an exported log? " +
           "Export to a fresh copy instead")
     var dv = lastDelta
-    // trimmed chain → ONE re-anchor commit (remove all, add current)
-    if ((lastG + 1 to latest).exists(g => !t.versionExists(g))) {
+    // trimmed chain → ONE re-anchor commit (remove all, add current).
+    // The range starts AT lastG, not after it: the incremental loop
+    // diffs against lastG's own manifest (fileListAt(lastG)), so a
+    // trim that removed exactly up to the last-exported commit must
+    // re-anchor too, not crash the diff
+    if ((lastG to latest).exists(g => !t.versionExists(g))) {
       val ts = commitTs(t, latest)
       val prev = replayAdds(t)
       val files = t.fileListAt(latest)
@@ -442,16 +439,10 @@ object DeltaExport {
       : (Map[String, ObjectNode], Map[String, Long]) = {
     val txns = mutable.LinkedHashMap.empty[String, Long]
     val live = mutable.LinkedHashMap.empty[String, ObjectNode]
-    val lc = new HPath(deltaDir(t), "_last_checkpoint")
-    val ckptV: Long =
-      if (!t.fs.exists(lc)) -1L
+    val ckptV: Long = {
+      val v = newestCheckpoint(t.fs, deltaDir(t))
+      if (v < 0) -1L
       else {
-        val in = t.fs.open(lc)
-        val v =
-          try mapper.readTree(new String(
-            in.readAllBytes(), StandardCharsets.UTF_8))
-            .get("version").asLong
-          finally in.close()
         val ckpt = t.spark.read.parquet(
           new HPath(deltaDir(t), f"$v%020d.checkpoint.parquet").toString)
         ckpt.filter("add IS NOT NULL").select("add.*").collect()
@@ -475,6 +466,7 @@ object DeltaExport {
                 r.getLong(r.fieldIndex("version")))
         v
       }
+    }
     listEntries(t).filter(_ > ckptV).foreach { v =>
       val in = t.fs.open(entryFile(t, v))
       val body =
@@ -564,11 +556,13 @@ object DeltaExport {
       .getOrElse(throw new IllegalStateException(
         s"${t.path}: checkpoint write produced no parquet part"))
     val dest = new HPath(deltaDir(t), f"$dv%020d.checkpoint.parquet")
-    t.fs.delete(dest, false)
-    if (!t.fs.rename(part, dest)) {
+    // a checkpoint at dv is a pure function of the replayed log at dv:
+    // if one is already published (concurrent exporter, or a crashed
+    // run that died between publish and pointer flip), its content is
+    // equivalent — NEVER delete-then-rename over it, which would open
+    // a window where the pointer names a missing file
+    if (!t.fs.exists(dest) && !t.fs.rename(part, dest)) {
       t.fs.delete(tmp, true)
-      // a concurrent exporter checkpointing the SAME version restates
-      // identical replayed state — losing that race is benign
       if (!t.fs.exists(dest))
         throw new IllegalStateException(
           s"${t.path}: could not publish checkpoint $dv")
@@ -591,20 +585,40 @@ object DeltaExport {
     }
   }
 
+  /** The newest REPLAYABLE checkpoint version: the `_last_checkpoint`
+    * pointer when it names an existing file, else the newest listed
+    * `*.checkpoint.parquet`. The pointer flip is delete-then-rename
+    * (no portable atomic replace across Hadoop filesystems), so there
+    * is a window where the pointer is absent or names a file a crashed
+    * writer never published — Delta readers likewise treat the pointer
+    * as a hint and fall back to a listing. -1 when none.
+    */
+  private def newestCheckpoint(
+      fs: org.apache.hadoop.fs.FileSystem, dir: HPath): Long = {
+    val lc = new HPath(dir, "_last_checkpoint")
+    val pointed: Long =
+      if (!fs.exists(lc)) -1L
+      else {
+        val in = fs.open(lc)
+        try scala.util.Try(mapper.readTree(new String(
+          in.readAllBytes(), StandardCharsets.UTF_8))
+          .get("version").asLong).getOrElse(-1L)
+        finally in.close()
+      }
+    if (pointed >= 0 &&
+        fs.exists(new HPath(dir, f"$pointed%020d.checkpoint.parquet")))
+      pointed
+    else if (!fs.exists(dir)) -1L
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.endsWith(".checkpoint.parquet"))
+      .map(_.stripSuffix(".checkpoint.parquet").toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
   /** Checkpoint cadence check after exporting up to `dv`. */
   private def maybeCheckpoint(t: ResourceTable, dv: Long,
                               schemaJson: String, ts: Long): Unit = {
-    val lc = new HPath(deltaDir(t), "_last_checkpoint")
-    val lastCkpt =
-      if (!t.fs.exists(lc)) -1L
-      else {
-        val in = t.fs.open(lc)
-        val body =
-          try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-          finally in.close()
-        mapper.readTree(body).get("version").asLong
-      }
-    if (dv - lastCkpt >= CheckpointInterval)
+    if (dv - newestCheckpoint(t.fs, deltaDir(t)) >= CheckpointInterval)
       writeCheckpoint(t, dv, schemaJson, ts)
   }
 
@@ -622,13 +636,8 @@ object DeltaExport {
     */
   def cleanupLog(t: ResourceTable,
                  retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[Long] = {
-    val lc = new HPath(deltaDir(t), "_last_checkpoint")
-    if (!t.fs.exists(lc)) return Seq.empty
-    val in = t.fs.open(lc)
-    val ckptV =
-      try mapper.readTree(new String(
-        in.readAllBytes(), StandardCharsets.UTF_8)).get("version").asLong
-      finally in.close()
+    val ckptV = newestCheckpoint(t.fs, deltaDir(t))
+    if (ckptV < 0) return Seq.empty
     val cutoff = System.currentTimeMillis() - retentionMs
     val dead = listEntries(t).filter(v => v < ckptV &&
       t.fs.getFileStatus(entryFile(t, v)).getModificationTime < cutoff)
@@ -670,16 +679,10 @@ object DeltaExport {
     // start from the checkpoint when one is published: replay is then
     // O(tail), not O(#commits) — how Delta keeps 100k-commit logs
     // readable. Foreign checkpoints may carry txn/remove tombstone
-    // rows; only protocol/metaData/add matter for a snapshot.
-    val lcFile = new HPath(dir, "_last_checkpoint")
-    val pointerV: Long =
-      if (!fs.exists(lcFile)) -1L
-      else {
-        val in = fs.open(lcFile)
-        try mapper.readTree(new String(
-          in.readAllBytes(), StandardCharsets.UTF_8)).get("version").asLong
-        finally in.close()
-      }
+    // rows; only protocol/metaData/add matter for a snapshot. The
+    // pointer is a HINT (its flip is not atomic): newestCheckpoint
+    // verifies the named file exists and falls back to a listing.
+    val pointerV: Long = newestCheckpoint(fs, dir)
     // time travel may not replay THROUGH a checkpoint newer than the
     // requested version — it would bake in later state
     val useCkpt = pointerV >= 0 && (versionAsOf < 0 || pointerV <= versionAsOf)
@@ -767,10 +770,24 @@ object DeltaExport {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     // historical snapshots may reference files VACUUM has since reaped;
     // fail naming them (Delta's own time travel fails the same way)
-    // instead of a mid-job FileNotFound
+    // instead of a mid-job FileNotFound. ONE listing per distinct
+    // parent dir, not one existence probe per file — N HEAD requests
+    // on an object store for an N-file snapshot is the wrong shape
+    // (same discipline as `sizes` above)
     if (versionAsOf >= 0) {
-      val gone = live.keys.toSeq.sorted
-        .filterNot(r => fs.exists(new HPath(root, r)))
+      val present = live.keys.toSeq
+        .groupBy(r => r.lastIndexOf('/') match {
+          case -1 => ""
+          case i => r.substring(0, i)
+        })
+        .keys.flatMap { d =>
+          val dp = if (d.isEmpty) root else new HPath(root, d)
+          if (!fs.exists(dp)) Seq.empty
+          else fs.listStatus(dp).map(s =>
+            if (d.isEmpty) s.getPath.getName
+            else s"$d/${s.getPath.getName}")
+        }.toSet
+      val gone = live.keys.toSeq.sorted.filterNot(present)
       if (gone.nonEmpty) throw new IllegalStateException(
         s"$tablePath: delta version $versionAsOf references " +
           s"${gone.size} file(s) removed by vacuum: " +

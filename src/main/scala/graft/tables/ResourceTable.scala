@@ -809,8 +809,27 @@ final class ResourceTable(val spark: SparkSession, val path: String,
   def append(source: DataFrame, mergeSchema: Boolean = false,
              txn: Option[(String, Long)] = None): Long = {
     val src = source.cache()
-    try enforceConstraints(src)
-    catch { case e: Throwable => src.unpersist(); throw e }
+    try {
+      enforceConstraints(src)
+      // Delta parity: without mergeSchema an append carrying columns
+      // the table doesn't have is a misconfiguration — reject it
+      // loudly rather than silently projecting the data away (a
+      // streaming sink pointed at the wrong table would otherwise
+      // lose columns with zero signal). Validated OUTSIDE retry(),
+      // like enforceConstraints: a deterministic rejection cannot
+      // succeed on re-drive, so burning the backoff budget on it
+      // only delays the error
+      if (!mergeSchema) {
+        val tableSchema = schema()
+        val extra = src.schema.fields
+          .filterNot(f => tableSchema.fieldNames.contains(f.name))
+        if (extra.nonEmpty)
+          throw new IllegalArgumentException(
+            s"append to $path: source has column(s) not in the table " +
+              s"schema: ${extra.map(_.name).mkString(", ")} — pass " +
+              "mergeSchema=true to evolve the schema, or drop them")
+      }
+    } catch { case e: Throwable => src.unpersist(); throw e }
     val result = try retry() {
       val cur = latestVersion
       val curV = cur.getOrElse(
@@ -823,16 +842,6 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         val tableSchema = schema()
         val newCols = src.schema.fields
           .filterNot(f => tableSchema.fieldNames.contains(f.name))
-        // Delta parity: without mergeSchema an append carrying columns
-        // the table doesn't have is a misconfiguration — reject it
-        // loudly rather than silently projecting the data away (a
-        // streaming sink pointed at the wrong table would otherwise
-        // lose columns with zero signal)
-        if (!mergeSchema && newCols.nonEmpty)
-          throw new IllegalArgumentException(
-            s"append to $path: source has column(s) not in the table " +
-              s"schema: ${newCols.map(_.name).mkString(", ")} — pass " +
-              "mergeSchema=true to evolve the schema, or drop them")
         val outSchema =
           if (mergeSchema && newCols.nonEmpty)
             StructType(tableSchema.fields ++ newCols)
@@ -1260,6 +1269,14 @@ final class ResourceTable(val spark: SparkSession, val path: String,
 }
 
 object ResourceTable {
+  /** Marker for a LOST WINNER ELECTION — ordinary optimistic
+    * concurrency, never a real failure. [[retry]] charges these to
+    * `conflictAttempts`, not the failure budget; any metadata-plane
+    * publisher (table commits, delta-log export) participates by
+    * mixing it in.
+    */
+  trait ConflictRetryable extends Throwable
+
   /** Another writer published this version first — ordinary optimistic
     * concurrency (Delta's ConcurrentAppendException analogue), retried
     * from its own budget by [[ResourceTable.retry]].
@@ -1268,6 +1285,7 @@ object ResourceTable {
                                       cause: Throwable)
     extends RuntimeException(
       s"$path: version $version was committed by another writer", cause)
+    with ConflictRetryable
 
   /** Delta's default deletedFileRetentionDuration: 1 week. */
   val DefaultMinRetentionMs: Long = 7L * 24 * 3600 * 1000
@@ -1315,7 +1333,7 @@ object ResourceTable {
     while (true) {
       try return body
       catch {
-        case e: CommitConflictException =>
+        case e: ConflictRetryable =>
           if (conflictsLeft <= 1) throw e
           conflictsLeft -= 1
           // flat jittered sleep: desynchronizes the losers; an

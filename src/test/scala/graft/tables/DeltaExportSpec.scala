@@ -433,6 +433,30 @@ class DeltaExportSpec extends SparkSpec {
       t.read().count())
   }
 
+  test("trim of exactly the last-exported commit re-anchors (the " +
+      "incremental diff needs lastG's own manifest)") {
+    val path = s"${tmpDir("dx")}/T.parquet"
+    val t = ResourceTable(spark, path).createIfNotExists(schema)
+    t.upsert(df("a" -> 1), "id")
+    DeltaExport.export(t)
+    val gAtExport = t.latestVersion.get
+    t.upsert(df("b" -> 2), "id")
+    t.upsert(df("c" -> 3), "id")
+    // delete ONLY the last-exported commit: every version after it is
+    // intact, but the incremental loop's first diff (against lastG's
+    // manifest) is impossible — must re-anchor, not crash
+    Files.delete(Paths.get(path, "_log", f"$gAtExport%020d.commit"))
+    Files.deleteIfExists(
+      Paths.get(path, "_log", f".$gAtExport%020d.commit.crc"))
+    val dv = DeltaExport.export(t)
+    val info = logLines(path, dv)
+      .flatMap(n => Option(n.get("commitInfo"))).head
+    assert(info.get("operation").asText.contains("RE-ANCHOR"))
+    assert(DeltaExport.readSnapshot(spark, path).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap ==
+      Map("a" -> 1, "b" -> 2, "c" -> 3))
+  }
+
   test("concurrent exporters converge on one consistent log") {
     val path = s"${tmpDir("dx")}/T.parquet"
     val t = ResourceTable(spark, path).createIfNotExists(schema)
