@@ -41,7 +41,10 @@ object Lakehousekeeper {
     * sub-minimum retention is refused unless explicitly disabled.
     */
   def vacuum(spark: SparkSession, dir: String,
-             retentionHours: Long = 24, dryRun: Boolean = false,
+             // 7 days — Delta's deletedFileRetentionDuration default.
+             // (A 24h default contradicted enforceRetention=true: the
+             // no-argument call refused itself on every table.)
+             retentionHours: Long = 168, dryRun: Boolean = false,
              enforceRetention: Boolean = true): Seq[(String, Int)] =
     listTables(spark, dir).map { p =>
       val t = ResourceTable(spark, p)
@@ -84,7 +87,7 @@ object Lakehousekeeper {
     * of the O(table) `optimize`.
     */
   def compact(spark: SparkSession, dir: String,
-              minBytes: Long = 32L << 20,
+              minBytes: Long = ResourceTable.DefaultCompactMinBytes,
               targetBytes: Long = 1L << 30): Seq[(String, (Int, Int))] =
     listTables(spark, dir).map { p =>
       p -> ResourceTable(spark, p).compactSmallFiles(minBytes, targetBytes)
@@ -129,7 +132,10 @@ object Lakehousekeeper {
     val fq = s"`$schema`.`$table`"
     // the previous registration may be either object type; DROP TABLE
     // on a view (and vice versa) errors even with IF EXISTS
-    if (spark.catalog.tableExists(s"$schema.$table")) {
+    // quoted like the DDL below: an unquoted probe parses the string
+    // as a multipart identifier and dies on path-derived names that
+    // need quoting (dashes etc.) before the backticked CREATE runs
+    if (spark.catalog.tableExists(s"`$schema`.`$table`")) {
       if (spark.catalog.getTable(schema, table).tableType == "VIEW")
         spark.sql(s"DROP VIEW $fq")
       else spark.sql(s"DROP TABLE $fq")
@@ -217,7 +223,7 @@ object Lakehousekeeper {
     try {
       cmd match {
         case "vacuum" =>
-          val hours = args.lift(2).map(_.toLong).getOrElse(24L)
+          val hours = args.lift(2).map(_.toLong).getOrElse(168L)
           val dry = args.lift(3).contains("dry") // VACUUM ... DRY RUN parity
           // --enforce-retention-duration=false analogue
           val enforce = !args.drop(3).contains("no-enforce")
@@ -247,7 +253,7 @@ object Lakehousekeeper {
             case Some(v) if v.toLowerCase.endsWith("m") =>
               v.dropRight(1).toLong << 20
             case Some(v) => v.toLong
-            case None => 32L << 20
+            case None => ResourceTable.DefaultCompactMinBytes
           }
           compact(spark, dir, minB).foreach { case (p, (c, kept)) =>
             println(s"compacted $p: $c small files coalesced, $kept carried")

@@ -133,14 +133,25 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     * the full version history.
     */
   def readVersion(v: Long): DataFrame = {
+    // the schema the COMMIT recorded, not the head's: after a RESTORE
+    // to a pre-evolution version the head schema is narrower than a
+    // later version's files, and reading v under it would silently
+    // drop the evolved columns from a version that physically has
+    // them (Delta's versionAsOf serves each version under its own
+    // schema). Pre-schema-field commit bodies fall back to the head.
+    val vSchema = FileStats.schemaOf(commitBody(v))
+      .flatMap(j => scala.util.Try(
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[StructType]).toOption)
+      .getOrElse(schema())
     val files = fileListAt(v)
     if (files.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema())
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vSchema)
     if (missingFiles(files.map(_._1)).nonEmpty)
       throw new IllegalStateException(
         s"version $v of $path was vacuumed")
-    spark.read.schema(schema())
+    spark.read.schema(vSchema)
       .parquet(files.map(f => resolve(f._1).toString): _*)
   }
 
@@ -544,8 +555,15 @@ final class ResourceTable(val spark: SparkSession, val path: String,
           clusterCols.mkString("\n"))
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      commitFiles(Some(empty), Seq.empty, schema.json,
-        expectedCurrent = None, op = "CREATE TABLE")
+      try { commitFiles(Some(empty), Seq.empty, schema.json,
+        expectedCurrent = None, op = "CREATE TABLE"): Unit }
+      catch {
+        // IfNotExists semantics under concurrency: two creators can
+        // both pass the exists check; the loser's commit-0 election
+        // loss means the table NOW exists — which is exactly what
+        // this method promises, not an error
+        case _: ConflictRetryable if exists => ()
+      }
     }
     this
   }
@@ -734,19 +752,8 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       // (optimizedWrite pays one extra count to size its range files —
       // the knob is off by default, so the hot path stays single-job.)
       if (!files.exists(_._2.rows > 0)) {
-        if (optimizeWriteEnabled) {
-          val n = src.count()
-          commitFiles(Some(clusterForWrite(
-              src.select(outCols.map(col): _*), n)),
-            Seq.empty, outSchema.json, cur, op = "MERGE")
-          n
-        } else {
-          val obs = org.apache.spark.sql.Observation()
-          commitFiles(Some(src.select(outCols.map(col): _*)
-              .observe(obs, count(lit(1)).as("_rows"))),
-            Seq.empty, outSchema.json, cur, op = "MERGE")
-          obs.get("_rows").asInstanceOf[Long]
-        }
+        commitCounted(src, outCols, outSchema.json, Seq.empty, cur,
+          op = "MERGE")
       } else {
         val (srcRows, mayOverlap) = keyProfile(src, key)
         val (touched, untouched) = files.partition(f => mayOverlap(f._2))
@@ -848,24 +855,37 @@ final class ResourceTable(val spark: SparkSession, val path: String,
           else tableSchema
         val outCols = outSchema.fieldNames.toSeq
         val files = fileListAt(curV).filterNot(_._2.rows == 0)
-        if (optimizeWriteEnabled) {
-          val n = src.count()
-          commitFiles(Some(clusterForWrite(
-              src.select(outCols.map(col): _*), n)),
-            files, outSchema.json, cur, op = "APPEND", txn = txn)
-          n
-        } else {
-          val obs = org.apache.spark.sql.Observation()
-          commitFiles(Some(src.select(outCols.map(col): _*)
-              .observe(obs, count(lit(1)).as("_rows"))),
-            files, outSchema.json, cur, op = "APPEND", txn = txn)
-          obs.get("_rows").asInstanceOf[Long]
-        }
+        commitCounted(src, outCols, outSchema.json, files, cur,
+          op = "APPEND", txn = txn)
       }
     } finally src.unpersist()
     maybeAutoCompact()
     result
   }
+
+  /** Write `src` projected to `outCols` as a commit's new data,
+    * returning the row count observed ON the write job itself (or via
+    * the one explicit count optimizedWrite needs to size its range
+    * files) — the shared tail of upsert's pure-insert path and
+    * append.
+    */
+  private def commitCounted(src: DataFrame, outCols: Seq[String],
+      outSchemaJson: String, kept: Seq[(String, FileStats.FileStat)],
+      cur: Option[Long], op: String,
+      txn: Option[(String, Long)] = None): Long =
+    if (optimizeWriteEnabled) {
+      val n = src.count()
+      commitFiles(Some(clusterForWrite(
+          src.select(outCols.map(col): _*), n)),
+        kept, outSchemaJson, cur, op = op, txn = txn)
+      n
+    } else {
+      val obs = org.apache.spark.sql.Observation()
+      commitFiles(Some(src.select(outCols.map(col): _*)
+          .observe(obs, count(lit(1)).as("_rows"))),
+        kept, outSchemaJson, cur, op = op, txn = txn)
+      obs.get("_rows").asInstanceOf[Long]
+    }
 
   /** J2 — MERGE delete: drop target rows whose key appears in `ids`
     * (a single-column DataFrame of key values). Same file-granular
@@ -882,13 +902,17 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       val (nIds, mayOverlap) = keyProfile(idsKeyed, key)
       val (touched, untouched) = files.partition(f => mayOverlap(f._2))
       val kept = untouched.filterNot(_._2.rows == 0)
+      // a non-overlapping delete still COMMITS (copy-forward version):
+      // Delta likewise publishes a version for an unmatched
+      // MERGE/DELETE — the spec pins this as the contract
       val newData =
         if (touched.isEmpty) None // no file can hold a listed key
         else {
           val target = spark.read.schema(schema())
             .parquet(touched.map(f => resolve(f._1).toString): _*)
           val joined = target.join(
-            if (nIds <= broadcastRowLimit) broadcast(idsKeyed) else idsKeyed,
+            if (nIds <= broadcastRowLimit) broadcast(idsKeyed)
+            else idsKeyed,
             Seq(key), "left_anti")
           lastMergePlan = Some(joined.queryExecution.sparkPlan.toString)
           Some(joined)
@@ -1104,13 +1128,21 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     */
   def cleanupMetadata(keepLast: Int = 100): Int = {
     val cur = latestVersion.getOrElse(return 0)
+    // INVARIANT with latestVersion's probe: the probe walks forward
+    // from the checkpoint hint and stops at the first missing commit,
+    // so deleting any commit AT or ABOVE the hint would open a gap
+    // that makes the probe return a stale head (wedging writers in a
+    // conflict loop against versions they cannot see). Hints can lag
+    // (their write is best-effort), so the hint, not `cur`, is the
+    // deletion ceiling.
+    val ceiling = checkpointHint().getOrElse(Long.MaxValue)
     val commits = fs.listStatus(logDir).map(_.getPath)
       .filter(_.getName.endsWith(".commit"))
       .map(p => p.getName.stripSuffix(".commit").toLong -> p)
       .sortBy(_._1)
     var n = 0
     commits.dropRight(keepLast).foreach { case (v, p) =>
-      if (v != cur && !versionIntact(v)) {
+      if (v != cur && v < ceiling && !versionIntact(v)) {
         fs.delete(p, false); n += 1
       }
     }
@@ -1231,16 +1263,37 @@ final class ResourceTable(val spark: SparkSession, val path: String,
           fs.delete(dir, true)
           throw e
       }
-    try out.write(
-      s"""{"version":$next,"op":"$op","ts":${System.currentTimeMillis()},"dir":"$dirName"$txnsJson,"schema":$schemaJson,"files":$statsJson}"""
-        .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    // we WON the election: the commit file exists and is ours. If the
+    // body fails to land (disk full, crash-adjacent IO error), the
+    // empty/truncated file would wedge the table permanently — every
+    // reader's readCommitBody deadline-spins on it and no code path
+    // removes it. Return the slot (delete the commit file AND the
+    // snap dir) before rethrowing, so retry()/the operator see a
+    // clean table.
+    try {
+      try out.write(
+        s"""{"version":$next,"op":"$op","ts":${System.currentTimeMillis()},"dir":"$dirName"$txnsJson,"schema":$schemaJson,"files":$statsJson}"""
+          .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case e: Throwable =>
+      try fs.delete(commitFile(next), false)
+      catch { case _: Throwable => () }
+      try fs.delete(dir, true) catch { case _: Throwable => () }
+      throw e
+    }
     // roll the lookup checkpoint forward every checkpointInterval
     // commits (reference settings.py:48). A plain overwrite: the file
-    // is a monotone hint, never load-bearing for correctness.
+    // is a monotone hint, never load-bearing for correctness — so a
+    // failed hint write must NOT fail (or re-drive!) the already-
+    // published commit: retry() would re-apply the whole mutation and
+    // double-append the batch
     if (checkpointInterval > 0 && next > 0 &&
         next % checkpointInterval == 0)
-      writeFile(lastCheckpointFile, s"""{"version":$next}""")
+      try writeFile(lastCheckpointFile, s"""{"version":$next}""")
+      catch { case e: Throwable => System.err.println(
+        s"$path: checkpoint hint write failed (commit $next is " +
+          s"published and safe): ${e.getMessage}")
+      }
     next
   }
 

@@ -136,11 +136,14 @@ class ResourceTableSpec extends SparkSpec {
     val rows = t.read().collect()
       .map(r => r.getString(0) -> Option(r.getString(2))).toMap
     assert(rows == Map("a" -> None, "b" -> Some("x"), "c" -> Some("x")))
-    // time travel across the evolution: the pre-widening snapshot reads
-    // under the current schema with the added column null-filled
-    val old = t.readVersion(v1).collect()
-      .map(r => r.getString(0) -> Option(r.getString(2))).toMap
-    assert(old == Map("a" -> None, "b" -> None))
+    // time travel across the evolution: each version reads under ITS
+    // OWN recorded schema (Delta versionAsOf parity) — the pre-widening
+    // snapshot has no `extra` column at all, and crucially a RESTORE
+    // to a narrow version cannot silently drop columns from a later
+    // version that physically has them
+    val oldDf = t.readVersion(v1)
+    assert(oldDf.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(oldDf.collect().map(_.getString(0)).toSet == Set("a", "b"))
   }
 
   test("concurrent commit conflict: loser retries, winner's snapshot intact") {
