@@ -534,6 +534,45 @@ class ResourceTableSpec extends SparkSpec {
     assert(t.read().count() == 1100)
   }
 
+  test("cleanupMetadata never trims at or above the checkpoint hint " +
+      "(latestVersion's probe must not stop at a cleanup gap)") {
+    import spark.implicits._
+    val t = ResourceTable(spark, s"${tmpDir("rtceil")}/T.parquet",
+      checkpointInterval = 10)
+    val data = Seq((1L, "a")).toDF("id", "name")
+    t.createIfNotExists(data.schema)
+    // 12 upserts of the SAME key: every pre-head version's file is
+    // rewritten, so after vacuum(0) none of them is intact
+    (1 to 12).foreach(i =>
+      t.upsert(Seq((1L, s"v$i")).toDF("id", "name"), "id"))
+    t.vacuum(0)
+    // hint sits at v10; keepLast=1 would previously trim v10/v11
+    // (non-intact, != cur) leaving the probe a gap → stale head 10
+    t.cleanupMetadata(keepLast = 1)
+    assert(t.versionExists(10) && t.versionExists(11),
+      "commits at/above the hint must survive cleanup")
+    assert(t.latestVersion.contains(12L))
+    assert(t.read().collect().map(_.getString(1)).toSeq == Seq("v12"))
+  }
+
+  test("createIfNotExists is concurrency-safe: racing creators both succeed") {
+    import spark.implicits._
+    val path = s"${tmpDir("rtrace")}/T.parquet"
+    val schema0 = Seq((1L, "a")).toDF("id", "name").schema
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { _ =>
+      new Thread(() =>
+        try ResourceTable(spark, path).createIfNotExists(schema0): Unit
+        catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    assert(errs.isEmpty, s"create raced into: ${errs.peek()}")
+    val t = ResourceTable(spark, path)
+    assert(t.exists && t.latestVersion.contains(0L))
+    t.upsert(Seq((1L, "a")).toDF("id", "name"), "id")
+    assert(t.read().count() == 1)
+  }
+
   test("checkpointed latestVersion reads hint + tail, not the whole log") {
     import spark.implicits._
     val base = s"${tmpDir("rtckpt")}/T.parquet"
