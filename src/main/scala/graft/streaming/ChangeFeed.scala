@@ -121,7 +121,20 @@ object ChangeFeed {
       // the commit BODY is never read — the file NAME is the event
       .select(col("path").as("file"))
       .writeStream
-      .queryName(s"changefeed-${versionSafeName(tablePath)}")
+      // smallest-free-suffix like Engine.startQuery: TWO consumers on
+      // the same table (the normal multi-consumer CDF pattern, each
+      // with its own checkpointDir) must not fight over one
+      // session-global query name — and takeRight(40) can collide two
+      // distinct long paths. The CHECKPOINT stays caller-scoped, so
+      // recovery identity is unaffected by the start order.
+      .queryName {
+        val base = s"changefeed-${versionSafeName(tablePath)}"
+        val taken = spark.streams.active
+          .flatMap(q => Option(q.name)).toSet
+        if (!taken.contains(base)) base
+        else Iterator.from(1).map(i => s"$base-$i")
+          .find(!taken.contains(_)).get
+      }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -130,7 +143,28 @@ object ChangeFeed {
         // data
         val versions = batch.select("file").distinct().collect()
           .map(r => versionOf(r.getString(0))).sorted
-        versions.foreach { v =>
+        def handleOne(v: Long): Unit = {
+          // fresh consumer, first real version, predecessor already
+          // trimmed: v is this consumer's base snapshot, not a gap.
+          // `v >= floor`, not `>`: an explicit startingVersion that
+          // lands exactly on the oldest retained commit must base-
+          // snapshot too, not chase its trimmed predecessor
+          val baseSnapshot =
+            lastSeen < 1 && v >= floor && !table.versionExists(v - 1)
+          if (baseSnapshot)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"change feed on $tablePath: log already trimmed below " +
+                s"v$v — treating v$v as this consumer's base snapshot, " +
+                s"streaming changes from v${v + 1}")
+          if (!baseSnapshot && v >= floor)
+            handler(v, table.changes(v - 1, v, key))
+          if (v >= 1) lastSeen = v
+        }
+        // persist the contiguous prefix even when a later version
+        // throws mid-batch: versions the handler already delivered
+        // must not be re-delivered after the operator fixes the cause
+        // and restarts (the marker write is the exactly-once record)
+        try versions.foreach { v =>
           if (v <= lastSeen) {
             // replay of an already-persisted version: the high-water
             // mark only advances after v was fully handled, so a crash
@@ -141,34 +175,35 @@ object ChangeFeed {
             // means skip.
             ()
           } else {
-            if (lastSeen >= 1 && v > lastSeen + 1)
-              throw new IllegalStateException(
-                s"change feed gap on $tablePath: versions " +
-                  s"${lastSeen + 1}..${v - 1} never arrived (high-water " +
-                  s"mark $lastSeen persisted at $wmDir) — commit log " +
-                  "trimmed under a lagging consumer? raise " +
-                  "cleanupMetadata keepLast above the consumer lag")
-            // fresh consumer, first real version, predecessor already
-            // trimmed: v is this consumer's base snapshot, not a gap.
-            // `v >= floor`, not `>`: an explicit startingVersion that
-            // lands exactly on the oldest retained commit must base-
-            // snapshot too, not chase its trimmed predecessor
-            val baseSnapshot =
-              lastSeen < 1 && v >= floor && !table.versionExists(v - 1)
-            if (baseSnapshot)
-              org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                s"change feed on $tablePath: log already trimmed below " +
-                  s"v$v — treating v$v as this consumer's base snapshot, " +
-                  s"streaming changes from v${v + 1}")
-            if (!baseSnapshot && v >= floor)
-              handler(v, table.changes(v - 1, v, key))
-            if (v >= 1) lastSeen = v
+            if (lastSeen >= 1 && v > lastSeen + 1) {
+              // the listing skipped lastSeen+1..v-1. Two causes, two
+              // answers: if the commits EXIST on disk this is a
+              // listing-order artifact (mod-time ties, eventually-
+              // consistent stores, maxFilesPerTrigger splits) — handle
+              // them in order right now; the file source will list
+              // them later and the v<=lastSeen skip absorbs the
+              // duplicates. Only a commit that is truly ABSENT is a
+              // trim — fail loudly as ever.
+              (lastSeen + 1 until v).foreach { w =>
+                if (!table.versionExists(w))
+                  throw new IllegalStateException(
+                    s"change feed gap on $tablePath: version $w never " +
+                      s"arrived (high-water mark $lastSeen persisted " +
+                      s"at $wmDir) — commit log trimmed under a " +
+                      "lagging consumer? raise cleanupMetadata " +
+                      "keepLast above the consumer lag")
+                handleOne(w)
+              }
+            }
+            handleOne(v)
           }
+        } finally {
+          // the batch is the replay unit (foreachBatch is
+          // at-least-once): a crash before this point replays the
+          // batch, and the marker makes the replay skip what was
+          // already delivered
+          if (lastSeen >= 1) advanceHighWater(wmFs, wmDir, lastSeen)
         }
-        // persist once per batch — the batch is the replay unit
-        // (foreachBatch is at-least-once), so a crash before this line
-        // replays the whole batch against the old mark, never past it
-        if (lastSeen >= 1) advanceHighWater(wmFs, wmDir, lastSeen)
       }
       .start()
   }

@@ -209,6 +209,22 @@ object Engine {
         .start()
     }
 
+    // checkpoint paths are keyed by the PLAIN name under this engine's
+    // checkpointDir — a duplicate resource type (config typo) or one
+    // literally named "default" would give two queries the same
+    // checkpoint, and Spark's stopActiveRunOnRestart then SILENTLY
+    // stops the first when the second recovers the same query id.
+    // Name disambiguation can't help (checkpoints must be
+    // restart-stable), so refuse loudly.
+    val dupes = settings.resourceTypes
+      .groupBy(identity).collect { case (rt, vs) if vs.size > 1 => rt }
+    if (dupes.nonEmpty)
+      throw new IllegalArgumentException(
+        s"duplicate resourceTypes: ${dupes.mkString(", ")}")
+    if (settings.resourceTypes.contains("default"))
+      throw new IllegalArgumentException(
+        "\"default\" is reserved for the catch-all query; rename the " +
+          "resource type")
     val typed = settings.resourceTypes.map { rt =>
       startQuery(rt, BundlePipeline.forType(prepared, rt)) // P7
     }

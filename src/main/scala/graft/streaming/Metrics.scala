@@ -21,16 +21,41 @@ final class QueryProgressListener extends StreamingQueryListener {
   val kafkaOffsets = new ConcurrentHashMap[(String, String, String, String), Long]()
   /** query name → cumulative input rows. */
   val inputRows = new ConcurrentHashMap[String, Long]()
+  /** query id → name, so termination (which carries only ids) can
+    * clear that query's gauges.
+    */
+  private val names = new ConcurrentHashMap[String, String]()
+  /** query name → last batchId whose rows were counted: a restarted
+    * query re-emits progress for its replayed batch, and summing it
+    * twice would inflate the cumulative row total.
+    */
+  private val lastBatch = new ConcurrentHashMap[String, java.lang.Long]()
 
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
-  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+
+  /** A terminated query must stop scraping: a gauge frozen at its
+    * last value reads as a live rate forever. The cumulative
+    * input_rows total is kept — it is a counter, not a gauge.
+    */
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
+    Option(names.remove(event.id.toString)).foreach { name =>
+      rowsPerSecond.remove(name)
+      kafkaOffsets.keySet.asScala
+        .filter(_._1 == name).foreach(kafkaOffsets.remove)
+    }
+  }
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
     val name = Option(p.name).getOrElse(p.id.toString)
+    names.put(p.id.toString, name)
     if (!p.processedRowsPerSecond.isNaN)
       rowsPerSecond.put(name, p.processedRowsPerSecond)
-    inputRows.merge(name, p.numInputRows, (a, b) => a + b)
+    // java.lang.Long, not Long: a Scala-primitive map would unbox the
+    // first put's null to 0 and silently skip batch 0's rows
+    val counted: java.lang.Long = lastBatch.put(name, p.batchId)
+    if (counted == null || counted.longValue() < p.batchId)
+      inputRows.merge(name, p.numInputRows, (a, b) => a + b)
     p.sources.foreach { s =>
       recordOffsets(name, "start", s.startOffset)
       recordOffsets(name, "end", s.endOffset)

@@ -12,16 +12,19 @@ object StreamOps {
 
   /** Tumbling event-time counts per key with a watermark: state for a
     * window is dropped once the watermark passes its end — bounded
-    * memory on unbounded streams.
+    * memory on unbounded streams. `valueCol` is the summed measure
+    * (parameterized like the rest — a hardcoded name would fail
+    * analysis on any stream not shaped exactly like the test's).
     */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
                      windowLength: String = "1 hour",
-                     watermark: String = "2 hours"): DataFrame =
+                     watermark: String = "2 hours",
+                     valueCol: String = "value"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLength), col(keyCol))
       .agg(count(lit(1)).as("cnt"),
-        sum(col("value")).as("sum_val"))
+        sum(col(valueCol)).as("sum_val"))
       .select(col("window.start").as("w_start"),
         col("window.end").as("w_end"), col(keyCol), col("cnt"),
         col("sum_val"))
@@ -66,13 +69,18 @@ object StreamOps {
                          leftTs: String, rightTs: String,
                          keyEq: Column, maxDelay: String = "1 minute",
                          watermark: String = "10 seconds",
-                         joinType: String = "inner"): DataFrame =
-    left.withWatermark(leftTs, watermark)
-      .join(right.withWatermark(rightTs, watermark),
-        keyEq &&
-          col(rightTs) >= col(leftTs) &&
-          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $maxDelay"),
-        joinType)
+                         joinType: String = "inner"): DataFrame = {
+    val lw = left.withWatermark(leftTs, watermark)
+    val rw = right.withWatermark(rightTs, watermark)
+    // side-qualified refs, not bare col(): two feeds that both call
+    // their event time "ts" (the common case) would otherwise be an
+    // AMBIGUOUS_REFERENCE at analysis
+    lw.join(rw,
+      keyEq &&
+        rw(rightTs) >= lw(leftTs) &&
+        rw(rightTs) <= lw(leftTs) + expr(s"INTERVAL $maxDelay"),
+      joinType)
+  }
 
   /** Left-outer attribution: like [[eventTimeRangeJoin]] but an
     * unmatched left row is EMITTED with nulls once the watermark
