@@ -2470,25 +2470,25 @@ object SparkEntry {
         |  FROM scored) WHERE rn = 1""".stripMargin,
 
     "q_lang_id" ->
-      """WITH profiles(plang, stops) AS (VALUES
-        |  ('en', ['the','and','of','to','a','in','is','it','that']),
-        |  ('de', ['der','die','das','und','ist','nicht','ein','zu']),
-        |  ('fr', ['le','la','les','et','est','un','une','que']),
-        |  ('es', ['el','la','los','y','es','un','una','que']),
-        |  ('zh', ['的','是','了','在','和','有'])),
+      """WITH profiles(plang, pidx, stops) AS (VALUES
+        |  ('en', 0, ['the','and','of','to','a','in','is','it','that']),
+        |  ('de', 1, ['der','die','das','und','ist','nicht','ein','zu']),
+        |  ('fr', 2, ['le','la','les','et','est','un','une','que']),
+        |  ('es', 3, ['el','la','los','y','es','un','una','que']),
+        |  ('zh', 4, ['的','是','了','在','和','有'])),
         |toks AS (
         |  SELECT doc_id, lang,
         |    regexp_split_to_array(trim(lower(text)), '\s+') AS ts
         |  FROM documents),
         |scored AS (
-        |  SELECT doc_id, lang, plang,
+        |  SELECT doc_id, lang, plang, pidx,
         |    CAST(len(list_filter(ts, t -> list_contains(stops, t))) AS DOUBLE)
         |      / greatest(len(ts), 1) AS score
         |  FROM toks CROSS JOIN profiles)
         |SELECT doc_id, lang, plang AS predicted_lang FROM (
         |  SELECT doc_id, lang, plang,
         |    row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY score DESC, plang DESC) AS rn
+        |      ORDER BY score DESC, pidx ASC) AS rn
         |  FROM scored) WHERE rn = 1""".stripMargin,
 
     "q_ann_topk" ->
@@ -2639,7 +2639,7 @@ object SparkEntry {
         |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
         |    / length(string_split_regex(trim(text), '\s+')) AS avg_word_len,
         |  CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
-        |      x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+        |      x -> lower(x) IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
         |    / length(string_split_regex(trim(text), '\s+')) AS stopword_ratio
         |FROM documents""".stripMargin,
 

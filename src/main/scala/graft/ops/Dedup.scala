@@ -49,6 +49,14 @@ object Dedup {
     df.select(col(idCol).as("doc"),
         graft.functions.TextExpressions.shingle_hashes(col(textCol), w)
           .as("sh"))
+      // a doc with fewer than w tokens has NO shingle set; minhash of
+      // an empty set is the all-sentinel signature, so every pair of
+      // unrelated short docs would otherwise share identical
+      // signatures, co-bucket in every band, and score est_jaccard
+      // 1.0 — collapsing ALL titles/one-liners into one "duplicate"
+      // cluster (silent data loss through keep-best). No shingles ⇒
+      // no near-dup evidence: exact dedup still covers short docs.
+      .filter(size(col("sh")) > 0)
       .select(col("doc"), col("sh"),
         minhash_signature(col("sh"), k).as("sig"))
 
@@ -237,12 +245,14 @@ object Dedup {
     * Returns (canonical_id, keep_id, keep_score, cluster_size).
     *
     * ONE shuffle on canonical_id with full map-side partial
-    * aggregation (`max_by` over a (score, -id) struct — no window over
+    * aggregation (`min_by` over a (-score, id) struct — no window over
     * the corpus, no per-cluster sort), after a broadcast-eligible join
     * of labels to scores. At 100 TB the aggregate state is one
     * (id, score) pair per cluster per partition — bounded regardless
     * of cluster size, unlike a row_number window which would sort
-    * every cluster's rows.
+    * every cluster's rows. The SCORE side carries the negation (it is
+    * numeric by contract); negating the id would crash under ANSI for
+    * the string doc ids the rest of this module supports.
     */
   def keepBest(labels: DataFrame, scores: DataFrame,
                idCol: String = "doc_id",
@@ -250,8 +260,9 @@ object Dedup {
     labels.join(scores.select(col(idCol), col(scoreCol)), Seq(idCol))
       .groupBy(col("canonical_id"))
       .agg(
-        max_by(col(idCol),
-          struct(col(scoreCol), (-col(idCol)).as("_tb"))).as("keep_id"),
+        min_by(col(idCol),
+          struct((-col(scoreCol)).as("_ns"), col(idCol).as("_tb")))
+          .as("keep_id"),
         max(col(scoreCol)).as("keep_score"),
         count(lit(1)).as("cluster_size"))
 
@@ -314,11 +325,27 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 1024): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
     val sims = simhash(df, idCol, textCol)
-    val bandStructs = (0 until 4).map(b => struct(
-      lit(b).as("band_idx"),
-      shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF)
-        .as("band_val")))
+    // pigeonhole recall guarantee: ≤ maxHamming differing bits cannot
+    // touch all maxHamming+1 bands, so every qualifying pair shares at
+    // least one full band. A FIXED band count (the old 4×16) silently
+    // missed pairs once maxHamming exceeded bands-1 — e.g. hamming 4
+    // spread one bit per band shares nothing. Narrower bands cost more
+    // candidates (the exact hamming filter below still decides), never
+    // recall.
+    val bands = maxHamming + 1
+    val widths = Array.fill(bands)(64 / bands)
+    (0 until 64 % bands).foreach(i => widths(i) += 1)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val bandStructs = (0 until bands).map { b =>
+      val mask = if (widths(b) >= 64) -1L else (1L << widths(b)) - 1L
+      struct(
+        lit(b).as("band_idx"),
+        shiftright(col("simhash"), offsets(b)).bitwiseAND(mask)
+          .as("band_val"))
+    }
     val buckets = sims
       .select(struct(col("doc"), col("simhash")).as("m"),
         explode(array(bandStructs: _*)).as("band"))

@@ -46,7 +46,12 @@ object Sampling {
     val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
     val assigned = fractions.init.zip(cum.init)
       .foldLeft(Option.empty[Column]) { case (acc, ((name, _), c)) =>
-        val t = f"${math.floor(c * 65536).toLong}%04x"
+        // hexThreshold, not a bare %04x: a cumulative fraction that
+        // reaches 1.0 BEFORE the last split (trailing zero-fraction
+        // splits) would format as the 5-char "10000", which sorts
+        // below almost every hash and silently reassigns that
+        // split's entire share to the final split
+        val t = hexThreshold(c)
         Some(acc match {
           case None => when(h < lit(t), name)
           case Some(w) => w.when(h < lit(t), name)
@@ -103,7 +108,12 @@ object Sampling {
   def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
                      salt: String, alpha: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    // materialized once: the counts subtree feeds both the rates join
+    // side AND its own min() — uncached, Spark recomputes the
+    // aggregation from the corpus for each subtree, a full redundant
+    // scan at the 100 TB framing above
     val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
+      .localCheckpoint(true)
     val rates = counts
       .crossJoin(broadcast(counts.agg(min(col("_n")).as("_nmin"))))
       .select(col(sourceCol),

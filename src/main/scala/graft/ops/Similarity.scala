@@ -67,11 +67,21 @@ object Similarity {
                      vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-    val scored = c.join(broadcast(q))
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    rankTopK(c.join(broadcast(q)), k)
+  }
+
+  /** Shared score-then-rank tail of every top-k variant: cosine over
+    * the (q_vec, n_vec) candidate rows, rank window per query (ties
+    * to the smaller neighbor id — deterministic), keep k. One place,
+    * because the output contract (and its oracle SQL) must stay
+    * bit-identical across brute-force and both IVF paths.
+    */
+  private def rankTopK(candidates: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("q_id")
       .orderBy(col("sim").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    candidates
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "n_id", "rank")
   }
@@ -158,13 +168,7 @@ object Similarity {
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"), col("cell"))
     val ca = ivfAssign(corpus, nCells, dim, vecCol)
       .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cell"))
-    val scored = ca.join(broadcast(qa), "cell")
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("sim").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "n_id", "rank")
+    rankTopK(ca.join(broadcast(qa), "cell"), k)
   }
 
   /** Persist an IVF index: the corpus written as Parquet PARTITIONED BY
@@ -193,13 +197,7 @@ object Similarity {
     val cells = qa.select("cell").distinct().collect().map(_.getInt(0))
     val ca = index.filter(col("cell").isin(cells.map(Integer.valueOf): _*))
       .select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col("cell"))
-    val scored = ca.join(broadcast(qa), "cell")
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("sim").desc, col("n_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "n_id", "rank")
+    rankTopK(ca.join(broadcast(qa), "cell"), k)
   }
 
   /** The deterministic IVF coarse-centroid directions — public so gate

@@ -12,8 +12,14 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  /** Whitespace tokenization (the baseline tokenizer). */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokenization (the baseline tokenizer). The empty
+    * filter matters for ONE input shape: `split(trim(''), "\\s+")` is
+    * `[""]`, which would count an empty/whitespace-only document as
+    * one token — and a `n_tokens >= 1` min-length gate would then
+    * never remove empty docs.
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
 
   /** Token count — whitespace tokens, BIGINT for oracle parity. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
@@ -41,13 +47,19 @@ object TextStats {
     val nTokens = size(toks).cast("long")
     val nChars = length(t).cast("long")
     val nNonSpace = length(regexp_replace(t, "\\s", "")).cast("long")
-    val stopCnt = size(filter(toks, tok => tok.isInCollection(stopwords)))
+    // stopwords are matched case-insensitively: the profile is
+    // lowercase, and sentence-initial "The"/"A" are exactly the
+    // tokens a C4/Gopher-style stopword gate exists to count —
+    // case-sensitive matching systematically undercounted them
+    val stopCnt = size(filter(toks,
+      tok => lower(tok).isInCollection(stopwords)))
+    // greatest(..., 1): an empty doc has 0 tokens; its ratios are 0,
+    // not NaN
+    val tokDenom = greatest(nTokens, lit(1L)).cast("double")
     df.withColumn("n_tokens", nTokens)
       .withColumn("n_chars", nChars)
-      .withColumn("avg_word_len",
-        nNonSpace.cast("double") / nTokens.cast("double"))
-      .withColumn("stopword_ratio",
-        stopCnt.cast("double") / nTokens.cast("double"))
+      .withColumn("avg_word_len", nNonSpace.cast("double") / tokDenom)
+      .withColumn("stopword_ratio", stopCnt.cast("double") / tokDenom)
       .withColumn("punct_ratio",
         size(filter(split(t, ""), c => c.rlike("\\p{Punct}")))
           .cast("double") / greatest(nChars, lit(1L)).cast("double"))
@@ -89,20 +101,25 @@ object TextStats {
     val acc = aggregate(toks, lit(0L),
       (a, t) => a + coalesce(element_at(inc, t), lit(0L)))
     def pick(scored: Seq[Column]): Column =
-      // array_max on struct(score, lang) picks highest score; for equal
-      // scores the lexicographically greatest lang wins — deterministic.
+      // array_max on struct(score, prio, lang): highest score wins;
+      // equal scores fall to `prio` = -(profile index), so ties go to
+      // the FIRST profile as documented — a doc matching no profile is
+      // "en", not whichever language sorts last alphabetically.
       array_max(array(scored: _*)).getField("lang")
     val fast = pick(langProfiles.zipWithIndex.map { case ((lang, _), k) =>
       struct(
         (shiftright(acc, bits * k).bitwiseAND(lit(mask)).cast("double") / n)
           .as("score"),
+        lit(-k).as("prio"),
         lit(lang).as("lang"))
     })
-    val exactWide = pick(langProfiles.map { case (lang, stops) =>
-      struct(
-        (size(filter(toks, t => t.isInCollection(stops))).cast("double") / n)
-          .as("score"),
-        lit(lang).as("lang"))
+    val exactWide = pick(langProfiles.zipWithIndex.map {
+      case ((lang, stops), k) =>
+        struct(
+          (size(filter(toks, t => t.isInCollection(stops)))
+            .cast("double") / n).as("score"),
+          lit(-k).as("prio"),
+          lit(lang).as("lang"))
     })
     df.withColumn("predicted_lang",
       when(size(toks) <= lit(mask.toInt), fast).otherwise(exactWide))
@@ -147,17 +164,26 @@ object TextStats {
         sequence(lit(1), length(col(textCol)) - (n - 1)),
         i => substring(col(textCol), i, lit(n))))).as("sh"))
 
-  /** Shared final assembly: per-doc shingle totals joined with the
-    * per-doc overlap counts → contamination fraction.
+  /** Shared final assembly: EVERY corpus doc joined with its shingle
+    * total and overlap count → contamination fraction. Anchored on
+    * the corpus doc list, not the shingle rows: a doc shorter than
+    * the shingle width has no shingle rows at all, and omitting it
+    * from the report makes a `contamination <= x` downstream filter
+    * silently drop it (absent ≠ clean) — it reports (0, 0, 0.0).
     */
-  private def contaminationReport(corpusSh: DataFrame, overlap: DataFrame,
+  private def contaminationReport(corpus: DataFrame,
+                                  corpusSh: DataFrame, overlap: DataFrame,
                                   idCol: String): DataFrame =
-    corpusSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    corpus.select(col(idCol)).distinct()
+      .join(corpusSh.groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_shingles")), Seq(idCol), "left")
       .join(overlap, Seq(idCol), "left")
-      .select(col(idCol), col("n_shingles"),
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         (coalesce(col("n_overlap"), lit(0L)).cast("double") /
-          col("n_shingles").cast("double")).as("contamination"))
+          greatest(coalesce(col("n_shingles"), lit(0L)), lit(1L))
+            .cast("double")).as("contamination"))
 
   def contamination(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",
@@ -168,7 +194,7 @@ object TextStats {
     val overlap = corpusSh
       .join(broadcast(benchSet), Seq("sh"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
-    contaminationReport(corpusSh, overlap, idCol)
+    contaminationReport(corpus, corpusSh, overlap, idCol)
   }
 
   /** [[contamination]] for benchmark sets too large to broadcast as a
@@ -203,7 +229,7 @@ object TextStats {
     // is already tiny (true overlaps + fpp), so AQE picks the join
     val overlap = candidates.join(benchSet, Seq("sh"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
-    contaminationReport(corpusSh, overlap, idCol)
+    contaminationReport(corpus, corpusSh, overlap, idCol)
   }
 
   /** Rolling-hash shingle fingerprint: xxhash64 of each w-token window,
