@@ -220,6 +220,86 @@ class TextStatsSpec extends SparkSpec {
     assert(got(3L) == "es")
   }
 
+  test("short docs (no shingles) are never near-dup candidates") {
+    // minhash of an empty shingle set is an all-sentinel signature;
+    // without the filter every pair of unrelated short docs scored
+    // est_jaccard 1.0 and collapsed into one cluster
+    val short = Seq((10L, "alpha"), (11L, "beta"), (12L, "gamma zz"),
+      (13L, "the quick brown fox jumps over the lazy dog"),
+      (14L, "the quick brown fox jumps over the lazy cat"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(short, "doc_id", "text",
+        minJaccard = 0.4, k = 16, bands = 8, w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(p => p._1 <= 12L || p._2 <= 12L),
+      s"short docs produced false near-dup pairs: $pairs")
+    assert(pairs.contains((13L, 14L))) // the real near-dup still found
+    // and the streaming index path applies the same filter
+    val idx = Dedup.bandedIndex(short, "doc_id", "text", k = 16,
+      bands = 8, w = 3)
+    assert(idx.filter(col("doc") <= 12L).isEmpty)
+  }
+
+  test("keepBest works with STRING doc ids; equal scores pick the smaller id") {
+    val labels = Seq(("a", "a"), ("b", "a"), ("c", "a"))
+      .toDF("doc_id", "canonical_id")
+    val scores = Seq(("a", 5.0), ("b", 9.0), ("c", 9.0))
+      .toDF("doc_id", "score")
+    val r = Dedup.keepBest(labels, scores).collect().head
+    assert(r.getAs[String]("keep_id") == "b") // top score 9.0, tie -> "b" < "c"
+    assert(r.getAs[Double]("keep_score") == 9.0)
+    assert(r.getAs[Long]("cluster_size") == 3L)
+  }
+
+  test("simhash banding recall follows maxHamming (pigeonhole)") {
+    // two docs engineered close in simhash space via near-identical
+    // text; with maxHamming=8 the bands must co-bucket every pair the
+    // exact hamming filter would keep
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again tonight"))
+      .toDF("doc_id", "text")
+    val hams = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 20)
+      .collect()
+    // whatever the distance, if it is <= 20 the pair MUST be present
+    val direct = Dedup.simhash(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("simhash"))
+    val d = java.lang.Long.bitCount(direct(0) ^ direct(1))
+    assert(d > 3, s"fixture too close (hamming $d) to exercise recall")
+    if (d <= 20) assert(hams.nonEmpty,
+      s"pair at hamming $d missing despite maxHamming=20")
+  }
+
+  test("langId ties (zero stopword hits) resolve to the first profile") {
+    val df = Seq((1L, "quantum flux capacitor diagnostics"))
+      .toDF("doc_id", "text")
+    assert(TextStats.langId(df).collect()
+      .head.getAs[String]("predicted_lang") == "en")
+  }
+
+  test("stopword ratio is case-insensitive; empty docs have 0 tokens") {
+    val df = Seq((1L, "The cat sat. The dog ran."), (2L, "   "))
+      .toDF("doc_id", "text")
+    val q = TextStats.qualityFeatures(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(q(1L).getAs[Double]("stopword_ratio") > 0.0) // "The" counts
+    assert(q(2L).getAs[Long]("n_tokens") == 0L)
+    assert(q(2L).getAs[Double]("stopword_ratio") == 0.0) // not NaN
+  }
+
+  test("hashSplit: trailing zero-fraction split receives ~nothing") {
+    val df = spark.range(2000).toDF("id")
+    val got = graft.ops.Sampling.hashSplit(df, "id", "s8",
+        Seq("a" -> 0.5, "b" -> 0.5, "c" -> 0.0))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // before the fix, cum=1.0 formatted as "10000" and split b's
+    // entire share landed in c
+    assert(got.getOrElse("c", 0L) == 0L, got.toString)
+    assert(got("a") + got("b") == 2000L)
+    assert(math.abs(got("a") - 1000L) < 150, got.toString)
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val df = Seq((1L, "Hello   World"), (2L, "hello world")).toDF("id", "t")
     val fps = df.select(TextStats.fingerprint($"t")).collect().map(_.getString(0))
