@@ -367,7 +367,7 @@ object DeltaExport {
           // a watermark is idempotent under log replay
           (txnDelta(Map.empty,
             FileStats.txnsOf(t.commitBody(latest)), ts) ++
-            prev.keys.toSeq.sorted.filterNot(cur).map(remove(_, ts)) ++
+            prev.toSeq.sorted.filterNot(cur).map(remove(_, ts)) ++
             files.map { case (r, st) =>
               add(r, st, sz(r), ts, types) }))
       maybeCheckpoint(t, dv + 1, t.schema().json, ts)
@@ -422,51 +422,23 @@ object DeltaExport {
     * paths an external reader of the log resolves right now.
     */
   def liveFiles(t: ResourceTable): Set[String] =
-    if (!exported(t)) Set.empty else replayAdds(t).keySet.toSet
+    if (!exported(t)) Set.empty else replayAdds(t)
 
-  /** Replay the exported log's live add set: path → add node. Starts
-    * from the newest checkpoint when one exists (a log whose old json
-    * entries were cleaned is still fully replayable, exactly as a
-    * reader would see it).
+  /** Replay the exported log's live PATH set. Starts from the newest
+    * checkpoint when one exists (a log whose old json entries were
+    * cleaned is still fully replayable, exactly as a reader would
+    * see it). Driver state is O(#live paths) strings — the minimum any
+    * caller (vacuum's dangling-reader guard, the re-anchor diff) needs;
+    * full add actions are never materialized driver-side (the
+    * checkpoint build that used to is a Spark job now).
     */
-  private def replayAdds(t: ResourceTable): Map[String, ObjectNode] =
-    replayState(t)._1
-
-  /** Replayed (live adds, txn watermarks) of the exported log — the
-    * full state a checkpoint must restate.
-    */
-  private def replayState(t: ResourceTable)
-      : (Map[String, ObjectNode], Map[String, Long]) = {
-    val txns = mutable.LinkedHashMap.empty[String, Long]
-    val live = mutable.LinkedHashMap.empty[String, ObjectNode]
-    val ckptV: Long = {
-      val v = newestCheckpoint(t.fs, deltaDir(t))
-      if (v < 0) -1L
-      else {
-        val ckpt = t.spark.read.parquet(
-          new HPath(deltaDir(t), f"$v%020d.checkpoint.parquet").toString)
-        ckpt.filter("add IS NOT NULL").select("add.*").collect()
-          .foreach { a =>
-            val node = f.objectNode()
-            node.put("path", a.getString(a.fieldIndex("path")))
-            node.put("size", a.getLong(a.fieldIndex("size")))
-            node.put("modificationTime",
-              a.getLong(a.fieldIndex("modificationTime")))
-            node.put("dataChange",
-              a.getBoolean(a.fieldIndex("dataChange")))
-            Option(a.getString(a.fieldIndex("stats")))
-              .foreach(node.put("stats", _))
-            live(node.get("path").asText) = node
-          }
-        // pre-txn checkpoints (and foreign ones) may lack the column
-        if (ckpt.schema.fieldNames.contains("txn"))
-          ckpt.filter("txn IS NOT NULL").select("txn.*").collect()
-            .foreach(r =>
-              txns(r.getString(r.fieldIndex("appId"))) =
-                r.getLong(r.fieldIndex("version")))
-        v
-      }
-    }
+  private def replayAdds(t: ResourceTable): Set[String] = {
+    val live = mutable.LinkedHashSet.empty[String]
+    val (ckptV, ckptFiles) = newestCheckpoint(t.fs, deltaDir(t))
+    if (ckptV >= 0)
+      t.spark.read.parquet(ckptFiles.map(_.toString): _*)
+        .filter("add IS NOT NULL").select("add.path").collect()
+        .foreach(r => live += r.getString(0))
     listEntries(t).filter(_ > ckptV).foreach { v =>
       val in = t.fs.open(entryFile(t, v))
       val body =
@@ -474,15 +446,12 @@ object DeltaExport {
         finally in.close()
       body.linesIterator.filter(_.nonEmpty).map(mapper.readTree)
         .foreach { n =>
-          Option(n.get("add")).foreach(a =>
-            live(a.get("path").asText) = a.asInstanceOf[ObjectNode])
+          Option(n.get("add")).foreach(a => live += a.get("path").asText)
           Option(n.get("remove")).foreach(r =>
-            live.remove(r.get("path").asText))
-          Option(n.get("txn")).foreach(x =>
-            txns(x.get("appId").asText) = x.get("version").asLong)
+            live -= r.get("path").asText)
         }
     }
-    (live.toMap, txns.toMap)
+    live.toSet
   }
 
   // ------------------------------------------------------ checkpoints
