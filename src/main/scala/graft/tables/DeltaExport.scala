@@ -489,61 +489,199 @@ object DeltaExport {
       StructField("appId", StringType),
       StructField("version", LongType))))))
 
+  /** Actions per published checkpoint part file. Below this the
+    * checkpoint lands as the classic single `N.checkpoint.parquet`;
+    * above it, as the protocol's multi-part
+    * `N.checkpoint.K.M.parquet` layout so a 10M-file table's
+    * checkpoint is written by many tasks, not one. Overridable via
+    * `spark.graft.export.checkpointPartActions` (specs set it low to
+    * exercise the multi-part path on small fixtures).
+    */
+  val DefaultCheckpointPartActions = 100000L
+
+  private def checkpointPartActions(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.export.checkpointPartActions")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .filter(_ > 0).getOrElse(DefaultCheckpointPartActions)
+
   /** Write the checkpoint for delta version `dv`: the REPLAYED state
-    * (protocol + metaData + live adds) as one parquet file named by
-    * the protocol's convention, then flip `_last_checkpoint`. Written
-    * via a Spark job (distributed like Delta's own checkpointing, not
-    * a driver loop) into a temp dir, then renamed into place — the
-    * `_last_checkpoint` pointer flips only after the parquet is fully
-    * landed, so a concurrent reader never follows it into a torn file.
+    * (protocol + metaData + live adds + txn watermarks), named by the
+    * protocol's convention, then flip `_last_checkpoint`.
+    *
+    * The replay is a SPARK JOB, like Delta's own checkpointing: the
+    * prior checkpoint parquet is unioned with the json tail (parsed
+    * via `from_json`), reconciled last-action-wins per path and
+    * max-version per txn appId — no per-file driver materialization,
+    * so a 10M-file table checkpoints in executor memory. The parquet
+    * lands in a temp dir and renames into place; `_last_checkpoint`
+    * flips only after every part is published, so a concurrent reader
+    * never follows the pointer into a torn checkpoint.
     */
   private def writeCheckpoint(t: ResourceTable, dv: Long,
                               schemaJson: String, ts: Long): Unit = {
     import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions._
     val spark = t.spark
-    val (live, txns) = replayState(t)
-    val emptyMap = Map.empty[String, String]
-    val rows =
-      Row(Row(1, 2), null, null, null) +:
-        Row(null, Row(tableId(t), Row("parquet", emptyMap), schemaJson,
-          Seq.empty[String], emptyMap, ts), null, null) +:
-        (live.values.toSeq.map { a =>
-          Row(null, null, Row(a.get("path").asText, emptyMap,
-            a.get("size").asLong, a.get("modificationTime").asLong,
-            a.get("dataChange").asBoolean,
-            Option(a.get("stats")).map(_.asText).orNull), null)
-        } ++ txns.toSeq.sortBy(_._1).map { case (app, v) =>
-          Row(null, null, null, Row(app, v))
-        })
-    val tmp = new HPath(deltaDir(t), f".ckpt-$dv%020d-${
-      java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), checkpointSchema)
-      .write.mode("overwrite").parquet(tmp.toString)
-    val part = t.fs.listStatus(tmp).map(_.getPath)
-      .find(_.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(
-        s"${t.path}: checkpoint write produced no parquet part"))
-    val dest = new HPath(deltaDir(t), f"$dv%020d.checkpoint.parquet")
-    // a checkpoint at dv is a pure function of the replayed log at dv:
-    // if one is already published (concurrent exporter, or a crashed
-    // run that died between publish and pointer flip), its content is
-    // equivalent — NEVER delete-then-rename over it, which would open
-    // a window where the pointer names a missing file
-    if (!t.fs.exists(dest) && !t.fs.rename(part, dest)) {
+    val dir = deltaDir(t)
+    val (ckptV, ckptFiles) = newestCheckpoint(t.fs, dir)
+    val tail = listEntries(t).filter(v => v > ckptV && v <= dv)
+    val addT = checkpointSchema("add").dataType
+    val txnT = checkpointSchema("txn").dataType
+    val lineSchema = StructType(Seq(
+      StructField("add", addT),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType)))),
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType))))))
+    // the json tail as (log version, add, remove, txn) — version from
+    // the file name, so later entries win the per-path reconciliation
+    val tailActs =
+      if (tail.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(StructField("v", LongType))))
+          .withColumn("add", lit(null).cast(addT))
+          .withColumn("remove",
+            lit(null).cast(lineSchema("remove").dataType))
+          .withColumn("txn", lit(null).cast(lineSchema("txn").dataType))
+      else
+        spark.read.text(tail.map(v => entryFile(t, v).toString): _*)
+          .select(
+            regexp_extract(input_file_name(), "(\\d+)\\.json", 1)
+              .cast(LongType).as("v"),
+            from_json(col("value"), lineSchema).as("a"))
+          .select(col("v"), col("a.add").as("add"),
+            col("a.remove").as("remove"), col("a.txn").as("txn"))
+    // prior checkpoint's adds (live set at ckptV) and txn watermarks.
+    // Rebuild the add struct field-by-field: a checkpoint written by
+    // another writer may order or extend the struct differently
+    val (baseAdds, baseTxns) =
+      if (ckptV < 0) {
+        val none = tailActs.limit(0)
+        (none.select(col("v"), col("add")),
+          none.select(col("txn.appId").as("appId"),
+            col("txn.version").as("version")))
+      } else {
+        val ck = spark.read.parquet(ckptFiles.map(_.toString): _*)
+        val adds = ck.filter(col("add").isNotNull)
+          .select(lit(ckptV).as("v"), struct(
+            col("add.path").as("path"),
+            col("add.partitionValues").as("partitionValues"),
+            col("add.size").as("size"),
+            col("add.modificationTime").as("modificationTime"),
+            col("add.dataChange").as("dataChange"),
+            col("add.stats").as("stats")).cast(addT).as("add"))
+        val txns =
+          if (!ck.schema.fieldNames.contains("txn"))
+            adds.limit(0).select(lit(null).cast(StringType).as("appId"),
+              lit(null).cast(LongType).as("version"))
+          else ck.filter(col("txn").isNotNull)
+            .select(col("txn.appId").as("appId"),
+              col("txn.version").as("version"))
+        (adds, txns)
+      }
+    // last action per path wins (base adds carry the checkpoint's
+    // version, strictly below every tail entry); survivors are adds
+    val liveAdds = baseAdds
+      .select(col("v"), col("add.path").as("path"), col("add"))
+      .unionByName(tailActs
+        .filter(col("add").isNotNull || col("remove").isNotNull)
+        .select(col("v"),
+          coalesce(col("add.path"), col("remove.path")).as("path"),
+          col("add")))
+      .groupBy(col("path"))
+      .agg(max_by(struct(col("v"), col("add")), col("v")).as("w"))
+      .filter(col("w.add").isNotNull)
+      .select(col("w.add").as("add"))
+    val allTxns = baseTxns
+      .unionByName(tailActs.filter(col("txn").isNotNull)
+        .select(col("txn.appId").as("appId"),
+          col("txn.version").as("version")))
+      .groupBy(col("appId")).agg(max(col("version")).as("version"))
+    val protoT = checkpointSchema("protocol").dataType
+    val metaT = checkpointSchema("metaData").dataType
+    val body = liveAdds
+      .select(lit(null).cast(protoT).as("protocol"),
+        lit(null).cast(metaT).as("metaData"), col("add"),
+        lit(null).cast(txnT).as("txn"))
+      .unionByName(allTxns
+        .select(lit(null).cast(protoT).as("protocol"),
+          lit(null).cast(metaT).as("metaData"),
+          lit(null).cast(addT).as("add"),
+          struct(col("appId"), col("version")).cast(txnT).as("txn")))
+      .persist()
+    try {
+      val nBody = body.count()
+      val emptyMap = Map.empty[String, String]
+      val head = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row(Row(1, 2), null, null, null),
+          Row(null, Row(tableId(t), Row("parquet", emptyMap), schemaJson,
+            Seq.empty[String], emptyMap, ts), null, null)), 1),
+        checkpointSchema)
+      val nParts = math.max(1L, (nBody + checkpointPartActions(spark) - 1)
+        / checkpointPartActions(spark)).toInt
+      val tmp = new HPath(dir, f".ckpt-$dv%020d-${
+        java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val sized =
+        if (nParts == 1) head.unionByName(body).coalesce(1)
+        // coalesce never RAISES a partition count (AQE may have
+        // squeezed the reconcile down to one); repartition guarantees
+        // the part layout the naming below promises
+        else head.unionByName(body).repartition(nParts)
+      sized.write.mode("overwrite").parquet(tmp.toString)
+      val parts = t.fs.listStatus(tmp).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") &&
+          !p.getName.startsWith("."))
+        .sortBy(_.getName).toSeq
+      if (parts.isEmpty) throw new IllegalStateException(
+        s"${t.path}: checkpoint write produced no parquet part")
+      publishCheckpoint(t, dv, parts, tmp, nBody + 2)
+    } finally body.unpersist()
+  }
+
+  /** Rename the staged checkpoint part(s) into the protocol's naming
+    * and flip `_last_checkpoint`. A checkpoint at dv is a pure
+    * function of the replayed log at dv: if one is already published
+    * (concurrent exporter, or a crashed run that died between publish
+    * and pointer flip), its content is equivalent — NEVER
+    * delete-then-rename over it, which would open a window where the
+    * pointer names a missing file.
+    */
+  private def publishCheckpoint(t: ResourceTable, dv: Long,
+                                parts: Seq[HPath], tmp: HPath,
+                                size: Long): Unit = {
+    val dir = deltaDir(t)
+    if (completeCheckpoints(t.fs, dir).contains(dv)) {
       t.fs.delete(tmp, true)
-      if (!t.fs.exists(dest))
-        throw new IllegalStateException(
-          s"${t.path}: could not publish checkpoint $dv")
       return
     }
+    val dests =
+      if (parts.size == 1)
+        Seq(new HPath(dir, f"$dv%020d.checkpoint.parquet"))
+      else parts.indices.map(i => new HPath(dir,
+        f"$dv%020d.checkpoint.${i + 1}%010d.${parts.size}%010d.parquet"))
+    parts.zip(dests).foreach { case (src, dest) =>
+      if (!t.fs.exists(dest) && !t.fs.rename(src, dest)) {
+        // lost a race to an equivalent writer mid-publish: their part
+        // landed first (same dv ⇒ same content); keep theirs
+        if (!t.fs.exists(dest)) {
+          t.fs.delete(tmp, true)
+          throw new IllegalStateException(
+            s"${t.path}: could not publish checkpoint $dv part $dest")
+        }
+      }
+    }
     t.fs.delete(tmp, true)
-    val lc = new HPath(deltaDir(t), "_last_checkpoint")
-    val tmpLc = new HPath(deltaDir(t), s"._last_checkpoint.${
+    val lc = new HPath(dir, "_last_checkpoint")
+    val tmpLc = new HPath(dir, s"._last_checkpoint.${
       java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val body =
+      if (parts.size == 1) s"""{"version":$dv,"size":$size}"""
+      else s"""{"version":$dv,"size":$size,"parts":${parts.size}}"""
     val out = t.fs.create(tmpLc, true)
-    try out.write(s"""{"version":$dv,"size":${rows.size}}"""
-      .getBytes(StandardCharsets.UTF_8))
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
     t.fs.delete(lc, false)
     if (!t.fs.rename(tmpLc, lc)) {
@@ -554,16 +692,64 @@ object DeltaExport {
     }
   }
 
-  /** The newest REPLAYABLE checkpoint version: the `_last_checkpoint`
-    * pointer when it names an existing file, else the newest listed
-    * `*.checkpoint.parquet`. The pointer flip is delete-then-rename
-    * (no portable atomic replace across Hadoop filesystems), so there
-    * is a window where the pointer is absent or names a file a crashed
-    * writer never published — Delta readers likewise treat the pointer
-    * as a hint and fall back to a listing. -1 when none.
+  private val SinglePartName = """(\d{20})\.checkpoint\.parquet""".r
+  private val MultiPartName =
+    """(\d{20})\.checkpoint\.(\d+)\.(\d+)\.parquet""".r
+
+  /** The checkpoint version a log file name carries, if it is one —
+    * classic single-file (`N.checkpoint.parquet`) or multi-part
+    * (`N.checkpoint.K.M.parquet`, PROTOCOL.md "Checkpoints").
+    */
+  private def checkpointVersionOf(name: String): Option[Long] =
+    name match {
+      case SinglePartName(v) => Some(v.toLong)
+      case MultiPartName(v, _, _) => Some(v.toLong)
+      case _ => None
+    }
+
+  /** Every COMPLETE checkpoint in `dir`: version → its part file(s) in
+    * part order. A multi-part checkpoint counts only when all M of its
+    * `N.checkpoint.K.M.parquet` parts are present (a crashed writer's
+    * partial set is not replayable); racing writers that chose
+    * different part counts coexist under distinct M and whichever set
+    * completed first wins.
+    */
+  private def completeCheckpoints(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: HPath): Map[Long, Seq[HPath]] = {
+    if (!fs.exists(dir)) return Map.empty
+    val named = fs.listStatus(dir).map(_.getPath).toSeq.flatMap { p =>
+      p.getName match {
+        case SinglePartName(v) => Some((v.toLong, -1L, -1L, p))
+        case MultiPartName(v, k, m) =>
+          Some((v.toLong, k.toLong, m.toLong, p))
+        case _ => None
+      }
+    }
+    named.groupBy(_._1).flatMap { case (v, entries) =>
+      val single = entries.collectFirst { case (_, -1L, -1L, p) => p }
+      val multi = entries.filter(_._2 >= 0).groupBy(_._3).collectFirst {
+        case (m, ps) if ps.map(_._2).toSet == (1L to m).toSet =>
+          ps.sortBy(_._2).map(_._4)
+      }
+      single.map(p => v -> Seq(p)).orElse(multi.map(v -> _))
+    }
+  }
+
+  /** The newest REPLAYABLE checkpoint: `(version, part files)` — the
+    * `_last_checkpoint` pointer when it names a complete checkpoint,
+    * else the newest complete one by listing. The pointer flip is
+    * delete-then-rename (no portable atomic replace across Hadoop
+    * filesystems), so there is a window where the pointer is absent or
+    * names parts a crashed writer never published — Delta readers
+    * likewise treat the pointer as a hint and fall back to a listing.
+    * `(-1, empty)` when none.
     */
   private def newestCheckpoint(
-      fs: org.apache.hadoop.fs.FileSystem, dir: HPath): Long = {
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: HPath): (Long, Seq[HPath]) = {
+    val complete = completeCheckpoints(fs, dir)
+    if (complete.isEmpty) return (-1L, Seq.empty)
     val lc = new HPath(dir, "_last_checkpoint")
     val pointed: Long =
       if (!fs.exists(lc)) -1L
@@ -574,20 +760,16 @@ object DeltaExport {
           .get("version").asLong).getOrElse(-1L)
         finally in.close()
       }
-    if (pointed >= 0 &&
-        fs.exists(new HPath(dir, f"$pointed%020d.checkpoint.parquet")))
-      pointed
-    else if (!fs.exists(dir)) -1L
-    else fs.listStatus(dir).map(_.getPath.getName)
-      .filter(_.endsWith(".checkpoint.parquet"))
-      .map(_.stripSuffix(".checkpoint.parquet").toLong)
-      .foldLeft(-1L)(math.max)
+    val v =
+      if (pointed >= 0 && complete.contains(pointed)) pointed
+      else complete.keys.max
+    (v, complete(v))
   }
 
   /** Checkpoint cadence check after exporting up to `dv`. */
   private def maybeCheckpoint(t: ResourceTable, dv: Long,
                               schemaJson: String, ts: Long): Unit = {
-    if (dv - newestCheckpoint(t.fs, deltaDir(t)) >= CheckpointInterval)
+    if (dv - newestCheckpoint(t.fs, deltaDir(t))._1 >= CheckpointInterval)
       writeCheckpoint(t, dv, schemaJson, ts)
   }
 
@@ -605,17 +787,17 @@ object DeltaExport {
     */
   def cleanupLog(t: ResourceTable,
                  retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[Long] = {
-    val ckptV = newestCheckpoint(t.fs, deltaDir(t))
+    val ckptV = newestCheckpoint(t.fs, deltaDir(t))._1
     if (ckptV < 0) return Seq.empty
     val cutoff = System.currentTimeMillis() - retentionMs
     val dead = listEntries(t).filter(v => v < ckptV &&
       t.fs.getFileStatus(entryFile(t, v)).getModificationTime < cutoff)
     dead.foreach(v => t.fs.delete(entryFile(t, v), false))
-    // superseded checkpoints below the live one age out the same way
+    // superseded checkpoints (single- or multi-part) below the live
+    // one age out the same way
     t.fs.listStatus(deltaDir(t)).map(_.getPath)
-      .filter(_.getName.endsWith(".checkpoint.parquet"))
       .filter { p =>
-        p.getName.stripSuffix(".checkpoint.parquet").toLong < ckptV &&
+        checkpointVersionOf(p.getName).exists(_ < ckptV) &&
           t.fs.getFileStatus(p).getModificationTime < cutoff
       }.foreach(t.fs.delete(_, false))
     dead
@@ -651,7 +833,7 @@ object DeltaExport {
     // rows; only protocol/metaData/add matter for a snapshot. The
     // pointer is a HINT (its flip is not atomic): newestCheckpoint
     // verifies the named file exists and falls back to a listing.
-    val pointerV: Long = newestCheckpoint(fs, dir)
+    val (pointerV, pointerFiles) = newestCheckpoint(fs, dir)
     // time travel may not replay THROUGH a checkpoint newer than the
     // requested version — it would bake in later state
     val useCkpt = pointerV >= 0 && (versionAsOf < 0 || pointerV <= versionAsOf)
@@ -674,8 +856,7 @@ object DeltaExport {
       if (!useCkpt) -1L
       else {
         val v = pointerV
-        val ck = spark.read.parquet(
-          new HPath(dir, f"$v%020d.checkpoint.parquet").toString)
+        val ck = spark.read.parquet(pointerFiles.map(_.toString): _*)
         val cols = ck.columns.toSet
         ck.collect().foreach { row =>
           if (cols("protocol") && !row.isNullAt(row.fieldIndex("protocol"))) {

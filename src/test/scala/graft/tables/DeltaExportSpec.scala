@@ -250,6 +250,69 @@ class DeltaExportSpec extends SparkSpec {
     assert(DeltaExport.readSnapshot(spark, path).count() == 21L)
   }
 
+  test("many-file checkpoint is a distributed multi-part write that round-trips") {
+    val path = s"${tmpDir("dx")}/T.parquet"
+    // force the multi-part path on a small fixture: >40 actions → the
+    // checkpoint must land as N.checkpoint.K.M.parquet parts written
+    // by parallel tasks (the 100 TB shape: a 10M-file table's
+    // checkpoint can never be one driver-built file)
+    spark.conf.set("spark.graft.export.checkpointPartActions", "40")
+    try {
+      val t = ResourceTable(spark, path).createIfNotExists(schema)
+      val wide = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          (0 until 120).map(i => Row(s"w$i", i)), 120), schema)
+      t.append(wide) // one commit, ~120 data files
+      DeltaExport.export(t) // anchor v0, below the checkpoint interval
+      (1 to 10).foreach(i => t.upsert(df(s"x$i" -> (1000 + i)), "id"))
+      val dv = DeltaExport.export(t) // crosses interval → checkpoint
+      assert(dv == 10L)
+      val names = Files.list(Paths.get(path, "_delta_log")).iterator()
+        .asScala.map(_.getFileName.toString)
+        .filter(n => n.contains(".checkpoint.") && !n.startsWith("."))
+        .toSeq.sorted
+      assert(names.nonEmpty)
+      assert(names.forall(
+        _.matches("""\d{20}\.checkpoint\.\d{10}\.\d{10}\.parquet""")),
+        s"expected multi-part checkpoint names, got $names")
+      val lcNode = mapper.readTree(new String(Files.readAllBytes(
+        Paths.get(path, "_delta_log", "_last_checkpoint")),
+        StandardCharsets.UTF_8))
+      assert(lcNode.get("version").asLong == 10L)
+      assert(lcNode.get("parts").asInt == names.size && names.size >= 2)
+      // the parts together restate the FULL state: protocol, metaData,
+      // every live add with size/modificationTime/stats intact
+      val ck = spark.read.parquet(
+        names.map(n => Paths.get(path, "_delta_log", n).toString): _*)
+      assert(ck.count() == lcNode.get("size").asLong)
+      assert(ck.filter("protocol IS NOT NULL").count() == 1L)
+      assert(ck.filter("metaData IS NOT NULL").count() == 1L)
+      val adds = ck.filter("add IS NOT NULL")
+        .select("add.path", "add.size", "add.stats").collect()
+      assert(adds.map(_.getString(0)).sorted.toSeq ==
+        t.fileManifest(t.latestVersion.get).sorted)
+      assert(adds.forall(r => r.getLong(1) > 0L && !r.isNullAt(2)))
+      // replay through the multi-part checkpoint alone: drop the
+      // pre-checkpoint json entries, the reader must not miss them
+      (0L to 9L).foreach { v =>
+        Files.deleteIfExists(Paths.get(path, "_delta_log", f"$v%020d.json"))
+        Files.deleteIfExists(
+          Paths.get(path, "_delta_log", f".$v%020d.json.crc"))
+      }
+      val direct = t.read().collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(DeltaExport.readSnapshot(spark, path).collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap == direct)
+      // and the NEXT checkpoint rebuilds from the multi-part base
+      (11 to 21).foreach(i => t.upsert(df(s"y$i" -> (2000 + i)), "id"))
+      assert(DeltaExport.export(t) == 21L)
+      assert(DeltaExport.readSnapshot(spark, path).collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap ==
+        t.read().collect().map(r => r.getString(0) -> r.getInt(1)).toMap)
+    } finally
+      spark.conf.unset("spark.graft.export.checkpointPartActions")
+  }
+
   test("versionAsOf time-travels the exported log; unreachable history is loud") {
     val path = s"${tmpDir("dx")}/T.parquet"
     val t = ResourceTable(spark, path).createIfNotExists(schema)
