@@ -806,9 +806,14 @@ object DeltaExport {
   /** Standalone reader for the exported protocol subset: replays
     * `_delta_log/` (protocol gate, last metaData schema, add/remove
     * set) and reads the live files under the log's schema. Works on
-    * ANY checkpoint-less delta log at protocol (1,x) with
-    * `partitionColumns: []`, not just our own exports — refuses
-    * loudly otherwise instead of returning wrong rows.
+    * ANY delta log at protocol (1,x) — our own exports, foreign
+    * checkpoint-bearing logs (single- or multi-part), and PARTITIONED
+    * foreign tables: partition columns are absent from the data files
+    * per the protocol, so each add's `partitionValues` is re-injected
+    * as literal columns cast to the schema's types (one scan per
+    * distinct partition tuple, unioned — plan size O(#partitions),
+    * never O(#files)). Protocols above reader v1 (deletion vectors,
+    * column mapping) refuse loudly instead of returning wrong rows.
     *
     * `versionAsOf >= 0` time-travels to that delta version (Delta's
     * `versionAsOf` reader option): replay stops at the requested
@@ -826,7 +831,9 @@ object DeltaExport {
     if (!fs.exists(dir))
       throw new IllegalStateException(s"$tablePath: no _delta_log")
     var schemaJson: String = null
-    val live = mutable.LinkedHashMap.empty[String, String]
+    var partCols: Seq[String] = Seq.empty
+    // live path → its partitionValues (empty map on unpartitioned logs)
+    val live = mutable.LinkedHashMap.empty[String, Map[String, String]]
     // start from the checkpoint when one is published: replay is then
     // O(tail), not O(#commits) — how Delta keeps 100k-commit logs
     // readable. Foreign checkpoints may carry txn/remove tombstone
@@ -870,15 +877,16 @@ object DeltaExport {
             val m = row.getStruct(row.fieldIndex("metaData"))
             schemaJson = m.getString(m.fieldIndex("schemaString"))
             val parts = m.getSeq[String](m.fieldIndex("partitionColumns"))
-            if (parts != null && parts.nonEmpty)
-              throw new IllegalStateException(
-                s"$tablePath: partitioned delta tables not supported " +
-                  "by this reader")
+            partCols = if (parts == null) Seq.empty else parts.toSeq
           }
           if (cols("add") && !row.isNullAt(row.fieldIndex("add"))) {
             val a = row.getStruct(row.fieldIndex("add"))
             val p = a.getString(a.fieldIndex("path"))
-            live(p) = p
+            val pvIdx = a.schema.fieldNames.indexOf("partitionValues")
+            val pv =
+              if (pvIdx < 0 || a.isNullAt(pvIdx)) Map.empty[String, String]
+              else a.getMap[String, String](pvIdx).toMap
+            live(p) = pv
           }
         }
         v
@@ -901,13 +909,26 @@ object DeltaExport {
           Option(n.get("metaData")).foreach { m =>
             schemaJson = m.get("schemaString").asText
             val parts = m.get("partitionColumns")
-            if (parts != null && parts.size() > 0)
-              throw new IllegalStateException(
-                s"$tablePath: partitioned delta tables not supported " +
-                  "by this reader")
+            partCols =
+              if (parts == null) Seq.empty
+              else (0 until parts.size()).map(parts.get(_).asText)
           }
-          Option(n.get("add")).foreach(a =>
-            live(a.get("path").asText) = a.get("path").asText)
+          Option(n.get("add")).foreach { a =>
+            val pvNode = a.get("partitionValues")
+            val pv =
+              if (pvNode == null) Map.empty[String, String]
+              else {
+                val it = pvNode.fields()
+                val b = Map.newBuilder[String, String]
+                while (it.hasNext) {
+                  val e = it.next()
+                  b += e.getKey ->
+                    (if (e.getValue.isNull) null else e.getValue.asText)
+                }
+                b.result()
+              }
+            live(a.get("path").asText) = pv
+          }
           Option(n.get("remove")).foreach(r =>
             live.remove(r.get("path").asText))
         }
@@ -943,8 +964,34 @@ object DeltaExport {
           s"${gone.size} file(s) removed by vacuum: " +
           gone.take(5).mkString(", "))
     }
-    spark.read.schema(schema)
-      .parquet(live.keys.toSeq.sorted
-        .map(r => new HPath(root, r).toString): _*)
+    if (partCols.isEmpty)
+      spark.read.schema(schema)
+        .parquet(live.keys.toSeq.sorted
+          .map(r => new HPath(root, r).toString): _*)
+    else {
+      import org.apache.spark.sql.functions.{col, lit}
+      val missing = partCols.filterNot(schema.fieldNames.contains)
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"$tablePath: partitionColumns ${missing.mkString(", ")} not " +
+          "in the log's schema")
+      // per the protocol, partition columns are NOT stored in the data
+      // files — scan each distinct partition tuple's files under the
+      // data-only schema and re-inject its values as cast literals
+      val dataSchema =
+        StructType(schema.fields.filterNot(fd => partCols.contains(fd.name)))
+      live.toSeq.groupBy(_._2).toSeq
+        .sortBy(_._2.head._1) // deterministic plan order
+        .map { case (pv, files) =>
+          val base = spark.read.schema(dataSchema)
+            .parquet(files.map(_._1).sorted
+              .map(r => new HPath(root, r).toString): _*)
+          partCols.foldLeft(base) { (df, c) =>
+            val raw = pv.getOrElse(c, null)
+            df.withColumn(c,
+              (if (raw == null) lit(null) else lit(raw))
+                .cast(schema(c).dataType))
+          }.select(schema.fieldNames.map(col).toSeq: _*)
+        }.reduce(_.unionByName(_))
+    }
   }
 }

@@ -1,0 +1,176 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Quality bounds for the six estimator queries the driver can only
+  * rows-check (no SQL oracle expresses them): minhash/simhash/ngram
+  * dedup pairs, approx_count_distinct, approx_percentile, and the
+  * bottom-k Jaccard sketch. Each test computes EXACT ground truth
+  * driver-side on a seeded fixture and asserts the estimator inside
+  * its published bound — banding recall ≥ the (1-(1-s^r)^b) LSH
+  * guarantee (with slack for the estimate filter), the simhash
+  * pigeonhole recall of exactly 1, HLL++ rsd, GK rank error, and the
+  * KMV ±O(1/√k) band. Deterministic: all hashes are seedless content
+  * hashes and the fixture is Random(42)-generated, so these are sharp
+  * regression tests, not flaky statistical ones.
+  */
+class EstimatorQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- seeded corpus: 120 base docs of 30 words over a 400-word
+  // vocabulary, plus near-dups at 0/1/2/4/6 word substitutions ---
+  private val W = 3 // shingle width used by the gates
+  private lazy val corpus: Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(42)
+    def word() = s"w${rnd.nextInt(400)}"
+    val base = (0 until 120).map(i =>
+      (i.toLong, Seq.fill(60)(word()).mkString(" ")))
+    val dups = (0 until 60).map { j =>
+      val (srcId, text) = base(j % base.size)
+      val words = text.split(" ")
+      val subs = Seq(0, 1, 2, 4, 6)(j % 5)
+      val idxs = rnd.shuffle(words.indices.toList).take(subs)
+      idxs.foreach(ix => words(ix) = word())
+      (1000L + j, words.mkString(" "))
+    }
+    base ++ dups
+  }
+  private lazy val docs = corpus.toDF("doc_id", "text")
+
+  private def shingles(text: String): Set[String] =
+    text.split(" ").toSeq.sliding(W).filter(_.size == W)
+      .map(_.mkString(" ")).toSet
+
+  /** Exact pairwise shingle Jaccard over the whole corpus (driver
+    * brute force — 180 docs, 16k pairs).
+    */
+  private lazy val trueJaccard: Map[(Long, Long), Double] = {
+    val sh = corpus.map { case (id, t) => id -> shingles(t) }
+    (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b && sa.nonEmpty && sb.nonEmpty
+      inter = (sa & sb).size
+      if inter > 0
+    } yield (a, b) -> inter.toDouble / (sa | sb).size.toDouble).toMap
+  }
+
+  test("minhash banding recall meets the (1-(1-s^r)^b) guarantee on true near-dups") {
+    // gate config: k=16, bands=4 → r=4. At s=0.85 the banding catch
+    // probability is 1-(1-0.85^4)^4 ≈ 0.96; the estimate filter at
+    // 0.2 (gate threshold) costs nothing at s≥0.85 (est std ≈ 0.09).
+    val got = Dedup.minhashPairs(docs, "doc_id", "text",
+        minJaccard = 0.2, k = 16, bands = 4, w = W)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val high = trueJaccard.filter(_._2 >= 0.85).keySet
+    assert(high.size >= 20, s"fixture must have real near-dups, got ${high.size}")
+    val caught = high.count(got.contains)
+    val recall = caught.toDouble / high.size
+    assert(recall >= 0.9,
+      s"recall $recall ($caught/${high.size}) below the banding guarantee")
+    // estimator error: k=16 permutations → std ≤ 1/(2√k)=0.125 at
+    // J=0.5; mean |est-true| over caught pairs must stay in band
+    val errs = got.collect {
+      case (pair, est) if trueJaccard.contains(pair) =>
+        math.abs(est - trueJaccard(pair))
+    }
+    assert(errs.nonEmpty && errs.sum / errs.size <= 0.15,
+      s"mean estimate error ${errs.sum / errs.size} out of band")
+    // no wild false positives: nothing reported for pairs with true
+    // Jaccard below 0.05 (est ≥ 0.2 there needs a ≥3σ excursion)
+    val wild = got.keys.filter(p => trueJaccard.getOrElse(p, 0.0) < 0.05)
+    assert(wild.isEmpty, s"false near-dups reported: ${wild.take(5)}")
+  }
+
+  test("simhash hamming<=3 banding recall is exactly 1 (pigeonhole)") {
+    val sims = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc") -> r.getAs[Long]("simhash")).toMap
+    val truth = (for {
+      (a, ha) <- sims; (b, hb) <- sims if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(truth.nonEmpty, "fixture must contain simhash near-dups")
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the maxHamming+1-band pigeonhole loses NOTHING at <=maxHamming,
+    // and the exact post-filter admits nothing beyond it: set equality
+    assert(got == truth,
+      s"missed ${(truth -- got).take(5)}, extra ${(got -- truth).take(5)}")
+  }
+
+  test("ngram-Jaccard pairs report the EXACT Jaccard; banding recall in band") {
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        minJaccard = 0.1, k = 16, bands = 4, w = W)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // precision side: every reported value equals the driver-computed
+    // exact shingle Jaccard (the op verifies candidates exactly; the
+    // only divergence would be a 64-bit shingle-hash collision)
+    got.foreach { case (pair, j) =>
+      assert(trueJaccard.contains(pair), s"pair $pair has no overlap")
+      assert(math.abs(j - trueJaccard(pair)) < 1e-9,
+        s"$pair: reported $j, exact ${trueJaccard(pair)}")
+    }
+    // recall side: same banding as minhash, same guarantee
+    val high = trueJaccard.filter(_._2 >= 0.85).keySet
+    val recall = high.count(got.contains).toDouble / high.size
+    assert(recall >= 0.9, s"recall $recall below the banding guarantee")
+  }
+
+  test("approx_count_distinct lands within 3x the default 5% rsd") {
+    val n = 50000
+    val distinct = 7919
+    val df = spark.range(n).select((col("id") % distinct).as("v"),
+      (col("id") % 97).as("w"))
+    val row = df.agg(
+      approx_count_distinct(col("v")).as("approx"),
+      countDistinct(col("v")).as("exact"),
+      approx_count_distinct(col("w")).as("approx_small")).collect().head
+    val (approx, exact) = (row.getLong(0), row.getLong(1))
+    assert(exact == distinct.toLong)
+    val rel = math.abs(approx - exact).toDouble / exact
+    assert(rel <= 0.15, s"approx_count_distinct off by $rel (> 3*rsd)")
+    // small cardinalities stay within the same relative band
+    assert(math.abs(row.getLong(2) - 97L).toDouble / 97.0 <= 0.15)
+  }
+
+  test("approx_percentile rank error is within 2/accuracy") {
+    val n = 100001L
+    val acc = 1000
+    // shuffled permutation of 0..n-1 so order carries no information
+    val df = spark.range(n)
+      .select(((col("id") * 48271) % n).as("v"))
+    val got = df.agg(
+      expr(s"approx_percentile(v, 0.5, $acc)").as("p50"),
+      expr(s"approx_percentile(v, 0.9, $acc)").as("p90")).collect().head
+    // values ARE ranks here (permutation of 0..n-1), so the GK rank
+    // guarantee |rank(est) - q*n| <= n/acc reads directly off the value
+    assert(math.abs(got.getLong(0) - n / 2) <= 2 * n / acc,
+      s"p50=${got.getLong(0)} outside rank band around ${n / 2}")
+    assert(math.abs(got.getLong(1) - (0.9 * n).toLong) <= 2 * n / acc,
+      s"p90=${got.getLong(1)} outside rank band around ${(0.9 * n).toLong}")
+  }
+
+  test("bottom-k sketch Jaccard: exact at the extremes, O(1/sqrt k) between") {
+    import graft.functions.BottomKSketch.{bottom_k_sketch, jaccard}
+    val k = 128
+    // A = {0..999}, B = {500..1499}: true J = 500/1500 = 1/3
+    val items = ((0 until 1000).map(i => ("A", s"t$i")) ++
+      (500 until 1500).map(i => ("B", s"t$i")) ++
+      (0 until 1000).map(i => ("C", s"t$i")) ++ // C == A → J = 1
+      (5000 until 6000).map(i => ("D", s"t$i"))) // D ∩ A = ∅ → J = 0
+      .toDF("set", "item")
+    val sk = items.groupBy("set").agg(bottom_k_sketch(col("item"), k).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    def est(a: String, b: String): Double =
+      Seq((sk(a), sk(b))).toDF("sa", "sb")
+        .select(jaccard(col("sa"), col("sb"), k).as("j"))
+        .collect().head.getDouble(0)
+    assert(est("A", "C") == 1.0)
+    assert(est("A", "D") == 0.0)
+    val j = est("A", "B")
+    // KMV band: std ≈ sqrt(J(1-J)/k) ≈ 0.042 at J=1/3; allow 3σ
+    assert(math.abs(j - 1.0 / 3.0) <= 0.13, s"KMV estimate $j vs 1/3")
+  }
+}

@@ -313,6 +313,132 @@ class DeltaExportSpec extends SparkSpec {
       spark.conf.unset("spark.graft.export.checkpointPartActions")
   }
 
+  test("foreign partitioned delta log: partition values re-injected as typed columns") {
+    // a log OUR exporter never writes: partitionColumns non-empty,
+    // data files without the partition columns (per the protocol),
+    // hive-style dirs, a null partition value, and a remove in the tail
+    val dir = tmpDir("dxf")
+    val path = s"$dir/ft.parquet"
+    val full = StructType(Seq(
+      StructField("id", StringType), StructField("v", IntegerType),
+      StructField("p", StringType), StructField("d", DateType)))
+    val data = StructType(full.fields.take(2))
+    def writeDataFile(rel: String, rows: Seq[(String, Int)]): Long = {
+      val stage = s"$dir/stage-${rel.replace('/', '_')}"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1),
+        data).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = Paths.get(path, rel)
+      Files.createDirectories(dest.getParent)
+      Files.move(part, dest)
+      Files.size(dest)
+    }
+    val s1 = writeDataFile("p=a/f1.parquet", Seq("a1" -> 1, "a2" -> 2))
+    val s2 = writeDataFile("p=b/f2.parquet", Seq("b1" -> 3))
+    val s3 = writeDataFile("p=b/f3.parquet", Seq("b2" -> 4))
+    val s4 = writeDataFile("p=a/f4.parquet", Seq("a3" -> 5))
+    def line(kind: String)(fill: com.fasterxml.jackson.databind.node.ObjectNode => Unit): String = {
+      val o = mapper.createObjectNode()
+      fill(o.putObject(kind))
+      mapper.writeValueAsString(o)
+    }
+    def addLine(rel: String, size: Long, p: String, d: String): String =
+      line("add") { a =>
+        a.put("path", rel)
+        val pv = a.putObject("partitionValues")
+        pv.put("p", p)
+        if (d == null) pv.putNull("d") else pv.put("d", d)
+        a.put("size", size); a.put("modificationTime", 1L)
+        a.put("dataChange", true)
+      }
+    val v0 = Seq(
+      line("protocol") { p =>
+        p.put("minReaderVersion", 1); p.put("minWriterVersion", 2) },
+      line("metaData") { m =>
+        m.put("id", "foreign-1")
+        val fmt = m.putObject("format")
+        fmt.put("provider", "parquet"); fmt.putObject("options")
+        m.put("schemaString", full.json)
+        val pc = m.putArray("partitionColumns")
+        pc.add("p"); pc.add("d")
+        m.putObject("configuration"); m.put("createdTime", 1L) },
+      addLine("p=a/f1.parquet", s1, "a", "2021-01-01"),
+      addLine("p=b/f2.parquet", s2, "b", null),
+      addLine("p=b/f3.parquet", s3, "b", null))
+    val v1 = Seq(
+      line("remove") { r =>
+        r.put("path", "p=b/f3.parquet")
+        r.put("deletionTimestamp", 2L); r.put("dataChange", true) },
+      addLine("p=a/f4.parquet", s4, "a", "2022-02-02"))
+    Files.createDirectories(Paths.get(path, "_delta_log"))
+    Files.write(Paths.get(path, "_delta_log", f"${0L}%020d.json"),
+      v0.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(path, "_delta_log", f"${1L}%020d.json"),
+      v1.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val back = DeltaExport.readSnapshot(spark, path)
+    // literal-injected partition columns may report STRICTER
+    // nullability than the declared schema (p is provably non-null
+    // here) — names and types must match exactly
+    def shape(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(shape(back.schema) == shape(full))
+    val got = back.collect().map(r => (r.getString(0), r.getInt(1),
+      r.getString(2), Option(r.getDate(3)).map(_.toString).orNull)).toSet
+    assert(got == Set(
+      ("a1", 1, "a", "2021-01-01"), ("a2", 2, "a", "2021-01-01"),
+      ("b1", 3, "b", null),
+      ("a3", 5, "a", "2022-02-02")))
+    // partition filters work on the re-injected columns
+    assert(back.filter("p = 'a'").count() == 3L)
+    assert(back.filter("d IS NULL").count() == 1L)
+    // versionAsOf replays the partitioned history too
+    assert(DeltaExport.readSnapshot(spark, path, 0L).count() == 4L)
+
+    // ---- checkpoint-bearing foreign log: drop the json history and
+    // leave only a hand-built checkpoint naming the same state ----
+    val ckSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType))))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType))))))
+    val ckRows = Seq(
+      Row(Row(1, 2), null, null),
+      Row(null, Row("foreign-1", full.json, Seq("p", "d")), null),
+      Row(null, null, Row("p=a/f1.parquet",
+        Map("p" -> "a", "d" -> "2021-01-01"), s1, 1L, true)),
+      Row(null, null, Row("p=b/f2.parquet",
+        Map("p" -> "b", "d" -> null), s2, 1L, true)),
+      Row(null, null, Row("p=a/f4.parquet",
+        Map("p" -> "a", "d" -> "2022-02-02"), s4, 1L, true)))
+    val stage = s"$dir/ck-stage"
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(ckRows, 1), ckSchema)
+      .write.mode("overwrite").parquet(stage)
+    val ckPart = Files.list(Paths.get(stage)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(ckPart,
+      Paths.get(path, "_delta_log", f"${1L}%020d.checkpoint.parquet"))
+    Files.write(Paths.get(path, "_delta_log", "_last_checkpoint"),
+      """{"version":1,"size":5}""".getBytes(StandardCharsets.UTF_8))
+    Seq(0L, 1L).foreach(v => Files.delete(
+      Paths.get(path, "_delta_log", f"$v%020d.json")))
+    val viaCkpt = DeltaExport.readSnapshot(spark, path)
+    assert(shape(viaCkpt.schema) == shape(full))
+    assert(viaCkpt.collect().map(r => (r.getString(0), r.getInt(1),
+      r.getString(2), Option(r.getDate(3)).map(_.toString).orNull))
+      .toSet == got)
+  }
+
   test("versionAsOf time-travels the exported log; unreachable history is loud") {
     val path = s"${tmpDir("dx")}/T.parquet"
     val t = ResourceTable(spark, path).createIfNotExists(schema)
