@@ -3,7 +3,11 @@ package graft
 import graft.functions.{TextExpressions, VectorExpressions}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
+  Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Session extension registering this library's native expressions as
   * SQL functions, so `spark.sql("SELECT cosine_similarity(a, b) ...")`
@@ -23,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rung (c): optimizer rule — naive range joins become bin-bucketed
     // equi-joins (inert until graft.rules.intervalJoin.binUs is set)
     e.injectOptimizerRule(_ => graft.plans.RangeBinJoinRule)
+    e.injectTableFunction((FunctionIdentifier("graft_delta_scan"),
+      GraftExtensions.deltaScanInfo, GraftExtensions.deltaScanBuilder _))
   }
 }
 
@@ -64,14 +70,52 @@ object GraftExtensions {
         "nfc_normalize(text) - Unicode NFC normalization (isNormalized fast path)"),
       (es: Seq[Expression]) => TextExpressions.NfcNormalize(es(0))))
 
-  /** Register on an already-built session (temp functions + the
-    * optimizer rule via the experimental hook).
+  /** `graft_delta_scan(path[, versionAsOf])` — a TABLE function over
+    * an exported `_delta_log` ([[graft.tables.DeltaExport.readSnapshot]]
+    * resolved at QUERY time). The registration story for fragmented
+    * tables hangs off this: a catalog view body is constant-size SQL
+    * (`SELECT * FROM graft_delta_scan('/path')`) no matter how many
+    * files the snapshot spans, and tracks the log as exports advance —
+    * the same "static location, moving snapshot" contract a real Delta
+    * registration gives external engines.
+    */
+  val deltaScanInfo: ExpressionInfo = new ExpressionInfo("graft", null,
+    "graft_delta_scan",
+    "graft_delta_scan(path[, versionAsOf]) - snapshot of an exported " +
+      "_delta_log as a table", "")
+
+  def deltaScanBuilder(es: Seq[Expression]): LogicalPlan = {
+    if (es.isEmpty || es.size > 2)
+      throw new IllegalArgumentException(
+        "graft_delta_scan(path[, versionAsOf]) takes 1 or 2 arguments")
+    val path = es.head match {
+      case Literal(v: UTF8String, StringType) => v.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_delta_scan: path must be a string literal, got $other")
+    }
+    val version = es.lift(1).map {
+      case Literal(v: Integer, IntegerType) => v.longValue
+      case Literal(v: java.lang.Long, LongType) => v.longValue
+      case other => throw new IllegalArgumentException(
+        s"graft_delta_scan: versionAsOf must be an integer literal, " +
+          s"got $other")
+    }.getOrElse(-1L)
+    graft.tables.DeltaExport
+      .readSnapshot(SparkSession.active, path, version)
+      .queryExecution.analyzed
+  }
+
+  /** Register on an already-built session (temp functions, the table
+    * function, and the optimizer rule via the experimental hook).
     */
   def register(spark: SparkSession): Unit = {
     definitions.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    spark.sessionState.tableFunctionRegistry
+      .createOrReplaceTempFunction("graft_delta_scan",
+        deltaScanBuilder _, "scala_udf")
     if (!spark.experimental.extraOptimizations
         .contains(graft.plans.RangeBinJoinRule))
       spark.experimental.extraOptimizations ++=

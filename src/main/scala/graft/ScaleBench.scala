@@ -31,7 +31,12 @@ import org.apache.spark.sql.types.{FloatType, LongType}
   *    so streaming state and window shapes genuinely grow 10x.
   */
 object ScaleBench {
-  private val Copies = 10
+  /** Replication factor: 10 (default) = sf1 from sf0.1; 100 = sf10 —
+    * the second point on the scale curve. Env-overridable so one
+    * harness serves both datapoints.
+    */
+  private val Copies =
+    sys.env.get("SPARK_GRAFT_SCALE_COPIES").map(_.toInt).getOrElse(10)
 
   /** The six queries VERDICT r7 item 3 names, plus the delta-export
     * round trip (export is O(files touched); the read-back is the
@@ -108,8 +113,8 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val out = sys.env.getOrElse(
-      "SPARK_GRAFT_SCALE_DIR", "/root/repo/target/scaledata/sf1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      s"/root/repo/target/scaledata/sf${Copies / 10}")
     val cpus = sys.env.getOrElse(
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -148,13 +153,13 @@ object ScaleBench {
         spark.catalog.clearCache()
         val r = big / small
         System.err.println(
-          f"[scale] $name%-22s sf0.1 $small%7.2fs   10x $big%7.2fs   ratio ${r}%5.1fx")
+          f"[scale] $name%-22s sf0.1 $small%7.2fs   ${Copies}%dx $big%7.2fs   ratio ${r}%5.1fx")
         name -> (small, big, r)
       }
     spark.stop()
     val js = results.map { case (n, (s, b, r)) =>
       f""""$n":{"sf01_sec":$s%.2f,"sf1_sec":$b%.2f,"ratio":$r%.2f}"""
     }.mkString(",")
-    println(s"""{"metric":"scale_ratio_10x","copies":$Copies,"queries":{$js}}""")
+    println(s"""{"metric":"scale_ratio_${Copies}x","copies":$Copies,"queries":{$js}}""")
   }
 }

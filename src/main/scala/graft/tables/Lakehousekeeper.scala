@@ -153,6 +153,21 @@ object Lakehousekeeper {
       // should compact first, which upkeep does anyway; the CLI
       // register path always compacts multi-dir snapshots)
       val files = t.fileManifest(v)
+      // a table carrying a CURRENT delta export registers against the
+      // LOG instead: a datasource entry naming [[DeltaSnapshotSource]]
+      // is constant-size no matter how many files the snapshot spans,
+      // so no file-count cap applies, and it resolves the log at each
+      // analysis — the registration tracks later exports by itself
+      // (REFRESH TABLE after export, like any file datasource). The
+      // same static-pointer contract a real Delta LOCATION gives
+      // (reference bundle_processor.py:330–357).
+      if (DeltaExport.exported(t) &&
+          DeltaExport.liveFiles(t) == files.toSet) {
+        spark.sql(s"CREATE TABLE $fq " +
+          "USING graft.tables.DeltaSnapshotSource " +
+          s"OPTIONS (path '${p.replace("'", "''")}')")
+        return s"$schema.$table"
+      }
       val cap = spark.conf
         .get("graft.register.maxViewFiles", "4096").toInt
       if (files.size > cap)
@@ -160,7 +175,8 @@ object Lakehousekeeper {
           s"$p: snapshot v$v spans ${files.size} files across " +
             "multiple directories — beyond " +
             s"graft.register.maxViewFiles=$cap for an exact-view " +
-            "registration; run optimize()/compactSmallFiles() first")
+            "registration; export the delta log (export-delta) or " +
+            "run optimize()/compactSmallFiles() first")
       // One projection PER SNAP DIR, not one glob over all files: the
       // view body's `parquet.`…`` relation re-infers its schema from a
       // single footer at every query (spark.sql.parquet.mergeSchema is

@@ -443,6 +443,66 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("registerTable: exported table registers an uncapped log-backed view") {
+    val base = tmpDir("regexp")
+    val path = s"$base/expdb/T.parquet"
+    val t = ResourceTable(spark, path)
+      .createIfNotExists(Seq(("a", 1)).toDF("id", "v").schema)
+    t.upsert(Seq(("a", 1)).toDF("id", "v"), "id")
+    t.upsert(Seq(("z", 2)).toDF("id", "v"), "id") // second dir
+    assert(!t.isSingleLocation(t.latestVersion.get)) // fragmented
+    graft.tables.DeltaExport.export(t)
+    // cap of 1 would refuse the enumerating view — the export-backed
+    // registration must not hit it at ANY file count
+    spark.conf.set("graft.register.maxViewFiles", "1")
+    try {
+      assert(Lakehousekeeper.registerTable(spark, path) == "expdb.T")
+      assert(spark.catalog.getTable("expdb", "T").tableType != "VIEW")
+      assert(spark.table("expdb.T").collect()
+        .map(r => r.getString(0) -> r.getInt(1)).toMap ==
+        Map("a" -> 1, "z" -> 2))
+      // the entry tracks the LOG: a new commit + export shows up with
+      // NO re-registration (static pointer, moving snapshot) — only a
+      // REFRESH to drop the session's cached relation, as with any
+      // file datasource
+      t.upsert(Seq(("m", 3)).toDF("id", "v"), "id")
+      graft.tables.DeltaExport.export(t)
+      spark.catalog.refreshTable("expdb.T")
+      assert(spark.table("expdb.T").count() == 3)
+      // a STALE export (commit not yet exported) must not register
+      // against the log — it falls back to the enumerating path and,
+      // under this cap, refuses with the remedy message
+      t.upsert(Seq(("q", 4)).toDF("id", "v"), "id")
+      val ex = intercept[IllegalStateException](
+        Lakehousekeeper.registerTable(spark, path))
+      assert(ex.getMessage.contains("export-delta"), ex.getMessage)
+    } finally {
+      spark.conf.unset("graft.register.maxViewFiles")
+      spark.sql("DROP SCHEMA IF EXISTS expdb CASCADE")
+    }
+  }
+
+  test("graft_delta_scan SQL table function: snapshot and versionAsOf") {
+    val base = tmpDir("tvf")
+    val path = s"$base/T.parquet"
+    val t = ResourceTable(spark, path)
+      .createIfNotExists(Seq(("a", 1)).toDF("id", "v").schema)
+    t.upsert(Seq(("a", 1)).toDF("id", "v"), "id")
+    graft.tables.DeltaExport.export(t) // delta v0
+    t.upsert(Seq(("b", 2)).toDF("id", "v"), "id")
+    graft.tables.DeltaExport.export(t) // delta v1
+    graft.GraftExtensions.register(spark)
+    val quoted = path.replace("'", "''")
+    assert(spark.sql(s"SELECT * FROM graft_delta_scan('$quoted')")
+      .count() == 2L)
+    assert(spark.sql(s"SELECT * FROM graft_delta_scan('$quoted', 0)")
+      .collect().map(_.getString(0)).toSeq == Seq("a"))
+    // non-literal args refuse loudly instead of resolving garbage
+    val ex = intercept[Exception](
+      spark.sql("SELECT * FROM graft_delta_scan(rand())").collect())
+    assert(ex.getMessage.contains("string literal"), ex.getMessage)
+  }
+
   test("two engines with different write settings share a session without racing") {
     // engine A: autoCompact ON; engine B: OFF — scoped per processor,
     // never via the session conf, so neither clobbers the other
