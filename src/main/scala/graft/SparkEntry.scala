@@ -1092,6 +1092,44 @@ object SparkEntry {
           col("offset").as("msg_offset"))
     }),
 
+    // ---- full-R4 encode round-trip: rich Patient JSON synthesized
+    //      from `customer`, parsed through the widened Pathling-parity
+    //      schema (telecom/communication/meta/managingOrganization),
+    //      nested fields projected back out. The oracle recomputes the
+    //      same values relationally — equality proves the JSON →
+    //      typed-struct round trip drops nothing ----
+    "q_fhir_encode_wide" -> ((s, dir) => {
+      val raw = t(s, dir, "customer").select(to_json(struct(
+        lit("Patient").as("resourceType"),
+        col("c_custkey").cast(StringType).as("id"),
+        struct(col("c_custkey").cast(StringType).as("versionId"))
+          .as("meta"),
+        array(struct(
+          lit("phone").as("system"),
+          concat(lit("555-"), col("c_custkey").cast(StringType))
+            .as("value"),
+          lit("home").as("use"))).as("telecom"),
+        array(struct(
+          struct(
+            array(struct(lit("urn:ietf:bcp:47").as("system"),
+              lit("en-US").as("code"))).as("coding"),
+            lit("English").as("text")).as("language"),
+          lit(true).as("preferred"))).as("communication"),
+        struct(col("c_mktsegment").as("text")).as("maritalStatus"),
+        struct(concat(lit("Organization/"),
+          col("c_nationkey").cast(StringType)).as("reference"))
+          .as("managingOrganization"))).as("resource"))
+      graft.fhir.FhirEncoder.encode(raw, "Patient").select(
+        col("id"),
+        element_at(col("telecom"), 1).getField("value").as("phone"),
+        element_at(element_at(col("communication"), 1)
+          .getField("language").getField("coding"), 1)
+          .getField("code").as("lang_code"),
+        col("maritalStatus").getField("text").as("segment"),
+        col("managingOrganization").getField("reference").as("org_ref"),
+        col("meta").getField("versionId").as("version_id"))
+    }),
+
     // ---- approx distinct (HLL++) next to the exact count (no oracle:
     //      DuckDB's sketch differs; rows-only determinism check) ----
     "q_approx_distinct" -> ((s, dir) => {
@@ -2608,6 +2646,15 @@ object SparkEntry {
         |      ORDER BY user_id % 4 ASC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1""".stripMargin,
+
+    "q_fhir_encode_wide" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS id,
+        |  concat('555-', CAST(c_custkey AS VARCHAR)) AS phone,
+        |  'en-US' AS lang_code,
+        |  c_mktsegment AS segment,
+        |  concat('Organization/', CAST(c_nationkey AS VARCHAR)) AS org_ref,
+        |  CAST(c_custkey AS VARCHAR) AS version_id
+        |FROM customer""".stripMargin,
 
     "q_ann_topk_agg" ->
       """SELECT q_id, n_id, rank FROM (

@@ -13,49 +13,144 @@ import org.apache.spark.sql.types._
   * Catalyst `JsonToStructs` (codegen-compatible, fully distributed, no
   * driver round-trips).
   *
-  * Schema fidelity follows Pathling's conventions where tests observe
-  * them: FHIR `date`/`dateTime` stay `StringType` (precision-preserving),
-  * FHIR `decimal` → `DecimalType(32, 6)`, recursion truncated. Columns
-  * outside the registry are retained losslessly in `resource_json` so no
-  * information is dropped by partial schemas (SURVEY.md §2.7).
+  * Schema breadth follows Pathling's full-R4 derivation for the five
+  * resource types the reference processes in parallel
+  * (src/settings.py:69–75): every R4 element of Patient / Observation /
+  * Condition / Encounter / Procedure is declared below, choice types
+  * (`value[x]`, `onset[x]`, `performed[x]`, …) expanded per variant,
+  * exactly as Pathling's encoder emits them. Conventions also match
+  * Pathling where the reference's tests observe them: FHIR
+  * `date`/`dateTime`/`instant`/`time` stay `StringType`
+  * (precision-preserving), FHIR `decimal` → `DecimalType(32, 6)`,
+  * recursion truncated (extensions nest one level; `Reference` carries
+  * no nested resource). Columns outside the registry are still retained
+  * losslessly in `resource_json` / the variant column, so nothing is
+  * dropped even for unregistered types (SURVEY.md §2.7).
   */
 object FhirEncoder {
 
-  private val codingType = ArrayType(StructType(Seq(
+  // ------------------------------------------- shared R4 datatypes
+
+  private val codingElem = StructType(Seq(
     StructField("system", StringType),
+    StructField("version", StringType),
     StructField("code", StringType),
-    StructField("display", StringType))))
+    StructField("display", StringType),
+    StructField("userSelected", BooleanType)))
+
+  private val codingType = ArrayType(codingElem)
 
   private val codeableConcept = StructType(Seq(
     StructField("coding", codingType),
     StructField("text", StringType)))
 
+  private val ccList = ArrayType(codeableConcept)
+
   private val reference = StructType(Seq(
     StructField("reference", StringType),
+    StructField("type", StringType),
     StructField("display", StringType)))
 
-  private val identifierType = ArrayType(StructType(Seq(
-    StructField("system", StringType),
-    StructField("value", StringType))))
+  private val refList = ArrayType(reference)
 
-  private val humanName = ArrayType(StructType(Seq(
+  private val period = StructType(Seq(
+    StructField("start", StringType),
+    StructField("end", StringType)))
+
+  private val identifierElem = StructType(Seq(
     StructField("use", StringType),
+    StructField("type", codeableConcept),
+    StructField("system", StringType),
+    StructField("value", StringType),
+    StructField("period", period)))
+
+  private val identifierType = ArrayType(identifierElem)
+
+  private val humanNameElem = StructType(Seq(
+    StructField("use", StringType),
+    StructField("text", StringType),
     StructField("family", StringType),
     StructField("given", ArrayType(StringType)),
-    StructField("prefix", ArrayType(StringType)))))
+    StructField("prefix", ArrayType(StringType)),
+    StructField("suffix", ArrayType(StringType)),
+    StructField("period", period)))
 
-  private val address = ArrayType(StructType(Seq(
+  private val humanName = ArrayType(humanNameElem)
+
+  private val addressElem = StructType(Seq(
+    StructField("use", StringType),
+    StructField("type", StringType),
+    StructField("text", StringType),
     StructField("line", ArrayType(StringType)),
     StructField("city", StringType),
+    StructField("district", StringType),
     StructField("state", StringType),
     StructField("postalCode", StringType),
-    StructField("country", StringType))))
+    StructField("country", StringType),
+    StructField("period", period)))
+
+  private val address = ArrayType(addressElem)
+
+  private val contactPointElem = StructType(Seq(
+    StructField("system", StringType),
+    StructField("value", StringType),
+    StructField("use", StringType),
+    StructField("rank", IntegerType),
+    StructField("period", period)))
+
+  private val contactPoint = ArrayType(contactPointElem)
 
   private val quantity = StructType(Seq(
     StructField("value", DecimalType(32, 6)),
+    StructField("comparator", StringType),
     StructField("unit", StringType),
     StructField("system", StringType),
     StructField("code", StringType)))
+
+  private val range = StructType(Seq(
+    StructField("low", quantity),
+    StructField("high", quantity)))
+
+  private val ratio = StructType(Seq(
+    StructField("numerator", quantity),
+    StructField("denominator", quantity)))
+
+  private val sampledData = StructType(Seq(
+    StructField("origin", quantity),
+    StructField("period", DecimalType(32, 6)),
+    StructField("factor", DecimalType(32, 6)),
+    StructField("lowerLimit", DecimalType(32, 6)),
+    StructField("upperLimit", DecimalType(32, 6)),
+    StructField("dimensions", IntegerType),
+    StructField("data", StringType)))
+
+  private val annotationType = ArrayType(StructType(Seq(
+    StructField("authorReference", reference),
+    StructField("authorString", StringType),
+    StructField("time", StringType),
+    StructField("text", StringType))))
+
+  private val attachment = StructType(Seq(
+    StructField("contentType", StringType),
+    StructField("language", StringType),
+    StructField("data", StringType),
+    StructField("url", StringType),
+    StructField("size", IntegerType),
+    StructField("hash", StringType),
+    StructField("title", StringType),
+    StructField("creation", StringType)))
+
+  /** Resource.meta — versionId/lastUpdated are what the reference's
+    * latest-wins dedup observes upstream; profile/security/tag complete
+    * the R4 element.
+    */
+  private val metaType = StructType(Seq(
+    StructField("versionId", StringType),
+    StructField("lastUpdated", StringType),
+    StructField("source", StringType),
+    StructField("profile", ArrayType(StringType)),
+    StructField("security", codingType),
+    StructField("tag", codingType)))
 
   /** FHIR extensions (enable_extensions=True parity, main.py:107–113):
     * url + common value[x] choices, nested one level (recursion
@@ -75,59 +170,238 @@ object FhirEncoder {
         StructField("code", StringType),
         StructField("display", StringType)))))))))))
 
-  /** Per-resource-type schemas. Minimum parity columns come from the
-    * reference's tests and clustering docs (FIXTURES.md §4): Patient
-    * {id, active, birthDate}, Observation {id, effectiveDateTime,
-    * subject}, Condition {id, recordedDate, onsetDateTime, subject}.
+  /** The elements every DomainResource carries (narrative kept as
+    * status + div string, like Pathling's `Narrative` encoding).
+    */
+  private def domainResource(fields: StructField*): StructType =
+    StructType(Seq(
+      StructField("resourceType", StringType),
+      StructField("id", StringType),
+      StructField("meta", metaType),
+      StructField("implicitRules", StringType),
+      StructField("language", StringType),
+      StructField("text", StructType(Seq(
+        StructField("status", StringType),
+        StructField("div", StringType)))),
+      StructField("extension", extensionType)) ++ fields)
+
+  // ------------------------------------------- per-resource schemas
+
+  /** Per-resource-type schemas: the COMPLETE R4 element set for the
+    * five types the reference processes in parallel (settings.py:69).
+    * Minimum parity columns proven by the reference's tests
+    * (FIXTURES.md §4) are a strict subset: Patient {id, active,
+    * birthDate}, Observation {id, effectiveDateTime, subject},
+    * Condition {id, recordedDate, onsetDateTime, subject}.
     */
   val schemas: Map[String, StructType] = Map(
-    "Patient" -> StructType(Seq(
-      StructField("resourceType", StringType),
-      StructField("id", StringType),
+    "Patient" -> domainResource(
+      StructField("identifier", identifierType),
       StructField("active", BooleanType),
+      StructField("name", humanName),
+      StructField("telecom", contactPoint),
       StructField("gender", StringType),
       StructField("birthDate", StringType),
+      StructField("deceasedBoolean", BooleanType),
       StructField("deceasedDateTime", StringType),
-      StructField("multipleBirthBoolean", BooleanType),
-      StructField("identifier", identifierType),
-      StructField("name", humanName),
       StructField("address", address),
       StructField("maritalStatus", codeableConcept),
-      StructField("extension", extensionType))),
-    "Observation" -> StructType(Seq(
-      StructField("resourceType", StringType),
-      StructField("id", StringType),
+      StructField("multipleBirthBoolean", BooleanType),
+      StructField("multipleBirthInteger", IntegerType),
+      StructField("photo", ArrayType(attachment)),
+      StructField("contact", ArrayType(StructType(Seq(
+        StructField("relationship", ccList),
+        StructField("name", humanNameElem),
+        StructField("telecom", contactPoint),
+        StructField("address", addressElem),
+        StructField("gender", StringType),
+        StructField("organization", reference),
+        StructField("period", period))))),
+      StructField("communication", ArrayType(StructType(Seq(
+        StructField("language", codeableConcept),
+        StructField("preferred", BooleanType))))),
+      StructField("generalPractitioner", refList),
+      StructField("managingOrganization", reference),
+      StructField("link", ArrayType(StructType(Seq(
+        StructField("other", reference),
+        StructField("type", StringType)))))),
+
+    "Observation" -> domainResource(
+      StructField("identifier", identifierType),
+      StructField("basedOn", refList),
+      StructField("partOf", refList),
       StructField("status", StringType),
-      StructField("effectiveDateTime", StringType),
-      StructField("issued", StringType),
+      StructField("category", ccList),
       StructField("code", codeableConcept),
       StructField("subject", reference),
-      StructField("valueQuantity", quantity))),
-    "Condition" -> StructType(Seq(
-      StructField("resourceType", StringType),
-      StructField("id", StringType),
-      StructField("recordedDate", StringType),
-      StructField("onsetDateTime", StringType),
-      StructField("abatementDateTime", StringType),
+      StructField("focus", refList),
+      StructField("encounter", reference),
+      StructField("effectiveDateTime", StringType),
+      StructField("effectivePeriod", period),
+      StructField("effectiveInstant", StringType),
+      StructField("issued", StringType),
+      StructField("performer", refList),
+      StructField("valueQuantity", quantity),
+      StructField("valueCodeableConcept", codeableConcept),
+      StructField("valueString", StringType),
+      StructField("valueBoolean", BooleanType),
+      StructField("valueInteger", IntegerType),
+      StructField("valueRange", range),
+      StructField("valueRatio", ratio),
+      StructField("valueSampledData", sampledData),
+      StructField("valueTime", StringType),
+      StructField("valueDateTime", StringType),
+      StructField("valuePeriod", period),
+      StructField("dataAbsentReason", codeableConcept),
+      StructField("interpretation", ccList),
+      StructField("note", annotationType),
+      StructField("bodySite", codeableConcept),
+      StructField("method", codeableConcept),
+      StructField("specimen", reference),
+      StructField("device", reference),
+      StructField("referenceRange", ArrayType(StructType(Seq(
+        StructField("low", quantity),
+        StructField("high", quantity),
+        StructField("type", codeableConcept),
+        StructField("appliesTo", ccList),
+        StructField("age", range),
+        StructField("text", StringType))))),
+      StructField("hasMember", refList),
+      StructField("derivedFrom", refList),
+      StructField("component", ArrayType(StructType(Seq(
+        StructField("code", codeableConcept),
+        StructField("valueQuantity", quantity),
+        StructField("valueCodeableConcept", codeableConcept),
+        StructField("valueString", StringType),
+        StructField("valueBoolean", BooleanType),
+        StructField("valueInteger", IntegerType),
+        StructField("valueRange", range),
+        StructField("valueRatio", ratio),
+        StructField("valueSampledData", sampledData),
+        StructField("valueTime", StringType),
+        StructField("valueDateTime", StringType),
+        StructField("valuePeriod", period),
+        StructField("dataAbsentReason", codeableConcept),
+        StructField("interpretation", ccList)))))),
+
+    "Condition" -> domainResource(
+      StructField("identifier", identifierType),
       StructField("clinicalStatus", codeableConcept),
       StructField("verificationStatus", codeableConcept),
+      StructField("category", ccList),
+      StructField("severity", codeableConcept),
       StructField("code", codeableConcept),
-      StructField("subject", reference))),
-    "Encounter" -> StructType(Seq(
-      StructField("resourceType", StringType),
-      StructField("id", StringType),
+      StructField("bodySite", ccList),
+      StructField("subject", reference),
+      StructField("encounter", reference),
+      StructField("onsetDateTime", StringType),
+      StructField("onsetAge", quantity),
+      StructField("onsetPeriod", period),
+      StructField("onsetRange", range),
+      StructField("onsetString", StringType),
+      StructField("abatementDateTime", StringType),
+      StructField("abatementAge", quantity),
+      StructField("abatementPeriod", period),
+      StructField("abatementRange", range),
+      StructField("abatementString", StringType),
+      StructField("recordedDate", StringType),
+      StructField("recorder", reference),
+      StructField("asserter", reference),
+      StructField("stage", ArrayType(StructType(Seq(
+        StructField("summary", codeableConcept),
+        StructField("assessment", refList),
+        StructField("type", codeableConcept))))),
+      StructField("evidence", ArrayType(StructType(Seq(
+        StructField("code", ccList),
+        StructField("detail", refList))))),
+      StructField("note", annotationType)),
+
+    "Encounter" -> domainResource(
+      StructField("identifier", identifierType),
       StructField("status", StringType),
-      StructField("class", StructType(Seq(
-        StructField("system", StringType),
-        StructField("code", StringType)))),
-      StructField("subject", reference))),
-    "Procedure" -> StructType(Seq(
-      StructField("resourceType", StringType),
-      StructField("id", StringType),
+      StructField("statusHistory", ArrayType(StructType(Seq(
+        StructField("status", StringType),
+        StructField("period", period))))),
+      StructField("class", codingElem),
+      StructField("classHistory", ArrayType(StructType(Seq(
+        StructField("class", codingElem),
+        StructField("period", period))))),
+      StructField("type", ccList),
+      StructField("serviceType", codeableConcept),
+      StructField("priority", codeableConcept),
+      StructField("subject", reference),
+      StructField("episodeOfCare", refList),
+      StructField("basedOn", refList),
+      StructField("participant", ArrayType(StructType(Seq(
+        StructField("type", ccList),
+        StructField("period", period),
+        StructField("individual", reference))))),
+      StructField("appointment", refList),
+      StructField("period", period),
+      StructField("length", quantity),
+      StructField("reasonCode", ccList),
+      StructField("reasonReference", refList),
+      StructField("diagnosis", ArrayType(StructType(Seq(
+        StructField("condition", reference),
+        StructField("use", codeableConcept),
+        StructField("rank", IntegerType))))),
+      StructField("account", refList),
+      StructField("hospitalization", StructType(Seq(
+        StructField("preAdmissionIdentifier", identifierElem),
+        StructField("origin", reference),
+        StructField("admitSource", codeableConcept),
+        StructField("reAdmission", codeableConcept),
+        StructField("dietPreference", ccList),
+        StructField("specialCourtesy", ccList),
+        StructField("specialArrangement", ccList),
+        StructField("destination", reference),
+        StructField("dischargeDisposition", codeableConcept)))),
+      StructField("location", ArrayType(StructType(Seq(
+        StructField("location", reference),
+        StructField("status", StringType),
+        StructField("physicalType", codeableConcept),
+        StructField("period", period))))),
+      StructField("serviceProvider", reference),
+      StructField("partOf", reference)),
+
+    "Procedure" -> domainResource(
+      StructField("identifier", identifierType),
+      StructField("instantiatesCanonical", ArrayType(StringType)),
+      StructField("instantiatesUri", ArrayType(StringType)),
+      StructField("basedOn", refList),
+      StructField("partOf", refList),
       StructField("status", StringType),
+      StructField("statusReason", codeableConcept),
+      StructField("category", codeableConcept),
+      StructField("code", codeableConcept),
+      StructField("subject", reference),
+      StructField("encounter", reference),
       StructField("performedDateTime", StringType),
-      StructField("code", codeableConcept),
-      StructField("subject", reference))))
+      StructField("performedPeriod", period),
+      StructField("performedString", StringType),
+      StructField("performedAge", quantity),
+      StructField("performedRange", range),
+      StructField("recorder", reference),
+      StructField("asserter", reference),
+      StructField("performer", ArrayType(StructType(Seq(
+        StructField("function", codeableConcept),
+        StructField("actor", reference),
+        StructField("onBehalfOf", reference))))),
+      StructField("location", reference),
+      StructField("reasonCode", ccList),
+      StructField("reasonReference", refList),
+      StructField("bodySite", ccList),
+      StructField("outcome", codeableConcept),
+      StructField("report", refList),
+      StructField("complication", ccList),
+      StructField("complicationDetail", refList),
+      StructField("followUp", ccList),
+      StructField("note", annotationType),
+      StructField("focalDevice", ArrayType(StructType(Seq(
+        StructField("action", codeableConcept),
+        StructField("manipulated", reference))))),
+      StructField("usedReference", refList),
+      StructField("usedCode", ccList)))
 
   /** Fallback schema for resource types without a registered schema:
     * id only + raw JSON retention.

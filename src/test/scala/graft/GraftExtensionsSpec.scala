@@ -197,4 +197,123 @@ class FhirEncoderSpec extends SparkSpec {
     assert(out.getAs[String]("id") == "m-1")
     assert(out.getAs[String]("resource_json").contains("Medication"))
   }
+
+  // ---- full-R4 schema breadth (Pathling derivation parity): every
+  // R4 element of the five parallel types is a real typed column, not
+  // just the reference-test subset ----
+
+  test("Patient full-R4 breadth: telecom/communication/meta parse typed") {
+    val json = graft.SparkSpec.fixture("single-patient.json")
+    val wire = graft.SparkSpec.kafkaBatch(spark, Seq((json, 0, 0L)))
+    val prepared = graft.pipeline.BundlePipeline.prepare(wire)
+    val out = FhirEncoder.encode(prepared, "Patient").collect().head
+    val tel = out.getSeq[org.apache.spark.sql.Row](out.fieldIndex("telecom"))
+    assert(tel.head.getAs[String]("system") == "phone")
+    assert(tel.head.getAs[String]("value") == "555-981-7850")
+    val comm = out.getSeq[org.apache.spark.sql.Row](
+      out.fieldIndex("communication"))
+    val lang = comm.head.getStruct(comm.head.fieldIndex("language"))
+    assert(lang.getSeq[org.apache.spark.sql.Row](0)
+      .head.getAs[String]("code") == "en-US")
+    val ms = out.getStruct(out.fieldIndex("maritalStatus"))
+    assert(ms.getAs[String]("text") == "Married")
+    assert(!out.getAs[Boolean]("multipleBirthBoolean"))
+    val meta = out.getStruct(out.fieldIndex("meta"))
+    assert(meta.getSeq[String](meta.fieldIndex("profile"))
+      .head.endsWith("us-core-patient"))
+  }
+
+  test("Observation full-R4 breadth: components and choice types") {
+    val bp = """{"resourceType":"Observation","id":"bp-1","status":"final",
+      |"category":[{"coding":[{"system":"http://terminology.hl7.org/CodeSystem/observation-category",
+      |"code":"vital-signs"}]}],
+      |"code":{"coding":[{"code":"85354-9"}],"text":"Blood pressure"},
+      |"valueCodeableConcept":{"coding":[{"code":"N"}],"text":"normal"},
+      |"referenceRange":[{"low":{"value":60,"unit":"mmHg"},
+      |"high":{"value":120,"unit":"mmHg"},"text":"60-120"}],
+      |"component":[
+      | {"code":{"coding":[{"code":"8480-6"}]},
+      |  "valueQuantity":{"value":117.5,"unit":"mmHg"}},
+      | {"code":{"coding":[{"code":"8462-4"}]},
+      |  "valueQuantity":{"value":75.25,"unit":"mmHg"}}]}"""
+      .stripMargin.replaceAll("\n", "")
+    val out = FhirEncoder.encode(Seq(bp).toDF("resource"), "Observation")
+      .collect().head
+    val cat = out.getSeq[org.apache.spark.sql.Row](out.fieldIndex("category"))
+    assert(cat.head.getSeq[org.apache.spark.sql.Row](0)
+      .head.getAs[String]("code") == "vital-signs")
+    assert(out.getStruct(out.fieldIndex("valueCodeableConcept"))
+      .getAs[String]("text") == "normal")
+    val rr = out.getSeq[org.apache.spark.sql.Row](
+      out.fieldIndex("referenceRange")).head
+    assert(rr.getStruct(rr.fieldIndex("high"))
+      .getAs[java.math.BigDecimal]("value")
+      .compareTo(new java.math.BigDecimal("120")) == 0)
+    val comps = out.getSeq[org.apache.spark.sql.Row](
+      out.fieldIndex("component"))
+    assert(comps.size == 2)
+    val sys = comps.head.getStruct(comps.head.fieldIndex("valueQuantity"))
+    assert(sys.getAs[java.math.BigDecimal]("value")
+      .compareTo(new java.math.BigDecimal("117.5")) == 0)
+  }
+
+  test("Encounter/Condition/Procedure full-R4 breadth") {
+    val enc = """{"resourceType":"Encounter","id":"e-1","status":"finished",
+      |"class":{"system":"http://terminology.hl7.org/CodeSystem/v3-ActCode",
+      |"code":"AMB","display":"ambulatory"},
+      |"period":{"start":"2020-01-01T09:00:00Z","end":"2020-01-01T09:30:00Z"},
+      |"participant":[{"individual":{"reference":"Practitioner/dr-1",
+      |"display":"Dr One"}}],
+      |"diagnosis":[{"condition":{"reference":"Condition/c-1"},"rank":1}],
+      |"hospitalization":{"dischargeDisposition":{"coding":[{"code":"home"}]}},
+      |"serviceProvider":{"reference":"Organization/o-1"}}"""
+      .stripMargin.replaceAll("\n", "")
+    val e = FhirEncoder.encode(Seq(enc).toDF("resource"), "Encounter")
+      .collect().head
+    assert(e.getStruct(e.fieldIndex("class")).getAs[String]("display")
+      == "ambulatory")
+    assert(e.getStruct(e.fieldIndex("period")).getAs[String]("end")
+      == "2020-01-01T09:30:00Z")
+    val dg = e.getSeq[org.apache.spark.sql.Row](e.fieldIndex("diagnosis"))
+    assert(dg.head.getAs[Int]("rank") == 1)
+    val hosp = e.getStruct(e.fieldIndex("hospitalization"))
+    assert(hosp.getStruct(hosp.fieldIndex("dischargeDisposition"))
+      .getSeq[org.apache.spark.sql.Row](0).head
+      .getAs[String]("code") == "home")
+
+    val cond = """{"resourceType":"Condition","id":"c-2",
+      |"severity":{"coding":[{"code":"24484000","display":"Severe"}]},
+      |"onsetAge":{"value":54.5,"unit":"a"},
+      |"stage":[{"summary":{"coding":[{"code":"IIb"}]}}],
+      |"evidence":[{"code":[{"coding":[{"code":"obs"}]}],
+      |"detail":[{"reference":"Observation/ob-9"}]}],
+      |"subject":{"reference":"Patient/p1"}}"""
+      .stripMargin.replaceAll("\n", "")
+    val c = FhirEncoder.encode(Seq(cond).toDF("resource"), "Condition")
+      .collect().head
+    assert(c.getStruct(c.fieldIndex("onsetAge"))
+      .getAs[java.math.BigDecimal]("value")
+      .compareTo(new java.math.BigDecimal("54.5")) == 0)
+    val ev = c.getSeq[org.apache.spark.sql.Row](c.fieldIndex("evidence"))
+    assert(ev.head.getSeq[org.apache.spark.sql.Row](
+      ev.head.fieldIndex("detail")).head
+      .getAs[String]("reference") == "Observation/ob-9")
+
+    val proc = """{"resourceType":"Procedure","id":"pr-1","status":"completed",
+      |"performedPeriod":{"start":"2020-02-02T10:00:00Z",
+      |"end":"2020-02-02T11:00:00Z"},
+      |"performer":[{"actor":{"reference":"Practitioner/dr-2"}}],
+      |"reasonCode":[{"coding":[{"code":"r1"}]}],
+      |"followUp":[{"text":"wound check"}]}"""
+      .stripMargin.replaceAll("\n", "")
+    val p = FhirEncoder.encode(Seq(proc).toDF("resource"), "Procedure")
+      .collect().head
+    assert(p.getStruct(p.fieldIndex("performedPeriod"))
+      .getAs[String]("start") == "2020-02-02T10:00:00Z")
+    val perf = p.getSeq[org.apache.spark.sql.Row](p.fieldIndex("performer"))
+    assert(perf.head.getStruct(perf.head.fieldIndex("actor"))
+      .getAs[String]("reference") == "Practitioner/dr-2")
+    assert(p.getSeq[org.apache.spark.sql.Row](p.fieldIndex("followUp"))
+      .head.getAs[String]("text") == "wound check")
+  }
 }
