@@ -803,6 +803,54 @@ object DeltaExport {
     dead
   }
 
+  /** Per-field key Delta column mapping stores the parquet-physical
+    * name under (PROTOCOL.md "Column Mapping").
+    */
+  private val PhysNameKey = "delta.columnMapping.physicalName"
+
+  /** Reader features this reader actually implements; a protocol v3
+    * log demanding anything else refuses loudly.
+    */
+  private val SupportedReaderFeatures =
+    Set("columnMapping", "timestampNtz", "vacuumProtocolCheck")
+
+  /** Protocol gate shared by the checkpoint and json replay paths.
+    * v1 = plain parquet; v2 = column mapping (the metaData
+    * configuration decides the mode — `name` is read, `id` refused);
+    * v3 = table features, allowed only when every listed readerFeature
+    * is implemented here. A v3 protocol WITHOUT a readerFeatures list
+    * is malformed — refuse rather than guess what it requires.
+    */
+  private def checkReaderProtocol(tablePath: String, mrv: Int,
+                                  features: Option[Seq[String]]): Unit =
+    if (mrv == 3) {
+      val bad = features.fold(Seq("<missing readerFeatures>"))(
+        _.filterNot(SupportedReaderFeatures))
+      if (bad.nonEmpty) throw new IllegalStateException(
+        s"$tablePath: delta reader version 3 demands reader features " +
+          s"this reader lacks: ${bad.mkString(", ")}")
+    } else if (mrv > 2) throw new IllegalStateException(
+      s"$tablePath: requires delta reader version $mrv; " +
+        "this reader supports 1-3")
+
+  /** The name-mapped twin of a logical type: every nested StructField
+    * renamed to its `delta.columnMapping.physicalName` (parquet files
+    * of a column-mapped table store ONLY physical names).
+    */
+  private def physicalType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(physicalName(f), physicalType(f.dataType), f.nullable)))
+    case a: ArrayType => a.copy(elementType = physicalType(a.elementType))
+    case m: MapType =>
+      m.copy(keyType = physicalType(m.keyType),
+        valueType = physicalType(m.valueType))
+    case o => o
+  }
+
+  private def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey)
+    else f.name
+
   /** Standalone reader for the exported protocol subset: replays
     * `_delta_log/` (protocol gate, last metaData schema, add/remove
     * set) and reads the live files under the log's schema. Works on
@@ -812,8 +860,13 @@ object DeltaExport {
     * per the protocol, so each add's `partitionValues` is re-injected
     * as literal columns cast to the schema's types (one scan per
     * distinct partition tuple, unioned — plan size O(#partitions),
-    * never O(#files)). Protocols above reader v1 (deletion vectors,
-    * column mapping) refuse loudly instead of returning wrong rows.
+    * never O(#files)). Column-mapped foreign logs (reader v2, or v3
+    * with the columnMapping feature) are read in `name` mode: the
+    * parquet scans under the schema's physical names, then one
+    * positional struct-cast per top-level column restores the logical
+    * names at every nesting depth — zero per-row cost, pure rename.
+    * `id` mode, deletion vectors, and v2 checkpoints refuse loudly
+    * instead of returning wrong rows.
     *
     * `versionAsOf >= 0` time-travels to that delta version (Delta's
     * `versionAsOf` reader option): replay stops at the requested
@@ -832,6 +885,7 @@ object DeltaExport {
       throw new IllegalStateException(s"$tablePath: no _delta_log")
     var schemaJson: String = null
     var partCols: Seq[String] = Seq.empty
+    var tableConf: Map[String, String] = Map.empty
     // live path → its partitionValues (empty map on unpartitioned logs)
     val live = mutable.LinkedHashMap.empty[String, Map[String, String]]
     // start from the checkpoint when one is published: replay is then
@@ -869,15 +923,21 @@ object DeltaExport {
           if (cols("protocol") && !row.isNullAt(row.fieldIndex("protocol"))) {
             val p = row.getStruct(row.fieldIndex("protocol"))
             val mrv = p.getInt(p.fieldIndex("minReaderVersion"))
-            if (mrv > 1) throw new IllegalStateException(
-              s"$tablePath: requires delta reader version $mrv; " +
-                "this reader supports 1")
+            val fIdx = p.schema.fieldNames.indexOf("readerFeatures")
+            val feats =
+              if (fIdx < 0 || p.isNullAt(fIdx)) None
+              else Some(p.getSeq[String](fIdx).toSeq)
+            checkReaderProtocol(tablePath, mrv, feats)
           }
           if (cols("metaData") && !row.isNullAt(row.fieldIndex("metaData"))) {
             val m = row.getStruct(row.fieldIndex("metaData"))
             schemaJson = m.getString(m.fieldIndex("schemaString"))
             val parts = m.getSeq[String](m.fieldIndex("partitionColumns"))
             partCols = if (parts == null) Seq.empty else parts.toSeq
+            val cIdx = m.schema.fieldNames.indexOf("configuration")
+            tableConf =
+              if (cIdx < 0 || m.isNullAt(cIdx)) Map.empty
+              else m.getMap[String, String](cIdx).toMap
           }
           if (cols("add") && !row.isNullAt(row.fieldIndex("add"))) {
             val a = row.getStruct(row.fieldIndex("add"))
@@ -902,9 +962,9 @@ object DeltaExport {
         .foreach { n =>
           Option(n.get("protocol")).foreach { p =>
             val mrv = p.get("minReaderVersion").asInt
-            if (mrv > 1) throw new IllegalStateException(
-              s"$tablePath: requires delta reader version $mrv; " +
-                "this reader supports 1")
+            val feats = Option(p.get("readerFeatures")).map(f =>
+              (0 until f.size()).map(f.get(_).asText).toSeq)
+            checkReaderProtocol(tablePath, mrv, feats)
           }
           Option(n.get("metaData")).foreach { m =>
             schemaJson = m.get("schemaString").asText
@@ -912,6 +972,16 @@ object DeltaExport {
             partCols =
               if (parts == null) Seq.empty
               else (0 until parts.size()).map(parts.get(_).asText)
+            tableConf = Option(m.get("configuration")).map { c =>
+              val it = c.fields()
+              val b = Map.newBuilder[String, String]
+              while (it.hasNext) {
+                val e = it.next()
+                b += e.getKey ->
+                  (if (e.getValue.isNull) null else e.getValue.asText)
+              }
+              b.result()
+            }.getOrElse(Map.empty)
           }
           Option(n.get("add")).foreach { a =>
             val pvNode = a.get("partitionValues")
@@ -936,6 +1006,27 @@ object DeltaExport {
     if (schemaJson == null)
       throw new IllegalStateException(s"$tablePath: log has no metaData")
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val mapMode = Option(tableConf.getOrElse("delta.columnMapping.mode",
+      "none")).getOrElse("none")
+    if (mapMode != "none" && mapMode != "name")
+      throw new IllegalStateException(
+        s"$tablePath: delta.columnMapping.mode=$mapMode is not " +
+          "supported; this reader handles none and name")
+    // scan files under the PHYSICAL schema and restore logical names
+    // with one positional struct-cast per top-level column (renames at
+    // every nesting depth; identical types so it folds to a no-op)
+    def scan(files: Seq[String], logical: StructType): DataFrame = {
+      import org.apache.spark.sql.functions.col
+      if (mapMode == "none")
+        spark.read.schema(logical).parquet(files: _*)
+      else {
+        val phys = physicalType(logical).asInstanceOf[StructType]
+        spark.read.schema(phys).parquet(files: _*)
+          .select(logical.fields.zip(phys.fields).map { case (lf, pf) =>
+            col(s"`${pf.name}`").cast(lf.dataType).as(lf.name)
+          }.toSeq: _*)
+      }
+    }
     if (live.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -965,15 +1056,20 @@ object DeltaExport {
           gone.take(5).mkString(", "))
     }
     if (partCols.isEmpty)
-      spark.read.schema(schema)
-        .parquet(live.keys.toSeq.sorted
-          .map(r => new HPath(root, r).toString): _*)
+      scan(live.keys.toSeq.sorted
+        .map(r => new HPath(root, r).toString), schema)
     else {
       import org.apache.spark.sql.functions.{col, lit}
       val missing = partCols.filterNot(schema.fieldNames.contains)
       if (missing.nonEmpty) throw new IllegalStateException(
         s"$tablePath: partitionColumns ${missing.mkString(", ")} not " +
           "in the log's schema")
+      // column-mapped logs key each add's partitionValues by the
+      // PHYSICAL partition-column name (PROTOCOL.md "Writer
+      // Requirements for Column Mapping"); fall back to the logical
+      // name for writers that predate that rule
+      val pvKey = partCols.map(c =>
+        c -> (if (mapMode == "none") c else physicalName(schema(c)))).toMap
       // per the protocol, partition columns are NOT stored in the data
       // files — scan each distinct partition tuple's files under the
       // data-only schema and re-inject its values as cast literals
@@ -982,11 +1078,10 @@ object DeltaExport {
       live.toSeq.groupBy(_._2).toSeq
         .sortBy(_._2.head._1) // deterministic plan order
         .map { case (pv, files) =>
-          val base = spark.read.schema(dataSchema)
-            .parquet(files.map(_._1).sorted
-              .map(r => new HPath(root, r).toString): _*)
+          val base = scan(files.map(_._1).sorted
+            .map(r => new HPath(root, r).toString), dataSchema)
           partCols.foldLeft(base) { (df, c) =>
-            val raw = pv.getOrElse(c, null)
+            val raw = pv.getOrElse(pvKey(c), pv.getOrElse(c, null))
             df.withColumn(c,
               (if (raw == null) lit(null) else lit(raw))
                 .cast(schema(c).dataType))

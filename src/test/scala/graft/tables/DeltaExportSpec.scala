@@ -693,4 +693,128 @@ class DeltaExportSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("reader version"))
   }
+
+  test("foreign column-mapped log (name mode): physical names restored") {
+    // a log delta-spark writes after ALTER TABLE ... SET TBLPROPERTIES
+    // ('delta.columnMapping.mode'='name'): parquet files carry ONLY
+    // physical col-<uuid> names (nested included), partitionValues are
+    // keyed by the physical partition-column name, and the logical
+    // schema lives in schemaString field metadata
+    val dir = tmpDir("dxm")
+    val path = s"$dir/cm.parquet"
+    def fmeta(phys: String, id: Long) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id).build()
+    val logical = StructType(Seq(
+      StructField("id", StringType, nullable = true, fmeta("col-a1", 1)),
+      StructField("v", IntegerType, nullable = true, fmeta("col-b2", 2)),
+      StructField("nested", StructType(Seq(
+        StructField("x", IntegerType, nullable = true, fmeta("col-d4", 4)),
+        StructField("y", StringType, nullable = true, fmeta("col-e5", 5)))),
+        nullable = true, fmeta("col-c3", 3)),
+      StructField("p", StringType, nullable = true, fmeta("col-f6", 6))))
+    // data files under PHYSICAL names, partition column absent
+    val physData = StructType(Seq(
+      StructField("col-a1", StringType),
+      StructField("col-b2", IntegerType),
+      StructField("col-c3", StructType(Seq(
+        StructField("col-d4", IntegerType),
+        StructField("col-e5", StringType))))))
+    def writeDataFile(rel: String, rows: Seq[Row]): Long = {
+      val stage = s"$dir/stage-${rel.replace('/', '_')}"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), physData)
+        .write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = Paths.get(path, rel)
+      Files.createDirectories(dest.getParent)
+      Files.move(part, dest)
+      Files.size(dest)
+    }
+    val s1 = writeDataFile("f1.parquet", Seq(
+      Row("a1", 1, Row(10, "x1")), Row("a2", 2, Row(20, "x2"))))
+    val s2 = writeDataFile("f2.parquet", Seq(Row("b1", 3, Row(30, "x3"))))
+    def line(kind: String)(fill: com.fasterxml.jackson.databind.node.ObjectNode => Unit): String = {
+      val o = mapper.createObjectNode()
+      fill(o.putObject(kind))
+      mapper.writeValueAsString(o)
+    }
+    val v0 = Seq(
+      line("protocol") { p =>
+        p.put("minReaderVersion", 2); p.put("minWriterVersion", 5) },
+      line("metaData") { m =>
+        m.put("id", "foreign-cm-1")
+        val fmt = m.putObject("format")
+        fmt.put("provider", "parquet"); fmt.putObject("options")
+        m.put("schemaString", logical.json)
+        m.putArray("partitionColumns").add("p")
+        val conf = m.putObject("configuration")
+        conf.put("delta.columnMapping.mode", "name")
+        conf.put("delta.columnMapping.maxColumnId", "6")
+        m.put("createdTime", 1L) },
+      line("add") { a =>
+        a.put("path", "f1.parquet")
+        a.putObject("partitionValues").put("col-f6", "east")
+        a.put("size", s1); a.put("modificationTime", 1L)
+        a.put("dataChange", true) },
+      line("add") { a =>
+        a.put("path", "f2.parquet")
+        a.putObject("partitionValues").put("col-f6", "west")
+        a.put("size", s2); a.put("modificationTime", 1L)
+        a.put("dataChange", true) })
+    Files.createDirectories(Paths.get(path, "_delta_log"))
+    Files.write(Paths.get(path, "_delta_log", f"${0L}%020d.json"),
+      v0.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val back = DeltaExport.readSnapshot(spark, path)
+    // logical names at every depth, physical gone
+    assert(back.schema.fieldNames.toSeq == Seq("id", "v", "nested", "p"))
+    assert(back.schema("nested").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("x", "y"))
+    val got = back.selectExpr("id", "v", "nested.x", "nested.y", "p")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getString(3), r.getString(4))).toSet
+    assert(got == Set(
+      ("a1", 1, 10, "x1", "east"), ("a2", 2, 20, "x2", "east"),
+      ("b1", 3, 30, "x3", "west")))
+    // predicate on a restored logical column prunes correctly
+    assert(back.filter("p = 'east'").count() == 2L)
+    assert(back.filter("nested.x >= 20").count() == 2L)
+
+    // protocol v3 + readerFeatures [columnMapping] reads the same way
+    val f0 = Paths.get(path, "_delta_log", f"${0L}%020d.json")
+    val asV3 = Files.readAllLines(f0, StandardCharsets.UTF_8).asScala
+      .map(_.replace(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["columnMapping"],""" +
+          """"writerFeatures":["columnMapping"]}}"""))
+      .mkString("\n")
+    Files.write(f0, asV3.getBytes(StandardCharsets.UTF_8))
+    Files.deleteIfExists(
+      Paths.get(path, "_delta_log", f".${0L}%020d.json.crc"))
+    assert(DeltaExport.readSnapshot(spark, path).count() == 3L)
+
+    // deletion vectors stay a loud refusal
+    val withDv = asV3.replace("\"readerFeatures\":[\"columnMapping\"]",
+      "\"readerFeatures\":[\"columnMapping\",\"deletionVectors\"]")
+    Files.write(f0, withDv.getBytes(StandardCharsets.UTF_8))
+    Files.deleteIfExists(
+      Paths.get(path, "_delta_log", f".${0L}%020d.json.crc"))
+    val eDv = intercept[IllegalStateException] {
+      DeltaExport.readSnapshot(spark, path)
+    }
+    assert(eDv.getMessage.contains("deletionVectors"))
+
+    // id-mode mapping stays a loud refusal
+    val asId = asV3.replace("\"delta.columnMapping.mode\":\"name\"",
+      "\"delta.columnMapping.mode\":\"id\"")
+    Files.write(f0, asId.getBytes(StandardCharsets.UTF_8))
+    Files.deleteIfExists(
+      Paths.get(path, "_delta_log", f".${0L}%020d.json.crc"))
+    val eId = intercept[IllegalStateException] {
+      DeltaExport.readSnapshot(spark, path)
+    }
+    assert(eId.getMessage.contains("columnMapping.mode=id"))
+  }
 }
