@@ -812,7 +812,8 @@ object DeltaExport {
     * log demanding anything else refuses loudly.
     */
   private val SupportedReaderFeatures =
-    Set("columnMapping", "timestampNtz", "vacuumProtocolCheck")
+    Set("columnMapping", "timestampNtz", "vacuumProtocolCheck",
+      "deletionVectors")
 
   /** Protocol gate shared by the checkpoint and json replay paths.
     * v1 = plain parquet; v2 = column mapping (the metaData
@@ -865,8 +866,11 @@ object DeltaExport {
     * parquet scans under the schema's physical names, then one
     * positional struct-cast per top-level column restores the logical
     * names at every nesting depth — zero per-row cost, pure rename.
-    * `id` mode, deletion vectors, and v2 checkpoints refuse loudly
-    * instead of returning wrong rows.
+    * Deletion vectors (v3 + deletionVectors feature) are applied by
+    * decoding each add's roaring DV on an executor and anti-joining
+    * the scan on its native parquet row position ([[DeletionVectors]]).
+    * `id`-mode mapping and v2 checkpoints refuse loudly instead of
+    * returning wrong rows.
     *
     * `versionAsOf >= 0` time-travels to that delta version (Delta's
     * `versionAsOf` reader option): replay stops at the requested
@@ -886,8 +890,11 @@ object DeltaExport {
     var schemaJson: String = null
     var partCols: Seq[String] = Seq.empty
     var tableConf: Map[String, String] = Map.empty
-    // live path → its partitionValues (empty map on unpartitioned logs)
-    val live = mutable.LinkedHashMap.empty[String, Map[String, String]]
+    // live path → (partitionValues, deletion vector): a re-add of the
+    // same path REPLACES both, so the newest DV (or its clearing, on a
+    // DV-less re-add after compaction) always wins
+    val live = mutable.LinkedHashMap.empty[
+      String, (Map[String, String], Option[DeletionVectors.Descriptor])]
     // start from the checkpoint when one is published: replay is then
     // O(tail), not O(#commits) — how Delta keeps 100k-commit logs
     // readable. Foreign checkpoints may carry txn/remove tombstone
@@ -946,7 +953,21 @@ object DeltaExport {
             val pv =
               if (pvIdx < 0 || a.isNullAt(pvIdx)) Map.empty[String, String]
               else a.getMap[String, String](pvIdx).toMap
-            live(p) = pv
+            val dvIdx = a.schema.fieldNames.indexOf("deletionVector")
+            val dv =
+              if (dvIdx < 0 || a.isNullAt(dvIdx)) None
+              else {
+                val s = a.getStruct(dvIdx)
+                def gi(n: String) = s.schema.fieldNames.indexOf(n)
+                Some(DeletionVectors.Descriptor(
+                  s.getString(gi("storageType")),
+                  s.getString(gi("pathOrInlineDv")),
+                  if (gi("offset") < 0 || s.isNullAt(gi("offset"))) 0
+                  else s.getInt(gi("offset")),
+                  s.getInt(gi("sizeInBytes")),
+                  s.getLong(gi("cardinality"))))
+              }
+            live(p) = (pv, dv)
           }
         }
         v
@@ -997,7 +1018,14 @@ object DeltaExport {
                 }
                 b.result()
               }
-            live(a.get("path").asText) = pv
+            val dv = Option(a.get("deletionVector")).map(d =>
+              DeletionVectors.Descriptor(
+                d.get("storageType").asText,
+                d.get("pathOrInlineDv").asText,
+                Option(d.get("offset")).map(_.asInt).getOrElse(0),
+                d.get("sizeInBytes").asInt,
+                d.get("cardinality").asLong))
+            live(a.get("path").asText) = (pv, dv)
           }
           Option(n.get("remove")).foreach(r =>
             live.remove(r.get("path").asText))
@@ -1012,21 +1040,72 @@ object DeltaExport {
       throw new IllegalStateException(
         s"$tablePath: delta.columnMapping.mode=$mapMode is not " +
           "supported; this reader handles none and name")
+    val needDv = live.values.exists(_._2.isDefined)
+    // normalize "file:///x", "file:/x", "s3a://bucket/x" to one shape
+    // so the scan's `_metadata.file_path` joins the descriptor side
+    val SchemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*:/+"
     // scan files under the PHYSICAL schema and restore logical names
     // with one positional struct-cast per top-level column (renames at
-    // every nesting depth; identical types so it folds to a no-op)
+    // every nesting depth; identical types so it folds to a no-op).
+    // DV-bearing snapshots also surface each row's file identity and
+    // native parquet row position for the final dead-row anti-join
     def scan(files: Seq[String], logical: StructType): DataFrame = {
-      import org.apache.spark.sql.functions.col
-      if (mapMode == "none")
-        spark.read.schema(logical).parquet(files: _*)
+      import org.apache.spark.sql.functions.{col, regexp_replace, lit}
+      val readSchema =
+        if (mapMode == "none") logical
+        else physicalType(logical).asInstanceOf[StructType]
+      val raw0 = spark.read.schema(readSchema).parquet(files: _*)
+      val raw =
+        if (!needDv) raw0
+        else raw0
+          .withColumn("_gdv_file", regexp_replace(
+            col("_metadata.file_path"), SchemeRe, "/"))
+          .withColumn("_gdv_pos", col("_metadata.row_index"))
+      if (mapMode == "none") raw
       else {
-        val phys = physicalType(logical).asInstanceOf[StructType]
-        spark.read.schema(phys).parquet(files: _*)
-          .select(logical.fields.zip(phys.fields).map { case (lf, pf) =>
-            col(s"`${pf.name}`").cast(lf.dataType).as(lf.name)
-          }.toSeq: _*)
+        val phys = readSchema
+        val dvCols =
+          if (!needDv) Seq.empty
+          else Seq(col("_gdv_file"), col("_gdv_pos"))
+        raw.select(logical.fields.zip(phys.fields).map { case (lf, pf) =>
+          col(s"`${pf.name}`").cast(lf.dataType).as(lf.name)
+        }.toSeq ++ dvCols: _*)
       }
     }
+    // the dead-row filter: decode every descriptor ON AN EXECUTOR
+    // (sidecar reads included — the driver never holds bytes or
+    // positions), then anti-join on (file, position). O(#DVs) tasks,
+    // O(deleted rows) shuffle — the same shape delta-spark's own
+    // DV scan resolves to
+    def dropDeleted(df: DataFrame): DataFrame =
+      if (!needDv) df
+      else {
+        import spark.implicits._
+        val dvConf = new SerializableHadoopConf(
+          spark.sessionState.newHadoopConf())
+        val rootStr = root.toString
+        val descs = live.toSeq.collect { case (rel, (_, Some(d))) =>
+          (fs.makeQualified(new HPath(root, rel)).toUri.toString
+            .replaceFirst(SchemeRe, "/"),
+            d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes,
+            d.cardinality)
+        }.sortBy(_._1)
+        val deleted = spark.createDataset(descs)
+          .repartition(math.max(1, math.min(descs.size, 64)))
+          .flatMap { case (file, st, data, off, size, card) =>
+            val bytes = DeletionVectors.bitmapBytes(dvConf.value,
+              new HPath(rootStr),
+              DeletionVectors.Descriptor(st, data, off, size, card))
+            val pos = DeletionVectors.decodePositions(bytes)
+            if (card >= 0 && pos.length != card)
+              throw new IllegalStateException(
+                s"$file: deletion vector decoded ${pos.length} " +
+                  s"positions but the log promised $card")
+            pos.iterator.map(p => (file, p))
+          }.toDF("_gdv_file", "_gdv_pos")
+        df.join(deleted, Seq("_gdv_file", "_gdv_pos"), "left_anti")
+          .drop("_gdv_file", "_gdv_pos")
+      }
     if (live.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -1056,8 +1135,8 @@ object DeltaExport {
           gone.take(5).mkString(", "))
     }
     if (partCols.isEmpty)
-      scan(live.keys.toSeq.sorted
-        .map(r => new HPath(root, r).toString), schema)
+      dropDeleted(scan(live.keys.toSeq.sorted
+        .map(r => new HPath(root, r).toString), schema))
     else {
       import org.apache.spark.sql.functions.{col, lit}
       val missing = partCols.filterNot(schema.fieldNames.contains)
@@ -1075,7 +1154,9 @@ object DeltaExport {
       // data-only schema and re-inject its values as cast literals
       val dataSchema =
         StructType(schema.fields.filterNot(fd => partCols.contains(fd.name)))
-      live.toSeq.groupBy(_._2).toSeq
+      val outCols = schema.fieldNames.toSeq ++
+        (if (needDv) Seq("_gdv_file", "_gdv_pos") else Seq.empty)
+      dropDeleted(live.toSeq.groupBy(_._2._1).toSeq
         .sortBy(_._2.head._1) // deterministic plan order
         .map { case (pv, files) =>
           val base = scan(files.map(_._1).sorted
@@ -1085,8 +1166,8 @@ object DeltaExport {
             df.withColumn(c,
               (if (raw == null) lit(null) else lit(raw))
                 .cast(schema(c).dataType))
-          }.select(schema.fieldNames.map(col).toSeq: _*)
-        }.reduce(_.unionByName(_))
+          }.select(outCols.map(col): _*)
+        }.reduce(_.unionByName(_)))
     }
   }
 }

@@ -795,16 +795,16 @@ class DeltaExportSpec extends SparkSpec {
       Paths.get(path, "_delta_log", f".${0L}%020d.json.crc"))
     assert(DeltaExport.readSnapshot(spark, path).count() == 3L)
 
-    // deletion vectors stay a loud refusal
-    val withDv = asV3.replace("\"readerFeatures\":[\"columnMapping\"]",
-      "\"readerFeatures\":[\"columnMapping\",\"deletionVectors\"]")
-    Files.write(f0, withDv.getBytes(StandardCharsets.UTF_8))
+    // v2 checkpoints stay a loud refusal
+    val withV2 = asV3.replace("\"readerFeatures\":[\"columnMapping\"]",
+      "\"readerFeatures\":[\"columnMapping\",\"v2Checkpoint\"]")
+    Files.write(f0, withV2.getBytes(StandardCharsets.UTF_8))
     Files.deleteIfExists(
       Paths.get(path, "_delta_log", f".${0L}%020d.json.crc"))
-    val eDv = intercept[IllegalStateException] {
+    val eV2 = intercept[IllegalStateException] {
       DeltaExport.readSnapshot(spark, path)
     }
-    assert(eDv.getMessage.contains("deletionVectors"))
+    assert(eV2.getMessage.contains("v2Checkpoint"))
 
     // id-mode mapping stays a loud refusal
     val asId = asV3.replace("\"delta.columnMapping.mode\":\"name\"",
@@ -816,5 +816,197 @@ class DeltaExportSpec extends SparkSpec {
       DeltaExport.readSnapshot(spark, path)
     }
     assert(eId.getMessage.contains("columnMapping.mode=id"))
+  }
+
+  // ---- test-side DV encoders, written INDEPENDENTLY from the spec
+  // documents (ZeroMQ z85, RoaringFormatSpec, Delta PROTOCOL.md
+  // "Deletion Vectors") so they cross-check the reader rather than
+  // mirroring its code ----
+
+  private val Z85Alpha =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+      ".-:+=^!/*?&<>()[]{}@%$#"
+
+  private def z85Encode(bytes: Array[Byte]): String = {
+    require(bytes.length % 4 == 0)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < bytes.length) {
+      var acc = 0L
+      (0 until 4).foreach(j => acc = (acc << 8) | (bytes(i + j) & 0xFFL))
+      val chars = new Array[Char](5)
+      (4 to 0 by -1).foreach { k =>
+        chars(k) = Z85Alpha.charAt((acc % 85).toInt); acc /= 85
+      }
+      sb.appendAll(chars)
+      i += 4
+    }
+    sb.toString
+  }
+
+  /** One 32-bit roaring bitmap, no-run cookie, array containers. */
+  private def roaringArrayBitmap(values: Seq[Int]): Array[Byte] = {
+    val groups = values.sorted.groupBy(v => v >>> 16).toSeq.sortBy(_._1)
+    val n = groups.size
+    val bb = java.nio.ByteBuffer
+      .allocate(8 + 4 * n + 4 * n + 2 * values.size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(12346); bb.putInt(n)
+    groups.foreach { case (k, vs) =>
+      bb.putShort(k.toShort); bb.putShort((vs.size - 1).toShort)
+    }
+    var off = 8 + 4 * n + 4 * n
+    groups.foreach { case (_, vs) => bb.putInt(off); off += 2 * vs.size }
+    groups.foreach { case (_, vs) =>
+      vs.foreach(v => bb.putShort((v & 0xFFFF).toShort))
+    }
+    bb.array()
+  }
+
+  /** One 32-bit roaring bitmap, run cookie, a single run container. */
+  private def roaringRunBitmap(start: Int, len: Int): Array[Byte] = {
+    val card = len + 1
+    val bb = java.nio.ByteBuffer.allocate(4 + 1 + 4 + 2 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(12347) // size-1 == 0 in the high 16 bits
+    bb.put(1.toByte) // run bitset: container 0 is a run container
+    bb.putShort((start >>> 16).toShort); bb.putShort((card - 1).toShort)
+    bb.putShort(1.toShort) // one run
+    bb.putShort((start & 0xFFFF).toShort); bb.putShort(len.toShort)
+    bb.array()
+  }
+
+  /** RoaringBitmapArray blob: LE magic + LE count + bitmaps. */
+  private def dvBlob(bitmaps: Array[Byte]*): Array[Byte] = {
+    val bb = java.nio.ByteBuffer
+      .allocate(12 + bitmaps.map(_.length).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(DeletionVectors.PortableMagic)
+    bb.putLong(bitmaps.size.toLong)
+    bitmaps.foreach(bb.put)
+    bb.array()
+  }
+
+  /** Write a DV sidecar file: version byte 1, then at offset 1 the
+    * big-endian size, the blob, and its big-endian CRC-32.
+    */
+  private def writeDvFile(at: java.nio.file.Path,
+                          blob: Array[Byte]): Int = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(blob)
+    val bb = java.nio.ByteBuffer.allocate(1 + 4 + blob.length + 4)
+    bb.put(1.toByte)
+    bb.putInt(blob.length) // BIG endian (buffer default)
+    bb.put(blob)
+    bb.putInt(crc.getValue.toInt)
+    Files.write(at, bb.array())
+    1 // the offset the framing starts at
+  }
+
+  test("foreign log with deletion vectors: dead rows drop by position") {
+    val dir = tmpDir("dxdv")
+    val path = s"$dir/dv.parquet"
+    val data = StructType(Seq(
+      StructField("id", StringType), StructField("v", IntegerType)))
+    def writeDataFile(rel: String, rows: Seq[(String, Int)]): Long = {
+      val stage = s"$dir/stage-${rel.replace('/', '_')}"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1),
+        data).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = Paths.get(path, rel)
+      Files.createDirectories(dest.getParent)
+      Files.move(part, dest)
+      Files.size(dest)
+    }
+    // f1: a0..a4 at positions 0..4; f2: b0..b2 at positions 0..2
+    val s1 = writeDataFile("f1.parquet",
+      (0 to 4).map(i => s"a$i" -> i))
+    val s2 = writeDataFile("f2.parquet",
+      (0 to 2).map(i => s"b$i" -> (10 + i)))
+    // inline DV for f1: kill positions 0 and 2 (array containers)
+    val inlineBlob = dvBlob(roaringArrayBitmap(Seq(0, 2)))
+    // sidecar DV for f2: kill position 1 (run container exercises the
+    // run-cookie decode branch), named by a z85 uuid per `u` storage
+    val sidecarBlob = dvBlob(roaringRunBitmap(1, 0))
+    val uuid = java.util.UUID.fromString(
+      "12345678-9abc-def0-1234-56789abcdef0")
+    val ub = java.nio.ByteBuffer.allocate(16)
+    ub.putLong(uuid.getMostSignificantBits)
+    ub.putLong(uuid.getLeastSignificantBits)
+    val sidecarOffset = writeDvFile(
+      Paths.get(path, s"deletion_vector_$uuid.bin"), sidecarBlob)
+    def line(kind: String)(fill: com.fasterxml.jackson.databind.node.ObjectNode => Unit): String = {
+      val o = mapper.createObjectNode()
+      fill(o.putObject(kind))
+      mapper.writeValueAsString(o)
+    }
+    def addLine(rel: String, size: Long,
+                dv: Option[(String, String, Int, Int, Long)]): String =
+      line("add") { a =>
+        a.put("path", rel)
+        a.putObject("partitionValues")
+        a.put("size", size); a.put("modificationTime", 1L)
+        a.put("dataChange", true)
+        dv.foreach { case (st, d, off, sz, card) =>
+          val o = a.putObject("deletionVector")
+          o.put("storageType", st); o.put("pathOrInlineDv", d)
+          o.put("offset", off); o.put("sizeInBytes", sz)
+          o.put("cardinality", card)
+        }
+      }
+    val v0 = Seq(
+      line("protocol") { p =>
+        p.put("minReaderVersion", 3); p.put("minWriterVersion", 7)
+        p.putArray("readerFeatures").add("deletionVectors")
+        p.putArray("writerFeatures").add("deletionVectors") },
+      line("metaData") { m =>
+        m.put("id", "foreign-dv-1")
+        val fmt = m.putObject("format")
+        fmt.put("provider", "parquet"); fmt.putObject("options")
+        m.put("schemaString", data.json)
+        m.putArray("partitionColumns")
+        m.putObject("configuration"); m.put("createdTime", 1L) },
+      addLine("f1.parquet", s1, None),
+      addLine("f2.parquet", s2, None))
+    // v1 re-adds both files WITH their DVs — exactly what delta-spark
+    // commits when DELETE takes the DV path
+    val v1 = Seq(
+      addLine("f1.parquet", s1, Some(("i", z85Encode(inlineBlob), 0,
+        inlineBlob.length, 2L))),
+      addLine("f2.parquet", s2, Some(("u", z85Encode(ub.array()),
+        sidecarOffset, sidecarBlob.length, 1L))))
+    Files.createDirectories(Paths.get(path, "_delta_log"))
+    Files.write(Paths.get(path, "_delta_log", f"${0L}%020d.json"),
+      v0.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(path, "_delta_log", f"${1L}%020d.json"),
+      v1.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val back = DeltaExport.readSnapshot(spark, path)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(back.collect().map(_.getString(0)).toSet ==
+      Set("a1", "a3", "a4", "b0", "b2"))
+    // pre-DV time travel still sees all 8 rows
+    assert(DeltaExport.readSnapshot(spark, path, 0L).count() == 8L)
+    // a DV-less re-add CLEARS the vector (post-compaction state)
+    Files.write(Paths.get(path, "_delta_log", f"${2L}%020d.json"),
+      Seq(addLine("f1.parquet", s1, None))
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    assert(DeltaExport.readSnapshot(spark, path)
+      .collect().map(_.getString(0)).toSet ==
+      Set("a0", "a1", "a2", "a3", "a4", "b0", "b2"))
+    // a corrupted sidecar checksum is loud, never silent wrong rows
+    val dvFile = Paths.get(path, s"deletion_vector_$uuid.bin")
+    val corrupt = Files.readAllBytes(dvFile)
+    corrupt(6) = (corrupt(6) ^ 0x7F).toByte
+    Files.write(dvFile, corrupt)
+    Files.deleteIfExists(
+      Paths.get(path, s".deletion_vector_$uuid.bin.crc"))
+    val eCrc = intercept[org.apache.spark.SparkException] {
+      DeltaExport.readSnapshot(spark, path, 1L).count()
+    }
+    assert(Option(eCrc.getMessage).exists(m =>
+      m.contains("checksum") || m.contains("DV")) ||
+      eCrc.getCause != null)
   }
 }
