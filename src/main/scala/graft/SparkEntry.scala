@@ -46,7 +46,11 @@ object SparkEntry {
     val raw = t(s, dir, "events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts_us", expr("ts DIV 1000"))
-    else raw.withColumn("ts_us", unix_micros(col("ts")))
+    else
+      // TIMESTAMP_NTZ (micros testdata): unix_micros demands TIMESTAMP,
+      // so route through a UTC-session cast — wall clock == epoch
+      raw.withColumn("ts_us",
+        unix_micros(col("ts").cast(TimestampType)))
   }
 
   /** sum(CAST(x AS DECIMAL(18,s))) cast back to double — exact,
