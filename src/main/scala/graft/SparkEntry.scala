@@ -34,8 +34,12 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame = {
     val raw = t(s, dir, "events")
     if (raw.schema("ts").dataType == LongType)
+      // timestampadd on a TIMESTAMP_NTZ literal is pure field
+      // arithmetic — no session-timezone dependence, unlike a
+      // TIMESTAMP→NTZ cast which reads spark.sql.session.timeZone.
       raw.withColumn("ts",
-        expr("timestamp_micros(ts DIV 1000)").cast(TimestampNTZType))
+        expr("timestampadd(MICROSECOND, ts DIV 1000, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
     else raw.withColumn("ts", col("ts").cast(TimestampNTZType))
   }
 
@@ -47,10 +51,13 @@ object SparkEntry {
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts_us", expr("ts DIV 1000"))
     else
-      // TIMESTAMP_NTZ (micros testdata): unix_micros demands TIMESTAMP,
-      // so route through a UTC-session cast — wall clock == epoch
+      // TIMESTAMP_NTZ (micros testdata): microseconds since the NTZ
+      // epoch via timestampdiff — pure field arithmetic, independent
+      // of spark.sql.session.timeZone (a TIMESTAMP cast here would
+      // shift, and DST-bend, the epoch values for non-UTC sessions).
       raw.withColumn("ts_us",
-        unix_micros(col("ts").cast(TimestampType)))
+        expr("timestampdiff(MICROSECOND, " +
+          "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
   }
 
   /** sum(CAST(x AS DECIMAL(18,s))) cast back to double — exact,
