@@ -1,12 +1,13 @@
 package graft.tables
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{JsonNodeFactory, ObjectNode}
 import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.{ArrayType, BooleanType, ByteType,
   DataType, DateType, DoubleType, FloatType, IntegerType, LongType,
-  MapType, ShortType, StringType, StructField, StructType}
+  MapType, MetadataBuilder, ShortType, StringType, StructField,
+  StructType}
 
 import java.nio.charset.StandardCharsets
 import scala.collection.mutable
@@ -695,15 +696,21 @@ object DeltaExport {
   private val SinglePartName = """(\d{20})\.checkpoint\.parquet""".r
   private val MultiPartName =
     """(\d{20})\.checkpoint\.(\d+)\.(\d+)\.parquet""".r
+  // UUID-named V2 checkpoint (PROTOCOL.md "V2 Spec"): one manifest
+  // file, parquet or json, whose file actions may live in sidecars
+  private val UuidName =
+    """(\d{20})\.checkpoint\.([0-9a-fA-F-]{8,})\.(parquet|json)""".r
 
   /** The checkpoint version a log file name carries, if it is one —
-    * classic single-file (`N.checkpoint.parquet`) or multi-part
-    * (`N.checkpoint.K.M.parquet`, PROTOCOL.md "Checkpoints").
+    * classic single-file (`N.checkpoint.parquet`), multi-part
+    * (`N.checkpoint.K.M.parquet`), or UUID-named v2
+    * (`N.checkpoint.U.{parquet|json}`) (PROTOCOL.md "Checkpoints").
     */
   private def checkpointVersionOf(name: String): Option[Long] =
     name match {
       case SinglePartName(v) => Some(v.toLong)
       case MultiPartName(v, _, _) => Some(v.toLong)
+      case UuidName(v, _, _) => Some(v.toLong)
       case _ => None
     }
 
@@ -712,13 +719,17 @@ object DeltaExport {
     * `N.checkpoint.K.M.parquet` parts are present (a crashed writer's
     * partial set is not replayable); racing writers that chose
     * different part counts coexist under distinct M and whichever set
-    * completed first wins.
+    * completed first wins. A UUID-named v2 checkpoint is complete as a
+    * single manifest (its sidecars are resolved at replay); classic
+    * naming wins when both exist at a version — same state, simpler
+    * replay.
     */
   private def completeCheckpoints(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: HPath): Map[Long, Seq[HPath]] = {
     if (!fs.exists(dir)) return Map.empty
-    val named = fs.listStatus(dir).map(_.getPath).toSeq.flatMap { p =>
+    val paths = fs.listStatus(dir).map(_.getPath).toSeq
+    val named = paths.flatMap { p =>
       p.getName match {
         case SinglePartName(v) => Some((v.toLong, -1L, -1L, p))
         case MultiPartName(v, k, m) =>
@@ -726,7 +737,7 @@ object DeltaExport {
         case _ => None
       }
     }
-    named.groupBy(_._1).flatMap { case (v, entries) =>
+    val classic = named.groupBy(_._1).flatMap { case (v, entries) =>
       val single = entries.collectFirst { case (_, -1L, -1L, p) => p }
       val multi = entries.filter(_._2 >= 0).groupBy(_._3).collectFirst {
         case (m, ps) if ps.map(_._2).toSet == (1L to m).toSet =>
@@ -734,6 +745,17 @@ object DeltaExport {
       }
       single.map(p => v -> Seq(p)).orElse(multi.map(v -> _))
     }
+    val uuid = paths.flatMap { p =>
+      p.getName match {
+        case UuidName(v, _, _) => Some(v.toLong -> p)
+        case _ => None
+      }
+    }.groupBy(_._1).map { case (v, ps) =>
+      // racing v2 writers: any one manifest is a complete checkpoint;
+      // pick deterministically
+      v -> Seq(ps.map(_._2).minBy(_.getName))
+    }
+    uuid ++ classic // right side wins merge: classic preferred
   }
 
   /** The newest REPLAYABLE checkpoint: `(version, part files)` — the
@@ -813,7 +835,7 @@ object DeltaExport {
     */
   private val SupportedReaderFeatures =
     Set("columnMapping", "timestampNtz", "vacuumProtocolCheck",
-      "deletionVectors")
+      "deletionVectors", "v2Checkpoint")
 
   /** Protocol gate shared by the checkpoint and json replay paths.
     * v1 = plain parquet; v2 = column mapping (the metaData
@@ -852,6 +874,37 @@ object DeltaExport {
     if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey)
     else f.name
 
+  /** Id-mode column mapping stores a stable integer per field. */
+  private val ColIdKey = "delta.columnMapping.id"
+
+  /** The field-id-annotated twin of a logical type for `id`-mode
+    * column mapping: every nested StructField keeps its LOGICAL name
+    * but carries `parquet.field.id` = `delta.columnMapping.id`, so
+    * Spark's parquet reader (`spark.sql.parquet.fieldId.read.enabled`)
+    * matches columns by the parquet field_id the writer stamped into
+    * the files — names in the files are irrelevant, per PROTOCOL.md
+    * "Column Mapping" id mode.
+    */
+  private def fieldIdType(dt: DataType, where: String): DataType =
+    dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        if (!f.metadata.contains(ColIdKey))
+          throw new IllegalStateException(
+            s"$where: columnMapping.mode=id but field `${f.name}` " +
+              s"carries no $ColIdKey — malformed log")
+        StructField(f.name, fieldIdType(f.dataType, where), f.nullable,
+          new MetadataBuilder()
+            .putLong("parquet.field.id", f.metadata.getLong(ColIdKey))
+            .build())
+      })
+      case a: ArrayType =>
+        a.copy(elementType = fieldIdType(a.elementType, where))
+      case m: MapType =>
+        m.copy(keyType = fieldIdType(m.keyType, where),
+          valueType = fieldIdType(m.valueType, where))
+      case o => o
+    }
+
   /** Standalone reader for the exported protocol subset: replays
     * `_delta_log/` (protocol gate, last metaData schema, add/remove
     * set) and reads the live files under the log's schema. Works on
@@ -869,8 +922,14 @@ object DeltaExport {
     * Deletion vectors (v3 + deletionVectors feature) are applied by
     * decoding each add's roaring DV on an executor and anti-joining
     * the scan on its native parquet row position ([[DeletionVectors]]).
-    * `id`-mode mapping and v2 checkpoints refuse loudly instead of
-    * returning wrong rows.
+    * `id`-mode mapping scans under the logical names annotated with
+    * `parquet.field.id` so Spark's field-id matching resolves columns
+    * regardless of the names in the files. UUID-named V2 checkpoints
+    * (parquet or json-lines manifest, file actions inline or in
+    * `_sidecars/` parquet files) replay like classic ones. Reader
+    * features beyond {columnMapping, timestampNtz, vacuumProtocolCheck,
+    * deletionVectors, v2Checkpoint} refuse loudly instead of returning
+    * wrong rows.
     *
     * `versionAsOf >= 0` time-travels to that delta version (Delta's
     * `versionAsOf` reader option): replay stops at the requested
@@ -905,9 +964,11 @@ object DeltaExport {
     // time travel may not replay THROUGH a checkpoint newer than the
     // requested version — it would bake in later state
     val useCkpt = pointerV >= 0 && (versionAsOf < 0 || pointerV <= versionAsOf)
+    // commit entries only — a UUID v2-checkpoint manifest also ends
+    // in .json and must not be replayed as a commit
+    val CommitName = """(\d{20})\.json""".r
     val allJson = fs.listStatus(dir).map(_.getPath.getName)
-      .filter(n => n.endsWith(".json") && !n.startsWith("."))
-      .map(_.stripSuffix(".json").toLong).sorted
+      .collect { case CommitName(v) => v.toLong }.sorted.toSeq
     if (versionAsOf >= 0) {
       val newest = math.max(pointerV, allJson.lastOption.getOrElse(-1L))
       if (versionAsOf > newest) throw new IllegalArgumentException(
@@ -920,55 +981,148 @@ object DeltaExport {
             "were cleaned (cleanupLog) and the checkpoint is newer than " +
             "the requested version")
     }
+    // ---- shared action handlers: parquet-row form (checkpoints and
+    // sidecars) and json form (commit tail and json v2 manifests) ----
+    def applyCkptRow(row: org.apache.spark.sql.Row, cols: Set[String],
+                     sidecars: mutable.Buffer[String]): Unit = {
+      if (cols("protocol") && !row.isNullAt(row.fieldIndex("protocol"))) {
+        val p = row.getStruct(row.fieldIndex("protocol"))
+        val mrv = p.getInt(p.fieldIndex("minReaderVersion"))
+        val fIdx = p.schema.fieldNames.indexOf("readerFeatures")
+        val feats =
+          if (fIdx < 0 || p.isNullAt(fIdx)) None
+          else Some(p.getSeq[String](fIdx).toSeq)
+        checkReaderProtocol(tablePath, mrv, feats)
+      }
+      if (cols("metaData") && !row.isNullAt(row.fieldIndex("metaData"))) {
+        val m = row.getStruct(row.fieldIndex("metaData"))
+        schemaJson = m.getString(m.fieldIndex("schemaString"))
+        val parts = m.getSeq[String](m.fieldIndex("partitionColumns"))
+        partCols = if (parts == null) Seq.empty else parts.toSeq
+        val cIdx = m.schema.fieldNames.indexOf("configuration")
+        tableConf =
+          if (cIdx < 0 || m.isNullAt(cIdx)) Map.empty
+          else m.getMap[String, String](cIdx).toMap
+      }
+      if (cols("add") && !row.isNullAt(row.fieldIndex("add"))) {
+        val a = row.getStruct(row.fieldIndex("add"))
+        val p = a.getString(a.fieldIndex("path"))
+        val pvIdx = a.schema.fieldNames.indexOf("partitionValues")
+        val pv =
+          if (pvIdx < 0 || a.isNullAt(pvIdx)) Map.empty[String, String]
+          else a.getMap[String, String](pvIdx).toMap
+        val dvIdx = a.schema.fieldNames.indexOf("deletionVector")
+        val dv =
+          if (dvIdx < 0 || a.isNullAt(dvIdx)) None
+          else {
+            val s = a.getStruct(dvIdx)
+            def gi(n: String) = s.schema.fieldNames.indexOf(n)
+            Some(DeletionVectors.Descriptor(
+              s.getString(gi("storageType")),
+              s.getString(gi("pathOrInlineDv")),
+              if (gi("offset") < 0 || s.isNullAt(gi("offset"))) 0
+              else s.getInt(gi("offset")),
+              s.getInt(gi("sizeInBytes")),
+              s.getLong(gi("cardinality"))))
+          }
+        live(p) = (pv, dv)
+      }
+      // a v2 manifest's file actions may live in sidecar files
+      if (cols("sidecar") && !row.isNullAt(row.fieldIndex("sidecar"))) {
+        val s = row.getStruct(row.fieldIndex("sidecar"))
+        sidecars += s.getString(s.fieldIndex("path"))
+      }
+    }
+    // `inCheckpoint`: a checkpoint's remove rows are vacuum tombstones,
+    // not state transitions — never un-live a path for them; sidecar
+    // actions are only legal inside a v2 manifest
+    def applyJsonAction(n: JsonNode, inCheckpoint: Boolean,
+                        sidecars: mutable.Buffer[String]): Unit = {
+      Option(n.get("protocol")).foreach { p =>
+        val mrv = p.get("minReaderVersion").asInt
+        val feats = Option(p.get("readerFeatures")).map(f =>
+          (0 until f.size()).map(f.get(_).asText).toSeq)
+        checkReaderProtocol(tablePath, mrv, feats)
+      }
+      Option(n.get("metaData")).foreach { m =>
+        schemaJson = m.get("schemaString").asText
+        val parts = m.get("partitionColumns")
+        partCols =
+          if (parts == null) Seq.empty
+          else (0 until parts.size()).map(parts.get(_).asText)
+        tableConf = Option(m.get("configuration")).map { c =>
+          val it = c.fields()
+          val b = Map.newBuilder[String, String]
+          while (it.hasNext) {
+            val e = it.next()
+            b += e.getKey ->
+              (if (e.getValue.isNull) null else e.getValue.asText)
+          }
+          b.result()
+        }.getOrElse(Map.empty)
+      }
+      Option(n.get("add")).foreach { a =>
+        val pvNode = a.get("partitionValues")
+        val pv =
+          if (pvNode == null) Map.empty[String, String]
+          else {
+            val it = pvNode.fields()
+            val b = Map.newBuilder[String, String]
+            while (it.hasNext) {
+              val e = it.next()
+              b += e.getKey ->
+                (if (e.getValue.isNull) null else e.getValue.asText)
+            }
+            b.result()
+          }
+        val dv = Option(a.get("deletionVector")).map(d =>
+          DeletionVectors.Descriptor(
+            d.get("storageType").asText,
+            d.get("pathOrInlineDv").asText,
+            Option(d.get("offset")).map(_.asInt).getOrElse(0),
+            d.get("sizeInBytes").asInt,
+            d.get("cardinality").asLong))
+        live(a.get("path").asText) = (pv, dv)
+      }
+      if (!inCheckpoint)
+        Option(n.get("remove")).foreach(r =>
+          live.remove(r.get("path").asText))
+      if (inCheckpoint)
+        Option(n.get("sidecar")).foreach(s =>
+          sidecars += s.get("path").asText)
+    }
     val ckptV: Long =
       if (!useCkpt) -1L
       else {
         val v = pointerV
-        val ck = spark.read.parquet(pointerFiles.map(_.toString): _*)
-        val cols = ck.columns.toSet
-        ck.collect().foreach { row =>
-          if (cols("protocol") && !row.isNullAt(row.fieldIndex("protocol"))) {
-            val p = row.getStruct(row.fieldIndex("protocol"))
-            val mrv = p.getInt(p.fieldIndex("minReaderVersion"))
-            val fIdx = p.schema.fieldNames.indexOf("readerFeatures")
-            val feats =
-              if (fIdx < 0 || p.isNullAt(fIdx)) None
-              else Some(p.getSeq[String](fIdx).toSeq)
-            checkReaderProtocol(tablePath, mrv, feats)
+        val sidecars = mutable.Buffer.empty[String]
+        val (jsonParts, pqParts) =
+          pointerFiles.partition(_.getName.endsWith(".json"))
+        if (pqParts.nonEmpty) {
+          val ck = spark.read.parquet(pqParts.map(_.toString): _*)
+          val cols = ck.columns.toSet
+          ck.collect().foreach(applyCkptRow(_, cols, sidecars))
+        }
+        // a UUID-named v2 manifest may be json-lines of actions
+        jsonParts.foreach { jp =>
+          val in = fs.open(jp)
+          val body =
+            try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+            finally in.close()
+          body.linesIterator.filter(_.nonEmpty).map(mapper.readTree)
+            .foreach(applyJsonAction(_, inCheckpoint = true, sidecars))
+        }
+        if (sidecars.nonEmpty) {
+          // sidecar paths are relative to _delta_log/_sidecars/ (or
+          // absolute), PROTOCOL.md "V2 Spec"; sidecars are parquet
+          val scDir = new HPath(dir, "_sidecars")
+          val files = sidecars.toSeq.distinct.map { rel =>
+            if (rel.contains("://") || rel.startsWith("/")) rel
+            else new HPath(scDir, rel).toString
           }
-          if (cols("metaData") && !row.isNullAt(row.fieldIndex("metaData"))) {
-            val m = row.getStruct(row.fieldIndex("metaData"))
-            schemaJson = m.getString(m.fieldIndex("schemaString"))
-            val parts = m.getSeq[String](m.fieldIndex("partitionColumns"))
-            partCols = if (parts == null) Seq.empty else parts.toSeq
-            val cIdx = m.schema.fieldNames.indexOf("configuration")
-            tableConf =
-              if (cIdx < 0 || m.isNullAt(cIdx)) Map.empty
-              else m.getMap[String, String](cIdx).toMap
-          }
-          if (cols("add") && !row.isNullAt(row.fieldIndex("add"))) {
-            val a = row.getStruct(row.fieldIndex("add"))
-            val p = a.getString(a.fieldIndex("path"))
-            val pvIdx = a.schema.fieldNames.indexOf("partitionValues")
-            val pv =
-              if (pvIdx < 0 || a.isNullAt(pvIdx)) Map.empty[String, String]
-              else a.getMap[String, String](pvIdx).toMap
-            val dvIdx = a.schema.fieldNames.indexOf("deletionVector")
-            val dv =
-              if (dvIdx < 0 || a.isNullAt(dvIdx)) None
-              else {
-                val s = a.getStruct(dvIdx)
-                def gi(n: String) = s.schema.fieldNames.indexOf(n)
-                Some(DeletionVectors.Descriptor(
-                  s.getString(gi("storageType")),
-                  s.getString(gi("pathOrInlineDv")),
-                  if (gi("offset") < 0 || s.isNullAt(gi("offset"))) 0
-                  else s.getInt(gi("offset")),
-                  s.getInt(gi("sizeInBytes")),
-                  s.getLong(gi("cardinality"))))
-              }
-            live(p) = (pv, dv)
-          }
+          val sc = spark.read.parquet(files: _*)
+          val cols = sc.columns.toSet
+          sc.collect().foreach(applyCkptRow(_, cols, sidecars))
         }
         v
       }
@@ -980,88 +1134,67 @@ object DeltaExport {
         try new String(in.readAllBytes(), StandardCharsets.UTF_8)
         finally in.close()
       body.linesIterator.filter(_.nonEmpty).map(mapper.readTree)
-        .foreach { n =>
-          Option(n.get("protocol")).foreach { p =>
-            val mrv = p.get("minReaderVersion").asInt
-            val feats = Option(p.get("readerFeatures")).map(f =>
-              (0 until f.size()).map(f.get(_).asText).toSeq)
-            checkReaderProtocol(tablePath, mrv, feats)
-          }
-          Option(n.get("metaData")).foreach { m =>
-            schemaJson = m.get("schemaString").asText
-            val parts = m.get("partitionColumns")
-            partCols =
-              if (parts == null) Seq.empty
-              else (0 until parts.size()).map(parts.get(_).asText)
-            tableConf = Option(m.get("configuration")).map { c =>
-              val it = c.fields()
-              val b = Map.newBuilder[String, String]
-              while (it.hasNext) {
-                val e = it.next()
-                b += e.getKey ->
-                  (if (e.getValue.isNull) null else e.getValue.asText)
-              }
-              b.result()
-            }.getOrElse(Map.empty)
-          }
-          Option(n.get("add")).foreach { a =>
-            val pvNode = a.get("partitionValues")
-            val pv =
-              if (pvNode == null) Map.empty[String, String]
-              else {
-                val it = pvNode.fields()
-                val b = Map.newBuilder[String, String]
-                while (it.hasNext) {
-                  val e = it.next()
-                  b += e.getKey ->
-                    (if (e.getValue.isNull) null else e.getValue.asText)
-                }
-                b.result()
-              }
-            val dv = Option(a.get("deletionVector")).map(d =>
-              DeletionVectors.Descriptor(
-                d.get("storageType").asText,
-                d.get("pathOrInlineDv").asText,
-                Option(d.get("offset")).map(_.asInt).getOrElse(0),
-                d.get("sizeInBytes").asInt,
-                d.get("cardinality").asLong))
-            live(a.get("path").asText) = (pv, dv)
-          }
-          Option(n.get("remove")).foreach(r =>
-            live.remove(r.get("path").asText))
-        }
+        .foreach(applyJsonAction(_, inCheckpoint = false,
+          mutable.Buffer.empty))
     }
     if (schemaJson == null)
       throw new IllegalStateException(s"$tablePath: log has no metaData")
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val mapMode = Option(tableConf.getOrElse("delta.columnMapping.mode",
       "none")).getOrElse("none")
-    if (mapMode != "none" && mapMode != "name")
+    if (mapMode != "none" && mapMode != "name" && mapMode != "id")
       throw new IllegalStateException(
         s"$tablePath: delta.columnMapping.mode=$mapMode is not " +
-          "supported; this reader handles none and name")
+          "supported; this reader handles none, name, and id")
+    // id mode matches parquet columns by field_id, which Spark's
+    // reader only does under this conf. Leaving it set is safe: it
+    // changes nothing for read schemas without parquet.field.id
+    // metadata, which only our id-mode scans carry.
+    if (mapMode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val needDv = live.values.exists(_._2.isDefined)
     // normalize "file:///x", "file:/x", "s3a://bucket/x" to one shape
     // so the scan's `_metadata.file_path` joins the descriptor side
     val SchemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*:/+"
-    // scan files under the PHYSICAL schema and restore logical names
-    // with one positional struct-cast per top-level column (renames at
-    // every nesting depth; identical types so it folds to a no-op).
-    // DV-bearing snapshots also surface each row's file identity and
-    // native parquet row position for the final dead-row anti-join
+    // `name` mode: scan under the PHYSICAL schema and restore logical
+    // names with one positional struct-cast per top-level column
+    // (renames at every nesting depth; identical types so it folds to
+    // a no-op). `id` mode: scan under the LOGICAL names annotated with
+    // parquet.field.id — Spark's field-id matching resolves the
+    // columns, so no rename pass is needed. DV-bearing snapshots also
+    // surface each row's file identity and native parquet row
+    // position for the final dead-row anti-join
     def scan(files: Seq[String], logical: StructType): DataFrame = {
       import org.apache.spark.sql.functions.{col, regexp_replace, lit}
-      val readSchema =
-        if (mapMode == "none") logical
-        else physicalType(logical).asInstanceOf[StructType]
-      val raw0 = spark.read.schema(readSchema).parquet(files: _*)
+      val readSchema = mapMode match {
+        case "name" => physicalType(logical).asInstanceOf[StructType]
+        case "id" => fieldIdType(logical, tablePath)
+          .asInstanceOf[StructType]
+        case _ => logical
+      }
+      val raw0 =
+        if (mapMode != "id") spark.read.schema(readSchema).parquet(files: _*)
+        else {
+          // id mode goes through FieldIdParquetFileFormat: Catalyst's
+          // nested-schema pruning strips field metadata from pruned
+          // struct types, and without the parquet.field.id annotations
+          // the reader silently name-matches (= nulls). The format
+          // re-attaches ids to whatever pruned schema planning asks for.
+          import org.apache.spark.sql.execution.datasources.{
+            HadoopFsRelation, InMemoryFileIndex}
+          val index = new InMemoryFileIndex(spark,
+            files.map(new HPath(_)), Map.empty, Some(readSchema))
+          spark.baseRelationToDataFrame(HadoopFsRelation(
+            index, StructType(Nil), readSchema, None,
+            new FieldIdParquetFileFormat(readSchema), Map.empty)(spark))
+        }
       val raw =
         if (!needDv) raw0
         else raw0
           .withColumn("_gdv_file", regexp_replace(
             col("_metadata.file_path"), SchemeRe, "/"))
           .withColumn("_gdv_pos", col("_metadata.row_index"))
-      if (mapMode == "none") raw
+      if (mapMode != "name") raw
       else {
         val phys = readSchema
         val dvCols =

@@ -795,27 +795,286 @@ class DeltaExportSpec extends SparkSpec {
       Paths.get(path, "_delta_log", f".${0L}%020d.json.crc"))
     assert(DeltaExport.readSnapshot(spark, path).count() == 3L)
 
-    // v2 checkpoints stay a loud refusal
+    // v2Checkpoint as an enabled reader feature reads fine now (the
+    // feature is implemented; manifest replay is tested separately) —
+    // enablement does not require a v2 checkpoint to exist yet
     val withV2 = asV3.replace("\"readerFeatures\":[\"columnMapping\"]",
       "\"readerFeatures\":[\"columnMapping\",\"v2Checkpoint\"]")
     Files.write(f0, withV2.getBytes(StandardCharsets.UTF_8))
     Files.deleteIfExists(
       Paths.get(path, "_delta_log", f".${0L}%020d.json.crc"))
-    val eV2 = intercept[IllegalStateException] {
-      DeltaExport.readSnapshot(spark, path)
-    }
-    assert(eV2.getMessage.contains("v2Checkpoint"))
+    assert(DeltaExport.readSnapshot(spark, path).count() == 3L)
 
-    // id-mode mapping stays a loud refusal
-    val asId = asV3.replace("\"delta.columnMapping.mode\":\"name\"",
-      "\"delta.columnMapping.mode\":\"id\"")
-    Files.write(f0, asId.getBytes(StandardCharsets.UTF_8))
+    // a reader feature this reader genuinely lacks stays a loud refusal
+    val withAlien = asV3.replace("\"readerFeatures\":[\"columnMapping\"]",
+      "\"readerFeatures\":[\"columnMapping\",\"typeWidening\"]")
+    Files.write(f0, withAlien.getBytes(StandardCharsets.UTF_8))
     Files.deleteIfExists(
       Paths.get(path, "_delta_log", f".${0L}%020d.json.crc"))
-    val eId = intercept[IllegalStateException] {
+    val eAlien = intercept[IllegalStateException] {
       DeltaExport.readSnapshot(spark, path)
     }
-    assert(eId.getMessage.contains("columnMapping.mode=id"))
+    assert(eAlien.getMessage.contains("typeWidening"))
+  }
+
+  test("foreign id-mode column-mapped log: columns matched by parquet field id") {
+    // strict id-mode per PROTOCOL.md "Column Mapping": the parquet
+    // files carry column names matching NEITHER the logical nor the
+    // declared physical names — only the parquet field_id stamped in
+    // the file identifies each column. partitionValues stay keyed by
+    // the physical partition-column name.
+    val dir = tmpDir("dxi")
+    val path = s"$dir/im.parquet"
+    def fmeta(phys: String, id: Long) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", phys)
+      .putLong("delta.columnMapping.id", id).build()
+    val logical = StructType(Seq(
+      StructField("id", StringType, nullable = true, fmeta("col-a1", 1)),
+      StructField("v", IntegerType, nullable = true, fmeta("col-b2", 2)),
+      StructField("nested", StructType(Seq(
+        StructField("x", IntegerType, nullable = true, fmeta("col-d4", 4)),
+        StructField("y", StringType, nullable = true, fmeta("col-e5", 5)))),
+        nullable = true, fmeta("col-c3", 3)),
+      StructField("p", StringType, nullable = true, fmeta("col-f6", 6))))
+    def fid(id: Long) = new MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    val fileData = StructType(Seq(
+      StructField("garbled_1", StringType, nullable = true, fid(1)),
+      StructField("garbled_2", IntegerType, nullable = true, fid(2)),
+      StructField("garbled_3", StructType(Seq(
+        StructField("inner_4", IntegerType, nullable = true, fid(4)),
+        StructField("inner_5", StringType, nullable = true, fid(5)))),
+        nullable = true, fid(3))))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    def writeDataFile(rel: String, rows: Seq[Row]): Long = {
+      val stage = s"$dir/stage-${rel.replace('/', '_')}"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), fileData)
+        .write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = Paths.get(path, rel)
+      Files.createDirectories(dest.getParent)
+      Files.move(part, dest)
+      Files.size(dest)
+    }
+    val s1 = writeDataFile("f1.parquet", Seq(
+      Row("a1", 1, Row(10, "x1")), Row("a2", 2, Row(20, "x2"))))
+    val s2 = writeDataFile("f2.parquet", Seq(Row("b1", 3, Row(30, "x3"))))
+    def line(kind: String)(fill: com.fasterxml.jackson.databind.node.ObjectNode => Unit): String = {
+      val o = mapper.createObjectNode()
+      fill(o.putObject(kind))
+      mapper.writeValueAsString(o)
+    }
+    val v0 = Seq(
+      line("protocol") { p =>
+        p.put("minReaderVersion", 2); p.put("minWriterVersion", 5) },
+      line("metaData") { m =>
+        m.put("id", "foreign-im-1")
+        val fmt = m.putObject("format")
+        fmt.put("provider", "parquet"); fmt.putObject("options")
+        m.put("schemaString", logical.json)
+        m.putArray("partitionColumns").add("p")
+        val conf = m.putObject("configuration")
+        conf.put("delta.columnMapping.mode", "id")
+        conf.put("delta.columnMapping.maxColumnId", "6")
+        m.put("createdTime", 1L) },
+      line("add") { a =>
+        a.put("path", "f1.parquet")
+        a.putObject("partitionValues").put("col-f6", "east")
+        a.put("size", s1); a.put("modificationTime", 1L)
+        a.put("dataChange", true) },
+      line("add") { a =>
+        a.put("path", "f2.parquet")
+        a.putObject("partitionValues").put("col-f6", "west")
+        a.put("size", s2); a.put("modificationTime", 1L)
+        a.put("dataChange", true) })
+    Files.createDirectories(Paths.get(path, "_delta_log"))
+    Files.write(Paths.get(path, "_delta_log", f"${0L}%020d.json"),
+      v0.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val back = DeltaExport.readSnapshot(spark, path)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "v", "nested", "p"))
+    assert(back.schema("nested").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("x", "y"))
+    val got = back.selectExpr("id", "v", "nested.x", "nested.y", "p")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+        r.getString(3), r.getString(4))).toSet
+    assert(got == Set(
+      ("a1", 1, 10, "x1", "east"), ("a2", 2, 20, "x2", "east"),
+      ("b1", 3, 30, "x3", "west")))
+    assert(back.filter("p = 'east'").count() == 2L)
+    assert(back.filter("nested.x >= 20").count() == 2L)
+    // a field missing its columnMapping.id is a malformed id-mode log
+    val brokenLogical = StructType(logical.fields.map {
+      case f if f.name == "v" =>
+        StructField(f.name, f.dataType, f.nullable, new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", "col-b2").build())
+      case f => f
+    })
+    def esc(s: String) = s.replace("\"", "\\\"")
+    val f0 = Paths.get(path, "_delta_log", f"${0L}%020d.json")
+    val rewritten = Files.readAllLines(f0, StandardCharsets.UTF_8)
+      .asScala.map(_.replace(esc(logical.json), esc(brokenLogical.json)))
+      .mkString("\n")
+    assert(rewritten.contains(esc(brokenLogical.json)),
+      "schemaString replacement did not take")
+    Files.write(f0, rewritten.getBytes(StandardCharsets.UTF_8))
+    Files.deleteIfExists(
+      Paths.get(path, "_delta_log", f".${0L}%020d.json.crc"))
+    val e = intercept[IllegalStateException] {
+      DeltaExport.readSnapshot(spark, path).collect()
+    }
+    assert(e.getMessage.contains("delta.columnMapping.id"))
+  }
+
+  test("foreign v2 uuid checkpoint: sidecar file actions replayed") {
+    // a log shaped like delta-spark's v2Checkpoint output: the only
+    // replayable base is a UUID-named parquet manifest whose file
+    // actions live in _delta_log/_sidecars/ parquet files, plus a
+    // json tail past it. PROTOCOL.md "V2 Spec".
+    val dir = tmpDir("dxv")
+    val path = s"$dir/v2.parquet"
+    val full = StructType(Seq(
+      StructField("id", StringType), StructField("v", IntegerType)))
+    def writeDataFile(rel: String, rows: Seq[(String, Int)]): Long = {
+      val stage = s"$dir/stage-${rel.replace('/', '_')}"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1),
+        full).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = Paths.get(path, rel)
+      Files.createDirectories(dest.getParent)
+      Files.move(part, dest)
+      Files.size(dest)
+    }
+    val s1 = writeDataFile("f1.parquet", Seq("a1" -> 1, "a2" -> 2))
+    val s2 = writeDataFile("f2.parquet", Seq("b1" -> 3))
+    val s3 = writeDataFile("f3.parquet", Seq("c1" -> 4))
+    def stageParquet(rows: Seq[Row], sch: StructType, dest: java.nio.file.Path): Unit = {
+      val stage = s"$dir/stage-${dest.getFileName}"
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), sch)
+        .write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.createDirectories(dest.getParent)
+      Files.move(part, dest)
+    }
+    val addT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))
+    val removeT = StructType(Seq(StructField("path", StringType)))
+    val sideSchema = StructType(Seq(
+      StructField("add", addT), StructField("remove", removeT)))
+    val scDir = Paths.get(path, "_delta_log", "_sidecars")
+    stageParquet(Seq(
+      Row(Row("f1.parquet", Map.empty[String, String], s1, 1L, true),
+        null)),
+      sideSchema, scDir.resolve("sc1.parquet"))
+    // a remove TOMBSTONE in a sidecar must not un-live anything
+    stageParquet(Seq(
+      Row(Row("f2.parquet", Map.empty[String, String], s2, 1L, true),
+        null),
+      Row(null, Row("f0-vacuumed-long-ago.parquet"))),
+      sideSchema, scDir.resolve("sc2.parquet"))
+    val manifestSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType))))),
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType)))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType),
+        StructField("modificationTime", LongType))))))
+    stageParquet(Seq(
+      Row(Row(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint")),
+        null, null, null),
+      Row(null, Row("foreign-v2-1", full.json, Seq.empty[String]),
+        null, null),
+      Row(null, null, Row(1L), null),
+      Row(null, null, null, Row("sc1.parquet", 1L, 1L)),
+      Row(null, null, null, Row("sc2.parquet", 1L, 1L))),
+      manifestSchema, Paths.get(path, "_delta_log",
+        f"${1L}%020d.checkpoint.ab12cd34-0000-4000-8000-000000000001.parquet"))
+    Files.write(Paths.get(path, "_delta_log", "_last_checkpoint"),
+      """{"version":1}""".getBytes(StandardCharsets.UTF_8))
+    // json tail past the v2 base: f3 arrives, f1 leaves
+    def line(kind: String)(fill: com.fasterxml.jackson.databind.node.ObjectNode => Unit): String = {
+      val o = mapper.createObjectNode()
+      fill(o.putObject(kind))
+      mapper.writeValueAsString(o)
+    }
+    val v2 = Seq(
+      line("add") { a =>
+        a.put("path", "f3.parquet")
+        a.putObject("partitionValues")
+        a.put("size", s3); a.put("modificationTime", 2L)
+        a.put("dataChange", true) },
+      line("remove") { r =>
+        r.put("path", "f1.parquet")
+        r.put("deletionTimestamp", 2L); r.put("dataChange", true) })
+    Files.write(Paths.get(path, "_delta_log", f"${2L}%020d.json"),
+      v2.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val back = DeltaExport.readSnapshot(spark, path)
+    assert(back.collect().map(r => (r.getString(0), r.getInt(1))).toSet ==
+      Set(("b1", 3), ("c1", 4)))
+    // time travel to the checkpoint version itself
+    assert(DeltaExport.readSnapshot(spark, path, 1L).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet ==
+      Set(("a1", 1), ("a2", 2), ("b1", 3)))
+
+    // json-lines manifest variant with inline file actions
+    val path2 = s"$dir/v2j.parquet"
+    def writeDataFile2(rel: String, rows: Seq[(String, Int)]): Long = {
+      val stage = s"$dir/stage2-${rel.replace('/', '_')}"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1),
+        full).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = Paths.get(path2, rel)
+      Files.createDirectories(dest.getParent)
+      Files.move(part, dest)
+      Files.size(dest)
+    }
+    val t1 = writeDataFile2("g1.parquet", Seq("j1" -> 7))
+    val manifest = Seq(
+      line("checkpointMetadata")(_.put("version", 0L)),
+      line("protocol") { p =>
+        p.put("minReaderVersion", 3); p.put("minWriterVersion", 7)
+        p.putArray("readerFeatures").add("v2Checkpoint")
+        p.putArray("writerFeatures").add("v2Checkpoint") },
+      line("metaData") { m =>
+        m.put("id", "foreign-v2-2")
+        val fmt = m.putObject("format")
+        fmt.put("provider", "parquet"); fmt.putObject("options")
+        m.put("schemaString", full.json)
+        m.putArray("partitionColumns")
+        m.putObject("configuration"); m.put("createdTime", 1L) },
+      line("add") { a =>
+        a.put("path", "g1.parquet")
+        a.putObject("partitionValues")
+        a.put("size", t1); a.put("modificationTime", 1L)
+        a.put("dataChange", true) })
+    Files.createDirectories(Paths.get(path2, "_delta_log"))
+    Files.write(Paths.get(path2, "_delta_log",
+      f"${0L}%020d.checkpoint.ab12cd34-0000-4000-8000-000000000002.json"),
+      manifest.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(path2, "_delta_log", "_last_checkpoint"),
+      """{"version":0}""".getBytes(StandardCharsets.UTF_8))
+    val back2 = DeltaExport.readSnapshot(spark, path2)
+    assert(back2.collect().map(r => (r.getString(0), r.getInt(1)))
+      .toSeq == Seq(("j1", 7)))
   }
 
   // ---- test-side DV encoders, written INDEPENDENTLY from the spec
