@@ -499,6 +499,20 @@ object SparkEntry {
         docs.filter(col("doc_id") % 50 === 0))
     }),
 
+    // ---- semantic decontamination: corpus embeddings within cosine
+    //      0.45 of ANY benchmark embedding are dropped — the leakage
+    //      n-gram decontamination misses. Benchmark side broadcast;
+    //      the corpus never shuffles (left_anti nested-loop against
+    //      the broadcast). Exact-oracled: DuckDB computes the same
+    //      NOT EXISTS threshold predicate ----
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Similarity.semanticDecontaminate(
+          emb.filter(col("vec_id") >= 50),
+          emb.filter(col("vec_id") < 50), threshold = 0.45)
+        .select(col("vec_id"), col("label"))
+    }),
+
     // ---- time-series resample + gap-fill: hourly activity grid per
     //      user over each user's own active span, missing hours
     //      zero-filled (sequence+explode up-sample, then a left join
@@ -3248,6 +3262,16 @@ object SparkEntry {
         |  CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) /
         |    CAST(t.n_shingles AS DOUBLE) AS contamination
         |FROM totals t LEFT JOIN overlap o ON t.doc_id = o.doc_id""".stripMargin,
+
+    // cosine boundary safety: the nearest per-row max-similarity to
+    // the 0.45 threshold is ~1e-3 away at every SF (measured), vastly
+    // above any double-rounding divergence between the two engines
+    "q_decontaminate_semantic" ->
+      """SELECT c.vec_id, c.label FROM embeddings c
+        |WHERE c.vec_id >= 50 AND NOT EXISTS (
+        |  SELECT 1 FROM embeddings b WHERE b.vec_id < 50
+        |  AND list_cosine_similarity(c.embedding, b.embedding) >= 0.45
+        |)""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'fake/raw' AS format,

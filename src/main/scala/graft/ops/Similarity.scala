@@ -86,6 +86,24 @@ object Similarity {
       .select("q_id", "n_id", "rank")
   }
 
+  /** Embedding-based (semantic) decontamination: drop every corpus
+    * row whose embedding has cosine ≥ threshold against ANY benchmark
+    * vector — the leakage shape n-gram decontamination misses
+    * (paraphrased/translated benchmark items). Plan: LEFT ANTI join
+    * with the BENCHMARK side broadcast — the corpus never shuffles
+    * and is streamed once, O(|corpus|·|bench|) comparisons with
+    * |bench| small; at 100 TB corpus × 10⁴ benchmark rows this is
+    * one broadcast + a map-side scan, the same shape as
+    * [[graft.ops.TextStats]]'s n-gram decontamination gate.
+    */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+                            threshold: Double,
+                            vecCol: String = "embedding"): DataFrame = {
+    val b = broadcast(bench.select(col(vecCol).as("_b_vec")))
+    corpus.join(b, cosine(col(vecCol), col("_b_vec")) >= threshold,
+      "left_anti")
+  }
+
   /** All near-duplicate pairs with cosine ≥ threshold (exact, brute
     * force — the oracle-checkable baseline; use [[lshBuckets]] beyond
     * ~10⁵ vectors).

@@ -137,6 +137,24 @@ class SimilaritySpec extends SparkSpec {
     assert(res.sortBy(_._2).map(_._1).toSeq == Seq(4L, 1L))
   }
 
+  test("semantic decontamination drops corpus rows near any benchmark vector") {
+    // bench = {0}; corpus 1,4 are near it (cos > 0.99), 2 orthogonal,
+    // 3 opposite — only 2 and 3 survive a 0.9 threshold
+    val out = Similarity.semanticDecontaminate(
+        vecs.filter($"vec_id" > 0), vecs.filter($"vec_id" === 0),
+        threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L, 3L))
+    // scale posture: benchmark side broadcast, corpus side streamed —
+    // the plan is a left-anti nested loop against a broadcast, with
+    // no shuffle of the corpus
+    val plan = Similarity.semanticDecontaminate(
+      vecs.filter($"vec_id" > 0), vecs.filter($"vec_id" === 0),
+      threshold = 0.9).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("LSH pairs find high-cosine neighbors") {
     val pairs = Similarity.lshCosinePairs(vecs, threshold = 0.9,
         planes = 8, dim = 4)
