@@ -939,6 +939,12 @@ object DeltaExport {
     * cleaned by [[cleanupLog]], or files vacuumed since — never a
     * silently wrong snapshot.
     */
+  /** A live file's newest add action, as replayed from the log. */
+  private final case class LiveAdd(
+      pv: Map[String, String],
+      dv: Option[DeletionVectors.Descriptor],
+      size: Long, modTime: Long, stats: Option[String])
+
   def readSnapshot(spark: SparkSession, tablePath: String,
                    versionAsOf: Long = -1L): DataFrame = {
     val root = new HPath(tablePath)
@@ -949,11 +955,12 @@ object DeltaExport {
     var schemaJson: String = null
     var partCols: Seq[String] = Seq.empty
     var tableConf: Map[String, String] = Map.empty
-    // live path → (partitionValues, deletion vector): a re-add of the
-    // same path REPLACES both, so the newest DV (or its clearing, on a
-    // DV-less re-add after compaction) always wins
-    val live = mutable.LinkedHashMap.empty[
-      String, (Map[String, String], Option[DeletionVectors.Descriptor])]
+    // live path → its newest add action (partitionValues, deletion
+    // vector, size/modTime for the scan's file statuses, stats for
+    // file skipping): a re-add of the same path REPLACES the whole
+    // record, so the newest DV (or its clearing, on a DV-less re-add
+    // after compaction) always wins
+    val live = mutable.LinkedHashMap.empty[String, LiveAdd]
     // start from the checkpoint when one is published: replay is then
     // O(tail), not O(#commits) — how Delta keeps 100k-commit logs
     // readable. Foreign checkpoints may carry txn/remove tombstone
@@ -1025,7 +1032,16 @@ object DeltaExport {
               s.getInt(gi("sizeInBytes")),
               s.getLong(gi("cardinality"))))
           }
-        live(p) = (pv, dv)
+        def optLong(n: String): Option[Long] = {
+          val i = a.schema.fieldNames.indexOf(n)
+          if (i < 0 || a.isNullAt(i)) None else Some(a.getLong(i))
+        }
+        val stIdx = a.schema.fieldNames.indexOf("stats")
+        val stats =
+          if (stIdx < 0 || a.isNullAt(stIdx)) None
+          else Option(a.getString(stIdx))
+        live(p) = LiveAdd(pv, dv, optLong("size").getOrElse(-1L),
+          optLong("modificationTime").getOrElse(0L), stats)
       }
       // a v2 manifest's file actions may live in sidecar files
       if (cols("sidecar") && !row.isNullAt(row.fieldIndex("sidecar"))) {
@@ -1082,7 +1098,10 @@ object DeltaExport {
             Option(d.get("offset")).map(_.asInt).getOrElse(0),
             d.get("sizeInBytes").asInt,
             d.get("cardinality").asLong))
-        live(a.get("path").asText) = (pv, dv)
+        live(a.get("path").asText) = LiveAdd(pv, dv,
+          Option(a.get("size")).map(_.asLong).getOrElse(-1L),
+          Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L),
+          Option(a.get("stats")).filterNot(_.isNull).map(_.asText))
       }
       if (!inCheckpoint)
         Option(n.get("remove")).foreach(r =>
@@ -1152,7 +1171,7 @@ object DeltaExport {
     // metadata, which only our id-mode scans carry.
     if (mapMode == "id")
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    val needDv = live.values.exists(_._2.isDefined)
+    val needDv = live.values.exists(_.dv.isDefined)
     // normalize "file:///x", "file:/x", "s3a://bucket/x" to one shape
     // so the scan's `_metadata.file_path` joins the descriptor side
     val SchemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*:/+"
@@ -1161,33 +1180,50 @@ object DeltaExport {
     // (renames at every nesting depth; identical types so it folds to
     // a no-op). `id` mode: scan under the LOGICAL names annotated with
     // parquet.field.id — Spark's field-id matching resolves the
-    // columns, so no rename pass is needed. DV-bearing snapshots also
-    // surface each row's file identity and native parquet row
-    // position for the final dead-row anti-join
-    def scan(files: Seq[String], logical: StructType): DataFrame = {
+    // columns (via FieldIdParquetFileFormat, which re-attaches the
+    // annotations Catalyst's nested-schema pruning strips; without it
+    // the reader silently name-matches = nulls). DV-bearing snapshots
+    // also surface each row's file identity and native parquet row
+    // position for the final dead-row anti-join.
+    //
+    // EVERY mode scans through a StatsFileIndex built from the log's
+    // add actions: file statuses come from add.size/modificationTime
+    // (zero FS listings to plan — the listing IS the log, which also
+    // makes the snapshot immune to concurrent-writer races), and the
+    // add.stats min/max/nullCount prune FILES against the query's
+    // pushed data filters before any footer is opened — delta-spark's
+    // TahoeFileIndex shape. In name/id modes the stats are keyed by
+    // the parquet-physical column names, which is exactly the
+    // namespace the pushed-down filters use in name mode; id mode
+    // filters use logical names and fall out conservative (no skip,
+    // never wrong).
+    def scan(rels: Seq[String], logical: StructType): DataFrame = {
       import org.apache.spark.sql.functions.{col, regexp_replace, lit}
+      import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+      import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
       val readSchema = mapMode match {
         case "name" => physicalType(logical).asInstanceOf[StructType]
         case "id" => fieldIdType(logical, tablePath)
           .asInstanceOf[StructType]
         case _ => logical
       }
-      val raw0 =
-        if (mapMode != "id") spark.read.schema(readSchema).parquet(files: _*)
-        else {
-          // id mode goes through FieldIdParquetFileFormat: Catalyst's
-          // nested-schema pruning strips field metadata from pruned
-          // struct types, and without the parquet.field.id annotations
-          // the reader silently name-matches (= nulls). The format
-          // re-attaches ids to whatever pruned schema planning asks for.
-          import org.apache.spark.sql.execution.datasources.{
-            HadoopFsRelation, InMemoryFileIndex}
-          val index = new InMemoryFileIndex(spark,
-            files.map(new HPath(_)), Map.empty, Some(readSchema))
-          spark.baseRelationToDataFrame(HadoopFsRelation(
-            index, StructType(Nil), readSchema, None,
-            new FieldIdParquetFileFormat(readSchema), Map.empty)(spark))
-        }
+      val entries = rels.map { r =>
+        val lf = live(r)
+        StatsFileIndex.Entry(
+          fs.makeQualified(new HPath(root, r)),
+          // pre-spec foreign adds may omit size; one status probe per
+          // such file (our exports always carry it)
+          if (lf.size >= 0) lf.size
+          else fs.getFileStatus(new HPath(root, r)).getLen,
+          lf.modTime,
+          lf.stats.flatMap(StatsFileIndex.fromDeltaStats))
+      }
+      val index = new StatsFileIndex(root, entries)
+      val fmt =
+        if (mapMode == "id") new FieldIdParquetFileFormat(readSchema)
+        else new ParquetFileFormat()
+      val raw0 = spark.baseRelationToDataFrame(HadoopFsRelation(
+        index, StructType(Nil), readSchema, None, fmt, Map.empty)(spark))
       val raw =
         if (!needDv) raw0
         else raw0
@@ -1217,11 +1253,13 @@ object DeltaExport {
         val dvConf = new SerializableHadoopConf(
           spark.sessionState.newHadoopConf())
         val rootStr = root.toString
-        val descs = live.toSeq.collect { case (rel, (_, Some(d))) =>
-          (fs.makeQualified(new HPath(root, rel)).toUri.toString
-            .replaceFirst(SchemeRe, "/"),
-            d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes,
-            d.cardinality)
+        val descs = live.toSeq.collect {
+          case (rel, la) if la.dv.isDefined =>
+            val d = la.dv.get
+            (fs.makeQualified(new HPath(root, rel)).toUri.toString
+              .replaceFirst(SchemeRe, "/"),
+              d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes,
+              d.cardinality)
         }.sortBy(_._1)
         val deleted = spark.createDataset(descs)
           .repartition(math.max(1, math.min(descs.size, 64)))
@@ -1268,8 +1306,7 @@ object DeltaExport {
           gone.take(5).mkString(", "))
     }
     if (partCols.isEmpty)
-      dropDeleted(scan(live.keys.toSeq.sorted
-        .map(r => new HPath(root, r).toString), schema))
+      dropDeleted(scan(live.keys.toSeq.sorted, schema))
     else {
       import org.apache.spark.sql.functions.{col, lit}
       val missing = partCols.filterNot(schema.fieldNames.contains)
@@ -1289,11 +1326,10 @@ object DeltaExport {
         StructType(schema.fields.filterNot(fd => partCols.contains(fd.name)))
       val outCols = schema.fieldNames.toSeq ++
         (if (needDv) Seq("_gdv_file", "_gdv_pos") else Seq.empty)
-      dropDeleted(live.toSeq.groupBy(_._2._1).toSeq
+      dropDeleted(live.toSeq.groupBy(_._2.pv).toSeq
         .sortBy(_._2.head._1) // deterministic plan order
         .map { case (pv, files) =>
-          val base = scan(files.map(_._1).sorted
-            .map(r => new HPath(root, r).toString), dataSchema)
+          val base = scan(files.map(_._1).sorted, dataSchema)
           partCols.foldLeft(base) { (df, c) =>
             val raw = pv.getOrElse(pvKey(c), pv.getOrElse(c, null))
             df.withColumn(c,

@@ -1,0 +1,106 @@
+package graft.tables
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.datasources.{FileIndex,
+  PartitionDirectory}
+import org.apache.spark.sql.types.StructType
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+/** File-level data skipping for exported-log snapshots — the
+  * delta-spark TahoeFileIndex pattern: the log already carries
+  * per-file min/max/nullCount stats, so a selective predicate should
+  * prune FILES at planning time, before any footer is opened. Catalyst
+  * hands every scan's data filters to `FileIndex.listFiles`; files
+  * whose stats prove the conjunction unsatisfiable are dropped via
+  * [[FileStats.canSkip]] (conservative: missing/foreign-typed stats
+  * keep the file). At 100 TB this is the difference between "open
+  * every footer in the table" and "open the files the predicate can
+  * touch" — the same stats discipline [[ResourceTable.read]] applies
+  * to its own commit log, now on the delta-protocol read path.
+  *
+  * File sizes and modification times come from the log's add actions
+  * (never a filesystem listing — O(0) FS calls to plan a scan, which
+  * is also what makes snapshot reads consistent under concurrent
+  * writers: the listing IS the log).
+  */
+final class StatsFileIndex(
+    root: HPath,
+    files: Seq[StatsFileIndex.Entry],
+    override val partitionSchema: StructType = StructType(Nil))
+    extends FileIndex {
+
+  override def rootPaths: Seq[HPath] = Seq(root)
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept = files.filter { e =>
+      e.stats.forall(st => !dataFilters.exists(f =>
+        FileStats.canSkip(f, st)))
+    }
+    Seq(PartitionDirectory(InternalRow.empty,
+      kept.map(e => new FileStatus(
+        e.size, false, 1, 128L * 1024 * 1024, e.modTime, e.path)).toArray))
+  }
+
+  override def inputFiles: Array[String] =
+    files.map(_.path.toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = files.map(_.size).sum
+}
+
+object StatsFileIndex {
+  /** One live file: qualified path + the add action's size/modTime and
+    * parsed stats (None → never skipped).
+    */
+  final case class Entry(path: HPath, size: Long, modTime: Long,
+                         stats: Option[FileStats.FileStat])
+
+  private val mapper = new ObjectMapper()
+
+  /** Delta-spec per-file stats JSON (`{"numRecords":N,"minValues":{},
+    * "maxValues":{},"nullCount":{}}`, PROTOCOL.md "Per-file
+    * Statistics") → the [[FileStats.FileStat]] compare domain. Only
+    * top-level scalar columns translate; nested stats objects and
+    * unparseable bodies yield conservative absences. Delta's
+    * truncated string maxValues end in a non-ASCII tie-breaker char,
+    * which [[FileStats.cmp]] already treats as incomparable — never
+    * an unsound skip.
+    */
+  def fromDeltaStats(json: String): Option[FileStats.FileStat] =
+    try {
+      val n = mapper.readTree(json)
+      val rows = Option(n.get("numRecords")).map(_.asLong).getOrElse(-1L)
+      def obj(k: String) = Option(n.get(k)).filter(_.isObject)
+      val mins = obj("minValues")
+      val maxs = obj("maxValues")
+      val nulls = obj("nullCount")
+      def scalar(o: Option[com.fasterxml.jackson.databind.JsonNode],
+                 c: String): Option[Any] =
+        o.flatMap(x => Option(x.get(c)))
+          .filter(v => !v.isObject && !v.isNull)
+          .map {
+            case v if v.isIntegralNumber => v.asLong: Any
+            case v if v.isFloatingPointNumber => v.asDouble: Any
+            case v if v.isBoolean => v.asBoolean: Any
+            case v => v.asText: Any
+          }
+      val names =
+        (mins.toSeq ++ maxs.toSeq ++ nulls.toSeq)
+          .flatMap(_.fields().asScala.map(_.getKey)).distinct
+      val cols = names.map { c =>
+        c -> FileStats.ColStats(
+          scalar(mins, c), scalar(maxs, c),
+          nulls.flatMap(x => Option(x.get(c)))
+            .filter(v => v.isIntegralNumber).map(_.asLong))
+      }.toMap
+      Some(FileStats.FileStat(rows, cols, None))
+    } catch { case NonFatal(_) => None }
+}

@@ -439,6 +439,43 @@ class DeltaExportSpec extends SparkSpec {
       .toSet == got)
   }
 
+  test("exported-log reads skip files by add stats") {
+    // three commits with disjoint id ranges → three live files whose
+    // exported min/max stats prove two of them irrelevant to a
+    // selective predicate; the scan must open ONE file, and the
+    // result must equal the unpruned read
+    val path = s"${tmpDir("dx")}/T.parquet"
+    val t = ResourceTable(spark, path).createIfNotExists(schema)
+    t.upsert(df("a1" -> 1, "b1" -> 2), "id")
+    t.upsert(df("m1" -> 3, "n1" -> 4), "id")
+    t.upsert(df("x1" -> 5, "y1" -> 6), "id")
+    DeltaExport.export(t)
+    val snap = DeltaExport.readSnapshot(spark, path)
+    val total = snap.inputFiles.length
+    assert(total >= 3)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = DeltaExport.readSnapshot(spark, path)
+        .filter(org.apache.spark.sql.functions.col("id") === "x1")
+      val scan = q.queryExecution.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get
+      assert(scan.selectedPartitions.totalNumberOfFiles == 1L,
+        "stats should prune to exactly the file whose range covers x1")
+      assert(q.collect().map(_.getString(0)).toSeq == Seq("x1"))
+      // a predicate stats cannot bound keeps every file (conservative)
+      val all = DeltaExport.readSnapshot(spark, path)
+        .filter(org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("id")) === 2)
+      val scanAll = all.queryExecution.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get
+      assert(scanAll.selectedPartitions.totalNumberOfFiles == total.toLong)
+      assert(all.count() == 6L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("versionAsOf time-travels the exported log; unreachable history is loud") {
     val path = s"${tmpDir("dx")}/T.parquet"
     val t = ResourceTable(spark, path).createIfNotExists(schema)
