@@ -1197,6 +1197,17 @@ object DeltaExport {
     // namespace the pushed-down filters use in name mode; id mode
     // filters use logical names and fall out conservative (no skip,
     // never wrong).
+    def entryOf(r: String): StatsFileIndex.Entry = {
+      val lf = live(r)
+      StatsFileIndex.Entry(
+        fs.makeQualified(new HPath(root, r)),
+        // pre-spec foreign adds may omit size; one status probe per
+        // such file (our exports always carry it)
+        if (lf.size >= 0) lf.size
+        else fs.getFileStatus(new HPath(root, r)).getLen,
+        lf.modTime,
+        lf.stats.flatMap(StatsFileIndex.fromDeltaStats))
+    }
     def scan(rels: Seq[String], logical: StructType): DataFrame = {
       import org.apache.spark.sql.functions.{col, regexp_replace, lit}
       import org.apache.spark.sql.execution.datasources.HadoopFsRelation
@@ -1207,18 +1218,7 @@ object DeltaExport {
           .asInstanceOf[StructType]
         case _ => logical
       }
-      val entries = rels.map { r =>
-        val lf = live(r)
-        StatsFileIndex.Entry(
-          fs.makeQualified(new HPath(root, r)),
-          // pre-spec foreign adds may omit size; one status probe per
-          // such file (our exports always carry it)
-          if (lf.size >= 0) lf.size
-          else fs.getFileStatus(new HPath(root, r)).getLen,
-          lf.modTime,
-          lf.stats.flatMap(StatsFileIndex.fromDeltaStats))
-      }
-      val index = new StatsFileIndex(root, entries)
+      val index = new StatsFileIndex(root, rels.map(entryOf))
       val fmt =
         if (mapMode == "id") new FieldIdParquetFileFormat(readSchema)
         else new ParquetFileFormat()
@@ -1320,23 +1320,64 @@ object DeltaExport {
       val pvKey = partCols.map(c =>
         c -> (if (mapMode == "none") c else physicalName(schema(c)))).toMap
       // per the protocol, partition columns are NOT stored in the data
-      // files — scan each distinct partition tuple's files under the
-      // data-only schema and re-inject its values as cast literals
+      // files. Plain logs (no column mapping, no DVs — the common
+      // date-partitioned foreign shape) plan as ONE partitioned scan:
+      // StatsFileIndex carries each add's partitionValues as a typed
+      // InternalRow group, FileSourceScanExec appends the partition
+      // columns, and partition predicates prune GROUPS inside
+      // listFiles — plan size O(1) in the partition count, where the
+      // union-of-scans fallback below is O(#partitions) and
+      // unplannable at a 10k-partition table.
       val dataSchema =
         StructType(schema.fields.filterNot(fd => partCols.contains(fd.name)))
-      val outCols = schema.fieldNames.toSeq ++
-        (if (needDv) Seq("_gdv_file", "_gdv_pos") else Seq.empty)
-      dropDeleted(live.toSeq.groupBy(_._2.pv).toSeq
-        .sortBy(_._2.head._1) // deterministic plan order
-        .map { case (pv, files) =>
-          val base = scan(files.map(_._1).sorted, dataSchema)
-          partCols.foldLeft(base) { (df, c) =>
-            val raw = pv.getOrElse(pvKey(c), pv.getOrElse(c, null))
-            df.withColumn(c,
-              (if (raw == null) lit(null) else lit(raw))
-                .cast(schema(c).dataType))
-          }.select(outCols.map(col): _*)
-        }.reduce(_.unionByName(_)))
+      def rawOf(pv: Map[String, String], c: String): String =
+        pv.getOrElse(pvKey(c), pv.getOrElse(c, null))
+      if (mapMode == "none" && !needDv) {
+        import org.apache.spark.sql.catalyst.InternalRow
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+        import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+        import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+        import org.apache.spark.sql.functions.col
+        val partStruct = StructType(partCols.map(c => schema(c)))
+        // Delta's partition-value serialization is a string per value
+        // (PROTOCOL.md "Partition Value Serialization"); Cast under
+        // UTC covers every scalar type it defines
+        def pvToRow(pv: Map[String, String]): InternalRow =
+          InternalRow.fromSeq(partCols.map { c =>
+            val raw = rawOf(pv, c)
+            if (raw == null) null
+            else Cast(Literal(raw), schema(c).dataType, Some("UTC"))
+              .eval(null)
+          })
+        val groups = live.toSeq.groupBy(_._2.pv).toSeq
+          .sortBy(_._2.head._1) // deterministic group order
+          .map { case (pv, files) =>
+            (pvToRow(pv), files.map(_._1).sorted.map(entryOf))
+          }
+        val index = new StatsFileIndex(root, groups, partStruct)
+        val df = spark.baseRelationToDataFrame(HadoopFsRelation(
+          index, partStruct, dataSchema, None, new ParquetFileFormat(),
+          Map.empty)(spark))
+        // the scan emits data columns then partition columns; restore
+        // the schema's declared order
+        df.select(schema.fieldNames.toSeq.map(col): _*)
+      } else {
+        // column-mapped or DV-bearing partitioned logs: per-tuple
+        // scans unioned, partition values re-injected as cast literals
+        val outCols = schema.fieldNames.toSeq ++
+          (if (needDv) Seq("_gdv_file", "_gdv_pos") else Seq.empty)
+        dropDeleted(live.toSeq.groupBy(_._2.pv).toSeq
+          .sortBy(_._2.head._1) // deterministic plan order
+          .map { case (pv, files) =>
+            val base = scan(files.map(_._1).sorted, dataSchema)
+            partCols.foldLeft(base) { (df, c) =>
+              val raw = rawOf(pv, c)
+              df.withColumn(c,
+                (if (raw == null) lit(null) else lit(raw))
+                  .cast(schema(c).dataType))
+            }.select(outCols.map(col): _*)
+          }.reduce(_.unionByName(_)))
+      }
     }
   }
 }

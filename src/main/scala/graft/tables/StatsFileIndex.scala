@@ -3,7 +3,8 @@ package graft.tables
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
+  BoundReference, Expression, Predicate => CatalystPredicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex,
   PartitionDirectory}
 import org.apache.spark.sql.types.StructType
@@ -30,30 +31,58 @@ import scala.util.control.NonFatal
   */
 final class StatsFileIndex(
     root: HPath,
-    files: Seq[StatsFileIndex.Entry],
+    partitions: Seq[(InternalRow, Seq[StatsFileIndex.Entry])],
     override val partitionSchema: StructType = StructType(Nil))
     extends FileIndex {
+
+  def this(root: HPath, files: Seq[StatsFileIndex.Entry]) =
+    this(root, Seq((InternalRow.empty, files)), StructType(Nil))
+
+  private def allFiles = partitions.flatMap(_._2)
 
   override def rootPaths: Seq[HPath] = Seq(root)
 
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val kept = files.filter { e =>
-      e.stats.forall(st => !dataFilters.exists(f =>
-        FileStats.canSkip(f, st)))
+    // partition-filter pruning is a CORRECTNESS duty for a custom
+    // FileIndex: FileSourceStrategy does not re-apply partition-only
+    // predicates after the scan (partition columns are not in the
+    // files), so an unpruned group would return rows the filter
+    // excludes. Bind by attribute name to the partitionSchema and
+    // evaluate per group, exactly PartitioningAwareFileIndex's shape.
+    val keptGroups =
+      if (partitionFilters.isEmpty || partitionSchema.isEmpty) partitions
+      else {
+        val bound = partitionFilters.reduce(
+          org.apache.spark.sql.catalyst.expressions.And).transform {
+          case a: AttributeReference =>
+            val i = partitionSchema.fieldIndex(a.name)
+            BoundReference(i, partitionSchema(i).dataType,
+              partitionSchema(i).nullable)
+        }
+        val pred = CatalystPredicate.createInterpreted(bound)
+        pred.initialize(0)
+        partitions.filter { case (row, _) => pred.eval(row) }
+      }
+    keptGroups.map { case (row, files) =>
+      val kept = files.filter { e =>
+        e.stats.forall(st => !dataFilters.exists(f =>
+          FileStats.canSkip(f, st)))
+      }
+      PartitionDirectory(row,
+        kept.map(e => new FileStatus(
+          e.size, false, 1, 128L * 1024 * 1024, e.modTime, e.path))
+          .toArray)
     }
-    Seq(PartitionDirectory(InternalRow.empty,
-      kept.map(e => new FileStatus(
-        e.size, false, 1, 128L * 1024 * 1024, e.modTime, e.path)).toArray))
   }
 
   override def inputFiles: Array[String] =
-    files.map(_.path.toString).toArray
+    allFiles.map(_.path.toString).toArray
 
   override def refresh(): Unit = ()
 
-  override def sizeInBytes: Long = files.map(_.size).sum
+  override def sizeInBytes: Long = allFiles.map(_.size).sum
 }
 
 object StatsFileIndex {

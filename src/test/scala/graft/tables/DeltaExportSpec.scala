@@ -392,6 +392,19 @@ class DeltaExportSpec extends SparkSpec {
     // partition filters work on the re-injected columns
     assert(back.filter("p = 'a'").count() == 3L)
     assert(back.filter("d IS NULL").count() == 1L)
+    // ONE partitioned scan — not a union of per-tuple scans — and a
+    // partition predicate prunes file GROUPS before any footer opens
+    assert(!back.queryExecution.executedPlan.toString.contains("Union"))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pq = DeltaExport.readSnapshot(spark, path).filter("p = 'b'")
+      val scan = pq.queryExecution.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get
+      assert(scan.selectedPartitions.totalNumberOfFiles == 1L,
+        "partition pruning should keep only p=b's single live file")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     // versionAsOf replays the partitioned history too
     assert(DeltaExport.readSnapshot(spark, path, 0L).count() == 4L)
 
