@@ -2001,6 +2001,20 @@ object SparkEntry {
       graft.tables.DeltaExport.readSnapshot(s, tab.path)
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
           col("c_acctbal"), col("c_mktsegment"))
+    }),
+
+    // ---- selective read through the exported log: the pushed key
+    //      predicate reaches StatsFileIndex, which prunes files whose
+    //      exported min/max stats prove both disjuncts false (the
+    //      mid-range files) before any footer is opened; the hash
+    //      match proves pruning never drops a qualifying file ----
+    "q_delta_export_skip" -> ((s, dir) => {
+      val (tab, _, _, _) = versionedDemo(s, dir)
+      graft.tables.DeltaExport.export(tab)
+      graft.tables.DeltaExport.readSnapshot(s, tab.path)
+        .filter(col("c_custkey") <= 500 || col("c_custkey") >= 1000000)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
     })
   )
 
@@ -3491,6 +3505,23 @@ object SparkEntry {
         |UNION ALL
         |SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
         |       'NEWSEG'
-        |FROM customer WHERE c_custkey % 100 = 1""".stripMargin
+        |FROM customer WHERE c_custkey % 100 = 1""".stripMargin,
+
+    "q_delta_export_skip" ->
+      """WITH v3 AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer
+        |  WHERE c_mktsegment <> 'MACHINERY' AND c_custkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, upper(c_name), c_nationkey, c_acctbal + 1000,
+        |         c_mktsegment
+        |  FROM customer
+        |  WHERE c_mktsegment <> 'MACHINERY' AND c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+        |         'NEWSEG'
+        |  FROM customer WHERE c_custkey % 100 = 1)
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM v3 WHERE c_custkey <= 500 OR c_custkey >= 1000000""".stripMargin
   )
 }
