@@ -276,6 +276,56 @@ object DeltaExport {
         new HPath(new HPath(t.path, "_log"), f"$g%020d.commit"))
         .getModificationTime)
 
+  /** Delta `timestampAsOf` resolution over any delta log: the newest
+    * version whose commit timestamp is at or before `tsMs`. The
+    * timestamp is `commitInfo.timestamp` when the writer recorded one
+    * (ours always does), else the entry file's modification time —
+    * Delta's own fallback order. Walks entries newest-first and stops
+    * at the first match, so cost is O(commits newer than tsMs).
+    * Unresolvable requests fail loudly: a timestamp before the oldest
+    * surviving entry (history cleaned or table younger than asked) is
+    * an error, never a silently-wrong snapshot — and a checkpoint-only
+    * log carries no per-commit times at all.
+    */
+  def versionAtTimestamp(spark: SparkSession, tablePath: String,
+                         tsMs: Long): Long = {
+    val root = new HPath(tablePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = new HPath(root, "_delta_log")
+    val CommitName = """(\d{20})\.json""".r
+    val entries =
+      if (!fs.exists(dir)) Seq.empty[Long]
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .collect { case CommitName(v) => v.toLong }.sorted.toSeq
+    if (entries.isEmpty) throw new IllegalStateException(
+      s"$tablePath: no commit entries to resolve a timestamp against " +
+        "(checkpoint-only log?)")
+    def tsOf(v: Long): Long = {
+      val p = new HPath(dir, f"$v%020d.json")
+      val in = fs.open(p)
+      val body =
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      body.linesIterator.filter(_.nonEmpty).map(mapper.readTree)
+        .flatMap(n => Option(n.get("commitInfo")))
+        .flatMap(n => Option(n.get("timestamp")))
+        .map(_.asLong)
+        .nextOption()
+        .getOrElse(fs.getFileStatus(p).getModificationTime)
+    }
+    entries.reverse.find(v => tsOf(v) <= tsMs).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tablePath: no delta version at or before timestamp $tsMs " +
+          s"— oldest surviving entry ${entries.head} is newer " +
+          "(history cleaned, or the table is younger than asked)"))
+  }
+
+  /** Delta `timestampAsOf` read of an exported/foreign log. */
+  def readSnapshotAsOf(spark: SparkSession, tablePath: String,
+                       tsMs: Long): DataFrame =
+    readSnapshot(spark, tablePath,
+      versionAtTimestamp(spark, tablePath, tsMs))
+
   /** The graft version a delta entry mirrors (from its commitInfo). */
   private def graftVersionOf(t: ResourceTable, deltaV: Long): Long = {
     val in = t.fs.open(entryFile(t, deltaV))

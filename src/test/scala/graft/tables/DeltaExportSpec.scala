@@ -489,6 +489,47 @@ class DeltaExportSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("timestampAsOf resolves versions from commitInfo timestamps") {
+    val path = s"${tmpDir("dx")}/T.parquet"
+    val t = ResourceTable(spark, path).createIfNotExists(schema)
+    t.upsert(df("a" -> 1), "id")
+    DeltaExport.export(t)
+    Thread.sleep(15) // distinct per-commit wall-clock ms
+    t.upsert(df("b" -> 2), "id")
+    DeltaExport.export(t)
+    Thread.sleep(15)
+    t.upsert(df("c" -> 3), "id")
+    DeltaExport.export(t)
+    def ciTs(v: Long): Long = logLines(path, v)
+      .flatMap(n => Option(n.get("commitInfo")))
+      .flatMap(n => Option(n.get("timestamp"))).map(_.asLong).head
+    val (ts0, ts1, ts2) = (ciTs(0L), ciTs(1L), ciTs(2L))
+    assert(ts0 < ts1 && ts1 < ts2)
+    assert(DeltaExport.versionAtTimestamp(spark, path, ts0) == 0L)
+    assert(DeltaExport.versionAtTimestamp(spark, path, ts1) == 1L)
+    // between two commits → the older one; far future → newest
+    assert(DeltaExport.versionAtTimestamp(spark, path, ts1 + 1) == 1L)
+    assert(
+      DeltaExport.versionAtTimestamp(spark, path, Long.MaxValue) == 2L)
+    assert(DeltaExport.readSnapshotAsOf(spark, path, ts1)
+      .count() == 2L)
+    // before the first commit: loud, never a wrong snapshot
+    val e = intercept[IllegalArgumentException] {
+      DeltaExport.versionAtTimestamp(spark, path, ts0 - 1)
+    }
+    assert(e.getMessage.contains("no delta version at or before"))
+    // foreign entries without commitInfo fall back to file mtimes
+    val f1 = Paths.get(path, "_delta_log", f"${1L}%020d.json")
+    val stripped = Files.readAllLines(f1, StandardCharsets.UTF_8)
+      .asScala.filterNot(_.contains("commitInfo")).mkString("\n")
+    Files.write(f1, stripped.getBytes(StandardCharsets.UTF_8))
+    Files.deleteIfExists(
+      Paths.get(path, "_delta_log", f".${1L}%020d.json.crc"))
+    assert(
+      DeltaExport.versionAtTimestamp(spark, path, Long.MaxValue) == 2L)
+    assert(DeltaExport.versionAtTimestamp(spark, path, ts0) == 0L)
+  }
+
   test("versionAsOf time-travels the exported log; unreachable history is loud") {
     val path = s"${tmpDir("dx")}/T.parquet"
     val t = ResourceTable(spark, path).createIfNotExists(schema)
