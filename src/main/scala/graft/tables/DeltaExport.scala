@@ -308,7 +308,11 @@ object DeltaExport {
         finally in.close()
       body.linesIterator.filter(_.nonEmpty).map(mapper.readTree)
         .flatMap(n => Option(n.get("commitInfo")))
-        .flatMap(n => Option(n.get("timestamp")))
+        .flatMap(n =>
+          // inCommitTimestamp (the ICT writer feature) takes precedence
+          // over the wall-clock timestamp, per Delta's own resolution
+          Option(n.get("inCommitTimestamp"))
+            .orElse(Option(n.get("timestamp"))))
         .map(_.asLong)
         .nextOption()
         .getOrElse(fs.getFileStatus(p).getModificationTime)

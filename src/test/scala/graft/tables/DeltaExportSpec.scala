@@ -528,6 +528,18 @@ class DeltaExportSpec extends SparkSpec {
     assert(
       DeltaExport.versionAtTimestamp(spark, path, Long.MaxValue) == 2L)
     assert(DeltaExport.versionAtTimestamp(spark, path, ts0) == 0L)
+    // an ICT writer's inCommitTimestamp takes precedence over the
+    // wall-clock timestamp field
+    val f0 = Paths.get(path, "_delta_log", f"${0L}%020d.json")
+    val withIct = Files.readAllLines(f0, StandardCharsets.UTF_8).asScala
+      .map(_.replace(s""""timestamp":$ts0""",
+        s""""inCommitTimestamp":${ts0 - 100000},"timestamp":$ts0"""))
+      .mkString("\n")
+    assert(withIct.contains("inCommitTimestamp"))
+    Files.write(f0, withIct.getBytes(StandardCharsets.UTF_8))
+    Files.deleteIfExists(
+      Paths.get(path, "_delta_log", f".${0L}%020d.json.crc"))
+    assert(DeltaExport.versionAtTimestamp(spark, path, ts0 - 100000) == 0L)
   }
 
   test("versionAsOf time-travels the exported log; unreachable history is loud") {
