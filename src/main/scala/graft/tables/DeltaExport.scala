@@ -1386,13 +1386,24 @@ object DeltaExport {
         StructType(schema.fields.filterNot(fd => partCols.contains(fd.name)))
       def rawOf(pv: Map[String, String], c: String): String =
         pv.getOrElse(pvKey(c), pv.getOrElse(c, null))
-      if (mapMode == "none" && !needDv) {
+      if (mapMode != "id" && !needDv) {
         import org.apache.spark.sql.catalyst.InternalRow
         import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
         import org.apache.spark.sql.execution.datasources.HadoopFsRelation
         import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
         import org.apache.spark.sql.functions.col
-        val partStruct = StructType(partCols.map(c => schema(c)))
+        // name-mode logs scan under physical names throughout — the
+        // partition columns included (their physical name is also the
+        // partitionValues key) — and ONE rename select restores the
+        // logical names above the scan, same as the unpartitioned path
+        val scanData =
+          if (mapMode == "none") dataSchema
+          else physicalType(dataSchema).asInstanceOf[StructType]
+        val partStruct = StructType(partCols.map { c =>
+          val f = schema(c)
+          if (mapMode == "none") f
+          else StructField(physicalName(f), f.dataType, f.nullable)
+        })
         // Delta's partition-value serialization is a string per value
         // (PROTOCOL.md "Partition Value Serialization"); Cast under
         // UTC covers every scalar type it defines
@@ -1410,14 +1421,22 @@ object DeltaExport {
           }
         val index = new StatsFileIndex(root, groups, partStruct)
         val df = spark.baseRelationToDataFrame(HadoopFsRelation(
-          index, partStruct, dataSchema, None, new ParquetFileFormat(),
+          index, partStruct, scanData, None, new ParquetFileFormat(),
           Map.empty)(spark))
-        // the scan emits data columns then partition columns; restore
-        // the schema's declared order
-        df.select(schema.fieldNames.toSeq.map(col): _*)
+        // restore the schema's declared column order (the scan emits
+        // data columns then partition columns) and, for name mode, the
+        // logical names at every nesting depth
+        val physByLogical: Map[String, String] =
+          if (mapMode == "none") Map.empty
+          else schema.fields.map(f => f.name -> physicalName(f)).toMap
+        df.select(schema.fields.toSeq.map { f =>
+          if (mapMode == "none") col(f.name)
+          else col(s"`${physByLogical(f.name)}`")
+            .cast(f.dataType).as(f.name)
+        }: _*)
       } else {
-        // column-mapped or DV-bearing partitioned logs: per-tuple
-        // scans unioned, partition values re-injected as cast literals
+        // id-mapped or DV-bearing partitioned logs: per-tuple scans
+        // unioned, partition values re-injected as cast literals
         val outCols = schema.fieldNames.toSeq ++
           (if (needDv) Seq("_gdv_file", "_gdv_pos") else Seq.empty)
         dropDeleted(live.toSeq.groupBy(_._2.pv).toSeq

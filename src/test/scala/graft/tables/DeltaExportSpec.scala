@@ -883,6 +883,8 @@ class DeltaExportSpec extends SparkSpec {
     // predicate on a restored logical column prunes correctly
     assert(back.filter("p = 'east'").count() == 2L)
     assert(back.filter("nested.x >= 20").count() == 2L)
+    // name-mode partitioned logs also plan as ONE partitioned scan
+    assert(!back.queryExecution.executedPlan.toString.contains("Union"))
 
     // protocol v3 + readerFeatures [columnMapping] reads the same way
     val f0 = Paths.get(path, "_delta_log", f"${0L}%020d.json")
