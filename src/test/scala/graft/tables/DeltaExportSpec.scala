@@ -489,6 +489,37 @@ class DeltaExportSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("property: stats pruning never changes filtered results") {
+    // many commits with overlapping random key ranges, then a battery
+    // of predicates spanning every canSkip shape — the pruned read
+    // must equal filtering the unpruned snapshot row-for-row
+    val path = s"${tmpDir("dx")}/T.parquet"
+    val t = ResourceTable(spark, path).createIfNotExists(schema)
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val rows = Seq.fill(30)(
+        (f"k${rnd.nextInt(1000)}%04d", rnd.nextInt(100)))
+        .distinctBy(_._1)
+      t.upsert(df(rows: _*), "id")
+    }
+    DeltaExport.export(t)
+    val truth = DeltaExport.readSnapshot(spark, path).collect().toSeq
+    val truthDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(truth), t.schema())
+    val preds = Seq(
+      "id <= 'k0100'", "id >= 'k0900' OR v < 5", "v = 50",
+      "id = 'k0001' AND v >= 0", "id > 'k0500' AND id < 'k0600'",
+      "v IS NOT NULL", "id IN ('k0001', 'k0999')",
+      "id LIKE 'k03%'", "v BETWEEN 10 AND 20",
+      "id <= 'k0000'" /* provably empty */)
+    preds.foreach { p =>
+      val got = DeltaExport.readSnapshot(spark, path).filter(p)
+        .collect().map(_.toString).sorted.toSeq
+      val want = truthDf.filter(p).collect().map(_.toString).sorted.toSeq
+      assert(got == want, s"pruning changed results for: $p")
+    }
+  }
+
   test("timestampAsOf resolves versions from commitInfo timestamps") {
     val path = s"${tmpDir("dx")}/T.parquet"
     val t = ResourceTable(spark, path).createIfNotExists(schema)
