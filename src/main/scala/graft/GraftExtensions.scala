@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
   Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType,
+  TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Session extension registering this library's native expressions as
@@ -81,27 +82,41 @@ object GraftExtensions {
     */
   val deltaScanInfo: ExpressionInfo = new ExpressionInfo("graft", null,
     "graft_delta_scan",
-    "graft_delta_scan(path[, versionAsOf]) - snapshot of an exported " +
-      "_delta_log as a table", "")
+    "graft_delta_scan(path[, versionAsOf | timestampAsOf]) - snapshot " +
+      "of an exported _delta_log as a table; the second argument " +
+      "time-travels by integer delta version, or by timestamp when a " +
+      "string/TIMESTAMP literal ('yyyy-MM-dd HH:mm:ss[.S]', read as " +
+      "UTC)", "")
 
   def deltaScanBuilder(es: Seq[Expression]): LogicalPlan = {
     if (es.isEmpty || es.size > 2)
       throw new IllegalArgumentException(
-        "graft_delta_scan(path[, versionAsOf]) takes 1 or 2 arguments")
+        "graft_delta_scan(path[, versionAsOf|timestampAsOf]) takes 1 " +
+          "or 2 arguments")
     val path = es.head match {
       case Literal(v: UTF8String, StringType) => v.toString
       case other => throw new IllegalArgumentException(
         s"graft_delta_scan: path must be a string literal, got $other")
     }
+    val spark = SparkSession.active
     val version = es.lift(1).map {
       case Literal(v: Integer, IntegerType) => v.longValue
       case Literal(v: java.lang.Long, LongType) => v.longValue
+      case Literal(v: UTF8String, StringType) =>
+        val ms = java.time.LocalDateTime
+          .parse(v.toString.trim.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        graft.tables.DeltaExport.versionAtTimestamp(spark, path, ms)
+      case Literal(v: java.lang.Long, TimestampType) =>
+        // SQL TIMESTAMP literal: epoch micros
+        graft.tables.DeltaExport.versionAtTimestamp(spark, path,
+          Math.floorDiv(v.longValue, 1000L))
       case other => throw new IllegalArgumentException(
-        s"graft_delta_scan: versionAsOf must be an integer literal, " +
-          s"got $other")
+        "graft_delta_scan: the time-travel argument must be an " +
+          s"integer version or a string/TIMESTAMP instant, got $other")
     }.getOrElse(-1L)
     graft.tables.DeltaExport
-      .readSnapshot(SparkSession.active, path, version)
+      .readSnapshot(spark, path, version)
       .queryExecution.analyzed
   }
 

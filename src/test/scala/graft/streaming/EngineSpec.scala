@@ -501,6 +501,24 @@ class EngineSpec extends SparkSpec {
     val ex = intercept[Exception](
       spark.sql("SELECT * FROM graft_delta_scan(rand())").collect())
     assert(ex.getMessage.contains("string literal"), ex.getMessage)
+    // timestampAsOf forms: a string instant (UTC) and a TIMESTAMP
+    // literal both resolve through the log's commitInfo timestamps
+    def ciTs(v: Long): Long = {
+      val body = java.nio.file.Files.readString(java.nio.file.Paths.get(
+        path, "_delta_log", f"$v%020d.json"))
+      body.linesIterator.filter(_.contains("commitInfo"))
+        .map(l => """"timestamp":(\d+)""".r.findFirstMatchIn(l).get
+          .group(1).toLong).next()
+    }
+    val at0 = java.time.Instant.ofEpochMilli(ciTs(0L))
+      .atOffset(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+      .replace('T', ' ')
+    assert(spark.sql(
+        s"SELECT * FROM graft_delta_scan('$quoted', '$at0')")
+      .collect().map(_.getString(0)).toSeq == Seq("a"))
+    assert(spark.sql(
+        s"SELECT * FROM graft_delta_scan('$quoted', TIMESTAMP '$at0')")
+      .collect().map(_.getString(0)).toSeq == Seq("a"))
   }
 
   test("two engines with different write settings share a session without racing") {
