@@ -1386,7 +1386,7 @@ object DeltaExport {
         StructType(schema.fields.filterNot(fd => partCols.contains(fd.name)))
       def rawOf(pv: Map[String, String], c: String): String =
         pv.getOrElse(pvKey(c), pv.getOrElse(c, null))
-      if (mapMode != "id" && !needDv) {
+      if (!needDv) {
         import org.apache.spark.sql.catalyst.InternalRow
         import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
         import org.apache.spark.sql.execution.datasources.HadoopFsRelation
@@ -1395,14 +1395,22 @@ object DeltaExport {
         // name-mode logs scan under physical names throughout — the
         // partition columns included (their physical name is also the
         // partitionValues key) — and ONE rename select restores the
-        // logical names above the scan, same as the unpartitioned path
-        val scanData =
-          if (mapMode == "none") dataSchema
-          else physicalType(dataSchema).asInstanceOf[StructType]
+        // logical names above the scan, same as the unpartitioned
+        // path. id-mode logs scan the data columns under logical
+        // names + field-id annotations (FieldIdParquetFileFormat) and
+        // keep logical partition-column names — partition values come
+        // from the log, not the files, so no id matching applies.
+        val scanData = mapMode match {
+          case "name" => physicalType(dataSchema).asInstanceOf[StructType]
+          case "id" => fieldIdType(dataSchema, tablePath)
+            .asInstanceOf[StructType]
+          case _ => dataSchema
+        }
         val partStruct = StructType(partCols.map { c =>
           val f = schema(c)
-          if (mapMode == "none") f
-          else StructField(physicalName(f), f.dataType, f.nullable)
+          if (mapMode == "name")
+            StructField(physicalName(f), f.dataType, f.nullable)
+          else StructField(f.name, f.dataType, f.nullable)
         })
         // Delta's partition-value serialization is a string per value
         // (PROTOCOL.md "Partition Value Serialization"); Cast under
@@ -1420,23 +1428,25 @@ object DeltaExport {
             (pvToRow(pv), files.map(_._1).sorted.map(entryOf))
           }
         val index = new StatsFileIndex(root, groups, partStruct)
+        val fmt =
+          if (mapMode == "id") new FieldIdParquetFileFormat(scanData)
+          else new ParquetFileFormat()
         val df = spark.baseRelationToDataFrame(HadoopFsRelation(
-          index, partStruct, scanData, None, new ParquetFileFormat(),
-          Map.empty)(spark))
+          index, partStruct, scanData, None, fmt, Map.empty)(spark))
         // restore the schema's declared column order (the scan emits
         // data columns then partition columns) and, for name mode, the
         // logical names at every nesting depth
         val physByLogical: Map[String, String] =
-          if (mapMode == "none") Map.empty
+          if (mapMode != "name") Map.empty
           else schema.fields.map(f => f.name -> physicalName(f)).toMap
         df.select(schema.fields.toSeq.map { f =>
-          if (mapMode == "none") col(f.name)
+          if (mapMode != "name") col(f.name)
           else col(s"`${physByLogical(f.name)}`")
             .cast(f.dataType).as(f.name)
         }: _*)
       } else {
-        // id-mapped or DV-bearing partitioned logs: per-tuple scans
-        // unioned, partition values re-injected as cast literals
+        // DV-bearing partitioned logs: per-tuple scans unioned,
+        // partition values re-injected as cast literals
         val outCols = schema.fieldNames.toSeq ++
           (if (needDv) Seq("_gdv_file", "_gdv_pos") else Seq.empty)
         dropDeleted(live.toSeq.groupBy(_._2.pv).toSeq

@@ -1040,6 +1040,8 @@ class DeltaExportSpec extends SparkSpec {
       ("b1", 3, 30, "x3", "west")))
     assert(back.filter("p = 'east'").count() == 2L)
     assert(back.filter("nested.x >= 20").count() == 2L)
+    // id-mode partitioned logs also plan as ONE partitioned scan
+    assert(!back.queryExecution.executedPlan.toString.contains("Union"))
     // a field missing its columnMapping.id is a malformed id-mode log
     val brokenLogical = StructType(logical.fields.map {
       case f if f.name == "v" =>
