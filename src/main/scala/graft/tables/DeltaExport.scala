@@ -1386,12 +1386,12 @@ object DeltaExport {
         StructType(schema.fields.filterNot(fd => partCols.contains(fd.name)))
       def rawOf(pv: Map[String, String], c: String): String =
         pv.getOrElse(pvKey(c), pv.getOrElse(c, null))
-      if (!needDv) {
+      locally {
         import org.apache.spark.sql.catalyst.InternalRow
         import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
         import org.apache.spark.sql.execution.datasources.HadoopFsRelation
         import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.functions.{col, regexp_replace}
         // name-mode logs scan under physical names throughout — the
         // partition columns included (their physical name is also the
         // partitionValues key) — and ONE rename select restores the
@@ -1431,35 +1431,28 @@ object DeltaExport {
         val fmt =
           if (mapMode == "id") new FieldIdParquetFileFormat(scanData)
           else new ParquetFileFormat()
-        val df = spark.baseRelationToDataFrame(HadoopFsRelation(
+        val df0 = spark.baseRelationToDataFrame(HadoopFsRelation(
           index, partStruct, scanData, None, fmt, Map.empty)(spark))
+        // DV-bearing snapshots surface file identity and native row
+        // position for the dead-row anti-join, same as unpartitioned
+        val df = if (!needDv) df0 else df0
+          .withColumn("_gdv_file", regexp_replace(
+            col("_metadata.file_path"), SchemeRe, "/"))
+          .withColumn("_gdv_pos", col("_metadata.row_index"))
+        val dvCols =
+          if (!needDv) Seq.empty
+          else Seq(col("_gdv_file"), col("_gdv_pos"))
         // restore the schema's declared column order (the scan emits
         // data columns then partition columns) and, for name mode, the
         // logical names at every nesting depth
         val physByLogical: Map[String, String] =
           if (mapMode != "name") Map.empty
           else schema.fields.map(f => f.name -> physicalName(f)).toMap
-        df.select(schema.fields.toSeq.map { f =>
+        dropDeleted(df.select(schema.fields.toSeq.map { f =>
           if (mapMode != "name") col(f.name)
           else col(s"`${physByLogical(f.name)}`")
             .cast(f.dataType).as(f.name)
-        }: _*)
-      } else {
-        // DV-bearing partitioned logs: per-tuple scans unioned,
-        // partition values re-injected as cast literals
-        val outCols = schema.fieldNames.toSeq ++
-          (if (needDv) Seq("_gdv_file", "_gdv_pos") else Seq.empty)
-        dropDeleted(live.toSeq.groupBy(_._2.pv).toSeq
-          .sortBy(_._2.head._1) // deterministic plan order
-          .map { case (pv, files) =>
-            val base = scan(files.map(_._1).sorted, dataSchema)
-            partCols.foldLeft(base) { (df, c) =>
-              val raw = rawOf(pv, c)
-              df.withColumn(c,
-                (if (raw == null) lit(null) else lit(raw))
-                  .cast(schema(c).dataType))
-            }.select(outCols.map(col): _*)
-          }.reduce(_.unionByName(_)))
+        } ++ dvCols: _*))
       }
     }
   }

@@ -1406,4 +1406,77 @@ class DeltaExportSpec extends SparkSpec {
       m.contains("checksum") || m.contains("DV")) ||
       eCrc.getCause != null)
   }
+
+  test("partitioned foreign log with deletion vectors: single scan, dead rows drop") {
+    val dir = tmpDir("dxdvp")
+    val path = s"$dir/dvp.parquet"
+    val full = StructType(Seq(
+      StructField("id", StringType), StructField("v", IntegerType),
+      StructField("p", StringType)))
+    val data = StructType(full.fields.take(2))
+    def writeDataFile(rel: String, rows: Seq[(String, Int)]): Long = {
+      val stage = s"$dir/stage-${rel.replace('/', '_')}"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 1),
+        data).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = Paths.get(path, rel)
+      Files.createDirectories(dest.getParent)
+      Files.move(part, dest)
+      Files.size(dest)
+    }
+    val s1 = writeDataFile("p=a/f1.parquet", (0 to 2).map(i => s"a$i" -> i))
+    val s2 = writeDataFile("p=b/f2.parquet", (0 to 1).map(i => s"b$i" -> i))
+    val blob = dvBlob(roaringArrayBitmap(Seq(1, 2)))
+    def line(kind: String)(fill: com.fasterxml.jackson.databind.node.ObjectNode => Unit): String = {
+      val o = mapper.createObjectNode()
+      fill(o.putObject(kind))
+      mapper.writeValueAsString(o)
+    }
+    def addLine(rel: String, size: Long, p: String,
+                dv: Option[Array[Byte]]): String =
+      line("add") { a =>
+        a.put("path", rel)
+        a.putObject("partitionValues").put("p", p)
+        a.put("size", size); a.put("modificationTime", 1L)
+        a.put("dataChange", true)
+        dv.foreach { b =>
+          val o = a.putObject("deletionVector")
+          o.put("storageType", "i"); o.put("pathOrInlineDv", z85Encode(b))
+          o.put("offset", 0); o.put("sizeInBytes", b.length)
+          o.put("cardinality", 2L)
+        }
+      }
+    val v0 = Seq(
+      line("protocol") { pr =>
+        pr.put("minReaderVersion", 3); pr.put("minWriterVersion", 7)
+        pr.putArray("readerFeatures").add("deletionVectors")
+        pr.putArray("writerFeatures").add("deletionVectors") },
+      line("metaData") { m =>
+        m.put("id", "foreign-dvp-1")
+        val fmt = m.putObject("format")
+        fmt.put("provider", "parquet"); fmt.putObject("options")
+        m.put("schemaString", full.json)
+        m.putArray("partitionColumns").add("p")
+        m.putObject("configuration"); m.put("createdTime", 1L) },
+      addLine("p=a/f1.parquet", s1, "a", None),
+      addLine("p=b/f2.parquet", s2, "b", None))
+    // kill a1 and a2 (positions 1, 2 of f1) via an inline DV re-add
+    val v1 = Seq(addLine("p=a/f1.parquet", s1, "a", Some(blob)))
+    Files.createDirectories(Paths.get(path, "_delta_log"))
+    Files.write(Paths.get(path, "_delta_log", f"${0L}%020d.json"),
+      v0.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(path, "_delta_log", f"${1L}%020d.json"),
+      v1.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val back = DeltaExport.readSnapshot(spark, path)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "v", "p"))
+    assert(back.collect().map(r => (r.getString(0), r.getString(2)))
+      .toSet == Set(("a0", "a"), ("b0", "b"), ("b1", "b")))
+    assert(back.filter("p = 'a'").count() == 1L)
+    // still ONE partitioned scan, even with the DV anti-join on top
+    assert(!back.queryExecution.executedPlan.toString.contains("Union"))
+    // pre-DV time travel sees all five rows
+    assert(DeltaExport.readSnapshot(spark, path, 0L).count() == 5L)
+  }
 }
