@@ -1277,7 +1277,10 @@ object DeltaExport {
         if (mapMode == "id") new FieldIdParquetFileFormat(readSchema)
         else new ParquetFileFormat()
       val raw0 = spark.baseRelationToDataFrame(HadoopFsRelation(
-        index, StructType(Nil), readSchema, None, fmt, Map.empty)(spark))
+        index, StructType(Nil),
+        StatsFileIndex.relaxNullability(readSchema)
+          .asInstanceOf[StructType],
+        None, fmt, Map.empty)(spark))
       val raw =
         if (!needDv) raw0
         else raw0
@@ -1432,7 +1435,10 @@ object DeltaExport {
           if (mapMode == "id") new FieldIdParquetFileFormat(scanData)
           else new ParquetFileFormat()
         val df0 = spark.baseRelationToDataFrame(HadoopFsRelation(
-          index, partStruct, scanData, None, fmt, Map.empty)(spark))
+          index, partStruct,
+          StatsFileIndex.relaxNullability(scanData)
+            .asInstanceOf[StructType],
+          None, fmt, Map.empty)(spark))
         // DV-bearing snapshots surface file identity and native row
         // position for the dead-row anti-join, same as unpartitioned
         val df = if (!needDv) df0 else df0

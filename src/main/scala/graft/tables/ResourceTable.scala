@@ -151,8 +151,29 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     if (missingFiles(files.map(_._1)).nonEmpty)
       throw new IllegalStateException(
         s"version $v of $path was vacuumed")
-    spark.read.schema(vSchema)
-      .parquet(files.map(f => resolve(f._1).toString): _*)
+    // plan through a StatsFileIndex over the COMMIT MANIFEST: file
+    // statuses come from the recorded per-file bytes (zero FS listing
+    // calls to plan — an explicit-path spark.read.parquet still stats
+    // every file), and any filter a caller composes later prunes
+    // whole files against the manifest's min/max/nullCount at plan
+    // time — the same data skipping read(filter) applies eagerly, now
+    // free on every lazily-filtered read. Legacy pre-bytes commits
+    // fall back to one status probe per file.
+    val entries = files.map { case (rel, st) =>
+      val p = fs.makeQualified(resolve(rel))
+      StatsFileIndex.Entry(
+        p,
+        st.bytes.getOrElse(fs.getFileStatus(p).getLen),
+        0L, Some(st))
+    }
+    spark.baseRelationToDataFrame(
+      org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        new StatsFileIndex(new HPath(path), entries),
+        StructType(Nil),
+        StatsFileIndex.relaxNullability(vSchema).asInstanceOf[StructType],
+        None,
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+        Map.empty)(spark))
   }
 
   /** Version visible at `tsMs` — Delta `timestampAsOf` resolution: the

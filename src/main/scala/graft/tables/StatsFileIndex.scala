@@ -92,6 +92,27 @@ object StatsFileIndex {
   final case class Entry(path: HPath, size: Long, modTime: Long,
                          stats: Option[FileStats.FileStat])
 
+  /** File sources cannot trust declared non-nullability: a file
+    * written before a schema evolution legitimately lacks the evolved
+    * columns, and the vectorized reader ERRORS on a missing column
+    * whose requested field is non-nullable instead of null-filling.
+    * `spark.read.schema(...)` applies exactly this relaxation
+    * implicitly; a hand-built HadoopFsRelation must do it explicitly.
+    */
+  def relaxNullability(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = relaxNullability(f.dataType), nullable = true)))
+      case a: ArrayType => a.copy(
+        elementType = relaxNullability(a.elementType), containsNull = true)
+      case m: MapType => m.copy(
+        valueType = relaxNullability(m.valueType), valueContainsNull = true)
+      case o => o
+    }
+  }
+
   private val mapper = new ObjectMapper()
 
   /** Delta-spec per-file stats JSON (`{"numRecords":N,"minValues":{},
