@@ -339,6 +339,30 @@ class ResourceTableSpec extends SparkSpec {
     assert(t.read(col("id") > 99999L).count() == 0)
   }
 
+  test("data skipping: lazily-composed filters prune at plan time") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t = ResourceTable(spark, s"${tmpDir("rtlazy")}/T.parquet")
+    val data = (1 to 10000).map(i => (i.toLong, s"name_$i"))
+      .toDF("id", "name")
+    t.createIfNotExists(data.schema, clusterCols = Seq("id"))
+    t.upsert(data, "id")
+    t.optimize(numFiles = 8)
+    // plain read() then a LATER filter: the manifest-backed FileIndex
+    // must still prune files when the plan's data filters reach it
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = t.read().filter(col("id") === 42L)
+      val scan = q.queryExecution.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get
+      assert(scan.selectedPartitions.totalNumberOfFiles == 1L,
+        "a later-composed point predicate should open one file")
+      assert(q.collect().map(_.getLong(0)).toSeq == Seq(42L))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("data skipping: string prefix and null-count pruning") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
