@@ -11,6 +11,7 @@ import org.apache.spark.sql.types.{ArrayType, BooleanType, ByteType,
 
 import java.nio.charset.StandardCharsets
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 /** Delta Lake transaction-log interop for [[ResourceTable]].
   *
@@ -1174,7 +1175,11 @@ object DeltaExport {
         if (pqParts.nonEmpty) {
           val ck = spark.read.parquet(pqParts.map(_.toString): _*)
           val cols = ck.columns.toSet
-          ck.collect().foreach(applyCkptRow(_, cols, sidecars))
+          // toLocalIterator: one partition resident at a time — the
+          // driver accumulates only the live-file map, never a second
+          // full copy of the checkpoint rows
+          ck.toLocalIterator().asScala
+            .foreach(applyCkptRow(_, cols, sidecars))
         }
         // a UUID-named v2 manifest may be json-lines of actions
         jsonParts.foreach { jp =>
@@ -1195,7 +1200,8 @@ object DeltaExport {
           }
           val sc = spark.read.parquet(files: _*)
           val cols = sc.columns.toSet
-          sc.collect().foreach(applyCkptRow(_, cols, sidecars))
+          sc.toLocalIterator().asScala
+            .foreach(applyCkptRow(_, cols, sidecars))
         }
         v
       }

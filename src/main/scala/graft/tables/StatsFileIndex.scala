@@ -28,6 +28,13 @@ import scala.util.control.NonFatal
   * (never a filesystem listing — O(0) FS calls to plan a scan, which
   * is also what makes snapshot reads consistent under concurrent
   * writers: the listing IS the log).
+  *
+  * Driver footprint is O(live files) entries — the same shape as
+  * Spark's own InMemoryFileIndex (one FileStatus per file) and
+  * delta-spark's in-memory index for small snapshots. Past ~10⁷ files
+  * the next step is delta's TahoeLogFileIndex shape: keep snapshot
+  * state as a DataFrame and run a pruning job per listing instead of
+  * holding entries resident.
   */
 final class StatsFileIndex(
     root: HPath,
