@@ -499,6 +499,21 @@ object SparkEntry {
         docs.filter(col("doc_id") % 50 === 0))
     }),
 
+    // ---- SemDeDup: IVF-cell coarse quantization, then keep-first
+    //      embedding dedup within each cell (drop a vector if an
+    //      EARLIER same-cell vector is within cosine 0.4). Candidate
+    //      work is O(sum cell^2) on the cell shuffle key, never
+    //      corpus^2. Exact-oracled: the deterministic centroids are
+    //      inlined into the SQL and DuckDB replays the same
+    //      assignment + NOT EXISTS predicate (nearest within-cell
+    //      pair sits ~1.7e-3 from the threshold at sf0.01) ----
+    "q_dedup_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ops.Dedup.semDedup(emb, threshold = 0.4, nCells = 8,
+          dim = 64)
+        .select(col("vec_id"), col("label"))
+    }),
+
     // ---- semantic decontamination: corpus embeddings within cosine
     //      0.45 of ANY benchmark embedding are dropped — the leakage
     //      n-gram decontamination misses. Benchmark side broadcast;
@@ -3276,6 +3291,26 @@ object SparkEntry {
         |  CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) /
         |    CAST(t.n_shingles AS DOUBLE) AS contamination
         |FROM totals t LEFT JOIN overlap o ON t.doc_id = o.doc_id""".stripMargin,
+
+    "q_dedup_semdedup" -> {
+      val values = graft.ops.Similarity.ivfCentroids(8, 64).zipWithIndex
+        .map { case (c, i) => s"($i, [${c.mkString(",")}]::DOUBLE[])" }
+        .mkString(",\n        ")
+      s"""WITH cents(cell, cvec) AS (VALUES $values),
+         |a AS (
+         |  SELECT e.vec_id, e.label, e.embedding, c.cell
+         |  FROM embeddings e, LATERAL (
+         |    SELECT cell FROM cents
+         |    ORDER BY list_dot_product(e.embedding::DOUBLE[], cvec) DESC,
+         |             cell DESC
+         |    LIMIT 1) c)
+         |SELECT vec_id, label FROM a
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM a b
+         |  WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+         |)""".stripMargin
+    },
 
     // cosine boundary safety: the nearest per-row max-similarity to
     // the 0.45 threshold is ~1e-3 away at every SF (measured), vastly

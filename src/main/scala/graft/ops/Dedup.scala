@@ -35,6 +35,32 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
+  /** SemDeDup-style embedding dedup at corpus scale: coarse-quantize
+    * every vector into a deterministic IVF cell
+    * ([[graft.ops.Similarity.ivfAssign]]), then within each cell drop
+    * every vector that has an EARLIER same-cell neighbor above the
+    * cosine threshold. Keep-first semantics (no transitive closure)
+    * make the survivor set order-deterministic and exactly
+    * oracle-checkable; the cell plays the role LSH bands play for
+    * minhash — candidate work is O(Σ cell²), never corpus², and the
+    * cell is the one shuffle key. Near-dup pairs straddling a cell
+    * boundary are missed by design, the standard SemDeDup recall
+    * trade (Abbas et al. 2023); raise nCells for speed, lower for
+    * recall.
+    */
+  def semDedup(df: DataFrame, threshold: Double, nCells: Int = 8,
+               dim: Int = 64, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val cells = Similarity.ivfAssign(df, nCells, dim, vecCol)
+    val twins = cells.select(col("cell").as("_tc"),
+      col(idCol).as("_tid"), col(vecCol).as("_tvec"))
+    cells.join(twins,
+        col("cell") === col("_tc") && col("_tid") < col(idCol) &&
+          Similarity.cosine(col(vecCol), col("_tvec")) >= threshold,
+        "left_anti")
+      .drop("cell")
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** (doc, sh, sig) per document in a single materialized pass:

@@ -137,6 +137,23 @@ class SimilaritySpec extends SparkSpec {
     assert(res.sortBy(_._2).map(_._1).toSeq == Seq(4L, 1L))
   }
 
+  test("semDedup keeps the first of each within-cell near-dup run") {
+    // 0,1,4 are mutually near (cos > 0.9) and land in one cell: only
+    // the lowest id (0) survives among them under keep-first; 2 and 3
+    // are far from everything and survive. No transitive closure: the
+    // semantics are "has an earlier near twin in my cell", which is
+    // what the exact DuckDB oracle replays.
+    val out = Dedup.semDedup(vecs, threshold = 0.9, nCells = 4, dim = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(0L, 2L, 3L))
+    // scale shape: candidates join on the cell key — no cartesian, no
+    // nested loop
+    val plan = Dedup.semDedup(vecs, threshold = 0.9, nCells = 4,
+      dim = 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("semantic decontamination drops corpus rows near any benchmark vector") {
     // bench = {0}; corpus 1,4 are near it (cos > 0.99), 2 orthogonal,
     // 3 opposite — only 2 and 3 survive a 0.9 threshold
