@@ -37,7 +37,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("LSH dedup plans contain no cartesian/nested-loop join") {
-    Seq("q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard").foreach { q =>
+    Seq("q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard",
+      "q_dedup_semdedup").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: $p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q")
