@@ -1031,14 +1031,43 @@ object SparkEntry {
           expr("percentile(l_quantity, 0.9)").as("p90"))
     }),
 
-    // ---- approximate percentile sketch (KLL-style mergeable summary;
-    //      estimator output → rows-only in the gate, the exact target
-    //      is anchored by q_percentile) ----
+    // ---- approximate percentile sketch (GK-style mergeable summary).
+    //      The sketch internals aren't replayable in DuckDB, so the
+    //      gate emits the GK rank-guarantee DECISION instead of the
+    //      raw estimate: approx_percentile(q, acc) must return a
+    //      dataset element whose rank interval [count(<v), count(≤v)]
+    //      intersects [(q−ε)·N, (q+ε)·N] with ε = 1/acc — decidable
+    //      from two conditional counts, exactly the published
+    //      contract. The oracle replays N and TRUE literals, so any
+    //      estimator regression hash-fails the gate ----
     "q_approx_percentile" -> ((s, dir) => {
-      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(
-          expr("approx_percentile(l_quantity, 0.5, 1000)").as("ap50"),
-          expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("ap90"))
+      val li = t(s, dir, "lineitem")
+      val eps = 1.0 / 1000
+      val ap = li.groupBy(col("l_returnflag")).agg(
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("ap50"),
+        expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("ap90"))
+      li.join(broadcast(ap), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_quantity") < col("ap50"), 1L).otherwise(0L))
+            .as("_lt50"),
+          sum(when(col("l_quantity") <= col("ap50"), 1L).otherwise(0L))
+            .as("_le50"),
+          sum(when(col("l_extendedprice") < col("ap90"), 1L).otherwise(0L))
+            .as("_lt90"),
+          sum(when(col("l_extendedprice") <= col("ap90"), 1L).otherwise(0L))
+            .as("_le90"))
+        .select(col("l_returnflag"), col("n"),
+          (col("_lt50").cast(DoubleType) <=
+            (lit(0.5) + lit(eps)) * col("n").cast(DoubleType) &&
+            col("_le50").cast(DoubleType) >=
+              (lit(0.5) - lit(eps)) * col("n").cast(DoubleType))
+            .as("ap50_ok"),
+          (col("_lt90").cast(DoubleType) <=
+            (lit(0.9) + lit(eps)) * col("n").cast(DoubleType) &&
+            col("_le90").cast(DoubleType) >=
+              (lit(0.9) - lit(eps)) * col("n").cast(DoubleType))
+            .as("ap90_ok"))
     }),
 
     // ---- explicit shuffle-hash join strategy (no sort phase; the
@@ -1170,13 +1199,26 @@ object SparkEntry {
         col("meta").getField("versionId").as("version_id"))
     }),
 
-    // ---- approx distinct (HLL++) next to the exact count (no oracle:
-    //      DuckDB's sketch differs; rows-only determinism check) ----
+    // ---- approx distinct (HLL++) made hash-decidable: DuckDB can't
+    //      replay Spark's sketch, so the gate emits the exact counts
+    //      plus booleans asserting the estimate sits inside 3·rsd of
+    //      exact (default rsd = 0.05; the estimate is deterministic,
+    //      the 3× headroom keeps the gate stable across SFs while
+    //      still hash-failing on any estimator regression) ----
     "q_approx_distinct" -> ((s, dir) => {
-      t(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      t(s, dir, "lineitem")
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_partkey")).as("_ap"),
+          approx_count_distinct(col("l_orderkey")).as("_ao"))
+        .select(col("exact_parts"), col("exact_orders"),
+          (abs(col("_ap") - col("exact_parts")).cast(DoubleType) <=
+            lit(0.15) * col("exact_parts").cast(DoubleType))
+            .as("approx_parts_ok"),
+          (abs(col("_ao") - col("exact_orders")).cast(DoubleType) <=
+            lit(0.15) * col("exact_orders").cast(DoubleType))
+            .as("approx_orders_ok"))
     }),
 
     // ---- ANN via typed per-partition-heap Aggregator — must equal
@@ -2112,6 +2154,150 @@ object SparkEntry {
        |               ca.n_id ASC) AS rank
        |  FROM ca JOIN qa USING (cell))
        |WHERE rank <= $k""".stripMargin
+  }
+
+  /** DuckDB replay of the library's splitmix64 hash family
+    * (TextExpressions.splitmix / tokenHashes / shingleHashesEval,
+    * VectorExpressions.minhashEval) as single-statement SQL. Java's
+    * wrap-around 64-bit arithmetic is emulated in HUGEINT mod 2^64 on
+    * UBIGINT columns; `mulmod` splits the left operand into 32-bit
+    * halves so no intermediate product overflows the signed 128-bit
+    * HUGEINT. Signed-long comparisons (the minhash `min`, Java long
+    * order) convert back to BIGINT first. Every hash stage is a flat
+    * CTE column — nesting the steps as one expression duplicates
+    * subtrees exponentially (DuckDB does not CSE), measured 100×
+    * slower.
+    */
+  private object SplitmixOracle {
+    private val Gamma = "11400714819323198485" // 0x9E3779B97F4A7C15
+    private val C2 = "13787848793156543929"    // 0xBF58476D1CE4E5B9
+    private val C3 = "10723151780598845931"    // 0x94D049BB133111EB
+    private val FnvP = "1099511628211"         // 0x100000001B3
+    private val Mod = "18446744073709551616"   // 2^64
+
+    private def mm(a: String, b: String): String =
+      s"CAST(((CAST($a AS HUGEINT) % 4294967296) * CAST($b AS HUGEINT) + " +
+        s"((CAST($a AS HUGEINT) // 4294967296) * CAST($b AS HUGEINT) % 4294967296) * 4294967296) " +
+        s"% $Mod AS UBIGINT)"
+    private def am(a: String, b: String): String =
+      s"CAST((CAST($a AS HUGEINT) + CAST($b AS HUGEINT)) % $Mod AS UBIGINT)"
+    private def s64(u: String): String =
+      s"CAST(CASE WHEN $u >= 9223372036854775808 THEN CAST($u AS HUGEINT) - $Mod " +
+        s"ELSE CAST($u AS HUGEINT) END AS BIGINT)"
+
+    /** CTEs `doc_toks..th`: per-token splitmix hashes of `documents`
+      * (whitespace-run tokenization, 31-poly char fold seeded
+      * 1125899906842597 — TextExpressions.tokenHashes).
+      */
+    private val tokenCtes: String = {
+      val rawTok =
+        "list_reduce(list_prepend(CAST(1125899906842597 AS UBIGINT), " +
+          "list_transform(generate_series(1, length(tok)), i -> CAST(unicode(substr(tok, i, 1)) AS UBIGINT))), " +
+          s"(h, c) -> ${am(mm("h", "31"), "c")})"
+      s"""doc_toks AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0) AS tlist
+         |  FROM documents),
+         |tok_rows AS (
+         |  SELECT doc_id, g.i AS tok_idx, tlist[g.i] AS tok
+         |  FROM doc_toks, unnest(generate_series(1, len(tlist))) AS g(i)),
+         |th0 AS (SELECT doc_id, tok_idx, ${am(rawTok, Gamma)} AS z0 FROM tok_rows),
+         |th1 AS (SELECT doc_id, tok_idx, ${mm("xor(z0, z0 >> 30)", C2)} AS z1 FROM th0),
+         |th2 AS (SELECT doc_id, tok_idx, ${mm("xor(z1, z1 >> 27)", C3)} AS z2 FROM th1),
+         |th  AS (SELECT doc_id, tok_idx, xor(z2, z2 >> 31) AS th FROM th2)""".stripMargin
+    }
+
+    /** CTEs `tl..shr`: distinct w=3 shingle hashes (FNV-prime fold of
+      * 3 token hashes, splitmix finalize — shingleHashesEval) and
+      * `pz0..cand`: k=16 minhash signatures, 4×4 LSH bands, bucket
+      * cap 1024, canonical candidate pairs (Dedup.candidatePairs).
+      * Band keys group on the signature slice itself; Spark buckets
+      * on xxhash64 of the slice, identical up to 64-bit collisions.
+      */
+    private val shingleAndCandCtes: String = {
+      val shFold = am(am(mm(am(mm("ths[i]", FnvP), "ths[i+1]"), FnvP), "ths[i+2]"), Gamma)
+      s"""tl AS (SELECT doc_id, list(th ORDER BY tok_idx) AS ths FROM th GROUP BY doc_id),
+         |sh0 AS (
+         |  SELECT doc_id, $shFold AS z0
+         |  FROM tl, unnest(generate_series(1, len(ths) - 2)) AS g(i)
+         |  WHERE len(ths) >= 3),
+         |sh1 AS (SELECT doc_id, ${mm("xor(z0, z0 >> 30)", C2)} AS z1 FROM sh0),
+         |sh2 AS (SELECT doc_id, ${mm("xor(z1, z1 >> 27)", C3)} AS z2 FROM sh1),
+         |shr AS (SELECT DISTINCT doc_id, xor(z2, z2 >> 31) AS sh FROM sh2),
+         |pz0 AS (
+         |  SELECT doc_id, p.i AS perm, ${am("sh", mm("p.i", Gamma))} AS z0
+         |  FROM shr, unnest(generate_series(1, 16)) AS p(i)),
+         |pz1 AS (SELECT doc_id, perm, ${mm("xor(z0, z0 >> 30)", C2)} AS z1 FROM pz0),
+         |pz2 AS (SELECT doc_id, perm, ${mm("xor(z1, z1 >> 27)", C3)} AS z2 FROM pz1),
+         |pz  AS (SELECT doc_id, perm, ${s64("xor(z2, z2 >> 31)")} AS hv FROM pz2),
+         |sigs AS (
+         |  SELECT doc_id, list(minv ORDER BY perm) AS sig
+         |  FROM (SELECT doc_id, perm, min(hv) AS minv FROM pz GROUP BY doc_id, perm)
+         |  GROUP BY doc_id),
+         |members AS (
+         |  SELECT b, CAST(list_slice(sig, b*4+1, b*4+4) AS VARCHAR) AS bk, doc_id
+         |  FROM sigs, unnest(generate_series(0, 3)) AS gs(b)),
+         |sized AS (
+         |  SELECT b, bk, doc_id, count(*) OVER (PARTITION BY b, bk) AS bsz FROM members),
+         |cand AS (
+         |  SELECT DISTINCT m1.doc_id AS doc_a, m2.doc_id AS doc_b
+         |  FROM sized m1 JOIN sized m2
+         |    ON m1.b = m2.b AND m1.bk = m2.bk AND m1.doc_id < m2.doc_id
+         |  WHERE m1.bsz BETWEEN 2 AND 1024)""".stripMargin
+    }
+
+    /** Exact replay of Dedup.minhashPairs(minJaccard=0.2, k=16,
+      * bands=4, w=3) over `documents`.
+      */
+    val minhashPairs: String =
+      s"""WITH $tokenCtes,
+         |$shingleAndCandCtes,
+         |scored AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2])) AS DOUBLE) / 16.0 AS est_jaccard
+         |  FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a JOIN sigs sb ON sb.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, est_jaccard FROM scored WHERE est_jaccard >= 0.2""".stripMargin
+
+    /** Exact replay of Dedup.ngramJaccardPairs(minJaccard=0.1):
+      * same LSH candidates, exact shingle-set Jaccard.
+      */
+    val ngramJaccardPairs: String =
+      s"""WITH $tokenCtes,
+         |$shingleAndCandCtes,
+         |shl AS (SELECT doc_id, list(sh) AS shset FROM shr GROUP BY doc_id),
+         |scored AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(len(list_intersect(ha.shset, hb.shset)) AS DOUBLE) /
+         |    CAST(len(ha.shset) + len(hb.shset) - len(list_intersect(ha.shset, hb.shset)) AS DOUBLE) AS jaccard
+         |  FROM cand c JOIN shl ha ON ha.doc_id = c.doc_a JOIN shl hb ON hb.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.1""".stripMargin
+
+    /** Exact replay of Dedup.simhashPairs(maxHamming=3): 64-bit
+      * simhash from the token hashes (signed per-bit counts,
+      * TextExpressions.simhash64Eval), 4×16-bit bands, hamming via
+      * bit_count(xor).
+      */
+    val simhashPairs: String =
+      s"""WITH $tokenCtes,
+         |bits AS (
+         |  SELECT doc_id, b.b AS bit, CAST((th >> b.b) & 1 AS INTEGER) AS isset
+         |  FROM th, unnest(generate_series(0, 63)) AS b(b)),
+         |cnt AS (
+         |  SELECT doc_id, bit, 2 * sum(isset) - count(*) AS score FROM bits GROUP BY doc_id, bit),
+         |fp AS (
+         |  SELECT doc_id, CAST(sum(CASE WHEN score > 0 THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT) ELSE 0 END) AS UBIGINT) AS fp
+         |  FROM cnt GROUP BY doc_id),
+         |members AS (
+         |  SELECT b.b AS band, CAST((fp >> (16 * b.b)) & 65535 AS BIGINT) AS bv, doc_id, fp
+         |  FROM fp, unnest(generate_series(0, 3)) AS b(b)),
+         |sized AS (
+         |  SELECT band, bv, doc_id, fp, count(*) OVER (PARTITION BY band, bv) AS bsz FROM members),
+         |cand AS (
+         |  SELECT DISTINCT m1.doc_id AS doc_a, m2.doc_id AS doc_b, m1.fp AS fa, m2.fp AS fb
+         |  FROM sized m1 JOIN sized m2
+         |    ON m1.band = m2.band AND m1.bv = m2.bv AND m1.doc_id < m2.doc_id
+         |  WHERE m1.bsz BETWEEN 2 AND 1024)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin
   }
 
   // =================================================================
@@ -3311,6 +3497,46 @@ object SparkEntry {
          |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
          |)""".stripMargin
     },
+
+    // exact replays of the splitmix64 hash family (see SplitmixOracle
+    // scaladoc): every hash, signature, band bucket, and pair is
+    // recomputed bit-for-bit in DuckDB via HUGEINT mod-2^64 arithmetic
+    "q_dedup_minhash" -> SplitmixOracle.minhashPairs,
+    "q_ngram_jaccard" -> SplitmixOracle.ngramJaccardPairs,
+    "q_dedup_simhash" -> SplitmixOracle.simhashPairs,
+
+    // exact because the KMV sketches are COMPLETE at this corpus: the
+    // per-language vocabulary is 31 distinct words (measured at sf0.01
+    // AND sf0.1 — the generator draws from a fixed 31-word pool), so a
+    // k=128 bottom-k sketch retains every hash and the estimate
+    // degenerates to exact |A∩B| / |A∪B| of the word sets, which DuckDB
+    // computes without replaying xxhash64. Margin: |A∪B| ≤ 62 ≪ 128.
+    "q_sketch_jaccard" ->
+      """WITH v AS (
+        |  SELECT DISTINCT lang, word FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS word
+        |    FROM documents)),
+        |cnt AS (SELECT lang, count(*) AS n FROM v GROUP BY lang),
+        |inter AS (
+        |  SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS ni
+        |  FROM v a JOIN v b ON a.word = b.word AND a.lang < b.lang
+        |  GROUP BY a.lang, b.lang)
+        |SELECT ca.lang AS lang_a, cb.lang AS lang_b,
+        |  CAST(COALESCE(i.ni, 0) AS DOUBLE) /
+        |  CAST(ca.n + cb.n - COALESCE(i.ni, 0) AS DOUBLE) AS est_jaccard
+        |FROM cnt ca JOIN cnt cb ON ca.lang < cb.lang
+        |LEFT JOIN inter i ON i.lang_a = ca.lang AND i.lang_b = cb.lang""".stripMargin,
+
+    "q_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS approx_parts_ok, TRUE AS approx_orders_ok
+        |FROM lineitem""".stripMargin,
+
+    "q_approx_percentile" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  TRUE AS ap50_ok, TRUE AS ap90_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     // cosine boundary safety: the nearest per-row max-similarity to
     // the 0.45 threshold is ~1e-3 away at every SF (measured), vastly
