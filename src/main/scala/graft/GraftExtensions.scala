@@ -85,8 +85,9 @@ object GraftExtensions {
     "graft_delta_scan(path[, versionAsOf | timestampAsOf]) - snapshot " +
       "of an exported _delta_log as a table; the second argument " +
       "time-travels by integer delta version, or by timestamp when a " +
-      "string/TIMESTAMP literal ('yyyy-MM-dd HH:mm:ss[.S]', read as " +
-      "UTC)", "")
+      "string/TIMESTAMP literal ('yyyy-MM-dd[ HH:mm:ss[.S]]'; both " +
+      "forms are interpreted in the session timezone, matching " +
+      "Delta's timestampAsOf)", "")
 
   def deltaScanBuilder(es: Seq[Expression]): LogicalPlan = {
     if (es.isEmpty || es.size > 2)
@@ -103,9 +104,26 @@ object GraftExtensions {
       case Literal(v: Integer, IntegerType) => v.longValue
       case Literal(v: java.lang.Long, LongType) => v.longValue
       case Literal(v: UTF8String, StringType) =>
-        val ms = java.time.LocalDateTime
-          .parse(v.toString.trim.replace(' ', 'T'))
-          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        // Delta accepts both instants and bare dates, resolved in the
+        // session timezone — mirror that (the TIMESTAMP-literal branch
+        // below is session-tz epoch micros already, so the two forms
+        // agree under any session timezone).
+        val raw = v.toString.trim
+        val zone = java.time.ZoneId
+          .of(spark.sessionState.conf.sessionLocalTimeZone)
+        val ldt =
+          try java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
+          catch {
+            case _: java.time.format.DateTimeParseException =>
+              try java.time.LocalDate.parse(raw).atStartOfDay()
+              catch {
+                case e: java.time.format.DateTimeParseException =>
+                  throw new IllegalArgumentException(
+                    s"graft_delta_scan: cannot parse '$raw' as a " +
+                      "timestamp — use 'yyyy-MM-dd[ HH:mm:ss[.S]]'", e)
+              }
+          }
+        val ms = ldt.atZone(zone).toInstant.toEpochMilli
         graft.tables.DeltaExport.versionAtTimestamp(spark, path, ms)
       case Literal(v: java.lang.Long, TimestampType) =>
         // SQL TIMESTAMP literal: epoch micros

@@ -151,7 +151,10 @@ object DeltaExport {
     a.put("path", rel)
     a.set("partitionValues", f.objectNode())
     a.put("size", size)
-    a.put("modificationTime", ts)
+    // real per-file mtime when the manifest recorded one (post-mtime
+    // commits always do); the commit wall-clock is Delta's own
+    // fallback shape for writers that don't track per-file times
+    a.put("modificationTime", st.mtime.getOrElse(ts))
     a.put("dataChange", true)
     a.put("stats", statsJson(st, types))
     wrap("add", a)
@@ -286,7 +289,15 @@ object DeltaExport {
     * Unresolvable requests fail loudly: a timestamp before the oldest
     * surviving entry (history cleaned or table younger than asked) is
     * an error, never a silently-wrong snapshot — and a checkpoint-only
-    * log carries no per-commit times at all.
+    * log carries no per-commit times at all. A timestamp AFTER the
+    * newest commit is also an error (delta-spark's 'timestamp after
+    * latest commit' behavior) rather than silently resolving to the
+    * newest version — pass `versionAsOf` the latest version to pin it
+    * explicitly. Assumption: commit timestamps are non-decreasing in
+    * version order, which our own writer guarantees; foreign logs
+    * written with skewed clocks are NOT monotonized the way Delta's
+    * DeltaHistoryManager adjusts them, so on such logs the resolved
+    * version can differ from delta-spark's.
     */
   def versionAtTimestamp(spark: SparkSession, tablePath: String,
                          tsMs: Long): Long = {
@@ -318,6 +329,11 @@ object DeltaExport {
         .nextOption()
         .getOrElse(fs.getFileStatus(p).getModificationTime)
     }
+    val latestTs = tsOf(entries.last)
+    if (tsMs > latestTs) throw new IllegalArgumentException(
+      s"$tablePath: timestamp $tsMs is after the latest commit " +
+        s"(version ${entries.last} at $latestTs) — use versionAsOf " +
+        s"${entries.last} to read the current snapshot explicitly")
     entries.reverse.find(v => tsOf(v) <= tsMs).getOrElse(
       throw new IllegalArgumentException(
         s"$tablePath: no delta version at or before timestamp $tsMs " +
@@ -1228,7 +1244,10 @@ object DeltaExport {
     // id mode matches parquet columns by field_id, which Spark's
     // reader only does under this conf. Leaving it set is safe: it
     // changes nothing for read schemas without parquet.field.id
-    // metadata, which only our id-mode scans carry.
+    // metadata, which only our id-mode scans carry. If a caller later
+    // turns it OFF and then executes this DataFrame, the scan refuses
+    // loudly (FieldIdParquetFileFormat guards at reader build) rather
+    // than silently name-matching to all-null columns.
     if (mapMode == "id")
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val needDv = live.values.exists(_.dv.isDefined)

@@ -59,12 +59,25 @@ class FieldIdParquetFileFormat(val fullSchema: StructType)
       filters: Seq[Filter],
       options: Map[String, String],
       hadoopConf: Configuration)
-      : PartitionedFile => Iterator[InternalRow] =
+      : PartitionedFile => Iterator[InternalRow] = {
+    // readSnapshot enables this conf when it plans an id-mode scan,
+    // but a user can disable it before the returned DataFrame ever
+    // executes — and Spark's parquet reader would then silently fall
+    // back to NAME matching, i.e. every id-mapped column reads as
+    // null. Refuse loudly at reader build instead.
+    if (!sparkSession.sessionState.conf.parquetFieldIdReadEnabled)
+      throw new IllegalStateException(
+        "this scan matches parquet columns by field id (Delta " +
+          "id-mode column mapping) and requires " +
+          "spark.sql.parquet.fieldId.read.enabled=true — it was " +
+          "enabled when the snapshot was planned but is now off; " +
+          "re-enable it before executing this DataFrame")
     super.buildReaderWithPartitionValues(sparkSession,
       reattach(dataSchema, fullSchema).asInstanceOf[StructType],
       partitionSchema,
       reattach(requiredSchema, fullSchema).asInstanceOf[StructType],
       filters, options, hadoopConf)
+  }
 
   // ParquetFileFormat.equals treats ALL parquet formats as equal,
   // which would let plan canonicalization conflate an id-mapped scan

@@ -43,14 +43,26 @@ object FileStats {
     * size-driven upkeep (auto-compact gate, size-targeted compaction,
     * DESCRIBE DETAIL) never needs an FS listing; `None` only in
     * pre-bytes commit bodies, whose readers fall back to listing.
+    * `mtime` is the file's modification time at commit, so snapshot
+    * reads surface a real `_metadata.file_modification_time` without
+    * any per-file status probe; `None` in pre-mtime commit bodies.
     */
   final case class FileStat(rows: Long, cols: Map[String, ColStats],
-                            bytes: Option[Long] = None)
+                            bytes: Option[Long] = None,
+                            mtime: Option[Long] = None)
 
   // ---------------- collection (parquet footer → FileStat) -----------
 
-  def readFooter(conf: Configuration, file: HPath): FileStat = {
-    val input = HadoopInputFile.fromPath(file, conf)
+  def readFooter(conf: Configuration, file: HPath): FileStat =
+    readFooter(conf, file.getFileSystem(conf).getFileStatus(file))
+
+  /** Footer stats from an already-listed status — the commit path has
+    * one from its output-dir listing, so going through the status
+    * costs no extra RPC and fills `mtime` for free.
+    */
+  def readFooter(conf: Configuration,
+                 status: org.apache.hadoop.fs.FileStatus): FileStat = {
+    val input = HadoopInputFile.fromStatus(status, conf)
     val reader = ParquetFileReader.open(input)
     try {
       val blocks = reader.getFooter.getBlocks.asScala
@@ -72,7 +84,8 @@ object FileStats {
         }
       }
       FileStat(rows, merged.collect { case (k, Some(v)) => k -> v },
-        bytes = Some(input.getLength))
+        bytes = Some(input.getLength),
+        mtime = Some(status.getModificationTime))
     } finally reader.close()
   }
 
@@ -133,6 +146,7 @@ object FileStats {
       val fo = f.objectNode()
       fo.put("rows", fsStat.rows)
       fsStat.bytes.foreach(fo.put("bytes", _))
+      fsStat.mtime.foreach(fo.put("mtime", _))
       val cols = f.objectNode()
       fsStat.cols.foreach { case (c, cs) =>
         val co = f.objectNode()
@@ -206,7 +220,8 @@ object FileStats {
             Option(co.get("nulls")).map(_.asLong))
         }.toMap).getOrElse(Map.empty[String, ColStats])
       e.getKey -> FileStat(fo.get("rows").asLong, cols,
-        Option(fo.get("bytes")).map(_.asLong))
+        Option(fo.get("bytes")).map(_.asLong),
+        Option(fo.get("mtime")).map(_.asLong))
     }.toMap
   }
 

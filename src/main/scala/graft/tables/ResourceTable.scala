@@ -161,10 +161,16 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     // fall back to one status probe per file.
     val entries = files.map { case (rel, st) =>
       val p = fs.makeQualified(resolve(rel))
-      StatsFileIndex.Entry(
-        p,
-        st.bytes.getOrElse(fs.getFileStatus(p).getLen),
-        0L, Some(st))
+      // manifest-recorded size AND mtime → zero status probes, and
+      // `_metadata.file_modification_time` is real, not epoch 0.
+      // Legacy pre-bytes/pre-mtime manifest rows: ONE probe fills both.
+      val (sz, mt) = (st.bytes, st.mtime) match {
+        case (Some(b), Some(m)) => (b, m)
+        case (b, m) =>
+          val fst = fs.getFileStatus(p)
+          (b.getOrElse(fst.getLen), m.getOrElse(fst.getModificationTime))
+      }
+      StatsFileIndex.Entry(p, sz, mt, Some(st))
     }
     spark.baseRelationToDataFrame(
       org.apache.spark.sql.execution.datasources.HadoopFsRelation(
@@ -1244,10 +1250,10 @@ final class ResourceTable(val spark: SparkSession, val path: String,
           .parquet(dir.toString)
         // per-file min/max/null stats for data skipping, straight from
         // the just-written parquet footers (metadata-only read)
-        fs.listStatus(dir).map(_.getPath)
-          .filter(_.getName.endsWith(".parquet"))
-          .map(p => s"$dirName/${p.getName}" ->
-            FileStats.readFooter(conf, p))
+        fs.listStatus(dir)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(st => s"$dirName/${st.getPath.getName}" ->
+            FileStats.readFooter(conf, st))
           .toSeq
           // empty part files (a writer partition with no rows) carry no
           // data and have no stats, so every later merge would

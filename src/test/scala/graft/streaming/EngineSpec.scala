@@ -519,6 +519,20 @@ class EngineSpec extends SparkSpec {
     assert(spark.sql(
         s"SELECT * FROM graft_delta_scan('$quoted', TIMESTAMP '$at0')")
       .collect().map(_.getString(0)).toSeq == Seq("a"))
+    // date-only strings parse (Delta accepts bare dates); 1999 is
+    // before the first commit, so resolution itself must be what
+    // errors — a DateTimeParseException escaping would fail this
+    val eOld = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_delta_scan('$quoted', '1999-01-01')")
+      .collect())
+    assert(eOld.getMessage.contains("no delta version at or before"),
+      eOld.getMessage)
+    // garbage timestamps wrap in the loud arg error, not a raw
+    // DateTimeParseException
+    val eBad = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_delta_scan('$quoted', 'not-a-time')")
+      .collect())
+    assert(eBad.getMessage.contains("cannot parse"), eBad.getMessage)
   }
 
   test("two engines with different write settings share a session without racing") {

@@ -538,10 +538,15 @@ class DeltaExportSpec extends SparkSpec {
     assert(ts0 < ts1 && ts1 < ts2)
     assert(DeltaExport.versionAtTimestamp(spark, path, ts0) == 0L)
     assert(DeltaExport.versionAtTimestamp(spark, path, ts1) == 1L)
-    // between two commits → the older one; far future → newest
+    // between two commits → the older one; at the newest → newest
     assert(DeltaExport.versionAtTimestamp(spark, path, ts1 + 1) == 1L)
-    assert(
-      DeltaExport.versionAtTimestamp(spark, path, Long.MaxValue) == 2L)
+    assert(DeltaExport.versionAtTimestamp(spark, path, ts2) == 2L)
+    // after the latest commit: loud (delta-spark's 'timestamp after
+    // latest commit' behavior), never a silent resolve-to-newest
+    val eAfter = intercept[IllegalArgumentException] {
+      DeltaExport.versionAtTimestamp(spark, path, Long.MaxValue)
+    }
+    assert(eAfter.getMessage.contains("after the latest commit"))
     assert(DeltaExport.readSnapshotAsOf(spark, path, ts1)
       .count() == 2L)
     // before the first commit: loud, never a wrong snapshot
@@ -556,8 +561,7 @@ class DeltaExportSpec extends SparkSpec {
     Files.write(f1, stripped.getBytes(StandardCharsets.UTF_8))
     Files.deleteIfExists(
       Paths.get(path, "_delta_log", f".${1L}%020d.json.crc"))
-    assert(
-      DeltaExport.versionAtTimestamp(spark, path, Long.MaxValue) == 2L)
+    assert(DeltaExport.versionAtTimestamp(spark, path, ts2) == 2L)
     assert(DeltaExport.versionAtTimestamp(spark, path, ts0) == 0L)
     // an ICT writer's inCommitTimestamp takes precedence over the
     // wall-clock timestamp field
@@ -1042,6 +1046,21 @@ class DeltaExportSpec extends SparkSpec {
     assert(back.filter("nested.x >= 20").count() == 2L)
     // id-mode partitioned logs also plan as ONE partitioned scan
     assert(!back.queryExecution.executedPlan.toString.contains("Union"))
+    // disabling the fieldId conf AFTER planning must refuse loudly at
+    // execution — Spark would otherwise silently name-match the
+    // physical col-* columns to nothing and return all nulls. A fresh
+    // snapshot DataFrame (readers not yet built; readSnapshot re-sets
+    // the conf, so flip it after) hits the guard on first execution.
+    val back2 = DeltaExport.readSnapshot(spark, path)
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "false")
+    try {
+      val eConf = intercept[Exception](back2.collect())
+      assert(eConf.getMessage != null &&
+        eConf.getMessage.contains("fieldId.read.enabled"),
+        s"wanted the loud conf guard, got: ${eConf.getMessage}")
+    } finally
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    assert(back2.filter("p = 'east'").count() == 2L)
     // a field missing its columnMapping.id is a malformed id-mode log
     val brokenLogical = StructType(logical.fields.map {
       case f if f.name == "v" =>

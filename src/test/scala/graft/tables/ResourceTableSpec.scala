@@ -1059,6 +1059,24 @@ class ResourceTableSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuum"), e.getMessage)
   }
 
+  test("manifest-planned reads surface real file modification times") {
+    // the StatsFileIndex path plans with ZERO per-file status probes;
+    // _metadata.file_modification_time must still be the file's real
+    // mtime (recorded in the commit manifest), never epoch 0
+    val base = tmpDir("mtime")
+    val t = ResourceTable(spark, s"$base/T.parquet").createIfNotExists(schema)
+    t.upsert(df("a" -> 1, "b" -> 2), "id")
+    val got = t.read()
+      .select(org.apache.spark.sql.functions
+        .col("_metadata.file_modification_time"))
+      .collect().map(_.getTimestamp(0).getTime).toSet
+    val want = t.fileListAt(t.latestVersion.get).map { case (rel, _) =>
+      t.fs.getFileStatus(t.resolve(rel)).getModificationTime
+    }.toSet
+    assert(got == want, s"metadata mtimes $got != fs mtimes $want")
+    assert(got.forall(_ > 0L))
+  }
+
   test("manifest records bytes at commit; legacy manifests fail FAST on missing files") {
     val base = tmpDir("ffast")
     val t = ResourceTable(spark, s"$base/T.parquet").createIfNotExists(schema)
