@@ -202,6 +202,141 @@ object FileStats {
   def tsOf(body: String): Option[Long] =
     Option(mapper.readTree(body).get("ts")).map(_.asLong)
 
+  /** Streaming commit reader — the scale twin of [[fromJson]]. A 100 TB
+    * table's head manifest can reference 10⁶–10⁷ files; materializing
+    * that as a driver Map (fromJson) costs O(live files) resident
+    * objects before a single predicate prunes anything. This reader
+    * parses the commit body INCREMENTALLY off an InputStream: header
+    * fields (version/op/ts/dir/schema/txns) eagerly — they precede
+    * `files`, which [[graft.tables]] commit writers always emit LAST —
+    * and the per-file manifest as a one-shot iterator that holds
+    * exactly one entry at a time. A planner folding filters over the
+    * iterator retains only surviving files: driver peak is O(files the
+    * predicate can touch), not O(table). Value typing mirrors
+    * fromJson exactly (integral→Long, floating→Double, else text) so
+    * both paths feed [[canSkip]] the same compare domain.
+    */
+  final class CommitStream(open: () => java.io.InputStream)
+      extends AutoCloseable {
+    import com.fasterxml.jackson.core.{JsonParser, JsonToken}
+
+    private val parser: JsonParser = mapper.getFactory.createParser(open())
+    private var atFiles = false
+    private var filesTaken = false
+
+    var dir: Option[String] = None
+    var schemaJson: Option[String] = None
+    var ts: Option[Long] = None
+    var op: Option[String] = None
+
+    // header parse: everything up to (and excluding) the files body
+    if (parser.nextToken() != JsonToken.START_OBJECT)
+      throw new IllegalStateException("commit body is not a JSON object")
+    private var headerDone = false
+    while (!headerDone) {
+      parser.nextToken() match {
+        case JsonToken.FIELD_NAME => parser.currentName() match {
+          case "files" =>
+            if (parser.nextToken() != JsonToken.START_OBJECT)
+              throw new IllegalStateException("files is not an object")
+            atFiles = true; headerDone = true
+          case "dir" => parser.nextToken(); dir = Some(parser.getText)
+          case "schema" =>
+            parser.nextToken()
+            schemaJson = Some(mapper.readTree[JsonNode](parser).toString)
+          case "ts" => parser.nextToken(); ts = Some(parser.getLongValue)
+          case "op" => parser.nextToken(); op = Some(parser.getText)
+          case _ => parser.nextToken(); parser.skipChildren()
+        }
+        case JsonToken.END_OBJECT | null => headerDone = true
+        case t => throw new IllegalStateException(s"unexpected token $t")
+      }
+    }
+
+    /** The per-file manifest, streamed. One-shot: entries are produced
+      * straight off the parser, never retained here.
+      */
+    def files: Iterator[(String, FileStat)] = {
+      require(!filesTaken, "CommitStream.files is one-shot")
+      filesTaken = true
+      if (!atFiles) Iterator.empty
+      else new Iterator[(String, FileStat)] {
+        private var nextItem: (String, FileStat) = _
+        private var done = false
+        advance()
+        private def advance(): Unit = {
+          parser.nextToken() match {
+            case JsonToken.FIELD_NAME =>
+              val rel = parser.currentName()
+              if (parser.nextToken() != JsonToken.START_OBJECT)
+                throw new IllegalStateException(s"file $rel: not an object")
+              nextItem = rel -> readFileStat()
+            case _ => done = true; nextItem = null
+          }
+        }
+        override def hasNext: Boolean = !done
+        override def next(): (String, FileStat) = {
+          if (done) throw new NoSuchElementException
+          val r = nextItem; advance(); r
+        }
+      }
+    }
+
+    private def readFileStat(): FileStat = {
+      var rows = 0L; var bytes: Option[Long] = None
+      var mtime: Option[Long] = None
+      var cols = Map.empty[String, ColStats]
+      var end = false
+      while (!end) parser.nextToken() match {
+        case JsonToken.FIELD_NAME => parser.currentName() match {
+          case "rows" => parser.nextToken(); rows = parser.getLongValue
+          case "bytes" =>
+            parser.nextToken(); bytes = Some(parser.getLongValue)
+          case "mtime" =>
+            parser.nextToken(); mtime = Some(parser.getLongValue)
+          case "cols" =>
+            if (parser.nextToken() != JsonToken.START_OBJECT)
+              throw new IllegalStateException("cols is not an object")
+            var colsEnd = false
+            while (!colsEnd) parser.nextToken() match {
+              case JsonToken.FIELD_NAME =>
+                val c = parser.currentName()
+                cols += (c -> readColStats())
+              case _ => colsEnd = true
+            }
+          case _ => parser.nextToken(); parser.skipChildren()
+        }
+        case _ => end = true
+      }
+      FileStat(rows, cols, bytes, mtime)
+    }
+
+    private def readColStats(): ColStats = {
+      if (parser.nextToken() != JsonToken.START_OBJECT)
+        throw new IllegalStateException("col stats is not an object")
+      var mn: Option[Any] = None; var mx: Option[Any] = None
+      var nulls: Option[Long] = None
+      var end = false
+      def value(): Any = parser.nextToken() match {
+        case JsonToken.VALUE_NUMBER_INT => parser.getLongValue: Any
+        case JsonToken.VALUE_NUMBER_FLOAT => parser.getDoubleValue: Any
+        case _ => parser.getText: Any
+      }
+      while (!end) parser.nextToken() match {
+        case JsonToken.FIELD_NAME => parser.currentName() match {
+          case "min" => mn = Some(value())
+          case "max" => mx = Some(value())
+          case "nulls" => parser.nextToken(); nulls = Some(parser.getLongValue)
+          case _ => parser.nextToken(); parser.skipChildren()
+        }
+        case _ => end = true
+      }
+      ColStats(mn, mx, nulls)
+    }
+
+    override def close(): Unit = parser.close()
+  }
+
   def fromJson(body: String): Map[String, FileStat] = {
     val root = mapper.readTree(body)
     val files = root.get("files")

@@ -133,6 +133,14 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     * the full version history.
     */
   def readVersion(v: Long): DataFrame = {
+    // a commit body past this size is a huge manifest (≳100k files):
+    // plan it STREAMING — entries prune as they parse, survivors are
+    // the only driver-resident state — instead of materializing the
+    // whole file map (fromJson) first. Small manifests keep the eager
+    // path: its up-front missing-file check gives a better error than
+    // a mid-scan failure, and the body is already string-cached.
+    if (fs.getFileStatus(commitFile(v)).getLen > streamPlanBytes)
+      return readVersionStreaming(v)
     // the schema the COMMIT recorded, not the head's: after a RESTORE
     // to a pre-evolution version the head schema is narrower than a
     // later version's files, and reading v under it would silently
@@ -175,6 +183,97 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     spark.baseRelationToDataFrame(
       org.apache.spark.sql.execution.datasources.HadoopFsRelation(
         new StatsFileIndex(new HPath(path), entries),
+        StructType(Nil),
+        StatsFileIndex.relaxNullability(vSchema).asInstanceOf[StructType],
+        None,
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
+        Map.empty)(spark))
+  }
+
+  /** Manifest bodies above this size plan via [[readVersionStreaming]].
+    * 8 MiB ≈ 50–100k file entries — past the point where a resident
+    * file map is the dominant driver cost of planning a read.
+    * Overridable (spec hook) via `graft.manifest.streamPlanBytes` in
+    * the session conf.
+    */
+  private def streamPlanBytes: Long =
+    spark.conf.getOption("graft.manifest.streamPlanBytes")
+      .map(_.toLong).getOrElse(8L * 1024 * 1024)
+
+  /** Snapshot planning for HUGE manifests: the commit body streams
+    * through [[FileStats.CommitStream]] on every planning pass, so the
+    * driver never holds the file map — [[StatsFileIndex]] prunes
+    * entries in flight and materializes survivors only (delta's
+    * TahoeLogFileIndex discipline). Trade-offs vs the eager path, both
+    * deliberate: no up-front vacuumed-file check (a missing file fails
+    * at execution instead — an O(live files) check would defeat the
+    * point), and legacy pre-bytes manifest rows cost one status probe
+    * per planning pass instead of once.
+    */
+  private def readVersionStreaming(v: Long): DataFrame = {
+    val cf = commitFile(v)
+    // completeness gate, same discipline as readCommitBody: writers
+    // write the body in one call and never touch it after close, so a
+    // body whose final byte is '}' is final. Bounded wait for an
+    // in-flight write to settle.
+    val deadline = System.nanoTime() + 5000L * 1000 * 1000
+    var settled = false
+    while (!settled) {
+      val len = fs.getFileStatus(cf).getLen
+      val in = fs.open(cf)
+      try {
+        in.seek(math.max(0L, len - 1))
+        settled = in.read() == '}'
+      } finally in.close()
+      if (!settled) {
+        if (System.nanoTime() > deadline)
+          throw new IllegalStateException(
+            s"commit $cf still unreadable at deadline " +
+              "(in-flight write should settle in ms)")
+        Thread.sleep(5)
+      }
+    }
+    val header = new FileStats.CommitStream(() => fs.open(cf))
+    val (dirName, vSchema) =
+      try {
+        val d = header.dir.getOrElse(throw new IllegalStateException(
+          s"corrupt commit $cf"))
+        val sch = header.schemaJson.flatMap(j => scala.util.Try(
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[StructType]).toOption)
+          .getOrElse(schema())
+        (d, sch)
+      } finally header.close()
+    // `fs` is a def that clones the Hadoop conf per call — hoist ONE
+    // FileSystem for the whole stream (1M per-entry clones ≈ minutes)
+    val fsys = fs
+    def entries(): Iterator[StatsFileIndex.Entry] = {
+      val cs = new FileStats.CommitStream(() => fsys.open(cf))
+      val underlying = cs.files.map { case (k, st) =>
+        val rel = if (k.contains('/')) k else s"$dirName/$k"
+        val p = fsys.makeQualified(resolve(rel))
+        val (sz, mt) = (st.bytes, st.mtime) match {
+          case (Some(b), Some(m)) => (b, m)
+          case (b, m) =>
+            val fst = fsys.getFileStatus(p)
+            (b.getOrElse(fst.getLen), m.getOrElse(fst.getModificationTime))
+        }
+        StatsFileIndex.Entry(p, sz, mt, Some(st))
+      }
+      // planning passes drain the stream fully — close the parser (and
+      // its stream handle) at exhaustion instead of leaking it to GC
+      new Iterator[StatsFileIndex.Entry] {
+        override def hasNext: Boolean = {
+          val h = underlying.hasNext
+          if (!h) cs.close()
+          h
+        }
+        override def next(): StatsFileIndex.Entry = underlying.next()
+      }
+    }
+    spark.baseRelationToDataFrame(
+      org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        StatsFileIndex.streaming(new HPath(path), () => entries()),
         StructType(Nil),
         StatsFileIndex.relaxNullability(vSchema).asInstanceOf[StructType],
         None,

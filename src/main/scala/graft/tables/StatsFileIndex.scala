@@ -29,23 +29,43 @@ import scala.util.control.NonFatal
   * is also what makes snapshot reads consistent under concurrent
   * writers: the listing IS the log).
   *
-  * Driver footprint is O(live files) entries — the same shape as
-  * Spark's own InMemoryFileIndex (one FileStatus per file) and
-  * delta-spark's in-memory index for small snapshots. Past ~10⁷ files
-  * the next step is delta's TahoeLogFileIndex shape: keep snapshot
-  * state as a DataFrame and run a pruning job per listing instead of
-  * holding entries resident.
+  * Driver footprint: entries are consumed from a re-openable SOURCE
+  * iterator, pruned AS THEY STREAM, and only survivors are ever
+  * materialized (the delta TahoeLogFileIndex discipline — prune
+  * against the log before building file entries, never after). The
+  * eager constructors wrap an in-memory Seq (fine to ~10⁶ files, the
+  * InMemoryFileIndex shape); [[StatsFileIndex.streaming]] plugs a
+  * commit-manifest [[FileStats.CommitStream]] in directly, so
+  * planning a filtered read over a 10⁷-file manifest retains O(files
+  * the predicate touches), not O(table).
   */
-final class StatsFileIndex(
+final class StatsFileIndex private (
     root: HPath,
-    partitions: Seq[(InternalRow, Seq[StatsFileIndex.Entry])],
-    override val partitionSchema: StructType = StructType(Nil))
+    source: () => Iterator[(InternalRow, StatsFileIndex.Entry)],
+    override val partitionSchema: StructType,
+    sizeHint: Option[Long])
     extends FileIndex {
+
+  def this(root: HPath,
+           partitions: Seq[(InternalRow, Seq[StatsFileIndex.Entry])],
+           partitionSchema: StructType) =
+    this(root,
+      () => partitions.iterator.flatMap { case (row, es) =>
+        es.iterator.map(row -> _)
+      },
+      partitionSchema,
+      Some(partitions.iterator.flatMap(_._2).map(_.size).sum))
 
   def this(root: HPath, files: Seq[StatsFileIndex.Entry]) =
     this(root, Seq((InternalRow.empty, files)), StructType(Nil))
 
-  private def allFiles = partitions.flatMap(_._2)
+  /** Planning telemetry for the last [[listFiles]]: entries streamed
+    * through vs entries materialized as FileStatus. The 1M-file spec
+    * asserts materialized stays at survivor count while scanned covers
+    * the whole manifest.
+    */
+  @volatile var lastScanned: Long = -1L
+  @volatile var lastMaterialized: Long = -1L
 
   override def rootPaths: Seq[HPath] = Seq(root)
 
@@ -57,9 +77,9 @@ final class StatsFileIndex(
     // predicates after the scan (partition columns are not in the
     // files), so an unpruned group would return rows the filter
     // excludes. Bind by attribute name to the partitionSchema and
-    // evaluate per group, exactly PartitioningAwareFileIndex's shape.
-    val keptGroups =
-      if (partitionFilters.isEmpty || partitionSchema.isEmpty) partitions
+    // evaluate per row, exactly PartitioningAwareFileIndex's shape.
+    val pred =
+      if (partitionFilters.isEmpty || partitionSchema.isEmpty) None
       else {
         val bound = partitionFilters.reduce(
           org.apache.spark.sql.catalyst.expressions.And).transform {
@@ -68,28 +88,51 @@ final class StatsFileIndex(
             BoundReference(i, partitionSchema(i).dataType,
               partitionSchema(i).nullable)
         }
-        val pred = CatalystPredicate.createInterpreted(bound)
-        pred.initialize(0)
-        partitions.filter { case (row, _) => pred.eval(row) }
+        val p = CatalystPredicate.createInterpreted(bound)
+        p.initialize(0)
+        Some(p)
       }
-    keptGroups.map { case (row, files) =>
-      val kept = files.filter { e =>
-        e.stats.forall(st => !dataFilters.exists(f =>
-          FileStats.canSkip(f, st)))
+    // single pass: stream entries, drop partition-pruned rows and
+    // stats-skipped files in flight, group survivors by run of the
+    // (shared) partition-row instance — sources emit one group's
+    // entries contiguously, so run-grouping preserves group structure
+    // without holding anything beyond the survivors.
+    var scanned = 0L
+    val groups =
+      scala.collection.mutable.ArrayBuffer
+        .empty[(InternalRow, scala.collection.mutable.ArrayBuffer[FileStatus])]
+    // distinct partition rows pruned by `pred`, kept so every surviving
+    // group still appears (even if all its files were stats-skipped)
+    var lastRow: InternalRow = null
+    var lastRowKept = false
+    source().foreach { case (row, e) =>
+      scanned += 1
+      if (!(row eq lastRow)) {
+        lastRow = row
+        lastRowKept = pred.forall(_.eval(row))
+        if (lastRowKept)
+          groups += ((row, scala.collection.mutable.ArrayBuffer.empty))
       }
-      PartitionDirectory(row,
-        kept.map(e => new FileStatus(
-          e.size, false, 1, 128L * 1024 * 1024, e.modTime, e.path))
-          .toArray)
+      if (lastRowKept &&
+          e.stats.forall(st => !dataFilters.exists(f =>
+            FileStats.canSkip(f, st))))
+        groups.last._2 += new FileStatus(
+          e.size, false, 1, 128L * 1024 * 1024, e.modTime, e.path)
     }
+    lastScanned = scanned
+    lastMaterialized = groups.iterator.map(_._2.size.toLong).sum
+    groups.iterator
+      .map { case (row, fs) => PartitionDirectory(row, fs.toArray) }
+      .toSeq
   }
 
   override def inputFiles: Array[String] =
-    allFiles.map(_.path.toString).toArray
+    source().map(_._2.path.toString).toArray
 
   override def refresh(): Unit = ()
 
-  override def sizeInBytes: Long = allFiles.map(_.size).sum
+  override lazy val sizeInBytes: Long =
+    sizeHint.getOrElse(source().map(_._2.size).sum)
 }
 
 object StatsFileIndex {
@@ -98,6 +141,20 @@ object StatsFileIndex {
     */
   final case class Entry(path: HPath, size: Long, modTime: Long,
                          stats: Option[FileStats.FileStat])
+
+  /** Index over a re-openable streaming entry source (unpartitioned).
+    * Each planning pass re-opens the source and holds one entry at a
+    * time; survivors of stats pruning are the only thing materialized.
+    * `sizeHint` (when the caller already knows total bytes, e.g. from a
+    * checkpoint summary) avoids the extra stream pass `sizeInBytes`
+    * would otherwise cost.
+    */
+  def streaming(root: HPath, source: () => Iterator[Entry],
+                sizeHint: Option[Long] = None): StatsFileIndex = {
+    val row = InternalRow.empty
+    new StatsFileIndex(root, () => source().map(row -> _),
+      StructType(Nil), sizeHint)
+  }
 
   /** File sources cannot trust declared non-nullability: a file
     * written before a schema evolution legitimately lacks the evolved
