@@ -515,16 +515,21 @@ object SparkEntry {
     }),
 
     // ---- semantic decontamination: corpus embeddings within cosine
-    //      0.45 of ANY benchmark embedding are dropped — the leakage
-    //      n-gram decontamination misses. Benchmark side broadcast;
-    //      the corpus never shuffles (left_anti nested-loop against
-    //      the broadcast). Exact-oracled: DuckDB computes the same
-    //      NOT EXISTS threshold predicate ----
+    //      0.45 of a benchmark embedding probing their IVF cell are
+    //      dropped — the leakage n-gram decontamination misses.
+    //      Benchmark side fans out to its 2 nearest cells and is
+    //      broadcast; the anti-join carries `cell` as a hash equi-key
+    //      (BroadcastHashJoin, not a nested loop), so each corpus row
+    //      scores only against benchmark vectors sharing its cell —
+    //      O(N·B·probes/nCells) and the corpus never shuffles.
+    //      Exact-oracled: the deterministic centroids are inlined and
+    //      DuckDB replays the same assignment + NOT EXISTS predicate ----
     "q_decontaminate_semantic" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      graft.ops.Similarity.semanticDecontaminate(
+      graft.ops.Similarity.semanticDecontaminateIvf(
           emb.filter(col("vec_id") >= 50),
-          emb.filter(col("vec_id") < 50), threshold = 0.45)
+          emb.filter(col("vec_id") < 50), threshold = 0.45,
+          nCells = 8, dim = 64, probes = 2)
         .select(col("vec_id"), col("label"))
     }),
 
@@ -1197,6 +1202,39 @@ object SparkEntry {
         col("maritalStatus").getField("text").as("segment"),
         col("managingOrganization").getField("reference").as("org_ref"),
         col("meta").getField("versionId").as("version_id"))
+    }),
+
+    // ---- FOREIGN-type encode (reference bundle_processor.py:162–166
+    //      encodes ANY R4 type via Pathling): a DiagnosticReport — a
+    //      type OUTSIDE the five-type registry — still gets typed
+    //      id/meta/identifier/extension columns through the generic
+    //      DomainResource backbone, and the type-specific `conclusion`
+    //      field (untyped by the backbone) survives via resource_json
+    //      retention. Oracle recomputes every value relationally ----
+    "q_fhir_encode_foreign" -> ((s, dir) => {
+      val raw = t(s, dir, "orders").select(to_json(struct(
+        lit("DiagnosticReport").as("resourceType"),
+        col("o_orderkey").cast(StringType).as("id"),
+        struct(col("o_orderkey").cast(StringType).as("versionId"),
+          lit("2024-01-01T00:00:00Z").as("lastUpdated")).as("meta"),
+        lit("en").as("language"),
+        array(struct(lit("urn:graft:order").as("system"),
+          col("o_orderkey").cast(StringType).as("value")))
+          .as("identifier"),
+        array(struct(lit("http://graft/status").as("url"),
+          col("o_orderstatus").as("valueString"))).as("extension"),
+        col("o_orderpriority").as("conclusion"))).as("resource"))
+      graft.fhir.FhirEncoder.encode(raw, "DiagnosticReport").select(
+        col("id"),
+        col("meta").getField("versionId").as("version_id"),
+        col("meta").getField("lastUpdated").as("last_updated"),
+        col("language"),
+        element_at(col("identifier"), 1).getField("value")
+          .as("ident_value"),
+        element_at(col("extension"), 1).getField("valueString")
+          .as("status_ext"),
+        get_json_object(col("resource_json"), "$.conclusion")
+          .as("conclusion"))
     }),
 
     // ---- approx distinct (HLL++) made hash-decidable: DuckDB can't
@@ -2896,6 +2934,16 @@ object SparkEntry {
         |  CAST(c_custkey AS VARCHAR) AS version_id
         |FROM customer""".stripMargin,
 
+    "q_fhir_encode_foreign" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |  CAST(o_orderkey AS VARCHAR) AS version_id,
+        |  '2024-01-01T00:00:00Z' AS last_updated,
+        |  'en' AS language,
+        |  CAST(o_orderkey AS VARCHAR) AS ident_value,
+        |  o_orderstatus AS status_ext,
+        |  o_orderpriority AS conclusion
+        |FROM orders""".stripMargin,
+
     "q_ann_topk_agg" ->
       """SELECT q_id, n_id, rank FROM (
         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
@@ -3538,15 +3586,38 @@ object SparkEntry {
         |  TRUE AS ap50_ok, TRUE AS ap90_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
-    // cosine boundary safety: the nearest per-row max-similarity to
-    // the 0.45 threshold is ~1e-3 away at every SF (measured), vastly
-    // above any double-rounding divergence between the two engines
-    "q_decontaminate_semantic" ->
-      """SELECT c.vec_id, c.label FROM embeddings c
-        |WHERE c.vec_id >= 50 AND NOT EXISTS (
-        |  SELECT 1 FROM embeddings b WHERE b.vec_id < 50
-        |  AND list_cosine_similarity(c.embedding, b.embedding) >= 0.45
-        |)""".stripMargin,
+    // cell-restricted replay of the IVF-prefiltered anti-join: the
+    // inlined centroids make the assignment reproducible; cosine
+    // boundary safety as before (nearest per-row max-similarity to
+    // the 0.45 threshold ~1e-3 away at every SF, measured — vastly
+    // above any double-rounding divergence between the two engines)
+    "q_decontaminate_semantic" -> {
+      val values = graft.ops.Similarity.ivfCentroids(8, 64).zipWithIndex
+        .map { case (c, i) => s"($i, [${c.mkString(",")}]::DOUBLE[])" }
+        .mkString(",\n        ")
+      s"""WITH cents(cell, cvec) AS (VALUES $values),
+         |corpus AS (
+         |  SELECT e.vec_id, e.label, e.embedding, c.cell
+         |  FROM embeddings e, LATERAL (
+         |    SELECT cell FROM cents
+         |    ORDER BY list_dot_product(e.embedding::DOUBLE[], cvec) DESC,
+         |             cell DESC
+         |    LIMIT 1) c
+         |  WHERE e.vec_id >= 50),
+         |bench AS (
+         |  SELECT e.vec_id, e.embedding, c.cell
+         |  FROM embeddings e, LATERAL (
+         |    SELECT cell FROM cents
+         |    ORDER BY list_dot_product(e.embedding::DOUBLE[], cvec) DESC,
+         |             cell DESC
+         |    LIMIT 2) c
+         |  WHERE e.vec_id < 50)
+         |SELECT c.vec_id, c.label FROM corpus c
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM bench b WHERE b.cell = c.cell
+         |  AND list_cosine_similarity(c.embedding, b.embedding) >= 0.45
+         |)""".stripMargin
+    },
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'fake/raw' AS format,

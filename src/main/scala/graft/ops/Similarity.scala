@@ -104,6 +104,43 @@ object Similarity {
       "left_anti")
   }
 
+  /** IVF-prefiltered semantic decontamination — the 100 TB shape of
+    * [[semanticDecontaminate]]. The brute variant's anti-join is a
+    * BroadcastNestedLoopJoin: every corpus row scores against EVERY
+    * benchmark vector, O(N·B·d). Here both sides first take the
+    * [[ivfAssign]] coarse-cell assignment SemDeDup already uses for
+    * the same math: the corpus keeps its single nearest cell, the
+    * benchmark fans out to its `probes` nearest cells, and the
+    * anti-join carries `cell` as a hash EQUI-KEY with the exact cosine
+    * threshold as the residual condition — a BroadcastHashJoin that
+    * scores each corpus row only against benchmark vectors probing its
+    * cell, O(N·B·probes/nCells·d) expected, corpus still streamed once
+    * with zero shuffles.
+    *
+    * Like SemDeDup (and unlike the brute variant), the match predicate
+    * is cell-RESTRICTED: a corpus row is dropped when a benchmark
+    * vector above the threshold probes its cell. Recall against the
+    * unrestricted predicate rises with `probes` (probes = nCells
+    * degenerates to exact brute-force semantics through the hash
+    * join); the cell assignment is deterministic, so the result is
+    * reproducible and oracle-replayable on any engine.
+    */
+  def semanticDecontaminateIvf(corpus: DataFrame, bench: DataFrame,
+                               threshold: Double, nCells: Int = 8,
+                               dim: Int = 64, probes: Int = 2,
+                               vecCol: String = "embedding"): DataFrame = {
+    val b = broadcast(
+      ivfProbe(bench.select(col(vecCol).as("_b_vec")), nCells, dim,
+          "_b_vec", probes)
+        .withColumnRenamed("cell", "_b_cell"))
+    ivfAssign(corpus, nCells, dim, vecCol)
+      .join(b,
+        col("cell") === col("_b_cell") &&
+          cosine(col(vecCol), col("_b_vec")) >= threshold,
+        "left_anti")
+      .drop("cell")
+  }
+
   /** All near-duplicate pairs with cosine ≥ threshold (exact, brute
     * force — the oracle-checkable baseline; use [[lshBuckets]] beyond
     * ~10⁵ vectors).
