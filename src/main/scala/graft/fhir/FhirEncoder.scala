@@ -403,12 +403,18 @@ object FhirEncoder {
       StructField("usedReference", refList),
       StructField("usedCode", ccList)))
 
-  /** Fallback schema for resource types without a registered schema:
-    * id only + raw JSON retention.
+  /** Fallback schema for resource types without a registered schema —
+    * the generic R4 DomainResource backbone (id, meta, implicitRules,
+    * language, narrative, extension) plus `identifier`, which nearly
+    * every concrete resource carries. This mirrors how the reference
+    * encodes ANY R4 type on demand (bundle_processor.py:162–166 via
+    * Pathling): a sixth, unregistered type still gets typed id/meta/
+    * identifier columns for joins, latest-wins dedup, and lineage,
+    * while everything type-specific stays losslessly queryable in
+    * `resource_json` / the variant column.
     */
-  val genericSchema: StructType = StructType(Seq(
-    StructField("resourceType", StringType),
-    StructField("id", StringType)))
+  val genericSchema: StructType = domainResource(
+    StructField("identifier", identifierType))
 
   def schemaFor(resourceType: String): StructType =
     schemas.getOrElse(resourceType, genericSchema)
