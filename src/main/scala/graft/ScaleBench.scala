@@ -45,7 +45,35 @@ object ScaleBench {
   private val Headline = Seq(
     "q_ingest_e2e", "q_dedup_fuzzy", "q_change_feed",
     "q_hybrid_retrieval", "q_ann_ivf_indexed", "q_stream_outer_join",
-    "q_delta_export")
+    "q_delta_export", "x_decontaminate_ivf", "x_fuzzy_split")
+
+  /** Scale-only cases that are not SparkEntry gates: shapes whose
+    * scale story needs DIFFERENT fixture sizing than the sf0.01 gate.
+    * x_decontaminate_ivf: IVF-prefiltered semantic decontamination
+    * with a 10× benchmark set (500 vectors — `vec_id < 500` stays
+    * copy-0-only under the key remap, so the bench is fixed while the
+    * corpus side scales with the data) — the VERDICT r11 item-5
+    * datapoint.
+    */
+  private val Extra: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // q_dedup_fuzzy's shape with the triangle split engaged: per-task
+    // work capped at 1000² gated comparisons regardless of how large
+    // the hottest (lang, length-bucket) block grows — the VERDICT r11
+    // item-6 mitigation, output bit-identical to the unsplit join
+    "x_fuzzy_split" -> ((s, dir) =>
+      graft.ops.Dedup.editDistancePairs(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        blockKey = struct(col("lang"),
+          (length(col("text")) / lit(50)).cast("int")),
+        maxBlockRows = 1000)),
+    "x_decontaminate_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.ops.Similarity.semanticDecontaminateIvf(
+        emb.filter(col("vec_id") >= 500),
+        emb.filter(col("vec_id") < 500),
+        threshold = 0.45, nCells = 8, dim = 64, probes = 2)
+        .select(col("vec_id"), col("label"))
+    }))
 
   private def offset(c: org.apache.spark.sql.Column) =
     col("copy") * lit(10000000L) + c
@@ -106,7 +134,7 @@ object ScaleBench {
   private def time(spark: SparkSession, name: String, dir: String)
       : Double = {
     val t0 = System.nanoTime()
-    SparkEntry.queries(name)(spark, dir)
+    Extra.getOrElse(name, SparkEntry.queries(name))(spark, dir)
       .write.format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9
   }
@@ -156,10 +184,34 @@ object ScaleBench {
           f"[scale] $name%-22s sf0.1 $small%7.2fs   ${Copies}%dx $big%7.2fs   ratio ${r}%5.1fx")
         name -> (small, big, r)
       }
+    // fuzzy-dedup blocking-key audit (VERDICT r11 item 6): the blocked
+    // join is O(Σ block²), so the scale claim rests on the largest
+    // block staying bounded as the corpus grows. Measure the block-size
+    // distribution at both scales — the scaled corpus must show the
+    // same max block (copies land in fresh length buckets; block COUNT
+    // grows with the data, block SIZE does not).
+    def blockHist(dir: String): (Long, Long, Long, Double) = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val blocks = docs.groupBy(col("lang"),
+          (length(col("text")) / lit(50)).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("bs"))
+      val r = blocks.agg(count(lit(1)).as("n_blocks"),
+          max(col("bs")).as("max_block"),
+          sum(col("bs") * col("bs")).as("sum_sq"),
+          avg(col("bs")).as("mean_block")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    }
+    val (nb1, mb1, sq1, av1) = blockHist(base)
+    val (nbN, mbN, sqN, avN) = blockHist(out)
+    System.err.println(
+      f"[blocks] base: $nb1%d blocks, max $mb1%d, mean $av1%.1f, sum_sq $sq1%d")
+    System.err.println(
+      f"[blocks] ${Copies}x:  $nbN%d blocks, max $mbN%d, mean $avN%.1f, sum_sq $sqN%d")
     spark.stop()
     val js = results.map { case (n, (s, b, r)) =>
       f""""$n":{"sf01_sec":$s%.2f,"sf1_sec":$b%.2f,"ratio":$r%.2f}"""
     }.mkString(",")
-    println(s"""{"metric":"scale_ratio_${Copies}x","copies":$Copies,"queries":{$js}}""")
+    val blocks = f""""blocks":{"base":{"n":$nb1%d,"max":$mb1%d,"sum_sq":$sq1%d},"scaled":{"n":$nbN%d,"max":$mbN%d,"sum_sq":$sqN%d}}"""
+    println(s"""{"metric":"scale_ratio_${Copies}x","copies":$Copies,$blocks,"queries":{$js}}""")
   }
 }

@@ -168,10 +168,60 @@ object Dedup {
     */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
                         blockKey: Column, prefixLen: Int = 100,
-                        maxDist: Int = 25): DataFrame = {
+                        maxDist: Int = 25,
+                        maxBlockRows: Int = 0): DataFrame = {
     val docs = df.select(col(idCol).as("_id"),
       substring(col(textCol), 1, prefixLen).as("_pref"),
       blockKey.as("_blk"))
+    // maxBlockRows > 0 enables the TRIANGLE SPLIT for oversized blocks
+    // (Okcan & Riedewald's θ-join distribution, specialized to the
+    // self-join): a block of n rows is hash-split into s = ⌈n /
+    // maxBlockRows⌉ sub-blocks and the join runs one task per
+    // sub-block PAIR (i ≤ j) — a row in sub-block k enters the left
+    // side of tasks (k, j≥k) and the right side of tasks (i≤k, k), so
+    // every candidate pair is generated in EXACTLY one task and the
+    // output is bit-identical to the unsplit join. Total comparisons
+    // are unchanged (the split bounds nothing semantically); what it
+    // bounds is per-TASK work and memory — O(maxBlockRows²) instead of
+    // O(largest block²) — which is what keeps one hot block (measured:
+    // the 100× blow-up grows the max block 8.3×) from turning into a
+    // straggler/OOM task at corpus scale. Cost: rows replicate ~(s+1)
+    // times into the shuffle for blocks that split; blocks under the
+    // cap pay one extra tiny aggregate and keep s = 1.
+    if (maxBlockRows > 0) {
+      val sizes = docs.groupBy(col("_blk")).agg(
+        ceil(count(lit(1)).cast("double") / maxBlockRows)
+          .cast("int").as("_s"))
+      val d2 = docs.join(sizes, "_blk")
+        .withColumn("_sub",
+          pmod(xxhash64(col("_id")), col("_s").cast("long")).cast("int"))
+      val a = d2.select(col("_blk").as("_blk_a"),
+        col("_sub").as("_i_a"),
+        explode(sequence(col("_sub"), col("_s") - 1)).as("_j_a"),
+        col("_id").as("id_a"), col("_pref").as("pref_a"),
+        length(col("_pref")).as("len_a"))
+      val b = d2.select(col("_blk").as("_blk_b"),
+        explode(sequence(lit(0), col("_sub"))).as("_i_b"),
+        col("_sub").as("_j_b"),
+        col("_id").as("id_b"), col("_pref").as("pref_b"),
+        length(col("_pref")).as("len_b"))
+      val lev = levenshtein(col("pref_a"), col("pref_b"), maxDist)
+      // an OFF-diagonal task (i < j) sees each cross-sub pair exactly
+      // once already (left is sub i, right is sub j) — and the pair's
+      // id order can DISAGREE with its sub order, so requiring
+      // id_a < id_b there would drop it. Only the diagonal task
+      // (i = j), where both rows sit on both sides, needs the id
+      // tie-break; orientation is normalized in the projection
+      // (levenshtein and the length gate are symmetric).
+      return a.join(b, col("_blk_a") === col("_blk_b") &&
+          col("_i_a") === col("_i_b") && col("_j_a") === col("_j_b") &&
+          (col("_i_a") < col("_j_a") || col("id_a") < col("id_b")) &&
+          abs(col("len_a") - col("len_b")) <= maxDist &&
+          lev >= 0)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"),
+          lev.cast("long").as("dist"))
+    }
     val a = docs.select(col("_blk"), col("_id").as("id_a"),
       col("_pref").as("pref_a"), length(col("_pref")).as("len_a"))
     val b = docs.select(col("_blk"), col("_id").as("id_b"),

@@ -21,6 +21,23 @@ class SkewSpec extends SparkSpec {
     assert(salted.size == 200)
   }
 
+  test("triangle-split fuzzy dedup is pair-identical to the unsplit join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val key = org.apache.spark.sql.functions.struct(col("lang"),
+      (length(col("text")) / lit(50)).cast("int"))
+    def pairs(maxBlockRows: Int) =
+      Dedup.editDistancePairs(docs, "doc_id", "text", key,
+          maxBlockRows = maxBlockRows)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val plain = pairs(0)
+    assert(plain.nonEmpty, "fixture must produce fuzzy pairs")
+    // a cap far below the sf0.001 block sizes forces real splits; the
+    // triangle distribution must cover every pair exactly once
+    assert(pairs(5) == plain)
+    assert(pairs(1) == plain)
+  }
+
   test("salted two-phase aggregation matches direct aggregation") {
     val df = Seq.tabulate(500)(i => (i % 2L, (i % 7).toDouble))
       .toDF("k", "v")
