@@ -18,9 +18,37 @@ Exit 0 on full match; prints one result line per check.
 """
 import json
 import os
+import re
 import sys
 
 import duckdb
+
+SINGLE_PART = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+MULTI_PART = re.compile(r"^(\d{20})\.checkpoint\.(\d+)\.(\d+)\.parquet$")
+
+
+def complete_checkpoints(logdir):
+    """version -> sorted part paths, for every COMPLETE checkpoint
+    (single-file, or multi-part with all M parts present). A crashed
+    exporter may leave partial part sets or a stale/absent
+    `_last_checkpoint`; like delta-spark, treat the pointer as a hint
+    and never follow it into an incomplete checkpoint."""
+    singles, multis = {}, {}
+    for f in os.listdir(logdir):
+        m = SINGLE_PART.match(f)
+        if m:
+            singles[int(m.group(1))] = [os.path.join(logdir, f)]
+            continue
+        m = MULTI_PART.match(f)
+        if m:
+            v, k, tot = int(m.group(1)), int(m.group(2)), int(m.group(3))
+            multis.setdefault((v, tot), {})[k] = os.path.join(logdir, f)
+    out = {}
+    for (v, tot), parts in multis.items():
+        if set(parts) == set(range(1, tot + 1)):
+            out[v] = [parts[k] for k in sorted(parts)]
+    out.update(singles)  # single-file preferred when both exist
+    return out
 
 
 def replay(table):
@@ -30,26 +58,35 @@ def replay(table):
         for f in os.listdir(logdir)
         if f.endswith(".json") and not f.startswith(".")
     )
-    ckpt_v = -1
     live, txns, schema = {}, {}, None
+    complete = complete_checkpoints(logdir)
+    pointed = -1
     lc = os.path.join(logdir, "_last_checkpoint")
     if os.path.exists(lc):
         with open(lc) as fh:
-            ckpt_v = json.load(fh)["version"]
-        ck = os.path.join(logdir, "%020d.checkpoint.parquet" % ckpt_v)
+            pointed = json.load(fh).get("version", -1)
+    if pointed in complete:
+        ckpt_v = pointed
+    elif complete:
+        ckpt_v = max(complete)
+    else:
+        ckpt_v = -1
+    if ckpt_v >= 0:
+        parts = ", ".join(f"'{p}'" for p in complete[ckpt_v])
+        ck = f"[{parts}]"
         con = duckdb.connect()
         for (p, stats) in con.sql(
-            f"SELECT add.path, add.stats FROM parquet_scan('{ck}') "
+            f"SELECT add.path, add.stats FROM parquet_scan({ck}) "
             "WHERE add.path IS NOT NULL"
         ).fetchall():
             live[p] = stats
         for (app, v) in con.sql(
-            f"SELECT txn.appId, txn.version FROM parquet_scan('{ck}') "
+            f"SELECT txn.appId, txn.version FROM parquet_scan({ck}) "
             "WHERE txn.appId IS NOT NULL"
         ).fetchall():
             txns[app] = v
         for (s,) in con.sql(
-            f"SELECT metaData.schemaString FROM parquet_scan('{ck}') "
+            f"SELECT metaData.schemaString FROM parquet_scan({ck}) "
             "WHERE metaData.id IS NOT NULL"
         ).fetchall():
             schema = json.loads(s)
