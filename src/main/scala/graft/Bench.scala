@@ -100,6 +100,20 @@ object Bench {
       java.nio.file.Paths.get("BENCH_FULL.json"),
       renderLine(results, sfDir, budget = Int.MaxValue) + "\n")
     catch { case _: Throwable => () }
+    // UNTIMED estimator-quality lines (measured error vs exact on the
+    // bench SF): printed before the headline line — they scroll out of
+    // the driver's 2000-char tail window without touching its parse —
+    // and mirrored to a repo file for the round artifacts.
+    val estLines =
+      try EstimatorReport.report(spark, sfDir)
+      catch { case e: Throwable =>
+        Seq(s"""{"estimator":"report","error":"${e.getClass.getSimpleName}"}""")
+      }
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_ESTIMATORS.json"),
+      estLines.mkString("", "\n", "\n"))
+    catch { case _: Throwable => () }
+    estLines.foreach(println)
     // Stop everything BEFORE printing so no late WARN/shutdown chatter can
     // land after the JSON line and push it out of the driver's tail window.
     spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })

@@ -1,0 +1,173 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured estimator error for the sketch-valued queries, computed
+  * against EXACT ground truth on the same bench data and emitted as
+  * one compact JSON line per estimator (VERDICT r11 item 8: surface
+  * estimator drift per-round next to the bench line, not only at spec
+  * time). The specs (EstimatorQualitySpec) bound these errors on a
+  * seeded fixture; this report re-measures them at the bench SF so a
+  * regression shows up in the round artifacts.
+  *
+  * All computations are cheap relative to the bench itself: exact
+  * Jaccard only over the banded CANDIDATE pairs (never all-pairs),
+  * exact distinct/percentile as single aggregates, and the per-lang
+  * vocabulary join on the distinct (lang, word) set.
+  */
+object EstimatorReport {
+
+  private def fmt(v: Double): String = BigDecimal(v)
+    .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+
+  private def line(name: String, metric: String, value: Double,
+                   n: Long): String =
+    s"""{"estimator":"$name","metric":"$metric","value":${fmt(value)},"n":$n}"""
+
+  /** One JSON line per estimator gate; a failed measurement reports
+    * its error message instead of silently vanishing from the round's
+    * artifacts.
+    */
+  def report(spark: SparkSession, sfDir: String): Seq[String] = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    Seq[(String, () => String)](
+      "q_dedup_minhash" -> (() => minhashErr(docs)),
+      "q_ngram_jaccard" -> (() => ngramRecall(docs)),
+      "q_dedup_simhash" -> (() => simhashBound(docs)),
+      "q_sketch_jaccard" -> (() => sketchErr(docs)),
+      "q_approx_distinct" -> (() => distinctErr(li)),
+      "q_approx_percentile" -> (() => percentileErr(li))
+    ).map { case (name, f) =>
+      try f()
+      catch { case e: Throwable =>
+        s"""{"estimator":"$name","error":"${e.getClass.getSimpleName}"}"""
+      }
+    }
+  }
+
+  /** Mean |minhash estimate − exact Jaccard| over the reported pairs
+    * (k=16 signatures ⇒ std ≤ 1/(2√k) ≈ 0.125 at J=0.5; the spec
+    * bounds the fixture mean at 0.15).
+    */
+  private def minhashErr(docs: DataFrame): String = {
+    val est = Dedup.minhashPairs(docs, "doc_id", "text", minJaccard = 0.2)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      minJaccard = 0.0)
+    val r = est.join(exact, Seq("doc_a", "doc_b"))
+      .agg(avg(abs(col("est_jaccard") - col("jaccard"))).as("err"),
+        count(lit(1)).as("n")).collect().head
+    val n = r.getLong(1)
+    line("q_dedup_minhash", "mean_abs_err",
+      if (n == 0) 0.0 else r.getDouble(0), n)
+  }
+
+  /** Banding recall at J ≥ 0.85 measured over the CANDIDATE universe
+    * (pairs any band produced): the fraction the est≥minJaccard filter
+    * keeps of the truly-high-Jaccard candidates. The (1−(1−s^r)^b)
+    * guarantee itself needs all-pairs truth — spec-only; here the
+    * reported number regressing means the filter or the banding moved.
+    */
+  private def ngramRecall(docs: DataFrame): String = {
+    val all = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      minJaccard = 0.0)
+    val kept = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      minJaccard = 0.1)
+    val high = all.filter(col("jaccard") >= 0.85)
+    val r = high.join(kept, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1))).collect().head.getLong(0)
+    val n = high.agg(count(lit(1))).collect().head.getLong(0)
+    line("q_ngram_jaccard", "recall_high_j",
+      if (n == 0) 1.0 else r.toDouble / n, n)
+  }
+
+  /** The simhash gate's output is exact by construction; the measured
+    * quantity is the pigeonhole bound holding: max reported hamming.
+    */
+  private def simhashBound(docs: DataFrame): String = {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+    val r = pairs.agg(coalesce(max(col("hamming")), lit(0)).as("m"),
+      count(lit(1)).as("n")).collect().head
+    line("q_dedup_simhash", "max_hamming", r.getInt(0).toDouble,
+      r.getLong(1))
+  }
+
+  /** Mean |KMV estimate − exact Jaccard| over the per-language
+    * vocabulary pairs (k=128 ⇒ std ≈ √(J(1−J)/k) ≤ 0.045).
+    */
+  private def sketchErr(docs: DataFrame): String = {
+    import graft.functions.BottomKSketch.{bottom_k_sketch, jaccard}
+    val k = 128
+    val words = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .distinct()
+    val sk = words.groupBy("lang")
+      .agg(bottom_k_sketch(col("word"), k).as("sk"),
+        count(lit(1)).as("nv"))
+    val est = sk.select(col("lang").as("lang_a"), col("sk").as("sk_a"),
+        col("nv").as("na"))
+      .join(sk.select(col("lang").as("lang_b"), col("sk").as("sk_b"),
+        col("nv").as("nb")), col("lang_a") < col("lang_b"))
+      .select(col("lang_a"), col("lang_b"), col("na"), col("nb"),
+        jaccard(col("sk_a"), col("sk_b"), k).as("est"))
+    val inter = words.toDF("lang_a", "word")
+      .join(words.toDF("lang_b", "word"), "word")
+      .filter(col("lang_a") < col("lang_b"))
+      .groupBy("lang_a", "lang_b").agg(count(lit(1)).as("ni"))
+    val r = est.join(inter, Seq("lang_a", "lang_b"), "left")
+      .select(abs(col("est") -
+        coalesce(col("ni"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("ni"), lit(0L)))
+            .cast("double")).as("err"))
+      .agg(avg(col("err")), count(lit(1))).collect().head
+    line("q_sketch_jaccard", "mean_abs_err", r.getDouble(0), r.getLong(1))
+  }
+
+  /** HLL++ relative error vs exact on both gate columns (default
+    * rsd 5%; the gate asserts ≤ 3·rsd).
+    */
+  private def distinctErr(li: DataFrame): String = {
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("ep"),
+      approx_count_distinct(col("l_partkey")).as("ap"),
+      countDistinct(col("l_orderkey")).as("eo"),
+      approx_count_distinct(col("l_orderkey")).as("ao")).collect().head
+    val rel = math.max(
+      math.abs(r.getLong(1) - r.getLong(0)).toDouble / r.getLong(0),
+      math.abs(r.getLong(3) - r.getLong(2)).toDouble / r.getLong(2))
+    line("q_approx_distinct", "max_rel_err", rel, 2)
+  }
+
+  /** GK measured rank deviation: max over return flags of the
+    * distance from q to the returned element's rank INTERVAL
+    * [count(<v)/n, count(≤v)/n] — zero when q falls inside it (tied
+    * values make the interval wide; the estimate is correct anywhere
+    * in it). The published guarantee is ≤ 1/accuracy = 0.001.
+    */
+  private def percentileErr(li: DataFrame): String = {
+    val ap = li.groupBy(col("l_returnflag")).agg(
+      expr("approx_percentile(l_quantity, 0.5, 1000)").as("ap50"),
+      expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("ap90"))
+    def dev(lt: String, le: String, q: Double) = greatest(
+      col(lt).cast("double") / col("n") - lit(q),
+      lit(q) - col(le).cast("double") / col("n"), lit(0.0))
+    val r = li.join(broadcast(ap), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_quantity") < col("ap50"), 1L).otherwise(0L))
+          .as("lt50"),
+        sum(when(col("l_quantity") <= col("ap50"), 1L).otherwise(0L))
+          .as("le50"),
+        sum(when(col("l_extendedprice") < col("ap90"), 1L).otherwise(0L))
+          .as("lt90"),
+        sum(when(col("l_extendedprice") <= col("ap90"), 1L).otherwise(0L))
+          .as("le90"))
+      .select(greatest(dev("lt50", "le50", 0.5),
+        dev("lt90", "le90", 0.9)).as("dev"))
+      .agg(max(col("dev")), count(lit(1))).collect().head
+    line("q_approx_percentile", "max_rank_dev", r.getDouble(0),
+      r.getLong(1))
+  }
+}
