@@ -359,6 +359,46 @@ object SparkEntry {
       Dedup.keepBest(labels, scores)
     }),
 
+    // ---- distributed k-means (spherical Lloyd's, k=4, 2 iterations):
+    //      row-local argmax-cosine assignment against inlined literal
+    //      centroids (zero joins/shuffles per scan) + one exact
+    //      fixed-point aggregate per update. DuckDB replays the whole
+    //      chain — init from the 4 smallest ids, both updates, final
+    //      assignment — from the same parquet ----
+    "q_kmeans" -> ((s, dir) =>
+      graft.ops.Clustering.kmeansAssign(t(s, dir, "embeddings"),
+        k = 4, iters = 2)
+        .select(col("vec_id").cast(LongType).as("vec_id"),
+          col("cluster"))),
+
+    // ---- cluster-balanced downsample: at most 10 members per k-means
+    //      cluster, chosen by salted-md5 rank (engine-replayable) —
+    //      the topic-capping step after clustering ----
+    "q_cluster_capped" -> ((s, dir) =>
+      graft.ops.Clustering.clusterCapped(
+        graft.ops.Clustering.kmeansAssign(t(s, dir, "embeddings"),
+          k = 4, iters = 2)
+          .select(col("vec_id").cast(LongType).as("vec_id"),
+            col("cluster")),
+        "vec_id", "cap1", perCluster = 10)),
+
+    // ---- leakage-safe split: split by the near-dup CLUSTER root, so
+    //      train/test never shares a near-duplicate pair — the
+    //      contamination uniform hash splits cannot prevent ----
+    "q_split_leakage_safe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val labels = Dedup.resolveClusters(
+        Similarity.cosinePairs(emb, threshold = 0.45)
+          .select(col("a_id").as("doc_a"), col("b_id").as("doc_b")))
+        .select(col("doc_id").cast(LongType).as("doc_id"),
+          col("canonical_id").cast(LongType).as("canonical_id"))
+      graft.ops.Sampling.leakageSafeSplit(
+        emb.select(col("vec_id").cast(LongType).as("vec_id")),
+        "vec_id", labels, "doc_id", "canonical_id", "ls1",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("vec_id"), col("root_id"), col("split"))
+    }),
+
     // ---- the SQL entry point itself + correlated scalar subquery:
     //      identical SQL text runs on spark.sql and the oracle ----
     "q_scalar_subquery" -> ((s, dir) => {
@@ -2338,6 +2378,61 @@ object SparkEntry {
          |FROM cand WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.ops.Clustering.kmeansAssign]] (k=4,
+    * iters=2): init from the 4 smallest ids, LATERAL argmax-cosine
+    * assignment (tie → smaller cluster, same as Spark's
+    * first-match `array_position`), fixed-point centroid update
+    * (identical integer sums and double divisions), repeated.
+    */
+  private object KmeansOracle {
+    private def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT e.vec_id, e.embedding, c.cl
+         |  FROM embeddings e, LATERAL (
+         |    SELECT cl FROM $cents
+         |    ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], cvec) DESC,
+         |             cl ASC
+         |    LIMIT 1) c)""".stripMargin
+
+    private def updateCte(name: String, from: String): String =
+      s"""${name}_s AS (
+         |  SELECT cl, pos,
+         |    CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT)) AS DOUBLE)
+         |      / 1048576.0 / count(*) AS cv
+         |  FROM (SELECT cl, unnest(embedding) AS v,
+         |          unnest(range(0, len(embedding))) AS pos FROM $from)
+         |  GROUP BY cl, pos),
+         |$name AS (SELECT cl, list(cv ORDER BY pos) AS cvec
+         |          FROM ${name}_s GROUP BY cl)""".stripMargin
+
+    private val chain: String =
+      s"""WITH c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl,
+         |         embedding::DOUBLE[] AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY vec_id LIMIT 4)),
+         |${assignCte("a1", "c0")},
+         |${updateCte("c1", "a1")},
+         |${assignCte("a2", "c1")},
+         |${updateCte("c2", "a2")},
+         |${assignCte("af", "c2")}""".stripMargin
+
+    val assignSql: String =
+      s"""$chain
+         |SELECT CAST(vec_id AS BIGINT) AS vec_id, cl AS cluster
+         |FROM af""".stripMargin
+
+    val cappedSql: String =
+      s"""$chain
+         |SELECT vec_id, cluster FROM (
+         |  SELECT CAST(vec_id AS BIGINT) AS vec_id, cl AS cluster,
+         |    row_number() OVER (PARTITION BY cl
+         |      ORDER BY md5('cap1:' || CAST(vec_id AS VARCHAR)), vec_id)
+         |      AS rk
+         |  FROM af)
+         |WHERE rk <= 10""".stripMargin
+  }
+
   // =================================================================
   // DuckDB oracles — same column names/types as the Spark results.
   // =================================================================
@@ -2789,6 +2884,37 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY canonical_id
         |      ORDER BY score DESC, doc_id ASC) AS rn
         |  FROM scored) WHERE rn = 1""".stripMargin,
+
+    // full Lloyd's replay — see KmeansOracle
+    "q_kmeans" -> KmeansOracle.assignSql,
+    "q_cluster_capped" -> KmeansOracle.cappedSql,
+
+    // same connected components as q_dedup_resolve_exact, singletons
+    // rooted at themselves, then the md5 split threshold on the root
+    "q_split_leakage_safe" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS pa, b.vec_id AS pb
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
+        |edges AS (SELECT pa AS ea, pb AS eb FROM pairs
+        |          UNION SELECT pb, pa FROM pairs),
+        |nodes AS (SELECT DISTINCT ea AS doc FROM edges),
+        |reach(doc, lbl) AS (
+        |  SELECT doc, doc FROM nodes
+        |  UNION
+        |  SELECT e.ea, r.lbl FROM edges e JOIN reach r ON r.doc = e.eb),
+        |labels AS (
+        |  SELECT doc AS vid, min(lbl) AS root FROM reach GROUP BY doc),
+        |rooted AS (
+        |  SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+        |         CAST(coalesce(l.root, e.vec_id) AS BIGINT) AS root_id
+        |  FROM embeddings e LEFT JOIN labels l ON l.vid = e.vec_id)
+        |SELECT vec_id, root_id,
+        |  CASE WHEN md5('ls1:' || CAST(root_id AS VARCHAR)) < 'cccc' THEN 'train'
+        |       WHEN md5('ls1:' || CAST(root_id AS VARCHAR)) < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM rooted""".stripMargin,
 
     "q_lang_id" ->
       """WITH profiles(plang, pidx, stops) AS (VALUES

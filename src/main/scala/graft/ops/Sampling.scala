@@ -154,4 +154,27 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= k)
   }
+
+  /** Leakage-safe train/val/test split: rows are split by the hash of
+    * their DUPLICATE-CLUSTER root, not their own id, so near-duplicate
+    * documents can never straddle a split boundary (the classic
+    * train/test contamination: a paraphrase of a test document left in
+    * train). `labels` is a (id, root) map from
+    * [[Dedup.resolveClusters]] over any pair producer; rows absent
+    * from it are singletons and split by their own id. Plan: one
+    * broadcast-able left join (labels ≪ corpus — only docs that
+    * appear in some duplicate pair), then the row-local
+    * [[hashSplit]] threshold on the root; the corpus never shuffles.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, labels: DataFrame,
+                       labelIdCol: String, labelRootCol: String,
+                       salt: String,
+                       fractions: Seq[(String, Double)]): DataFrame = {
+    val lab = broadcast(labels.select(
+      col(labelIdCol).as(idCol), col(labelRootCol).as("_root")))
+    val rooted = df.join(lab, Seq(idCol), "left")
+      .withColumn("root_id", coalesce(col("_root"), col(idCol)))
+      .drop("_root")
+    hashSplit(rooted, "root_id", salt, fractions)
+  }
 }

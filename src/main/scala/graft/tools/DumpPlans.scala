@@ -44,7 +44,9 @@ object DumpPlans {
     "q_delta_export" -> "exported _delta_log read-back: plain pruned parquet scan of exactly the live add-set files, no graft code on the read path",
     "q_decontaminate_semantic" -> "IVF-prefiltered: benchmark probes broadcast, anti-join is a BroadcastHashJoin on the cell equi-key with the cosine threshold as residual — corpus streams once, zero corpus shuffles, no nested loop",
     "q_delta_export_skip" -> "selective exported-log read: StatsFileIndex prunes files by the log's min/max stats before any footer opens",
-    "q_dedup_semdedup" -> "SemDeDup: candidates hash-join on the IVF cell key (one shuffle), cosine verify inside the join — no corpus x corpus work")
+    "q_dedup_semdedup" -> "SemDeDup: candidates hash-join on the IVF cell key (one shuffle), cosine verify inside the join — no corpus x corpus work",
+    "q_kmeans" -> "k-means final assignment: argmax-cosine against LITERAL centroids — one scan, zero joins, zero shuffles; each Lloyd's update was one k*dim hash aggregate",
+    "q_split_leakage_safe" -> "leakage-safe split: cluster-root map broadcast onto the corpus, md5 threshold row-local — corpus never shuffles")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
