@@ -33,19 +33,40 @@ object EstimatorReport {
   def report(spark: SparkSession, sfDir: String): Seq[String] = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     Seq[(String, () => String)](
       "q_dedup_minhash" -> (() => minhashErr(docs)),
       "q_ngram_jaccard" -> (() => ngramRecall(docs)),
       "q_dedup_simhash" -> (() => simhashBound(docs)),
       "q_sketch_jaccard" -> (() => sketchErr(docs)),
       "q_approx_distinct" -> (() => distinctErr(li)),
-      "q_approx_percentile" -> (() => percentileErr(li))
+      "q_approx_percentile" -> (() => percentileErr(li)),
+      "q_ann_ivf_probe" -> (() => annRecall(emb))
     ).map { case (name, f) =>
       try f()
       catch { case e: Throwable =>
         s"""{"estimator":"$name","error":"${e.getClass.getSimpleName}"}"""
       }
     }
+  }
+
+  /** IVF multi-probe recall@k against the exact brute-force top-k on
+    * the gate's own query/corpus split — the accuracy knob the probes
+    * parameter trades against scan cost.
+    */
+  private def annRecall(emb: DataFrame): String = {
+    val queries = emb.filter(col("vec_id") < 3)
+    val corpus = emb.filter(col("vec_id") >= 3)
+    val k = 5
+    val exact = graft.ops.Similarity
+      .bruteForceTopK(queries, corpus, k).select("q_id", "n_id")
+    val ivf = graft.ops.Similarity
+      .ivfTopK(queries, corpus, k, probes = 3).select("q_id", "n_id")
+    val hit = exact.join(ivf, Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1))).collect().head.getLong(0)
+    val n = exact.agg(count(lit(1))).collect().head.getLong(0)
+    line("q_ann_ivf_probe", s"recall_at_$k",
+      if (n == 0) 1.0 else hit.toDouble / n, n)
   }
 
   /** Mean |minhash estimate − exact Jaccard| over the reported pairs
