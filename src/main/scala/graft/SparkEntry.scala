@@ -444,6 +444,16 @@ object SparkEntry {
       ResourceTable.mergeDelete(orders, buildingCust, "o_custkey")
     }),
 
+    // ---- deletion-vector DELETE (J2 at O(deleted rows)): two DV
+    //      deletes mark rows dead by roaring bitmap — zero data files
+    //      rewritten (the fixture asserts the manifest is unchanged) —
+    //      and the snapshot read drops the dead positions. The oracle
+    //      replays the deletes as a filter over the same source ----
+    "q_delete_dv" -> ((s, dir) =>
+      dvDemo(s, dir).read()
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))),
+
     // ---- left semi join (EXISTS) ----
     "q_semi_join" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
@@ -2162,6 +2172,34 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[
       String, (ResourceTable, Long, Long, Long)]()
 
+  private val dvDemoMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, ResourceTable]()
+
+  /** Deletion-vector fixture: customer loaded once, then TWO DV
+    * deletes (every 7th key, then every 11th — the second unions into
+    * the first file's bitmap). No data file is ever rewritten; reads
+    * drop the dead positions. Memoized per dir like [[versionedDemo]].
+    */
+  private def dvDemo(s: SparkSession, dir: String): ResourceTable =
+    dvDemoMemo.computeIfAbsent(dir, _ => {
+      val base = t(s, dir, "customer").repartition(4)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dv").toString
+      val tab = ResourceTable(s, s"$tmp/customer.parquet")
+      tab.createIfNotExists(base.schema)
+      tab.upsert(base, "c_custkey")
+      val before = tab.fileManifest(tab.latestVersion.get).toSet
+      tab.deleteMatchingDv(
+        base.filter(col("c_custkey") % 7 === 0).select("c_custkey"),
+        "c_custkey")
+      tab.deleteMatchingDv(
+        base.filter(col("c_custkey") % 11 === 0).select("c_custkey"),
+        "c_custkey")
+      // the gate's whole point: the deletes touched ZERO data files
+      require(tab.fileManifest(tab.latestVersion.get).toSet == before,
+        "DV delete rewrote files — the O(deleted rows) contract broke")
+      tab
+    })
+
   private def versionedDemo(
       s: SparkSession, dir: String): (ResourceTable, Long, Long, Long) =
     // one immutable fixture per input dir & JVM: q_time_travel and
@@ -2737,6 +2775,11 @@ object SparkEntry {
       """SELECT * FROM orders
         |WHERE o_custkey NOT IN (
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin,
+
+    "q_delete_dv" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |WHERE NOT (c_custkey % 7 = 0 OR c_custkey % 11 = 0)""".stripMargin,
 
     "q_semi_join" ->
       """SELECT o_orderkey, o_totalprice FROM orders o

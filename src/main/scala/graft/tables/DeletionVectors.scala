@@ -47,6 +47,39 @@ object DeletionVectors {
     d
   }
 
+  /** z85 inverse of [[z85Decode]]: 4 bytes → 5 chars. Input length
+    * must be a multiple of 4 (DV blobs and UUIDs both are).
+    */
+  def z85Encode(bytes: Array[Byte]): String = {
+    require(bytes.length % 4 == 0,
+      s"z85 length ${bytes.length} not a multiple of 4")
+    val sb = new StringBuilder(bytes.length / 4 * 5)
+    var i = 0
+    while (i < bytes.length) {
+      var acc = 0L
+      var j = 0
+      while (j < 4) { acc = (acc << 8) | (bytes(i + j) & 0xFFL); j += 1 }
+      val chunk = new Array[Char](5)
+      var k = 4
+      while (k >= 0) {
+        chunk(k) = Z85Alphabet((acc % 85).toInt); acc /= 85; k -= 1
+      }
+      sb.appendAll(chunk)
+      i += 4
+    }
+    sb.toString
+  }
+
+  /** z85 for an arbitrary-length blob: zero-pad to a 4-byte multiple
+    * first (delta's inline-DV convention — the descriptor's
+    * `sizeInBytes` keeps the REAL length, and decoders read only the
+    * bytes the bitmap header promises, so the pad is inert).
+    */
+  def z85EncodePadded(blob: Array[Byte]): String = {
+    val pad = (4 - blob.length % 4) % 4
+    z85Encode(if (pad == 0) blob else blob ++ Array.fill(pad)(0.toByte))
+  }
+
   /** ZeroMQ z85: 5 ASCII chars → 4 bytes, big-endian base-85. Delta
     * uses it for inline DVs and for the UUID in `u`-storage paths.
     */
@@ -123,6 +156,106 @@ object DeletionVectors {
       } finally in.close()
     case other => throw new IllegalArgumentException(
       s"unsupported deletion vector storageType '$other'")
+  }
+
+  /** Encode sorted 64-bit row positions as a RoaringBitmapArray
+    * portable blob — the exact inverse of [[decodePositions]] and the
+    * WRITE half of DV support: LE magic + LE bitmap count, then one
+    * 32-bit roaring bitmap per high word in RoaringFormatSpec portable
+    * layout. Containers are array (card ≤ 4096) or bitmap — never
+    * run: the spec lets writers choose, every reader must take both,
+    * and delete positions rarely form long runs. The high-word list
+    * is DENSE from 0 (bitmap i must hold high word i, matching the
+    * decoder and delta's RoaringBitmapArray): positions are file ROW
+    * indexes, so high words above 0 only occur past 4G rows in one
+    * file — empty 32-bit bitmaps (cookie, size 0) fill any gaps.
+    */
+  def encodePositions(positions: Array[Long]): Array[Byte] = {
+    val sorted = positions.distinct.sorted
+    val nHi = if (sorted.isEmpty) 0L else (sorted.last >>> 32) + 1
+    require(nHi <= 64, s"absurd DV high-word count $nHi")
+    // group low words per high word (dense, gaps -> empty arrays)
+    val byHi = Array.fill(nHi.toInt)(Array.newBuilder[Int])
+    sorted.foreach(p => byHi((p >>> 32).toInt) += p.toInt)
+    val bitmaps = byHi.map(b => encodeRoaring32(b.result()))
+    val out = ByteBuffer
+      .allocate(4 + 8 + bitmaps.map(_.length).sum)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.putInt(PortableMagic)
+    out.putLong(nHi)
+    bitmaps.foreach(out.put)
+    out.array()
+  }
+
+  /** One 32-bit roaring bitmap, portable, no-run form: cookie 12346 +
+    * container count, descriptive headers (key, card−1), the offset
+    * table (byte position of each container from this bitmap's
+    * cookie — required by the no-run cookie), then array/bitmap
+    * container payloads in key order.
+    */
+  private def encodeRoaring32(values: Array[Int]): Array[Byte] = {
+    // group by 16-bit key; values arrive sorted so keys are in order
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[Int, scala.collection.mutable.ArrayBuffer[Int]]
+    values.foreach { v =>
+      groups.getOrElseUpdate(v >>> 16,
+        new scala.collection.mutable.ArrayBuffer[Int]) += (v & 0xFFFF)
+    }
+    val size = groups.size
+    val payloads = groups.map { case (_, lows) =>
+      if (lows.length <= 4096) {
+        val b = ByteBuffer.allocate(2 * lows.length)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        lows.foreach(v => b.putShort(v.toShort))
+        b.array()
+      } else {
+        val words = new Array[Long](1024)
+        lows.foreach(v => words(v >>> 6) |= 1L << (v & 63))
+        val b = ByteBuffer.allocate(8192).order(ByteOrder.LITTLE_ENDIAN)
+        words.foreach(b.putLong)
+        b.array()
+      }
+    }.toArray
+    val headerBytes = 4 + 4 + 4 * size + 4 * size
+    val out = ByteBuffer
+      .allocate(headerBytes + payloads.map(_.length).sum)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.putInt(SerialCookieNoRun)
+    out.putInt(size)
+    groups.foreach { case (key, lows) =>
+      out.putShort(key.toShort)
+      out.putShort((lows.length - 1).toShort)
+    }
+    var off = headerBytes
+    payloads.foreach { p => out.putInt(off); off += p.length }
+    payloads.foreach(out.put)
+    out.array()
+  }
+
+  /** Write one DV blob as a `u`-storage sidecar under `root`:
+    * `deletion_vector_<uuid>.bin` framed per the protocol — version
+    * byte 1, then at offset 1 a big-endian size, the blob, and a
+    * big-endian CRC-32 (the exact frame [[bitmapBytes]] verifies).
+    * Returns the descriptor.
+    */
+  def writeSidecar(conf: Configuration, root: HPath,
+                   blob: Array[Byte], cardinality: Long): Descriptor = {
+    val uuid = UUID.randomUUID()
+    val bb = ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits)
+    bb.putLong(uuid.getLeastSignificantBits)
+    val p = new HPath(root, s"deletion_vector_$uuid.bin")
+    val fs = p.getFileSystem(conf)
+    val crc = new CRC32()
+    crc.update(blob)
+    val frame = ByteBuffer.allocate(1 + 4 + blob.length + 4)
+    frame.put(1.toByte)
+    frame.putInt(blob.length) // BE — ByteBuffer default
+    frame.put(blob)
+    frame.putInt(crc.getValue.toInt)
+    val out = fs.create(p, false)
+    try out.write(frame.array()) finally out.close()
+    Descriptor("u", z85Encode(bb.array()), 1, blob.length, cardinality)
   }
 
   /** Decode a RoaringBitmapArray portable blob to sorted 64-bit row

@@ -123,10 +123,22 @@ object DeltaExport {
     wrap("commitInfo", ci)
   }
 
-  private def protocol(): ObjectNode = {
+  private def protocol(needDv: Boolean = false): ObjectNode = {
     val p = f.objectNode()
-    p.put("minReaderVersion", 1)
-    p.put("minWriterVersion", 2)
+    if (needDv) {
+      // deletion vectors are a table FEATURE (PROTOCOL.md "Table
+      // Features"): reader 3 / writer 7 with the feature named on
+      // both lists — exactly what delta-spark writes when DVs enable
+      p.put("minReaderVersion", 3)
+      p.put("minWriterVersion", 7)
+      val rf = f.arrayNode(); rf.add("deletionVectors")
+      val wf = f.arrayNode(); wf.add("deletionVectors")
+      p.replace("readerFeatures", rf)
+      p.replace("writerFeatures", wf)
+    } else {
+      p.put("minReaderVersion", 1)
+      p.put("minWriterVersion", 2)
+    }
     wrap("protocol", p)
   }
 
@@ -157,7 +169,20 @@ object DeltaExport {
     a.put("modificationTime", st.mtime.getOrElse(ts))
     a.put("dataChange", true)
     a.put("stats", statsJson(st, types))
+    // the manifest's DvInfo IS a Delta descriptor — verbatim translation
+    st.dv.foreach(d => a.replace("deletionVector", dvNode(d)))
     wrap("add", a)
+  }
+
+  private def dvNode(d: FileStats.DvInfo): ObjectNode = {
+    val n = f.objectNode()
+    n.put("storageType", d.st)
+    n.put("pathOrInlineDv", d.d)
+    // offset only applies to on-disk storage (PROTOCOL.md DV descriptor)
+    if (d.st != "i") n.put("offset", d.off)
+    n.put("sizeInBytes", d.sz)
+    n.put("cardinality", d.card)
+    n
   }
 
   /** Delta per-file statistics (PROTOCOL.md "Per-file Statistics"):
@@ -220,11 +245,15 @@ object DeltaExport {
       .getOrElse(t.schema())
       .fields.map(fd => fd.name -> fd.dataType).toMap
 
-  private def remove(rel: String, ts: Long): ObjectNode = {
+  private def remove(rel: String, ts: Long,
+                     dv: Option[FileStats.DvInfo] = None): ObjectNode = {
     val r = f.objectNode()
     r.put("path", rel)
     r.put("deletionTimestamp", ts)
     r.put("dataChange", true)
+    // delta replay keys files by (path, dvId): a remove canceling a
+    // DV-bearing add must name the SAME descriptor
+    dv.foreach(d => r.replace("deletionVector", dvNode(d)))
     wrap("remove", r)
   }
 
@@ -403,7 +432,8 @@ object DeltaExport {
       val sz = sizes(t, files)
       val types = typesAt(t, latest)
       writeEntry(t, 0L,
-        commitInfo(latest, ts, "GRAFT EXPORT ANCHOR") +: protocol() +:
+        commitInfo(latest, ts, "GRAFT EXPORT ANCHOR") +:
+          protocol(needDv = files.exists(_._2.dv.isDefined)) +:
           metaData(t, t.schema().json, ts) +:
           (txnDelta(Map.empty,
             FileStats.txnsOf(t.commitBody(latest)), ts) ++
@@ -437,8 +467,10 @@ object DeltaExport {
           // full txn state, not a delta: the trimmed source chain
           // means the predecessor state is unknowable, and re-stating
           // a watermark is idempotent under log replay
-          (txnDelta(Map.empty,
-            FileStats.txnsOf(t.commitBody(latest)), ts) ++
+          ((if (files.exists(_._2.dv.isDefined)) Seq(protocol(true))
+            else Seq.empty) ++
+            txnDelta(Map.empty,
+              FileStats.txnsOf(t.commitBody(latest)), ts) ++
             prev.toSeq.sorted.filterNot(cur).map(remove(_, ts)) ++
             files.map { case (r, st) =>
               add(r, st, sz(r), ts, types) }))
@@ -450,9 +482,16 @@ object DeltaExport {
       val ts = commitTs(t, g)
       val before = t.fileListAt(g - 1)
       val after = t.fileListAt(g)
-      val beforeSet = before.map(_._1).toSet
-      val afterSet = after.map(_._1).toSet
-      val sz = sizes(t, after.filterNot(f => beforeSet(f._1)))
+      // file identity is (path, deletion vector): a DV delete keeps the
+      // path but changes logical content, exported per the protocol as
+      // remove(path, old dv) + add(path, new dv) in one commit — the
+      // shape delta-spark's own DV writes take
+      def ident(fl: (String, FileStats.FileStat)) = (fl._1, fl._2.dv)
+      val beforeIdent = before.map(ident).toSet
+      val afterIdent = after.map(ident).toSet
+      val adds = after.filterNot(fl => beforeIdent(ident(fl)))
+      val removes = before.filterNot(fl => afterIdent(ident(fl)))
+      val sz = sizes(t, adds)
       val schemaChanged =
         FileStats.schemaOf(t.commitBody(g)) !=
           FileStats.schemaOf(t.commitBody(g - 1))
@@ -469,11 +508,14 @@ object DeltaExport {
                 FileStats.schemaOf(t.commitBody(g))
                   .getOrElse(t.schema().json), ts))
             else Seq.empty) ++
+            // first commit that introduces a DV upgrades the protocol
+            // in the same entry (replay takes the newest protocol)
+            (if (adds.exists(_._2.dv.isDefined)) Seq(protocol(true))
+             else Seq.empty) ++
             txnDelta(FileStats.txnsOf(t.commitBody(g - 1)),
               FileStats.txnsOf(t.commitBody(g)), ts) ++
-            before.map(_._1).filterNot(afterSet).map(remove(_, ts)) ++
-            after.filterNot(f => beforeSet(f._1)).map { case (r, st) =>
-              add(r, st, sz(r), ts, types) })
+            removes.map { case (r, st) => remove(r, ts, st.dv) } ++
+            adds.map { case (r, st) => add(r, st, sz(r), ts, types) })
       dv += 1
       writeEntry(t, dv, body)
       lastG = g
@@ -540,7 +582,9 @@ object DeltaExport {
   private def checkpointSchema: StructType = StructType(Seq(
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))),
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))),
     StructField("metaData", StructType(Seq(
       StructField("id", StringType),
       StructField("format", StructType(Seq(
@@ -556,7 +600,13 @@ object DeltaExport {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType)))),
+      StructField("stats", StringType),
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType))))))),
     StructField("txn", StructType(Seq(
       StructField("appId", StringType),
       StructField("version", LongType))))))
@@ -636,6 +686,12 @@ object DeltaExport {
             col("txn.version").as("version")))
       } else {
         val ck = spark.read.parquet(ckptFiles.map(_.toString): _*)
+        val hasDvField = scala.util.Try(
+          ck.schema("add").dataType.asInstanceOf[StructType]
+            .fieldNames.contains("deletionVector")).getOrElse(false)
+        val dvField =
+          if (hasDvField) col("add.deletionVector")
+          else lit(null)
         val adds = ck.filter(col("add").isNotNull)
           .select(lit(ckptV).as("v"), struct(
             col("add.path").as("path"),
@@ -643,7 +699,8 @@ object DeltaExport {
             col("add.size").as("size"),
             col("add.modificationTime").as("modificationTime"),
             col("add.dataChange").as("dataChange"),
-            col("add.stats").as("stats")).cast(addT).as("add"))
+            col("add.stats").as("stats"),
+            dvField.as("deletionVector")).cast(addT).as("add"))
         val txns =
           if (!ck.schema.fieldNames.contains("txn"))
             adds.limit(0).select(lit(null).cast(StringType).as("appId"),
@@ -663,7 +720,11 @@ object DeltaExport {
           coalesce(col("add.path"), col("remove.path")).as("path"),
           col("add")))
       .groupBy(col("path"))
-      .agg(max_by(struct(col("v"), col("add")), col("v")).as("w"))
+      // tie-break inside one version: a DV update exports
+      // remove(path, old dv) + add(path, new dv) in the SAME commit,
+      // so at equal v the add must win the reconciliation
+      .agg(max_by(struct(col("v"), col("add")),
+        struct(col("v"), col("add").isNotNull)).as("w"))
       .filter(col("w.add").isNotNull)
       .select(col("w.add").as("add"))
     val allTxns = baseTxns
@@ -685,10 +746,21 @@ object DeltaExport {
       .persist()
     try {
       val nBody = body.count()
+      // the checkpoint restates the protocol: DV-bearing live adds
+      // need the table-features form, else readers replaying from the
+      // checkpoint alone would see DVs under a v1 reader contract
+      val needDv = body
+        .filter(col("add").isNotNull &&
+          col("add.deletionVector").isNotNull)
+        .limit(1).count() > 0
+      val protoRow =
+        if (needDv) Row(3, 7, Seq("deletionVectors"),
+          Seq("deletionVectors"))
+        else Row(1, 2, null, null)
       val emptyMap = Map.empty[String, String]
       val head = spark.createDataFrame(
         spark.sparkContext.parallelize(Seq(
-          Row(Row(1, 2), null, null, null),
+          Row(protoRow, null, null, null),
           Row(null, Row(tableId(t), Row("parquet", emptyMap), schemaJson,
             Seq.empty[String], emptyMap, ts), null, null)), 1),
         checkpointSchema)

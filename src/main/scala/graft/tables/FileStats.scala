@@ -39,6 +39,20 @@ object FileStats {
     */
   final case class ColStats(min: Option[Any], max: Option[Any],
                             numNulls: Option[Long])
+  /** Deletion vector attached to one manifest file: same shape as the
+    * Delta descriptor ([[DeletionVectors.Descriptor]]) so export is a
+    * verbatim translation. `st` is the storage type (`i` inline z85 /
+    * `u` sidecar), `d` the payload, `card` the deleted-row count.
+    * `rows` in [[FileStat]] stays the file's PHYSICAL row count (the
+    * stats describe the parquet file; the live count is
+    * rows − dv.card), matching Delta's own numRecords convention.
+    */
+  final case class DvInfo(st: String, d: String, off: Int, sz: Int,
+                          card: Long) {
+    def descriptor: graft.tables.DeletionVectors.Descriptor =
+      graft.tables.DeletionVectors.Descriptor(st, d, off, sz, card)
+  }
+
   /** `bytes` is the file's physical length, recorded at commit time so
     * size-driven upkeep (auto-compact gate, size-targeted compaction,
     * DESCRIBE DETAIL) never needs an FS listing; `None` only in
@@ -46,10 +60,14 @@ object FileStats {
     * `mtime` is the file's modification time at commit, so snapshot
     * reads surface a real `_metadata.file_modification_time` without
     * any per-file status probe; `None` in pre-mtime commit bodies.
+    * `dv` marks rows deleted IN PLACE (O(deleted rows) deletes): scans
+    * drop the DV's positions, rewrites materialize survivors and clear
+    * it.
     */
   final case class FileStat(rows: Long, cols: Map[String, ColStats],
                             bytes: Option[Long] = None,
-                            mtime: Option[Long] = None)
+                            mtime: Option[Long] = None,
+                            dv: Option[DvInfo] = None)
 
   // ---------------- collection (parquet footer → FileStat) -----------
 
@@ -147,6 +165,12 @@ object FileStats {
       fo.put("rows", fsStat.rows)
       fsStat.bytes.foreach(fo.put("bytes", _))
       fsStat.mtime.foreach(fo.put("mtime", _))
+      fsStat.dv.foreach { d =>
+        val dn = f.objectNode()
+        dn.put("st", d.st); dn.put("d", d.d); dn.put("off", d.off)
+        dn.put("sz", d.sz); dn.put("card", d.card)
+        fo.replace("dv", dn)
+      }
       val cols = f.objectNode()
       fsStat.cols.foreach { case (c, cs) =>
         val co = f.objectNode()
@@ -285,6 +309,7 @@ object FileStats {
     private def readFileStat(): FileStat = {
       var rows = 0L; var bytes: Option[Long] = None
       var mtime: Option[Long] = None
+      var dv: Option[DvInfo] = None
       var cols = Map.empty[String, ColStats]
       var end = false
       while (!end) parser.nextToken() match {
@@ -294,6 +319,25 @@ object FileStats {
             parser.nextToken(); bytes = Some(parser.getLongValue)
           case "mtime" =>
             parser.nextToken(); mtime = Some(parser.getLongValue)
+          case "dv" =>
+            if (parser.nextToken() != JsonToken.START_OBJECT)
+              throw new IllegalStateException("dv is not an object")
+            var st = ""; var d = ""; var off = 0; var sz = 0
+            var card = 0L
+            var dvEnd = false
+            while (!dvEnd) parser.nextToken() match {
+              case JsonToken.FIELD_NAME => parser.currentName() match {
+                case "st" => parser.nextToken(); st = parser.getText
+                case "d" => parser.nextToken(); d = parser.getText
+                case "off" => parser.nextToken(); off = parser.getIntValue
+                case "sz" => parser.nextToken(); sz = parser.getIntValue
+                case "card" =>
+                  parser.nextToken(); card = parser.getLongValue
+                case _ => parser.nextToken(); parser.skipChildren()
+              }
+              case _ => dvEnd = true
+            }
+            dv = Some(DvInfo(st, d, off, sz, card))
           case "cols" =>
             if (parser.nextToken() != JsonToken.START_OBJECT)
               throw new IllegalStateException("cols is not an object")
@@ -308,7 +352,7 @@ object FileStats {
         }
         case _ => end = true
       }
-      FileStat(rows, cols, bytes, mtime)
+      FileStat(rows, cols, bytes, mtime, dv)
     }
 
     private def readColStats(): ColStats = {
@@ -354,9 +398,12 @@ object FileStats {
           ce.getKey -> ColStats(get("min"), get("max"),
             Option(co.get("nulls")).map(_.asLong))
         }.toMap).getOrElse(Map.empty[String, ColStats])
+      val dv = Option(fo.get("dv")).filter(_.isObject).map(d =>
+        DvInfo(d.get("st").asText, d.get("d").asText,
+          d.get("off").asInt, d.get("sz").asInt, d.get("card").asLong))
       e.getKey -> FileStat(fo.get("rows").asLong, cols,
         Option(fo.get("bytes")).map(_.asLong),
-        Option(fo.get("mtime")).map(_.asLong))
+        Option(fo.get("mtime")).map(_.asLong), dv)
     }.toMap
   }
 

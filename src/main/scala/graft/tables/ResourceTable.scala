@@ -180,14 +180,14 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       }
       StatsFileIndex.Entry(p, sz, mt, Some(st))
     }
-    spark.baseRelationToDataFrame(
+    applyDv(spark.baseRelationToDataFrame(
       org.apache.spark.sql.execution.datasources.HadoopFsRelation(
         new StatsFileIndex(new HPath(path), entries),
         StructType(Nil),
         StatsFileIndex.relaxNullability(vSchema).asInstanceOf[StructType],
         None,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
-        Map.empty)(spark))
+        Map.empty)(spark)), files)
   }
 
   /** Manifest bodies above this size plan via [[readVersionStreaming]].
@@ -271,7 +271,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         override def next(): StatsFileIndex.Entry = underlying.next()
       }
     }
-    spark.baseRelationToDataFrame(
+    val scan = spark.baseRelationToDataFrame(
       org.apache.spark.sql.execution.datasources.HadoopFsRelation(
         StatsFileIndex.streaming(new HPath(path), () => entries()),
         StructType(Nil),
@@ -279,6 +279,20 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         None,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
         Map.empty)(spark))
+    // DV pass: one extra stream over the body retaining ONLY entries
+    // that carry a dv — O(#DV files) driver state, so the streaming
+    // path keeps its huge-manifest budget (deletes are recent and
+    // bounded; a manifest that is mostly DVs should be compacted)
+    val dvFiles = {
+      val cs = new FileStats.CommitStream(() => fsys.open(cf))
+      try cs.files.collect {
+        case (k, st) if st.dv.isDefined =>
+          val rel = if (k.contains('/')) k else s"$dirName/$k"
+          rel -> st
+      }.toList
+      finally cs.close()
+    }
+    applyDv(scan, dvFiles)
   }
 
   /** Version visible at `tsMs` — Delta `timestampAsOf` resolution: the
@@ -361,11 +375,17 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         org.apache.spark.sql.types.StructType(schema().fields :+
           org.apache.spark.sql.types.StructField("_change_type",
             org.apache.spark.sql.types.StringType)))
-    val fromRels = fileListAt(fromV).filter(_._2.rows > 0).map(_._1)
-    val toRels = fileListAt(toV).filter(_._2.rows > 0).map(_._1)
-    val shared = fromRels.toSet.intersect(toRels.toSet)
-    val from = readFilesWithSchema(fromRels.filterNot(shared))
-    val to = readFilesWithSchema(toRels.filterNot(shared))
+    val fromFiles = fileListAt(fromV).filter(_._2.rows > 0)
+    val toFiles = fileListAt(toV).filter(_._2.rows > 0)
+    // file identity includes its deletion vector: a path carried with a
+    // DIFFERENT dv between the versions changed logical content without
+    // being rewritten, so it must be read on BOTH sides (each under its
+    // own version's dv) — Delta's (path, dvId) file-uniqueness key
+    def ident(f: (String, FileStats.FileStat)) = (f._1, f._2.dv)
+    val shared = fromFiles.map(ident).toSet
+      .intersect(toFiles.map(ident).toSet)
+    val from = readFilesWithSchema(fromFiles.filterNot(f => shared(ident(f))))
+    val to = readFilesWithSchema(toFiles.filterNot(f => shared(ident(f))))
     val cols = from.columns.toSeq
     val f = from.select(col(key).as("_k"),
       struct(cols.map(col): _*).as("_pre"))
@@ -398,7 +418,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     if (kept.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema())
-    else spark.read.schema(schema()).parquet(kept: _*).filter(filter)
+    else readFiles(kept, schema()).filter(filter)
   }
 
   /** (files read, files total) for `filter` — the skipping telemetry. */
@@ -407,8 +427,8 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     (kept.size, total)
   }
 
-  private def pruneFiles(
-      filter: org.apache.spark.sql.Column): (Seq[String], Int) = {
+  private def pruneFiles(filter: org.apache.spark.sql.Column)
+      : (Seq[(String, FileStats.FileStat)], Int) = {
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"no table at $path"))
     val files = fileListAt(v)
@@ -427,7 +447,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         case None => true // no predicate → never skip
       }
     }
-    (kept.map(f => resolve(f._1).toString), files.size)
+    (kept, files.size)
   }
 
   // ---------------- manifest plumbing ---------------------------------
@@ -499,17 +519,17 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     * snapshot reads work — older files surface missing columns as
     * null). Empty subset → empty frame; vacuumed files → fail fast.
     */
-  private def readFilesWithSchema(rels: Seq[String]): DataFrame = {
-    if (rels.isEmpty)
+  private def readFilesWithSchema(
+      files: Seq[(String, FileStats.FileStat)]): DataFrame = {
+    if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema())
-    val gone = missingFiles(rels)
+    val gone = missingFiles(files.map(_._1))
     if (gone.nonEmpty)
       throw new IllegalStateException(
         s"$path: ${gone.size} referenced file(s) vacuumed " +
           s"(first: ${gone.head})")
-    spark.read.schema(schema())
-      .parquet(rels.map(r => resolve(r).toString): _*)
+    readFiles(files, schema())
   }
 
   /** The data files (root-relative) version `v` references — Delta's
@@ -890,8 +910,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         val newData =
           if (touched.isEmpty) srcOut // pure insert: write only the batch
           else {
-            val target0 = spark.read.schema(tableSchema)
-              .parquet(touched.map(f => resolve(f._1).toString): _*)
+            val target0 = readFiles(touched, tableSchema)
             val target =
               if (mergeSchema && newCols.nonEmpty)
                 newCols.foldLeft(target0)((t, f) =>
@@ -1018,6 +1037,184 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     * scope as upsert: only files whose stats admit a listed key are
     * rewritten.
     */
+  // ---------------- deletion vectors --------------------------------
+
+  /** file_path scheme normalizer shared with DeltaExport's DV scan:
+    * `file:///x` and `file:/x` both become `/x`, so the anti-join key
+    * matches however the FS qualifies paths.
+    */
+  private val DvSchemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*:/+"
+
+  /** DV blobs at or below this size are stored INLINE (z85 in the
+    * commit manifest); larger ones land as one `u`-storage sidecar
+    * `deletion_vector_<uuid>.bin` under the table root — the same
+    * split delta-spark makes. ~2 KB of z85 per manifest entry is the
+    * worst inline overhead; a sidecar is one extra file create.
+    */
+  private def inlineDvMaxBytes: Int =
+    spark.conf.getOption("graft.table.dv.inlineMaxBytes")
+      .map(_.toInt).getOrElse(1536)
+
+  /** Decoded dead positions of these manifest entries' DVs, as a
+    * `(_gdv_file, _gdv_pos)` DataFrame — descriptors decode ON
+    * EXECUTORS (one task per DV; bytes and positions never gather on
+    * the driver), the exact shape [[DeltaExport.readSnapshot]] uses
+    * for foreign DV logs.
+    */
+  private def dvPositions(
+      dvs: Seq[(String, FileStats.DvInfo)]): DataFrame = {
+    import spark.implicits._
+    val dvConf = new SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    val rootStr = root.toString
+    val descs = dvs.map { case (rel, d) =>
+      (fs.makeQualified(resolve(rel)).toUri.toString
+        .replaceFirst(DvSchemeRe, "/"),
+        d.st, d.d, d.off, d.sz, d.card)
+    }.sortBy(_._1)
+    spark.createDataset(descs)
+      .repartition(math.max(1, math.min(descs.size, 64)))
+      .flatMap { case (file, st, data, off, size, card) =>
+        val bytes = DeletionVectors.bitmapBytes(dvConf.value,
+          new HPath(rootStr),
+          DeletionVectors.Descriptor(st, data, off, size, card))
+        val pos = DeletionVectors.decodePositions(bytes)
+        if (pos.length != card)
+          throw new IllegalStateException(
+            s"$file: deletion vector decoded ${pos.length} positions " +
+              s"but the manifest promised $card")
+        pos.iterator.map(p => (file, p))
+      }.toDF("_gdv_file", "_gdv_pos")
+  }
+
+  /** Drop DV-dead rows from a scan over exactly `files`. No DVs → the
+    * plan is untouched (the common case pays nothing). With DVs the
+    * scan anti-joins on (file, row position); the dead set broadcasts
+    * while the manifest-known total cardinality stays under the merge
+    * broadcast limit, so the table side never shuffles — past it the
+    * join degrades to a shuffle of O(live + deleted) keyed rows, the
+    * same shape delta-spark's DV scan resolves to.
+    */
+  private def applyDv(df: DataFrame,
+                      files: Seq[(String, FileStats.FileStat)]): DataFrame = {
+    val dvs = files.collect { case (r, st) if st.dv.isDefined =>
+      r -> st.dv.get }
+    if (dvs.isEmpty) return df
+    val dead0 = dvPositions(dvs)
+    val dead =
+      if (dvs.map(_._2.card).sum <= broadcastRowLimit) broadcast(dead0)
+      else dead0
+    df.withColumn("_gdv_file", regexp_replace(
+        col("_metadata.file_path"), DvSchemeRe, "/"))
+      .withColumn("_gdv_pos", col("_metadata.row_index"))
+      .join(dead, Seq("_gdv_file", "_gdv_pos"), "left_anti")
+      .drop("_gdv_file", "_gdv_pos")
+  }
+
+  /** The ONLY way rewrite paths may materialize a subset of manifest
+    * files: raw parquet of the paths with each file's DV applied.
+    * Reading the paths directly would RESURRECT DV-deleted rows into
+    * the rewrite output.
+    */
+  private def readFiles(files: Seq[(String, FileStats.FileStat)],
+                        readSchema: StructType): DataFrame =
+    applyDv(spark.read.schema(readSchema)
+      .parquet(files.map(f => resolve(f._1).toString): _*), files)
+
+  /** J2 at O(deleted rows): delete by DELETION VECTOR instead of file
+    * rewrite. Matching rows' positions are found with one scan of the
+    * stats-overlapping files, unioned per file with any existing DV,
+    * encoded as roaring bitmaps on executors (inline z85 under
+    * [[inlineDvMaxBytes]], else a sidecar under the table root), and
+    * committed as manifest `dv` entries — zero data-file bytes are
+    * rewritten. A file whose every physical row is dead leaves the
+    * manifest entirely. Reads drop DV positions transparently; any
+    * rewrite (upsert / optimize / classic delete) materializes
+    * survivors and clears the file's DV.
+    *
+    * Scale contract vs [[deleteMatching]]: the classic path rewrites
+    * O(bytes of touched files); this path writes O(deleted rows)
+    * bitmap bytes — the right tool when deletes are sparse (GDPR
+    * erasure, record retractions) over huge clustered files.
+    */
+  def deleteMatchingDv(ids: DataFrame, key: String): Long = {
+    import spark.implicits._
+    val idsKeyed = ids.toDF(key).cache()
+    val result = try retry() {
+      val cur = latestVersion
+      val curV = cur.getOrElse(
+        throw new IllegalStateException(s"no table at $path"))
+      val files = fileListAt(curV)
+      val (nIds, mayOverlap) = keyProfile(idsKeyed, key)
+      val (touched, untouched) = files.partition(f => mayOverlap(f._2))
+      val kept = untouched.filterNot(_._2.rows == 0)
+      if (touched.isEmpty) {
+        // copy-forward commit, same contract as the rewrite path
+        commitFiles(None, kept, schema().json, cur, op = "DELETE")
+        nIds
+      } else {
+        // RAW scan (no DV filter): rows already dead may re-match;
+        // the per-file union with the existing DV dedups them
+        val matches = spark.read.schema(schema())
+          .parquet(touched.map(f => resolve(f._1).toString): _*)
+          .withColumn("_gdv_file", regexp_replace(
+            col("_metadata.file_path"), DvSchemeRe, "/"))
+          .withColumn("_gdv_pos", col("_metadata.row_index"))
+          .join(
+            if (nIds <= broadcastRowLimit) broadcast(idsKeyed)
+            else idsKeyed,
+            Seq(key), "left_semi")
+          .select(col("_gdv_file").as[String], col("_gdv_pos").as[Long])
+        val existing = touched.collect {
+          case (r, st) if st.dv.isDefined => r -> st.dv.get
+        }
+        val allDead =
+          if (existing.isEmpty) matches
+          else matches.union(dvPositions(existing)
+            .select(col("_gdv_file").as[String],
+              col("_gdv_pos").as[Long]))
+        val dvConf = new SerializableHadoopConf(
+          spark.sessionState.newHadoopConf())
+        val rootStr = root.toString
+        val inlineMax = inlineDvMaxBytes
+        // one encode task per touched file; positions of ONE file
+        // gather in its task (bounded by that file's rows — the same
+        // boundedness delta's DV writer assumes)
+        val encoded = allDead.groupByKey(_._1)
+          .mapGroups { (file, it) =>
+            val pos = it.map(_._2).toArray.distinct.sorted
+            val blob = DeletionVectors.encodePositions(pos)
+            if (blob.length <= inlineMax)
+              (file, "i", DeletionVectors.z85EncodePadded(blob), 0,
+                blob.length, pos.length.toLong)
+            else {
+              val d = DeletionVectors.writeSidecar(dvConf.value,
+                new HPath(rootStr), blob, pos.length.toLong)
+              (file, d.storageType, d.pathOrInlineDv, d.offset,
+                d.sizeInBytes, d.cardinality)
+            }
+          }.collect()
+          .map(e => e._1 ->
+            FileStats.DvInfo(e._2, e._3, e._4, e._5, e._6)).toMap
+        val qualified = touched.map { case (rel, st) =>
+          (fs.makeQualified(resolve(rel)).toUri.toString
+            .replaceFirst(DvSchemeRe, "/"), rel, st)
+        }
+        val updated = qualified.flatMap { case (q, rel, st) =>
+          encoded.get(q) match {
+            case Some(d) if d.card >= st.rows => None // fully dead
+            case Some(d) => Some(rel -> st.copy(dv = Some(d)))
+            case None => Some(rel -> st) // stats false positive
+          }
+        }
+        commitFiles(None, kept ++ updated, schema().json, cur,
+          op = "DELETE")
+        nIds
+      }
+    } finally idsKeyed.unpersist()
+    result
+  }
+
   def deleteMatching(ids: DataFrame, key: String): Long = {
     val idsKeyed = ids.toDF(key).cache()
     val result = try retry() {
@@ -1034,8 +1231,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       val newData =
         if (touched.isEmpty) None // no file can hold a listed key
         else {
-          val target = spark.read.schema(schema())
-            .parquet(touched.map(f => resolve(f._1).toString): _*)
+          val target = readFiles(touched, schema())
           val joined = target.join(
             if (nIds <= broadcastRowLimit) broadcast(idsKeyed)
             else idsKeyed,
@@ -1094,8 +1290,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         val smallBytes = small.map(f => sizes(f._1)).sum
         val n = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes)
           .min(Int.MaxValue).toInt
-        val read = spark.read.schema(schema())
-          .parquet(small.map(f => resolve(f._1).toString): _*)
+        val read = readFiles(small, schema())
         // incremental clustering: on a clustered table the coalesced
         // output is range-sorted on the cluster key so the NEW files
         // get disjoint, prunable stats — existing large files keep
@@ -1243,6 +1438,23 @@ final class ResourceTable(val spark: SparkSession, val path: String,
             s.getModificationTime < cutoff)
           fs.delete(s.getPath, true)
       }
+    // DV sidecars live at the table root: reap the ones the CURRENT
+    // manifest no longer references (rewrites clear DVs, leaving the
+    // .bin orphaned) past the same retention window. Old graft/delta
+    // log entries referencing a reaped sidecar break exactly like
+    // time travel to vacuumed data files — the documented contract.
+    val liveSidecars = fileListAt(cur).flatMap(_._2.dv)
+      .filter(_.st == "u")
+      .map(d => DeletionVectors
+        .filePath(root, d.descriptor).getName)
+      .toSet
+    fs.listStatus(root)
+      .filter(s => !s.isDirectory &&
+        s.getPath.getName.startsWith("deletion_vector_") &&
+        s.getPath.getName.endsWith(".bin") &&
+        !liveSidecars(s.getPath.getName) &&
+        s.getModificationTime < cutoff)
+      .foreach(s => if (!dryRun) fs.delete(s.getPath, false))
     n
   }
 

@@ -51,6 +51,109 @@ def complete_checkpoints(logdir):
     return out
 
 
+# ---- deletion vectors: z85 + RoaringBitmapArray portable decode ----
+# (public specs only: Delta PROTOCOL.md "Deletion Vectors" and the
+# RoaringFormatSpec portable container layout — mirrors the engine's
+# own decoder so this stays an INDEPENDENT read path)
+
+Z85 = ("0123456789abcdefghijklmnopqrstuvwxyz"
+       "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#")
+Z85_INV = {c: i for i, c in enumerate(Z85)}
+
+
+def z85_decode(s):
+    assert len(s) % 5 == 0, f"z85 length {len(s)}"
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        acc = 0
+        for c in s[i:i + 5]:
+            acc = acc * 85 + Z85_INV[c]
+        out += acc.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _decode_roaring32(buf, off, emit_base, out):
+    import struct as st
+    cookie = st.unpack_from("<i", buf, off)[0]
+    off += 4
+    has_run = (cookie & 0xFFFF) == 12347
+    if has_run:
+        size = (cookie >> 16) + 1
+        nbytes = (size + 7) // 8
+        run_bits = buf[off:off + nbytes]
+        off += nbytes
+    else:
+        assert cookie == 12346, f"bad roaring cookie {cookie}"
+        size = st.unpack_from("<i", buf, off)[0]
+        off += 4
+        run_bits = b""
+    keys, cards = [], []
+    for i in range(size):
+        k, c = st.unpack_from("<HH", buf, off)
+        keys.append(k)
+        cards.append(c + 1)
+        off += 4
+    if not has_run or size >= 4:
+        off += 4 * size  # offset table — sequential read ignores it
+    for i in range(size):
+        base = emit_base | (keys[i] << 16)
+        is_run = has_run and (run_bits[i // 8] >> (i % 8)) & 1
+        if is_run:
+            (n_runs,) = st.unpack_from("<H", buf, off)
+            off += 2
+            for _ in range(n_runs):
+                start, length = st.unpack_from("<HH", buf, off)
+                off += 4
+                out.extend(base | v for v in range(start, start + length + 1))
+        elif cards[i] <= 4096:
+            for _ in range(cards[i]):
+                (v,) = st.unpack_from("<H", buf, off)
+                off += 2
+                out.append(base | v)
+        else:
+            for w in range(1024):
+                (word,) = st.unpack_from("<Q", buf, off)
+                off += 8
+                if word:
+                    out.extend(base | (w * 64 + b)
+                               for b in range(64) if (word >> b) & 1)
+    return off
+
+
+def dv_positions(table, dv):
+    """Dead row positions of one add action's deletionVector."""
+    import struct as st
+    import uuid as uuidlib
+    import zlib
+    if dv["storageType"] == "i":
+        blob = z85_decode(dv["pathOrInlineDv"])
+    elif dv["storageType"] in ("u", "p"):
+        if dv["storageType"] == "u":
+            s = dv["pathOrInlineDv"]
+            prefix, enc = s[:-20], s[-20:]
+            u = uuidlib.UUID(bytes=z85_decode(enc))
+            p = os.path.join(table, prefix, f"deletion_vector_{u}.bin")
+        else:
+            p = dv["pathOrInlineDv"]
+        with open(p, "rb") as fh:
+            data = fh.read()
+        assert data[0] == 1, f"{p}: DV file version {data[0]}"
+        off = dv.get("offset", 1)
+        (size,) = st.unpack_from(">i", data, off)
+        blob = data[off + 4:off + 4 + size]
+        (crc,) = st.unpack_from(">i", data, off + 4 + size)
+        assert zlib.crc32(blob) & 0xFFFFFFFF == crc & 0xFFFFFFFF, \
+            f"{p}: DV checksum mismatch"
+    else:
+        raise AssertionError(f"storageType {dv['storageType']}")
+    magic, n = st.unpack_from("<iq", blob, 0)
+    assert magic == 1681511377, f"bad RoaringBitmapArray magic {magic}"
+    out, off = [], 12
+    for hi in range(n):
+        off = _decode_roaring32(blob, off, hi << 32, out)
+    return out
+
+
 def replay(table):
     logdir = os.path.join(table, "_delta_log")
     entries = sorted(
@@ -58,7 +161,7 @@ def replay(table):
         for f in os.listdir(logdir)
         if f.endswith(".json") and not f.startswith(".")
     )
-    live, txns, schema = {}, {}, None
+    live, dvs, txns, schema = {}, {}, {}, None
     complete = complete_checkpoints(logdir)
     pointed = -1
     lc = os.path.join(logdir, "_last_checkpoint")
@@ -75,11 +178,23 @@ def replay(table):
         parts = ", ".join(f"'{p}'" for p in complete[ckpt_v])
         ck = f"[{parts}]"
         con = duckdb.connect()
-        for (p, stats) in con.sql(
-            f"SELECT add.path, add.stats FROM parquet_scan({ck}) "
+        has_dv = con.sql(
+            f"SELECT count(*) FROM (DESCRIBE SELECT add.* FROM "
+            f"parquet_scan({ck}) LIMIT 0) WHERE column_name = "
+            "'deletionVector'"
+        ).fetchone()[0] > 0
+        dv_sel = (", to_json(add.deletionVector)" if has_dv
+                  else ", NULL")
+        for (p, stats, dv_s) in con.sql(
+            f"SELECT add.path, add.stats{dv_sel} FROM parquet_scan({ck}) "
             "WHERE add.path IS NOT NULL"
         ).fetchall():
             live[p] = stats
+            d = json.loads(dv_s) if dv_s else None
+            if d and d.get("storageType"):
+                dvs[p] = d
+            else:
+                dvs.pop(p, None)
         for (app, v) in con.sql(
             f"SELECT txn.appId, txn.version FROM parquet_scan({ck}) "
             "WHERE txn.appId IS NOT NULL"
@@ -103,11 +218,16 @@ def replay(table):
                     schema = json.loads(n["metaData"]["schemaString"])
                 if "add" in n:
                     live[n["add"]["path"]] = n["add"].get("stats")
+                    if n["add"].get("deletionVector"):
+                        dvs[n["add"]["path"]] = n["add"]["deletionVector"]
+                    else:
+                        dvs.pop(n["add"]["path"], None)
                 if "remove" in n:
                     live.pop(n["remove"]["path"], None)
+                    dvs.pop(n["remove"]["path"], None)
                 if "txn" in n:
                     txns[n["txn"]["appId"]] = n["txn"]["version"]
-    return live, txns, schema, ckpt_v
+    return live, dvs, txns, schema, ckpt_v
 
 
 SQLTYPE = {
@@ -119,14 +239,33 @@ SQLTYPE = {
 
 def main():
     table, expected = sys.argv[1], sys.argv[2]
-    live, txns, schema, ckpt_v = replay(table)
+    live, dvs, txns, schema, ckpt_v = replay(table)
     cols = [f["name"] for f in schema["fields"]]
     types = {f["name"]: f["type"] for f in schema["fields"]}
     con = duckdb.connect()
     ok = True
 
+    # deletion vectors: decode each live file's dead-position set and
+    # filter by parquet row number — the read-side contract a real DV
+    # consumer implements
+    con.sql("CREATE TABLE dv_dead (rel VARCHAR, pos BIGINT)")
+    n_dv = 0
+    for rel, dv in dvs.items():
+        pos = dv_positions(table, dv)
+        assert len(pos) == dv["cardinality"], (
+            f"{rel}: decoded {len(pos)} DV positions, descriptor "
+            f"promised {dv['cardinality']}")
+        con.executemany("INSERT INTO dv_dead VALUES (?, ?)",
+                        [(rel, p) for p in pos])
+        n_dv += 1
+    if n_dv:
+        print(f"dv: {n_dv} deletion vectors decoded "
+              f"({con.sql('SELECT count(*) FROM dv_dead').fetchone()[0]}"
+              " dead rows)")
+
     # 1. snapshot content: union of live files (null-filling columns a
-    #    file predates) must hash-match the expected dump
+    #    file predates, dropping DV-dead positions) must hash-match the
+    #    expected dump
     selects = []
     for rel in sorted(live):
         f = os.path.join(table, rel)
@@ -139,7 +278,13 @@ def main():
             else f'CAST(NULL AS {SQLTYPE[types[c]]}) AS "{c}"'
             for c in cols
         )
-        selects.append(f"SELECT {proj} FROM parquet_scan('{f}')")
+        if rel in dvs:
+            selects.append(
+                f"SELECT {proj} FROM parquet_scan('{f}', "
+                "file_row_number=true) WHERE file_row_number NOT IN "
+                f"(SELECT pos FROM dv_dead WHERE rel = '{rel}')")
+        else:
+            selects.append(f"SELECT {proj} FROM parquet_scan('{f}')")
     body = " UNION ALL ".join(selects)
     order = ", ".join(f'"{c}"' for c in cols)
     h1 = con.sql(
