@@ -45,7 +45,8 @@ object ScaleBench {
   private val Headline = Seq(
     "q_ingest_e2e", "q_dedup_fuzzy", "q_change_feed",
     "q_hybrid_retrieval", "q_ann_ivf_indexed", "q_stream_outer_join",
-    "q_delta_export", "x_decontaminate_ivf", "x_fuzzy_split")
+    "q_delta_export", "x_decontaminate_ivf", "x_fuzzy_split",
+    "x_delete_rewrite", "x_delete_dv")
 
   /** Scale-only cases that are not SparkEntry gates: shapes whose
     * scale story needs DIFFERENT fixture sizing than the sf0.01 gate.
@@ -55,7 +56,89 @@ object ScaleBench {
     * corpus side scales with the data) — the VERDICT r11 item-5
     * datapoint.
     */
+  /** One delete-fixture table per (variant, dir): a fresh copy of the
+    * scaled events table. The build is memoized (min-of-two then
+    * times the DELETE, not the load); each timed round deletes a
+    * DIFFERENT ~0.1% key slice (event_id ≡ round mod 1009) so repeat
+    * runs do comparable fresh work. Keys are uniform, so every file
+    * overlaps the batch — the rewrite path's worst case and exactly
+    * the sparse-erasure shape deletion vectors exist for.
+    */
+  private val deleteFixture =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.tables.ResourceTable]()
+  private val deleteRound =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+
+  private def deleteDemo(s: SparkSession, dir: String, variant: String)
+      : graft.tables.ResourceTable =
+    deleteFixture.computeIfAbsent(s"$variant:$dir", _ => {
+      // events (100M rows / several GB at 100×): big enough that the
+      // rewrite path's write amplification — clusterForWrite SHUFFLES
+      // and rewrites every overlapping file's bytes — costs real time;
+      // the DV path scans the same bytes but writes only bitmaps
+      // (smaller fixtures vanish in job overhead at local[32])
+      val base = s.read.parquet(s"$dir/events.parquet").repartition(32)
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_sdel_$variant").toString
+      val tab = graft.tables.ResourceTable(s, s"$tmp/e.parquet")
+        .createIfNotExists(base.schema)
+      tab.upsert(base, "event_id")
+      tab
+    })
+
+  private def nextSlice(key: String): Int =
+    deleteRound.computeIfAbsent(key,
+      _ => new java.util.concurrent.atomic.AtomicInteger(0))
+      .getAndIncrement()
+
+  /** Physical bytes under a local dir — measures each delete's WRITE
+    * AMPLIFICATION (the fast local SSD hides it in wall-clock; on an
+    * object store the written bytes ARE the cost).
+    */
+  private def dirBytes(path: String): Long = {
+    val root = java.nio.file.Paths.get(
+      new java.net.URI(path).getPath match {
+        case null => path.stripPrefix("file:")
+        case p => p
+      })
+    if (!java.nio.file.Files.exists(root)) return 0L
+    val s = java.nio.file.Files.walk(root)
+    try s.filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+    finally s.close()
+  }
+
+  private def timedDelete(tab: graft.tables.ResourceTable,
+                          variant: String)(op: => Long): Unit = {
+    val before = dirBytes(tab.path)
+    op
+    val wrote = dirBytes(tab.path) - before
+    System.err.println(
+      f"[delete-bytes] $variant%-10s wrote ${wrote / 1024.0 / 1024.0}%10.2f MiB")
+  }
+
   private val Extra: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J2 scale contrast: the SAME sparse uniform delete through the
+    // file-rewrite path vs the deletion-vector path — rewrite is
+    // O(bytes of every overlapping file), DV is O(deleted rows)
+    "x_delete_rewrite" -> ((s, dir) => {
+      val tab = deleteDemo(s, dir, "rw")
+      val i = nextSlice(s"rw:$dir")
+      timedDelete(tab, "rewrite")(tab.deleteMatching(
+        s.read.parquet(s"$dir/events.parquet")
+          .filter(col("event_id") % 1009 === i).select("event_id"),
+        "event_id"))
+      s.range(1).toDF("done")
+    }),
+    "x_delete_dv" -> ((s, dir) => {
+      val tab = deleteDemo(s, dir, "dv")
+      val i = nextSlice(s"dv:$dir")
+      timedDelete(tab, "dv")(tab.deleteMatchingDv(
+        s.read.parquet(s"$dir/events.parquet")
+          .filter(col("event_id") % 1009 === i).select("event_id"),
+        "event_id"))
+      s.range(1).toDF("done")
+    }),
     // q_dedup_fuzzy's shape with the triangle split engaged: per-task
     // work capped at 1000² gated comparisons regardless of how large
     // the hottest (lang, length-bucket) block grows — the VERDICT r11

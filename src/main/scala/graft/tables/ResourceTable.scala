@@ -1520,9 +1520,13 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"no table at $path"))
     val files = fileListAt(v)
+    // num_rows is the LIVE count: physical rows minus DV-dead rows —
+    // all from the manifest, no data read
     Seq((path, v, files.size.toLong, manifestBytes(files),
-        files.map(_._2.rows).sum))
-      .toDF("location", "version", "num_files", "size_bytes", "num_rows")
+        files.map(f => f._2.rows - f._2.dv.map(_.card).getOrElse(0L)).sum,
+        files.flatMap(_._2.dv).map(_.card).sum))
+      .toDF("location", "version", "num_files", "size_bytes",
+        "num_rows", "num_deletion_vector_rows")
   }
 
   /** Total physical bytes of manifest-referenced files — recorded

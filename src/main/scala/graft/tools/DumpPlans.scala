@@ -46,6 +46,7 @@ object DumpPlans {
     "q_delta_export_skip" -> "selective exported-log read: StatsFileIndex prunes files by the log's min/max stats before any footer opens",
     "q_dedup_semdedup" -> "SemDeDup: candidates hash-join on the IVF cell key (one shuffle), cosine verify inside the join — no corpus x corpus work",
     "q_kmeans" -> "k-means final assignment: argmax-cosine against LITERAL centroids — one scan, zero joins, zero shuffles; each Lloyd's update was one k*dim hash aggregate",
+    "q_delete_dv" -> "deletion-vector snapshot read: manifest-planned scan anti-joined against executor-decoded DV positions (broadcast while cardinality is manifest-bounded) — the deletes themselves wrote bitmaps, zero data files",
     "q_split_leakage_safe" -> "leakage-safe split: cluster-root map broadcast onto the corpus, md5 threshold row-local — corpus never shuffles")
 
   def main(args: Array[String]): Unit = {
