@@ -1121,6 +1121,22 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     applyDv(spark.read.schema(readSchema)
       .parquet(files.map(f => resolve(f._1).toString): _*), files)
 
+  /** Delta's `delta.enableDeletionVectors` analogue: once set, the
+    * standard [[deleteMatching]] routes through the deletion-vector
+    * path (zero file rewrites) — callers keep the MERGE-delete API
+    * and opt into the storage behavior per table, exactly how the
+    * property works on a Delta table. Also enableable session-wide
+    * via `graft.table.deletionVectors=true`.
+    */
+  def enableDeletionVectors(): ResourceTable = {
+    writeFile(new HPath(root, "_meta_dv_enabled"), "true")
+    this
+  }
+
+  private def dvEnabled: Boolean =
+    spark.conf.get("graft.table.deletionVectors", "false").toBoolean ||
+      fs.exists(new HPath(root, "_meta_dv_enabled"))
+
   /** J2 at O(deleted rows): delete by DELETION VECTOR instead of file
     * rewrite. Matching rows' positions are found with one scan of the
     * stats-overlapping files, unioned per file with any existing DV,
@@ -1216,6 +1232,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
   }
 
   def deleteMatching(ids: DataFrame, key: String): Long = {
+    if (dvEnabled) return deleteMatchingDv(ids, key)
     val idsKeyed = ids.toDF(key).cache()
     val result = try retry() {
       val cur = latestVersion

@@ -204,6 +204,19 @@ class DeletionVectorWriteSpec extends SparkSpec {
       s"python reader did not exercise the DV path:\n$out")
   }
 
+  test("enableDeletionVectors routes the standard deleteMatching through DVs") {
+    val t = ResourceTable(spark, s"${tmpDir("dv5")}/T.parquet")
+      .createIfNotExists(schema)
+      .enableDeletionVectors()
+    t.upsert(df((0 until 20).map(i => s"p$i" -> i): _*), "id")
+    val before = t.fileManifest(t.latestVersion.get).toSet
+    t.deleteMatching(df("p4" -> 0, "p9" -> 0).select("id"), "id")
+    assert(t.fileManifest(t.latestVersion.get).toSet == before,
+      "property-enabled deleteMatching must take the DV path")
+    assert(state(t).keySet ==
+      (0 until 20).map(i => s"p$i").toSet -- Set("p4", "p9"))
+  }
+
   test("huge-manifest streaming read path applies DVs") {
     val t = ResourceTable(spark, s"${tmpDir("dv4")}/T.parquet")
       .createIfNotExists(schema)
