@@ -204,6 +204,36 @@ class DeletionVectorWriteSpec extends SparkSpec {
       s"python reader did not exercise the DV path:\n$out")
   }
 
+  test("restore across DV versions keeps each version's dv state; export converges") {
+    val dir = tmpDir("dv6")
+    val t = ResourceTable(spark, s"$dir/T.parquet")
+      .createIfNotExists(schema)
+    t.upsert(df((0 until 15).map(i => s"v$i" -> i): _*), "id")
+    val vFull = t.latestVersion.get
+    t.deleteMatchingDv(df("v3" -> 0, "v8" -> 0).select("id"), "id")
+    val vDv = t.latestVersion.get
+    t.upsert(df("extra" -> 99), "id")
+    DeltaExport.export(t)
+
+    // restore to the DV'd version: its manifest carries the dv entry
+    t.restore(vDv)
+    assert(state(t).keySet ==
+      (0 until 15).map(i => s"v$i").toSet -- Set("v3", "v8"))
+    assert(t.fileListAt(t.latestVersion.get).exists(_._2.dv.isDefined),
+      "restore must carry the version's dv entries forward")
+
+    // restore to the pre-DV version: every row returns, dv gone
+    t.restore(vFull)
+    assert(state(t).keySet == (0 until 15).map(i => s"v$i").toSet)
+    assert(t.fileListAt(t.latestVersion.get).forall(_._2.dv.isEmpty))
+
+    // the export diff keys on (path, dv), so both restores export as
+    // dv-identity flips and the foreign reader tracks each state
+    DeltaExport.export(t)
+    assert(DeltaExport.readSnapshot(spark, s"$dir/T.parquet").collect()
+      .map(_.getString(0)).toSet == state(t).keySet)
+  }
+
   test("enableDeletionVectors routes the standard deleteMatching through DVs") {
     val t = ResourceTable(spark, s"${tmpDir("dv5")}/T.parquet")
       .createIfNotExists(schema)
