@@ -1901,6 +1901,43 @@ object SparkEntry {
           t(s, dir, "documents"), "doc_id", "source", k = 5)
         .select(col("source"), col("doc_id"), col("sample_rank"))),
 
+    // ---- deterministic training-shard manifest: stable md5 shard
+    //      assignment + the per-shard summary a dataloader reads ----
+    "q_train_shards" -> ((s, dir) =>
+      graft.ops.Sampling.shardManifest(
+        graft.ops.Sampling.shardAssign(
+          t(s, dir, "documents"), "doc_id", "sh1", nShards = 16),
+        "doc_id", "n_chars")),
+
+    // ---- canonical-URL dedup: the crawl's re-fetch variants (scheme
+    //      case, www, tracking params, fragments, trailing slash)
+    //      collapse onto one canonical key; first-crawled doc wins.
+    //      Variants are synthesized 3-per-page from doc_id since the
+    //      fixture has no URL column ----
+    "q_dedup_url" -> ((s, dir) => {
+      val page = expr("doc_id DIV 3").cast("string")
+      val host = concat(lit("h"), expr("(doc_id DIV 3) % 50").cast("string"))
+      val url = when(col("doc_id") % 3 === 0,
+          concat(lit("https://www."), host,
+            lit(".example.com/p/"), page, lit("?utm_source=feed&id="), page))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("HTTP://"), host,
+            lit(".EXAMPLE.com/p/"), page, lit("?id="), page,
+            lit("&utm_campaign=x")))
+        .otherwise(
+          concat(lit("https://"), host,
+            lit(".example.com/p/"), page, lit("/?id="), page,
+            lit("#sec-2")))
+      graft.ops.Urls.dedupByUrl(
+        t(s, dir, "documents").withColumn("url", url), "url", "doc_id")
+    }),
+
+    // ---- fixed-weight linear quality classifier: the fasttext-style
+    //      keep/drop gate between heuristic filters and dedup ----
+    "q_quality_classifier" -> ((s, dir) =>
+      TextStats.qualityScore(t(s, dir, "documents"))
+        .select(col("doc_id"), col("quality_score"), col("keep"))),
+
     // ---- sliding event-time windows (10 min length / 5 min slide):
     //      each event lands in two overlapping windows; watermarked
     //      state is dropped as windows close ----
@@ -2578,6 +2615,83 @@ object SparkEntry {
         |            WHEN 'fr' THEN '8000' WHEN 'zh' THEN '1999'
         |            ELSE '0000' END
         |GROUP BY lang""".stripMargin,
+
+    // shard = (first 16 md5 bits) mod 16 — exact integer arithmetic
+    "q_train_shards" ->
+      """SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_size,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM (
+        |  SELECT doc_id, n_chars,
+        |    ('0x' || substr(md5('sh1:' || CAST(doc_id AS VARCHAR)), 1, 4))
+        |      ::BIGINT % 16 AS shard
+        |  FROM documents)
+        |GROUP BY shard""".stripMargin,
+
+    "q_dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN 'https://www.h' || CAST((doc_id // 3) % 50 AS VARCHAR)
+        |        || '.example.com/p/' || CAST(doc_id // 3 AS VARCHAR)
+        |        || '?utm_source=feed&id=' || CAST(doc_id // 3 AS VARCHAR)
+        |      WHEN 1 THEN 'HTTP://h' || CAST((doc_id // 3) % 50 AS VARCHAR)
+        |        || '.EXAMPLE.com/p/' || CAST(doc_id // 3 AS VARCHAR)
+        |        || '?id=' || CAST(doc_id // 3 AS VARCHAR) || '&utm_campaign=x'
+        |      ELSE 'https://h' || CAST((doc_id // 3) % 50 AS VARCHAR)
+        |        || '.example.com/p/' || CAST(doc_id // 3 AS VARCHAR)
+        |        || '/?id=' || CAST(doc_id // 3 AS VARCHAR) || '#sec-2'
+        |    END AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(url),
+        |      '^[a-z][a-z0-9+.-]*://', '', 'g'),
+        |      '^www\.', '', 'g'),
+        |      '#.*$', '', 'g'),
+        |      '(utm_[a-z]+|fbclid|gclid|msclkid)=[^&#]*&?', '', 'g'),
+        |      '[?&]+$', '', 'g'),
+        |      '/\?', '?', 'g'),
+        |      '/$', '', 'g') AS canonical_url
+        |  FROM u)
+        |SELECT canonical_url, min(doc_id) AS doc_id,
+        |  count(*) AS n_variants
+        |FROM c GROUP BY canonical_url""".stripMargin,
+
+    // same feature expressions as q_text_quality, same left-assoc
+    // double arithmetic as TextStats.qualityScore — bit-identical
+    "q_quality_classifier" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> x != '')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+        |      AS n_nonspace,
+        |    CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> lower(x) IN ('the','a','of','and','to','in','is','it')))
+        |      AS BIGINT) AS stop_cnt,
+        |    CAST(length(list_filter(string_split(text, ''),
+        |        x -> regexp_matches(x, '[[:punct:]]'))) AS BIGINT) AS punct_cnt
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(n_nonspace AS DOUBLE)
+        |      / CAST(greatest(n_tokens, 1) AS DOUBLE) AS awl,
+        |    CAST(stop_cnt AS DOUBLE)
+        |      / CAST(greatest(n_tokens, 1) AS DOUBLE) AS swr,
+        |    CAST(punct_cnt AS DOUBLE)
+        |      / CAST(greatest(n_chars, 1) AS DOUBLE) AS pr,
+        |    CAST(n_tokens AS DOUBLE)
+        |      / (CAST(n_tokens AS DOUBLE) + 50.0) AS lt
+        |  FROM f)
+        |SELECT doc_id,
+        |  -0.6 + 0.12 * awl + 2.4 * swr - 1.8 * pr + 0.9 * lt
+        |    AS quality_score,
+        |  (-0.6 + 0.12 * awl + 2.4 * swr - 1.8 * pr + 0.9 * lt) >= 0.5
+        |    AS keep
+        |FROM s""".stripMargin,
 
     "q_stream_ann" ->
       """SELECT a.vec_id + 100000 AS q_id, b.vec_id AS c_id

@@ -155,6 +155,43 @@ object Sampling {
       .filter(col("sample_rank") <= k)
   }
 
+  /** Deterministic training-shard assignment — the last step of a
+    * corpus pipeline: every document gets a stable shard id in
+    * [0, nShards) so dataloaders can consume the corpus as N
+    * independent, balanced streams. Like [[hashSplit]], the
+    * assignment is a pure function of (salt, id): re-runs, appends
+    * and re-shardings of the PIPELINE never move a document between
+    * shards, and any engine that can md5 a string reproduces the
+    * layout (the oracle does).
+    *
+    * shard = (first 16 hash bits) mod nShards — uniform to 1/65536,
+    * exact integer arithmetic after the hash. Row-local projection;
+    * the physical write (`df.write.partitionBy(shardCol)` or
+    * `repartition(col(shardCol))`) is one shuffle by shard — the
+    * minimum any sharded layout costs. nShards ≤ 65536.
+    */
+  def shardAssign(df: DataFrame, idCol: String, salt: String,
+                  nShards: Int, shardCol: String = "shard"): DataFrame = {
+    require(nShards >= 1 && nShards <= 65536,
+      s"nShards must be in [1, 65536], got $nShards")
+    val h16 = conv(substring(splitHash(col(idCol), salt), 1, 4), 16, 10)
+      .cast("long")
+    df.withColumn(shardCol, pmod(h16, lit(nShards.toLong)))
+  }
+
+  /** Shard manifest for a dataloader: per-shard document count, total
+    * payload size and id range — what a training job reads INSTEAD of
+    * listing 100 TB of files. One hash aggregate over nShards groups.
+    * `sizeCol` is any per-row size metric (chars, bytes, tokens).
+    */
+  def shardManifest(df: DataFrame, idCol: String, sizeCol: String,
+                    shardCol: String = "shard"): DataFrame =
+    df.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(sizeCol)).as("total_size"),
+        min(col(idCol)).as("min_id"),
+        max(col(idCol)).as("max_id"))
+
   /** Leakage-safe train/val/test split: rows are split by the hash of
     * their DUPLICATE-CLUSTER root, not their own id, so near-duplicate
     * documents can never straddle a split boundary (the classic

@@ -125,6 +125,39 @@ object TextStats {
       when(size(toks) <= lit(mask.toInt), fast).otherwise(exactWide))
   }
 
+  /** Fixed-weight linear quality classifier — the cheap fasttext-style
+    * keep/drop gate every crawl pipeline runs between the heuristic
+    * filters and the expensive dedup stages. The model is a linear
+    * score over [[qualityFeatures]]-derived signals; weights are
+    * compiled in (a real deployment loads them from a trained model —
+    * the plumbing, not the training, is the engine's job):
+    *
+    *   score = b + w_awl·avg_word_len + w_sw·stopword_ratio
+    *             + w_p·punct_ratio + w_len·(n_tokens/(n_tokens+50))
+    *
+    * The length term is a SATURATING RATIONAL, not log(n): it has the
+    * same shape (rewards longer docs with diminishing returns) using
+    * only IEEE +,·,÷ — bit-deterministic on every engine, where
+    * transcendentals differ in the last ulp between libm
+    * implementations. That keeps the gate hash-matchable.
+    *
+    * Row-local projection over one scan — no shuffle, no UDF;
+    * scan-scales to 100 TB.
+    */
+  def qualityScore(df: DataFrame, textCol: String = "text",
+                   threshold: Double = 0.5): DataFrame = {
+    val f = qualityFeatures(df, textCol)
+    val lenTerm = col("n_tokens").cast("double") /
+      (col("n_tokens").cast("double") + lit(50.0))
+    val score = lit(-0.6) +
+      lit(0.12) * col("avg_word_len") +
+      lit(2.4) * col("stopword_ratio") -
+      lit(1.8) * col("punct_ratio") +
+      lit(0.9) * lenTerm
+    f.withColumn("quality_score", score)
+      .withColumn("keep", score >= lit(threshold))
+  }
+
   /** PII redaction for training corpora: emails and long digit runs
     * (phone-ish) replaced with placeholder tokens. RE2-compatible
     * patterns (no lookaround) so the same regexes run in the DuckDB

@@ -47,7 +47,10 @@ object DumpPlans {
     "q_dedup_semdedup" -> "SemDeDup: candidates hash-join on the IVF cell key (one shuffle), cosine verify inside the join — no corpus x corpus work",
     "q_kmeans" -> "k-means final assignment: argmax-cosine against LITERAL centroids — one scan, zero joins, zero shuffles; each Lloyd's update was one k*dim hash aggregate",
     "q_delete_dv" -> "deletion-vector snapshot read: manifest-planned scan anti-joined against executor-decoded DV positions (broadcast while cardinality is manifest-bounded) — the deletes themselves wrote bitmaps, zero data files",
-    "q_split_leakage_safe" -> "leakage-safe split: cluster-root map broadcast onto the corpus, md5 threshold row-local — corpus never shuffles")
+    "q_split_leakage_safe" -> "leakage-safe split: cluster-root map broadcast onto the corpus, md5 threshold row-local — corpus never shuffles",
+    "q_dedup_url" -> "canonical-URL dedup: regexp canonicalization fused into the scan projection, ONE hash aggregate on the near-unique canonical key — the cheapest dedup pass runs first",
+    "q_train_shards" -> "training-shard manifest: row-local md5 shard assignment, one nShards-group hash aggregate — the corpus shuffles zero times to PLAN the layout",
+    "q_quality_classifier" -> "linear quality gate: every feature and the score fused into one codegen'd scan projection — row-local, zero shuffles, zero UDFs")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
