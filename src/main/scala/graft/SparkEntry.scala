@@ -1938,6 +1938,62 @@ object SparkEntry {
       TextStats.qualityScore(t(s, dir, "documents"))
         .select(col("doc_id"), col("quality_score"), col("keep"))),
 
+    // ---- END-TO-END training-data ingest: a REAL streaming query
+    //      chains quality gate -> canonical-URL keep-first -> shard
+    //      assignment -> INSERT-ONLY merge (zero file rewrites,
+    //      exactly-once txn watermarks) into an ACID table, across
+    //      three ordered micro-batches; the driver-side batch split
+    //      is gate fixture, not engine. Cross-batch keep-first +
+    //      in-batch min(doc_id) + doc_id-ordered batches == the
+    //      global min-per-canonical the oracle computes ----
+    "q_train_ingest_e2e" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val fixture = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val batches = fixture.grouped(
+        math.max((fixture.length + 2) / 3, 1)).toSeq
+      val tableDir = java.nio.file.Files
+        .createTempDirectory("graft_train_ingest").toString
+      val tab = graft.tables.ResourceTable(s, s"$tableDir/docs.parquet")
+      tab.createIfNotExists(StructType(Seq(
+        StructField("canonical_url", StringType),
+        StructField("doc_id", LongType),
+        StructField("shard", LongType))))
+      val ms = MemoryStream[(Long, String)]
+      val q = ms.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val page = expr("doc_id DIV 3").cast(StringType)
+          val host = concat(lit("h"),
+            expr("(doc_id DIV 3) % 50").cast(StringType))
+          val url = when(col("doc_id") % 3 === 0,
+              concat(lit("https://www."), host, lit(".example.com/p/"),
+                page, lit("?utm_source=feed&id="), page))
+            .when(col("doc_id") % 3 === 1,
+              concat(lit("HTTP://"), host, lit(".EXAMPLE.com/p/"),
+                page, lit("?id="), page, lit("&utm_campaign=x")))
+            .otherwise(
+              concat(lit("https://"), host, lit(".example.com/p/"),
+                page, lit("/?id="), page, lit("#sec-2")))
+          val kept = TextStats.qualityScore(batch).filter(col("keep"))
+            .withColumn("canonical_url", graft.ops.Urls.canonicalize(url))
+          val firstPerKey = kept.groupBy(col("canonical_url"))
+            .agg(min(col("doc_id")).as("doc_id"))
+          val sharded = graft.ops.Sampling
+            .shardAssign(firstPerKey, "doc_id", "sh1", nShards = 16)
+            .select(col("canonical_url"), col("doc_id"), col("shard"))
+          tab.insertIfAbsent(sharded, "canonical_url",
+            txn = Some(("train_ingest", batchId)))
+          ()
+        }.start()
+      try batches.foreach { b =>
+        ms.addData(b.toIndexedSeq); q.processAllAvailable()
+      } finally q.stop()
+      tab.read()
+    }),
+
     // ---- sliding event-time windows (10 min length / 5 min slide):
     //      each event lands in two overlapping windows; watermarked
     //      state is dropped as windows close ----
@@ -2692,6 +2748,70 @@ object SparkEntry {
         |  (-0.6 + 0.12 * awl + 2.4 * swr - 1.8 * pr + 0.9 * lt) >= 0.5
         |    AS keep
         |FROM s""".stripMargin,
+
+    // the streamed pipeline's cross-batch keep-first over doc_id-
+    // ordered batches == a global min-per-canonical over kept docs
+    "q_train_ingest_e2e" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> x != '')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+        |      AS n_nonspace,
+        |    CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> lower(x) IN ('the','a','of','and','to','in','is','it')))
+        |      AS BIGINT) AS stop_cnt,
+        |    CAST(length(list_filter(string_split(text, ''),
+        |        x -> regexp_matches(x, '[[:punct:]]'))) AS BIGINT) AS punct_cnt
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(n_nonspace AS DOUBLE)
+        |      / CAST(greatest(n_tokens, 1) AS DOUBLE) AS awl,
+        |    CAST(stop_cnt AS DOUBLE)
+        |      / CAST(greatest(n_tokens, 1) AS DOUBLE) AS swr,
+        |    CAST(punct_cnt AS DOUBLE)
+        |      / CAST(greatest(n_chars, 1) AS DOUBLE) AS pr,
+        |    CAST(n_tokens AS DOUBLE)
+        |      / (CAST(n_tokens AS DOUBLE) + 50.0) AS lt
+        |  FROM f),
+        |kq AS (
+        |  SELECT doc_id FROM s
+        |  WHERE (-0.6 + 0.12 * awl + 2.4 * swr - 1.8 * pr + 0.9 * lt) >= 0.5),
+        |u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN 'https://www.h' || CAST((doc_id // 3) % 50 AS VARCHAR)
+        |        || '.example.com/p/' || CAST(doc_id // 3 AS VARCHAR)
+        |        || '?utm_source=feed&id=' || CAST(doc_id // 3 AS VARCHAR)
+        |      WHEN 1 THEN 'HTTP://h' || CAST((doc_id // 3) % 50 AS VARCHAR)
+        |        || '.EXAMPLE.com/p/' || CAST(doc_id // 3 AS VARCHAR)
+        |        || '?id=' || CAST(doc_id // 3 AS VARCHAR) || '&utm_campaign=x'
+        |      ELSE 'https://h' || CAST((doc_id // 3) % 50 AS VARCHAR)
+        |        || '.example.com/p/' || CAST(doc_id // 3 AS VARCHAR)
+        |        || '/?id=' || CAST(doc_id // 3 AS VARCHAR) || '#sec-2'
+        |    END AS url
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM kq)),
+        |c AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(url),
+        |      '^[a-z][a-z0-9+.-]*://', '', 'g'),
+        |      '^www\.', '', 'g'),
+        |      '#.*$', '', 'g'),
+        |      '(utm_[a-z]+|fbclid|gclid|msclkid)=[^&#]*&?', '', 'g'),
+        |      '[?&]+$', '', 'g'),
+        |      '/\?', '?', 'g'),
+        |      '/$', '', 'g') AS canonical_url
+        |  FROM u),
+        |fk AS (
+        |  SELECT canonical_url, min(doc_id) AS doc_id
+        |  FROM c GROUP BY canonical_url)
+        |SELECT canonical_url, doc_id,
+        |  ('0x' || substr(md5('sh1:' || CAST(doc_id AS VARCHAR)), 1, 4))
+        |    ::BIGINT % 16 AS shard
+        |FROM fk""".stripMargin,
 
     "q_stream_ann" ->
       """SELECT a.vec_id + 100000 AS q_id, b.vec_id AS c_id

@@ -1008,6 +1008,64 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     result
   }
 
+  /** INSERT-ONLY MERGE — Delta's `whenNotMatchedInsertAll`-only merge
+    * with its headline optimization: matched rows stay untouched, so
+    * NO existing file is rewritten at any overlap — surviving source
+    * rows land as new files and every live file carries forward by
+    * manifest reference. The only table data read is the KEY COLUMN
+    * of stat-overlapping files (manifest min/max pruning first, then
+    * a column-pruned scan with deletion vectors applied), anti-joined
+    * against the bounded batch. This is the dedup-ingest primitive
+    * (keep-FIRST semantics): re-deliveries and re-crawls of known
+    * keys drop, new keys append — O(batch + overlapping-keys) work at
+    * any table size, where `upsert` pays O(batch + overlapping-file
+    * ROWS) plus the rewrite.
+    *
+    * Delta semantics for in-batch duplicates: source rows that share
+    * a key ALL insert when the key is absent — pre-aggregate the
+    * batch if keys must stay unique (the caller owns batch-internal
+    * dedup, as with `upsert`'s W1 contract).
+    *
+    * `txn = Some((appId, batchId))` gives idempotent replays exactly
+    * like [[append]]. Returns rows actually inserted.
+    */
+  def insertIfAbsent(source: DataFrame, key: String,
+                     txn: Option[(String, Long)] = None): Long = {
+    val src = source.cache()
+    try enforceConstraints(src)
+    catch { case e: Throwable => src.unpersist(); throw e }
+    val result = try retry() {
+      val cur = latestVersion
+      val curV = cur.getOrElse(
+        throw new IllegalStateException(s"no table at $path"))
+      val replayed = txn.exists { case (app, batch) =>
+        FileStats.txnsOf(commitBody(curV)).get(app).exists(batch <= _)
+      }
+      if (replayed) 0L
+      else {
+        val tableSchema = schema()
+        val outCols = tableSchema.fieldNames.toSeq
+        val live = fileListAt(curV).filterNot(_._2.rows == 0)
+        val (_, mayOverlap) = keyProfile(src, key)
+        val touched = live.filter(f => mayOverlap(f._2))
+        val srcOut = src.select(outCols.map(col): _*)
+        val newRows =
+          if (touched.isEmpty) srcOut
+          else {
+            // key-column-only scan of just the overlapping files;
+            // readFiles applies DVs, so a DV-deleted key no longer
+            // blocks re-insertion (Delta's read-state semantics)
+            val existing = readFiles(touched, tableSchema).select(key)
+            srcOut.join(existing, Seq(key), "left_anti")
+          }
+        commitCounted(newRows, outCols, tableSchema.json, live, cur,
+          op = "MERGE", txn = txn)
+      }
+    } finally src.unpersist()
+    maybeAutoCompact()
+    result
+  }
+
   /** Write `src` projected to `outCols` as a commit's new data,
     * returning the row count observed ON the write job itself (or via
     * the one explicit count optimizedWrite needs to size its range
