@@ -46,7 +46,8 @@ object ScaleBench {
     "q_ingest_e2e", "q_dedup_fuzzy", "q_change_feed",
     "q_hybrid_retrieval", "q_ann_ivf_indexed", "q_stream_outer_join",
     "q_delta_export", "x_decontaminate_ivf", "x_fuzzy_split",
-    "x_delete_rewrite", "x_delete_dv")
+    "x_delete_rewrite", "x_delete_dv",
+    "x_url_dedup", "x_upsert_overlap", "x_insert_absent")
 
   /** Scale-only cases that are not SparkEntry gates: shapes whose
     * scale story needs DIFFERENT fixture sizing than the sf0.01 gate.
@@ -156,7 +157,55 @@ object ScaleBench {
         emb.filter(col("vec_id") < 500),
         threshold = 0.45, nCells = 8, dim = 64, probes = 2)
         .select(col("vec_id"), col("label"))
+    }),
+    // canonical-URL dedup over the whole scaled corpus: one row-local
+    // regexp projection + one hash aggregate on the near-unique
+    // canonical key — expected ~linear (ratio ≈ Copies at 10×)
+    "x_url_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val page = expr("doc_id DIV 3").cast("string")
+      val host = concat(lit("h"), expr("(doc_id DIV 3) % 50").cast("string"))
+      val url = when(col("doc_id") % 3 === 0,
+          concat(lit("https://www."), host, lit(".example.com/p/"), page,
+            lit("?utm_source=feed&id="), page))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("HTTP://"), host, lit(".EXAMPLE.com/p/"), page,
+            lit("?id="), page, lit("&utm_campaign=x")))
+        .otherwise(concat(lit("https://"), host, lit(".example.com/p/"),
+          page, lit("/?id="), page, lit("#sec-2")))
+      graft.ops.Urls.dedupByUrl(
+        docs.withColumn("url", url), "url", "doc_id")
+    }),
+    // J1 scale contrast: the SAME half-known/half-new dedup-ingest
+    // batch through classic MERGE (rewrites every overlapping file)
+    // vs INSERT-ONLY merge (reads only the key column, writes only
+    // the genuinely-new rows). Uniform keys mod 2003 overlap every
+    // file — the re-crawl ingest worst case insertIfAbsent exists for.
+    "x_upsert_overlap" -> ((s, dir) => {
+      val tab = deleteDemo(s, dir, "ups")
+      val i = nextSlice(s"ups:$dir")
+      timedDelete(tab, "upsert")(
+        tab.upsert(ingestBatch(s, dir, i), "event_id"))
+      s.range(1).toDF("done")
+    }),
+    "x_insert_absent" -> ((s, dir) => {
+      val tab = deleteDemo(s, dir, "ins")
+      val i = nextSlice(s"ins:$dir")
+      timedDelete(tab, "insert_only")(
+        tab.insertIfAbsent(ingestBatch(s, dir, i), "event_id"))
+      s.range(1).toDF("done")
     }))
+
+  /** ~0.1% ingest batch, half re-delivered known keys + half new keys
+    * (shifted past every scaled id) — each round a different slice.
+    */
+  private def ingestBatch(s: SparkSession, dir: String, round: Int)
+      : DataFrame = {
+    val slice = s.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_id") % 2003 === round)
+    slice.unionByName(slice.withColumn("event_id",
+      col("event_id") + lit(2000000000L)))
+  }
 
   private def offset(c: org.apache.spark.sql.Column) =
     col("copy") * lit(10000000L) + c

@@ -1994,6 +1994,37 @@ object SparkEntry {
       tab.read()
     }),
 
+    // ---- incremental LSH-index maintenance from the change feed:
+    //      refresh(index@v1, CDF v1->v2) must equal a from-scratch
+    //      rebuild over v2 — the gate ASSERTS the equality (multiset,
+    //      signatures included) and emits the decidable row the
+    //      oracle replays: 4 band rows per >=3-token doc ----
+    "q_index_refresh" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tableDir = java.nio.file.Files
+        .createTempDirectory("graft_idx_refresh").toString
+      val tab = graft.tables.ResourceTable(s, s"$tableDir/docs.parquet")
+      tab.createIfNotExists(docs.schema)
+      tab.upsert(docs.filter(col("doc_id") % 10 =!= 0), "doc_id")
+      val v1 = tab.latestVersion.get
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+        .unionByName(docs
+          .filter(col("doc_id") % 7 === 0 && col("doc_id") % 10 =!= 0)
+          .withColumn("text", concat(col("text"), lit(" upd v2"))))
+      tab.upsert(batch, "doc_id")
+      val v2 = tab.latestVersion.get
+      val idx1 = Dedup.bandedIndex(tab.readVersion(v1), "doc_id", "text")
+      val refreshed = Dedup.refreshBandedIndex(idx1,
+        tab.changes(v1, v2, "doc_id"), "doc_id", "text").cache()
+      val rebuilt = Dedup.bandedIndex(tab.read(), "doc_id", "text").cache()
+      val equal = refreshed.exceptAll(rebuilt).count() == 0 &&
+        rebuilt.exceptAll(refreshed).count() == 0
+      val n = rebuilt.count()
+      refreshed.unpersist(); rebuilt.unpersist()
+      Seq((equal, n)).toDF("refresh_equals_rebuild", "n_index_rows")
+    }),
+
     // ---- sliding event-time windows (10 min length / 5 min slide):
     //      each event lands in two overlapping windows; watermarked
     //      state is dropped as windows close ----
@@ -2812,6 +2843,20 @@ object SparkEntry {
         |  ('0x' || substr(md5('sh1:' || CAST(doc_id AS VARCHAR)), 1, 4))
         |    ::BIGINT % 16 AS shard
         |FROM fk""".stripMargin,
+
+    // the TRUE asserts refresh == rebuild inside the gate; the row
+    // count is 4 bands x every post-change doc with >= 3 tokens
+    "q_index_refresh" ->
+      """WITH post AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 AND doc_id % 10 != 0
+        |         THEN text || ' upd v2' ELSE text END AS text
+        |  FROM documents)
+        |SELECT TRUE AS refresh_equals_rebuild,
+        |  CAST(4 * count(*) AS BIGINT) AS n_index_rows
+        |FROM post
+        |WHERE length(list_filter(string_split_regex(trim(text), '\s+'),
+        |  x -> x != '')) >= 3""".stripMargin,
 
     "q_stream_ann" ->
       """SELECT a.vec_id + 100000 AS q_id, b.vec_id AS c_id

@@ -523,4 +523,35 @@ object Dedup {
       .select(col("_in_doc").as("doc"), col("doc").as("corpus_doc"),
         col("est_jaccard"))
   }
+
+  /** Incrementally maintain a [[bandedIndex]] from a table's change
+    * feed (ResourceTable.changes CDF rows carrying `_change_type`):
+    * deleted and update-PREIMAGE docs leave the index, inserted and
+    * update-POSTIMAGE docs are re-signed and added. The result is
+    * row-identical to rebuilding `bandedIndex` from the post-change
+    * corpus (IndexRefreshSpec proves set equality), but costs
+    * O(index scan + changed docs) instead of O(corpus re-hash):
+    * the changed-doc id set is a bounded micro-batch, so it
+    * BROADCASTS into the anti-join and the index itself never
+    * shuffles — at 100 TB the corpus is never re-read at all, only
+    * the CDF slice is. `k/bands/w` MUST match the index's build
+    * parameters (as with [[nearDupAgainstIndex]]).
+    */
+  def refreshBandedIndex(index: DataFrame, changes: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int = 16, bands: Int = 4, w: Int = 3)
+      : DataFrame = {
+    val removed = changes
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .select(col(idCol).as("doc")).distinct()
+    val added = changes
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .select(col(idCol), col(textCol))
+    index.join(broadcast(removed), Seq("doc"), "left_anti")
+      .unionByName(bandedIndex(added, idCol, textCol, k, bands, w))
+      // the equi-join reorders `doc` first; restore bandedIndex's
+      // column order so refresh output is drop-in (positional set ops
+      // and writers see the same shape as a fresh build)
+      .select(col("band_idx"), col("band_hash"), col("doc"), col("sig"))
+  }
 }

@@ -1056,7 +1056,9 @@ final class ResourceTable(val spark: SparkSession, val path: String,
             // readFiles applies DVs, so a DV-deleted key no longer
             // blocks re-insertion (Delta's read-state semantics)
             val existing = readFiles(touched, tableSchema).select(key)
-            srcOut.join(existing, Seq(key), "left_anti")
+            val joined = srcOut.join(existing, Seq(key), "left_anti")
+            lastMergePlan = Some(joined.queryExecution.sparkPlan.toString)
+            joined
           }
         commitCounted(newRows, outCols, tableSchema.json, live, cur,
           op = "MERGE", txn = txn)

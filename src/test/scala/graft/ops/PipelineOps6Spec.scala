@@ -83,6 +83,71 @@ class QualityClassifierSpec extends SparkSpec {
   }
 }
 
+class IndexRefreshSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CDF refresh equals from-scratch rebuild across insert/update/delete") {
+    val v1docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark engines and scale are a different topic entirely"),
+      (3L, "this document will be deleted in version two"),
+      (4L, "this document will be updated in version two")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("idx_refresh_spec").toString
+    val tab = graft.tables.ResourceTable(spark, s"$dir/d.parquet")
+    tab.createIfNotExists(v1docs.schema)
+    tab.upsert(v1docs, "doc_id")
+    val v1 = tab.latestVersion.get
+    tab.upsert(Seq(
+      (4L, "now a completely rewritten fourth document body"),
+      (5L, "a brand new fifth document arriving in version two")
+    ).toDF("doc_id", "text"), "doc_id")
+    tab.deleteMatching(Seq(3L).toDF("doc_id"), "doc_id")
+    val v2 = tab.latestVersion.get
+
+    val refreshed = graft.ops.Dedup.refreshBandedIndex(
+      graft.ops.Dedup.bandedIndex(tab.readVersion(v1), "doc_id", "text"),
+      tab.changes(v1, v2, "doc_id"), "doc_id", "text")
+    val rebuilt = graft.ops.Dedup.bandedIndex(tab.read(), "doc_id", "text")
+    assert(refreshed.exceptAll(rebuilt).count() == 0)
+    assert(rebuilt.exceptAll(refreshed).count() == 0)
+    // sanity: deleted doc gone, new doc present
+    val docsInIdx = refreshed.select("doc").distinct()
+      .as[Long].collect().toSet
+    assert(docsInIdx == Set(1L, 2L, 4L, 5L))
+  }
+
+  test("a refreshed index answers near-dup probes like a rebuilt one") {
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("idx_refresh_probe").toString
+    val tab = graft.tables.ResourceTable(spark, s"$dir/d.parquet")
+    tab.createIfNotExists(base.schema)
+    tab.upsert(base, "doc_id")
+    val v1 = tab.latestVersion.get
+    // an exact twin of doc 1: jaccard 1.0 co-buckets in EVERY band, so
+    // the probe hit is deterministic (a 0.7-jaccard near-dup may
+    // legitimately miss all 4 bands — that's LSH recall, not refresh)
+    tab.upsert(Seq(
+      (3L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text"), "doc_id")
+    val idx = graft.ops.Dedup.refreshBandedIndex(
+      graft.ops.Dedup.bandedIndex(tab.readVersion(v1), "doc_id", "text"),
+      tab.changes(v1, tab.latestVersion.get, "doc_id"), "doc_id", "text")
+    val probe = Seq((99L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val hits = graft.ops.Dedup.nearDupAgainstIndex(probe, idx,
+        "doc_id", "text", minJaccard = 0.4)
+      .select("corpus_doc").distinct().as[Long].collect().toSet
+    assert(hits.contains(1L)) // exact twin, in the index since v1
+    assert(hits.contains(3L)) // near-dup that arrived via the refresh
+  }
+}
+
 class ShardAssignSpec extends SparkSpec {
   import spark.implicits._
 
