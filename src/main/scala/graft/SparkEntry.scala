@@ -1994,6 +1994,37 @@ object SparkEntry {
       tab.read()
     }),
 
+    // ---- term-frequency hash embedding (hashing trick): model-free
+    //      deterministic text vectors, exact-oracled via the splitmix
+    //      token-hash replay; output scalars derived from the vector ----
+    "q_hash_embed" -> ((s, dir) => {
+      val emb = TextStats.hashEmbedding(t(s, dir, "documents"))
+      emb.select(col("doc_id"),
+        aggregate(col("hash_vec"), lit(0L),
+          (a, v) => a + v.cast(LongType) * v.cast(LongType)).as("l2sq"),
+        size(filter(col("hash_vec"), v => v > 0)).cast(LongType).as("nnz"),
+        (array_position(col("hash_vec"), array_max(col("hash_vec"))) - 1)
+          .as("top_bucket"))
+    }),
+
+    // ---- retrieval over hash embeddings: one broadcast query vector
+    //      against the corpus scan, exact integer dot/norms, one IEEE
+    //      division + sqrt — float cosines hash-match the oracle ----
+    "q_hash_embed_sim" -> ((s, dir) => {
+      val emb = TextStats.hashEmbedding(t(s, dir, "documents"))
+        .select(col("doc_id"), col("hash_vec"))
+      val qv = broadcast(emb.filter(col("doc_id") === 0L)
+        .select(col("hash_vec").as("q_vec")))
+      emb.crossJoin(qv)
+        .withColumn("cos",
+          TextStats.cosineIntVectors(col("hash_vec"), col("q_vec")))
+        .filter(col("doc_id") =!= 0L &&
+          size(filter(col("hash_vec"), v => v > 0)) > 0 &&
+          size(filter(col("q_vec"), v => v > 0)) > 0 &&
+          col("cos") >= 0.75)
+        .select(col("doc_id"), col("cos"))
+    }),
+
     // ---- incremental LSH-index maintenance from the change feed:
     //      refresh(index@v1, CDF v1->v2) must equal a from-scratch
     //      rebuild over v2 — the gate ASSERTS the equality (multiset,
@@ -2538,6 +2569,57 @@ object SparkEntry {
          |  WHERE m1.bsz BETWEEN 2 AND 1024)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
          |FROM cand WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin
+
+    /** Per-(doc, bucket) counts of the 16-bucket hash embedding from
+      * the token hashes — th % 16 equals the signed hash & 15
+      * (TextExpressions.hashEmbedEval) because 16 divides 2^64. The
+      * grid left-join keeps all-zero vectors for tokenless docs.
+      */
+    private val embedCtes: String =
+      s"""$tokenCtes,
+         |grid AS (
+         |  SELECT d.doc_id, g.b AS bucket
+         |  FROM documents d, unnest(generate_series(0, 15)) AS g(b)),
+         |bcnt AS (
+         |  SELECT doc_id, CAST(th % 16 AS INTEGER) AS bucket,
+         |    count(*) AS c
+         |  FROM th GROUP BY doc_id, bucket),
+         |emb AS (
+         |  SELECT g.doc_id, g.bucket, COALESCE(bcnt.c, 0) AS c
+         |  FROM grid g LEFT JOIN bcnt
+         |    ON bcnt.doc_id = g.doc_id AND bcnt.bucket = g.bucket)"""
+        .stripMargin
+
+    /** Replay of q_hash_embed's vector-derived scalars. */
+    val hashEmbedStats: String =
+      s"""WITH $embedCtes
+         |SELECT doc_id,
+         |  CAST(sum(c * c) AS BIGINT) AS l2sq,
+         |  CAST(count(*) FILTER (WHERE c > 0) AS BIGINT) AS nnz,
+         |  CAST(min(bucket) FILTER (WHERE c = mx) AS BIGINT) AS top_bucket
+         |FROM (SELECT doc_id, bucket, c,
+         |        max(c) OVER (PARTITION BY doc_id) AS mx FROM emb)
+         |GROUP BY doc_id""".stripMargin
+
+    /** Replay of q_hash_embed_sim: exact integer dot/norms against
+      * doc 0's vector, one IEEE division + sqrt.
+      */
+    val hashEmbedSim: String =
+      s"""WITH $embedCtes,
+         |l2 AS (SELECT doc_id, sum(c * c) AS l2 FROM emb GROUP BY doc_id),
+         |qv AS (SELECT bucket, c FROM emb WHERE doc_id = 0),
+         |ql AS (SELECT l2 FROM l2 WHERE doc_id = 0),
+         |dots AS (
+         |  SELECT e.doc_id, sum(e.c * q.c) AS dot
+         |  FROM emb e JOIN qv q USING (bucket) GROUP BY e.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(d.dot AS DOUBLE)
+         |    / sqrt(CAST(l.l2 AS DOUBLE) * CAST(ql.l2 AS DOUBLE)) AS cos
+         |FROM dots d JOIN l2 l ON l.doc_id = d.doc_id CROSS JOIN ql
+         |WHERE d.doc_id != 0 AND l.l2 > 0 AND ql.l2 > 0
+         |  AND CAST(d.dot AS DOUBLE)
+         |    / sqrt(CAST(l.l2 AS DOUBLE) * CAST(ql.l2 AS DOUBLE)) >= 0.75"""
+        .stripMargin
   }
 
   /** DuckDB replay of [[graft.ops.Clustering.kmeansAssign]] (k=4,
@@ -4000,6 +4082,8 @@ object SparkEntry {
     "q_dedup_minhash" -> SplitmixOracle.minhashPairs,
     "q_ngram_jaccard" -> SplitmixOracle.ngramJaccardPairs,
     "q_dedup_simhash" -> SplitmixOracle.simhashPairs,
+    "q_hash_embed" -> SplitmixOracle.hashEmbedStats,
+    "q_hash_embed_sim" -> SplitmixOracle.hashEmbedSim,
 
     // exact because the KMV sketches are COMPLETE at this corpus: the
     // per-language vocabulary is 31 distinct words (measured at sf0.01

@@ -137,6 +137,44 @@ object TextExpressions {
       copy(child = c)
   }
 
+  /** Term-frequency hash embedding (the "hashing trick"): a
+    * `dim`-bucket integer vector where v[b] counts the tokens whose
+    * hash lands in bucket b. One row-local pass, no vocabulary, no
+    * model — the deterministic text-side twin of the embeddings
+    * table, good enough for coarse similarity/clustering and exactly
+    * replayable by any engine that can reproduce the token hashes
+    * (the DuckDB oracle does, via the splitmix CTEs).
+    *
+    * `dim` must be a power of two: bucket = hash & (dim-1), which
+    * equals the UNSIGNED hash mod dim — the form the oracle's
+    * UBIGINT arithmetic computes.
+    */
+  def hashEmbedEval(v: UTF8String, dim: Int): ArrayData = {
+    val toks = tokenHashes(v.toString)
+    val counts = new Array[Int](dim)
+    var i = 0
+    while (i < toks.length) {
+      counts((toks(i) & (dim - 1)).toInt) += 1
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  case class HashEmbed(child: Expression, dim: Int)
+      extends UnaryExpression {
+    require(dim >= 2 && (dim & (dim - 1)) == 0,
+      s"dim must be a power of two, got $dim")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      hashEmbedEval(v.asInstanceOf[UTF8String], dim)
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExpressions.hashEmbedEval($c, $dim);")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Unicode NFC normalization (canonical composition) — the standard
     * first step of training-corpus text cleaning (é as e+U+0301 and é
     * as U+00E9 must dedup/tokenize identically). Row-local; the
@@ -173,4 +211,7 @@ object TextExpressions {
 
   def nfc_normalize(text: Column): Column =
     ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
+
+  def hash_embed(text: Column, dim: Int): Column =
+    ColumnBridge.column(HashEmbed(ColumnBridge.expression(text), dim))
 }

@@ -125,6 +125,29 @@ object TextStats {
       when(size(toks) <= lit(mask.toInt), fast).otherwise(exactWide))
   }
 
+  /** Term-frequency hash embedding column (`hash_vec`): the hashing
+    * trick over whitespace tokens via the native one-pass expression —
+    * a deterministic, model-free text vector that the IVF/ANN family
+    * and coarse clustering can consume directly, replayable exactly by
+    * the DuckDB oracle. Row-local projection, scan-scales.
+    */
+  def hashEmbedding(df: DataFrame, textCol: String = "text",
+                    dim: Int = 16, outCol: String = "hash_vec"): DataFrame =
+    df.withColumn(outCol,
+      graft.functions.TextExpressions.hash_embed(col(textCol), dim))
+
+  /** Exact-integer dot/norms + one double division: cosine between
+    * integer count vectors with every inexact step the identical IEEE
+    * expression on any engine (sqrt is correctly-rounded everywhere).
+    */
+  def cosineIntVectors(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) => (p.cast("long")) * q.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    dot(a, b).cast("double") /
+      sqrt(dot(a, a).cast("double") * dot(b, b).cast("double"))
+  }
+
   /** Fixed-weight linear quality classifier — the cheap fasttext-style
     * keep/drop gate every crawl pipeline runs between the heuristic
     * filters and the expensive dedup stages. The model is a linear

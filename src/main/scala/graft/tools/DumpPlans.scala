@@ -50,7 +50,8 @@ object DumpPlans {
     "q_split_leakage_safe" -> "leakage-safe split: cluster-root map broadcast onto the corpus, md5 threshold row-local — corpus never shuffles",
     "q_dedup_url" -> "canonical-URL dedup: regexp canonicalization fused into the scan projection, ONE hash aggregate on the near-unique canonical key — the cheapest dedup pass runs first",
     "q_train_shards" -> "training-shard manifest: row-local md5 shard assignment, one nShards-group hash aggregate — the corpus shuffles zero times to PLAN the layout",
-    "q_quality_classifier" -> "linear quality gate: every feature and the score fused into one codegen'd scan projection — row-local, zero shuffles, zero UDFs")
+    "q_quality_classifier" -> "linear quality gate: every feature and the score fused into one codegen'd scan projection — row-local, zero shuffles, zero UDFs",
+    "q_hash_embed_sim" -> "hash-embedding retrieval: one broadcast query vector over a single corpus scan, native HashEmbed expression inside codegen — zero corpus shuffles")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

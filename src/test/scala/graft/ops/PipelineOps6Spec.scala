@@ -83,6 +83,54 @@ class QualityClassifierSpec extends SparkSpec {
   }
 }
 
+class HashEmbedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucket counts sum to the token count; empty doc is the zero vector") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, ""),
+      (3L, "  \t  ")
+    ).toDF("doc_id", "text")
+    val out = TextStats.hashEmbedding(df, dim = 16)
+      .select(col("doc_id"), col("hash_vec"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(out(1L).sum == 5 && out(1L).length == 16)
+    assert(out(2L).forall(_ == 0) && out(3L).forall(_ == 0))
+  }
+
+  test("embedding is a pure function of text; identical texts share vectors") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "alpha beta delta")).toDF("doc_id", "text")
+    val v = TextStats.hashEmbedding(df).select("doc_id", "hash_vec")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(v(1L) == v(2L))
+    assert(v(1L) != v(3L))
+  }
+
+  test("cosineIntVectors: self-similarity 1.0, disjoint-bucket texts lower") {
+    val df = Seq((1L, "aa bb cc dd ee ff gg hh"),
+      (2L, "aa bb cc dd ee ff gg hh"),
+      (3L, "zz yy xx ww vv uu tt ss")).toDF("doc_id", "text")
+    val emb = TextStats.hashEmbedding(df).select(col("doc_id"), col("hash_vec"))
+    val q = emb.filter(col("doc_id") === 1L)
+      .select(col("hash_vec").as("q_vec"))
+    val cos = emb.crossJoin(broadcast(q))
+      .select(col("doc_id"),
+        TextStats.cosineIntVectors(col("hash_vec"), col("q_vec")).as("c"))
+      .as[(Long, Double)].collect().toMap
+    assert(cos(1L) == 1.0 && cos(2L) == 1.0)
+    assert(cos(3L) < 0.9)
+  }
+
+  test("dim must be a power of two") {
+    intercept[IllegalArgumentException] {
+      graft.functions.TextExpressions.HashEmbed(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit("x")), 12)
+    }
+  }
+}
+
 class IndexRefreshSpec extends SparkSpec {
   import spark.implicits._
 

@@ -68,6 +68,36 @@ class InsertIfAbsentSpec extends SparkSpec {
     assert(out == Map(1L -> "new", 2L -> "keep"))
   }
 
+  test("racing insert-only writers with overlapping keys: first commit wins, no duplicates") {
+    val (tab, _) = freshTable("iia_race")
+    val schema = Seq((0L, "x")).toDF("k", "v").schema
+    tab.createIfNotExists(schema)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // every writer offers ALL 12 keys with its own value — after the
+    // retry-serialized commits each key must exist exactly once, with
+    // one writer's value (the commit winner's), never a mix-free dup
+    val threads = (0 until 3).map { w =>
+      new Thread(() => {
+        try {
+          val t = ResourceTable(spark, tab.path)
+          t.insertIfAbsent(
+            (1L to 12L).map(k => (k, s"w$w")).toDF("k", "v"), "k")
+          ()
+        } catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
+    val rows = tab.read().as[(Long, String)].collect()
+    assert(rows.map(_._1).sorted.toSeq == (1L to 12L),
+      s"every key exactly once, got ${rows.toSeq.sortBy(_._1)}")
+    // exactly one full batch won each key (losers saw it and skipped);
+    // keys may be split across winners only if a writer's batch lost
+    // the race wholesale — but a single batch is one atomic commit, so
+    // all 12 keys carry the same writer tag
+    assert(rows.map(_._2).distinct.length == 1, rows.toSeq.toString)
+  }
+
   test("empty table: pure insert; second batch dedups against the first") {
     val (tab, _) = freshTable("iia_empty")
     val s = Seq((1L, "x")).toDF("k", "v")
