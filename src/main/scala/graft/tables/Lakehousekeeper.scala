@@ -45,11 +45,18 @@ object Lakehousekeeper {
              // (A 24h default contradicted enforceRetention=true: the
              // no-argument call refused itself on every table.)
              retentionHours: Long = 168, dryRun: Boolean = false,
-             enforceRetention: Boolean = true): Seq[(String, Int)] =
+             enforceRetention: Boolean = true,
+             // distributed = list+delete as Spark jobs (the 10M-file
+             // object-store shape); behavior-identical otherwise
+             distributed: Boolean = false): Seq[(String, Long)] =
     listTables(spark, dir).map { p =>
       val t = ResourceTable(spark, p)
-      val n = t.vacuum(retentionHours * 3600 * 1000, dryRun,
-        enforceRetention)
+      val n =
+        if (distributed)
+          t.vacuumDistributed(retentionHours * 3600 * 1000, dryRun,
+            enforceRetention = enforceRetention)
+        else t.vacuum(retentionHours * 3600 * 1000, dryRun,
+          enforceRetention).toLong
       if (!dryRun) t.cleanupMetadata()
       p -> n
     }
@@ -223,7 +230,7 @@ object Lakehousekeeper {
     val dir = args.lift(1).getOrElse("/tmp/graft/delta/default")
     if (cmd == "help") {
       System.err.println(
-        "usage: lakehousekeeper vacuum <dir> [retentionHours] [dry] [no-enforce]" +
+        "usage: lakehousekeeper vacuum <dir> [retentionHours] [dry] [no-enforce] [dist]" +
           " | optimize <dir> [numFiles|<size>g|<size>m] [compression]" +
           " | compact <dir> [min<m>] | register <dir> | describe <dir>" +
           " | export-delta <dir> | cleanup-delta-log <dir> [retentionMs]" +
@@ -243,7 +250,9 @@ object Lakehousekeeper {
           val dry = args.lift(3).contains("dry") // VACUUM ... DRY RUN parity
           // --enforce-retention-duration=false analogue
           val enforce = !args.drop(3).contains("no-enforce")
-          vacuum(spark, dir, hours, dry, enforce).foreach { case (p, n) =>
+          // `dist`: run the listing + deletes as Spark jobs
+          val dist = args.drop(3).contains("dist")
+          vacuum(spark, dir, hours, dry, enforce, dist).foreach { case (p, n) =>
             println(s"vacuumed $p: $n files removed" +
               (if (dry) " (dry run)" else ""))
           }

@@ -1515,11 +1515,20 @@ final class ResourceTable(val spark: SparkSession, val path: String,
             s.getModificationTime < cutoff)
           fs.delete(s.getPath, true)
       }
-    // DV sidecars live at the table root: reap the ones the CURRENT
-    // manifest no longer references (rewrites clear DVs, leaving the
-    // .bin orphaned) past the same retention window. Old graft/delta
-    // log entries referencing a reaped sidecar break exactly like
-    // time travel to vacuumed data files — the documented contract.
+    reapOrphanSidecars(cur, cutoff, dryRun)
+    n
+  }
+
+  /** DV sidecars live at the table root: reap the ones the CURRENT
+    * manifest no longer references (rewrites clear DVs, leaving the
+    * .bin orphaned) past the retention cutoff. Old graft/delta log
+    * entries referencing a reaped sidecar break exactly like time
+    * travel to vacuumed data files — the documented contract.
+    * Driver-side O(sidecars): there is at most one live sidecar per
+    * data file and usually far fewer.
+    */
+  private def reapOrphanSidecars(cur: Long, cutoff: Long,
+                                 dryRun: Boolean): Unit = {
     val liveSidecars = fileListAt(cur).flatMap(_._2.dv)
       .filter(_.st == "u")
       .map(d => DeletionVectors
@@ -1532,7 +1541,98 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         !liveSidecars(s.getPath.getName) &&
         s.getModificationTime < cutoff)
       .foreach(s => if (!dryRun) fs.delete(s.getPath, false))
-    n
+  }
+
+  /** DISTRIBUTED vacuum — the same retention contract as [[vacuum]]
+    * with the listing and the deletes run as Spark jobs (Delta's
+    * parallel VACUUM shape): each snapshot directory is listed on an
+    * executor, the candidate set anti-joins the referenced-path set,
+    * and deletions run `foreachPartition`-style. On an object store
+    * the per-file RPCs ARE the cost of vacuum — serial driver-side
+    * listing of a 10M-file table is hours; distributed it is
+    * `files / parallelism`. Deletes are idempotent (a retried or
+    * speculated task re-deleting a missing file is a no-op), so task
+    * retries are safe.
+    *
+    * Driver state: the referenced REL-PATH strings (transient, no
+    * stats objects) and one status row per snapshot DIRECTORY — not
+    * per file. The same in-flight-writer retention SAFETY note as
+    * [[vacuum]] applies. Returns parquet data files removed (counted
+    * under `dryRun`).
+    */
+  def vacuumDistributed(retentionMs: Long = 24L * 3600 * 1000,
+                        dryRun: Boolean = false,
+                        listParallelism: Int = 64,
+                        enforceRetention: Boolean = false,
+                        minRetentionMs: Long = DefaultMinRetentionMs): Long = {
+    if (enforceRetention && retentionMs < minRetentionMs)
+      throw new IllegalArgumentException(
+        s"retention ${retentionMs}ms is below the minimum " +
+          s"${minRetentionMs}ms; pass enforceRetention=false to " +
+          "override (lakehousekeeper --enforce-retention-duration)")
+    val cur = latestVersion.getOrElse(return 0L)
+    val referenced = fileListAt(cur).map(_._1)
+    val refSet = referenced.toSet
+    if (!dryRun && DeltaExport.exported(this) &&
+        (DeltaExport.liveFiles(this) -- refSet).nonEmpty)
+      try DeltaExport.export(this)
+      catch { case e: IllegalStateException =>
+        throw new IllegalStateException(
+          s"$path: vacuum would reap files still live in the exported " +
+            "_delta_log, and the export could not be brought current — " +
+            "fix or remove the _delta_log directory first", e)
+      }
+    val curDir = FileStats.dirOf(commitBody(cur)).getOrElse("")
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val snapDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("snap-"))
+    import spark.implicits._
+    val conf = new SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    val rootStr = root.toString
+    val parts = math.max(1, math.min(snapDirs.length, listParallelism))
+    val listing = spark
+      .createDataset(snapDirs.map(_.getPath.getName).toSeq)
+      .repartition(parts)
+      .mapPartitions { dirs =>
+        val f = new HPath(rootStr).getFileSystem(conf.value)
+        dirs.flatMap { d =>
+          f.listStatus(new HPath(s"$rootStr/$d")).iterator
+            .filter(e => !e.isDirectory && e.getModificationTime < cutoff)
+            .map(e => (s"$d/${e.getPath.getName}", e.getPath.toString))
+        }
+      }.toDF("rel", "abs")
+    val valid = spark.createDataset(referenced).toDF("rel")
+    val doomed = listing.join(valid, Seq("rel"), "left_anti")
+    val removedParquet =
+      if (dryRun) doomed.filter($"rel".endsWith(".parquet")).count()
+      else {
+        val perPartition = doomed.select($"abs").as[String]
+          .mapPartitions { it =>
+            val f = new HPath(rootStr).getFileSystem(conf.value)
+            var parq = 0L
+            it.foreach { p =>
+              f.delete(new HPath(p), false)
+              if (p.endsWith(".parquet")) parq += 1
+            }
+            Iterator.single(parq)
+          }.collect()
+        perPartition.sum
+      }
+    if (!dryRun) {
+      // dir sweep + sidecar reap stay driver-side: O(directories) and
+      // O(sidecars) respectively, never O(files)
+      fs.listStatus(root)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("snap-"))
+        .foreach { s =>
+          if (fs.listStatus(s.getPath).isEmpty &&
+              s.getPath.getName != curDir &&
+              s.getModificationTime < cutoff)
+            fs.delete(s.getPath, true)
+        }
+      reapOrphanSidecars(cur, cutoff, dryRun)
+    }
+    removedParquet
   }
 
   /** delta-rs `cleanup_metadata` parity (lakehousekeeper.py:163): drop
