@@ -583,6 +583,32 @@ object SparkEntry {
         .select(col("vec_id"), col("label"))
     }),
 
+    // ---- RETROACTIVE decontamination of a live table: the benchmark
+    //      arrives AFTER ingest, contaminated docs (char-25-gram
+    //      overlap ratio >= 0.5) are purged via deletion-vector
+    //      deletes — zero data files rewritten (the fixture asserts
+    //      the manifest is unchanged), O(purged rows) not O(table).
+    //      At 100 TB a benchmark refresh otherwise means rewriting
+    //      every file that holds a contaminated doc. The oracle
+    //      replays identify+delete as a NOT-IN filter over the same
+    //      deterministic shingle overlap ----
+    "q_decontaminate_retro" -> ((s, dir) =>
+      retroDemo(s, dir)._1.read()
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"))),
+
+    // ---- the same purge as seen by a DOWNSTREAM consumer: CDF of
+    //      the delete commit emits exactly the purged docs as delete
+    //      events (file-granular — only files whose DV changed are
+    //      read), so incremental consumers (LSH index refresh, shard
+    //      rebuild) process O(purged) rows, never a table rescan ----
+    "q_decontaminate_retro_cdf" -> ((s, dir) => {
+      val (tab, v1, v2) = retroDemo(s, dir)
+      tab.changes(v1, v2, "doc_id")
+        .select(col("doc_id"), col("lang"),
+          col("_change_type").as("change_type"))
+    }),
+
     // ---- time-series resample + gap-fill: hourly activity grid per
     //      user over each user's own active span, missing hours
     //      zero-filled (sequence+explode up-sample, then a left join
@@ -2330,6 +2356,52 @@ object SparkEntry {
   private val dvDemoMemo =
     new java.util.concurrent.ConcurrentHashMap[String, ResourceTable]()
 
+  private val retroDemoMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (ResourceTable, Long, Long)]()
+
+  /** Retro-decontamination fixture: the corpus docs are ingested into
+    * an ACID table FIRST, then the benchmark "arrives" and every doc
+    * whose char-25-gram overlap ratio ≥ 0.5 is purged through the
+    * deletion-vector delete path. 25-char shingles (vs the report
+    * gates' 5) because the criterion here drives row DELETION: a
+    * 5-gram ratio saturates toward 1.0 as the corpus grows (short
+    * shingles stop being discriminative once the benchmark's shingle
+    * vocabulary covers the language), and the purge would doom every
+    * doc at sf0.1 — wide shingles only fire on genuinely shared
+    * passages, so the doomed fraction stays scale-stable (~1%).
+    * Returns (table, pre-purge version, post-purge version). Two
+    * contracts asserted here because no oracle can see them: the
+    * purge deletes at least one doc, and it rewrites ZERO data files
+    * (manifest unchanged — the whole point of DV deletes for a
+    * benchmark-refresh purge over 100 TB).
+    * Memoized per dir like [[versionedDemo]].
+    */
+  private def retroDemo(
+      s: SparkSession, dir: String): (ResourceTable, Long, Long) =
+    retroDemoMemo.computeIfAbsent(dir, _ => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      val tmp =
+        java.nio.file.Files.createTempDirectory("graft_retro").toString
+      val tab = ResourceTable(s, s"$tmp/documents.parquet")
+      tab.createIfNotExists(corpus.schema)
+      tab.upsert(corpus.repartition(4), "doc_id")
+      tab.enableDeletionVectors()
+      val v1 = tab.latestVersion.get
+      val before = tab.fileManifest(v1).toSet
+      val doomed = graft.ops.TextStats.contamination(corpus, bench, n = 25)
+        .filter(col("contamination") >= 0.5).select("doc_id")
+      val n = tab.deleteMatching(doomed, "doc_id")
+      val v2 = tab.latestVersion.get
+      require(n > 0, "retro fixture must purge at least one doc")
+      require(tab.fileManifest(v2).toSet == before,
+        "retro purge rewrote data files — the O(purged rows) DV " +
+          "contract broke")
+      (tab, v1, v2)
+    })
+
   /** Deletion-vector fixture: customer loaded once, then TWO DV
     * deletes (every 7th key, then every 11th — the second unions into
     * the first file's bitmap). No data file is ever rewritten; reads
@@ -4055,6 +4127,62 @@ object SparkEntry {
         |  CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) /
         |    CAST(t.n_shingles AS DOUBLE) AS contamination
         |FROM totals t LEFT JOIN overlap o ON t.doc_id = o.doc_id""".stripMargin,
+
+    // identify-then-DV-delete replayed as a NOT-IN filter: the final
+    // snapshot must equal the corpus minus every doc whose 25-gram
+    // overlap ratio reached 0.5 (integer/integer division — both
+    // engines compute the identical double, so the threshold compare
+    // agrees bit-for-bit)
+    "q_decontaminate_retro" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, length(text) - 23),
+        |    i -> substr(text, CAST(i AS INT), 25)))) AS sh
+        |  FROM documents WHERE length(text) >= 25),
+        |bench AS (
+        |  SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0),
+        |corpus AS (
+        |  SELECT doc_id, sh FROM sh WHERE doc_id % 10 <> 0),
+        |overlap AS (
+        |  SELECT doc_id, count(*) AS n_overlap FROM corpus
+        |  WHERE sh IN (SELECT sh FROM bench) GROUP BY doc_id),
+        |totals AS (
+        |  SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+        |doomed AS (
+        |  SELECT t.doc_id FROM totals t
+        |  LEFT JOIN overlap o ON t.doc_id = o.doc_id
+        |  WHERE CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) /
+        |    CAST(t.n_shingles AS DOUBLE) >= 0.5)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id % 10 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM doomed)""".stripMargin,
+
+    // the purge's change feed: exactly the doomed docs, each as one
+    // delete event carrying its pre-image
+    "q_decontaminate_retro_cdf" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, length(text) - 23),
+        |    i -> substr(text, CAST(i AS INT), 25)))) AS sh
+        |  FROM documents WHERE length(text) >= 25),
+        |bench AS (
+        |  SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0),
+        |corpus AS (
+        |  SELECT doc_id, sh FROM sh WHERE doc_id % 10 <> 0),
+        |overlap AS (
+        |  SELECT doc_id, count(*) AS n_overlap FROM corpus
+        |  WHERE sh IN (SELECT sh FROM bench) GROUP BY doc_id),
+        |totals AS (
+        |  SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+        |doomed AS (
+        |  SELECT t.doc_id FROM totals t
+        |  LEFT JOIN overlap o ON t.doc_id = o.doc_id
+        |  WHERE CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) /
+        |    CAST(t.n_shingles AS DOUBLE) >= 0.5)
+        |SELECT d.doc_id, d.lang, 'delete' AS change_type
+        |FROM documents d
+        |WHERE d.doc_id % 10 <> 0
+        |  AND d.doc_id IN (SELECT doc_id FROM doomed)""".stripMargin,
 
     "q_dedup_semdedup" -> {
       val values = graft.ops.Similarity.ivfCentroids(8, 64).zipWithIndex
