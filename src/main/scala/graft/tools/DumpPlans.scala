@@ -51,7 +51,9 @@ object DumpPlans {
     "q_dedup_url" -> "canonical-URL dedup: regexp canonicalization fused into the scan projection, ONE hash aggregate on the near-unique canonical key — the cheapest dedup pass runs first",
     "q_train_shards" -> "training-shard manifest: row-local md5 shard assignment, one nShards-group hash aggregate — the corpus shuffles zero times to PLAN the layout",
     "q_quality_classifier" -> "linear quality gate: every feature and the score fused into one codegen'd scan projection — row-local, zero shuffles, zero UDFs",
-    "q_hash_embed_sim" -> "hash-embedding retrieval: one broadcast query vector over a single corpus scan, native HashEmbed expression inside codegen — zero corpus shuffles")
+    "q_hash_embed_sim" -> "hash-embedding retrieval: one broadcast query vector over a single corpus scan, native HashEmbed expression inside codegen — zero corpus shuffles",
+    "q_decontaminate_retro" -> "retro-purged snapshot read: manifest-planned scan minus executor-decoded DV positions — the purge itself wrote O(purged rows) bitmap bytes, zero data-file rewrites",
+    "q_decontaminate_retro_cdf" -> "purge change feed: only files whose DV changed between the versions are read (file-granular CDF), one full-outer key join emits the delete pre-images — O(purged files), never a table rescan")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
