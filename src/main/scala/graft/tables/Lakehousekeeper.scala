@@ -232,7 +232,8 @@ object Lakehousekeeper {
       System.err.println(
         "usage: lakehousekeeper vacuum <dir> [retentionHours] [dry] [no-enforce] [dist]" +
           " | optimize <dir> [numFiles|<size>g|<size>m] [compression]" +
-          " | compact <dir> [min<m>] | register <dir> | describe <dir>" +
+          " | compact <dir> [min<m>] | purge-dv <dir> [minDeadFraction]" +
+          " | register <dir> | describe <dir>" +
           " | export-delta <dir> | cleanup-delta-log <dir> [retentionMs]" +
           " | history <tablePath> | restore <tablePath> <version>")
       return
@@ -282,6 +283,15 @@ object Lakehousekeeper {
           }
           compact(spark, dir, minB).foreach { case (p, (c, kept)) =>
             println(s"compacted $p: $c small files coalesced, $kept carried")
+          }
+        // REORG TABLE ... APPLY (PURGE) parity: rewrite only the
+        // files whose DV dead fraction crossed the threshold
+        case "purge-dv" =>
+          val frac = args.lift(2).map(_.toDouble).getOrElse(0.05)
+          listTables(spark, dir).foreach { p =>
+            val (purged, kept) = ResourceTable(spark, p)
+              .purgeDeletionVectors(frac)
+            println(s"purged $p: $purged files rewritten, $kept carried")
           }
         case "describe" =>
           describe(spark, dir).foreach { case (p, v, nf, bytes, rows) =>

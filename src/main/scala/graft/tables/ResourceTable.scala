@@ -1380,6 +1380,49 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     }
   }
 
+  /** Delta `REORG TABLE ... APPLY (PURGE)` parity: selectively
+    * rewrite ONLY the files whose deletion-vector dead fraction
+    * reached `minDeadFraction`, materializing their survivors (DV
+    * applied) and clearing those DVs; every other file — no DV, or a
+    * still-sparse one — carries forward BY REFERENCE. DV deletes keep
+    * DELETE at O(deleted rows), but every later read of a DV'd file
+    * pays the position anti-join and scans the dead bytes; once a
+    * file is mostly dead that recurring toll outweighs a one-time
+    * rewrite. This is the DV lifecycle's third step: DV delete (cheap
+    * mutation) → purge (targeted rewrite of the WORST files,
+    * O(purged bytes) never O(table)) → vacuum (reap the orphaned
+    * sidecars past retention). Commits as OPTIMIZE: logical content
+    * is unchanged by construction, so the change feed over the purge
+    * step is empty (Delta's dataChange=false semantics) and time
+    * travel still reads the pre-purge version under its own DVs.
+    * Returns (files purged, files carried).
+    */
+  def purgeDeletionVectors(minDeadFraction: Double = 0.05,
+                           compression: String = "zstd"): (Int, Int) = {
+    require(minDeadFraction > 0 && minDeadFraction <= 1,
+      s"minDeadFraction must be in (0, 1]: $minDeadFraction")
+    retry() {
+      val cur = latestVersion.getOrElse(
+        throw new IllegalStateException(s"no table at $path"))
+      val files = fileListAt(cur)
+      val (doomed, carried) = files.partition { case (_, st) =>
+        st.rows > 0 &&
+          st.dv.exists(_.card.toDouble / st.rows >= minDeadFraction)
+      }
+      if (doomed.isEmpty) (0, carried.size)
+      else {
+        val survivors = readFiles(doomed, schema())
+        // one output file per purged input keeps the snapshot's
+        // file-size profile; survivors of mostly-dead files come out
+        // small, and the next compactSmallFiles pass coalesces them
+        commitFiles(Some(clusterInto(survivors, doomed.size)),
+          carried, schema().json, Some(cur), compression,
+          op = "OPTIMIZE")
+        (doomed.size, carried.size)
+      }
+    }
+  }
+
   /** Per-file physical bytes of manifest entries: straight from the
     * manifest's commit-time recorded lengths (zero FS calls); only
     * legacy entries written before bytes were recorded fall back to an
