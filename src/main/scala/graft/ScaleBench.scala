@@ -47,7 +47,7 @@ object ScaleBench {
     "q_hybrid_retrieval", "q_ann_ivf_indexed", "q_stream_outer_join",
     "q_delta_export", "x_decontaminate_ivf", "x_fuzzy_split",
     "x_delete_rewrite", "x_delete_dv",
-    "x_url_dedup", "x_upsert_overlap", "x_insert_absent")
+    "x_url_dedup", "x_upsert_overlap", "x_insert_absent", "x_dv_purge")
 
   /** Scale-only cases that are not SparkEntry gates: shapes whose
     * scale story needs DIFFERENT fixture sizing than the sf0.01 gate.
@@ -194,7 +194,48 @@ object ScaleBench {
       timedDelete(tab, "insert_only")(
         tab.insertIfAbsent(ingestBatch(s, dir, i), "event_id"))
       s.range(1).toDF("done")
+    }),
+    // REORG PURGE at scale: DV-kill 80% of a CONSTANT 12.5k-id
+    // contiguous stripe of the event_id-clustered table, then purge
+    // at 5% dead. Only the stripe's files cross the threshold, so
+    // purge bytes/files track the STRIPE — constant as the table
+    // grows (ratio ≈ 1 across decades is the whole point:
+    // O(files past threshold), never O(table)). Each timed round
+    // takes a fresh stripe; base ids 0..99999 exist at every scale.
+    "x_dv_purge" -> ((s, dir) => {
+      val tab = purgeDemo(s, dir)
+      val i = nextSlice(s"purge:$dir")
+      val lo = i.toLong * 12500L
+      tab.deleteMatchingDv(
+        s.range(lo, lo + 12500L).toDF("event_id")
+          .filter(col("event_id") % 5 =!= 0),
+        "event_id")
+      timedDelete(tab, "dv_purge") {
+        val (p, c) = tab.purgeDeletionVectors(minDeadFraction = 0.05)
+        System.err.println(s"[purge] files rewritten=$p carried=$c")
+        p.toLong
+      }
+      s.range(1).toDF("done")
     }))
+
+  /** x_dv_purge fixture: the scaled events table RANGE-CLUSTERED on
+    * event_id (optimize(32) after load), so a contiguous id stripe
+    * lands in few files and the purge threshold separates them from
+    * the untouched rest.
+    */
+  private def purgeDemo(s: SparkSession, dir: String)
+      : graft.tables.ResourceTable =
+    deleteFixture.computeIfAbsent(s"purge:$dir", _ => {
+      val base = s.read.parquet(s"$dir/events.parquet").repartition(32)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_spurge").toString
+      val tab = graft.tables.ResourceTable(s, s"$tmp/e.parquet")
+        .createIfNotExists(base.schema, clusterCols = Seq("event_id"))
+      tab.upsert(base, "event_id")
+      tab.optimize(numFiles = 32)
+      tab.enableDeletionVectors()
+      tab
+    })
 
   /** ~0.1% ingest batch, half re-delivered known keys + half new keys
     * (shifted past every scaled id) — each round a different slice.
