@@ -158,7 +158,8 @@ object DeltaExport {
   }
 
   private def add(rel: String, st: FileStats.FileStat, size: Long,
-                  ts: Long, types: Map[String, DataType]): ObjectNode = {
+                  ts: Long, types: Map[String, DataType],
+                  dataChange: Boolean = true): ObjectNode = {
     val a = f.objectNode()
     a.put("path", rel)
     a.set("partitionValues", f.objectNode())
@@ -167,7 +168,7 @@ object DeltaExport {
     // commits always do); the commit wall-clock is Delta's own
     // fallback shape for writers that don't track per-file times
     a.put("modificationTime", st.mtime.getOrElse(ts))
-    a.put("dataChange", true)
+    a.put("dataChange", dataChange)
     a.put("stats", statsJson(st, types))
     // the manifest's DvInfo IS a Delta descriptor — verbatim translation
     st.dv.foreach(d => a.replace("deletionVector", dvNode(d)))
@@ -246,11 +247,12 @@ object DeltaExport {
       .fields.map(fd => fd.name -> fd.dataType).toMap
 
   private def remove(rel: String, ts: Long,
-                     dv: Option[FileStats.DvInfo] = None): ObjectNode = {
+                     dv: Option[FileStats.DvInfo] = None,
+                     dataChange: Boolean = true): ObjectNode = {
     val r = f.objectNode()
     r.put("path", rel)
     r.put("deletionTimestamp", ts)
-    r.put("dataChange", true)
+    r.put("dataChange", dataChange)
     // delta replay keys files by (path, dvId): a remove canceling a
     // DV-bearing add must name the SAME descriptor
     dv.foreach(d => r.replace("deletionVector", dvNode(d)))
@@ -496,6 +498,12 @@ object DeltaExport {
         FileStats.schemaOf(t.commitBody(g)) !=
           FileStats.schemaOf(t.commitBody(g - 1))
       val types = typesAt(t, g)
+      // Delta compaction semantics: an OPTIMIZE step (bin-pack,
+      // re-cluster, REORG PURGE) rearranges bytes without changing
+      // logical content, so its adds AND removes export
+      // dataChange=false — a delta streaming consumer of this log
+      // must not reprocess the rewritten files as new data
+      val dc = !FileStats.opOf(t.commitBody(g)).contains("OPTIMIZE")
       val body =
         commitInfo(g, ts, FileStats.opOf(t.commitBody(g))
             .getOrElse("GRAFT COMMIT")) +:
@@ -514,8 +522,10 @@ object DeltaExport {
              else Seq.empty) ++
             txnDelta(FileStats.txnsOf(t.commitBody(g - 1)),
               FileStats.txnsOf(t.commitBody(g)), ts) ++
-            removes.map { case (r, st) => remove(r, ts, st.dv) } ++
-            adds.map { case (r, st) => add(r, st, sz(r), ts, types) })
+            removes.map { case (r, st) =>
+              remove(r, ts, st.dv, dataChange = dc) } ++
+            adds.map { case (r, st) =>
+              add(r, st, sz(r), ts, types, dataChange = dc) })
       dv += 1
       writeEntry(t, dv, body)
       lastG = g

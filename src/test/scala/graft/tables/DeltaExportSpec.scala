@@ -1498,4 +1498,39 @@ class DeltaExportSpec extends SparkSpec {
     // pre-DV time travel sees all five rows
     assert(DeltaExport.readSnapshot(spark, path, 0L).count() == 5L)
   }
+
+  test("REORG PURGE exports as dataChange=false remove(dv)+add(clean)") {
+    val path = s"${tmpDir("dxrp")}/T.parquet"
+    val t = ResourceTable(spark, path).createIfNotExists(schema)
+    t.upsert(df((1 to 40).map(i => s"k$i" -> i): _*), "id")
+    t.enableDeletionVectors()
+    t.deleteMatching(df((1 to 40).filter(_ % 3 == 0)
+      .map(i => s"k$i" -> i): _*).select("id"), "id")
+    DeltaExport.export(t)
+    // the DV delete exported a DATA change: remove(clean)+add(dv), true
+    val delLines = logLines(path, logVersions(path).max)
+    assert(delLines.flatMap(n => Option(n.get("add")))
+      .exists(a => a.get("deletionVector") != null &&
+        a.get("dataChange").asBoolean))
+    val (purged, _) = t.purgeDeletionVectors(minDeadFraction = 0.01)
+    assert(purged > 0)
+    val v = DeltaExport.export(t)
+    val lines = logLines(path, v)
+    val removes = lines.flatMap(n => Option(n.get("remove")))
+    val adds = lines.flatMap(n => Option(n.get("add")))
+    // removes name the DV descriptor they cancel; adds are DV-free;
+    // BOTH sides carry dataChange=false — a delta streaming consumer
+    // must not reprocess a purge
+    assert(removes.nonEmpty &&
+      removes.forall(r => r.get("deletionVector") != null &&
+        !r.get("dataChange").asBoolean))
+    assert(adds.nonEmpty &&
+      adds.forall(a => a.get("deletionVector") == null &&
+        !a.get("dataChange").asBoolean))
+    // the exported snapshot still replays to the purged table
+    val back = DeltaExport.readSnapshot(spark, path)
+    assert(back.count() == t.read().count())
+    assert(back.select("id").collect().map(_.getString(0)).sorted.toSeq ==
+      t.read().select("id").collect().map(_.getString(0)).sorted.toSeq)
+  }
 }
