@@ -965,6 +965,37 @@ object SparkEntry {
       Dedup.dedupSegments(segmented, "doc_id", "segs", minDupCount = 2)
     }),
 
+    // ---- exact-substring dedup at window granularity (Lee et al.
+    //      "Deduplicating Training Data" shape): every 8-token window
+    //      repeated anywhere in the corpus marks its span; per-doc
+    //      union of marked spans → removable-token bookkeeping.
+    //      All-integer output; the oracle replays the splitmix window
+    //      hashes bit-for-bit ----
+    "q_substring_dedup" -> ((s, dir) =>
+      Dedup.duplicatedWindowSpans(t(s, dir, "documents"),
+        "doc_id", "text", w = 8)),
+
+    // ---- CCNet-style LM quality filter: bigram stupid-backoff LM
+    //      trained on the even-doc_id half (the "Wikipedia" reference
+    //      corpus), odd-doc_id half scored by avg token log-prob;
+    //      top-25 most-reference-like docs. The double score ranks
+    //      but is NOT output (ln() is not bit-portable across
+    //      engines — the q_bm25 convention); rank + the exact integer
+    //      evidence hash-match ----
+    "q_lm_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      val cand = docs.filter(col("doc_id") % 2 === 1)
+      val scored = graft.ops.LangModel.scoreDocs(cand,
+        graft.ops.LangModel.bigramLm(train),
+        graft.ops.LangModel.unigramLm(train))
+      scored.orderBy(col("avg_logp").desc, col("doc").asc).limit(25)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("avg_logp").desc, col("doc").asc)))
+        .select(col("rank"), col("doc"), col("n_bigrams"),
+          col("n_hits"), col("n_backoff"), col("n_oov"))
+    }),
+
     // ---- temperature-based source mixing: per-source keep rates
     //      (n_min/n_s)^(1-α) flatten a skewed corpus toward uniform;
     //      hash-threshold selection, corpus never shuffles. The
@@ -2738,6 +2769,45 @@ object SparkEntry {
          |  AND CAST(d.dot AS DOUBLE)
          |    / sqrt(CAST(l.l2 AS DOUBLE) * CAST(ql.l2 AS DOUBLE)) >= 0.75"""
         .stripMargin
+
+    /** Exact replay of Dedup.duplicatedWindowSpans(w=8, minDupCount=2):
+      * positional w=8 window hashes (FNV fold of 8 token hashes,
+      * splitmix finalize — positionalShingleHashesEval), duplicated
+      * hashes by global count, per-doc interval union via the same
+      * running-max gaps-and-islands. Positions are 1-based here vs
+      * 0-based in Spark; the union LENGTH is translation-invariant
+      * and positions are not output.
+      */
+    val substringDedupSpans: String = {
+      val fold = (1 to 7).foldLeft("ths[i]") { (acc, j) =>
+        am(mm(acc, FnvP), s"ths[i+$j]")
+      }
+      s"""WITH $tokenCtes,
+         |tl AS (SELECT doc_id, list(th ORDER BY tok_idx) AS ths FROM th GROUP BY doc_id),
+         |w0 AS (
+         |  SELECT doc_id, g.i AS pos, ${am(fold, Gamma)} AS z0
+         |  FROM tl, unnest(generate_series(1, len(ths) - 7)) AS g(i)
+         |  WHERE len(ths) >= 8),
+         |w1 AS (SELECT doc_id, pos, ${mm("xor(z0, z0 >> 30)", C2)} AS z1 FROM w0),
+         |w2 AS (SELECT doc_id, pos, ${mm("xor(z1, z1 >> 27)", C3)} AS z2 FROM w1),
+         |whs AS (SELECT doc_id, pos, xor(z2, z2 >> 31) AS wh FROM w2),
+         |dup AS (SELECT wh FROM whs GROUP BY wh HAVING count(*) >= 2),
+         |cov AS (
+         |  SELECT doc_id, pos,
+         |    max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM whs JOIN dup USING (wh)),
+         |spans AS (
+         |  SELECT doc_id, count(*) AS dup_windows,
+         |    sum(greatest(pos + 8 - greatest(pos, coalesce(prev_end, pos)), 0)) AS removed
+         |  FROM cov GROUP BY doc_id)
+         |SELECT t.doc_id AS doc,
+         |  CAST(len(t.tlist) AS BIGINT) AS total_tokens,
+         |  CAST(COALESCE(s.dup_windows, 0) AS BIGINT) AS dup_windows,
+         |  CAST(COALESCE(s.removed, 0) AS BIGINT) AS removed_tokens,
+         |  CAST(len(t.tlist) - COALESCE(s.removed, 0) AS BIGINT) AS kept_tokens
+         |FROM doc_toks t LEFT JOIN spans s USING (doc_id)""".stripMargin
+    }
   }
 
   /** DuckDB replay of [[graft.ops.Clustering.kmeansAssign]] (k=4,
@@ -3076,6 +3146,58 @@ object SparkEntry {
         |  SELECT segment FROM segs GROUP BY segment HAVING count(*) >= 2)
         |SELECT s.doc, s.seg_idx, s.segment FROM segs s
         |WHERE s.segment NOT IN (SELECT segment FROM freq)""".stripMargin,
+
+    "q_substring_dedup" -> SplitmixOracle.substringDedupSpans,
+
+    // bigram stupid-backoff LM scoring: counts and joins replay
+    // exactly; per-doc log-prob sums fold in ascending value order in
+    // BOTH engines (sort_array+aggregate vs list ORDER BY+list_reduce)
+    // so the double ranks deterministically; only rank + integer
+    // evidence are output (the q_bm25 ln-portability convention)
+    "q_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |                t -> t <> '') AS ts
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, ts[g.i] AS w1, ts[g.i + 1] AS w2
+        |  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
+        |  WHERE len(ts) >= 2),
+        |tru AS (SELECT unnest(ts) AS w FROM toks WHERE doc_id % 2 = 0),
+        |uni AS (SELECT w, count(*) AS c_w FROM tru GROUP BY w),
+        |tot AS (SELECT count(*) AS t_tok FROM tru),
+        |bic AS (SELECT w1, w2, count(*) AS c_bi FROM bi
+        |        WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+        |w1c AS (SELECT w1, count(*) AS c_w1 FROM bi
+        |        WHERE doc_id % 2 = 0 GROUP BY w1),
+        |lp AS (
+        |  SELECT b.doc_id, round(CASE
+        |      WHEN bc.c_bi IS NOT NULL THEN
+        |        ln(CAST(bc.c_bi AS DOUBLE) / CAST(wc.c_w1 AS DOUBLE))
+        |      WHEN u.c_w IS NOT NULL THEN
+        |        ln(0.4 * CAST(u.c_w AS DOUBLE) / CAST(t.t_tok AS DOUBLE))
+        |      ELSE ln(0.4 / CAST(t.t_tok AS DOUBLE)) END, 9) AS lp,
+        |    (bc.c_bi IS NOT NULL) AS hit,
+        |    (bc.c_bi IS NULL AND u.c_w IS NOT NULL) AS back
+        |  FROM bi b
+        |  LEFT JOIN bic bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+        |  LEFT JOIN w1c wc ON wc.w1 = b.w1
+        |  LEFT JOIN uni u ON u.w = b.w2
+        |  CROSS JOIN tot t
+        |  WHERE b.doc_id % 2 = 1),
+        |agg AS (
+        |  SELECT doc_id AS doc, count(*) AS n_bigrams,
+        |    count(*) FILTER (WHERE hit) AS n_hits,
+        |    count(*) FILTER (WHERE back) AS n_backoff,
+        |    count(*) FILTER (WHERE NOT hit AND NOT back) AS n_oov,
+        |    list_reduce(list_prepend(0.0::DOUBLE, list(lp ORDER BY lp)),
+        |                (a, x) -> a + x) / count(*) AS avg_logp
+        |  FROM lp GROUP BY doc_id)
+        |SELECT CAST(row_number() OVER (ORDER BY avg_logp DESC, doc ASC)
+        |         AS INTEGER) AS rank,
+        |  doc, n_bigrams, n_hits, n_backoff, n_oov
+        |FROM agg ORDER BY avg_logp DESC, doc ASC LIMIT 25""".stripMargin,
 
     "q_temperature_mix" ->
       """WITH d AS (

@@ -80,6 +80,41 @@ object TextExpressions {
     new GenericArrayData(java.util.Arrays.copyOf(sh, out))
   }
 
+  /** POSITION-ORDERED w-token window hashes — same fold as
+    * [[shingleHashesEval]] (FNV-prime over the token hashes, splitmix
+    * finalize) but WITHOUT the sort/dedup: element i is the hash of
+    * tokens [i, i+w). Sub-document substring dedup needs the position
+    * to map a duplicated window back to the token span it covers.
+    */
+  def positionalShingleHashesEval(v: UTF8String, w: Int): ArrayData = {
+    val toks = tokenHashes(v.toString)
+    val nSh = math.max(toks.length - w + 1, 0)
+    val sh = new Array[Long](nSh)
+    var i = 0
+    while (i < nSh) {
+      var h = 0L
+      var j = 0
+      while (j < w) { h = h * 0x100000001B3L + toks(i + j); j += 1 }
+      sh(i) = splitmix(h)
+      i += 1
+    }
+    new GenericArrayData(sh)
+  }
+
+  case class PositionalShingleHashes(child: Expression, w: Int)
+      extends UnaryExpression {
+    require(w >= 1)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      positionalShingleHashesEval(v.asInstanceOf[UTF8String], w)
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExpressions.positionalShingleHashesEval($c, $w);")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   case class ShingleHashes(child: Expression, w: Int)
       extends UnaryExpression {
     require(w >= 1)
@@ -205,6 +240,10 @@ object TextExpressions {
   // ----- Column API -----
   def shingle_hashes(text: Column, w: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), w))
+
+  def positional_shingle_hashes(text: Column, w: Int): Column =
+    ColumnBridge.column(
+      PositionalShingleHashes(ColumnBridge.expression(text), w))
 
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.functions.VectorExpressions.minhash_signature
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType}
 
@@ -553,5 +554,73 @@ object Dedup {
       // column order so refresh output is drop-in (positional set ops
       // and writers see the same shape as a fresh build)
       .select(col("band_idx"), col("band_hash"), col("doc"), col("sig"))
+  }
+
+  // --------------------------------------- exact-substring (window) dedup
+
+  /** EXACT-SUBSTRING dedup at window granularity (the "Deduplicating
+    * Training Data Makes Language Models Better" shape, reference
+    * inventory's sub-document tier below [[dedupSegments]]): any
+    * w-token window whose exact content occurs ≥ `minDupCount` times
+    * ANYWHERE in the corpus marks its token span as duplicated; a
+    * document's duplicated region is the UNION of its marked spans.
+    * Returns one row per document —
+    * (doc, total_tokens, dup_windows, removed_tokens, kept_tokens) —
+    * the span bookkeeping a trainer needs to cut repeated passages
+    * while keeping the surrounding prose.
+    *
+    * Plan shape at 100 TB: window hashes are ONE row-local projection
+    * (native [[graft.functions.TextExpressions.PositionalShingleHashes]],
+    * no per-window string materialization — the suffix-array step of
+    * the paper replaced by fixed-width hashed windows, which is the
+    * standard distributed approximation); duplicated hashes come from
+    * one count-aggregate shuffle keyed on the 8-byte hash; the
+    * mark-back join re-shuffles windows on that same hash key (AQE
+    * broadcasts the duplicated set when it is small, the common case);
+    * span-union runs per document over DUPLICATED windows only — a
+    * running-max window function (gaps-and-islands), never an
+    * explode of covered positions, so a document with d duplicated
+    * windows costs O(d), not O(d·w). Everything downstream of the
+    * projection touches only hashes and integers — shuffle bytes are
+    * independent of document length.
+    *
+    * 64-bit hash collisions conflate two distinct windows (~n²/2⁶⁵);
+    * like [[minhashPairs]]' banding this is the documented trade —
+    * an exact confirm pass would re-join the (rare) duplicated
+    * windows back to text.
+    */
+  def duplicatedWindowSpans(df: DataFrame, idCol: String,
+                            textCol: String, w: Int = 8,
+                            minDupCount: Long = 2): DataFrame = {
+    require(minDupCount >= 2, s"minDupCount must be >= 2, got $minDupCount")
+    import graft.functions.TextExpressions.positional_shingle_hashes
+    val wins = df.select(col(idCol).as("doc"),
+      posexplode(positional_shingle_hashes(col(textCol), w))
+        .as(Seq("pos", "wh")))
+    val dup = wins.groupBy(col("wh"))
+      .agg(count(lit(1)).as("_f"))
+      .filter(col("_f") >= minDupCount)
+      .select("wh")
+    // union of [pos, pos+w) intervals per doc: sorted by pos, each
+    // window contributes the part past the running max end
+    val byDoc = Window.partitionBy("doc").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spans = wins.join(dup, Seq("wh"))
+      .withColumn("_prev_end", max(col("pos") + w).over(byDoc))
+      .withColumn("_covered",
+        greatest(col("pos") + w -
+          greatest(col("pos"), coalesce(col("_prev_end"), col("pos"))),
+          lit(0)))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("dup_windows"),
+        sum(col("_covered")).cast("long").as("removed_tokens"))
+    df.select(col(idCol).as("doc"),
+        graft.ops.TextStats.tokenCount(col(textCol)).as("total_tokens"))
+      .join(spans, Seq("doc"), "left")
+      .select(col("doc"), col("total_tokens"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        (col("total_tokens") - coalesce(col("removed_tokens"), lit(0L)))
+          .as("kept_tokens"))
   }
 }

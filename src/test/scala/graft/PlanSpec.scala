@@ -175,6 +175,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
   }
 
+  test("substring dedup: hash-keyed equi-joins only, window over dup rows") {
+    val p = plan("q_substring_dedup")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"), p)
+    // positional window hashes are one native projection — the text
+    // column must not survive past the scan-side projection into the
+    // shuffle (only doc/pos/hash integers shuffle)
+    assert(p.contains("positionalshinglehashes") ||
+      p.contains("PositionalShingleHashes"), p)
+  }
+
+  test("lm scoring: LM tables join hash-keyed, no cartesian") {
+    val p = plan("q_lm_score")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is the 1-row corpus-total broadcast
+    // (formatted mode prints each node twice: tree line + detail)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, p)
+  }
+
   test("native text/vector expressions generate code (no eval fallback)") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     // the minhash projection stage must be codegen'd AND its generated

@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-12 operators: exact-substring (duplicated-window) dedup and
+  * bigram stupid-backoff LM quality scoring — hand-computed cases.
+  */
+class LmSubstringSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("duplicatedWindowSpans: cross-doc window, union of overlaps, short docs") {
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"),      // window@0 = a..h duplicated in doc 1
+      (1L, "z a b c d e f g h x"),      // window@1 = a..h
+      (2L, "p q r s t u v w x y z1 z2"),// == doc 3: ALL 5 windows dup,
+      (3L, "p q r s t u v w x y z1 z2"),//   union covers all 12 tokens
+      (4L, "one two")                   // too short for any window
+    ).toDF("doc_id", "text")
+    val m = Dedup.duplicatedWindowSpans(docs, "doc_id", "text", w = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m.size == 5)
+    for (id <- Seq(0L, 1L)) {
+      assert(m(id).getAs[Long]("total_tokens") == 10)
+      assert(m(id).getAs[Long]("dup_windows") == 1)
+      assert(m(id).getAs[Long]("removed_tokens") == 8)
+      assert(m(id).getAs[Long]("kept_tokens") == 2)
+    }
+    for (id <- Seq(2L, 3L)) {
+      assert(m(id).getAs[Long]("dup_windows") == 5)
+      assert(m(id).getAs[Long]("removed_tokens") == 12)
+      assert(m(id).getAs[Long]("kept_tokens") == 0)
+    }
+    assert(m(4L).getAs[Long]("total_tokens") == 2)
+    assert(m(4L).getAs[Long]("dup_windows") == 0)
+    assert(m(4L).getAs[Long]("kept_tokens") == 2)
+  }
+
+  test("duplicatedWindowSpans: WITHIN-doc repeats count, disjoint spans sum") {
+    // m1..m8 j m1..m8 → window@0 == window@9, spans [0,8) ∪ [9,17)
+    val text = ((1 to 8).map(i => s"m$i") ++ Seq("j") ++
+      (1 to 8).map(i => s"m$i")).mkString(" ")
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val r = Dedup.duplicatedWindowSpans(docs, "doc_id", "text", w = 8)
+      .collect().head
+    assert(r.getAs[Long]("total_tokens") == 17)
+    assert(r.getAs[Long]("dup_windows") == 2)
+    assert(r.getAs[Long]("removed_tokens") == 16)
+    assert(r.getAs[Long]("kept_tokens") == 1)
+  }
+
+  test("LangModel: hit / backoff / OOV legs, hand-computed") {
+    val docs = Seq(
+      (0L, "a b a b a c"),  // train: T=6; uni a:3 b:2 c:1;
+                            // bi (a,b):2 (b,a):2 (a,c):1; w1 a:3 b:2
+      (1L, "a b a d"),      // (a,b) hit ln(2/3); (b,a) hit ln(1);
+                            // (a,d) OOV ln(0.4/6)
+      (3L, "c a x")         // (c,a) backoff ln(0.4*3/6); (a,x) OOV
+    ).toDF("doc_id", "text")
+    val train = docs.filter($"doc_id" % 2 === 0)
+    val scored = LangModel.scoreDocs(docs.filter($"doc_id" % 2 === 1),
+        LangModel.bigramLm(train), LangModel.unigramLm(train))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = scored(1L)
+    assert(d1.getAs[Long]("n_bigrams") == 3)
+    assert(d1.getAs[Long]("n_hits") == 2)
+    assert(d1.getAs[Long]("n_backoff") == 0)
+    assert(d1.getAs[Long]("n_oov") == 1)
+    val exp1 = (math.log(2.0 / 3) + math.log(1.0) + math.log(0.4 / 6)) / 3
+    assert(math.abs(d1.getAs[Double]("avg_logp") - exp1) < 1e-8)
+    val d3 = scored(3L)
+    assert(d3.getAs[Long]("n_bigrams") == 2)
+    assert(d3.getAs[Long]("n_hits") == 0)
+    assert(d3.getAs[Long]("n_backoff") == 1)
+    assert(d3.getAs[Long]("n_oov") == 1)
+    val exp3 = (math.log(0.4 * 3 / 6) + math.log(0.4 / 6)) / 2
+    assert(math.abs(d3.getAs[Double]("avg_logp") - exp3) < 1e-8)
+  }
+
+  test("LangModel: sub-2-token candidates carry no LM evidence") {
+    val train = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val cand = Seq((1L, "a"), (3L, "")).toDF("doc_id", "text")
+    val n = LangModel.scoreDocs(cand, LangModel.bigramLm(train),
+      LangModel.unigramLm(train)).count()
+    assert(n == 0)
+  }
+}
