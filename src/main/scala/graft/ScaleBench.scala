@@ -47,7 +47,8 @@ object ScaleBench {
     "q_hybrid_retrieval", "q_ann_ivf_indexed", "q_stream_outer_join",
     "q_delta_export", "x_decontaminate_ivf", "x_fuzzy_split",
     "x_delete_rewrite", "x_delete_dv",
-    "x_url_dedup", "x_upsert_overlap", "x_insert_absent", "x_dv_purge")
+    "x_url_dedup", "x_upsert_overlap", "x_insert_absent", "x_dv_purge",
+    "q_substring_dedup", "q_lm_score", "q_bpe_train")
 
   /** Scale-only cases that are not SparkEntry gates: shapes whose
     * scale story needs DIFFERENT fixture sizing than the sf0.01 gate.

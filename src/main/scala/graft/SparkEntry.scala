@@ -1870,6 +1870,16 @@ object SparkEntry {
     "q_vocab_build" -> ((s, dir) =>
       TextStats.vocabulary(t(s, dir, "documents"), topN = 100)),
 
+    // ---- BPE tokenizer training (6 merge rounds over the corpus
+    //      word-frequency table): weighted pair counts, lexicographic
+    //      tie-break, greedy non-overlapping apply; output is the
+    //      merge table a tokenizer ships. The oracle replays every
+    //      round's counts, argmax, and merge application ----
+    "q_bpe_train" -> ((s, dir) =>
+      graft.ops.BpeTrainer.train(
+        graft.ops.BpeTrainer.wordCounts(t(s, dir, "documents")),
+        rounds = 6)),
+
     // ---- BM25 retrieval scoring for a 3-term query, top-25 docs.
     //      The double score ranks but is NOT output (ln() is not
     //      bit-portable across engines); rank + the exact integer
@@ -2810,6 +2820,72 @@ object SparkEntry {
     }
   }
 
+  /** DuckDB replay of [[graft.ops.BpeTrainer.train]]: k unrolled
+    * rounds, each recomputing weighted pair counts, the
+    * (cnt desc, w1, w2) argmax, and the greedy non-overlapping merge.
+    * Greedy selection is expressed relationally: occurrences of the
+    * winning pair at consecutive positions form islands (only
+    * possible when w1 = w2), and greedy left-to-right keeps the
+    * even offsets from each island start — the same function the
+    * Spark side computes with its row-local fold.
+    */
+  private object BpeOracle {
+    def merges(rounds: Int): String = {
+      val roundCtes = (1 to rounds).map { r =>
+        val prev = s"v${r - 1}"
+        s"""p$r AS MATERIALIZED (
+           |  SELECT v.syms[g.i] AS w1, v.syms[g.i + 1] AS w2,
+           |    CAST(sum(v.cnt) AS BIGINT) AS pair_cnt
+           |  FROM $prev v, unnest(generate_series(1, len(v.syms) - 1)) AS g(i)
+           |  WHERE len(v.syms) >= 2 GROUP BY 1, 2),
+           |b$r AS MATERIALIZED (SELECT w1, w2, pair_cnt FROM p$r
+           |        ORDER BY pair_cnt DESC, w1, w2 LIMIT 1),
+           |o$r AS MATERIALIZED (
+           |  SELECT v.word, g.i AS pos
+           |  FROM $prev v, b$r b,
+           |    unnest(generate_series(1, len(v.syms) - 1)) AS g(i)
+           |  WHERE v.syms[g.i] = b.w1 AND v.syms[g.i + 1] = b.w2),
+           |s$r AS MATERIALIZED (
+           |  SELECT word, pos FROM (
+           |    SELECT word, pos,
+           |      min(pos) OVER (PARTITION BY word, isl) AS isl_start
+           |    FROM (SELECT word, pos,
+           |            pos - row_number() OVER (PARTITION BY word
+           |              ORDER BY pos) AS isl
+           |          FROM o$r))
+           |  WHERE (pos - isl_start) % 2 = 0),
+           |v$r AS MATERIALIZED (
+           |  SELECT e.word, min(e.cnt) AS cnt,
+           |    list(CASE WHEN s.pos IS NOT NULL
+           |              THEN (SELECT w1 || w2 FROM b$r)
+           |              ELSE e.sym END ORDER BY e.pos) AS syms
+           |  FROM (SELECT v.word, v.cnt, g.i AS pos, v.syms[g.i] AS sym
+           |        FROM $prev v,
+           |          unnest(generate_series(1, len(v.syms))) AS g(i)) e
+           |  LEFT JOIN s$r s ON s.word = e.word AND s.pos = e.pos
+           |  LEFT JOIN s$r q ON q.word = e.word AND q.pos = e.pos - 1
+           |  WHERE q.pos IS NULL
+           |  GROUP BY e.word)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to rounds).map(r =>
+        s"SELECT CAST($r AS INTEGER) AS round, w1, w2, pair_cnt FROM b$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH wc AS MATERIALIZED (
+         |  SELECT word, count(*) AS cnt FROM (
+         |    SELECT unnest(list_filter(
+         |        string_split_regex(trim(text), '\\s+'),
+         |        t -> t <> '')) AS word
+         |    FROM documents) GROUP BY word),
+         |v0 AS MATERIALIZED (
+         |  SELECT word, cnt,
+         |    list_transform(generate_series(1, length(word)),
+         |                   i -> substr(word, i, 1)) AS syms
+         |  FROM wc),
+         |$roundCtes
+         |$unions""".stripMargin
+    }
+  }
+
   /** DuckDB replay of [[graft.ops.Clustering.kmeansAssign]] (k=4,
     * iters=2): init from the 4 smallest ids, LATERAL argmax-cosine
     * assignment (tie → smaller cluster, same as Spark's
@@ -3148,6 +3224,8 @@ object SparkEntry {
         |WHERE s.segment NOT IN (SELECT segment FROM freq)""".stripMargin,
 
     "q_substring_dedup" -> SplitmixOracle.substringDedupSpans,
+
+    "q_bpe_train" -> BpeOracle.merges(6),
 
     // bigram stupid-backoff LM scoring: counts and joins replay
     // exactly; per-doc log-prob sums fold in ascending value order in

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Distributed BPE merge learning — the tokenizer-training stage of a
+  * training-data pipeline ([[TextStats.vocabulary]] is its precursor;
+  * reference inventory's tokenizer tier). Classic Sennrich BPE: start
+  * from the corpus word-frequency table with words split into
+  * characters; each round counts adjacent symbol pairs weighted by
+  * word frequency, picks the most frequent pair (ties: lexicographic
+  * on the pair — deterministic), and replaces its occurrences in
+  * every word, greedy left-to-right non-overlapping.
+  *
+  * Plan shape at 100 TB: the corpus is touched ONCE (word-count
+  * aggregate — the same shuffle [[TextStats.vocabulary]] does); every
+  * merge round then runs over the VOCABULARY table (≈10⁷ rows for web
+  * corpora, independent of corpus size), which is the standard trick
+  * that makes BPE training tractable at scale. Per round: one
+  * pair-count hash aggregate (map-side combined), a 1-row argmax, and
+  * a row-local fold that applies the merge — the winning pair rides a
+  * 1-row broadcast, so the vocabulary never collects to the driver
+  * and never shuffles for the apply step.
+  *
+  * Iteration caches each round's vocabulary (the MLlib iterative
+  * pattern): without it, round r's lazy plan re-runs rounds 1..r-1 —
+  * and re-aggregates the corpus — once per downstream reference,
+  * turning k rounds into O(k²) corpus scans. The cached tables are
+  * vocabulary-sized (not corpus-sized); a production 30k-merge run
+  * would additionally checkpoint every few hundred rounds to truncate
+  * lineage depth itself.
+  */
+object BpeTrainer {
+
+  /** Corpus word-frequency table (word, cnt) — the single
+    * corpus-sized shuffle of BPE training.
+    */
+  def wordCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.select(explode(TextStats.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** Adjacent symbol pairs of a symbol array, as structs (w1, w2). */
+  private def pairsCol(syms: Column): Column = {
+    val n1 = greatest(size(syms) - 1, lit(0))
+    zip_with(slice(syms, lit(1), n1), slice(syms, lit(2), n1),
+      (x, y) => struct(x.as("w1"), y.as("w2")))
+  }
+
+  /** Greedy left-to-right non-overlapping replacement of (bw1, bw2)
+    * by their concatenation, as a row-local fold: `pend` holds the
+    * symbol that may open a merge; a hit appends the merged symbol
+    * and clears it, otherwise `pend` flushes and the cursor advances.
+    * (In a run of equal symbols — pair (a,a) over "aaa" — this merges
+    * positions 1–2 and leaves the 3rd, the Sennrich semantics.)
+    */
+  private def applyMerge(syms: Column, bw1: Column, bw2: Column): Column = {
+    val arrT = ArrayType(StringType, containsNull = true)
+    aggregate(
+      syms,
+      struct(array().cast(arrT).as("out"),
+        lit(null).cast(StringType).as("pend")),
+      (acc, s) => {
+        val hit = acc("pend") === bw1 && s === bw2
+        struct(
+          when(acc("pend").isNull, acc("out"))
+            .when(hit, array_append(acc("out"), concat(bw1, bw2)))
+            .otherwise(array_append(acc("out"), acc("pend"))).as("out"),
+          when(acc("pend").isNull, s)
+            .when(hit, lit(null).cast(StringType))
+            .otherwise(s).as("pend"))
+      },
+      acc => when(acc("pend").isNull, acc("out"))
+        .otherwise(array_append(acc("out"), acc("pend"))))
+  }
+
+  /** Learn `rounds` merges from a (word, cnt) table. Returns the
+    * merge table (round, w1, w2, pair_cnt) — the BPE artifact a
+    * tokenizer ships. `rounds` must not exceed the merges the corpus
+    * supports (an all-single-symbol vocabulary has no pairs left).
+    *
+    * The per-round argmax is COLLECTED — one row per round. This is
+    * the deliberate driver boundary of BPE training (the same bounded
+    * shape as the IVF cell-filter collect): the merge decision is
+    * inherently sequential, every round's plan depends on it, and
+    * keeping it distributed (a 1-row broadcast crossed into the next
+    * round) was measured to cost more in per-round broadcast jobs and
+    * lazy-union recompute than the row it avoids collecting. Driver
+    * state: `rounds` tuples, nothing vocabulary- or corpus-sized.
+    */
+  def train(wordCnts: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var vocab = wordCnts.select(col("word"), col("cnt"), expr(
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+      .as("syms"))
+      .cache() // vocab-sized, NOT corpus-sized — see class doc
+    val cached = scala.collection.mutable.ListBuffer(vocab)
+    val merges = scala.collection.mutable.ListBuffer.empty[
+      (Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val best = vocab
+        .select(col("cnt"), explode(pairsCol(col("syms"))).as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(sum(col("cnt")).as("pair_cnt"))
+        .orderBy(col("pair_cnt").desc, col("w1"), col("w2")).limit(1)
+        .collect()
+      require(best.nonEmpty,
+        s"BPE round $r: no adjacent pairs left to merge")
+      val (w1, w2) = (best(0).getString(0), best(0).getString(1))
+      merges += ((r, w1, w2, best(0).getLong(2)))
+      if (r < rounds) {
+        vocab = vocab.withColumn("syms",
+          applyMerge(col("syms"), lit(w1), lit(w2))).cache()
+        cached += vocab
+      }
+    }
+    // the result is literal rows — no lineage into the vocab tables,
+    // so every per-round cache can be dropped immediately
+    cached.foreach(_.unpersist(false))
+    val spark = wordCnts.sparkSession
+    import spark.implicits._
+    merges.toSeq.toDF("round", "w1", "w2", "pair_cnt")
+  }
+}

@@ -53,7 +53,10 @@ object DumpPlans {
     "q_quality_classifier" -> "linear quality gate: every feature and the score fused into one codegen'd scan projection — row-local, zero shuffles, zero UDFs",
     "q_hash_embed_sim" -> "hash-embedding retrieval: one broadcast query vector over a single corpus scan, native HashEmbed expression inside codegen — zero corpus shuffles",
     "q_decontaminate_retro" -> "retro-purged snapshot read: manifest-planned scan minus executor-decoded DV positions — the purge itself wrote O(purged rows) bitmap bytes, zero data-file rewrites",
-    "q_decontaminate_retro_cdf" -> "purge change feed: only files whose DV changed between the versions are read (file-granular CDF), one full-outer key join emits the delete pre-images — O(purged files), never a table rescan")
+    "q_decontaminate_retro_cdf" -> "purge change feed: only files whose DV changed between the versions are read (file-granular CDF), one full-outer key join emits the delete pre-images — O(purged files), never a table rescan",
+    "q_substring_dedup" -> "exact-substring dedup: native positional window hashes in the scan projection, one count aggregate + one hash join on the 8-byte hash key, per-doc span union as a window over DUPLICATED rows only — shuffle bytes independent of document length",
+    "q_lm_score" -> "LM quality scoring: bigram/unigram LM tables hash-join onto the candidate bigrams (AQE broadcasts LM-sized sides), sorted-fold log-prob aggregate — corpus-sized side streams, only LM-table-sized state",
+    "q_bpe_train" -> "BPE training: ONE corpus word-count shuffle, then every merge round is a vocabulary-sized pair aggregate + 1-row argmax collect + row-local fold apply — corpus never re-read, vocab never collected")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
