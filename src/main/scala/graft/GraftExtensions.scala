@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rung (c): optimizer rule — naive range joins become bin-bucketed
     // equi-joins (inert until graft.rules.intervalJoin.binUs is set)
     e.injectOptimizerRule(_ => graft.plans.RangeBinJoinRule)
+    // metadata-only COUNT(*) over manifest-backed scans (Delta's
+    // metadata-only query; on by default, graft.rules.metadataOnlyCount)
+    e.injectOptimizerRule(_ => graft.plans.MetadataOnlyCountRule)
     e.injectTableFunction((FunctionIdentifier("graft_delta_scan"),
       GraftExtensions.deltaScanInfo, GraftExtensions.deltaScanBuilder _))
   }
@@ -153,5 +156,9 @@ object GraftExtensions {
         .contains(graft.plans.RangeBinJoinRule))
       spark.experimental.extraOptimizations ++=
         Seq(graft.plans.RangeBinJoinRule)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.MetadataOnlyCountRule))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.MetadataOnlyCountRule)
   }
 }

@@ -454,6 +454,40 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
           col("c_acctbal"), col("c_mktsegment"))),
 
+    // ---- metadata-only COUNT(*) via the Catalyst rule: with
+    //      GraftExtensions registered, count(*) over the pre-DV
+    //      snapshot COLLAPSES to a LocalRelation (zero files opened —
+    //      MetadataAggSpec asserts the plan); the DV-bearing head
+    //      plans its anti-join normally and counts through it, so
+    //      both legs stay exact ----
+    "q_count_metadata" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      val tab = dvDemo(s, dir)
+      val v0 = tab.latestVersion.get - 2
+      tab.readVersion(v0).agg(count(lit(1)).as("cnt_v0"))
+        .crossJoin(tab.read().agg(count(lit(1)).as("cnt_live")))
+    }),
+
+    // ---- metadata-only aggregates (Delta "metadata-only query"):
+    //      COUNT(*) and numeric MIN/MAX answered from the commit
+    //      manifest alone — zero data files opened, no Spark job.
+    //      The pre-DV version's min/max is provably exact; the head
+    //      (DV-bearing) min/max must REFUSE (the extremal row may be
+    //      dead) — the refusal is part of the contract and the gate ----
+    "q_stats_agg" -> ((s, dir) => {
+      import s.implicits._
+      val tab = dvDemo(s, dir)
+      val head = tab.latestVersion.get
+      val v0 = head - 2 // before the two DV deletes
+      val (mn, mx) = tab.statsMinMax("c_custkey", v0)
+        .getOrElse(sys.error("pre-DV min/max must be metadata-answerable"))
+      Seq((tab.statsCount(v0), tab.statsCount(),
+          mn.asInstanceOf[Long], mx.asInstanceOf[Long],
+          tab.statsMinMax("c_custkey").isEmpty))
+        .toDF("cnt_v0", "cnt_live", "min_key", "max_key",
+          "head_minmax_refused")
+    }),
+
     // ---- REORG TABLE ... APPLY (PURGE) parity (J3 meets J2): files
     //      whose DV dead fraction crossed the threshold are rewritten
     //      (survivors materialized, DV cleared), the rest carry by
@@ -3459,6 +3493,25 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer
         |WHERE NOT (c_custkey % 7 = 0 OR c_custkey % 11 = 0)""".stripMargin,
+
+    // rule-rewritten count(*) (pre-DV snapshot) + anti-join count (head)
+    "q_count_metadata" ->
+      """SELECT count(*) AS cnt_v0,
+        |  (SELECT count(*) FROM customer
+        |   WHERE NOT (c_custkey % 7 = 0 OR c_custkey % 11 = 0))
+        |    AS cnt_live
+        |FROM customer""".stripMargin,
+
+    // metadata-only aggregates: the manifest's answer must equal the
+    // data's answer (count pre/post DV, exact numeric min/max), and
+    // the DV-bearing head must refuse min/max
+    "q_stats_agg" ->
+      """SELECT count(*) AS cnt_v0,
+        |  count(*) FILTER (WHERE NOT (c_custkey % 7 = 0
+        |                           OR c_custkey % 11 = 0)) AS cnt_live,
+        |  min(c_custkey) AS min_key, max(c_custkey) AS max_key,
+        |  TRUE AS head_minmax_refused
+        |FROM customer""".stripMargin,
 
     // REORG PURGE must be logically invisible: same oracle as the DV
     // deletes it compacts away

@@ -1749,6 +1749,61 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         "num_rows", "num_deletion_vector_rows")
   }
 
+  /** Metadata-only COUNT(*) — Delta's "metadata-only query" shape:
+    * the live row count (physical rows minus deletion-vector
+    * cardinalities, Delta's numRecords convention) answered from the
+    * commit manifest alone. Zero data files opened, no Spark job —
+    * O(manifest) driver work, which at 100 TB is the difference
+    * between milliseconds and a full table scan. `version < 0`
+    * means the head.
+    */
+  def statsCount(version: Long = -1L): Long = {
+    val v = if (version >= 0) version
+      else latestVersion.getOrElse(
+        throw new IllegalStateException(s"no table at $path"))
+    fileListAt(v).map { case (_, st) =>
+      st.rows - st.dv.map(_.card).getOrElse(0L)
+    }.sum
+  }
+
+  /** Metadata-only MIN/MAX of a column: the manifest's per-file
+    * min/max merged across the version's live files. Returns `None` —
+    * the caller falls back to a scan — unless the answer is PROVABLY
+    * exact: any live file carrying a deletion vector (the extremal
+    * row may be dead), any file missing the column's stats, or
+    * non-numeric stats (string footer stats may be writer-truncated;
+    * Long/Double stats are exact) all refuse. Files whose stats say
+    * all-null contribute nothing, matching SQL MIN/MAX semantics;
+    * an all-null (or empty) table yields `Some((null, null))` like
+    * SQL's MIN/MAX over no non-null rows.
+    */
+  def statsMinMax(column: String, version: Long = -1L)
+      : Option[(Any, Any)] = {
+    val v = if (version >= 0) version
+      else latestVersion.getOrElse(
+        throw new IllegalStateException(s"no table at $path"))
+    val files = fileListAt(v)
+    if (files.exists(_._2.dv.isDefined)) return None
+    var mn: Any = null
+    var mx: Any = null
+    files.foreach { case (_, st) =>
+      st.cols.get(column) match {
+        case None => return None // stats absent/poisoned → not provable
+        case Some(cs) => (cs.min, cs.max) match {
+          case (None, None) => () // all-null file: no extremal evidence
+          case (Some(a: Long), Some(b: Long)) =>
+            if (mn == null || FileStats.cmp(a, mn).exists(_ < 0)) mn = a
+            if (mx == null || FileStats.cmp(b, mx).exists(_ > 0)) mx = b
+          case (Some(a: Double), Some(b: Double)) =>
+            if (mn == null || FileStats.cmp(a, mn).exists(_ < 0)) mn = a
+            if (mx == null || FileStats.cmp(b, mx).exists(_ > 0)) mx = b
+          case _ => return None // non-numeric stats → not provably exact
+        }
+      }
+    }
+    Some((mn, mx))
+  }
+
   /** Total physical bytes of manifest-referenced files — recorded
     * manifest lengths, FS listing only for legacy entries.
     */

@@ -133,6 +133,27 @@ final class StatsFileIndex private (
 
   override lazy val sizeInBytes: Long =
     sizeHint.getOrElse(source().map(_._2.size).sum)
+
+  /** Exact PHYSICAL row total of the index's files, when every entry
+    * carries parsed stats — the metadata-only COUNT(*) answer for an
+    * unfiltered scan of this index (deletion-vector row drops happen
+    * ABOVE the scan in the plan, so a bare scan really does emit the
+    * physical rows; plans with a DV anti-join never match the
+    * count-star rewrite anyway). `None` if any entry's stats are
+    * missing — unknowable, never guessed. One manifest pass, no IO.
+    */
+  lazy val exactRowCount: Option[Long] = {
+    var total = 0L
+    var unknown = false
+    val it = source()
+    while (it.hasNext && !unknown) {
+      it.next()._2.stats match {
+        case Some(st) => total += st.rows
+        case None => unknown = true
+      }
+    }
+    if (unknown) None else Some(total)
+  }
 }
 
 object StatsFileIndex {

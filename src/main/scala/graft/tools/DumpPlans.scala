@@ -56,7 +56,8 @@ object DumpPlans {
     "q_decontaminate_retro_cdf" -> "purge change feed: only files whose DV changed between the versions are read (file-granular CDF), one full-outer key join emits the delete pre-images — O(purged files), never a table rescan",
     "q_substring_dedup" -> "exact-substring dedup: native positional window hashes in the scan projection, one count aggregate + one hash join on the 8-byte hash key, per-doc span union as a window over DUPLICATED rows only — shuffle bytes independent of document length",
     "q_lm_score" -> "LM quality scoring: bigram/unigram LM tables hash-join onto the candidate bigrams (AQE broadcasts LM-sized sides), sorted-fold log-prob aggregate — corpus-sized side streams, only LM-table-sized state",
-    "q_bpe_train" -> "BPE training: ONE corpus word-count shuffle, then every merge round is a vocabulary-sized pair aggregate + 1-row argmax collect + row-local fold apply — corpus never re-read, vocab never collected")
+    "q_bpe_train" -> "BPE training: ONE corpus word-count shuffle, then every merge round is a vocabulary-sized pair aggregate + 1-row argmax collect + row-local fold apply — corpus never re-read, vocab never collected",
+    "q_count_metadata" -> "metadata-only COUNT(*): the Catalyst rule collapses the pre-DV snapshot's count to a LocalRelation (zero files opened); the DV-bearing head keeps its anti-join and counts through it")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
