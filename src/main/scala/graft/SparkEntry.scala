@@ -1904,6 +1904,13 @@ object SparkEntry {
     "q_vocab_build" -> ((s, dir) =>
       TextStats.vocabulary(t(s, dir, "documents"), topN = 100)),
 
+    // ---- one-pass data profiling (deequ-style QA): per column —
+    //      n / nulls / exact distinct / min / max / modal value.
+    //      One Expand-backed aggregate + one pair-count pass ----
+    "q_profile" -> ((s, dir) =>
+      graft.ops.Profile.profile(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars", "text"))),
+
     // ---- BPE tokenizer training (6 merge rounds over the corpus
     //      word-frequency table): weighted pair counts, lexicographic
     //      tie-break, greedy non-overlapping apply; output is the
@@ -3260,6 +3267,36 @@ object SparkEntry {
     "q_substring_dedup" -> SplitmixOracle.substringDedupSpans,
 
     "q_bpe_train" -> BpeOracle.merges(6),
+
+    "q_profile" -> {
+      val cols = Seq("doc_id", "lang", "source", "n_chars", "text")
+      val scal = cols.map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value
+           |FROM documents""".stripMargin).mkString("\nUNION ALL\n")
+      val pairs = cols.map(c =>
+        s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS value FROM documents")
+        .mkString("\nUNION ALL\n")
+      s"""WITH scal AS (
+         |$scal
+         |),
+         |pairs AS (
+         |$pairs
+         |),
+         |tops AS (
+         |  SELECT col_name, value AS top_value, cnt AS top_count FROM (
+         |    SELECT col_name, value, cnt, row_number() OVER (
+         |        PARTITION BY col_name ORDER BY cnt DESC, value ASC) AS rk
+         |    FROM (SELECT col_name, value, count(*) AS cnt FROM pairs
+         |          WHERE value IS NOT NULL GROUP BY col_name, value))
+         |  WHERE rk = 1)
+         |SELECT s.col_name, s.n, s.n_null, s.n_distinct, s.min_value,
+         |  s.max_value, t.top_value, t.top_count
+         |FROM scal s LEFT JOIN tops t USING (col_name)""".stripMargin
+    },
 
     // bigram stupid-backoff LM scoring: counts and joins replay
     // exactly; per-doc log-prob sums fold in ascending value order in

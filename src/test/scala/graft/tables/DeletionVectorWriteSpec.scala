@@ -96,6 +96,41 @@ class DeletionVectorWriteSpec extends SparkSpec {
       "k11" -> "delete"))
   }
 
+  test("stress: concurrent DV deleters union cleanly, zero rewrites") {
+    val t0 = ResourceTable(spark, s"${tmpDir("dvc")}/T.parquet")
+      .createIfNotExists(schema)
+    t0.upsert(df((0 until 60).map(i => f"k$i%02d" -> i): _*), "id")
+    val before = t0.fileManifest(t0.latestVersion.get).toSet
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // three writers DV-delete disjoint slices of the SAME files — the
+    // conflict loser must re-drive its union against the winner's DVs
+    val threads = (0 until 3).map { w =>
+      new Thread(() => {
+        try {
+          val t = ResourceTable(spark, t0.path)
+          t.deleteMatchingDv(
+            df((0 until 60).filter(_ % 3 == w)
+              .map(i => f"k$i%02d" -> i): _*).select("id"), "id")
+        } catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(failures.isEmpty, s"deleter failed: ${failures.peek()}")
+    // everything is dead, nothing was rewritten: losers unioned into
+    // the winners' bitmaps instead of clobbering them
+    assert(t0.read().count() == 0)
+    assert(t0.fileManifest(t0.latestVersion.get).toSet.subsetOf(before),
+      "concurrent DV deletes must not create data files")
+    // each delete is its own linear version; every one time-travels
+    val head = t0.latestVersion.get
+    assert(t0.readVersion(head - 3).count() == 60)
+    // disjoint 20-row slices → the count sequence is exact whatever
+    // order the racers landed in
+    assert(t0.readVersion(head - 2).count() == 40)
+    assert(t0.readVersion(head - 1).count() == 20)
+  }
+
   test("rewrites clear DVs and never resurrect: upsert, optimize, classic delete") {
     val t = ResourceTable(spark, s"${tmpDir("dv2")}/T.parquet")
       .createIfNotExists(schema)
