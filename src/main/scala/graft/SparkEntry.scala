@@ -454,6 +454,18 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
           col("c_acctbal"), col("c_mktsegment"))),
 
+    // ---- CHANGE DATA FEED export (Delta cdc actions + _change_data
+    //      files): the exported log's change files, read back as plain
+    //      parquet, must equal the changes the mutations made — update
+    //      pre/post pairs from the MERGE, delete images (post-update
+    //      values!) from the DV kill. DuckDB replays both ----
+    "q_cdf_export" -> ((s, dir) => {
+      val tab = cdfDemo(s, dir)
+      s.read.parquet(s"${tab.path}/_change_data")
+        .select(col("c_custkey"), col("c_acctbal"),
+          col("_change_type").as("change_type"))
+    }),
+
     // ---- metadata-only COUNT(*) via the Catalyst rule: with
     //      GraftExtensions registered, count(*) over the pre-DV
     //      snapshot COLLAPSES to a LocalRelation (zero files opened —
@@ -2449,6 +2461,32 @@ object SparkEntry {
   private val dvDemoMemo =
     new java.util.concurrent.ConcurrentHashMap[String, ResourceTable]()
 
+  private val cdfDemoMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, ResourceTable]()
+
+  /** Change-data-feed export fixture: CDF-enabled customer table,
+    * anchored export, then an UPDATE upsert (c_acctbal + 1000 for
+    * keys ≡0 mod 13) and a DV delete (keys ≡0 mod 17) — the second
+    * export materializes both commits' row-level changes as
+    * `_change_data/` files with cdc actions. Memoized per dir.
+    */
+  private def cdfDemo(s: SparkSession, dir: String): ResourceTable =
+    cdfDemoMemo.computeIfAbsent(dir, _ => {
+      val base = t(s, dir, "customer").repartition(4)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cdf").toString
+      val tab = ResourceTable(s, s"$tmp/customer.parquet")
+        .createIfNotExists(base.schema).enableChangeDataFeed()
+      tab.upsert(base, "c_custkey")
+      graft.tables.DeltaExport.export(tab) // anchor: later commits replay
+      tab.upsert(base.filter(col("c_custkey") % 13 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000.0), "c_custkey")
+      tab.enableDeletionVectors()
+      tab.deleteMatchingDv(base.filter(col("c_custkey") % 17 === 0)
+        .select("c_custkey"), "c_custkey")
+      graft.tables.DeltaExport.export(tab)
+      tab
+    })
+
   private val retroDemoMemo =
     new java.util.concurrent.ConcurrentHashMap[
       String, (ResourceTable, Long, Long)]()
@@ -3530,6 +3568,24 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer
         |WHERE NOT (c_custkey % 7 = 0 OR c_custkey % 11 = 0)""".stripMargin,
+
+    // change-data-feed export: update pairs from the MERGE, delete
+    // images (carrying the post-update values) from the DV kill
+    "q_cdf_export" ->
+      """WITH upd AS (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_custkey % 13 = 0)
+        |SELECT c_custkey, c_acctbal,
+        |  'update_preimage' AS change_type FROM upd
+        |UNION ALL
+        |SELECT c_custkey, c_acctbal + 1000.0,
+        |  'update_postimage' AS change_type FROM upd
+        |UNION ALL
+        |SELECT c_custkey,
+        |  CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 1000.0
+        |       ELSE c_acctbal END,
+        |  'delete' AS change_type
+        |FROM customer WHERE c_custkey % 17 = 0""".stripMargin,
 
     // rule-rewritten count(*) (pre-DV snapshot) + anti-join count (head)
     "q_count_metadata" ->

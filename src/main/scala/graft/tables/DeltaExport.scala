@@ -123,21 +123,27 @@ object DeltaExport {
     wrap("commitInfo", ci)
   }
 
-  private def protocol(needDv: Boolean = false): ObjectNode = {
+  private def protocol(needDv: Boolean = false,
+                       needCdf: Boolean = false): ObjectNode = {
     val p = f.objectNode()
     if (needDv) {
       // deletion vectors are a table FEATURE (PROTOCOL.md "Table
       // Features"): reader 3 / writer 7 with the feature named on
-      // both lists — exactly what delta-spark writes when DVs enable
+      // both lists — exactly what delta-spark writes when DVs enable.
+      // changeDataFeed is WRITER-only (CDF-unaware readers may ignore
+      // _change_data), so it joins writerFeatures alone.
       p.put("minReaderVersion", 3)
       p.put("minWriterVersion", 7)
       val rf = f.arrayNode(); rf.add("deletionVectors")
       val wf = f.arrayNode(); wf.add("deletionVectors")
+      if (needCdf) wf.add("changeDataFeed")
       p.replace("readerFeatures", rf)
       p.replace("writerFeatures", wf)
     } else {
       p.put("minReaderVersion", 1)
-      p.put("minWriterVersion", 2)
+      // CDF without table features: legacy writer version 4 carries it
+      // (PROTOCOL.md "Change Data Feed" / delta-spark's own minimum)
+      p.put("minWriterVersion", if (needCdf) 4 else 2)
     }
     wrap("protocol", p)
   }
@@ -152,9 +158,67 @@ object DeltaExport {
     m.set("format", fmt)
     m.put("schemaString", schemaJson)
     m.set("partitionColumns", f.arrayNode())
-    m.set("configuration", f.objectNode())
+    val conf = f.objectNode()
+    // the table property external CDF readers key on — set iff this
+    // table opted into change-data export (then every mutating commit
+    // in this log carries cdc actions or is inference-safe)
+    if (t.changeDataFeedEnabled)
+      conf.put("delta.enableChangeDataFeed", "true")
+    m.set("configuration", conf)
     m.put("createdTime", ts)
     wrap("metaData", m)
+  }
+
+  /** A `cdc` action: one `_change_data/` file of this commit's
+    * row-level change images. dataChange=false per the protocol (the
+    * change files are CDF-reader-only; snapshot readers ignore them).
+    */
+  private def cdcAction(rel: String, size: Long): ObjectNode = {
+    val c = f.objectNode()
+    c.put("path", rel)
+    c.set("partitionValues", f.objectNode())
+    c.put("size", size)
+    c.put("dataChange", false)
+    wrap("cdc", c)
+  }
+
+  /** Materialize graft commit `g`'s row-level changes as one
+    * `_change_data/` parquet file and return its cdc action. Keyed
+    * commits (MERGE/DELETE record their key) replay through
+    * [[ResourceTable.changes]] — full Delta fidelity including
+    * update_pre/postimage pairs; keyless mutations (RESTORE, legacy
+    * commits) fall back to [[ResourceTable.changesByContent]], whose
+    * insert/delete multiset images are algebraically equivalent.
+    * Always writes a file — even an EMPTY one (a rewrite that changed
+    * no logical row): per the protocol, a commit carrying any cdc
+    * action is read from cdc alone, which is exactly what protects a
+    * content-neutral rewrite from being misread as delete+insert of
+    * every row it touched.
+    */
+  private def writeChangeData(t: ResourceTable, g: Long,
+                              deltaV: Long): ObjectNode = {
+    val cdf = FileStats.keyOf(t.commitBody(g)) match {
+      case Some(k) => t.changes(g - 1, g, k)
+      case None => t.changesByContent(g - 1, g)
+    }
+    val cdDir = new HPath(t.path, "_change_data")
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new HPath(cdDir, f".cdc-$deltaV%020d-$uuid.tmp")
+    // one file: the payload is one commit's touched-row images, the
+    // same bounded set the commit itself wrote
+    cdf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = t.fs.listStatus(tmp).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") &&
+        !p.getName.startsWith("."))
+      .headOption.getOrElse(throw new IllegalStateException(
+        s"${t.path}: change-data write for commit $g produced no part"))
+    val name = f"cdc-$deltaV%020d-$uuid.parquet"
+    val dest = new HPath(cdDir, name)
+    if (!t.fs.rename(part, dest))
+      throw new IllegalStateException(
+        s"${t.path}: could not publish change-data file $dest")
+    t.fs.delete(tmp, true)
+    cdcAction(s"_change_data/$name", t.fs.getFileStatus(dest).getLen)
   }
 
   private def add(rel: String, st: FileStats.FileStat, size: Long,
@@ -435,7 +499,8 @@ object DeltaExport {
       val types = typesAt(t, latest)
       writeEntry(t, 0L,
         commitInfo(latest, ts, "GRAFT EXPORT ANCHOR") +:
-          protocol(needDv = files.exists(_._2.dv.isDefined)) +:
+          protocol(needDv = files.exists(_._2.dv.isDefined),
+            needCdf = t.changeDataFeedEnabled) +:
           metaData(t, t.schema().json, ts) +:
           (txnDelta(Map.empty,
             FileStats.txnsOf(t.commitBody(latest)), ts) ++
@@ -469,7 +534,10 @@ object DeltaExport {
           // full txn state, not a delta: the trimmed source chain
           // means the predecessor state is unknowable, and re-stating
           // a watermark is idempotent under log replay
-          ((if (files.exists(_._2.dv.isDefined)) Seq(protocol(true))
+          ((if (files.exists(_._2.dv.isDefined) || t.changeDataFeedEnabled)
+              Seq(protocol(
+                needDv = files.exists(_._2.dv.isDefined) || t.dvEnabled,
+                needCdf = t.changeDataFeedEnabled))
             else Seq.empty) ++
             txnDelta(Map.empty,
               FileStats.txnsOf(t.commitBody(latest)), ts) ++
@@ -504,6 +572,16 @@ object DeltaExport {
       // dataChange=false — a delta streaming consumer of this log
       // must not reprocess the rewritten files as new data
       val dc = !FileStats.opOf(t.commitBody(g)).contains("OPTIMIZE")
+      // CHANGE DATA FEED: a dataChange commit that also REMOVES files
+      // (partial rewrite / DV kill) cannot be row-inferred from its
+      // add/remove actions, so a CDF-enabled table materializes the
+      // commit's change images as a _change_data file + cdc action.
+      // Insert-only commits stay inference-read (delta writers skip
+      // cdc there too); OPTIMIZE steps change no logical row.
+      val cdc =
+        if (t.changeDataFeedEnabled && dc && removes.nonEmpty)
+          Seq(writeChangeData(t, g, dv + 1))
+        else Seq.empty
       val body =
         commitInfo(g, ts, FileStats.opOf(t.commitBody(g))
             .getOrElse("GRAFT COMMIT")) +:
@@ -516,10 +594,18 @@ object DeltaExport {
                 FileStats.schemaOf(t.commitBody(g))
                   .getOrElse(t.schema().json), ts))
             else Seq.empty) ++
-            // first commit that introduces a DV upgrades the protocol
-            // in the same entry (replay takes the newest protocol)
-            (if (adds.exists(_._2.dv.isDefined)) Seq(protocol(true))
+            // first commit that introduces a DV (or carries cdc into a
+            // log whose anchor predates CDF enablement) upgrades the
+            // protocol in the same entry (replay takes the newest
+            // protocol — DV features are re-stated so a later upgrade
+            // never downgrades an earlier one)
+            (if (adds.exists(_._2.dv.isDefined) || cdc.nonEmpty)
+               Seq(protocol(
+                 needDv = adds.exists(_._2.dv.isDefined) || t.dvEnabled ||
+                   after.exists(_._2.dv.isDefined),
+                 needCdf = t.changeDataFeedEnabled))
              else Seq.empty) ++
+            cdc ++
             txnDelta(FileStats.txnsOf(t.commitBody(g - 1)),
               FileStats.txnsOf(t.commitBody(g)), ts) ++
             removes.map { case (r, st) =>

@@ -206,6 +206,17 @@ object FileStats {
   def opOf(body: String): Option[String] =
     Option(mapper.readTree(body).get("op")).map(_.asText)
 
+  /** The merge/delete KEY COLUMN a mutation commit recorded (absent in
+    * pre-key commits and key-less ops like OPTIMIZE) — what a CDF
+    * export needs to replay the commit's row-level changes.
+    */
+  def keyOf(body: String): Option[String] =
+    Option(mapper.readTree(body).get("key")).map(_.asText)
+
+  /** JSON string literal (quotes + escaping) via jackson. */
+  def quoteJson(s: String): String =
+    JsonNodeFactory.instance.textNode(s).toString
+
   /** Writer-transaction watermarks the commit carries (Delta's
     * `txnAppId`/`txnVersion` idempotence mechanism): appId → highest
     * batch id applied. Carried forward commit-to-commit so a replayed

@@ -406,6 +406,49 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         col("_e._ct").as("_change_type")): _*)
   }
 
+  /** KEYLESS change feed between two versions: the exact MULTISET
+    * difference of the snapshots, emitted as `insert`/`delete` image
+    * rows (an update surfaces as its delete+insert pair — the
+    * algebraically-equivalent CDF shape for commits that recorded no
+    * merge key: RESTORE, legacy pre-key commits). Same file-granular
+    * scope as [[changes]]; the diff groups the touched rows on ALL
+    * columns with per-side counts and re-expands |Δcount| rows, so it
+    * costs one shuffle keyed on the full row — heavier per byte than
+    * the keyed path, which is why [[changes]] stays the default.
+    */
+  def changesByContent(fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, lit,
+      sequence, when, abs}
+    if (toV == fromV + 1 &&
+        FileStats.opOf(commitBody(toV)).contains("OPTIMIZE"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(schema().fields :+
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType)))
+    val fromFiles = fileListAt(fromV).filter(_._2.rows > 0)
+    val toFiles = fileListAt(toV).filter(_._2.rows > 0)
+    def ident(f: (String, FileStats.FileStat)) = (f._1, f._2.dv)
+    val shared = fromFiles.map(ident).toSet
+      .intersect(toFiles.map(ident).toSet)
+    val from = readFilesWithSchema(
+      fromFiles.filterNot(f => shared(ident(f))))
+    val to = readFilesWithSchema(toFiles.filterNot(f => shared(ident(f))))
+    val cols = from.columns.toSeq
+    // one tagged aggregation (grouping treats NULL as a value, unlike
+    // a join on the columns): Δ = occurrences in `to` − in `from`
+    val tagged = from.select((cols.map(col) :+ lit(-1L).as("_s")): _*)
+      .unionByName(to.select((cols.map(col) :+ lit(1L).as("_s")): _*))
+    tagged.groupBy(cols.map(col): _*)
+      .agg(org.apache.spark.sql.functions.sum(col("_s")).as("_d"))
+      .filter(col("_d") =!= 0)
+      .select((cols.map(col) :+
+        when(col("_d") > 0, lit("insert")).otherwise(lit("delete"))
+          .as("_change_type") :+
+        explode(sequence(lit(1L), abs(col("_d")))).as("_i")): _*)
+      .drop("_i")
+  }
+
   /** Data-skipping read (Delta stats-based file pruning): files whose
     * commit-log min/max stats prove `filter` can match no row are not
     * even opened; the filter is re-applied row-level after the scan, so
@@ -899,7 +942,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       // the knob is off by default, so the hot path stays single-job.)
       if (!files.exists(_._2.rows > 0)) {
         commitCounted(src, outCols, outSchema.json, Seq.empty, cur,
-          op = "MERGE")
+          op = "MERGE", key = Some(key))
       } else {
         val (srcRows, mayOverlap) = keyProfile(src, key)
         val (touched, untouched) = files.partition(f => mayOverlap(f._2))
@@ -931,7 +974,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         // row of the rewritten files (sizes clustered output)
         val newRowsBound = srcRows + touched.map(_._2.rows).sum
         commitFiles(Some(clusterForWrite(newData, newRowsBound)), kept,
-          outSchema.json, cur, op = "MERGE")
+          outSchema.json, cur, op = "MERGE", key = Some(key))
         srcRows
       }
     } finally src.unpersist()
@@ -1061,7 +1104,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
             joined
           }
         commitCounted(newRows, outCols, tableSchema.json, live, cur,
-          op = "MERGE", txn = txn)
+          op = "MERGE", txn = txn, key = Some(key))
       }
     } finally src.unpersist()
     maybeAutoCompact()
@@ -1077,18 +1120,19 @@ final class ResourceTable(val spark: SparkSession, val path: String,
   private def commitCounted(src: DataFrame, outCols: Seq[String],
       outSchemaJson: String, kept: Seq[(String, FileStats.FileStat)],
       cur: Option[Long], op: String,
-      txn: Option[(String, Long)] = None): Long =
+      txn: Option[(String, Long)] = None,
+      key: Option[String] = None): Long =
     if (optimizeWriteEnabled) {
       val n = src.count()
       commitFiles(Some(clusterForWrite(
           src.select(outCols.map(col): _*), n)),
-        kept, outSchemaJson, cur, op = op, txn = txn)
+        kept, outSchemaJson, cur, op = op, txn = txn, key = key)
       n
     } else {
       val obs = org.apache.spark.sql.Observation()
       commitFiles(Some(src.select(outCols.map(col): _*)
           .observe(obs, count(lit(1)).as("_rows"))),
-        kept, outSchemaJson, cur, op = op, txn = txn)
+        kept, outSchemaJson, cur, op = op, txn = txn, key = key)
       obs.get("_rows").asInstanceOf[Long]
     }
 
@@ -1193,7 +1237,23 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     this
   }
 
-  private def dvEnabled: Boolean =
+  /** Opt this table into CHANGE DATA FEED export (Delta's
+    * `delta.enableChangeDataFeed` table property): DeltaExport will
+    * emit `cdc` actions + `_change_data/` row-level change files for
+    * every mutating commit that rewrites or DV-kills rows, so external
+    * Delta streaming consumers read the same feed [[changes]] serves
+    * in-engine. Mutation commits record their merge/delete key either
+    * way; the flag only gates the export-side materialization.
+    */
+  def enableChangeDataFeed(): ResourceTable = {
+    writeFile(new HPath(root, "_meta_cdf_enabled"), "true")
+    this
+  }
+
+  private[tables] def changeDataFeedEnabled: Boolean =
+    fs.exists(new HPath(root, "_meta_cdf_enabled"))
+
+  private[tables] def dvEnabled: Boolean =
     spark.conf.get("graft.table.deletionVectors", "false").toBoolean ||
       fs.exists(new HPath(root, "_meta_dv_enabled"))
 
@@ -1226,7 +1286,8 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       val kept = untouched.filterNot(_._2.rows == 0)
       if (touched.isEmpty) {
         // copy-forward commit, same contract as the rewrite path
-        commitFiles(None, kept, schema().json, cur, op = "DELETE")
+        commitFiles(None, kept, schema().json, cur, op = "DELETE",
+          key = Some(key))
         nIds
       } else {
         // RAW scan (no DV filter): rows already dead may re-match;
@@ -1284,7 +1345,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
           }
         }
         commitFiles(None, kept ++ updated, schema().json, cur,
-          op = "DELETE")
+          op = "DELETE", key = Some(key))
         nIds
       }
     } finally idsKeyed.unpersist()
@@ -1316,7 +1377,8 @@ final class ResourceTable(val spark: SparkSession, val path: String,
           lastMergePlan = Some(joined.queryExecution.sparkPlan.toString)
           Some(joined)
         }
-      commitFiles(newData, kept, schema().json, cur, op = "DELETE")
+      commitFiles(newData, kept, schema().json, cur, op = "DELETE",
+        key = Some(key))
       nIds
     } finally idsKeyed.unpersist()
     maybeAutoCompact()
@@ -1826,7 +1888,8 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       expectedCurrent: Option[Long],
       compression: String = "zstd",
       op: String = "WRITE",
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      key: Option[String] = None): Long = {
     val next = expectedCurrent.getOrElse(-1L) + 1
     val dirName =
       s"snap-$next-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -1888,8 +1951,13 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     // snap dir) before rethrowing, so retry()/the operator see a
     // clean table.
     try {
+      // `key` records the mutation's merge/delete key so a later CDF
+      // export can replay this commit's row-level changes (the column
+      // name is tiny, deterministic metadata — like op/txns)
+      val keyJson = key.map(k =>
+        s""","key":${FileStats.quoteJson(k)}""").getOrElse("")
       try out.write(
-        s"""{"version":$next,"op":"$op","ts":${System.currentTimeMillis()},"dir":"$dirName"$txnsJson,"schema":$schemaJson,"files":$statsJson}"""
+        s"""{"version":$next,"op":"$op","ts":${System.currentTimeMillis()},"dir":"$dirName"$txnsJson$keyJson,"schema":$schemaJson,"files":$statsJson}"""
           .getBytes(StandardCharsets.UTF_8))
       finally out.close()
     } catch { case e: Throwable =>

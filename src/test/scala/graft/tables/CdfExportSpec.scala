@@ -1,0 +1,135 @@
+package graft.tables
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** CHANGE DATA FEED export: a CDF-enabled table's exported `_delta_log`
+  * carries `cdc` actions + `_change_data/` files for every rewriting
+  * commit, the protocol/metaData announce the feature, and the
+  * INDEPENDENT python reader proves the algebraic replay identity
+  *   snap(v-1) + inserts + postimages − deletes − preimages = snap(v)
+  * for every cdc commit.
+  */
+class CdfExportSpec extends SparkSpec {
+  import graft.SparkSpec._
+
+  private val schema = StructType(Seq(
+    StructField("id", StringType), StructField("n", IntegerType)))
+
+  private def df(rows: (String, Int)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2))),
+      schema)
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def entryActions(path: String, v: Long): Seq[String] =
+    new String(Files.readAllBytes(
+      Paths.get(path, "_delta_log", f"$v%020d.json")),
+      StandardCharsets.UTF_8).linesIterator.toSeq
+
+  test("cdc actions + change files for upsert-rewrite, DV delete, classic delete") {
+    val dir = tmpDir("cdf1")
+    val path = s"$dir/T.parquet"
+    val t = ResourceTable(spark, path)
+      .createIfNotExists(schema).enableChangeDataFeed()
+    t.upsert(df((0 until 12).map(i => f"k$i%02d" -> i): _*), "id")
+    DeltaExport.export(t) // anchor now: later exports replay per-commit
+    // update 2 keys + insert 1 → a rewriting MERGE (pre/postimages)
+    t.upsert(df("k03" -> 300, "k07" -> 700, "new" -> 13), "id")
+    // classic rewrite delete (before DV enablement routes deletes)
+    t.deleteMatching(df("k09" -> 0).select("id"), "id")
+    // DV delete (zero rewrite, (path, dv) identity flip)
+    t.enableDeletionVectors()
+    t.deleteMatchingDv(df("k01" -> 0, "k05" -> 0).select("id"), "id")
+    val dv = DeltaExport.export(t)
+    assert(dv >= 3L) // anchor + the merge/delete/dv-delete commits
+
+    // metaData announces the property; protocol carries the feature
+    val all = (0L to dv).flatMap(entryActions(path, _))
+    val meta = all.filter(_.contains("\"metaData\"")).map(mapper.readTree)
+    assert(meta.exists(_.get("metaData").get("configuration")
+      .get("delta.enableChangeDataFeed").asText == "true"))
+    val protos = all.filter(_.contains("\"protocol\""))
+      .map(mapper.readTree(_).get("protocol"))
+    assert(protos.exists(p =>
+      p.get("minWriterVersion").asInt == 4 ||
+        Option(p.get("writerFeatures")).exists(_.elements().asScala
+          .exists(_.asText == "changeDataFeed"))))
+
+    // the MERGE-rewrite and the DV delete both carry cdc actions
+    val cdcLines = all.filter(_.contains("\"cdc\""))
+    assert(cdcLines.size >= 2, s"expected >=2 cdc actions:\n$all")
+    cdcLines.map(mapper.readTree(_).get("cdc")).foreach { c =>
+      assert(!c.get("dataChange").asBoolean)
+      val p = Paths.get(path, c.get("path").asText)
+      assert(Files.exists(p), s"missing change file $p")
+    }
+    // change types present: update pair + deletes + insert
+    val cdcFiles = cdcLines.map(l =>
+      s"$path/${mapper.readTree(l).get("cdc").get("path").asText}")
+    val cts = spark.read.parquet(cdcFiles: _*)
+      .select("_change_type").collect().map(_.getString(0)).toSet
+    assert(cts == Set("insert", "delete",
+      "update_preimage", "update_postimage"), cts.toString)
+
+    // the independent python reader: snapshot MATCH + cdf identity OK
+    t.read().coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/expected.parquet")
+    val pb = new ProcessBuilder("python3", "tools/check_delta_export.py",
+      path, s"$dir/expected.parquet")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(),
+      StandardCharsets.UTF_8)
+    proc.waitFor()
+    assert(proc.exitValue() == 0, s"python reader failed:\n$out")
+    assert(out.contains("cdc commits verified OK"), out)
+    assert("cdf: (\\d+) cdc commits".r.findFirstMatchIn(out)
+      .exists(_.group(1).toInt >= 2), out)
+  }
+
+  test("keyless RESTORE exports content-diff cdc (insert/delete images)") {
+    val dir = tmpDir("cdf2")
+    val path = s"$dir/T.parquet"
+    val t = ResourceTable(spark, path)
+      .createIfNotExists(schema).enableChangeDataFeed()
+    t.upsert(df("a" -> 1, "b" -> 2), "id")
+    DeltaExport.export(t) // anchor before the keyless commit
+    val v1 = t.latestVersion.get
+    t.upsert(df("b" -> 20, "c" -> 3), "id")
+    t.restore(v1) // keyless commit: back to {a->1, b->2}
+    val dv = DeltaExport.export(t)
+    val all = (0L to dv).flatMap(entryActions(path, _))
+    assert(all.exists(_.contains("\"cdc\"")), all.mkString("\n"))
+    t.read().coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/expected.parquet")
+    val pb = new ProcessBuilder("python3", "tools/check_delta_export.py",
+      path, s"$dir/expected.parquet")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(),
+      StandardCharsets.UTF_8)
+    proc.waitFor()
+    assert(proc.exitValue() == 0, s"python reader failed:\n$out")
+    assert(out.contains("cdc commits verified OK"), out)
+  }
+
+  test("CDF off: no cdc actions, no _change_data, protocol unchanged") {
+    val dir = tmpDir("cdf3")
+    val path = s"$dir/T.parquet"
+    val t = ResourceTable(spark, path).createIfNotExists(schema)
+    t.upsert(df("a" -> 1, "b" -> 2), "id")
+    t.upsert(df("a" -> 10), "id") // rewrite, but CDF not enabled
+    val dv = DeltaExport.export(t)
+    val all = (0L to dv).flatMap(entryActions(path, _))
+    assert(!all.exists(_.contains("\"cdc\"")))
+    assert(!Files.exists(Paths.get(path, "_change_data")))
+    assert(!all.exists(_.contains("changeDataFeed")))
+  }
+}

@@ -334,7 +334,125 @@ def main():
     # 3. txn watermarks (through checkpoint at v{ckpt_v} + tail)
     print(f"txns (ckpt v{ckpt_v}): {sorted(txns.items())}")
 
+    # 4. change data feed: every cdc-bearing commit must satisfy the
+    #    algebraic identity  snap(v-1) + inserts + update_postimages
+    #    - deletes - update_preimages == snap(v)  as MULTISETS — the
+    #    complete correctness statement for a change feed, and it
+    #    needs no key column to verify.
+    ok &= check_cdf(table, con, cols, types)
+
     sys.exit(0 if ok else 1)
+
+
+def check_cdf(table, con, cols, types):
+    logdir = os.path.join(table, "_delta_log")
+    entries = sorted(
+        int(f[: -len(".json")])
+        for f in os.listdir(logdir)
+        if f.endswith(".json") and not f.startswith(".")
+    )
+    if not entries or entries[0] != 0 or \
+            entries != list(range(entries[-1] + 1)):
+        print("cdf: skipped (log truncated — no full json chain)")
+        return True
+    cdf_enabled = False
+    live = {}      # rel -> dv descriptor tag (or None)
+    dv_tags = {}   # (rel, tag) positions already loaded
+    con.sql("CREATE TABLE cdf_dead (rel VARCHAR, tag VARCHAR, pos BIGINT)")
+
+    def load_dv(rel, dv):
+        tag = json.dumps(dv, sort_keys=True)
+        if (rel, tag) not in dv_tags:
+            con.executemany(
+                "INSERT INTO cdf_dead VALUES (?, ?, ?)",
+                [(rel, tag, p) for p in dv_positions(table, dv)])
+            dv_tags[(rel, tag)] = True
+        return tag
+
+    def snap_sql(state):
+        sel = []
+        for rel, tag in sorted(state.items()):
+            f = os.path.join(table, rel)
+            have = {r[0] for r in con.sql(
+                f"SELECT name FROM parquet_schema('{f}')").fetchall()}
+            proj = ", ".join(
+                f'"{c}"' if c in have
+                else f'CAST(NULL AS {SQLTYPE[types[c]]}) AS "{c}"'
+                for c in cols)
+            if tag is not None:
+                t = tag.replace("'", "''")
+                sel.append(
+                    f"SELECT {proj} FROM parquet_scan('{f}', "
+                    "file_row_number=true) WHERE file_row_number NOT IN "
+                    f"(SELECT pos FROM cdf_dead WHERE rel = '{rel}' "
+                    f"AND tag = '{t}')")
+            else:
+                sel.append(f"SELECT {proj} FROM parquet_scan('{f}')")
+        if not sel:
+            proj = ", ".join(
+                f'CAST(NULL AS {SQLTYPE[types[c]]}) AS "{c}"'
+                for c in cols)
+            return f"SELECT {proj} WHERE 1=0"
+        return " UNION ALL ".join(sel)
+
+    def mhash(body):
+        order = ", ".join(f'"{c}"' for c in cols)
+        return con.sql(
+            "SELECT count(*), md5(string_agg(r, '|' ORDER BY r)) FROM ("
+            f"SELECT concat_ws(',', {order}) AS r FROM ({body}))"
+        ).fetchone()
+
+    n_cdc = 0
+    ok = True
+    for v in entries:
+        prev_state = dict(live)
+        cdcs, dc_adds, dc_removes = [], 0, 0
+        with open(os.path.join(logdir, "%020d.json" % v)) as fh:
+            for line in fh:
+                n = json.loads(line)
+                if "metaData" in n:
+                    cfg = n["metaData"].get("configuration") or {}
+                    if cfg.get("delta.enableChangeDataFeed") == "true":
+                        cdf_enabled = True
+                if "cdc" in n:
+                    cdcs.append(n["cdc"]["path"])
+                if "add" in n:
+                    a = n["add"]
+                    dv = a.get("deletionVector")
+                    live[a["path"]] = (load_dv(a["path"], dv)
+                                       if dv and dv.get("storageType")
+                                       else None)
+                    if a.get("dataChange"):
+                        dc_adds += 1
+                if "remove" in n:
+                    live.pop(n["remove"]["path"], None)
+                    if n["remove"].get("dataChange"):
+                        dc_removes += 1
+        if not cdcs:
+            if cdf_enabled and dc_adds and dc_removes and v > 0:
+                print(f"cdf: v{v}: dataChange rewrite without cdc on a "
+                      "CDF-enabled table — inference-unsafe")
+                ok = False
+            continue
+        n_cdc += 1
+        proj = ", ".join(f'"{c}"' for c in cols)
+        cfiles = ", ".join(
+            f"'{os.path.join(table, p)}'" for p in cdcs)
+        plus = (f"SELECT {proj} FROM parquet_scan([{cfiles}]) WHERE "
+                "_change_type IN ('insert', 'update_postimage')")
+        minus = (f"SELECT {proj} FROM parquet_scan([{cfiles}]) WHERE "
+                 "_change_type IN ('delete', 'update_preimage')")
+        lhs = (f"SELECT {proj} FROM ((({snap_sql(prev_state)}) "
+               f"UNION ALL ({plus})) EXCEPT ALL ({minus}))")
+        h_lhs = mhash(lhs)
+        h_rhs = mhash(snap_sql(live))
+        if h_lhs != h_rhs:
+            print(f"cdf: v{v}: replay identity BROKEN "
+                  f"lhs={h_lhs} rhs={h_rhs}")
+            ok = False
+    print(f"cdf: {n_cdc} cdc commits verified "
+          + ("OK" if ok else "BAD"))
+    return ok
 
 
 if __name__ == "__main__":
