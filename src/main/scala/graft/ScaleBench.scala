@@ -46,7 +46,7 @@ object ScaleBench {
     "q_ingest_e2e", "q_dedup_fuzzy", "q_change_feed",
     "q_hybrid_retrieval", "q_ann_ivf_indexed", "q_stream_outer_join",
     "q_delta_export", "x_decontaminate_ivf", "x_fuzzy_split",
-    "x_delete_rewrite", "x_delete_dv",
+    "x_delete_rewrite", "x_delete_dv", "x_cdf_export",
     "x_url_dedup", "x_upsert_overlap", "x_insert_absent", "x_dv_purge",
     "q_substring_dedup", "q_lm_score", "q_bpe_train")
 
@@ -139,6 +139,22 @@ object ScaleBench {
         s.read.parquet(s"$dir/events.parquet")
           .filter(col("event_id") % 1009 === i).select("event_id"),
         "event_id"))
+      s.range(1).toDF("done")
+    }),
+    // CDF export of ONE DV-delete commit on the scaled table: the
+    // _change_data materialization must track the ~0.1% slice the
+    // delete touched, not the table. First call anchors the export
+    // (one-time, absorbed by min-of-two); the measured round is
+    // delete + incremental export of that single cdc commit — the
+    // change-feed analogue of x_delete_dv's O(deleted rows) claim.
+    "x_cdf_export" -> ((s, dir) => {
+      val tab = deleteDemo(s, dir, "dv").enableChangeDataFeed()
+      val i = 500 + nextSlice(s"cdfx:$dir") // slices disjoint from x_delete_dv's
+      tab.deleteMatchingDv(
+        s.read.parquet(s"$dir/events.parquet")
+          .filter(col("event_id") % 1009 === i).select("event_id"),
+        "event_id")
+      graft.tables.DeltaExport.export(tab)
       s.range(1).toDF("done")
     }),
     // q_dedup_fuzzy's shape with the triangle split engaged: per-task

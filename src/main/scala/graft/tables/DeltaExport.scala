@@ -1061,6 +1061,28 @@ object DeltaExport {
         checkpointVersionOf(p.getName).exists(_ < ckptV) &&
           t.fs.getFileStatus(p).getModificationTime < cutoff
       }.foreach(t.fs.delete(_, false))
+    // change-data files ride the SAME lifecycle as their log entries
+    // (delta-spark vacuums CDC under the log retention too): a cdc
+    // file whose entry is gone can never be replayed — reap it. The
+    // survivors' referenced set comes from one pass over the retained
+    // json tail; files newer than the cutoff are kept unconditionally
+    // (their entry may be mid-publish by a concurrent exporter).
+    val cdDir = new HPath(t.path, "_change_data")
+    if (t.fs.exists(cdDir)) {
+      val referenced = listEntries(t).flatMap { v =>
+        val in = t.fs.open(entryFile(t, v))
+        val body =
+          try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+          finally in.close()
+        body.linesIterator.filter(_.nonEmpty).map(mapper.readTree)
+          .flatMap(n => Option(n.get("cdc")).map(_.get("path").asText))
+      }.map(p => p.stripPrefix("_change_data/")).toSet
+      t.fs.listStatus(cdDir).map(_.getPath)
+        .filter(p => !p.getName.startsWith(".") &&
+          !referenced(p.getName) &&
+          t.fs.getFileStatus(p).getModificationTime < cutoff)
+        .foreach(t.fs.delete(_, false))
+    }
     dead
   }
 

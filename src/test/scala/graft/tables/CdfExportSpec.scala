@@ -120,6 +120,45 @@ class CdfExportSpec extends SparkSpec {
     assert(out.contains("cdc commits verified OK"), out)
   }
 
+  test("cleanupLog reaps change files with their aged entries, keeps referenced ones") {
+    val dir = tmpDir("cdf4")
+    val path = s"$dir/T.parquet"
+    val t = ResourceTable(spark, path)
+      .createIfNotExists(schema).enableChangeDataFeed()
+    t.upsert(df((0 until 8).map(i => s"k$i" -> i): _*), "id")
+    DeltaExport.export(t)
+    // 11 rewriting commits → 11 cdc files; entry 10 forces a checkpoint
+    (0 until 11).foreach(i =>
+      t.upsert(df(s"k${i % 8}" -> (100 + i)), "id"))
+    val dv = DeltaExport.export(t)
+    assert(dv >= 10L)
+    val cd = Paths.get(path, "_change_data")
+    val before = Files.list(cd).iterator().asScala.size
+    assert(before >= 11, s"$before")
+    // age everything, then clean with zero retention: entries below the
+    // checkpoint die and exactly their change files go with them
+    Files.list(Paths.get(path, "_delta_log")).iterator().asScala
+      .foreach(p => p.toFile.setLastModified(1000L))
+    Files.list(cd).iterator().asScala
+      .foreach(p => p.toFile.setLastModified(1000L))
+    val dead = DeltaExport.cleanupLog(t, retentionMs = 0L)
+    assert(dead.nonEmpty)
+    val left = Files.list(cd).iterator().asScala.map(_.getFileName.toString)
+      .filterNot(_.startsWith(".")) // survivors' hadoop .crc sidecars
+      .toSet
+    // survivors = exactly the cdc paths the retained entries reference
+    val retained = Files.list(Paths.get(path, "_delta_log"))
+      .iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json")).toSeq
+      .flatMap(p => Files.readAllLines(p).asScala)
+      .filter(_.contains("\"cdc\""))
+      .map(l => mapper.readTree(l).get("cdc").get("path").asText
+        .stripPrefix("_change_data/")).toSet
+    assert(left == retained, s"left=$left retained=$retained")
+    // the replayed snapshot is untouched by the cleanup
+    assert(DeltaExport.readSnapshot(spark, path).count() == 8L)
+  }
+
   test("CDF off: no cdc actions, no _change_data, protocol unchanged") {
     val dir = tmpDir("cdf3")
     val path = s"$dir/T.parquet"
