@@ -159,6 +159,55 @@ class CdfExportSpec extends SparkSpec {
     assert(DeltaExport.readSnapshot(spark, path).count() == 8L)
   }
 
+  test("orphan change file (crash between cdc write and entry publish) is inert, then reaped") {
+    val dir = tmpDir("cdf5")
+    val path = s"$dir/T.parquet"
+    val t = ResourceTable(spark, path)
+      .createIfNotExists(schema).enableChangeDataFeed()
+    t.upsert(df("a" -> 1, "b" -> 2), "id")
+    DeltaExport.export(t)
+    t.upsert(df("a" -> 10), "id")
+    // simulate the crash window: a cdc file exists that NO entry
+    // references (the exporter died before writeEntry)
+    val cd = Paths.get(path, "_change_data")
+    Files.createDirectories(cd)
+    val orphan = cd.resolve("cdc-00000000000000000099-deadbeef.parquet")
+    spark.range(1).toDF("x").coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/orphan_tmp")
+    val part = Files.list(Paths.get(s"$dir/orphan_tmp")).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part, orphan)
+    // re-export proceeds normally and writes its OWN fresh cdc file
+    val dv = DeltaExport.export(t)
+    val all = (0L to dv).flatMap(entryActions(path, _))
+    val refd = all.filter(_.contains("\"cdc\""))
+      .map(l => mapper.readTree(l).get("cdc").get("path").asText)
+    assert(refd.nonEmpty && !refd.contains(
+      "_change_data/cdc-00000000000000000099-deadbeef.parquet"))
+    // the external reader ignores the orphan (it is referenced by
+    // nothing) — snapshot + cdf checks stay green
+    t.read().coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/expected.parquet")
+    val pb = new ProcessBuilder("python3", "tools/check_delta_export.py",
+      path, s"$dir/expected.parquet")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(),
+      StandardCharsets.UTF_8)
+    proc.waitFor()
+    assert(proc.exitValue() == 0, s"reader failed on orphan:\n$out")
+    // aged orphan dies at cleanup; the referenced file survives. A
+    // checkpoint must exist for cleanup to anchor on — force entries
+    // past the interval
+    (0 until 10).foreach(i => t.upsert(df(s"x$i" -> i), "id"))
+    DeltaExport.export(t)
+    orphan.toFile.setLastModified(1000L)
+    // 1h retention: the epoch-aged orphan is past the cutoff, every
+    // real (fresh) change file is inside it and referenced anyway
+    DeltaExport.cleanupLog(t, retentionMs = 3600L * 1000)
+    assert(!Files.exists(orphan), "aged orphan must be reaped")
+  }
+
   test("CDF off: no cdc actions, no _change_data, protocol unchanged") {
     val dir = tmpDir("cdf3")
     val path = s"$dir/T.parquet"
