@@ -1375,9 +1375,50 @@ object SparkEntry {
     //      DomainResource backbone, and the type-specific `conclusion`
     //      field (untyped by the backbone) survives via resource_json
     //      retention. Oracle recomputes every value relationally ----
+    // ---- typed encode through one of the round-12 registry additions
+    //      (Immunization): nested choice types, decimal(32,6) dose,
+    //      protocolApplied backbone — the any-Synthea-type parity leg ----
+    "q_fhir_encode_immunization" -> ((s, dir) => {
+      val raw = t(s, dir, "orders").select(to_json(struct(
+        lit("Immunization").as("resourceType"),
+        col("o_orderkey").cast(StringType).as("id"),
+        lit("completed").as("status"),
+        struct(
+          array(struct(lit("http://hl7.org/fhir/sid/cvx").as("system"),
+            (col("o_orderkey") % 10).cast(StringType).as("code"),
+            col("o_orderpriority").as("display"))).as("coding"),
+          col("o_orderstatus").as("text")).as("vaccineCode"),
+        struct(concat(lit("Patient/"),
+          col("o_custkey").cast(StringType)).as("reference"))
+          .as("patient"),
+        col("o_orderdate").cast(DateType).as("occurrenceDateTime"),
+        lit(true).as("primarySource"),
+        struct(col("o_totalprice").as("value"), lit("mL").as("unit"))
+          .as("doseQuantity"),
+        array(struct(lit("seriesA").as("series"),
+          lit(1).as("doseNumberPositiveInt"))).as("protocolApplied")))
+        .as("resource"))
+      graft.fhir.FhirEncoder.encode(raw, "Immunization").select(
+        col("id"), col("status"),
+        element_at(col("vaccineCode").getField("coding"), 1)
+          .getField("code").as("vax_code"),
+        col("vaccineCode").getField("text").as("vax_text"),
+        col("patient").getField("reference").as("patient_ref"),
+        col("occurrenceDateTime").as("occurred"),
+        col("primarySource").as("primary_source"),
+        // decimal AS STRING: duckdb's pandas bridge floats decimals,
+        // the canonical "1013.700000" rendering compares exactly
+        col("doseQuantity").getField("value").cast(StringType)
+          .as("dose_value"),
+        element_at(col("protocolApplied"), 1)
+          .getField("doseNumberPositiveInt").as("dose_number"),
+        element_at(col("protocolApplied"), 1)
+          .getField("series").as("series"))
+    }),
+
     "q_fhir_encode_foreign" -> ((s, dir) => {
       val raw = t(s, dir, "orders").select(to_json(struct(
-        lit("DiagnosticReport").as("resourceType"),
+        lit("AllergyIntolerance").as("resourceType"),
         col("o_orderkey").cast(StringType).as("id"),
         struct(col("o_orderkey").cast(StringType).as("versionId"),
           lit("2024-01-01T00:00:00Z").as("lastUpdated")).as("meta"),
@@ -1388,7 +1429,10 @@ object SparkEntry {
         array(struct(lit("http://graft/status").as("url"),
           col("o_orderstatus").as("valueString"))).as("extension"),
         col("o_orderpriority").as("conclusion"))).as("resource"))
-      graft.fhir.FhirEncoder.encode(raw, "DiagnosticReport").select(
+      // AllergyIntolerance stays OUTSIDE the registry (round 12 typed
+      // DiagnosticReport/Immunization/MedicationRequest), so this gate
+      // keeps proving the generic-backbone path for ANY unseen type
+      graft.fhir.FhirEncoder.encode(raw, "AllergyIntolerance").select(
         col("id"),
         col("meta").getField("versionId").as("version_id"),
         col("meta").getField("lastUpdated").as("last_updated"),
@@ -3934,6 +3978,19 @@ object SparkEntry {
         |  concat('Organization/', CAST(c_nationkey AS VARCHAR)) AS org_ref,
         |  CAST(c_custkey AS VARCHAR) AS version_id
         |FROM customer""".stripMargin,
+
+    "q_fhir_encode_immunization" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |  'completed' AS status,
+        |  CAST(o_orderkey % 10 AS VARCHAR) AS vax_code,
+        |  o_orderstatus AS vax_text,
+        |  'Patient/' || CAST(o_custkey AS VARCHAR) AS patient_ref,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS occurred,
+        |  TRUE AS primary_source,
+        |  CAST(CAST(o_totalprice AS DECIMAL(32,6)) AS VARCHAR) AS dose_value,
+        |  CAST(1 AS INTEGER) AS dose_number,
+        |  'seriesA' AS series
+        |FROM orders""".stripMargin,
 
     "q_fhir_encode_foreign" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS id,

@@ -401,7 +401,140 @@ object FhirEncoder {
         StructField("action", codeableConcept),
         StructField("manipulated", reference))))),
       StructField("usedReference", refList),
-      StructField("usedCode", ccList)))
+      StructField("usedCode", ccList)),
+
+    // ---- the three most common Synthea types beyond the reference's
+    //      five parallel ones (full-R4 element sets, same Pathling
+    //      conventions: decimal(32,6), dates as strings, choice types
+    //      expanded) — narrows the any-type derivation gap the generic
+    //      backbone bounds (bundle_processor.py:162–166)
+
+    "Immunization" -> domainResource(
+      StructField("identifier", identifierType),
+      StructField("status", StringType),
+      StructField("statusReason", codeableConcept),
+      StructField("vaccineCode", codeableConcept),
+      StructField("patient", reference),
+      StructField("encounter", reference),
+      StructField("occurrenceDateTime", StringType),
+      StructField("occurrenceString", StringType),
+      StructField("recorded", StringType),
+      StructField("primarySource", BooleanType),
+      StructField("reportOrigin", codeableConcept),
+      StructField("location", reference),
+      StructField("manufacturer", reference),
+      StructField("lotNumber", StringType),
+      StructField("expirationDate", StringType),
+      StructField("site", codeableConcept),
+      StructField("route", codeableConcept),
+      StructField("doseQuantity", quantity),
+      StructField("performer", ArrayType(StructType(Seq(
+        StructField("function", codeableConcept),
+        StructField("actor", reference))))),
+      StructField("note", annotationType),
+      StructField("reasonCode", ccList),
+      StructField("reasonReference", refList),
+      StructField("isSubpotent", BooleanType),
+      StructField("subpotentReason", ccList),
+      StructField("education", ArrayType(StructType(Seq(
+        StructField("documentType", StringType),
+        StructField("reference", StringType),
+        StructField("publicationDate", StringType),
+        StructField("presentationDate", StringType))))),
+      StructField("programEligibility", ccList),
+      StructField("fundingSource", codeableConcept),
+      StructField("reaction", ArrayType(StructType(Seq(
+        StructField("date", StringType),
+        StructField("detail", reference),
+        StructField("reported", BooleanType))))),
+      StructField("protocolApplied", ArrayType(StructType(Seq(
+        StructField("series", StringType),
+        StructField("authority", reference),
+        StructField("targetDisease", ccList),
+        StructField("doseNumberPositiveInt", IntegerType),
+        StructField("doseNumberString", StringType),
+        StructField("seriesDosesPositiveInt", IntegerType),
+        StructField("seriesDosesString", StringType)))))),
+
+    "MedicationRequest" -> domainResource(
+      StructField("identifier", identifierType),
+      StructField("status", StringType),
+      StructField("statusReason", codeableConcept),
+      StructField("intent", StringType),
+      StructField("category", ccList),
+      StructField("priority", StringType),
+      StructField("doNotPerform", BooleanType),
+      StructField("reportedBoolean", BooleanType),
+      StructField("reportedReference", reference),
+      StructField("medicationCodeableConcept", codeableConcept),
+      StructField("medicationReference", reference),
+      StructField("subject", reference),
+      StructField("encounter", reference),
+      StructField("supportingInformation", refList),
+      StructField("authoredOn", StringType),
+      StructField("requester", reference),
+      StructField("performer", reference),
+      StructField("performerType", codeableConcept),
+      StructField("recorder", reference),
+      StructField("reasonCode", ccList),
+      StructField("reasonReference", refList),
+      StructField("basedOn", refList),
+      StructField("groupIdentifier", identifierElem),
+      StructField("courseOfTherapyType", codeableConcept),
+      StructField("insurance", refList),
+      StructField("note", annotationType),
+      StructField("dosageInstruction", ArrayType(StructType(Seq(
+        StructField("sequence", IntegerType),
+        StructField("text", StringType),
+        StructField("asNeededBoolean", BooleanType),
+        StructField("asNeededCodeableConcept", codeableConcept),
+        StructField("site", codeableConcept),
+        StructField("route", codeableConcept),
+        StructField("method", codeableConcept),
+        StructField("timing", StructType(Seq(
+          StructField("repeat", StructType(Seq(
+            StructField("frequency", IntegerType),
+            StructField("period", DecimalType(32, 6)),
+            StructField("periodUnit", StringType)))),
+          StructField("code", codeableConcept)))),
+        StructField("doseAndRate", ArrayType(StructType(Seq(
+          StructField("type", codeableConcept),
+          StructField("doseQuantity", quantity),
+          StructField("doseRange", range))))))))),
+      StructField("dispenseRequest", StructType(Seq(
+        StructField("validityPeriod", period),
+        StructField("numberOfRepeatsAllowed", IntegerType),
+        StructField("quantity", quantity),
+        StructField("expectedSupplyDuration", quantity),
+        StructField("performer", reference)))),
+      StructField("substitution", StructType(Seq(
+        StructField("allowedBoolean", BooleanType),
+        StructField("allowedCodeableConcept", codeableConcept),
+        StructField("reason", codeableConcept)))),
+      StructField("priorPrescription", reference)),
+
+    "DiagnosticReport" -> domainResource(
+      StructField("identifier", identifierType),
+      StructField("basedOn", refList),
+      StructField("status", StringType),
+      StructField("category", ccList),
+      StructField("code", codeableConcept),
+      StructField("subject", reference),
+      StructField("encounter", reference),
+      StructField("effectiveDateTime", StringType),
+      StructField("effectivePeriod", period),
+      StructField("issued", StringType),
+      StructField("performer", refList),
+      StructField("resultsInterpreter", refList),
+      StructField("specimen", refList),
+      StructField("result", refList),
+      StructField("imagingStudy", refList),
+      StructField("media", ArrayType(StructType(Seq(
+        StructField("comment", StringType),
+        StructField("link", reference))))),
+      StructField("conclusion", StringType),
+      StructField("conclusionCode", ccList),
+      StructField("presentedForm", ArrayType(attachment))))
 
   /** Fallback schema for resource types without a registered schema —
     * the generic R4 DomainResource backbone (id, meta, implicitRules,
