@@ -235,7 +235,10 @@ object Lakehousekeeper {
           " | compact <dir> [min<m>] | purge-dv <dir> [minDeadFraction]" +
           " | register <dir> | describe <dir>" +
           " | export-delta <dir> | cleanup-delta-log <dir> [retentionMs]" +
-          " | history <tablePath> | restore <tablePath> <version>")
+          " | history <tablePath> | restore <tablePath> <version>" +
+          " | count <tablePath> [version]" +
+          " | stats <tablePath> <column> [version]" +
+          " | enable-cdf <tablePath>")
       return
     }
     val spark = SparkSession.builder()
@@ -297,6 +300,29 @@ object Lakehousekeeper {
           describe(spark, dir).foreach { case (p, v, nf, bytes, rows) =>
             println(s"$p: v$v, $nf files, $bytes bytes, $rows rows")
           }
+        // metadata-only COUNT(*): answered from the commit manifest,
+        // zero data files opened, no Spark job
+        case "count" =>
+          val v = args.lift(2).map(_.toLong).getOrElse(-1L)
+          println(s"$dir: ${ResourceTable(spark, dir).statsCount(v)} rows" +
+            (if (v >= 0) s" at v$v" else ""))
+        // metadata-only MIN/MAX of one column (refuses — and says so —
+        // when the manifest can't prove exactness: DVs, missing stats)
+        case "stats" =>
+          val column = args.lift(2).getOrElse(
+            throw new IllegalArgumentException("stats needs a column"))
+          val v = args.lift(3).map(_.toLong).getOrElse(-1L)
+          ResourceTable(spark, dir).statsMinMax(column, v) match {
+            case Some((mn, mx)) => println(s"$dir.$column: min=$mn max=$mx")
+            case None => println(s"$dir.$column: not metadata-answerable " +
+              "(deletion vectors, missing or non-numeric stats) — scan")
+          }
+        // opt the table into change-data-feed export (Delta's
+        // delta.enableChangeDataFeed): subsequent export-delta runs
+        // emit cdc actions + _change_data files per rewriting commit
+        case "enable-cdf" =>
+          ResourceTable(spark, dir).enableChangeDataFeed()
+          println(s"$dir: change data feed enabled")
         // DESCRIBE HISTORY of ONE table (`dir` is the table path here)
         case "history" =>
           ResourceTable(spark, dir).history().collect().foreach { r =>

@@ -3,6 +3,8 @@ package graft.tables
 import graft.SparkSpec
 import org.apache.spark.sql.functions.col
 
+import java.nio.charset.StandardCharsets
+
 /** Metadata-only aggregates: count and numeric min/max must come from
   * the commit manifest ALONE — proven by physically deleting every
   * data file and asking again — and min/max must refuse whenever the
@@ -75,6 +77,44 @@ class MetadataAggSpec extends SparkSpec {
     // positions side legitimately plans as its own local relation)
     assert(optimized(dvc).contains("parquet"), optimized(dvc))
     assert(dvc.collect()(0).getLong(0) == 35)
+  }
+
+  test("lakehousekeeper count/stats/enable-cdf CLI verbs (forked JVM)") {
+    val t = ResourceTable(spark, s"${tmpDir("magg4")}/T.parquet")
+    val data = (1 to 25).map(i => (i.toLong, i * 3L)).toDF("k", "v")
+    t.createIfNotExists(data.schema)
+    t.upsert(data, "k")
+    // the CLI main stops its session on exit (correct for a CLI,
+    // fatal for the shared test session) — drive it in its own JVM
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cp = Seq(
+      new java.io.File("target/scala-2.13/classes").getAbsolutePath,
+      "/opt/spark/jars/*").mkString(":")
+    def run(args: String*): String = {
+      import scala.jdk.CollectionConverters._
+      val cmd = (Seq("java") ++ addOpens ++ Seq(
+        "-Xmx2g", "-Dspark.ui.enabled=false", "-cp", cp,
+        "graft.tables.Lakehousekeeper") ++ args).asJava
+      val p = new ProcessBuilder(cmd).redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        StandardCharsets.UTF_8)
+      p.waitFor()
+      assert(p.exitValue() == 0, s"CLI ${args.mkString(" ")}:\n$out")
+      out
+    }
+    assert(run("count", t.path).contains("25 rows"))
+    assert(run("stats", t.path, "v").contains("min=3 max=75"))
+    assert(run("stats", t.path, "nope").contains("not metadata-answerable"))
+    assert(run("enable-cdf", t.path).contains("change data feed enabled"))
+    assert(t.changeDataFeedEnabled)
   }
 
   test("DV-bearing versions refuse min/max but count stays exact") {
