@@ -476,7 +476,9 @@ object SparkEntry {
       graft.GraftExtensions.register(s)
       val tab = dvDemo(s, dir)
       val v0 = tab.latestVersion.get - 2
-      tab.readVersion(v0).agg(count(lit(1)).as("cnt_v0"))
+      tab.readVersion(v0).agg(count(lit(1)).as("cnt_v0"),
+          min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"))
         .crossJoin(tab.read().agg(count(lit(1)).as("cnt_live")))
     }),
 
@@ -3631,9 +3633,10 @@ object SparkEntry {
         |  'delete' AS change_type
         |FROM customer WHERE c_custkey % 17 = 0""".stripMargin,
 
-    // rule-rewritten count(*) (pre-DV snapshot) + anti-join count (head)
+    // rule-rewritten count/min/max (pre-DV snapshot) + anti-join count
     "q_count_metadata" ->
       """SELECT count(*) AS cnt_v0,
+        |  min(c_custkey) AS min_key, max(c_custkey) AS max_key,
         |  (SELECT count(*) FROM customer
         |   WHERE NOT (c_custkey % 7 = 0 OR c_custkey % 11 = 0))
         |    AS cnt_live

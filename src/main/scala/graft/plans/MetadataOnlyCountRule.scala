@@ -3,34 +3,41 @@ package graft.plans
 import graft.tables.StatsFileIndex
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
-/** Optimizer rule: answer an unfiltered, ungrouped `COUNT(*)` over a
-  * manifest-backed table scan from the manifest itself — Delta's
-  * metadata-only-query optimization (`SELECT count(*) FROM tbl` never
-  * opens a data file there either). Every [[StatsFileIndex]]-planned
-  * read (ResourceTable snapshots, exported/foreign Delta logs) records
-  * per-file row counts in its manifest, so the aggregate collapses to
-  * a [[LocalRelation]] with one precomputed row: at 100 TB this is a
+/** Optimizer rule: answer an unfiltered, ungrouped `COUNT(*)` /
+  * `MIN(col)` / `MAX(col)` over a manifest-backed table scan from the
+  * manifest itself — Delta's metadata-only-query optimization
+  * (`SELECT count(*) FROM tbl` never opens a data file there either).
+  * Every [[StatsFileIndex]]-planned read (ResourceTable snapshots,
+  * exported/foreign Delta logs) records per-file row counts and
+  * column min/max in its manifest, so the aggregate collapses to a
+  * [[LocalRelation]] with one precomputed row: at 100 TB this is a
   * millisecond manifest pass instead of a full scan.
   *
   * Scope is deliberately tight — the rewrite fires only when the
   * answer is PROVABLY the scan's output:
-  *   - no grouping keys, every aggregate a literal-argument or
-  *     star `count` (`count(*)`, `count(1)`) — never `count(col)`
-  *     (null-sensitive) or any other function;
+  *   - no grouping keys; every aggregate a literal-argument or star
+  *     `count` (never null-sensitive `count(col)`), or `min`/`max`
+  *     of a bare numeric column whose stats exist on every file
+  *     (string stats refuse — writers may truncate them; DV-bearing
+  *     files refuse — the extremal row may be dead);
   *   - the child is the bare relation, optionally under a
   *     column-pruning `Project` of plain attributes (projection does
   *     not change cardinality; a `Filter` anywhere blocks the rule);
   *   - every manifest entry carries stats
   *     ([[StatsFileIndex.exactRowCount]] is `None` otherwise);
-  *   - deletion-vector tables are safe BY CONSTRUCTION: their reads
-  *     plan the DV anti-join above the scan, so the aggregate is
-  *     never directly over the relation and the pattern cannot match
-  *     (the physical row count IS the bare scan's cardinality).
+  *   - DV tables are additionally safe BY CONSTRUCTION for counts:
+  *     their reads plan the DV anti-join above the scan, so the
+  *     aggregate is never directly over the relation (the physical
+  *     row count IS the bare scan's cardinality);
+  *   - column-mapped foreign logs are safe: their relations expose
+  *     physical names under a restoring Project of ALIASES (blocks
+  *     the match) or logical names whose stats lookup misses → None.
   *
   * Disabled with `graft.rules.metadataOnlyCount=false` (on by
   * default, like Delta). Registered by [[graft.GraftExtensions]].
@@ -45,42 +52,78 @@ object MetadataOnlyCountRule extends Rule[LogicalPlan] {
     if (!enabled) return plan
     plan.transformDown {
       case agg @ Aggregate(Nil, aggExprs, child, _)
-          if aggExprs.forall(isCountStarOrLiteral) =>
-        bareRelationRows(child) match {
-          case Some(n) =>
-            // outputs correspond positionally to the aggregate list:
-            // counts become n, constant columns keep their literal
-            val row = InternalRow.fromSeq(aggExprs.map {
-              case Alias(l: Literal, _) => l.value
-              case _ => n
-            })
-            LocalRelation(agg.output, Seq(row))
+          if aggExprs.forall(isSupported) =>
+        bareRelation(child) match {
+          case Some(idx) =>
+            // outputs correspond positionally to the aggregate list;
+            // ANY un-provable value leaves the plan untouched
+            val values = aggExprs.map(valueFor(_, idx))
+            if (values.forall(_.isDefined))
+              LocalRelation(agg.output,
+                Seq(InternalRow.fromSeq(values.map(_.get))))
+            else agg
           case None => agg
         }
     }
   }
 
-  /** The aggregate list permits only `count(literal)` (covers
-    * count(*) and count(1)) and plain literal columns.
+  /** The aggregate list permits `count(literal)` (covers count(*)
+    * and count(1)), `min`/`max` of a plain numeric column, and
+    * literal columns.
     */
-  private def isCountStarOrLiteral(e: NamedExpression): Boolean = e match {
+  private def isSupported(e: NamedExpression): Boolean = e match {
     case Alias(AggregateExpression(Count(Seq(_: Literal)), Complete,
+      false, None, _), _) => true
+    case Alias(AggregateExpression(Min(_: AttributeReference), Complete,
+      false, None, _), _) => true
+    case Alias(AggregateExpression(Max(_: AttributeReference), Complete,
       false, None, _), _) => true
     case Alias(_: Literal, _) => true
     case _ => false
   }
 
-  /** Row count of the child when it is a bare StatsFileIndex relation,
-    * optionally under attribute-only Projects (cardinality-neutral).
+  /** The manifest's answer for one aggregate expression — None when
+    * not provably exact (missing/non-numeric stats, DVs, or a column
+    * type the stat values can't losslessly inhabit).
     */
-  private def bareRelationRows(plan: LogicalPlan): Option[Long] =
+  private def valueFor(e: NamedExpression,
+                       idx: StatsFileIndex): Option[Any] = e match {
+    case Alias(l: Literal, _) => Some(l.value)
+    case Alias(AggregateExpression(Count(_), _, _, _, _), _) =>
+      idx.exactRowCount
+    case Alias(AggregateExpression(Min(a: AttributeReference),
+        _, _, _, _), _) =>
+      idx.exactMinMax(a.name).flatMap(b => convert(b._1, a))
+    case Alias(AggregateExpression(Max(a: AttributeReference),
+        _, _, _, _), _) =>
+      idx.exactMinMax(a.name).flatMap(b => convert(b._2, a))
+    case _ => None
+  }
+
+  /** Stat values arrive normalized to Long/Double (parquet footer
+    * convention); fit them to the column's Catalyst type or refuse.
+    */
+  private def convert(v: Any, a: AttributeReference): Option[Any] =
+    (v, a.dataType) match {
+      case (null, _) => Some(null) // provably all-null → SQL NULL
+      case (l: Long, LongType) => Some(l)
+      case (l: Long, IntegerType) => Some(l.toInt)
+      case (d: Double, DoubleType) => Some(d)
+      case _ => None
+    }
+
+  /** The child's StatsFileIndex when it is a bare manifest-backed
+    * relation, optionally under attribute-only Projects
+    * (cardinality- and column-neutral).
+    */
+  private def bareRelation(plan: LogicalPlan): Option[StatsFileIndex] =
     plan match {
       case Project(projList, child)
           if projList.forall(_.isInstanceOf[AttributeReference]) =>
-        bareRelationRows(child)
+        bareRelation(child)
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         fs.location match {
-          case idx: StatsFileIndex => idx.exactRowCount
+          case idx: StatsFileIndex => Some(idx)
           case _ => None
         }
       case _ => None

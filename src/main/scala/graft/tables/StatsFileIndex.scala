@@ -154,6 +154,35 @@ final class StatsFileIndex private (
     }
     if (unknown) None else Some(total)
   }
+
+  /** Exact MIN/MAX of `column` across the index's files, when
+    * PROVABLE: every file carries the column's numeric (Long/Double)
+    * stats and none carries a deletion vector (a DV may have killed
+    * the extremal row). `Some((null, null))` = provably all-null.
+    * Same trust boundary as [[graft.tables.ResourceTable.statsMinMax]];
+    * string stats refuse (writers may truncate them).
+    */
+  def exactMinMax(column: String): Option[(Any, Any)] = {
+    var mn: Any = null
+    var mx: Any = null
+    val it = source()
+    while (it.hasNext) {
+      val st = it.next()._2.stats.getOrElse(return None)
+      if (st.dv.isDefined) return None
+      st.cols.get(column) match {
+        case None => return None
+        case Some(cs) => (cs.min, cs.max) match {
+          case (None, None) => () // all-null file
+          case (Some(a @ (_: Long | _: Double)),
+                Some(b @ (_: Long | _: Double))) =>
+            if (mn == null || FileStats.cmp(a, mn).exists(_ < 0)) mn = a
+            if (mx == null || FileStats.cmp(b, mx).exists(_ > 0)) mx = b
+          case _ => return None
+        }
+      }
+    }
+    Some((mn, mx))
+  }
 }
 
 object StatsFileIndex {

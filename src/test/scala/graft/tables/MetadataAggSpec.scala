@@ -61,6 +61,17 @@ class MetadataAggSpec extends SparkSpec {
     // guard: count(col) is null-sensitive — never rewritten
     val cc = t.read().agg(count(col("s")))
     assert(!optimized(cc).contains("LocalRelation"), optimized(cc))
+    // min/max of a numeric column collapse too (mixed with count)
+    import org.apache.spark.sql.functions.{min, max}
+    val mm = t.read().agg(min(col("k")), max(col("k")), count(lit(1)))
+    assert(optimized(mm).contains("LocalRelation"), optimized(mm))
+    val r = mm.collect()(0)
+    assert(r.getLong(0) == 1L && r.getLong(1) == 40L && r.getLong(2) == 40L)
+    // guard: min of a STRING column blocks the whole rewrite (stats
+    // may be writer-truncated) — and stays correct through the scan
+    val ms = t.read().agg(min(col("s")), count(lit(1)))
+    assert(!optimized(ms).contains("LocalRelation"), optimized(ms))
+    assert(ms.collect()(0).getString(0) == "v1")
     // guard: conf kill-switch
     spark.conf.set("graft.rules.metadataOnlyCount", "false")
     try {
