@@ -23,6 +23,50 @@ class BpeTrainerSpec extends SparkSpec {
       (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L)))
   }
 
+  test("property: distributed merges equal a sequential reference") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 0 until 3) {
+      val words = (0 until 8 + rnd.nextInt(6)).map { _ =>
+        (Seq.fill(2 + rnd.nextInt(5))(
+          ('a' + rnd.nextInt(3)).toChar).mkString,
+          1L + rnd.nextInt(9))
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+      val rounds = 3
+      var vocab = words.map { case (w, c) =>
+        (w.map(_.toString).toVector, c) }
+      val expected =
+        scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+      for (r <- 1 to rounds) {
+        val counts =
+          scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, c) =>
+          syms.sliding(2).filter(_.size == 2).foreach { p =>
+            counts((p(0), p(1))) =
+              counts.getOrElse((p(0), p(1)), 0L) + c
+          }
+        }
+        val ((w1, w2), cnt) =
+          counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        expected += ((r, w1, w2, cnt))
+        vocab = vocab.map { case (syms, c) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == w1 && syms(i + 1) == w2) {
+              out += w1 + w2; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), c)
+        }
+      }
+      val got = BpeTrainer.train(words.toDF("word", "cnt"), rounds)
+        .orderBy("round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+      assert(got == expected.toSeq, s"trial $trial: $got vs $expected")
+    }
+  }
+
   test("greedy apply: equal-symbol runs merge left-to-right non-overlapping") {
     // 'aaa' x3 and 'aaaa' x1: pair (a,a) counted at every adjacency
     // (2*3 + 3*1 = 9). After merging: aaa -> [aa, a]; aaaa -> [aa, aa]

@@ -77,6 +77,40 @@ class LmSubstringSpec extends SparkSpec {
     assert(math.abs(d3.getAs[Double]("avg_logp") - exp3) < 1e-8)
   }
 
+  test("property: duplicatedWindowSpans equals brute force on random corpora") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Array("a", "b", "c", "d") // tiny: forces real duplicates
+    for (trial <- 0 until 5) {
+      val w = 2 + rnd.nextInt(3) // window 2..4
+      val docs = (0 until (8 + rnd.nextInt(12))).map { id =>
+        val n = rnd.nextInt(14) // incl. too-short and empty docs
+        (id.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length)))
+          .mkString(" "))
+      }
+      // brute force: window strings, global counts, per-doc coverage
+      val wins = docs.flatMap { case (id, text) =>
+        val ts = text.split("\\s+").filter(_.nonEmpty)
+        (0 to ts.length - w).map(p => (id, p, ts.slice(p, p + w).mkString(" ")))
+      }
+      val counts = wins.groupBy(_._3).map { case (k, v) => k -> v.size }
+      val expected = docs.map { case (id, text) =>
+        val ts = text.split("\\s+").filter(_.nonEmpty)
+        val marked = wins.filter(x => x._1 == id && counts(x._3) >= 2)
+        val covered = Array.fill(ts.length)(false)
+        marked.foreach(m =>
+          (m._2 until m._2 + w).foreach(covered(_) = true))
+        id -> (ts.length.toLong, marked.size.toLong,
+          covered.count(identity).toLong)
+      }.toMap
+      val got = Dedup.duplicatedWindowSpans(
+          docs.toDF("doc_id", "text"), "doc_id", "text", w = w)
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Long]("total_tokens"), r.getAs[Long]("dup_windows"),
+            r.getAs[Long]("removed_tokens"))).toMap
+      assert(got == expected, s"trial $trial w=$w")
+    }
+  }
+
   test("LangModel: sub-2-token candidates carry no LM evidence") {
     val train = Seq((0L, "a b c")).toDF("doc_id", "text")
     val cand = Seq((1L, "a"), (3L, "")).toDF("doc_id", "text")
