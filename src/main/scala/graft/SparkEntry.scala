@@ -1979,6 +1979,26 @@ object SparkEntry {
         graft.ops.BpeTrainer.wordCounts(t(s, dir, "documents")),
         rounds = 6)),
 
+    // ---- tokenizer ENCODE under the learned merges: segment the
+    //      VOCABULARY once (a word's BPE split is a function of the
+    //      word), then per-doc token counts are one vocab-sized join —
+    //      corpus text is never re-segmented per occurrence ----
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val wc = graft.ops.BpeTrainer.wordCounts(docs)
+      val merges = bpeMergesMemo.computeIfAbsent(dir, _ =>
+        graft.ops.BpeTrainer.train(wc, rounds = 6)
+          .orderBy("round").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq)
+      val pieces = graft.ops.BpeTrainer.segment(wc, merges)
+      docs.select(col("doc_id"),
+          explode(TextStats.tokens(col("text"))).as("word"))
+        .join(pieces, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n_pieces")).as("bpe_tokens"),
+          count(lit(1)).as("words"))
+    }),
+
     // ---- BM25 retrieval scoring for a 3-term query, top-25 docs.
     //      The double score ranks but is NOT output (ln() is not
     //      bit-portable across engines); rank + the exact integer
@@ -2510,6 +2530,11 @@ object SparkEntry {
   private val cdfDemoMemo =
     new java.util.concurrent.ConcurrentHashMap[String, ResourceTable]()
 
+  // learned BPE merges per testdata dir (deterministic; q_bpe_encode
+  // reuses q_bpe_train's result instead of re-running the rounds)
+  private val bpeMergesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
   /** Change-data-feed export fixture: CDF-enabled customer table,
     * anchored export, then an UPDATE upsert (c_acctbal + 1000 for
     * keys ≡0 mod 13) and a DV delete (keys ≡0 mod 17) — the second
@@ -2955,7 +2980,32 @@ object SparkEntry {
     * Spark side computes with its row-local fold.
     */
   private object BpeOracle {
-    def merges(rounds: Int): String = {
+    def merges(rounds: Int): String =
+      s"""${chain(rounds)}
+         |${(1 to rounds).map(r =>
+             s"SELECT CAST($r AS INTEGER) AS round, w1, w2, pair_cnt FROM b$r")
+           .mkString("\nUNION ALL ")}""".stripMargin
+
+    /** Per-doc BPE token counts under the learned merges: join the
+      * corpus's words onto v{rounds}' segmented lengths.
+      */
+    def encodeCounts(rounds: Int): String =
+      s"""${chain(rounds)},
+         |toks AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+         |                       t -> t <> '')) AS word
+         |  FROM documents)
+         |SELECT t.doc_id,
+         |  CAST(sum(len(v.syms)) AS BIGINT) AS bpe_tokens,
+         |  count(*) AS words
+         |FROM toks t JOIN v$rounds v USING (word)
+         |GROUP BY t.doc_id""".stripMargin
+
+    /** Shared WITH-chain: word counts, char split, `rounds` unrolled
+      * count/argmax/merge rounds (materialized CTEs).
+      */
+    private def chain(rounds: Int): String = {
       val roundCtes = (1 to rounds).map { r =>
         val prev = s"v${r - 1}"
         s"""p$r AS MATERIALIZED (
@@ -2992,9 +3042,6 @@ object SparkEntry {
            |  WHERE q.pos IS NULL
            |  GROUP BY e.word)""".stripMargin
       }.mkString(",\n")
-      val unions = (1 to rounds).map(r =>
-        s"SELECT CAST($r AS INTEGER) AS round, w1, w2, pair_cnt FROM b$r")
-        .mkString("\nUNION ALL ")
       s"""WITH wc AS MATERIALIZED (
          |  SELECT word, count(*) AS cnt FROM (
          |    SELECT unnest(list_filter(
@@ -3006,8 +3053,7 @@ object SparkEntry {
          |    list_transform(generate_series(1, length(word)),
          |                   i -> substr(word, i, 1)) AS syms
          |  FROM wc),
-         |$roundCtes
-         |$unions""".stripMargin
+         |$roundCtes""".stripMargin
     }
   }
 
@@ -3351,6 +3397,8 @@ object SparkEntry {
     "q_substring_dedup" -> SplitmixOracle.substringDedupSpans,
 
     "q_bpe_train" -> BpeOracle.merges(6),
+
+    "q_bpe_encode" -> BpeOracle.encodeCounts(6),
 
     "q_profile" -> {
       val cols = Seq("doc_id", "lang", "source", "n_chars", "text")

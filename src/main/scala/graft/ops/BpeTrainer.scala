@@ -121,4 +121,27 @@ object BpeTrainer {
     import spark.implicits._
     merges.toSeq.toDF("round", "w1", "w2", "pair_cnt")
   }
+
+  /** APPLY a learned merge list (tokenizer ENCODE, at the vocabulary
+    * level): each distinct word's characters fold through the merges
+    * in training order — greedy non-overlapping per round, exactly the
+    * training-time semantics — yielding (word, n_pieces). Corpus-level
+    * tokenization then joins this VOCABULARY-sized table onto the
+    * corpus's words instead of re-segmenting every occurrence: the
+    * standard trick (a word's BPE segmentation is a function of the
+    * word), which keeps encode O(corpus) scan + one vocab-sized join
+    * however many merges the tokenizer learned. The merge list is
+    * driver-resident by construction ([[train]] returns literal rows);
+    * each merge is one row-local fold pass over the vocab.
+    */
+  def segment(wordCnts: DataFrame,
+              merges: Seq[(String, String)]): DataFrame = {
+    var v = wordCnts.select(col("word"), expr(
+      "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+      .as("syms"))
+    merges.foreach { case (a, b) =>
+      v = v.withColumn("syms", applyMerge(col("syms"), lit(a), lit(b)))
+    }
+    v.select(col("word"), size(col("syms")).cast("long").as("n_pieces"))
+  }
 }

@@ -59,7 +59,8 @@ object DumpPlans {
     "q_bpe_train" -> "BPE training: ONE corpus word-count shuffle, then every merge round is a vocabulary-sized pair aggregate + 1-row argmax collect + row-local fold apply — corpus never re-read, vocab never collected",
     "q_count_metadata" -> "metadata-only COUNT(*): the Catalyst rule collapses the pre-DV snapshot's count to a LocalRelation (zero files opened); the DV-bearing head keeps its anti-join and counts through it",
     "q_profile" -> "one-pass profiling: k exact countDistincts in ONE Expand-backed aggregate (no per-column scans), modal values from a single pair-count pass + per-column top-1 window over aggregated counts",
-    "q_cdf_export" -> "change-data read-back: plain parquet scan of the exported _change_data files — the cdc payloads ARE the feed, no graft code on the consumer path")
+    "q_cdf_export" -> "change-data read-back: plain parquet scan of the exported _change_data files — the cdc payloads ARE the feed, no graft code on the consumer path",
+    "q_bpe_encode" -> "tokenizer encode: vocabulary segmented once under the learned merges (row-local folds), corpus words join the vocab-sized pieces table — one scan + one small join, text never re-segmented per occurrence")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
