@@ -921,6 +921,25 @@ object SparkEntry {
         k = 10)
     }),
 
+    // ---- Johnson–Lindenstrauss random projection 64→8 dims (exact:
+    //      Rademacher signs × fixed-point inputs — every component is
+    //      an integer), exploded to scalar rows for the hash compare ----
+    "q_rp_project" -> ((s, dir) =>
+      Similarity.randomProject(t(s, dir, "embeddings"), kOut = 8)
+        .select(col("vec_id"),
+          posexplode(col("rp")).as(Seq("pos", "comp")))
+        .select(col("vec_id"), col("pos").cast(LongType).as("pos"),
+          col("comp"))),
+
+    // ---- top-k in the 16-dim PROJECTED space (the JL memory/IO
+    //      trade); integer dots/norms make rank + dot evidence exact ----
+    "q_rp_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.rpTopK(
+        emb.filter(col("vec_id") < 3), emb.filter(col("vec_id") >= 3),
+        k = 10, kOut = 16)
+    }),
+
     // ---- ANN scale path: LSH-bucketed near-dup. Exact oracle: the
     //      deterministic hyperplanes are inlined into the SQL ----
     "q_ann_lsh" -> ((s, dir) =>
@@ -3063,6 +3082,56 @@ object SparkEntry {
     * first-match `array_position`), fixed-point centroid update
     * (identical integer sums and double divisions), repeated.
     */
+  /** Johnson–Lindenstrauss random-projection replay: the Rademacher
+    * sign rows are inlined (±1.0 renders losslessly) and the
+    * fixed-point components are exact BIGINT arithmetic end-to-end,
+    * so projection AND projected-space ranking hash-match
+    * [[graft.ops.Similarity.randomProject]]/[[rpTopK]] bit-for-bit.
+    */
+  private object RpOracle {
+    private def compCte(kOut: Int): String = {
+      val rows = graft.ops.Similarity.rpSigns(kOut).zipWithIndex
+        .map { case (sv, j) => s"($j, [${sv.mkString(",")}]::DOUBLE[])" }
+        .mkString(",\n        ")
+      s"""WITH signs(j, svec) AS (VALUES $rows),
+         |comp AS (
+         |  SELECT vec_id, j,
+         |    CAST(sum(CAST(v AS BIGINT) * CAST(sv AS BIGINT)) AS BIGINT)
+         |      AS comp
+         |  FROM (
+         |    SELECT e.vec_id, s.j,
+         |      unnest(list_transform(e.embedding,
+         |        x -> floor(CAST(x AS DOUBLE) * 1048576))) AS v,
+         |      unnest(s.svec) AS sv
+         |    FROM embeddings e, signs s)
+         |  GROUP BY vec_id, j)""".stripMargin
+    }
+
+    val projectSql: String =
+      s"""${compCte(8)}
+         |SELECT vec_id, CAST(j AS BIGINT) AS pos, comp FROM comp""".stripMargin
+
+    val topkSql: String =
+      s"""${compCte(16)},
+         |dots AS (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+         |    CAST(sum(a.comp * b.comp) AS BIGINT) AS dot
+         |  FROM comp a JOIN comp b USING (j)
+         |  WHERE a.vec_id < 3 AND b.vec_id >= 3
+         |  GROUP BY 1, 2),
+         |norms AS (SELECT vec_id, CAST(sum(comp * comp) AS BIGINT) AS nn
+         |          FROM comp GROUP BY vec_id)
+         |SELECT q_id, n_id, rank, dot FROM (
+         |  SELECT d.q_id, d.n_id, d.dot,
+         |    row_number() OVER (PARTITION BY d.q_id ORDER BY
+         |      CAST(d.dot AS DOUBLE) /
+         |        sqrt(CAST(qn.nn AS DOUBLE) * CAST(nn2.nn AS DOUBLE)) DESC,
+         |      d.n_id ASC) AS rank
+         |  FROM dots d JOIN norms qn ON qn.vec_id = d.q_id
+         |              JOIN norms nn2 ON nn2.vec_id = d.n_id)
+         |WHERE rank <= 10""".stripMargin
+  }
+
   private object KmeansOracle {
     private def assignCte(name: String, cents: String): String =
       s"""$name AS (
@@ -3923,6 +3992,9 @@ object SparkEntry {
     // identical semantics to q_ann_ivf_probe — the index is the same
     // assignment persisted as cell-partitioned parquet
     "q_ann_ivf_indexed" -> ivfOracle(k = 5, probes = 3),
+
+    "q_rp_project" -> RpOracle.projectSql,
+    "q_rp_topk" -> RpOracle.topkSql,
 
     "q_ann_lsh" -> {
       // the 8 hyperplanes inlined (shortest-round-trip doubles); bucket

@@ -263,6 +263,73 @@ object Similarity {
   def ivfCentroids(nCells: Int = 16, dim: Int = 64): Seq[Array[Double]] =
     (0 until nCells).map(c => hyperplane(1000 + c, dim))
 
+  /** Deterministic Rademacher (±1) sign rows for [[randomProject]] —
+    * public for the same reason as [[ivfCentroids]]: gate oracles
+    * inline the exact constants into SQL (±1.0 renders losslessly).
+    */
+  def rpSigns(kOut: Int, dim: Int = 64): Seq[Array[Double]] =
+    (0 until kOut).map(j =>
+      hyperplane(2000 + j, dim).map(v => if (v >= 0) 1.0 else -1.0))
+
+  /** Johnson–Lindenstrauss random projection of an embedding column to
+    * `kOut` dimensions with a deterministic Rademacher (±1) matrix —
+    * the dimensionality-reduction pass a 100 TB embedding pipeline runs
+    * before storing/indexing vectors (Achlioptas 2003: ±1 entries
+    * preserve pairwise distances as well as Gaussians, and the matmul
+    * is add/subtract only). Components are computed in FIXED POINT
+    * (inputs scaled by 2^20 and floored, the [[centroids]] convention):
+    * every product and partial sum is integer-exact, so the projection
+    * is order-independent, bit-reproducible, and engine-replayable —
+    * a plain float matmul would vary in the last ulp with accumulation
+    * order. Scale shape: row-local (one codegen'd scan, kOut dot
+    * products per row), no shuffle, no UDF; the sign matrix is a
+    * literal so nothing is broadcast or joined.
+    */
+  def randomProject(df: DataFrame, kOut: Int, dim: Int = 64,
+                    vecCol: String = "embedding",
+                    outCol: String = "rp"): DataFrame = {
+    val scale = 1048576L // 2^20: float*2^20 is exact (power of two)
+    val signs = rpSigns(kOut, dim)
+    val comps = signs.map { s =>
+      graft.functions.VectorExpressions.dot_product(
+        col("_rp_q"), typedlit(s.toSeq)).cast("long")
+    }
+    df.withColumn("_rp_q",
+        transform(col(vecCol),
+          x => floor(x.cast("double") * scale).cast("double")))
+      .withColumn(outCol, array(comps: _*))
+      .drop("_rp_q")
+  }
+
+  /** Exact top-k in the PROJECTED space: brute-force cosine over the
+    * `kOut`-dim integer projections instead of the `dim`-dim floats —
+    * the memory/IO side of the JL trade (kOut/dim of the bytes per
+    * comparison; recall vs full-dim top-k governed by the JL bound).
+    * The integer dot products and norms are exact, so ranking (and the
+    * `dot` evidence column) hash-match on any engine; same
+    * broadcast-queries / scan-corpus / rank-window shape as
+    * [[bruteForceTopK]].
+    */
+  def rpTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             kOut: Int = 16, dim: Int = 64, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val q = randomProject(queries, kOut, dim, vecCol, "q_rp")
+      .select(col(idCol).as("q_id"), col("q_rp"))
+    val c = randomProject(corpus, kOut, dim, vecCol, "n_rp")
+      .select(col(idCol).as("n_id"), col("n_rp"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("n_id").asc)
+    c.join(broadcast(q))
+      .withColumn("cos",
+        TextStats.cosineIntVectors(col("q_rp"), col("n_rp")))
+      .withColumn("dot", aggregate(
+        zip_with(col("q_rp"), col("n_rp"), (p, r) => p * r),
+        lit(0L), (acc, v) => acc + v))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id", "rank", "dot")
+  }
+
   /** IVF-style coarse quantization: assign each vector to the nearest
     * of `nCells` deterministic centroid directions (hyperplane-derived),
     * so ANN queries probe only matching cells. This is the partition

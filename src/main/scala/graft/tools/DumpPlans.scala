@@ -60,7 +60,9 @@ object DumpPlans {
     "q_count_metadata" -> "metadata-only COUNT(*): the Catalyst rule collapses the pre-DV snapshot's count to a LocalRelation (zero files opened); the DV-bearing head keeps its anti-join and counts through it",
     "q_profile" -> "one-pass profiling: k exact countDistincts in ONE Expand-backed aggregate (no per-column scans), modal values from a single pair-count pass + per-column top-1 window over aggregated counts",
     "q_cdf_export" -> "change-data read-back: plain parquet scan of the exported _change_data files — the cdc payloads ARE the feed, no graft code on the consumer path",
-    "q_bpe_encode" -> "tokenizer encode: vocabulary segmented once under the learned merges (row-local folds), corpus words join the vocab-sized pieces table — one scan + one small join, text never re-segmented per occurrence")
+    "q_bpe_encode" -> "tokenizer encode: vocabulary segmented once under the learned merges (row-local folds), corpus words join the vocab-sized pieces table — one scan + one small join, text never re-segmented per occurrence",
+    "q_rp_project" -> "JL random projection: literal ±1 sign matrix, kOut codegen'd dot products per row — row-local, zero shuffles/joins/broadcasts, integer-exact fixed point",
+    "q_rp_topk" -> "top-k in projected space: project both sides row-locally, broadcast queries, rank window — corpus never shuffles and each comparison touches kOut ints instead of dim floats")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

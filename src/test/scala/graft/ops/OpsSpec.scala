@@ -228,6 +228,67 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class RandomProjectSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("randomProject emits kOut integer components per vector") {
+    val out = Similarity.randomProject(emb.limit(50), kOut = 8)
+      .select($"vec_id", $"rp").collect()
+    assert(out.length == 50)
+    assert(out.forall(_.getSeq[Long](1).length == 8))
+    // components are genuine sums, not degenerate zeros
+    assert(out.flatMap(_.getSeq[Long](1)).count(_ != 0L) > 300)
+  }
+
+  test("projection is deterministic across plans/partitionings") {
+    val a = Similarity.randomProject(emb, kOut = 8)
+      .select($"vec_id", $"rp").collect().map(r =>
+        r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = Similarity.randomProject(emb.repartition(7), kOut = 8)
+      .select($"vec_id", $"rp").collect().map(r =>
+        r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b)
+  }
+
+  test("JL property: projection separates near from far") {
+    // A near-duplicate (cos≈0.995) must outrank an orthogonal and an
+    // opposite vector in the PROJECTED space — the separation JL
+    // guarantees (rank recovery among near-EQUAL similarities is
+    // explicitly not promised at kOut=16). Deterministic signs → this
+    // is a fixed, reproducible check, not a flaky sample.
+    def unit(i: Int): Array[Float] =
+      Array.tabulate(64)(d => if (d == i) 1.0f else 0.0f)
+    val near = Array.tabulate(64)(d =>
+      if (d == 0) 0.995f else if (d == 1) 0.0999f else 0.0f)
+    val vecs = Seq(
+      (0L, unit(0)), (1L, near), (2L, unit(7)),
+      (3L, unit(0).map(-_))).toDF("vec_id", "embedding")
+    val ranked = Similarity.rpTopK(
+        vecs.filter($"vec_id" === 0), vecs.filter($"vec_id" > 0),
+        k = 3, kOut = 16)
+      .orderBy($"rank").collect().map(_.getAs[Long]("n_id")).toSeq
+    assert(ranked.head == 1L, s"near-dup not first: $ranked")
+    assert(ranked.last == 3L, s"opposite not last: $ranked")
+  }
+
+  test("rpTopK dot evidence equals the exact integer dot product") {
+    val rows = Similarity.rpTopK(
+      emb.filter($"vec_id" === 0), emb.filter($"vec_id" > 0),
+      k = 3, kOut = 8).collect()
+    val rp = Similarity.randomProject(emb, kOut = 8)
+      .select($"vec_id", $"rp").collect().map(r =>
+        r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rows.foreach { r =>
+      val expect = rp(0L).zip(rp(r.getAs[Long]("n_id")))
+        .map { case (x, y) => x * y }.sum
+      assert(r.getAs[Long]("dot") == expect)
+    }
+  }
+}
+
 class TextStatsSpec extends SparkSpec {
   import spark.implicits._
 
