@@ -886,6 +886,13 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         minJaccard = 0.1)),
 
+    // ---- all-pairs bag-of-words similarity join: df-cut inverted-
+    //      index candidates (Bayardo WWW'07 shape) + exact integer
+    //      confirm; dot evidence column is exact BIGINT ----
+    "q_allpairs_sim" -> ((s, dir) =>
+      TextStats.allPairsSimilarity(t(s, dir, "documents"),
+        threshold = 0.8, dfCap = 100)),
+
     // ---- embedding cosine near-dup pairs (exact, oracle-matched) ----
     "q_dedup_embedding" -> ((s, dir) =>
       Similarity.cosinePairs(t(s, dir, "embeddings"), threshold = 0.45)),
@@ -3839,6 +3846,37 @@ object SparkEntry {
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
+
+    // identical candidate semantics (pairs sharing a df<=100 word) and
+    // exact BIGINT dot/norm arithmetic as TextStats.allPairsSimilarity
+    "q_allpairs_sim" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |                       x -> x <> '')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |       FROM t GROUP BY 1, 2),
+        |rare AS (SELECT w FROM (SELECT w, count(*) AS df FROM tf
+        |                        GROUP BY 1) WHERE df <= 100),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM tf a JOIN tf b USING (w) JOIN rare USING (w)
+        |  WHERE a.doc_id < b.doc_id),
+        |dots AS (
+        |  SELECT c.a_id, c.b_id, CAST(sum(ta.tf * tb.tf) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN tf ta ON ta.doc_id = c.a_id
+        |  JOIN tf tb ON tb.doc_id = c.b_id AND tb.w = ta.w
+        |  GROUP BY 1, 2),
+        |norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS nn
+        |          FROM tf GROUP BY 1)
+        |SELECT d.a_id, d.b_id, d.dot
+        |FROM dots d
+        |JOIN norms na ON na.doc_id = d.a_id
+        |JOIN norms nb ON nb.doc_id = d.b_id
+        |WHERE CAST(d.dot AS DOUBLE) /
+        |  sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) >= 0.8""".stripMargin,
 
     // fixed-point accumulation: ×2^20 (exact for float→double), floor,
     // exact integer sum, ÷2^20 — order- and engine-independent

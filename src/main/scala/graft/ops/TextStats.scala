@@ -136,6 +136,64 @@ object TextStats {
     df.withColumn(outCol,
       graft.functions.TextExpressions.hash_embed(col(textCol), dim))
 
+  /** All-pairs document similarity join over bag-of-words vectors —
+    * the "find every pair above θ" primitive behind template mining and
+    * corpus-level near-dup audits (Bayardo et al., "Scaling Up All
+    * Pairs Similarity Search", WWW'07). A naive formulation is an
+    * O(n²) cross join; the scale shape here is the inverted-index
+    * candidate pass those papers converge on:
+    *
+    *  1. ONE shuffle builds the (doc, word, tf) term table.
+    *  2. Candidates come from a self-equi-join of the index restricted
+    *     to RARE words (document frequency ≤ `dfCap`) — the df-cut
+    *     bounds every word's join fanout to dfCap² pairs, which is
+    *     what makes the index join a bounded hash shuffle instead of a
+    *     stopword-driven explosion. (Bayardo's prefix filter is the
+    *     same idea parameterized per-pair; the df-cut is the corpus-
+    *     level version with a hard worst-case bound.)
+    *  3. Each candidate pair is scored EXACTLY: dot = Σ tf_a·tf_b over
+    *     the pair's shared words via two hash joins back onto the term
+    *     table, norms from one per-doc aggregate, cosine as exact
+    *     integer dots + the one IEEE ÷/√ ([[cosineIntVectors]]'s
+    *     convention) — so the output (and its `dot` evidence column)
+    *     hash-matches on any engine.
+    *
+    * CANDIDATE semantics, stated plainly: a pair sharing no word of
+    * df ≤ dfCap is not reported even above θ — at high θ such pairs
+    * are rare (near-identical docs share almost all words, including
+    * the rare ones), which is the standard recall trade.
+    */
+  def allPairsSimilarity(df: DataFrame, threshold: Double,
+                         dfCap: Long = 100,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val tf = df.select(col(idCol).as("_d"),
+        explode(tokens(col(textCol))).as("w"))
+      .groupBy("_d", "w").agg(count(lit(1)).as("tf"))
+    val rare = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("w")
+    val idx = tf.join(rare, "w")
+    val cand = idx.select(col("_d").as("a_id"), col("w"))
+      .join(idx.select(col("_d").as("b_id"), col("w")), "w")
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val dots = cand
+      .join(tf.select(col("_d").as("a_id"), col("w"), col("tf").as("tfa")),
+        "a_id")
+      .join(tf.select(col("_d").as("b_id"), col("w"), col("tf").as("tfb")),
+        Seq("b_id", "w"))
+      .groupBy("a_id", "b_id").agg(sum(col("tfa") * col("tfb")).as("dot"))
+    val norms = tf.groupBy(col("_d"))
+      .agg(sum(col("tf") * col("tf")).as("nn"))
+    dots
+      .join(norms.select(col("_d").as("a_id"), col("nn").as("na")), "a_id")
+      .join(norms.select(col("_d").as("b_id"), col("nn").as("nb")), "b_id")
+      .filter(col("dot").cast("double") /
+        sqrt(col("na").cast("double") * col("nb").cast("double"))
+        >= threshold)
+      .select("a_id", "b_id", "dot")
+  }
+
   /** Exact-integer dot/norms + one double division: cosine between
     * integer count vectors with every inexact step the identical IEEE
     * expression on any engine (sqrt is correctly-rounded everywhere).

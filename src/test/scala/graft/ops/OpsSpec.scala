@@ -410,6 +410,47 @@ class TextStatsSpec extends SparkSpec {
   }
 }
 
+class AllPairsSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("reports exact dot for pairs above threshold") {
+    val docs = Seq(
+      (0L, "a b b c"),       // tf a:1 b:2 c:1, nn=6
+      (1L, "a b b c"),       // identical → cos 1
+      (2L, "a b"),           // vs 0: dot=1+2=3, cos 3/sqrt(6*5)=0.547
+      (3L, "x y z")          // disjoint
+    ).toDF("doc_id", "text")
+    val out = TextStats.allPairsSimilarity(docs, threshold = 0.9,
+        dfCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 1L, 6L)))
+  }
+
+  test("threshold keeps partial overlaps when lowered") {
+    val docs = Seq(
+      (0L, "a b b c"), (1L, "a b b c"), (2L, "a b"), (3L, "x y z")
+    ).toDF("doc_id", "text")
+    val out = TextStats.allPairsSimilarity(docs, threshold = 0.5,
+        dfCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
+  test("df-cut: pairs sharing only super-common words are not candidates") {
+    // 'a' appears in all 4 docs; with dfCap=3 it generates no
+    // candidates, so the identical pair (0,1) — which shares ONLY
+    // 'a' — is unreported even at cos 1.0. Docs 2,3 also share 'q'
+    // (df=2, rare) and do surface.
+    val docs = Seq(
+      (0L, "a"), (1L, "a"), (2L, "a q"), (3L, "a q")
+    ).toDF("doc_id", "text")
+    val out = TextStats.allPairsSimilarity(docs, threshold = 0.99,
+        dfCap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((2L, 3L)))
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
