@@ -2396,6 +2396,29 @@ object SparkEntry {
       tab.readVersion(v2)
     }),
 
+    // ---- SHALLOW CLONE (Delta zero-copy fork): clone v2 of the
+    //      versioned history — the fixture REQUIRES the clone manifest
+    //      to be 100% absolute references (zero bytes copied) — then
+    //      diverge the CLONE by deleting its NEWSEG rows: the rewrite
+    //      localizes only the touched files, the rest stay foreign,
+    //      and the SOURCE history is untouched ----
+    "q_shallow_clone" -> ((s, dir) => {
+      val (tab, _, v2, _) = versionedDemo(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_clone").toString
+      val c = tab.shallowCloneTo(s"$tmp/clone.parquet", Some(v2))
+      require(c.fileManifest(0L).nonEmpty &&
+        c.fileManifest(0L).forall(_.startsWith("/")),
+        "shallow clone must reference, not copy")
+      c.deleteMatching(
+        c.read().filter(col("c_mktsegment") === "NEWSEG")
+          .select("c_custkey"), "c_custkey")
+      val after = c.fileManifest(c.latestVersion.get)
+      require(after.exists(_.startsWith("/")),
+        "divergence must keep untouched foreign refs foreign")
+      c.read()
+    }),
+
     // ---- STREAMING change feed (Delta readChangeFeed-as-a-stream):
     //      the commit log replayed through a checkpointed file source,
     //      one exactly-once micro-batch event per committed version;
@@ -5008,6 +5031,15 @@ object SparkEntry {
         |FROM docs a JOIN docs b
         |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.pref, b.pref) <= 25""".stripMargin,
+
+    // v2 state minus the NEWSEG rows the clone-side delete removed
+    "q_shallow_clone" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey % 10 <> 0
+        |UNION ALL
+        |SELECT c_custkey, upper(c_name), c_nationkey, c_acctbal + 1000,
+        |       c_mktsegment
+        |FROM customer WHERE c_custkey % 10 = 0""".stripMargin,
 
     "q_time_travel" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

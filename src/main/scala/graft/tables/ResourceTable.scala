@@ -336,6 +336,82 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     commitFiles(None, files, schemaJson, Some(cur), op = "RESTORE")
   }
 
+  /** Delta SHALLOW CLONE parity (`CREATE TABLE tgt SHALLOW CLONE src
+    * [VERSION AS OF v]`): a new table whose version-0 manifest
+    * REFERENCES the source version's data files by ABSOLUTE path —
+    * O(manifest) metadata written, ZERO data bytes copied or read,
+    * however large the table. That is the 100 TB dev/test-fork shape:
+    * cloning a petabyte table costs one commit write.
+    *
+    * The clone then diverges independently: every mutation writes only
+    * its own files under the clone root and drops the absolute
+    * references it rewrites; the clone's vacuum lists only clone-local
+    * `snap-*` dirs, so it structurally cannot reap source bytes.
+    * `u`-storage DV sidecars are carried as absolute `p` descriptors
+    * (the Delta protocol's own absolute-path DV storage type); inline
+    * `i` DVs copy verbatim. Table properties travel (clustering,
+    * CHECK constraints, DV/CDF opt-ins — Delta CLONE semantics); txn
+    * watermarks deliberately do NOT: the clone is a NEW table, and a
+    * streaming writer pointed at it must not skip batches it never
+    * delivered there.
+    *
+    * The standard Delta caveat applies verbatim: VACUUM on the SOURCE
+    * knows nothing of clones, so source vacuum past the clone point
+    * can reap files the clone still references — reads then fail fast
+    * on the missing file (they can never silently drop rows).
+    */
+  def shallowCloneTo(targetPath: String,
+                     version: Option[Long] = None): ResourceTable = {
+    val v = version.getOrElse(latestVersion.getOrElse(
+      throw new IllegalStateException(s"no table at $path")))
+    if (!versionExists(v))
+      throw new IllegalStateException(
+        s"version $v of $path never existed")
+    val files = fileListAt(v)
+    val gone = missingFiles(files.map(_._1))
+    if (gone.nonEmpty)
+      throw new IllegalStateException(
+        s"$path: cannot clone version $v — ${gone.size} referenced " +
+          s"file(s) vacuumed (first: ${gone.head})")
+    val schemaJson = FileStats.schemaOf(commitBody(v))
+      .getOrElse(schema().json)
+    val absFiles = files.map { case (rel, st) =>
+      val dv = st.dv.map { d =>
+        if (d.st == "u")
+          d.copy(st = "p", d = DeletionVectors
+            .filePath(root, d.descriptor).toUri.getPath)
+        else d
+      }
+      resolve(rel).toUri.getPath -> st.copy(dv = dv)
+    }
+    val tgt = new ResourceTable(spark, targetPath, checkpointInterval)
+    if (tgt.exists)
+      throw new IllegalStateException(
+        s"$targetPath: clone target already exists")
+    tgt.fs.mkdirs(tgt.logDir)
+    tgt.writeFile(new HPath(tgt.root, "_meta_schema.json"), schemaJson)
+    Seq("_meta_cluster.txt", "_meta_constraints.txt",
+        "_meta_dv_enabled", "_meta_cdf_enabled").foreach { m =>
+      val src = new HPath(root, m)
+      if (fs.exists(src))
+        tgt.writeFile(new HPath(tgt.root, m), readFile(src))
+    }
+    // version-0 commit: manifest only — no data directory is created
+    // (the dir field names the slot commitFiles would have; the empty-
+    // snapshot fallback in snapshotLocation is the only reader of it)
+    val statsJson = FileStats.toJsonNode(absFiles.toMap).toString
+    val body =
+      s"""{"version":0,"op":"CLONE","ts":${System.currentTimeMillis()},"dir":"snap-0-clone","schema":$schemaJson,"files":$statsJson}"""
+    val out = tgt.createExclusive(tgt.commitFile(0L))
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      try tgt.fs.delete(tgt.commitFile(0L), false)
+      catch { case _: Throwable => () }
+      throw e
+    } finally out.close()
+    tgt
+  }
+
   /** Change data feed between two retained versions (Delta CDF's
     * `table_changes` semantics, computed from snapshots): every row is
     * tagged `insert` (key only in `toV`), `delete` (key only in

@@ -1,0 +1,152 @@
+package graft.tables
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Shallow clone (Delta `SHALLOW CLONE` parity): zero-copy manifest
+  * reference, independent divergence, DV carry, vacuum isolation.
+  */
+class CloneSpec extends SparkSpec {
+  import graft.SparkSpec._
+
+  private val schema = StructType(Seq(
+    StructField("id", StringType),
+    StructField("v", IntegerType)))
+
+  private def df(rows: (String, Int)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2))), schema)
+
+  private def parquetCount(path: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(new java.io.File(path))
+  }
+
+  test("clone reads the source snapshot with zero data files copied") {
+    val base = tmpDir("clone")
+    val src = ResourceTable(spark, s"$base/S.parquet")
+      .createIfNotExists(schema)
+    src.upsert(df("a" -> 1, "b" -> 2, "c" -> 3), "id")
+    val tgt = src.shallowCloneTo(s"$base/C.parquet")
+    assert(parquetCount(s"$base/C.parquet") == 0,
+      "shallow clone must not copy or write any data file")
+    assert(tgt.read().collect().map(r =>
+      r.getString(0) -> r.getInt(1)).toMap ==
+      Map("a" -> 1, "b" -> 2, "c" -> 3))
+    // stats-pruned filtered read works through absolute references
+    assert(tgt.read(org.apache.spark.sql.functions.col("id") === "b")
+      .collect().map(_.getInt(1)).toSeq == Seq(2))
+  }
+
+  test("clone pins its version; source mutations do not leak in") {
+    val base = tmpDir("clonepin")
+    val src = ResourceTable(spark, s"$base/S.parquet")
+      .createIfNotExists(schema)
+    src.upsert(df("a" -> 1), "id")
+    val tgt = src.shallowCloneTo(s"$base/C.parquet")
+    src.upsert(df("a" -> 99, "z" -> 9), "id")
+    assert(tgt.read().collect().map(r =>
+      r.getString(0) -> r.getInt(1)).toMap == Map("a" -> 1))
+    // clone at an explicit earlier version
+    val tgt0 = src.shallowCloneTo(s"$base/C0.parquet", Some(1L))
+    assert(tgt0.read().collect().map(r =>
+      r.getString(0) -> r.getInt(1)).toMap == Map("a" -> 1))
+  }
+
+  test("clone diverges independently; rewrites drop absolute refs") {
+    val base = tmpDir("clonediv")
+    val src = ResourceTable(spark, s"$base/S.parquet")
+      .createIfNotExists(schema)
+    src.upsert(df("a" -> 1, "b" -> 2), "id")
+    val srcManifest = src.fileManifest(src.latestVersion.get)
+    val tgt = src.shallowCloneTo(s"$base/C.parquet")
+    tgt.upsert(df("b" -> 20, "c" -> 3), "id")
+    assert(tgt.read().collect().map(r =>
+      r.getString(0) -> r.getInt(1)).toMap ==
+      Map("a" -> 1, "b" -> 20, "c" -> 3))
+    // source untouched — same manifest, same content
+    assert(src.fileManifest(src.latestVersion.get) == srcManifest)
+    assert(src.read().collect().map(r =>
+      r.getString(0) -> r.getInt(1)).toMap == Map("a" -> 1, "b" -> 2))
+    // a full compaction localizes everything: no absolute refs remain
+    tgt.optimize(numFiles = 1)
+    assert(tgt.fileManifest(tgt.latestVersion.get)
+      .forall(!_.startsWith("/")),
+      "optimize must rewrite foreign references into clone-local files")
+  }
+
+  test("clone carries deletion vectors, incl. sidecars as absolute p") {
+    val base = tmpDir("clonedv")
+    val src = ResourceTable(spark, s"$base/S.parquet")
+      .createIfNotExists(schema).enableDeletionVectors()
+    src.upsert(df((0 until 200).map(i => s"k$i" -> i): _*), "id")
+    // tiny inline cap forces a u-storage sidecar
+    spark.conf.set("graft.table.dv.inlineMaxBytes", "1")
+    try src.deleteMatchingDv(df("k3" -> 0, "k7" -> 0).select("id"), "id")
+    finally spark.conf.unset("graft.table.dv.inlineMaxBytes")
+    val hasSidecar = src.fileListAt(src.latestVersion.get)
+      .exists(_._2.dv.exists(_.st == "u"))
+    assert(hasSidecar, "fixture must exercise the sidecar path")
+    val tgt = src.shallowCloneTo(s"$base/C.parquet")
+    val ids = tgt.read().collect().map(_.getString(0)).toSet
+    assert(ids.size == 198 && !ids("k3") && !ids("k7"))
+    assert(tgt.fileListAt(0L).exists(_._2.dv.exists(d =>
+      d.st == "p" && d.d.startsWith("/"))),
+      "sidecar DV must travel as an absolute p descriptor")
+  }
+
+  test("clone vacuum cannot reap source bytes; source vacuum breaks clone loudly") {
+    val base = tmpDir("clonevac")
+    val src = ResourceTable(spark, s"$base/S.parquet")
+      .createIfNotExists(schema)
+    src.upsert(df("a" -> 1), "id")
+    val tgt = src.shallowCloneTo(s"$base/C.parquet")
+    tgt.upsert(df("b" -> 2), "id") // clone has local + foreign refs
+    val before = parquetCount(s"$base/S.parquet")
+    tgt.vacuum(retentionMs = 0)
+    assert(parquetCount(s"$base/S.parquet") == before,
+      "clone vacuum must never delete source files")
+    assert(tgt.read().count() == 2)
+    // the documented hazard: source rewrite + vacuum reaps the files
+    // the clone references → the clone FAILS FAST, it cannot lie
+    src.optimize(numFiles = 1)
+    src.vacuum(retentionMs = 0)
+    val e = intercept[IllegalStateException](tgt.read().count())
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  test("clone exports a _delta_log with absolute add paths that reads back") {
+    val base = tmpDir("clonedx")
+    val src = ResourceTable(spark, s"$base/S.parquet")
+      .createIfNotExists(schema)
+    src.upsert(df("a" -> 1, "b" -> 2), "id")
+    val tgt = src.shallowCloneTo(s"$base/C.parquet")
+    tgt.upsert(df("c" -> 3), "id") // mixed foreign + local manifest
+    DeltaExport.export(tgt)
+    val got = DeltaExport.readSnapshot(spark, tgt.path)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("a" -> 1, "b" -> 2, "c" -> 3),
+      "delta readers must resolve the clone's absolute add paths")
+  }
+
+  test("properties travel; txn watermarks and existing targets refuse") {
+    val base = tmpDir("cloneprops")
+    val src = ResourceTable(spark, s"$base/S.parquet")
+      .createIfNotExists(schema, clusterCols = Seq("id"))
+    src.addCheckConstraint("v_pos", "v >= 0")
+    src.append(df("a" -> 1), txn = Some(("app", 7L)))
+    val tgt = src.shallowCloneTo(s"$base/C.parquet")
+    assert(tgt.clusterBy() == Seq("id"))
+    assert(tgt.checkConstraints().contains("v_pos"))
+    intercept[IllegalArgumentException](
+      tgt.upsert(df("x" -> -5), "id"))
+    // txn identity does NOT travel: the clone is a new table
+    assert(tgt.txnVersion("app").isEmpty)
+    // existing target refuses
+    intercept[IllegalStateException](
+      src.shallowCloneTo(s"$base/C.parquet"))
+  }
+}
