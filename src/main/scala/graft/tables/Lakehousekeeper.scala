@@ -236,6 +236,7 @@ object Lakehousekeeper {
           " | register <dir> | describe <dir>" +
           " | export-delta <dir> | cleanup-delta-log <dir> [retentionMs]" +
           " | history <tablePath> | restore <tablePath> <version>" +
+          " | clone <sourceTablePath> <targetTablePath> [version]" +
           " | count <tablePath> [version]" +
           " | stats <tablePath> <column> [version]" +
           " | enable-cdf <tablePath>")
@@ -317,6 +318,16 @@ object Lakehousekeeper {
             case None => println(s"$dir.$column: not metadata-answerable " +
               "(deletion vectors, missing or non-numeric stats) — scan")
           }
+        // CREATE TABLE <target> SHALLOW CLONE <source> [VERSION AS OF v]:
+        // O(manifest) zero-copy fork (`dir` is the SOURCE table path)
+        case "clone" =>
+          val target = args.lift(2).getOrElse(
+            throw new IllegalArgumentException("clone needs a target path"))
+          val v = args.lift(3).map(_.toLong)
+          val c = ResourceTable(spark, dir).shallowCloneTo(target, v)
+          println(s"cloned $dir -> $target at source " +
+            s"v${v.getOrElse(ResourceTable(spark, dir).latestVersion.get)} " +
+            s"(${c.fileManifest(0L).size} referenced files, 0 copied)")
         // opt the table into change-data-feed export (Delta's
         // delta.enableChangeDataFeed): subsequent export-delta runs
         // emit cdc actions + _change_data files per rewriting commit
