@@ -48,7 +48,8 @@ object ScaleBench {
     "q_delta_export", "x_decontaminate_ivf", "x_fuzzy_split",
     "x_delete_rewrite", "x_delete_dv", "x_cdf_export",
     "x_url_dedup", "x_upsert_overlap", "x_insert_absent", "x_dv_purge",
-    "q_substring_dedup", "q_lm_score", "q_bpe_train")
+    "q_substring_dedup", "q_lm_score", "q_bpe_train",
+    "q_rp_topk", "q_allpairs_sim", "x_shallow_clone")
 
   /** Scale-only cases that are not SparkEntry gates: shapes whose
     * scale story needs DIFFERENT fixture sizing than the sf0.01 gate.
@@ -210,6 +211,20 @@ object ScaleBench {
       val i = nextSlice(s"ins:$dir")
       timedDelete(tab, "insert_only")(
         tab.insertIfAbsent(ingestBatch(s, dir, i), "event_id"))
+      s.range(1).toDF("done")
+    }),
+    // SHALLOW CLONE at scale: fork the (already-built, memoized)
+    // scaled events table and answer a metadata-only count over the
+    // fork. The claim is O(manifest): wall time tracks the FILE COUNT
+    // (constant 32-file fixture across decades → ratio ≈ 1), never
+    // the data bytes — cloning the 100× table costs the same as 1×.
+    "x_shallow_clone" -> ((s, dir) => {
+      val tab = deleteDemo(s, dir, "dv")
+      val tgt = java.nio.file.Files
+        .createTempDirectory("graft_sclone").toString
+      val c = tab.shallowCloneTo(s"$tgt/c.parquet")
+      System.err.println(s"[clone] rows=${c.statsCount()} " +
+        s"refs=${c.fileManifest(0L).size}")
       s.range(1).toDF("done")
     }),
     // REORG PURGE at scale: DV-kill 80% of a CONSTANT 12.5k-id
