@@ -947,6 +947,26 @@ object SparkEntry {
         k = 10, kOut = 16)
     }),
 
+    // ---- product quantization encode: sample-trained codebooks
+    //      (vec_id < 64, FAISS's bounded-sample contract), row-local
+    //      argmin over literal centroids — all integer-exact ----
+    "q_pq_encode" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = pqMemo.computeIfAbsent(dir, _ => graft.ops.Pq.trainOn(emb))
+      graft.ops.Pq.encode(emb, cb)
+        .select(col("vec_id"),
+          posexplode(col("codes")).as(Seq("sub", "code")))
+    }),
+
+    // ---- PQ ADC top-k: m integer table lookups per candidate instead
+    //      of a dim-float loop; exact BIGINT adc evidence ----
+    "q_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = pqMemo.computeIfAbsent(dir, _ => graft.ops.Pq.trainOn(emb))
+      graft.ops.Pq.adcTopK(emb.filter(col("vec_id") < 3),
+        emb.filter(col("vec_id") >= 3), cb, topK = 10)
+    }),
+
     // ---- ANN scale path: LSH-bucketed near-dup. Exact oracle: the
     //      deterministic hyperplanes are inlined into the SQL ----
     "q_ann_lsh" -> ((s, dir) =>
@@ -2584,6 +2604,11 @@ object SparkEntry {
   private val bpeMergesMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
 
+  // PQ codebooks per testdata dir (deterministic sample training;
+  // q_pq_encode and q_pq_topk share one training run)
+  private val pqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Pq.Codebook]()
+
   /** Change-data-feed export fixture: CDF-enabled customer table,
     * anchored export, then an UPDATE upsert (c_acctbal + 1000 for
     * keys ≡0 mod 13) and a DV delete (keys ≡0 mod 17) — the second
@@ -3159,6 +3184,102 @@ object SparkEntry {
          |      d.n_id ASC) AS rank
          |  FROM dots d JOIN norms qn ON qn.vec_id = d.q_id
          |              JOIN norms nn2 ON nn2.vec_id = d.n_id)
+         |WHERE rank <= 10""".stripMargin
+  }
+
+  /** Product-quantization replay: the ENTIRE pipeline — fixed-point
+    * subvectors, per-subspace Lloyd's training on the vec_id<64 sample
+    * (seeds = 16 smallest ids, 2 unrolled iterations, empty clusters
+    * carried forward), encode, and ADC scoring — is integer-exact, so
+    * DuckDB replays [[graft.ops.Pq]] bit-for-bit with BIGINT
+    * arithmetic and one floor(sum/n) per centroid update (values
+    * ≤ 2^27, exact in double on any engine). All subspaces train in
+    * ONE set-based chain keyed by `sub` — no per-subspace unrolling.
+    */
+  private object PqOracle {
+    private def iter(r: Int): String = {
+      val p = r - 1
+      s"""d$r AS (
+         |  SELECT t.vec_id, t.sub, c.cl,
+         |    sum((t.q - c.q) * (t.q - c.q)) AS dist
+         |  FROM train t JOIN c$p c ON c.sub = t.sub AND c.spos = t.spos
+         |  GROUP BY 1, 2, 3),
+         |a$r AS (
+         |  SELECT vec_id, sub, cl FROM (
+         |    SELECT vec_id, sub, cl, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY dist, cl) AS rk
+         |    FROM d$r)
+         |  WHERE rk = 1),
+         |m$r AS MATERIALIZED (
+         |  SELECT a.sub, a.cl, t.spos,
+         |    CAST(floor(CAST(sum(t.q) AS DOUBLE) / count(*)) AS BIGINT)
+         |      AS q
+         |  FROM a$r a JOIN train t
+         |    ON t.vec_id = a.vec_id AND t.sub = a.sub
+         |  GROUP BY 1, 2, 3),
+         |c$r AS MATERIALIZED (
+         |  SELECT * FROM m$r
+         |  UNION ALL
+         |  SELECT c.sub, c.cl, c.spos, c.q FROM c$p c
+         |  WHERE NOT EXISTS (SELECT 1 FROM m$r x
+         |                    WHERE x.sub = c.sub AND x.cl = c.cl))"""
+        .stripMargin
+    }
+
+    private val chain: String =
+      s"""WITH fp AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    CAST(pos // 8 AS INTEGER) AS sub,
+         |    CAST(pos % 8 AS INTEGER) AS spos,
+         |    CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT) AS q
+         |  FROM (SELECT vec_id, unnest(embedding) AS v,
+         |          unnest(range(0, len(embedding))) AS pos
+         |        FROM embeddings)),
+         |train AS MATERIALIZED (SELECT * FROM fp WHERE vec_id < 64),
+         |seedids AS (
+         |  SELECT vec_id,
+         |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+         |      AS cl
+         |  FROM (SELECT DISTINCT vec_id FROM embeddings
+         |        WHERE vec_id < 64 ORDER BY vec_id LIMIT 16)),
+         |c0 AS (SELECT s.cl, f.sub, f.spos, f.q
+         |       FROM seedids s JOIN train f USING (vec_id)),
+         |${iter(1)},
+         |${iter(2)},
+         |enc_d AS (
+         |  SELECT f.vec_id, f.sub, c.cl,
+         |    sum((f.q - c.q) * (f.q - c.q)) AS dist
+         |  FROM fp f JOIN c2 c ON c.sub = f.sub AND c.spos = f.spos
+         |  GROUP BY 1, 2, 3),
+         |codes AS MATERIALIZED (
+         |  SELECT vec_id, sub, cl AS code FROM (
+         |    SELECT vec_id, sub, cl, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY dist, cl) AS rk
+         |    FROM enc_d)
+         |  WHERE rk = 1)""".stripMargin
+
+    val encodeSql: String =
+      s"""$chain
+         |SELECT vec_id, sub, code FROM codes""".stripMargin
+
+    val topkSql: String =
+      s"""$chain,
+         |qd AS (
+         |  SELECT f.vec_id AS q_id, f.sub, c.cl,
+         |    sum((f.q - c.q) * (f.q - c.q)) AS dist
+         |  FROM fp f JOIN c2 c ON c.sub = f.sub AND c.spos = f.spos
+         |  WHERE f.vec_id < 3
+         |  GROUP BY 1, 2, 3),
+         |scores AS (
+         |  SELECT qd.q_id, co.vec_id AS n_id,
+         |    CAST(sum(qd.dist) AS BIGINT) AS adc
+         |  FROM codes co JOIN qd ON qd.sub = co.sub AND qd.cl = co.code
+         |  WHERE co.vec_id >= 3
+         |  GROUP BY 1, 2)
+         |SELECT q_id, n_id, rank, adc FROM (
+         |  SELECT q_id, n_id, adc, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS rank
+         |  FROM scores)
          |WHERE rank <= 10""".stripMargin
   }
 
@@ -4056,6 +4177,9 @@ object SparkEntry {
 
     "q_rp_project" -> RpOracle.projectSql,
     "q_rp_topk" -> RpOracle.topkSql,
+
+    "q_pq_encode" -> PqOracle.encodeSql,
+    "q_pq_topk" -> PqOracle.topkSql,
 
     "q_ann_lsh" -> {
       // the 8 hyperplanes inlined (shortest-round-trip doubles); bucket

@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding columns — the codebook
+  * compression layer of billion-scale ANN (Jégou et al., "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011; the FAISS
+  * IVF-PQ shape). The vector space is split into `m` subspaces; each
+  * subspace learns a `k`-centroid codebook from a BOUNDED sample, and
+  * every vector is stored as `m` small codes (here 8 × 4 bits ≈ 4
+  * bytes instead of 256 bytes of float32 — a 64× memory cut). Queries
+  * score candidates by Asymmetric Distance Computation (ADC): one
+  * query-to-centroid distance table of m·k entries, then each
+  * candidate costs m table lookups instead of a dim-length float loop.
+  *
+  * Scale shape:
+  *  - TRAINING is sample-based, exactly like FAISS: a bounded id-range
+  *    sample (driver state ≤ sampleCap·dim fixed-point longs) trains
+  *    all m codebooks in a deterministic pure-Scala Lloyd's loop. At
+  *    100 TB the sample is still a few thousand vectors — training
+  *    cost does not grow with the corpus.
+  *  - ENCODE is row-local: the m·k·(dim/m) codebook is a literal in a
+  *    codegen'd argmin expression — one scan, zero shuffles/joins.
+  *  - ADC top-k is the [[Similarity.bruteForceTopK]] plan (broadcast
+  *    queries, scan corpus, rank window) with each comparison reduced
+  *    from dim float ops to m integer lookups.
+  *
+  * Determinism (what makes every gate exact-oracle-able): all
+  * arithmetic is FIXED-POINT INTEGER end-to-end. Inputs are scaled by
+  * 2^20 and floored (the [[Similarity.centroids]] convention);
+  * distances are exact integer sums of squares; centroid updates are
+  * floor(sum/n) — one double division on values ≤ 2^27 (exact) then a
+  * floor, identical on any engine; empty clusters carry their previous
+  * centroid so codes stay dense 0..k-1. No step depends on
+  * accumulation order, partitioning, or libm.
+  */
+object Pq {
+
+  val Scale = 1048576L // 2^20: float * 2^20 is exact (power of two)
+
+  /** Trained codebooks: `cents(s)(cl)` is subspace `s`'s centroid
+    * `cl` as `dim/m` fixed-point longs, dense cl ∈ 0..k-1.
+    */
+  final case class Codebook(m: Int, k: Int, subDim: Int,
+                            cents: Seq[Seq[Seq[Long]]])
+
+  private def dist2(a: Seq[Long], b: Seq[Long]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Deterministic Lloyd's over a fixed-point sample (pure Scala — the
+    * sample is bounded, see object doc). Seeds are the first `k`
+    * sample subvectors; assignment ties go to the smallest code;
+    * empty clusters carry forward.
+    */
+  def train(sample: Seq[Seq[Long]], m: Int, k: Int,
+            iters: Int): Codebook = {
+    require(sample.nonEmpty && sample.head.length % m == 0,
+      s"dim ${sample.headOption.map(_.length)} not divisible by m=$m")
+    val subDim = sample.head.length / m
+    val cents = (0 until m).map { s =>
+      val subs = sample.map(v => v.slice(s * subDim, (s + 1) * subDim))
+      var c: Seq[Seq[Long]] = subs.take(k)
+      var it = 0
+      while (it < iters) {
+        val assigned = subs.map { v =>
+          var best = 0; var bestD = Long.MaxValue; var j = 0
+          while (j < c.length) {
+            val d = dist2(v, c(j))
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          best
+        }
+        val groups = assigned.zip(subs).groupBy(_._1)
+        c = c.zipWithIndex.map { case (old, cl) =>
+          groups.get(cl) match {
+            case Some(grp) =>
+              val vs = grp.map(_._2)
+              (0 until subDim).map(d =>
+                math.floor(vs.map(_(d)).sum.toDouble / vs.size).toLong)
+            case None => old
+          }
+        }
+        it += 1
+      }
+      c
+    }
+    Codebook(m, k, subDim, cents)
+  }
+
+  /** Train on the vectors with id < `sampleCap` — an id-bounded sample
+    * whose size is independent of corpus scale (the FAISS training
+    * contract). The collect is bounded by sampleCap·dim longs.
+    */
+  def trainOn(df: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 2,
+              sampleCap: Long = 64, idCol: String = "vec_id",
+              vecCol: String = "embedding"): Codebook = {
+    val sample = df.filter(col(idCol) < sampleCap)
+      .select(col(idCol), col(vecCol)).orderBy(col(idCol)).collect()
+      .map(_.getSeq[Float](1).map(v =>
+        math.floor(v.toDouble * Scale).toLong).toSeq).toSeq
+    train(sample, m, k, iters)
+  }
+
+  /** The fixed-point full vector as array<long> (exact). */
+  private def fixedPoint(vec: Column): Column =
+    transform(vec, v => floor(v.cast("double") * Scale))
+
+  private def subVec(qv: Column, cb: Codebook, s: Int): Column =
+    slice(qv, s * cb.subDim + 1, cb.subDim)
+
+  /** Exact integer squared distance between an array<long> column and
+    * a literal fixed-point centroid.
+    */
+  private def dist2Col(sub: Column, cv: Seq[Long]): Column =
+    aggregate(zip_with(sub, typedlit(cv), (x, y) => (x - y) * (x - y)),
+      lit(0L), (a, v) => a + v)
+
+  /** Row-local PQ encoding: adds `codes` (array<int>, length m) — per
+    * subspace, the argmin-distance codebook entry (ties to the
+    * smallest code via struct-min). One codegen'd scan, no shuffle.
+    */
+  def encode(df: DataFrame, cb: Codebook,
+             vecCol: String = "embedding",
+             outCol: String = "codes"): DataFrame = {
+    val codes = array((0 until cb.m).map { s =>
+      val sub = subVec(col("_pq_fp"), cb, s)
+      array_min(array(cb.cents(s).zipWithIndex.map { case (cv, cl) =>
+        struct(dist2Col(sub, cv).as("d"), lit(cl).as("cl"))
+      }: _*)).getField("cl")
+    }: _*)
+    df.withColumn("_pq_fp", fixedPoint(col(vecCol)))
+      .withColumn(outCol, codes)
+      .drop("_pq_fp")
+  }
+
+  /** ADC top-k: each query's distance to every codebook centroid forms
+    * an m·k integer table (computed inline against the broadcast query
+    * vector); each candidate then costs m lookups into it. Exact
+    * integer ADC scores (`adc` evidence column), rank ties to the
+    * smaller neighbor id. Plan: encode corpus row-locally, broadcast
+    * queries, rank window per query — the corpus never shuffles.
+    */
+  def adcTopK(queries: DataFrame, corpus: DataFrame, cb: Codebook,
+              topK: Int, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"),
+      fixedPoint(col(vecCol)).as("_qv"))
+    val c = encode(corpus, cb, vecCol, "_codes")
+      .select(col(idCol).as("n_id"), col("_codes"))
+    val adc = (0 until cb.m).map { s =>
+      val dists = array(cb.cents(s).map(cv =>
+        dist2Col(subVec(col("_qv"), cb, s), cv)): _*)
+      element_at(dists, element_at(col("_codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adc").asc, col("n_id").asc)
+    c.join(broadcast(q))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("q_id", "n_id", "rank", "adc")
+  }
+}

@@ -64,7 +64,9 @@ object DumpPlans {
     "q_rp_project" -> "JL random projection: literal ±1 sign matrix, kOut codegen'd dot products per row — row-local, zero shuffles/joins/broadcasts, integer-exact fixed point",
     "q_rp_topk" -> "top-k in projected space: project both sides row-locally, broadcast queries, rank window — corpus never shuffles and each comparison touches kOut ints instead of dim floats",
     "q_allpairs_sim" -> "all-pairs similarity join: ONE term-table shuffle, candidates from a df-capped inverted-index self-join (fanout bounded at dfCap² per word — never a cross join), exact confirm via two hash joins back onto the term table",
-    "q_shallow_clone" -> "shallow clone: O(manifest) metadata commit, zero data bytes copied — clone reads plan the SOURCE's files by absolute reference through the same StatsFileIndex; divergent mutations localize only their rewrite scope")
+    "q_shallow_clone" -> "shallow clone: O(manifest) metadata commit, zero data bytes copied — clone reads plan the SOURCE's files by absolute reference through the same StatsFileIndex; divergent mutations localize only their rewrite scope",
+    "q_pq_encode" -> "PQ encode: sample-trained codebooks become literals in ONE codegen'd argmin scan — row-local, zero shuffles; 4-bit codes replace float32 (64x memory cut for the ANN index)",
+    "q_pq_topk" -> "PQ ADC top-k: broadcast queries, corpus encoded row-locally, each comparison is m integer table lookups instead of a dim-float loop — corpus never shuffles, rank window per query")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

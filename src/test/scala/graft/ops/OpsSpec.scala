@@ -289,6 +289,84 @@ class RandomProjectSpec extends SparkSpec {
   }
 }
 
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("train is deterministic and codebooks are dense k x subDim") {
+    val a = Pq.trainOn(emb)
+    val b = Pq.trainOn(emb.repartition(5))
+    assert(a == b, "training must not depend on partitioning")
+    assert(a.cents.length == 8)
+    assert(a.cents.forall(s => s.length == 16 &&
+      s.forall(_.length == 8)))
+  }
+
+  test("empty clusters carry their previous centroid forward") {
+    // 20 identical vectors: every subvector assigns to code 0, so
+    // clusters 1..15 are empty every iteration — they must keep their
+    // (identical) seed centroids, and k stays dense at 16
+    val same = Seq.fill(20)(Array.fill(64)(0.25f)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    val cb = Pq.trainOn(same, sampleCap = 20)
+    assert(cb.cents.forall(_.length == 16))
+    val codes = Pq.encode(same, cb).select($"codes").head.getSeq[Int](0)
+    assert(codes == Seq.fill(8)(0), "ties must resolve to code 0")
+  }
+
+  test("encode: m codes per row, each in [0, k)") {
+    val cb = Pq.trainOn(emb)
+    val rows = Pq.encode(emb, cb).select($"codes").collect()
+    assert(rows.forall { r =>
+      val c = r.getSeq[Int](0)
+      c.length == 8 && c.forall(x => x >= 0 && x < 16)
+    })
+    // codes actually discriminate: more than one distinct codeword
+    assert(rows.map(_.getSeq[Int](0)).distinct.length > 10)
+  }
+
+  test("ADC separates near from far (JL-style separation contract)") {
+    def unit(i: Int): Array[Float] =
+      Array.tabulate(64)(d => if (d == i) 1.0f else 0.0f)
+    val near = Array.tabulate(64)(d =>
+      if (d == 0) 0.98f else if (d == 1) 0.199f else 0.0f)
+    val far = Array.tabulate(64)(d => -0.7f * unit(0)(d) + 0.7f * unit(5)(d))
+    val vecs = Seq((0L, unit(0)), (1L, near), (2L, unit(9)), (3L, far))
+      .toDF("vec_id", "embedding")
+    // train on a corpus that contains the structure
+    val cb = Pq.trainOn(vecs, sampleCap = 4, k = 4)
+    val ranked = Pq.adcTopK(vecs.filter($"vec_id" === 0),
+        vecs.filter($"vec_id" > 0), cb, topK = 3)
+      .orderBy($"rank").collect().map(_.getAs[Long]("n_id")).toSeq
+    assert(ranked.head == 1L, s"near-dup not ranked first: $ranked")
+  }
+
+  test("adc evidence equals the exact reconstruction distance") {
+    val cb = Pq.trainOn(emb)
+    val got = Pq.adcTopK(emb.filter($"vec_id" === 0),
+      emb.filter($"vec_id" > 0 && $"vec_id" < 20), cb, topK = 5)
+      .collect()
+    // recompute on the driver from first principles
+    val fp = emb.filter($"vec_id" < 20).collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getSeq[Float](1).map(v =>
+        math.floor(v.toDouble * Pq.Scale).toLong).toSeq).toMap
+    val codes = Pq.encode(emb.filter($"vec_id" < 20), cb)
+      .select($"vec_id", $"codes").collect().map(r =>
+        r.getLong(0) -> r.getSeq[Int](1)).toMap
+    got.foreach { r =>
+      val q = fp(0L); val n = r.getAs[Long]("n_id")
+      val expect = (0 until 8).map { s =>
+        val qs = q.slice(s * 8, s * 8 + 8)
+        val cv = cb.cents(s)(codes(n)(s))
+        qs.zip(cv).map { case (x, y) => (x - y) * (x - y) }.sum
+      }.sum
+      assert(r.getAs[Long]("adc") == expect)
+    }
+  }
+}
+
 class TextStatsSpec extends SparkSpec {
   import spark.implicits._
 
