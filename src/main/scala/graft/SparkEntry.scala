@@ -967,6 +967,15 @@ object SparkEntry {
         emb.filter(col("vec_id") >= 3), cb, topK = 10)
     }),
 
+    // ---- IVF-PQ: coarse-cell candidate restriction + ADC scoring,
+    //      the full FAISS query shape; probes=2 of 8 cells ----
+    "q_pq_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = pqMemo.computeIfAbsent(dir, _ => graft.ops.Pq.trainOn(emb))
+      graft.ops.Pq.ivfAdcTopK(emb.filter(col("vec_id") < 3),
+        emb.filter(col("vec_id") >= 3), cb, topK = 5, probes = 2)
+    }),
+
     // ---- ANN scale path: LSH-bucketed near-dup. Exact oracle: the
     //      deterministic hyperplanes are inlined into the SQL ----
     "q_ann_lsh" -> ((s, dir) =>
@@ -3262,9 +3271,8 @@ object SparkEntry {
       s"""$chain
          |SELECT vec_id, sub, code FROM codes""".stripMargin
 
-    val topkSql: String =
-      s"""$chain,
-         |qd AS (
+    private val scoreCtes: String =
+      s"""qd AS (
          |  SELECT f.vec_id AS q_id, f.sub, c.cl,
          |    sum((f.q - c.q) * (f.q - c.q)) AS dist
          |  FROM fp f JOIN c2 c ON c.sub = f.sub AND c.spos = f.spos
@@ -3275,12 +3283,52 @@ object SparkEntry {
          |    CAST(sum(qd.dist) AS BIGINT) AS adc
          |  FROM codes co JOIN qd ON qd.sub = co.sub AND qd.cl = co.code
          |  WHERE co.vec_id >= 3
-         |  GROUP BY 1, 2)
+         |  GROUP BY 1, 2)""".stripMargin
+
+    val topkSql: String =
+      s"""$chain,
+         |$scoreCtes
          |SELECT q_id, n_id, rank, adc FROM (
          |  SELECT q_id, n_id, adc, row_number() OVER (
          |    PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS rank
          |  FROM scores)
          |WHERE rank <= 10""".stripMargin
+
+    /** IVF-PQ: the same ADC scores restricted to coarse-cell-matched
+      * candidates (qa probes 2 cells, corpus pins to 1 — the
+      * [[ivfOracle]] LATERAL shape with its cell-DESC tie-break).
+      */
+    val ivfSql: String = {
+      val values = graft.ops.Similarity.ivfCentroids(8, 64).zipWithIndex
+        .map { case (c, i) => s"($i, [${c.mkString(",")}]::DOUBLE[])" }
+        .mkString(",\n        ")
+      s"""$chain,
+         |$scoreCtes,
+         |cents(cell, cvec) AS (VALUES $values),
+         |qcell AS (
+         |  SELECT q.vec_id AS q_id, c.cell
+         |  FROM embeddings q, LATERAL (
+         |    SELECT cell FROM cents
+         |    ORDER BY list_dot_product(q.embedding::DOUBLE[], cvec) DESC,
+         |             cell DESC
+         |    LIMIT 2) c
+         |  WHERE q.vec_id < 3),
+         |ncell AS (
+         |  SELECT n.vec_id AS n_id, c.cell
+         |  FROM embeddings n, LATERAL (
+         |    SELECT cell FROM cents
+         |    ORDER BY list_dot_product(n.embedding::DOUBLE[], cvec) DESC,
+         |             cell DESC
+         |    LIMIT 1) c
+         |  WHERE n.vec_id >= 3)
+         |SELECT q_id, n_id, rank, adc FROM (
+         |  SELECT s.q_id, s.n_id, s.adc, row_number() OVER (
+         |    PARTITION BY s.q_id ORDER BY s.adc ASC, s.n_id ASC) AS rank
+         |  FROM scores s
+         |  JOIN qcell q ON q.q_id = s.q_id
+         |  JOIN ncell n ON n.n_id = s.n_id AND n.cell = q.cell)
+         |WHERE rank <= 5""".stripMargin
+    }
   }
 
   private object KmeansOracle {
@@ -4180,6 +4228,7 @@ object SparkEntry {
 
     "q_pq_encode" -> PqOracle.encodeSql,
     "q_pq_topk" -> PqOracle.topkSql,
+    "q_pq_ivf" -> PqOracle.ivfSql,
 
     "q_ann_lsh" -> {
       // the 8 hyperplanes inlined (shortest-round-trip doubles); bucket

@@ -152,6 +152,38 @@ object Pq {
       fixedPoint(col(vecCol)).as("_qv"))
     val c = encode(corpus, cb, vecCol, "_codes")
       .select(col(idCol).as("n_id"), col("_codes"))
+    rankAdc(c.join(broadcast(q)), cb, topK)
+  }
+
+  /** IVF + PQ — the full FAISS IVF-PQ query shape: the corpus pins to
+    * its [[Similarity.ivfAssign]] coarse cell, queries fan out to
+    * their `probes` best cells, and ADC scoring runs only on the
+    * cell-matched candidates — a BroadcastHashJoin on the cell key
+    * whose probe side costs m lookups per candidate. Expected work is
+    * probes/nCells of [[adcTopK]]'s scan with the same per-candidate
+    * cost; the same cell-restricted recall semantics as
+    * [[Similarity.ivfTopK]] (probes = nCells degenerates to exact
+    * adcTopK through the hash join).
+    */
+  def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, cb: Codebook,
+                 topK: Int, nCells: Int = 8, dim: Int = 64,
+                 probes: Int = 2, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val q = Similarity.ivfProbe(queries, nCells, dim, vecCol, probes)
+      .select(col(idCol).as("q_id"),
+        fixedPoint(col(vecCol)).as("_qv"), col("cell"))
+    val c = encode(Similarity.ivfAssign(corpus, nCells, dim, vecCol),
+        cb, vecCol, "_codes")
+      .select(col(idCol).as("n_id"), col("_codes"), col("cell"))
+    rankAdc(c.join(broadcast(q), "cell"), cb, topK)
+  }
+
+  /** Shared ADC score + rank tail over (_qv, _codes) candidate rows —
+    * one place so every PQ top-k variant (and its oracle SQL) stays
+    * bit-identical.
+    */
+  private def rankAdc(candidates: DataFrame, cb: Codebook,
+                      topK: Int): DataFrame = {
     val adc = (0 until cb.m).map { s =>
       val dists = array(cb.cents(s).map(cv =>
         dist2Col(subVec(col("_qv"), cb, s), cv)): _*)
@@ -159,7 +191,7 @@ object Pq {
     }.reduce(_ + _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("adc").asc, col("n_id").asc)
-    c.join(broadcast(q))
+    candidates
       .withColumn("adc", adc)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)

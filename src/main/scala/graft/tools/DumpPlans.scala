@@ -66,7 +66,8 @@ object DumpPlans {
     "q_allpairs_sim" -> "all-pairs similarity join: ONE term-table shuffle, candidates from a df-capped inverted-index self-join (fanout bounded at dfCap² per word — never a cross join), exact confirm via two hash joins back onto the term table",
     "q_shallow_clone" -> "shallow clone: O(manifest) metadata commit, zero data bytes copied — clone reads plan the SOURCE's files by absolute reference through the same StatsFileIndex; divergent mutations localize only their rewrite scope",
     "q_pq_encode" -> "PQ encode: sample-trained codebooks become literals in ONE codegen'd argmin scan — row-local, zero shuffles; 4-bit codes replace float32 (64x memory cut for the ANN index)",
-    "q_pq_topk" -> "PQ ADC top-k: broadcast queries, corpus encoded row-locally, each comparison is m integer table lookups instead of a dim-float loop — corpus never shuffles, rank window per query")
+    "q_pq_topk" -> "PQ ADC top-k: broadcast queries, corpus encoded row-locally, each comparison is m integer table lookups instead of a dim-float loop — corpus never shuffles, rank window per query",
+    "q_pq_ivf" -> "IVF-PQ: coarse cell restricts ADC to probes/nCells of the corpus via a BroadcastHashJoin on the cell key — the full FAISS query shape, probes=nCells degenerates to exact ADC (spec-proven)")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -343,6 +343,19 @@ class PqSpec extends SparkSpec {
     assert(ranked.head == 1L, s"near-dup not ranked first: $ranked")
   }
 
+  test("ivfAdcTopK with probes = nCells degenerates to exact adcTopK") {
+    val cb = Pq.trainOn(emb)
+    val q = emb.filter($"vec_id" < 2)
+    val c = emb.filter($"vec_id" >= 2)
+    val full = Pq.adcTopK(q, c, cb, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getLong(3))).toSet
+    val ivf = Pq.ivfAdcTopK(q, c, cb, topK = 5, nCells = 8, probes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getLong(3))).toSet
+    assert(ivf == full)
+  }
+
   test("adc evidence equals the exact reconstruction distance") {
     val cb = Pq.trainOn(emb)
     val got = Pq.adcTopK(emb.filter($"vec_id" === 0),
