@@ -41,7 +41,9 @@ object EstimatorReport {
       "q_sketch_jaccard" -> (() => sketchErr(docs)),
       "q_approx_distinct" -> (() => distinctErr(li)),
       "q_approx_percentile" -> (() => percentileErr(li)),
-      "q_ann_ivf_probe" -> (() => annRecall(emb))
+      "q_ann_ivf_probe" -> (() => annRecall(emb)),
+      "q_pq_topk" -> (() => pqRecall(emb)),
+      "q_rp_topk" -> (() => rpRecall(emb))
     ).map { case (name, f) =>
       try f()
       catch { case e: Throwable =>
@@ -66,6 +68,45 @@ object EstimatorReport {
       .agg(count(lit(1))).collect().head.getLong(0)
     val n = exact.agg(count(lit(1))).collect().head.getLong(0)
     line("q_ann_ivf_probe", s"recall_at_$k",
+      if (n == 0) 1.0 else hit.toDouble / n, n)
+  }
+
+  /** PQ ADC recall@k vs exact cosine top-k — the accuracy the 64×
+    * memory cut trades away (ADC is L2 on fixed-point codes; the exact
+    * side is the gate family's cosine ranking, so this measures the
+    * end-to-end substitution error a user would see).
+    */
+  private def pqRecall(emb: DataFrame): String = {
+    val queries = emb.filter(col("vec_id") < 3)
+    val corpus = emb.filter(col("vec_id") >= 3)
+    val k = 10
+    val cb = graft.ops.Pq.trainOn(emb)
+    val exact = graft.ops.Similarity
+      .bruteForceTopK(queries, corpus, k).select("q_id", "n_id")
+    val pq = graft.ops.Pq.adcTopK(queries, corpus, cb, k)
+      .select("q_id", "n_id")
+    val hit = exact.join(pq, Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1))).collect().head.getLong(0)
+    val n = exact.agg(count(lit(1))).collect().head.getLong(0)
+    line("q_pq_topk", s"recall_at_$k",
+      if (n == 0) 1.0 else hit.toDouble / n, n)
+  }
+
+  /** JL-projected recall@k vs exact full-dim cosine top-k (kOut=16 of
+    * 64 dims — the distortion the JL bound prices).
+    */
+  private def rpRecall(emb: DataFrame): String = {
+    val queries = emb.filter(col("vec_id") < 3)
+    val corpus = emb.filter(col("vec_id") >= 3)
+    val k = 10
+    val exact = graft.ops.Similarity
+      .bruteForceTopK(queries, corpus, k).select("q_id", "n_id")
+    val rp = graft.ops.Similarity.rpTopK(queries, corpus, k, kOut = 16)
+      .select("q_id", "n_id")
+    val hit = exact.join(rp, Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1))).collect().head.getLong(0)
+    val n = exact.agg(count(lit(1))).collect().head.getLong(0)
+    line("q_rp_topk", s"recall_at_$k",
       if (n == 0) 1.0 else hit.toDouble / n, n)
   }
 

@@ -49,7 +49,7 @@ object ScaleBench {
     "x_delete_rewrite", "x_delete_dv", "x_cdf_export",
     "x_url_dedup", "x_upsert_overlap", "x_insert_absent", "x_dv_purge",
     "q_substring_dedup", "q_lm_score", "q_bpe_train",
-    "q_rp_topk", "q_allpairs_sim", "x_shallow_clone")
+    "q_rp_topk", "q_allpairs_sim", "x_shallow_clone", "q_pq_encode")
 
   /** Scale-only cases that are not SparkEntry gates: shapes whose
     * scale story needs DIFFERENT fixture sizing than the sf0.01 gate.
