@@ -886,6 +886,27 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         minJaccard = 0.1)),
 
+    // ---- HTML main-content extraction (boilerplate removal): the
+    //      docs wrapped in a deterministic page template (script/
+    //      style/nav/ad/footer chrome), then the extractor must
+    //      recover exactly the paragraph content — a true dual
+    //      implementation (Spark column algebra vs DuckDB SQL), not
+    //      an inlined-constant replay ----
+    "q_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><script>var x = 1 < 2;</script>" +
+          "<style>p{margin:0}</style></head>\n"),
+        lit("<!-- rendered by graft -->\n"),
+        lit("<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>\n"),
+        lit("<h1>"), col("source"), lit("</h1>\n"),
+        lit("<p>"), col("text"), lit(" &amp; more</p>\n"),
+        lit("<div><a href=\"/ad\">Sponsored</a></div>\n"),
+        lit("<footer>&copy; 2026 <a href=\"/t\">Terms</a></footer>\n"),
+        lit("</html>"))
+      TextStats.extractMainContent(
+        t(s, dir, "documents").withColumn("html", html))
+    }),
+
     // ---- all-pairs bag-of-words similarity join: df-cut inverted-
     //      index candidates (Bayardo WWW'07 shape) + exact integer
     //      confirm; dot evidence column is exact BIGINT ----
@@ -4038,6 +4059,53 @@ object SparkEntry {
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
+
+    // the SAME page template and extraction pipeline re-expressed in
+    // DuckDB: RE2-safe patterns verbatim, entities decoded &amp;-last,
+    // jusText-style nLinks*20 < len(clean) line filter, order-stable
+    // string_agg re-assembly
+    "q_html_extract" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    '<html><head><script>var x = 1 < 2;</script>' ||
+        |    '<style>p{margin:0}</style></head>' || chr(10) ||
+        |    '<!-- rendered by graft -->' || chr(10) ||
+        |    '<nav><a href="/">Home</a> <a href="/a">About</a></nav>' ||
+        |    chr(10) || '<h1>' || source || '</h1>' || chr(10) ||
+        |    '<p>' || text || ' &amp; more</p>' || chr(10) ||
+        |    '<div><a href="/ad">Sponsored</a></div>' || chr(10) ||
+        |    '<footer>&copy; 2026 <a href="/t">Terms</a></footer>' ||
+        |    chr(10) || '</html>' AS html
+        |  FROM documents),
+        |noblocks AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |    html,
+        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g') AS h
+        |  FROM raw),
+        |lines AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, len(string_split(h, chr(10))))) AS pos,
+        |    unnest(string_split(h, chr(10))) AS ln
+        |  FROM noblocks),
+        |feat AS (
+        |  SELECT doc_id, pos,
+        |    CAST(len(string_split_regex(ln, '<a[ >]')) - 1 AS INTEGER)
+        |      AS n_links,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(ln, '<[^>]+>', ' ', 'g'),
+        |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |        '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
+        |      '[ \t]+', ' ', 'g')) AS clean
+        |  FROM lines)
+        |SELECT doc_id,
+        |  string_agg(clean, ' ' ORDER BY pos) AS content,
+        |  count(*) AS n_kept
+        |FROM feat
+        |WHERE len(clean) >= 20 AND n_links * 20 < len(clean)
+        |GROUP BY doc_id""".stripMargin,
 
     // identical candidate semantics (pairs sharing a df<=100 word) and
     // exact BIGINT dot/norm arithmetic as TextStats.allPairsSimilarity

@@ -136,6 +136,55 @@ object TextStats {
     df.withColumn(outCol,
       graft.functions.TextExpressions.hash_embed(col(textCol), dim))
 
+  /** HTML main-content extraction — the boilerplate-removal pass every
+    * web-crawl training pipeline runs before any text analysis (the
+    * trafilatura/jusText job, expressed as engine-replayable column
+    * algebra): script/style/comment blocks are stripped document-wide
+    * (dotall regex), the document splits into LINES, and each line is
+    * kept only if its tag-stripped text is long enough AND its link
+    * density is low — `nLinks · 20 < |clean|`, the jusText-style
+    * heuristic that kills navs, footers, and ad blocks while keeping
+    * paragraphs. Entities decode (`&amp;` last, so `&amp;lt;` cannot
+    * double-decode), whitespace collapses, and the surviving lines
+    * re-join in document order.
+    *
+    * Scale shape: regex projections and the per-line filter are
+    * row-local and codegen'd; the only shuffle is the per-doc
+    * re-assembly aggregate (collect_list + array_sort on the line
+    * index, so the result is partition-order-independent). No UDFs,
+    * no backreferences (RE2-safe — the oracle replays every pattern
+    * verbatim in DuckDB).
+    */
+  def extractMainContent(df: DataFrame, htmlCol: String = "html",
+                         idCol: String = "doc_id",
+                         minChars: Int = 20,
+                         outCol: String = "content"): DataFrame = {
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(
+      col(htmlCol),
+      "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+    val lines = df.select(col(idCol),
+      posexplode_outer(split(noBlocks, "\n")).as(Seq("pos", "_ln")))
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(regexp_replace(col("_ln"), "<[^>]+>", " ")) {
+        case (c, (e, r)) => replace(c, lit(e), lit(r))
+      }
+    val clean = trim(regexp_replace(decoded, "[ \\t]+", " "))
+    val nLinks = size(split(col("_ln"), "<a[ >]")) - 1
+    lines.select(col(idCol), col("pos"), clean.as("_clean"),
+        nLinks.as("_links"))
+      .filter(length(col("_clean")) >= minChars &&
+        col("_links") * 20 < length(col("_clean")))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("_clean")))),
+          s => s.getField("_clean")), " ").as(outCol),
+        count(lit(1)).as("n_kept"))
+  }
+
   /** All-pairs document similarity join over bag-of-words vectors —
     * the "find every pair above θ" primitive behind template mining and
     * corpus-level near-dup audits (Bayardo et al., "Scaling Up All

@@ -501,6 +501,58 @@ class TextStatsSpec extends SparkSpec {
   }
 }
 
+class HtmlExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def extract(html: String): Option[(String, Long)] =
+    TextStats.extractMainContent(
+      Seq((1L, html)).toDF("doc_id", "html"))
+      .collect().headOption.map(r => (r.getString(1), r.getLong(2)))
+
+  test("multi-line script/style blocks strip before line analysis") {
+    val html = "<script>\nvar a = 1;\nvar b = 2;\n</script>\n" +
+      "<p>the actual article body text goes here</p>"
+    assert(extract(html) ==
+      Some(("the actual article body text goes here", 1L)))
+  }
+
+  test("entity decode is &amp;-last so &amp;lt; cannot double-decode") {
+    val html = "<p>literal sequence &amp;lt; stays; real &lt;tag&gt; " +
+      "decodes and is not stripped</p>"
+    val (content, _) = extract(html).get
+    assert(content.contains("&lt; stays"))
+    assert(content.contains("<tag>"))
+  }
+
+  test("link-dense short lines drop; long low-density lines survive") {
+    val nav = "<nav><a href=\"/\">Home</a> <a href=\"/x\">More</a></nav>"
+    val para = "<p>one genuine paragraph with <a href=\"/r\">a single " +
+      "reference link</a> surrounded by plenty of running text</p>"
+    val html = s"$nav\n$para"
+    val (content, kept) = extract(html).get
+    assert(kept == 1L && content.startsWith("one genuine paragraph"))
+  }
+
+  test("a fully-boilerplate page yields no row (empty content set)") {
+    assert(extract(
+      "<nav><a href=\"/\">Home</a></nav>\n<footer>&copy; now</footer>")
+      .isEmpty)
+  }
+
+  test("re-assembly is document-ordered regardless of partitioning") {
+    val html = (0 until 40).map(i =>
+      s"<p>paragraph number $i with enough characters to pass</p>")
+      .mkString("\n")
+    val df = Seq((1L, html)).toDF("doc_id", "html").repartition(7)
+    val (content, kept) = TextStats.extractMainContent(df)
+      .collect().map(r => (r.getString(1), r.getLong(2))).head
+    assert(kept == 40L)
+    val order = "paragraph number (\\d+)".r
+      .findAllMatchIn(content).map(_.group(1).toInt).toSeq
+    assert(order == (0 until 40))
+  }
+}
+
 class AllPairsSimilaritySpec extends SparkSpec {
   import spark.implicits._
 
