@@ -2469,6 +2469,35 @@ object SparkEntry {
       c.read()
     }),
 
+    // ---- REPLACE WHERE (Delta predicate overwrite): BUILDING-segment
+    //      rows atomically replaced with a reloaded batch in ONE
+    //      commit; the fixture REQUIRES stats pruning to carry
+    //      non-matching files by reference AND matching files to
+    //      rewrite. Idempotent content → safe under re-runs ----
+    "q_replace_where" -> ((s, dir) => {
+      val tab = replaceDemoMemo.computeIfAbsent(dir, _ => {
+        val base = t(s, dir, "customer").repartition(4)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_rw").toString
+        val tb = ResourceTable(s, s"$tmp/customer.parquet")
+          .createIfNotExists(base.schema,
+            clusterCols = Seq("c_mktsegment"))
+        tb.upsert(base, "c_custkey")
+        tb.optimize(numFiles = 4) // segment-clustered → stats prune
+        tb
+      })
+      val before = tab.fileManifest(tab.latestVersion.get).toSet
+      val repl = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .withColumn("c_acctbal", lit(0.0))
+      tab.overwriteWhere(col("c_mktsegment") === lit("BUILDING"), repl)
+      val after = tab.fileManifest(tab.latestVersion.get).toSet
+      require((before & after).nonEmpty,
+        "stats pruning must carry non-matching files by reference")
+      require(before != after, "matching files must rewrite")
+      tab.read()
+    }),
+
     // ---- STREAMING change feed (Delta readChangeFeed-as-a-stream):
     //      the commit log replayed through a checkpointed file source,
     //      one exactly-once micro-batch event per committed version;
@@ -2638,6 +2667,11 @@ object SparkEntry {
   // q_pq_encode and q_pq_topk share one training run)
   private val pqMemo =
     new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Pq.Codebook]()
+
+  // q_replace_where's segment-clustered table (content-idempotent
+  // under repeated overwriteWhere calls, so one fixture per dir)
+  private val replaceDemoMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, ResourceTable]()
 
   /** Change-data-feed export fixture: CDF-enabled customer table,
     * anchored export, then an UPDATE upsert (c_acctbal + 1000 for
@@ -5272,6 +5306,15 @@ object SparkEntry {
         |FROM docs a JOIN docs b
         |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.pref, b.pref) <= 25""".stripMargin,
+
+    // non-matching rows untouched ∪ the reloaded BUILDING batch
+    "q_replace_where" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_mktsegment <> 'BUILDING'
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey,
+        |       CAST(0.0 AS DOUBLE) AS c_acctbal, c_mktsegment
+        |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
 
     // v2 state minus the NEWSEG rows the clone-side delete removed
     "q_shallow_clone" ->

@@ -1461,6 +1461,57 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     result
   }
 
+  /** Delta `replaceWhere` (predicate overwrite): atomically replace
+    * exactly the rows matching `predicate` with `source`, in ONE
+    * commit — the partition-overwrite pattern (daily re-loads,
+    * backfills) without physical partitions. Delta's contract is
+    * enforced: every source row must satisfy the predicate, else the
+    * "overwrite" would silently widen past its declared scope —
+    * refused loudly, like delta-spark's replaceWhere check.
+    *
+    * Scale shape: files whose min/max stats PROVE they hold no
+    * matching row carry by reference (the same skipping
+    * `read(filter)` uses); only may-overlap files rewrite, keeping
+    * their non-matching survivors (predicate-null rows count as
+    * non-matching, Delta's semantics). Write amplification is
+    * O(files overlapping the predicate), never O(table).
+    */
+  def overwriteWhere(predicate: org.apache.spark.sql.Column,
+                     source: DataFrame): Long = {
+    val src = source.cache()
+    try retry() {
+      enforceConstraints(src)
+      val matching = coalesce(predicate, lit(false))
+      if (src.filter(!matching).limit(1).count() > 0)
+        throw new IllegalArgumentException(
+          s"$path: replaceWhere source contains rows that do not " +
+            "satisfy the predicate — refusing to write outside the " +
+            "declared scope (delta replaceWhere contract)")
+      val cur = latestVersion
+      val curV = cur.getOrElse(
+        throw new IllegalStateException(s"no table at $path"))
+      val files = fileListAt(curV)
+      val cols = schema().fieldNames.toSeq.map(col)
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema())
+      val pred = empty.filter(predicate).queryExecution.analyzed
+        .collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }
+      val (touched, untouched) = files.partition { case (_, st) =>
+        pred.forall(p => !FileStats.canSkip(p, st))
+      }
+      val newData =
+        if (touched.isEmpty) src.select(cols: _*)
+        else readFiles(touched, schema()).filter(!matching)
+          .unionByName(src.select(cols: _*))
+      commitFiles(Some(newData), untouched.filterNot(_._2.rows == 0),
+        schema().json, cur, op = "REPLACE WHERE")
+      src.count()
+    } finally src.unpersist()
+  }
+
   /** J3 — compaction: rewrite the current snapshot into `numFiles`
     * files; when clustering columns are configured, cluster by them —
     * one column: range-partition + sort (classic clustering); several

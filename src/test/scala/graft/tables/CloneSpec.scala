@@ -150,3 +150,57 @@ class CloneSpec extends SparkSpec {
       src.shallowCloneTo(s"$base/C.parquet"))
   }
 }
+
+/** Delta `replaceWhere` (predicate overwrite) semantics. */
+class ReplaceWhereSpec extends SparkSpec {
+  import graft.SparkSpec._
+
+  private val schema = StructType(Seq(
+    StructField("id", StringType),
+    StructField("v", IntegerType)))
+
+  private def df(rows: (String, Int)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2))), schema)
+
+  test("overwriteWhere replaces exactly the matching scope in one commit") {
+    val t = ResourceTable(spark, s"${tmpDir("rw")}/T.parquet")
+      .createIfNotExists(schema)
+    t.upsert(df("a" -> 1, "b" -> 2, "c" -> 30, "d" -> 40), "id")
+    val v = t.latestVersion.get
+    // replace all v >= 10 rows with a reloaded batch
+    t.overwriteWhere(org.apache.spark.sql.functions.col("v") >= 10,
+      df("c" -> 300, "e" -> 500))
+    assert(t.latestVersion.contains(v + 1), "exactly one commit")
+    assert(t.read().collect().map(r =>
+      r.getString(0) -> r.getInt(1)).toMap ==
+      Map("a" -> 1, "b" -> 2, "c" -> 300, "e" -> 500))
+  }
+
+  test("overwriteWhere refuses source rows outside the predicate") {
+    val t = ResourceTable(spark, s"${tmpDir("rwref")}/T.parquet")
+      .createIfNotExists(schema)
+    t.upsert(df("a" -> 1), "id")
+    val v = t.latestVersion.get
+    val e = intercept[IllegalArgumentException](
+      t.overwriteWhere(org.apache.spark.sql.functions.col("v") >= 10,
+        df("x" -> 5))) // 5 < 10: outside the declared scope
+    assert(e.getMessage.contains("replaceWhere"))
+    assert(t.latestVersion.contains(v), "refusal must not commit")
+  }
+
+  test("overwriteWhere: predicate-null rows are non-matching survivors") {
+    val t = ResourceTable(spark, s"${tmpDir("rwnull")}/T.parquet")
+      .createIfNotExists(schema)
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("a", Integer.valueOf(1)), Row("n", null),
+        Row("c", Integer.valueOf(30)))), schema)
+    t.upsert(withNull, "id")
+    t.overwriteWhere(org.apache.spark.sql.functions.col("v") >= 10,
+      df("c" -> 300))
+    val got = t.read().collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got == Map("a" -> Some(1), "n" -> None, "c" -> Some(300)))
+  }
+}
