@@ -2469,6 +2469,31 @@ object SparkEntry {
       c.read()
     }),
 
+    // ---- RENAME COLUMN under column mapping (Delta name mode): the
+    //      rename is a metadata-only commit (fixture REQUIRES zero
+    //      files touched), then a MERGE flows THROUGH the new logical
+    //      name while the files keep their physical one ----
+    "q_rename_column" -> ((s, dir) => {
+      val tab = renameDemoMemo.computeIfAbsent(dir, _ => {
+        val base = t(s, dir, "customer").repartition(4)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_cm").toString
+        val tb = ResourceTable(s, s"$tmp/customer.parquet")
+          .createIfNotExists(base.schema)
+        tb.upsert(base, "c_custkey")
+        tb.enableColumnMapping()
+        val before = tb.fileManifest(tb.latestVersion.get)
+        tb.renameColumn("c_acctbal", "account_balance")
+        require(tb.fileManifest(tb.latestVersion.get) == before,
+          "rename must be metadata-only")
+        val mods = tb.read().filter(col("c_custkey") % 10 === 0)
+          .withColumn("account_balance", col("account_balance") + 1000)
+        tb.upsert(mods, "c_custkey")
+        tb
+      })
+      tab.read()
+    }),
+
     // ---- REPLACE WHERE (Delta predicate overwrite): BUILDING-segment
     //      rows atomically replaced with a reloaded batch in ONE
     //      commit; the fixture REQUIRES stats pruning to carry
@@ -2671,6 +2696,10 @@ object SparkEntry {
   // q_replace_where's segment-clustered table (content-idempotent
   // under repeated overwriteWhere calls, so one fixture per dir)
   private val replaceDemoMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, ResourceTable]()
+
+  // q_rename_column's column-mapped table (rename + merge built once)
+  private val renameDemoMemo =
     new java.util.concurrent.ConcurrentHashMap[String, ResourceTable]()
 
   /** Change-data-feed export fixture: CDF-enabled customer table,
@@ -5306,6 +5335,14 @@ object SparkEntry {
         |FROM docs a JOIN docs b
         |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
         |WHERE levenshtein(a.pref, b.pref) <= 25""".stripMargin,
+
+    // the rename is invisible relationally: same values, new column name
+    "q_rename_column" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000
+        |       ELSE c_acctbal END AS account_balance,
+        |  c_mktsegment
+        |FROM customer""".stripMargin,
 
     // non-matching rows untouched ∪ the reloaded BUILDING batch
     "q_replace_where" ->

@@ -124,21 +124,29 @@ object DeltaExport {
   }
 
   private def protocol(needDv: Boolean = false,
-                       needCdf: Boolean = false): ObjectNode = {
+                       needCdf: Boolean = false,
+                       needMapping: Boolean = false): ObjectNode = {
     val p = f.objectNode()
     if (needDv) {
       // deletion vectors are a table FEATURE (PROTOCOL.md "Table
       // Features"): reader 3 / writer 7 with the feature named on
       // both lists — exactly what delta-spark writes when DVs enable.
       // changeDataFeed is WRITER-only (CDF-unaware readers may ignore
-      // _change_data), so it joins writerFeatures alone.
+      // _change_data), so it joins writerFeatures alone. Column
+      // mapping is reader-visible and joins both lists.
       p.put("minReaderVersion", 3)
       p.put("minWriterVersion", 7)
       val rf = f.arrayNode(); rf.add("deletionVectors")
       val wf = f.arrayNode(); wf.add("deletionVectors")
+      if (needMapping) { rf.add("columnMapping"); wf.add("columnMapping") }
       if (needCdf) wf.add("changeDataFeed")
       p.replace("readerFeatures", rf)
       p.replace("writerFeatures", wf)
+    } else if (needMapping) {
+      // legacy carrier for column mapping: reader 2 / writer 5
+      // (PROTOCOL.md "Column Mapping"; writer 5 ≥ the CDF minimum 4)
+      p.put("minReaderVersion", 2)
+      p.put("minWriterVersion", 5)
     } else {
       p.put("minReaderVersion", 1)
       // CDF without table features: legacy writer version 4 carries it
@@ -146,6 +154,46 @@ object DeltaExport {
       p.put("minWriterVersion", if (needCdf) 4 else 2)
     }
     wrap("protocol", p)
+  }
+
+  /** True when the (graft) schema json carries column-mapping field
+    * metadata — the export must then speak Delta name mode.
+    */
+  private[tables] def isMapped(schemaJson: String): Boolean =
+    scala.util.Try(DataType.fromJson(schemaJson)
+        .asInstanceOf[StructType].fields
+        .exists(_.metadata.contains(ResourceTable.PhysKey)))
+      .getOrElse(false)
+
+  /** The graft mapping metadata translated to Delta's
+    * `delta.columnMapping.physicalName`/`.id` field keys; returns the
+    * delta-ready schema json plus the max column id for the
+    * `delta.columnMapping.maxColumnId` table property.
+    */
+  private def deltaSchemaJson(schemaJson: String)
+      : (String, Option[Long]) = {
+    val st = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    if (!st.fields.exists(_.metadata.contains(ResourceTable.PhysKey)))
+      (schemaJson, None)
+    else {
+      var maxId = 0L
+      val fields = st.fields.map { fd =>
+        if (!fd.metadata.contains(ResourceTable.PhysKey)) fd
+        else {
+          val id =
+            if (fd.metadata.contains(ResourceTable.IdKey))
+              fd.metadata.getLong(ResourceTable.IdKey)
+            else 0L
+          maxId = math.max(maxId, id)
+          fd.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("delta.columnMapping.physicalName",
+                fd.metadata.getString(ResourceTable.PhysKey))
+              .putLong("delta.columnMapping.id", id).build())
+        }
+      }
+      (StructType(fields).json, Some(maxId))
+    }
   }
 
   private def metaData(t: ResourceTable, schemaJson: String,
@@ -156,7 +204,8 @@ object DeltaExport {
     fmt.put("provider", "parquet")
     fmt.set("options", f.objectNode())
     m.set("format", fmt)
-    m.put("schemaString", schemaJson)
+    val (deltaJson, maxColId) = deltaSchemaJson(schemaJson)
+    m.put("schemaString", deltaJson)
     m.set("partitionColumns", f.arrayNode())
     val conf = f.objectNode()
     // the table property external CDF readers key on — set iff this
@@ -164,6 +213,10 @@ object DeltaExport {
     // in this log carries cdc actions or is inference-safe)
     if (t.changeDataFeedEnabled)
       conf.put("delta.enableChangeDataFeed", "true")
+    maxColId.foreach { mx =>
+      conf.put("delta.columnMapping.mode", "name")
+      conf.put("delta.columnMapping.maxColumnId", mx.toString)
+    }
     m.set("configuration", conf)
     m.put("createdTime", ts)
     wrap("metaData", m)
@@ -308,7 +361,10 @@ object DeltaExport {
       .flatMap(j => scala.util.Try(
         DataType.fromJson(j).asInstanceOf[StructType]).toOption)
       .getOrElse(t.schema())
-      .fields.map(fd => fd.name -> fd.dataType).toMap
+      // per-file stats key PHYSICAL names under column mapping
+      .fields.map(fd => (if (fd.metadata.contains(ResourceTable.PhysKey))
+          fd.metadata.getString(ResourceTable.PhysKey)
+        else fd.name) -> fd.dataType).toMap
 
   private def remove(rel: String, ts: Long,
                      dv: Option[FileStats.DvInfo] = None,
@@ -500,7 +556,8 @@ object DeltaExport {
       writeEntry(t, 0L,
         commitInfo(latest, ts, "GRAFT EXPORT ANCHOR") +:
           protocol(needDv = files.exists(_._2.dv.isDefined),
-            needCdf = t.changeDataFeedEnabled) +:
+            needCdf = t.changeDataFeedEnabled,
+            needMapping = isMapped(t.schema().json)) +:
           metaData(t, t.schema().json, ts) +:
           (txnDelta(Map.empty,
             FileStats.txnsOf(t.commitBody(latest)), ts) ++
@@ -534,10 +591,12 @@ object DeltaExport {
           // full txn state, not a delta: the trimmed source chain
           // means the predecessor state is unknowable, and re-stating
           // a watermark is idempotent under log replay
-          ((if (files.exists(_._2.dv.isDefined) || t.changeDataFeedEnabled)
+          ((if (files.exists(_._2.dv.isDefined) || t.changeDataFeedEnabled ||
+                isMapped(t.schema().json))
               Seq(protocol(
                 needDv = files.exists(_._2.dv.isDefined) || t.dvEnabled,
-                needCdf = t.changeDataFeedEnabled))
+                needCdf = t.changeDataFeedEnabled,
+                needMapping = isMapped(t.schema().json)))
             else Seq.empty) ++
             txnDelta(Map.empty,
               FileStats.txnsOf(t.commitBody(latest)), ts) ++
@@ -599,11 +658,15 @@ object DeltaExport {
             // protocol in the same entry (replay takes the newest
             // protocol — DV features are re-stated so a later upgrade
             // never downgrades an earlier one)
-            (if (adds.exists(_._2.dv.isDefined) || cdc.nonEmpty)
+            (if (adds.exists(_._2.dv.isDefined) || cdc.nonEmpty ||
+                 (schemaChanged && FileStats.schemaOf(t.commitBody(g))
+                   .exists(isMapped)))
                Seq(protocol(
                  needDv = adds.exists(_._2.dv.isDefined) || t.dvEnabled ||
                    after.exists(_._2.dv.isDefined),
-                 needCdf = t.changeDataFeedEnabled))
+                 needCdf = t.changeDataFeedEnabled,
+                 needMapping = FileStats.schemaOf(t.commitBody(g))
+                   .exists(isMapped)))
              else Seq.empty) ++
             cdc ++
             txnDelta(FileStats.txnsOf(t.commitBody(g - 1)),

@@ -147,6 +147,25 @@ object Lakehousekeeper {
         spark.sql(s"DROP VIEW $fq")
       else spark.sql(s"DROP TABLE $fq")
     }
+    // a column-mapped table's files store PHYSICAL names: a plain
+    // parquet LOCATION (or glob view) would surface wrong/null
+    // columns. The log-backed datasource entry resolves the mapping
+    // correctly; anything else refuses with the fix named.
+    val isMapped = t.schema().fields
+      .exists(_.metadata.contains(ResourceTable.PhysKey))
+    if (isMapped) {
+      if (DeltaExport.exported(t) &&
+          DeltaExport.liveFiles(t) == t.fileManifest(v).toSet) {
+        spark.sql(s"CREATE TABLE $fq " +
+          "USING graft.tables.DeltaSnapshotSource " +
+          s"OPTIONS (path '${p.replace("'", "''")}')")
+        return s"$schema.$table"
+      }
+      throw new IllegalStateException(
+        s"$p: table uses column mapping — register it via its " +
+          "_delta_log (run export-delta first); a raw parquet " +
+          "LOCATION would expose physical column names")
+    }
     if (t.isSingleLocation(v)) {
       // resolve the dir through the commit log — snapshot dirs are
       // writer-unique (snap-<v>-<uuid>), never derived by naming
@@ -237,6 +256,9 @@ object Lakehousekeeper {
           " | export-delta <dir> | cleanup-delta-log <dir> [retentionMs]" +
           " | history <tablePath> | restore <tablePath> <version>" +
           " | clone <sourceTablePath> <targetTablePath> [version]" +
+          " | enable-mapping <tablePath>" +
+          " | rename-column <tablePath> <old> <new>" +
+          " | drop-column <tablePath> <column>" +
           " | count <tablePath> [version]" +
           " | stats <tablePath> <column> [version]" +
           " | enable-cdf <tablePath>")
@@ -318,6 +340,17 @@ object Lakehousekeeper {
             case None => println(s"$dir.$column: not metadata-answerable " +
               "(deletion vectors, missing or non-numeric stats) — scan")
           }
+        // ALTER TABLE surface under column mapping (metadata-only)
+        case "enable-mapping" =>
+          ResourceTable(spark, dir).enableColumnMapping()
+          println(s"$dir: column mapping enabled (name mode)")
+        case "rename-column" =>
+          val (from, to) = (args(2), args(3))
+          ResourceTable(spark, dir).renameColumn(from, to)
+          println(s"$dir: renamed $from -> $to (metadata-only)")
+        case "drop-column" =>
+          ResourceTable(spark, dir).dropColumn(args(2))
+          println(s"$dir: dropped ${args(2)} (metadata-only)")
         // CREATE TABLE <target> SHALLOW CLONE <source> [VERSION AS OF v]:
         // O(manifest) zero-copy fork (`dir` is the SOURCE table path)
         case "clone" =>

@@ -3,7 +3,7 @@ package graft.tables
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 import java.nio.charset.StandardCharsets
 
@@ -180,14 +180,20 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       }
       StatsFileIndex.Entry(p, sz, mt, Some(st))
     }
-    applyDv(spark.baseRelationToDataFrame(
+    // under column mapping the files store PHYSICAL names: scan
+    // physical, alias back to this version's logical names after DV
+    val vPhys = physSchema(vSchema)
+    val undv = applyDv(spark.baseRelationToDataFrame(
       org.apache.spark.sql.execution.datasources.HadoopFsRelation(
         new StatsFileIndex(new HPath(path), entries),
         StructType(Nil),
-        StatsFileIndex.relaxNullability(vSchema).asInstanceOf[StructType],
+        StatsFileIndex.relaxNullability(vPhys).asInstanceOf[StructType],
         None,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
         Map.empty)(spark)), files)
+    if (vPhys == vSchema) undv
+    else undv.select(vSchema.fields.map(f =>
+      col(physName(f)).as(f.name, f.metadata)): _*)
   }
 
   /** Manifest bodies above this size plan via [[readVersionStreaming]].
@@ -271,11 +277,14 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         override def next(): StatsFileIndex.Entry = underlying.next()
       }
     }
+    // under column mapping the files store PHYSICAL names: scan
+    // physical, alias back to logical after the DV pass
+    val vPhys = physSchema(vSchema)
     val scan = spark.baseRelationToDataFrame(
       org.apache.spark.sql.execution.datasources.HadoopFsRelation(
         StatsFileIndex.streaming(new HPath(path), () => entries()),
         StructType(Nil),
-        StatsFileIndex.relaxNullability(vSchema).asInstanceOf[StructType],
+        StatsFileIndex.relaxNullability(vPhys).asInstanceOf[StructType],
         None,
         new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat(),
         Map.empty)(spark))
@@ -292,7 +301,10 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       }.toList
       finally cs.close()
     }
-    applyDv(scan, dvFiles)
+    val undv = applyDv(scan, dvFiles)
+    if (vPhys == vSchema) undv
+    else undv.select(vSchema.fields.map(f =>
+      col(physName(f)).as(f.name, f.metadata)): _*)
   }
 
   /** Version visible at `tsMs` — Delta `timestampAsOf` resolution: the
@@ -335,6 +347,154 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       .getOrElse(schema().json)
     commitFiles(None, files, schemaJson, Some(cur), op = "RESTORE")
   }
+
+  // ---- column mapping (Delta name-mode) -----------------------------
+  //
+  // Logical→physical column names ride IN the schema's per-field
+  // metadata (ResourceTable.PhysKey/IdKey), and the schema lives in
+  // the commit body — so enable/rename/drop are each ONE atomic
+  // metadata-only commit and the mapping time-travels with the
+  // version, exactly like Delta's delta.columnMapping.* field
+  // metadata. Parquet files always store PHYSICAL names (stable from
+  // the moment mapping is enabled); readers scan physical and alias
+  // back to logical; per-file stats stay keyed physical, so skipping
+  // keeps working across renames with one name translation at the
+  // predicate boundary.
+
+  /** True when any field of `s` carries a physical-name mapping. */
+  private def mapped(s: StructType): Boolean =
+    s.fields.exists(_.metadata.contains(ResourceTable.PhysKey))
+
+  private def physName(f: StructField): String =
+    if (f.metadata.contains(ResourceTable.PhysKey))
+      f.metadata.getString(ResourceTable.PhysKey)
+    else f.name
+
+  /** Physical name of a logical column under the CURRENT schema. */
+  private[tables] def physNameOf(logical: String): String =
+    schema().fields.find(_.name == logical).map(physName)
+      .getOrElse(logical)
+
+  /** `s` with every field renamed to its physical name (metadata
+    * kept) — the schema parquet scans must use under mapping.
+    */
+  private def physSchema(s: StructType): StructType =
+    StructType(s.fields.map(f => f.copy(name = physName(f))))
+
+  /** Opt into column mapping (Delta `delta.columnMapping.mode=name`):
+    * one metadata-only commit freezes each column's CURRENT name as
+    * its permanent physical name (with a field id), after which
+    * [[renameColumn]]/[[dropColumn]] are O(commit) metadata
+    * operations — no data file is ever read or rewritten, at any
+    * table size. Idempotent.
+    */
+  def enableColumnMapping(): ResourceTable = {
+    retry() {
+      val cur = latestVersion.getOrElse(
+        throw new IllegalStateException(s"no table at $path"))
+      val s = schema()
+      if (!mapped(s)) {
+        val annotated = StructType(s.fields.zipWithIndex.map {
+          case (f, i) => f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putString(ResourceTable.PhysKey, f.name)
+              .putLong(ResourceTable.IdKey, i + 1L).build())
+        })
+        commitFiles(None, fileListAt(cur), annotated.json, Some(cur),
+          op = "SET COLUMN MAPPING"): Unit
+      }
+    }
+    this
+  }
+
+  private def requireRenameSafe(name: String): Unit = {
+    if (clusterBy().contains(name))
+      throw new IllegalArgumentException(
+        s"$path: column '$name' is a clustering column — re-cluster " +
+          "(optimize with new clusterBy) before renaming/dropping it")
+    val refs = checkConstraints().filter(_._2.matches(
+      s".*\\b${java.util.regex.Pattern.quote(name)}\\b.*"))
+    if (refs.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$path: column '$name' is referenced by CHECK constraint(s) " +
+          s"${refs.keys.mkString(", ")} — drop them first")
+  }
+
+  /** ALTER TABLE ... RENAME COLUMN — metadata-only under column
+    * mapping (requires [[enableColumnMapping]], like Delta): the
+    * physical name is untouched, so every existing file keeps
+    * reading; one commit, zero data IO.
+    */
+  def renameColumn(oldName: String, newName: String): Long = retry() {
+    val cur = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no table at $path"))
+    val s = schema()
+    if (!mapped(s))
+      throw new IllegalStateException(
+        s"$path: RENAME COLUMN requires column mapping — call " +
+          "enableColumnMapping() first (delta.columnMapping contract)")
+    if (!s.fieldNames.contains(oldName))
+      throw new IllegalArgumentException(
+        s"$path: no column '$oldName' to rename")
+    if (s.fieldNames.contains(newName))
+      throw new IllegalArgumentException(
+        s"$path: column '$newName' already exists")
+    requireRenameSafe(oldName)
+    val renamed = StructType(s.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    commitFiles(None, fileListAt(cur), renamed.json, Some(cur),
+      op = "RENAME COLUMN")
+  }
+
+  /** ALTER TABLE ... DROP COLUMN — metadata-only under column
+    * mapping: the field leaves the schema, its physical bytes stay in
+    * existing files (ignored by every read; a later full rewrite
+    * physically sheds them). One commit, zero data IO. A subsequent
+    * mergeSchema add of the same logical name gets a FRESH physical
+    * name, so the orphaned bytes can never resurrect.
+    */
+  def dropColumn(name: String): Long = retry() {
+    val cur = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no table at $path"))
+    val s = schema()
+    if (!mapped(s))
+      throw new IllegalStateException(
+        s"$path: DROP COLUMN requires column mapping — call " +
+          "enableColumnMapping() first (delta.columnMapping contract)")
+    if (!s.fieldNames.contains(name))
+      throw new IllegalArgumentException(
+        s"$path: no column '$name' to drop")
+    if (s.fields.length == 1)
+      throw new IllegalArgumentException(
+        s"$path: cannot drop the only column")
+    requireRenameSafe(name)
+    val remaining = StructType(s.fields.filterNot(_.name == name))
+    commitFiles(None, fileListAt(cur), remaining.json, Some(cur),
+      op = "DROP COLUMN")
+  }
+
+  /** New top-level fields added by mergeSchema get fresh physical
+    * names + ids when mapping is on (never reusing a dropped column's
+    * physical slot — Delta's col-uuid discipline).
+    */
+  private def annotateNewFields(base: StructType,
+                                fs: Seq[StructField]): Seq[StructField] =
+    if (!mapped(base)) fs.toSeq
+    else {
+      var nextId = base.fields.map(f =>
+        if (f.metadata.contains(ResourceTable.IdKey))
+          f.metadata.getLong(ResourceTable.IdKey) else 0L).max
+      fs.toSeq.map { f =>
+        nextId += 1
+        f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(ResourceTable.PhysKey,
+              s"col-${java.util.UUID.randomUUID()}")
+            .putLong(ResourceTable.IdKey, nextId).build())
+      }
+    }
 
   /** Delta SHALLOW CLONE parity (`CREATE TABLE tgt SHALLOW CLONE src
     * [VERSION AS OF v]`): a new table whose version-0 manifest
@@ -560,8 +720,16 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         f.condition
     }
+    // column mapping: stats key PHYSICAL names — translate the
+    // predicate's attribute names before probing them
+    val nameMap = schema().fields.map(f => f.name -> physName(f)).toMap
+    val physPred = pred.map(_.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if nameMap.getOrElse(a.name, a.name) != a.name =>
+        a.withName(nameMap(a.name))
+    })
     val kept = files.filter { case (_, st) =>
-      pred match {
+      physPred match {
         case Some(p) => !FileStats.canSkip(p, st)
         case None => true // no predicate → never skip
       }
@@ -952,16 +1120,18 @@ final class ResourceTable(val spark: SparkSession, val path: String,
   private def keyProfile(src: DataFrame, key: String)
       : (Long, FileStats.FileStat => Boolean) = {
     val lim = collectKeysLimit.min(Int.MaxValue - 1).toInt
+    val statKey = physNameOf(key) // stats key physical under mapping
     val grouped = src.groupBy(col(key))
       .agg(count(lit(1)).as("_n")).limit(lim + 1).collect()
     if (grouped.length <= lim) {
       val rows = grouped.map(_.getLong(1)).sum
       val keys = grouped.map(_.get(0)).toSeq
-      (rows, st => !FileStats.canSkipKeys(st, key, keys))
+      (rows, st => !FileStats.canSkipKeys(st, statKey, keys))
     } else {
       val r = src.agg(count(lit(1)).as("_n"),
         min(col(key)).as("_mn"), max(col(key)).as("_mx")).head()
-      (r.getLong(0), st => !FileStats.canSkipRange(st, key, r.get(1), r.get(2)))
+      (r.getLong(0),
+        st => !FileStats.canSkipRange(st, statKey, r.get(1), r.get(2)))
     }
   }
 
@@ -1007,7 +1177,8 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         .filterNot(f => tableSchema.fieldNames.contains(f.name))
       val outSchema =
         if (mergeSchema && newCols.nonEmpty)
-          StructType(tableSchema.fields ++ newCols)
+          StructType(tableSchema.fields ++
+            annotateNewFields(tableSchema, newCols.toSeq))
         else tableSchema
       val outCols = outSchema.fieldNames.toSeq
 
@@ -1115,7 +1286,8 @@ final class ResourceTable(val spark: SparkSession, val path: String,
           .filterNot(f => tableSchema.fieldNames.contains(f.name))
         val outSchema =
           if (mergeSchema && newCols.nonEmpty)
-            StructType(tableSchema.fields ++ newCols)
+            StructType(tableSchema.fields ++
+              annotateNewFields(tableSchema, newCols.toSeq))
           else tableSchema
         val outCols = outSchema.fieldNames.toSeq
         val files = fileListAt(curV).filterNot(_._2.rows == 0)
@@ -1297,9 +1469,16 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     * the rewrite output.
     */
   private def readFiles(files: Seq[(String, FileStats.FileStat)],
-                        readSchema: StructType): DataFrame =
-    applyDv(spark.read.schema(readSchema)
+                        readSchema: StructType): DataFrame = {
+    val phys = physSchema(readSchema)
+    val scanned = applyDv(spark.read.schema(phys)
       .parquet(files.map(f => resolve(f._1).toString): _*), files)
+    if (phys == readSchema) scanned
+    // column mapping: scan carried physical names — alias back to
+    // logical (metadata kept so a re-commit of this frame round-trips)
+    else scanned.select(readSchema.fields.map(f =>
+      col(physName(f)).as(f.name, f.metadata)): _*)
+  }
 
   /** Delta's `delta.enableDeletionVectors` analogue: once set, the
     * standard [[deleteMatching]] routes through the deletion-vector
@@ -1368,11 +1547,17 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       } else {
         // RAW scan (no DV filter): rows already dead may re-match;
         // the per-file union with the existing DV dedups them
-        val matches = spark.read.schema(schema())
+        val tableSchema = schema()
+        val physT = physSchema(tableSchema)
+        val rawScan = spark.read.schema(physT)
           .parquet(touched.map(f => resolve(f._1).toString): _*)
           .withColumn("_gdv_file", regexp_replace(
             col("_metadata.file_path"), DvSchemeRe, "/"))
           .withColumn("_gdv_pos", col("_metadata.row_index"))
+        val matches = (if (physT == tableSchema) rawScan
+          else rawScan.select(tableSchema.fields.map(f =>
+            col(physName(f)).as(f.name)) ++
+            Seq(col("_gdv_file"), col("_gdv_pos")): _*))
           .join(
             if (nIds <= broadcastRowLimit) broadcast(idsKeyed)
             else idsKeyed,
@@ -1975,8 +2160,9 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     if (files.exists(_._2.dv.isDefined)) return None
     var mn: Any = null
     var mx: Any = null
+    val statCol = physNameOf(column) // stats key physical under mapping
     files.foreach { case (_, st) =>
-      st.cols.get(column) match {
+      st.cols.get(statCol) match {
         case None => return None // stats absent/poisoned → not provable
         case Some(cs) => (cs.min, cs.max) match {
           case (None, None) => () // all-null file: no extremal evidence
@@ -2022,7 +2208,15 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       s"snap-$next-${java.util.UUID.randomUUID().toString.take(8)}"
     val dir = new HPath(root, dirName)
     val conf = spark.sessionState.newHadoopConf()
-    val newStats: Seq[(String, FileStats.FileStat)] = newData match {
+    // under column mapping, data files store PHYSICAL names — rename
+    // the logical frame at the single write choke point (stats then
+    // key physical straight from the footers, matching every reader)
+    val outSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val newDataPhys =
+      if (!mapped(outSchema)) newData
+      else newData.map(_.select(outSchema.fields.map(f =>
+        col(f.name).as(physName(f))): _*))
+    val newStats: Seq[(String, FileStats.FileStat)] = newDataPhys match {
       case Some(df) =>
         // zstd like the reference's writer properties
         // (lakehousekeeper.py:206–214)
@@ -2134,6 +2328,13 @@ final class ResourceTable(val spark: SparkSession, val path: String,
 }
 
 object ResourceTable {
+  /** Schema-field metadata keys carrying the column-mapping state
+    * (the graft analogue of `delta.columnMapping.physicalName`/`.id`;
+    * DeltaExport translates them to the Delta keys on export).
+    */
+  val PhysKey = "graft.columnMapping.physicalName"
+  val IdKey = "graft.columnMapping.id"
+
   /** Marker for a LOST WINNER ELECTION — ordinary optimistic
     * concurrency, never a real failure. [[retry]] charges these to
     * `conflictAttempts`, not the failure budget; any metadata-plane
