@@ -2494,6 +2494,25 @@ object SparkEntry {
       tab.read()
     }),
 
+    // ---- predicate DML (Delta DELETE WHERE + UPDATE SET WHERE): no
+    //      key anywhere — DELETE drops negative balances, UPDATE then
+    //      reprices the AUTOMOBILE segment from the pre-update row ----
+    "q_delete_update_where" -> ((s, dir) => {
+      val tab = dmlDemoMemo.computeIfAbsent(dir, _ => {
+        val base = t(s, dir, "customer").repartition(4)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_dml").toString
+        val tb = ResourceTable(s, s"$tmp/customer.parquet")
+          .createIfNotExists(base.schema)
+        tb.upsert(base, "c_custkey")
+        tb.deleteWhere(col("c_acctbal") < 0)
+        tb.updateWhere(col("c_mktsegment") === "AUTOMOBILE",
+          Map("c_acctbal" -> col("c_custkey") * lit(2.0)))
+        tb
+      })
+      tab.read()
+    }),
+
     // ---- REPLACE WHERE (Delta predicate overwrite): BUILDING-segment
     //      rows atomically replaced with a reloaded batch in ONE
     //      commit; the fixture REQUIRES stats pruning to carry
@@ -2700,6 +2719,10 @@ object SparkEntry {
 
   // q_rename_column's column-mapped table (rename + merge built once)
   private val renameDemoMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, ResourceTable]()
+
+  // q_delete_update_where's table (both predicate DMLs in the build)
+  private val dmlDemoMemo =
     new java.util.concurrent.ConcurrentHashMap[String, ResourceTable]()
 
   /** Change-data-feed export fixture: CDF-enabled customer table,
@@ -5343,6 +5366,15 @@ object SparkEntry {
         |       ELSE c_acctbal END AS account_balance,
         |  c_mktsegment
         |FROM customer""".stripMargin,
+
+    // DELETE (on the pre-update balance) then UPDATE from the old row
+    "q_delete_update_where" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_mktsegment = 'AUTOMOBILE'
+        |       THEN CAST(c_custkey * 2.0 AS DOUBLE)
+        |       ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer WHERE c_acctbal >= 0""".stripMargin,
 
     // non-matching rows untouched ∪ the reloaded BUILDING batch
     "q_replace_where" ->

@@ -1646,6 +1646,98 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     result
   }
 
+  /** Delta `DELETE FROM … WHERE predicate` — row deletion by an
+    * arbitrary predicate, no key required. Stats-pruned rewrite scope
+    * like every mutation: files provably outside the predicate carry
+    * by reference; may-overlap files rewrite keeping their
+    * non-matching survivors (predicate-null rows survive — SQL DELETE
+    * semantics). Returns files rewritten. O(overlapping files), never
+    * O(table).
+    */
+  def deleteWhere(predicate: org.apache.spark.sql.Column): Long = retry() {
+    val cur = latestVersion
+    val curV = cur.getOrElse(
+      throw new IllegalStateException(s"no table at $path"))
+    val files = fileListAt(curV)
+    val (touched, untouched) = splitByPredicate(files, predicate)
+    val kept = untouched.filterNot(_._2.rows == 0)
+    val matching = coalesce(predicate, lit(false))
+    val newData =
+      if (touched.isEmpty) None
+      else Some(readFiles(touched, schema()).filter(!matching))
+    commitFiles(newData, kept, schema().json, cur, op = "DELETE")
+    touched.size.toLong
+  }
+
+  /** Delta `UPDATE … SET assignments WHERE predicate`: matching rows
+    * take the assignment expressions (evaluated against the OLD row —
+    * SQL UPDATE semantics), everything else is untouched. Same
+    * stats-pruned rewrite scope as [[deleteWhere]]; assignments must
+    * target existing columns (no implicit schema evolution — Delta
+    * refuses the same way). Returns files rewritten.
+    */
+  def updateWhere(predicate: org.apache.spark.sql.Column,
+                  assignments: Map[String, org.apache.spark.sql.Column])
+      : Long = retry() {
+    val cur = latestVersion
+    val curV = cur.getOrElse(
+      throw new IllegalStateException(s"no table at $path"))
+    val s = schema()
+    val unknown = assignments.keys.filterNot(s.fieldNames.contains)
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$path: UPDATE assigns unknown column(s) " +
+          s"${unknown.mkString(", ")}")
+    val files = fileListAt(curV)
+    val (touched, untouched) = splitByPredicate(files, predicate)
+    val kept = untouched.filterNot(_._2.rows == 0)
+    val matching = coalesce(predicate, lit(false))
+    val newData =
+      if (touched.isEmpty) None
+      else {
+        val target = readFiles(touched, s)
+        // one projection: each assigned column flips to its new
+        // expression ONLY where the predicate holds — evaluated
+        // against the pre-update row, so swaps (SET a=b, b=a) work
+        Some(target.select(s.fieldNames.toSeq.map { c =>
+          assignments.get(c) match {
+            case Some(e) =>
+              when(matching, e.cast(s(c).dataType)).otherwise(col(c))
+                .as(c)
+            case None => col(c)
+          }
+        }: _*))
+      }
+    commitFiles(newData, kept, schema().json, cur, op = "UPDATE")
+    touched.size.toLong
+  }
+
+  /** Shared stats-pruned file split for predicate DML: (may contain a
+    * matching row, provably cannot). Mapping-aware like pruneFiles.
+    */
+  private def splitByPredicate(
+      files: Seq[(String, FileStats.FileStat)],
+      predicate: org.apache.spark.sql.Column)
+      : (Seq[(String, FileStats.FileStat)],
+         Seq[(String, FileStats.FileStat)]) = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema())
+    val pred = empty.filter(predicate).queryExecution.analyzed
+      .collectFirst {
+        case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          fl.condition
+      }
+    val nameMap = schema().fields.map(f => f.name -> physName(f)).toMap
+    val physPred = pred.map(_.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if nameMap.getOrElse(a.name, a.name) != a.name =>
+        a.withName(nameMap(a.name))
+    })
+    files.partition { case (_, st) =>
+      physPred.forall(p => !FileStats.canSkip(p, st))
+    }
+  }
+
   /** Delta `replaceWhere` (predicate overwrite): atomically replace
     * exactly the rows matching `predicate` with `source`, in ONE
     * commit — the partition-overwrite pattern (daily re-loads,
@@ -1677,16 +1769,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         throw new IllegalStateException(s"no table at $path"))
       val files = fileListAt(curV)
       val cols = schema().fieldNames.toSeq.map(col)
-      val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema())
-      val pred = empty.filter(predicate).queryExecution.analyzed
-        .collectFirst {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-            f.condition
-        }
-      val (touched, untouched) = files.partition { case (_, st) =>
-        pred.forall(p => !FileStats.canSkip(p, st))
-      }
+      val (touched, untouched) = splitByPredicate(files, predicate)
       val newData =
         if (touched.isEmpty) src.select(cols: _*)
         else readFiles(touched, schema()).filter(!matching)

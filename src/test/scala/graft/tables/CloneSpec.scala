@@ -203,4 +203,47 @@ class ReplaceWhereSpec extends SparkSpec {
       .map(r => r.getString(0) -> Option(r.get(1))).toMap
     assert(got == Map("a" -> Some(1), "n" -> None, "c" -> Some(300)))
   }
+
+  test("deleteWhere: predicate delete, null rows survive, pruning bounds scope") {
+    val t = ResourceTable(spark, s"${tmpDir("dw")}/T.parquet")
+      .createIfNotExists(schema)
+    val rows = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("a", Integer.valueOf(1)), Row("n", null),
+        Row("c", Integer.valueOf(30)), Row("d", Integer.valueOf(40)))),
+      schema)
+    t.upsert(rows, "id")
+    t.deleteWhere(org.apache.spark.sql.functions.col("v") >= 30)
+    assert(t.read().collect().map(_.getString(0)).toSet == Set("a", "n"))
+    // a provably-disjoint predicate rewrites nothing on a stats-clean
+    // table (the all-null file above is conservatively unprovable,
+    // which is correct — so assert pruning on a null-free table)
+    val t2 = ResourceTable(spark, s"${tmpDir("dw2")}/T.parquet")
+      .createIfNotExists(schema)
+    t2.upsert(df("a" -> 1, "b" -> 2), "id")
+    assert(t2.deleteWhere(
+      org.apache.spark.sql.functions.col("v") > 1000000) == 0L)
+    assert(t2.read().count() == 2)
+  }
+
+  test("updateWhere: assignments see the pre-update row; swaps work") {
+    val wide = StructType(Seq(
+      StructField("id", StringType),
+      StructField("a", IntegerType), StructField("b", IntegerType)))
+    val t = ResourceTable(spark, s"${tmpDir("uw")}/T.parquet")
+      .createIfNotExists(wide)
+    t.upsert(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("x", Integer.valueOf(1), Integer.valueOf(2)),
+        Row("y", Integer.valueOf(10), Integer.valueOf(20)))), wide), "id")
+    import org.apache.spark.sql.functions.col
+    t.updateWhere(col("a") >= 10,
+      Map("a" -> col("b"), "b" -> col("a"))) // swap, pre-update values
+    val got = t.read().collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got == Map("x" -> ((1, 2)), "y" -> ((20, 10))))
+    // unknown assignment column refuses
+    intercept[IllegalArgumentException](
+      t.updateWhere(col("a") > 0, Map("nope" -> col("a"))))
+  }
 }
