@@ -49,7 +49,8 @@ object ScaleBench {
     "x_delete_rewrite", "x_delete_dv", "x_cdf_export",
     "x_url_dedup", "x_upsert_overlap", "x_insert_absent", "x_dv_purge",
     "q_substring_dedup", "q_lm_score", "q_bpe_train",
-    "q_rp_topk", "q_allpairs_sim", "x_shallow_clone", "q_pq_encode")
+    "q_rp_topk", "q_allpairs_sim", "x_shallow_clone", "q_pq_encode",
+    "x_rename_column")
 
   /** Scale-only cases that are not SparkEntry gates: shapes whose
     * scale story needs DIFFERENT fixture sizing than the sf0.01 gate.
@@ -225,6 +226,19 @@ object ScaleBench {
       val c = tab.shallowCloneTo(s"$tgt/c.parquet")
       System.err.println(s"[clone] rows=${c.statsCount()} " +
         s"refs=${c.fileManifest(0L).size}")
+      s.range(1).toDF("done")
+    }),
+    // RENAME COLUMN at scale: one metadata-only commit on the scaled
+    // table — like x_shallow_clone, wall time must track the manifest
+    // (constant 32 files), never the data. Each timed round renames
+    // value→value_r<i> (mapping enabled once by the first call); the
+    // table's CONTENT never changes, so fixture sharing stays sound.
+    "x_rename_column" -> ((s, dir) => {
+      val tab = deleteDemo(s, dir, "dv")
+      tab.enableColumnMapping()
+      val i = nextSlice(s"ren:$dir")
+      val from = if (i == 0) "value" else s"value_r${i - 1}"
+      tab.renameColumn(from, s"value_r$i")
       s.range(1).toDF("done")
     }),
     // REORG PURGE at scale: DV-kill 80% of a CONSTANT 12.5k-id

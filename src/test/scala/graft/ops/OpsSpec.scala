@@ -579,6 +579,42 @@ class AllPairsSimilaritySpec extends SparkSpec {
     assert(out == Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
 
+  test("matches the O(n²) brute force when the df-cut is inactive") {
+    // deterministic pseudo-random docs from a tiny vocabulary; with
+    // dfCap >= n the candidate pass admits every sharing pair, so the
+    // result must equal the literal cross-join definition
+    val vocab = Vector("red", "blue", "green", "fish", "bird", "tree")
+    def doc(i: Int): String = {
+      var z = i.toLong * 0x9E3779B97F4A7C15L
+      (0 until 6).map { _ =>
+        z = z * 6364136223846793005L + 1442695040888963407L
+        vocab(((z >>> 33) % vocab.length).toInt)
+      }.mkString(" ")
+    }
+    val docs = (0 until 40).map(i => (i.toLong, doc(i)))
+      .toDF("doc_id", "text")
+    val got = TextStats.allPairsSimilarity(docs, threshold = 0.7,
+        dfCap = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // brute force on the driver
+    def tf(s: String): Map[String, Long] =
+      s.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val m = (0 until 40).map(i => i.toLong -> tf(doc(i))).toMap
+    val expect = (for {
+      a <- 0L until 40L; b <- (a + 1) until 40L
+      dot = m(a).keySet.intersect(m(b).keySet).toSeq
+        .map(w => m(a)(w) * m(b)(w)).sum
+      if dot > 0
+      na = m(a).values.map(x => x * x).sum
+      nb = m(b).values.map(x => x * x).sum
+      if dot.toDouble / math.sqrt(na.toDouble * nb.toDouble) >= 0.7
+    } yield (a, b, dot)).toSet
+    assert(got == expect,
+      s"missing=${expect -- got} extra=${got -- expect}")
+  }
+
   test("df-cut: pairs sharing only super-common words are not candidates") {
     // 'a' appears in all 4 docs; with dfCap=3 it generates no
     // candidates, so the identical pair (0,1) — which shares ONLY
