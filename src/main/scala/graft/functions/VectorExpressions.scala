@@ -197,7 +197,68 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Σ (a_i − b_i)² over two long arrays, as an exact long — the PQ
+    * codebook distance kernel ([[graft.ops.Pq]]). A HOF form
+    * (`aggregate(zip_with(...))`) is semantically identical but
+    * expands to a lambda tree per call; Pq builds m·k of these per
+    * row, so the native loop keeps the generated code (and its
+    * compile time) m·k× smaller.
+    */
+  case class IntDist2(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def ok(dt: DataType) = dt match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      }
+      if (ok(left.dataType) && ok(right.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"int_dist2 needs two array<bigint>, got " +
+            s"${left.dataType} / ${right.dataType}")
+    }
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val d = a.getLong(i) - b.getLong(i)
+        s += d * d
+        i += 1
+      }
+      s
+    }
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val d = ctx.freshName("d")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long ${ev.value}_acc = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $d = $a.getLong($i) - $b.getLong($i);
+           |  ${ev.value}_acc += $d * $d;
+           |}
+           |${ev.value} = ${ev.value}_acc;
+           |""".stripMargin
+      })
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   // ----- Column API -----
+  def int_dist2(a: Column, b: Column): Column =
+    ColumnBridge.column(IntDist2(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def dot_product(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))

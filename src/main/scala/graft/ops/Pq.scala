@@ -114,11 +114,14 @@ object Pq {
     slice(qv, s * cb.subDim + 1, cb.subDim)
 
   /** Exact integer squared distance between an array<long> column and
-    * a literal fixed-point centroid.
+    * a literal fixed-point centroid — the native codegen'd kernel
+    * ([[graft.functions.VectorExpressions.int_dist2]]): Pq builds m·k
+    * of these per row, and the native loop keeps the generated code
+    * m·k× smaller than the equivalent `aggregate(zip_with(...))`
+    * lambda trees (same exact long arithmetic either way).
     */
   private def dist2Col(sub: Column, cv: Seq[Long]): Column =
-    aggregate(zip_with(sub, typedlit(cv), (x, y) => (x - y) * (x - y)),
-      lit(0L), (a, v) => a + v)
+    graft.functions.VectorExpressions.int_dist2(sub, typedlit(cv))
 
   /** Row-local PQ encoding: adds `codes` (array<int>, length m) — per
     * subspace, the argmin-distance codebook entry (ties to the
