@@ -907,24 +907,53 @@ object DeltaExport {
       val nBody = body.count()
       // the checkpoint restates the protocol: DV-bearing live adds
       // need the table-features form, else readers replaying from the
-      // checkpoint alone would see DVs under a v1 reader contract
+      // checkpoint alone would see DVs under a v1 reader contract;
+      // column mapping and (in v2 mode) v2Checkpoint join the same
+      // restatement for the same reason
       val needDv = body
         .filter(col("add").isNotNull &&
           col("add.deletionVector").isNotNull)
         .limit(1).count() > 0
+      val mappedT = isMapped(schemaJson)
+      val v2Mode = spark.conf
+        .getOption("spark.graft.export.checkpointV2")
+        .exists(_.toBoolean)
       val protoRow =
-        if (needDv) Row(3, 7, Seq("deletionVectors"),
-          Seq("deletionVectors"))
-        else Row(1, 2, null, null)
+        if (needDv || v2Mode) {
+          val rf = Seq("deletionVectors").filter(_ => needDv) ++
+            Seq("columnMapping").filter(_ => mappedT) ++
+            Seq("v2Checkpoint").filter(_ => v2Mode)
+          val wf = rf ++
+            Seq("changeDataFeed").filter(_ => t.changeDataFeedEnabled)
+          Row(3, 7, rf, wf)
+        }
+        else if (mappedT) Row(2, 5, null, null)
+        else Row(1, if (t.changeDataFeedEnabled) 4 else 2, null, null)
+      // the checkpoint's metaData must be self-sufficient: a reader
+      // replaying from it alone needs the DELTA-dialect schema and the
+      // table configuration (CDF flag, columnMapping mode) — the same
+      // translation the json metaData action gets
+      val (deltaJson, maxColId) = deltaSchemaJson(schemaJson)
+      val conf = Map.empty[String, String] ++
+        (if (t.changeDataFeedEnabled)
+           Map("delta.enableChangeDataFeed" -> "true") else Map.empty) ++
+        maxColId.fold(Map.empty[String, String])(mx =>
+          Map("delta.columnMapping.mode" -> "name",
+            "delta.columnMapping.maxColumnId" -> mx.toString))
       val emptyMap = Map.empty[String, String]
+      val metaRow = Row(tableId(t), Row("parquet", emptyMap), deltaJson,
+        Seq.empty[String], conf, ts)
       val head = spark.createDataFrame(
         spark.sparkContext.parallelize(Seq(
           Row(protoRow, null, null, null),
-          Row(null, Row(tableId(t), Row("parquet", emptyMap), schemaJson,
-            Seq.empty[String], emptyMap, ts), null, null)), 1),
+          Row(null, metaRow, null, null)), 1),
         checkpointSchema)
       val nParts = math.max(1L, (nBody + checkpointPartActions(spark) - 1)
         / checkpointPartActions(spark)).toInt
+      if (v2Mode) {
+        writeCheckpointV2(t, dv, head, body, nBody, nParts)
+        return
+      }
       val tmp = new HPath(dir, f".ckpt-$dv%020d-${
         java.util.UUID.randomUUID().toString.take(8)}.tmp")
       val sized =
@@ -942,6 +971,91 @@ object DeltaExport {
         s"${t.path}: checkpoint write produced no parquet part")
       publishCheckpoint(t, dv, parts, tmp, nBody + 2)
     } finally body.unpersist()
+  }
+
+  /** V2 (UUID-named) checkpoint write — PROTOCOL.md "V2 Spec", the
+    * layout delta-spark writes under `v2Checkpoint`: FILE actions land
+    * in `_delta_log/_sidecars/<uuid>.parquet` part files (written by a
+    * Spark job, like the multi-part classic layout), and ONE manifest
+    * `<v>.checkpoint.<uuid>.parquet` carries the non-file actions —
+    * protocol, metaData, txn watermarks, a `checkpointMetadata`
+    * {version} row, and one `sidecar` row per part. Opt-in
+    * (`spark.graft.export.checkpointV2=true`): the manifest's protocol
+    * row demands the `v2Checkpoint` reader feature, which
+    * [[readSnapshot]] (and modern delta readers) support but classic
+    * readers refuse — exactly the trade the real feature makes.
+    * Publish order mirrors the classic path: sidecars first, manifest
+    * rename second, `_last_checkpoint` flip last — a reader can never
+    * follow a pointer into a manifest whose sidecars are missing.
+    */
+  private def writeCheckpointV2(t: ResourceTable, dv: Long,
+                                head: org.apache.spark.sql.DataFrame,
+                                body: org.apache.spark.sql.DataFrame,
+                                nBody: Long, nParts: Int): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions._
+    val spark = t.spark
+    val dir = deltaDir(t)
+    if (completeCheckpoints(t.fs, dir).contains(dv)) return
+    val scDir = new HPath(dir, "_sidecars")
+    t.fs.mkdirs(scDir)
+    // ---- sidecars: the file actions only ----
+    val adds = body.filter(col("add").isNotNull).select(col("add"))
+    val tmp = new HPath(dir, f".ckpt2-$dv%020d-${
+      java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    (if (nParts == 1) adds.coalesce(1) else adds.repartition(nParts))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val parts = t.fs.listStatus(tmp).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") &&
+        !p.getName.startsWith("."))
+      .sortBy(_.getName).toSeq
+    val sidecars = parts.map { p =>
+      val name = s"${java.util.UUID.randomUUID()}.parquet"
+      val dest = new HPath(scDir, name)
+      if (!t.fs.rename(p, dest))
+        throw new IllegalStateException(
+          s"${t.path}: could not publish checkpoint sidecar $dest")
+      (name, t.fs.getFileStatus(dest).getLen,
+        t.fs.getFileStatus(dest).getModificationTime)
+    }
+    t.fs.delete(tmp, true)
+    // ---- manifest: non-file actions + sidecar pointers ----
+    val v2Schema = StructType(checkpointSchema.fields ++ Seq(
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType),
+        StructField("modificationTime", LongType)))),
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType))))))
+    val wide = (c: org.apache.spark.sql.DataFrame) => c
+      .withColumn("sidecar",
+        lit(null).cast(v2Schema("sidecar").dataType))
+      .withColumn("checkpointMetadata",
+        lit(null).cast(v2Schema("checkpointMetadata").dataType))
+    val scRows = spark.createDataFrame(
+      spark.sparkContext.parallelize(sidecars.map { case (n, sz, mt) =>
+        Row(null, null, null, null, Row(n, sz, mt), null)
+      } :+ Row(null, null, null, null, null, Row(dv)), 1),
+      v2Schema)
+    val manifestDf = wide(head)
+      .unionByName(wide(body.filter(col("txn").isNotNull)))
+      .unionByName(scRows)
+      .coalesce(1)
+    val tmpM = new HPath(dir, f".ckpt2m-$dv%020d-${
+      java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    manifestDf.write.mode("overwrite").parquet(tmpM.toString)
+    val mPart = t.fs.listStatus(tmpM).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") &&
+        !p.getName.startsWith("."))
+      .headOption.getOrElse(throw new IllegalStateException(
+        s"${t.path}: v2 checkpoint manifest write produced no part"))
+    val mDest = new HPath(dir, f"$dv%020d.checkpoint.${
+      java.util.UUID.randomUUID()}.parquet")
+    if (!t.fs.rename(mPart, mDest))
+      throw new IllegalStateException(
+        s"${t.path}: could not publish v2 checkpoint manifest $mDest")
+    t.fs.delete(tmpM, true)
+    flipLastCheckpoint(t, s"""{"version":$dv,"size":${nBody + 2}}""")
   }
 
   /** Rename the staged checkpoint part(s) into the protocol's naming
@@ -977,12 +1091,20 @@ object DeltaExport {
       }
     }
     t.fs.delete(tmp, true)
+    flipLastCheckpoint(t,
+      if (parts.size == 1) s"""{"version":$dv,"size":$size}"""
+      else s"""{"version":$dv,"size":$size,"parts":${parts.size}}""")
+  }
+
+  /** Publish `_last_checkpoint` via temp-write + rename (shared by
+    * the classic and v2 layouts; the pointer is a hint — readers fall
+    * back to a listing through the flip window).
+    */
+  private def flipLastCheckpoint(t: ResourceTable, body: String): Unit = {
+    val dir = deltaDir(t)
     val lc = new HPath(dir, "_last_checkpoint")
     val tmpLc = new HPath(dir, s"._last_checkpoint.${
       java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val body =
-      if (parts.size == 1) s"""{"version":$dv,"size":$size}"""
-      else s"""{"version":$dv,"size":$size,"parts":${parts.size}}"""
     val out = t.fs.create(tmpLc, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
