@@ -2075,6 +2075,18 @@ object SparkEntry {
           count(lit(1)).as("words"))
     }),
 
+    // ---- END-TO-END tokenization: corpus text → BPE token-ID
+    //      sequences (frequency-ranked ids), fully in-engine ----
+    "q_tokenize_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = bpeMergesMemo.computeIfAbsent(dir, _ =>
+        graft.ops.BpeTrainer.train(
+            graft.ops.BpeTrainer.wordCounts(docs), rounds = 6)
+          .orderBy("round").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq)
+      graft.ops.BpeTrainer.tokenIds(docs, merges)
+    }),
+
     // ---- BM25 retrieval scoring for a 3-term query, top-25 docs.
     //      The double score ranks but is NOT output (ln() is not
     //      bit-portable across engines); rank + the exact integer
@@ -3192,6 +3204,40 @@ object SparkEntry {
          |FROM toks t JOIN v$rounds v USING (word)
          |GROUP BY t.doc_id""".stripMargin
 
+    /** Corpus text → token-id sequences under the learned merges:
+      * piece ids by weighted-frequency rank, per-doc (word pos,
+      * piece pos) ordering — the [[graft.ops.BpeTrainer.tokenIds]]
+      * replay.
+      */
+    def tokenIds(rounds: Int): String =
+      s"""${chain(rounds)},
+         |pid AS (
+         |  SELECT piece, CAST(row_number() OVER (
+         |      ORDER BY total DESC, piece ASC) AS INTEGER) AS token_id
+         |  FROM (SELECT s.piece, sum(w.cnt) AS total
+         |        FROM (SELECT word, unnest(syms) AS piece FROM v$rounds) s
+         |        JOIN wc w USING (word) GROUP BY s.piece)),
+         |tok AS (
+         |  SELECT doc_id, wpos, word FROM (
+         |    SELECT doc_id,
+         |      unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+         |                         t -> t <> '')) AS word,
+         |      unnest(range(0, len(list_filter(
+         |        string_split_regex(trim(text), '\\s+'),
+         |        t -> t <> '')))) AS wpos
+         |    FROM documents)),
+         |pc AS (
+         |  SELECT t.doc_id, t.wpos, pp.ppos, pp.piece
+         |  FROM tok t JOIN (
+         |    SELECT word, unnest(syms) AS piece,
+         |      unnest(range(0, len(syms))) AS ppos
+         |    FROM v$rounds) pp USING (word))
+         |SELECT pc.doc_id,
+         |  CAST(row_number() OVER (PARTITION BY pc.doc_id
+         |    ORDER BY pc.wpos, pc.ppos) - 1 AS BIGINT) AS pos,
+         |  p.token_id
+         |FROM pc JOIN pid p USING (piece)""".stripMargin
+
     /** Shared WITH-chain: word counts, char split, `rounds` unrolled
       * count/argmax/merge rounds (materialized CTEs).
       */
@@ -3774,6 +3820,8 @@ object SparkEntry {
     "q_bpe_train" -> BpeOracle.merges(6),
 
     "q_bpe_encode" -> BpeOracle.encodeCounts(6),
+
+    "q_tokenize_ids" -> BpeOracle.tokenIds(6),
 
     "q_profile" -> {
       val cols = Seq("doc_id", "lang", "source", "n_chars", "text")

@@ -135,13 +135,70 @@ object BpeTrainer {
     * each merge is one row-local fold pass over the vocab.
     */
   def segment(wordCnts: DataFrame,
-              merges: Seq[(String, String)]): DataFrame = {
+              merges: Seq[(String, String)]): DataFrame =
+    segmentPieces(wordCnts, merges)
+      .select(col("word"), size(col("syms")).cast("long").as("n_pieces"))
+
+  /** [[segment]] keeping the pieces themselves: (word, syms) — the
+    * vocabulary-level segmentation table [[tokenIds]] and the encode
+    * gate both join against.
+    */
+  def segmentPieces(wordCnts: DataFrame,
+                    merges: Seq[(String, String)]): DataFrame = {
     var v = wordCnts.select(col("word"), expr(
       "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
       .as("syms"))
     merges.foreach { case (a, b) =>
       v = v.withColumn("syms", applyMerge(col("syms"), lit(a), lit(b)))
     }
-    v.select(col("word"), size(col("syms")).cast("long").as("n_pieces"))
+    v
+  }
+
+  /** END-TO-END tokenization: corpus text → BPE token-ID sequences,
+    * entirely in-engine — the artifact a training dataloader consumes.
+    * Token ids are assigned by VOCABULARY rank (total weighted piece
+    * frequency desc, piece asc — deterministic, the convention real
+    * tokenizers use: frequent pieces get small ids). Plan shape:
+    *
+    *  1. ONE corpus word-count shuffle ([[wordCounts]] — shared with
+    *     training); the merge fold runs over the VOCABULARY.
+    *  2. The id table is piece-ranked with an unpartitioned window —
+    *     deliberately: it is TOKENIZER-VOCABULARY-sized (bounded by
+    *     construction, ~30k–100k rows in production), never
+    *     corpus-sized.
+    *  3. The corpus then flows: words explode with position, join the
+    *     vocab-sized segmentation, pieces explode with position, join
+    *     the vocab-sized id table, and one per-doc window orders
+    *     (word pos, piece pos) into the final sequence — one doc_id
+    *     shuffle, broadcast-sized joins, corpus text never
+    *     re-segmented per occurrence.
+    *
+    * Output: (doc_id, pos, token_id) rows — exactly replayable, and
+    * [[Packing.packSequences]]-ready after a per-doc collect.
+    */
+  def tokenIds(docs: DataFrame, merges: Seq[(String, String)],
+               idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val wc = wordCounts(docs, textCol)
+    val segs = segmentPieces(wc, merges)
+    val vocab = segs.join(wc, "word")
+      .select(explode(col("syms")).as("piece"), col("cnt"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("total"))
+      .withColumn("token_id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("total").desc, col("piece").asc)))
+      .select("piece", "token_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("_wpos"), col("_ppos"))
+    docs.select(col(idCol),
+        posexplode(TextStats.tokens(col(textCol)))
+          .as(Seq("_wpos", "word")))
+      .join(segs, "word")
+      .select(col(idCol), col("_wpos"),
+        posexplode(col("syms")).as(Seq("_ppos", "piece")))
+      .join(vocab, "piece")
+      .select(col(idCol),
+        (row_number().over(w) - 1).cast("long").as("pos"),
+        col("token_id"))
   }
 }

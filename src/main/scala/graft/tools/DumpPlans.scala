@@ -71,7 +71,8 @@ object DumpPlans {
     "q_html_extract" -> "HTML boilerplate removal: codegen'd regex projections + row-local line filter; the only shuffle is the per-doc reassembly aggregate (order restored by array_sort, partition-independent)",
     "q_replace_where" -> "REPLACE WHERE: stats-pruned rewrite scope — files provably outside the predicate carry by reference, only may-overlap files rewrite with their non-matching survivors; O(overlapping files), never O(table)",
     "q_rename_column" -> "RENAME COLUMN: one metadata-only commit (zero data IO at any table size) — reads scan physical names and alias back to logical; stats pruning translates predicates at the name boundary",
-    "q_delete_update_where" -> "predicate DML (DELETE WHERE / UPDATE SET WHERE): stats-split rewrite scope, UPDATE is one conditional projection over only the may-match files — O(overlapping files), never O(table)")
+    "q_delete_update_where" -> "predicate DML (DELETE WHERE / UPDATE SET WHERE): stats-split rewrite scope, UPDATE is one conditional projection over only the may-match files — O(overlapping files), never O(table)",
+    "q_tokenize_ids" -> "end-to-end tokenization: one corpus word-count shuffle, vocab-sized segmentation + id tables joined back (broadcast-sized), one per-doc ordering window — text is never re-segmented per occurrence")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

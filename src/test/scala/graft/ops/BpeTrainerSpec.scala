@@ -23,6 +23,38 @@ class BpeTrainerSpec extends SparkSpec {
       (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L)))
   }
 
+  test("tokenIds: dense frequency-ranked ids, ordered per-doc sequences") {
+    val docs = Seq(
+      (0L, "low lower newest"),
+      (1L, "newest widest low")).toDF("doc_id", "text")
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"))
+    val out = BpeTrainer.tokenIds(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // sequences are dense 0..n-1 per doc
+    val byDoc = out.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(_._2)).toMap
+    byDoc.foreach { case (_, ps) =>
+      assert(ps.toSeq == (0L until ps.length))
+    }
+    // ids are dense 1..|vocab| and frequency-ranked: 'lo' appears in
+    // low(×2 docs incl lower) — the most frequent piece set is small
+    val ids = out.map(_._3).distinct.sorted
+    assert(ids.head == 1 && ids.toSeq == (1 to ids.length))
+    // token count per doc equals the segment-based piece sum
+    val wc = BpeTrainer.wordCounts(docs)
+    val expect = BpeTrainer.segment(wc, merges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docTokens = out.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(docTokens(0L) ==
+      Seq("low", "lower", "newest").map(expect).sum)
+    assert(docTokens(1L) ==
+      Seq("newest", "widest", "low").map(expect).sum)
+    // deterministic under repartitioning
+    val again = BpeTrainer.tokenIds(docs.repartition(5), merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again == out.toSet)
+  }
+
   test("property: distributed merges equal a sequential reference") {
     val rnd = new scala.util.Random(17)
     for (trial <- 0 until 3) {
