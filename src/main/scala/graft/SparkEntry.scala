@@ -1077,6 +1077,27 @@ object SparkEntry {
       out
     }),
 
+    // ---- STREAMING PQ: a stream of query vectors probes the encoded
+    //      static corpus — stateless cell equi-join, exact integer ADC
+    //      threshold as the residual condition ----
+    "q_stream_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = pqMemo.computeIfAbsent(dir, _ => graft.ops.Pq.trainOn(emb))
+      val stream = s.readStream.schema(emb.schema)
+        .parquet(s"$dir/embeddings.parque[t]")
+        .filter(col("vec_id") % 25 === 0)
+        .withColumn("vec_id", col("vec_id") + 200000)
+      val hits = graft.ops.Pq.adcHitsStream(
+        stream, emb, cb, maxAdc = 900000000000L, probes = 2)
+      val name = s"stream_pq_${System.nanoTime()}"
+      val q = hits.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table(name).cache()
+      out.count()
+      out
+    }),
+
     // ---- corpus-level segment dedup (C4-style boilerplate removal):
     //      fixed 8-word windows; any window text appearing >= 2 times
     //      ACROSS the corpus is dropped from every document ----
@@ -3451,6 +3472,49 @@ object SparkEntry {
       * candidates (qa probes 2 cells, corpus pins to 1 — the
       * [[ivfOracle]] LATERAL shape with its cell-DESC tie-break).
       */
+    /** Streaming-gate replay: every (query vec_id%25=0, corpus) pair
+      * whose cells match (2-probe) and whose exact ADC is within the
+      * threshold — [[graft.ops.Pq.adcHitsStream]]'s semantics.
+      */
+    val streamSql: String = {
+      val values = graft.ops.Similarity.ivfCentroids(8, 64).zipWithIndex
+        .map { case (c, i) => s"($i, [${c.mkString(",")}]::DOUBLE[])" }
+        .mkString(",\n        ")
+      s"""$chain,
+         |qd AS (
+         |  SELECT f.vec_id AS qv, f.sub, c.cl,
+         |    sum((f.q - c.q) * (f.q - c.q)) AS dist
+         |  FROM fp f JOIN c2 c ON c.sub = f.sub AND c.spos = f.spos
+         |  WHERE f.vec_id % 25 = 0
+         |  GROUP BY 1, 2, 3),
+         |scores AS (
+         |  SELECT qd.qv, co.vec_id AS n_id,
+         |    CAST(sum(qd.dist) AS BIGINT) AS adc
+         |  FROM codes co JOIN qd ON qd.sub = co.sub AND qd.cl = co.code
+         |  GROUP BY 1, 2),
+         |cents(cell, cvec) AS (VALUES $values),
+         |qcell AS (
+         |  SELECT q.vec_id AS qv, c.cell
+         |  FROM embeddings q, LATERAL (
+         |    SELECT cell FROM cents
+         |    ORDER BY list_dot_product(q.embedding::DOUBLE[], cvec) DESC,
+         |             cell DESC
+         |    LIMIT 2) c
+         |  WHERE q.vec_id % 25 = 0),
+         |ncell AS (
+         |  SELECT n.vec_id AS n_id, c.cell
+         |  FROM embeddings n, LATERAL (
+         |    SELECT cell FROM cents
+         |    ORDER BY list_dot_product(n.embedding::DOUBLE[], cvec) DESC,
+         |             cell DESC
+         |    LIMIT 1) c)
+         |SELECT s.qv + 200000 AS q_id, s.n_id, s.adc
+         |FROM scores s
+         |JOIN qcell q ON q.qv = s.qv
+         |JOIN ncell n ON n.n_id = s.n_id AND n.cell = q.cell
+         |WHERE s.adc <= 900000000000""".stripMargin
+    }
+
     val ivfSql: String = {
       val values = graft.ops.Similarity.ivfCentroids(8, 64).zipWithIndex
         .map { case (c, i) => s"($i, [${c.mkString(",")}]::DOUBLE[])" }
@@ -4431,6 +4495,7 @@ object SparkEntry {
     "q_pq_encode" -> PqOracle.encodeSql,
     "q_pq_topk" -> PqOracle.topkSql,
     "q_pq_ivf" -> PqOracle.ivfSql,
+    "q_stream_pq" -> PqOracle.streamSql,
 
     "q_ann_lsh" -> {
       // the 8 hyperplanes inlined (shortest-round-trip doubles); bucket

@@ -187,17 +187,48 @@ object Pq {
     */
   private def rankAdc(candidates: DataFrame, cb: Codebook,
                       topK: Int): DataFrame = {
-    val adc = (0 until cb.m).map { s =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adc").asc, col("n_id").asc)
+    candidates
+      .withColumn("adc", adcExpr(cb))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("q_id", "n_id", "rank", "adc")
+  }
+
+  /** The ADC score over (_qv, _codes) candidate rows: per subspace,
+    * the query's distance table is computed inline and the candidate's
+    * code picks its entry — m lookups, exact long.
+    */
+  private def adcExpr(cb: Codebook): Column =
+    (0 until cb.m).map { s =>
       val dists = array(cb.cents(s).map(cv =>
         dist2Col(subVec(col("_qv"), cb, s), cv)): _*)
       element_at(dists, element_at(col("_codes"), s + 1) + 1)
     }.reduce(_ + _)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("adc").asc, col("n_id").asc)
-    candidates
-      .withColumn("adc", adc)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select("q_id", "n_id", "rank", "adc")
+
+  /** STREAMING ADC scoring — the re-crawl / online-query shape: a
+    * stream of query vectors probes a PQ-encoded static corpus and
+    * emits every candidate within `maxAdc`. Stateless stream-static
+    * inner join on the coarse CELL equi-key (queries fan to `probes`
+    * cells, the corpus pins to one) with the exact integer ADC
+    * threshold as the residual condition — bounded per-batch work,
+    * no state store, the corpus side encoded once per batch plan and
+    * never shuffled. probes = nCells degenerates to exhaustive ADC.
+    */
+  def adcHitsStream(queries: DataFrame, corpus: DataFrame, cb: Codebook,
+                    maxAdc: Long, nCells: Int = 8, dim: Int = 64,
+                    probes: Int = 2, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val q = Similarity.ivfProbe(queries, nCells, dim, vecCol, probes)
+      .select(col(idCol).as("q_id"),
+        fixedPoint(col(vecCol)).as("_qv"), col("cell"))
+    val c = encode(Similarity.ivfAssign(corpus, nCells, dim, vecCol),
+        cb, vecCol, "_codes")
+      .select(col(idCol).as("n_id"), col("_codes"), col("cell"))
+    q.join(c, Seq("cell"))
+      .withColumn("adc", adcExpr(cb))
+      .filter(col("adc") <= maxAdc)
+      .select("q_id", "n_id", "adc")
   }
 }
