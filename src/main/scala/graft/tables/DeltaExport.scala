@@ -844,7 +844,20 @@ object DeltaExport {
           none.select(col("txn.appId").as("appId"),
             col("txn.version").as("version")))
       } else {
-        val ck = spark.read.parquet(ckptFiles.map(_.toString): _*)
+        val ckRaw = spark.read.parquet(ckptFiles.map(_.toString): _*)
+        // a prior V2 checkpoint keeps its FILE actions in sidecars —
+        // fold them in, or the rebuild would lose the base live-set
+        val scPaths =
+          if (!ckRaw.columns.contains("sidecar")) Seq.empty[String]
+          else ckRaw.filter(col("sidecar").isNotNull)
+            .select("sidecar.path").collect().map(_.getString(0))
+            .map(n => if (n.contains("://") || n.startsWith("/")) n
+              else new HPath(new HPath(dir, "_sidecars"), n).toString)
+            .toSeq
+        val ck =
+          if (scPaths.isEmpty) ckRaw
+          else ckRaw.unionByName(spark.read.parquet(scPaths: _*),
+            allowMissingColumns = true)
         val hasDvField = scala.util.Try(
           ck.schema("add").dataType.asInstanceOf[StructType]
             .fieldNames.contains("deletionVector")).getOrElse(false)
@@ -1263,6 +1276,42 @@ object DeltaExport {
           .flatMap(n => Option(n.get("cdc")).map(_.get("path").asText))
       }.map(p => p.stripPrefix("_change_data/")).toSet
       t.fs.listStatus(cdDir).map(_.getPath)
+        .filter(p => !p.getName.startsWith(".") &&
+          !referenced(p.getName) &&
+          t.fs.getFileStatus(p).getModificationTime < cutoff)
+        .foreach(t.fs.delete(_, false))
+    }
+    // V2 sidecars: a superseded uuid manifest is deleted above, which
+    // orphans its `_sidecars/` parts — reap every sidecar no SURVIVING
+    // manifest references, past the same cutoff (conservative: keep
+    // unconditionally-newer files, a concurrent checkpointer may be
+    // mid-publish between sidecar rename and manifest rename)
+    val scDir = new HPath(deltaDir(t), "_sidecars")
+    if (t.fs.exists(scDir)) {
+      val spark = t.spark
+      val surviving = t.fs.listStatus(deltaDir(t)).map(_.getPath)
+        .filter(p => p.getName match {
+          case UuidName(_, _, _) => true
+          case _ => false
+        })
+      val referenced = surviving.flatMap { m =>
+        if (m.getName.endsWith(".parquet")) {
+          val df = spark.read.parquet(m.toString)
+          if (!df.columns.contains("sidecar")) Seq.empty
+          else df.filter(org.apache.spark.sql.functions
+              .col("sidecar").isNotNull)
+            .select("sidecar.path").collect().map(_.getString(0)).toSeq
+        } else {
+          val in = t.fs.open(m)
+          val body =
+            try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+            finally in.close()
+          body.linesIterator.filter(_.nonEmpty).map(mapper.readTree)
+            .flatMap(n => Option(n.get("sidecar"))
+              .map(_.get("path").asText)).toSeq
+        }
+      }.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+      t.fs.listStatus(scDir).map(_.getPath)
         .filter(p => !p.getName.startsWith(".") &&
           !referenced(p.getName) &&
           t.fs.getFileStatus(p).getModificationTime < cutoff)

@@ -82,6 +82,51 @@ class V2CheckpointWriteSpec extends SparkSpec {
     assert(got == ((0 to 10).map(i => s"k$i" -> i).toMap + ("tail" -> 99)))
   }
 
+  test("cleanup reaps superseded v2 sidecars but never the live ones") {
+    val path = s"${tmpDir("v2gc")}/T.parquet"
+    val t = ResourceTable(spark, path).createIfNotExists(schema)
+    t.upsert(df("k0" -> 0), "id")
+    DeltaExport.export(t)
+    (1 to 10).foreach(i => t.upsert(df(s"k$i" -> i), "id"))
+    withV2 { DeltaExport.export(t) } // v2 checkpoint at delta v10
+    val scDir = Paths.get(path, "_delta_log", "_sidecars")
+    def sidecars() = Files.list(scDir).iterator().asScala
+      .map(_.getFileName.toString).filterNot(_.startsWith(".")).toSet
+    val first = sidecars()
+    (11 to 20).foreach(i => t.upsert(df(s"k$i" -> i), "id"))
+    withV2 { DeltaExport.export(t) } // second v2 checkpoint at v20
+    val both = sidecars()
+    assert(first.subsetOf(both) && both.size > first.size)
+    DeltaExport.cleanupLog(t, retentionMs = 0)
+    val after = sidecars()
+    assert((after & first).isEmpty,
+      s"superseded sidecars must reap: kept ${after & first}")
+    assert((both -- first).subsetOf(after),
+      "live checkpoint's sidecars must survive cleanup")
+    // and the cleaned log still replays from the live checkpoint
+    val got = DeltaExport.readSnapshot(spark, path).count()
+    assert(got == 21L)
+  }
+
+  test("a torn v2 publish (manifest missing) leaves the log readable") {
+    val path = s"${tmpDir("v2torn")}/T.parquet"
+    val t = ResourceTable(spark, path).createIfNotExists(schema)
+    t.upsert(df("k0" -> 0), "id")
+    DeltaExport.export(t)
+    (1 to 10).foreach(i => t.upsert(df(s"k$i" -> i), "id"))
+    withV2 { DeltaExport.export(t) }
+    // simulate the crash window: sidecars + pointer published, the
+    // uuid manifest gone
+    val manifest = logFiles(path).find(_.matches(
+      """\d{20}\.checkpoint\.[0-9a-f-]{36}\.parquet""")).get
+    Files.delete(Paths.get(path, "_delta_log", manifest))
+    // the pointer now names a checkpoint with no complete file set —
+    // readers treat it as a hint and fall back to full json replay
+    val got = DeltaExport.readSnapshot(spark, path).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == (0 to 10).map(i => s"k$i" -> i).toMap)
+  }
+
   test("checkpoint metaData carries the delta column-mapping dialect") {
     val path = s"${tmpDir("v2cm")}/T.parquet"
     val t = ResourceTable(spark, path).createIfNotExists(schema)
