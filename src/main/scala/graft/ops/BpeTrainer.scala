@@ -188,17 +188,24 @@ object BpeTrainer {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("total").desc, col("piece").asc)))
       .select("piece", "token_id")
+    // sequence position = (running piece count of the PRIOR words) +
+    // piece index — the ordering window runs over WORDS, not pieces
+    // (dim/m× fewer rows through the shuffle than ranking every piece)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("_wpos"), col("_ppos"))
+      .partitionBy(col(idCol)).orderBy(col("_wpos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
     docs.select(col(idCol),
         posexplode(TextStats.tokens(col(textCol)))
           .as(Seq("_wpos", "word")))
       .join(segs, "word")
-      .select(col(idCol), col("_wpos"),
+      .withColumn("_off",
+        coalesce(sum(size(col("syms")).cast("long")).over(w), lit(0L)))
+      .select(col(idCol), col("_off"),
         posexplode(col("syms")).as(Seq("_ppos", "piece")))
       .join(vocab, "piece")
       .select(col(idCol),
-        (row_number().over(w) - 1).cast("long").as("pos"),
+        (col("_off") + col("_ppos")).cast("long").as("pos"),
         col("token_id"))
   }
 }
