@@ -52,6 +52,10 @@ object GraftExtensions {
     ("dot_product",
       info("dot_product", "dot_product(a, b) - dot of two numeric arrays"),
       (es: Seq[Expression]) => VectorExpressions.DotProduct(es(0), es(1))),
+    ("int_dist2",
+      info("int_dist2",
+        "int_dist2(a, b) - exact squared L2 of two bigint arrays"),
+      (es: Seq[Expression]) => VectorExpressions.IntDist2(es(0), es(1))),
     ("minhash_signature",
       info("minhash_signature",
         "minhash_signature(shingle_hashes, k) - k-permutation minhash"),
