@@ -114,11 +114,23 @@ object DeltaExport {
     }
   }
 
-  private def commitInfo(graftV: Long, ts: Long, op: String): ObjectNode = {
+  private def commitInfo(graftV: Long, ts: Long, op: String,
+                         metrics: Option[(Int, Int, Long)] = None)
+      : ObjectNode = {
     val ci = f.objectNode()
     ci.put("timestamp", ts)
     ci.put("operation", op)
     ci.set("operationParameters", f.objectNode())
+    // DESCRIBE HISTORY parity for external tools: Delta renders
+    // operationMetrics values as strings
+    metrics.foreach { case (na, nr, rows) =>
+      val m = f.objectNode()
+      m.put("numAddedFiles", na.toString)
+      m.put("numRemovedFiles", nr.toString)
+      m.put("numOutputRows", rows.toString)
+      ci.set[ObjectNode]("operationMetrics", m)
+      ()
+    }
     ci.put("graftVersion", graftV)
     wrap("commitInfo", ci)
   }
@@ -643,7 +655,8 @@ object DeltaExport {
         else Seq.empty
       val body =
         commitInfo(g, ts, FileStats.opOf(t.commitBody(g))
-            .getOrElse("GRAFT COMMIT")) +:
+            .getOrElse("GRAFT COMMIT"),
+          Some((adds.size, removes.size, adds.map(_._2.rows).sum))) +:
           // the schema AT g, not the table's current one: exporting
           // two schema evolutions in one batch must leave the
           // intermediate version readable (versionAsOf) under the

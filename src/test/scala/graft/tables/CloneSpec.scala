@@ -118,6 +118,26 @@ class CloneSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuumed"))
   }
 
+  test("clone of a clone references the ORIGINAL files (no chains)") {
+    val base = tmpDir("clone2")
+    val src = ResourceTable(spark, s"$base/S.parquet")
+      .createIfNotExists(schema)
+    src.upsert(df("a" -> 1, "b" -> 2), "id")
+    val c1 = src.shallowCloneTo(s"$base/C1.parquet")
+    c1.upsert(df("c" -> 3), "id") // C1 gains a local file
+    val c2 = c1.shallowCloneTo(s"$base/C2.parquet")
+    // every C2 reference is absolute and none points under C2 itself;
+    // the untouched source file resolves straight to S, not through C1
+    val refs = c2.fileManifest(0L)
+    assert(refs.nonEmpty && refs.forall(_.startsWith("/")))
+    assert(refs.exists(_.contains("/S.parquet/")),
+      s"grand-clone must reference the original files directly: $refs")
+    assert(c2.read().collect().map(r =>
+      r.getString(0) -> r.getInt(1)).toMap ==
+      Map("a" -> 1, "b" -> 2, "c" -> 3))
+    assert(parquetCount(s"$base/C2.parquet") == 0)
+  }
+
   test("clone exports a _delta_log with absolute add paths that reads back") {
     val base = tmpDir("clonedx")
     val src = ResourceTable(spark, s"$base/S.parquet")
