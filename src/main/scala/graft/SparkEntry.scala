@@ -2527,6 +2527,32 @@ object SparkEntry {
       tab.read()
     }),
 
+    // ---- conditional MERGE builder (Delta whenMatched/whenNotMatched
+    //      with conditions): one commit deletes FURNITURE matches,
+    //      doubles the others' balances (t+s pre-merge), and inserts
+    //      only positive-balance new rows ----
+    "q_merge_builder" -> ((s, dir) => {
+      val tab = mergeDemoMemo.computeIfAbsent(dir, _ => {
+        val base = t(s, dir, "customer").repartition(4)
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_mb").toString
+        val tb = ResourceTable(s, s"$tmp/customer.parquet")
+          .createIfNotExists(base.schema)
+        tb.upsert(base, "c_custkey")
+        val source = base.filter(col("c_custkey") % 7 === 0)
+          .unionByName(base.filter(col("c_custkey") % 100 === 3)
+            .withColumn("c_custkey", col("c_custkey") + 2000000L))
+        tb.merge(source, "c_custkey")
+          .whenMatchedDelete(col("t.c_mktsegment") === "FURNITURE")
+          .whenMatchedUpdate(Map("c_acctbal" ->
+            (col("t.c_acctbal") + col("s.c_acctbal"))))
+          .whenNotMatchedInsert(col("s.c_acctbal") > 0)
+          .execute()
+        tb
+      })
+      tab.read()
+    }),
+
     // ---- predicate DML (Delta DELETE WHERE + UPDATE SET WHERE): no
     //      key anywhere — DELETE drops negative balances, UPDATE then
     //      reprices the AUTOMOBILE segment from the pre-update row ----
@@ -2756,6 +2782,10 @@ object SparkEntry {
 
   // q_delete_update_where's table (both predicate DMLs in the build)
   private val dmlDemoMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, ResourceTable]()
+
+  // q_merge_builder's table (the three-clause merge in the build)
+  private val mergeDemoMemo =
     new java.util.concurrent.ConcurrentHashMap[String, ResourceTable]()
 
   /** Change-data-feed export fixture: CDF-enabled customer table,
@@ -5479,6 +5509,22 @@ object SparkEntry {
         |       ELSE c_acctbal END AS account_balance,
         |  c_mktsegment
         |FROM customer""".stripMargin,
+
+    // clause order: delete fires first for FURNITURE matches; update
+    // doubles via t+s (the source IS the base row); inserts filtered
+    "q_merge_builder" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CASE WHEN c_custkey % 7 = 0 AND c_mktsegment <> 'FURNITURE'
+        |       THEN c_acctbal + c_acctbal ELSE c_acctbal END
+        |    AS c_acctbal,
+        |  c_mktsegment
+        |FROM customer
+        |WHERE NOT (c_custkey % 7 = 0 AND c_mktsegment = 'FURNITURE')
+        |UNION ALL
+        |SELECT c_custkey + 2000000, c_name, c_nationkey, c_acctbal,
+        |       c_mktsegment
+        |FROM customer WHERE c_custkey % 100 = 3 AND c_acctbal > 0"""
+        .stripMargin,
 
     // DELETE (on the pre-update balance) then UPDATE from the old row
     "q_delete_update_where" ->

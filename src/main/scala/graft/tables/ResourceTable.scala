@@ -1646,6 +1646,100 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     result
   }
 
+  /** General conditional MERGE (Delta's full
+    * `whenMatched…/whenNotMatched…` builder): matched clauses apply
+    * IN CALL ORDER — the first clause whose condition holds decides
+    * the row (update with assignments, or delete); a matched row
+    * selected by no clause carries unchanged; unmatched source rows
+    * insert under an optional condition. Conditions and assignments
+    * may reference both sides as `t.<col>` (target) and `s.<col>`
+    * (source) — assignments evaluate against the PRE-merge pair, SQL
+    * semantics. The source must be key-unique (the [[upsert]]
+    * contract). Same file-granular scope as every mutation: only
+    * key-overlapping files rewrite.
+    */
+  def merge(source: DataFrame, key: String): MergeBuilder =
+    new MergeBuilder(this, source, key, Vector.empty, None)
+
+  private[tables] def executeMerge(
+      source: DataFrame, key: String,
+      matched: Seq[(org.apache.spark.sql.Column,
+        Option[Map[String, org.apache.spark.sql.Column]])],
+      notMatchedInsert: Option[org.apache.spark.sql.Column]): Long = {
+    val src = source.cache()
+    try {
+      enforceConstraints(src)
+      retry() {
+        val cur = latestVersion
+        val curV = cur.getOrElse(
+          throw new IllegalStateException(s"no table at $path"))
+        val files = fileListAt(curV)
+        val tableSchema = schema()
+        val outCols = tableSchema.fieldNames.toSeq
+        val (srcRows, mayOverlap) = keyProfile(src, key)
+        val (touched, untouched) = files.partition(f => mayOverlap(f._2))
+        val kept = untouched.filterNot(_._2.rows == 0)
+        val srcCols = src.columns.toSeq
+        val s = (if (srcRows <= broadcastRowLimit) broadcast(src)
+          else src).alias("s")
+        // unmatched-source inserts (untouched files provably hold no
+        // source key, so "not in the touched files" = "not in the
+        // table" — the upsert pruning argument)
+        val inserts = notMatchedInsert.map { cond =>
+          val probe =
+            if (touched.isEmpty)
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                StructType(Seq(tableSchema(key))))
+            else readFiles(touched, tableSchema).select(key)
+          src.alias("s").join(probe, Seq(key), "left_anti")
+            .filter(cond)
+            .select(outCols.map(c =>
+              (if (srcCols.contains(c)) col(c)
+               else lit(null)).cast(tableSchema(c).dataType).as(c)): _*)
+        }
+        val survivors =
+          if (touched.isEmpty) None
+          else {
+            val tj = readFiles(touched, tableSchema).alias("t")
+              .join(s, col(s"t.$key") === col(s"s.$key"), "left_outer")
+            val isMatched = col(s"s.$key").isNotNull
+            // first-true clause index; 0 = no clause → carry unchanged
+            val clauseIdx = matched.zipWithIndex.reverse
+              .foldLeft(lit(0)) { case (acc, ((cond, _), i)) =>
+                when(isMatched && coalesce(cond, lit(false)), lit(i + 1))
+                  .otherwise(acc)
+              }
+            val deletes = matched.zipWithIndex.collect {
+              case ((_, None), i) => i + 1
+            }
+            val keptRows =
+              if (deletes.isEmpty) tj
+              else tj.filter(!clauseIdx.isin(deletes.map(
+                Integer.valueOf): _*))
+            Some(keptRows.select(outCols.map { c =>
+              matched.zipWithIndex.foldLeft(col(s"t.$c")) {
+                case (acc, ((_, Some(set)), i)) => set.get(c) match {
+                  case Some(e) =>
+                    when(clauseIdx === (i + 1),
+                      e.cast(tableSchema(c).dataType)).otherwise(acc)
+                  case None => acc
+                }
+                case (acc, _) => acc
+              }.as(c)
+            }: _*))
+          }
+        val newData = (survivors, inserts) match {
+          case (Some(a), Some(b)) => Some(a.unionByName(b))
+          case (a, b) => a.orElse(b)
+        }
+        commitFiles(newData, kept, tableSchema.json, cur, op = "MERGE",
+          key = Some(key))
+        srcRows
+      }
+    } finally src.unpersist()
+  }
+
   /** Delta `DELETE FROM … WHERE predicate` — row deletion by an
     * arbitrary predicate, no key required. Stats-pruned rewrite scope
     * like every mutation: files provably outside the predicate carry
@@ -2408,6 +2502,43 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         java.nio.file.StandardOpenOption.CREATE_NEW,
         java.nio.file.StandardOpenOption.WRITE)
     else fs.create(p, /*overwrite=*/ false)
+}
+
+/** Fluent conditional-MERGE builder ([[ResourceTable.merge]]) —
+  * immutable; each `when…` returns a new builder, `execute()` runs
+  * the merge. Matched clauses fire in call order, Delta's semantics.
+  */
+final class MergeBuilder private[tables] (
+    t: ResourceTable, source: DataFrame, key: String,
+    matched: Vector[(org.apache.spark.sql.Column,
+      Option[Map[String, org.apache.spark.sql.Column]])],
+    notMatchedInsert: Option[org.apache.spark.sql.Column]) {
+  import org.apache.spark.sql.functions.lit
+
+  def whenMatchedUpdate(
+      set: Map[String, org.apache.spark.sql.Column],
+      condition: org.apache.spark.sql.Column = lit(true)): MergeBuilder =
+    new MergeBuilder(t, source, key,
+      matched :+ (condition -> Some(set)), notMatchedInsert)
+
+  def whenMatchedDelete(
+      condition: org.apache.spark.sql.Column = lit(true)): MergeBuilder =
+    new MergeBuilder(t, source, key,
+      matched :+ (condition -> None), notMatchedInsert)
+
+  def whenNotMatchedInsert(
+      condition: org.apache.spark.sql.Column = lit(true)): MergeBuilder =
+    new MergeBuilder(t, source, key, matched, Some(condition))
+
+  /** Run the merge; returns the source row count (the upsert
+    * convention). A builder with no clauses is a no-op misuse —
+    * refused loudly.
+    */
+  def execute(): Long = {
+    require(matched.nonEmpty || notMatchedInsert.nonEmpty,
+      "merge needs at least one whenMatched/whenNotMatched clause")
+    t.executeMerge(source, key, matched, notMatchedInsert)
+  }
 }
 
 object ResourceTable {

@@ -73,7 +73,8 @@ object DumpPlans {
     "q_rename_column" -> "RENAME COLUMN: one metadata-only commit (zero data IO at any table size) — reads scan physical names and alias back to logical; stats pruning translates predicates at the name boundary",
     "q_delete_update_where" -> "predicate DML (DELETE WHERE / UPDATE SET WHERE): stats-split rewrite scope, UPDATE is one conditional projection over only the may-match files — O(overlapping files), never O(table)",
     "q_tokenize_ids" -> "end-to-end tokenization: one corpus word-count shuffle, vocab-sized segmentation + id tables joined back (broadcast-sized), one per-doc ordering window — text is never re-segmented per occurrence",
-    "q_stream_pq" -> "streaming PQ probe: stateless stream-static join on the coarse-cell equi-key with the exact integer ADC threshold as residual — no state store, corpus encoded row-locally, per-batch work bounded by probes/nCells")
+    "q_stream_pq" -> "streaming PQ probe: stateless stream-static join on the coarse-cell equi-key with the exact integer ADC threshold as residual — no state store, corpus encoded row-locally, per-batch work bounded by probes/nCells",
+    "q_merge_builder" -> "conditional MERGE: one left-outer join of only the key-overlapping files vs the broadcast source; first-true clause index + per-column conditional projection decide every row in ONE pass — no per-clause scans")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
