@@ -1563,54 +1563,69 @@ final class ResourceTable(val spark: SparkSession, val path: String,
             else idsKeyed,
             Seq(key), "left_semi")
           .select(col("_gdv_file").as[String], col("_gdv_pos").as[Long])
-        val existing = touched.collect {
-          case (r, st) if st.dv.isDefined => r -> st.dv.get
-        }
-        val allDead =
-          if (existing.isEmpty) matches
-          else matches.union(dvPositions(existing)
-            .select(col("_gdv_file").as[String],
-              col("_gdv_pos").as[Long]))
-        val dvConf = new SerializableHadoopConf(
-          spark.sessionState.newHadoopConf())
-        val rootStr = root.toString
-        val inlineMax = inlineDvMaxBytes
-        // one encode task per touched file; positions of ONE file
-        // gather in its task (bounded by that file's rows — the same
-        // boundedness delta's DV writer assumes)
-        val encoded = allDead.groupByKey(_._1)
-          .mapGroups { (file, it) =>
-            val pos = it.map(_._2).toArray.distinct.sorted
-            val blob = DeletionVectors.encodePositions(pos)
-            if (blob.length <= inlineMax)
-              (file, "i", DeletionVectors.z85EncodePadded(blob), 0,
-                blob.length, pos.length.toLong)
-            else {
-              val d = DeletionVectors.writeSidecar(dvConf.value,
-                new HPath(rootStr), blob, pos.length.toLong)
-              (file, d.storageType, d.pathOrInlineDv, d.offset,
-                d.sizeInBytes, d.cardinality)
-            }
-          }.collect()
-          .map(e => e._1 ->
-            FileStats.DvInfo(e._2, e._3, e._4, e._5, e._6)).toMap
-        val qualified = touched.map { case (rel, st) =>
-          (fs.makeQualified(resolve(rel)).toUri.toString
-            .replaceFirst(DvSchemeRe, "/"), rel, st)
-        }
-        val updated = qualified.flatMap { case (q, rel, st) =>
-          encoded.get(q) match {
-            case Some(d) if d.card >= st.rows => None // fully dead
-            case Some(d) => Some(rel -> st.copy(dv = Some(d)))
-            case None => Some(rel -> st) // stats false positive
-          }
-        }
-        commitFiles(None, kept ++ updated, schema().json, cur,
-          op = "DELETE", key = Some(key))
+        commitDvMatches(matches, touched, kept, cur, Some(key))
         nIds
       }
     } finally idsKeyed.unpersist()
     result
+  }
+
+  /** Shared DV-delete tail: union the matched (file, position) rows
+    * with any existing DVs, encode per file on executors, and commit
+    * the updated manifest — zero data files rewritten. Used by the
+    * keyed path ([[deleteMatchingDv]]) and the predicate path
+    * ([[deleteWhere]] under `dvEnabled`).
+    */
+  private def commitDvMatches(
+      matches: org.apache.spark.sql.Dataset[(String, Long)],
+      touched: Seq[(String, FileStats.FileStat)],
+      kept: Seq[(String, FileStats.FileStat)],
+      cur: Option[Long], key: Option[String]): Unit = {
+    import spark.implicits._
+    val existing = touched.collect {
+      case (r, st) if st.dv.isDefined => r -> st.dv.get
+    }
+    val allDead =
+      if (existing.isEmpty) matches
+      else matches.union(dvPositions(existing)
+        .select(col("_gdv_file").as[String],
+          col("_gdv_pos").as[Long]))
+    val dvConf = new SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    val rootStr = root.toString
+    val inlineMax = inlineDvMaxBytes
+    // one encode task per touched file; positions of ONE file
+    // gather in its task (bounded by that file's rows — the same
+    // boundedness delta's DV writer assumes)
+    val encoded = allDead.groupByKey(_._1)
+      .mapGroups { (file, it) =>
+        val pos = it.map(_._2).toArray.distinct.sorted
+        val blob = DeletionVectors.encodePositions(pos)
+        if (blob.length <= inlineMax)
+          (file, "i", DeletionVectors.z85EncodePadded(blob), 0,
+            blob.length, pos.length.toLong)
+        else {
+          val d = DeletionVectors.writeSidecar(dvConf.value,
+            new HPath(rootStr), blob, pos.length.toLong)
+          (file, d.storageType, d.pathOrInlineDv, d.offset,
+            d.sizeInBytes, d.cardinality)
+        }
+      }.collect()
+      .map(e => e._1 ->
+        FileStats.DvInfo(e._2, e._3, e._4, e._5, e._6)).toMap
+    val qualified = touched.map { case (rel, st) =>
+      (fs.makeQualified(resolve(rel)).toUri.toString
+        .replaceFirst(DvSchemeRe, "/"), rel, st)
+    }
+    val updated = qualified.flatMap { case (q, rel, st) =>
+      encoded.get(q) match {
+        case Some(d) if d.card >= st.rows => None // fully dead
+        case Some(d) => Some(rel -> st.copy(dv = Some(d)))
+        case None => Some(rel -> st) // stats false positive
+      }
+    }
+    commitFiles(None, kept ++ updated, schema().json, cur,
+      op = "DELETE", key = key): Unit
   }
 
   def deleteMatching(ids: DataFrame, key: String): Long = {
@@ -1749,6 +1764,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     * O(table).
     */
   def deleteWhere(predicate: org.apache.spark.sql.Column): Long = retry() {
+    import spark.implicits._
     val cur = latestVersion
     val curV = cur.getOrElse(
       throw new IllegalStateException(s"no table at $path"))
@@ -1756,10 +1772,31 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     val (touched, untouched) = splitByPredicate(files, predicate)
     val kept = untouched.filterNot(_._2.rows == 0)
     val matching = coalesce(predicate, lit(false))
-    val newData =
-      if (touched.isEmpty) None
-      else Some(readFiles(touched, schema()).filter(!matching))
-    commitFiles(newData, kept, schema().json, cur, op = "DELETE")
+    if (dvEnabled && touched.nonEmpty) {
+      // same routing as deleteMatching: under the DV property the
+      // predicate delete writes bitmaps, not files — O(deleted rows).
+      // RAW scan (no DV filter): already-dead rows re-matching is
+      // fine, the per-file union dedups them
+      val tableSchema = schema()
+      val physT = physSchema(tableSchema)
+      val rawScan = spark.read.schema(physT)
+        .parquet(touched.map(f => resolve(f._1).toString): _*)
+        .withColumn("_gdv_file", regexp_replace(
+          col("_metadata.file_path"), DvSchemeRe, "/"))
+        .withColumn("_gdv_pos", col("_metadata.row_index"))
+      val matches = (if (physT == tableSchema) rawScan
+        else rawScan.select(tableSchema.fields.map(f =>
+          col(physName(f)).as(f.name)) ++
+          Seq(col("_gdv_file"), col("_gdv_pos")): _*))
+        .filter(matching)
+        .select(col("_gdv_file").as[String], col("_gdv_pos").as[Long])
+      commitDvMatches(matches, touched, kept, cur, key = None)
+    } else {
+      val newData =
+        if (touched.isEmpty) None
+        else Some(readFiles(touched, schema()).filter(!matching))
+      commitFiles(newData, kept, schema().json, cur, op = "DELETE"): Unit
+    }
     touched.size.toLong
   }
 

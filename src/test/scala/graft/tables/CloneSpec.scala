@@ -246,6 +246,23 @@ class ReplaceWhereSpec extends SparkSpec {
     assert(t2.read().count() == 2)
   }
 
+  test("deleteWhere on a DV-enabled table writes bitmaps, not files") {
+    val t = ResourceTable(spark, s"${tmpDir("dwdv")}/T.parquet")
+      .createIfNotExists(schema).enableDeletionVectors()
+    t.upsert(df((0 until 100).map(i => s"k$i" -> i): _*), "id")
+    val filesBefore = t.fileManifest(t.latestVersion.get)
+    t.deleteWhere(org.apache.spark.sql.functions.col("v") >= 90)
+    assert(t.fileManifest(t.latestVersion.get) == filesBefore,
+      "DV-routed predicate delete must rewrite zero data files")
+    assert(t.fileListAt(t.latestVersion.get)
+      .exists(_._2.dv.isDefined), "DVs must be recorded")
+    assert(t.read().count() == 90)
+    // keyless DV commit still replays through the content change feed
+    val v = t.latestVersion.get
+    assert(t.changesByContent(v - 1, v)
+      .filter("_change_type = 'delete'").count() == 10)
+  }
+
   test("updateWhere: assignments see the pre-update row; swaps work") {
     val wide = StructType(Seq(
       StructField("id", StringType),
