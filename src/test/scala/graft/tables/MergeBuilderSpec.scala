@@ -77,6 +77,19 @@ class MergeBuilderSpec extends SparkSpec {
     assert(t.read().head.getInt(1) == 30)
   }
 
+  test("builder works through a column-mapping rename") {
+    val t = fresh("mbcm", "a" -> 1, "b" -> 20)
+    t.enableColumnMapping()
+    t.renameColumn("v", "value")
+    t.merge(df("a" -> 5, "z" -> 9).toDF("id", "value"), "id")
+      .whenMatchedUpdate(Map("value" -> (col("t.value") + col("s.value"))))
+      .whenNotMatchedInsert()
+      .execute()
+    assert(t.read().collect().map(r =>
+      r.getString(0) -> r.getInt(1)).toMap ==
+      Map("a" -> 6, "b" -> 20, "z" -> 9))
+  }
+
   test("no clauses refuses; source-only merge inserts nothing matched") {
     val t = fresh("mbref", "a" -> 1)
     intercept[IllegalArgumentException](t.merge(df("a" -> 2), "id").execute())
