@@ -1862,6 +1862,30 @@ object SparkEntry {
           dsum(col("o_totalprice")).as("total_price"))
     }),
 
+    // ---- file-level BLOOM MEMBERSHIP INDEX (Delta's bloom filter
+    //      index): a point lookup on a high-cardinality column that
+    //      is NOT the clustering key overlaps every file's [min,max],
+    //      so stats skipping opens the whole table — the per-file
+    //      bloom sidecar prunes to the files that might match, with
+    //      results identical to the relational filter ----
+    "q_bloom_skipping" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_bloom").toString
+      val rt = graft.tables.ResourceTable(s, s"$tdir/orders_b.parquet")
+      // clustered by DATE → o_orderkey interleaves across every file
+      rt.createIfNotExists(orders.schema, clusterCols = Seq("o_orderdate"))
+      rt.enableBloomIndex(Seq("o_orderkey"))
+      rt.upsert(orders, "o_orderkey")
+      rt.optimize(numFiles = 8)
+      // lazy read → the StatsFileIndex + bloom-probe hook prunes at
+      // PLAN time from the pushed IN filter (read(filter)'s eager
+      // pruning is the stats-only path; this exercises the index)
+      rt.read().filter(col("o_orderkey").isin(7L, 311L, 1202L))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+    }),
+
     // ---- hive-style partitioned layout: the scan must prune to the
     //      one matching partition directory (PartitionFilters) ----
     "q_partition_pruning" -> ((s, dir) => {
@@ -4829,6 +4853,10 @@ object SparkEntry {
         |    AS total_price
         |FROM orders WHERE o_orderkey BETWEEN 100 AND 1500
         |GROUP BY o_orderstatus""".stripMargin,
+
+    "q_bloom_skipping" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey IN (7, 311, 1202)""".stripMargin,
 
     "q_partition_pruning" ->
       """SELECT user_id, count(*) AS cnt,

@@ -185,7 +185,8 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     val vPhys = physSchema(vSchema)
     val undv = applyDv(spark.baseRelationToDataFrame(
       org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-        new StatsFileIndex(new HPath(path), entries),
+        new StatsFileIndex(new HPath(path), entries)
+          .withExtraPrune(bloomPruneHook),
         StructType(Nil),
         StatsFileIndex.relaxNullability(vPhys).asInstanceOf[StructType],
         None,
@@ -282,7 +283,8 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     val vPhys = physSchema(vSchema)
     val scan = spark.baseRelationToDataFrame(
       org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-        StatsFileIndex.streaming(new HPath(path), () => entries()),
+        StatsFileIndex.streaming(new HPath(path), () => entries())
+          .withExtraPrune(bloomPruneHook),
         StructType(Nil),
         StatsFileIndex.relaxNullability(vPhys).asInstanceOf[StructType],
         None,
@@ -443,8 +445,16 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     requireRenameSafe(oldName)
     val renamed = StructType(s.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
-    commitFiles(None, fileListAt(cur), renamed.json, Some(cur),
+    val v = commitFiles(None, fileListAt(cur), renamed.json, Some(cur),
       op = "RENAME COLUMN")
+    // the bloom index list is LOGICAL names — follow the rename (the
+    // physical column, and with it every existing sidecar, is stable
+    // under a mapped rename, so the index stays live seamlessly)
+    val bloomCols = bloomIndexColumns
+    if (bloomCols.contains(oldName))
+      writeFile(bloomMetaFile, bloomCols.map(c =>
+        if (c == oldName) newName else c).mkString("\n"))
+    v
   }
 
   /** ALTER TABLE ... DROP COLUMN — metadata-only under column
@@ -470,8 +480,15 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         s"$path: cannot drop the only column")
     requireRenameSafe(name)
     val remaining = StructType(s.fields.filterNot(_.name == name))
-    commitFiles(None, fileListAt(cur), remaining.json, Some(cur),
+    val v = commitFiles(None, fileListAt(cur), remaining.json, Some(cur),
       op = "DROP COLUMN")
+    val bloomCols = bloomIndexColumns
+    if (bloomCols.contains(name)) {
+      val rest = bloomCols.filterNot(_ == name)
+      if (rest.isEmpty) { fs.delete(bloomMetaFile, false): Unit }
+      else writeFile(bloomMetaFile, rest.mkString("\n"))
+    }
+    v
   }
 
   /** New top-level fields added by mergeSchema get fresh physical
@@ -1492,6 +1509,74 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     this
   }
 
+  /** Opt this table into a file-level BLOOM MEMBERSHIP INDEX on
+    * `cols` (Delta's bloom filter index): every subsequent commit's
+    * new data directory gets a `_index/<dir>.bloom` sidecar, and
+    * point-lookup reads (`c = v`, `c IN (…)`) prune files the filter
+    * proves cannot match — the skipping min/max stats cannot provide
+    * for high-cardinality columns that aren't the clustering key.
+    * Takes effect for NEW files only (like Delta); run
+    * [[optimize]]/[[compactSmallFiles]] to index existing data via
+    * its rewrite. Logical names; renames patch the list (physical
+    * bytes — and therefore existing sidecars — are untouched by a
+    * mapped rename).
+    */
+  def enableBloomIndex(cols: Seq[String]): ResourceTable = {
+    require(cols.nonEmpty, "bloom index needs at least one column")
+    writeFile(bloomMetaFile, cols.mkString("\n"))
+    this
+  }
+
+  private def bloomMetaFile = new HPath(root, "_meta_bloom.txt")
+
+  private[tables] def bloomIndexColumns: Seq[String] =
+    if (!fs.exists(bloomMetaFile)) Seq.empty
+    else readFile(bloomMetaFile).split("\n").map(_.trim)
+      .filter(_.nonEmpty).toSeq
+
+  /** Bloom sizing/probe knobs (session conf): target false-positive
+    * rate, and the probe-survivor cap past which pruning is abandoned
+    * for a column (collects must stay bounded on the driver).
+    */
+  private def bloomFpp: Double =
+    spark.conf.get("graft.table.bloomIndex.fpp", "0.01").toDouble
+  private def bloomProbeKeepCap: Int =
+    spark.conf.get("graft.table.bloomIndex.probeKeepCap", "100000").toInt
+
+  /** The extra-prune hook [[readVersion]] installs on its
+    * [[StatsFileIndex]]: lazily (only when a filtered scan plans)
+    * checks for index metadata, extracts servable equality probes
+    * from the pushed filters, and runs one [[BloomIndex.probe]] per
+    * distinct probe set (memoized — Catalyst may plan a scan more
+    * than once). Filters reference PHYSICAL names at scan level,
+    * which is also the namespace the sidecars are keyed by.
+    */
+  private def bloomPruneHook
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        Option[HPath => Boolean] = {
+    val memo = scala.collection.mutable.Map
+      .empty[String, Option[String => Boolean]]
+    filters => {
+      val physCols = bloomIndexColumns.map(physNameOf).toSet
+      if (physCols.isEmpty) None
+      else {
+        val hashes = BloomIndex.eqHashes(filters, physCols)
+        if (hashes.isEmpty) None
+        else {
+          val key = hashes.toSeq.sortBy(_._1)
+            .map { case (c, hs) => s"$c:${hs.sorted.mkString(",")}" }
+            .mkString(";")
+          memo.synchronized {
+            memo.getOrElseUpdate(key,
+              BloomIndex.probe(spark, fs, root, hashes,
+                bloomProbeKeepCap))
+          }.map(keepRel => (p: HPath) =>
+            keepRel(s"${p.getParent.getName}/${p.getName}"))
+        }
+      }
+    }
+  }
+
   /** Opt this table into CHANGE DATA FEED export (Delta's
     * `delta.enableChangeDataFeed` table property): DeltaExport will
     * emit `cdc` actions + `_change_data/` row-level change files for
@@ -2147,7 +2232,32 @@ final class ResourceTable(val spark: SparkSession, val path: String,
           fs.delete(s.getPath, true)
       }
     reapOrphanSidecars(cur, cutoff, dryRun)
+    reapOrphanBloomSidecars(cutoff, dryRun)
     n
+  }
+
+  /** Bloom sidecars share their data directory's lifecycle exactly:
+    * `_index/<dir>.bloom` dies when `<dir>` dies (swept above once
+    * its files age out unreferenced). `.tmp-*` leftovers are crashed
+    * builds — reap past the cutoff too. Driver-side O(directories).
+    */
+  private def reapOrphanBloomSidecars(cutoff: Long,
+                                      dryRun: Boolean): Unit = {
+    val idx = BloomIndex.indexRoot(root)
+    val listed =
+      try fs.listStatus(idx)
+      catch { case _: java.io.FileNotFoundException => return }
+    listed.foreach { s =>
+      val nm = s.getPath.getName
+      val dirName =
+        if (nm.startsWith(".tmp-")) nm.stripPrefix(".tmp-")
+          .stripSuffix(".bloom")
+        else nm.stripSuffix(".bloom")
+      if (nm.endsWith(".bloom") && s.getModificationTime < cutoff &&
+          (nm.startsWith(".tmp-") ||
+            !fs.exists(new HPath(root, dirName))))
+        if (!dryRun) fs.delete(s.getPath, true)
+    }
   }
 
   /** DV sidecars live at the table root: reap the ones the CURRENT
@@ -2262,6 +2372,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
             fs.delete(s.getPath, true)
         }
       reapOrphanSidecars(cur, cutoff, dryRun)
+      reapOrphanBloomSidecars(cutoff, dryRun)
     }
     removedParquet
   }
@@ -2450,6 +2561,23 @@ final class ResourceTable(val spark: SparkSession, val path: String,
           .filter(_._2.rows > 0)
       case None => Seq.empty
     }
+    // file-level bloom index: build the new directory's sidecar now
+    // (same pre-election lifecycle as the data dir — a lost race or
+    // failed publish deletes both). One distributed, column-pruned
+    // pass over the NEW files only; sized by the batch's largest file
+    // (footer row counts just read above). Failure leaves the commit
+    // unindexed, never unpublished — the index is an accelerator.
+    if (newStats.nonEmpty) {
+      val bloomCols = bloomIndexColumns
+      if (bloomCols.nonEmpty)
+        try BloomIndex.build(spark, fs, root, dirName,
+          bloomCols.map(physNameOf),
+          math.max(1024L, newStats.map(_._2.rows).max), bloomFpp)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"$path: bloom index build for $dirName " +
+            s"failed (commit proceeds unindexed): ${e.getMessage}")
+        }
+    }
     val statsJson =
       FileStats.toJsonNode((keptFiles ++ newStats).toMap).toString
     // txn watermarks carry forward so any later commit can answer
@@ -2473,9 +2601,11 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         case e @ (_: java.nio.file.FileAlreadyExistsException |
                   _: org.apache.hadoop.fs.FileAlreadyExistsException) =>
           fs.delete(dir, true)
+          BloomIndex.deleteSidecar(fs, root, dirName)
           throw new CommitConflictException(path, next, e)
         case e: Throwable =>
           fs.delete(dir, true)
+          BloomIndex.deleteSidecar(fs, root, dirName)
           throw e
       }
     // we WON the election: the commit file exists and is ours. If the
@@ -2499,6 +2629,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       try fs.delete(commitFile(next), false)
       catch { case _: Throwable => () }
       try fs.delete(dir, true) catch { case _: Throwable => () }
+      BloomIndex.deleteSidecar(fs, root, dirName)
       throw e
     }
     // roll the lookup checkpoint forward every checkpointInterval

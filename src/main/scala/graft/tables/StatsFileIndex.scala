@@ -43,7 +43,8 @@ final class StatsFileIndex private (
     root: HPath,
     source: () => Iterator[(InternalRow, StatsFileIndex.Entry)],
     override val partitionSchema: StructType,
-    sizeHint: Option[Long])
+    sizeHint: Option[Long],
+    extraPrune: Seq[Expression] => Option[HPath => Boolean])
     extends FileIndex {
 
   def this(root: HPath,
@@ -54,10 +55,20 @@ final class StatsFileIndex private (
         es.iterator.map(row -> _)
       },
       partitionSchema,
-      Some(partitions.iterator.flatMap(_._2).map(_.size).sum))
+      Some(partitions.iterator.flatMap(_._2).map(_.size).sum),
+      StatsFileIndex.NoPrune)
 
   def this(root: HPath, files: Seq[StatsFileIndex.Entry]) =
     this(root, Seq((InternalRow.empty, files)), StructType(Nil))
+
+  /** Same index with a membership-index hook: given the scan's pushed
+    * data filters, an optional extra file-level KEEP predicate —
+    * evaluated once per [[listFiles]], applied per entry after stats
+    * pruning (a [[BloomIndex]] probe on the ResourceTable read path).
+    */
+  def withExtraPrune(
+      f: Seq[Expression] => Option[HPath => Boolean]): StatsFileIndex =
+    new StatsFileIndex(root, source, partitionSchema, sizeHint, f)
 
   /** Planning telemetry for the last [[listFiles]]: entries streamed
     * through vs entries materialized as FileStatus. The 1M-file spec
@@ -97,6 +108,10 @@ final class StatsFileIndex private (
     // (shared) partition-row instance — sources emit one group's
     // entries contiguously, so run-grouping preserves group structure
     // without holding anything beyond the survivors.
+    // membership-index probe (when installed): one distributed index
+    // scan up front, then an O(1) per-entry keep test in the stream
+    val extraKeep: Option[HPath => Boolean] =
+      if (dataFilters.isEmpty) None else extraPrune(dataFilters)
     var scanned = 0L
     val groups =
       scala.collection.mutable.ArrayBuffer
@@ -115,7 +130,8 @@ final class StatsFileIndex private (
       }
       if (lastRowKept &&
           e.stats.forall(st => !dataFilters.exists(f =>
-            FileStats.canSkip(f, st))))
+            FileStats.canSkip(f, st))) &&
+          extraKeep.forall(_(e.path)))
         groups.last._2 += new FileStatus(
           e.size, false, 1, 128L * 1024 * 1024, e.modTime, e.path)
     }
@@ -203,8 +219,11 @@ object StatsFileIndex {
                 sizeHint: Option[Long] = None): StatsFileIndex = {
     val row = InternalRow.empty
     new StatsFileIndex(root, () => source().map(row -> _),
-      StructType(Nil), sizeHint)
+      StructType(Nil), sizeHint, NoPrune)
   }
+
+  /** Default extra-prune hook: never prunes. */
+  val NoPrune: Seq[Expression] => Option[HPath => Boolean] = _ => None
 
   /** File sources cannot trust declared non-nullability: a file
     * written before a schema evolution legitimately lacks the evolved
