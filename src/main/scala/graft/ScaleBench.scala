@@ -50,7 +50,7 @@ object ScaleBench {
     "x_url_dedup", "x_upsert_overlap", "x_insert_absent", "x_dv_purge",
     "q_substring_dedup", "q_lm_score", "q_bpe_train",
     "q_rp_topk", "q_allpairs_sim", "x_shallow_clone", "q_pq_encode",
-    "x_rename_column")
+    "x_rename_column", "x_bloom_lookup", "x_bloom_lookup_off")
 
   /** Scale-only cases that are not SparkEntry gates: shapes whose
     * scale story needs DIFFERENT fixture sizing than the sf0.01 gate.
@@ -241,6 +241,19 @@ object ScaleBench {
       tab.renameColumn(from, s"value_r$i")
       s.range(1).toDF("done")
     }),
+    // BLOOM INDEX at scale: point-IN lookup of 3 ids on a
+    // ts-clustered table (event_id interleaves across every file, so
+    // min/max stats prune NOTHING). Indexed: one sidecar probe scan +
+    // the handful of might-contain files — wall time tracks matching
+    // files, not table bytes. The _off twin (probe kill-switch) is
+    // the control: stats-only pruning degenerates to a full scan that
+    // grows with the decade. The PAIR is the datapoint.
+    "x_bloom_lookup" -> ((s, dir) => {
+      bloomLookup(s, dir, probe = true); s.range(1).toDF("done")
+    }),
+    "x_bloom_lookup_off" -> ((s, dir) => {
+      bloomLookup(s, dir, probe = false); s.range(1).toDF("done")
+    }),
     // REORG PURGE at scale: DV-kill 80% of a CONSTANT 12.5k-id
     // contiguous stripe of the event_id-clustered table, then purge
     // at 5% dead. Only the stripe's files cross the threshold, so
@@ -282,6 +295,66 @@ object ScaleBench {
       tab.enableDeletionVectors()
       tab
     })
+
+  /** x_bloom_lookup fixture: the scaled events table clustered on
+    * `ts` — event_id spans the full key range in EVERY file, the
+    * worst case for min/max skipping and exactly what the bloom
+    * sidecar index exists for. Index enabled before the load so the
+    * upsert's commit builds the sidecars (one extra distributed pass,
+    * absorbed by the memoized build, like a real ingest pays it).
+    */
+  private def bloomDemo(s: SparkSession, dir: String)
+      : graft.tables.ResourceTable =
+    deleteFixture.computeIfAbsent(s"bloom:$dir", _ => {
+      val base = s.read.parquet(s"$dir/events.parquet").repartition(32)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sbloom").toString
+      val tab = graft.tables.ResourceTable(s, s"$tmp/e.parquet")
+        .createIfNotExists(base.schema, clusterCols = Seq("ts"))
+      tab.enableBloomIndex(Seq("event_id"))
+      tab.upsert(base, "event_id")
+      tab
+    })
+
+  /** One timed point-IN lookup; stderr reports the SCAN FOOTPRINT
+    * (files/bytes the pruned plan reads) — on local NVMe with a hot
+    * page cache the wall clock hides pruning (a 100M-row scan is
+    * ~0.2 s and the probe's extra jobs cost more), but on an object
+    * store the scanned bytes ARE the cost, exactly like timedDelete's
+    * write-amplification line.
+    */
+  private def bloomLookup(s: SparkSession, dir: String,
+                          probe: Boolean): Unit = {
+    val tab = bloomDemo(s, dir)
+    val tag = if (probe) "bloom" else "bloomoff"
+    val i = nextSlice(s"$tag:$dir")
+    val ids = Seq(0L, 1L, 2L)
+      .map(k => (i.toLong * 7919L + k * 31337L) % 100000L)
+    s.conf.set("graft.table.bloomIndex.probe", probe.toString)
+    try {
+      val q = tab.read().filter(col("event_id").isin(ids: _*))
+        .selectExpr("count(*) AS n")
+      val n = q.collect()(0).getLong(0)
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scans(a.executedPlan)
+          // AQE stage nodes have NO children; the subtree is .plan
+          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scans(qs.plan)
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+          case o => o.children.flatMap(scans) ++
+            o.subqueries.flatMap(scans)
+        }
+      val fp = scans(q.queryExecution.executedPlan).map { f =>
+        (f.metrics.get("numFiles").map(_.value).getOrElse(-1L),
+          f.metrics.get("filesSize").map(_.value).getOrElse(-1L))
+      }
+      System.err.println(s"[bloom] probe=$probe ids=$ids rows=$n " +
+        s"scanned(files,bytes)=$fp")
+    } finally s.conf.set("graft.table.bloomIndex.probe", "true")
+  }
 
   /** ~0.1% ingest batch, half re-delivered known keys + half new keys
     * (shifted past every scaled id) — each round a different slice.

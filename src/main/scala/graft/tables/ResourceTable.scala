@@ -1557,6 +1557,11 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     val memo = scala.collection.mutable.Map
       .empty[String, Option[String => Boolean]]
     filters => {
+      // kill switch, same convention as graft.rules.*: probing is an
+      // accelerator — off means stats-only pruning, never wrong rows
+      if (!spark.conf.get("graft.table.bloomIndex.probe", "true")
+            .toBoolean) None
+      else {
       val physCols = bloomIndexColumns.map(physNameOf).toSet
       if (physCols.isEmpty) None
       else {
@@ -1573,6 +1578,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
           }.map(keepRel => (p: HPath) =>
             keepRel(s"${p.getParent.getName}/${p.getName}"))
         }
+      }
       }
     }
   }
