@@ -359,6 +359,28 @@ object SparkEntry {
       Dedup.keepBest(labels, scores)
     }),
 
+    // ---- host-graph PageRank (fixed-point integer, 3 iterations):
+    //      the link-analysis quality signal web-scale pipelines weight
+    //      documents by. Edges: customer→supplier per lineitem (with
+    //      multiplicity — the raw link-graph shape) + supplier→customer
+    //      back-edges for first line items, so mass propagates through
+    //      real cycles; node ids namespaced (cust*10 / supp*10+1).
+    //      Integer ranks are order-independent, so DuckDB replays all
+    //      3 unrolled iterations bit-for-bit with BIGINT // division ----
+    "q_pagerank" -> ((s, dir) => {
+      val j = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      val fwd = j.select((col("o_custkey") * 10).as("src"),
+        (col("l_suppkey") * 10 + 1).as("dst"))
+      val rev = j.filter(col("l_linenumber") === 1)
+        .select((col("l_suppkey") * 10 + 1).as("src"),
+          (col("o_custkey") * 10).as("dst"))
+      graft.ops.Graph.pageRank(fwd.unionByName(rev), "src", "dst",
+          iterations = 3)
+        .select(col("node"), col("rank"))
+    }),
+
     // ---- distributed k-means (spherical Lloyd's, k=4, 2 iterations):
     //      row-local argmax-cosine assignment against inlined literal
     //      centroids (zero joins/shuffles per scan) + one exact
@@ -4477,6 +4499,47 @@ object SparkEntry {
     // full Lloyd's replay — see KmeansOracle
     "q_kmeans" -> KmeansOracle.assignSql,
     "q_cluster_capped" -> KmeansOracle.cappedSql,
+
+    // fixed-point integer PageRank: 3 unrolled iterations, BIGINT //
+    // division everywhere — the engine's long DIV arithmetic replays
+    // exactly (dangling mass redistributed as dang // N per node)
+    "q_pagerank" -> {
+      def iter(k: Int): String = {
+        val prev = if (k == 1) "r0" else s"r${k - 1}"
+        s"""d$k AS (
+           |  SELECT COALESCE(sum(r.rank), 0) AS dang FROM $prev r
+           |  LEFT JOIN deg ON deg.src = r.node WHERE deg.src IS NULL),
+           |c$k AS (
+           |  SELECT e.dst AS node, sum(r.rank // d.deg) AS c
+           |  FROM e JOIN deg d ON d.src = e.src
+           |  JOIN $prev r ON r.node = e.src GROUP BY e.dst),
+           |r$k AS (
+           |  SELECT n.node, 150000 + (85 * (COALESCE(c$k.c, 0) +
+           |    (SELECT dang FROM d$k) // (SELECT n FROM nn))) // 100
+           |    AS rank
+           |  FROM nodes n LEFT JOIN c$k ON c$k.node = n.node)""".stripMargin
+      }
+      s"""WITH j AS (
+         |  SELECT o_custkey * 10 AS c, l_suppkey * 10 + 1 AS sp,
+         |    l_linenumber
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |e AS (
+         |  SELECT c AS src, sp AS dst FROM j
+         |  UNION ALL
+         |  SELECT sp AS src, c AS dst FROM j WHERE l_linenumber = 1),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM e
+         |  UNION ALL SELECT dst AS node FROM e)),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank
+         |       FROM nodes),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT CAST(node AS BIGINT) AS node,
+         |  CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin
+    },
 
     // same connected components as q_dedup_resolve_exact, singletons
     // rooted at themselves, then the md5 split threshold on the root
