@@ -359,6 +359,21 @@ object SparkEntry {
       Dedup.keepBest(labels, scores)
     }),
 
+    // ---- DSIR importance-resampling selection (Xie et al. 2023):
+    //      hashed-token bag models of target (lang 'de') vs raw
+    //      corpus, add-1 smoothed; per-doc importance log-weight is a
+    //      ROW-LOCAL dot product against the 64 inlined model deltas
+    //      (zero joins — the literal-model k-means pattern), then one
+    //      bounded top-k. Doubles fold in fixed bucket order, so the
+    //      oracle's ordered list_reduce replays the ranking exactly ----
+    "q_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Sampling.dsirSelect(
+        docs.filter(col("lang") =!= "de"),
+        docs.filter(col("lang") === "de"),
+        "doc_id", "text", k = 50)
+    }),
+
     // ---- host-graph PageRank (fixed-point integer, 3 iterations):
     //      the link-analysis quality signal web-scale pipelines weight
     //      documents by. Edges: customer→supplier per lineitem (with
@@ -3267,6 +3282,63 @@ object SparkEntry {
          |  CAST(len(t.tlist) - COALESCE(s.removed, 0) AS BIGINT) AS kept_tokens
          |FROM doc_toks t LEFT JOIN spans s USING (doc_id)""".stripMargin
     }
+
+    /** True dual implementation of Sampling.dsirSelect(target =
+      * lang 'de', corpus = the rest, B = 64, k = 50): bucket counts
+      * from the same splitmix token hashes (th % 64 ≡ the signed
+      * & 63 — 64 divides 2^64), add-1 models with per-bucket ln
+      * rounded to 9 BEFORE the difference, and the per-doc importance
+      * weight folded in bucket order 0..63 via an ORDERED
+      * list_reduce — the identical IEEE sequence Spark's positional
+      * zip_with fold runs, so the double ranks reproduce exactly.
+      */
+    val dsirSelect: String =
+      s"""WITH $tokenCtes,
+         |b AS (
+         |  SELECT t.doc_id, d.lang, CAST(t.th % 64 AS INTEGER) AS bucket
+         |  FROM th t JOIN documents d USING (doc_id)),
+         |tgt AS (SELECT bucket, count(*) AS c FROM b
+         |        WHERE lang = 'de' GROUP BY bucket),
+         |raw AS (SELECT bucket, count(*) AS c FROM b
+         |        WHERE lang <> 'de' GROUP BY bucket),
+         |tt AS (SELECT count(*) + 64 AS t FROM b WHERE lang = 'de'),
+         |tr AS (SELECT count(*) + 64 AS t FROM b WHERE lang <> 'de'),
+         |grid AS (SELECT g.b AS bucket
+         |         FROM unnest(generate_series(0, 63)) AS g(b)),
+         |delta AS (
+         |  SELECT grid.bucket,
+         |    round(ln(CAST(COALESCE(tgt.c, 0) + 1 AS DOUBLE)
+         |             / CAST((SELECT t FROM tt) AS DOUBLE)), 9) -
+         |    round(ln(CAST(COALESCE(raw.c, 0) + 1 AS DOUBLE)
+         |             / CAST((SELECT t FROM tr) AS DOUBLE)), 9) AS d
+         |  FROM grid LEFT JOIN tgt USING (bucket)
+         |            LEFT JOIN raw USING (bucket)),
+         |dc AS (SELECT doc_id, bucket, count(*) AS c FROM b
+         |       WHERE lang <> 'de' GROUP BY doc_id, bucket),
+         |dgrid AS (
+         |  SELECT d.doc_id, g.b AS bucket
+         |  FROM documents d, unnest(generate_series(0, 63)) AS g(b)
+         |  WHERE d.lang <> 'de'),
+         |terms AS (
+         |  SELECT dg.doc_id, dg.bucket,
+         |    CAST(COALESCE(dc.c, 0) AS DOUBLE) * delta.d AS x
+         |  FROM dgrid dg LEFT JOIN dc USING (doc_id, bucket)
+         |                JOIN delta USING (bucket)),
+         |lw AS (
+         |  SELECT doc_id,
+         |    list_reduce(
+         |      list_prepend(CAST(0.0 AS DOUBLE),
+         |                   list(x ORDER BY bucket)),
+         |      (a, x) -> a + x) AS lw
+         |  FROM terms GROUP BY doc_id),
+         |nt AS (SELECT doc_id, count(*) AS n FROM b
+         |       WHERE lang <> 'de' GROUP BY doc_id)
+         |SELECT l.doc_id,
+         |  CAST(row_number() OVER (ORDER BY l.lw DESC, l.doc_id ASC)
+         |       AS INTEGER) AS dsir_rank,
+         |  CAST(COALESCE(nt.n, 0) AS BIGINT) AS n_toks
+         |FROM lw l LEFT JOIN nt USING (doc_id)
+         |QUALIFY dsir_rank <= 50""".stripMargin
   }
 
   /** DuckDB replay of [[graft.ops.BpeTrainer.train]]: k unrolled
@@ -5413,6 +5485,7 @@ object SparkEntry {
     "q_dedup_simhash" -> SplitmixOracle.simhashPairs,
     "q_hash_embed" -> SplitmixOracle.hashEmbedStats,
     "q_hash_embed_sim" -> SplitmixOracle.hashEmbedSim,
+    "q_dsir_select" -> SplitmixOracle.dsirSelect,
 
     // exact because the KMV sketches are COMPLETE at this corpus: the
     // per-language vocabulary is 31 distinct words (measured at sf0.01

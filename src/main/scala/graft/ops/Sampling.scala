@@ -214,4 +214,82 @@ object Sampling {
       .drop("_root")
     hashSplit(rooted, "root_id", salt, fractions)
   }
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every corpus
+    * document by how much more likely its hashed-token bag is under
+    * the TARGET distribution than under the RAW corpus distribution,
+    * and keep the top-k. The models are bag-of-hashed-tokens with
+    * add-1 smoothing over `buckets` hash buckets (the paper's hashed
+    * n-gram generative models); the importance log-weight of a doc is
+    *   Σ_b count_doc[b] · (ln p_target[b] − ln p_raw[b]).
+    *
+    * Determinism (the oracle contract): bucket counts come from the
+    * native one-pass [[graft.functions.TextExpressions.hash_embed]]
+    * (splitmix token hashes — exact integer counts in any engine);
+    * each model's per-bucket ln is rounded to 9 decimals BEFORE the
+    * difference (inputs are exact integer ratios, so rounding absorbs
+    * sub-ulp libm divergence — the q_lm_score convention); and the
+    * per-doc dot product folds in FIXED bucket order 0..B-1 over the
+    * embedded array, so the double is identical on every partitioning
+    * and replayable by an ordered list_reduce.
+    *
+    * Scale shape: two B-sized model aggregates (posexplode →
+    * map-side-combined sum — shuffle rows are B·partitions, never
+    * corpus-sized), a 2·B-long driver collect (the model IS that
+    * small; inlined as a literal like the k-means centroids), then
+    * scoring is a ROW-LOCAL projection over the corpus scan — zero
+    * joins — and one global top-k. Output: (id, dsir_rank, n_toks)
+    * for the k kept docs, rank 1 = most target-like, ties broken by
+    * ascending id.
+    */
+  def dsirSelect(corpus: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, k: Int,
+                 buckets: Int = 64): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two (hash_embed contract)")
+    def embedded(df: DataFrame): DataFrame = df.withColumn("__hv",
+      graft.functions.TextExpressions.hash_embed(col(textCol), buckets))
+    // per-bucket token counts of one distribution: B-sized result,
+    // partial-aggregated map-side
+    def model(df: DataFrame): Array[Long] = {
+      val rows = embedded(df)
+        .select(posexplode(col("__hv")).as(Seq("b", "c")))
+        .groupBy("b").agg(sum(col("c").cast("long")).as("c"))
+        .collect()
+      val out = Array.fill(buckets)(0L)
+      rows.foreach(r => out(r.getInt(0)) = r.getLong(1))
+      out
+    }
+    val ct = model(target)
+    val cr = model(corpus)
+    val tt = ct.sum.toDouble + buckets
+    val tr = cr.sum.toDouble + buckets
+    def round9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val deltas = Array.tabulate(buckets)(b =>
+      round9(math.log((ct(b) + 1).toDouble / tt)) -
+        round9(math.log((cr(b) + 1).toDouble / tr)))
+    // row-local score: positional fold over zip(counts, literal
+    // deltas) — order 0..B-1 in both engines, bitwise-reproducible
+    val scored = embedded(corpus).withColumn("__lw",
+      aggregate(
+        zip_with(col("__hv"),
+          array(deltas.map(d => lit(d)).toIndexedSeq: _*),
+          (c, d) => c.cast("double") * d),
+        lit(0.0), (acc, x) => acc + x))
+    // bound BEFORE ranking: orderBy+limit plans as a distributed
+    // TakeOrderedAndProject (per-partition top-k, k-row merge), then
+    // the rank window runs over k rows in one defined bucket — never
+    // a whole-corpus single-partition window
+    scored
+      .orderBy(col("__lw").desc, col(idCol).asc).limit(k)
+      .withColumn("dsir_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(TopK.singleBucket(col(idCol)))
+          .orderBy(col("__lw").desc, col(idCol).asc)))
+      .select(col(idCol), col("dsir_rank"),
+        aggregate(col("__hv"), lit(0L),
+          (a, c) => a + c.cast("long")).as("n_toks"))
+  }
 }
