@@ -359,6 +359,27 @@ object SparkEntry {
       Dedup.keepBest(labels, scores)
     }),
 
+    // ---- count-min sketch (Cormode-Muthukrishnan): d=4 × w=1024
+    //      integer-count frequency sketch of the corpus token
+    //      distribution — bounded memory however large the key space;
+    //      probed estimates are overestimate-only (est >= exact).
+    //      Integer sums + the splitmix hash family make the WHOLE
+    //      sketch exactly oracle-replayable, unlike HLL/GK ----
+    "q_cms_heavy" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val sketch = graft.ops.TextStats.cmsSketch(docs, "text")
+      val probes = CmsProbeWords.toDF("word")
+      val est = graft.ops.TextStats.cmsEstimate(sketch, probes)
+      val exact = docs
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("tok").agg(count(lit(1)).as("exact"))
+      est.join(exact, est("word") === exact("tok"), "left")
+        .select(col("word"), col("est"),
+          coalesce(col("exact"), lit(0L)).as("exact"))
+    }),
+
     // ---- DSIR importance-resampling selection (Xie et al. 2023):
     //      hashed-token bag models of target (lang 'de') vs raw
     //      corpus, add-1 smoothed; per-doc importance log-weight is a
@@ -3062,6 +3083,13 @@ object SparkEntry {
     * subtrees exponentially (DuckDB does not CSE), measured 100×
     * slower.
     */
+  /** q_cms_heavy probe keys: frequent generator-vocab words, one
+    * mid-frequency, one guaranteed-absent (collision-only estimate).
+    */
+  private val CmsProbeWords: Seq[String] =
+    Seq("table", "query", "customer", "the", "value", "stream",
+      "quantumxyz")
+
   private object SplitmixOracle {
     private val Gamma = "11400714819323198485" // 0x9E3779B97F4A7C15
     private val C2 = "13787848793156543929"    // 0xBF58476D1CE4E5B9
@@ -3281,6 +3309,46 @@ object SparkEntry {
          |  CAST(COALESCE(s.removed, 0) AS BIGINT) AS removed_tokens,
          |  CAST(len(t.tlist) - COALESCE(s.removed, 0) AS BIGINT) AS kept_tokens
          |FROM doc_toks t LEFT JOIN spans s USING (doc_id)""".stripMargin
+    }
+
+    /** Exact replay of TextStats.cmsSketch(d=4, w=1024) +
+      * cmsEstimate over the probe words: every (token, hash-row)
+      * lands in cell `i·1024 + (splitmix(th + i·γ) % 1024)` — the
+      * permutation chain is splitmix with the row offset pre-added,
+      * so z0 = th + (i+1)·γ — and the estimate is the min of the
+      * probe's 4 cell counts. Counts are integer sums: bit-exact.
+      */
+    def cmsHeavy(words: Seq[String]): String = {
+      def permChain(src: String, thExpr: String): String =
+        s"""${src}p0 AS (SELECT *, ${am(thExpr, mm("(i + 1)", Gamma))} AS z0 FROM ${src}cells),
+           |${src}p1 AS (SELECT *, ${mm("xor(z0, z0 >> 30)", C2)} AS z1 FROM ${src}p0),
+           |${src}p2 AS (SELECT *, ${mm("xor(z1, z1 >> 27)", C3)} AS z2 FROM ${src}p1),
+           |${src}pf AS (SELECT *, CAST(i * 1024 + xor(z2, z2 >> 31) % 1024 AS INTEGER) AS cell FROM ${src}p2)""".stripMargin
+      val rawWord =
+        "list_reduce(list_prepend(CAST(1125899906842597 AS UBIGINT), " +
+          "list_transform(generate_series(1, length(word)), j -> CAST(unicode(substr(word, j, 1)) AS UBIGINT))), " +
+          s"(h, c) -> ${am(mm("h", "31"), "c")})"
+      val vals = words.map(w => s"('$w')").mkString(", ")
+      s"""WITH $tokenCtes,
+         |ccells AS (SELECT th, g.i AS i FROM th,
+         |           unnest(generate_series(0, 3)) AS g(i)),
+         |${permChain("c", "th")},
+         |sk AS (SELECT cell, count(*) AS cnt FROM cpf GROUP BY cell),
+         |probes(word) AS (VALUES $vals),
+         |pw0 AS (SELECT word, ${am(rawWord, Gamma)} AS z0w FROM probes),
+         |pw1 AS (SELECT word, ${mm("xor(z0w, z0w >> 30)", C2)} AS z1w FROM pw0),
+         |pw2 AS (SELECT word, ${mm("xor(z1w, z1w >> 27)", C3)} AS z2w FROM pw1),
+         |pwh AS (SELECT word, xor(z2w, z2w >> 31) AS th FROM pw2),
+         |qcells AS (SELECT word, th, g.i AS i FROM pwh,
+         |           unnest(generate_series(0, 3)) AS g(i)),
+         |${permChain("q", "th")},
+         |est AS (
+         |  SELECT q.word, min(COALESCE(sk.cnt, 0)) AS est
+         |  FROM qpf q LEFT JOIN sk USING (cell) GROUP BY q.word),
+         |exact AS (SELECT tok, count(*) AS c FROM tok_rows GROUP BY tok)
+         |SELECT e.word, CAST(e.est AS BIGINT) AS est,
+         |  CAST(COALESCE(x.c, 0) AS BIGINT) AS exact
+         |FROM est e LEFT JOIN exact x ON x.tok = e.word""".stripMargin
     }
 
     /** True dual implementation of Sampling.dsirSelect(target =
@@ -5486,6 +5554,7 @@ object SparkEntry {
     "q_hash_embed" -> SplitmixOracle.hashEmbedStats,
     "q_hash_embed_sim" -> SplitmixOracle.hashEmbedSim,
     "q_dsir_select" -> SplitmixOracle.dsirSelect,
+    "q_cms_heavy" -> SplitmixOracle.cmsHeavy(CmsProbeWords),
 
     // exact because the KMV sketches are COMPLETE at this corpus: the
     // per-language vocabulary is 31 distinct words (measured at sf0.01

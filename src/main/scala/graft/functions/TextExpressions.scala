@@ -210,6 +210,47 @@ object TextExpressions {
       copy(child = c)
   }
 
+  /** Count-min-sketch cell ids of a text's tokens: for every token
+    * and every hash row i ∈ [0, d), the PACKED cell `i·w + bucket_i`
+    * where `bucket_i = splitmix(tokenHash + i·γ) & (w−1)` — the
+    * independent-hash-family recipe the minhash permutations already
+    * use, replayable as UBIGINT arithmetic by the oracle. One array
+    * per text (d · nTokens ints); a single-token text yields a
+    * probe key's d cells.
+    */
+  def cmsCellsEval(v: UTF8String, d: Int, w: Int): ArrayData = {
+    val toks = tokenHashes(v.toString)
+    val out = new Array[Int](toks.length * d)
+    var j = 0
+    var o = 0
+    while (j < toks.length) {
+      var i = 0
+      while (i < d) {
+        out(o) = i * w +
+          (splitmix(toks(j) + i * 0x9E3779B97F4A7C15L) & (w - 1)).toInt
+        i += 1
+        o += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class CmsCells(child: Expression, d: Int, w: Int)
+      extends UnaryExpression {
+    require(d >= 1 && w >= 2 && (w & (w - 1)) == 0,
+      s"need d >= 1 and power-of-two w, got d=$d w=$w")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      cmsCellsEval(v.asInstanceOf[UTF8String], d, w)
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExpressions.cmsCellsEval($c, $d, $w);")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   /** Unicode NFC normalization (canonical composition) — the standard
     * first step of training-corpus text cleaning (é as e+U+0301 and é
     * as U+00E9 must dedup/tokenize identically). Row-local; the
@@ -253,4 +294,7 @@ object TextExpressions {
 
   def hash_embed(text: Column, dim: Int): Column =
     ColumnBridge.column(HashEmbed(ColumnBridge.expression(text), dim))
+
+  def cms_cells(text: Column, d: Int, w: Int): Column =
+    ColumnBridge.column(CmsCells(ColumnBridge.expression(text), d, w))
 }

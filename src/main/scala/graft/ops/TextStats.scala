@@ -499,4 +499,41 @@ object TextStats {
       sequence(lit(0), greatest(n - w, lit(0))),
       i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(w)))))))
   }
+
+  /** Count-min sketch of the corpus token-frequency distribution
+    * (Cormode & Muthukrishnan '05): `d` hash rows × `w` buckets of
+    * integer counts — the bounded-memory frequency structure for key
+    * spaces too large to materialize (at 100 TB the exact token table
+    * is itself huge; the sketch is d·w longs regardless). One
+    * codegen'd cells projection + one hash aggregate; counts are
+    * integer sums, so the sketch is partition-order-independent and
+    * — unlike HLL/GK estimators — EXACTLY replayable by an oracle
+    * running the same hash family (splitmix over the token hash, the
+    * minhash-permutation recipe).
+    *
+    * Returns (cell, cnt) rows, cell = hashRow·w + bucket; cells never
+    * touched by any token are absent (count 0).
+    */
+  def cmsSketch(df: DataFrame, textCol: String = "text",
+                d: Int = 4, w: Int = 1024): DataFrame =
+    df.select(explode(graft.functions.TextExpressions
+        .cms_cells(col(textCol), d, w)).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+
+  /** Point-frequency estimates from a [[cmsSketch]]: for each probe
+    * word, `min` over its `d` cells — an overestimate-only bound
+    * (est ≥ true count, error ≤ εN with prob 1−δ for w=⌈e/ε⌉,
+    * d=⌈ln 1/δ⌉). The sketch side is d·w rows — broadcast — and the
+    * probe side computes its cells row-locally, so estimation never
+    * touches the corpus again.
+    */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame,
+                  wordCol: String = "word",
+                  d: Int = 4, w: Int = 1024): DataFrame =
+    probes
+      .withColumn("cell", explode(graft.functions.TextExpressions
+        .cms_cells(col(wordCol), d, w)))
+      .join(broadcast(sketch), Seq("cell"), "left")
+      .groupBy(col(wordCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 }
