@@ -359,6 +359,19 @@ object SparkEntry {
       Dedup.keepBest(labels, scores)
     }),
 
+    // ---- rank-weighted per-host keep quotas (the consumption side
+    //      of host ranking): each source keeps ceil(10·rank/maxRank)
+    //      docs by ascending id — integer ceil-DIV quota math over a
+    //      broadcast host table + one per-host ranking window ----
+    "q_host_quota" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ranks = docs.groupBy(col("source").as("node"))
+        .agg(sum(col("n_chars")).as("rank"))
+      graft.ops.Graph.keepByHostRank(docs, "source", col("doc_id"),
+          ranks, maxPerHost = 10)
+        .select(col("doc_id"), col("source"))
+    }),
+
     // ---- count-min sketch (Cormode-Muthukrishnan): d=4 × w=1024
     //      integer-count frequency sketch of the corpus token
     //      distribution — bounded memory however large the key space;
@@ -5555,6 +5568,26 @@ object SparkEntry {
     "q_hash_embed_sim" -> SplitmixOracle.hashEmbedSim,
     "q_dsir_select" -> SplitmixOracle.dsirSelect,
     "q_cms_heavy" -> SplitmixOracle.cmsHeavy(CmsProbeWords),
+
+    // integer ceil-division quotas: (rank·10 + max−1) // max, docs
+    // kept by ascending id within each source
+    "q_host_quota" ->
+      """WITH ranks AS (
+        |  SELECT source, sum(n_chars) AS r FROM documents
+        |  GROUP BY source),
+        |mx AS (SELECT max(r) AS m FROM ranks),
+        |q AS (
+        |  SELECT source,
+        |    (r * 10 + (SELECT m FROM mx) - 1) // (SELECT m FROM mx)
+        |      AS quota
+        |  FROM ranks),
+        |rn AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |      AS rn
+        |  FROM documents)
+        |SELECT doc_id, source FROM rn JOIN q USING (source)
+        |WHERE rn <= quota""".stripMargin,
 
     // exact because the KMV sketches are COMPLETE at this corpus: the
     // per-language vocabulary is 31 distinct words (measured at sf0.01

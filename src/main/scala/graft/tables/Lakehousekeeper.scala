@@ -261,7 +261,8 @@ object Lakehousekeeper {
           " | drop-column <tablePath> <column>" +
           " | count <tablePath> [version]" +
           " | stats <tablePath> <column> [version]" +
-          " | enable-cdf <tablePath>")
+          " | enable-cdf <tablePath>" +
+          " | enable-bloom <tablePath> <col> [col...]")
       return
     }
     val spark = SparkSession.builder()
@@ -367,6 +368,14 @@ object Lakehousekeeper {
         case "enable-cdf" =>
           ResourceTable(spark, dir).enableChangeDataFeed()
           println(s"$dir: change data feed enabled")
+        // opt the table into the file-level bloom membership index on
+        // the given columns: new commits build _index sidecars; run
+        // optimize afterwards to index EXISTING data via its rewrite
+        case "enable-bloom" =>
+          val cols = args.drop(2).toSeq
+          ResourceTable(spark, dir).enableBloomIndex(cols)
+          println(s"$dir: bloom index enabled on ${cols.mkString(", ")} " +
+            "(new files; optimize to index existing data)")
         // DESCRIBE HISTORY of ONE table (`dir` is the table path here)
         case "history" =>
           ResourceTable(spark, dir).history().collect().foreach { r =>
