@@ -359,6 +359,29 @@ object SparkEntry {
       Dedup.keepBest(labels, scores)
     }),
 
+    // ---- GENERATED ALWAYS AS columns (Delta writer feature): the
+    //      source omits o_year, the table computes year(o_orderdate)
+    //      at write; the predicate UPDATE shifts a key slice's dates
+    //      across a year boundary and the generated column recomputes
+    //      from the POST-update row — the read-back must equal the
+    //      relational expression at every row ----
+    "q_generated_col" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_genc").toString
+      val rt = graft.tables.ResourceTable(s, s"$tdir/o.parquet")
+      rt.createIfNotExists(StructType(orders.schema.fields :+
+        StructField("o_year", IntegerType)))
+      rt.addGeneratedColumn("o_year", "year(o_orderdate)")
+      rt.upsert(orders, "o_orderkey")
+      rt.updateWhere(col("o_orderkey") % 1000 === 0,
+        Map("o_orderdate" ->
+          (col("o_orderdate") + expr("INTERVAL 366 DAYS"))))
+      rt.read().select(col("o_orderkey"), col("o_year"))
+    }),
+
     // ---- rank-weighted per-host keep quotas (the consumption side
     //      of host ranking): each source keeps ceil(10·rank/maxRank)
     //      docs by ascending id — integer ceil-DIV quota math over a
@@ -5568,6 +5591,13 @@ object SparkEntry {
     "q_hash_embed_sim" -> SplitmixOracle.hashEmbedSim,
     "q_dsir_select" -> SplitmixOracle.dsirSelect,
     "q_cms_heavy" -> SplitmixOracle.cmsHeavy(CmsProbeWords),
+
+    "q_generated_col" ->
+      """SELECT o_orderkey,
+        |  CAST(year(CASE WHEN o_orderkey % 1000 = 0
+        |    THEN o_orderdate + INTERVAL 366 DAY
+        |    ELSE o_orderdate END) AS INTEGER) AS o_year
+        |FROM orders""".stripMargin,
 
     // integer ceil-division quotas: (rank·10 + max−1) // max, docs
     // kept by ascending id within each source

@@ -137,7 +137,8 @@ object DeltaExport {
 
   private def protocol(needDv: Boolean = false,
                        needCdf: Boolean = false,
-                       needMapping: Boolean = false): ObjectNode = {
+                       needMapping: Boolean = false,
+                       needGen: Boolean = false): ObjectNode = {
     val p = f.objectNode()
     if (needDv) {
       // deletion vectors are a table FEATURE (PROTOCOL.md "Table
@@ -152,6 +153,8 @@ object DeltaExport {
       val wf = f.arrayNode(); wf.add("deletionVectors")
       if (needMapping) { rf.add("columnMapping"); wf.add("columnMapping") }
       if (needCdf) wf.add("changeDataFeed")
+      // writer-only feature: readers ignore generation metadata
+      if (needGen) wf.add("generatedColumns")
       p.replace("readerFeatures", rf)
       p.replace("writerFeatures", wf)
     } else if (needMapping) {
@@ -161,9 +164,9 @@ object DeltaExport {
       p.put("minWriterVersion", 5)
     } else {
       p.put("minReaderVersion", 1)
-      // CDF without table features: legacy writer version 4 carries it
-      // (PROTOCOL.md "Change Data Feed" / delta-spark's own minimum)
-      p.put("minWriterVersion", if (needCdf) 4 else 2)
+      // legacy writer version 4 carries BOTH change data feed and
+      // generated columns (PROTOCOL.md feature-by-version table)
+      p.put("minWriterVersion", if (needCdf || needGen) 4 else 2)
     }
     wrap("protocol", p)
   }
@@ -216,7 +219,25 @@ object DeltaExport {
     fmt.put("provider", "parquet")
     fmt.set("options", f.objectNode())
     m.set("format", fmt)
-    val (deltaJson, maxColId) = deltaSchemaJson(schemaJson)
+    val (deltaJson0, maxColId) = deltaSchemaJson(schemaJson)
+    // GENERATED ALWAYS AS: delta-spark stores the SQL text as field
+    // metadata `delta.generationExpression` (PROTOCOL.md "Generated
+    // Columns"); aware writers enforce/compute, readers ignore it
+    val gens = t.generatedColumns()
+    val deltaJson =
+      if (gens.isEmpty) deltaJson0
+      else {
+        val st = DataType.fromJson(deltaJson0).asInstanceOf[StructType]
+        StructType(st.fields.map { fd =>
+          gens.get(fd.name) match {
+            case Some(e) => fd.copy(metadata =
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(fd.metadata)
+                .putString("delta.generationExpression", e).build())
+            case None => fd
+          }
+        }).json
+      }
     m.put("schemaString", deltaJson)
     m.set("partitionColumns", f.arrayNode())
     val conf = f.objectNode()
@@ -569,7 +590,8 @@ object DeltaExport {
         commitInfo(latest, ts, "GRAFT EXPORT ANCHOR") +:
           protocol(needDv = files.exists(_._2.dv.isDefined),
             needCdf = t.changeDataFeedEnabled,
-            needMapping = isMapped(t.schema().json)) +:
+            needMapping = isMapped(t.schema().json),
+            needGen = t.generatedColumns().nonEmpty) +:
           metaData(t, t.schema().json, ts) +:
           (txnDelta(Map.empty,
             FileStats.txnsOf(t.commitBody(latest)), ts) ++
@@ -608,7 +630,8 @@ object DeltaExport {
               Seq(protocol(
                 needDv = files.exists(_._2.dv.isDefined) || t.dvEnabled,
                 needCdf = t.changeDataFeedEnabled,
-                needMapping = isMapped(t.schema().json)))
+                needMapping = isMapped(t.schema().json),
+                needGen = t.generatedColumns().nonEmpty))
             else Seq.empty) ++
             txnDelta(Map.empty,
               FileStats.txnsOf(t.commitBody(latest)), ts) ++
@@ -679,7 +702,8 @@ object DeltaExport {
                    after.exists(_._2.dv.isDefined),
                  needCdf = t.changeDataFeedEnabled,
                  needMapping = FileStats.schemaOf(t.commitBody(g))
-                   .exists(isMapped)))
+                   .exists(isMapped),
+                 needGen = t.generatedColumns().nonEmpty))
              else Seq.empty) ++
             cdc ++
             txnDelta(FileStats.txnsOf(t.commitBody(g - 1)),

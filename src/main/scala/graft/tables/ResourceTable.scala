@@ -421,6 +421,19 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       throw new IllegalArgumentException(
         s"$path: column '$name' is referenced by CHECK constraint(s) " +
           s"${refs.keys.mkString(", ")} — drop them first")
+    // Delta refuses renaming/dropping columns involved in generation:
+    // the stored SQL text would silently dangle (or worse, bind to a
+    // later re-added column)
+    val gens = generatedColumns()
+    val genRefs = gens.filter { case (c, e) =>
+      c == name || e.matches(
+        s".*\\b${java.util.regex.Pattern.quote(name)}\\b.*")
+    }
+    if (genRefs.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$path: column '$name' is generated or referenced by " +
+          s"generation expression(s) of ${genRefs.keys.mkString(", ")}" +
+          " — drop the generated column declaration first")
   }
 
   /** ALTER TABLE ... RENAME COLUMN — metadata-only under column
@@ -568,6 +581,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     tgt.fs.mkdirs(tgt.logDir)
     tgt.writeFile(new HPath(tgt.root, "_meta_schema.json"), schemaJson)
     Seq("_meta_cluster.txt", "_meta_constraints.txt",
+        "_meta_generated.txt",
         "_meta_dv_enabled", "_meta_cdf_enabled").foreach { m =>
       val src = new HPath(root, m)
       if (fs.exists(src))
@@ -969,6 +983,114 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     }
   }
 
+  // ------------------------------------------------ generated columns
+
+  private def generatedFile = new HPath(root, "_meta_generated.txt")
+
+  /** Generated columns, name → SQL expression — Delta
+    * `GENERATED ALWAYS AS (expr)` parity. A write that omits the
+    * column gets it computed from the expression; a write that
+    * provides it is refused unless every row satisfies
+    * `col <=> (expr)` (Delta's enforcement). Persisted like the CHECK
+    * constraints.
+    */
+  def generatedColumns(): Map[String, String] =
+    if (!fs.exists(generatedFile)) Map.empty
+    else readFile(generatedFile).split("\n").iterator
+      .map(_.trim).filter(_.nonEmpty)
+      .map { line =>
+        val i = line.indexOf('\t')
+        line.substring(0, i) -> line.substring(i + 1)
+      }.toMap
+
+  /** Declare `name` GENERATED ALWAYS AS (sqlExpr). The column must
+    * already exist in the table schema (Delta only accepts generated
+    * columns at definition time; declaring over existing DATA is
+    * allowed here iff every current row already satisfies the
+    * equation — same validate-then-enforce contract as
+    * [[addCheckConstraint]]). The expression may only reference other
+    * non-generated columns (no chains — Delta's rule, and it keeps
+    * one computation pass sufficient).
+    */
+  def addGeneratedColumn(name: String, sqlExpr: String): Unit = {
+    require(!name.exists(c => c == '\t' || c == '\n') &&
+      !sqlExpr.exists(_ == '\n'),
+      "generated-column names/expressions must be single-line, tab-free")
+    val s = schema()
+    require(s.fieldNames.contains(name),
+      s"$path: no column '$name' in the table schema — generated " +
+        "columns are declared over existing schema columns")
+    val existing = generatedColumns()
+    require(!existing.contains(name),
+      s"column $name is already generated")
+    val refs = referencedColumns(sqlExpr)
+    val genSet = existing.keySet + name
+    val chained = refs.intersect(genSet)
+    require(chained.isEmpty,
+      s"generation expression for $name references generated " +
+        s"column(s) ${chained.mkString(", ")} — chains are not allowed")
+    val unknown = refs.diff(s.fieldNames.toSet)
+    require(unknown.isEmpty,
+      s"generation expression for $name references unknown " +
+        s"column(s) ${unknown.mkString(", ")}")
+    val bad = violations(read(),
+      Map(name -> s"$name <=> ($sqlExpr)"))
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"cannot declare $name GENERATED ALWAYS AS ($sqlExpr) on " +
+          s"$path: ${bad.head._2} existing row(s) violate the equation")
+    writeFile(generatedFile, (existing + (name -> sqlExpr))
+      .map { case (n, e) => s"$n\t$e" }.mkString("\n"))
+  }
+
+  def dropGeneratedColumn(name: String): Unit = {
+    val remaining = generatedColumns() - name
+    if (remaining.isEmpty) { fs.delete(generatedFile, false); () }
+    else writeFile(generatedFile,
+      remaining.map { case (n, e) => s"$n\t$e" }.mkString("\n"))
+  }
+
+  /** Top-level column names a SQL expression references (via the
+    * parser, not regex — `substr(o_comment, 1, 2)` must not match a
+    * column named `1`).
+    */
+  private def referencedColumns(sqlExpr: String): Set[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    spark.sessionState.sqlParser.parseExpression(sqlExpr).collect {
+      case a: UnresolvedAttribute => a.nameParts.head
+    }.toSet
+  }
+
+  /** Write-side application of [[generatedColumns]]: columns the
+    * source omits are computed (cast to the declared type, so the
+    * projection caches WITH the batch); columns the source provides
+    * are validated against their equation in one aggregate and the
+    * write refused on any mismatch — a provided value that disagrees
+    * with its generation expression is a bug upstream, and silently
+    * overwriting either side loses data. No generated columns → the
+    * source passes through untouched (one metadata existence check).
+    */
+  private def applyGenerated(source: DataFrame): DataFrame = {
+    val gens = generatedColumns()
+    if (gens.isEmpty) return source
+    val tbl = schema()
+    val present = source.schema.fieldNames.toSet
+    val (provided, missing) = gens.partition { case (c, _) => present(c) }
+    if (provided.nonEmpty) {
+      val bad = violations(source, provided.map { case (c, e) =>
+        c -> s"$c <=> ($e)" })
+      if (bad.nonEmpty)
+        throw new IllegalArgumentException(
+          s"GENERATED ALWAYS AS violation writing to $path: " +
+            bad.map { case (c, n) =>
+              s"$c disagrees with its generation expression ($n row(s))"
+            }.mkString(", "))
+    }
+    missing.foldLeft(source) { case (df, (c, e)) =>
+      df.withColumn(c, expr(e).cast(tbl(c).dataType))
+    }
+  }
+
   /** Abort (before anything is written) if `src` contains rows that
     * violate any CHECK constraint — the upsert-side enforcement.
     */
@@ -1177,7 +1299,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     // the source is a bounded micro-batch (maxOffsetsPerTrigger); cache
     // it so the pruning stats, the anti-join probe side, the union
     // side, and the returned count are one computation, not several
-    val src = source.cache()
+    val src = applyGenerated(source).cache()
     // CHECK constraints gate the batch BEFORE anything is written (one
     // aggregate over the bounded batch, all constraints at once);
     // deletes can't introduce violations, so only the upsert pays
@@ -1267,7 +1389,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     */
   def append(source: DataFrame, mergeSchema: Boolean = false,
              txn: Option[(String, Long)] = None): Long = {
-    val src = source.cache()
+    val src = applyGenerated(source).cache()
     try {
       enforceConstraints(src)
       // Delta parity: without mergeSchema an append carrying columns
@@ -1339,7 +1461,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     */
   def insertIfAbsent(source: DataFrame, key: String,
                      txn: Option[(String, Long)] = None): Long = {
-    val src = source.cache()
+    val src = applyGenerated(source).cache()
     try enforceConstraints(src)
     catch { case e: Throwable => src.unpersist(); throw e }
     val result = try retry() {
@@ -1772,7 +1894,29 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       matched: Seq[(org.apache.spark.sql.Column,
         Option[Map[String, org.apache.spark.sql.Column]])],
       notMatchedInsert: Option[org.apache.spark.sql.Column]): Long = {
-    val src = source.cache()
+    // GENERATED ALWAYS invariant under clause updates: assigning a
+    // generated column directly, or one of its referenced columns,
+    // through a whenMatchedUpdate set-map would leave stored values
+    // disagreeing with their expression (clause projections evaluate
+    // per-row with both sides in scope — recomputation there is a
+    // rewrite this builder doesn't do). Refuse loudly; updateWhere
+    // recomputes, and full-row upsert computes at the source.
+    locally {
+      val gens = generatedColumns()
+      if (gens.nonEmpty) {
+        val guarded = gens.keySet ++
+          gens.values.flatMap(referencedColumns)
+        val touched = matched.flatMap(_._2).flatMap(_.keys)
+          .filter(guarded).distinct
+        if (touched.nonEmpty)
+          throw new IllegalArgumentException(
+            s"$path: merge clause updates column(s) " +
+              s"${touched.mkString(", ")} involved in GENERATED " +
+              "ALWAYS AS expressions — use updateWhere (which " +
+              "recomputes) or a full-row upsert")
+      }
+    }
+    val src = applyGenerated(source).cache()
     try {
       enforceConstraints(src)
       retry() {
@@ -1910,6 +2054,19 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       throw new IllegalArgumentException(
         s"$path: UPDATE assigns unknown column(s) " +
           s"${unknown.mkString(", ")}")
+    // Delta semantics: UPDATE recomputes a generated column when the
+    // update touches its references; assigning one directly is
+    // refused (GENERATED ALWAYS). Recomputation happens via an extra
+    // assignment evaluated against the POST-update row (generation
+    // expressions only reference non-generated columns, so one extra
+    // when-projection layer suffices).
+    val gens = generatedColumns()
+    val directGen = assignments.keys.filter(gens.contains)
+    if (directGen.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$path: cannot UPDATE generated column(s) " +
+          s"${directGen.mkString(", ")} (GENERATED ALWAYS — update " +
+          "their referenced columns instead)")
     val files = fileListAt(curV)
     val (touched, untouched) = splitByPredicate(files, predicate)
     val kept = untouched.filterNot(_._2.rows == 0)
@@ -1920,15 +2077,32 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         val target = readFiles(touched, s)
         // one projection: each assigned column flips to its new
         // expression ONLY where the predicate holds — evaluated
-        // against the pre-update row, so swaps (SET a=b, b=a) work
-        Some(target.select(s.fieldNames.toSeq.map { c =>
-          assignments.get(c) match {
-            case Some(e) =>
-              when(matching, e.cast(s(c).dataType)).otherwise(col(c))
-                .as(c)
-            case None => col(c)
-          }
-        }: _*))
+        // against the pre-update row, so swaps (SET a=b, b=a) work.
+        // The match verdict rides along as a marker column: the
+        // generated-column recompute below must fire for the rows
+        // that MATCHED PRE-update, even if the update changed a
+        // predicate column.
+        val assigned = target.select(
+          (s.fieldNames.toSeq.map { c =>
+            assignments.get(c) match {
+              case Some(e) =>
+                when(matching, e.cast(s(c).dataType)).otherwise(col(c))
+                  .as(c)
+              case None => col(c)
+            }
+          } :+ matching.as("__upd")): _*)
+        // second layer: generated columns recompute from the
+        // POST-update row on updated rows only
+        Some((if (gens.isEmpty) assigned
+          else assigned.select(
+            (s.fieldNames.toSeq.map { c =>
+              gens.get(c) match {
+                case Some(e) =>
+                  when(col("__upd"),
+                    expr(e).cast(s(c).dataType)).otherwise(col(c)).as(c)
+                case None => col(c)
+              }
+            } :+ col("__upd")): _*)).drop("__upd"))
       }
     commitFiles(newData, kept, schema().json, cur, op = "UPDATE")
     touched.size.toLong
@@ -1977,7 +2151,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     */
   def overwriteWhere(predicate: org.apache.spark.sql.Column,
                      source: DataFrame): Long = {
-    val src = source.cache()
+    val src = applyGenerated(source).cache()
     try retry() {
       enforceConstraints(src)
       val matching = coalesce(predicate, lit(false))
