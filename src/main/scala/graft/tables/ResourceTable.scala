@@ -434,6 +434,10 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         s"$path: column '$name' is generated or referenced by " +
           s"generation expression(s) of ${genRefs.keys.mkString(", ")}" +
           " — drop the generated column declaration first")
+    if (identityColumns().contains(name))
+      throw new IllegalArgumentException(
+        s"$path: column '$name' is an identity column — its " +
+          "declaration and allocation state are name-keyed")
   }
 
   /** ALTER TABLE ... RENAME COLUMN — metadata-only under column
@@ -581,11 +585,28 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     tgt.fs.mkdirs(tgt.logDir)
     tgt.writeFile(new HPath(tgt.root, "_meta_schema.json"), schemaJson)
     Seq("_meta_cluster.txt", "_meta_constraints.txt",
-        "_meta_generated.txt",
+        "_meta_generated.txt", "_meta_identity.txt",
         "_meta_dv_enabled", "_meta_cdf_enabled").foreach { m =>
       val src = new HPath(root, m)
       if (fs.exists(src))
         tgt.writeFile(new HPath(tgt.root, m), readFile(src))
+    }
+    // identity watermarks travel: a clone that restarted each column
+    // at `start` would re-assign ids already present in the cloned
+    // rows. Copy each column's TOP reservation marker (the whole
+    // allocation state — lower markers are redundant by construction)
+    identityColumns().keys.foreach { c =>
+      val d = identityDir(c)
+      val tops = (try fs.listStatus(d)
+        catch { case _: java.io.FileNotFoundException =>
+          Array.empty[org.apache.hadoop.fs.FileStatus] })
+        .map(_.getPath.getName).filter(_.startsWith("r-"))
+      if (tops.nonEmpty) {
+        val td = new HPath(tgt.root, s"_identity_$c")
+        tgt.fs.mkdirs(td)
+        tops.foreach(m =>
+          tgt.createExclusive(new HPath(td, m)).close())
+      }
     }
     // version-0 commit: manifest only — no data directory is created
     // (the dir field names the slot commitFiles would have; the empty-
@@ -1091,6 +1112,176 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     }
   }
 
+  // ------------------------------------------------- identity columns
+
+  private def identityFile = new HPath(root, "_meta_identity.txt")
+  private def identityDir(c: String) = new HPath(root, s"_identity_$c")
+
+  /** Identity columns, name → (start, step) — Delta
+    * `GENERATED ALWAYS AS IDENTITY (START WITH s INCREMENT BY k)`.
+    * Like Delta's ALWAYS flavor, writes may not provide the column;
+    * each write batch is assigned fresh values. Values are UNIQUE and
+    * monotonic per batch but, as in Delta, NOT guaranteed
+    * consecutive across batches: a crashed or conflicted write leaves
+    * a gap (its reserved range is simply never used).
+    */
+  def identityColumns(): Map[String, (Long, Long)] =
+    if (!fs.exists(identityFile)) Map.empty
+    else readFile(identityFile).split("\n").iterator
+      .map(_.trim).filter(_.nonEmpty)
+      .map { line =>
+        val p = line.split("\t")
+        p(0) -> (p(1).toLong, p(2).toLong)
+      }.toMap
+
+  /** Declare `name` an identity column. The column must exist in the
+    * schema as LONG and the table must be empty (Delta only accepts
+    * identity at table creation; backfilling ids for existing rows
+    * would have to invent an order).
+    */
+  def addIdentityColumn(name: String, start: Long = 1L,
+                        step: Long = 1L): Unit = {
+    require(step != 0, "identity step must be non-zero")
+    val s = schema()
+    require(s.fieldNames.contains(name),
+      s"$path: no column '$name' in the table schema")
+    require(s(name).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"$path: identity column '$name' must be LONG")
+    require(!generatedColumns().contains(name),
+      s"$path: '$name' is already GENERATED ALWAYS AS")
+    val existing = identityColumns()
+    require(!existing.contains(name), s"'$name' is already identity")
+    require(read().limit(1).isEmpty,
+      s"$path: identity columns are declared on EMPTY tables " +
+        "(no deterministic order exists to backfill ids)")
+    writeFile(identityFile,
+      (existing + (name -> ((start, step))))
+        .map { case (n, (st, sp)) => s"$n\t$st\t$sp" }.mkString("\n"))
+  }
+
+  /** Furthest-allocated identity value for `col` (None before any
+    * assignment) — what DeltaExport publishes as
+    * `delta.identity.highWaterMark`.
+    */
+  private[tables] def identityHighWaterMark(colName: String)
+      : Option[Long] = {
+    val (_, step) = identityColumns().getOrElse(colName,
+      return None)
+    val tops = (try fs.listStatus(identityDir(colName))
+      catch { case _: java.io.FileNotFoundException =>
+        return None })
+      .map(_.getPath.getName).filter(_.startsWith("r-"))
+      .map(_.stripPrefix("r-").split("_") match {
+        case Array(_, l) => l.toLong })
+    if (tops.isEmpty) None
+    else Some(if (step > 0) tops.max else tops.min)
+  }
+
+  /** Atomically reserve `n` identity values for `col`: markers
+    * `r-<first>-<last>` under `_identity_<col>/` are claimed with the
+    * same O_EXCL exclusive-create primitive as the commit election,
+    * so concurrent writers can NEVER double-allocate — the loser of a
+    * marker race re-lists and claims past the new top. A reservation
+    * whose write later fails is a permanent gap (Delta's documented
+    * identity behavior). Markers strictly below the top are deleted
+    * eagerly (the top alone determines the next range), so the dir
+    * holds O(1) files in steady state.
+    */
+  private def reserveIdentity(colName: String, start: Long, step: Long,
+                              n: Long): Long = {
+    val dir = identityDir(colName)
+    fs.mkdirs(dir)
+    var attempt = 0
+    while (true) {
+      val tops = (try fs.listStatus(dir)
+        catch { case _: java.io.FileNotFoundException =>
+          Array.empty[org.apache.hadoop.fs.FileStatus] })
+        .map(_.getPath.getName)
+        .filter(_.startsWith("r-"))
+        .map(_.stripPrefix("r-").split("_") match {
+          case Array(f, l) => (f.toLong, l.toLong)
+        })
+      // "top" = reservation whose LAST value is furthest along the
+      // sequence (steps may be negative: compare in step direction)
+      val dirSign = if (step > 0) 1L else -1L
+      val next =
+        if (tops.isEmpty) start
+        else tops.map(_._2 * dirSign).max * dirSign + step
+      val first = next
+      val last = first + step * (n - 1)
+      val marker = new HPath(dir, s"r-${first}_$last")
+      try {
+        createExclusive(marker).close()
+        // eager cleanup: everything below the new top is redundant
+        tops.foreach { case (fv, lv) =>
+          try fs.delete(new HPath(dir, s"r-${fv}_$lv"), false)
+          catch { case _: Throwable => () }
+        }
+        return first
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt > 50)
+            throw new IllegalStateException(
+              s"$path: could not reserve identity range for $colName " +
+                s"after $attempt attempts")
+          Thread.sleep(5L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Write-side identity assignment. Values are
+    * `first + step·(rows before this one in the batch)`: one
+    * #partitions-sized count collect turns per-partition row numbers
+    * into batch-global positions without any global window — the
+    * batch never funnels through one task. Row order within a
+    * partition follows `monotonically_increasing_id`, i.e. source
+    * order; positions are stable across recomputation for the
+    * deterministic bounded batches the write paths take.
+    */
+  private def applyIdentity(source: DataFrame): DataFrame = {
+    val ids = identityColumns()
+    if (ids.isEmpty) return source
+    val provided = ids.keySet.intersect(source.schema.fieldNames.toSet)
+    if (provided.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$path: cannot provide identity column(s) " +
+          s"${provided.mkString(", ")} (GENERATED ALWAYS AS IDENTITY)")
+    // one small job: per-partition counts → batch size + offsets
+    val counts = source
+      .groupBy(spark_partition_id().as("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val n = counts.map(_._2).sum
+    if (n == 0) {
+      // still produce the columns so the union/projection aligns
+      return ids.foldLeft(source) { case (df, (c, _)) =>
+        df.withColumn(c, lit(null).cast("long"))
+      }
+    }
+    val offsets = counts.scanLeft(0 -> 0L) {
+      case ((_, acc), (pid, c)) => pid -> (acc + c)
+    }.tail.zip(counts).map { case ((pid, end), (_, c)) =>
+      pid -> (end - c)
+    }.toMap
+    val offCol = offsets.foldLeft(lit(0L)) { case (e, (pid, off)) =>
+      when(spark_partition_id() === pid, lit(off)).otherwise(e)
+    }
+    ids.foldLeft(source) { case (df, (c, (start, step))) =>
+      val first = reserveIdentity(c, start, step, n)
+      df.withColumn("__rn",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(spark_partition_id())
+              .orderBy(monotonically_increasing_id())) - 1)
+        .withColumn(c, lit(first) + lit(step) * (offCol + col("__rn")))
+        .drop("__rn")
+    }
+  }
+
   /** Abort (before anything is written) if `src` contains rows that
     * violate any CHECK constraint — the upsert-side enforcement.
     */
@@ -1299,7 +1490,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     // the source is a bounded micro-batch (maxOffsetsPerTrigger); cache
     // it so the pruning stats, the anti-join probe side, the union
     // side, and the returned count are one computation, not several
-    val src = applyGenerated(source).cache()
+    val src = applyGenerated(applyIdentity(source)).cache()
     // CHECK constraints gate the batch BEFORE anything is written (one
     // aggregate over the bounded batch, all constraints at once);
     // deletes can't introduce violations, so only the upsert pays
@@ -1389,7 +1580,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     */
   def append(source: DataFrame, mergeSchema: Boolean = false,
              txn: Option[(String, Long)] = None): Long = {
-    val src = applyGenerated(source).cache()
+    val src = applyGenerated(applyIdentity(source)).cache()
     try {
       enforceConstraints(src)
       // Delta parity: without mergeSchema an append carrying columns
@@ -1461,7 +1652,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     */
   def insertIfAbsent(source: DataFrame, key: String,
                      txn: Option[(String, Long)] = None): Long = {
-    val src = applyGenerated(source).cache()
+    val src = applyGenerated(applyIdentity(source)).cache()
     try enforceConstraints(src)
     catch { case e: Throwable => src.unpersist(); throw e }
     val result = try retry() {
@@ -1916,7 +2107,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
               "recomputes) or a full-row upsert")
       }
     }
-    val src = applyGenerated(source).cache()
+    val src = applyGenerated(applyIdentity(source)).cache()
     try {
       enforceConstraints(src)
       retry() {
@@ -2151,7 +2342,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     */
   def overwriteWhere(predicate: org.apache.spark.sql.Column,
                      source: DataFrame): Long = {
-    val src = applyGenerated(source).cache()
+    val src = applyGenerated(applyIdentity(source)).cache()
     try retry() {
       enforceConstraints(src)
       val matching = coalesce(predicate, lit(false))
