@@ -382,6 +382,31 @@ object SparkEntry {
       rt.read().select(col("o_orderkey"), col("o_year"))
     }),
 
+    // ---- GENERATED ALWAYS AS IDENTITY (Delta writer feature 6):
+    //      three appended batches each claim the next contiguous id
+    //      range off the table's high-water mark; deleting a whole
+    //      batch does NOT recycle its range (Delta's documented gap
+    //      semantics). WHICH row of a batch gets WHICH id is
+    //      partition-layout dependent, so the gate keys each surviving
+    //      row by its batch (doc_id % 3) — the (batch, id-range)
+    //      mapping is exact and DuckDB replays it as generate_series ----
+    "q_identity_col" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_ident").toString
+      val rt = graft.tables.ResourceTable(s, s"$tdir/d.parquet")
+      rt.createIfNotExists(StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("rid", LongType))))
+      rt.addIdentityColumn("rid")
+      val a = docs.filter(col("doc_id") % 3 === 0)
+      rt.append(a)
+      rt.append(docs.filter(col("doc_id") % 3 === 1))
+      rt.deleteMatching(a.select("doc_id"), "doc_id")
+      rt.append(docs.filter(col("doc_id") % 3 === 2))
+      rt.read().select((col("doc_id") % 3).as("batch"), col("rid"))
+    }),
+
     // ---- rank-weighted per-host keep quotas (the consumption side
     //      of host ranking): each source keeps ceil(10·rank/maxRank)
     //      docs by ascending id — integer ceil-DIV quota math over a
@@ -5598,6 +5623,24 @@ object SparkEntry {
         |    THEN o_orderdate + INTERVAL 366 DAY
         |    ELSE o_orderdate END) AS INTEGER) AS o_year
         |FROM orders""".stripMargin,
+
+    // each batch owns the contiguous id range claimed off the
+    // high-water mark at its append; batch A (doc_id%3=0, ids
+    // 1..na) is deleted afterwards and its range never recycles
+    "q_identity_col" ->
+      """WITH n AS (
+        |  SELECT count(*) FILTER (WHERE doc_id % 3 = 0) AS na,
+        |         count(*) FILTER (WHERE doc_id % 3 = 1) AS nb
+        |  FROM documents),
+        |b AS (SELECT row_number() OVER () AS i FROM documents
+        |      WHERE doc_id % 3 = 1),
+        |c AS (SELECT row_number() OVER () AS i FROM documents
+        |      WHERE doc_id % 3 = 2)
+        |SELECT CAST(1 AS BIGINT) AS batch,
+        |  (SELECT na FROM n) + i AS rid FROM b
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT),
+        |  (SELECT na + nb FROM n) + i FROM c""".stripMargin,
 
     // integer ceil-division quotas: (rank·10 + max−1) // max, docs
     // kept by ascending id within each source

@@ -138,7 +138,8 @@ object DeltaExport {
   private def protocol(needDv: Boolean = false,
                        needCdf: Boolean = false,
                        needMapping: Boolean = false,
-                       needGen: Boolean = false): ObjectNode = {
+                       needGen: Boolean = false,
+                       needIdentity: Boolean = false): ObjectNode = {
     val p = f.objectNode()
     if (needDv) {
       // deletion vectors are a table FEATURE (PROTOCOL.md "Table
@@ -153,20 +154,24 @@ object DeltaExport {
       val wf = f.arrayNode(); wf.add("deletionVectors")
       if (needMapping) { rf.add("columnMapping"); wf.add("columnMapping") }
       if (needCdf) wf.add("changeDataFeed")
-      // writer-only feature: readers ignore generation metadata
+      // writer-only features: readers ignore generation/identity metadata
       if (needGen) wf.add("generatedColumns")
+      if (needIdentity) wf.add("identityColumns")
       p.replace("readerFeatures", rf)
       p.replace("writerFeatures", wf)
     } else if (needMapping) {
       // legacy carrier for column mapping: reader 2 / writer 5
-      // (PROTOCOL.md "Column Mapping"; writer 5 ≥ the CDF minimum 4)
+      // (PROTOCOL.md "Column Mapping"; writer 5 ≥ the CDF minimum 4).
+      // Identity needs legacy writer 6, which subsumes 5.
       p.put("minReaderVersion", 2)
-      p.put("minWriterVersion", 5)
+      p.put("minWriterVersion", if (needIdentity) 6 else 5)
     } else {
       p.put("minReaderVersion", 1)
-      // legacy writer version 4 carries BOTH change data feed and
-      // generated columns (PROTOCOL.md feature-by-version table)
-      p.put("minWriterVersion", if (needCdf || needGen) 4 else 2)
+      // legacy writer version 6 carries identity columns; 4 carries
+      // BOTH change data feed and generated columns (PROTOCOL.md
+      // feature-by-version table)
+      p.put("minWriterVersion",
+        if (needIdentity) 6 else if (needCdf || needGen) 4 else 2)
     }
     wrap("protocol", p)
   }
@@ -224,17 +229,35 @@ object DeltaExport {
     // metadata `delta.generationExpression` (PROTOCOL.md "Generated
     // Columns"); aware writers enforce/compute, readers ignore it
     val gens = t.generatedColumns()
+    // GENERATED ALWAYS AS IDENTITY: delta-spark stores start/step/
+    // allowExplicitInsert plus the furthest-allocated value as
+    // `delta.identity.*` field metadata (PROTOCOL.md "Identity
+    // Columns"); the high-water mark lets a foreign aware writer
+    // continue the sequence without scanning data
+    val idents = t.identityColumns()
     val deltaJson =
-      if (gens.isEmpty) deltaJson0
+      if (gens.isEmpty && idents.isEmpty) deltaJson0
       else {
         val st = DataType.fromJson(deltaJson0).asInstanceOf[StructType]
         StructType(st.fields.map { fd =>
-          gens.get(fd.name) match {
+          val withGen = gens.get(fd.name) match {
             case Some(e) => fd.copy(metadata =
               new org.apache.spark.sql.types.MetadataBuilder()
                 .withMetadata(fd.metadata)
                 .putString("delta.generationExpression", e).build())
             case None => fd
+          }
+          idents.get(withGen.name) match {
+            case Some((start, step)) =>
+              val mb = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(withGen.metadata)
+                .putLong("delta.identity.start", start)
+                .putLong("delta.identity.step", step)
+                .putBoolean("delta.identity.allowExplicitInsert", false)
+              t.identityHighWaterMark(withGen.name).foreach(hw =>
+                mb.putLong("delta.identity.highWaterMark", hw))
+              withGen.copy(metadata = mb.build())
+            case None => withGen
           }
         }).json
       }
@@ -591,7 +614,8 @@ object DeltaExport {
           protocol(needDv = files.exists(_._2.dv.isDefined),
             needCdf = t.changeDataFeedEnabled,
             needMapping = isMapped(t.schema().json),
-            needGen = t.generatedColumns().nonEmpty) +:
+            needGen = t.generatedColumns().nonEmpty,
+            needIdentity = t.identityColumns().nonEmpty) +:
           metaData(t, t.schema().json, ts) +:
           (txnDelta(Map.empty,
             FileStats.txnsOf(t.commitBody(latest)), ts) ++
@@ -631,7 +655,8 @@ object DeltaExport {
                 needDv = files.exists(_._2.dv.isDefined) || t.dvEnabled,
                 needCdf = t.changeDataFeedEnabled,
                 needMapping = isMapped(t.schema().json),
-                needGen = t.generatedColumns().nonEmpty))
+                needGen = t.generatedColumns().nonEmpty,
+                needIdentity = t.identityColumns().nonEmpty))
             else Seq.empty) ++
             txnDelta(Map.empty,
               FileStats.txnsOf(t.commitBody(latest)), ts) ++
@@ -703,7 +728,8 @@ object DeltaExport {
                  needCdf = t.changeDataFeedEnabled,
                  needMapping = FileStats.schemaOf(t.commitBody(g))
                    .exists(isMapped),
-                 needGen = t.generatedColumns().nonEmpty))
+                 needGen = t.generatedColumns().nonEmpty,
+                 needIdentity = t.identityColumns().nonEmpty))
              else Seq.empty) ++
             cdc ++
             txnDelta(FileStats.txnsOf(t.commitBody(g - 1)),
