@@ -555,6 +555,42 @@ object SparkEntry {
       ResourceTable.mergeUpsert(customer, source, "c_custkey")
     }),
 
+    // ---- OPTIMISTIC MULTI-WRITER COMMITS (Delta ConflictChecker
+    //      shape): four genuinely concurrent writers upsert disjoint
+    //      key slices of orders into ONE table. Losing writers with
+    //      logically-disjoint commits REBASE their already-written
+    //      files onto the new head (zero recompute) instead of
+    //      re-running; overlap would force a re-run. Either path is
+    //      serializable, so the final content is deterministic — the
+    //      gate additionally asserts the history stayed linear (one
+    //      commit per writer, no lost updates) ----
+    "q_concurrent_upsert" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_occ").toString
+      val path = s"$tdir/o.parquet"
+      graft.tables.ResourceTable(s, path).createIfNotExists(
+        StructType(Seq(StructField("o_orderkey", LongType),
+          StructField("o_totalprice", DoubleType))))
+      val failures =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 4).map { w =>
+        new Thread(() => {
+          try graft.tables.ResourceTable(s, path)
+            .upsert(orders.filter(col("o_orderkey") % 4 === w),
+              "o_orderkey"): Unit
+          catch { case e: Throwable => failures.add(e) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      require(failures.isEmpty, s"writer failed: ${failures.peek()}")
+      val rt = graft.tables.ResourceTable(s, path)
+      require(rt.latestVersion.contains(4L),
+        s"history not linear: ${rt.latestVersion}")
+      rt.read()
+    }),
+
     // ---- §2.6 J2 MERGE delete semantics (anti join) ----
     "q_merge_delete" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
@@ -4421,6 +4457,10 @@ object SparkEntry {
       """SELECT * FROM orders
         |WHERE o_custkey NOT IN (
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin,
+
+    // four disjoint concurrent upserts serialize to the plain union
+    "q_concurrent_upsert" ->
+      "SELECT o_orderkey, o_totalprice FROM orders",
 
     "q_delete_dv" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

@@ -403,8 +403,11 @@ final class ResourceTable(val spark: SparkSession, val path: String,
               .putString(ResourceTable.PhysKey, f.name)
               .putLong(ResourceTable.IdKey, i + 1L).build())
         })
+        // metadata-only commit: rebase composes with any winner that
+        // left the schema alone (the rebase schema check arbitrates)
         commitFiles(None, fileListAt(cur), annotated.json, Some(cur),
-          op = "SET COLUMN MAPPING"): Unit
+          op = "SET COLUMN MAPPING",
+          rebase = Some(Rebase(fileListAt(cur), (_, _) => false))): Unit
       }
     }
     this
@@ -463,7 +466,8 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     val renamed = StructType(s.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
     val v = commitFiles(None, fileListAt(cur), renamed.json, Some(cur),
-      op = "RENAME COLUMN")
+      op = "RENAME COLUMN",
+      rebase = Some(Rebase(fileListAt(cur), (_, _) => false)))
     // the bloom index list is LOGICAL names — follow the rename (the
     // physical column, and with it every existing sidecar, is stable
     // under a mapped rename, so the index stays live seamlessly)
@@ -498,7 +502,8 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     requireRenameSafe(name)
     val remaining = StructType(s.fields.filterNot(_.name == name))
     val v = commitFiles(None, fileListAt(cur), remaining.json, Some(cur),
-      op = "DROP COLUMN")
+      op = "DROP COLUMN",
+      rebase = Some(Rebase(fileListAt(cur), (_, _) => false)))
     val bloomCols = bloomIndexColumns
     if (bloomCols.contains(name)) {
       val rest = bloomCols.filterNot(_ == name)
@@ -1550,8 +1555,15 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         // upper bound on the new files' rows: the batch plus every
         // row of the rewritten files (sizes clustered output)
         val newRowsBound = srcRows + touched.map(_._2.rows).sum
+        // lost-election rebase: our read set is the key-overlapping
+        // files (all in the removed set, so the write-set check
+        // covers winner removes); a winner ADD whose stats overlap
+        // the batch keys could hold rows this merge should have
+        // rewritten → re-run
         commitFiles(Some(clusterForWrite(newData, newRowsBound)), kept,
-          outSchema.json, cur, op = "MERGE", key = Some(key))
+          outSchema.json, cur, op = "MERGE", key = Some(key),
+          rebase = Some(Rebase(files.filterNot(_._2.rows == 0),
+            (adds, _) => adds.exists(f => mayOverlap(f._2)))))
         srcRows
       }
     } finally src.unpersist()
@@ -1621,8 +1633,11 @@ final class ResourceTable(val spark: SparkSession, val path: String,
           else tableSchema
         val outCols = outSchema.fieldNames.toSeq
         val files = fileListAt(curV).filterNot(_._2.rows == 0)
+        // blind append: no read set, no removes — ANY winner commit
+        // that leaves the schema alone rebases
         commitCounted(src, outCols, outSchema.json, files, cur,
-          op = "APPEND", txn = txn)
+          op = "APPEND", txn = txn,
+          rebase = Some(Rebase(files, (_, _) => false)))
       }
     } finally src.unpersist()
     maybeAutoCompact()
@@ -1681,8 +1696,16 @@ final class ResourceTable(val spark: SparkSession, val path: String,
             lastMergePlan = Some(joined.queryExecution.sparkPlan.toString)
             joined
           }
+        // insert-only merge rebases when the winner's manifest delta
+        // stays clear of the batch's key range — its read set is the
+        // key-overlapping files it CARRIES (nothing is removed), so
+        // winner REMOVES matter here too: a concurrently-deleted key
+        // this merge chose not to re-insert must force a re-run
         commitCounted(newRows, outCols, tableSchema.json, live, cur,
-          op = "MERGE", txn = txn, key = Some(key))
+          op = "MERGE", txn = txn, key = Some(key),
+          rebase = Some(Rebase(live,
+            (adds, removes) =>
+              (adds ++ removes).exists(f => mayOverlap(f._2)))))
       }
     } finally src.unpersist()
     maybeAutoCompact()
@@ -1699,18 +1722,21 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       outSchemaJson: String, kept: Seq[(String, FileStats.FileStat)],
       cur: Option[Long], op: String,
       txn: Option[(String, Long)] = None,
-      key: Option[String] = None): Long =
+      key: Option[String] = None,
+      rebase: Option[Rebase] = None): Long =
     if (optimizeWriteEnabled) {
       val n = src.count()
       commitFiles(Some(clusterForWrite(
           src.select(outCols.map(col): _*), n)),
-        kept, outSchemaJson, cur, op = op, txn = txn, key = key)
+        kept, outSchemaJson, cur, op = op, txn = txn, key = key,
+        rebase = rebase)
       n
     } else {
       val obs = org.apache.spark.sql.Observation()
       commitFiles(Some(src.select(outCols.map(col): _*)
           .observe(obs, count(lit(1)).as("_rows"))),
-        kept, outSchemaJson, cur, op = op, txn = txn, key = key)
+        kept, outSchemaJson, cur, op = op, txn = txn, key = key,
+        rebase = rebase)
       obs.get("_rows").asInstanceOf[Long]
     }
 
@@ -1946,7 +1972,9 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       if (touched.isEmpty) {
         // copy-forward commit, same contract as the rewrite path
         commitFiles(None, kept, schema().json, cur, op = "DELETE",
-          key = Some(key))
+          key = Some(key),
+          rebase = Some(Rebase(files.filterNot(_._2.rows == 0),
+            (adds, _) => adds.exists(f => mayOverlap(f._2)))))
         nIds
       } else {
         // RAW scan (no DV filter): rows already dead may re-match;
@@ -1967,7 +1995,9 @@ final class ResourceTable(val spark: SparkSession, val path: String,
             else idsKeyed,
             Seq(key), "left_semi")
           .select(col("_gdv_file").as[String], col("_gdv_pos").as[Long])
-        commitDvMatches(matches, touched, kept, cur, Some(key))
+        commitDvMatches(matches, touched, kept, cur, Some(key),
+          rebase = Some(Rebase(files.filterNot(_._2.rows == 0),
+            (adds, _) => adds.exists(f => mayOverlap(f._2)))))
         nIds
       }
     } finally idsKeyed.unpersist()
@@ -1984,7 +2014,8 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       matches: org.apache.spark.sql.Dataset[(String, Long)],
       touched: Seq[(String, FileStats.FileStat)],
       kept: Seq[(String, FileStats.FileStat)],
-      cur: Option[Long], key: Option[String]): Unit = {
+      cur: Option[Long], key: Option[String],
+      rebase: Option[Rebase] = None): Unit = {
     import spark.implicits._
     val existing = touched.collect {
       case (r, st) if st.dv.isDefined => r -> st.dv.get
@@ -2029,7 +2060,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       }
     }
     commitFiles(None, kept ++ updated, schema().json, cur,
-      op = "DELETE", key = key): Unit
+      op = "DELETE", key = key, rebase = rebase): Unit
   }
 
   def deleteMatching(ids: DataFrame, key: String): Long = {
@@ -2057,8 +2088,14 @@ final class ResourceTable(val spark: SparkSession, val path: String,
           lastMergePlan = Some(joined.queryExecution.sparkPlan.toString)
           Some(joined)
         }
+      // rebase: winner adds holding a listed key would escape this
+      // delete (the commit must delete them under serialization) →
+      // re-run; winner removes of overlapping files are our own
+      // removed set, covered by the write-set check
       commitFiles(newData, kept, schema().json, cur, op = "DELETE",
-        key = Some(key))
+        key = Some(key),
+        rebase = Some(Rebase(files.filterNot(_._2.rows == 0),
+          (adds, _) => adds.exists(f => mayOverlap(f._2)))))
       nIds
     } finally idsKeyed.unpersist()
     maybeAutoCompact()
@@ -2174,8 +2211,12 @@ final class ResourceTable(val spark: SparkSession, val path: String,
           case (Some(a), Some(b)) => Some(a.unionByName(b))
           case (a, b) => a.orElse(b)
         }
+        // same rebase shape as upsert: read set = key-overlapping
+        // files, all removed, so only winner ADDS need the stats test
         commitFiles(newData, kept, tableSchema.json, cur, op = "MERGE",
-          key = Some(key))
+          key = Some(key),
+          rebase = Some(Rebase(files.filterNot(_._2.rows == 0),
+            (adds, _) => adds.exists(f => mayOverlap(f._2)))))
         srcRows
       }
     } finally src.unpersist()
@@ -2216,12 +2257,20 @@ final class ResourceTable(val spark: SparkSession, val path: String,
           Seq(col("_gdv_file"), col("_gdv_pos")): _*))
         .filter(matching)
         .select(col("_gdv_file").as[String], col("_gdv_pos").as[Long])
-      commitDvMatches(matches, touched, kept, cur, key = None)
+      // rebase: a winner ADD that may hold a predicate-matching row
+      // would escape this delete → re-run (splitByPredicate re-tests
+      // the winner's files against the same pruning logic)
+      commitDvMatches(matches, touched, kept, cur, key = None,
+        rebase = Some(Rebase(files.filterNot(_._2.rows == 0),
+          (adds, _) => splitByPredicate(adds, predicate)._1.nonEmpty)))
     } else {
       val newData =
         if (touched.isEmpty) None
         else Some(readFiles(touched, schema()).filter(!matching))
-      commitFiles(newData, kept, schema().json, cur, op = "DELETE"): Unit
+      commitFiles(newData, kept, schema().json, cur, op = "DELETE",
+        rebase = Some(Rebase(files.filterNot(_._2.rows == 0),
+          (adds, _) =>
+            splitByPredicate(adds, predicate)._1.nonEmpty))): Unit
     }
     touched.size.toLong
   }
@@ -2295,7 +2344,11 @@ final class ResourceTable(val spark: SparkSession, val path: String,
               }
             } :+ col("__upd")): _*)).drop("__upd"))
       }
-    commitFiles(newData, kept, schema().json, cur, op = "UPDATE")
+    // rebase: winner adds that may hold predicate-matching rows would
+    // escape this UPDATE → re-run
+    commitFiles(newData, kept, schema().json, cur, op = "UPDATE",
+      rebase = Some(Rebase(files.filterNot(_._2.rows == 0),
+        (adds, _) => splitByPredicate(adds, predicate)._1.nonEmpty)))
     touched.size.toLong
   }
 
@@ -2361,8 +2414,12 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         if (touched.isEmpty) src.select(cols: _*)
         else readFiles(touched, schema()).filter(!matching)
           .unionByName(src.select(cols: _*))
+      // rebase: winner adds that may match the predicate must be
+      // replaced too (replaceWhere's atomic-scope contract) → re-run
       commitFiles(Some(newData), untouched.filterNot(_._2.rows == 0),
-        schema().json, cur, op = "REPLACE WHERE")
+        schema().json, cur, op = "REPLACE WHERE",
+        rebase = Some(Rebase(files.filterNot(_._2.rows == 0),
+          (adds, _) => splitByPredicate(adds, predicate)._1.nonEmpty)))
       src.count()
     } finally src.unpersist()
   }
@@ -2380,8 +2437,17 @@ final class ResourceTable(val spark: SparkSession, val path: String,
                compression: String = "zstd"): Unit = retry() {
     val cur = latestVersion
     val rewritten = clusterInto(read(), numFiles)
+    // rebase: a compaction reads nothing beyond the files it rewrites
+    // (all removed, write-set-checked), so any winner whose commit
+    // left those files alone — e.g. a concurrent append — composes:
+    // the winner's files carry into the re-anchored manifest. THE
+    // reference's deployment shape is exactly this race: the
+    // lakehousekeeper maintenance CLI compacting under a live
+    // streaming upsert engine (lakehousekeeper.py vs main.py)
     commitFiles(Some(rewritten), Seq.empty, schema().json, cur,
-      compression, op = "OPTIMIZE")
+      compression, op = "OPTIMIZE",
+      rebase = Some(Rebase(
+        cur.map(fileListAt).getOrElse(Seq.empty), (_, _) => false)))
   }
 
   /** INCREMENTAL compaction — Delta OPTIMIZE's actual bin-packing
@@ -2417,8 +2483,11 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         // get disjoint, prunable stats — existing large files keep
         // their ranges untouched (Delta's incremental OPTIMIZE shape;
         // full optimize() remains the global re-cluster)
+        // rebase like optimize(): only the small files are read and
+        // removed; any winner leaving them alone composes
         commitFiles(Some(clusterInto(read, n)), large, schema().json,
-          Some(cur), compression, op = "OPTIMIZE")
+          Some(cur), compression, op = "OPTIMIZE",
+          rebase = Some(Rebase(files, (_, _) => false)))
         (small.size, large.size)
       }
     }
@@ -2459,9 +2528,11 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         // one output file per purged input keeps the snapshot's
         // file-size profile; survivors of mostly-dead files come out
         // small, and the next compactSmallFiles pass coalesces them
+        // rebase like optimize(): reads only the doomed files
         commitFiles(Some(clusterInto(survivors, doomed.size)),
           carried, schema().json, Some(cur), compression,
-          op = "OPTIMIZE")
+          op = "OPTIMIZE",
+          rebase = Some(Rebase(files, (_, _) => false)))
         (doomed.size, carried.size)
       }
     }
@@ -2891,6 +2962,38 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     * recomputes against the new state (optimistic concurrency, like
     * Delta). Schema and manifest flip in the same atomic create.
     */
+  /** Conflict-check spec for optimistic commit REBASE — Delta's
+    * ConflictChecker shape (delta-spark OptimisticTransaction /
+    * ConflictChecker; PROTOCOL.md requires only that the winner's
+    * version is not overwritten, concurrency control is writer
+    * policy). When a writer loses the commit election, the expensive
+    * artifact — the written data files — is usually still valid: only
+    * the MANIFEST it planned against is stale. Instead of deleting
+    * the files and re-running the whole job (read + join + write,
+    * minutes at scale), the loser re-checks the winner's commits
+    * against its own read/write sets, and when they are logically
+    * disjoint, re-anchors the same files on the new head: one
+    * manifest diff + one O_EXCL create, zero recompute.
+    *
+    * `baseFiles` is the manifest this commit planned against (what
+    * its kept/removed split was computed from). `conflicts(adds,
+    * removes)` answers "could the winner's file changes invalidate
+    * this commit's READ set?" — adds/removes are the winner's
+    * manifest delta (by (path, dv) identity, so a DV-modified file
+    * shows on both sides). The write-set check is built in: every
+    * file this commit removes must still be live at the head, else
+    * the rebase aborts to a full re-run.
+    *
+    * Not covered (falls back to re-run, always sound): schema changes
+    * by either side, txn-watermark races on the same appId, and
+    * table-property DDL (constraints/generated/identity declare on
+    * empty or quiesced tables in this engine).
+    */
+  private[tables] final case class Rebase(
+      baseFiles: Seq[(String, FileStats.FileStat)],
+      conflicts: (Seq[(String, FileStats.FileStat)],
+                  Seq[(String, FileStats.FileStat)]) => Boolean)
+
   private def commitFiles(newData: Option[DataFrame],
       keptFiles: Seq[(String, FileStats.FileStat)],
       schemaJson: String,
@@ -2898,7 +3001,8 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       compression: String = "zstd",
       op: String = "WRITE",
       txn: Option[(String, Long)] = None,
-      key: Option[String] = None): Long = {
+      key: Option[String] = None,
+      rebase: Option[Rebase] = None): Long = {
     val next = expectedCurrent.getOrElse(-1L) + 1
     val dirName =
       s"snap-$next-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -2949,36 +3053,103 @@ final class ResourceTable(val spark: SparkSession, val path: String,
             s"failed (commit proceeds unindexed): ${e.getMessage}")
         }
     }
-    val statsJson =
-      FileStats.toJsonNode((keptFiles ++ newStats).toMap).toString
-    // txn watermarks carry forward so any later commit can answer
-    // "has (appId, batchId) already been applied?" from the head
-    // alone; computed BEFORE the winner election so nothing lengthens
-    // the create-to-write window
-    val txns = expectedCurrent.map(v => FileStats.txnsOf(commitBody(v)))
-      .getOrElse(Map.empty) ++ txn
-    val txnsJson =
-      if (txns.isEmpty) ""
-      else s""","txns":${FileStats.txnsToJson(txns)}"""
+    // election + (optional) rebase loop. Mutable cursor: on a LOST
+    // election with a rebase spec, the loser re-anchors against the
+    // new head (recomputing kept/txns/next) and tries the next slot —
+    // the data files written above are reused verbatim. Any check
+    // failure falls back to the classic path: delete the dir, throw
+    // a CONFLICT, let retry() re-run the operation.
+    var curExpected = expectedCurrent
+    var curKept = keptFiles
+    var curNext = next
+    var rebasesLeft = 20 // bound: heavy contention falls back to re-run
+    // the commit body's manifest/txn JSON is computed BEFORE each
+    // election attempt so nothing lengthens the create-to-write
+    // window (a torn body wedges readers on the deadline spin)
+    def bodyJson(): (String, String) = {
+      val statsJson =
+        FileStats.toJsonNode((curKept ++ newStats).toMap).toString
+      // txn watermarks carry forward so any later commit can answer
+      // "has (appId, batchId) already been applied?" from the head alone
+      val txns = curExpected.map(v => FileStats.txnsOf(commitBody(v)))
+        .getOrElse(Map.empty) ++ txn
+      val txnsJson =
+        if (txns.isEmpty) ""
+        else s""","txns":${FileStats.txnsToJson(txns)}"""
+      (statsJson, txnsJson)
+    }
+    var (statsJson, txnsJson) = bodyJson()
+    def loseAndThrow(cause: Throwable): Nothing = {
+      fs.delete(dir, true)
+      BloomIndex.deleteSidecar(fs, root, dirName)
+      throw new CommitConflictException(path, curNext, cause)
+    }
     onBeforePublish()
-    val out =
-      try createExclusive(commitFile(next))
+    var out: java.io.OutputStream = null
+    while (out == null) {
+      try out = createExclusive(commitFile(curNext))
       catch {
-        // lost the race: remove this writer's unpublished dir so it
-        // doesn't linger until vacuum, then let retry() re-drive
-        // against the winner's head — typed as a CONFLICT so the
-        // retry wrapper charges its concurrency budget, not the
-        // failure budget
+        // lost the race: rebase if the spec allows, else remove this
+        // writer's unpublished dir so it doesn't linger until vacuum
+        // and let retry() re-drive against the winner's head — typed
+        // as a CONFLICT so the retry wrapper charges its concurrency
+        // budget, not the failure budget
         case e @ (_: java.nio.file.FileAlreadyExistsException |
                   _: org.apache.hadoop.fs.FileAlreadyExistsException) =>
-          fs.delete(dir, true)
-          BloomIndex.deleteSidecar(fs, root, dirName)
-          throw new CommitConflictException(path, next, e)
+          val rb = rebase.getOrElse(loseAndThrow(e))
+          if (curExpected.isEmpty || rebasesLeft <= 0) loseAndThrow(e)
+          rebasesLeft -= 1
+          val head = latestVersion.getOrElse(loseAndThrow(e))
+          if (head < curNext) loseAndThrow(e)
+          val baseV = expectedCurrent.get
+          val headBody = readCommitBody(head)
+          // winner changed the schema → our projection/scope may be
+          // stale in ways file stats can't arbitrate
+          if (FileStats.schemaOf(headBody) !=
+              FileStats.schemaOf(readCommitBody(baseV)))
+            loseAndThrow(e)
+          // winner advanced our own appId's watermark → this batch
+          // may already be applied; the operation's own replay check
+          // must re-decide
+          if (txn.exists { case (app, b) =>
+                FileStats.txnsOf(headBody).get(app).exists(b <= _) })
+            loseAndThrow(e)
+          def ident(f: (String, FileStats.FileStat)) = (f._1, f._2.dv)
+          val baseIdents = rb.baseFiles.map(ident).toSet
+          val keptIdents = keptFiles.map(ident).toSet
+          val removedIdents = baseIdents -- keptIdents
+          val headFiles = fileListAt(head)
+          val headIdents = headFiles.map(ident).toSet
+          // write-set check: every file this commit rewrites/removes
+          // must be untouched at the head (same path AND same DV)
+          if (!removedIdents.subsetOf(headIdents)) loseAndThrow(e)
+          // read-set check: the winner's own manifest delta, judged
+          // by the operation (e.g. "no added/removed file overlaps
+          // my batch's key range")
+          val winnerAdds = headFiles.filterNot(f => baseIdents(ident(f)))
+          val winnerRemoves =
+            rb.baseFiles.filterNot(f => headIdents(ident(f)))
+          if (rb.conflicts(winnerAdds, winnerRemoves)) loseAndThrow(e)
+          // re-anchor: the head's manifest minus our removals, plus
+          // any entries this commit MODIFIED in place rather than
+          // removed (a DV-delete passes touched files through
+          // keptFiles with updated descriptors — their old identity
+          // is in the removed set, so the path filter drops the
+          // head's copy and the modified entry re-enters here)
+          val removedPaths = removedIdents.map(_._1)
+          curKept = headFiles.filterNot(f => removedPaths(f._1)) ++
+            keptFiles.filterNot(f => baseIdents(ident(f)))
+          curExpected = Some(head)
+          curNext = head + 1
+          val refreshed = bodyJson()
+          statsJson = refreshed._1
+          txnsJson = refreshed._2
         case e: Throwable =>
           fs.delete(dir, true)
           BloomIndex.deleteSidecar(fs, root, dirName)
           throw e
       }
+    }
     // we WON the election: the commit file exists and is ours. If the
     // body fails to land (disk full, crash-adjacent IO error), the
     // empty/truncated file would wedge the table permanently — every
@@ -2993,11 +3164,11 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       val keyJson = key.map(k =>
         s""","key":${FileStats.quoteJson(k)}""").getOrElse("")
       try out.write(
-        s"""{"version":$next,"op":"$op","ts":${System.currentTimeMillis()},"dir":"$dirName"$txnsJson$keyJson,"schema":$schemaJson,"files":$statsJson}"""
+        s"""{"version":$curNext,"op":"$op","ts":${System.currentTimeMillis()},"dir":"$dirName"$txnsJson$keyJson,"schema":$schemaJson,"files":$statsJson}"""
           .getBytes(StandardCharsets.UTF_8))
       finally out.close()
     } catch { case e: Throwable =>
-      try fs.delete(commitFile(next), false)
+      try fs.delete(commitFile(curNext), false)
       catch { case _: Throwable => () }
       try fs.delete(dir, true) catch { case _: Throwable => () }
       BloomIndex.deleteSidecar(fs, root, dirName)
@@ -3009,14 +3180,14 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     // failed hint write must NOT fail (or re-drive!) the already-
     // published commit: retry() would re-apply the whole mutation and
     // double-append the batch
-    if (checkpointInterval > 0 && next > 0 &&
-        next % checkpointInterval == 0)
-      try writeFile(lastCheckpointFile, s"""{"version":$next}""")
+    if (checkpointInterval > 0 && curNext > 0 &&
+        curNext % checkpointInterval == 0)
+      try writeFile(lastCheckpointFile, s"""{"version":$curNext}""")
       catch { case e: Throwable => System.err.println(
-        s"$path: checkpoint hint write failed (commit $next is " +
+        s"$path: checkpoint hint write failed (commit $curNext is " +
           s"published and safe): ${e.getMessage}")
       }
-    next
+    curNext
   }
 
   private def writeFile(p: HPath, content: String): Unit = {

@@ -170,19 +170,24 @@ class ResourceTableSpec extends SparkSpec {
     // failure budget (5) must still land: lost elections are ordinary
     // optimistic concurrency (Delta retries them essentially
     // unboundedly), not failures. Injects a rival win inside EVERY
-    // publish window for 8 straight attempts.
+    // publish window for 8 straight attempts. The rival upserts the
+    // SAME key, so every loss is a TRUE read-set conflict — the
+    // rebase path (OccRebaseSpec) must decline and re-run, firing
+    // the publish hook again each time.
     val t = ResourceTable(spark, s"${tmpDir("rtcb")}/T.parquet")
       .createIfNotExists(schema)
     t.upsert(df("a" -> 1), "id")
     val rival = ResourceTable(spark, t.path)
     var rivals = 8
     t.onBeforePublish = () => {
-      if (rivals > 0) { rivals -= 1; rival.upsert(df(s"r$rivals" -> 0), "id") }
+      if (rivals > 0) { rivals -= 1; rival.upsert(df("b" -> (100 + rivals)), "id") }
     }
     t.upsert(df("b" -> 2), "id") // loses 8 elections, lands on the 9th
     assert(rivals == 0)
-    assert(t.read().collect().map(_.getString(0)).toSet ==
-      (Set("a", "b") ++ (0 until 8).map(i => s"r$i")))
+    assert(t.read().collect().map(_.getString(0)).toSet == Set("a", "b"))
+    // the loser's value must win the serialization (it committed last)
+    assert(t.read().filter(org.apache.spark.sql.functions.col("id") === "b")
+      .collect().map(_.getInt(1)).toSeq == Seq(2))
     assert(t.latestVersion.contains(10L)) // base + 8 rivals + b
   }
 
