@@ -50,7 +50,8 @@ object ScaleBench {
     "x_url_dedup", "x_upsert_overlap", "x_insert_absent", "x_dv_purge",
     "q_substring_dedup", "q_lm_score", "q_bpe_train",
     "q_rp_topk", "q_allpairs_sim", "x_shallow_clone", "q_pq_encode",
-    "x_rename_column", "x_bloom_lookup", "x_bloom_lookup_off")
+    "x_rename_column", "x_bloom_lookup", "x_bloom_lookup_off",
+    "x_occ_rebase", "x_occ_rerun")
 
   /** Scale-only cases that are not SparkEntry gates: shapes whose
     * scale story needs DIFFERENT fixture sizing than the sf0.01 gate.
@@ -121,7 +122,43 @@ object ScaleBench {
       f"[delete-bytes] $variant%-10s wrote ${wrote / 1024.0 / 1024.0}%10.2f MiB")
   }
 
+  /** Conflicted upsert under optimistic concurrency: a disjoint rival
+    * APPEND wins the election inside the main writer's publish window
+    * (deterministically, via the publish hook). With rebase the loser
+    * re-anchors its files on the rival's head — the measured cost is
+    * ONE upsert plus a manifest diff; with the kill switch off it
+    * re-runs the whole read-join-write job, paying the upsert twice.
+    * The rebase/rerun ratio IS the feature's value at scale.
+    */
+  private def occCase(rebaseOn: Boolean)
+      : (SparkSession, String) => DataFrame = (s, dir) => {
+    val tab = deleteDemo(s, dir, "occ")
+    val i = nextSlice(s"occ:${rebaseOn}:$dir")
+    val batch = s.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_id") % 1009 === i)
+    val rivalBatch = s.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_id") % 1009 === i + 700)
+      .withColumn("event_id", col("event_id") + lit(4000000000L))
+    val rival = graft.tables.ResourceTable(s, tab.path)
+    tab.onBeforePublish = () => {
+      tab.onBeforePublish = () => ()
+      rival.append(rivalBatch) // disjoint keys: rebase-eligible
+    }
+    s.conf.set("graft.table.rebase", rebaseOn.toString)
+    val t0 = System.nanoTime()
+    try tab.upsert(batch, "event_id"): Unit
+    finally {
+      s.conf.set("graft.table.rebase", "true")
+      tab.onBeforePublish = () => ()
+    }
+    System.err.println(f"[occ] rebase=$rebaseOn conflicted upsert " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2fs")
+    s.range(1).toDF("done")
+  }
+
   private val Extra: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_occ_rebase" -> occCase(rebaseOn = true),
+    "x_occ_rerun" -> occCase(rebaseOn = false),
     // J2 scale contrast: the SAME sparse uniform delete through the
     // file-rewrite path vs the deletion-vector path — rewrite is
     // O(bytes of every overlapping file), DV is O(deleted rows)

@@ -60,18 +60,25 @@ object Graph {
                iterations: Int, scale: Long = 1000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val spark = edges.sparkSession
+    // the edge list persists FIRST: however expensive the join/scan
+    // that built it, it computes exactly once — outdeg, eDeg and the
+    // node set all derive from this cache (two narrow longs per edge)
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // outdeg persists too: the per-iteration dangling anti-join probes
+    // it, and re-deriving it would re-shuffle the edges per iteration
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // edges carry their source's degree once; every iteration reuses
     // this one table (re-deriving it per round would re-shuffle the
     // raw edges k times)
     val eDeg = e.join(outdeg, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count() // one long — also materializes the cache
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count() // one long — also materializes the caches
     var ranks = nodes.select(col("node"), lit(scale).as("rank"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = 15L * scale / 100L
@@ -101,7 +108,9 @@ object Graph {
       ranks = next
     }
     eDeg.unpersist(false)
+    outdeg.unpersist(false)
     nodes.unpersist(false)
+    e.unpersist(false)
     ranks
   }
 

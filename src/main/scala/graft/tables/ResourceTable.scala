@@ -71,7 +71,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     * Lets a spec inject a rival commit to deterministically exercise
     * the create-fails-if-exists conflict path.
     */
-  private[tables] var onBeforePublish: () => Unit = () => ()
+  private[graft] var onBeforePublish: () => Unit = () => ()
   /** Test-only: physical plan of the last merge anti-join (broadcast
     * vs shuffled fallback assertions).
     */
@@ -3097,7 +3097,10 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         case e @ (_: java.nio.file.FileAlreadyExistsException |
                   _: org.apache.hadoop.fs.FileAlreadyExistsException) =>
           val rb = rebase.getOrElse(loseAndThrow(e))
-          if (curExpected.isEmpty || rebasesLeft <= 0) loseAndThrow(e)
+          // kill switch: graft.table.rebase=false forces every lost
+          // election back to the classic full re-run
+          if (!spark.conf.get("graft.table.rebase", "true").toBoolean ||
+              curExpected.isEmpty || rebasesLeft <= 0) loseAndThrow(e)
           rebasesLeft -= 1
           val head = latestVersion.getOrElse(loseAndThrow(e))
           if (head < curNext) loseAndThrow(e)
