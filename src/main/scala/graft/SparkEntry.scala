@@ -555,6 +555,32 @@ object SparkEntry {
       ResourceTable.mergeUpsert(customer, source, "c_custkey")
     }),
 
+    // ---- ROW TRACKING (Delta fresh row ids): three appended batches
+    //      claim contiguous id ranges off the commit-carried mark;
+    //      a deletion-vector delete of the whole first batch kills
+    //      its rows IN PLACE, so every surviving row keeps its id
+    //      (positions never move under a DV). WHICH row of a batch
+    //      holds WHICH id is layout-dependent; the (batch, id-range)
+    //      mapping is exact and DuckDB replays it as row_number
+    //      series — same convention as q_identity_col ----
+    "q_row_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_rowid").toString
+      val rt = graft.tables.ResourceTable(s, s"$tdir/d.parquet")
+      rt.createIfNotExists(StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType))))
+      rt.enableRowTracking()
+      rt.enableDeletionVectors()
+      val a = docs.filter(col("doc_id") % 3 === 0)
+      rt.append(a)
+      rt.append(docs.filter(col("doc_id") % 3 === 1))
+      rt.append(docs.filter(col("doc_id") % 3 === 2))
+      rt.deleteMatching(a.select("doc_id"), "doc_id")
+      rt.readWithRowIds()
+        .select((col("doc_id") % 3).as("batch"), col("_row_id"))
+    }),
+
     // ---- OPTIMISTIC MULTI-WRITER COMMITS (Delta ConflictChecker
     //      shape): four genuinely concurrent writers upsert disjoint
     //      key slices of orders into ONE table. Losing writers with
@@ -4461,6 +4487,23 @@ object SparkEntry {
     // four disjoint concurrent upserts serialize to the plain union
     "q_concurrent_upsert" ->
       "SELECT o_orderkey, o_totalprice FROM orders",
+
+    // zero-based contiguous ranges per append batch; the DV delete of
+    // batch A leaves B's and C's id ranges untouched
+    "q_row_ids" ->
+      """WITH n AS (
+        |  SELECT count(*) FILTER (WHERE doc_id % 3 = 0) AS na,
+        |         count(*) FILTER (WHERE doc_id % 3 = 1) AS nb
+        |  FROM documents),
+        |b AS (SELECT row_number() OVER () AS i FROM documents
+        |      WHERE doc_id % 3 = 1),
+        |c AS (SELECT row_number() OVER () AS i FROM documents
+        |      WHERE doc_id % 3 = 2)
+        |SELECT CAST(1 AS BIGINT) AS batch,
+        |  (SELECT na FROM n) + i - 1 AS _row_id FROM b
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT),
+        |  (SELECT na + nb FROM n) + i - 1 FROM c""".stripMargin,
 
     "q_delete_dv" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

@@ -139,39 +139,59 @@ object DeltaExport {
                        needCdf: Boolean = false,
                        needMapping: Boolean = false,
                        needGen: Boolean = false,
-                       needIdentity: Boolean = false): ObjectNode = {
+                       needIdentity: Boolean = false,
+                       needConstraints: Boolean = false,
+                       needRowTracking: Boolean = false): ObjectNode = {
     val p = f.objectNode()
-    if (needDv) {
+    if (needDv || needRowTracking) {
       // deletion vectors are a table FEATURE (PROTOCOL.md "Table
       // Features"): reader 3 / writer 7 with the feature named on
       // both lists — exactly what delta-spark writes when DVs enable.
       // changeDataFeed is WRITER-only (CDF-unaware readers may ignore
       // _change_data), so it joins writerFeatures alone. Column
-      // mapping is reader-visible and joins both lists.
-      p.put("minReaderVersion", 3)
+      // mapping is reader-visible and joins both lists. Row tracking
+      // is writer-only too and has no legacy carrier at all, so it
+      // forces this branch; writer 7 lists EVERY active feature
+      // explicitly (legacy version implications don't apply).
+      if (needDv) p.put("minReaderVersion", 3)
+      else p.put("minReaderVersion", if (needMapping) 2 else 1)
       p.put("minWriterVersion", 7)
-      val rf = f.arrayNode(); rf.add("deletionVectors")
-      val wf = f.arrayNode(); wf.add("deletionVectors")
-      if (needMapping) { rf.add("columnMapping"); wf.add("columnMapping") }
+      val rf = f.arrayNode()
+      val wf = f.arrayNode()
+      if (needDv) { rf.add("deletionVectors"); wf.add("deletionVectors") }
+      if (needMapping) {
+        if (needDv) rf.add("columnMapping")
+        wf.add("columnMapping")
+      }
       if (needCdf) wf.add("changeDataFeed")
-      // writer-only features: readers ignore generation/identity metadata
+      // writer-only features: readers ignore generation/identity
+      // metadata, and unaware writers are fenced off constraints
       if (needGen) wf.add("generatedColumns")
       if (needIdentity) wf.add("identityColumns")
-      p.replace("readerFeatures", rf)
+      if (needConstraints) wf.add("checkConstraints")
+      if (needRowTracking) {
+        wf.add("rowTracking")
+        wf.add("domainMetadata") // rowTracking's declared dependency
+      }
+      if (needDv) p.replace("readerFeatures", rf)
       p.replace("writerFeatures", wf)
     } else if (needMapping) {
       // legacy carrier for column mapping: reader 2 / writer 5
-      // (PROTOCOL.md "Column Mapping"; writer 5 ≥ the CDF minimum 4).
-      // Identity needs legacy writer 6, which subsumes 5.
+      // (PROTOCOL.md "Column Mapping"; writer 5 ≥ the CDF minimum 4
+      // and the constraints minimum 3). Identity needs legacy writer
+      // 6, which subsumes 5.
       p.put("minReaderVersion", 2)
       p.put("minWriterVersion", if (needIdentity) 6 else 5)
     } else {
       p.put("minReaderVersion", 1)
       // legacy writer version 6 carries identity columns; 4 carries
-      // BOTH change data feed and generated columns (PROTOCOL.md
-      // feature-by-version table)
+      // BOTH change data feed and generated columns; 3 carries CHECK
+      // constraints (PROTOCOL.md feature-by-version table)
       p.put("minWriterVersion",
-        if (needIdentity) 6 else if (needCdf || needGen) 4 else 2)
+        if (needIdentity) 6
+        else if (needCdf || needGen) 4
+        else if (needConstraints) 3
+        else 2)
     }
     wrap("protocol", p)
   }
@@ -273,10 +293,39 @@ object DeltaExport {
       conf.put("delta.columnMapping.mode", "name")
       conf.put("delta.columnMapping.maxColumnId", mx.toString)
     }
+    // CHECK constraints travel as `delta.constraints.<name>` table
+    // properties (PROTOCOL.md "CHECK Constraints") so a foreign aware
+    // writer keeps enforcing them; readers ignore the keys
+    t.checkConstraints().foreach { case (name, sql) =>
+      conf.put(s"delta.constraints.$name", sql)
+    }
+    if (t.rowTrackingEnabled)
+      conf.put("delta.enableRowTracking", "true")
     m.set("configuration", conf)
     m.put("createdTime", ts)
     wrap("metaData", m)
   }
+
+  /** Row-tracking high-water-mark domain metadata (PROTOCOL.md
+    * "Row Tracking" / "Domain Metadata"): a foreign aware writer
+    * continues the id sequence from here. Emitted with every exported
+    * commit of a row-tracking table (it is one tiny action) so the
+    * live json tail always carries the current mark; readers ignore
+    * domain metadata entirely.
+    */
+  private def rowTrackingDomain(t: ResourceTable, g: Long)
+      : Seq[ObjectNode] =
+    if (!t.rowTrackingEnabled) Seq.empty
+    else FileStats.rowHwmOf(t.commitBody(g)).toSeq
+      // graft's mark is the next UNASSIGNED id; Delta's is the highest
+      // ASSIGNED one — off by one, and absent before any assignment
+      .filter(_ > 0).map { hwm =>
+        val d = f.objectNode()
+        d.put("domain", "delta.rowTracking")
+        d.put("configuration", s"""{"rowIdHighWaterMark":${hwm - 1}}""")
+        d.put("removed", false)
+        wrap("domainMetadata", d)
+      }
 
   /** A `cdc` action: one `_change_data/` file of this commit's
     * row-level change images. dataChange=false per the protocol (the
@@ -345,6 +394,10 @@ object DeltaExport {
     a.put("stats", statsJson(st, types))
     // the manifest's DvInfo IS a Delta descriptor — verbatim translation
     st.dv.foreach(d => a.replace("deletionVector", dvNode(d)))
+    // row tracking: the manifest's id range translates verbatim
+    // (PROTOCOL.md "Row Tracking" — fresh/physical row ids)
+    st.baseRowId.foreach(a.put("baseRowId", _))
+    st.rowVer.foreach(a.put("defaultRowCommitVersion", _))
     wrap("add", a)
   }
 
@@ -615,9 +668,12 @@ object DeltaExport {
             needCdf = t.changeDataFeedEnabled,
             needMapping = isMapped(t.schema().json),
             needGen = t.generatedColumns().nonEmpty,
-            needIdentity = t.identityColumns().nonEmpty) +:
+            needIdentity = t.identityColumns().nonEmpty,
+            needConstraints = t.checkConstraints().nonEmpty,
+            needRowTracking = t.rowTrackingEnabled) +:
           metaData(t, t.schema().json, ts) +:
-          (txnDelta(Map.empty,
+          (rowTrackingDomain(t, latest) ++
+            txnDelta(Map.empty,
             FileStats.txnsOf(t.commitBody(latest)), ts) ++
             files.map { case (r, st) => add(r, st, sz(r), ts, types) }))
       return 0L
@@ -656,8 +712,11 @@ object DeltaExport {
                 needCdf = t.changeDataFeedEnabled,
                 needMapping = isMapped(t.schema().json),
                 needGen = t.generatedColumns().nonEmpty,
-                needIdentity = t.identityColumns().nonEmpty))
+                needIdentity = t.identityColumns().nonEmpty,
+            needConstraints = t.checkConstraints().nonEmpty,
+            needRowTracking = t.rowTrackingEnabled))
             else Seq.empty) ++
+            rowTrackingDomain(t, latest) ++
             txnDelta(Map.empty,
               FileStats.txnsOf(t.commitBody(latest)), ts) ++
             prev.toSeq.sorted.filterNot(cur).map(remove(_, ts)) ++
@@ -729,8 +788,11 @@ object DeltaExport {
                  needMapping = FileStats.schemaOf(t.commitBody(g))
                    .exists(isMapped),
                  needGen = t.generatedColumns().nonEmpty,
-                 needIdentity = t.identityColumns().nonEmpty))
+                 needIdentity = t.identityColumns().nonEmpty,
+            needConstraints = t.checkConstraints().nonEmpty,
+            needRowTracking = t.rowTrackingEnabled))
              else Seq.empty) ++
+            rowTrackingDomain(t, g) ++
             cdc ++
             txnDelta(FileStats.txnsOf(t.commitBody(g - 1)),
               FileStats.txnsOf(t.commitBody(g)), ts) ++

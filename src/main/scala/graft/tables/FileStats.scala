@@ -64,10 +64,19 @@ object FileStats {
     * drop the DV's positions, rewrites materialize survivors and clear
     * it.
     */
+  /** `baseRowId`/`rowVer` are Delta ROW TRACKING metadata (PROTOCOL.md
+    * "Row Tracking"): when the table opts in, every file is assigned a
+    * fresh id range at commit — row i of the file has row id
+    * `baseRowId + i` — and `rowVer` records the commit version that
+    * added the file (Delta's defaultRowCommitVersion). Both ride the
+    * manifest entry so rewrite paths carry them untouched (st.copy).
+    */
   final case class FileStat(rows: Long, cols: Map[String, ColStats],
                             bytes: Option[Long] = None,
                             mtime: Option[Long] = None,
-                            dv: Option[DvInfo] = None)
+                            dv: Option[DvInfo] = None,
+                            baseRowId: Option[Long] = None,
+                            rowVer: Option[Long] = None)
 
   // ---------------- collection (parquet footer → FileStat) -----------
 
@@ -165,6 +174,8 @@ object FileStats {
       fo.put("rows", fsStat.rows)
       fsStat.bytes.foreach(fo.put("bytes", _))
       fsStat.mtime.foreach(fo.put("mtime", _))
+      fsStat.baseRowId.foreach(fo.put("brid", _))
+      fsStat.rowVer.foreach(fo.put("rcv", _))
       fsStat.dv.foreach { d =>
         val dn = f.objectNode()
         dn.put("st", d.st); dn.put("d", d.d); dn.put("off", d.off)
@@ -236,6 +247,13 @@ object FileStats {
 
   def tsOf(body: String): Option[Long] =
     Option(mapper.readTree(body).get("ts")).map(_.asLong)
+
+  /** Row-id high-water mark a commit body carries (row tracking):
+    * every id below it is spoken for, forever — rewrites and deletes
+    * never lower it.
+    */
+  def rowHwmOf(body: String): Option[Long] =
+    Option(mapper.readTree(body).get("rowHwm")).map(_.asLong)
 
   /** Streaming commit reader — the scale twin of [[fromJson]]. A 100 TB
     * table's head manifest can reference 10⁶–10⁷ files; materializing
@@ -322,6 +340,8 @@ object FileStats {
       var mtime: Option[Long] = None
       var dv: Option[DvInfo] = None
       var cols = Map.empty[String, ColStats]
+      var brid: Option[Long] = None
+      var rcv: Option[Long] = None
       var end = false
       while (!end) parser.nextToken() match {
         case JsonToken.FIELD_NAME => parser.currentName() match {
@@ -330,6 +350,10 @@ object FileStats {
             parser.nextToken(); bytes = Some(parser.getLongValue)
           case "mtime" =>
             parser.nextToken(); mtime = Some(parser.getLongValue)
+          case "brid" =>
+            parser.nextToken(); brid = Some(parser.getLongValue)
+          case "rcv" =>
+            parser.nextToken(); rcv = Some(parser.getLongValue)
           case "dv" =>
             if (parser.nextToken() != JsonToken.START_OBJECT)
               throw new IllegalStateException("dv is not an object")
@@ -363,7 +387,7 @@ object FileStats {
         }
         case _ => end = true
       }
-      FileStat(rows, cols, bytes, mtime, dv)
+      FileStat(rows, cols, bytes, mtime, dv, brid, rcv)
     }
 
     private def readColStats(): ColStats = {
@@ -414,7 +438,9 @@ object FileStats {
           d.get("off").asInt, d.get("sz").asInt, d.get("card").asLong))
       e.getKey -> FileStat(fo.get("rows").asLong, cols,
         Option(fo.get("bytes")).map(_.asLong),
-        Option(fo.get("mtime")).map(_.asLong), dv)
+        Option(fo.get("mtime")).map(_.asLong), dv,
+        Option(fo.get("brid")).map(_.asLong),
+        Option(fo.get("rcv")).map(_.asLong))
     }.toMap
   }
 

@@ -1287,6 +1287,80 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     }
   }
 
+  // --------------------------------------------------- row tracking
+
+  private def rowTrackingFile = new HPath(root, "_meta_rowtracking")
+
+  /** Opt into Delta ROW TRACKING (fresh/physical row ids): every file
+    * committed from now on is assigned a contiguous id range off the
+    * table's row-id high-water mark (carried in each commit body, so
+    * assignment needs no extra IO and serializes with the commit
+    * election itself — rebased commits recompute off the new head).
+    * Row i of a file has id `baseRowId + i`; DV deletes keep surviving
+    * ids stable (positions don't move), rewrites assign FRESH ids
+    * (Delta's behavior for writers that don't materialize row ids —
+    * stable-across-rewrite ids would need the materialized-column
+    * extension). Ids are never reused: the mark only grows.
+    */
+  def enableRowTracking(): ResourceTable = {
+    writeFile(rowTrackingFile, "true")
+    this
+  }
+
+  private[tables] def rowTrackingEnabled: Boolean =
+    fs.exists(rowTrackingFile)
+
+  /** Snapshot read with `_row_id` and `_row_commit_version`
+    * materialized — `baseRowId + row_index` per file, the Delta
+    * row-tracking read surface. Refuses loudly if any live file
+    * predates the opt-in (it has no id range; Delta likewise requires
+    * a backfill). One scan + one broadcast hash join against the
+    * manifest-sized (path → baseRowId) map; DV positions drop first,
+    * and surviving rows keep their physical row_index — so their ids.
+    */
+  def readWithRowIds(): DataFrame = {
+    require(rowTrackingEnabled,
+      s"$path: row tracking is not enabled (enableRowTracking())")
+    val v = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no table at $path"))
+    val s = schema()
+    val files = fileListAt(v).filterNot(_._2.rows == 0)
+    val missing = files.filter(_._2.baseRowId.isEmpty).map(_._1)
+    require(missing.isEmpty,
+      s"$path: ${missing.size} file(s) predate row tracking and " +
+        s"carry no id range (e.g. ${missing.take(3).mkString(", ")}) " +
+        "— rewrite them (optimize) to assign ids")
+    import spark.implicits._
+    val out = s.fields.map(f => col(f.name)) ++
+      Seq(col("_row_id"), col("_row_commit_version"))
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(s.fields ++ Seq(
+          StructField("_row_id", org.apache.spark.sql.types.LongType),
+          StructField("_row_commit_version",
+            org.apache.spark.sql.types.LongType))))
+    val phys = physSchema(s)
+    val scan0 = applyDv(spark.read.schema(phys)
+      .parquet(files.map(f => resolve(f._1).toString): _*), files)
+      .withColumn("_gr_file", regexp_replace(
+        col("_metadata.file_path"), DvSchemeRe, "/"))
+      .withColumn("_gr_pos", col("_metadata.row_index"))
+    val logical =
+      if (phys == s) scan0
+      else scan0.select(s.fields.map(f =>
+        col(physName(f)).as(f.name, f.metadata)) ++
+        Seq(col("_gr_file"), col("_gr_pos")): _*)
+    val ids = files.map { case (rel, st) =>
+      (fs.makeQualified(resolve(rel)).toUri.toString
+        .replaceFirst(DvSchemeRe, "/"),
+        st.baseRowId.get, st.rowVer.getOrElse(-1L))
+    }.toDF("_gr_file", "_gr_base", "_row_commit_version")
+    logical.join(broadcast(ids), Seq("_gr_file"))
+      .withColumn("_row_id", col("_gr_base") + col("_gr_pos"))
+      .select(out: _*)
+  }
+
   /** Abort (before anything is written) if `src` contains rows that
     * violate any CHECK constraint — the upsert-side enforcement.
     */
@@ -3066,19 +3140,43 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     // the commit body's manifest/txn JSON is computed BEFORE each
     // election attempt so nothing lengthens the create-to-write
     // window (a torn body wedges readers on the deadline spin)
-    def bodyJson(): (String, String) = {
+    val rowTracking = rowTrackingEnabled
+    def bodyJson(): (String, String, Long, String) = {
+      val parentBody = curExpected.map(commitBody)
+      // ROW TRACKING assignment happens HERE, inside the election
+      // loop: the parent body's high-water mark is authoritative
+      // because commits serialize on the O_EXCL create — no side
+      // markers needed (unlike identity, which binds values to DATA
+      // before the election). A rebase recomputes off the new head,
+      // so concurrent writers' ranges can never collide.
+      val (outNew, rowJson) =
+        if (!rowTracking) (newStats, "")
+        else {
+          var hwm = parentBody.flatMap(FileStats.rowHwmOf).getOrElse(0L)
+          val assigned = newStats.sortBy(_._1).map { case (r, st) =>
+            val b = hwm; hwm += st.rows
+            r -> st.copy(baseRowId = Some(b), rowVer = Some(curNext))
+          }
+          (assigned, s""","rowHwm":$hwm""")
+        }
       val statsJson =
-        FileStats.toJsonNode((curKept ++ newStats).toMap).toString
+        FileStats.toJsonNode((curKept ++ outNew).toMap).toString
       // txn watermarks carry forward so any later commit can answer
       // "has (appId, batchId) already been applied?" from the head alone
-      val txns = curExpected.map(v => FileStats.txnsOf(commitBody(v)))
+      val txns = parentBody.map(FileStats.txnsOf)
         .getOrElse(Map.empty) ++ txn
       val txnsJson =
         if (txns.isEmpty) ""
         else s""","txns":${FileStats.txnsToJson(txns)}"""
-      (statsJson, txnsJson)
+      // MONOTONIC commit timestamp (Delta's in-commit-timestamp
+      // contract): never behind the parent's — clock skew between
+      // writers must not reorder history, or versionAsOf's
+      // newest-first scan would resolve the wrong snapshot
+      val ts = math.max(System.currentTimeMillis(),
+        parentBody.flatMap(FileStats.tsOf).getOrElse(0L) + 1)
+      (statsJson, txnsJson, ts, rowJson)
     }
-    var (statsJson, txnsJson) = bodyJson()
+    var (statsJson, txnsJson, tsVal, rowJson) = bodyJson()
     def loseAndThrow(cause: Throwable): Nothing = {
       fs.delete(dir, true)
       BloomIndex.deleteSidecar(fs, root, dirName)
@@ -3147,6 +3245,8 @@ final class ResourceTable(val spark: SparkSession, val path: String,
           val refreshed = bodyJson()
           statsJson = refreshed._1
           txnsJson = refreshed._2
+          tsVal = refreshed._3
+          rowJson = refreshed._4
         case e: Throwable =>
           fs.delete(dir, true)
           BloomIndex.deleteSidecar(fs, root, dirName)
@@ -3167,7 +3267,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       val keyJson = key.map(k =>
         s""","key":${FileStats.quoteJson(k)}""").getOrElse("")
       try out.write(
-        s"""{"version":$curNext,"op":"$op","ts":${System.currentTimeMillis()},"dir":"$dirName"$txnsJson$keyJson,"schema":$schemaJson,"files":$statsJson}"""
+        s"""{"version":$curNext,"op":"$op","ts":$tsVal,"dir":"$dirName"$txnsJson$rowJson$keyJson,"schema":$schemaJson,"files":$statsJson}"""
           .getBytes(StandardCharsets.UTF_8))
       finally out.close()
     } catch { case e: Throwable =>

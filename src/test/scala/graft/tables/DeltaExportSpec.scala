@@ -63,6 +63,21 @@ class DeltaExportSpec extends SparkSpec {
       .get("numRecords").asLong).sum == 3L)
   }
 
+  test("CHECK constraints export as delta.constraints.* + writer version 3") {
+    val path = s"${tmpDir("dxc")}/T.parquet"
+    val t = ResourceTable(spark, path).createIfNotExists(schema)
+    t.addCheckConstraint("positive_v", "v > 0")
+    t.upsert(df("a" -> 1), "id")
+    DeltaExport.export(t)
+    val lines = logLines(path, 0L)
+    val meta = lines.flatMap(n => Option(n.get("metaData"))).head
+    assert(meta.get("configuration")
+      .get("delta.constraints.positive_v").asText == "v > 0")
+    val proto = lines.flatMap(n => Option(n.get("protocol"))).head
+    assert(proto.get("minWriterVersion").asInt == 3)
+    assert(DeltaExport.readSnapshot(spark, path).count() == 1L)
+  }
+
   test("re-export is incremental: one entry per new commit, diff-only") {
     val path = s"${tmpDir("dx")}/T.parquet"
     val t = ResourceTable(spark, path).createIfNotExists(schema)

@@ -191,6 +191,18 @@ class ResourceTableSpec extends SparkSpec {
     assert(t.latestVersion.contains(10L)) // base + 8 rivals + b
   }
 
+  test("commit timestamps are strictly monotonic (in-commit-timestamp contract)") {
+    val t = ResourceTable(spark, s"${tmpDir("rtts")}/T.parquet")
+      .createIfNotExists(schema)
+    // rapid commits land within one millisecond without the
+    // max(parent+1, now) rule; versionAsOf depends on strict order
+    (1 to 4).foreach(i => t.upsert(df(s"k$i" -> i), "id"))
+    val ts = (0L to t.latestVersion.get)
+      .map(v => FileStats.tsOf(t.commitBody(v)).get)
+    assert(ts == ts.sorted && ts.distinct.size == ts.size,
+      s"not strictly increasing: $ts")
+  }
+
   test("stress: 3 genuinely concurrent writers all land; history stays linear") {
     val t0 = ResourceTable(spark, s"${tmpDir("rtc")}/T.parquet")
       .createIfNotExists(schema)
