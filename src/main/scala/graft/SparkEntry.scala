@@ -591,21 +591,21 @@ object SparkEntry {
     //      gate additionally asserts the history stayed linear (one
     //      commit per writer, no lost updates) ----
     "q_concurrent_upsert" -> ((s, dir) => {
-      val orders = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_totalprice"))
+      val customer = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
       val tdir = java.nio.file.Files
         .createTempDirectory("graft_occ").toString
-      val path = s"$tdir/o.parquet"
+      val path = s"$tdir/c.parquet"
       graft.tables.ResourceTable(s, path).createIfNotExists(
-        StructType(Seq(StructField("o_orderkey", LongType),
-          StructField("o_totalprice", DoubleType))))
+        StructType(Seq(StructField("c_custkey", LongType),
+          StructField("c_acctbal", DoubleType))))
       val failures =
         new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
       val threads = (0 until 4).map { w =>
         new Thread(() => {
           try graft.tables.ResourceTable(s, path)
-            .upsert(orders.filter(col("o_orderkey") % 4 === w),
-              "o_orderkey"): Unit
+            .upsert(customer.filter(col("c_custkey") % 4 === w),
+              "c_custkey"): Unit
           catch { case e: Throwable => failures.add(e) }
         })
       }
@@ -4486,7 +4486,7 @@ object SparkEntry {
 
     // four disjoint concurrent upserts serialize to the plain union
     "q_concurrent_upsert" ->
-      "SELECT o_orderkey, o_totalprice FROM orders",
+      "SELECT c_custkey, c_acctbal FROM customer",
 
     // zero-based contiguous ranges per append batch; the DV delete of
     // batch A leaves B's and C's id ranges untouched
