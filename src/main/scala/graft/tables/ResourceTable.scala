@@ -591,7 +591,8 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     tgt.writeFile(new HPath(tgt.root, "_meta_schema.json"), schemaJson)
     Seq("_meta_cluster.txt", "_meta_constraints.txt",
         "_meta_generated.txt", "_meta_identity.txt",
-        "_meta_dv_enabled", "_meta_cdf_enabled").foreach { m =>
+        "_meta_dv_enabled", "_meta_cdf_enabled",
+        "_meta_rowtracking").foreach { m =>
       val src = new HPath(root, m)
       if (fs.exists(src))
         tgt.writeFile(new HPath(tgt.root, m), readFile(src))
@@ -617,8 +618,13 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     // (the dir field names the slot commitFiles would have; the empty-
     // snapshot fallback in snapshotLocation is the only reader of it)
     val statsJson = FileStats.toJsonNode(absFiles.toMap).toString
+    // the row-id high-water mark travels like identity watermarks: a
+    // clone that restarted at 0 would hand new files id ranges the
+    // cloned files already occupy
+    val rowJson = FileStats.rowHwmOf(commitBody(v))
+      .map(h => s""","rowHwm":$h""").getOrElse("")
     val body =
-      s"""{"version":0,"op":"CLONE","ts":${System.currentTimeMillis()},"dir":"snap-0-clone","schema":$schemaJson,"files":$statsJson}"""
+      s"""{"version":0,"op":"CLONE","ts":${System.currentTimeMillis()},"dir":"snap-0-clone"$rowJson,"schema":$schemaJson,"files":$statsJson}"""
     val out = tgt.createExclusive(tgt.commitFile(0L))
     try out.write(body.getBytes(StandardCharsets.UTF_8))
     catch { case e: Throwable =>

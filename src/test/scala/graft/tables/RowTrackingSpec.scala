@@ -99,6 +99,19 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(ids.values.toSeq.sorted === Seq(0L, 1L, 2L, 3L, 4L))
   }
 
+  test("shallow clone carries the mark: new clone files never collide") {
+    val t = newTable()
+    t.append(df(1L -> "a", 2L -> "b"))
+    val tgt = SparkSpec.tmpDir("graft_rt_clone")
+    val c = t.shallowCloneTo(s"$tgt/c.parquet")
+    c.append(df(3L -> "c"))
+    val ids = c.readWithRowIds().collect()
+      .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("_row_id"))).toMap
+    assert(ids.size === 3)
+    assert(ids.values.toSeq.distinct.size === 3, s"id collision: $ids")
+    assert(ids(3L) === 2L) // continues past the cloned range
+  }
+
   test("export carries baseRowId + features + rowIdHighWaterMark domain") {
     val t = newTable()
     t.append(df(1L -> "a", 2L -> "b"))
