@@ -51,7 +51,7 @@ object ScaleBench {
     "q_substring_dedup", "q_lm_score", "q_bpe_train",
     "q_rp_topk", "q_allpairs_sim", "x_shallow_clone", "q_pq_encode",
     "x_rename_column", "x_bloom_lookup", "x_bloom_lookup_off",
-    "x_occ_rebase", "x_occ_rerun")
+    "x_occ_rebase", "x_occ_rerun", "x_dfp_join", "x_dfp_join_off")
 
   /** Scale-only cases that are not SparkEntry gates: shapes whose
     * scale story needs DIFFERENT fixture sizing than the sf0.01 gate.
@@ -159,6 +159,14 @@ object ScaleBench {
   private val Extra: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_occ_rebase" -> occCase(rebaseOn = true),
     "x_occ_rerun" -> occCase(rebaseOn = false),
+    // dim-driven join with vs without dynamic file pruning: the
+    // scan-footprint contrast is the claim (see dfpLookup)
+    "x_dfp_join" -> ((s, dir) => {
+      dfpLookup(s, dir, dfp = true); s.range(1).toDF("done")
+    }),
+    "x_dfp_join_off" -> ((s, dir) => {
+      dfpLookup(s, dir, dfp = false); s.range(1).toDF("done")
+    }),
     // J2 scale contrast: the SAME sparse uniform delete through the
     // file-rewrite path vs the deletion-vector path — rewrite is
     // O(bytes of every overlapping file), DV is O(deleted rows)
@@ -372,25 +380,78 @@ object ScaleBench {
       val q = tab.read().filter(col("event_id").isin(ids: _*))
         .selectExpr("count(*) AS n")
       val n = q.collect()(0).getLong(0)
-      def scans(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
-        p match {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            scans(a.executedPlan)
-          // AQE stage nodes have NO children; the subtree is .plan
-          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-            scans(qs.plan)
-          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-          case o => o.children.flatMap(scans) ++
-            o.subqueries.flatMap(scans)
-        }
-      val fp = scans(q.queryExecution.executedPlan).map { f =>
-        (f.metrics.get("numFiles").map(_.value).getOrElse(-1L),
-          f.metrics.get("filesSize").map(_.value).getOrElse(-1L))
-      }
+      val fp = scanFootprint(q)
       System.err.println(s"[bloom] probe=$probe ids=$ids rows=$n " +
         s"scanned(files,bytes)=$fp")
     } finally s.conf.set("graft.table.bloomIndex.probe", "true")
+  }
+
+  /** (numFiles, bytes) per FileSourceScanExec of an EXECUTED query —
+    * the scan-footprint evidence the pruning cases report.
+    */
+  private def scanFootprint(q: DataFrame): Seq[(Long, Long)] = {
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        // AQE stage nodes have NO children; the subtree is .plan
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(qs.plan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case o => o.children.flatMap(scans) ++
+          o.subqueries.flatMap(scans)
+      }
+    scans(q.queryExecution.executedPlan).map { f =>
+      (f.metrics.get("numFiles").map(_.value).getOrElse(-1L),
+        f.metrics.get("filesSize").map(_.value).getOrElse(-1L))
+    }
+  }
+
+  /** Fact table for the dynamic-file-pruning case: the scaled events
+    * clustered by the JOIN key (user_id), so files carry disjoint key
+    * ranges and a selective dim key set maps to few files.
+    */
+  private def dfpDemo(s: SparkSession, dir: String)
+      : graft.tables.ResourceTable =
+    deleteFixture.computeIfAbsent(s"dfp:$dir", _ => {
+      val base = s.read.parquet(s"$dir/events.parquet").repartition(32)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_sdfp").toString
+      val tab = graft.tables.ResourceTable(s, s"$tmp/e.parquet")
+        .createIfNotExists(base.schema, clusterCols = Seq("user_id"))
+      tab.upsert(base, "event_id")
+      tab
+    })
+
+  /** One dim-driven join over the scaled fact, DFP on vs off; stderr
+    * reports the fact scan footprint. The DFP side's evidence is the
+    * SAME story as the bloom lookup: wall clock on hot local NVMe
+    * hides pruning — scanned files/bytes are the object-store cost.
+    * The dim is 16 keys spread across copies, so the plain join scans
+    * every file while DFP opens only the key-range-matching ones.
+    */
+  private def dfpLookup(s: SparkSession, dir: String,
+                        dfp: Boolean): Unit = {
+    val tab = dfpDemo(s, dir)
+    val tag = if (dfp) "dfp" else "dfpoff"
+    val i = nextSlice(s"$tag:$dir")
+    // keys from the copy-0 user range [0,1500): present at EVERY
+    // scale (the remap keeps copy 0 intact), so the matched row set —
+    // and with DFP the scanned file set — is fixed while the table
+    // grows; the plain join's footprint grows with the table
+    val uids = (0 until 16).map(k =>
+      ((i.toLong * 31L + k * 97L) % 1500L))
+    import s.implicits._
+    val dim = uids.map(u => (u, s"seg${u % 5}")).toDF("uk", "segment")
+    val q =
+      if (dfp) tab.joinPruned(dim, "user_id", "uk")
+        .selectExpr("count(*) AS n")
+      else tab.read().join(dim, col("user_id") === col("uk"))
+        .selectExpr("count(*) AS n")
+    val n = q.collect()(0).getLong(0)
+    System.err.println(s"[dfp] dfp=$dfp keys=16 rows=$n " +
+      s"scanned(files,bytes)=${scanFootprint(q)}")
   }
 
   /** ~0.1% ingest batch, half re-delivered known keys + half new keys

@@ -2067,6 +2067,31 @@ object SparkEntry {
           col("o_totalprice"))
     }),
 
+    // ---- DYNAMIC FILE PRUNING join (Delta DFP): the fact table is
+    //      clustered by the join key but the query has NO fact-side
+    //      predicate — a static plan scans every fact file. joinPruned
+    //      collects the dim side's actual key set (bounded), turns it
+    //      into an IN filter on the fact scan, and the manifest
+    //      min/max stats (the InSet skipping case) shrink the scan to
+    //      the files whose key range intersects the dim keys. Results
+    //      are identical to the plain join; only the IO differs ----
+    "q_dfp_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_dfp").toString
+      val rt = graft.tables.ResourceTable(s, s"$tdir/orders_f.parquet")
+      rt.createIfNotExists(orders.schema, clusterCols = Seq("o_custkey"))
+      rt.upsert(orders, "o_orderkey")
+      rt.optimize(numFiles = 8)
+      val dim = t(s, dir, "customer")
+        .filter(col("c_custkey") % 100 === 7) // selective dim side
+        .select(col("c_custkey"), col("c_mktsegment"))
+      rt.joinPruned(dim, "o_custkey", "c_custkey")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+    }),
+
     // ---- hive-style partitioned layout: the scan must prune to the
     //      one matching partition directory (PartitionFilters) ----
     "q_partition_pruning" -> ((s, dir) => {
@@ -5204,6 +5229,14 @@ object SparkEntry {
     "q_bloom_skipping" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_orderkey IN (7, 311, 1202)""".stripMargin,
+
+    "q_dfp_join" ->
+      """SELECT c_custkey, c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_custkey % 100 = 7
+        |GROUP BY c_custkey, c_mktsegment""".stripMargin,
 
     "q_partition_pruning" ->
       """SELECT user_id, count(*) AS cnt,

@@ -26,9 +26,10 @@ import org.apache.spark.storage.StorageLevel
   * Scale shape (the 100 TB framing): one iteration is one equi-join
   * of the degree-annotated edge table with the rank table on `src`
   * plus one hash aggregate on `dst` — both shuffle on the node key,
-  * and AQE coalesces/skew-splits them; nothing is ever collected
-  * except the dangling-mass scalar (one row per iteration, the same
-  * deliberate driver boundary as BpeTrainer's per-round argmax). Each
+  * and AQE coalesces/skew-splits them; nothing is ever collected —
+  * the dangling-mass scalar rides INSIDE the iteration's one job as a
+  * single-row cross join (broadcast of one long), so an iteration is
+  * exactly one Spark job, not a collect + a materialize. Each
   * round's rank table persists (MEMORY_AND_DISK) and the previous one
   * unpersists — the MLlib iterative pattern — so the lineage stays
   * O(1) deep and driver state O(1). A billion-edge graph runs with
@@ -78,19 +79,26 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the dangling node SET is iteration-invariant (nodes with no
+    // out-edges) — derive it once; only its rank MASS changes per round
+    val danglingNodes = nodes
+      .join(outdeg.withColumnRenamed("src", "node"),
+        Seq("node"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // one long — also materializes the caches
     var ranks = nodes.select(col("node"), lit(scale).as("rank"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = 15L * scale / 100L
     for (_ <- 1 to iterations) {
-      // dangling mass: ONE scalar row per iteration (the bounded
-      // driver boundary; everything else stays distributed)
-      val dangling = ranks
-        .join(outdeg.withColumnRenamed("src", "node"),
-          Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0L)))
-        .collect()(0).getLong(0)
-      val share = dangling / n
+      // dangling mass: one aggregated row that rides the iteration's
+      // single job as a broadcast cross join — no driver collect, no
+      // second job per round. `sum DIV n` in long arithmetic equals
+      // the truncating division the oracle replays with BIGINT `//`
+      // (mass is non-negative).
+      val shareDf = ranks
+        .join(danglingNodes, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dmass"))
+        .select(expr(s"dmass DIV $n").as("share"))
       val contribs = eDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
@@ -99,14 +107,16 @@ object Graph {
       // `/` on longs is DOUBLE in Spark SQL (and lossy past 2^53);
       // DIV is the integer division DuckDB's `//` replays exactly
       val next = nodes.join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(shareDf))
         .select(col("node"),
           (lit(base) +
-            expr(s"(85 * (coalesce(c, 0) + $share)) DIV 100")).as("rank"))
+            expr("(85 * (coalesce(c, 0) + share)) DIV 100")).as("rank"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count() // materialize before dropping the parent
       ranks.unpersist(false)
       ranks = next
     }
+    danglingNodes.unpersist(false)
     eDeg.unpersist(false)
     outdeg.unpersist(false)
     nodes.unpersist(false)

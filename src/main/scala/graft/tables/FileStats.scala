@@ -471,6 +471,14 @@ object FileStats {
       val lits = vs.map(Lit.unapply)
       lits.forall(_.isDefined) &&
         lits.flatten.forall(v => outOfRange(stat, c, v))
+    // OptimizeIn rewrites any In past the conversion threshold
+    // (default 10) into InSet, so every dynamically-built key filter
+    // (dynamic file pruning collects up to 10^5 join keys) arrives
+    // here. Per-expression the set is sorted ONCE (weak-memoized on
+    // the hset instance); each file then pays one binary search for
+    // "is any key inside my [min,max]" — O(log k) per file, not O(k).
+    case i @ InSet(Attr(c), _) =>
+      inSetSorted(i).exists(arr => noSetKeyInRange(arr, stat, c))
     case IsNull(Attr(c)) => noNulls(stat, c)
     case IsNotNull(Attr(c)) => allNulls(stat, c)
     case StartsWith(Attr(c), Lit(v: String)) => prefixSkip(stat, c, v)
@@ -535,6 +543,62 @@ object FileStats {
   private def outOfRange(stat: FileStat, c: String, v: Any): Boolean =
     v != null && stat.cols.get(c).exists(cs =>
       cs.min.exists(mn => lt(v, mn)) || cs.max.exists(mx => gt(v, mx)))
+
+  // -------- InSet skipping (dynamic file pruning's key-set filter) ----
+
+  /** Sorted, normalized, null-free copy of an InSet's value set —
+    * memoized per hset INSTANCE (weak keys: the cache dies with the
+    * plan). None when any element normalizes outside the comparable
+    * stat domain (mixed/unknown types → never skip). Null elements are
+    * dropped: `x IN (…, NULL)` is never TRUE via the NULL, so a file
+    * can be skipped on the non-null keys alone.
+    */
+  private val inSetCache =
+    new java.util.WeakHashMap[AnyRef, Option[Array[Any]]]
+
+  private def inSetSorted(i: InSet): Option[Array[Any]] =
+    inSetCache.synchronized {
+      val hit = inSetCache.get(i.hset)
+      if (hit != null) return hit
+      val norm = i.hset.iterator.map(normValue).filter(_ != null).toArray
+      val comparable = norm.forall {
+        case _: java.lang.Long | _: java.lang.Double => true
+        case s: String => isAscii(s)
+        case _ => false
+      }
+      // a homogeneous sortable domain is required for the binary
+      // search; Long/Double mix still compares via cmp, but sorting
+      // mixed arrays with a partial order is fragile — require one type
+      val oneType = norm.map(_.getClass).distinct.length <= 1
+      val res =
+        if (!comparable || !oneType || norm.isEmpty) None
+        else Some(norm.sortWith((a, b) => cmp(a, b).exists(_ < 0)))
+      inSetCache.put(i.hset, res)
+      res
+    }
+
+  /** True iff NO element of sorted `arr` falls inside the file's
+    * [min,max] for column `c` — i.e. stats prove the set misses the
+    * file. Missing stats keep the file (conservative).
+    */
+  private def noSetKeyInRange(arr: Array[Any], stat: FileStat,
+                              c: String): Boolean =
+    stat.cols.get(c).exists { cs =>
+      (cs.min, cs.max) match {
+        case (Some(mn), Some(mx)) =>
+          // first element >= mn, via binary search over the total order
+          var lo = 0; var hi = arr.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (lt(arr(mid), mn)) lo = mid + 1 else hi = mid
+          }
+          // skip iff no element >= mn, or the smallest such is > mx.
+          // cmp=None (incomparable pairing) must KEEP the file.
+          lo == arr.length ||
+            cmp(arr(lo), mx).exists(_ > 0)
+        case _ => false
+      }
+    }
 
   // -------- MERGE rewrite-scope helpers (ResourceTable upsert/delete) --
 

@@ -769,6 +769,66 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     (kept.size, total)
   }
 
+  /** DYNAMIC FILE PRUNING join (Delta's DFP, done at manifest grade):
+    * join this table — the FACT side — against `dim` on
+    * `factKey = dimKey`, but first shrink the fact SCAN to the files
+    * that can contain the dim side's actual key set. A selective dim
+    * (the normal star-schema shape: "orders for these 50 customers"
+    * against a 100 TB fact) otherwise scans every fact file because
+    * the static plan has no fact-side predicate at all.
+    *
+    * Mechanics: one bounded job collects the dim side's distinct join
+    * keys (cap `graft.table.dfp.maxKeys`, default 100k — the same
+    * bounded-driver-boundary discipline as the bloom probe cap). At or
+    * under the cap the keys become an `IN` filter on the fact scan —
+    * pruned per file by manifest min/max stats (the [[FileStats]]
+    * `In`/`InSet` cases; clustered tables then read O(matching files))
+    * AND by the file-level bloom index when one is enabled on
+    * `factKey` (exact membership for high-cardinality keys). Past the
+    * cap it degrades to the key RANGE [min,max] — still unbeatable for
+    * time-ish or clustered keys, never wrong. The filter is a superset
+    * of the join's own semi-filter, so results are IDENTICAL to
+    * `read().join(dim, …)` — only the IO differs.
+    *
+    * Only inner and left_semi joins are accepted: for outer joins a
+    * fact-side pre-filter would drop rows the join must preserve.
+    */
+  def joinPruned(dim: DataFrame, factKey: String, dimKey: String,
+                 joinType: String = "inner"): DataFrame = {
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(jt == "inner" || jt == "leftsemi",
+      s"joinPruned supports inner/left_semi joins, not $joinType")
+    val fact = read().filter(dfpFilter(dim, factKey, dimKey))
+    fact.join(dim, fact(factKey) === dim(dimKey), joinType)
+  }
+
+  /** (files read, files total) a [[joinPruned]] with these arguments
+    * would scan — the DFP telemetry. */
+  def joinPrunedInfo(dim: DataFrame, factKey: String, dimKey: String)
+      : (Int, Int) =
+    pruneInfo(dfpFilter(dim, factKey, dimKey))
+
+  private def dfpFilter(dim: DataFrame, factKey: String,
+                        dimKey: String): org.apache.spark.sql.Column = {
+    val maxKeys = spark.conf.get("graft.table.dfp.maxKeys", "100000").toInt
+    val kt = schema()(factKey).dataType
+    val keyDf = dim.select(col(dimKey).cast(kt).as("__dfp_k"))
+      .where(col("__dfp_k").isNotNull).distinct()
+    val ks = keyDf.limit(maxKeys + 1).collect().map(_.get(0))
+    if (ks.isEmpty) lit(false) // no dim keys → inner join is empty
+    else if (ks.length <= maxKeys)
+      col(factKey).isin(ks.toIndexedSeq: _*)
+    else {
+      // over the cap: degrade to the [min,max] range — one more tiny
+      // dim-side aggregate, still a strict superset of the key set
+      val mm = keyDf
+        .agg(org.apache.spark.sql.functions.min(col("__dfp_k")),
+          org.apache.spark.sql.functions.max(col("__dfp_k")))
+        .collect()(0)
+      col(factKey) >= lit(mm.get(0)) && col(factKey) <= lit(mm.get(1))
+    }
+  }
+
   private def pruneFiles(filter: org.apache.spark.sql.Column)
       : (Seq[(String, FileStats.FileStat)], Int) = {
     val v = latestVersion.getOrElse(
