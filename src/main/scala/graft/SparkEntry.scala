@@ -2908,6 +2908,51 @@ object SparkEntry {
         col("n_regionkey"), col("note"))
     }),
 
+    // ---- TYPE WIDENING (Delta typeWidening): an INT table column
+    //      widens to LONG when a mergeSchema batch carries the wider
+    //      type — schema-only commit, the original int32 files are
+    //      served upcast in place (never rewritten). The aggregate
+    //      spans rows from both narrow and wide files ----
+    "q_type_widening" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_twiden").toString
+      val orders = t(s, dir, "orders")
+      def cents(dt: String) = (col("o_totalprice")
+        .cast(DecimalType(18, 2)) * 100).cast(dt).as("cents")
+      val narrow = orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), cents("int"))
+      val tab = ResourceTable(s, s"$tmp/O.parquet")
+        .createIfNotExists(narrow.schema)
+      tab.append(narrow)
+      tab.upsert(orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), cents("long")),
+        "o_orderkey", mergeSchema = true)
+      tab.read().groupBy((col("o_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+    }),
+
+    // ---- COLUMN DEFAULTS (Delta allowColumnDefaults): ALTER COLUMN
+    //      SET DEFAULT is a metadata-only commit; batches that OMIT
+    //      the column get the default computed, batches that carry it
+    //      keep their values — the aggregate spans both kinds ----
+    "q_column_defaults" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_cdef").toString
+      val cust = t(s, dir, "customer")
+      val full = cust.select(col("c_custkey"), col("c_acctbal"),
+        col("c_mktsegment").as("segment"))
+      val tab = ResourceTable(s, s"$tmp/C.parquet")
+        .createIfNotExists(full.schema)
+      tab.append(full.filter(col("c_custkey") % 3 === 0))
+      tab.setColumnDefault("segment", "'UNSEGMENTED'")
+      // the rest arrives WITHOUT the segment column → default fills
+      tab.append(full.filter(col("c_custkey") % 3 =!= 0)
+        .drop("segment"))
+      tab.read().groupBy(col("segment"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("c_acctbal").cast(DecimalType(18, 2))).as("bal"))
+    }),
+
     // ---- change data feed (Delta table_changes parity): row-level
     //      diff between the base version and the head across an
     //      upsert+insert batch and a delete batch ----
@@ -6060,6 +6105,19 @@ object SparkEntry {
         |  CASE WHEN n_nationkey < 10 THEN 'note-' || n_name
         |       ELSE NULL END AS note
         |FROM nation""".stripMargin,
+
+    "q_type_widening" ->
+      """SELECT o_orderkey % 10 AS bucket, count(*) AS cnt,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_column_defaults" ->
+      """SELECT CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment
+        |            ELSE 'UNSEGMENTED' END AS segment,
+        |       count(*) AS cnt,
+        |       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+        |FROM customer GROUP BY 1""".stripMargin,
 
     "q_change_feed" ->
       """SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey,

@@ -141,9 +141,13 @@ object DeltaExport {
                        needGen: Boolean = false,
                        needIdentity: Boolean = false,
                        needConstraints: Boolean = false,
-                       needRowTracking: Boolean = false): ObjectNode = {
+                       needRowTracking: Boolean = false,
+                       needWidening: Boolean = false,
+                       needDefaults: Boolean = false,
+                       needClustering: Boolean = false): ObjectNode = {
     val p = f.objectNode()
-    if (needDv || needRowTracking) {
+    if (needDv || needRowTracking || needWidening || needDefaults ||
+        needClustering) {
       // deletion vectors are a table FEATURE (PROTOCOL.md "Table
       // Features"): reader 3 / writer 7 with the feature named on
       // both lists — exactly what delta-spark writes when DVs enable.
@@ -153,14 +157,17 @@ object DeltaExport {
       // is writer-only too and has no legacy carrier at all, so it
       // forces this branch; writer 7 lists EVERY active feature
       // explicitly (legacy version implications don't apply).
-      if (needDv) p.put("minReaderVersion", 3)
+      if (needDv || needWidening) p.put("minReaderVersion", 3)
       else p.put("minReaderVersion", if (needMapping) 2 else 1)
       p.put("minWriterVersion", 7)
       val rf = f.arrayNode()
       val wf = f.arrayNode()
       if (needDv) { rf.add("deletionVectors"); wf.add("deletionVectors") }
+      // typeWidening is reader-visible: files narrower than the schema
+      // require readers that upcast on scan (PROTOCOL.md Type Widening)
+      if (needWidening) { rf.add("typeWidening"); wf.add("typeWidening") }
       if (needMapping) {
-        if (needDv) rf.add("columnMapping")
+        if (needDv || needWidening) rf.add("columnMapping")
         wf.add("columnMapping")
       }
       if (needCdf) wf.add("changeDataFeed")
@@ -173,7 +180,16 @@ object DeltaExport {
         wf.add("rowTracking")
         wf.add("domainMetadata") // rowTracking's declared dependency
       }
-      if (needDv) p.replace("readerFeatures", rf)
+      // DEFAULTs fence off unaware writers (they would insert NULL
+      // where the default belongs); readers are unaffected
+      if (needDefaults) wf.add("allowColumnDefaults")
+      if (needClustering) {
+        wf.add("clustering")
+        // clustering state rides domainMetadata (delta.clustering);
+        // don't re-add if rowTracking already declared the dependency
+        if (!needRowTracking) wf.add("domainMetadata")
+      }
+      if (needDv || needWidening) p.replace("readerFeatures", rf)
       p.replace("writerFeatures", wf)
     } else if (needMapping) {
       // legacy carrier for column mapping: reader 2 / writer 5
@@ -205,6 +221,26 @@ object DeltaExport {
         .exists(_.metadata.contains(ResourceTable.PhysKey)))
       .getOrElse(false)
 
+  /** A schema that carries any `delta.typeChanges` field metadata was
+    * type-widened: files narrower than the schema exist, so the
+    * protocol must demand the typeWidening reader feature.
+    */
+  private[tables] def isWidened(schemaJson: String): Boolean =
+    scala.util.Try(DataType.fromJson(schemaJson)
+        .asInstanceOf[StructType].fields
+        .exists(_.metadata.contains("delta.typeChanges")))
+      .getOrElse(false)
+
+  /** A schema carrying any `CURRENT_DEFAULT` field metadata has
+    * column defaults: unaware writers must be fenced off
+    * (allowColumnDefaults writer feature).
+    */
+  private[tables] def isDefaulted(schemaJson: String): Boolean =
+    scala.util.Try(DataType.fromJson(schemaJson)
+        .asInstanceOf[StructType].fields
+        .exists(_.metadata.contains(ResourceTable.DefaultKey)))
+      .getOrElse(false)
+
   /** The graft mapping metadata translated to Delta's
     * `delta.columnMapping.physicalName`/`.id` field keys; returns the
     * delta-ready schema json plus the max column id for the
@@ -225,8 +261,15 @@ object DeltaExport {
               fd.metadata.getLong(ResourceTable.IdKey)
             else 0L
           maxId = math.max(maxId, id)
+          // translate the graft keys; every OTHER metadata key
+          // (delta.typeChanges, CURRENT_DEFAULT, ...) passes through
+          // verbatim — dropping them here would strip the widening /
+          // default state from mapped tables' exported schemas
           fd.copy(metadata =
             new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(fd.metadata)
+              .remove(ResourceTable.PhysKey)
+              .remove(ResourceTable.IdKey)
               .putString("delta.columnMapping.physicalName",
                 fd.metadata.getString(ResourceTable.PhysKey))
               .putLong("delta.columnMapping.id", id).build())
@@ -326,6 +369,38 @@ object DeltaExport {
         d.put("removed", false)
         wrap("domainMetadata", d)
       }
+
+  /** Liquid-clustering state: domain `delta.clustering` carrying the
+    * clustering column PHYSICAL-name paths (delta-spark's
+    * ClusteringMetadataDomain shape) — aware writers keep clustering
+    * on these columns, readers ignore the domain. Emitted on anchor
+    * commits only: graft's clusterBy is table-level state, and domain
+    * replay is latest-wins, so one statement per log suffices.
+    */
+  private def clusteringDomain(t: ResourceTable): Seq[ObjectNode] = {
+    val cols = t.clusterBy()
+    if (cols.isEmpty) Seq.empty
+    else {
+      val s = t.schema()
+      val phys = cols.map { c =>
+        val fd = s.fields.find(_.name == c)
+        fd.filter(_.metadata.contains(ResourceTable.PhysKey))
+          .map(_.metadata.getString(ResourceTable.PhysKey))
+          .getOrElse(c)
+      }
+      val d = f.objectNode()
+      d.put("domain", "delta.clustering")
+      val conf = f.objectNode()
+      val arr = f.arrayNode()
+      phys.foreach { p =>
+        val path = f.arrayNode(); path.add(p); arr.add(path)
+      }
+      conf.set[ObjectNode]("clusteringColumns", arr)
+      d.put("configuration", conf.toString)
+      d.put("removed", false)
+      Seq(wrap("domainMetadata", d))
+    }
+  }
 
   /** A `cdc` action: one `_change_data/` file of this commit's
     * row-level change images. dataChange=false per the protocol (the
@@ -670,9 +745,13 @@ object DeltaExport {
             needGen = t.generatedColumns().nonEmpty,
             needIdentity = t.identityColumns().nonEmpty,
             needConstraints = t.checkConstraints().nonEmpty,
-            needRowTracking = t.rowTrackingEnabled) +:
+            needRowTracking = t.rowTrackingEnabled,
+            needWidening = isWidened(t.schema().json),
+            needDefaults = isDefaulted(t.schema().json),
+            needClustering = t.clusterBy().nonEmpty) +:
           metaData(t, t.schema().json, ts) +:
           (rowTrackingDomain(t, latest) ++
+            clusteringDomain(t) ++
             txnDelta(Map.empty,
             FileStats.txnsOf(t.commitBody(latest)), ts) ++
             files.map { case (r, st) => add(r, st, sz(r), ts, types) }))
@@ -706,7 +785,8 @@ object DeltaExport {
           // means the predecessor state is unknowable, and re-stating
           // a watermark is idempotent under log replay
           ((if (files.exists(_._2.dv.isDefined) || t.changeDataFeedEnabled ||
-                isMapped(t.schema().json))
+                isMapped(t.schema().json) || isWidened(t.schema().json) ||
+                isDefaulted(t.schema().json) || t.clusterBy().nonEmpty)
               Seq(protocol(
                 needDv = files.exists(_._2.dv.isDefined) || t.dvEnabled,
                 needCdf = t.changeDataFeedEnabled,
@@ -714,9 +794,13 @@ object DeltaExport {
                 needGen = t.generatedColumns().nonEmpty,
                 needIdentity = t.identityColumns().nonEmpty,
             needConstraints = t.checkConstraints().nonEmpty,
-            needRowTracking = t.rowTrackingEnabled))
+            needRowTracking = t.rowTrackingEnabled,
+            needWidening = isWidened(t.schema().json),
+            needDefaults = isDefaulted(t.schema().json),
+            needClustering = t.clusterBy().nonEmpty))
             else Seq.empty) ++
             rowTrackingDomain(t, latest) ++
+            clusteringDomain(t) ++
             txnDelta(Map.empty,
               FileStats.txnsOf(t.commitBody(latest)), ts) ++
             prev.toSeq.sorted.filterNot(cur).map(remove(_, ts)) ++
@@ -780,7 +864,8 @@ object DeltaExport {
             // never downgrades an earlier one)
             (if (adds.exists(_._2.dv.isDefined) || cdc.nonEmpty ||
                  (schemaChanged && FileStats.schemaOf(t.commitBody(g))
-                   .exists(isMapped)))
+                   .exists(s => isMapped(s) || isWidened(s) ||
+                     isDefaulted(s))))
                Seq(protocol(
                  needDv = adds.exists(_._2.dv.isDefined) || t.dvEnabled ||
                    after.exists(_._2.dv.isDefined),
@@ -790,7 +875,12 @@ object DeltaExport {
                  needGen = t.generatedColumns().nonEmpty,
                  needIdentity = t.identityColumns().nonEmpty,
             needConstraints = t.checkConstraints().nonEmpty,
-            needRowTracking = t.rowTrackingEnabled))
+            needRowTracking = t.rowTrackingEnabled,
+            needWidening = FileStats.schemaOf(t.commitBody(g))
+              .exists(isWidened),
+            needDefaults = FileStats.schemaOf(t.commitBody(g))
+              .exists(isDefaulted),
+            needClustering = t.clusterBy().nonEmpty))
              else Seq.empty) ++
             rowTrackingDomain(t, g) ++
             cdc ++
@@ -1455,7 +1545,11 @@ object DeltaExport {
     */
   private val SupportedReaderFeatures =
     Set("columnMapping", "timestampNtz", "vacuumProtocolCheck",
-      "deletionVectors", "v2Checkpoint")
+      "deletionVectors", "v2Checkpoint",
+      // narrow files under a widened schema: this reader scans with
+      // an explicit (widened) Spark schema, and the parquet readers
+      // upcast in place (SPARK-40876) — nothing else to do
+      "typeWidening")
 
   /** Protocol gate shared by the checkpoint and json replay paths.
     * v1 = plain parquet; v2 = column mapping (the metaData

@@ -3,7 +3,9 @@ package graft.tables
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType,
+  FloatType, IntegerType, LongType, MetadataBuilder, ShortType,
+  StructField, StructType}
 
 import java.nio.charset.StandardCharsets
 
@@ -534,6 +536,78 @@ final class ResourceTable(val spark: SparkSession, val path: String,
             .putLong(ResourceTable.IdKey, nextId).build())
       }
     }
+
+  /** TYPE WIDENING (Delta's `typeWidening` table feature): the lossless
+    * primitive upcasts a write may apply to the TABLE schema when the
+    * source is wider, or to the SOURCE batch when the table is wider.
+    * Exactly Delta's automatic set: integral byte→short→int→long and
+    * float→double — widenings the parquet readers serve in place
+    * (SPARK-40876: an int32 file column reads under a LONG schema), so
+    * existing files never rewrite.
+    */
+  private def widensTo(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+
+  /** Reconcile a source batch's column TYPES with the table schema —
+    * the piece of Delta's write-path schema enforcement the add-column
+    * merge doesn't cover. Per shared column, in order:
+    *  - equal types: untouched (the hot path adds no projection);
+    *  - source NARROWER: the source column upcasts to the table type
+    *    (an int batch into a long table is always safe);
+    *  - source WIDER and `mergeSchema`: the TABLE field widens — a
+    *    schema-only change recorded in the field's
+    *    `delta.typeChanges` metadata (the Delta typeWidening
+    *    contract), committed atomically with the data; existing
+    *    narrow files are served widened by the parquet reader;
+    *  - source WIDER without `mergeSchema`, or not losslessly
+    *    convertible at all: refuse loudly (silent truncation or a
+    *    corrupt file/schema mismatch are the alternatives).
+    * Returns the conformed source and the (possibly widened) schema.
+    */
+  private def conformTypes(src: DataFrame, tableSchema: StructType,
+      mergeSchema: Boolean): (DataFrame, StructType) = {
+    var out = src
+    val srcByName = src.schema.fields.map(f => f.name -> f).toMap
+    val fields = tableSchema.fields.map { tf =>
+      srcByName.get(tf.name) match {
+        // structural comparison: nested metadata / nullability
+        // differences are NOT a type mismatch (strict StructType
+        // equality would spuriously refuse struct-typed columns)
+        case Some(sf) if !DataType.equalsStructurally(
+            sf.dataType, tf.dataType, ignoreNullability = true) =>
+          if (widensTo(sf.dataType, tf.dataType)) {
+            out = out.withColumn(tf.name, col(tf.name).cast(tf.dataType))
+            tf
+          } else if (widensTo(tf.dataType, sf.dataType) && mergeSchema) {
+            val prior =
+              if (tf.metadata.contains("delta.typeChanges"))
+                tf.metadata.getMetadataArray("delta.typeChanges")
+              else Array.empty[org.apache.spark.sql.types.Metadata]
+            val change = new MetadataBuilder()
+              .putString("fromType", tf.dataType.typeName)
+              .putString("toType", sf.dataType.typeName).build()
+            tf.copy(dataType = sf.dataType,
+              metadata = new MetadataBuilder().withMetadata(tf.metadata)
+                .putMetadataArray("delta.typeChanges", prior :+ change)
+                .build())
+          } else throw new IllegalArgumentException(
+            s"write to $path: column '${tf.name}' is " +
+              s"${sf.dataType.simpleString} in the source but " +
+              s"${tf.dataType.simpleString} in the table — " +
+              (if (widensTo(tf.dataType, sf.dataType))
+                "pass mergeSchema=true to widen the table type"
+              else "no lossless conversion exists; cast explicitly"))
+        case _ => tf
+      }
+    }
+    (out, StructType(fields))
+  }
 
   /** Delta SHALLOW CLONE parity (`CREATE TABLE tgt SHALLOW CLONE src
     * [VERSION AS OF v]`): a new table whose version-0 manifest
@@ -1183,6 +1257,101 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     }
   }
 
+  // ------------------------------------------------- column defaults
+
+  /** Column DEFAULT values, name → SQL text — Delta's
+    * `allowColumnDefaults` feature (PROTOCOL.md "Column Default
+    * Values"): a write batch that OMITS the column gets the default
+    * computed in its place; existing rows are untouched (Delta
+    * forbids ADD COLUMN ... DEFAULT for exactly that reason — only
+    * ALTER COLUMN SET DEFAULT, affecting future writes, exists).
+    * Stored as `CURRENT_DEFAULT` field metadata IN THE SCHEMA, so the
+    * default is versioned with the schema (time travel sees the
+    * default that was live at that version) and the export carries it
+    * verbatim.
+    */
+  def columnDefaults(): Map[String, String] =
+    schema().fields.iterator
+      .filter(_.metadata.contains(ResourceTable.DefaultKey))
+      .map(f => f.name ->
+        f.metadata.getString(ResourceTable.DefaultKey)).toMap
+
+  /** ALTER COLUMN name SET DEFAULT (sqlExpr) — a metadata-only
+    * commit (files carry by reference; any disjoint winner rebases).
+    * The expression must be CONSTANT (no column references — Delta's
+    * rule) and must cast losslessly to the column type; both are
+    * validated here, once, not per write.
+    */
+  def setColumnDefault(name: String, sqlExpr: String): Long = {
+    val s0 = schema()
+    require(s0.fieldNames.contains(name),
+      s"$path: no column '$name' to set a default on")
+    require(!generatedColumns().contains(name) &&
+      !identityColumns().contains(name),
+      s"$path: column '$name' is generated — it cannot also carry " +
+        "a DEFAULT (the generation expression already owns writes)")
+    val refs = referencedColumns(sqlExpr)
+    require(refs.isEmpty,
+      s"DEFAULT for $name references column(s) ${refs.mkString(", ")}" +
+        " — defaults must be constant expressions")
+    val dt = s0(name).dataType
+    // one local row: refuse a default whose cast to the column type
+    // is lossy/invalid — try_cast, so ANSI mode surfaces the refusal
+    // as THIS error, not a CAST_INVALID_INPUT at some later write
+    val probe = spark.range(1)
+      .select(expr(sqlExpr).as("_raw"),
+        expr(s"try_cast(($sqlExpr) AS ${dt.sql})").as("_c"))
+      .head()
+    if (!probe.isNullAt(0) && probe.isNullAt(1))
+      throw new IllegalArgumentException(
+        s"DEFAULT ($sqlExpr) for $name does not cast to " +
+          s"${dt.simpleString}")
+    retry() {
+      val cur = latestVersion.getOrElse(
+        throw new IllegalStateException(s"no table at $path"))
+      val updated = StructType(schema().fields.map(f =>
+        if (f.name == name) f.copy(metadata = new MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString(ResourceTable.DefaultKey, sqlExpr).build())
+        else f))
+      commitFiles(None, fileListAt(cur), updated.json, Some(cur),
+        op = "SET DEFAULT",
+        rebase = Some(Rebase(fileListAt(cur), (_, _) => false)))
+    }
+  }
+
+  /** ALTER COLUMN name DROP DEFAULT — the inverse metadata commit. */
+  def dropColumnDefault(name: String): Long = retry() {
+    val cur = latestVersion.getOrElse(
+      throw new IllegalStateException(s"no table at $path"))
+    val updated = StructType(schema().fields.map(f =>
+      if (f.name == name) f.copy(metadata = new MetadataBuilder()
+        .withMetadata(f.metadata)
+        .remove(ResourceTable.DefaultKey).build())
+      else f))
+    commitFiles(None, fileListAt(cur), updated.json, Some(cur),
+      op = "DROP DEFAULT",
+      rebase = Some(Rebase(fileListAt(cur), (_, _) => false)))
+  }
+
+  /** Write-side application of [[columnDefaults]]: table columns the
+    * source OMITS entirely are filled with their default (cast to
+    * the declared type). Columns the source provides — even with
+    * NULLs — pass through untouched (SQL DEFAULT semantics: the
+    * default fires on omission, not on NULL). No defaults → one
+    * metadata existence check and the source passes through.
+    */
+  private def applyDefaults(source: DataFrame): DataFrame = {
+    val defs = columnDefaults()
+    if (defs.isEmpty) return source
+    val tbl = schema()
+    val present = source.schema.fieldNames.toSet
+    defs.filterNot { case (c, _) => present(c) }
+      .foldLeft(source) { case (df, (c, e)) =>
+        df.withColumn(c, expr(e).cast(tbl(c).dataType))
+      }
+  }
+
   // ------------------------------------------------- identity columns
 
   private def identityFile = new HPath(root, "_meta_identity.txt")
@@ -1635,7 +1804,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     // the source is a bounded micro-batch (maxOffsetsPerTrigger); cache
     // it so the pruning stats, the anti-join probe side, the union
     // side, and the returned count are one computation, not several
-    val src = applyGenerated(applyIdentity(source)).cache()
+    val src = applyGenerated(applyIdentity(applyDefaults(source))).cache()
     // CHECK constraints gate the batch BEFORE anything is written (one
     // aggregate over the bounded batch, all constraints at once);
     // deletes can't introduce violations, so only the upsert pays
@@ -1647,8 +1816,10 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       val curV = cur.getOrElse(
         throw new IllegalStateException(s"no table at $path"))
       val files = fileListAt(curV)
-      val tableSchema = schema()
-      val newCols = src.schema.fields
+      // type reconciliation first: the batch conforms to the table
+      // types (or the table WIDENS under mergeSchema — typeWidening)
+      val (srcT, tableSchema) = conformTypes(src, schema(), mergeSchema)
+      val newCols = srcT.schema.fields
         .filterNot(f => tableSchema.fieldNames.contains(f.name))
       val outSchema =
         if (mergeSchema && newCols.nonEmpty)
@@ -1663,18 +1834,20 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       // (optimizedWrite pays one extra count to size its range files —
       // the knob is off by default, so the hot path stays single-job.)
       if (!files.exists(_._2.rows > 0)) {
-        commitCounted(src, outCols, outSchema.json, Seq.empty, cur,
+        commitCounted(srcT, outCols, outSchema.json, Seq.empty, cur,
           op = "MERGE", key = Some(key))
       } else {
-        val (srcRows, mayOverlap) = keyProfile(src, key)
+        val (srcRows, mayOverlap) = keyProfile(srcT, key)
         val (touched, untouched) = files.partition(f => mayOverlap(f._2))
         // empty files add nothing — merge them away instead of carrying
         val kept = untouched.filterNot(_._2.rows == 0)
 
-        val srcOut = src.select(outCols.map(col): _*)
+        val srcOut = srcT.select(outCols.map(col): _*)
         val newData =
           if (touched.isEmpty) srcOut // pure insert: write only the batch
           else {
+            // widened table types serve existing narrow files in place
+            // (parquet upcast read) — no rewrite outside the key overlap
             val target0 = readFiles(touched, tableSchema)
             val target =
               if (mergeSchema && newCols.nonEmpty)
@@ -1685,7 +1858,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
             // target side never shuffles; past the row limit (oversized
             // backfill) fall back to a shuffled anti-join rather than
             // materializing the batch on the driver.
-            val probe = src.select(key)
+            val probe = srcT.select(key)
             val joined = target.join(
               if (srcRows <= broadcastRowLimit) broadcast(probe) else probe,
               Seq(key), "left_anti")
@@ -1732,7 +1905,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     */
   def append(source: DataFrame, mergeSchema: Boolean = false,
              txn: Option[(String, Long)] = None): Long = {
-    val src = applyGenerated(applyIdentity(source)).cache()
+    val src = applyGenerated(applyIdentity(applyDefaults(source))).cache()
     try {
       enforceConstraints(src)
       // Delta parity: without mergeSchema an append carrying columns
@@ -1763,8 +1936,8 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       }
       if (replayed) 0L
       else {
-        val tableSchema = schema()
-        val newCols = src.schema.fields
+        val (srcT, tableSchema) = conformTypes(src, schema(), mergeSchema)
+        val newCols = srcT.schema.fields
           .filterNot(f => tableSchema.fieldNames.contains(f.name))
         val outSchema =
           if (mergeSchema && newCols.nonEmpty)
@@ -1775,7 +1948,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         val files = fileListAt(curV).filterNot(_._2.rows == 0)
         // blind append: no read set, no removes — ANY winner commit
         // that leaves the schema alone rebases
-        commitCounted(src, outCols, outSchema.json, files, cur,
+        commitCounted(srcT, outCols, outSchema.json, files, cur,
           op = "APPEND", txn = txn,
           rebase = Some(Rebase(files, (_, _) => false)))
       }
@@ -1807,7 +1980,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     */
   def insertIfAbsent(source: DataFrame, key: String,
                      txn: Option[(String, Long)] = None): Long = {
-    val src = applyGenerated(applyIdentity(source)).cache()
+    val src = applyGenerated(applyIdentity(applyDefaults(source))).cache()
     try enforceConstraints(src)
     catch { case e: Throwable => src.unpersist(); throw e }
     val result = try retry() {
@@ -1819,12 +1992,16 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       }
       if (replayed) 0L
       else {
-        val tableSchema = schema()
+        val tableSchema0 = schema()
+        // no mergeSchema surface here: narrower batches upcast, wider
+        // ones refuse with the widening hint
+        val (srcT, tableSchema) =
+          conformTypes(src, tableSchema0, mergeSchema = false)
         val outCols = tableSchema.fieldNames.toSeq
         val live = fileListAt(curV).filterNot(_._2.rows == 0)
-        val (_, mayOverlap) = keyProfile(src, key)
+        val (_, mayOverlap) = keyProfile(srcT, key)
         val touched = live.filter(f => mayOverlap(f._2))
-        val srcOut = src.select(outCols.map(col): _*)
+        val srcOut = srcT.select(outCols.map(col): _*)
         val newRows =
           if (touched.isEmpty) srcOut
           else {
@@ -2284,7 +2461,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
               "recomputes) or a full-row upsert")
       }
     }
-    val src = applyGenerated(applyIdentity(source)).cache()
+    val src = applyGenerated(applyIdentity(applyDefaults(source))).cache()
     try {
       enforceConstraints(src)
       retry() {
@@ -2535,7 +2712,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     */
   def overwriteWhere(predicate: org.apache.spark.sql.Column,
                      source: DataFrame): Long = {
-    val src = applyGenerated(applyIdentity(source)).cache()
+    val src = applyGenerated(applyIdentity(applyDefaults(source))).cache()
     try retry() {
       enforceConstraints(src)
       val matching = coalesce(predicate, lit(false))
@@ -3427,6 +3604,13 @@ object ResourceTable {
     */
   val PhysKey = "graft.columnMapping.physicalName"
   val IdKey = "graft.columnMapping.id"
+
+  /** Schema-field metadata key for a column DEFAULT — Delta's own
+    * `CURRENT_DEFAULT` key (PROTOCOL.md "Column Default Values"), so
+    * the export carries it verbatim. The value is the SQL text of a
+    * constant expression.
+    */
+  val DefaultKey = "CURRENT_DEFAULT"
 
   /** Marker for a LOST WINNER ELECTION — ordinary optimistic
     * concurrency, never a real failure. [[retry]] charges these to

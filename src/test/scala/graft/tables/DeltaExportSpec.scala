@@ -960,16 +960,18 @@ class DeltaExportSpec extends SparkSpec {
       Paths.get(path, "_delta_log", f".${0L}%020d.json.crc"))
     assert(DeltaExport.readSnapshot(spark, path).count() == 3L)
 
-    // a reader feature this reader genuinely lacks stays a loud refusal
+    // a reader feature this reader genuinely lacks stays a loud
+    // refusal (typeWidening graduated to the supported set, so the
+    // alien here is collations — real, and unimplemented)
     val withAlien = asV3.replace("\"readerFeatures\":[\"columnMapping\"]",
-      "\"readerFeatures\":[\"columnMapping\",\"typeWidening\"]")
+      "\"readerFeatures\":[\"columnMapping\",\"collations-preview\"]")
     Files.write(f0, withAlien.getBytes(StandardCharsets.UTF_8))
     Files.deleteIfExists(
       Paths.get(path, "_delta_log", f".${0L}%020d.json.crc"))
     val eAlien = intercept[IllegalStateException] {
       DeltaExport.readSnapshot(spark, path)
     }
-    assert(eAlien.getMessage.contains("typeWidening"))
+    assert(eAlien.getMessage.contains("collations-preview"))
   }
 
   test("foreign id-mode column-mapped log: columns matched by parquet field id") {
