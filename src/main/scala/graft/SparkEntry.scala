@@ -2284,6 +2284,16 @@ object SparkEntry {
     "q_doc_repetition" -> ((s, dir) =>
       TextStats.repetitionFeatures(t(s, dir, "documents"))),
 
+    // ---- CCNet-style LM perplexity filter (Wenzek 2019): bigram LM
+    //      trained on the clean English slice, every doc scored by
+    //      integer-exact mean surprisal (fixed-point p, binary-length
+    //      log2 — no libm), bucketed head/middle/tail ----
+    "q_lm_perplexity" -> ((s, dir) =>
+      TextStats.lmPerplexity(t(s, dir, "documents"),
+        col("lang") === "en" && col("source").isin(
+          "src0", "src1", "src2", "src3"),
+        headMaxMilliBits = 6200L, tailMinMilliBits = 7200L)),
+
     // ---- frequency-ranked vocabulary (tokenizer-training precursor):
     //      global wordcount, top-100 by (count desc, word) ----
     "q_vocab_build" -> ((s, dir) =>
@@ -5477,6 +5487,46 @@ object SparkEntry {
         |  CAST(COALESCE(b.top_b, 0) AS DOUBLE) /
         |    GREATEST(COALESCE(b.total_b, 0), 1) AS top_bigram_share
         |FROM uagg u LEFT JOIN bagg b ON u.doc_id = b.doc_id""".stripMargin,
+
+    "q_lm_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, source,
+        |         string_split_regex(trim(text), '\s+') AS l
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, lang, source,
+        |         unnest(list_transform(range(1, len(l)),
+        |                i -> l[i] || ' ' || l[i + 1])) AS bg
+        |  FROM toks),
+        |c2 AS (
+        |  SELECT bg, string_split(bg, ' ')[1] AS w1,
+        |         CAST(count(*) AS BIGINT) AS c2
+        |  FROM bg
+        |  WHERE lang = 'en' AND source IN ('src0','src1','src2','src3')
+        |  GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |model AS (
+        |  SELECT c2.bg,
+        |    CASE WHEN (1048576 * c2.c2) // c1.c1 >= 1
+        |         THEN 20 - (length(format('{:b}',
+        |                (1048576 * c2.c2) // c1.c1)) - 1)
+        |         ELSE 21 END AS bits
+        |  FROM c2 JOIN c1 USING (w1)),
+        |scored AS (
+        |  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    (1000 * CAST(sum(coalesce(model.bits, 21)) AS BIGINT))
+        |      // CAST(count(*) AS BIGINT) AS milli_bits
+        |  FROM bg LEFT JOIN model USING (bg)
+        |  GROUP BY bg.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(s.milli_bits AS BIGINT) AS milli_bits,
+        |  CASE WHEN s.milli_bits IS NULL THEN 'unscored'
+        |       WHEN s.milli_bits < 6200 THEN 'head'
+        |       WHEN s.milli_bits < 7200 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin,
 
     "q_vocab_build" ->
       """WITH cnt AS (

@@ -536,4 +536,101 @@ object TextStats {
       .join(broadcast(sketch), Seq("cell"), "left")
       .groupBy(col(wordCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  // ---------------------------------------- LM perplexity filtering
+
+  /** CCNet-style LM perplexity BUCKETING (Wenzek et al. 2019,
+    * arXiv:1911.00359): train a bigram language model on a CLEAN
+    * subset of the corpus, score every document by its mean
+    * per-bigram surprisal under that model, and bucket into
+    * head/middle/tail — the partition CCNet actually ships (head =
+    * most Wikipedia-like third, tail = dropped/downsampled).
+    *
+    * Relationship to [[LangModel.scoreDocs]]: that operator is the
+    * RANKING stage (stupid-backoff log-probabilities, doubles made
+    * deterministic by rounding + value-ordered folds); this one is
+    * the FILTER stage, and trades the backoff leg for arithmetic
+    * that never leaves the integers — the bucket assignment is
+    * exact by construction, not by rounding discipline, which is
+    * what you want when the bucket feeds a reproducible
+    * keep/drop decision across engine versions.
+    *
+    * All arithmetic is INTEGER fixed point, so the result is
+    * engine- and partition-order-exact (the PageRank/centroids
+    * recipe — no transcendentals whose last ulp differs between
+    * libm implementations):
+    *   - conditional probability quantized to 2^20:
+    *     `p_q = (2^20 · c(w1 w2)) div c(w1 ·)`, exact integral
+    *     division on longs (`div`, not `/` — double division can
+    *     round x.999... up across the floor boundary);
+    *   - surprisal in whole bits: `20 − ⌊log2 p_q⌋`, with
+    *     `⌊log2 n⌋ = length(bin(n)) − 1` — a binary-string length,
+    *     exact for any positive long, replayable in any SQL engine
+    *     with a binary format function;
+    *   - bigrams UNSEEN by the model (or quantized to 0) cost
+    *     `unseenBits` (default 21 — "rarer than any seen event");
+    *   - per-doc score = `(1000 · Σbits) div n_bigrams` milli-bits.
+    *
+    * Buckets: `head` < `headMax` ≤ `middle` < `tailMin` ≤ `tail`
+    * (CCNet buckets by per-language percentile; fixed thresholds
+    * keep the operator deterministic — compute percentiles upstream
+    * and pass them in). Documents with < 2 tokens score NULL and
+    * bucket `unscored`.
+    *
+    * Shape at scale: the model is one explode + hash aggregate over
+    * the TRAIN subset (map-side combined, keyed on the bigram — no
+    * skew wider than one bigram's count), closed over a second
+    * aggregate on w1 for the prefix totals joined back on w1 (model-
+    * sized, not corpus-sized). Scoring joins the corpus's exploded
+    * bigrams to the model — broadcast when the model is small, plain
+    * hash join on the bigram key otherwise — then one doc-keyed
+    * aggregate. Nothing shuffles on anything wider than (bigram) or
+    * (doc); the corpus is scanned twice (train, score), same as
+    * CCNet's train/apply split.
+    */
+  def lmPerplexity(df: DataFrame, trainPred: Column,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   headMaxMilliBits: Long = 9000L,
+                   tailMinMilliBits: Long = 15000L,
+                   unseenBits: Long = 21L): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nm1 = greatest(size(toks) - 1, lit(0))
+    val bigram = zip_with(slice(toks, lit(1), nm1),
+      slice(toks, lit(2), nm1), (a, b) => concat_ws(" ", a, b))
+    // split carried through scoring so w1-prefix totals need no
+    // re-tokenization on the model side
+    def exploded(src: DataFrame) = src
+      .select(col(idCol), explode(bigram).as("_bg"))
+      .withColumn("_w1", substring_index(col("_bg"), " ", 1))
+
+    // ---- model: c(w1 w2) and c(w1 ·) over the clean subset ----
+    val c2 = exploded(df.filter(trainPred))
+      .groupBy(col("_bg"), col("_w1")).agg(count(lit(1)).as("_c2"))
+    val c1 = c2.groupBy(col("_w1")).agg(sum(col("_c2")).as("_c1"))
+    val model = c2.join(c1, "_w1")
+      .select(col("_bg"),
+        expr("(1048576 * _c2) div _c1").as("_pq"))
+      .select(col("_bg"),
+        when(col("_pq") >= 1L,
+          lit(20L) - (length(bin(col("_pq"))) - 1).cast("long"))
+          .otherwise(lit(unseenBits)).as("_bits"))
+
+    // ---- score every document under the frozen model ----
+    val scored = exploded(df)
+      .join(model, Seq("_bg"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("_bits"), lit(unseenBits))).as("_total"))
+      .select(col(idCol), col("n_bigrams"),
+        expr("(1000 * _total) div n_bigrams").as("milli_bits"))
+
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("milli_bits"),
+        when(col("milli_bits").isNull, lit("unscored"))
+          .when(col("milli_bits") < headMaxMilliBits, lit("head"))
+          .when(col("milli_bits") < tailMinMilliBits, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
 }
