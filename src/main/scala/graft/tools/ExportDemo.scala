@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions._
   * proof the in-repo `DeltaExport.readSnapshot` round trip cannot
   * give by itself.
   *
-  * Usage: runMain graft.tools.ExportDemo <outDir> [sfDir]
+  * Usage: runMain graft.tools.ExportDemo <outDir> [sfDir] [v2]
+  * A third arg of `v2` exports V2 (uuid-manifest + sidecar)
+  * checkpoints instead of classic ones, so the independent reader
+  * proves BOTH checkpoint layouts externally readable.
   */
 object ExportDemo {
   def main(args: Array[String]): Unit = {
@@ -27,6 +30,8 @@ object ExportDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.lift(2).contains("v2"))
+      spark.conf.set("spark.graft.export.checkpointV2", "true")
 
     val cust = spark.read.parquet(s"$sf/customer.parquet")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),

@@ -25,15 +25,46 @@ import duckdb
 
 SINGLE_PART = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 MULTI_PART = re.compile(r"^(\d{20})\.checkpoint\.(\d+)\.(\d+)\.parquet$")
+V2_MANIFEST = re.compile(
+    r"^(\d{20})\.checkpoint\."
+    r"([0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12})"
+    r"\.parquet$")
+
+
+def v2_parts(logdir, manifest):
+    """[manifest, sidecar...] for a V2 uuid checkpoint, or None if any
+    sidecar the manifest names is missing (torn publish — the writer
+    renames sidecars before the manifest, so a complete manifest
+    normally implies complete sidecars; trust nothing anyway)."""
+    con = duckdb.connect()
+    try:
+        cols = {r[0] for r in con.sql(
+            f"SELECT name FROM parquet_schema('{manifest}')").fetchall()}
+        if "sidecar" not in cols:
+            return [manifest]  # no file actions live outside it
+        parts = [manifest]
+        for (sp,) in con.sql(
+            f"SELECT sidecar.path FROM parquet_scan('{manifest}') "
+            "WHERE sidecar.path IS NOT NULL"
+        ).fetchall():
+            p = sp if (os.path.isabs(sp) or "://" in sp) else \
+                os.path.join(logdir, "_sidecars", sp)
+            if not os.path.exists(p):
+                return None
+            parts.append(p)
+        return parts
+    finally:
+        con.close()
 
 
 def complete_checkpoints(logdir):
     """version -> sorted part paths, for every COMPLETE checkpoint
-    (single-file, or multi-part with all M parts present). A crashed
-    exporter may leave partial part sets or a stale/absent
-    `_last_checkpoint`; like delta-spark, treat the pointer as a hint
-    and never follow it into an incomplete checkpoint."""
-    singles, multis = {}, {}
+    (single-file, multi-part with all M parts present, or a V2 uuid
+    manifest whose sidecars all exist). A crashed exporter may leave
+    partial part sets or a stale/absent `_last_checkpoint`; like
+    delta-spark, treat the pointer as a hint and never follow it into
+    an incomplete checkpoint."""
+    singles, multis, v2s = {}, {}, {}
     for f in os.listdir(logdir):
         m = SINGLE_PART.match(f)
         if m:
@@ -43,10 +74,17 @@ def complete_checkpoints(logdir):
         if m:
             v, k, tot = int(m.group(1)), int(m.group(2)), int(m.group(3))
             multis.setdefault((v, tot), {})[k] = os.path.join(logdir, f)
+            continue
+        m = V2_MANIFEST.match(f)
+        if m:
+            parts = v2_parts(logdir, os.path.join(logdir, f))
+            if parts is not None:
+                v2s[int(m.group(1))] = parts
     out = {}
     for (v, tot), parts in multis.items():
         if set(parts) == set(range(1, tot + 1)):
             out[v] = [parts[k] for k in sorted(parts)]
+    out.update(v2s)      # v2 preferred over multi-part at one version
     out.update(singles)  # single-file preferred when both exist
     return out
 
@@ -176,7 +214,11 @@ def replay(table):
         ckpt_v = -1
     if ckpt_v >= 0:
         parts = ", ".join(f"'{p}'" for p in complete[ckpt_v])
-        ck = f"[{parts}]"
+        # union_by_name: a V2 checkpoint's manifest (protocol/metaData/
+        # txn/sidecar rows) and its sidecars (add rows only) carry
+        # different column sets; classic layouts are homogeneous and
+        # unaffected
+        ck = f"[{parts}], union_by_name=true"
         con = duckdb.connect()
         has_dv = con.sql(
             f"SELECT count(*) FROM (DESCRIBE SELECT add.* FROM "
