@@ -456,6 +456,19 @@ object SparkEntry {
         "doc_id", "text", k = 50)
     }),
 
+    // ---- trained quality classifier (fastText-shaped linear model,
+    //      batch perceptron over hash_embed buckets): integer-exact
+    //      training on the even-doc_id half against a length-quality
+    //      label (the corpus's lang/source columns are DRAWN FROM ONE
+    //      WORD POOL — unlearnable by construction; n_chars ≥ 300 is
+    //      a genuinely linear target the model hits ~97% on), every
+    //      doc scored by the learned margin. The discriminative
+    //      member of the quality triad (heuristics / LM / learned) ----
+    "q_perceptron_filter" -> ((s, dir) =>
+      graft.ops.Classifier.perceptronFilter(t(s, dir, "documents"),
+        labelCol = col("n_chars") >= 300L,
+        trainPred = col("doc_id") % 2 === 0)),
+
     // ---- host-graph PageRank (fixed-point integer, 3 iterations):
     //      the link-analysis quality signal web-scale pipelines weight
     //      documents by. Edges: customer→supplier per lineitem (with
@@ -3610,6 +3623,57 @@ object SparkEntry {
          |  CAST(COALESCE(nt.n, 0) AS BIGINT) AS n_toks
          |FROM lw l LEFT JOIN nt USING (doc_id)
          |QUALIFY dsir_rank <= 50""".stripMargin
+
+    /** Exact replay of [[graft.ops.Classifier.perceptronFilter]]
+      * (buckets=64, epochs unrolled): hashed token-count features
+      * (th % 64) plus the constant bias bucket 64, batch-perceptron
+      * weight updates over the even-doc_id train slice, final margins
+      * for every document. All integer — the replay is bit-exact.
+      */
+    def perceptronFilter(epochs: Int): String = {
+      // every CTE in the epoch chain is MATERIALIZED: w{t} references
+      // w{t-1}, and inlining (DuckDB's default for single-use CTEs)
+      // would expand the chain into an exponentially duplicated scan
+      // tree — 2^epochs parquet opens
+      val epochCtes = (0 until epochs).map { t =>
+        s"""m$t AS MATERIALIZED (
+           |  SELECT l.doc_id, l.y, sum(dc.c * w.w) AS m
+           |  FROM lab l JOIN dc ON dc.doc_id = l.doc_id
+           |             JOIN w$t w ON w.bucket = dc.bucket
+           |  WHERE l.is_train GROUP BY 1, 2),
+           |u$t AS MATERIALIZED (
+           |  SELECT dc.bucket, sum(m.y * dc.c) AS u
+           |  FROM m$t m JOIN dc ON dc.doc_id = m.doc_id
+           |  WHERE m.y * m.m <= 0 GROUP BY 1),
+           |w${t + 1} AS MATERIALIZED (
+           |  SELECT w.bucket, CAST(w.w + COALESCE(u.u, 0) AS BIGINT) AS w
+           |  FROM w$t w LEFT JOIN u$t u ON u.bucket = w.bucket)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $tokenCtes,
+         |dc AS MATERIALIZED (
+         |  SELECT doc_id, CAST(th % 64 AS INTEGER) AS bucket,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM th GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT doc_id, 64, 16 FROM documents),
+         |lab AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END AS BIGINT)
+         |      AS y,
+         |    doc_id % 2 = 0 AS is_train
+         |  FROM documents),
+         |w0 AS (
+         |  SELECT g.b AS bucket, CAST(0 AS BIGINT) AS w
+         |  FROM unnest(generate_series(0, 64)) AS g(b)),
+         |$epochCtes
+         |SELECT l.doc_id, l.y,
+         |  CAST(sum(dc.c * w.w) AS BIGINT) AS margin,
+         |  sum(dc.c * w.w) > 0 AS pred
+         |FROM lab l JOIN dc ON dc.doc_id = l.doc_id
+         |           JOIN w$epochs w ON w.bucket = dc.bucket
+         |GROUP BY 1, 2""".stripMargin
+    }
   }
 
   /** DuckDB replay of [[graft.ops.BpeTrainer.train]]: k unrolled
@@ -5826,6 +5890,7 @@ object SparkEntry {
     "q_hash_embed" -> SplitmixOracle.hashEmbedStats,
     "q_hash_embed_sim" -> SplitmixOracle.hashEmbedSim,
     "q_dsir_select" -> SplitmixOracle.dsirSelect,
+    "q_perceptron_filter" -> SplitmixOracle.perceptronFilter(20),
     "q_cms_heavy" -> SplitmixOracle.cmsHeavy(CmsProbeWords),
 
     "q_generated_col" ->
