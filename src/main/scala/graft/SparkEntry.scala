@@ -773,6 +773,79 @@ object SparkEntry {
       out
     }),
 
+    // ---- the SAME streaming window aggregation under the ROCKSDB
+    //      state-store provider (+ changelog checkpointing) — the
+    //      out-of-core state path: per-key state lives in an embedded
+    //      LSM tree bounded by executor disk, not heap, and checkpoint
+    //      cost is O(batch) deltas. Drop-in for every stateful op in
+    //      this file; shares q_stream_window's oracle — the provider
+    //      must not change a single row ----
+    "q_stream_rocksdb" -> ((s, dir) =>
+      graft.streaming.StatefulOps.withRocksDbState(s) {
+        val raw = t(s, dir, "events")
+        val stream = s.readStream.schema(raw.schema)
+          .parquet(s"$dir/events.parque[t]")
+        val withTs =
+          if (raw.schema("ts").dataType == LongType)
+            stream.withColumn("ts",
+              expr("timestamp_micros(ts DIV 1000)").cast(TimestampNTZType))
+          else stream.withColumn("ts", col("ts").cast(TimestampNTZType))
+        val agg = withTs
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(col("window.start").as("w_start"), col("event_type"),
+            col("cnt"))
+        val name = s"stream_rocksdb_${System.nanoTime()}"
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        val out = s.table(name).cache()
+        out.count()
+        out
+      }),
+
+    // ---- ARBITRARY STATEFUL STREAMING (Spark 4 transformWithState):
+    //      per-key running count/sum over three ordered micro-batches,
+    //      one output row per key per batch it appears in. The
+    //      StatefulProcessor owns a named ValueState per key in
+    //      RocksDB (the API refuses the heap provider) — the custom-
+    //      state successor to flatMapGroupsWithState. Integer measure
+    //      (floor(value*100)) keeps every fold order-free, so DuckDB
+    //      replays the per-batch emissions as cumulative window sums
+    //      over the same batch split. MemoryStream feeding is gate
+    //      harness, not operator semantics ----
+    "q_stream_tws" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import graft.streaming.StatefulOps
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), (col("event_id") % 3).as("b"),
+          floor(col("value") * 100).cast(LongType).as("m"))
+        .collect()
+      val stream = MemoryStream[StatefulOps.Contribution]
+      StatefulOps.withRocksDbState(s) {
+        val totals = StatefulOps.runningTotals(stream.toDS())
+        // stateful-operator cost is per-partition fixed overhead —
+        // pin the stream's shuffle partitions low (captured at START)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val name = s"stream_tws_${System.nanoTime()}"
+        val q =
+          try totals.toDF().writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try for (b <- 0L to 2L) {
+          stream.addData(ev.filter(_.getLong(1) == b).map(r =>
+            StatefulOps.Contribution(r.getString(0), r.getLong(2))).toSeq)
+          q.processAllAvailable()
+        } finally q.stop()
+        val out = s.table(name).cache()
+        out.count()
+        out
+      }
+    }),
+
     // ---- watermarked stream-stream LEFT-OUTER range join in the gate:
     //      views attributed to purchases within 10 minutes; unmatched
     //      views are RELEASED with null once the watermark proves no
@@ -4729,6 +4802,31 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS w_start, event_type,
         |  count(*) AS cnt
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the RocksDB provider must be row-for-row identical to the
+    // default provider — same oracle as q_stream_window
+    "q_stream_rocksdb" ->
+      """SELECT date_trunc('hour', ts) AS w_start, event_type,
+        |  count(*) AS cnt
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // transformWithState running totals: per-batch emissions replay as
+    // cumulative window sums over the same event_id%3 batch split
+    "q_stream_tws" ->
+      """WITH e AS (
+        |  SELECT event_type AS key, event_id % 3 AS b,
+        |    CAST(floor(value * 100) AS BIGINT) AS m
+        |  FROM events),
+        |per AS (
+        |  SELECT key, b, count(*) AS c, sum(m) AS s
+        |  FROM e GROUP BY 1, 2)
+        |SELECT key,
+        |  row_number() OVER (PARTITION BY key ORDER BY b) AS upd,
+        |  CAST(sum(c) OVER (PARTITION BY key ORDER BY b) AS BIGINT)
+        |    AS cnt,
+        |  CAST(sum(s) OVER (PARTITION BY key ORDER BY b) AS BIGINT)
+        |    AS total
+        |FROM per""".stripMargin,
 
     "q_cast_types" ->
       """SELECT l_orderkey, l_linenumber,

@@ -115,9 +115,16 @@ object DeltaExport {
   }
 
   private def commitInfo(graftV: Long, ts: Long, op: String,
-                         metrics: Option[(Int, Int, Long)] = None)
+                         metrics: Option[(Int, Int, Long)] = None,
+                         ict: Option[Long] = None)
       : ObjectNode = {
     val ci = f.objectNode()
+    // ICT tables carry the monotonic commit clock INSIDE the commit
+    // (PROTOCOL.md "In-Commit Timestamps": commitInfo must be the first
+    // action — it is, in every writeEntry below — and the field must be
+    // strictly increasing, which graft's max(now, parent+1) commit
+    // timestamps already guarantee)
+    ict.foreach(v => ci.put("inCommitTimestamp", v))
     ci.put("timestamp", ts)
     ci.put("operation", op)
     ci.set("operationParameters", f.objectNode())
@@ -144,10 +151,11 @@ object DeltaExport {
                        needRowTracking: Boolean = false,
                        needWidening: Boolean = false,
                        needDefaults: Boolean = false,
-                       needClustering: Boolean = false): ObjectNode = {
+                       needClustering: Boolean = false,
+                       needIct: Boolean = false): ObjectNode = {
     val p = f.objectNode()
     if (needDv || needRowTracking || needWidening || needDefaults ||
-        needClustering) {
+        needClustering || needIct) {
       // deletion vectors are a table FEATURE (PROTOCOL.md "Table
       // Features"): reader 3 / writer 7 with the feature named on
       // both lists — exactly what delta-spark writes when DVs enable.
@@ -183,6 +191,9 @@ object DeltaExport {
       // DEFAULTs fence off unaware writers (they would insert NULL
       // where the default belongs); readers are unaffected
       if (needDefaults) wf.add("allowColumnDefaults")
+      // ICT is writer-only and has NO legacy carrier — any table
+      // declaring it must be on the table-features protocol form
+      if (needIct) wf.add("inCommitTimestamp")
       if (needClustering) {
         wf.add("clustering")
         // clustering state rides domainMetadata (delta.clustering);
@@ -280,7 +291,9 @@ object DeltaExport {
   }
 
   private def metaData(t: ResourceTable, schemaJson: String,
-                       ts: Long): ObjectNode = {
+                       ts: Long,
+                       ictEnablement: Option[(Long, Long)] = None)
+      : ObjectNode = {
     val m = f.objectNode()
     m.put("id", tableId(t))
     val fmt = f.objectNode()
@@ -344,6 +357,19 @@ object DeltaExport {
     }
     if (t.rowTrackingEnabled)
       conf.put("delta.enableRowTracking", "true")
+    if (t.ictEnabled) {
+      conf.put("delta.enableInCommitTimestamps", "true")
+      // a table that turned ICT on AFTER its first export records the
+      // provenance (PROTOCOL.md: commits before the enablement version
+      // resolve timestampAsOf by file timestamp, after it by
+      // inCommitTimestamp); enabled-at-anchor logs omit both — ICT
+      // covers their whole history
+      ictEnablement.foreach { case (v, ictTs) =>
+        conf.put("delta.inCommitTimestampEnablementVersion", v.toString)
+        conf.put("delta.inCommitTimestampEnablementTimestamp",
+          ictTs.toString)
+      }
+    }
     m.set("configuration", conf)
     m.put("createdTime", ts)
     wrap("metaData", m)
@@ -720,9 +746,36 @@ object DeltaExport {
       exportOnce(t)
     }
 
+  /** Whether the exported log's newest VISIBLE metaData action already
+    * declares `delta.enableInCommitTimestamps` — drives the mid-log
+    * ICT upgrade (a table that enables ICT after its first export must
+    * re-state metaData with the enablement-provenance properties).
+    * None when no metaData action survives in the json tail
+    * (checkpoint-only history) — the caller then re-states to be safe;
+    * an extra metaData restating identical state is replay-neutral.
+    */
+  private def exportedIctDeclared(t: ResourceTable,
+                                  entries: Seq[Long]): Option[Boolean] =
+    entries.reverseIterator.flatMap { v =>
+      val in = t.fs.open(entryFile(t, v))
+      val body =
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      body.linesIterator.filter(_.nonEmpty).map(mapper.readTree)
+        .flatMap(n => Option(n.get("metaData")))
+        .map(m => Option(m.get("configuration"))
+          .exists(c => Option(c.get("delta.enableInCommitTimestamps"))
+            .exists(_.asText == "true")))
+        .toSeq.lastOption
+    }.nextOption()
+
   private def exportOnce(t: ResourceTable): Long = {
     val latest = t.latestVersion.getOrElse(
       throw new IllegalStateException(s"no table at ${t.path}"))
+    // ICT tables surface the (already monotonic) graft commit clock in
+    // every exported commitInfo
+    def ict(ts: Long): Option[Long] =
+      if (t.ictEnabled) Some(ts) else None
     val entries = listEntries(t)
     if (entries.isEmpty) {
       // a checkpoint with no json entries would make a fresh anchor at
@@ -738,7 +791,7 @@ object DeltaExport {
       val sz = sizes(t, files)
       val types = typesAt(t, latest)
       writeEntry(t, 0L,
-        commitInfo(latest, ts, "GRAFT EXPORT ANCHOR") +:
+        commitInfo(latest, ts, "GRAFT EXPORT ANCHOR", ict = ict(ts)) +:
           protocol(needDv = files.exists(_._2.dv.isDefined),
             needCdf = t.changeDataFeedEnabled,
             needMapping = isMapped(t.schema().json),
@@ -748,7 +801,8 @@ object DeltaExport {
             needRowTracking = t.rowTrackingEnabled,
             needWidening = isWidened(t.schema().json),
             needDefaults = isDefaulted(t.schema().json),
-            needClustering = t.clusterBy().nonEmpty) +:
+            needClustering = t.clusterBy().nonEmpty,
+            needIct = t.ictEnabled) +:
           metaData(t, t.schema().json, ts) +:
           (rowTrackingDomain(t, latest) ++
             clusteringDomain(t) ++
@@ -779,14 +833,21 @@ object DeltaExport {
       val cur = files.map(_._1).toSet
       writeEntry(t, dv + 1,
         commitInfo(latest, ts,
-          "GRAFT EXPORT RE-ANCHOR (source log trimmed)") +:
-          metaData(t, t.schema().json, ts) +:
+          "GRAFT EXPORT RE-ANCHOR (source log trimmed)",
+          ict = ict(ts)) +:
+          metaData(t, t.schema().json, ts,
+            ictEnablement =
+              if (t.ictEnabled &&
+                  !exportedIctDeclared(t, entries).getOrElse(false))
+                Some((dv + 1, ts))
+              else None) +:
           // full txn state, not a delta: the trimmed source chain
           // means the predecessor state is unknowable, and re-stating
           // a watermark is idempotent under log replay
           ((if (files.exists(_._2.dv.isDefined) || t.changeDataFeedEnabled ||
                 isMapped(t.schema().json) || isWidened(t.schema().json) ||
-                isDefaulted(t.schema().json) || t.clusterBy().nonEmpty)
+                isDefaulted(t.schema().json) || t.clusterBy().nonEmpty ||
+                t.ictEnabled)
               Seq(protocol(
                 needDv = files.exists(_._2.dv.isDefined) || t.dvEnabled,
                 needCdf = t.changeDataFeedEnabled,
@@ -797,7 +858,8 @@ object DeltaExport {
             needRowTracking = t.rowTrackingEnabled,
             needWidening = isWidened(t.schema().json),
             needDefaults = isDefaulted(t.schema().json),
-            needClustering = t.clusterBy().nonEmpty))
+            needClustering = t.clusterBy().nonEmpty,
+            needIct = t.ictEnabled))
             else Seq.empty) ++
             rowTrackingDomain(t, latest) ++
             clusteringDomain(t) ++
@@ -809,6 +871,13 @@ object DeltaExport {
       maybeCheckpoint(t, dv + 1, t.schema().json, ts)
       return dv + 1
     }
+    // mid-log ICT upgrade: the table turned ICT on after this log's
+    // metaData was last stated — the FIRST newly-exported commit
+    // re-states metaData with the enablement provenance and the
+    // upgraded protocol (commits before the enablement version keep
+    // resolving timestampAsOf by wall-clock, per the protocol's split)
+    var ictUpgrade = lastG < latest && t.ictEnabled &&
+      !exportedIctDeclared(t, entries).getOrElse(false)
     while (lastG < latest) {
       val g = lastG + 1
       val ts = commitTs(t, g)
@@ -847,15 +916,18 @@ object DeltaExport {
       val body =
         commitInfo(g, ts, FileStats.opOf(t.commitBody(g))
             .getOrElse("GRAFT COMMIT"),
-          Some((adds.size, removes.size, adds.map(_._2.rows).sum))) +:
+          Some((adds.size, removes.size, adds.map(_._2.rows).sum)),
+          ict = ict(ts)) +:
           // the schema AT g, not the table's current one: exporting
           // two schema evolutions in one batch must leave the
           // intermediate version readable (versionAsOf) under the
           // schema its files were written with
-          ((if (schemaChanged)
+          ((if (schemaChanged || ictUpgrade)
               Seq(metaData(t,
                 FileStats.schemaOf(t.commitBody(g))
-                  .getOrElse(t.schema().json), ts))
+                  .getOrElse(t.schema().json), ts,
+                ictEnablement =
+                  if (ictUpgrade) Some((dv + 1, ts)) else None))
             else Seq.empty) ++
             // first commit that introduces a DV (or carries cdc into a
             // log whose anchor predates CDF enablement) upgrades the
@@ -863,6 +935,7 @@ object DeltaExport {
             // protocol — DV features are re-stated so a later upgrade
             // never downgrades an earlier one)
             (if (adds.exists(_._2.dv.isDefined) || cdc.nonEmpty ||
+                 ictUpgrade ||
                  (schemaChanged && FileStats.schemaOf(t.commitBody(g))
                    .exists(s => isMapped(s) || isWidened(s) ||
                      isDefaulted(s))))
@@ -880,7 +953,8 @@ object DeltaExport {
               .exists(isWidened),
             needDefaults = FileStats.schemaOf(t.commitBody(g))
               .exists(isDefaulted),
-            needClustering = t.clusterBy().nonEmpty))
+            needClustering = t.clusterBy().nonEmpty,
+            needIct = t.ictEnabled))
              else Seq.empty) ++
             rowTrackingDomain(t, g) ++
             cdc ++
@@ -892,6 +966,7 @@ object DeltaExport {
               add(r, st, sz(r), ts, types, dataChange = dc) })
       dv += 1
       writeEntry(t, dv, body)
+      ictUpgrade = false
       lastG = g
     }
     if (dv > lastDelta)
@@ -1152,9 +1227,17 @@ object DeltaExport {
             Seq("columnMapping").filter(_ => mappedT) ++
             Seq("v2Checkpoint").filter(_ => v2Mode)
           val wf = rf ++
-            Seq("changeDataFeed").filter(_ => t.changeDataFeedEnabled)
+            Seq("changeDataFeed").filter(_ => t.changeDataFeedEnabled) ++
+            Seq("inCommitTimestamp").filter(_ => t.ictEnabled)
           Row(3, 7, rf, wf)
         }
+        // ICT has no legacy writer carrier: a reader replaying from
+        // this checkpoint alone (json tail cleaned) must still see the
+        // feature the tail's commitInfo.inCommitTimestamp fields imply
+        else if (t.ictEnabled) Row(if (mappedT) 2 else 1, 7, null,
+          Seq("inCommitTimestamp") ++
+            Seq("changeDataFeed").filter(_ => t.changeDataFeedEnabled) ++
+            Seq("columnMapping").filter(_ => mappedT))
         else if (mappedT) Row(2, 5, null, null)
         else Row(1, if (t.changeDataFeedEnabled) 4 else 2, null, null)
       // the checkpoint's metaData must be self-sufficient: a reader
@@ -1165,6 +1248,14 @@ object DeltaExport {
       val conf = Map.empty[String, String] ++
         (if (t.changeDataFeedEnabled)
            Map("delta.enableChangeDataFeed" -> "true") else Map.empty) ++
+        // enablement provenance is NOT restated here: anchor-enabled
+        // logs never have any, and a mid-log upgrade's provenance only
+        // matters for resolving timestamps of PRE-upgrade commits —
+        // which log cleanup (the only path to checkpoint-only history)
+        // has already dropped
+        (if (t.ictEnabled)
+           Map("delta.enableInCommitTimestamps" -> "true")
+         else Map.empty) ++
         maxColId.fold(Map.empty[String, String])(mx =>
           Map("delta.columnMapping.mode" -> "name",
             "delta.columnMapping.maxColumnId" -> mx.toString))

@@ -699,13 +699,8 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       .map(h => s""","rowHwm":$h""").getOrElse("")
     val body =
       s"""{"version":0,"op":"CLONE","ts":${System.currentTimeMillis()},"dir":"snap-0-clone"$rowJson,"schema":$schemaJson,"files":$statsJson}"""
-    val out = tgt.createExclusive(tgt.commitFile(0L))
-    try out.write(body.getBytes(StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
-      try tgt.fs.delete(tgt.commitFile(0L), false)
-      catch { case _: Throwable => () }
-      throw e
-    } finally out.close()
+    tgt.publishExclusive(tgt.commitFile(0L),
+      body.getBytes(StandardCharsets.UTF_8))
     tgt
   }
 
@@ -968,7 +963,10 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     while (true) {
       try {
         val body = readFile(cf)
-        // written in one write(): a complete body parses and closes
+        // on file:// bodies publish by atomic hard link and can never
+        // be torn; the parse-and-complete check + retry loop remain
+        // for stores whose create-then-write election (HDFS-like) can
+        // expose an in-flight body to a fast reader
         if (FileStats.dirOf(body).isDefined && body.trim.endsWith("}"))
           return body
         last = null
@@ -2255,6 +2253,24 @@ final class ResourceTable(val spark: SparkSession, val path: String,
   private[tables] def changeDataFeedEnabled: Boolean =
     fs.exists(new HPath(root, "_meta_cdf_enabled"))
 
+  /** Opt this table into IN-COMMIT TIMESTAMPS on export (Delta's
+    * `delta.enableInCommitTimestamps` property + the writer-only
+    * `inCommitTimestamp` table feature, PROTOCOL.md "In-Commit
+    * Timestamps"). Graft commit timestamps are already monotonic —
+    * `max(now, parent + 1)`, exactly the ICT contract — so the export
+    * only has to surface them in every `commitInfo`, making
+    * `timestampAsOf` resolution clock-skew-proof for FOREIGN readers
+    * of the exported log too (the in-repo reader already prefers
+    * `inCommitTimestamp` when a log carries it).
+    */
+  def enableInCommitTimestamps(): ResourceTable = {
+    writeFile(new HPath(root, "_meta_ict_enabled"), "true")
+    this
+  }
+
+  private[tables] def ictEnabled: Boolean =
+    fs.exists(new HPath(root, "_meta_ict_enabled"))
+
   private[tables] def dvEnabled: Boolean =
     spark.conf.get("graft.table.deletionVectors", "false").toBoolean ||
       fs.exists(new HPath(root, "_meta_dv_enabled"))
@@ -3426,10 +3442,19 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       throw new CommitConflictException(path, curNext, cause)
     }
     onBeforePublish()
-    var out: java.io.OutputStream = null
-    while (out == null) {
-      try out = createExclusive(commitFile(curNext))
-      catch {
+    // `key` records the mutation's merge/delete key so a later CDF
+    // export can replay this commit's row-level changes (the column
+    // name is tiny, deterministic metadata — like op/txns)
+    val keyJson = key.map(k =>
+      s""","key":${FileStats.quoteJson(k)}""").getOrElse("")
+    var published = false
+    while (!published) {
+      try {
+        publishExclusive(commitFile(curNext),
+          s"""{"version":$curNext,"op":"$op","ts":$tsVal,"dir":"$dirName"$txnsJson$rowJson$keyJson,"schema":$schemaJson,"files":$statsJson}"""
+            .getBytes(StandardCharsets.UTF_8))
+        published = true
+      } catch {
         // lost the race: rebase if the spec allows, else remove this
         // writer's unpublished dir so it doesn't linger until vacuum
         // and let retry() re-drive against the winner's head — typed
@@ -3496,30 +3521,6 @@ final class ResourceTable(val spark: SparkSession, val path: String,
           throw e
       }
     }
-    // we WON the election: the commit file exists and is ours. If the
-    // body fails to land (disk full, crash-adjacent IO error), the
-    // empty/truncated file would wedge the table permanently — every
-    // reader's readCommitBody deadline-spins on it and no code path
-    // removes it. Return the slot (delete the commit file AND the
-    // snap dir) before rethrowing, so retry()/the operator see a
-    // clean table.
-    try {
-      // `key` records the mutation's merge/delete key so a later CDF
-      // export can replay this commit's row-level changes (the column
-      // name is tiny, deterministic metadata — like op/txns)
-      val keyJson = key.map(k =>
-        s""","key":${FileStats.quoteJson(k)}""").getOrElse("")
-      try out.write(
-        s"""{"version":$curNext,"op":"$op","ts":$tsVal,"dir":"$dirName"$txnsJson$rowJson$keyJson,"schema":$schemaJson,"files":$statsJson}"""
-          .getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-    } catch { case e: Throwable =>
-      try fs.delete(commitFile(curNext), false)
-      catch { case _: Throwable => () }
-      try fs.delete(dir, true) catch { case _: Throwable => () }
-      BloomIndex.deleteSidecar(fs, root, dirName)
-      throw e
-    }
     // roll the lookup checkpoint forward every checkpointInterval
     // commits (reference settings.py:48). A plain overwrite: the file
     // is a monotone hint, never load-bearing for correctness — so a
@@ -3558,6 +3559,47 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         java.nio.file.StandardOpenOption.CREATE_NEW,
         java.nio.file.StandardOpenOption.WRITE)
     else fs.create(p, /*overwrite=*/ false)
+
+  /** Atomically publish a commit body at `p` — winner election and
+    * body durability in ONE step. On file:// the body is first written
+    * and CLOSED as a hidden same-directory tmp (its bytes are in the
+    * page cache, which survives process death), then HARD-LINKED to
+    * the commit name: link(2) is atomic and fails with EEXIST, so a
+    * lost election throws FileAlreadyExistsException with nothing
+    * published, and a writer killed at ANY instruction leaves either
+    * no commit or a complete one. The previous create-then-write
+    * publish could tear: a SIGKILL between the output stream's buffer
+    * flushes left a truncated HEAD commit that wedged every later
+    * reader and writer (readCommitBody deadline-spins — caught by
+    * KillRecoverySpec at exactly the 16 KiB buffer boundary once
+    * manifests outgrew one flush). Elsewhere (HDFS-like stores)
+    * create(overwrite=false) is atomic at the store and remains the
+    * election; the body follows on the winner's stream, torn-cleanup
+    * on write failure as before.
+    */
+  private def publishExclusive(p: HPath, body: Array[Byte]): Unit =
+    if (fs.getUri.getScheme == "file") {
+      val dst = java.nio.file.Paths.get(p.toUri.getPath)
+      val tmp = dst.resolveSibling(
+        s".${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      java.nio.file.Files.write(tmp, body)
+      try java.nio.file.Files.createLink(dst, tmp)
+      finally {
+        // success or EEXIST alike: the tmp served its purpose (the
+        // link shares the inode); a crash right here only orphans a
+        // dotfile no lister matches
+        try java.nio.file.Files.deleteIfExists(tmp)
+        catch { case _: Throwable => () }
+      }
+    } else {
+      val out = fs.create(p, /*overwrite=*/ false)
+      try {
+        try out.write(body) finally out.close()
+      } catch { case e: Throwable =>
+        try fs.delete(p, false) catch { case _: Throwable => () }
+        throw e
+      }
+    }
 }
 
 /** Fluent conditional-MERGE builder ([[ResourceTable.merge]]) —

@@ -1550,4 +1550,76 @@ class DeltaExportSpec extends SparkSpec {
     assert(back.select("id").collect().map(_.getString(0)).sorted.toSeq ==
       t.read().select("id").collect().map(_.getString(0)).sorted.toSeq)
   }
+
+  test("in-commit timestamps: writer feature + property + monotonic " +
+      "commitInfo field in every exported commit") {
+    val path = s"${tmpDir("dxict")}/T.parquet"
+    val t = ResourceTable(spark, path).createIfNotExists(schema)
+      .enableInCommitTimestamps()
+    t.upsert(df("a" -> 1), "id")
+    DeltaExport.export(t)
+    t.upsert(df("b" -> 2), "id")
+    t.upsert(df("c" -> 3), "id")
+    DeltaExport.export(t)
+    val v0 = logLines(path, 0L)
+    val proto = v0.flatMap(n => Option(n.get("protocol"))).head
+    // ICT has no legacy carrier: table-features form, writer-only
+    assert(proto.get("minWriterVersion").asInt == 7)
+    assert(proto.get("minReaderVersion").asInt == 1)
+    assert(proto.get("writerFeatures").asScala.map(_.asText).toSet
+      .contains("inCommitTimestamp"))
+    assert(proto.get("readerFeatures") == null)
+    val meta = v0.flatMap(n => Option(n.get("metaData"))).head
+    assert(meta.get("configuration")
+      .get("delta.enableInCommitTimestamps").asText == "true")
+    // enabled at the anchor (delta v0) → provenance properties omitted
+    assert(meta.get("configuration")
+      .get("delta.inCommitTimestampEnablementVersion") == null)
+    // every entry: commitInfo is the FIRST action and its
+    // inCommitTimestamp is strictly increasing across versions
+    val icts = logVersions(path).map { v =>
+      val lines = logLines(path, v)
+      val ci = lines.head.get("commitInfo")
+      assert(ci != null, s"entry $v: commitInfo not first")
+      ci.get("inCommitTimestamp").asLong
+    }
+    assert(icts == icts.sorted && icts.distinct == icts,
+      s"inCommitTimestamps not strictly increasing: $icts")
+    assert(DeltaExport.readSnapshot(spark, path).count() == 3L)
+    // timestampAsOf resolves by the ICT clock
+    assert(DeltaExport.versionAtTimestamp(spark, path, icts.last) ==
+      logVersions(path).last)
+    assert(DeltaExport.versionAtTimestamp(spark, path, icts.head) == 0L)
+  }
+
+  test("ICT mid-log upgrade: first post-enable commit re-states " +
+      "metaData with enablement provenance + upgraded protocol") {
+    val path = s"${tmpDir("dxictu")}/T.parquet"
+    val t = ResourceTable(spark, path).createIfNotExists(schema)
+    t.upsert(df("a" -> 1), "id")
+    DeltaExport.export(t) // anchored WITHOUT ict
+    assert(logLines(path, 0L).head.get("commitInfo")
+      .get("inCommitTimestamp") == null)
+    t.enableInCommitTimestamps()
+    t.upsert(df("b" -> 2), "id")
+    t.upsert(df("c" -> 3), "id")
+    DeltaExport.export(t)
+    val v1 = logLines(path, 1L)
+    val c = v1.flatMap(n => Option(n.get("metaData"))).head
+      .get("configuration")
+    assert(c.get("delta.enableInCommitTimestamps").asText == "true")
+    assert(c.get("delta.inCommitTimestampEnablementVersion").asLong == 1L)
+    val ictTs = v1.head.get("commitInfo").get("inCommitTimestamp").asLong
+    assert(c.get("delta.inCommitTimestampEnablementTimestamp").asLong ==
+      ictTs)
+    assert(v1.flatMap(n => Option(n.get("protocol"))).head
+      .get("writerFeatures").asScala.map(_.asText).toSet
+      .contains("inCommitTimestamp"))
+    // the upgrade metaData is stated ONCE, not per following commit
+    val v2 = logLines(path, 2L)
+    assert(v2.flatMap(n => Option(n.get("metaData"))).isEmpty)
+    assert(v2.head.get("commitInfo").get("inCommitTimestamp").asLong >
+      ictTs)
+    assert(DeltaExport.readSnapshot(spark, path).count() == 3L)
+  }
 }
