@@ -641,6 +641,49 @@ object DeltaExport {
         new HPath(new HPath(t.path, "_log"), f"$g%020d.commit"))
         .getModificationTime)
 
+  /** Delta VERSION CHECKSUM (`<v>.crc`, delta-spark's VersionChecksum):
+    * one json object of post-commit table state an aware reader uses
+    * to VALIDATE its replayed snapshot. Emitted from state the
+    * exporter already holds — file sizes come from the graft
+    * manifest's recorded bytes, so no data-file IO (the [[sizes]]
+    * fallback lists only legacy pre-bytes entries). metadata/protocol
+    * are omitted, the legacy-crc shape delta-spark explicitly
+    * tolerates — restating them here would mean re-deriving the log's
+    * newest protocol per commit for no validation gain. Best-effort by
+    * design: the crc is a hint, never load-bearing — a failed write
+    * must not fail the already-published export entry (delta treats
+    * its own crc the same way).
+    */
+  private def writeCrc(t: ResourceTable, v: Long,
+                       files: Seq[(String, FileStats.FileStat)],
+                       ts: Long): Unit =
+    try {
+      val sz = sizes(t, files)
+      val c = f.objectNode()
+      c.put("tableSizeBytes", files.map(fl => sz(fl._1)).sum)
+      c.put("numFiles", files.size.toLong)
+      c.put("numMetadata", 1L)
+      c.put("numProtocol", 1L)
+      if (t.ictEnabled) c.put("inCommitTimestampOpt", ts)
+      val dvs = files.flatMap(_._2.dv)
+      if (dvs.nonEmpty || t.dvEnabled) {
+        c.put("numDeletedRecordsOpt", dvs.map(_.card).sum)
+        c.put("numDeletionVectorsOpt", dvs.size.toLong)
+      }
+      val dir = deltaDir(t)
+      val tmp = new HPath(dir, f".$v%020d.crc.${
+        java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = t.fs.create(tmp, true)
+      try out.write((mapper.writeValueAsString(c) + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      if (!t.fs.rename(tmp, new HPath(dir, f"$v%020d.crc")))
+        t.fs.delete(tmp, false): Unit
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"${t.path}: version checksum for $v failed " +
+        s"(entry is published and safe): ${e.getMessage}")
+    }
+
   /** Delta `timestampAsOf` resolution over any delta log: the newest
     * version whose commit timestamp is at or before `tsMs`. The
     * timestamp is `commitInfo.timestamp` when the writer recorded one
@@ -809,6 +852,7 @@ object DeltaExport {
             txnDelta(Map.empty,
             FileStats.txnsOf(t.commitBody(latest)), ts) ++
             files.map { case (r, st) => add(r, st, sz(r), ts, types) }))
+      writeCrc(t, 0L, files, ts)
       return 0L
     }
     val lastDelta = entries.last
@@ -868,6 +912,7 @@ object DeltaExport {
             prev.toSeq.sorted.filterNot(cur).map(remove(_, ts)) ++
             files.map { case (r, st) =>
               add(r, st, sz(r), ts, types) }))
+      writeCrc(t, dv + 1, files, ts)
       maybeCheckpoint(t, dv + 1, t.schema().json, ts)
       return dv + 1
     }
@@ -966,6 +1011,7 @@ object DeltaExport {
               add(r, st, sz(r), ts, types, dataChange = dc) })
       dv += 1
       writeEntry(t, dv, body)
+      writeCrc(t, dv, after, ts)
       ictUpgrade = false
       lastG = g
     }
@@ -1557,7 +1603,11 @@ object DeltaExport {
     val cutoff = System.currentTimeMillis() - retentionMs
     val dead = listEntries(t).filter(v => v < ckptV &&
       t.fs.getFileStatus(entryFile(t, v)).getModificationTime < cutoff)
-    dead.foreach(v => t.fs.delete(entryFile(t, v), false))
+    dead.foreach { v =>
+      t.fs.delete(entryFile(t, v), false)
+      // the version checksum rides its entry's lifecycle
+      t.fs.delete(new HPath(deltaDir(t), f"$v%020d.crc"), false): Unit
+    }
     // superseded checkpoints (single- or multi-part) below the live
     // one age out the same way
     t.fs.listStatus(deltaDir(t)).map(_.getPath)

@@ -1551,6 +1551,43 @@ class DeltaExportSpec extends SparkSpec {
       t.read().select("id").collect().map(_.getString(0)).sorted.toSeq)
   }
 
+  test("version checksum: every exported entry gets a <v>.crc " +
+      "matching the replayed live state, DV counters included") {
+    val path = s"${tmpDir("dxcrc")}/T.parquet"
+    val t = ResourceTable(spark, path).createIfNotExists(schema)
+    t.enableDeletionVectors()
+    // one two-row file: the DV delete must leave a card-1 survivor
+    // (a one-row file would die whole and LEAVE the manifest instead)
+    t.upsert(df("a" -> 1, "b" -> 2).coalesce(1), "id")
+    DeltaExport.export(t)
+    t.upsert(df("c" -> 3), "id")
+    t.deleteMatching(df("a" -> 1).select("id"), "id") // DV delete
+    DeltaExport.export(t)
+    val vs = logVersions(path)
+    assert(vs.size >= 3)
+    vs.foreach(v => assert(Files.exists(
+      Paths.get(path, "_delta_log", f"$v%020d.crc")), s"no crc for $v"))
+    // newest crc equals the graft manifest's own accounting AND the
+    // physical bytes on disk
+    val c = mapper.readTree(Files.readAllBytes(
+      Paths.get(path, "_delta_log", f"${vs.max}%020d.crc")))
+    val files = t.fileListAt(t.latestVersion.get)
+    assert(c.get("numFiles").asLong == files.size.toLong)
+    assert(c.get("tableSizeBytes").asLong ==
+      files.map(f => Files.size(Paths.get(path, f._1))).sum)
+    assert(c.get("numMetadata").asInt == 1 &&
+      c.get("numProtocol").asInt == 1)
+    val dvCards = files.flatMap(_._2.dv).map(_.card)
+    assert(dvCards.sum == 1L) // exactly the one DV-killed row
+    assert(c.get("numDeletedRecordsOpt").asLong == dvCards.sum)
+    assert(c.get("numDeletionVectorsOpt").asLong == dvCards.size.toLong)
+    // an OLD version's crc describes ITS snapshot, not the newest
+    val c0 = mapper.readTree(Files.readAllBytes(
+      Paths.get(path, "_delta_log", f"${0L}%020d.crc")))
+    assert(c0.get("numFiles").asLong ==
+      t.fileListAt(1L).size.toLong) // anchor = graft v1 (create+upsert)
+  }
+
   test("in-commit timestamps: writer feature + property + monotonic " +
       "commitInfo field in every exported commit") {
     val path = s"${tmpDir("dxict")}/T.parquet"

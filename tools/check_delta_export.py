@@ -199,7 +199,7 @@ def replay(table):
         for f in os.listdir(logdir)
         if f.endswith(".json") and not f.startswith(".")
     )
-    live, dvs, txns, schema = {}, {}, {}, None
+    live, sizes, dvs, txns, schema = {}, {}, {}, {}, None
     complete = complete_checkpoints(logdir)
     pointed = -1
     lc = os.path.join(logdir, "_last_checkpoint")
@@ -227,11 +227,13 @@ def replay(table):
         ).fetchone()[0] > 0
         dv_sel = (", to_json(add.deletionVector)" if has_dv
                   else ", NULL")
-        for (p, stats, dv_s) in con.sql(
-            f"SELECT add.path, add.stats{dv_sel} FROM parquet_scan({ck}) "
+        for (p, stats, size, dv_s) in con.sql(
+            f"SELECT add.path, add.stats, add.size{dv_sel} "
+            f"FROM parquet_scan({ck}) "
             "WHERE add.path IS NOT NULL"
         ).fetchall():
             live[p] = stats
+            sizes[p] = size
             d = json.loads(dv_s) if dv_s else None
             if d and d.get("storageType"):
                 dvs[p] = d
@@ -260,16 +262,55 @@ def replay(table):
                     schema = json.loads(n["metaData"]["schemaString"])
                 if "add" in n:
                     live[n["add"]["path"]] = n["add"].get("stats")
+                    sizes[n["add"]["path"]] = n["add"].get("size")
                     if n["add"].get("deletionVector"):
                         dvs[n["add"]["path"]] = n["add"]["deletionVector"]
                     else:
                         dvs.pop(n["add"]["path"], None)
                 if "remove" in n:
                     live.pop(n["remove"]["path"], None)
+                    sizes.pop(n["remove"]["path"], None)
                     dvs.pop(n["remove"]["path"], None)
                 if "txn" in n:
                     txns[n["txn"]["appId"]] = n["txn"]["version"]
-    return live, dvs, txns, schema, ckpt_v
+    return live, sizes, dvs, txns, schema, ckpt_v
+
+
+def check_crc(table, sizes, dvs):
+    """Validate the newest version checksum (<v>.crc, delta-spark's
+    VersionChecksum) against the independently replayed state. Only the
+    crc matching the latest json entry is decidable here (older crcs
+    describe older snapshots)."""
+    logdir = os.path.join(table, "_delta_log")
+    names = os.listdir(logdir)
+    crcs = [int(f[: -len(".crc")]) for f in names
+            if f.endswith(".crc") and not f.startswith(".")]
+    if not crcs:
+        return "crc: none present (older export)"
+    latest = max(int(f[: -len(".json")]) for f in names
+                 if f.endswith(".json") and not f.startswith("."))
+    v = max(crcs)
+    if v != latest:
+        return f"crc: newest is v{v} != latest entry v{latest} (skipped)"
+    with open(os.path.join(logdir, "%020d.crc" % v)) as fh:
+        c = json.load(fh)
+    assert c["numFiles"] == len(sizes), (
+        f"crc v{v}: numFiles={c['numFiles']} but replay has "
+        f"{len(sizes)} live files")
+    total = sum(sizes.values())
+    assert c["tableSizeBytes"] == total, (
+        f"crc v{v}: tableSizeBytes={c['tableSizeBytes']} but replayed "
+        f"adds sum to {total}")
+    if "numDeletionVectorsOpt" in c:
+        assert c["numDeletionVectorsOpt"] == len(dvs), (
+            f"crc v{v}: numDeletionVectorsOpt={c['numDeletionVectorsOpt']}"
+            f" but replay has {len(dvs)}")
+        dead = sum(d["cardinality"] for d in dvs.values())
+        assert c["numDeletedRecordsOpt"] == dead, (
+            f"crc v{v}: numDeletedRecordsOpt={c['numDeletedRecordsOpt']}"
+            f" but DV cardinalities sum to {dead}")
+    return (f"crc v{v}: numFiles={c['numFiles']} "
+            f"tableSizeBytes={c['tableSizeBytes']} verified OK")
 
 
 SQLTYPE = {
@@ -281,7 +322,7 @@ SQLTYPE = {
 
 def main():
     table, expected = sys.argv[1], sys.argv[2]
-    live, dvs, txns, schema, ckpt_v = replay(table)
+    live, sizes, dvs, txns, schema, ckpt_v = replay(table)
     cols = [f["name"] for f in schema["fields"]]
     types = {f["name"]: f["type"] for f in schema["fields"]}
     con = duckdb.connect()
@@ -375,6 +416,7 @@ def main():
 
     # 3. txn watermarks (through checkpoint at v{ckpt_v} + tail)
     print(f"txns (ckpt v{ckpt_v}): {sorted(txns.items())}")
+    print(check_crc(table, sizes, dvs))
 
     # 4. change data feed: every cdc-bearing commit must satisfy the
     #    algebraic identity  snap(v-1) + inserts + update_postimages
