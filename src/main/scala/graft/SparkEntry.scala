@@ -1387,6 +1387,15 @@ object SparkEntry {
       Dedup.duplicatedWindowSpans(t(s, dir, "documents"),
         "doc_id", "text", w = 8)),
 
+    // ---- the TRANSFORM half of exact-substring dedup: each doc
+    //      rewritten with every duplicated 8-token span CUT, survivors
+    //      re-joined in order (the corpus a trainer feeds). Oracle
+    //      replays hash → dup → covered-index set → ordered string_agg
+    //      reassembly — the full rewritten TEXT hash-matches ----
+    "q_substring_remove" -> ((s, dir) =>
+      Dedup.removeDuplicatedSpans(t(s, dir, "documents"),
+        "doc_id", "text", w = 8)),
+
     // ---- CCNet-style LM quality filter: bigram stupid-backoff LM
     //      trained on the even-doc_id half (the "Wikipedia" reference
     //      corpus), odd-doc_id half scored by avg token log-prob;
@@ -3600,6 +3609,45 @@ object SparkEntry {
          |FROM doc_toks t LEFT JOIN spans s USING (doc_id)""".stripMargin
     }
 
+    /** Removal twin of [[substringDedupSpans]]: same window hashes and
+      * duplicated set, then the COVERED token-index set (1-based here,
+      * 0-based in Spark — both name the same tokens) anti-joins the
+      * token rows and the survivors re-join in index order. The
+      * rebuilt text itself is compared, not just counts.
+      */
+    val substringRemove: String = {
+      val fold = (1 to 7).foldLeft("ths[i]") { (acc, j) =>
+        am(mm(acc, FnvP), s"ths[i+$j]")
+      }
+      s"""WITH $tokenCtes,
+         |tl AS (SELECT doc_id, list(th ORDER BY tok_idx) AS ths FROM th GROUP BY doc_id),
+         |w0 AS (
+         |  SELECT doc_id, g.i AS pos, ${am(fold, Gamma)} AS z0
+         |  FROM tl, unnest(generate_series(1, len(ths) - 7)) AS g(i)
+         |  WHERE len(ths) >= 8),
+         |w1 AS (SELECT doc_id, pos, ${mm("xor(z0, z0 >> 30)", C2)} AS z1 FROM w0),
+         |w2 AS (SELECT doc_id, pos, ${mm("xor(z1, z1 >> 27)", C3)} AS z2 FROM w1),
+         |whs AS (SELECT doc_id, pos, xor(z2, z2 >> 31) AS wh FROM w2),
+         |dup AS (SELECT wh FROM whs GROUP BY wh HAVING count(*) >= 2),
+         |dead AS (
+         |  SELECT DISTINCT doc_id, pos + g.j AS idx
+         |  FROM whs JOIN dup USING (wh),
+         |    unnest(generate_series(0, 7)) AS g(j)),
+         |kept AS (
+         |  SELECT r.doc_id, r.tok_idx, r.tok
+         |  FROM tok_rows r LEFT JOIN dead d
+         |    ON d.doc_id = r.doc_id AND d.idx = r.tok_idx
+         |  WHERE d.idx IS NULL)
+         |SELECT t.doc_id AS doc,
+         |  COALESCE(k.clean_text, '') AS clean_text,
+         |  CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+         |FROM doc_toks t LEFT JOIN (
+         |  SELECT doc_id,
+         |    string_agg(tok, ' ' ORDER BY tok_idx) AS clean_text,
+         |    count(*) AS kept_tokens
+         |  FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin
+    }
+
     /** Exact replay of TextStats.cmsSketch(d=4, w=1024) +
       * cmsEstimate over the probe words: every (token, hash-row)
       * lands in cell `i·1024 + (splitmix(th + i·γ) % 1024)` — the
@@ -4436,6 +4484,8 @@ object SparkEntry {
         |WHERE s.segment NOT IN (SELECT segment FROM freq)""".stripMargin,
 
     "q_substring_dedup" -> SplitmixOracle.substringDedupSpans,
+
+    "q_substring_remove" -> SplitmixOracle.substringRemove,
 
     "q_bpe_train" -> BpeOracle.merges(6),
 

@@ -623,4 +623,56 @@ object Dedup {
         (col("total_tokens") - coalesce(col("removed_tokens"), lit(0L)))
           .as("kept_tokens"))
   }
+
+  /** The TRANSFORM half of exact-substring dedup
+    * ([[duplicatedWindowSpans]] is the bookkeeping half): rewrite each
+    * document with every duplicated w-token span CUT, surviving tokens
+    * re-joined in order — the corpus a trainer actually feeds after
+    * the Lee et al. pass. Returns (doc, clean_text, kept_tokens); a
+    * fully-duplicated document comes back as the empty string, not a
+    * dropped row, so the caller decides the drop threshold.
+    *
+    * Plan shape at 100 TB: unlike the bookkeeping pass, a rewrite is
+    * inherently O(corpus tokens) — the text must be rebuilt — so this
+    * costs one token-level shuffle (posexploded tokens, anti-joined
+    * against dead positions, re-assembled per doc by an ordered
+    * array_sort fold). The position fanout stays bounded: only
+    * DUPLICATED windows explode their w covered indexes (O(dup·w),
+    * deduplicated before the anti-join); clean documents pass through
+    * the anti-join untouched. Same 64-bit window-hash collision trade
+    * as the bookkeeping pass.
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String,
+                            textCol: String, w: Int = 8,
+                            minDupCount: Long = 2): DataFrame = {
+    require(minDupCount >= 2, s"minDupCount must be >= 2, got $minDupCount")
+    import graft.functions.TextExpressions.positional_shingle_hashes
+    val wins = df.select(col(idCol).as("doc"),
+      posexplode(positional_shingle_hashes(col(textCol), w))
+        .as(Seq("pos", "wh")))
+    val dup = wins.groupBy(col("wh"))
+      .agg(count(lit(1)).as("_f"))
+      .filter(col("_f") >= minDupCount)
+      .select("wh")
+    // covered token indexes of duplicated windows only — the one
+    // place a ·w fanout exists, and it is bounded by the dup count
+    val dead = wins.join(dup, Seq("wh"))
+      .select(col("doc"),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("idx"))
+      .distinct()
+    val toks = df.select(col(idCol).as("doc"),
+      posexplode(graft.ops.TextStats.tokens(col(textCol)))
+        .as(Seq("idx", "tok")))
+    val kept = toks.join(dead, Seq("doc", "idx"), "left_anti")
+      .groupBy(col("doc"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("tok")))),
+          e => e.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("kept_tokens"))
+    df.select(col(idCol).as("doc"))
+      .join(kept, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+  }
 }

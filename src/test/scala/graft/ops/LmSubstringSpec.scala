@@ -49,6 +49,34 @@ class LmSubstringSpec extends SparkSpec {
     assert(r.getAs[Long]("kept_tokens") == 1)
   }
 
+  test("removeDuplicatedSpans: duplicated spans cut, survivors rejoin " +
+      "in order, fully-dup docs come back empty") {
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"),      // dup span = tokens 0..7
+      (1L, "z a b c d e f g h x"),      // dup span = tokens 1..8
+      (2L, "p q r s t u v w x y z1 z2"),// fully duplicated vs doc 3
+      (3L, "p q r s t u v w x y z1 z2"),
+      (4L, "one two")                   // too short: untouched
+    ).toDF("doc_id", "text")
+    val m = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", w = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m.size == 5)
+    assert(m(0L).getAs[String]("clean_text") == "i j")
+    assert(m(0L).getAs[Long]("kept_tokens") == 2)
+    assert(m(1L).getAs[String]("clean_text") == "z x")
+    assert(m(2L).getAs[String]("clean_text") == "")
+    assert(m(2L).getAs[Long]("kept_tokens") == 0)
+    assert(m(4L).getAs[String]("clean_text") == "one two")
+    // within-doc repeat: m1..m8 j m1..m8 → only the separator survives
+    val rep = ((1 to 8).map(i => s"m$i") ++ Seq("j") ++
+      (1 to 8).map(i => s"m$i")).mkString(" ")
+    val r = Dedup.removeDuplicatedSpans(
+      Seq((7L, rep)).toDF("doc_id", "text"), "doc_id", "text", w = 8)
+      .collect().head
+    assert(r.getAs[String]("clean_text") == "j")
+    assert(r.getAs[Long]("kept_tokens") == 1)
+  }
+
   test("LangModel: hit / backoff / OOV legs, hand-computed") {
     val docs = Seq(
       (0L, "a b a b a c"),  // train: T=6; uni a:3 b:2 c:1;
