@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.{ArrayType, BooleanType, ByteType,
   DataType, DateType, DoubleType, FloatType, IntegerType, LongType,
   MapType, MetadataBuilder, ShortType, StringType, StructField,
-  StructType}
+  StructType, TimestampNTZType}
 
 import java.nio.charset.StandardCharsets
 import scala.collection.mutable
@@ -152,10 +152,11 @@ object DeltaExport {
                        needWidening: Boolean = false,
                        needDefaults: Boolean = false,
                        needClustering: Boolean = false,
-                       needIct: Boolean = false): ObjectNode = {
+                       needIct: Boolean = false,
+                       needNtz: Boolean = false): ObjectNode = {
     val p = f.objectNode()
     if (needDv || needRowTracking || needWidening || needDefaults ||
-        needClustering || needIct) {
+        needClustering || needIct || needNtz) {
       // deletion vectors are a table FEATURE (PROTOCOL.md "Table
       // Features"): reader 3 / writer 7 with the feature named on
       // both lists — exactly what delta-spark writes when DVs enable.
@@ -165,7 +166,7 @@ object DeltaExport {
       // is writer-only too and has no legacy carrier at all, so it
       // forces this branch; writer 7 lists EVERY active feature
       // explicitly (legacy version implications don't apply).
-      if (needDv || needWidening) p.put("minReaderVersion", 3)
+      if (needDv || needWidening || needNtz) p.put("minReaderVersion", 3)
       else p.put("minReaderVersion", if (needMapping) 2 else 1)
       p.put("minWriterVersion", 7)
       val rf = f.arrayNode()
@@ -174,6 +175,9 @@ object DeltaExport {
       // typeWidening is reader-visible: files narrower than the schema
       // require readers that upcast on scan (PROTOCOL.md Type Widening)
       if (needWidening) { rf.add("typeWidening"); wf.add("typeWidening") }
+      // TIMESTAMP_NTZ is reader-visible: an unaware reader would treat
+      // the column as session-zoned (PROTOCOL.md timestampNtz)
+      if (needNtz) { rf.add("timestampNtz"); wf.add("timestampNtz") }
       if (needMapping) {
         if (needDv || needWidening) rf.add("columnMapping")
         wf.add("columnMapping")
@@ -200,7 +204,8 @@ object DeltaExport {
         // don't re-add if rowTracking already declared the dependency
         if (!needRowTracking) wf.add("domainMetadata")
       }
-      if (needDv || needWidening) p.replace("readerFeatures", rf)
+      if (needDv || needWidening || needNtz)
+        p.replace("readerFeatures", rf)
       p.replace("writerFeatures", wf)
     } else if (needMapping) {
       // legacy carrier for column mapping: reader 2 / writer 5
@@ -231,6 +236,23 @@ object DeltaExport {
         .asInstanceOf[StructType].fields
         .exists(_.metadata.contains(ResourceTable.PhysKey)))
       .getOrElse(false)
+
+  /** Whether the schema holds a TIMESTAMP_NTZ anywhere (nested types
+    * included): the delta protocol gates the type behind the
+    * `timestampNtz` reader+writer feature — a reader unaware of it
+    * would misread the column as a session-zoned timestamp.
+    */
+  private[tables] def hasNtz(schemaJson: String): Boolean =
+    scala.util.Try {
+      def scan(dt: DataType): Boolean = dt match {
+        case s: StructType => s.fields.exists(f => scan(f.dataType))
+        case a: ArrayType => scan(a.elementType)
+        case m: MapType => scan(m.keyType) || scan(m.valueType)
+        case TimestampNTZType => true
+        case _ => false
+      }
+      scan(DataType.fromJson(schemaJson))
+    }.getOrElse(false)
 
   /** A schema that carries any `delta.typeChanges` field metadata was
     * type-widened: files narrower than the schema exist, so the
@@ -845,7 +867,8 @@ object DeltaExport {
             needWidening = isWidened(t.schema().json),
             needDefaults = isDefaulted(t.schema().json),
             needClustering = t.clusterBy().nonEmpty,
-            needIct = t.ictEnabled) +:
+            needIct = t.ictEnabled,
+            needNtz = hasNtz(t.schema().json)) +:
           metaData(t, t.schema().json, ts) +:
           (rowTrackingDomain(t, latest) ++
             clusteringDomain(t) ++
@@ -891,7 +914,7 @@ object DeltaExport {
           ((if (files.exists(_._2.dv.isDefined) || t.changeDataFeedEnabled ||
                 isMapped(t.schema().json) || isWidened(t.schema().json) ||
                 isDefaulted(t.schema().json) || t.clusterBy().nonEmpty ||
-                t.ictEnabled)
+                t.ictEnabled || hasNtz(t.schema().json))
               Seq(protocol(
                 needDv = files.exists(_._2.dv.isDefined) || t.dvEnabled,
                 needCdf = t.changeDataFeedEnabled,
@@ -903,7 +926,8 @@ object DeltaExport {
             needWidening = isWidened(t.schema().json),
             needDefaults = isDefaulted(t.schema().json),
             needClustering = t.clusterBy().nonEmpty,
-            needIct = t.ictEnabled))
+            needIct = t.ictEnabled,
+            needNtz = hasNtz(t.schema().json)))
             else Seq.empty) ++
             rowTrackingDomain(t, latest) ++
             clusteringDomain(t) ++
@@ -983,7 +1007,7 @@ object DeltaExport {
                  ictUpgrade ||
                  (schemaChanged && FileStats.schemaOf(t.commitBody(g))
                    .exists(s => isMapped(s) || isWidened(s) ||
-                     isDefaulted(s))))
+                     isDefaulted(s) || hasNtz(s))))
                Seq(protocol(
                  needDv = adds.exists(_._2.dv.isDefined) || t.dvEnabled ||
                    after.exists(_._2.dv.isDefined),
@@ -999,7 +1023,9 @@ object DeltaExport {
             needDefaults = FileStats.schemaOf(t.commitBody(g))
               .exists(isDefaulted),
             needClustering = t.clusterBy().nonEmpty,
-            needIct = t.ictEnabled))
+            needIct = t.ictEnabled,
+            needNtz = FileStats.schemaOf(t.commitBody(g))
+              .exists(hasNtz)))
              else Seq.empty) ++
             rowTrackingDomain(t, g) ++
             cdc ++
@@ -1267,9 +1293,11 @@ object DeltaExport {
       val v2Mode = spark.conf
         .getOption("spark.graft.export.checkpointV2")
         .exists(_.toBoolean)
+      val ntzT = hasNtz(schemaJson)
       val protoRow =
-        if (needDv || v2Mode) {
+        if (needDv || v2Mode || ntzT) {
           val rf = Seq("deletionVectors").filter(_ => needDv) ++
+            Seq("timestampNtz").filter(_ => ntzT) ++
             Seq("columnMapping").filter(_ => mappedT) ++
             Seq("v2Checkpoint").filter(_ => v2Mode)
           val wf = rf ++

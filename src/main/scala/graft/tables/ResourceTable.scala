@@ -3008,6 +3008,15 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       }
     reapOrphanSidecars(cur, cutoff, dryRun)
     reapOrphanBloomSidecars(cutoff, dryRun)
+    // commit-publish tmp orphans: a writer killed between staging the
+    // body and hard-linking it leaves `.N.commit.<uuid>.tmp` in _log
+    // (invisible to every lister — reaped here once clearly dead)
+    if (!dryRun)
+      fs.listStatus(logDir)
+        .filter(s => !s.isDirectory && s.getPath.getName.startsWith(".") &&
+          s.getPath.getName.endsWith(".tmp") &&
+          s.getModificationTime < cutoff)
+        .foreach(s => fs.delete(s.getPath, false))
     n
   }
 

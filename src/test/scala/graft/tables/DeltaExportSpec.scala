@@ -1588,6 +1588,32 @@ class DeltaExportSpec extends SparkSpec {
       t.fileListAt(1L).size.toLong) // anchor = graft v1 (create+upsert)
   }
 
+  test("TIMESTAMP_NTZ schema exports the timestampNtz reader+writer " +
+      "feature and round-trips") {
+    val path = s"${tmpDir("dxntz")}/T.parquet"
+    val ntzSchema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("at", TimestampNTZType)))
+    val t = ResourceTable(spark, path).createIfNotExists(ntzSchema)
+    t.upsert(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("a", java.time.LocalDateTime.of(2026, 1, 2, 3, 4, 5)),
+        Row("b", java.time.LocalDateTime.of(2026, 6, 7, 8, 9, 10)))),
+      ntzSchema), "id")
+    DeltaExport.export(t)
+    val proto = logLines(path, 0L)
+      .flatMap(n => Option(n.get("protocol"))).head
+    assert(proto.get("minReaderVersion").asInt == 3)
+    assert(proto.get("minWriterVersion").asInt == 7)
+    assert(proto.get("readerFeatures").asScala.map(_.asText).toSet
+      .contains("timestampNtz"))
+    assert(proto.get("writerFeatures").asScala.map(_.asText).toSet
+      .contains("timestampNtz"))
+    val back = DeltaExport.readSnapshot(spark, path)
+    assert(back.schema("at").dataType == TimestampNTZType)
+    assert(back.count() == 2L)
+  }
+
   test("in-commit timestamps: writer feature + property + monotonic " +
       "commitInfo field in every exported commit") {
     val path = s"${tmpDir("dxict")}/T.parquet"

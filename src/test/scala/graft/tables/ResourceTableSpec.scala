@@ -37,6 +37,29 @@ class ResourceTableSpec extends SparkSpec {
     assert(t.latestVersion.contains(3L)) // create + 3 mutations
   }
 
+  test("vacuum reaps dead commit-publish tmp orphans from _log") {
+    val t = ResourceTable(spark, s"${tmpDir("rt")}/T.parquet")
+      .createIfNotExists(schema)
+    t.upsert(df("a" -> 1), "id")
+    // a writer killed between staging and hard-link leaves this orphan
+    val orphan = java.nio.file.Paths.get(
+      t.path, "_log", ".00000000000000000005.commit.deadbeef.tmp")
+    java.nio.file.Files.write(orphan, "{\"torn\":".getBytes)
+    java.nio.file.Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 48L * 3600 * 1000))
+    // invisible to version resolution while present
+    assert(t.latestVersion.contains(1L))
+    t.vacuum(retentionMs = 24L * 3600 * 1000)
+    assert(!java.nio.file.Files.exists(orphan))
+    // a FRESH tmp (possibly a live writer mid-publish) is kept
+    val fresh = java.nio.file.Paths.get(
+      t.path, "_log", ".00000000000000000006.commit.cafebabe.tmp")
+    java.nio.file.Files.write(fresh, "{}".getBytes)
+    t.vacuum(retentionMs = 24L * 3600 * 1000)
+    assert(java.nio.file.Files.exists(fresh))
+  }
+
   test("changes: CDF diff tags inserts, deletes, and update pre/post pairs only") {
     val t = ResourceTable(spark, s"${tmpDir("rtcdf")}/T.parquet")
       .createIfNotExists(schema)
