@@ -2579,6 +2579,43 @@ object SparkEntry {
       TextStats.qualityScore(t(s, dir, "documents"))
         .select(col("doc_id"), col("quality_score"), col("keep"))),
 
+    // ---- END-TO-END CURATION FUNNEL (the FineWeb/RefinedWeb shape,
+    //      batch form): language gate -> quality-classifier keep ->
+    //      exact keep-first dedup -> benchmark decontamination, each
+    //      stage feeding the next, with per-stage survivor counts as
+    //      the decidable output. Every stage is an existing operator
+    //      whose oracle already hash-matches standalone; the funnel
+    //      proves they COMPOSE (semi/anti joins carry the full rows,
+    //      no collects between stages — at 100 TB each arrow is one
+    //      shuffle or less, and the text column is never widened) ----
+    "q_curation_funnel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      val s1 = corpus.join(
+        TextStats.langId(corpus).filter(col("predicted_lang") === "en")
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+      val s2 = s1.join(
+        TextStats.qualityScore(s1).filter(col("keep")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val s3 = s2.join(
+        s2.groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+      // wide shingles (n=25): same-distribution synthetic prose shares
+      // most 5-grams by chance — only real cross-split passages match
+      // at 25 chars (the retro-purge gate's convention)
+      val s4 = s3.join(
+        TextStats.contamination(s3, bench, n = 25)
+          .filter(col("n_overlap") > 0).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      Seq("corpus" -> corpus, "lang_en" -> s1, "quality" -> s2,
+          "exact_dedup" -> s3, "decontaminated" -> s4)
+        .map { case (name, d) =>
+          d.agg(count(lit(1)).cast(LongType).as("n"))
+            .select(lit(name).as("stage"), col("n"))
+        }.reduce(_.unionByName(_))
+    }),
+
     // ---- END-TO-END training-data ingest: a REAL streaming query
     //      chains quality gate -> canonical-URL keep-first -> shard
     //      assignment -> INSERT-ONLY merge (zero file rewrites,
@@ -4385,6 +4422,85 @@ object SparkEntry {
         |  (-0.6 + 0.12 * awl + 2.4 * swr - 1.8 * pr + 0.9 * lt) >= 0.5
         |    AS keep
         |FROM s""".stripMargin,
+
+    // the funnel composes four already-hash-matched stage oracles:
+    // lang-id argmax (q_lang_id), the quality linear model
+    // (q_quality_classifier), md5 keep-first (q_dedup_exact) and
+    // 5-gram holdout overlap (q_decontaminate), each over the
+    // previous stage's survivors
+    "q_curation_funnel" ->
+      """WITH corpus0 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+        |profiles(plang, pidx, stops) AS (VALUES
+        |  ('en', 0, ['the','and','of','to','a','in','is','it','that']),
+        |  ('de', 1, ['der','die','das','und','ist','nicht','ein','zu']),
+        |  ('fr', 2, ['le','la','les','et','est','un','une','que']),
+        |  ('es', 3, ['el','la','los','y','es','un','una','que']),
+        |  ('zh', 4, ['的','是','了','在','和','有'])),
+        |ltoks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |  FROM corpus0),
+        |s1 AS (
+        |  SELECT c.doc_id, c.text FROM corpus0 c JOIN (
+        |    SELECT doc_id FROM (
+        |      SELECT t.doc_id, p.plang, row_number() OVER (
+        |          PARTITION BY t.doc_id ORDER BY
+        |          CAST(len(list_filter(t.ts, x -> list_contains(p.stops, x))) AS DOUBLE)
+        |            / greatest(len(t.ts), 1) DESC, p.pidx ASC) AS rn
+        |      FROM ltoks t CROSS JOIN profiles p)
+        |    WHERE rn = 1 AND plang = 'en') e USING (doc_id)),
+        |qf AS (
+        |  SELECT doc_id,
+        |    CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> x != '')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+        |      AS n_nonspace,
+        |    CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> lower(x) IN ('the','a','of','and','to','in','is','it')))
+        |      AS BIGINT) AS stop_cnt,
+        |    CAST(length(list_filter(string_split(text, ''),
+        |        x -> regexp_matches(x, '[[:punct:]]'))) AS BIGINT) AS punct_cnt
+        |  FROM s1),
+        |qs AS (
+        |  SELECT doc_id,
+        |    -0.6 + 0.12 * (CAST(n_nonspace AS DOUBLE)
+        |        / CAST(greatest(n_tokens, 1) AS DOUBLE))
+        |      + 2.4 * (CAST(stop_cnt AS DOUBLE)
+        |        / CAST(greatest(n_tokens, 1) AS DOUBLE))
+        |      - 1.8 * (CAST(punct_cnt AS DOUBLE)
+        |        / CAST(greatest(n_chars, 1) AS DOUBLE))
+        |      + 0.9 * (CAST(n_tokens AS DOUBLE)
+        |        / (CAST(n_tokens AS DOUBLE) + 50.0)) AS score
+        |  FROM qf),
+        |s2 AS (
+        |  SELECT s1.doc_id, s1.text FROM s1
+        |  JOIN qs USING (doc_id) WHERE qs.score >= 0.5),
+        |s3 AS (
+        |  SELECT s2.doc_id, s2.text FROM s2 JOIN (
+        |    SELECT min(doc_id) AS doc_id FROM s2 GROUP BY md5(text)
+        |  ) k USING (doc_id)),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(1, length(text) - 23),
+        |    i -> substr(text, CAST(i AS INT), 25)))) AS sh
+        |  FROM documents WHERE doc_id % 50 = 0 AND length(text) >= 25),
+        |dirty AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, unnest(list_distinct(list_transform(
+        |      range(1, length(text) - 23),
+        |      i -> substr(text, CAST(i AS INT), 25)))) AS sh
+        |    FROM s3 WHERE length(text) >= 25)
+        |  WHERE sh IN (SELECT sh FROM bsh)),
+        |s4 AS (
+        |  SELECT doc_id FROM s3
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty))
+        |SELECT 'corpus' AS stage, count(*) AS n FROM corpus0
+        |UNION ALL SELECT 'lang_en', count(*) FROM s1
+        |UNION ALL SELECT 'quality', count(*) FROM s2
+        |UNION ALL SELECT 'exact_dedup', count(*) FROM s3
+        |UNION ALL SELECT 'decontaminated', count(*) FROM s4""".stripMargin,
 
     // the streamed pipeline's cross-batch keep-first over doc_id-
     // ordered batches == a global min-per-canonical over kept docs
