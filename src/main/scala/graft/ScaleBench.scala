@@ -52,7 +52,8 @@ object ScaleBench {
     "q_rp_topk", "q_allpairs_sim", "x_shallow_clone", "q_pq_encode",
     "x_rename_column", "x_bloom_lookup", "x_bloom_lookup_off",
     "x_occ_rebase", "x_occ_rerun", "x_dfp_join", "x_dfp_join_off",
-    "q_lm_perplexity", "q_perceptron_filter")
+    "q_lm_perplexity", "q_perceptron_filter",
+    "q_substring_remove", "q_curation_funnel", "q_stream_tws")
 
   /** Scale-only cases that are not SparkEntry gates: shapes whose
     * scale story needs DIFFERENT fixture sizing than the sf0.01 gate.

@@ -2592,28 +2592,39 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val corpus = docs.filter(col("doc_id") % 50 =!= 0)
       val bench = docs.filter(col("doc_id") % 50 === 0)
-      val s1 = corpus.join(
-        TextStats.langId(corpus).filter(col("predicted_lang") === "en")
-          .select("doc_id"), Seq("doc_id"), "left_semi")
-      val s2 = s1.join(
-        TextStats.qualityScore(s1).filter(col("keep")).select("doc_id"),
-        Seq("doc_id"), "left_semi")
-      val s3 = s2.join(
-        s2.groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
-          .select("doc_id"), Seq("doc_id"), "left_semi")
-      // wide shingles (n=25): same-distribution synthetic prose shares
-      // most 5-grams by chance — only real cross-split passages match
-      // at 25 chars (the retro-purge gate's convention)
-      val s4 = s3.join(
-        TextStats.contamination(s3, bench, n = 25)
-          .filter(col("n_overlap") > 0).select("doc_id"),
-        Seq("doc_id"), "left_anti")
-      Seq("corpus" -> corpus, "lang_en" -> s1, "quality" -> s2,
-          "exact_dedup" -> s3, "decontaminated" -> s4)
-        .map { case (name, d) =>
-          d.agg(count(lit(1)).cast(LongType).as("n"))
-            .select(lit(name).as("stage"), col("n"))
-        }.reduce(_.unionByName(_))
+      // ONE PASS over the corpus: every stage predicate is a per-doc
+      // flag (lang gate and quality keep are row-local given their
+      // joins; dedup keep-first is a min-over-md5 window among
+      // stage-2 survivors; decontamination is a per-doc overlap count
+      // vs the broadcast benchmark shingle set, independent of which
+      // other docs survive) — so the funnel is joins + one window +
+      // ONE aggregate, instead of five count jobs each re-running its
+      // prefix of the chain. Wide shingles (n=25): same-distribution
+      // synthetic prose shares most 5-grams by chance — only real
+      // cross-split passages match at 25 chars.
+      val lang = TextStats.langId(corpus)
+        .select(col("doc_id"), (col("predicted_lang") === "en").as("f1"))
+      val qual = TextStats.qualityScore(corpus)
+        .select(col("doc_id"), col("keep"))
+      val cont = TextStats.contamination(corpus, bench, n = 25)
+        .select(col("doc_id"), (col("n_overlap") === 0).as("clean"))
+      val w = Window.partitionBy(col("h"))
+      val flags = corpus.select(col("doc_id"), md5(col("text")).as("h"))
+        .join(lang, Seq("doc_id")).join(qual, Seq("doc_id"))
+        .join(cont, Seq("doc_id"))
+        .withColumn("f2", col("f1") && col("keep"))
+        .withColumn("f3", col("f2") &&
+          col("doc_id") === min(when(col("f2"), col("doc_id"))).over(w))
+        .withColumn("f4", col("f3") && col("clean"))
+      flags.agg(
+          count(lit(1)).as("corpus"),
+          sum(when(col("f1"), 1L).otherwise(0L)).as("lang_en"),
+          sum(when(col("f2"), 1L).otherwise(0L)).as("quality"),
+          sum(when(col("f3"), 1L).otherwise(0L)).as("exact_dedup"),
+          sum(when(col("f4"), 1L).otherwise(0L)).as("decontaminated"))
+        .select(expr("stack(5, 'corpus', corpus, 'lang_en', lang_en, " +
+          "'quality', quality, 'exact_dedup', exact_dedup, " +
+          "'decontaminated', decontaminated) AS (stage, n)"))
     }),
 
     // ---- END-TO-END training-data ingest: a REAL streaming query

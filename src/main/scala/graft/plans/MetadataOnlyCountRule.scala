@@ -64,6 +64,71 @@ object MetadataOnlyCountRule extends Rule[LogicalPlan] {
             else agg
           case None => agg
         }
+      // GROUP BY partition columns + COUNT(*): per-group counts from
+      // the manifest's partitionValues — Delta's partition-query leg
+      // of OptimizeMetadataOnlyQuery. Grouping by a SUBSET of the
+      // partition columns re-merges manifest groups here (plain fold,
+      // no job). Groups follow SQL semantics: values absent from the
+      // manifest produce no row; an empty table produces none.
+      case agg @ Aggregate(groupExprs, aggExprs, child, _)
+          if groupExprs.nonEmpty &&
+            groupExprs.forall(_.isInstanceOf[AttributeReference]) &&
+            aggExprs.forall(e => isGroupOrCount(e, groupExprs)) =>
+        bareRelation(child) match {
+          case Some(idx)
+              if groupExprs.forall(g =>
+                idx.partitionSchema.fieldNames
+                  .contains(g.asInstanceOf[AttributeReference].name)) =>
+            idx.exactPartitionCounts match {
+              case Some(partCounts) =>
+                val gAttrs = groupExprs
+                  .map(_.asInstanceOf[AttributeReference])
+                val gIdx = gAttrs
+                  .map(a => idx.partitionSchema.fieldIndex(a.name))
+                val merged = scala.collection.mutable.LinkedHashMap
+                  .empty[IndexedSeq[Any], Long]
+                partCounts.foreach { case (row, c) =>
+                  val kv: IndexedSeq[Any] = gIdx.map(i =>
+                    row.get(i, idx.partitionSchema(i).dataType))
+                    .toIndexedSeq
+                  merged(kv) = merged.getOrElse(kv, 0L) + c
+                }
+                val rows = merged.toSeq.map { case (kv, c) =>
+                  InternalRow.fromSeq(aggExprs.map {
+                    case a: AttributeReference =>
+                      kv(gAttrs.indexWhere(_.exprId == a.exprId))
+                    case Alias(a: AttributeReference, _) =>
+                      kv(gAttrs.indexWhere(_.exprId == a.exprId))
+                    case Alias(AggregateExpression(Count(_), _, _, _, _),
+                        _) => c
+                    case Alias(l: Literal, _) => l.value
+                    // non-exhaustive by design: isGroupOrCount guards
+                  })
+                }
+                LocalRelation(agg.output, rows)
+              case None => agg
+            }
+          case _ => agg
+        }
+    }
+  }
+
+  /** For the grouped form: each output is a group key (by exprId), a
+    * literal-argument non-distinct COUNT, or a literal.
+    */
+  private def isGroupOrCount(e: NamedExpression,
+                             groups: Seq[Expression]): Boolean = {
+    def isKey(a: AttributeReference) = groups.exists {
+      case g: AttributeReference => g.exprId == a.exprId
+      case _ => false
+    }
+    e match {
+      case a: AttributeReference => isKey(a)
+      case Alias(a: AttributeReference, _) => isKey(a)
+      case Alias(AggregateExpression(Count(Seq(_: Literal)), Complete,
+        false, None, _), _) => true
+      case Alias(_: Literal, _) => true
+      case _ => false
     }
   }
 

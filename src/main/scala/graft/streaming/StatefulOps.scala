@@ -4,6 +4,19 @@ import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
   TTLConfig, TimeMode, TimerValues, ValueState}
 
+/** One keyed contribution: `m` is an integer measure (callers
+  * pre-scale doubles — integer folds are partition-order-exact).
+  */
+case class TwsContribution(key: String, m: Long)
+
+/** Running totals for a key after its n-th update (`upd` counts the
+  * micro-batches in which the key appeared — 1-based).
+  */
+case class TwsTotals(key: String, upd: Long, cnt: Long, total: Long)
+
+private[streaming] case class TwsTotalsState(upd: Long, cnt: Long,
+                                             total: Long)
+
 /** Arbitrary stateful streaming on the Spark 4 `transformWithState`
   * API (the successor to `flatMapGroupsWithState`, SPARK-46815): a
   * [[StatefulProcessor]] owns named, individually-encoded state
@@ -22,17 +35,17 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
   */
 object StatefulOps {
 
-  /** One keyed contribution: `m` is an integer measure (callers
-    * pre-scale doubles — integer folds are partition-order-exact).
-    */
-  case class Contribution(key: String, m: Long)
-
-  /** Running totals for a key after its n-th update (`upd` counts the
-    * micro-batches in which the key appeared — 1-based).
-    */
-  case class Totals(key: String, upd: Long, cnt: Long, total: Long)
-
-  private case class TotalsState(upd: Long, cnt: Long, total: Long)
+  // top-level-style (object-member, not method-local) case classes
+  // still trip Janino on the generated SafeProjection ("private member
+  // cannot be accessed") when nested under an object — the aliases
+  // below keep the `StatefulOps.Contribution` call surface while the
+  // classes themselves live at package level where codegen binds them
+  type Contribution = graft.streaming.TwsContribution
+  val Contribution = graft.streaming.TwsContribution
+  type Totals = graft.streaming.TwsTotals
+  val Totals = graft.streaming.TwsTotals
+  private type TotalsState = graft.streaming.TwsTotalsState
+  private val TotalsState = graft.streaming.TwsTotalsState
 
   /** Per-key running count/sum, one output row per key per micro-batch
     * it appears in. State is a single [[ValueState]] per key: O(keys)

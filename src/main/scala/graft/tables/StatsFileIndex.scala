@@ -171,6 +171,35 @@ final class StatsFileIndex private (
     if (unknown) None else Some(total)
   }
 
+  /** Exact PHYSICAL row count per distinct partition value — the
+    * metadata-only `GROUP BY partition-cols COUNT(*)` answer (Delta's
+    * OptimizeMetadataOnlyQuery does the same for partition queries).
+    * One manifest pass, keys compared structurally (UTF8String et al
+    * have value equality; partition types are atomic). None when the
+    * index is unpartitioned or any entry's stats are missing. The DV
+    * caveat matches [[exactRowCount]]: DV row drops plan ABOVE the
+    * scan, so a bare partitioned scan really emits physical rows.
+    */
+  def exactPartitionCounts: Option[Seq[(InternalRow, Long)]] = {
+    if (partitionSchema.isEmpty) return None
+    val types = partitionSchema.map(_.dataType).toSeq
+    val acc = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[Any], (InternalRow, Long)]
+    val it = source()
+    while (it.hasNext) {
+      val (row, e) = it.next()
+      val st = e.stats.getOrElse(return None)
+      // the source reuses one row reference across consecutive
+      // entries — key structurally, copy once per distinct group
+      val key = row.toSeq(types).toIndexedSeq
+      acc.get(key) match {
+        case Some((r, c)) => acc(key) = (r, c + st.rows)
+        case None => acc(key) = (row.copy(), st.rows)
+      }
+    }
+    Some(acc.values.toSeq)
+  }
+
   /** Exact MIN/MAX of `column` across the index's files, when
     * PROVABLE: every file carries the column's numeric (Long/Double)
     * stats and none carries a deletion vector (a DV may have killed

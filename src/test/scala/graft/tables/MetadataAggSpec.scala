@@ -90,6 +90,122 @@ class MetadataAggSpec extends SparkSpec {
     assert(dvc.collect()(0).getLong(0) == 35)
   }
 
+  test("grouped metadata-only count: GROUP BY partition columns " +
+      "answers from the manifest; guards hold") {
+    graft.GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions.count
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    import java.nio.file.{Files, Paths}
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val dir = tmpDir("maggp")
+    val path = s"$dir/pt.parquet"
+    val data = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType)))
+    def writeDataFile(rel: String, rows: Seq[(Long, Long)]): Long = {
+      val stage = s"$dir/stage-${rel.replace('/', '_')}"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map(r => Row(r._1, r._2)), 1), data)
+        .write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).iterator()
+      var found: java.nio.file.Path = null
+      while (part.hasNext) {
+        val f = part.next()
+        if (f.getFileName.toString.endsWith(".parquet")) found = f
+      }
+      val dest = Paths.get(path, rel)
+      Files.createDirectories(dest.getParent)
+      Files.move(found, dest)
+      Files.size(dest)
+    }
+    val full = StructType(data.fields ++ Seq(
+      StructField("p", StringType), StructField("q", StringType)))
+    def line(kind: String)(
+        fill: com.fasterxml.jackson.databind.node.ObjectNode => Unit)
+        : String = {
+      val o = mapper.createObjectNode()
+      fill(o.putObject(kind))
+      mapper.writeValueAsString(o)
+    }
+    def addLine(rel: String, size: Long, p: String, q: String,
+                n: Option[Long]): String =
+      line("add") { a =>
+        a.put("path", rel)
+        val pv = a.putObject("partitionValues")
+        pv.put("p", p); pv.put("q", q)
+        a.put("size", size); a.put("modificationTime", 1L)
+        a.put("dataChange", true)
+        n.foreach(c => a.put("stats", s"""{"numRecords":$c}"""): Unit)
+      }
+    val s1 = writeDataFile("p=a/q=x/f1.parquet", Seq(1L -> 1L, 2L -> 2L))
+    val s2 = writeDataFile("p=a/q=y/f2.parquet",
+      Seq(3L -> 3L, 4L -> 4L, 5L -> 5L))
+    val s3 = writeDataFile("p=b/q=x/f3.parquet",
+      Seq(6L -> 6L, 7L -> 7L, 8L -> 8L, 9L -> 9L))
+    val v0 = Seq(
+      line("protocol") { pr =>
+        pr.put("minReaderVersion", 1); pr.put("minWriterVersion", 2) },
+      line("metaData") { m =>
+        m.put("id", "foreign-grouped")
+        val fmt = m.putObject("format")
+        fmt.put("provider", "parquet"); fmt.putObject("options")
+        m.put("schemaString", full.json)
+        val pc = m.putArray("partitionColumns"); pc.add("p"); pc.add("q")
+        m.putObject("configuration"); m.put("createdTime", 1L) },
+      addLine("p=a/q=x/f1.parquet", s1, "a", "x", Some(2L)),
+      addLine("p=a/q=y/f2.parquet", s2, "a", "y", Some(3L)),
+      addLine("p=b/q=x/f3.parquet", s3, "b", "x", Some(4L)))
+    Files.createDirectories(Paths.get(path, "_delta_log"))
+    Files.write(Paths.get(path, "_delta_log", f"${0L}%020d.json"),
+      v0.mkString("", "\n", "\n").getBytes("UTF-8"))
+
+    def optimized(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.toString
+    val df = DeltaExport.readSnapshot(spark, path)
+    // full partition-key grouping: manifest-only, correct
+    val g = df.groupBy(col("p"), col("q")).count()
+    assert(optimized(g).contains("LocalRelation"), optimized(g))
+    assert(!optimized(g).contains("parquet"), optimized(g))
+    assert(g.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap ==
+      Map(("a", "x") -> 2L, ("a", "y") -> 3L, ("b", "x") -> 4L))
+    // SUBSET grouping merges manifest groups
+    val gp = df.groupBy(col("p")).count()
+    assert(optimized(gp).contains("LocalRelation"), optimized(gp))
+    assert(gp.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 5L, "b" -> 4L))
+    // matches the physical scan with the rule off
+    spark.conf.set("graft.rules.metadataOnlyCount", "false")
+    try {
+      val off = DeltaExport.readSnapshot(spark, path)
+        .groupBy(col("p")).count()
+      assert(!optimized(off).contains("LocalRelation"), optimized(off))
+      assert(off.collect().map(r =>
+        r.getString(0) -> r.getLong(1)).toMap ==
+        Map("a" -> 5L, "b" -> 4L))
+    } finally spark.conf.set("graft.rules.metadataOnlyCount", "true")
+    // guards: a data-column group key, a filter, count(col) all block
+    val gd = df.groupBy(col("v")).count()
+    assert(!optimized(gd).contains("LocalRelation"), optimized(gd))
+    assert(gd.collect().length == 9)
+    val gf = df.filter(col("id") > 2).groupBy(col("p")).count()
+    assert(!optimized(gf).contains("LocalRelation"), optimized(gf))
+    val gc = df.groupBy(col("p")).agg(count(col("v")))
+    assert(!optimized(gc).contains("LocalRelation"), optimized(gc))
+    // a stats-less add makes the count unknowable → no rewrite,
+    // answer still right through the scan
+    val s4 = writeDataFile("p=b/q=y/f4.parquet", Seq(10L -> 10L))
+    Files.write(Paths.get(path, "_delta_log", f"${1L}%020d.json"),
+      (addLine("p=b/q=y/f4.parquet", s4, "b", "y", None) + "\n")
+        .getBytes("UTF-8"))
+    val g2 = DeltaExport.readSnapshot(spark, path)
+      .groupBy(col("p")).count()
+    assert(!optimized(g2).contains("LocalRelation"), optimized(g2))
+    assert(g2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 5L, "b" -> 5L))
+  }
+
   test("lakehousekeeper count/stats/enable-cdf CLI verbs (forked JVM)") {
     val t = ResourceTable(spark, s"${tmpDir("magg4")}/T.parquet")
     val data = (1 to 25).map(i => (i.toLong, i * 3L)).toDF("k", "v")
