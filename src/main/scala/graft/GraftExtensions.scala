@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.MetadataOnlyCountRule)
     e.injectTableFunction((FunctionIdentifier("graft_delta_scan"),
       GraftExtensions.deltaScanInfo, GraftExtensions.deltaScanBuilder _))
+    e.injectTableFunction((FunctionIdentifier("graft_table_changes"),
+      GraftExtensions.tableChangesInfo,
+      GraftExtensions.tableChangesBuilder _))
   }
 }
 
@@ -145,6 +148,50 @@ object GraftExtensions {
       .queryExecution.analyzed
   }
 
+  /** `graft_table_changes(path, fromVersion, toVersion[, key])` —
+    * delta's `table_changes` SQL surface over a graft table: the
+    * row-level change feed between two retained versions, tagged
+    * `_change_type` insert / delete / update_preimage /
+    * update_postimage. With a key the pairs are keyed diffs
+    * ([[graft.tables.ResourceTable.changes]]); without one, the
+    * algebraically-equivalent multiset insert/delete images
+    * ([[graft.tables.ResourceTable.changesByContent]] — RESTORE and
+    * other keyless commits replay through the same form).
+    */
+  val tableChangesInfo: ExpressionInfo = new ExpressionInfo("graft",
+    null, "graft_table_changes",
+    "graft_table_changes(path, fromVersion, toVersion[, key]) - " +
+      "row-level change feed of a graft table between two retained " +
+      "versions, tagged _change_type; keyed diffs with a key column, " +
+      "multiset insert/delete images without", "")
+
+  def tableChangesBuilder(es: Seq[Expression]): LogicalPlan = {
+    if (es.size < 3 || es.size > 4)
+      throw new IllegalArgumentException(
+        "graft_table_changes(path, fromVersion, toVersion[, key]) " +
+          "takes 3 or 4 arguments")
+    def str(e: Expression, what: String): String = e match {
+      case Literal(v: UTF8String, StringType) => v.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_table_changes: $what must be a string literal, got $other")
+    }
+    def ver(e: Expression, what: String): Long = e match {
+      case Literal(v: Integer, IntegerType) => v.longValue
+      case Literal(v: java.lang.Long, LongType) => v.longValue
+      case other => throw new IllegalArgumentException(
+        s"graft_table_changes: $what must be an integer version, " +
+          s"got $other")
+    }
+    val path = str(es(0), "path")
+    val from = ver(es(1), "fromVersion")
+    val to = ver(es(2), "toVersion")
+    val key = es.lift(3).map(str(_, "key"))
+    val spark = SparkSession.active
+    val t = graft.tables.ResourceTable(spark, path)
+    key.fold(t.changesByContent(from, to))(k => t.changes(from, to, k))
+      .queryExecution.analyzed
+  }
+
   /** Register on an already-built session (temp functions, the table
     * function, and the optimizer rule via the experimental hook).
     */
@@ -156,6 +203,9 @@ object GraftExtensions {
     spark.sessionState.tableFunctionRegistry
       .createOrReplaceTempFunction("graft_delta_scan",
         deltaScanBuilder _, "scala_udf")
+    spark.sessionState.tableFunctionRegistry
+      .createOrReplaceTempFunction("graft_table_changes",
+        tableChangesBuilder _, "scala_udf")
     if (!spark.experimental.extraOptimizations
         .contains(graft.plans.RangeBinJoinRule))
       spark.experimental.extraOptimizations ++=

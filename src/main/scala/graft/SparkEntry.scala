@@ -3114,6 +3114,16 @@ object SparkEntry {
       tab.changes(v1, v3, "c_custkey")
     }),
 
+    // ---- the same change feed through the SQL TABLE FUNCTION
+    //      surface (delta's `table_changes`): shares q_change_feed's
+    //      oracle — the TVF must be row-identical to the API call ----
+    "q_cdf_tvf" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      val (tab, v1, _, v3) = versionedDemo(s, dir)
+      s.sql("SELECT * FROM graft_table_changes(" +
+        s"'${tab.path}', $v1, $v3, 'c_custkey')")
+    }),
+
     // ---- incremental view maintenance from the change feed: a
     //      per-segment (count, sum) aggregate at v1 is advanced to the
     //      v3 state purely from CDF deltas (+post/insert, -pre/delete)
@@ -6510,6 +6520,27 @@ object SparkEntry {
         |FROM customer GROUP BY 1""".stripMargin,
 
     "q_change_feed" ->
+      """SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey,
+        |       c_acctbal, 'NEWSEG' AS c_mktsegment,
+        |       'insert' AS _change_type
+        |FROM customer WHERE c_custkey % 100 = 1
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |       'delete'
+        |FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |UNION ALL
+        |SELECT c_custkey, upper(c_name), c_nationkey, c_acctbal + 1000,
+        |       c_mktsegment, 'update_postimage'
+        |FROM customer
+        |WHERE c_custkey % 10 = 0 AND c_mktsegment <> 'MACHINERY'
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+        |       c_mktsegment, 'update_preimage'
+        |FROM customer
+        |WHERE c_custkey % 10 = 0 AND c_mktsegment <> 'MACHINERY'""".stripMargin,
+
+    // the TVF must be row-identical to the API call — same oracle
+    "q_cdf_tvf" ->
       """SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey,
         |       c_acctbal, 'NEWSEG' AS c_mktsegment,
         |       'insert' AS _change_type
