@@ -1681,6 +1681,72 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       graft.ops.Sessionize.byGap(eventsUs(s, dir), gapSeconds = 21600)),
 
+    // ---- the SAME sessions from a REAL streaming query on the
+    //      transformWithState API: event-time TIMERS flush idle keys
+    //      once the watermark passes last+gap (v2 stateful, RocksDB
+    //      state). Time-contiguous batches (cuts extended to strict
+    //      ts boundaries so nothing is watermark-late) + a far-future
+    //      sentinel key closing the tail — emitted sessions must
+    //      equal the batch gap-sessionization relationally ----
+    "q_stream_tws_session" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      import graft.ops.Sessionize
+      import graft.streaming.StatefulOps
+      val ev = eventsUs(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id")).collect()
+        .map(r => Sessionize.Event(r.getLong(0), r.getLong(1),
+          r.getLong(2)))
+        .sortBy(e => (e.tsMicros, e.eventId))
+      val n = ev.length
+      def cutAt(target: Int, floor: Int): Int = {
+        var i = math.max(target, floor)
+        while (i > 0 && i < n && ev(i).tsMicros == ev(i - 1).tsMicros)
+          i += 1
+        i
+      }
+      val c1 = cutAt(n / 3, 1)
+      val c2 = cutAt(2 * n / 3, c1)
+      val stream = MemoryStream[Sessionize.Event]
+      StatefulOps.withRocksDbState(s) {
+        val sess = StatefulOps.sessionizeTws(stream.toDS(),
+          gapSeconds = 21600)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "4")
+        val name = s"stream_tws_sess_${System.nanoTime()}"
+        val q =
+          try sess.toDF().writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try {
+          Seq(ev.slice(0, c1), ev.slice(c1, c2), ev.slice(c2, n))
+            .foreach { b =>
+              stream.addData(b.toSeq)
+              q.processAllAvailable()
+            }
+          // sentinel key far past every last+gap: timers flush the
+          // tail sessions; the sentinel's own first session closes on
+          // its second event and is filtered back out
+          val maxTs = ev.last.tsMicros
+          for (d <- 1 to 2) {
+            stream.addData(Seq(Sessionize.Event(-1L,
+              maxTs + d * 2592000000000L, 0L)))
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        val out = s.table(name).filter(col("userId") =!= -1L)
+          .select(col("userId").as("user_id"),
+            col("sessionStartUs").as("session_start_us"),
+            col("sessionEndUs").as("session_end_us"),
+            col("nEvents").as("n_events"),
+            col("firstEventId").as("first_event_id"))
+          .cache()
+        out.count()
+        out
+      }
+    }),
+
     // ---- the FHIR envelope pipeline itself (P1–P6 + W1), fed with
     //      bundles synthesized from the events table; the oracle
     //      computes the expected relational result directly ----
@@ -2606,7 +2672,13 @@ object SparkEntry {
         .select(col("doc_id"), (col("predicted_lang") === "en").as("f1"))
       val qual = TextStats.qualityScore(corpus)
         .select(col("doc_id"), col("keep"))
-      val cont = TextStats.contamination(corpus, bench, n = 25)
+      // Bloom-gated decontamination: the benchmark shingle set grows
+      // with the holdout, so the broadcast-set variant stops scaling
+      // (measured 159x at 100x data); the Bloom gate + exact-confirm
+      // path is the same exact set intersection (the filter only
+      // admits a superset, survivors confirm exactly) at a fixed
+      // ~9.6 bits/shingle
+      val cont = TextStats.contaminationBloom(corpus, bench, n = 25)
         .select(col("doc_id"), (col("n_overlap") === 0).as("clean"))
       val w = Window.partitionBy(col("h"))
       val flags = corpus.select(col("doc_id"), md5(col("text")).as("h"))
@@ -5405,6 +5477,28 @@ object SparkEntry {
         |  FROM flagged)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+        |  min(event_id) AS first_event_id
+        |FROM numbered GROUP BY user_id, session_id""".stripMargin,
+
+    // the streamed (transformWithState + timers) sessions must equal
+    // the batch gap sessionization — same oracle minus session_id
+    "q_stream_tws_session" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |              OR ts_us - lag(ts_us) OVER w > 21600000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |numbered AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS session_id
+        |  FROM flagged)
+        |SELECT user_id, min(ts_us) AS session_start_us,
+        |  max(ts_us) AS session_end_us, count(*) AS n_events,
         |  min(event_id) AS first_event_id
         |FROM numbered GROUP BY user_id, session_id""".stripMargin,
 

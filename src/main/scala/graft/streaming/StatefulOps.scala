@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor,
-  TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** One keyed contribution: `m` is an integer measure (callers
   * pre-scale doubles — integer folds are partition-order-exact).
@@ -88,6 +88,95 @@ object StatefulOps {
     ds.groupByKey(_.key)
       .transformWithState(new RunningTotals(ttl), TimeMode.None(),
         OutputMode.Append())
+  }
+
+  /** Gap sessionization on the transformWithState API with EVENT-TIME
+    * TIMERS — the v2 form of
+    * [[graft.ops.Sessionize.streamingWithFlush]]: a session closes on
+    * arrival when a later same-key event exceeds the gap, and an IDLE
+    * key's final session is flushed by a timer once the watermark
+    * passes `last + gap` (registerTimer / handleExpiredTimer — the v2
+    * replacement for GroupStateTimeout). State per key is one open
+    * session in RocksDB plus at most ONE pending timer (reconciled
+    * per batch); dead keys drop their state at flush, so the key
+    * space can be unbounded. Deterministic: timers fire on watermark
+    * progress, never wall-clock.
+    */
+  class GapSessions(gapSeconds: Long)
+      extends StatefulProcessor[Long, graft.ops.Sessionize.TimedEvent,
+        graft.ops.Sessionize.Session] {
+    import graft.ops.Sessionize.{Session, SessionState, TimedEvent}
+    @transient private var st: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
+                                 tv: TimerValues): Iterator[Session] = {
+      val gapUs = gapSeconds * 1000000L
+      val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.eventId))
+      var closed = List.empty[Session]
+      var cur = if (st.exists()) Some(st.get()) else None
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.tsMicros - s.last <= gapUs =>
+            cur = Some(s.copy(last = e.tsMicros, n = s.n + 1))
+          case Some(s) =>
+            closed ::= Session(key, s.start, s.last, s.n, s.firstId)
+            cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.eventId))
+          case None =>
+            cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.eventId))
+        }
+      }
+      // one pending timer per key: drop stale ones, re-arm at the
+      // (possibly moved) close instant
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      cur.foreach { s =>
+        val closeAtMs = s.last / 1000 + gapSeconds * 1000
+        if (closeAtMs <= tv.getCurrentWatermarkInMs()) {
+          // another key already advanced the watermark past this
+          // session's gap — closed on arrival (timers must sit
+          // strictly beyond the watermark)
+          closed ::= Session(key, s.start, s.last, s.n, s.firstId)
+          st.clear()
+        } else {
+          st.update(s)
+          getHandle.registerTimer(closeAtMs)
+        }
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo)
+        : Iterator[Session] = {
+      if (!st.exists()) return Iterator.empty
+      val s = st.get()
+      st.clear()
+      Iterator.single(Session(key, s.start, s.last, s.n, s.firstId))
+    }
+  }
+
+  /** Event-time gap sessionization over an unbounded keyed stream —
+    * [[GapSessions]] planned: one shuffle on the key, RocksDB state,
+    * timers keyed by the engine's watermark.
+    */
+  def sessionizeTws(events: Dataset[graft.ops.Sessionize.Event],
+                    gapSeconds: Long,
+                    watermarkDelay: String = "0 seconds")
+      : Dataset[graft.ops.Sessionize.Session] = {
+    import graft.ops.Sessionize.{Session, TimedEvent}
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    implicit val timedEnc = Encoders.product[TimedEvent]
+    implicit val sessionEnc = Encoders.product[Session]
+    events
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", watermarkDelay)
+      .as[TimedEvent]
+      .groupByKey(_.userId)(Encoders.scalaLong)
+      .transformWithState(new GapSessions(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** The RocksDB state-store provider class every query in this file

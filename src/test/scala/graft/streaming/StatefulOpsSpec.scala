@@ -46,6 +46,44 @@ class StatefulOpsSpec extends SparkSpec {
         RocksDbProvider)
   }
 
+  test("sessionizeTws: gap close on arrival + event-time timer flush " +
+      "for idle keys") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.Sessionize
+    val stream = MemoryStream[Sessionize.Event]
+    withRocksDbState(spark) {
+      val q = sessionizeTws(stream.toDS(), gapSeconds = 60)
+        .toDF().writeStream.format("memory").queryName("twssess")
+        .outputMode(OutputMode.Append).start()
+      try {
+        val t0 = 1700000000000000L // micros
+        stream.addData(
+          Sessionize.Event(7, t0, 1),
+          Sessionize.Event(7, t0 + 30000000L, 2))
+        q.processAllAvailable()
+        assert(spark.table("twssess").isEmpty) // still open
+        // same-key event past the gap: closes on arrival, opens anew
+        stream.addData(Sessionize.Event(7, t0 + 300000000L, 3))
+        q.processAllAvailable()
+        val closed = spark.table("twssess").collect()
+        assert(closed.length == 1)
+        assert(closed.head.getAs[Long]("nEvents") == 2 &&
+          closed.head.getAs[Long]("firstEventId") == 1)
+        // a DIFFERENT key advances the watermark past 7's last+gap:
+        // the registered timer must flush 7's second session
+        stream.addData(Sessionize.Event(99, t0 + 600000000L, 4))
+        q.processAllAvailable()
+        stream.addData(Sessionize.Event(99, t0 + 601000000L, 5))
+        q.processAllAvailable()
+        val flushed = spark.table("twssess").collect()
+          .filter(_.getAs[Long]("userId") == 7L)
+        assert(flushed.length == 2, flushed.mkString(";"))
+        assert(flushed.map(_.getAs[Long]("firstEventId")).toSet ==
+          Set(1L, 3L))
+      } finally q.stop()
+    }
+  }
+
   test("emitted totals are independent of row order within a batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     def run(data: Seq[Contribution]): Set[Totals] =
