@@ -262,6 +262,7 @@ object Lakehousekeeper {
           " | count <tablePath> [version]" +
           " | stats <tablePath> <column> [version]" +
           " | enable-cdf <tablePath>" +
+          " | enable-ict <tablePath>" +
           " | enable-bloom <tablePath> <col> [col...]")
       return
     }
@@ -368,6 +369,13 @@ object Lakehousekeeper {
         case "enable-cdf" =>
           ResourceTable(spark, dir).enableChangeDataFeed()
           println(s"$dir: change data feed enabled")
+        // opt the table into in-commit-timestamp export (Delta's
+        // delta.enableInCommitTimestamps): subsequent export-delta
+        // runs surface the monotonic commit clock in every commitInfo
+        // + the inCommitTimestamp writer feature
+        case "enable-ict" =>
+          ResourceTable(spark, dir).enableInCommitTimestamps()
+          println(s"$dir: in-commit timestamps enabled")
         // opt the table into the file-level bloom membership index on
         // the given columns: new commits build _index sidecars; run
         // optimize afterwards to index EXISTING data via its rewrite

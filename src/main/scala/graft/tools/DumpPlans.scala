@@ -74,7 +74,10 @@ object DumpPlans {
     "q_delete_update_where" -> "predicate DML (DELETE WHERE / UPDATE SET WHERE): stats-split rewrite scope, UPDATE is one conditional projection over only the may-match files — O(overlapping files), never O(table)",
     "q_tokenize_ids" -> "end-to-end tokenization: one corpus word-count shuffle, vocab-sized segmentation + id tables joined back (broadcast-sized), one per-doc ordering window — text is never re-segmented per occurrence",
     "q_stream_pq" -> "streaming PQ probe: stateless stream-static join on the coarse-cell equi-key with the exact integer ADC threshold as residual — no state store, corpus encoded row-locally, per-batch work bounded by probes/nCells",
-    "q_merge_builder" -> "conditional MERGE: one left-outer join of only the key-overlapping files vs the broadcast source; first-true clause index + per-column conditional projection decide every row in ONE pass — no per-clause scans")
+    "q_merge_builder" -> "conditional MERGE: one left-outer join of only the key-overlapping files vs the broadcast source; first-true clause index + per-column conditional projection decide every row in ONE pass — no per-clause scans",
+    "q_substring_remove" -> "exact-substring REMOVAL: only hashes shuffle (window-hash count + per-doc dead-index sets); the text rebuild is a codegen'd ROW-LOCAL positional filter — clean docs left-join an absent set and pass through untouched",
+    "q_curation_funnel" -> "curation funnel: four stage predicates become per-doc flags in ONE pass (three doc-keyed joins + one md5 window + one aggregate) — no stage recomputes its prefix, text never widens past its own stage",
+    "q_cdf_tvf" -> "table_changes TVF: resolves at analysis to the same full-outer snapshot diff as the API call — SQL surface adds zero plan overhead")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -242,6 +242,9 @@ class MetadataAggSpec extends SparkSpec {
     assert(run("stats", t.path, "nope").contains("not metadata-answerable"))
     assert(run("enable-cdf", t.path).contains("change data feed enabled"))
     assert(t.changeDataFeedEnabled)
+    assert(run("enable-ict", t.path)
+      .contains("in-commit timestamps enabled"))
+    assert(t.ictEnabled)
   }
 
   test("DV-bearing versions refuse min/max but count stays exact") {
