@@ -1551,6 +1551,68 @@ class DeltaExportSpec extends SparkSpec {
       t.read().select("id").collect().map(_.getString(0)).sorted.toSeq)
   }
 
+  test("export crash cuts: stale _last_checkpoint, orphaned checkpoint " +
+      "tmp and torn entry tmp all leave readers consistent") {
+    val path = s"${tmpDir("dxcrash")}/T.parquet"
+    val t = ResourceTable(spark, path).createIfNotExists(schema)
+    // drive past the first checkpoint boundary (interval 10),
+    // exporting after every commit so the log grows one entry at a time
+    (1 to 11).foreach { i =>
+      t.upsert(df(s"k$i" -> i), "id")
+      DeltaExport.export(t)
+    }
+    val lc = Paths.get(path, "_delta_log", "_last_checkpoint")
+    assert(Files.exists(lc), "no checkpoint after 11 entries")
+    val staleLc = Files.readAllBytes(lc)
+    // advance to the second checkpoint
+    (12 to 21).foreach { i =>
+      t.upsert(df(s"k$i" -> i), "id")
+      DeltaExport.export(t)
+    }
+    assert(!java.util.Arrays.equals(Files.readAllBytes(lc), staleLc),
+      "second checkpoint never published")
+    val expected = t.read().count()
+    // CUT 1 — killed between checkpoint publish and pointer flip:
+    // the newer checkpoint is complete on disk but _last_checkpoint
+    // still names the old one. Readers must replay old ckpt + longer
+    // tail to the same snapshot.
+    Files.write(lc, staleLc)
+    assert(DeltaExport.readSnapshot(spark, path).count() == expected)
+    // CUT 2 — killed mid-checkpoint-write: an orphaned staging dir.
+    val tmpDirP = Paths.get(path, "_delta_log",
+      ".ckpt-00000000000000000099-dead.tmp")
+    Files.createDirectories(tmpDirP)
+    Files.write(tmpDirP.resolve("part-junk.parquet"),
+      "not parquet".getBytes(StandardCharsets.UTF_8))
+    // CUT 3 — killed mid-entry-publish: a torn json staging file.
+    Files.write(Paths.get(path, "_delta_log",
+      ".00000000000000000099.json.dead.tmp"),
+      "{\"add\":{\"pa".getBytes(StandardCharsets.UTF_8))
+    assert(DeltaExport.readSnapshot(spark, path).count() == expected)
+    // recovery converges: the next export + commit proceeds normally
+    // and repairs nothing it does not own
+    t.upsert(df("k99" -> 99), "id")
+    DeltaExport.export(t)
+    assert(DeltaExport.readSnapshot(spark, path).count() == expected + 1)
+    // and the INDEPENDENT python reader replays the same snapshot
+    // through the stale pointer + orphaned tmps (zero graft code)
+    val back = DeltaExport.readSnapshot(spark, path)
+      .select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(back == t.read().select("id").collect()
+      .map(_.getString(0)).sorted.toSeq)
+    val exp = s"${Paths.get(path).getParent}/expected.parquet"
+    t.read().coalesce(1).write.mode("overwrite").parquet(exp)
+    val pb = new ProcessBuilder("python3", "tools/check_delta_export.py",
+      path, exp)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(),
+      StandardCharsets.UTF_8)
+    proc.waitFor()
+    assert(proc.exitValue() == 0, s"python reader failed:\n$out")
+    assert(out.contains("MATCH"), out)
+  }
+
   test("version checksum: every exported entry gets a <v>.crc " +
       "matching the replayed live state, DV counters included") {
     val path = s"${tmpDir("dxcrc")}/T.parquet"
