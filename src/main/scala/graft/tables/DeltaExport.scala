@@ -379,6 +379,10 @@ object DeltaExport {
     }
     if (t.rowTrackingEnabled)
       conf.put("delta.enableRowTracking", "true")
+    // appendOnly rides legacy writer 2 (every protocol this export
+    // emits already satisfies it) — property only
+    if (t.appendOnly)
+      conf.put("delta.appendOnly", "true")
     if (t.ictEnabled) {
       conf.put("delta.enableInCommitTimestamps", "true")
       // a table that turned ICT on AFTER its first export records the

@@ -263,6 +263,7 @@ object Lakehousekeeper {
           " | stats <tablePath> <column> [version]" +
           " | enable-cdf <tablePath>" +
           " | enable-ict <tablePath>" +
+          " | set-append-only <tablePath>" +
           " | enable-bloom <tablePath> <col> [col...]")
       return
     }
@@ -376,6 +377,11 @@ object Lakehousekeeper {
         case "enable-ict" =>
           ResourceTable(spark, dir).enableInCommitTimestamps()
           println(s"$dir: in-commit timestamps enabled")
+        // make the table append-only (Delta's delta.appendOnly):
+        // dataChange commits that remove files refuse from now on
+        case "set-append-only" =>
+          ResourceTable(spark, dir).setAppendOnly()
+          println(s"$dir: append-only enforced")
         // opt the table into the file-level bloom membership index on
         // the given columns: new commits build _index sidecars; run
         // optimize afterwards to index EXISTING data via its rewrite

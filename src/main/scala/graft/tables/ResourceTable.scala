@@ -2271,6 +2271,23 @@ final class ResourceTable(val spark: SparkSession, val path: String,
   private[tables] def ictEnabled: Boolean =
     fs.exists(new HPath(root, "_meta_ict_enabled"))
 
+  /** Delta's `delta.appendOnly`: once set, no dataChange commit may
+    * REMOVE data — deletes, updates, rewriting upserts, replaceWhere
+    * and DV kills all refuse at the commit protocol (the exact check
+    * Delta runs), while appends, insert-only merges, non-overlapping
+    * upserts and OPTIMIZE rearrangements keep working. The audit-log
+    * table shape: immutability enforced by the table, not by
+    * convention. Exported as the `delta.appendOnly` property so
+    * foreign aware writers keep enforcing it.
+    */
+  def setAppendOnly(): ResourceTable = {
+    writeFile(new HPath(root, "_meta_append_only"), "true")
+    this
+  }
+
+  private[tables] def appendOnly: Boolean =
+    fs.exists(new HPath(root, "_meta_append_only"))
+
   private[tables] def dvEnabled: Boolean =
     spark.conf.get("graft.table.deletionVectors", "false").toBoolean ||
       fs.exists(new HPath(root, "_meta_dv_enabled"))
@@ -3451,6 +3468,28 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       throw new CommitConflictException(path, curNext, cause)
     }
     onBeforePublish()
+    // delta.appendOnly enforced exactly where Delta enforces it: a
+    // dataChange commit may not REMOVE data, by (path, dv) identity —
+    // so file rewrites AND deletion-vector kills are caught, while
+    // pure appends (including an upsert whose batch overlaps nothing,
+    // and insert-only merges) commit fine and OPTIMIZE steps
+    // (dataChange=false rearrangements) stay allowed. Re-checked
+    // after every rebase: the anchor manifest moves.
+    def checkAppendOnly(): Unit =
+      if (appendOnly && !op.contains("OPTIMIZE") &&
+          curExpected.isDefined) {
+        val keptIds = curKept.map(f => (f._1, f._2.dv)).toSet
+        val removed = fileListAt(curExpected.get)
+          .filterNot(f => keptIds((f._1, f._2.dv)))
+        if (removed.nonEmpty) {
+          fs.delete(dir, true)
+          BloomIndex.deleteSidecar(fs, root, dirName)
+          throw new IllegalStateException(
+            s"$path: $op would remove ${removed.size} data file(s) " +
+              "from an append-only table (delta.appendOnly)")
+        }
+      }
+    checkAppendOnly()
     // `key` records the mutation's merge/delete key so a later CDF
     // export can replay this commit's row-level changes (the column
     // name is tiny, deterministic metadata — like op/txns)
@@ -3524,6 +3563,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
           txnsJson = refreshed._2
           tsVal = refreshed._3
           rowJson = refreshed._4
+          checkAppendOnly()
         case e: Throwable =>
           fs.delete(dir, true)
           BloomIndex.deleteSidecar(fs, root, dirName)

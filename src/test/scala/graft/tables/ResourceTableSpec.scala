@@ -37,6 +37,49 @@ class ResourceTableSpec extends SparkSpec {
     assert(t.latestVersion.contains(3L)) // create + 3 mutations
   }
 
+  test("append-only tables refuse removes at the commit protocol; " +
+      "appends, non-overlapping upserts and OPTIMIZE keep working") {
+    val t = ResourceTable(spark, s"${tmpDir("rtao")}/T.parquet")
+      .createIfNotExists(schema)
+    t.setAppendOnly()
+    t.append(df("a" -> 1, "b" -> 2))
+    // an upsert whose keys overlap NOTHING is physically an append
+    t.upsert(df("c" -> 3), "id")
+    assert(t.read().count() == 3)
+    // a rewriting upsert (overlapping key) removes a file → refuse
+    val up = intercept[Exception] { t.upsert(df("a" -> 10), "id") }
+    assert(up.getMessage.contains("append-only"), up.getMessage)
+    // deletes refuse — classic and DV alike
+    val del = intercept[Exception] {
+      t.deleteMatching(df("b" -> 0).select("id"), "id")
+    }
+    assert(del.getMessage.contains("append-only"), del.getMessage)
+    t.enableDeletionVectors()
+    val dv = intercept[Exception] {
+      t.deleteMatching(df("b" -> 0).select("id"), "id")
+    }
+    assert(dv.getMessage.contains("append-only"), dv.getMessage)
+    // content survived every refusal
+    assert(t.read().collect().map(r => r.getString(0) -> r.getInt(1))
+      .toMap == Map("a" -> 1, "b" -> 2, "c" -> 3))
+    // OPTIMIZE rearranges without changing content → allowed
+    t.optimize(numFiles = 1)
+    assert(t.read().count() == 3)
+    // the export carries the property for foreign aware writers
+    DeltaExport.export(t)
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val appendOnlyProp = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(t.path, "_delta_log",
+          f"${0L}%020d.json"))
+      .asScala.filter(_.nonEmpty).map(mapper.readTree)
+      .flatMap(n => Option(n.get("metaData")))
+      .flatMap(m => Option(m.get("configuration")))
+      .flatMap(c => Option(c.get("delta.appendOnly")))
+      .map(_.asText)
+    assert(appendOnlyProp.headOption.contains("true"))
+  }
+
   test("vacuum reaps dead commit-publish tmp orphans from _log") {
     val t = ResourceTable(spark, s"${tmpDir("rt")}/T.parquet")
       .createIfNotExists(schema)
