@@ -139,6 +139,40 @@ class LmSubstringSpec extends SparkSpec {
     }
   }
 
+  test("property: removeDuplicatedSpans equals brute force on random " +
+      "corpora") {
+    val rnd = new scala.util.Random(29)
+    val vocab = Array("a", "b", "c", "d")
+    for (trial <- 0 until 5) {
+      val w = 2 + rnd.nextInt(3)
+      val docs = (0 until (8 + rnd.nextInt(12))).map { id =>
+        val n = rnd.nextInt(14)
+        (id.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length)))
+          .mkString(" "))
+      }
+      val wins = docs.flatMap { case (id, text) =>
+        val ts = text.split("\\s+").filter(_.nonEmpty)
+        (0 to ts.length - w).map(p =>
+          (id, p, ts.slice(p, p + w).mkString(" ")))
+      }
+      val counts = wins.groupBy(_._3).map { case (k, v) => k -> v.size }
+      val expected = docs.map { case (id, text) =>
+        val ts = text.split("\\s+").filter(_.nonEmpty)
+        val covered = Array.fill(ts.length)(false)
+        wins.filter(x => x._1 == id && counts(x._3) >= 2)
+          .foreach(m => (m._2 until m._2 + w).foreach(covered(_) = true))
+        val keep = ts.indices.filterNot(covered).map(ts)
+        id -> (keep.mkString(" "), keep.size.toLong)
+      }.toMap
+      val got = Dedup.removeDuplicatedSpans(
+          docs.toDF("doc_id", "text"), "doc_id", "text", w = w)
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[String]("clean_text"), r.getAs[Long]("kept_tokens")))
+        .toMap
+      assert(got == expected, s"trial $trial w=$w")
+    }
+  }
+
   test("LangModel: sub-2-token candidates carry no LM evidence") {
     val train = Seq((0L, "a b c")).toDF("doc_id", "text")
     val cand = Seq((1L, "a"), (3L, "")).toDF("doc_id", "text")
