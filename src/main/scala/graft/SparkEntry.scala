@@ -2645,6 +2645,19 @@ object SparkEntry {
       TextStats.qualityScore(t(s, dir, "documents"))
         .select(col("doc_id"), col("quality_score"), col("keep"))),
 
+    // ---- the GOPHER quality rules (Rae et al. 2021): each published
+    //      threshold as a per-doc flag, every comparison an integer
+    //      cross-multiplication — no float ratio anywhere, so the
+    //      oracle replay is bit-exact by construction. One codegen'd
+    //      row-local projection. The stopword set is the one the
+    //      synthetic corpus's vocabulary pool can express (Gopher's
+    //      published 8 words are the op's default; only 'the' exists
+    //      in this corpus, which would inert-fail every doc) ----
+    "q_gopher_rules" -> ((s, dir) =>
+      TextStats.gopherRules(t(s, dir, "documents"),
+        stopWords = Seq("the", "a", "of", "and", "to", "in", "is",
+          "it"))),
+
     // ---- END-TO-END CURATION FUNNEL (the FineWeb/RefinedWeb shape,
     //      batch form): language gate -> quality-classifier keep ->
     //      exact keep-first dedup -> benchmark decontamination, each
@@ -4484,6 +4497,54 @@ object SparkEntry {
 
     // same feature expressions as q_text_quality, same left-assoc
     // double arithmetic as TextStats.qualityScore — bit-identical
+    "q_gopher_rules" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x != '') AS ts,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+        |      AS nonspace,
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[#…]', '', 'g')) AS BIGINT)
+        |      AS symbols,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CAST(len(ts) AS BIGINT) AS words, nonspace, symbols,
+        |    CAST(len(list_filter(ts,
+        |      t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT)
+        |      AS alpha_words,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines,
+        |      l -> regexp_matches(l, '^\s*[-•*]'))) AS BIGINT)
+        |      AS bullet_lines,
+        |    CAST(len(list_filter(lines,
+        |      l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT)
+        |      AS ellipsis_lines,
+        |    CAST(len(list_intersect(
+        |      list_distinct(list_transform(ts, t -> lower(t))),
+        |      ['the','a','of','and','to','in','is','it']))
+        |      AS BIGINT) AS stop_hits
+        |  FROM f)
+        |SELECT doc_id,
+        |  words >= 50 AND words <= 100000 AS f_word_count,
+        |  3 * words <= nonspace AND nonspace <= 10 * words
+        |    AS f_mean_word_len,
+        |  symbols * 10 <= words AS f_symbol_ratio,
+        |  bullet_lines * 10 <= n_lines * 9 AS f_bullet_lines,
+        |  ellipsis_lines * 10 <= n_lines * 3 AS f_ellipsis_lines,
+        |  alpha_words * 10 >= words * 8 AS f_alpha_words,
+        |  stop_hits >= 2 AS f_stop_words,
+        |  (words >= 50 AND words <= 100000)
+        |    AND (3 * words <= nonspace AND nonspace <= 10 * words)
+        |    AND symbols * 10 <= words
+        |    AND bullet_lines * 10 <= n_lines * 9
+        |    AND ellipsis_lines * 10 <= n_lines * 3
+        |    AND alpha_words * 10 >= words * 8
+        |    AND stop_hits >= 2 AS keep
+        |FROM g""".stripMargin,
+
     "q_quality_classifier" ->
       """WITH f AS (
         |  SELECT doc_id,

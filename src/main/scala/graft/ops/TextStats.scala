@@ -274,6 +274,52 @@ object TextStats {
     * Row-local projection over one scan — no shuffle, no UDF;
     * scan-scales to 100 TB.
     */
+  /** The Gopher quality rules (Rae et al. 2021 §A1.1 — the repetition
+    * rules live in [[docRepetition]]): each published threshold as a
+    * per-doc boolean, plus the conjunction. Every comparison is an
+    * INTEGER cross-multiplication (`3·words ≤ chars` instead of
+    * `chars/words ≥ 3`), so the flags are bit-exact across engines —
+    * no ratio ever materializes as a float. One codegen'd projection,
+    * row-local, zero shuffles: the shape of every corpus-wide filter
+    * pass at 100 TB.
+    */
+  def gopherRules(df: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id",
+                  stopWords: Seq[String] = Seq("the", "be", "to", "of",
+                    "and", "that", "have", "with")): DataFrame = {
+    val toks = tokens(col(textCol))
+    val words = size(toks).cast("long")
+    val nonspace =
+      length(regexp_replace(col(textCol), "\\s", "")).cast("long")
+    val alphaWords =
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val symbols = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "[#…]", ""))).cast("long")
+    val lines = split(col(textCol), "\n")
+    val nLines = size(lines).cast("long")
+    val bulletLines =
+      size(filter(lines, l => l.rlike("^\\s*[-•*]"))).cast("long")
+    val ellipsisLines =
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
+    val stopHits = size(array_intersect(
+      array_distinct(transform(toks, t => lower(t))),
+      array(stopWords.map(lit): _*))).cast("long")
+    df.select(col(idCol),
+      (words >= 50L && words <= 100000L).as("f_word_count"),
+      (lit(3L) * words <= nonspace && nonspace <= lit(10L) * words)
+        .as("f_mean_word_len"),
+      (symbols * 10L <= words).as("f_symbol_ratio"),
+      (bulletLines * 10L <= nLines * 9L).as("f_bullet_lines"),
+      (ellipsisLines * 10L <= nLines * 3L).as("f_ellipsis_lines"),
+      (alphaWords * 10L >= words * 8L).as("f_alpha_words"),
+      (stopHits >= 2L).as("f_stop_words"))
+      .withColumn("keep",
+        col("f_word_count") && col("f_mean_word_len") &&
+          col("f_symbol_ratio") && col("f_bullet_lines") &&
+          col("f_ellipsis_lines") && col("f_alpha_words") &&
+          col("f_stop_words"))
+  }
+
   def qualityScore(df: DataFrame, textCol: String = "text",
                    threshold: Double = 0.5): DataFrame = {
     val f = qualityFeatures(df, textCol)
