@@ -2658,6 +2658,31 @@ object SparkEntry {
         stopWords = Seq("the", "a", "of", "and", "to", "in", "is",
           "it"))),
 
+    // ---- C4 line-level cleaning (Raffel et al. 2020 §2.2): keep
+    //      lines ending in terminal punctuation with >=5 words and no
+    //      curly brace; drop docs with <3 surviving sentences. The
+    //      corpus is a bag of words, so the fixture SYNTHESIZES line
+    //      structure deterministically (8-word lines, every line
+    //      whose index % 3 != 0 gets a period — both engines replay
+    //      the construction); the op itself is one row-local
+    //      projection returning the REWRITTEN text ----
+    "q_c4_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = graft.ops.TextStats.tokens(col("text"))
+      val lineArr = when(size(toks) === 0,
+          array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0L),
+            floor((size(toks) - lit(1)) / lit(8)).cast(LongType)),
+          i => concat(
+            array_join(slice(toks, (i * 8 + 1).cast(IntegerType),
+              lit(8)), " "),
+            when(i % 3 =!= 0, lit(".")).otherwise(lit("")))))
+      val lined = docs.select(col("doc_id"),
+        array_join(lineArr, "\n").as("text"))
+      TextStats.c4LineFilter(lined)
+    }),
+
     // ---- END-TO-END CURATION FUNNEL (the FineWeb/RefinedWeb shape,
     //      batch form): language gate -> quality-classifier keep ->
     //      exact keep-first dedup -> benchmark decontamination, each
@@ -4497,6 +4522,34 @@ object SparkEntry {
 
     // same feature expressions as q_text_quality, same left-assoc
     // double arithmetic as TextStats.qualityScore — bit-identical
+    "q_c4_filter" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> x != '') AS ts
+        |  FROM documents),
+        |lined AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ts) = 0 THEN []
+        |    ELSE list_transform(
+        |      generate_series(0, CAST((len(ts) - 1) // 8 AS BIGINT)),
+        |      i -> array_to_string(ts[i*8+1 : i*8+8], ' ') ||
+        |           CASE WHEN i % 3 <> 0 THEN '.' ELSE '' END)
+        |    END AS la
+        |  FROM f),
+        |kept AS (
+        |  SELECT doc_id, list_filter(la, l ->
+        |    regexp_matches(l, '[.!?"'']\s*$')
+        |    AND len(list_filter(string_split_regex(trim(l), '\s+'),
+        |      x -> x != '')) >= 5
+        |    AND NOT contains(l, '{') AND NOT contains(l, '}')) AS ka
+        |  FROM lined)
+        |SELECT doc_id, CAST(len(ka) AS BIGINT) AS n_lines_kept,
+        |  CASE WHEN len(ka) >= 3 THEN array_to_string(ka, chr(10))
+        |       ELSE '' END AS clean_text,
+        |  len(ka) >= 3 AS keep
+        |FROM kept""".stripMargin,
+
     "q_gopher_rules" ->
       """WITH f AS (
         |  SELECT doc_id,
