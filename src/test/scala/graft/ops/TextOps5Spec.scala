@@ -136,4 +136,49 @@ class TextOps5Spec extends SparkSpec {
       .collect().map(r => Option(r.getString(0)))
     assert(out.toSeq == Seq(None, Some("ok")))
   }
+
+  test("gopherRules: each flag trips on its own violation") {
+    val good = ("word " * 60).trim + " the and" // 62 words, clean
+    val docs = Seq(
+      (0L, good),                          // passes everything
+      (1L, "too short the and"),           // word count
+      (2L, ("## " * 60).trim + " the and"),// symbol ratio (# per word)
+      (3L, ("word " * 60).trim),           // no 2 distinct stopwords
+      (4L, ("a " * 60).trim + " the and")  // mean word len < 3
+    ).toDF("doc_id", "text")
+    val m = TextStats.gopherRules(docs,
+        stopWords = Seq("the", "and")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(0L).getAs[Boolean]("keep"))
+    assert(!m(1L).getAs[Boolean]("f_word_count") &&
+      !m(1L).getAs[Boolean]("keep"))
+    assert(!m(2L).getAs[Boolean]("f_symbol_ratio"))
+    assert(!m(3L).getAs[Boolean]("f_stop_words"))
+    assert(!m(4L).getAs[Boolean]("f_mean_word_len"))
+  }
+
+  test("c4LineFilter: line rules + min-sentence doc drop") {
+    val docs = Seq(
+      (0L, "one two three four five ends well.\n" +
+        "short line.\n" +                       // <5 words
+        "no terminal punctuation here at all\n" +
+        "a brace { disqualifies this long line.\n" +
+        "six seven eight nine ten eleven!\n" +
+        "ask me anything you like today?"),      // 3 survivors → keep
+      (1L, "only one good line survives here.\n" +
+        "and another good one right here.\n" +
+        "nope")                                   // 2 survivors → drop
+    ).toDF("doc_id", "text")
+    val m = TextStats.c4LineFilter(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(0L).getAs[Long]("n_lines_kept") == 3)
+    assert(m(0L).getAs[Boolean]("keep"))
+    assert(m(0L).getAs[String]("clean_text") ==
+      "one two three four five ends well.\n" +
+        "six seven eight nine ten eleven!\n" +
+        "ask me anything you like today?")
+    assert(m(1L).getAs[Long]("n_lines_kept") == 2)
+    assert(!m(1L).getAs[Boolean]("keep"))
+    assert(m(1L).getAs[String]("clean_text") == "")
+  }
 }
