@@ -53,7 +53,8 @@ object ScaleBench {
     "x_rename_column", "x_bloom_lookup", "x_bloom_lookup_off",
     "x_occ_rebase", "x_occ_rerun", "x_dfp_join", "x_dfp_join_off",
     "q_lm_perplexity", "q_perceptron_filter",
-    "q_substring_remove", "q_curation_funnel", "q_stream_tws")
+    "q_substring_remove", "q_curation_funnel", "q_stream_tws",
+    "q_gopher_rules", "q_c4_filter")
 
   /** Scale-only cases that are not SparkEntry gates: shapes whose
     * scale story needs DIFFERENT fixture sizing than the sf0.01 gate.
