@@ -3,7 +3,7 @@ package graft.tables
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{JsonNodeFactory, ObjectNode}
 import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.{ArrayType, BooleanType, ByteType,
   DataType, DateType, DoubleType, FloatType, IntegerType, LongType,
   MapType, MetadataBuilder, ShortType, StringType, StructField,
@@ -153,7 +153,8 @@ object DeltaExport {
                        needDefaults: Boolean = false,
                        needClustering: Boolean = false,
                        needIct: Boolean = false,
-                       needNtz: Boolean = false): ObjectNode = {
+                       needNtz: Boolean = false,
+                       needAppendOnly: Boolean = false): ObjectNode = {
     val p = f.objectNode()
     if (needDv || needRowTracking || needWidening || needDefaults ||
         needClustering || needIct || needNtz) {
@@ -179,7 +180,11 @@ object DeltaExport {
       // the column as session-zoned (PROTOCOL.md timestampNtz)
       if (needNtz) { rf.add("timestampNtz"); wf.add("timestampNtz") }
       if (needMapping) {
-        if (needDv || needWidening) rf.add("columnMapping")
+        // whenever readerFeatures is emitted at all (reader 3), every
+        // active reader-visible feature must be ON the list — a mapped
+        // table forced to reader 3 by timestampNtz alone still needs
+        // columnMapping declared, or spec-strict readers skip mapping
+        if (needDv || needWidening || needNtz) rf.add("columnMapping")
         wf.add("columnMapping")
       }
       if (needCdf) wf.add("changeDataFeed")
@@ -195,6 +200,11 @@ object DeltaExport {
       // DEFAULTs fence off unaware writers (they would insert NULL
       // where the default belongs); readers are unaffected
       if (needDefaults) wf.add("allowColumnDefaults")
+      // writer 7 enforces ONLY the features it lists — appendOnly's
+      // legacy writer-2 carrier does not apply here, so an append-only
+      // table on the table-features form must name the feature or
+      // spec-compliant foreign writers stop enforcing it
+      if (needAppendOnly) wf.add("appendOnly")
       // ICT is writer-only and has NO legacy carrier — any table
       // declaring it must be on the table-features protocol form
       if (needIct) wf.add("inCommitTimestamp")
@@ -815,16 +825,51 @@ object DeltaExport {
       exportOnce(t)
     }
 
-  /** Whether the exported log's newest VISIBLE metaData action already
-    * declares `delta.enableInCommitTimestamps` — drives the mid-log
-    * ICT upgrade (a table that enables ICT after its first export must
-    * re-state metaData with the enablement-provenance properties).
-    * None when no metaData action survives in the json tail
-    * (checkpoint-only history) — the caller then re-states to be safe;
-    * an extra metaData restating identical state is replay-neutral.
+  /** The newest protocol action visible in the exported json log, as
+    * the checkpoint's (minReader, minWriter, readerFeatures,
+    * writerFeatures) row. Replay takes the NEWEST protocol, so the
+    * checkpoint must restate it verbatim — re-deriving from current
+    * table state could silently downgrade a contract the json side
+    * already declared (the bug class: typeWidening/defaults/clustering
+    * present in json, absent from a fresh derivation).
     */
-  private def exportedIctDeclared(t: ResourceTable,
-                                  entries: Seq[Long]): Option[Boolean] =
+  private def newestExportedProtocolRow(t: ResourceTable): Option[Row] =
+    listEntries(t).reverseIterator.flatMap { v =>
+      val in = t.fs.open(entryFile(t, v))
+      val body =
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      body.linesIterator.filter(_.nonEmpty).map(mapper.readTree)
+        .flatMap(n => Option(n.get("protocol")))
+        .map(protoNodeRow)
+        .toSeq.lastOption
+    }.nextOption()
+
+  private def protoNodeRow(p: JsonNode): Row = {
+    def feats(k: String): Seq[String] =
+      Option(p.get(k))
+        .map(_.iterator().asScala.map(_.asText).toSeq).orNull
+    Row(p.get("minReaderVersion").asInt,
+      p.get("minWriterVersion").asInt,
+      feats("readerFeatures"), feats("writerFeatures"))
+  }
+
+  /** The exported log's newest VISIBLE metaData action's ICT state:
+    * whether `delta.enableInCommitTimestamps` is declared, and — when a
+    * mid-log upgrade stamped them — the enablement-provenance
+    * properties (version, timestamp). Drives both the mid-log ICT
+    * upgrade (a table that enables ICT after its first export must
+    * re-state metaData with the provenance) AND provenance
+    * carry-forward: any LATER metaData restatement (schema change,
+    * re-anchor) must repeat the properties, or foreign readers assume
+    * ICT covers the whole history and mis-resolve timestampAsOf on the
+    * pre-upgrade tail. None when no metaData action survives in the
+    * json tail (checkpoint-only history) — the caller then re-states
+    * to be safe; an extra metaData restating identical state is
+    * replay-neutral.
+    */
+  private def exportedIctState(t: ResourceTable, entries: Seq[Long])
+      : Option[(Boolean, Option[(Long, Long)])] =
     entries.reverseIterator.flatMap { v =>
       val in = t.fs.open(entryFile(t, v))
       val body =
@@ -832,9 +877,20 @@ object DeltaExport {
         finally in.close()
       body.linesIterator.filter(_.nonEmpty).map(mapper.readTree)
         .flatMap(n => Option(n.get("metaData")))
-        .map(m => Option(m.get("configuration"))
-          .exists(c => Option(c.get("delta.enableInCommitTimestamps"))
-            .exists(_.asText == "true")))
+        .map { m =>
+          val conf = Option(m.get("configuration"))
+          val declared = conf
+            .exists(c => Option(c.get("delta.enableInCommitTimestamps"))
+              .exists(_.asText == "true"))
+          val enablement = for {
+            c <- conf
+            v <- Option(
+              c.get("delta.inCommitTimestampEnablementVersion"))
+            ts <- Option(
+              c.get("delta.inCommitTimestampEnablementTimestamp"))
+          } yield (v.asText.toLong, ts.asText.toLong)
+          (declared, enablement)
+        }
         .toSeq.lastOption
     }.nextOption()
 
@@ -861,7 +917,11 @@ object DeltaExport {
       val types = typesAt(t, latest)
       writeEntry(t, 0L,
         commitInfo(latest, ts, "GRAFT EXPORT ANCHOR", ict = ict(ts)) +:
-          protocol(needDv = files.exists(_._2.dv.isDefined),
+          protocol(
+            // dvEnabled counts even with no DV yet: delta-spark
+            // upgrades the protocol at ENABLEMENT, and the re-anchor/
+            // incremental paths already export that way
+            needDv = files.exists(_._2.dv.isDefined) || t.dvEnabled,
             needCdf = t.changeDataFeedEnabled,
             needMapping = isMapped(t.schema().json),
             needGen = t.generatedColumns().nonEmpty,
@@ -872,7 +932,8 @@ object DeltaExport {
             needDefaults = isDefaulted(t.schema().json),
             needClustering = t.clusterBy().nonEmpty,
             needIct = t.ictEnabled,
-            needNtz = hasNtz(t.schema().json)) +:
+            needNtz = hasNtz(t.schema().json),
+            needAppendOnly = t.appendOnly) +:
           metaData(t, t.schema().json, ts) +:
           (rowTrackingDomain(t, latest) ++
             clusteringDomain(t) ++
@@ -907,11 +968,14 @@ object DeltaExport {
           "GRAFT EXPORT RE-ANCHOR (source log trimmed)",
           ict = ict(ts)) +:
           metaData(t, t.schema().json, ts,
-            ictEnablement =
-              if (t.ictEnabled &&
-                  !exportedIctDeclared(t, entries).getOrElse(false))
-                Some((dv + 1, ts))
-              else None) +:
+            // mid-log-enabled tables re-state their provenance on
+            // every metaData restatement; a first-time declaration
+            // stamps this commit as the enablement point
+            ictEnablement = {
+              val st = exportedIctState(t, entries)
+              if (t.ictEnabled && !st.exists(_._1)) Some((dv + 1, ts))
+              else st.flatMap(_._2)
+            }) +:
           // full txn state, not a delta: the trimmed source chain
           // means the predecessor state is unknowable, and re-stating
           // a watermark is idempotent under log replay
@@ -931,7 +995,8 @@ object DeltaExport {
             needDefaults = isDefaulted(t.schema().json),
             needClustering = t.clusterBy().nonEmpty,
             needIct = t.ictEnabled,
-            needNtz = hasNtz(t.schema().json)))
+            needNtz = hasNtz(t.schema().json),
+            needAppendOnly = t.appendOnly))
             else Seq.empty) ++
             rowTrackingDomain(t, latest) ++
             clusteringDomain(t) ++
@@ -949,8 +1014,15 @@ object DeltaExport {
     // re-states metaData with the enablement provenance and the
     // upgraded protocol (commits before the enablement version keep
     // resolving timestampAsOf by wall-clock, per the protocol's split)
+    val ictState = if (lastG < latest) exportedIctState(t, entries)
+                   else None
     var ictUpgrade = lastG < latest && t.ictEnabled &&
-      !exportedIctDeclared(t, entries).getOrElse(false)
+      !ictState.exists(_._1)
+    // provenance already stamped by an earlier upgrade commit — every
+    // later metaData restatement (schema change) must carry it, or the
+    // pre-upgrade commits (which lack commitInfo.inCommitTimestamp)
+    // would be read under ICT timestamp-resolution rules
+    var ictProvenance: Option[(Long, Long)] = ictState.flatMap(_._2)
     while (lastG < latest) {
       val g = lastG + 1
       val ts = commitTs(t, g)
@@ -1000,7 +1072,8 @@ object DeltaExport {
                 FileStats.schemaOf(t.commitBody(g))
                   .getOrElse(t.schema().json), ts,
                 ictEnablement =
-                  if (ictUpgrade) Some((dv + 1, ts)) else None))
+                  if (ictUpgrade) Some((dv + 1, ts))
+                  else ictProvenance))
             else Seq.empty) ++
             // first commit that introduces a DV (or carries cdc into a
             // log whose anchor predates CDF enablement) upgrades the
@@ -1029,7 +1102,8 @@ object DeltaExport {
             needClustering = t.clusterBy().nonEmpty,
             needIct = t.ictEnabled,
             needNtz = FileStats.schemaOf(t.commitBody(g))
-              .exists(hasNtz)))
+              .exists(hasNtz),
+            needAppendOnly = t.appendOnly))
              else Seq.empty) ++
             rowTrackingDomain(t, g) ++
             cdc ++
@@ -1042,6 +1116,7 @@ object DeltaExport {
       dv += 1
       writeEntry(t, dv, body)
       writeCrc(t, dv, after, ts)
+      if (ictUpgrade) ictProvenance = Some((dv, ts))
       ictUpgrade = false
       lastG = g
     }
@@ -1298,26 +1373,47 @@ object DeltaExport {
         .getOption("spark.graft.export.checkpointV2")
         .exists(_.toBoolean)
       val ntzT = hasNtz(schemaJson)
+      // restate the json log's newest protocol VERBATIM (replay takes
+      // the newest — a checkpoint-only reader must not see less than
+      // the json tail declared); derive through the shared protocol()
+      // builder only when log cleanup already dropped every
+      // protocol-bearing entry, so both forms stay mirror-identical
+      val baseProto = newestExportedProtocolRow(t).getOrElse(
+        protoNodeRow(protocol(
+          needDv = needDv || t.dvEnabled,
+          needCdf = t.changeDataFeedEnabled,
+          needMapping = mappedT,
+          needGen = t.generatedColumns().nonEmpty,
+          needIdentity = t.identityColumns().nonEmpty,
+          needConstraints = t.checkConstraints().nonEmpty,
+          needRowTracking = t.rowTrackingEnabled,
+          needWidening = isWidened(schemaJson),
+          needDefaults = isDefaulted(schemaJson),
+          needClustering = t.clusterBy().nonEmpty,
+          needIct = t.ictEnabled,
+          needNtz = ntzT,
+          needAppendOnly = t.appendOnly).get("protocol")))
       val protoRow =
-        if (needDv || v2Mode || ntzT) {
-          val rf = Seq("deletionVectors").filter(_ => needDv) ++
-            Seq("timestampNtz").filter(_ => ntzT) ++
-            Seq("columnMapping").filter(_ => mappedT) ++
-            Seq("v2Checkpoint").filter(_ => v2Mode)
-          val wf = rf ++
-            Seq("changeDataFeed").filter(_ => t.changeDataFeedEnabled) ++
-            Seq("inCommitTimestamp").filter(_ => t.ictEnabled)
-          Row(3, 7, rf, wf)
+        if (!v2Mode) baseProto
+        else {
+          // v2Checkpoint is a reader-writer table feature: force the
+          // table-features form, expanding a legacy protocol's implied
+          // features so the upgrade loses nothing (PROTOCOL.md's
+          // feature-by-version table)
+          val rf0 = Option(baseProto.getSeq[String](2)).getOrElse(
+            if (baseProto.getInt(0) >= 2) Seq("columnMapping")
+            else Seq.empty[String])
+          val wf0 = Option(baseProto.getSeq[String](3)).getOrElse {
+            val w = baseProto.getInt(1)
+            Seq("appendOnly", "invariants") ++
+              (if (w >= 3) Seq("checkConstraints") else Nil) ++
+              (if (w >= 4) Seq("changeDataFeed", "generatedColumns")
+               else Nil) ++
+              (if (w >= 5) Seq("columnMapping") else Nil) ++
+              (if (w >= 6) Seq("identityColumns") else Nil)
+          }
+          Row(3, 7, rf0 :+ "v2Checkpoint", wf0 :+ "v2Checkpoint")
         }
-        // ICT has no legacy writer carrier: a reader replaying from
-        // this checkpoint alone (json tail cleaned) must still see the
-        // feature the tail's commitInfo.inCommitTimestamp fields imply
-        else if (t.ictEnabled) Row(if (mappedT) 2 else 1, 7, null,
-          Seq("inCommitTimestamp") ++
-            Seq("changeDataFeed").filter(_ => t.changeDataFeedEnabled) ++
-            Seq("columnMapping").filter(_ => mappedT))
-        else if (mappedT) Row(2, 5, null, null)
-        else Row(1, if (t.changeDataFeedEnabled) 4 else 2, null, null)
       // the checkpoint's metaData must be self-sufficient: a reader
       // replaying from it alone needs the DELTA-dialect schema and the
       // table configuration (CDF flag, columnMapping mode) — the same
@@ -1334,6 +1430,15 @@ object DeltaExport {
         (if (t.ictEnabled)
            Map("delta.enableInCommitTimestamps" -> "true")
          else Map.empty) ++
+        // append-only enforcement must survive checkpoint-only replay:
+        // a foreign writer that never reads the cleaned json tail
+        // still may not remove data
+        (if (t.appendOnly) Map("delta.appendOnly" -> "true")
+         else Map.empty) ++
+        (if (t.rowTrackingEnabled)
+           Map("delta.enableRowTracking" -> "true") else Map.empty) ++
+        t.checkConstraints().map { case (name, sql) =>
+          s"delta.constraints.$name" -> sql } ++
         maxColId.fold(Map.empty[String, String])(mx =>
           Map("delta.columnMapping.mode" -> "name",
             "delta.columnMapping.maxColumnId" -> mx.toString))

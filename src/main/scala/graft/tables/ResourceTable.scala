@@ -349,7 +349,8 @@ final class ResourceTable(val spark: SparkSession, val path: String,
           (if (missing.size > 3) s" and ${missing.size - 3} more)" else ")"))
     val schemaJson = FileStats.schemaOf(commitBody(v))
       .getOrElse(schema().json)
-    commitFiles(None, files, schemaJson, Some(cur), op = "RESTORE")
+    commitFiles(None, files, schemaJson, Some(cur), op = "RESTORE",
+      appendOnlyExempt = true)
   }
 
   // ---- column mapping (Delta name-mode) -----------------------------
@@ -2795,7 +2796,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     // lakehousekeeper maintenance CLI compacting under a live
     // streaming upsert engine (lakehousekeeper.py vs main.py)
     commitFiles(Some(rewritten), Seq.empty, schema().json, cur,
-      compression, op = "OPTIMIZE",
+      compression, op = "OPTIMIZE", appendOnlyExempt = true,
       rebase = Some(Rebase(
         cur.map(fileListAt).getOrElse(Seq.empty), (_, _) => false)))
   }
@@ -2837,6 +2838,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         // removed; any winner leaving them alone composes
         commitFiles(Some(clusterInto(read, n)), large, schema().json,
           Some(cur), compression, op = "OPTIMIZE",
+          appendOnlyExempt = true,
           rebase = Some(Rebase(files, (_, _) => false)))
         (small.size, large.size)
       }
@@ -2881,7 +2883,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         // rebase like optimize(): reads only the doomed files
         commitFiles(Some(clusterInto(survivors, doomed.size)),
           carried, schema().json, Some(cur), compression,
-          op = "OPTIMIZE",
+          op = "OPTIMIZE", appendOnlyExempt = true,
           rebase = Some(Rebase(files, (_, _) => false)))
         (doomed.size, carried.size)
       }
@@ -3361,7 +3363,12 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       op: String = "WRITE",
       txn: Option[(String, Long)] = None,
       key: Option[String] = None,
-      rebase: Option[Rebase] = None): Long = {
+      rebase: Option[Rebase] = None,
+      // explicit exemption from delta.appendOnly enforcement — set by
+      // dataChange=false rearrangements (OPTIMIZE paths) and by
+      // RESTORE (an admin operation Delta itself never routes through
+      // its append-only check); never inferred from the op label
+      appendOnlyExempt: Boolean = false): Long = {
     val next = expectedCurrent.getOrElse(-1L) + 1
     val dirName =
       s"snap-$next-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -3476,7 +3483,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     // (dataChange=false rearrangements) stay allowed. Re-checked
     // after every rebase: the anchor manifest moves.
     def checkAppendOnly(): Unit =
-      if (appendOnly && !op.contains("OPTIMIZE") &&
+      if (appendOnly && !appendOnlyExempt &&
           curExpected.isDefined) {
         val keptIds = curKept.map(f => (f._1, f._2.dv)).toSet
         val removed = fileListAt(curExpected.get)
