@@ -43,13 +43,81 @@ object EstimatorReport {
       "q_approx_percentile" -> (() => percentileErr(li)),
       "q_ann_ivf_probe" -> (() => annRecall(emb)),
       "q_pq_topk" -> (() => pqRecall(emb)),
-      "q_rp_topk" -> (() => rpRecall(emb))
+      "q_rp_topk" -> (() => rpRecall(emb)),
+      "clustered_ann_ivf" -> (() => clusteredRecall(spark, "ivf")),
+      "clustered_pq_adc" -> (() => clusteredRecall(spark, "pq")),
+      "clustered_pq_rerank" -> (() => clusteredRecall(spark, "rerank")),
+      "clustered_pq_rerank10" -> (() => clusteredRecall(spark, "rerank10")),
+      "clustered_rp" -> (() => clusteredRecall(spark, "rp"))
     ).map { case (name, f) =>
       try f()
       catch { case e: Throwable =>
         s"""{"estimator":"$name","error":"${e.getClass.getSimpleName}"}"""
       }
     }
+  }
+
+  /** Deterministic clustered embedding fixture (mixture-of-Gaussians
+    * shape via the ScaleBench seeded-sin jitter pattern — no RNG, so
+    * every round measures the same data): `clusters` well-separated
+    * sin-derived centers, ±0.08 per-component jitter. Real embedding
+    * corpora are clustered; recall measured on the ISOTROPIC synthetic
+    * table is a noise-floor artifact (near-random vectors rank by
+    * jitter — BASELINE.md's footnote) that cannot catch a quality
+    * regression. On this fixture a correct ANN stack scores high
+    * recall and a broken one visibly cannot (floors enforced by
+    * EstimatorQualitySpec).
+    */
+  def clusteredEmbeddings(spark: SparkSession, n: Int = 1000,
+                          dim: Int = 64, clusters: Int = 10)
+      : DataFrame = {
+    val comps = (0 until dim).map { j =>
+      (sin(col("vec_id") % clusters * lit(1.7) +
+          lit(j * 0.39 + 0.5)) +
+        sin(col("vec_id") * lit(0.7919) + lit(j * 2.3)) * lit(0.08))
+        .cast("float")
+    }
+    spark.range(n).select(col("id").as("vec_id"))
+      .withColumn("embedding", array(comps: _*))
+  }
+
+  /** recall@10 of one ANN estimator vs exact brute-force cosine on
+    * the clustered fixture; queries are one id per cluster.
+    */
+  private def clusteredRecall(spark: SparkSession,
+                              which: String): String = {
+    val emb = clusteredEmbeddings(spark).localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") < 10)
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val k = 10
+    val exact = graft.ops.Similarity
+      .bruteForceTopK(queries, corpus, k).select("q_id", "n_id")
+    val approx = which match {
+      case "ivf" => graft.ops.Similarity
+        .ivfTopK(queries, corpus, k, probes = 3).select("q_id", "n_id")
+      case "pq" =>
+        val cb = graft.ops.Pq.trainOn(emb)
+        graft.ops.Pq.adcTopK(queries, corpus, cb, k)
+          .select("q_id", "n_id")
+      case "rerank" =>
+        val cb = graft.ops.Pq.trainOn(emb)
+        graft.ops.Pq.adcRerankTopK(queries, corpus, cb, k, rerank = 4)
+          .select("q_id", "n_id")
+      case "rerank10" =>
+        val cb = graft.ops.Pq.trainOn(emb)
+        graft.ops.Pq.adcRerankTopK(queries, corpus, cb, k, rerank = 10)
+          .select("q_id", "n_id")
+      case "rp" => graft.ops.Similarity
+        .rpTopK(queries, corpus, k, kOut = 16).select("q_id", "n_id")
+    }
+    val hit = exact.join(approx, Seq("q_id", "n_id"), "left_semi")
+      .agg(count(lit(1))).collect().head.getLong(0)
+    val n = exact.agg(count(lit(1))).collect().head.getLong(0)
+    line(s"clustered_${if (which == "ivf") "ann_ivf"
+        else if (which == "pq") "pq_adc"
+        else if (which == "rerank") "pq_rerank"
+        else if (which == "rerank10") "pq_rerank10" else "rp"}",
+      s"recall_at_$k", if (n == 0) 1.0 else hit.toDouble / n, n)
   }
 
   /** IVF multi-probe recall@k against the exact brute-force top-k on

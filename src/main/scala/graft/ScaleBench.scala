@@ -54,7 +54,7 @@ object ScaleBench {
     "x_occ_rebase", "x_occ_rerun", "x_dfp_join", "x_dfp_join_off",
     "q_lm_perplexity", "q_perceptron_filter",
     "q_substring_remove", "q_curation_funnel", "q_stream_tws",
-    "q_gopher_rules", "q_c4_filter")
+    "q_gopher_rules", "q_c4_filter", "x_funnel_incremental")
 
   /** Scale-only cases that are not SparkEntry gates: shapes whose
     * scale story needs DIFFERENT fixture sizing than the sf0.01 gate.
@@ -159,7 +159,52 @@ object ScaleBench {
     s.range(1).toDF("done")
   }
 
+  /** Standing funnel state per scaled dir: the flag table of the
+    * corpus MINUS a fixed-size slice (the incoming micro-batch), plus
+    * the benchmark index — both built once (min-of-two charges only
+    * the refresh). The batch and the benchmark are copy-0-only, so
+    * their size is CONSTANT across scales: the measured growth is the
+    * flag-state scan alone (~60 B/doc), which is the O(state +
+    * changed docs) claim in its measurable form.
+    */
+  private val funnelFixture = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, graft.ops.Curation.BenchmarkIndex)]()
+
+  private def funnelState(s: SparkSession, dir: String)
+      : (DataFrame, graft.ops.Curation.BenchmarkIndex) =
+    funnelFixture.computeIfAbsent(dir, _ => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val bench = docs.filter(col("doc_id") % 50 === 0 &&
+        col("doc_id") < 10000000L)
+      val bx = graft.ops.Curation.benchmarkIndex(bench)
+      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+      val standing = graft.ops.Curation.flags(
+        corpus.filter(!(col("doc_id") < 10000000L &&
+          col("doc_id") % 10 === 0)), bx, "doc_id", "text")
+        .localCheckpoint(true)
+      (standing, bx)
+    })
+
   private val Extra: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // incremental re-curation over a CDF micro-batch: fixed-size
+    // inserts (copy-0 ids ≡ 0 mod 10, held out of the standing state)
+    // + fixed-size deletes (copy-0 ids ≡ 3 mod 10) against a standing
+    // flag state that grows with the corpus — the refresh must stay
+    // near-flat while q_curation_funnel (the full recompute, measured
+    // alongside) grows with the data
+    "x_funnel_incremental" -> ((s, dir) => {
+      val (standing, bx) = funnelState(s, dir)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 50 =!= 0)
+      val inserts = docs.filter(col("doc_id") < 10000000L &&
+          col("doc_id") % 10 === 0)
+        .withColumn("_change_type", lit("insert"))
+      val deletes = docs.filter(col("doc_id") < 10000000L &&
+          col("doc_id") % 10 === 3)
+        .withColumn("_change_type", lit("delete"))
+      graft.ops.Curation.refreshFlags(standing,
+        inserts.unionByName(deletes), bx, "doc_id", "text")
+    }),
     "x_occ_rebase" -> occCase(rebaseOn = true),
     "x_occ_rerun" -> occCase(rebaseOn = false),
     // dim-driven join with vs without dynamic file pruning: the

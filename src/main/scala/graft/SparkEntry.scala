@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextStats, TopK}
+import graft.ops.{Curation, Dedup, Multimodal, Similarity, TextStats, TopK}
 import graft.tables.ResourceTable
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1253,6 +1253,16 @@ object SparkEntry {
       val cb = pqMemo.computeIfAbsent(dir, _ => graft.ops.Pq.trainOn(emb))
       graft.ops.Pq.adcTopK(emb.filter(col("vec_id") < 3),
         emb.filter(col("vec_id") >= 3), cb, topK = 10)
+    }),
+
+    // ---- PQ re-rank: ADC shortlists k·4 candidates, the exact
+    //      fixed-point distance re-ranks them — Jégou's accuracy
+    //      rescue, integer-exact through the oracle ----
+    "q_pq_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = pqMemo.computeIfAbsent(dir, _ => graft.ops.Pq.trainOn(emb))
+      graft.ops.Pq.adcRerankTopK(emb.filter(col("vec_id") < 3),
+        emb.filter(col("vec_id") >= 3), cb, topK = 10, rerank = 4)
     }),
 
     // ---- IVF-PQ: coarse-cell candidate restriction + ADC scoring,
@@ -2694,47 +2704,66 @@ object SparkEntry {
     //      shuffle or less, and the text column is never widened) ----
     "q_curation_funnel" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+      // FUSED since round 14: every row-local stage flag (lang,
+      // quality, content hash, bloom-probed shingle candidates) is
+      // computed in ONE projection over ONE corpus scan — the unfused
+      // form paid 4 corpus scans + 3 doc-keyed joins for the same
+      // numbers (see ops/Curation.scala for the plan-shape contract;
+      // the oracle and output hash are unchanged)
+      Curation.funnel(docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), n = 25)
+    }),
+
+    // ---- INCREMENTAL curation over the change feed: flags at v2 are
+    //      maintained from the v1 flag state + CDF rows only — changed
+    //      docs get fresh row-local flags, keeper election re-runs
+    //      only in touched content-hash groups, everything else is
+    //      carried. The gate proves refresh ≡ full recompute
+    //      ROW-IDENTICALLY (the q_index_refresh pattern) and reports
+    //      the post-change funnel stages; cost is O(state + changed
+    //      docs) where the batch touches ~19% of docs ----
+    "q_funnel_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val bench = docs.filter(col("doc_id") % 50 === 0)
-      // ONE PASS over the corpus: every stage predicate is a per-doc
-      // flag (lang gate and quality keep are row-local given their
-      // joins; dedup keep-first is a min-over-md5 window among
-      // stage-2 survivors; decontamination is a per-doc overlap count
-      // vs the broadcast benchmark shingle set, independent of which
-      // other docs survive) — so the funnel is joins + one window +
-      // ONE aggregate, instead of five count jobs each re-running its
-      // prefix of the chain. Wide shingles (n=25): same-distribution
-      // synthetic prose shares most 5-grams by chance — only real
-      // cross-split passages match at 25 chars.
-      val lang = TextStats.langId(corpus)
-        .select(col("doc_id"), (col("predicted_lang") === "en").as("f1"))
-      val qual = TextStats.qualityScore(corpus)
-        .select(col("doc_id"), col("keep"))
-      // Bloom-gated decontamination: the benchmark shingle set grows
-      // with the holdout, so the broadcast-set variant stops scaling
-      // (measured 159x at 100x data); the Bloom gate + exact-confirm
-      // path is the same exact set intersection (the filter only
-      // admits a superset, survivors confirm exactly) at a fixed
-      // ~9.6 bits/shingle
-      val cont = TextStats.contaminationBloom(corpus, bench, n = 25)
-        .select(col("doc_id"), (col("n_overlap") === 0).as("clean"))
-      val w = Window.partitionBy(col("h"))
-      val flags = corpus.select(col("doc_id"), md5(col("text")).as("h"))
-        .join(lang, Seq("doc_id")).join(qual, Seq("doc_id"))
-        .join(cont, Seq("doc_id"))
-        .withColumn("f2", col("f1") && col("keep"))
-        .withColumn("f3", col("f2") &&
-          col("doc_id") === min(when(col("f2"), col("doc_id"))).over(w))
-        .withColumn("f4", col("f3") && col("clean"))
-      flags.agg(
-          count(lit(1)).as("corpus"),
-          sum(when(col("f1"), 1L).otherwise(0L)).as("lang_en"),
-          sum(when(col("f2"), 1L).otherwise(0L)).as("quality"),
-          sum(when(col("f3"), 1L).otherwise(0L)).as("exact_dedup"),
-          sum(when(col("f4"), 1L).otherwise(0L)).as("decontaminated"))
-        .select(expr("stack(5, 'corpus', corpus, 'lang_en', lang_en, " +
-          "'quality', quality, 'exact_dedup', exact_dedup, " +
-          "'decontaminated', decontaminated) AS (stage, n)"))
+      val tableDir = java.nio.file.Files
+        .createTempDirectory("graft_funnel_incr").toString
+      val tab = graft.tables.ResourceTable(s, s"$tableDir/docs.parquet")
+      tab.createIfNotExists(docs.schema)
+      val corpusAt = (v: org.apache.spark.sql.DataFrame) =>
+        v.filter(col("doc_id") % 50 =!= 0)
+      tab.upsert(docs.filter(col("doc_id") % 10 =!= 0), "doc_id")
+      val v1 = tab.latestVersion.get
+      // inserts (the %10 tranche), updates (%7 docs get new text —
+      // new content hash, so their old group re-elects), deletes
+      // (%9 docs leave — deleted keepers re-elect successors)
+      tab.upsert(docs.filter(col("doc_id") % 10 === 0)
+        .unionByName(docs
+          .filter(col("doc_id") % 7 === 0 && col("doc_id") % 10 =!= 0)
+          .withColumn("text", concat(col("text"), lit(" upd v2")))),
+        "doc_id")
+      tab.deleteWhere(col("doc_id") % 9 === 0)
+      val v2 = tab.latestVersion.get
+      // the benchmark index is STATIC across refreshes — built once,
+      // shared by the v1 flags, the refresh, and the rebuild
+      val bx = Curation.benchmarkIndex(bench)
+      val flags1 = Curation.flags(corpusAt(tab.readVersion(v1)), bx,
+        "doc_id", "text")
+      val changes = tab.changes(v1, v2, "doc_id")
+        .filter(col("doc_id") % 50 =!= 0)
+      val refreshed = Curation.refreshFlags(flags1, changes, bx,
+        "doc_id", "text").cache()
+      val rebuilt = Curation.flags(corpusAt(tab.read()), bx,
+        "doc_id", "text").cache()
+      val equal = refreshed.exceptAll(rebuilt).count() == 0 &&
+        rebuilt.exceptAll(refreshed).count() == 0
+      val out = Curation.stages(refreshed)
+        .withColumn("refresh_equals_rebuild", lit(equal))
+        .select(col("stage"), col("n"), col("refresh_equals_rebuild"))
+        .cache()
+      out.count()
+      refreshed.unpersist(); rebuilt.unpersist()
+      out
     }),
 
     // ---- END-TO-END training-data ingest: a REAL streaming query
@@ -4190,13 +4219,18 @@ object SparkEntry {
          |  FROM (SELECT vec_id, unnest(embedding) AS v,
          |          unnest(range(0, len(embedding))) AS pos
          |        FROM embeddings)),
-         |train AS MATERIALIZED (SELECT * FROM fp WHERE vec_id < 64),
+         |tsel AS MATERIALIZED (
+         |  SELECT vec_id, md5(CAST(vec_id AS VARCHAR) || 'pq') AS s
+         |  FROM (SELECT DISTINCT vec_id FROM embeddings)
+         |  ORDER BY s, vec_id LIMIT 64),
+         |train AS MATERIALIZED (
+         |  SELECT f.* FROM fp f JOIN tsel USING (vec_id)),
          |seedids AS (
          |  SELECT vec_id,
-         |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+         |    CAST(row_number() OVER (ORDER BY s, vec_id) - 1 AS INTEGER)
          |      AS cl
-         |  FROM (SELECT DISTINCT vec_id FROM embeddings
-         |        WHERE vec_id < 64 ORDER BY vec_id LIMIT 16)),
+         |  FROM tsel
+         |  QUALIFY row_number() OVER (ORDER BY s, vec_id) <= 16),
          |c0 AS (SELECT s.cl, f.sub, f.spos, f.q
          |       FROM seedids s JOIN train f USING (vec_id)),
          |${iter(1)},
@@ -4238,6 +4272,35 @@ object SparkEntry {
          |  SELECT q_id, n_id, adc, row_number() OVER (
          |    PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS rank
          |  FROM scores)
+         |WHERE rank <= 10""".stripMargin
+
+    /** ADC shortlist (top 40 = k·rerank) re-scored with the exact
+      * fixed-point squared distance over the fp CTE — the full
+      * [[graft.ops.Pq.adcRerankTopK]] chain replayed.
+      */
+    val rerankSql: String =
+      s"""$chain,
+         |$scoreCtes,
+         |cand AS (
+         |  SELECT q_id, n_id, adc FROM (
+         |    SELECT q_id, n_id, adc, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS rank
+         |    FROM scores)
+         |  WHERE rank <= 40),
+         |exct AS (
+         |  SELECT c.q_id, c.n_id, c.adc,
+         |    CAST(sum((fq.q - fc.q) * (fq.q - fc.q)) AS BIGINT)
+         |      AS exact
+         |  FROM cand c
+         |  JOIN fp fq ON fq.vec_id = c.q_id
+         |  JOIN fp fc ON fc.vec_id = c.n_id
+         |    AND fc.sub = fq.sub AND fc.spos = fq.spos
+         |  GROUP BY 1, 2, 3)
+         |SELECT q_id, n_id, rank, exact, adc FROM (
+         |  SELECT q_id, n_id, exact, adc, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY exact ASC, adc ASC, n_id ASC)
+         |      AS rank
+         |  FROM exct)
          |WHERE rank <= 10""".stripMargin
 
     /** IVF-PQ: the same ADC scores restricted to coarse-cell-matched
@@ -4708,6 +4771,91 @@ object SparkEntry {
         |UNION ALL SELECT 'quality', count(*) FROM s2
         |UNION ALL SELECT 'exact_dedup', count(*) FROM s3
         |UNION ALL SELECT 'decontaminated', count(*) FROM s4""".stripMargin,
+
+    // refresh ≡ rebuild is asserted IN the gate (exceptAll both ways);
+    // the oracle replays the post-change corpus construction and the
+    // full funnel over it — identical CTE chain to q_curation_funnel
+    // with `post` swapped in for the raw table
+    "q_funnel_incremental" ->
+      """WITH post AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 AND doc_id % 10 != 0
+        |         THEN text || ' upd v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 9 != 0),
+        |corpus0 AS (
+        |  SELECT doc_id, text FROM post WHERE doc_id % 50 <> 0),
+        |profiles(plang, pidx, stops) AS (VALUES
+        |  ('en', 0, ['the','and','of','to','a','in','is','it','that']),
+        |  ('de', 1, ['der','die','das','und','ist','nicht','ein','zu']),
+        |  ('fr', 2, ['le','la','les','et','est','un','une','que']),
+        |  ('es', 3, ['el','la','los','y','es','un','una','que']),
+        |  ('zh', 4, ['的','是','了','在','和','有'])),
+        |ltoks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |  FROM corpus0),
+        |s1 AS (
+        |  SELECT c.doc_id, c.text FROM corpus0 c JOIN (
+        |    SELECT doc_id FROM (
+        |      SELECT t.doc_id, p.plang, row_number() OVER (
+        |          PARTITION BY t.doc_id ORDER BY
+        |          CAST(len(list_filter(t.ts, x -> list_contains(p.stops, x))) AS DOUBLE)
+        |            / greatest(len(t.ts), 1) DESC, p.pidx ASC) AS rn
+        |      FROM ltoks t CROSS JOIN profiles p)
+        |    WHERE rn = 1 AND plang = 'en') e USING (doc_id)),
+        |qf AS (
+        |  SELECT doc_id,
+        |    CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> x != '')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+        |      AS n_nonspace,
+        |    CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> lower(x) IN ('the','a','of','and','to','in','is','it')))
+        |      AS BIGINT) AS stop_cnt,
+        |    CAST(length(list_filter(string_split(text, ''),
+        |        x -> regexp_matches(x, '[[:punct:]]'))) AS BIGINT) AS punct_cnt
+        |  FROM s1),
+        |qs AS (
+        |  SELECT doc_id,
+        |    -0.6 + 0.12 * (CAST(n_nonspace AS DOUBLE)
+        |        / CAST(greatest(n_tokens, 1) AS DOUBLE))
+        |      + 2.4 * (CAST(stop_cnt AS DOUBLE)
+        |        / CAST(greatest(n_tokens, 1) AS DOUBLE))
+        |      - 1.8 * (CAST(punct_cnt AS DOUBLE)
+        |        / CAST(greatest(n_chars, 1) AS DOUBLE))
+        |      + 0.9 * (CAST(n_tokens AS DOUBLE)
+        |        / (CAST(n_tokens AS DOUBLE) + 50.0)) AS score
+        |  FROM qf),
+        |s2 AS (
+        |  SELECT s1.doc_id, s1.text FROM s1
+        |  JOIN qs USING (doc_id) WHERE qs.score >= 0.5),
+        |s3 AS (
+        |  SELECT s2.doc_id, s2.text FROM s2 JOIN (
+        |    SELECT min(doc_id) AS doc_id FROM s2 GROUP BY md5(text)
+        |  ) k USING (doc_id)),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(1, length(text) - 23),
+        |    i -> substr(text, CAST(i AS INT), 25)))) AS sh
+        |  FROM documents WHERE doc_id % 50 = 0 AND length(text) >= 25),
+        |dirty AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, unnest(list_distinct(list_transform(
+        |      range(1, length(text) - 23),
+        |      i -> substr(text, CAST(i AS INT), 25)))) AS sh
+        |    FROM s3 WHERE length(text) >= 25)
+        |  WHERE sh IN (SELECT sh FROM bsh)),
+        |s4 AS (
+        |  SELECT doc_id FROM s3
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty))
+        |SELECT stage, n, TRUE AS refresh_equals_rebuild FROM (
+        |  SELECT 'corpus' AS stage, count(*) AS n FROM corpus0
+        |  UNION ALL SELECT 'lang_en', count(*) FROM s1
+        |  UNION ALL SELECT 'quality', count(*) FROM s2
+        |  UNION ALL SELECT 'exact_dedup', count(*) FROM s3
+        |  UNION ALL SELECT 'decontaminated', count(*) FROM s4)"""
+        .stripMargin,
 
     // the streamed pipeline's cross-batch keep-first over doc_id-
     // ordered batches == a global min-per-canonical over kept docs
@@ -5510,6 +5658,7 @@ object SparkEntry {
 
     "q_pq_encode" -> PqOracle.encodeSql,
     "q_pq_topk" -> PqOracle.topkSql,
+    "q_pq_rerank" -> PqOracle.rerankSql,
     "q_pq_ivf" -> PqOracle.ivfSql,
     "q_stream_pq" -> PqOracle.streamSql,
 

@@ -5,8 +5,13 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType,
+  DataType, StringType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Bloom-filter membership as a native codegen'd predicate.
@@ -44,6 +49,93 @@ object BloomExpressions {
     */
   def might_contain_long(bf: BloomFilter, x: Column): Column =
     ColumnBridge.column(BloomMightContainLong(ColumnBridge.expression(x), bf))
+
+  /** Shared eval body / static codegen target: the DISTINCT width-`n`
+    * character shingles of `s` the filter admits, in first-occurrence
+    * order — elementwise what
+    * `filter(array_distinct(<all shingles>), sh -> might_contain(sh))`
+    * computes, WITHOUT materializing the full shingle array (25 KB+
+    * per KB of text) or paying the interpreted higher-order-function
+    * path per element. Two byte pointers stream the text once (each
+    * advances one UTF-8 char per window — O(bytes), not O(chars·n));
+    * each window is hashed IN PLACE ([[XXH64.hashUnsafeBytes]] over
+    * the text's own buffer — bit-identical to `xxhash64(sh)` on the
+    * filter's build side) and only admitted windows allocate: for the
+    * clean bulk of a corpus the loop allocates NOTHING and returns a
+    * shared empty array.
+    */
+  def admittedShinglesEval(s: UTF8String, n: Int,
+                           bf: BloomFilter): ArrayData = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val total = s.numBytes()
+    var startB = 0
+    var endB = 0
+    var c = 0
+    while (c < n && endB < total) {
+      endB += UTF8String.numBytesForFirstByte(
+        Platform.getByte(base, off + endB))
+      c += 1
+    }
+    if (c < n) return EmptyStringArray
+    var out: java.util.ArrayList[AnyRef] = null
+    var seen: java.util.HashSet[UTF8String] = null
+    var done = false
+    while (!done) {
+      val len = endB - startB
+      if (bf.mightContainLong(
+          XXH64.hashUnsafeBytes(base, off + startB, len, 42L))) {
+        // clone: the window is a view over a buffer the scan reuses
+        val sh = UTF8String.fromAddress(base, off + startB, len).clone()
+        if (seen == null) {
+          seen = new java.util.HashSet[UTF8String]()
+          out = new java.util.ArrayList[AnyRef]()
+        }
+        if (seen.add(sh)) out.add(sh)
+      }
+      if (endB >= total) done = true
+      else {
+        startB += UTF8String.numBytesForFirstByte(
+          Platform.getByte(base, off + startB))
+        endB += UTF8String.numBytesForFirstByte(
+          Platform.getByte(base, off + endB))
+      }
+    }
+    if (out == null) EmptyStringArray
+    else new GenericArrayData(out.toArray)
+  }
+
+  private val EmptyStringArray: ArrayData =
+    new GenericArrayData(Array.empty[Any])
+
+  case class BloomAdmittedShingles(child: Expression, n: Int,
+                                   bf: BloomFilter)
+      extends UnaryExpression {
+    require(n >= 1)
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      admittedShinglesEval(v.asInstanceOf[UTF8String], n, bf)
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloom", bf,
+        classOf[BloomFilter].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.BloomExpressions" +
+          s".admittedShinglesEval($c, $n, $ref);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  /** The distinct width-`n` character shingles of `text` admitted by
+    * `bf` — the scan side of Bloom-gated decontamination as ONE
+    * codegen'd projection column (see [[admittedShinglesEval]]).
+    */
+  def bloom_admitted_shingles(bf: BloomFilter, text: Column,
+                              n: Int): Column =
+    ColumnBridge.column(
+      BloomAdmittedShingles(ColumnBridge.expression(text), n, bf))
 
   /** Per-GROUP Bloom filter as a `TypedImperativeAggregate`: the
     * serialized [[BloomFilter]] of the group's non-null (long-typed,

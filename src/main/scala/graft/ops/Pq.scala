@@ -92,15 +92,26 @@ object Pq {
     Codebook(m, k, subDim, cents)
   }
 
-  /** Train on the vectors with id < `sampleCap` — an id-bounded sample
-    * whose size is independent of corpus scale (the FAISS training
-    * contract). The collect is bounded by sampleCap·dim longs.
+  /** Train on the `sampleCap` vectors with the SMALLEST salted id
+    * hashes — a fixed-size sample independent of corpus scale (the
+    * FAISS training contract) that is also ORDER-INDEPENDENT: an
+    * id-prefix sample (`id < cap`) correlates with ingest order on a
+    * real corpus, biasing the codebook toward the earliest-crawled
+    * slice. md5 hex is the salt hash ([[Sampling.splitHash]]'s trick:
+    * bit-identical in Spark and the DuckDB oracle), the selection is
+    * one TakeOrdered top-k (no full sort), and the collect stays
+    * bounded by sampleCap·dim longs. k-means seeds are the first k
+    * sample vectors in hash order — deterministic for a given id set.
     */
   def trainOn(df: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 2,
               sampleCap: Long = 64, idCol: String = "vec_id",
-              vecCol: String = "embedding"): Codebook = {
-    val sample = df.filter(col(idCol) < sampleCap)
-      .select(col(idCol), col(vecCol)).orderBy(col(idCol)).collect()
+              vecCol: String = "embedding",
+              salt: String = "pq"): Codebook = {
+    val sample = df
+      .select(col(idCol), col(vecCol),
+        md5(concat(col(idCol).cast("string"), lit(salt))).as("_s"))
+      .orderBy(col("_s"), col(idCol)).limit(sampleCap.toInt)
+      .collect()
       .map(_.getSeq[Float](1).map(v =>
         math.floor(v.toDouble * Scale).toLong).toSeq).toSeq
     train(sample, m, k, iters)
@@ -206,6 +217,39 @@ object Pq {
         dist2Col(subVec(col("_qv"), cb, s), cv)): _*)
       element_at(dists, element_at(col("_codes"), s + 1) + 1)
     }.reduce(_ + _)
+
+  /** ADC-then-exact re-rank (Jégou et al. TPAMI'11 §V — the standard
+    * accuracy rescue for PQ's quantization error): [[adcTopK]] ranks
+    * the corpus, each query's top k·`rerank` ADC candidates are
+    * re-scored with the EXACT fixed-point squared distance to the
+    * full corpus vector, and the final top-k ranks by that exact
+    * score (ADC, then id, as tie-breaks). The exact pass touches only
+    * candidates — queries·k·rerank rows join back to their full
+    * vectors on the corpus id (a tiny side AQE broadcasts), so its
+    * cost is O(queries·k·rerank·dim), never a second corpus scan
+    * pairwise. Integer-exact end to end: the DuckDB oracle replays
+    * the whole chain including the re-rank.
+    */
+  def adcRerankTopK(queries: DataFrame, corpus: DataFrame, cb: Codebook,
+                    topK: Int, rerank: Int = 4,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val cand = adcTopK(queries, corpus, cb, topK * rerank, idCol, vecCol)
+      .select(col("q_id"), col("n_id"), col("adc"))
+    val cv = corpus.select(col(idCol).as("n_id"),
+      fixedPoint(col(vecCol)).as("_cv"))
+    val qv = queries.select(col(idCol).as("q_id"),
+      fixedPoint(col(vecCol)).as("_qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id")
+      .orderBy(col("exact").asc, col("adc").asc, col("n_id").asc)
+    cand.join(cv, Seq("n_id")).join(broadcast(qv), Seq("q_id"))
+      .withColumn("exact", graft.functions.VectorExpressions
+        .int_dist2(col("_qv"), col("_cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("q_id", "n_id", "rank", "exact", "adc")
+  }
 
   /** STREAMING ADC scoring — the re-crawl / online-query shape: a
     * stream of query vectors probes a PQ-encoded static corpus and

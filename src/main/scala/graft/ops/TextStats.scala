@@ -80,8 +80,15 @@ object TextStats {
     * stopword profile; predict the argmax (ties → first profile).
     * Row-local, no shuffle.
     */
-  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokens(lower(col(textCol)))
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("predicted_lang", langIdCol(col(textCol)))
+
+  /** [[langId]] as ONE row-local Column, so a multi-stage curation
+    * pipeline can fold the language gate into the same projection as
+    * its other stage flags — one corpus scan, not one per stage.
+    */
+  def langIdCol(text: Column): Column = {
+    val toks = tokens(lower(text))
     val n = greatest(size(toks), lit(1)).cast("double")
     // Single pass over the token array: each stopword maps to a packed
     // long carrying one counter field per language (63/nLangs bits —
@@ -121,8 +128,7 @@ object TextStats {
           lit(-k).as("prio"),
           lit(lang).as("lang"))
     })
-    df.withColumn("predicted_lang",
-      when(size(toks) <= lit(mask.toInt), fast).otherwise(exactWide))
+    when(size(toks) <= lit(mask.toInt), fast).otherwise(exactWide)
   }
 
   /** Term-frequency hash embedding column (`hash_vec`): the hashing
@@ -346,6 +352,36 @@ object TextStats {
       .withColumn("keep", col("n_lines_kept") >= minSentences)
   }
 
+  /** [[qualityScore]]'s linear model as ONE row-local Column — the
+    * same arithmetic, same term order (bit-identical doubles), for
+    * pipelines that fold the quality gate into a single fused
+    * projection instead of materializing the feature columns.
+    * MUST stay in lockstep with [[qualityFeatures]]/[[qualityScore]]
+    * (CurationSpec asserts equality against the DataFrame form).
+    */
+  def qualityScoreCol(text: Column,
+                      stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = tokens(text)
+    val nTokens = size(toks).cast("long")
+    val nChars = length(text).cast("long")
+    val nNonSpace = length(regexp_replace(text, "\\s", "")).cast("long")
+    val stopCnt = size(filter(toks,
+      tok => lower(tok).isInCollection(stopwords)))
+    val tokDenom = greatest(nTokens, lit(1L)).cast("double")
+    val avgWordLen = nNonSpace.cast("double") / tokDenom
+    val stopRatio = stopCnt.cast("double") / tokDenom
+    val punctRatio =
+      size(filter(split(text, ""), c => c.rlike("\\p{Punct}")))
+        .cast("double") / greatest(nChars, lit(1L)).cast("double")
+    val lenTerm = nTokens.cast("double") /
+      (nTokens.cast("double") + lit(50.0))
+    lit(-0.6) +
+      lit(0.12) * avgWordLen +
+      lit(2.4) * stopRatio -
+      lit(1.8) * punctRatio +
+      lit(0.9) * lenTerm
+  }
+
   def qualityScore(df: DataFrame, textCol: String = "text",
                    threshold: Double = 0.5): DataFrame = {
     val f = qualityFeatures(df, textCol)
@@ -398,6 +434,20 @@ object TextStats {
       explode(array_distinct(transform(
         sequence(lit(1), length(col(textCol)) - (n - 1)),
         i => substring(col(textCol), i, lit(n))))).as("sh"))
+
+  /** A document's DISTINCT character n-gram shingles as a row-local
+    * array Column (empty for docs shorter than the shingle width —
+    * the guard matters: sequence(1, negative) counts DOWN). The
+    * per-doc building block behind [[contamination]]'s exploded form,
+    * exposed so fused pipelines can bloom-probe shingles inside a
+    * projection without exploding the clean 99% of the corpus.
+    */
+  def charShinglesCol(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => substring(text, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
 
   /** Shared final assembly: EVERY corpus doc joined with its shingle
     * total and overlap count → contamination fraction. Anchored on

@@ -173,4 +173,46 @@ class EstimatorQualitySpec extends SparkSpec {
     // KMV band: std ≈ sqrt(J(1-J)/k) ≈ 0.042 at J=1/3; allow 3σ
     assert(math.abs(j - 1.0 / 3.0) <= 0.13, s"KMV estimate $j vs 1/3")
   }
+
+  test("ANN recall floors on the clustered fixture: IVF/RP/rerank find " +
+      "real neighbors; wider shortlists recover what ADC quantizes away") {
+    // the isotropic embeddings table ranks by noise (recall ~0.15 is a
+    // fixture artifact, not an accuracy signal); the deterministic
+    // clustered fixture is where a regression becomes VISIBLE — these
+    // floors are the per-round tripwire VERDICT r13 asked for
+    val emb = graft.EstimatorReport.clusteredEmbeddings(spark)
+      .localCheckpoint(true)
+    val queries = emb.filter(col("vec_id") < 10)
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val k = 10
+    val exact = graft.ops.Similarity.bruteForceTopK(queries, corpus, k)
+      .select("q_id", "n_id").cache()
+    val nExact = exact.count().toDouble
+    def recall(approx: org.apache.spark.sql.DataFrame): Double =
+      exact.join(approx, Seq("q_id", "n_id"), "left_semi")
+        .count().toDouble / nExact
+    val ivf = recall(graft.ops.Similarity
+      .ivfTopK(queries, corpus, k, probes = 3).select("q_id", "n_id"))
+    assert(ivf >= 0.9, s"clustered IVF recall@10 $ivf < 0.9")
+    val rp = recall(graft.ops.Similarity
+      .rpTopK(queries, corpus, k, kOut = 16).select("q_id", "n_id"))
+    assert(rp >= 0.8, s"clustered RP recall@10 $rp < 0.8")
+    val cb = graft.ops.Pq.trainOn(emb)
+    val adc = recall(graft.ops.Pq.adcTopK(queries, corpus, cb, k)
+      .select("q_id", "n_id"))
+    // raw ADC CANNOT fine-rank here by design: intra-cluster jitter
+    // (±0.08) is far below the quantization cell size, so same-cluster
+    // candidates tie on codes — the regime Jégou's re-rank exists for
+    val rr4 = recall(graft.ops.Pq
+      .adcRerankTopK(queries, corpus, cb, k, rerank = 4)
+      .select("q_id", "n_id"))
+    val rr10 = recall(graft.ops.Pq
+      .adcRerankTopK(queries, corpus, cb, k, rerank = 10)
+      .select("q_id", "n_id"))
+    assert(rr4 >= adc + 0.2,
+      s"rerank(4)=$rr4 must clearly beat raw ADC=$adc")
+    assert(rr4 >= 0.5, s"clustered rerank(4) recall@10 $rr4 < 0.5")
+    assert(rr10 >= 0.9, s"clustered rerank(10) recall@10 $rr10 < 0.9")
+    exact.unpersist()
+  }
 }
