@@ -1046,8 +1046,10 @@ object DeltaExport {
       // re-cluster, REORG PURGE) rearranges bytes without changing
       // logical content, so its adds AND removes export
       // dataChange=false — a delta streaming consumer of this log
-      // must not reprocess the rewritten files as new data
-      val dc = !FileStats.opOf(t.commitBody(g)).contains("OPTIMIZE")
+      // must not reprocess the rewritten files as new data. The
+      // commit's own dataChange flag decides (op-label fallback only
+      // for pre-flag commits)
+      val dc = !t.isRearrangement(g)
       // CHANGE DATA FEED: a dataChange commit that also REMOVES files
       // (partial rewrite / DV kill) cannot be row-inferred from its
       // add/remove actions, so a CDF-enabled table materializes the

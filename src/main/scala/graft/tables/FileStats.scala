@@ -217,6 +217,15 @@ object FileStats {
   def opOf(body: String): Option[String] =
     Option(mapper.readTree(body).get("op")).map(_.asText)
 
+  /** The commit's explicit dataChange marker (absent in legacy
+    * commits — callers fall back to the OPTIMIZE op-label heuristic
+    * there). `false` = a rearrangement: same logical rows, different
+    * files — CDF diffs and delta exports must not surface its
+    * add/removes as data.
+    */
+  def dcOf(body: String): Option[Boolean] =
+    Option(mapper.readTree(body).get("dataChange")).map(_.asBoolean)
+
   /** The merge/delete KEY COLUMN a mutation commit recorded (absent in
     * pre-key commits and key-less ops like OPTIMIZE) — what a CDF
     * export needs to replay the commit's row-level changes.

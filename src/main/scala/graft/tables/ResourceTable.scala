@@ -93,6 +93,17 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     */
   def versionExists(v: Long): Boolean = v >= 0 && fs.exists(commitFile(v))
 
+  /** Whether commit `v` is a pure rearrangement (dataChange=false —
+    * OPTIMIZE/compaction/purge): classified by the commit's explicit
+    * flag since round 14, with the op-label heuristic as the fallback
+    * for commits written before the flag existed.
+    */
+  private[tables] def isRearrangement(v: Long): Boolean = {
+    val body = commitBody(v)
+    FileStats.dcOf(body).map(!_).getOrElse(
+      FileStats.opOf(body).contains("OPTIMIZE"))
+  }
+
   /** Highest committed version. With a `_last_checkpoint` pointer the
     * lookup probes forward from the checkpointed version (O(commits
     * since checkpoint) existence checks); only checkpoint-less logs pay
@@ -737,8 +748,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     // content (Delta's dataChange=false commits) — its diff is empty by
     // construction, so don't even open the compacted files. Ranges
     // spanning an optimize still work through the file diff below.
-    if (toV == fromV + 1 &&
-        FileStats.opOf(commitBody(toV)).contains("OPTIMIZE"))
+    if (toV == fromV + 1 && isRearrangement(toV))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(schema().fields :+
@@ -788,8 +798,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
   def changesByContent(fromV: Long, toV: Long): DataFrame = {
     import org.apache.spark.sql.functions.{col, explode, lit,
       sequence, when, abs}
-    if (toV == fromV + 1 &&
-        FileStats.opOf(commitBody(toV)).contains("OPTIMIZE"))
+    if (toV == fromV + 1 && isRearrangement(toV))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(schema().fields :+
@@ -2797,6 +2806,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     // streaming upsert engine (lakehousekeeper.py vs main.py)
     commitFiles(Some(rewritten), Seq.empty, schema().json, cur,
       compression, op = "OPTIMIZE", appendOnlyExempt = true,
+      dataChange = false,
       rebase = Some(Rebase(
         cur.map(fileListAt).getOrElse(Seq.empty), (_, _) => false)))
   }
@@ -2838,7 +2848,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         // removed; any winner leaving them alone composes
         commitFiles(Some(clusterInto(read, n)), large, schema().json,
           Some(cur), compression, op = "OPTIMIZE",
-          appendOnlyExempt = true,
+          appendOnlyExempt = true, dataChange = false,
           rebase = Some(Rebase(files, (_, _) => false)))
         (small.size, large.size)
       }
@@ -2884,6 +2894,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         commitFiles(Some(clusterInto(survivors, doomed.size)),
           carried, schema().json, Some(cur), compression,
           op = "OPTIMIZE", appendOnlyExempt = true,
+          dataChange = false,
           rebase = Some(Rebase(files, (_, _) => false)))
         (doomed.size, carried.size)
       }
@@ -3368,7 +3379,11 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       // dataChange=false rearrangements (OPTIMIZE paths) and by
       // RESTORE (an admin operation Delta itself never routes through
       // its append-only check); never inferred from the op label
-      appendOnlyExempt: Boolean = false): Long = {
+      appendOnlyExempt: Boolean = false,
+      // false = rearrangement (same logical rows, different files):
+      // persisted into the commit body so CDF diffs and the delta
+      // export classify the commit by FLAG, not by op-label substring
+      dataChange: Boolean = true): Long = {
     val next = expectedCurrent.getOrElse(-1L) + 1
     val dirName =
       s"snap-$next-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -3502,11 +3517,12 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     // name is tiny, deterministic metadata — like op/txns)
     val keyJson = key.map(k =>
       s""","key":${FileStats.quoteJson(k)}""").getOrElse("")
+    val dcJson = if (dataChange) "" else ""","dataChange":false"""
     var published = false
     while (!published) {
       try {
         publishExclusive(commitFile(curNext),
-          s"""{"version":$curNext,"op":"$op","ts":$tsVal,"dir":"$dirName"$txnsJson$rowJson$keyJson,"schema":$schemaJson,"files":$statsJson}"""
+          s"""{"version":$curNext,"op":"$op","ts":$tsVal,"dir":"$dirName"$txnsJson$rowJson$keyJson$dcJson,"schema":$schemaJson,"files":$statsJson}"""
             .getBytes(StandardCharsets.UTF_8))
         published = true
       } catch {
