@@ -1265,6 +1265,51 @@ object SparkEntry {
         emb.filter(col("vec_id") >= 3), cb, topK = 10, rerank = 4)
     }),
 
+    // ---- CDF-maintained PQ codes: deleted/re-delivered vectors
+    //      leave the code table, new ones encode row-locally under
+    //      the UNCHANGED codebook (FAISS add/remove_ids shape) — the
+    //      gate proves refresh ≡ re-encode row-identically via a real
+    //      table's change feed, and the oracle replays the encode
+    //      chain over the post-change vectors with training pinned to
+    //      the original corpus ----
+    "q_pq_refresh" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val cb = pqMemo.computeIfAbsent(dir, _ => graft.ops.Pq.trainOn(emb))
+      val tableDir = java.nio.file.Files
+        .createTempDirectory("graft_pq_refresh").toString
+      val tab = graft.tables.ResourceTable(s, s"$tableDir/emb.parquet")
+      tab.createIfNotExists(emb.select("vec_id", "embedding").schema)
+      tab.upsert(emb.select("vec_id", "embedding")
+        .filter(col("vec_id") % 10 =!= 0), "vec_id")
+      val v1 = tab.latestVersion.get
+      // inserts (the held-out %10 tranche) + updates (%7 vectors
+      // negated — a content change the old codes cannot cover)
+      tab.upsert(emb.select("vec_id", "embedding")
+        .filter(col("vec_id") % 10 === 0)
+        .unionByName(emb.select("vec_id", "embedding")
+          .filter(col("vec_id") % 7 === 0 && col("vec_id") % 10 =!= 0)
+          .withColumn("embedding",
+            transform(col("embedding"), v => -v))), "vec_id")
+      tab.deleteWhere(col("vec_id") % 9 === 0)
+      val v2 = tab.latestVersion.get
+      val codes1 = graft.ops.Pq.encode(tab.readVersion(v1), cb)
+        .select(col("vec_id"), col("codes"))
+      val refreshed = graft.ops.Pq.refreshCodes(codes1,
+        tab.changes(v1, v2, "vec_id"), cb).cache()
+      val reencoded = graft.ops.Pq.encode(tab.read(), cb)
+        .select(col("vec_id"), col("codes")).cache()
+      val equal = refreshed.exceptAll(reencoded).count() == 0 &&
+        reencoded.exceptAll(refreshed).count() == 0
+      val out = refreshed
+        .select(col("vec_id"),
+          posexplode(col("codes")).as(Seq("sub", "code")))
+        .withColumn("refresh_equals_reencode", lit(equal)).cache()
+      out.count()
+      refreshed.unpersist(); reencoded.unpersist()
+      out
+    }),
+
     // ---- IVF-PQ: coarse-cell candidate restriction + ADC scoring,
     //      the full FAISS query shape; probes=2 of 8 cells ----
     "q_pq_ivf" -> ((s, dir) => {
@@ -2766,6 +2811,77 @@ object SparkEntry {
       out
     }),
 
+    // ---- STREAMING curation: refreshFlags as the foreachBatch state
+    //      maintainer of a REAL streaming query — three ordered
+    //      micro-batches (two with re-deliveries carrying new text)
+    //      fold into the standing flag state as delete+insert change
+    //      rows; the final state must equal the batch recompute over
+    //      the final corpus ROW-IDENTICALLY, and the stage counts
+    //      hash-match the oracle's replay of the batch construction.
+    //      At 100 TB this is the shape that never re-reads the
+    //      corpus: each batch costs O(batch + flag-state scan) ----
+    "q_stream_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+      val bx = Curation.benchmarkIndex(
+        docs.filter(col("doc_id") % 50 === 0))
+      val all = corpus.as[(Long, String)].collect().sortBy(_._1)
+      // b0: ids≡0 (mod 3); b1: ids≡1 + RE-delivery of (≡0 ∧ %5=0)
+      // with ' v2' text; b2: ids≡2 + re-delivery of (≡1 ∧ %5=0)
+      def redeliver(m: Int) = all.filter(r =>
+        r._1 % 3 == m && r._1 % 5 == 0).map(r => (r._1, r._2 + " v2"))
+      val batches = Seq(
+        all.filter(_._1 % 3 == 0).toSeq,
+        (all.filter(_._1 % 3 == 1) ++ redeliver(0)).toSeq,
+        (all.filter(_._1 % 3 == 2) ++ redeliver(1)).toSeq)
+      val empty = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("h", StringType), StructField("f1", BooleanType),
+          StructField("f2", BooleanType),
+          StructField("clean", BooleanType),
+          StructField("f3", BooleanType),
+          StructField("f4", BooleanType))))
+      var state = empty
+      val ms = MemoryStream[(Long, String)]
+      val q = ms.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // re-delivered keys leave the state then re-enter with the
+          // batch's text — delete+insert is the keyed-upsert CDF shape
+          val known = batch.select(col("doc_id"))
+            .join(state.select(col("doc_id")), Seq("doc_id"),
+              "left_semi")
+          val changes = batch
+            .withColumn("_change_type", lit("insert"))
+            .unionByName(known
+              .withColumn("text", lit(null).cast(StringType))
+              .select(col("doc_id"), col("text"))
+              .withColumn("_change_type", lit("delete")))
+          state = Curation.refreshFlags(state, changes, bx,
+            "doc_id", "text").localCheckpoint(true)
+          ()
+        }.start()
+      try { batches.foreach { b =>
+        ms.addData(b: _*): Unit; q.processAllAvailable() } }
+      finally q.stop()
+      val post = corpus.withColumn("text",
+        when(col("doc_id") % 5 === 0 && col("doc_id") % 3 =!= 2,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      val rebuilt = Curation.flags(post, bx, "doc_id", "text").cache()
+      val equal = state.exceptAll(rebuilt).count() == 0 &&
+        rebuilt.exceptAll(state).count() == 0
+      val out = Curation.stages(state)
+        .withColumn("stream_equals_batch", lit(equal))
+        .select(col("stage"), col("n"), col("stream_equals_batch"))
+        .cache()
+      out.count()
+      rebuilt.unpersist()
+      out
+    }),
+
     // ---- END-TO-END training-data ingest: a REAL streaming query
     //      chains quality gate -> canonical-URL keep-first -> shard
     //      assignment -> INSERT-ONLY merge (zero file rewrites,
@@ -4210,7 +4326,7 @@ object SparkEntry {
         .stripMargin
     }
 
-    private val chain: String =
+    private val prelude: String =
       s"""WITH fp AS MATERIALIZED (
          |  SELECT vec_id,
          |    CAST(pos // 8 AS INTEGER) AS sub,
@@ -4234,11 +4350,17 @@ object SparkEntry {
          |c0 AS (SELECT s.cl, f.sub, f.spos, f.q
          |       FROM seedids s JOIN train f USING (vec_id)),
          |${iter(1)},
-         |${iter(2)},
-         |enc_d AS (
+         |${iter(2)}""".stripMargin
+
+    /** Argmin-code assignment of `src`'s fixed-point vectors against
+      * the trained c2 codebook — parameterized so [[refreshSql]] can
+      * encode the POST-change vectors under the ORIGINAL training.
+      */
+    private def encodeTail(src: String): String =
+      s"""enc_d AS (
          |  SELECT f.vec_id, f.sub, c.cl,
          |    sum((f.q - c.q) * (f.q - c.q)) AS dist
-         |  FROM fp f JOIN c2 c ON c.sub = f.sub AND c.spos = f.spos
+         |  FROM $src f JOIN c2 c ON c.sub = f.sub AND c.spos = f.spos
          |  GROUP BY 1, 2, 3),
          |codes AS MATERIALIZED (
          |  SELECT vec_id, sub, cl AS code FROM (
@@ -4246,6 +4368,32 @@ object SparkEntry {
          |      PARTITION BY vec_id, sub ORDER BY dist, cl) AS rk
          |    FROM enc_d)
          |  WHERE rk = 1)""".stripMargin
+
+    private val chain: String = s"$prelude,\n${encodeTail("fp")}"
+
+    /** [[graft.ops.Pq.refreshCodes]]'s replay: training pinned to the
+      * ORIGINAL corpus (the codebook is not retrained by a refresh),
+      * encoding over the post-change vectors.
+      */
+    val refreshSql: String =
+      s"""$prelude,
+         |post AS (
+         |  SELECT vec_id,
+         |    CASE WHEN vec_id % 7 = 0 AND vec_id % 10 != 0
+         |         THEN list_transform(embedding, v -> -v)
+         |         ELSE embedding END AS embedding
+         |  FROM embeddings WHERE vec_id % 9 != 0),
+         |fpp AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    CAST(pos // 8 AS INTEGER) AS sub,
+         |    CAST(pos % 8 AS INTEGER) AS spos,
+         |    CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT) AS q
+         |  FROM (SELECT vec_id, unnest(embedding) AS v,
+         |          unnest(range(0, len(embedding))) AS pos
+         |        FROM post)),
+         |${encodeTail("fpp")}
+         |SELECT vec_id, sub, code, TRUE AS refresh_equals_reencode
+         |FROM codes""".stripMargin
 
     val encodeSql: String =
       s"""$chain
@@ -4850,6 +4998,88 @@ object SparkEntry {
         |  SELECT doc_id FROM s3
         |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty))
         |SELECT stage, n, TRUE AS refresh_equals_rebuild FROM (
+        |  SELECT 'corpus' AS stage, count(*) AS n FROM corpus0
+        |  UNION ALL SELECT 'lang_en', count(*) FROM s1
+        |  UNION ALL SELECT 'quality', count(*) FROM s2
+        |  UNION ALL SELECT 'exact_dedup', count(*) FROM s3
+        |  UNION ALL SELECT 'decontaminated', count(*) FROM s4)"""
+        .stripMargin,
+
+    // stream ≡ batch is asserted IN the gate; the oracle replays the
+    // final corpus (base + the two re-delivery waves' text) through
+    // the same funnel CTE chain
+    "q_stream_funnel" ->
+      """WITH corpus0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 AND doc_id % 3 <> 2
+        |         THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 50 <> 0),
+        |profiles(plang, pidx, stops) AS (VALUES
+        |  ('en', 0, ['the','and','of','to','a','in','is','it','that']),
+        |  ('de', 1, ['der','die','das','und','ist','nicht','ein','zu']),
+        |  ('fr', 2, ['le','la','les','et','est','un','une','que']),
+        |  ('es', 3, ['el','la','los','y','es','un','una','que']),
+        |  ('zh', 4, ['的','是','了','在','和','有'])),
+        |ltoks AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |  FROM corpus0),
+        |s1 AS (
+        |  SELECT c.doc_id, c.text FROM corpus0 c JOIN (
+        |    SELECT doc_id FROM (
+        |      SELECT t.doc_id, p.plang, row_number() OVER (
+        |          PARTITION BY t.doc_id ORDER BY
+        |          CAST(len(list_filter(t.ts, x -> list_contains(p.stops, x))) AS DOUBLE)
+        |            / greatest(len(t.ts), 1) DESC, p.pidx ASC) AS rn
+        |      FROM ltoks t CROSS JOIN profiles p)
+        |    WHERE rn = 1 AND plang = 'en') e USING (doc_id)),
+        |qf AS (
+        |  SELECT doc_id,
+        |    CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> x != '')) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+        |      AS n_nonspace,
+        |    CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> lower(x) IN ('the','a','of','and','to','in','is','it')))
+        |      AS BIGINT) AS stop_cnt,
+        |    CAST(length(list_filter(string_split(text, ''),
+        |        x -> regexp_matches(x, '[[:punct:]]'))) AS BIGINT) AS punct_cnt
+        |  FROM s1),
+        |qs AS (
+        |  SELECT doc_id,
+        |    -0.6 + 0.12 * (CAST(n_nonspace AS DOUBLE)
+        |        / CAST(greatest(n_tokens, 1) AS DOUBLE))
+        |      + 2.4 * (CAST(stop_cnt AS DOUBLE)
+        |        / CAST(greatest(n_tokens, 1) AS DOUBLE))
+        |      - 1.8 * (CAST(punct_cnt AS DOUBLE)
+        |        / CAST(greatest(n_chars, 1) AS DOUBLE))
+        |      + 0.9 * (CAST(n_tokens AS DOUBLE)
+        |        / (CAST(n_tokens AS DOUBLE) + 50.0)) AS score
+        |  FROM qf),
+        |s2 AS (
+        |  SELECT s1.doc_id, s1.text FROM s1
+        |  JOIN qs USING (doc_id) WHERE qs.score >= 0.5),
+        |s3 AS (
+        |  SELECT s2.doc_id, s2.text FROM s2 JOIN (
+        |    SELECT min(doc_id) AS doc_id FROM s2 GROUP BY md5(text)
+        |  ) k USING (doc_id)),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(1, length(text) - 23),
+        |    i -> substr(text, CAST(i AS INT), 25)))) AS sh
+        |  FROM documents WHERE doc_id % 50 = 0 AND length(text) >= 25),
+        |dirty AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, unnest(list_distinct(list_transform(
+        |      range(1, length(text) - 23),
+        |      i -> substr(text, CAST(i AS INT), 25)))) AS sh
+        |    FROM s3 WHERE length(text) >= 25)
+        |  WHERE sh IN (SELECT sh FROM bsh)),
+        |s4 AS (
+        |  SELECT doc_id FROM s3
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty))
+        |SELECT stage, n, TRUE AS stream_equals_batch FROM (
         |  SELECT 'corpus' AS stage, count(*) AS n FROM corpus0
         |  UNION ALL SELECT 'lang_en', count(*) FROM s1
         |  UNION ALL SELECT 'quality', count(*) FROM s2
@@ -5659,6 +5889,7 @@ object SparkEntry {
     "q_pq_encode" -> PqOracle.encodeSql,
     "q_pq_topk" -> PqOracle.topkSql,
     "q_pq_rerank" -> PqOracle.rerankSql,
+    "q_pq_refresh" -> PqOracle.refreshSql,
     "q_pq_ivf" -> PqOracle.ivfSql,
     "q_stream_pq" -> PqOracle.streamSql,
 

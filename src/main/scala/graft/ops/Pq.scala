@@ -218,6 +218,34 @@ object Pq {
       element_at(dists, element_at(col("_codes"), s + 1) + 1)
     }.reduce(_ + _)
 
+  /** Incrementally maintain a PQ-encoded corpus from a table's change
+    * feed (the [[graft.ops.Dedup.refreshBandedIndex]] /
+    * [[graft.ops.Curation.refreshFlags]] contract, FAISS's
+    * add/remove_ids shape): deleted and update-preimage vectors leave
+    * the code table, inserted and update-postimage vectors are
+    * encoded row-locally and appended — the CODEBOOK is not retrained
+    * (training is a fixed-size-sample artifact; retraining invalidates
+    * every stored code, a rebuild not a refresh). Row-identical to
+    * re-encoding the post-change corpus under the same codebook, at
+    * O(code-table scan + changed vectors): the changed-id set
+    * broadcasts into the anti-join and the corpus vectors are never
+    * re-read.
+    */
+  def refreshCodes(codes: DataFrame, changes: DataFrame, cb: Codebook,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding",
+                   codesCol: String = "codes"): DataFrame = {
+    val removed = changes
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .select(col(idCol)).distinct()
+    val added = changes
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .select(col(idCol), col(vecCol))
+    codes.join(broadcast(removed), Seq(idCol), "left_anti")
+      .unionByName(encode(added, cb, vecCol, codesCol)
+        .select(col(idCol), col(codesCol)))
+  }
+
   /** ADC-then-exact re-rank (Jégou et al. TPAMI'11 §V — the standard
     * accuracy rescue for PQ's quantization error): [[adcTopK]] ranks
     * the corpus, each query's top k·`rerank` ADC candidates are
