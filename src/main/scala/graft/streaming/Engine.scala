@@ -44,6 +44,11 @@ final case class Settings(
     logResourceCountBySourceTopic: Boolean = false, // settings.py:66–68
     metricsAddr: String = "127.0.0.1",       // settings.py:64
     metricsPort: Int = 8000,                 // settings.py:63
+    // OTLP/HTTP push endpoint (collector base url, e.g.
+    // http://otel-collector:4318) — None keeps scrape-only, the
+    // reference's default deployment
+    otlpEndpoint: Option[String] = None,
+    otlpIntervalMs: Long = 10000L,
     deltaCheckpointInterval: Int = 100,      // settings.py:48
     autoOptimizeOptimizeWrite: Boolean = false, // settings.py:47
     autoOptimizeAutoCompact: Boolean = false,   // settings.py:46

@@ -65,6 +65,15 @@ object EngineMain {
     if (metricsServer.isDefined)
       println(s"metrics on http://${settings.metricsAddr}:" +
         s"${metricsServer.get.boundPort}/metrics")
+    // OTLP push alongside the scrape when a collector is configured
+    val otlp = settings.otlpEndpoint.map { ep =>
+      val ex = new OtlpExporter(bridge, Some(listener), ep,
+        settings.otlpIntervalMs)
+      ex.start()
+      println(s"otlp push to $ep/v1/metrics every " +
+        s"${settings.otlpIntervalMs}ms")
+      ex
+    }
     val queries = Engine.start(
       FileBundleSource.stream(spark, journalDir), settings, bridge)
     try {
@@ -73,7 +82,10 @@ object EngineMain {
         queries.foreach(_.awaitTermination())
         println(s"ingest complete: ${listener.snapshot()}")
       }
-    } finally metricsServer.foreach(_.stop())
+    } finally {
+      otlp.foreach(_.stop())
+      metricsServer.foreach(_.stop())
+    }
     spark.stop()
   }
 }

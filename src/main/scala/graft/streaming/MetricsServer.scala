@@ -76,6 +76,20 @@ final class PrometheusBridge extends BatchMetrics {
   def deleteSeconds(s: Double): Unit = histo("delete").record(s)
   def upkeepSeconds(s: Double): Unit = histo("upkeep").record(s)
 
+  // ---- snapshots for push exporters (OTLP) --------------------------
+  private[streaming] def durationSnapshot
+      : Seq[(String, Array[Long], Double, Long)] =
+    durations.asScala.toSeq.sortBy(_._1).map { case (op, h) =>
+      (op, h.counts.map(_.sum()), h.sum.sum(), h.n.sum())
+    }
+  private[streaming] def processedSnapshot
+      : Seq[((String, String), Long)] =
+    processed.asScala.toSeq.sortBy(_._1.toString)
+      .map { case (k, n) => (k, n.sum()) }
+  private[streaming] def batchTotals: (Long, Long) =
+    (batchCount.sum(), batchRows.sum())
+  private[streaming] def bucketBounds: Array[Double] = buckets
+
   /** Render the full exposition page (text format 0.0.4). */
   def scrape(listener: Option[QueryProgressListener]): String = {
     val sb = new StringBuilder

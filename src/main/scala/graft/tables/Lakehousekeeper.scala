@@ -88,6 +88,109 @@ object Lakehousekeeper {
     (schema, table)
   }
 
+  /** Register against a REAL Hive metastore over its thrift wire
+    * protocol — the path an external Trino/Presto/Hive engine needs
+    * (reference bundle_processor.py:330–357 registers via spark.sql
+    * against `settings.metastore_url`; [[registerTable]] above is the
+    * jar-less session-catalog equivalent). Two shapes, mirroring the
+    * session path:
+    *
+    *  - a table carrying a CURRENT delta export registers its ROOT
+    *    (the directory holding `_delta_log`) with
+    *    `spark.sql.sources.provider=delta` — delta-spark's own HMS
+    *    convention; a delta-aware engine ignores the HMS columns and
+    *    replays the log, and the entry tracks later exports with no
+    *    re-registration;
+    *  - otherwise the current SINGLE-DIR snapshot registers as an
+    *    EXTERNAL parquet table with the schema spelled out in Hive
+    *    types (multi-dir snapshots: compact or export first — HMS has
+    *    no equivalent of the exact-manifest view).
+    *
+    * Re-registration rolls the existing entry (alter_table), matching
+    * [[registerTable]]'s drop-and-recreate semantics. Catalog DDL
+    * only; no data moves.
+    */
+  def registerTableHms(spark: SparkSession, metastoreUris: String,
+                       p: String): String = {
+    import org.apache.hadoop.hive.conf.HiveConf
+    import org.apache.hadoop.hive.metastore.HiveMetaStoreClient
+    import org.apache.hadoop.hive.metastore.api.{Database, FieldSchema,
+      SerDeInfo, StorageDescriptor, Table => HTable}
+    import scala.jdk.CollectionConverters._
+    val (schemaName, table) = tableName(p)
+    val t = ResourceTable(spark, p)
+    val v = t.latestVersion.getOrElse(
+      throw new IllegalStateException(s"no snapshot in $p"))
+    val exported = DeltaExport.exported(t) &&
+      DeltaExport.liveFiles(t) == t.fileManifest(v).toSet
+    val mapped = t.schema().fields
+      .exists(_.metadata.contains(ResourceTable.PhysKey))
+    if (mapped && !exported)
+      throw new IllegalStateException(
+        s"$p: table uses column mapping — register it via its " +
+          "_delta_log (run export-delta first); a raw parquet " +
+          "LOCATION would expose physical column names")
+    val (loc, extraParams) =
+      if (exported) (p, Map("spark.sql.sources.provider" -> "delta"))
+      else if (t.isSingleLocation(v)) (t.snapshotLocation(v),
+        Map.empty[String, String])
+      else throw new IllegalStateException(
+        s"$p: snapshot spans multiple directories — compact " +
+          "(lakehousekeeper optimize) or export-delta first; HMS has " +
+          "no exact-manifest view equivalent")
+    val conf = new HiveConf(
+      spark.sessionState.newHadoopConf(), classOf[HiveConf])
+    conf.setVar(HiveConf.ConfVars.METASTOREURIS, metastoreUris)
+    val client = new HiveMetaStoreClient(conf)
+    try {
+      if (!client.getAllDatabases.asScala.contains(schemaName)) {
+        val db = new Database()
+        db.setName(schemaName)
+        db.setDescription("graft")
+        client.createDatabase(db)
+      }
+      val cols = new java.util.ArrayList[FieldSchema]()
+      t.schema().fields.foreach(f =>
+        cols.add(new FieldSchema(f.name.toLowerCase, hiveTypeOf(f),
+          null)))
+      val serde = new SerDeInfo()
+      serde.setSerializationLib(
+        "org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe")
+      serde.setParameters(new java.util.HashMap[String, String]())
+      val sd = new StorageDescriptor()
+      sd.setCols(cols)
+      sd.setLocation(loc)
+      sd.setInputFormat(
+        "org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat")
+      sd.setOutputFormat(
+        "org.apache.hadoop.hive.ql.io.parquet.MapredParquetOutputFormat")
+      sd.setSerdeInfo(serde)
+      val ht = new HTable()
+      ht.setDbName(schemaName)
+      ht.setTableName(table.toLowerCase)
+      ht.setSd(sd)
+      ht.setTableType("EXTERNAL_TABLE")
+      ht.setPartitionKeys(new java.util.ArrayList[FieldSchema]())
+      val params = new java.util.HashMap[String, String]()
+      params.put("EXTERNAL", "TRUE")
+      extraParams.foreach { case (k, pv) => params.put(k, pv) }
+      ht.setParameters(params)
+      if (client.tableExists(schemaName, table.toLowerCase))
+        client.alter_table(schemaName, table.toLowerCase, ht)
+      else client.createTable(ht)
+      s"$schemaName.${table.toLowerCase}"
+    } finally client.close()
+  }
+
+  /** Spark → Hive column type, for the HMS registration. Spark's
+    * catalogString IS the Hive syntax for every type this engine
+    * writes, except TIMESTAMP_NTZ (Hive 2.x has one zoneless
+    * timestamp — exactly NTZ semantics — under the plain name).
+    */
+  private def hiveTypeOf(f: org.apache.spark.sql.types.StructField)
+      : String =
+    f.dataType.catalogString.replace("timestamp_ntz", "timestamp")
+
   /** Incremental bin-packing over every table (Delta OPTIMIZE's real
     * scope): coalesce only files under `minBytes`, carry right-sized
     * files by reference — O(small files), the routine-upkeep variant
@@ -252,7 +355,8 @@ object Lakehousekeeper {
         "usage: lakehousekeeper vacuum <dir> [retentionHours] [dry] [no-enforce] [dist]" +
           " | optimize <dir> [numFiles|<size>g|<size>m] [compression]" +
           " | compact <dir> [min<m>] | purge-dv <dir> [minDeadFraction]" +
-          " | register <dir> | describe <dir>" +
+          " | register <dir> | register-hms <dir> <thrift://h:p>" +
+          " | describe <dir>" +
           " | export-delta <dir> | cleanup-delta-log <dir> [retentionMs]" +
           " | history <tablePath> | restore <tablePath> <version>" +
           " | clone <sourceTablePath> <targetTablePath> [version]" +
@@ -303,6 +407,14 @@ object Lakehousekeeper {
           }
         case "register" =>
           register(spark, dir).foreach(n => println(s"registered $n"))
+        case "register-hms" =>
+          val uris = args.lift(2).getOrElse(throw new
+              IllegalArgumentException(
+            "register-hms needs a thrift metastore uri " +
+              "(thrift://host:port)"))
+          listTables(spark, dir)
+            .map(p => registerTableHms(spark, uris, p))
+            .foreach(n => println(s"registered $n (hms)"))
         case "compact" =>
           val minB = args.lift(2) match {
             case Some(v) if v.toLowerCase.endsWith("m") =>
