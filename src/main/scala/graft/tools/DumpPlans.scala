@@ -76,7 +76,10 @@ object DumpPlans {
     "q_stream_pq" -> "streaming PQ probe: stateless stream-static join on the coarse-cell equi-key with the exact integer ADC threshold as residual — no state store, corpus encoded row-locally, per-batch work bounded by probes/nCells",
     "q_merge_builder" -> "conditional MERGE: one left-outer join of only the key-overlapping files vs the broadcast source; first-true clause index + per-column conditional projection decide every row in ONE pass — no per-clause scans",
     "q_substring_remove" -> "exact-substring REMOVAL: only hashes shuffle (window-hash count + per-doc dead-index sets); the text rebuild is a codegen'd ROW-LOCAL positional filter — clean docs left-join an absent set and pass through untouched",
-    "q_curation_funnel" -> "curation funnel: four stage predicates become per-doc flags in ONE pass (three doc-keyed joins + one md5 window + one aggregate) — no stage recomputes its prefix, text never widens past its own stage",
+    "q_curation_funnel" -> "curation funnel (FUSED r14): every row-local stage flag — md5 hash, lang gate, quality keep, native bloom-probed shingle candidates — in ONE projection over ONE corpus scan (eagerly checkpointed flag-sized); the only corpus-wide shuffle is the keep-first hash window, the exact confirm broadcasts back. 23x at 100x data, was 143x",
+    "q_funnel_incremental" -> "CDF-incremental curation: changed docs get fresh row-local flags, keeper election re-runs only in touched hash groups (broadcast semi/anti splits), untouched state carries verbatim — O(state scan + changed docs), 1.4x at 100x with a scale-constant batch",
+    "q_pq_rerank" -> "PQ ADC shortlist (k·4) re-scored with the exact fixed-point distance — the exact pass touches candidates only (broadcast query vectors), never a second corpus scan",
+    "q_pq_refresh" -> "CDF-maintained PQ codes: removed ids anti-join out (broadcast), new vectors encode row-locally under the unchanged codebook — O(code-table scan + changed vectors)",
     "q_cdf_tvf" -> "table_changes TVF: resolves at analysis to the same full-outer snapshot diff as the API call — SQL surface adds zero plan overhead")
 
   def main(args: Array[String]): Unit = {
