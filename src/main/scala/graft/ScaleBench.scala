@@ -54,7 +54,8 @@ object ScaleBench {
     "x_occ_rebase", "x_occ_rerun", "x_dfp_join", "x_dfp_join_off",
     "q_lm_perplexity", "q_perceptron_filter",
     "q_substring_remove", "q_curation_funnel", "q_stream_tws",
-    "q_gopher_rules", "q_c4_filter", "x_funnel_incremental")
+    "q_gopher_rules", "q_c4_filter", "x_funnel_incremental",
+    "x_pq_refresh")
 
   /** Scale-only cases that are not SparkEntry gates: shapes whose
     * scale story needs DIFFERENT fixture sizing than the sf0.01 gate.
@@ -170,6 +171,10 @@ object ScaleBench {
   private val funnelFixture = new java.util.concurrent.ConcurrentHashMap[
     String, (DataFrame, graft.ops.Curation.BenchmarkIndex)]()
 
+  private val pqRefreshFixture =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (DataFrame, graft.ops.Pq.Codebook)]()
+
   private def funnelState(s: SparkSession, dir: String)
       : (DataFrame, graft.ops.Curation.BenchmarkIndex) =
     funnelFixture.computeIfAbsent(dir, _ => {
@@ -204,6 +209,31 @@ object ScaleBench {
         .withColumn("_change_type", lit("delete"))
       graft.ops.Curation.refreshFlags(standing,
         inserts.unionByName(deletes), bx, "doc_id", "text")
+    }),
+    // CDF-maintained PQ codes at scale: the standing code table grows
+    // with the corpus, the micro-batch is copy-0-only (scale-constant)
+    // — refresh must stay near-flat like x_funnel_incremental
+    "x_pq_refresh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val (codes0, cb) = pqRefreshFixture.computeIfAbsent(dir, _ => {
+        val cb = graft.ops.Pq.trainOn(emb)
+        val standing = graft.ops.Pq.encode(
+            emb.filter(!(col("vec_id") < 10000000L &&
+              col("vec_id") % 10 === 0)), cb)
+          .select(col("vec_id"), col("codes"))
+          .localCheckpoint(true)
+        (standing, cb)
+      })
+      val inserts = emb.filter(col("vec_id") < 10000000L &&
+          col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("_change_type", lit("insert"))
+      val deletes = emb.filter(col("vec_id") < 10000000L &&
+          col("vec_id") % 10 === 3)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("_change_type", lit("delete"))
+      graft.ops.Pq.refreshCodes(codes0,
+        inserts.unionByName(deletes), cb)
     }),
     "x_occ_rebase" -> occCase(rebaseOn = true),
     "x_occ_rerun" -> occCase(rebaseOn = false),

@@ -132,10 +132,10 @@ class CurationSpec extends SparkSpec {
     val bx = Curation.benchmarkIndex(b, n = 10)
     val flags0 = Curation.flags(c0, bx, "doc_id", "text")
       .localCheckpoint(true)
-    // the batch: delete keeper 3 (group {3,5,9} re-elects 5), insert
-    // id 2L->... wait 2 exists; insert 4 with the dup text (steals
-    // keepership from 5), update doc 1's text (hash moves groups),
-    // delete singleton 8, insert fresh 11
+    // the batch: delete keeper 3 (group {3,5,9} would re-elect 5),
+    // insert 4 with the dup text (steals keepership from 5), update
+    // doc 1's text (hash moves groups), delete singleton 8, insert
+    // fresh 11
     val changes = docsDf(
         3L -> longEn("dup"),
         8L -> "x! y? z.")
@@ -181,5 +181,57 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a == e)
     assert(a("corpus") == corpus.size - 1L)
+  }
+
+  test("property: three rounds of seeded random churn keep the " +
+      "refreshed state identical to a rebuild — duplicates, empty " +
+      "docs, re-deliveries and all") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("the", "a", "of", "and", "to", "in", "is", "it",
+      "der", "und", "fox", "dog", "table", "query", "stream", "value")
+    def text(): String = {
+      val n = rnd.nextInt(30)
+      // ~1/5 docs share one of 8 canned texts: real duplicate groups
+      if (rnd.nextInt(5) == 0)
+        s"the shared passage number ${rnd.nextInt(8)} of this corpus " +
+          "is long enough to pass the quality gate and it is in " +
+          "english for the language gate"
+      else Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    var live = scala.collection.mutable.Map(
+      (0L until 120L).map(i => i -> text()): _*)
+    val bench = docsDf(9000L ->
+      ("benchmark " + Seq.fill(40)(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")))
+    val bx = Curation.benchmarkIndex(bench, n = 10)
+    var state = Curation.flags(
+      docsDf(live.toSeq.sortBy(_._1): _*), bx, "doc_id", "text")
+      .localCheckpoint(true)
+    var nextId = 200L
+    (1 to 3).foreach { round =>
+      // random churn: deletes of live ids, inserts of fresh ids,
+      // updates (delete+insert at the CDF level) of live ids
+      val ids = live.keys.toVector.sorted
+      val dels = rnd.shuffle(ids).take(10)
+      val upds = rnd.shuffle(ids.filterNot(dels.contains)).take(10)
+      val ins = (0 until 15).map { _ => val id = nextId; nextId += 1
+        id -> text() }
+      val updRows = upds.map(id => id -> text())
+      val changes = docsDf(dels.map(id => id -> live(id)) ++
+          upds.map(id => id -> live(id)): _*)
+        .withColumn("_change_type", lit("delete"))
+        .unionByName(docsDf(ins ++ updRows: _*)
+          .withColumn("_change_type", lit("insert")))
+      dels.foreach(live.remove)
+      updRows.foreach { case (id, tx) => live(id) = tx }
+      ins.foreach { case (id, tx) => live(id) = tx }
+      state = Curation.refreshFlags(state, changes, bx,
+        "doc_id", "text").localCheckpoint(true)
+      val rebuilt = Curation.flags(
+        docsDf(live.toSeq.sortBy(_._1): _*), bx, "doc_id", "text")
+      assert(state.exceptAll(rebuilt).isEmpty &&
+        rebuilt.exceptAll(state).isEmpty,
+        s"round $round: refreshed state diverged from rebuild")
+    }
   }
 }
