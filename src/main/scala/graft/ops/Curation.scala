@@ -201,6 +201,27 @@ object Curation {
                    bench: BenchmarkIndex,
                    idCol: String, textCol: String)
       : DataFrame = {
+    val (removed, reElected) =
+      refreshDelta(flagDf, changes, bench, idCol, textCol)
+    val touchedH = broadcast(reElected.select(col("h")).distinct())
+    val carried = flagDf
+      .join(broadcast(removed), Seq(idCol), "left_anti")
+      .join(touchedH, Seq("h"), "left_anti")
+      .select(col(idCol), col("h"), col("f1"), col("f2"),
+        col("clean"), col("f3"), col("f4"))
+    carried.unionByName(reElected)
+  }
+
+  /** The refresh as a WRITE-SIZED delta instead of a full state:
+    * (removed ids, re-elected rows) — what [[maintainFlags]] merges
+    * into a standing ACID flags table. `reElected` carries every row
+    * of every TOUCHED hash group (so its hash set doubles as the
+    * carried/re-elected split key), which is micro-batch-bounded.
+    */
+  def refreshDelta(flagDf: DataFrame, changes: DataFrame,
+                   bench: BenchmarkIndex,
+                   idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
     val removed = changes
       .filter(col("_change_type").isin("delete", "update_preimage"))
       .select(col(idCol)).distinct()
@@ -214,11 +235,6 @@ object Curation {
     val touchedH = broadcast(
       flagDf.join(removedB, Seq(idCol), "left_semi").select(col("h"))
         .unionByName(addedFlags.select(col("h"))).distinct())
-    val carried = flagDf
-      .join(removedB, Seq(idCol), "left_anti")
-      .join(touchedH, Seq("h"), "left_anti")
-      .select(col(idCol), col("h"), col("f1"), col("f2"),
-        col("clean"), col("f3"), col("f4"))
     val reElected = electKeepers(
       flagDf.join(removedB, Seq(idCol), "left_anti")
         .join(touchedH, Seq("h"), "left_semi")
@@ -226,6 +242,66 @@ object Curation {
           col("clean"))
         .unionByName(addedFlags),
       idCol)
-    carried.unionByName(reElected)
+    (removed, reElected)
+  }
+
+  /** CONTINUOUS curation as table maintenance: fold every docs-table
+    * commit since the last maintained version into a standing ACID
+    * flags table, exactly once. The watermark is the docs version the
+    * flags last reflect, carried as a Delta-style
+    * txnAppId/txnVersion on the flags table itself — recorded IN the
+    * same commit as the flag mutation, so a driver crash between
+    * "compute" and "record" cannot exist, and an at-least-once
+    * re-drive of the same range replays as a no-op.
+    *
+    * First call (no watermark) seeds the full flag state; later calls
+    * read ONLY the docs CDF slice plus the flag state — O(state scan
+    * + changed docs), the corpus text is never re-read (the measured
+    * x_funnel_incremental shape: 3.8× at 1000× data). Mutations land
+    * as ONE merge commit: removed docs delete, touched groups
+    * upsert, everything else is untouched files carried by reference.
+    *
+    * Returns (docs version now reflected, rows written).
+    */
+  def maintainFlags(docs: graft.tables.ResourceTable,
+                    flagsTable: graft.tables.ResourceTable,
+                    bench: BenchmarkIndex,
+                    idCol: String = "doc_id",
+                    textCol: String = "text",
+                    appId: String = "graft-curation")
+      : (Long, Long) = {
+    val cur = docs.latestVersion.getOrElse(
+      throw new IllegalStateException(s"no snapshot in ${docs.path}"))
+    val last = flagsTable.txnVersion(appId)
+    if (last.exists(_ >= cur)) return (cur, 0L)
+    last match {
+      case None =>
+        val full = flags(docs.read(), bench, idCol, textCol)
+        (cur, flagsTable.append(full, txn = Some((appId, cur))))
+      case Some(from) =>
+        val changes = docs.changes(from, cur, idCol)
+        val state = flagsTable.read()
+        val (removed, reElected) =
+          refreshDelta(state, changes, bench, idCol, textCol)
+        val flagCols = Seq("h", "f1", "f2", "clean", "f3", "f4")
+        val source = reElected.withColumn("_del", lit(false))
+          .unionByName(removed
+            .withColumn("h", lit(null).cast("string"))
+            .withColumn("f1", lit(null).cast("boolean"))
+            .withColumn("f2", lit(null).cast("boolean"))
+            .withColumn("clean", lit(null).cast("boolean"))
+            .withColumn("f3", lit(null).cast("boolean"))
+            .withColumn("f4", lit(null).cast("boolean"))
+            .withColumn("_del", lit(true)))
+        val n = flagsTable.merge(source, idCol)
+          .whenMatchedDelete(col("s._del"))
+          .whenMatchedUpdate(
+            flagCols.map(c => c -> col(s"s.$c")).toMap,
+            !col("s._del"))
+          .whenNotMatchedInsert(!col("s._del"))
+          .withTransaction(appId, cur)
+          .execute()
+        (cur, n)
+    }
   }
 }

@@ -356,6 +356,7 @@ object Lakehousekeeper {
           " | optimize <dir> [numFiles|<size>g|<size>m] [compression]" +
           " | compact <dir> [min<m>] | purge-dv <dir> [minDeadFraction]" +
           " | register <dir> | register-hms <dir> <thrift://h:p>" +
+          " | curate <docsTable> <flagsTable> <benchParquet>" +
           " | describe <dir>" +
           " | export-delta <dir> | cleanup-delta-log <dir> [retentionMs]" +
           " | history <tablePath> | restore <tablePath> <version>" +
@@ -407,6 +408,33 @@ object Lakehousekeeper {
           }
         case "register" =>
           register(spark, dir).foreach(n => println(s"registered $n"))
+        case "curate" =>
+          // continuous curation: fold docs commits into a standing
+          // flags table exactly once (Curation.maintainFlags)
+          val flagsPath = args.lift(2).getOrElse(
+            throw new IllegalArgumentException(
+              "curate needs <docsTablePath> <flagsTablePath> " +
+                "<benchParquet>"))
+          val benchPath = args.lift(3).getOrElse(
+            throw new IllegalArgumentException(
+              "curate needs <docsTablePath> <flagsTablePath> " +
+                "<benchParquet>"))
+          import org.apache.spark.sql.types._
+          val flagsT = ResourceTable(spark, flagsPath)
+            .createIfNotExists(StructType(Seq(
+              StructField("doc_id", LongType),
+              StructField("h", StringType),
+              StructField("f1", BooleanType),
+              StructField("f2", BooleanType),
+              StructField("clean", BooleanType),
+              StructField("f3", BooleanType),
+              StructField("f4", BooleanType))))
+          val bx = graft.ops.Curation.benchmarkIndex(
+            spark.read.parquet(benchPath))
+          val (v, n) = graft.ops.Curation.maintainFlags(
+            ResourceTable(spark, dir), flagsT, bx)
+          println(s"curated $dir -> $flagsPath at docs version $v " +
+            s"($n rows written)")
         case "register-hms" =>
           val uris = args.lift(2).getOrElse(throw new
               IllegalArgumentException(

@@ -2481,7 +2481,11 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       source: DataFrame, key: String,
       matched: Seq[(org.apache.spark.sql.Column,
         Option[Map[String, org.apache.spark.sql.Column]])],
-      notMatchedInsert: Option[org.apache.spark.sql.Column]): Long = {
+      notMatchedInsert: Option[org.apache.spark.sql.Column],
+      // Delta txnAppId/txnVersion: a merge at or below the appId's
+      // committed watermark replays as a no-op (0 rows) — exactly-once
+      // incremental maintenance on at-least-once drivers
+      txn: Option[(String, Long)] = None): Long = {
     // GENERATED ALWAYS invariant under clause updates: assigning a
     // generated column directly, or one of its referenced columns,
     // through a whenMatchedUpdate set-map would leave stored values
@@ -2511,6 +2515,11 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         val cur = latestVersion
         val curV = cur.getOrElse(
           throw new IllegalStateException(s"no table at $path"))
+        val replayed = txn.exists { case (app, batch) =>
+          FileStats.txnsOf(commitBody(curV)).get(app).exists(batch <= _)
+        }
+        if (replayed) 0L
+        else {
         val files = fileListAt(curV)
         val tableSchema = schema()
         val outCols = tableSchema.fieldNames.toSeq
@@ -2574,10 +2583,11 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         // same rebase shape as upsert: read set = key-overlapping
         // files, all removed, so only winner ADDS need the stats test
         commitFiles(newData, kept, tableSchema.json, cur, op = "MERGE",
-          key = Some(key),
+          txn = txn, key = Some(key),
           rebase = Some(Rebase(files.filterNot(_._2.rows == 0),
             (adds, _) => adds.exists(f => mayOverlap(f._2)))))
         srcRows
+        }
       }
     } finally src.unpersist()
   }
@@ -3682,32 +3692,43 @@ final class MergeBuilder private[tables] (
     t: ResourceTable, source: DataFrame, key: String,
     matched: Vector[(org.apache.spark.sql.Column,
       Option[Map[String, org.apache.spark.sql.Column]])],
-    notMatchedInsert: Option[org.apache.spark.sql.Column]) {
+    notMatchedInsert: Option[org.apache.spark.sql.Column],
+    txn: Option[(String, Long)] = None) {
   import org.apache.spark.sql.functions.lit
 
   def whenMatchedUpdate(
       set: Map[String, org.apache.spark.sql.Column],
       condition: org.apache.spark.sql.Column = lit(true)): MergeBuilder =
     new MergeBuilder(t, source, key,
-      matched :+ (condition -> Some(set)), notMatchedInsert)
+      matched :+ (condition -> Some(set)), notMatchedInsert, txn)
 
   def whenMatchedDelete(
       condition: org.apache.spark.sql.Column = lit(true)): MergeBuilder =
     new MergeBuilder(t, source, key,
-      matched :+ (condition -> None), notMatchedInsert)
+      matched :+ (condition -> None), notMatchedInsert, txn)
 
   def whenNotMatchedInsert(
       condition: org.apache.spark.sql.Column = lit(true)): MergeBuilder =
-    new MergeBuilder(t, source, key, matched, Some(condition))
+    new MergeBuilder(t, source, key, matched, Some(condition), txn)
+
+  /** Delta txnAppId/txnVersion idempotence: a merge at or below the
+    * appId's committed watermark replays as a no-op — the watermark
+    * and the merge land in ONE commit, so a driver crash between them
+    * cannot exist.
+    */
+  def withTransaction(appId: String, version: Long): MergeBuilder =
+    new MergeBuilder(t, source, key, matched, notMatchedInsert,
+      Some((appId, version)))
 
   /** Run the merge; returns the source row count (the upsert
-    * convention). A builder with no clauses is a no-op misuse —
+    * convention; 0 when the transaction watermark marks the batch
+    * replayed). A builder with no clauses is a no-op misuse —
     * refused loudly.
     */
   def execute(): Long = {
     require(matched.nonEmpty || notMatchedInsert.nonEmpty,
       "merge needs at least one whenMatched/whenNotMatched clause")
-    t.executeMerge(source, key, matched, notMatchedInsert)
+    t.executeMerge(source, key, matched, notMatchedInsert, txn)
   }
 }
 
