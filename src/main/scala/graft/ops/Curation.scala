@@ -278,30 +278,50 @@ object Curation {
       case None =>
         val full = flags(docs.read(), bench, idCol, textCol)
         (cur, flagsTable.append(full, txn = Some((appId, cur))))
+      case Some(from) if !docs.versionExists(from) =>
+        // docs history trimmed past the watermark (cleanupMetadata):
+        // the CDF slice is gone, so fall back to a full RESEED through
+        // the same single-commit merge — the flags table stays
+        // continuously readable and the watermark still rides the
+        // mutation (removed = state ids the corpus no longer has)
+        val full = flags(docs.read(), bench, idCol, textCol)
+        val removed = flagsTable.read().select(col(idCol))
+          .join(full.select(col(idCol)), Seq(idCol), "left_anti")
+        (cur, foldDelta(flagsTable, removed, full, idCol, appId, cur))
       case Some(from) =>
         val changes = docs.changes(from, cur, idCol)
         val state = flagsTable.read()
         val (removed, reElected) =
           refreshDelta(state, changes, bench, idCol, textCol)
-        val flagCols = Seq("h", "f1", "f2", "clean", "f3", "f4")
-        val source = reElected.withColumn("_del", lit(false))
-          .unionByName(removed
-            .withColumn("h", lit(null).cast("string"))
-            .withColumn("f1", lit(null).cast("boolean"))
-            .withColumn("f2", lit(null).cast("boolean"))
-            .withColumn("clean", lit(null).cast("boolean"))
-            .withColumn("f3", lit(null).cast("boolean"))
-            .withColumn("f4", lit(null).cast("boolean"))
-            .withColumn("_del", lit(true)))
-        val n = flagsTable.merge(source, idCol)
-          .whenMatchedDelete(col("s._del"))
-          .whenMatchedUpdate(
-            flagCols.map(c => c -> col(s"s.$c")).toMap,
-            !col("s._del"))
-          .whenNotMatchedInsert(!col("s._del"))
-          .withTransaction(appId, cur)
-          .execute()
-        (cur, n)
+        (cur, foldDelta(flagsTable, removed, reElected, idCol, appId,
+          cur))
     }
+  }
+
+  /** One exactly-once merge commit folding a (removed ids, upserted
+    * rows) delta into the flags table with the docs-version watermark.
+    */
+  private def foldDelta(flagsTable: graft.tables.ResourceTable,
+                        removed: DataFrame, upserts: DataFrame,
+                        idCol: String, appId: String,
+                        docsVersion: Long): Long = {
+    val flagCols = Seq("h", "f1", "f2", "clean", "f3", "f4")
+    val source = upserts.withColumn("_del", lit(false))
+      .unionByName(removed
+        .withColumn("h", lit(null).cast("string"))
+        .withColumn("f1", lit(null).cast("boolean"))
+        .withColumn("f2", lit(null).cast("boolean"))
+        .withColumn("clean", lit(null).cast("boolean"))
+        .withColumn("f3", lit(null).cast("boolean"))
+        .withColumn("f4", lit(null).cast("boolean"))
+        .withColumn("_del", lit(true)))
+    flagsTable.merge(source, idCol)
+      .whenMatchedDelete(col("s._del"))
+      .whenMatchedUpdate(
+        flagCols.map(c => c -> col(s"s.$c")).toMap,
+        !col("s._del"))
+      .whenNotMatchedInsert(!col("s._del"))
+      .withTransaction(appId, docsVersion)
+      .execute()
   }
 }

@@ -87,5 +87,26 @@ class CurationMaintenanceSpec extends SparkSpec {
     val (v3, _) = Curation.maintainFlags(docs, flagsT, bx)
     assert(v3 == docs.latestVersion.get)
     checkAgainstRebuild()
+
+    // docs history trimmed past the watermark: the CDF slice is gone —
+    // maintenance falls back to a full reseed through the same
+    // single-commit merge (watermark still rides the mutation) and
+    // converges again afterwards
+    docs.upsert(Seq(200L -> text(200)).toDF("doc_id", "text"),
+      "doc_id")
+    docs.deleteWhere(col("doc_id") === 100L)
+    docs.vacuum(retentionMs = 0L)
+    docs.cleanupMetadata(keepLast = 1)
+    assert(!docs.versionExists(v3), "fixture should have trimmed v3")
+    val (v4, n4) = Curation.maintainFlags(docs, flagsT, bx)
+    assert(v4 == docs.latestVersion.get && n4 > 0L)
+    assert(flagsT.txnVersion("graft-curation").contains(v4))
+    checkAgainstRebuild()
+    // and the fold after the reseed is incremental again
+    docs.upsert(Seq(201L -> text(201)).toDF("doc_id", "text"),
+      "doc_id")
+    val (v5, _) = Curation.maintainFlags(docs, flagsT, bx)
+    assert(v5 == docs.latestVersion.get)
+    checkAgainstRebuild()
   }
 }
