@@ -77,6 +77,9 @@ object BloomExpressions {
         Platform.getByte(base, off + endB))
       c += 1
     }
+    // a truncated multi-byte tail can overshoot — clamp so the hash
+    // and the materialized window never read past the buffer
+    if (endB > total) endB = total
     if (c < n) return EmptyStringArray
     var out: java.util.ArrayList[AnyRef] = null
     var seen: java.util.HashSet[UTF8String] = null
@@ -99,6 +102,7 @@ object BloomExpressions {
           Platform.getByte(base, off + startB))
         endB += UTF8String.numBytesForFirstByte(
           Platform.getByte(base, off + endB))
+        if (endB > total) endB = total
       }
     }
     if (out == null) EmptyStringArray

@@ -276,8 +276,13 @@ object Curation {
     if (last.exists(_ >= cur)) return (cur, 0L)
     last match {
       case None =>
+        // seed THROUGH the merge too: a pre-populated flags table (a
+        // manual backfill, a lost watermark) reconciles instead of
+        // duplicating — on an empty table the merge is a pure insert
         val full = flags(docs.read(), bench, idCol, textCol)
-        (cur, flagsTable.append(full, txn = Some((appId, cur))))
+        val removed = flagsTable.read().select(col(idCol))
+          .join(full.select(col(idCol)), Seq(idCol), "left_anti")
+        (cur, foldDelta(flagsTable, removed, full, idCol, appId, cur))
       case Some(from) if !docs.versionExists(from) =>
         // docs history trimmed past the watermark (cleanupMetadata):
         // the CDF slice is gone, so fall back to a full RESEED through

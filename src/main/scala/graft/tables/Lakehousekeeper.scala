@@ -117,7 +117,11 @@ object Lakehousekeeper {
     import org.apache.hadoop.hive.metastore.api.{Database, FieldSchema,
       SerDeInfo, StorageDescriptor, Table => HTable}
     import scala.jdk.CollectionConverters._
-    val (schemaName, table) = tableName(p)
+    // HMS stores db/table names lowercase; probe and create in the
+    // same case or the exists check misses and createDatabase throws
+    // AlreadyExists on the second registration
+    val (schemaName0, table) = tableName(p)
+    val schemaName = schemaName0.toLowerCase
     val t = ResourceTable(spark, p)
     val v = t.latestVersion.getOrElse(
       throw new IllegalStateException(s"no snapshot in $p"))
