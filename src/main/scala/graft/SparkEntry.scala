@@ -1864,13 +1864,6 @@ object SparkEntry {
         col("meta").getField("versionId").as("version_id"))
     }),
 
-    // ---- FOREIGN-type encode (reference bundle_processor.py:162–166
-    //      encodes ANY R4 type via Pathling): a DiagnosticReport — a
-    //      type OUTSIDE the five-type registry — still gets typed
-    //      id/meta/identifier/extension columns through the generic
-    //      DomainResource backbone, and the type-specific `conclusion`
-    //      field (untyped by the backbone) survives via resource_json
-    //      retention. Oracle recomputes every value relationally ----
     // ---- typed encode through one of the round-12 registry additions
     //      (Immunization): nested choice types, decimal(32,6) dose,
     //      protocolApplied backbone — the any-Synthea-type parity leg ----
@@ -1914,7 +1907,7 @@ object SparkEntry {
 
     "q_fhir_encode_foreign" -> ((s, dir) => {
       val raw = t(s, dir, "orders").select(to_json(struct(
-        lit("AllergyIntolerance").as("resourceType"),
+        lit("Device").as("resourceType"),
         col("o_orderkey").cast(StringType).as("id"),
         struct(col("o_orderkey").cast(StringType).as("versionId"),
           lit("2024-01-01T00:00:00Z").as("lastUpdated")).as("meta"),
@@ -1925,10 +1918,11 @@ object SparkEntry {
         array(struct(lit("http://graft/status").as("url"),
           col("o_orderstatus").as("valueString"))).as("extension"),
         col("o_orderpriority").as("conclusion"))).as("resource"))
-      // AllergyIntolerance stays OUTSIDE the registry (round 12 typed
-      // DiagnosticReport/Immunization/MedicationRequest), so this gate
-      // keeps proving the generic-backbone path for ANY unseen type
-      graft.fhir.FhirEncoder.encode(raw, "AllergyIntolerance").select(
+      // Device stays OUTSIDE the registry (round 15 typed the full
+      // Synthea default set incl. AllergyIntolerance — this gate's
+      // previous foreign type), so it keeps proving the
+      // generic-backbone path for ANY unseen type
+      graft.fhir.FhirEncoder.encode(raw, "Device").select(
         col("id"),
         col("meta").getField("versionId").as("version_id"),
         col("meta").getField("lastUpdated").as("last_updated"),
@@ -1939,6 +1933,284 @@ object SparkEntry {
           .as("status_ext"),
         get_json_object(col("resource_json"), "$.conclusion")
           .as("conclusion"))
+    }),
+
+    // ---- round-15 typed registry tier: the six remaining Synthea
+    //      default types (reference data/generate-sample-data.sh:22–28
+    //      → bundle_processor.py:162–166 encodes via Pathling). One
+    //      exact-oracled encode round trip per type; nested choice
+    //      types, Money decimal(32,6), 3-level item→detail→subDetail
+    //      backbones all proven value-exact against the relational
+    //      recomputation ----
+    "q_fhir_encode_allergy" -> ((s, dir) => {
+      val raw = t(s, dir, "customer").select(to_json(struct(
+        lit("AllergyIntolerance").as("resourceType"),
+        col("c_custkey").cast(StringType).as("id"),
+        struct(array(struct(
+          lit("http://terminology.hl7.org/CodeSystem/allergyintolerance-clinical")
+            .as("system"),
+          lit("active").as("code"))).as("coding")).as("clinicalStatus"),
+        lit("allergy").as("type"),
+        array(lit("food"), lit("environment")).as("category"),
+        when(col("c_acctbal") > 0, "high").otherwise("low")
+          .as("criticality"),
+        struct(col("c_mktsegment").as("text")).as("code"),
+        struct(concat(lit("Patient/"),
+          col("c_custkey").cast(StringType)).as("reference"))
+          .as("patient"),
+        array(struct(
+          array(struct(col("c_name").as("text"))).as("manifestation"),
+          lit("moderate").as("severity"))).as("reaction")))
+        .as("resource"))
+      graft.fhir.FhirEncoder.encode(raw, "AllergyIntolerance").select(
+        col("id"),
+        element_at(col("clinicalStatus").getField("coding"), 1)
+          .getField("code").as("clinical_status"),
+        col("type").as("allergy_type"),
+        element_at(col("category"), 2).as("category2"),
+        col("criticality"),
+        col("code").getField("text").as("code_text"),
+        col("patient").getField("reference").as("patient_ref"),
+        element_at(element_at(col("reaction"), 1)
+          .getField("manifestation"), 1).getField("text")
+          .as("manifestation_text"),
+        element_at(col("reaction"), 1).getField("severity")
+          .as("severity"))
+    }),
+
+    "q_fhir_encode_careplan" -> ((s, dir) => {
+      val raw = t(s, dir, "part").select(to_json(struct(
+        lit("CarePlan").as("resourceType"),
+        col("p_partkey").cast(StringType).as("id"),
+        lit("active").as("status"),
+        lit("order").as("intent"),
+        array(struct(
+          array(struct(lit("http://snomed.info/sct").as("system"),
+            (col("p_partkey") % 7).cast(StringType).as("code")))
+            .as("coding"),
+          col("p_type").as("text"))).as("category"),
+        col("p_name").as("title"),
+        struct(concat(lit("Patient/"),
+          col("p_partkey").cast(StringType)).as("reference"))
+          .as("subject"),
+        struct(lit("2020-01-01").as("start"),
+          lit("2021-01-01").as("end")).as("period"),
+        array(struct(struct(
+          lit("scheduled").as("status"),
+          struct(col("p_brand").as("text")).as("code"),
+          struct(col("p_retailprice").as("value"), lit("1/d").as("unit"))
+            .as("dailyAmount"),
+          col("p_type").as("description")).as("detail")))
+          .as("activity"))).as("resource"))
+      graft.fhir.FhirEncoder.encode(raw, "CarePlan").select(
+        col("id"), col("status"), col("intent"),
+        element_at(col("category"), 1).getField("text")
+          .as("category_text"),
+        element_at(element_at(col("category"), 1).getField("coding"), 1)
+          .getField("code").as("category_code"),
+        col("title"),
+        col("subject").getField("reference").as("subject_ref"),
+        col("period").getField("start").as("period_start"),
+        element_at(col("activity"), 1).getField("detail")
+          .getField("status").as("activity_status"),
+        element_at(col("activity"), 1).getField("detail")
+          .getField("code").getField("text").as("activity_code_text"),
+        element_at(col("activity"), 1).getField("detail")
+          .getField("dailyAmount").getField("value").cast(StringType)
+          .as("daily_amount"),
+        element_at(col("activity"), 1).getField("detail")
+          .getField("description").as("activity_desc"))
+    }),
+
+    "q_fhir_encode_claim" -> ((s, dir) => {
+      val raw = t(s, dir, "supplier").select(to_json(struct(
+        lit("Claim").as("resourceType"),
+        col("s_suppkey").cast(StringType).as("id"),
+        lit("active").as("status"),
+        struct(array(struct(
+          lit("http://terminology.hl7.org/CodeSystem/claim-type")
+            .as("system"),
+          lit("institutional").as("code"))).as("coding")).as("type"),
+        lit("claim").as("use"),
+        struct(concat(lit("Patient/"),
+          col("s_nationkey").cast(StringType)).as("reference"))
+          .as("patient"),
+        struct(lit("2023-01-01").as("start"),
+          lit("2023-12-31").as("end")).as("billablePeriod"),
+        lit("2024-01-01T00:00:00Z").as("created"),
+        struct(concat(lit("Practitioner/"),
+          col("s_suppkey").cast(StringType)).as("reference"))
+          .as("provider"),
+        array(struct(lit(1).as("sequence"),
+          struct(col("s_name").as("text"))
+            .as("diagnosisCodeableConcept"))).as("diagnosis"),
+        array(struct(lit(1).as("sequence"), lit(true).as("focal"),
+          struct(concat(lit("Coverage/"),
+            col("s_suppkey").cast(StringType)).as("reference"))
+            .as("coverage"))).as("insurance"),
+        array(struct(
+          lit(1).as("sequence"),
+          struct(concat(lit("svc-"), (col("s_suppkey") % 5)
+            .cast(StringType)).as("text")).as("productOrService"),
+          struct(col("s_acctbal").as("value"), lit("USD").as("currency"))
+            .as("net"),
+          array(struct(lit(1).as("sequence"),
+            struct(col("s_acctbal").as("value"),
+              lit("USD").as("currency")).as("unitPrice"),
+            array(struct(lit(1).as("sequence"),
+              struct(col("s_acctbal").as("value"),
+                lit("USD").as("currency")).as("net"))).as("subDetail")))
+            .as("detail"))).as("item"),
+        struct(col("s_acctbal").as("value"), lit("USD").as("currency"))
+          .as("total"))).as("resource"))
+      graft.fhir.FhirEncoder.encode(raw, "Claim").select(
+        col("id"), col("status"),
+        element_at(col("type").getField("coding"), 1).getField("code")
+          .as("claim_type"),
+        col("use").as("claim_use"),
+        col("patient").getField("reference").as("patient_ref"),
+        col("billablePeriod").getField("start").as("billable_start"),
+        col("provider").getField("reference").as("provider_ref"),
+        element_at(col("diagnosis"), 1)
+          .getField("diagnosisCodeableConcept").getField("text")
+          .as("diagnosis_text"),
+        element_at(col("insurance"), 1).getField("focal")
+          .as("insurance_focal"),
+        element_at(col("item"), 1).getField("productOrService")
+          .getField("text").as("item_service"),
+        element_at(col("item"), 1).getField("net").getField("value")
+          .cast(StringType).as("item_net"),
+        element_at(element_at(col("item"), 1).getField("detail"), 1)
+          .getField("unitPrice").getField("value").cast(StringType)
+          .as("detail_unit_price"),
+        element_at(element_at(element_at(col("item"), 1)
+          .getField("detail"), 1).getField("subDetail"), 1)
+          .getField("net").getField("value").cast(StringType)
+          .as("subdetail_net"),
+        col("total").getField("value").cast(StringType)
+          .as("total_value"),
+        col("total").getField("currency").as("currency"))
+    }),
+
+    "q_fhir_encode_eob" -> ((s, dir) => {
+      val raw = t(s, dir, "customer").select(to_json(struct(
+        lit("ExplanationOfBenefit").as("resourceType"),
+        col("c_custkey").cast(StringType).as("id"),
+        lit("active").as("status"),
+        lit("claim").as("use"),
+        struct(concat(lit("Patient/"),
+          col("c_custkey").cast(StringType)).as("reference"))
+          .as("patient"),
+        lit("2024-02-02T00:00:00Z").as("created"),
+        struct(lit("Organization/ins1").as("reference")).as("insurer"),
+        struct(concat(lit("Practitioner/"),
+          col("c_nationkey").cast(StringType)).as("reference"))
+          .as("provider"),
+        lit("complete").as("outcome"),
+        array(struct(lit(true).as("focal"),
+          struct(concat(lit("Coverage/"),
+            col("c_custkey").cast(StringType)).as("reference"))
+            .as("coverage"))).as("insurance"),
+        array(struct(lit(1).as("sequence"),
+          struct(col("c_mktsegment").as("text")).as("productOrService"),
+          array(struct(struct(lit("submitted").as("text")).as("category"),
+            struct(col("c_acctbal").as("value"),
+              lit("USD").as("currency")).as("amount")))
+            .as("adjudication"))).as("item"),
+        array(struct(struct(lit("submitted").as("text")).as("category"),
+          struct(col("c_acctbal").as("value"), lit("USD").as("currency"))
+            .as("amount"))).as("total"),
+        struct(lit("2024-03-01").as("date"),
+          struct(col("c_acctbal").as("value"), lit("USD").as("currency"))
+            .as("amount")).as("payment"),
+        array(struct(struct(col("c_name").as("text")).as("category"),
+          array(struct(struct(lit("allowed").as("text")).as("type"),
+            lit(10).as("allowedUnsignedInt"))).as("financial")))
+          .as("benefitBalance"))).as("resource"))
+      graft.fhir.FhirEncoder.encode(raw, "ExplanationOfBenefit").select(
+        col("id"), col("status"), col("outcome"),
+        col("patient").getField("reference").as("patient_ref"),
+        col("provider").getField("reference").as("provider_ref"),
+        element_at(col("item"), 1).getField("productOrService")
+          .getField("text").as("item_service"),
+        element_at(element_at(col("item"), 1).getField("adjudication"), 1)
+          .getField("amount").getField("value").cast(StringType)
+          .as("item_adj_amount"),
+        element_at(col("total"), 1).getField("category").getField("text")
+          .as("total_category"),
+        element_at(col("total"), 1).getField("amount").getField("value")
+          .cast(StringType).as("total_amount"),
+        col("payment").getField("date").as("payment_date"),
+        element_at(col("benefitBalance"), 1).getField("category")
+          .getField("text").as("benefit_category"),
+        element_at(element_at(col("benefitBalance"), 1)
+          .getField("financial"), 1).getField("allowedUnsignedInt")
+          .as("benefit_allowed"))
+    }),
+
+    "q_fhir_encode_org" -> ((s, dir) => {
+      val raw = t(s, dir, "nation").select(to_json(struct(
+        lit("Organization").as("resourceType"),
+        col("n_nationkey").cast(StringType).as("id"),
+        lit(true).as("active"),
+        array(struct(array(struct(
+          lit("http://terminology.hl7.org/CodeSystem/organization-type")
+            .as("system"),
+          lit("prov").as("code"))).as("coding"))).as("type"),
+        col("n_name").as("name"),
+        array(lower(col("n_name"))).as("alias"),
+        array(struct(lit("phone").as("system"),
+          concat(lit("+1-"), col("n_nationkey").cast(StringType))
+            .as("value"))).as("telecom"),
+        array(struct(col("n_name").as("city"))).as("address"),
+        struct(concat(lit("Organization/region-"),
+          col("n_regionkey").cast(StringType)).as("reference"))
+          .as("partOf"))).as("resource"))
+      graft.fhir.FhirEncoder.encode(raw, "Organization").select(
+        col("id"), col("active"), col("name"),
+        element_at(element_at(col("type"), 1).getField("coding"), 1)
+          .getField("code").as("org_type"),
+        element_at(col("alias"), 1).as("alias1"),
+        element_at(col("telecom"), 1).getField("value").as("phone"),
+        element_at(col("address"), 1).getField("city").as("city"),
+        col("partOf").getField("reference").as("part_of"))
+    }),
+
+    "q_fhir_encode_practitioner" -> ((s, dir) => {
+      val raw = t(s, dir, "supplier").select(to_json(struct(
+        lit("Practitioner").as("resourceType"),
+        col("s_suppkey").cast(StringType).as("id"),
+        lit(true).as("active"),
+        array(struct(lit("official").as("use"),
+          col("s_name").as("family"),
+          array(lit("Dr")).as("prefix"),
+          split(col("s_name"), "#").as("given"))).as("name"),
+        when(col("s_suppkey") % 2 === 0, "female").otherwise("male")
+          .as("gender"),
+        lit("1980-01-01").as("birthDate"),
+        array(struct(
+          struct(array(struct(
+            lit("http://terminology.hl7.org/CodeSystem/v2-0360")
+              .as("system"),
+            lit("MD").as("code"))).as("coding")).as("code"),
+          struct(concat(lit("Organization/"),
+            col("s_nationkey").cast(StringType)).as("reference"))
+            .as("issuer"))).as("qualification"),
+        array(struct(col("s_name").as("text"))).as("communication")))
+        .as("resource"))
+      graft.fhir.FhirEncoder.encode(raw, "Practitioner").select(
+        col("id"), col("active"),
+        element_at(col("name"), 1).getField("family").as("family"),
+        element_at(element_at(col("name"), 1).getField("given"), 1)
+          .as("given1"),
+        col("gender"),
+        col("birthDate").as("birth_date"),
+        element_at(element_at(col("qualification"), 1).getField("code")
+          .getField("coding"), 1).getField("code").as("qual_code"),
+        element_at(col("qualification"), 1).getField("issuer")
+          .getField("reference").as("issuer_ref"),
+        element_at(col("communication"), 1).getField("text")
+          .as("comm_text"))
     }),
 
     // ---- approx distinct (HLL++) made hash-decidable: DuckDB can't
@@ -6043,6 +6315,89 @@ object SparkEntry {
         |  o_orderstatus AS status_ext,
         |  o_orderpriority AS conclusion
         |FROM orders""".stripMargin,
+
+    "q_fhir_encode_allergy" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS id,
+        |  'active' AS clinical_status,
+        |  'allergy' AS allergy_type,
+        |  'environment' AS category2,
+        |  CASE WHEN c_acctbal > 0 THEN 'high' ELSE 'low' END AS criticality,
+        |  c_mktsegment AS code_text,
+        |  'Patient/' || CAST(c_custkey AS VARCHAR) AS patient_ref,
+        |  c_name AS manifestation_text,
+        |  'moderate' AS severity
+        |FROM customer""".stripMargin,
+
+    "q_fhir_encode_careplan" ->
+      """SELECT CAST(p_partkey AS VARCHAR) AS id,
+        |  'active' AS status,
+        |  'order' AS intent,
+        |  p_type AS category_text,
+        |  CAST(p_partkey % 7 AS VARCHAR) AS category_code,
+        |  p_name AS title,
+        |  'Patient/' || CAST(p_partkey AS VARCHAR) AS subject_ref,
+        |  '2020-01-01' AS period_start,
+        |  'scheduled' AS activity_status,
+        |  p_brand AS activity_code_text,
+        |  CAST(CAST(p_retailprice AS DECIMAL(32,6)) AS VARCHAR) AS daily_amount,
+        |  p_type AS activity_desc
+        |FROM part""".stripMargin,
+
+    "q_fhir_encode_claim" ->
+      """SELECT CAST(s_suppkey AS VARCHAR) AS id,
+        |  'active' AS status,
+        |  'institutional' AS claim_type,
+        |  'claim' AS claim_use,
+        |  'Patient/' || CAST(s_nationkey AS VARCHAR) AS patient_ref,
+        |  '2023-01-01' AS billable_start,
+        |  'Practitioner/' || CAST(s_suppkey AS VARCHAR) AS provider_ref,
+        |  s_name AS diagnosis_text,
+        |  TRUE AS insurance_focal,
+        |  'svc-' || CAST(s_suppkey % 5 AS VARCHAR) AS item_service,
+        |  CAST(CAST(s_acctbal AS DECIMAL(32,6)) AS VARCHAR) AS item_net,
+        |  CAST(CAST(s_acctbal AS DECIMAL(32,6)) AS VARCHAR) AS detail_unit_price,
+        |  CAST(CAST(s_acctbal AS DECIMAL(32,6)) AS VARCHAR) AS subdetail_net,
+        |  CAST(CAST(s_acctbal AS DECIMAL(32,6)) AS VARCHAR) AS total_value,
+        |  'USD' AS currency
+        |FROM supplier""".stripMargin,
+
+    "q_fhir_encode_eob" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS id,
+        |  'active' AS status,
+        |  'complete' AS outcome,
+        |  'Patient/' || CAST(c_custkey AS VARCHAR) AS patient_ref,
+        |  'Practitioner/' || CAST(c_nationkey AS VARCHAR) AS provider_ref,
+        |  c_mktsegment AS item_service,
+        |  CAST(CAST(c_acctbal AS DECIMAL(32,6)) AS VARCHAR) AS item_adj_amount,
+        |  'submitted' AS total_category,
+        |  CAST(CAST(c_acctbal AS DECIMAL(32,6)) AS VARCHAR) AS total_amount,
+        |  '2024-03-01' AS payment_date,
+        |  c_name AS benefit_category,
+        |  CAST(10 AS INTEGER) AS benefit_allowed
+        |FROM customer""".stripMargin,
+
+    "q_fhir_encode_org" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS id,
+        |  TRUE AS active,
+        |  n_name AS name,
+        |  'prov' AS org_type,
+        |  lower(n_name) AS alias1,
+        |  '+1-' || CAST(n_nationkey AS VARCHAR) AS phone,
+        |  n_name AS city,
+        |  'Organization/region-' || CAST(n_regionkey AS VARCHAR) AS part_of
+        |FROM nation""".stripMargin,
+
+    "q_fhir_encode_practitioner" ->
+      """SELECT CAST(s_suppkey AS VARCHAR) AS id,
+        |  TRUE AS active,
+        |  s_name AS family,
+        |  string_split(s_name, '#')[1] AS given1,
+        |  CASE WHEN s_suppkey % 2 = 0 THEN 'female' ELSE 'male' END AS gender,
+        |  '1980-01-01' AS birth_date,
+        |  'MD' AS qual_code,
+        |  'Organization/' || CAST(s_nationkey AS VARCHAR) AS issuer_ref,
+        |  s_name AS comm_text
+        |FROM supplier""".stripMargin,
 
     "q_ann_topk_agg" ->
       """SELECT q_id, n_id, rank FROM (

@@ -15,10 +15,15 @@ import org.apache.spark.sql.types._
   *
   * Schema breadth follows Pathling's full-R4 derivation for the five
   * resource types the reference processes in parallel
-  * (src/settings.py:69–75): every R4 element of Patient / Observation /
-  * Condition / Encounter / Procedure is declared below, choice types
-  * (`value[x]`, `onset[x]`, `performed[x]`, …) expanded per variant,
-  * exactly as Pathling's encoder emits them. Conventions also match
+  * (src/settings.py:69–75) — Patient / Observation / Condition /
+  * Encounter / Procedure — plus every further type Synthea emits by
+  * default (reference data/generate-sample-data.sh:22–28):
+  * Immunization, MedicationRequest, DiagnosticReport,
+  * AllergyIntolerance, CarePlan, Claim, ExplanationOfBenefit,
+  * Organization, Practitioner. Every R4 element of each type is
+  * declared below, choice types (`value[x]`, `onset[x]`,
+  * `performed[x]`, …) expanded per variant, exactly as Pathling's
+  * encoder emits them. Conventions also match
   * Pathling where the reference's tests observe them: FHIR
   * `date`/`dateTime`/`instant`/`time` stay `StringType`
   * (precision-preserving), FHIR `decimal` → `DecimalType(32, 6)`,
@@ -110,6 +115,11 @@ object FhirEncoder {
   private val range = StructType(Seq(
     StructField("low", quantity),
     StructField("high", quantity)))
+
+  /** FHIR Money — value keeps Pathling's DecimalType(32,6) convention. */
+  private val money = StructType(Seq(
+    StructField("value", DecimalType(32, 6)),
+    StructField("currency", StringType)))
 
   private val ratio = StructType(Seq(
     StructField("numerator", quantity),
@@ -534,7 +544,435 @@ object FhirEncoder {
         StructField("link", reference))))),
       StructField("conclusion", StringType),
       StructField("conclusionCode", ccList),
-      StructField("presentedForm", ArrayType(attachment))))
+      StructField("presentedForm", ArrayType(attachment))),
+
+    // ---- round-15 tier: the remaining types Synthea emits by default
+    //      (reference data/generate-sample-data.sh:22–28 →
+    //      bundle_processor.py:162–166 encodes them via Pathling).
+    //      Full R4 element sets, same conventions; deep recursion
+    //      truncated at Pathling's default nesting (Claim/EOB
+    //      item→detail→subDetail kept to the real 3-level shape).
+
+    "AllergyIntolerance" -> domainResource(
+      StructField("identifier", identifierType),
+      StructField("clinicalStatus", codeableConcept),
+      StructField("verificationStatus", codeableConcept),
+      StructField("type", StringType),
+      StructField("category", ArrayType(StringType)),
+      StructField("criticality", StringType),
+      StructField("code", codeableConcept),
+      StructField("patient", reference),
+      StructField("encounter", reference),
+      StructField("onsetDateTime", StringType),
+      StructField("onsetAge", quantity),
+      StructField("onsetPeriod", period),
+      StructField("onsetRange", range),
+      StructField("onsetString", StringType),
+      StructField("recordedDate", StringType),
+      StructField("recorder", reference),
+      StructField("asserter", reference),
+      StructField("lastOccurrence", StringType),
+      StructField("note", annotationType),
+      StructField("reaction", ArrayType(StructType(Seq(
+        StructField("substance", codeableConcept),
+        StructField("manifestation", ccList),
+        StructField("description", StringType),
+        StructField("onset", StringType),
+        StructField("severity", StringType),
+        StructField("exposureRoute", codeableConcept),
+        StructField("note", annotationType)))))),
+
+    "CarePlan" -> domainResource(
+      StructField("identifier", identifierType),
+      StructField("instantiatesCanonical", ArrayType(StringType)),
+      StructField("instantiatesUri", ArrayType(StringType)),
+      StructField("basedOn", refList),
+      StructField("replaces", refList),
+      StructField("partOf", refList),
+      StructField("status", StringType),
+      StructField("intent", StringType),
+      StructField("category", ccList),
+      StructField("title", StringType),
+      StructField("description", StringType),
+      StructField("subject", reference),
+      StructField("encounter", reference),
+      StructField("period", period),
+      StructField("created", StringType),
+      StructField("author", reference),
+      StructField("contributor", refList),
+      StructField("careTeam", refList),
+      StructField("addresses", refList),
+      StructField("supportingInfo", refList),
+      StructField("goal", refList),
+      StructField("activity", ArrayType(StructType(Seq(
+        StructField("outcomeCodeableConcept", ccList),
+        StructField("outcomeReference", refList),
+        StructField("progress", annotationType),
+        StructField("reference", reference),
+        StructField("detail", StructType(Seq(
+          StructField("kind", StringType),
+          StructField("instantiatesCanonical", ArrayType(StringType)),
+          StructField("instantiatesUri", ArrayType(StringType)),
+          StructField("code", codeableConcept),
+          StructField("reasonCode", ccList),
+          StructField("reasonReference", refList),
+          StructField("goal", refList),
+          StructField("status", StringType),
+          StructField("statusReason", codeableConcept),
+          StructField("doNotPerform", BooleanType),
+          StructField("scheduledPeriod", period),
+          StructField("scheduledString", StringType),
+          StructField("location", reference),
+          StructField("performer", refList),
+          StructField("productCodeableConcept", codeableConcept),
+          StructField("productReference", reference),
+          StructField("dailyAmount", quantity),
+          StructField("quantity", quantity),
+          StructField("description", StringType)))))))),
+      StructField("note", annotationType)),
+
+    "Claim" -> domainResource(
+      StructField("identifier", identifierType),
+      StructField("status", StringType),
+      StructField("type", codeableConcept),
+      StructField("subType", codeableConcept),
+      StructField("use", StringType),
+      StructField("patient", reference),
+      StructField("billablePeriod", period),
+      StructField("created", StringType),
+      StructField("enterer", reference),
+      StructField("insurer", reference),
+      StructField("provider", reference),
+      StructField("priority", codeableConcept),
+      StructField("fundsReserve", codeableConcept),
+      StructField("related", ArrayType(StructType(Seq(
+        StructField("claim", reference),
+        StructField("relationship", codeableConcept),
+        StructField("reference", identifierElem))))),
+      StructField("prescription", reference),
+      StructField("originalPrescription", reference),
+      StructField("payee", StructType(Seq(
+        StructField("type", codeableConcept),
+        StructField("party", reference)))),
+      StructField("referral", reference),
+      StructField("facility", reference),
+      StructField("careTeam", ArrayType(StructType(Seq(
+        StructField("sequence", IntegerType),
+        StructField("provider", reference),
+        StructField("responsible", BooleanType),
+        StructField("role", codeableConcept),
+        StructField("qualification", codeableConcept))))),
+      StructField("supportingInfo", ArrayType(StructType(Seq(
+        StructField("sequence", IntegerType),
+        StructField("category", codeableConcept),
+        StructField("code", codeableConcept),
+        StructField("timingDate", StringType),
+        StructField("timingPeriod", period),
+        StructField("valueBoolean", BooleanType),
+        StructField("valueString", StringType),
+        StructField("valueQuantity", quantity),
+        StructField("valueAttachment", attachment),
+        StructField("valueReference", reference),
+        StructField("reason", codeableConcept))))),
+      StructField("diagnosis", ArrayType(StructType(Seq(
+        StructField("sequence", IntegerType),
+        StructField("diagnosisCodeableConcept", codeableConcept),
+        StructField("diagnosisReference", reference),
+        StructField("type", ccList),
+        StructField("onAdmission", codeableConcept),
+        StructField("packageCode", codeableConcept))))),
+      StructField("procedure", ArrayType(StructType(Seq(
+        StructField("sequence", IntegerType),
+        StructField("type", ccList),
+        StructField("date", StringType),
+        StructField("procedureCodeableConcept", codeableConcept),
+        StructField("procedureReference", reference),
+        StructField("udi", refList))))),
+      StructField("insurance", ArrayType(StructType(Seq(
+        StructField("sequence", IntegerType),
+        StructField("focal", BooleanType),
+        StructField("identifier", identifierElem),
+        StructField("coverage", reference),
+        StructField("businessArrangement", StringType),
+        StructField("preAuthRef", ArrayType(StringType)),
+        StructField("claimResponse", reference))))),
+      StructField("accident", StructType(Seq(
+        StructField("date", StringType),
+        StructField("type", codeableConcept),
+        StructField("locationAddress", addressElem),
+        StructField("locationReference", reference)))),
+      StructField("item", ArrayType(StructType(Seq(
+        StructField("sequence", IntegerType),
+        StructField("careTeamSequence", ArrayType(IntegerType)),
+        StructField("diagnosisSequence", ArrayType(IntegerType)),
+        StructField("procedureSequence", ArrayType(IntegerType)),
+        StructField("informationSequence", ArrayType(IntegerType)),
+        StructField("revenue", codeableConcept),
+        StructField("category", codeableConcept),
+        StructField("productOrService", codeableConcept),
+        StructField("modifier", ccList),
+        StructField("programCode", ccList),
+        StructField("servicedDate", StringType),
+        StructField("servicedPeriod", period),
+        StructField("locationCodeableConcept", codeableConcept),
+        StructField("locationAddress", addressElem),
+        StructField("locationReference", reference),
+        StructField("quantity", quantity),
+        StructField("unitPrice", money),
+        StructField("factor", DecimalType(32, 6)),
+        StructField("net", money),
+        StructField("udi", refList),
+        StructField("bodySite", codeableConcept),
+        StructField("subSite", ccList),
+        StructField("encounter", refList),
+        StructField("detail", ArrayType(StructType(Seq(
+          StructField("sequence", IntegerType),
+          StructField("revenue", codeableConcept),
+          StructField("category", codeableConcept),
+          StructField("productOrService", codeableConcept),
+          StructField("modifier", ccList),
+          StructField("programCode", ccList),
+          StructField("quantity", quantity),
+          StructField("unitPrice", money),
+          StructField("factor", DecimalType(32, 6)),
+          StructField("net", money),
+          StructField("udi", refList),
+          StructField("subDetail", ArrayType(StructType(Seq(
+            StructField("sequence", IntegerType),
+            StructField("revenue", codeableConcept),
+            StructField("category", codeableConcept),
+            StructField("productOrService", codeableConcept),
+            StructField("modifier", ccList),
+            StructField("programCode", ccList),
+            StructField("quantity", quantity),
+            StructField("unitPrice", money),
+            StructField("factor", DecimalType(32, 6)),
+            StructField("net", money),
+            StructField("udi", refList))))))))))))),
+      StructField("total", money)),
+
+    "ExplanationOfBenefit" -> {
+      val adjudication = ArrayType(StructType(Seq(
+        StructField("category", codeableConcept),
+        StructField("reason", codeableConcept),
+        StructField("amount", money),
+        StructField("value", DecimalType(32, 6)))))
+      domainResource(
+        StructField("identifier", identifierType),
+        StructField("status", StringType),
+        StructField("type", codeableConcept),
+        StructField("subType", codeableConcept),
+        StructField("use", StringType),
+        StructField("patient", reference),
+        StructField("billablePeriod", period),
+        StructField("created", StringType),
+        StructField("enterer", reference),
+        StructField("insurer", reference),
+        StructField("provider", reference),
+        StructField("priority", codeableConcept),
+        StructField("fundsReserveRequested", codeableConcept),
+        StructField("fundsReserve", codeableConcept),
+        StructField("related", ArrayType(StructType(Seq(
+          StructField("claim", reference),
+          StructField("relationship", codeableConcept),
+          StructField("reference", identifierElem))))),
+        StructField("prescription", reference),
+        StructField("originalPrescription", reference),
+        StructField("payee", StructType(Seq(
+          StructField("type", codeableConcept),
+          StructField("party", reference)))),
+        StructField("referral", reference),
+        StructField("facility", reference),
+        StructField("claim", reference),
+        StructField("claimResponse", reference),
+        StructField("outcome", StringType),
+        StructField("disposition", StringType),
+        StructField("preAuthRef", ArrayType(StringType)),
+        StructField("preAuthRefPeriod", ArrayType(period)),
+        StructField("careTeam", ArrayType(StructType(Seq(
+          StructField("sequence", IntegerType),
+          StructField("provider", reference),
+          StructField("responsible", BooleanType),
+          StructField("role", codeableConcept),
+          StructField("qualification", codeableConcept))))),
+        StructField("supportingInfo", ArrayType(StructType(Seq(
+          StructField("sequence", IntegerType),
+          StructField("category", codeableConcept),
+          StructField("code", codeableConcept),
+          StructField("timingDate", StringType),
+          StructField("timingPeriod", period),
+          StructField("valueBoolean", BooleanType),
+          StructField("valueString", StringType),
+          StructField("valueQuantity", quantity),
+          StructField("valueAttachment", attachment),
+          StructField("valueReference", reference),
+          StructField("reason", codingElem))))),
+        StructField("diagnosis", ArrayType(StructType(Seq(
+          StructField("sequence", IntegerType),
+          StructField("diagnosisCodeableConcept", codeableConcept),
+          StructField("diagnosisReference", reference),
+          StructField("type", ccList),
+          StructField("onAdmission", codeableConcept),
+          StructField("packageCode", codeableConcept))))),
+        StructField("procedure", ArrayType(StructType(Seq(
+          StructField("sequence", IntegerType),
+          StructField("type", ccList),
+          StructField("date", StringType),
+          StructField("procedureCodeableConcept", codeableConcept),
+          StructField("procedureReference", reference),
+          StructField("udi", refList))))),
+        StructField("precedence", IntegerType),
+        StructField("insurance", ArrayType(StructType(Seq(
+          StructField("focal", BooleanType),
+          StructField("coverage", reference),
+          StructField("preAuthRef", ArrayType(StringType)))))),
+        StructField("accident", StructType(Seq(
+          StructField("date", StringType),
+          StructField("type", codeableConcept),
+          StructField("locationAddress", addressElem),
+          StructField("locationReference", reference)))),
+        StructField("item", ArrayType(StructType(Seq(
+          StructField("sequence", IntegerType),
+          StructField("careTeamSequence", ArrayType(IntegerType)),
+          StructField("diagnosisSequence", ArrayType(IntegerType)),
+          StructField("procedureSequence", ArrayType(IntegerType)),
+          StructField("informationSequence", ArrayType(IntegerType)),
+          StructField("revenue", codeableConcept),
+          StructField("category", codeableConcept),
+          StructField("productOrService", codeableConcept),
+          StructField("modifier", ccList),
+          StructField("programCode", ccList),
+          StructField("servicedDate", StringType),
+          StructField("servicedPeriod", period),
+          StructField("locationCodeableConcept", codeableConcept),
+          StructField("locationAddress", addressElem),
+          StructField("locationReference", reference),
+          StructField("quantity", quantity),
+          StructField("unitPrice", money),
+          StructField("factor", DecimalType(32, 6)),
+          StructField("net", money),
+          StructField("udi", refList),
+          StructField("bodySite", codeableConcept),
+          StructField("subSite", ccList),
+          StructField("encounter", refList),
+          StructField("noteNumber", ArrayType(IntegerType)),
+          StructField("adjudication", adjudication),
+          StructField("detail", ArrayType(StructType(Seq(
+            StructField("sequence", IntegerType),
+            StructField("revenue", codeableConcept),
+            StructField("category", codeableConcept),
+            StructField("productOrService", codeableConcept),
+            StructField("modifier", ccList),
+            StructField("programCode", ccList),
+            StructField("quantity", quantity),
+            StructField("unitPrice", money),
+            StructField("factor", DecimalType(32, 6)),
+            StructField("net", money),
+            StructField("udi", refList),
+            StructField("noteNumber", ArrayType(IntegerType)),
+            StructField("adjudication", adjudication),
+            StructField("subDetail", ArrayType(StructType(Seq(
+              StructField("sequence", IntegerType),
+              StructField("revenue", codeableConcept),
+              StructField("category", codeableConcept),
+              StructField("productOrService", codeableConcept),
+              StructField("modifier", ccList),
+              StructField("programCode", ccList),
+              StructField("quantity", quantity),
+              StructField("unitPrice", money),
+              StructField("factor", DecimalType(32, 6)),
+              StructField("net", money),
+              StructField("udi", refList),
+              StructField("noteNumber", ArrayType(IntegerType)),
+              StructField("adjudication", adjudication))))))))))))),
+        StructField("addItem", ArrayType(StructType(Seq(
+          StructField("itemSequence", ArrayType(IntegerType)),
+          StructField("detailSequence", ArrayType(IntegerType)),
+          StructField("subDetailSequence", ArrayType(IntegerType)),
+          StructField("provider", refList),
+          StructField("productOrService", codeableConcept),
+          StructField("modifier", ccList),
+          StructField("programCode", ccList),
+          StructField("servicedDate", StringType),
+          StructField("servicedPeriod", period),
+          StructField("locationCodeableConcept", codeableConcept),
+          StructField("locationAddress", addressElem),
+          StructField("locationReference", reference),
+          StructField("quantity", quantity),
+          StructField("unitPrice", money),
+          StructField("factor", DecimalType(32, 6)),
+          StructField("net", money),
+          StructField("bodySite", codeableConcept),
+          StructField("subSite", ccList),
+          StructField("noteNumber", ArrayType(IntegerType)),
+          StructField("adjudication", adjudication))))),
+        StructField("adjudication", adjudication),
+        StructField("total", ArrayType(StructType(Seq(
+          StructField("category", codeableConcept),
+          StructField("amount", money))))),
+        StructField("payment", StructType(Seq(
+          StructField("type", codeableConcept),
+          StructField("adjustment", money),
+          StructField("adjustmentReason", codeableConcept),
+          StructField("date", StringType),
+          StructField("amount", money),
+          StructField("identifier", identifierElem)))),
+        StructField("formCode", codeableConcept),
+        StructField("form", attachment),
+        StructField("processNote", ArrayType(StructType(Seq(
+          StructField("number", IntegerType),
+          StructField("type", StringType),
+          StructField("text", StringType),
+          StructField("language", codeableConcept))))),
+        StructField("benefitPeriod", period),
+        StructField("benefitBalance", ArrayType(StructType(Seq(
+          StructField("category", codeableConcept),
+          StructField("excluded", BooleanType),
+          StructField("name", StringType),
+          StructField("description", StringType),
+          StructField("network", codeableConcept),
+          StructField("unit", codeableConcept),
+          StructField("term", codeableConcept),
+          StructField("financial", ArrayType(StructType(Seq(
+            StructField("type", codeableConcept),
+            StructField("allowedUnsignedInt", IntegerType),
+            StructField("allowedString", StringType),
+            StructField("allowedMoney", money),
+            StructField("usedUnsignedInt", IntegerType),
+            StructField("usedMoney", money))))))))))
+    },
+
+    "Organization" -> domainResource(
+      StructField("identifier", identifierType),
+      StructField("active", BooleanType),
+      StructField("type", ccList),
+      StructField("name", StringType),
+      StructField("alias", ArrayType(StringType)),
+      StructField("telecom", contactPoint),
+      StructField("address", address),
+      StructField("partOf", reference),
+      StructField("contact", ArrayType(StructType(Seq(
+        StructField("purpose", codeableConcept),
+        StructField("name", humanNameElem),
+        StructField("telecom", contactPoint),
+        StructField("address", addressElem))))),
+      StructField("endpoint", refList)),
+
+    "Practitioner" -> domainResource(
+      StructField("identifier", identifierType),
+      StructField("active", BooleanType),
+      StructField("name", humanName),
+      StructField("telecom", contactPoint),
+      StructField("address", address),
+      StructField("gender", StringType),
+      StructField("birthDate", StringType),
+      StructField("photo", ArrayType(attachment)),
+      StructField("qualification", ArrayType(StructType(Seq(
+        StructField("identifier", identifierType),
+        StructField("code", codeableConcept),
+        StructField("period", period),
+        StructField("issuer", reference))))),
+      StructField("communication", ccList)))
 
   /** Fallback schema for resource types without a registered schema —
     * the generic R4 DomainResource backbone (id, meta, implicitRules,

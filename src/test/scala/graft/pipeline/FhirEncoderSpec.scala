@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSpec
+import graft.fhir.FhirEncoder
+
+/** Typed-registry breadth: the round-15 tier (AllergyIntolerance,
+  * CarePlan, Claim, ExplanationOfBenefit, Organization, Practitioner)
+  * completes Synthea's default emission set (reference
+  * data/generate-sample-data.sh:22–28, encoded via Pathling at
+  * bundle_processor.py:162–166). Each test round-trips a hand-written
+  * JSON instance through `encode` and asserts the typed nested values,
+  * so a schema regression (dropped element, wrong type, collapsed
+  * nesting) fails here before the oracle gates see it.
+  */
+class FhirEncoderSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private def one(resourceType: String, json: String) =
+    FhirEncoder.encode(Seq(json).toDF("resource"), resourceType)
+
+  test("registry covers the full Synthea default set") {
+    val expected = Set("Patient", "Observation", "Condition", "Encounter",
+      "Procedure", "Immunization", "MedicationRequest", "DiagnosticReport",
+      "AllergyIntolerance", "CarePlan", "Claim", "ExplanationOfBenefit",
+      "Organization", "Practitioner")
+    assert(FhirEncoder.schemas.keySet == expected)
+    // unknown types still fall back to the generic backbone
+    assert(FhirEncoder.schemaFor("Device") == FhirEncoder.genericSchema)
+  }
+
+  test("AllergyIntolerance: reaction/manifestation nesting and choice types") {
+    val row = one("AllergyIntolerance",
+      """{"resourceType":"AllergyIntolerance","id":"a1",
+        |"clinicalStatus":{"coding":[{"code":"active"}]},
+        |"type":"allergy","category":["food"],"criticality":"high",
+        |"onsetAge":{"value":12.5,"unit":"a"},
+        |"reaction":[{"manifestation":[{"text":"hives"}],
+        |"severity":"severe","exposureRoute":{"text":"oral"}}]}"""
+        .stripMargin.replace("\n", "")).collect()(0)
+    assert(row.getAs[String]("id") == "a1")
+    assert(row.getAs[String]("criticality") == "high")
+    val reaction = row.getAs[Seq[org.apache.spark.sql.Row]]("reaction")(0)
+    assert(reaction.getAs[Seq[org.apache.spark.sql.Row]]("manifestation")(0)
+      .getAs[String]("text") == "hives")
+    assert(reaction.getAs[String]("severity") == "severe")
+    // onsetAge is a Quantity with Pathling's decimal(32,6)
+    val onset = row.getAs[org.apache.spark.sql.Row]("onsetAge")
+    assert(onset.getAs[java.math.BigDecimal]("value")
+      .compareTo(new java.math.BigDecimal("12.5")) == 0)
+  }
+
+  test("CarePlan: activity.detail backbone is fully typed") {
+    val row = one("CarePlan",
+      """{"resourceType":"CarePlan","id":"c1","status":"active",
+        |"intent":"order","period":{"start":"2020-01-01"},
+        |"activity":[{"detail":{"kind":"Task","status":"scheduled",
+        |"doNotPerform":false,"dailyAmount":{"value":2,"unit":"1/d"},
+        |"description":"walk"}}]}"""
+        .stripMargin.replace("\n", "")).collect()(0)
+    val detail = row.getAs[Seq[org.apache.spark.sql.Row]]("activity")(0)
+      .getAs[org.apache.spark.sql.Row]("detail")
+    assert(detail.getAs[String]("status") == "scheduled")
+    assert(!detail.getAs[Boolean]("doNotPerform"))
+    assert(detail.getAs[String]("description") == "walk")
+  }
+
+  test("Claim: item→detail→subDetail 3-level shape with Money decimals") {
+    val row = one("Claim",
+      """{"resourceType":"Claim","id":"cl1","status":"active",
+        |"use":"claim","total":{"value":99.95,"currency":"USD"},
+        |"item":[{"sequence":1,"net":{"value":10.5,"currency":"USD"},
+        |"detail":[{"sequence":1,"unitPrice":{"value":5.25,"currency":"USD"},
+        |"subDetail":[{"sequence":1,"net":{"value":1.75,"currency":"USD"}}]}]}]}"""
+        .stripMargin.replace("\n", "")).collect()(0)
+    val item = row.getAs[Seq[org.apache.spark.sql.Row]]("item")(0)
+    val detail = item.getAs[Seq[org.apache.spark.sql.Row]]("detail")(0)
+    val sub = detail.getAs[Seq[org.apache.spark.sql.Row]]("subDetail")(0)
+    assert(sub.getAs[org.apache.spark.sql.Row]("net")
+      .getAs[java.math.BigDecimal]("value")
+      .compareTo(new java.math.BigDecimal("1.75")) == 0)
+    assert(row.getAs[org.apache.spark.sql.Row]("total")
+      .getAs[String]("currency") == "USD")
+  }
+
+  test("ExplanationOfBenefit: adjudication, totals and benefitBalance") {
+    val row = one("ExplanationOfBenefit",
+      """{"resourceType":"ExplanationOfBenefit","id":"e1",
+        |"status":"active","outcome":"complete",
+        |"item":[{"sequence":1,"adjudication":[{"category":{"text":"submitted"},
+        |"amount":{"value":42,"currency":"USD"}}]}],
+        |"total":[{"category":{"text":"submitted"},
+        |"amount":{"value":42,"currency":"USD"}}],
+        |"benefitBalance":[{"category":{"text":"medical"},
+        |"financial":[{"type":{"text":"allowed"},"allowedUnsignedInt":7}]}]}"""
+        .stripMargin.replace("\n", "")).collect()(0)
+    assert(row.getAs[String]("outcome") == "complete")
+    val adj = row.getAs[Seq[org.apache.spark.sql.Row]]("item")(0)
+      .getAs[Seq[org.apache.spark.sql.Row]]("adjudication")(0)
+    assert(adj.getAs[org.apache.spark.sql.Row]("amount")
+      .getAs[java.math.BigDecimal]("value").intValueExact == 42)
+    val fin = row.getAs[Seq[org.apache.spark.sql.Row]]("benefitBalance")(0)
+      .getAs[Seq[org.apache.spark.sql.Row]]("financial")(0)
+    assert(fin.getAs[Int]("allowedUnsignedInt") == 7)
+  }
+
+  test("Organization and Practitioner: contact/qualification backbones") {
+    val orgRow = one("Organization",
+      """{"resourceType":"Organization","id":"o1","active":true,
+        |"name":"Graft Clinic","alias":["GC"],
+        |"partOf":{"reference":"Organization/parent"},
+        |"contact":[{"name":{"family":"Ops"},"purpose":{"text":"admin"}}]}"""
+        .stripMargin.replace("\n", "")).collect()(0)
+    assert(orgRow.getAs[String]("name") == "Graft Clinic")
+    assert(orgRow.getAs[Seq[org.apache.spark.sql.Row]]("contact")(0)
+      .getAs[org.apache.spark.sql.Row]("name")
+      .getAs[String]("family") == "Ops")
+
+    val pr = one("Practitioner",
+      """{"resourceType":"Practitioner","id":"p1","gender":"female",
+        |"birthDate":"1980-02-02",
+        |"name":[{"family":"Curie","given":["Marie"]}],
+        |"qualification":[{"code":{"coding":[{"code":"MD"}]},
+        |"issuer":{"reference":"Organization/o1"}}]}"""
+        .stripMargin.replace("\n", "")).collect()(0)
+    // birthDate stays a precision-preserving string (Pathling convention)
+    assert(pr.schema("birthDate").dataType == StringType)
+    assert(pr.getAs[Seq[org.apache.spark.sql.Row]]("qualification")(0)
+      .getAs[org.apache.spark.sql.Row]("issuer")
+      .getAs[String]("reference") == "Organization/o1")
+  }
+}
