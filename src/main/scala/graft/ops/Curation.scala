@@ -109,13 +109,18 @@ object Curation {
         .as("cand_sh"))
       .localCheckpoint(true)
     // exact confirm strips the filter's false positives; its input is
-    // overlap-sized, its verdict broadcasts back
+    // overlap-sized. The verdict join is left to AQE: on the usual
+    // benchmark-overlap-sized dirty set it converts to a broadcast
+    // join at runtime (the distinct gives it exact stats), while a
+    // heavily-contaminated corpus — where the dirty set is
+    // corpus-sized — degrades to a shuffle join instead of OOMing the
+    // driver with a forced broadcast
     val dirty = base.filter(size(col("cand_sh")) > 0)
       .select(col(idCol), explode(col("cand_sh")).as("sh"))
       .join(bench.shingles, Seq("sh"), "left_semi")
       .select(col(idCol)).distinct()
       .withColumn("_dirty", lit(true))
-    base.join(broadcast(dirty), Seq(idCol), "left")
+    base.join(dirty, Seq(idCol), "left")
       .select(col(idCol), col("h"), col("f1"),
         (col("f1") && col("keep")).as("f2"),
         col("_dirty").isNull.as("clean"))
@@ -320,6 +325,12 @@ object Curation {
         .withColumn("f3", lit(null).cast("boolean"))
         .withColumn("f4", lit(null).cast("boolean"))
         .withColumn("_del", lit(true)))
+      // every maintainFlags arm derives `source` from flagsTable.read()
+      // — the SAME table the merge below mutates. Pin it eagerly
+      // (localCheckpoint cuts lineage AND materializes now): relying on
+      // executeMerge's src.cache() would recompute against post-merge
+      // state under cache eviction or a conflict-rebase re-drive
+      .localCheckpoint(true)
     flagsTable.merge(source, idCol)
       .whenMatchedDelete(col("s._del"))
       .whenMatchedUpdate(

@@ -34,7 +34,14 @@ object EngineMain {
       triggerAvailableNow = !follow,
       master = sys.env.getOrElse("SPARK_MASTER", "local[4]"),
       warehouseDir = s"$dbDir/_warehouse",
-      metastoreUrl = sys.env.get("GRAFT_METASTORE_URL"))
+      metastoreUrl = sys.env.get("GRAFT_METASTORE_URL"),
+      // OTLP deployment surface reaches the runnable entrypoint the
+      // way the reference wires its collector through settings/env
+      // (reference src/settings.py env-first config): endpoint unset
+      // keeps the scrape-only default
+      otlpEndpoint = sys.env.get("GRAFT_OTLP_ENDPOINT"),
+      otlpIntervalMs = sys.env.get("GRAFT_OTLP_INTERVAL_MS")
+        .map(_.toLong).getOrElse(10000L))
     // the reference's builder chain (main.py:60–100) via sessionConfigs;
     // hive wiring is skipped here — no Hive jars in this environment,
     // and in-engine registration targets the session catalog anyway

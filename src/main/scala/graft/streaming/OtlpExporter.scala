@@ -27,7 +27,7 @@ import scala.jdk.CollectionConverters._
   *    `type/query_name/topic/partition`
   *  - `resources-processed-total` → monotonic cumulative sum, attrs
   *    `operation/resource_type`
-  *  - `delta-operation-duration-seconds` → cumulative histogram with
+  *  - `delta-operation-duration` (unit "seconds") → cumulative histogram with
   *    the bridge's bucket bounds (bucketCounts de-cumulated from the
   *    le-style counters), attr `operation`
   *  - `fhir-batches-total` / `fhir-batch-rows-total` → monotonic sums
@@ -78,8 +78,14 @@ final class OtlpExporter(bridge: PrometheusBridge,
     p
   }
 
-  private def metric(name: String): ObjectNode =
-    f.objectNode().put("name", name)
+  // name + OTLP metric-level unit match the reference instruments
+  // exactly (metrics.py:39-47, bundle_processor.py:21-31) so an
+  // OTLP-native consumer sees the same metric identities
+  private def metric(name: String, unit: String = ""): ObjectNode = {
+    val m = f.objectNode().put("name", name)
+    if (unit.nonEmpty) m.put("unit", unit)
+    m
+  }
 
   /** One `ExportMetricsServiceRequest` body over the current registry
     * state (public for the spec: the payload IS the contract).
@@ -94,7 +100,8 @@ final class OtlpExporter(bridge: PrometheusBridge,
         rps.add(gaugePoint(nowNano, v, attrs("query_name" -> q)))
       }
       if (rps.size() > 0) {
-        val m = metric("spark-streaming-query-processed-rows-per-second")
+        val m = metric("spark-streaming-query-processed-rows-per-second",
+          "{Count}/s")
         val g = f.objectNode()
         g.set[ObjectNode]("dataPoints", rps)
         m.set[ObjectNode]("gauge", g)
@@ -108,7 +115,7 @@ final class OtlpExporter(bridge: PrometheusBridge,
               "topic" -> topic, "partition" -> part)))
       }
       if (off.size() > 0) {
-        val m = metric("spark-streaming-query-kafka-offset")
+        val m = metric("spark-streaming-query-kafka-offset", "{Num}")
         val g = f.objectNode()
         g.set[ObjectNode]("dataPoints", off)
         m.set[ObjectNode]("gauge", g)
@@ -122,7 +129,7 @@ final class OtlpExporter(bridge: PrometheusBridge,
         attrs("operation" -> op, "resource_type" -> rt)))
     }
     if (proc.size() > 0) {
-      val m = metric("resources-processed-total")
+      val m = metric("resources-processed-total", "{Count}")
       val sum = f.objectNode()
       sum.put("aggregationTemporality", 2) // CUMULATIVE
       sum.put("isMonotonic", true)
@@ -155,7 +162,7 @@ final class OtlpExporter(bridge: PrometheusBridge,
       hps.add(p)
     }
     if (hps.size() > 0) {
-      val m = metric("delta-operation-duration-seconds")
+      val m = metric("delta-operation-duration", "seconds")
       val h = f.objectNode()
       h.put("aggregationTemporality", 2)
       h.set[ObjectNode]("dataPoints", hps)
@@ -166,7 +173,7 @@ final class OtlpExporter(bridge: PrometheusBridge,
     val (nBatches, nRows) = bridge.batchTotals
     Seq("fhir-batches-total" -> nBatches,
         "fhir-batch-rows-total" -> nRows).foreach { case (name, v) =>
-      val m = metric(name)
+      val m = metric(name, "{Count}")
       val sum = f.objectNode()
       sum.put("aggregationTemporality", 2)
       sum.put("isMonotonic", true)

@@ -3632,15 +3632,29 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     * can BOTH pass the check and the second silently overwrites the
     * first — a lost commit (caught by the concurrent-writer stress
     * spec). On file:// the O_EXCL open (NIO CREATE_NEW) is the true
-    * atomic create; everywhere else the store's own create is.
+    * atomic create; on stores advertising [[ConditionalPut]] (S3's
+    * `If-None-Match: *` conditional write — S3A's own
+    * create(overwrite=false) is HEAD-then-PUT and NOT atomic) the
+    * election is the store's conditional PUT; everywhere else the
+    * store's own create is.
     */
   private def createExclusive(p: HPath): java.io.OutputStream =
-    if (fs.getUri.getScheme == "file")
-      java.nio.file.Files.newOutputStream(
-        java.nio.file.Paths.get(p.toUri.getPath),
-        java.nio.file.StandardOpenOption.CREATE_NEW,
-        java.nio.file.StandardOpenOption.WRITE)
-    else fs.create(p, /*overwrite=*/ false)
+    fs match {
+      case cp: ConditionalPut =>
+        // election callers only create empty markers (both callsites
+        // `.close()` immediately); the PUT carries the empty body and
+        // the returned stream is a closed-over no-op
+        if (!cp.putIfAbsent(p, Array.emptyByteArray))
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            p.toString)
+        new java.io.ByteArrayOutputStream(0)
+      case _ if fs.getUri.getScheme == "file" =>
+        java.nio.file.Files.newOutputStream(
+          java.nio.file.Paths.get(p.toUri.getPath),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+      case _ => fs.create(p, /*overwrite=*/ false)
+    }
 
   /** Atomically publish a commit body at `p` — winner election and
     * body durability in ONE step. On file:// the body is first written
@@ -3660,6 +3674,21 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     * on write failure as before.
     */
   private def publishExclusive(p: HPath, body: Array[Byte]): Unit =
+    fs match {
+      case cp: ConditionalPut =>
+        // S3-class stores: a single conditional PUT is BOTH the
+        // election and body durability — an object never appears
+        // half-written, so the torn-write class the file:// hard link
+        // fixes does not exist here, and a lost election leaves
+        // nothing published
+        if (!cp.putIfAbsent(p, body))
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            p.toString)
+      case _ => publishExclusiveGeneric(p, body)
+    }
+
+  private def publishExclusiveGeneric(p: HPath,
+                                      body: Array[Byte]): Unit =
     if (fs.getUri.getScheme == "file") {
       val dst = java.nio.file.Paths.get(p.toUri.getPath)
       val tmp = dst.resolveSibling(

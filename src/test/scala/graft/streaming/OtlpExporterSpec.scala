@@ -50,8 +50,18 @@ class OtlpExporterSpec extends AnyFunSuite {
       "spark-streaming-query-processed-rows-per-second",
       "spark-streaming-query-kafka-offset",
       "resources-processed-total",
-      "delta-operation-duration-seconds",
+      "delta-operation-duration",
       "fhir-batches-total", "fhir-batch-rows-total"), byName.keySet)
+    // metric-level units match the reference instruments exactly
+    // (metrics.py:41,46; bundle_processor.py:23,29)
+    assert(byName("delta-operation-duration").get("unit").asText
+      == "seconds")
+    assert(byName("resources-processed-total").get("unit").asText
+      == "{Count}")
+    assert(byName("spark-streaming-query-processed-rows-per-second")
+      .get("unit").asText == "{Count}/s")
+    assert(byName("spark-streaming-query-kafka-offset")
+      .get("unit").asText == "{Num}")
 
     val rps = byName("spark-streaming-query-processed-rows-per-second")
       .get("gauge").get("dataPoints").get(0)
@@ -70,7 +80,7 @@ class OtlpExporterSpec extends AnyFunSuite {
         a.get("value").get("stringValue").asText == "written")).get
     assert(written.get("asInt").asText == "100")
 
-    val h = byName("delta-operation-duration-seconds").get("histogram")
+    val h = byName("delta-operation-duration").get("histogram")
     assert(h.get("aggregationTemporality").asInt == 2)
     val hp = h.get("dataPoints").get(0)
     assert(hp.get("count").asText == "3")

@@ -1,0 +1,262 @@
+package graft.tables
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.{FSDataOutputStream, Path => HPath}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import java.util.concurrent.CountDownLatch
+import java.util.concurrent.atomic.AtomicInteger
+
+object S3LikeFs {
+  /** Widens the HEAD→PUT gap in the non-atomic create so the race the
+    * model documents is deterministically reproducible in a test.
+    */
+  @volatile var raceWindowMs = 0L
+  /** Per-list/HEAD latency — object-store round trips are network
+    * calls, not syscalls; a protocol that works only when listings are
+    * instant would break first on S3.
+    */
+  @volatile var listDelayMs = 0L
+  val condPuts = new AtomicInteger(0)
+  /** The store-side serializer: S3's conditional PUT is atomic at the
+    * service, no matter how many clients race it.
+    */
+  private[tables] val storeLock = new Object
+}
+
+/** A local filesystem with REAL S3 semantics at the Hadoop API
+  * (reference deployment: Delta tables on MinIO/S3 —
+  * lakehousekeeper.py:59–98, compose.yaml's minio service):
+  *
+  *  - `create(overwrite=false)` is S3A's HEAD-then-unconditional-PUT —
+  *    deliberately NOT atomic. Two racing writers can both pass the
+  *    probe; the second silently overwrites the first (the lost-commit
+  *    hazard this spec's negative control demonstrates).
+  *  - `listStatus`/`getFileStatus` incur latency (network round
+  *    trips).
+  *  - [[ConditionalPut.putIfAbsent]] is the store's conditional write
+  *    (`If-None-Match: *`): atomic at the service, exactly one of N
+  *    racing PUTs succeeds, losers see 412 (false) with nothing
+  *    written, and an object is never visible half-written.
+  */
+class S3LikeFs extends org.apache.hadoop.fs.RawLocalFileSystem
+    with ConditionalPut {
+  override def getUri: java.net.URI = java.net.URI.create("s3x:///")
+  override def getScheme: String = "s3x"
+
+  private def headThenPut(f: HPath, overwrite: Boolean): Boolean = {
+    if (!overwrite) {
+      if (exists(f))
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+          f.toString)
+      val w = S3LikeFs.raceWindowMs
+      if (w > 0) Thread.sleep(w)
+    }
+    true // proceed with an UNCONDITIONAL put (overwrite) — S3A's shape
+  }
+
+  override def create(f: HPath, overwrite: Boolean, bufferSize: Int,
+                      replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream = {
+    headThenPut(f, overwrite)
+    super.create(f, true, bufferSize, replication, blockSize, progress)
+  }
+
+  override def create(f: HPath, permission: FsPermission,
+                      overwrite: Boolean, bufferSize: Int,
+                      replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream = {
+    headThenPut(f, overwrite)
+    super.create(f, permission, true, bufferSize, replication,
+      blockSize, progress)
+  }
+
+  private def delay(): Unit = {
+    val d = S3LikeFs.listDelayMs
+    if (d > 0) Thread.sleep(d)
+  }
+
+  override def listStatus(f: HPath)
+      : Array[org.apache.hadoop.fs.FileStatus] = {
+    delay(); super.listStatus(f)
+  }
+
+  override def getFileStatus(f: HPath)
+      : org.apache.hadoop.fs.FileStatus = {
+    delay(); super.getFileStatus(f)
+  }
+
+  override def putIfAbsent(p: HPath, body: Array[Byte]): Boolean =
+    S3LikeFs.storeLock.synchronized {
+      val file = pathToFile(p)
+      if (file.exists()) false
+      else {
+        val parent = file.getParentFile
+        if (parent != null) parent.mkdirs()
+        java.nio.file.Files.write(file.toPath, body,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        S3LikeFs.condPuts.incrementAndGet()
+        true
+      }
+    }
+}
+
+/** The S3-semantics commit-protocol proof (VERDICT r14 item 3): the
+  * conditional-PUT election documented at the
+  * `createExclusive`/`publishExclusive` seam, exercised against a
+  * store that actually refuses atomic create-exclusive and delays
+  * listings. The negative control shows the store's Hadoop-level
+  * create IS the lost-commit hazard; the lifecycle and two-writer
+  * tests show the table protocol is immune to it because elections
+  * route through [[ConditionalPut]].
+  */
+class S3SemanticsSpec extends SparkSpec {
+  import graft.SparkSpec._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", LongType)))
+
+  private def df(rows: (Long, Long)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 2),
+      schema)
+
+  private def withS3x[A](f: String => A): A = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.s3x.impl", classOf[S3LikeFs].getName)
+    val local = tmpDir("s3x")
+    try f(s"s3x://$local")
+    finally { S3LikeFs.raceWindowMs = 0L; S3LikeFs.listDelayMs = 0L }
+  }
+
+  test("negative control: the store's create(overwrite=false) really " +
+      "is check-then-act — two racers both win and one write is lost") {
+    withS3x { base =>
+      val fs = new HPath(base).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      assert(fs.isInstanceOf[S3LikeFs])
+      S3LikeFs.raceWindowMs = 150L
+      val p = new HPath(s"$base/raw-election")
+      val start = new CountDownLatch(1)
+      val wins = new AtomicInteger(0)
+      val threads = Seq("A", "B").map { who =>
+        new Thread(() => {
+          start.await()
+          try {
+            val out = fs.create(p, /*overwrite=*/ false)
+            out.write(who.getBytes); out.close()
+            wins.incrementAndGet()
+          } catch { case _: java.io.IOException => () }
+        })
+      }
+      threads.foreach(_.start()); start.countDown()
+      threads.foreach(_.join(10000))
+      // BOTH passed the HEAD probe and PUT unconditionally: the
+      // Hadoop-level primitive on this store cannot elect a winner —
+      // whichever body remains, the other writer believes it committed
+      assert(wins.get() == 2, "expected the S3A-shaped create to let " +
+        s"both racers through, got ${wins.get()} winner(s)")
+    }
+  }
+
+  test("conditional PUT: exactly one of N racing writers wins, " +
+      "losers see false with nothing written") {
+    withS3x { base =>
+      val fs = new HPath(base).getFileSystem(
+        spark.sparkContext.hadoopConfiguration).asInstanceOf[S3LikeFs]
+      val p = new HPath(s"$base/cond-election")
+      val start = new CountDownLatch(1)
+      val wins = new AtomicInteger(0)
+      val ts = (0 until 8).map { i =>
+        new Thread(() => {
+          start.await()
+          if (fs.putIfAbsent(p, s"writer-$i".getBytes))
+            wins.incrementAndGet()
+        })
+      }
+      ts.foreach(_.start()); start.countDown(); ts.foreach(_.join(10000))
+      assert(wins.get() == 1)
+      // the winner's body is intact — single-PUT visibility
+      val in = fs.open(p)
+      val body = new String(in.readAllBytes()); in.close()
+      assert(body.startsWith("writer-"))
+    }
+  }
+
+  test("full table lifecycle over s3x:// routes every election " +
+      "through the conditional PUT") {
+    withS3x { base =>
+      S3LikeFs.listDelayMs = 1L
+      val before = S3LikeFs.condPuts.get()
+      val t = ResourceTable(spark, s"$base/T.parquet")
+        .createIfNotExists(schema)
+      assert(t.fs.isInstanceOf[S3LikeFs])
+
+      t.upsert(df(1L -> 1L, 2L -> 1L, 3L -> 1L), "id")
+      val v1 = t.latestVersion.get
+      t.upsert(df(2L -> 2L, 4L -> 1L), "id")
+      assert(t.read().count() == 4L)
+      assert(t.readVersion(v1).count() == 3L)
+
+      t.deleteWhere(col("id") === 3L)
+      assert(t.read().count() == 3L)
+      val ch = t.changes(v1, t.latestVersion.get, "id")
+      assert(ch.filter(col("_change_type") === "delete").count() == 1L)
+
+      t.optimize(numFiles = 1)
+      assert(t.read().count() == 3L)
+      assert(t.read().filter(col("id") === 2L)
+        .select(col("v")).collect()(0).getLong(0) == 2L)
+
+      // the elections actually used the store primitive (one per
+      // commit + the create marker), not the non-atomic create
+      assert(S3LikeFs.condPuts.get() > before,
+        "lifecycle elections bypassed the conditional PUT")
+    }
+  }
+
+  test("two-writer election race: linear history, zero lost commits, " +
+      "zero lost rows") {
+    withS3x { base =>
+      S3LikeFs.raceWindowMs = 2L // the non-atomic create stays hostile
+      S3LikeFs.listDelayMs = 1L
+      val path = s"$base/race.parquet"
+      ResourceTable(spark, path).createIfNotExists(schema)
+      val failures =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val start = new CountDownLatch(1)
+      val batches = 6
+      val writers = Seq(0L, 1L).map { who =>
+        new Thread(() => {
+          start.await()
+          val t = ResourceTable(spark, path)
+          try (0 until batches).foreach { b =>
+            // disjoint key ranges per writer: content assertions stay
+            // independent of interleaving
+            val keys = (0L until 5L).map(i =>
+              who * 1000L + b * 10L + i)
+            t.upsert(df(keys.map(k => k -> (b + 1L)): _*), "id")
+          } catch { case e: Throwable => failures.add(e) }
+        })
+      }
+      writers.foreach(_.start()); start.countDown()
+      writers.foreach(_.join(300000))
+      assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
+
+      val t = ResourceTable(spark, path)
+      val head = t.latestVersion.get
+      // every version 0..head exists exactly once — no forked or
+      // skipped commits despite the store refusing atomic create
+      (0L to head).foreach { v =>
+        assert(t.versionExists(v), s"commit $v missing — lost election")
+      }
+      assert(head >= 2L * batches, s"head $head < ${2 * batches}")
+      assert(t.read().count() == 2L * batches * 5L)
+    }
+  }
+}
