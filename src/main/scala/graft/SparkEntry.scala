@@ -2531,6 +2531,42 @@ object SparkEntry {
           dsum(col("o_totalprice")).as("total_price"))
     }),
 
+    // ---- LIQUID-CLUSTERING ON THE INCREMENTAL PATH (Delta re-clusters
+    //      via autoCompact too, reference bundle_processor.py:176–202):
+    //      8 interleaved appends each span the FULL key range, so every
+    //      small file's min/max covers everything and stats skipping
+    //      prunes nothing. ONE compactSmallFiles pass — never a full
+    //      optimize() — range-sorts the coalesced bins on the cluster
+    //      key, and the same range predicate now skips most files.
+    //      Both prune states ride the output as hash-checked booleans;
+    //      the aggregate rows are exact-oracled ----
+    "q_incremental_cluster" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val tdir = java.nio.file.Files
+        .createTempDirectory("graft_inccl").toString
+      val rt = graft.tables.ResourceTable(s, s"$tdir/orders_ic.parquet")
+      rt.createIfNotExists(orders.schema, clusterCols = Seq("o_orderkey"))
+      (0 until 8).foreach { i =>
+        rt.upsert(orders.filter(col("o_orderkey") % 8 === i),
+          "o_orderkey")
+      }
+      val pred = col("o_orderkey").between(100L, 1500L)
+      val (keptBefore, totalBefore) = rt.pruneInfo(pred)
+      // incremental compaction only: everything qualifies as small,
+      // fixed 8 range-disjoint bins so the layout is SF-independent
+      rt.compactSmallFiles(minBytes = 1L << 26, targetBytes = 1L << 26,
+        numFiles = Some(8))
+      val (keptAfter, totalAfter) = rt.pruneInfo(pred)
+      rt.read(pred)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .withColumn("full_scan_before",
+          lit(keptBefore == totalBefore && totalBefore >= 8))
+        .withColumn("skipping_after",
+          lit(keptAfter < totalAfter && keptAfter <= 2))
+    }),
+
     // ---- file-level BLOOM MEMBERSHIP INDEX (Delta's bloom filter
     //      index): a point lookup on a high-cardinality column that
     //      is NOT the clustering key overlaps every file's [min,max],
@@ -6570,6 +6606,15 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS cnt,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS total_price
+        |FROM orders WHERE o_orderkey BETWEEN 100 AND 1500
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "q_incremental_cluster" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  TRUE AS full_scan_before,
+        |  TRUE AS skipping_after
         |FROM orders WHERE o_orderkey BETWEEN 100 AND 1500
         |GROUP BY o_orderstatus""".stripMargin,
 

@@ -2835,8 +2835,10 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     */
   def compactSmallFiles(minBytes: Long = DefaultCompactMinBytes,
                         targetBytes: Long = 1L << 30,
-                        compression: String = "zstd"): (Int, Int) = {
+                        compression: String = "zstd",
+                        numFiles: Option[Int] = None): (Int, Int) = {
     require(minBytes > 0 && targetBytes >= minBytes)
+    require(numFiles.forall(_ > 0))
     retry() {
       val cur = latestVersion.getOrElse(
         throw new IllegalStateException(s"no table at $path"))
@@ -2846,8 +2848,13 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       if (small.size < 2) (0, files.size) // nothing worth coalescing
       else {
         val smallBytes = small.map(f => sizes(f._1)).sum
-        val n = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes)
-          .min(Int.MaxValue).toInt
+        // numFiles overrides the byte-derived bin count (the
+        // optimize(numFiles) analogue for the incremental path —
+        // useful when the caller wants a fixed range-disjoint layout
+        // regardless of current bytes)
+        val n = numFiles.getOrElse(
+          math.max(1L, (smallBytes + targetBytes - 1) / targetBytes)
+            .min(Int.MaxValue).toInt)
         val read = readFiles(small, schema())
         // incremental clustering: on a clustered table the coalesced
         // output is range-sorted on the cluster key so the NEW files
