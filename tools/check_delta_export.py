@@ -317,7 +317,20 @@ SQLTYPE = {
     "long": "BIGINT", "integer": "INTEGER", "short": "SMALLINT",
     "byte": "TINYINT", "double": "DOUBLE", "float": "FLOAT",
     "string": "VARCHAR", "boolean": "BOOLEAN", "date": "DATE",
+    "timestamp_ntz": "TIMESTAMP",
 }
+
+
+def phys_map(schema):
+    """logical -> physical column name (column mapping, PROTOCOL.md):
+    data files of a name-mapped table store columns under
+    delta.columnMapping.physicalName; unmapped fields keep their
+    logical name. Stats keys follow the data files (physical)."""
+    return {
+        f["name"]: (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"])
+        for f in schema["fields"]
+    }
 
 
 def main():
@@ -325,6 +338,8 @@ def main():
     live, sizes, dvs, txns, schema, ckpt_v = replay(table)
     cols = [f["name"] for f in schema["fields"]]
     types = {f["name"]: f["type"] for f in schema["fields"]}
+    phys = phys_map(schema)
+    types_by_phys = {phys[c]: types[c] for c in cols}
     con = duckdb.connect()
     ok = True
 
@@ -357,7 +372,7 @@ def main():
                 f"SELECT name FROM parquet_schema('{f}')").fetchall()
         }
         proj = ", ".join(
-            f'"{c}"' if c in have
+            f'"{phys[c]}" AS "{c}"' if phys[c] in have
             else f'CAST(NULL AS {SQLTYPE[types[c]]}) AS "{c}"'
             for c in cols
         )
@@ -399,9 +414,13 @@ def main():
         for side, agg, cmp in (("minValues", "min", "<"),
                                ("maxValues", "max", ">")):
             for c, bound in st.get(side, {}).items():
-                lit = f"DATE '{bound}'" if types[c] == "date" else (
+                # stats keys follow the data files: physical names on
+                # mapped tables, logical otherwise
+                tp = types_by_phys.get(c, types.get(c))
+                assert tp is not None, f"{rel}: stats key {c} unknown"
+                lit = f"DATE '{bound}'" if tp == "date" else (
                     "'" + str(bound).replace("'", "''") + "'"
-                    if types[c] == "string" else repr(bound))
+                    if tp == "string" else repr(bound))
                 bad = con.sql(
                     f'SELECT count(*) FROM parquet_scan(\'{f}\') '
                     f'WHERE "{c}" {cmp} {lit}'
@@ -423,12 +442,12 @@ def main():
     #    - deletes - update_preimages == snap(v)  as MULTISETS — the
     #    complete correctness statement for a change feed, and it
     #    needs no key column to verify.
-    ok &= check_cdf(table, con, cols, types)
+    ok &= check_cdf(table, con, cols, types, phys)
 
     sys.exit(0 if ok else 1)
 
 
-def check_cdf(table, con, cols, types):
+def check_cdf(table, con, cols, types, phys):
     logdir = os.path.join(table, "_delta_log")
     entries = sorted(
         int(f[: -len(".json")])
@@ -460,7 +479,7 @@ def check_cdf(table, con, cols, types):
             have = {r[0] for r in con.sql(
                 f"SELECT name FROM parquet_schema('{f}')").fetchall()}
             proj = ", ".join(
-                f'"{c}"' if c in have
+                f'"{phys[c]}" AS "{c}"' if phys[c] in have
                 else f'CAST(NULL AS {SQLTYPE[types[c]]}) AS "{c}"'
                 for c in cols)
             if tag is not None:
@@ -519,13 +538,26 @@ def check_cdf(table, con, cols, types):
                 ok = False
             continue
         n_cdc += 1
+        # cdc files carry the LOGICAL schema at their commit's time —
+        # null-fill per file so schema evolution (a later widening /
+        # added column) replays like the data files do
+        def cdc_sql(kinds):
+            sel = []
+            for pth in cdcs:
+                fp = os.path.join(table, pth)
+                have = {r[0] for r in con.sql(
+                    f"SELECT name FROM parquet_schema('{fp}')").fetchall()}
+                proj = ", ".join(
+                    f'"{c}"' if c in have
+                    else f'CAST(NULL AS {SQLTYPE[types[c]]}) AS "{c}"'
+                    for c in cols)
+                sel.append(
+                    f"SELECT {proj} FROM parquet_scan('{fp}') WHERE "
+                    f"_change_type IN ({kinds})")
+            return " UNION ALL ".join(sel)
+        plus = cdc_sql("'insert', 'update_postimage'")
+        minus = cdc_sql("'delete', 'update_preimage'")
         proj = ", ".join(f'"{c}"' for c in cols)
-        cfiles = ", ".join(
-            f"'{os.path.join(table, p)}'" for p in cdcs)
-        plus = (f"SELECT {proj} FROM parquet_scan([{cfiles}]) WHERE "
-                "_change_type IN ('insert', 'update_postimage')")
-        minus = (f"SELECT {proj} FROM parquet_scan([{cfiles}]) WHERE "
-                 "_change_type IN ('delete', 'update_preimage')")
         lhs = (f"SELECT {proj} FROM ((({snap_sql(prev_state)}) "
                f"UNION ALL ({plus})) EXCEPT ALL ({minus}))")
         h_lhs = mhash(lhs)
