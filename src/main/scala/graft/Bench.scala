@@ -66,6 +66,27 @@ object Bench {
       q.processAllAvailable()
       q.stop()
     } catch { case _: Throwable => () }
+    // the CDF-stream path: binaryFile FileStreamSource + per-version
+    // handler — q_change_feed_stream swung 1.7↔5.8 s across rounds
+    // because the record's first such query absorbed this one-time
+    // source/checkpoint machinery cost (VERDICT r14 item 2); one
+    // untimed drain over a 2-commit table pins it
+    try {
+      val tiny = spark.read
+        .parquet("/root/testdata/sf0.001/nation.parquet")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("bench_warm_cdf").toString
+      val tab = graft.tables.ResourceTable(spark, s"$tmp/w.parquet")
+        .createIfNotExists(tiny.schema)
+      tab.upsert(tiny, "n_nationkey")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("bench_warm_ck").toString
+      val q = graft.streaming.ChangeFeed.start(spark, tab.path,
+        "n_nationkey", ckpt, (_, df) => {
+          df.write.format("noop").mode("overwrite").save(); ()
+        })
+      q.awaitTermination()
+    } catch { case _: Throwable => () }
     // Dev loop: SPARK_GRAFT_ONLY=q_a,q_b restricts the run (the driver
     // never sets it, so per-round benches always cover every query).
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -17,13 +17,14 @@ import org.apache.spark.sql.types.{FloatType, LongType}
   * perturbs content deterministically so the 10x corpus has a 10x
   * WORKLOAD, not 10x literal duplicates:
   *
-  *  - documents: `repeat('x', 53*copy)` appended to the text. 53 > the
-  *    fuzzy-dedup length bucket width (50), so every copy lands in its
-  *    own (lang, len/50) block — the blocking-key space grows with the
-  *    corpus and the blocked O(sum block^2) join stays linear, exactly
-  *    how a genuinely 10x-diverse corpus behaves. The 100-char
-  *    comparison prefix is untouched, so within-copy near-dup
-  *    structure is preserved verbatim.
+  *  - documents: `repeat('x', 53*(copy%100))` appended to the text
+  *    (53 > the fuzzy-dedup length bucket width of 50) and, past the
+  *    pad cycle, a per-century lang variant — so every copy lands in
+  *    its own (lang, len/50) block at every decade: the blocking-key
+  *    space grows with the corpus and the blocked O(sum block^2) join
+  *    stays linear, exactly how a genuinely 10x-diverse corpus
+  *    behaves. The 100-char comparison prefix is untouched, so
+  *    within-copy near-dup structure is preserved verbatim.
   *  - embeddings: per-copy, per-component deterministic jitter
   *    (`sin(i*37 + copy*101)/100`), so the 10x IVF index holds 10x
   *    distinct vectors rather than 10 aligned duplicates of each.
@@ -570,15 +571,24 @@ object ScaleBench {
           offset(col("user_id")).as("user_id"), col("event_type"),
           col("value"), col("props"))
       case "documents" =>
-        // pad cycles at 100 copies: identical to the old recipe for
-        // every measured 10×/100× run, and keeps per-doc text bounded
-        // at the third decade (1000 × 53 chars/doc would put the 1000×
-        // corpus past this host's disk without changing the workload's
-        // shape — the blocking-key space still grows via the remap)
+        // pad cycles at 100 copies — keeps per-doc text bounded at the
+        // third decade (1000 × 53 chars/doc would blow past this
+        // host's disk) and stays bit-identical to the measured
+        // 10×/100× corpora. The blocking KEY still grows with the
+        // corpus at 1000×: copies ≥ 100 land in a per-century lang
+        // variant (lang-1 … lang-9), so (lang, len/50) gives every
+        // copy its OWN block — the r14 artifact (copy%100 colliding 10
+        // copies per length bucket into 19.6k-row blocks) is gone and
+        // the 1000× fuzzy datapoint measures the operator, not the
+        // fixture
         val text = concat(col("text"),
           repeat(lit("x"), ((col("copy") % 100) * 53).cast("int")))
+        val lang = when(col("copy") >= 100,
+          concat(col("lang"), lit("-"),
+            (col("copy") / 100).cast("int").cast("string")))
+          .otherwise(col("lang"))
         x.select(offset(col("doc_id")).as("doc_id"), text.as("text"),
-          col("lang"), col("source"), length(text).as("n_chars"))
+          lang.as("lang"), col("source"), length(text).as("n_chars"))
       case "embeddings" =>
         x.select(offset(col("vec_id")).as("vec_id"),
           transform(col("embedding"), (v, i) =>

@@ -4,9 +4,10 @@ import graft.sources.FileBundleSource
 import org.apache.spark.sql.SparkSession
 
 /** Runnable engine: ingest a FHIR bundle journal directory into
-  * lakehouse tables — the `python src/main.py` equivalent wired to the
-  * file source (swap in `Engine.startFromKafka` when the Kafka
-  * connector jar is present).
+  * lakehouse tables — the `python src/main.py` equivalent. Default
+  * source is the journal-dir file source; set GRAFT_KAFKA_BOOTSTRAP
+  * to ingest from a live broker through `Engine.startFromKafka`
+  * (needs the spark-sql-kafka connector jar at runtime).
   *
   * {{{
   * sbt "runMain graft.streaming.EngineMain <journalDir> <dbDir> [--follow]"
@@ -81,8 +82,30 @@ object EngineMain {
         s"${settings.otlpIntervalMs}ms")
       ex
     }
-    val queries = Engine.start(
-      FileBundleSource.stream(spark, journalDir), settings, bridge)
+    // source selection mirrors the reference's deployment: set
+    // GRAFT_KAFKA_BOOTSTRAP (+ optional GRAFT_KAFKA_TOPICS /
+    // GRAFT_KAFKA_SECURITY_PROTOCOL) to ingest from a live broker via
+    // Engine.startFromKafka — requires the spark-sql-kafka connector
+    // jar at runtime; the exact option surface is conformance-tested
+    // against reference main.py:125-153 in EngineSpec. Unset, the
+    // journal-dir file source serves the same wire schema.
+    val queries = sys.env.get("GRAFT_KAFKA_BOOTSTRAP") match {
+      case Some(bootstrap) =>
+        val ks = settings.copy(
+          kafkaBootstrapServers = bootstrap,
+          kafkaTopics = sys.env.get("GRAFT_KAFKA_TOPICS")
+            .map(_.split(",").map(_.trim).toSeq)
+            .getOrElse(settings.kafkaTopics),
+          securityProtocol = sys.env
+            .getOrElse("GRAFT_KAFKA_SECURITY_PROTOCOL",
+              settings.securityProtocol))
+        println(s"source: kafka @ $bootstrap " +
+          s"topics=${ks.kafkaTopics.mkString(",")}")
+        Engine.startFromKafka(spark, ks, bridge)
+      case None =>
+        Engine.start(
+          FileBundleSource.stream(spark, journalDir), settings, bridge)
+    }
     try {
       if (follow) spark.streams.awaitAnyTermination()
       else {
