@@ -95,22 +95,34 @@ object DeltaExport {
                          lines: Seq[ObjectNode]): Unit = {
     val dir = deltaDir(t)
     t.fs.mkdirs(dir)
-    // tmp name unique PER WRITER: concurrent exporters each stage
-    // their own file and let the rename onto the destination decide
-    // the winner — a shared tmp name would have them clobbering each
-    // other's staging (and its checksum sidecar) mid-write
-    val tmp = new HPath(dir, f".$v%020d.json.${
-      java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = t.fs.create(tmp, true)
-    try out.write(lines.map(mapper.writeValueAsString)
-      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (!t.fs.rename(tmp, entryFile(t, v))) {
-      t.fs.delete(tmp, false)
-      if (t.fs.exists(entryFile(t, v)))
-        throw new ExportConflictException(t.path, v)
-      throw new IllegalStateException(
-        s"${t.path}: could not publish delta log entry $v")
+    val body = lines.map(mapper.writeValueAsString)
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
+    t.fs match {
+      // S3-class stores have NO atomic rename (copy+delete) — exactly
+      // why delta-spark needs a LogStore with conditional writes
+      // there. A store advertising ConditionalPut publishes the entry
+      // as one conditional PUT: election + body durability in one
+      // call, losers get the conflict type with nothing written.
+      case cp: ConditionalPut =>
+        if (!cp.putIfAbsent(entryFile(t, v), body))
+          throw new ExportConflictException(t.path, v)
+      case _ =>
+        // tmp name unique PER WRITER: concurrent exporters each stage
+        // their own file and let the rename onto the destination decide
+        // the winner — a shared tmp name would have them clobbering
+        // each other's staging (and its checksum sidecar) mid-write
+        val tmp = new HPath(dir, f".$v%020d.json.${
+          java.util.UUID.randomUUID().toString.take(8)}.tmp")
+        val out = t.fs.create(tmp, true)
+        try out.write(body)
+        finally out.close()
+        if (!t.fs.rename(tmp, entryFile(t, v))) {
+          t.fs.delete(tmp, false)
+          if (t.fs.exists(entryFile(t, v)))
+            throw new ExportConflictException(t.path, v)
+          throw new IllegalStateException(
+            s"${t.path}: could not publish delta log entry $v")
+        }
     }
   }
 

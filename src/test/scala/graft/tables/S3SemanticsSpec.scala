@@ -220,6 +220,44 @@ class S3SemanticsSpec extends SparkSpec {
     }
   }
 
+  test("delta export over s3x://: entries publish by conditional PUT " +
+      "(no rename on S3), racing exporters converge") {
+    withS3x { base =>
+      S3LikeFs.listDelayMs = 1L
+      val t = ResourceTable(spark, s"$base/X.parquet")
+        .createIfNotExists(schema)
+      t.upsert(df(1L -> 1L, 2L -> 1L), "id")
+      t.upsert(df(2L -> 2L, 3L -> 1L), "id")
+      val before = S3LikeFs.condPuts.get()
+      DeltaExport.export(t)
+      assert(S3LikeFs.condPuts.get() > before,
+        "export entries bypassed the conditional PUT")
+      // read the exported log back over the same store
+      val back = DeltaExport.readSnapshot(spark, t.path)
+        .collect().map(_.toString).sorted.toSeq
+      assert(back == t.read().collect().map(_.toString).sorted.toSeq)
+      // racing exporters of the SAME new commit: one publishes each
+      // entry, the other sees the conflict type (or a no-op diff) —
+      // never a torn or clobbered entry
+      t.upsert(df(4L -> 1L), "id")
+      val start = new CountDownLatch(1)
+      val failures =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val racers = Seq(0, 1).map { _ =>
+        new Thread(() => {
+          start.await()
+          try DeltaExport.export(ResourceTable(spark, t.path)): Unit
+          catch { case e: Throwable => failures.add(e) }
+        })
+      }
+      racers.foreach(_.start()); start.countDown()
+      racers.foreach(_.join(60000))
+      assert(failures.isEmpty, s"racing export failed: ${failures.peek()}")
+      assert(DeltaExport.readSnapshot(spark, t.path).count() ==
+        t.read().count())
+    }
+  }
+
   test("two-writer election race: linear history, zero lost commits, " +
       "zero lost rows") {
     withS3x { base =>
