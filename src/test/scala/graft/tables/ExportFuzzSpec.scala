@@ -112,7 +112,14 @@ class ExportFuzzSpec extends SparkSpec {
                        manifest: StringBuilder): Unit = {
     val rng = new Random(seed + i)
     val f = draw(rng)
-    val path = s"$base/t$i.parquet"
+    // a third of the trials run the whole history + export over the
+    // fake S3-semantics store (non-atomic create, conditional-PUT
+    // elections, listing latency) — the full feature lattice must
+    // hold on an object store, not just file:// (bytes land at the
+    // same local dir, so the independent python reader replays the
+    // log unchanged)
+    val localPath = s"$base/t$i.parquet"
+    val path = if (i % 3 == 2) s"s3x://$localPath" else localPath
     var t = ResourceTable(spark, path).createIfNotExists(schemaFor(f))
     if (f.appendOnly) t = t.setAppendOnly()
     if (f.dv) t = t.enableDeletionVectors()
@@ -184,16 +191,21 @@ class ExportFuzzSpec extends SparkSpec {
       s"trial $i ($f): readSnapshot diverged\n" +
         s" table: $mine\n export: $theirs")
 
-    // reader 2 (batched below): dump the expected snapshot
+    // reader 2 (batched below): dump the expected snapshot. The
+    // manifest records the LOCAL path — the python reader replays the
+    // bytes directly, independent of the scheme Spark wrote through
     val exp = s"$base/expected$i"
     t.read().coalesce(1).write.mode("overwrite").parquet(exp)
     manifest.synchronized {
-      manifest.append(path).append('\t').append(exp).append('\n')
+      manifest.append(localPath).append('\t').append(exp).append('\n')
     }
   }
 
   test(s"fuzz: $trials random feature/history combos — readSnapshot " +
-      "and the independent python reader both replay every log") {
+      "and the independent python reader both replay every log " +
+      "(every third trial over the S3-semantics store)") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.s3x.impl", classOf[S3LikeFs].getName)
     val base = tmpDir("xfuzz")
     val manifest = new StringBuilder
     // trials are independent tables — run them on a small pool
