@@ -56,7 +56,7 @@ object ScaleBench {
     "q_lm_perplexity", "q_perceptron_filter",
     "q_substring_remove", "q_curation_funnel", "q_stream_tws",
     "q_gopher_rules", "q_c4_filter", "x_funnel_incremental",
-    "x_pq_refresh")
+    "x_pq_refresh", "x_autocompact")
 
   /** Scale-only cases that are not SparkEntry gates: shapes whose
     * scale story needs DIFFERENT fixture sizing than the sf0.01 gate.
@@ -336,6 +336,32 @@ object ScaleBench {
       val i = nextSlice(s"ins:$dir")
       timedDelete(tab, "insert_only")(
         tab.insertIfAbsent(ingestBatch(s, dir, i), "event_id"))
+      s.range(1).toDF("done")
+    }),
+    // INCREMENTAL COMPACTION at scale (the autoCompact steady state):
+    // 24 tiny appends land as small trailing files on a corpus-sized
+    // table, then ONE compactSmallFiles pass coalesces them
+    // cluster-sorted. The batch is read via limit() (constant work at
+    // any decade) and minBytes sits below the base fixture's file
+    // sizes at every decade, so the timed region is O(appends + small
+    // files) — the claim is a FLAT ratio while the table under it
+    // grows 10×/100×.
+    "x_autocompact" -> ((s, dir) => {
+      val tab = deleteDemo(s, dir, "ac")
+      val r = nextSlice(s"ac:$dir")
+      val batch = s.read.parquet(s"$dir/events.parquet")
+        .limit(24000)
+        .withColumn("event_id",
+          col("event_id") + lit(8000000000L) + lit(r.toLong) * 1000000L)
+        .localCheckpoint(true)
+      (0 until 24).foreach { i =>
+        tab.append(batch.filter(col("event_id") % 24 === i))
+      }
+      val (smallN, largeN) = tab.compactSmallFiles(
+        minBytes = 512L << 10, targetBytes = 1L << 30,
+        numFiles = Some(4))
+      System.err.println(
+        s"[autocompact] compacted $smallN small, carried $largeN large")
       s.range(1).toDF("done")
     }),
     // SHALLOW CLONE at scale: fork the (already-built, memoized)
