@@ -620,6 +620,13 @@ object FhirEncoder {
           StructField("status", StringType),
           StructField("statusReason", codeableConcept),
           StructField("doNotPerform", BooleanType),
+          StructField("scheduledTiming", StructType(Seq(
+            StructField("event", ArrayType(StringType)),
+            StructField("repeat", StructType(Seq(
+              StructField("frequency", IntegerType),
+              StructField("period", DecimalType(32, 6)),
+              StructField("periodUnit", StringType)))),
+            StructField("code", codeableConcept)))),
           StructField("scheduledPeriod", period),
           StructField("scheduledString", StringType),
           StructField("location", reference),
@@ -905,7 +912,25 @@ object FhirEncoder {
           StructField("bodySite", codeableConcept),
           StructField("subSite", ccList),
           StructField("noteNumber", ArrayType(IntegerType)),
-          StructField("adjudication", adjudication))))),
+          StructField("adjudication", adjudication),
+          StructField("detail", ArrayType(StructType(Seq(
+            StructField("productOrService", codeableConcept),
+            StructField("modifier", ccList),
+            StructField("quantity", quantity),
+            StructField("unitPrice", money),
+            StructField("factor", DecimalType(32, 6)),
+            StructField("net", money),
+            StructField("noteNumber", ArrayType(IntegerType)),
+            StructField("adjudication", adjudication),
+            StructField("subDetail", ArrayType(StructType(Seq(
+              StructField("productOrService", codeableConcept),
+              StructField("modifier", ccList),
+              StructField("quantity", quantity),
+              StructField("unitPrice", money),
+              StructField("factor", DecimalType(32, 6)),
+              StructField("net", money),
+              StructField("noteNumber", ArrayType(IntegerType)),
+              StructField("adjudication", adjudication))))))))))))),
         StructField("adjudication", adjudication),
         StructField("total", ArrayType(StructType(Seq(
           StructField("category", codeableConcept),

@@ -42,7 +42,10 @@ object EngineMain {
       // keeps the scrape-only default
       otlpEndpoint = sys.env.get("GRAFT_OTLP_ENDPOINT"),
       otlpIntervalMs = sys.env.get("GRAFT_OTLP_INTERVAL_MS")
-        .map(_.toLong).getOrElse(10000L))
+        .map(v => try v.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"GRAFT_OTLP_INTERVAL_MS must be a millisecond count, got: $v")
+        }).getOrElse(10000L))
     // the reference's builder chain (main.py:60–100) via sessionConfigs;
     // hive wiring is skipped here — no Hive jars in this environment,
     // and in-engine registration targets the session catalog anyway
@@ -94,7 +97,10 @@ object EngineMain {
         val ks = settings.copy(
           kafkaBootstrapServers = bootstrap,
           kafkaTopics = sys.env.get("GRAFT_KAFKA_TOPICS")
-            .map(_.split(",").map(_.trim).toSeq)
+            // empty/whitespace values (common in compose templating)
+            // fall back to the default topic instead of subscribe=""
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .filter(_.nonEmpty)
             .getOrElse(settings.kafkaTopics),
           securityProtocol = sys.env
             .getOrElse("GRAFT_KAFKA_SECURITY_PROTOCOL",

@@ -504,9 +504,27 @@ object DeltaExport {
     */
   private def writeChangeData(t: ResourceTable, g: Long,
                               deltaV: Long): ObjectNode = {
-    val cdf = FileStats.keyOf(t.commitBody(g)) match {
+    val cdfLogical = FileStats.keyOf(t.commitBody(g)) match {
       case Some(k) => t.changes(g - 1, g, k)
       case None => t.changesByContent(g - 1, g)
+    }
+    // change data files follow the DATA files' naming (PROTOCOL.md
+    // column mapping): under mapping the parquet stores PHYSICAL
+    // column names — physical names are also rename-stable, so a
+    // later logical rename leaves historical change files joinable
+    val cdf = {
+      val schemaAtG = FileStats.schemaOf(t.commitBody(g))
+        .flatMap(j => scala.util.Try(
+          DataType.fromJson(j).asInstanceOf[StructType]).toOption)
+        .getOrElse(t.schema())
+      val renames = schemaAtG.fields.collect {
+        case fd if fd.metadata.contains(ResourceTable.PhysKey) =>
+          fd.name -> fd.metadata.getString(ResourceTable.PhysKey)
+      }.toMap
+      if (renames.isEmpty) cdfLogical
+      else cdfLogical.columns.foldLeft(cdfLogical)((d, c) =>
+        renames.get(c).fold(d)(pn =>
+          if (pn == c) d else d.withColumnRenamed(c, pn)))
     }
     val cdDir = new HPath(t.path, "_change_data")
     val uuid = java.util.UUID.randomUUID().toString.take(8)

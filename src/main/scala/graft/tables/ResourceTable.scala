@@ -3650,11 +3650,20 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       case cp: ConditionalPut =>
         // election callers only create empty markers (both callsites
         // `.close()` immediately); the PUT carries the empty body and
-        // the returned stream is a closed-over no-op
+        // the returned stream REFUSES writes — on this store the
+        // object is already published whole, so silently discarding
+        // written bytes would be a store-dependent data-loss
+        // divergence (use publishExclusive to publish WITH a body)
         if (!cp.putIfAbsent(p, Array.emptyByteArray))
           throw new org.apache.hadoop.fs.FileAlreadyExistsException(
             p.toString)
-        new java.io.ByteArrayOutputStream(0)
+        new java.io.OutputStream {
+          override def write(b: Int): Unit =
+            throw new UnsupportedOperationException(
+              s"$p: createExclusive on a ConditionalPut store " +
+                "publishes an empty marker; write bodies via " +
+                "publishExclusive")
+        }
       case _ if fs.getUri.getScheme == "file" =>
         java.nio.file.Files.newOutputStream(
           java.nio.file.Paths.get(p.toUri.getPath),

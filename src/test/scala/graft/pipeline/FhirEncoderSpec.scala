@@ -65,6 +65,20 @@ class FhirEncoderSpec extends AnyFunSuite {
     assert(detail.getAs[String]("status") == "scheduled")
     assert(!detail.getAs[Boolean]("doNotPerform"))
     assert(detail.getAs[String]("description") == "walk")
+
+    // the scheduled[x] choice includes the Timing variant
+    val timed = one("CarePlan",
+      """{"resourceType":"CarePlan","id":"c2","status":"active",
+        |"activity":[{"detail":{"status":"scheduled",
+        |"scheduledTiming":{"repeat":{"frequency":2,"period":1,
+        |"periodUnit":"d"}}}}]}"""
+        .stripMargin.replace("\n", "")).collect()(0)
+    val rep = timed.getAs[Seq[org.apache.spark.sql.Row]]("activity")(0)
+      .getAs[org.apache.spark.sql.Row]("detail")
+      .getAs[org.apache.spark.sql.Row]("scheduledTiming")
+      .getAs[org.apache.spark.sql.Row]("repeat")
+    assert(rep.getAs[Int]("frequency") == 2)
+    assert(rep.getAs[String]("periodUnit") == "d")
   }
 
   test("Claim: item→detail→subDetail 3-level shape with Money decimals") {
@@ -104,6 +118,25 @@ class FhirEncoderSpec extends AnyFunSuite {
     val fin = row.getAs[Seq[org.apache.spark.sql.Row]]("benefitBalance")(0)
       .getAs[Seq[org.apache.spark.sql.Row]]("financial")(0)
     assert(fin.getAs[Int]("allowedUnsignedInt") == 7)
+
+    // addItem carries the full detail -> subDetail backbone
+    val added = one("ExplanationOfBenefit",
+      """{"resourceType":"ExplanationOfBenefit","id":"e2",
+        |"status":"active",
+        |"addItem":[{"itemSequence":[1],
+        |"productOrService":{"text":"svc"},
+        |"detail":[{"net":{"value":3.5,"currency":"USD"},
+        |"subDetail":[{"net":{"value":1.25,"currency":"USD"}}]}]}]}"""
+        .stripMargin.replace("\n", "")).collect()(0)
+    val adet = added.getAs[Seq[org.apache.spark.sql.Row]]("addItem")(0)
+      .getAs[Seq[org.apache.spark.sql.Row]]("detail")(0)
+    assert(adet.getAs[org.apache.spark.sql.Row]("net")
+      .getAs[java.math.BigDecimal]("value")
+      .compareTo(new java.math.BigDecimal("3.5")) == 0)
+    assert(adet.getAs[Seq[org.apache.spark.sql.Row]]("subDetail")(0)
+      .getAs[org.apache.spark.sql.Row]("net")
+      .getAs[java.math.BigDecimal]("value")
+      .compareTo(new java.math.BigDecimal("1.25")) == 0)
   }
 
   test("Organization and Practitioner: contact/qualification backbones") {

@@ -67,11 +67,10 @@ class ExportFuzzSpec extends SparkSpec {
       mappingAt = if (rng.nextBoolean()) -1 else rng.nextInt(3),
       ictAt = if (rng.nextBoolean()) -1 else rng.nextInt(3),
       rowTrackingAt = if (rng.nextBoolean()) -1 else rng.nextInt(3),
-      // rename × CDF is excluded: cdc parquet carries the LOGICAL
-      // schema of its commit with no column-mapping field ids, so a
-      // later rename makes old change files unjoinable by name — the
-      // same reason Delta restricts batch CDF reads across renames
-      rename = mapping && !cdf && rng.nextBoolean(),
+      // rename × CDF composes since cdc files follow the data files'
+      // PHYSICAL naming under column mapping (rename-stable) — the
+      // independent reader maps final-logical -> physical per file
+      rename = mapping && rng.nextBoolean(),
       nCommits = n)
   }
 

@@ -321,6 +321,20 @@ SQLTYPE = {
 }
 
 
+def proj_for(con, fpath, cols, types, phys):
+    """SELECT list projecting a parquet file to the LOGICAL schema:
+    physical name when the file has it (column-mapped data/cdc files),
+    bare logical name otherwise (unmapped tables, pre-mapping files),
+    NULL-fill when the file predates the column entirely."""
+    have = {r[0] for r in con.sql(
+        f"SELECT name FROM parquet_schema('{fpath}')").fetchall()}
+    return ", ".join(
+        f'"{phys[c]}" AS "{c}"' if phys[c] in have
+        else (f'"{c}"' if c in have
+              else f'CAST(NULL AS {SQLTYPE[types[c]]}) AS "{c}"')
+        for c in cols)
+
+
 def phys_map(schema):
     """logical -> physical column name (column mapping, PROTOCOL.md):
     data files of a name-mapped table store columns under
@@ -367,15 +381,7 @@ def main():
     selects = []
     for rel in sorted(live):
         f = os.path.join(table, rel)
-        have = {
-            r[0] for r in con.sql(
-                f"SELECT name FROM parquet_schema('{f}')").fetchall()
-        }
-        proj = ", ".join(
-            f'"{phys[c]}" AS "{c}"' if phys[c] in have
-            else f'CAST(NULL AS {SQLTYPE[types[c]]}) AS "{c}"'
-            for c in cols
-        )
+        proj = proj_for(con, f, cols, types, phys)
         if rel in dvs:
             selects.append(
                 f"SELECT {proj} FROM parquet_scan('{f}', "
@@ -444,6 +450,7 @@ def main():
     #    needs no key column to verify.
     ok &= check_cdf(table, con, cols, types, phys)
 
+    con.close()
     sys.exit(0 if ok else 1)
 
 
@@ -476,12 +483,7 @@ def check_cdf(table, con, cols, types, phys):
         sel = []
         for rel, tag in sorted(state.items()):
             f = os.path.join(table, rel)
-            have = {r[0] for r in con.sql(
-                f"SELECT name FROM parquet_schema('{f}')").fetchall()}
-            proj = ", ".join(
-                f'"{phys[c]}" AS "{c}"' if phys[c] in have
-                else f'CAST(NULL AS {SQLTYPE[types[c]]}) AS "{c}"'
-                for c in cols)
+            proj = proj_for(con, f, cols, types, phys)
             if tag is not None:
                 t = tag.replace("'", "''")
                 sel.append(
@@ -538,23 +540,20 @@ def check_cdf(table, con, cols, types, phys):
                 ok = False
             continue
         n_cdc += 1
-        # cdc files carry the LOGICAL schema at their commit's time —
-        # null-fill per file so schema evolution (a later widening /
-        # added column) replays like the data files do
+        # cdc files follow the DATA files' naming (physical under
+        # column mapping — rename-stable; logical otherwise) and carry
+        # the schema at their commit's time — the shared projection
+        # null-fills evolution and maps physical->logical. One schema
+        # probe per file, reused for both change directions.
+        cdc_projs = [
+            (os.path.join(table, pth),
+             proj_for(con, os.path.join(table, pth), cols, types, phys))
+            for pth in cdcs]
         def cdc_sql(kinds):
-            sel = []
-            for pth in cdcs:
-                fp = os.path.join(table, pth)
-                have = {r[0] for r in con.sql(
-                    f"SELECT name FROM parquet_schema('{fp}')").fetchall()}
-                proj = ", ".join(
-                    f'"{c}"' if c in have
-                    else f'CAST(NULL AS {SQLTYPE[types[c]]}) AS "{c}"'
-                    for c in cols)
-                sel.append(
-                    f"SELECT {proj} FROM parquet_scan('{fp}') WHERE "
-                    f"_change_type IN ({kinds})")
-            return " UNION ALL ".join(sel)
+            return " UNION ALL ".join(
+                f"SELECT {pj} FROM parquet_scan('{fp}') WHERE "
+                f"_change_type IN ({kinds})"
+                for fp, pj in cdc_projs)
         plus = cdc_sql("'insert', 'update_postimage'")
         minus = cdc_sql("'delete', 'update_preimage'")
         proj = ", ".join(f'"{c}"' for c in cols)
