@@ -157,8 +157,15 @@ class ExportFuzzSpec extends SparkSpec {
         t.deleteWhere(col("id") === k)
         live -= k
       } else { // maintenance (append-only exempt by protocol design)
-        t.compactSmallFiles(minBytes = 1L << 26,
-          targetBytes = 1L << 26, numFiles = Some(1))
+        rng.nextInt(3) match {
+          case 0 => t.compactSmallFiles(minBytes = 1L << 26,
+            targetBytes = 1L << 26, numFiles = Some(1))
+          case 1 => t.optimize(numFiles = 2)
+          case _ =>
+            // REORG PURGE: only rewrites files whose DV dead fraction
+            // qualifies — a no-op commit-free pass on DV-less tables
+            t.purgeDeletionVectors(minDeadFraction = 0.01)
+        }
       }
       // widening mid-history: int v -> long via mergeSchema (old files
       // served widened in place, a new metaData restates the schema)
