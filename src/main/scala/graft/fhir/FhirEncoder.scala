@@ -16,8 +16,13 @@ import org.apache.spark.sql.types._
   * Schema breadth follows Pathling's full-R4 derivation for the five
   * resource types the reference processes in parallel
   * (src/settings.py:69–75) — Patient / Observation / Condition /
-  * Encounter / Procedure — plus every further type Synthea emits by
-  * default (reference data/generate-sample-data.sh:22–28):
+  * Encounter / Procedure — plus every further type Synthea's default
+  * exporter modules emit in raw bundles: a reference user pointing the
+  * engine at unfiltered Synthea output sees these types (the repo's own
+  * sample-data script, data/generate-sample-data.sh:22–28, jq-filters
+  * its fixtures DOWN to Patient/Condition/Observation — i.e. it strips
+  * these types out of the checked-in samples, which is why the engine
+  * must type them itself):
   * Immunization, MedicationRequest, DiagnosticReport,
   * AllergyIntolerance, CarePlan, Claim, ExplanationOfBenefit,
   * Organization, Practitioner. Every R4 element of each type is

@@ -521,10 +521,15 @@ object DeltaExport {
         case fd if fd.metadata.contains(ResourceTable.PhysKey) =>
           fd.name -> fd.metadata.getString(ResourceTable.PhysKey)
       }.toMap
+      // one atomic projection (same shape readFiles uses): sequential
+      // withColumnRenamed is wrong under chained renames — if column
+      // a's logical name equals column b's PHYSICAL name (rename v->w
+      // then id->v), an intermediate step duplicates a name and the
+      // next rename hits both columns
       if (renames.isEmpty) cdfLogical
-      else cdfLogical.columns.foldLeft(cdfLogical)((d, c) =>
-        renames.get(c).fold(d)(pn =>
-          if (pn == c) d else d.withColumnRenamed(c, pn)))
+      else cdfLogical.select(cdfLogical.columns.map(c =>
+        org.apache.spark.sql.functions.col(c)
+          .as(renames.getOrElse(c, c))): _*)
     }
     val cdDir = new HPath(t.path, "_change_data")
     val uuid = java.util.UUID.randomUUID().toString.take(8)

@@ -220,4 +220,61 @@ class CdfExportSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(path, "_change_data")))
     assert(!all.exists(_.contains("changeDataFeed")))
   }
+
+  test("cdc physical naming survives chained renames where a logical name equals another column's physical name") {
+    // the hazard: schema (id, n) under mapping, rename id->w then
+    // n->id — now logical "w" has physical "id" while logical "id"
+    // has physical "n". A SEQUENTIAL logical->physical rename
+    // (withColumnRenamed w->id while a logical "id" still exists)
+    // duplicates a column name and the next rename hits both; the
+    // one-projection rename in writeChangeData must stay immune.
+    val dir = tmpDir("cdf5")
+    val path = s"$dir/T.parquet"
+    val t = ResourceTable(spark, path)
+      .createIfNotExists(schema).enableChangeDataFeed()
+      .enableColumnMapping()
+    t.upsert(df("k1" -> 1, "k2" -> 2, "k3" -> 3), "id")
+    DeltaExport.export(t) // anchor: later exports replay per-commit
+    t.renameColumn("id", "w")
+    t.renameColumn("n", "id")
+    // post-rename rewriting commits: an update pair and a delete,
+    // both materialize _change_data files under the swapped names
+    val post = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row("k2", 20), Row("k4", 4))),
+      StructType(Seq(StructField("w", StringType),
+        StructField("id", IntegerType))))
+    t.upsert(post, "w")
+    t.deleteWhere(org.apache.spark.sql.functions.col("w") === "k1")
+    val dv = DeltaExport.export(t)
+
+    // every cdc file written after the swap carries DISTINCT PHYSICAL
+    // names (id for logical w, n for logical id) — no duplicate
+    // columns, no leakage of post-rename logical names
+    val all = (0L to dv).flatMap(entryActions(path, _))
+    val cdcFiles = all.filter(_.contains("\"cdc\""))
+      .map(l => s"$path/${mapper.readTree(l).get("cdc").get("path").asText}")
+    assert(cdcFiles.size >= 2, all.mkString("\n")) // post-swap upsert + delete
+    cdcFiles.foreach { fpath =>
+      val cols = spark.read.parquet(fpath).columns.toSeq
+      assert(cols.distinct == cols, s"$fpath duplicated columns: $cols")
+      assert(cols.contains("id") && cols.contains("n"),
+        s"$fpath expected physical id/n, got $cols")
+      assert(!cols.contains("w"), s"$fpath leaked logical name: $cols")
+    }
+
+    // the independent python reader replays the whole feed under the
+    // swapped mapping and the snapshot round-trips
+    t.read().coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/expected.parquet")
+    val pb = new ProcessBuilder("python3", "tools/check_delta_export.py",
+      path, s"$dir/expected.parquet")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(),
+      StandardCharsets.UTF_8)
+    proc.waitFor()
+    assert(proc.exitValue() == 0, s"python reader failed:\n$out")
+    assert(out.contains("cdc commits verified OK"), out)
+  }
 }
