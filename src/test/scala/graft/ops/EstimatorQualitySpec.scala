@@ -191,12 +191,17 @@ class EstimatorQualitySpec extends SparkSpec {
     def recall(approx: org.apache.spark.sql.DataFrame): Double =
       exact.join(approx, Seq("q_id", "n_id"), "left_semi")
         .count().toDouble / nExact
+    // floors sit within 0.05 of the measured values on this PINNED
+    // fixture (clusteredEmbeddings is pure trig on vec_id — no RNG,
+    // no sf dependence; measured r15/r16: IVF 1.00, RP 0.97,
+    // rerank4 0.66, rerank10 1.00), so a real recall regression
+    // can't hide under slack (VERDICT r15 item 8)
     val ivf = recall(graft.ops.Similarity
       .ivfTopK(queries, corpus, k, probes = 3).select("q_id", "n_id"))
-    assert(ivf >= 0.9, s"clustered IVF recall@10 $ivf < 0.9")
+    assert(ivf >= 0.95, s"clustered IVF recall@10 $ivf < 0.95")
     val rp = recall(graft.ops.Similarity
       .rpTopK(queries, corpus, k, kOut = 16).select("q_id", "n_id"))
-    assert(rp >= 0.8, s"clustered RP recall@10 $rp < 0.8")
+    assert(rp >= 0.92, s"clustered RP recall@10 $rp < 0.92")
     val cb = graft.ops.Pq.trainOn(emb)
     val adc = recall(graft.ops.Pq.adcTopK(queries, corpus, cb, k)
       .select("q_id", "n_id"))
@@ -211,8 +216,8 @@ class EstimatorQualitySpec extends SparkSpec {
       .select("q_id", "n_id"))
     assert(rr4 >= adc + 0.2,
       s"rerank(4)=$rr4 must clearly beat raw ADC=$adc")
-    assert(rr4 >= 0.5, s"clustered rerank(4) recall@10 $rr4 < 0.5")
-    assert(rr10 >= 0.9, s"clustered rerank(10) recall@10 $rr10 < 0.9")
+    assert(rr4 >= 0.6, s"clustered rerank(4) recall@10 $rr4 < 0.6")
+    assert(rr10 >= 0.95, s"clustered rerank(10) recall@10 $rr10 < 0.95")
     exact.unpersist()
   }
 }
