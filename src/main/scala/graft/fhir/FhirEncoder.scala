@@ -25,7 +25,9 @@ import org.apache.spark.sql.types._
   * must type them itself):
   * Immunization, MedicationRequest, DiagnosticReport,
   * AllergyIntolerance, CarePlan, Claim, ExplanationOfBenefit,
-  * Organization, Practitioner. Every R4 element of each type is
+  * Organization, Practitioner, and (tier 3) Device, Location,
+  * Medication, Provenance, SupplyDelivery, ImagingStudy — 20 typed
+  * R4 schemas total. Every R4 element of each type is
   * declared below, choice types (`value[x]`, `onset[x]`,
   * `performed[x]`, …) expanded per variant, exactly as Pathling's
   * encoder emits them. Conventions also match
@@ -1002,7 +1004,199 @@ object FhirEncoder {
         StructField("code", codeableConcept),
         StructField("period", period),
         StructField("issuer", reference))))),
-      StructField("communication", ccList)))
+      StructField("communication", ccList)),
+
+    // ---- tier 3 (round 16): the remaining types Synthea's default
+    // modules emit in raw bundles (devices, care locations, medication
+    // definitions, provenance chains, supply deliveries, imaging) —
+    // Pathling types all of them on demand
+    // (reference src/bundle_processor.py:162–166), so a reference user
+    // pointing the engine at unfiltered Synthea output gets typed
+    // columns here too. Choice types expanded per variant, decimals as
+    // DecimalType(32, 6), dates/instants as precision-preserving
+    // strings — the same conventions as every schema above.
+
+    "Device" -> domainResource(
+      StructField("identifier", identifierType),
+      StructField("definition", reference),
+      StructField("udiCarrier", ArrayType(StructType(Seq(
+        StructField("deviceIdentifier", StringType),
+        StructField("issuer", StringType),
+        StructField("jurisdiction", StringType),
+        StructField("carrierAIDC", StringType), // base64Binary
+        StructField("carrierHRF", StringType),
+        StructField("entryType", StringType))))),
+      StructField("status", StringType),
+      StructField("statusReason", ccList),
+      StructField("distinctIdentifier", StringType),
+      StructField("manufacturer", StringType),
+      StructField("manufactureDate", StringType),
+      StructField("expirationDate", StringType),
+      StructField("lotNumber", StringType),
+      StructField("serialNumber", StringType),
+      StructField("deviceName", ArrayType(StructType(Seq(
+        StructField("name", StringType),
+        StructField("type", StringType))))),
+      StructField("modelNumber", StringType),
+      StructField("partNumber", StringType),
+      StructField("type", codeableConcept),
+      StructField("specialization", ArrayType(StructType(Seq(
+        StructField("systemType", codeableConcept),
+        StructField("version", StringType))))),
+      StructField("version", ArrayType(StructType(Seq(
+        StructField("type", codeableConcept),
+        StructField("component", identifierElem),
+        StructField("value", StringType))))),
+      StructField("property", ArrayType(StructType(Seq(
+        StructField("type", codeableConcept),
+        StructField("valueQuantity", ArrayType(quantity)),
+        StructField("valueCode", ccList))))),
+      StructField("patient", reference),
+      StructField("owner", reference),
+      StructField("contact", contactPoint),
+      StructField("location", reference),
+      StructField("url", StringType),
+      StructField("note", annotationType),
+      StructField("safety", ccList),
+      StructField("parent", reference)),
+
+    "Location" -> domainResource(
+      StructField("identifier", identifierType),
+      StructField("status", StringType),
+      StructField("operationalStatus", codingElem),
+      StructField("name", StringType),
+      StructField("alias", ArrayType(StringType)),
+      StructField("description", StringType),
+      StructField("mode", StringType),
+      StructField("type", ccList),
+      StructField("telecom", contactPoint),
+      StructField("address", addressElem), // 0..1, unlike Patient's
+      StructField("physicalType", codeableConcept),
+      StructField("position", StructType(Seq(
+        StructField("longitude", DecimalType(32, 6)),
+        StructField("latitude", DecimalType(32, 6)),
+        StructField("altitude", DecimalType(32, 6))))),
+      StructField("managingOrganization", reference),
+      StructField("partOf", reference),
+      StructField("hoursOfOperation", ArrayType(StructType(Seq(
+        StructField("daysOfWeek", ArrayType(StringType)),
+        StructField("allDay", BooleanType),
+        StructField("openingTime", StringType),
+        StructField("closingTime", StringType))))),
+      StructField("availabilityExceptions", StringType),
+      StructField("endpoint", refList)),
+
+    "Medication" -> domainResource(
+      StructField("identifier", identifierType),
+      StructField("code", codeableConcept),
+      StructField("status", StringType),
+      StructField("manufacturer", reference),
+      StructField("form", codeableConcept),
+      StructField("amount", ratio),
+      StructField("ingredient", ArrayType(StructType(Seq(
+        StructField("itemCodeableConcept", codeableConcept),
+        StructField("itemReference", reference),
+        StructField("isActive", BooleanType),
+        StructField("strength", ratio))))),
+      StructField("batch", StructType(Seq(
+        StructField("lotNumber", StringType),
+        StructField("expirationDate", StringType))))),
+
+    "Provenance" -> domainResource(
+      StructField("target", refList),
+      StructField("occurredPeriod", period),
+      StructField("occurredDateTime", StringType),
+      StructField("recorded", StringType), // instant
+      StructField("policy", ArrayType(StringType)),
+      StructField("location", reference),
+      StructField("reason", ccList),
+      StructField("activity", codeableConcept),
+      StructField("agent", ArrayType(StructType(Seq(
+        StructField("type", codeableConcept),
+        StructField("role", ccList),
+        StructField("who", reference),
+        StructField("onBehalfOf", reference))))),
+      StructField("entity", ArrayType(StructType(Seq(
+        StructField("role", StringType),
+        StructField("what", reference),
+        // entity.agent recurses into agent; one level, like extensions
+        StructField("agent", ArrayType(StructType(Seq(
+          StructField("type", codeableConcept),
+          StructField("role", ccList),
+          StructField("who", reference),
+          StructField("onBehalfOf", reference))))))))),
+      StructField("signature", ArrayType(StructType(Seq(
+        StructField("type", codingType),
+        StructField("when", StringType),
+        StructField("who", reference),
+        StructField("onBehalfOf", reference),
+        StructField("targetFormat", StringType),
+        StructField("sigFormat", StringType),
+        StructField("data", StringType)))))), // base64Binary
+
+    "SupplyDelivery" -> domainResource(
+      StructField("identifier", identifierType),
+      StructField("basedOn", refList),
+      StructField("partOf", refList),
+      StructField("status", StringType),
+      StructField("patient", reference),
+      StructField("type", codeableConcept),
+      StructField("suppliedItem", StructType(Seq(
+        StructField("quantity", quantity),
+        StructField("itemCodeableConcept", codeableConcept),
+        StructField("itemReference", reference)))),
+      StructField("occurrenceDateTime", StringType),
+      StructField("occurrencePeriod", period),
+      StructField("occurrenceTiming", StructType(Seq(
+        StructField("event", ArrayType(StringType)),
+        StructField("repeat", StructType(Seq(
+          StructField("frequency", IntegerType),
+          StructField("period", DecimalType(32, 6)),
+          StructField("periodUnit", StringType)))),
+        StructField("code", codeableConcept)))),
+      StructField("supplier", reference),
+      StructField("destination", reference),
+      StructField("receiver", refList)),
+
+    "ImagingStudy" -> domainResource(
+      StructField("identifier", identifierType),
+      StructField("status", StringType),
+      StructField("modality", ArrayType(codingElem)),
+      StructField("subject", reference),
+      StructField("encounter", reference),
+      StructField("started", StringType),
+      StructField("basedOn", refList),
+      StructField("referrer", reference),
+      StructField("interpreter", refList),
+      StructField("endpoint", refList),
+      StructField("numberOfSeries", IntegerType),
+      StructField("numberOfInstances", IntegerType),
+      StructField("procedureReference", reference),
+      StructField("procedureCode", ccList),
+      StructField("location", reference),
+      StructField("reasonCode", ccList),
+      StructField("reasonReference", refList),
+      StructField("note", annotationType),
+      StructField("description", StringType),
+      StructField("series", ArrayType(StructType(Seq(
+        StructField("uid", StringType),
+        StructField("number", IntegerType),
+        StructField("modality", codingElem),
+        StructField("description", StringType),
+        StructField("numberOfInstances", IntegerType),
+        StructField("endpoint", refList),
+        StructField("bodySite", codingElem),
+        StructField("laterality", codingElem),
+        StructField("specimen", refList),
+        StructField("started", StringType),
+        StructField("performer", ArrayType(StructType(Seq(
+          StructField("function", codeableConcept),
+          StructField("actor", reference))))),
+        StructField("instance", ArrayType(StructType(Seq(
+          StructField("uid", StringType),
+          StructField("sopClass", codingElem),
+          StructField("number", IntegerType),
+          StructField("title", StringType)))))))))))
 
   /** Fallback schema for resource types without a registered schema —
     * the generic R4 DomainResource backbone (id, meta, implicitRules,

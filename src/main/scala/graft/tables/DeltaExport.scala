@@ -1246,7 +1246,16 @@ object DeltaExport {
         StructField("cardinality", LongType))))))),
     StructField("txn", StructType(Seq(
       StructField("appId", StringType),
-      StructField("version", LongType))))))
+      StructField("version", LongType)))),
+    // PROTOCOL.md "Domain Metadata": checkpoints must restate the
+    // latest per-domain state — a reader replaying from the checkpoint
+    // alone (after cleanupLog dropped the json entries that carried
+    // the actions) would otherwise lose the clustering declaration and
+    // the row-tracking high-water mark
+    StructField("domainMetadata", StructType(Seq(
+      StructField("domain", StringType),
+      StructField("configuration", StringType),
+      StructField("removed", BooleanType))))))
 
   /** Actions per published checkpoint part file. Below this the
     * checkpoint lands as the classic single `N.checkpoint.parquet`;
@@ -1384,15 +1393,18 @@ object DeltaExport {
       .groupBy(col("appId")).agg(max(col("version")).as("version"))
     val protoT = checkpointSchema("protocol").dataType
     val metaT = checkpointSchema("metaData").dataType
+    val domT = checkpointSchema("domainMetadata").dataType
     val body = liveAdds
       .select(lit(null).cast(protoT).as("protocol"),
         lit(null).cast(metaT).as("metaData"), col("add"),
-        lit(null).cast(txnT).as("txn"))
+        lit(null).cast(txnT).as("txn"),
+        lit(null).cast(domT).as("domainMetadata"))
       .unionByName(allTxns
         .select(lit(null).cast(protoT).as("protocol"),
           lit(null).cast(metaT).as("metaData"),
           lit(null).cast(addT).as("add"),
-          struct(col("appId"), col("version")).cast(txnT).as("txn")))
+          struct(col("appId"), col("version")).cast(txnT).as("txn"),
+          lit(null).cast(domT).as("domainMetadata")))
       .persist()
     try {
       val nBody = body.count()
@@ -1482,10 +1494,22 @@ object DeltaExport {
       val emptyMap = Map.empty[String, String]
       val metaRow = Row(tableId(t), Row("parquet", emptyMap), deltaJson,
         Seq.empty[String], conf, ts)
+      // latest per-domain state, re-derived from the table exactly as
+      // the json emissions derive it (the checkpoint is only written
+      // at the export head, so current state == state at dv); the V2
+      // path inherits these rows too since the manifest carries `head`
+      val domainRows = (clusteringDomain(t) ++
+          t.latestVersion.toSeq.flatMap(g => rowTrackingDomain(t, g)))
+        .map { n =>
+          val d = n.get("domainMetadata")
+          Row(null, null, null, null,
+            Row(d.get("domain").asText, d.get("configuration").asText,
+              d.get("removed").asBoolean))
+        }
       val head = spark.createDataFrame(
         spark.sparkContext.parallelize(Seq(
-          Row(protoRow, null, null, null),
-          Row(null, metaRow, null, null)), 1),
+          Row(protoRow, null, null, null, null),
+          Row(null, metaRow, null, null, null)) ++ domainRows, 1),
         checkpointSchema)
       val nParts = math.max(1L, (nBody + checkpointPartActions(spark) - 1)
         / checkpointPartActions(spark)).toInt
@@ -1573,8 +1597,8 @@ object DeltaExport {
         lit(null).cast(v2Schema("checkpointMetadata").dataType))
     val scRows = spark.createDataFrame(
       spark.sparkContext.parallelize(sidecars.map { case (n, sz, mt) =>
-        Row(null, null, null, null, Row(n, sz, mt), null)
-      } :+ Row(null, null, null, null, null, Row(dv)), 1),
+        Row(null, null, null, null, null, Row(n, sz, mt), null)
+      } :+ Row(null, null, null, null, null, null, Row(dv)), 1),
       v2Schema)
     val manifestDf = wide(head)
       .unionByName(wide(body.filter(col("txn").isNotNull)))

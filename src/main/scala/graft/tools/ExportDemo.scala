@@ -37,7 +37,12 @@ object ExportDemo {
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_acctbal"), col("c_mktsegment"))
     val path = s"$out/table.parquet"
-    val t = ResourceTable(spark, path).createIfNotExists(cust.schema)
+    // clustered: the exported log carries the clustering writer
+    // feature + delta.clustering domain, and the post-cleanup
+    // checkpoint-only replay below proves the domain survives in the
+    // checkpoint (the python reader's feature-implies-domain check)
+    val t = ResourceTable(spark, path)
+      .createIfNotExists(cust.schema, clusterCols = Seq("c_custkey"))
 
     // history: base load, then 12 single-row upserts (descending
     // acctbal so stats vary per file), a schema evolution, a delete,

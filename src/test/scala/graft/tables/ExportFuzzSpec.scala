@@ -12,7 +12,8 @@ import scala.util.Random
 /** Export-protocol FUZZING (VERDICT r14 item 7): ExportProtocolSpec
   * pins the five known advisory edges; this spec randomizes the
   * feature lattice — DV × columnMapping × ICT × ntz × widening ×
-  * appendOnly × CDF × rowTracking — with and without MID-LOG upgrades
+  * appendOnly × CDF × rowTracking × clustering — with and without
+  * MID-LOG upgrades
   * and across the 10-commit checkpoint cut, and round-trips every
   * combination through BOTH readers:
   *
@@ -42,7 +43,7 @@ class ExportFuzzSpec extends SparkSpec {
       rowTracking: Boolean,
       // upgrade points: -1 = at create, else after that many commits
       mappingAt: Int, ictAt: Int, rowTrackingAt: Int,
-      rename: Boolean, nCommits: Int)
+      rename: Boolean, clustered: Boolean, nCommits: Int)
 
   private def draw(rng: Random): Feat = {
     // appendOnly forbids dataChange removes, so it excludes DV deletes
@@ -71,6 +72,11 @@ class ExportFuzzSpec extends SparkSpec {
       // PHYSICAL naming under column mapping (rename-stable) — the
       // independent reader maps final-logical -> physical per file
       rename = mapping && rng.nextBoolean(),
+      // clustered trials export the clustering writer feature + the
+      // delta.clustering domain; combined with nCommits >= 11 they
+      // prove the domain survives CHECKPOINT-only replay (the python
+      // reader's feature-implies-domain check runs on every trial)
+      clustered = rng.nextInt(3) == 0,
       nCommits = n)
   }
 
@@ -119,7 +125,8 @@ class ExportFuzzSpec extends SparkSpec {
     // log unchanged)
     val localPath = s"$base/t$i.parquet"
     val path = if (i % 3 == 2) s"s3x://$localPath" else localPath
-    var t = ResourceTable(spark, path).createIfNotExists(schemaFor(f))
+    var t = ResourceTable(spark, path).createIfNotExists(schemaFor(f),
+      clusterCols = if (f.clustered) Seq("id") else Seq.empty)
     if (f.appendOnly) t = t.setAppendOnly()
     if (f.dv) t = t.enableDeletionVectors()
     if (f.cdf) t = t.enableChangeDataFeed()
@@ -179,7 +186,7 @@ class ExportFuzzSpec extends SparkSpec {
       // column-mapping rename mid-history: physical names stay pinned,
       // the logical rename rides a metaData restatement
       if (f.rename && !renamed && c == f.nCommits - 2 &&
-          t.clusterBy().isEmpty) {
+          !t.clusterBy().contains("v")) {
         renamed = true
         t.renameColumn("v", "val")
       }

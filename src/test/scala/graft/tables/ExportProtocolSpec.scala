@@ -159,6 +159,16 @@ class ExportProtocolSpec extends SparkSpec {
       .select("metaData.configuration").collect().head
       .getMap[String, String](0)
     assert(conf.get("delta.appendOnly").contains("true"), conf)
+    // domain metadata is restated too: a checkpoint-only reader (the
+    // json anchor that declared it may be cleaned) keeps the
+    // clustering column declaration (PROTOCOL.md "Domain Metadata")
+    val dom = ck.filter("domainMetadata IS NOT NULL")
+      .select("domainMetadata.domain", "domainMetadata.configuration")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dom.contains("delta.clustering"), dom)
+    assert(dom("delta.clustering").contains("\"clusteringColumns\""),
+      dom)
+    assert(dom("delta.clustering").contains("id"), dom)
     assert(DeltaExport.readSnapshot(spark, path).count() == 11L)
   }
 

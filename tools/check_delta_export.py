@@ -200,6 +200,7 @@ def replay(table):
         if f.endswith(".json") and not f.startswith(".")
     )
     live, sizes, dvs, txns, schema = {}, {}, {}, {}, None
+    domains, features = {}, set()
     complete = complete_checkpoints(logdir)
     pointed = -1
     lc = os.path.join(logdir, "_last_checkpoint")
@@ -249,6 +250,31 @@ def replay(table):
             "WHERE metaData.id IS NOT NULL"
         ).fetchall():
             schema = json.loads(s)
+        # writer features (the checkpoint restates the protocol) and
+        # domain metadata (PROTOCOL.md: checkpoints carry the latest
+        # per-domain state — a checkpoint-only reader must not lose the
+        # clustering declaration or the row-tracking high-water mark)
+        try:
+            for (wf,) in con.sql(
+                f"SELECT protocol.writerFeatures FROM parquet_scan({ck})"
+                " WHERE protocol.minWriterVersion IS NOT NULL"
+            ).fetchall():
+                features.update(wf or [])
+        except duckdb.Error:
+            pass  # legacy protocol struct without the features fields
+        has_dom = con.sql(
+            f"SELECT count(*) FROM (DESCRIBE SELECT * FROM "
+            f"parquet_scan({ck}) LIMIT 0) "
+            "WHERE column_name = 'domainMetadata'"
+        ).fetchone()[0] > 0
+        if has_dom:
+            for (d, cfg, rem) in con.sql(
+                f"SELECT domainMetadata.domain, "
+                f"domainMetadata.configuration, domainMetadata.removed "
+                f"FROM parquet_scan({ck}) "
+                "WHERE domainMetadata.domain IS NOT NULL"
+            ).fetchall():
+                domains[d] = (cfg, bool(rem))
         con.close()
     for v in entries:
         if v <= ckpt_v:
@@ -273,7 +299,14 @@ def replay(table):
                     dvs.pop(n["remove"]["path"], None)
                 if "txn" in n:
                     txns[n["txn"]["appId"]] = n["txn"]["version"]
-    return live, sizes, dvs, txns, schema, ckpt_v
+                if "protocol" in n:
+                    features.update(
+                        n["protocol"].get("writerFeatures") or [])
+                if "domainMetadata" in n:
+                    d = n["domainMetadata"]
+                    domains[d["domain"]] = (
+                        d.get("configuration"), bool(d.get("removed")))
+    return live, sizes, dvs, txns, schema, ckpt_v, domains, features
 
 
 def check_crc(table, sizes, dvs):
@@ -349,7 +382,8 @@ def phys_map(schema):
 
 def main():
     table, expected = sys.argv[1], sys.argv[2]
-    live, sizes, dvs, txns, schema, ckpt_v = replay(table)
+    live, sizes, dvs, txns, schema, ckpt_v, domains, features = \
+        replay(table)
     cols = [f["name"] for f in schema["fields"]]
     types = {f["name"]: f["type"] for f in schema["fields"]}
     phys = phys_map(schema)
@@ -443,6 +477,13 @@ def main():
     print(f"txns (ckpt v{ckpt_v}): {sorted(txns.items())}")
     print(check_crc(table, sizes, dvs))
 
+    # 3b. domain metadata: the clustering feature promises a
+    #     delta.clustering domain naming physical schema columns; both
+    #     domains must survive the same checkpoint+tail replay the
+    #     snapshot used (not just the full json history)
+    for msg in check_domains(domains, features, phys):
+        print(msg)
+
     # 4. change data feed: every cdc-bearing commit must satisfy the
     #    algebraic identity  snap(v-1) + inserts + update_postimages
     #    - deletes - update_preimages == snap(v)  as MULTISETS — the
@@ -452,6 +493,42 @@ def main():
 
     con.close()
     sys.exit(0 if ok else 1)
+
+
+def check_domains(domains, features, phys):
+    """Domain metadata (PROTOCOL.md "Domain Metadata" / delta-spark's
+    ClusteringMetadataDomain): a table declaring the `clustering`
+    writer feature must carry a live delta.clustering domain whose
+    clusteringColumns are single-segment paths naming PHYSICAL columns
+    of the current schema; a row-tracking table's high-water mark must
+    be a sane integer when present. `domains` comes from the same
+    checkpoint+tail replay the snapshot used, so a checkpoint that
+    fails to restate a domain fails here even while the full json
+    history still carries it."""
+    msgs = []
+    if "clustering" in features:
+        assert "delta.clustering" in domains, (
+            "clustering writer feature declared but no delta.clustering"
+            " domain survives checkpoint+tail replay")
+        cfg, removed = domains["delta.clustering"]
+        assert not removed, "delta.clustering domain is tombstoned"
+        ccols = json.loads(cfg)["clusteringColumns"]
+        assert ccols, "delta.clustering domain with no columns"
+        physnames = set(phys.values())
+        for path in ccols:
+            assert len(path) == 1 and path[0] in physnames, (
+                f"clustering column {path} does not name a physical "
+                f"schema column (have {sorted(physnames)})")
+        msgs.append("domain delta.clustering: columns "
+                    + ",".join(p[0] for p in ccols) + " verified OK")
+    if "delta.rowTracking" in domains:
+        cfg, removed = domains["delta.rowTracking"]
+        if not removed:
+            hwm = json.loads(cfg)["rowIdHighWaterMark"]
+            assert isinstance(hwm, int) and hwm >= 0, (
+                f"bad rowIdHighWaterMark {hwm!r}")
+            msgs.append(f"domain delta.rowTracking: hwm={hwm} OK")
+    return msgs
 
 
 def check_cdf(table, con, cols, types, phys):
