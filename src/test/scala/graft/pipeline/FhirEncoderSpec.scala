@@ -25,10 +25,102 @@ class FhirEncoderSpec extends AnyFunSuite {
     val expected = Set("Patient", "Observation", "Condition", "Encounter",
       "Procedure", "Immunization", "MedicationRequest", "DiagnosticReport",
       "AllergyIntolerance", "CarePlan", "Claim", "ExplanationOfBenefit",
-      "Organization", "Practitioner")
+      "Organization", "Practitioner",
+      // tier 3 (round 16)
+      "Device", "Location", "Medication", "Provenance",
+      "SupplyDelivery", "ImagingStudy")
     assert(FhirEncoder.schemas.keySet == expected)
     // unknown types still fall back to the generic backbone
-    assert(FhirEncoder.schemaFor("Device") == FhirEncoder.genericSchema)
+    assert(FhirEncoder.schemaFor("Specimen") == FhirEncoder.genericSchema)
+  }
+
+  test("Device: UDI carrier backbone and typed refs") {
+    val row = one("Device",
+      """{"resourceType":"Device","id":"d1","status":"active",
+        |"udiCarrier":[{"deviceIdentifier":"(01)123",
+        |"carrierHRF":"(01)123(11)220101"}],
+        |"manufacturer":"Acme","lotNumber":"L-9",
+        |"deviceName":[{"name":"Pump","type":"user-friendly-name"}],
+        |"type":{"coding":[{"code":"14106009"}]},
+        |"patient":{"reference":"Patient/p1"}}"""
+        .stripMargin.replace("\n", "")).collect()(0)
+    assert(row.getAs[String]("id") == "d1")
+    val udi = row.getAs[Seq[org.apache.spark.sql.Row]]("udiCarrier")(0)
+    assert(udi.getAs[String]("deviceIdentifier") == "(01)123")
+    assert(row.getAs[Seq[org.apache.spark.sql.Row]]("deviceName")(0)
+      .getAs[String]("name") == "Pump")
+    assert(row.getAs[org.apache.spark.sql.Row]("patient")
+      .getAs[String]("reference") == "Patient/p1")
+  }
+
+  test("Location: decimal geo-position and 0..1 address") {
+    val row = one("Location",
+      """{"resourceType":"Location","id":"l1","name":"West Wing",
+        |"position":{"longitude":-71.0589,"latitude":42.3601},
+        |"address":{"city":"Boston","country":"US"},
+        |"physicalType":{"coding":[{"code":"wi"}]}}"""
+        .stripMargin.replace("\n", "")).collect()(0)
+    val pos = row.getAs[org.apache.spark.sql.Row]("position")
+    assert(pos.getAs[java.math.BigDecimal]("longitude")
+      .compareTo(new java.math.BigDecimal("-71.0589")) == 0)
+    assert(row.getAs[org.apache.spark.sql.Row]("address")
+      .getAs[String]("city") == "Boston")
+  }
+
+  test("Medication: Ratio quantities and batch backbone") {
+    val row = one("Medication",
+      """{"resourceType":"Medication","id":"m1",
+        |"code":{"coding":[{"code":"313782"}]},
+        |"amount":{"numerator":{"value":250,"unit":"mg"},
+        |"denominator":{"value":1,"unit":"TAB"}},
+        |"ingredient":[{"isActive":true,
+        |"strength":{"numerator":{"value":125.5,"unit":"mg"},
+        |"denominator":{"value":1,"unit":"TAB"}}}],
+        |"batch":{"lotNumber":"B7","expirationDate":"2027-12-31"}}"""
+        .stripMargin.replace("\n", "")).collect()(0)
+    val amt = row.getAs[org.apache.spark.sql.Row]("amount")
+    assert(amt.getAs[org.apache.spark.sql.Row]("numerator")
+      .getAs[java.math.BigDecimal]("value")
+      .compareTo(new java.math.BigDecimal("250")) == 0)
+    val ing = row.getAs[Seq[org.apache.spark.sql.Row]]("ingredient")(0)
+    assert(ing.getAs[Boolean]("isActive"))
+    assert(row.getAs[org.apache.spark.sql.Row]("batch")
+      .getAs[String]("lotNumber") == "B7")
+  }
+
+  test("Provenance: one-level entity.agent recursion is kept") {
+    val row = one("Provenance",
+      """{"resourceType":"Provenance","id":"pv1",
+        |"target":[{"reference":"Patient/p1"}],
+        |"recorded":"2024-03-01T10:05:00Z",
+        |"agent":[{"who":{"reference":"Practitioner/x"}}],
+        |"entity":[{"role":"source",
+        |"what":{"reference":"DocumentReference/d"},
+        |"agent":[{"who":{"reference":"Device/dev1"}}]}]}"""
+        .stripMargin.replace("\n", "")).collect()(0)
+    val ent = row.getAs[Seq[org.apache.spark.sql.Row]]("entity")(0)
+    assert(ent.getAs[String]("role") == "source")
+    assert(ent.getAs[Seq[org.apache.spark.sql.Row]]("agent")(0)
+      .getAs[org.apache.spark.sql.Row]("who")
+      .getAs[String]("reference") == "Device/dev1")
+  }
+
+  test("ImagingStudy: series/instance 3-level nesting") {
+    val row = one("ImagingStudy",
+      """{"resourceType":"ImagingStudy","id":"is1","status":"available",
+        |"modality":[{"code":"CT"}],"numberOfSeries":1,
+        |"series":[{"uid":"1.2.3","number":1,
+        |"modality":{"code":"CT"},
+        |"instance":[{"uid":"1.2.3.4",
+        |"sopClass":{"code":"1.2.840.10008.5.1.4.1.1.2"},
+        |"number":1}]}]}"""
+        .stripMargin.replace("\n", "")).collect()(0)
+    assert(row.getAs[Int]("numberOfSeries") == 1)
+    val series = row.getAs[Seq[org.apache.spark.sql.Row]]("series")(0)
+    assert(series.getAs[String]("uid") == "1.2.3")
+    assert(series.getAs[Seq[org.apache.spark.sql.Row]]("instance")(0)
+      .getAs[org.apache.spark.sql.Row]("sopClass")
+      .getAs[String]("code") == "1.2.840.10008.5.1.4.1.1.2")
   }
 
   test("AllergyIntolerance: reaction/manifestation nesting and choice types") {
