@@ -56,7 +56,7 @@ object ScaleBench {
     "q_lm_perplexity", "q_perceptron_filter",
     "q_substring_remove", "q_curation_funnel", "q_stream_tws",
     "q_gopher_rules", "q_c4_filter", "x_funnel_incremental",
-    "x_pq_refresh", "x_autocompact")
+    "x_pq_refresh", "x_autocompact", "x_fanout")
 
   /** Scale-only cases that are not SparkEntry gates: shapes whose
     * scale story needs DIFFERENT fixture sizing than the sf0.01 gate.
@@ -364,6 +364,95 @@ object ScaleBench {
         s"[autocompact] compacted $smallN small, carried $largeN large")
       s.range(1).toDF("done")
     }),
+    // N+1 CONCURRENT streaming fan-out under load (VERDICT r15
+    // item 2): the reference's primary runtime is ONE source fanning
+    // into per-type queries plus a default catch-all, each with its
+    // own checkpoint (main.py:157–188; the starvation comment at
+    // main.py:119–124 is the motivation). Bundles derived from the
+    // scaled orders table round-robin over the five configured types
+    // + Claim (caught by the default query); all SIX queries ingest
+    // simultaneously from the same file source into separate ACID
+    // tables under Trigger.AvailableNow. stderr reports aggregate
+    // bundle rows/s and the per-query trigger-time spread — the
+    // starvation figure: near-1 means no type starves another. Scale
+    // claim: wall grows with the BUNDLE VOLUME (each decade is 10×
+    // the bundles), never super-linearly, and the spread stays flat.
+    "x_fanout" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{BinaryType, StringType}
+      val types = Seq("Patient", "Observation", "Encounter",
+        "Condition", "Procedure")
+      val all = types :+ "Claim"
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("graft_fanout_src").toString
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_fanout").toString
+      val typeCol = element_at(array(all.map(lit): _*),
+        (col("o_orderkey") % 6).cast("int") + 1)
+      val wire = s.read.parquet(s"$dir/orders.parquet").select(
+        col("o_orderkey").cast(StringType).cast(BinaryType).as("key"),
+        to_json(struct(array(struct(
+          to_json(struct(
+            typeCol.as("resourceType"),
+            col("o_orderkey").cast(StringType).as("id"),
+            (col("o_orderstatus") === "O").as("active"))).as("resource"),
+          struct(lit("PUT").as("method"),
+            concat_ws("/", typeCol, col("o_orderkey")).as("url"))
+            .as("request"))).as("entry"))).cast(BinaryType).as("value"),
+        lit("fhir.msg").as("topic"),
+        lit(0).as("partition"),
+        col("o_orderkey").as("offset"),
+        lit(new java.sql.Timestamp(1700000000000L)).as("timestamp"))
+      wire.repartition(24).write.mode("overwrite").parquet(srcDir)
+      val src = s.readStream
+        .schema(graft.pipeline.BundlePipeline.kafkaWireSchema)
+        .option("maxFilesPerTrigger", "4") // 6 micro-batches per query
+        .parquet(srcDir)
+      val settings = graft.streaming.Settings(
+        checkpointDir = s"$base/checkpoint",
+        deltaDatabaseDir = s"$base/delta/default",
+        resourceTypes = types,
+        triggerAvailableNow = true,
+        upkeepInterval = 0)
+      val t0 = System.nanoTime()
+      val queries = graft.streaming.Engine.start(src, settings)
+      queries.foreach(_.awaitTermination())
+      val wall = (System.nanoTime() - t0) / 1e9
+      // per-query drain cost from the progress events each query kept:
+      // triggerExecution sums to the query's busy time; the spread
+      // (slowest/fastest) is the starvation figure
+      val perQ = queries.map { q =>
+        val ps = q.recentProgress
+        val busyMs = ps.map(p =>
+          Option(p.durationMs.get("triggerExecution"))
+            .map(_.longValue).getOrElse(0L)).sum
+        (Option(q.name).getOrElse("?"), busyMs,
+          ps.map(_.numInputRows).sum)
+      }
+      val counts = all.map { rt =>
+        rt -> graft.tables.ResourceTable(
+          s, s"$base/delta/default/$rt.parquet").read().count()
+      }
+      val nBundles = counts.map(_._2).sum
+      val busy = perQ.map(_._2)
+      val spread =
+        if (busy.isEmpty || busy.min == 0L) -1.0
+        else busy.max.toDouble / busy.min
+      System.err.println(
+        f"[fanout] $nBundles%d bundles via ${perQ.size}%d queries in " +
+          f"$wall%.2fs (${nBundles / wall}%.0f rows/s) " +
+          f"starvation-spread ${spread}%.2fx " +
+          s"busyMs=${perQ.map(p => s"${p._1}:${p._2}").mkString(",")} " +
+          s"tables=${counts.map(c => s"${c._1}:${c._2}").mkString(",")}")
+      s.createDataFrame(
+        s.sparkContext.parallelize(
+          counts.map(c => org.apache.spark.sql.Row(c._1, c._2)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("resource_type",
+            StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType))))
+    }),
+
     // SHALLOW CLONE at scale: fork the (already-built, memoized)
     // scaled events table and answer a metadata-only count over the
     // fork. The claim is O(manifest): wall time tracks the FILE COUNT

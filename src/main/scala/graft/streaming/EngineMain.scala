@@ -45,7 +45,15 @@ object EngineMain {
         .map(v => try v.trim.toLong catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
             s"GRAFT_OTLP_INTERVAL_MS must be a millisecond count, got: $v")
-        }).getOrElse(10000L))
+        }).getOrElse(10000L),
+      // scrape endpoint placement is env-first like the reference
+      // (settings.py:63–64 METRICS_PORT / METRICS_ADDR)
+      metricsAddr = sys.env.getOrElse("GRAFT_METRICS_ADDR", "127.0.0.1"),
+      metricsPort = sys.env.get("GRAFT_METRICS_PORT")
+        .map(v => try v.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"GRAFT_METRICS_PORT must be a port number, got: $v")
+        }).getOrElse(8000))
     // the reference's builder chain (main.py:60–100) via sessionConfigs;
     // hive wiring is skipped here — no Hive jars in this environment,
     // and in-engine registration targets the session catalog anyway
