@@ -2868,9 +2868,16 @@ object SparkEntry {
         .createTempDirectory("graft_inccl").toString
       val rt = graft.tables.ResourceTable(s, s"$tdir/orders_ic.parquet")
       rt.createIfNotExists(orders.schema, clusterCols = Seq("o_orderkey"))
+      // 8 APPENDS (not upserts): appends never rewrite existing files,
+      // so the pre-compaction layout is 8 full-range files at ANY
+      // executor count — an upsert fixture consolidated files under
+      // local[4] merges (AQE-coalesced rewrites), flipping
+      // full_scan_before on machines that don't export
+      // SPARK_GRAFT_CPUS. Keys ≡ i (mod 8) are disjoint, so the table
+      // content is identical either way.
       (0 until 8).foreach { i =>
-        rt.upsert(orders.filter(col("o_orderkey") % 8 === i),
-          "o_orderkey")
+        rt.append(orders.filter(col("o_orderkey") % 8 === i)
+          .coalesce(1))
       }
       val pred = col("o_orderkey").between(100L, 1500L)
       val (keptBefore, totalBefore) = rt.pruneInfo(pred)
