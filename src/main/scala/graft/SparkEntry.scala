@@ -2475,6 +2475,155 @@ object SparkEntry {
           .as("receiver_ref"))
     }),
 
+    "q_fhir_encode_careteam" -> ((s, dir) => {
+      val raw = t(s, dir, "nation").select(to_json(struct(
+        lit("CareTeam").as("resourceType"),
+        col("n_nationkey").cast(StringType).as("id"),
+        lit("active").as("status"),
+        array(struct(array(struct(
+          lit("http://loinc.org").as("system"),
+          lit("LA27976-2").as("code"))).as("coding"))).as("category"),
+        concat(lit("Team "), col("n_name")).as("name"),
+        struct(concat(lit("Patient/"),
+          col("n_nationkey").cast(StringType)).as("reference"))
+          .as("subject"),
+        struct(lit("2024-01-01").as("start")).as("period"),
+        array(
+          struct(array(struct(col("n_name").as("text"))).as("role"),
+            struct(concat(lit("Practitioner/"),
+              col("n_nationkey").cast(StringType)).as("reference"))
+              .as("member")),
+          struct(array(struct(lit("patient").as("text"))).as("role"),
+            struct(concat(lit("Patient/"),
+              col("n_nationkey").cast(StringType)).as("reference"))
+              .as("member"))).as("participant"),
+        array(struct(concat(lit("Organization/"),
+          col("n_regionkey").cast(StringType)).as("reference")))
+          .as("managingOrganization"))).as("resource"))
+      graft.fhir.FhirEncoder.encode(raw, "CareTeam").select(
+        col("id"), col("status"), col("name"),
+        element_at(element_at(col("category"), 1).getField("coding"), 1)
+          .getField("code").as("category_code"),
+        col("subject").getField("reference").as("subject_ref"),
+        col("period").getField("start").as("period_start"),
+        element_at(element_at(col("participant"), 1).getField("role"), 1)
+          .getField("text").as("role1"),
+        element_at(col("participant"), 1).getField("member")
+          .getField("reference").as("member1"),
+        element_at(col("participant"), 2).getField("member")
+          .getField("reference").as("member2"),
+        element_at(col("managingOrganization"), 1)
+          .getField("reference").as("org_ref"))
+    }),
+
+    "q_fhir_encode_medadmin" -> ((s, dir) => {
+      val raw = t(s, dir, "supplier").select(to_json(struct(
+        lit("MedicationAdministration").as("resourceType"),
+        col("s_suppkey").cast(StringType).as("id"),
+        lit("completed").as("status"),
+        struct(array(struct(
+          lit("http://www.nlm.nih.gov/research/umls/rxnorm")
+            .as("system"),
+          (col("s_suppkey") % 500).cast(StringType).as("code"),
+          col("s_name").as("display"))).as("coding"))
+          .as("medicationCodeableConcept"),
+        struct(concat(lit("Patient/"),
+          col("s_nationkey").cast(StringType)).as("reference"))
+          .as("subject"),
+        struct(concat(lit("Encounter/"),
+          col("s_suppkey").cast(StringType)).as("reference"))
+          .as("context"),
+        lit("2024-04-01T12:00:00Z").as("effectiveDateTime"),
+        array(struct(
+          struct(concat(lit("Practitioner/"),
+            (col("s_suppkey") % 10).cast(StringType)).as("reference"))
+            .as("actor"))).as("performer"),
+        struct(concat(lit("MedicationRequest/"),
+          col("s_suppkey").cast(StringType)).as("reference"))
+          .as("request"),
+        struct(
+          lit("Once daily").as("text"),
+          struct(array(struct(lit("26643006").as("code"),
+            lit("Oral route").as("display"))).as("coding")).as("route"),
+          struct(col("s_acctbal").as("value"), lit("mg").as("unit"))
+            .as("dose")).as("dosage"))).as("resource"))
+      graft.fhir.FhirEncoder.encode(raw, "MedicationAdministration")
+        .select(
+          col("id"), col("status"),
+          element_at(col("medicationCodeableConcept")
+            .getField("coding"), 1).getField("code").as("rx_code"),
+          element_at(col("medicationCodeableConcept")
+            .getField("coding"), 1).getField("display")
+            .as("rx_display"),
+          col("subject").getField("reference").as("subject_ref"),
+          col("context").getField("reference").as("context_ref"),
+          col("effectiveDateTime").as("effective"),
+          element_at(col("performer"), 1).getField("actor")
+            .getField("reference").as("performer_ref"),
+          col("request").getField("reference").as("request_ref"),
+          col("dosage").getField("text").as("dosage_text"),
+          element_at(col("dosage").getField("route")
+            .getField("coding"), 1).getField("code").as("route_code"),
+          col("dosage").getField("dose").getField("value")
+            .cast(StringType).as("dose_value"))
+    }),
+
+    "q_fhir_encode_docref" -> ((s, dir) => {
+      val raw = t(s, dir, "customer").select(to_json(struct(
+        lit("DocumentReference").as("resourceType"),
+        col("c_custkey").cast(StringType).as("id"),
+        struct(lit("urn:graft:doc").as("system"),
+          col("c_custkey").cast(StringType).as("value"))
+          .as("masterIdentifier"),
+        lit("current").as("status"),
+        lit("final").as("docStatus"),
+        struct(array(struct(lit("http://loinc.org").as("system"),
+          lit("34133-9").as("code"))).as("coding")).as("type"),
+        struct(concat(lit("Patient/"),
+          col("c_custkey").cast(StringType)).as("reference"))
+          .as("subject"),
+        lit("2024-05-01T00:00:00Z").as("date"),
+        array(struct(concat(lit("Practitioner/"),
+          (col("c_custkey") % 10).cast(StringType)).as("reference")))
+          .as("author"),
+        struct(concat(lit("Organization/"),
+          col("c_nationkey").cast(StringType)).as("reference"))
+          .as("custodian"),
+        array(struct(
+          struct(lit("text/plain; charset=utf-8").as("contentType"),
+            concat(lit("note-"), col("c_custkey").cast(StringType))
+              .as("title")).as("attachment"),
+          struct(lit("urn:ihe:iti:xds:2017:mimeTypeSufficient")
+            .as("code")).as("format"))).as("content"),
+        struct(
+          array(struct(concat(lit("Encounter/"),
+            col("c_custkey").cast(StringType)).as("reference")))
+            .as("encounter"),
+          struct(col("c_mktsegment").as("text")).as("practiceSetting"))
+          .as("context"))).as("resource"))
+      graft.fhir.FhirEncoder.encode(raw, "DocumentReference").select(
+        col("id"), col("status"),
+        col("docStatus").as("doc_status"),
+        col("masterIdentifier").getField("value").as("master_id"),
+        element_at(col("type").getField("coding"), 1).getField("code")
+          .as("type_code"),
+        col("subject").getField("reference").as("subject_ref"),
+        col("date").as("doc_date"),
+        element_at(col("author"), 1).getField("reference")
+          .as("author_ref"),
+        col("custodian").getField("reference").as("custodian_ref"),
+        element_at(col("content"), 1).getField("attachment")
+          .getField("contentType").as("mime"),
+        element_at(col("content"), 1).getField("attachment")
+          .getField("title").as("title"),
+        element_at(col("content"), 1).getField("format")
+          .getField("code").as("format_code"),
+        element_at(col("context").getField("encounter"), 1)
+          .getField("reference").as("encounter_ref"),
+        col("context").getField("practiceSetting").getField("text")
+          .as("setting"))
+    }),
+
     "q_fhir_encode_imagingstudy" -> ((s, dir) => {
       val raw = t(s, dir, "customer").select(to_json(struct(
         lit("ImagingStudy").as("resourceType"),
@@ -6841,6 +6990,51 @@ object SparkEntry {
         |  'Location/' || CAST(s_nationkey AS VARCHAR) AS dest_ref,
         |  'Practitioner/' || CAST(s_suppkey % 10 AS VARCHAR) AS receiver_ref
         |FROM supplier""".stripMargin,
+
+    "q_fhir_encode_careteam" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS id,
+        |  'active' AS status,
+        |  'Team ' || n_name AS name,
+        |  'LA27976-2' AS category_code,
+        |  'Patient/' || CAST(n_nationkey AS VARCHAR) AS subject_ref,
+        |  '2024-01-01' AS period_start,
+        |  n_name AS role1,
+        |  'Practitioner/' || CAST(n_nationkey AS VARCHAR) AS member1,
+        |  'Patient/' || CAST(n_nationkey AS VARCHAR) AS member2,
+        |  'Organization/' || CAST(n_regionkey AS VARCHAR) AS org_ref
+        |FROM nation""".stripMargin,
+
+    "q_fhir_encode_medadmin" ->
+      """SELECT CAST(s_suppkey AS VARCHAR) AS id,
+        |  'completed' AS status,
+        |  CAST(s_suppkey % 500 AS VARCHAR) AS rx_code,
+        |  s_name AS rx_display,
+        |  'Patient/' || CAST(s_nationkey AS VARCHAR) AS subject_ref,
+        |  'Encounter/' || CAST(s_suppkey AS VARCHAR) AS context_ref,
+        |  '2024-04-01T12:00:00Z' AS effective,
+        |  'Practitioner/' || CAST(s_suppkey % 10 AS VARCHAR) AS performer_ref,
+        |  'MedicationRequest/' || CAST(s_suppkey AS VARCHAR) AS request_ref,
+        |  'Once daily' AS dosage_text,
+        |  '26643006' AS route_code,
+        |  CAST(CAST(s_acctbal AS DECIMAL(32,6)) AS VARCHAR) AS dose_value
+        |FROM supplier""".stripMargin,
+
+    "q_fhir_encode_docref" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS id,
+        |  'current' AS status,
+        |  'final' AS doc_status,
+        |  CAST(c_custkey AS VARCHAR) AS master_id,
+        |  '34133-9' AS type_code,
+        |  'Patient/' || CAST(c_custkey AS VARCHAR) AS subject_ref,
+        |  '2024-05-01T00:00:00Z' AS doc_date,
+        |  'Practitioner/' || CAST(c_custkey % 10 AS VARCHAR) AS author_ref,
+        |  'Organization/' || CAST(c_nationkey AS VARCHAR) AS custodian_ref,
+        |  'text/plain; charset=utf-8' AS mime,
+        |  'note-' || CAST(c_custkey AS VARCHAR) AS title,
+        |  'urn:ihe:iti:xds:2017:mimeTypeSufficient' AS format_code,
+        |  'Encounter/' || CAST(c_custkey AS VARCHAR) AS encounter_ref,
+        |  c_mktsegment AS setting
+        |FROM customer""".stripMargin,
 
     "q_fhir_encode_imagingstudy" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS id,

@@ -25,9 +25,10 @@ import org.apache.spark.sql.types._
   * must type them itself):
   * Immunization, MedicationRequest, DiagnosticReport,
   * AllergyIntolerance, CarePlan, Claim, ExplanationOfBenefit,
-  * Organization, Practitioner, and (tier 3) Device, Location,
-  * Medication, Provenance, SupplyDelivery, ImagingStudy — 20 typed
-  * R4 schemas total. Every R4 element of each type is
+  * Organization, Practitioner, (tier 3) Device, Location,
+  * Medication, Provenance, SupplyDelivery, ImagingStudy, and
+  * (tier 4) CareTeam, MedicationAdministration, DocumentReference —
+  * 23 typed R4 schemas total. Every R4 element of each type is
   * declared below, choice types (`value[x]`, `onset[x]`,
   * `performed[x]`, …) expanded per variant, exactly as Pathling's
   * encoder emits them. Conventions also match
@@ -1157,6 +1158,86 @@ object FhirEncoder {
       StructField("supplier", reference),
       StructField("destination", reference),
       StructField("receiver", refList)),
+
+    "CareTeam" -> domainResource(
+      StructField("identifier", identifierType),
+      StructField("status", StringType),
+      StructField("category", ccList),
+      StructField("name", StringType),
+      StructField("subject", reference),
+      StructField("encounter", reference),
+      StructField("period", period),
+      StructField("participant", ArrayType(StructType(Seq(
+        StructField("role", ccList),
+        StructField("member", reference),
+        StructField("onBehalfOf", reference),
+        StructField("period", period))))),
+      StructField("reasonCode", ccList),
+      StructField("reasonReference", refList),
+      StructField("managingOrganization", refList),
+      StructField("telecom", contactPoint),
+      StructField("note", annotationType)),
+
+    "MedicationAdministration" -> domainResource(
+      StructField("identifier", identifierType),
+      StructField("instantiates", ArrayType(StringType)),
+      StructField("partOf", refList),
+      StructField("status", StringType),
+      StructField("statusReason", ccList),
+      StructField("category", codeableConcept),
+      StructField("medicationCodeableConcept", codeableConcept),
+      StructField("medicationReference", reference),
+      StructField("subject", reference),
+      StructField("context", reference),
+      StructField("supportingInformation", refList),
+      StructField("effectiveDateTime", StringType),
+      StructField("effectivePeriod", period),
+      StructField("performer", ArrayType(StructType(Seq(
+        StructField("function", codeableConcept),
+        StructField("actor", reference))))),
+      StructField("reasonCode", ccList),
+      StructField("reasonReference", refList),
+      StructField("request", reference),
+      StructField("device", refList),
+      StructField("note", annotationType),
+      StructField("dosage", StructType(Seq(
+        StructField("text", StringType),
+        StructField("site", codeableConcept),
+        StructField("route", codeableConcept),
+        StructField("method", codeableConcept),
+        StructField("dose", quantity),
+        StructField("rateRatio", ratio),
+        StructField("rateQuantity", quantity)))),
+      StructField("eventHistory", refList)),
+
+    "DocumentReference" -> domainResource(
+      StructField("masterIdentifier", identifierElem),
+      StructField("identifier", identifierType),
+      StructField("status", StringType),
+      StructField("docStatus", StringType),
+      StructField("type", codeableConcept),
+      StructField("category", ccList),
+      StructField("subject", reference),
+      StructField("date", StringType), // instant
+      StructField("author", refList),
+      StructField("authenticator", reference),
+      StructField("custodian", reference),
+      StructField("relatesTo", ArrayType(StructType(Seq(
+        StructField("code", StringType),
+        StructField("target", reference))))),
+      StructField("description", StringType),
+      StructField("securityLabel", ccList),
+      StructField("content", ArrayType(StructType(Seq(
+        StructField("attachment", attachment),
+        StructField("format", codingElem))))),
+      StructField("context", StructType(Seq(
+        StructField("encounter", refList),
+        StructField("event", ccList),
+        StructField("period", period),
+        StructField("facilityType", codeableConcept),
+        StructField("practiceSetting", codeableConcept),
+        StructField("sourcePatientInfo", reference),
+        StructField("related", refList))))),
 
     "ImagingStudy" -> domainResource(
       StructField("identifier", identifierType),

@@ -28,7 +28,9 @@ class FhirEncoderSpec extends AnyFunSuite {
       "Organization", "Practitioner",
       // tier 3 (round 16)
       "Device", "Location", "Medication", "Provenance",
-      "SupplyDelivery", "ImagingStudy")
+      "SupplyDelivery", "ImagingStudy",
+      // tier 4 (round 16)
+      "CareTeam", "MedicationAdministration", "DocumentReference")
     assert(FhirEncoder.schemas.keySet == expected)
     // unknown types still fall back to the generic backbone
     assert(FhirEncoder.schemaFor("Specimen") == FhirEncoder.genericSchema)
@@ -103,6 +105,65 @@ class FhirEncoderSpec extends AnyFunSuite {
     assert(ent.getAs[Seq[org.apache.spark.sql.Row]]("agent")(0)
       .getAs[org.apache.spark.sql.Row]("who")
       .getAs[String]("reference") == "Device/dev1")
+  }
+
+  test("CareTeam: participant role/member backbone") {
+    val row = one("CareTeam",
+      """{"resourceType":"CareTeam","id":"ct1","status":"active",
+        |"participant":[{"role":[{"text":"doctor"}],
+        |"member":{"reference":"Practitioner/x"}},
+        |{"role":[{"text":"patient"}],
+        |"member":{"reference":"Patient/p"}}],
+        |"managingOrganization":[{"reference":"Organization/o"}]}"""
+        .stripMargin.replace("\n", "")).collect()(0)
+    val parts = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("participant")
+    assert(parts.size == 2)
+    assert(parts(0).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("role")(0)
+      .getAs[String]("text") == "doctor")
+    assert(parts(1).getAs[org.apache.spark.sql.Row]("member")
+      .getAs[String]("reference") == "Patient/p")
+  }
+
+  test("MedicationAdministration: dosage choice types (dose quantity, " +
+      "rateRatio)") {
+    val row = one("MedicationAdministration",
+      """{"resourceType":"MedicationAdministration","id":"ma1",
+        |"status":"completed",
+        |"medicationCodeableConcept":{"coding":[{"code":"313782"}]},
+        |"effectiveDateTime":"2024-04-01T12:00:00Z",
+        |"dosage":{"text":"IV","dose":{"value":2.5,"unit":"mg"},
+        |"rateRatio":{"numerator":{"value":10},
+        |"denominator":{"value":1}}}}"""
+        .stripMargin.replace("\n", "")).collect()(0)
+    val dosage = row.getAs[org.apache.spark.sql.Row]("dosage")
+    assert(dosage.getAs[org.apache.spark.sql.Row]("dose")
+      .getAs[java.math.BigDecimal]("value")
+      .compareTo(new java.math.BigDecimal("2.5")) == 0)
+    assert(dosage.getAs[org.apache.spark.sql.Row]("rateRatio")
+      .getAs[org.apache.spark.sql.Row]("numerator")
+      .getAs[java.math.BigDecimal]("value")
+      .compareTo(new java.math.BigDecimal("10")) == 0)
+  }
+
+  test("DocumentReference: content attachment/format and context") {
+    val row = one("DocumentReference",
+      """{"resourceType":"DocumentReference","id":"dr1",
+        |"status":"current","masterIdentifier":{"value":"m1"},
+        |"content":[{"attachment":{"contentType":"text/plain",
+        |"title":"note"},"format":{"code":"fmt"}}],
+        |"context":{"encounter":[{"reference":"Encounter/e"}],
+        |"practiceSetting":{"text":"GP"}}}"""
+        .stripMargin.replace("\n", "")).collect()(0)
+    assert(row.getAs[org.apache.spark.sql.Row]("masterIdentifier")
+      .getAs[String]("value") == "m1")
+    val c = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("content")(0)
+    assert(c.getAs[org.apache.spark.sql.Row]("attachment")
+      .getAs[String]("contentType") == "text/plain")
+    assert(c.getAs[org.apache.spark.sql.Row]("format")
+      .getAs[String]("code") == "fmt")
+    assert(row.getAs[org.apache.spark.sql.Row]("context")
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("encounter")(0)
+      .getAs[String]("reference") == "Encounter/e")
   }
 
   test("ImagingStudy: series/instance 3-level nesting") {
