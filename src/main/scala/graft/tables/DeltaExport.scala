@@ -451,11 +451,20 @@ object DeltaExport {
     * commits only: graft's clusterBy is table-level state, and domain
     * replay is latest-wins, so one statement per log suffices.
     */
-  private def clusteringDomain(t: ResourceTable): Seq[ObjectNode] = {
+  private def clusteringDomain(t: ResourceTable): Seq[ObjectNode] =
+    clusteringDomain(t, t.schema().json)
+
+  /** As [[clusteringDomain]] but physical names resolve against an
+    * EXPLICIT schema (the one the surrounding commit/checkpoint also
+    * states), so a concurrent schema change can't make the domain and
+    * its metaData row disagree inside one entry.
+    */
+  private def clusteringDomain(t: ResourceTable,
+                               schemaJson: String): Seq[ObjectNode] = {
     val cols = t.clusterBy()
     if (cols.isEmpty) Seq.empty
     else {
-      val s = t.schema()
+      val s = DataType.fromJson(schemaJson).asInstanceOf[StructType]
       val phys = cols.map { c =>
         val fd = s.fields.find(_.name == c)
         fd.filter(_.metadata.contains(ResourceTable.PhysKey))
@@ -1041,7 +1050,7 @@ object DeltaExport {
             files.map { case (r, st) =>
               add(r, st, sz(r), ts, types) }))
       writeCrc(t, dv + 1, files, ts)
-      maybeCheckpoint(t, dv + 1, t.schema().json, ts)
+      maybeCheckpoint(t, dv + 1, t.schema().json, ts, latest)
       return dv + 1
     }
     // mid-log ICT upgrade: the table turned ICT on after this log's
@@ -1158,7 +1167,8 @@ object DeltaExport {
       lastG = g
     }
     if (dv > lastDelta)
-      maybeCheckpoint(t, dv, t.schema().json, commitTs(t, latest))
+      maybeCheckpoint(t, dv, t.schema().json, commitTs(t, latest),
+        latest)
     dv
   }
 
@@ -1286,7 +1296,8 @@ object DeltaExport {
     * never follows the pointer into a torn checkpoint.
     */
   private def writeCheckpoint(t: ResourceTable, dv: Long,
-                              schemaJson: String, ts: Long): Unit = {
+                              schemaJson: String, ts: Long,
+                              graftHead: Long): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.functions._
     val spark = t.spark
@@ -1494,18 +1505,26 @@ object DeltaExport {
       val emptyMap = Map.empty[String, String]
       val metaRow = Row(tableId(t), Row("parquet", emptyMap), deltaJson,
         Seq.empty[String], conf, ts)
-      // latest per-domain state, re-derived from the table exactly as
-      // the json emissions derive it (the checkpoint is only written
-      // at the export head, so current state == state at dv); the V2
-      // path inherits these rows too since the manifest carries `head`
-      val domainRows = (clusteringDomain(t) ++
-          t.latestVersion.toSeq.flatMap(g => rowTrackingDomain(t, g)))
+      // latest per-domain state at the EXPORTED graft head (the
+      // version this export run replayed to — NOT the table's live
+      // head, which a concurrent writer may already have advanced:
+      // a checkpoint at dv must be a pure function of the log at dv,
+      // or two racing exporters publish non-equivalent checkpoints).
+      // rowTracking reads the hwm from graftHead's own commit body;
+      // clustering physical names come from the same schemaJson the
+      // checkpoint metaData row carries. The V2 path inherits these
+      // rows too since the manifest carries `head`.
+      val domainRows = (clusteringDomain(t, schemaJson) ++
+          rowTrackingDomain(t, graftHead))
         .map { n =>
           val d = n.get("domainMetadata")
           Row(null, null, null, null,
             Row(d.get("domain").asText, d.get("configuration").asText,
               d.get("removed").asBoolean))
         }
+      // _last_checkpoint.size counts the checkpoint's ACTIONS —
+      // protocol + metaData + the domain rows + the body
+      val nHead = 2L + domainRows.size
       val head = spark.createDataFrame(
         spark.sparkContext.parallelize(Seq(
           Row(protoRow, null, null, null, null),
@@ -1514,7 +1533,7 @@ object DeltaExport {
       val nParts = math.max(1L, (nBody + checkpointPartActions(spark) - 1)
         / checkpointPartActions(spark)).toInt
       if (v2Mode) {
-        writeCheckpointV2(t, dv, head, body, nBody, nParts)
+        writeCheckpointV2(t, dv, head, body, nBody, nHead, nParts)
         return
       }
       val tmp = new HPath(dir, f".ckpt-$dv%020d-${
@@ -1532,7 +1551,7 @@ object DeltaExport {
         .sortBy(_.getName).toSeq
       if (parts.isEmpty) throw new IllegalStateException(
         s"${t.path}: checkpoint write produced no parquet part")
-      publishCheckpoint(t, dv, parts, tmp, nBody + 2)
+      publishCheckpoint(t, dv, parts, tmp, nBody + nHead)
     } finally body.unpersist()
   }
 
@@ -1554,7 +1573,8 @@ object DeltaExport {
   private def writeCheckpointV2(t: ResourceTable, dv: Long,
                                 head: org.apache.spark.sql.DataFrame,
                                 body: org.apache.spark.sql.DataFrame,
-                                nBody: Long, nParts: Int): Unit = {
+                                nBody: Long, nHead: Long,
+                                nParts: Int): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.functions._
     val spark = t.spark
@@ -1618,7 +1638,7 @@ object DeltaExport {
       throw new IllegalStateException(
         s"${t.path}: could not publish v2 checkpoint manifest $mDest")
     t.fs.delete(tmpM, true)
-    flipLastCheckpoint(t, s"""{"version":$dv,"size":${nBody + 2}}""")
+    flipLastCheckpoint(t, s"""{"version":$dv,"size":${nBody + nHead}}""")
   }
 
   /** Rename the staged checkpoint part(s) into the protocol's naming
@@ -1775,11 +1795,16 @@ object DeltaExport {
     (v, complete(v))
   }
 
-  /** Checkpoint cadence check after exporting up to `dv`. */
+  /** Checkpoint cadence check after exporting up to `dv`; `graftHead`
+    * is the graft version delta `dv` mirrors (captured by the export
+    * run — domain state is derived from it, never from the table's
+    * possibly-advanced live head).
+    */
   private def maybeCheckpoint(t: ResourceTable, dv: Long,
-                              schemaJson: String, ts: Long): Unit = {
+                              schemaJson: String, ts: Long,
+                              graftHead: Long): Unit = {
     if (dv - newestCheckpoint(t.fs, deltaDir(t))._1 >= CheckpointInterval)
-      writeCheckpoint(t, dv, schemaJson, ts)
+      writeCheckpoint(t, dv, schemaJson, ts, graftHead)
   }
 
   /** Delta's metadata cleanup (`delta.logRetentionDuration`) for the

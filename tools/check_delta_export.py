@@ -253,15 +253,34 @@ def replay(table):
         # writer features (the checkpoint restates the protocol) and
         # domain metadata (PROTOCOL.md: checkpoints carry the latest
         # per-domain state — a checkpoint-only reader must not lose the
-        # clustering declaration or the row-tracking high-water mark)
-        try:
-            for (wf,) in con.sql(
-                f"SELECT protocol.writerFeatures FROM parquet_scan({ck})"
-                " WHERE protocol.minWriterVersion IS NOT NULL"
-            ).fetchall():
-                features.update(wf or [])
-        except duckdb.Error:
-            pass  # legacy protocol struct without the features fields
+        # clustering declaration or the row-tracking high-water mark).
+        # No silent fallbacks here: a checkpoint with no readable
+        # protocol action is ITSELF a violation — swallowing the error
+        # would let the exact regression this check exists for (a
+        # checkpoint that dropped the protocol/clustering state) pass
+        # as a clean report.
+        cols_in_ck = {r[0] for r in con.sql(
+            f"DESCRIBE SELECT * FROM parquet_scan({ck}) LIMIT 0"
+        ).fetchall()}
+        assert "protocol" in cols_in_ck, (
+            "checkpoint has no protocol column — PROTOCOL.md requires "
+            "the checkpoint to restate the protocol action")
+        has_wf = con.sql(
+            f"SELECT count(*) FROM (DESCRIBE SELECT protocol.* FROM "
+            f"parquet_scan({ck}) LIMIT 0) "
+            "WHERE column_name = 'writerFeatures'"
+        ).fetchone()[0] > 0
+        wf_sel = ("protocol.writerFeatures" if has_wf else "NULL")
+        proto_rows = 0
+        for (wf,) in con.sql(
+            f"SELECT {wf_sel} FROM parquet_scan({ck}) "
+            "WHERE protocol.minWriterVersion IS NOT NULL"
+        ).fetchall():
+            proto_rows += 1
+            features.update(wf or [])
+        assert proto_rows > 0, (
+            "checkpoint restates no protocol action — a "
+            "checkpoint-only reader would have no read contract")
         has_dom = con.sql(
             f"SELECT count(*) FROM (DESCRIBE SELECT * FROM "
             f"parquet_scan({ck}) LIMIT 0) "
