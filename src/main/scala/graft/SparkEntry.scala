@@ -2684,6 +2684,110 @@ object SparkEntry {
           .getField("title").as("instance_title"))
     }),
 
+    // ---- tier-5 typed FHIR: Goal — target backbone with choice
+    //      types (detailQuantity decimals, dueDate) exercised through
+    //      from_json against the registered schema ----
+    "q_fhir_encode_goal" -> ((s, dir) => {
+      val raw = t(s, dir, "nation").select(to_json(struct(
+        lit("Goal").as("resourceType"),
+        col("n_nationkey").cast(StringType).as("id"),
+        lit("active").as("lifecycleStatus"),
+        struct(array(struct(
+          lit("http://terminology.hl7.org/CodeSystem/goal-achievement")
+            .as("system"),
+          lit("in-progress").as("code"))).as("coding"))
+          .as("achievementStatus"),
+        struct(concat(lit("Goal for "), col("n_name")).as("text"))
+          .as("description"),
+        struct(concat(lit("Patient/"),
+          col("n_nationkey").cast(StringType)).as("reference"))
+          .as("subject"),
+        lit("2024-01-01").as("startDate"),
+        array(struct(
+          struct(array(struct(lit("4548-4").as("code"))).as("coding"))
+            .as("measure"),
+          struct(((col("n_nationkey") % 5) + lit(5))
+            .cast(DecimalType(32, 6)).as("value"),
+            lit("%").as("unit")).as("detailQuantity"),
+          lit("2024-12-31").as("dueDate"))).as("target"),
+        array(struct(concat(lit("Condition/"),
+          col("n_nationkey").cast(StringType)).as("reference")))
+          .as("addresses"))).as("resource"))
+      graft.fhir.FhirEncoder.encode(raw, "Goal").select(
+        col("id"),
+        col("lifecycleStatus").as("lifecycle_status"),
+        element_at(col("achievementStatus").getField("coding"), 1)
+          .getField("code").as("achievement_code"),
+        col("description").getField("text").as("description_text"),
+        col("subject").getField("reference").as("subject_ref"),
+        col("startDate").as("start_date"),
+        element_at(element_at(col("target"), 1).getField("measure")
+          .getField("coding"), 1).getField("code").as("measure_code"),
+        element_at(col("target"), 1).getField("detailQuantity")
+          .getField("value").cast(StringType).as("target_value"),
+        element_at(col("target"), 1).getField("detailQuantity")
+          .getField("unit").as("target_unit"),
+        element_at(col("target"), 1).getField("dueDate").as("due_date"),
+        element_at(col("addresses"), 1).getField("reference")
+          .as("addresses_ref"))
+    }),
+
+    // ---- tier-5 typed FHIR: PractitionerRole — availableTime /
+    //      notAvailable backbones with time strings kept
+    //      precision-preserving ----
+    "q_fhir_encode_practitionerrole" -> ((s, dir) => {
+      val raw = t(s, dir, "supplier").select(to_json(struct(
+        lit("PractitionerRole").as("resourceType"),
+        col("s_suppkey").cast(StringType).as("id"),
+        lit(true).as("active"),
+        struct(lit("2020-01-01").as("start")).as("period"),
+        struct(concat(lit("Practitioner/"),
+          (col("s_suppkey") % 10).cast(StringType)).as("reference"))
+          .as("practitioner"),
+        struct(concat(lit("Organization/"),
+          col("s_nationkey").cast(StringType)).as("reference"))
+          .as("organization"),
+        array(struct(array(struct(
+          lit("http://terminology.hl7.org/CodeSystem/practitioner-role")
+            .as("system"),
+          lit("doctor").as("code"))).as("coding"))).as("code"),
+        array(struct(array(struct(
+          lit("394814009").as("code"),
+          col("s_name").as("display"))).as("coding"))).as("specialty"),
+        array(struct(concat(lit("Location/"),
+          col("s_nationkey").cast(StringType)).as("reference")))
+          .as("location"),
+        array(struct(
+          array(lit("mon"), lit("wed"), lit("fri")).as("daysOfWeek"),
+          lit(false).as("allDay"),
+          lit("09:00:00").as("availableStartTime"),
+          lit("17:00:00").as("availableEndTime"))).as("availableTime"),
+        array(struct(
+          lit("public holidays").as("description"),
+          struct(lit("2024-12-24").as("start"),
+            lit("2024-12-26").as("end")).as("during")))
+          .as("notAvailable"))).as("resource"))
+      graft.fhir.FhirEncoder.encode(raw, "PractitionerRole").select(
+        col("id"), col("active"),
+        col("period").getField("start").as("period_start"),
+        col("practitioner").getField("reference").as("practitioner_ref"),
+        col("organization").getField("reference").as("org_ref"),
+        element_at(element_at(col("code"), 1).getField("coding"), 1)
+          .getField("code").as("role_code"),
+        element_at(element_at(col("specialty"), 1).getField("coding"), 1)
+          .getField("display").as("specialty_display"),
+        element_at(col("location"), 1).getField("reference")
+          .as("location_ref"),
+        element_at(element_at(col("availableTime"), 1)
+          .getField("daysOfWeek"), 2).as("day2"),
+        element_at(col("availableTime"), 1)
+          .getField("availableStartTime").as("avail_start"),
+        element_at(col("notAvailable"), 1).getField("description")
+          .as("na_desc"),
+        element_at(col("notAvailable"), 1).getField("during")
+          .getField("end").as("na_end"))
+    }),
+
     // ---- approx distinct (HLL++) made hash-decidable: DuckDB can't
     //      replay Spark's sketch, so the gate emits the exact counts
     //      plus booleans asserting the estimate sits inside 3·rsd of
@@ -7053,6 +7157,37 @@ object SparkEntry {
         |  '1.2.840.10008.5.1.4.1.1.1.1' AS sop_class,
         |  'frame-1' AS instance_title
         |FROM customer""".stripMargin,
+
+    "q_fhir_encode_goal" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS id,
+        |  'active' AS lifecycle_status,
+        |  'in-progress' AS achievement_code,
+        |  'Goal for ' || n_name AS description_text,
+        |  'Patient/' || CAST(n_nationkey AS VARCHAR) AS subject_ref,
+        |  '2024-01-01' AS start_date,
+        |  '4548-4' AS measure_code,
+        |  CAST(CAST(n_nationkey % 5 + 5 AS DECIMAL(32,6)) AS VARCHAR)
+        |    AS target_value,
+        |  '%' AS target_unit,
+        |  '2024-12-31' AS due_date,
+        |  'Condition/' || CAST(n_nationkey AS VARCHAR) AS addresses_ref
+        |FROM nation""".stripMargin,
+
+    "q_fhir_encode_practitionerrole" ->
+      """SELECT CAST(s_suppkey AS VARCHAR) AS id,
+        |  TRUE AS active,
+        |  '2020-01-01' AS period_start,
+        |  'Practitioner/' || CAST(s_suppkey % 10 AS VARCHAR)
+        |    AS practitioner_ref,
+        |  'Organization/' || CAST(s_nationkey AS VARCHAR) AS org_ref,
+        |  'doctor' AS role_code,
+        |  s_name AS specialty_display,
+        |  'Location/' || CAST(s_nationkey AS VARCHAR) AS location_ref,
+        |  'wed' AS day2,
+        |  '09:00:00' AS avail_start,
+        |  'public holidays' AS na_desc,
+        |  '2024-12-26' AS na_end
+        |FROM supplier""".stripMargin,
 
     "q_ann_topk_agg" ->
       """SELECT q_id, n_id, rank FROM (

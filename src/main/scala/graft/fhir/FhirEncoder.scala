@@ -27,8 +27,9 @@ import org.apache.spark.sql.types._
   * AllergyIntolerance, CarePlan, Claim, ExplanationOfBenefit,
   * Organization, Practitioner, (tier 3) Device, Location,
   * Medication, Provenance, SupplyDelivery, ImagingStudy, and
-  * (tier 4) CareTeam, MedicationAdministration, DocumentReference —
-  * 23 typed R4 schemas total. Every R4 element of each type is
+  * (tier 4) CareTeam, MedicationAdministration, DocumentReference,
+  * and (tier 5) Goal, PractitionerRole — 25 typed R4 schemas total,
+  * covering the COMPLETE Synthea default-module emission set. Every R4 element of each type is
   * declared below, choice types (`value[x]`, `onset[x]`,
   * `performed[x]`, …) expanded per variant, exactly as Pathling's
   * encoder emits them. Conventions also match
@@ -1277,7 +1278,65 @@ object FhirEncoder {
           StructField("uid", StringType),
           StructField("sopClass", codingElem),
           StructField("number", IntegerType),
-          StructField("title", StringType)))))))))))
+          StructField("title", StringType)))))))))),
+
+    // ------- tier 5: the final two Synthea default-emission types -------
+    // Goal appears in every CarePlan-producing Synthea module;
+    // PractitionerRole accompanies Practitioner in provider bundles.
+    // Element sets per the R4 spec, choice types expanded à la Pathling
+    // (bundle_processor.py:162–166 derivation conventions).
+
+    "Goal" -> domainResource(
+      StructField("identifier", identifierType),
+      StructField("lifecycleStatus", StringType),
+      StructField("achievementStatus", codeableConcept),
+      StructField("category", ccList),
+      StructField("priority", codeableConcept),
+      StructField("description", codeableConcept),
+      StructField("subject", reference),
+      StructField("startDate", StringType),
+      StructField("startCodeableConcept", codeableConcept),
+      StructField("target", ArrayType(StructType(Seq(
+        StructField("measure", codeableConcept),
+        StructField("detailQuantity", quantity),
+        StructField("detailRange", range),
+        StructField("detailCodeableConcept", codeableConcept),
+        StructField("detailString", StringType),
+        StructField("detailBoolean", BooleanType),
+        StructField("detailInteger", IntegerType),
+        StructField("detailRatio", ratio),
+        StructField("dueDate", StringType),
+        // Duration is structurally Quantity in R4
+        StructField("dueDuration", quantity))))),
+      StructField("statusDate", StringType),
+      StructField("statusReason", StringType),
+      StructField("expressedBy", reference),
+      StructField("addresses", refList),
+      StructField("note", annotationType),
+      StructField("outcomeCode", ccList),
+      StructField("outcomeReference", refList)),
+
+    "PractitionerRole" -> domainResource(
+      StructField("identifier", identifierType),
+      StructField("active", BooleanType),
+      StructField("period", period),
+      StructField("practitioner", reference),
+      StructField("organization", reference),
+      StructField("code", ccList),
+      StructField("specialty", ccList),
+      StructField("location", refList),
+      StructField("healthcareService", refList),
+      StructField("telecom", contactPoint),
+      StructField("availableTime", ArrayType(StructType(Seq(
+        StructField("daysOfWeek", ArrayType(StringType)),
+        StructField("allDay", BooleanType),
+        StructField("availableStartTime", StringType), // time
+        StructField("availableEndTime", StringType))))),
+      StructField("notAvailable", ArrayType(StructType(Seq(
+        StructField("description", StringType),
+        StructField("during", period))))),
+      StructField("availabilityExceptions", StringType),
+      StructField("endpoint", refList)))
 
   /** Fallback schema for resource types without a registered schema —
     * the generic R4 DomainResource backbone (id, meta, implicitRules,

@@ -30,7 +30,9 @@ class FhirEncoderSpec extends AnyFunSuite {
       "Device", "Location", "Medication", "Provenance",
       "SupplyDelivery", "ImagingStudy",
       // tier 4 (round 16)
-      "CareTeam", "MedicationAdministration", "DocumentReference")
+      "CareTeam", "MedicationAdministration", "DocumentReference",
+      // tier 5 (round 16)
+      "Goal", "PractitionerRole")
     assert(FhirEncoder.schemas.keySet == expected)
     // unknown types still fall back to the generic backbone
     assert(FhirEncoder.schemaFor("Specimen") == FhirEncoder.genericSchema)
@@ -316,5 +318,64 @@ class FhirEncoderSpec extends AnyFunSuite {
     assert(pr.getAs[Seq[org.apache.spark.sql.Row]]("qualification")(0)
       .getAs[org.apache.spark.sql.Row]("issuer")
       .getAs[String]("reference") == "Organization/o1")
+  }
+
+  test("Goal: target choice types (detailQuantity, dueDate) and " +
+      "achievementStatus") {
+    val row = one("Goal",
+      """{"resourceType":"Goal","id":"g1","lifecycleStatus":"active",
+        |"achievementStatus":{"coding":[{"code":"in-progress"}]},
+        |"description":{"text":"Lower HbA1c"},
+        |"subject":{"reference":"Patient/p"},
+        |"startDate":"2024-01-01",
+        |"target":[{"measure":{"coding":[{"code":"4548-4"}]},
+        |"detailQuantity":{"value":6.5,"unit":"%"},
+        |"dueDate":"2024-12-31"},
+        |{"detailString":"walk daily","detailBoolean":true,
+        |"detailInteger":30}],
+        |"addresses":[{"reference":"Condition/c1"}],
+        |"outcomeReference":[{"reference":"Observation/obs1"}]}"""
+        .stripMargin.replace("\n", "")).collect()(0)
+    assert(row.getAs[String]("lifecycleStatus") == "active")
+    assert(row.getAs[org.apache.spark.sql.Row]("achievementStatus")
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("coding")(0)
+      .getAs[String]("code") == "in-progress")
+    val targets = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("target")
+    assert(targets.size == 2)
+    assert(targets(0).getAs[org.apache.spark.sql.Row]("detailQuantity")
+      .getAs[java.math.BigDecimal]("value")
+      .compareTo(new java.math.BigDecimal("6.5")) == 0)
+    assert(targets(0).getAs[String]("dueDate") == "2024-12-31")
+    assert(targets(1).getAs[String]("detailString") == "walk daily")
+    assert(targets(1).getAs[Boolean]("detailBoolean"))
+    assert(targets(1).getAs[Int]("detailInteger") == 30)
+    // startDate stays a precision-preserving string
+    assert(row.schema("startDate").dataType == StringType)
+  }
+
+  test("PractitionerRole: availableTime/notAvailable backbones") {
+    val row = one("PractitionerRole",
+      """{"resourceType":"PractitionerRole","id":"pr1","active":true,
+        |"period":{"start":"2020-01-01"},
+        |"practitioner":{"reference":"Practitioner/p1"},
+        |"organization":{"reference":"Organization/o1"},
+        |"code":[{"coding":[{"code":"doctor"}]}],
+        |"specialty":[{"coding":[{"code":"394814009"}]}],
+        |"location":[{"reference":"Location/l1"}],
+        |"availableTime":[{"daysOfWeek":["mon","wed"],"allDay":false,
+        |"availableStartTime":"09:00:00","availableEndTime":"17:00:00"}],
+        |"notAvailable":[{"description":"holidays",
+        |"during":{"start":"2024-12-24","end":"2024-12-26"}}]}"""
+        .stripMargin.replace("\n", "")).collect()(0)
+    assert(row.getAs[Boolean]("active"))
+    assert(row.getAs[org.apache.spark.sql.Row]("practitioner")
+      .getAs[String]("reference") == "Practitioner/p1")
+    val at = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("availableTime")(0)
+    assert(at.getAs[scala.collection.Seq[String]]("daysOfWeek").toSeq == Seq("mon", "wed"))
+    assert(at.getAs[String]("availableStartTime") == "09:00:00")
+    val na = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("notAvailable")(0)
+    assert(na.getAs[String]("description") == "holidays")
+    assert(na.getAs[org.apache.spark.sql.Row]("during")
+      .getAs[String]("end") == "2024-12-26")
   }
 }
