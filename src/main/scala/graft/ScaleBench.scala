@@ -442,6 +442,10 @@ object ScaleBench {
           f"$wall%.2fs (${nBundles / wall}%.0f rows/s) " +
           f"starvation-spread ${spread}%.2fx " +
           s"busyMs=${perQ.map(p => s"${p._1}:${p._2}").mkString(",")} " +
+          // per-query rows seen by the STREAM (progress events) — the
+          // cheap cross-check that each query actually drained the
+          // whole source, independent of the table re-reads below
+          s"inRows=${perQ.map(p => s"${p._1}:${p._3}").mkString(",")} " +
           s"tables=${counts.map(c => s"${c._1}:${c._2}").mkString(",")}")
       s.createDataFrame(
         s.sparkContext.parallelize(

@@ -50,10 +50,21 @@ object EngineMain {
       // (settings.py:63–64 METRICS_PORT / METRICS_ADDR)
       metricsAddr = sys.env.getOrElse("GRAFT_METRICS_ADDR", "127.0.0.1"),
       metricsPort = sys.env.get("GRAFT_METRICS_PORT")
-        .map(v => try v.trim.toInt catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"GRAFT_METRICS_PORT must be a port number, got: $v")
-        }).getOrElse(8000))
+        .map { v =>
+          val p = try v.trim.toInt catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"GRAFT_METRICS_PORT must be a port number, got: $v")
+          }
+          // range-check here, where the fail-fast path lives: an
+          // out-of-range port would otherwise surface as an
+          // InetSocketAddress error inside MetricsServer and be
+          // swallowed by the endpoint-unavailable fallback below —
+          // silently dark monitoring instead of a refused misconfig
+          if (p < 1 || p > 65535) throw new IllegalArgumentException(
+            s"GRAFT_METRICS_PORT must be in 1..65535, got: $v")
+          p
+        }.getOrElse(8000))
     // the reference's builder chain (main.py:60–100) via sessionConfigs;
     // hive wiring is skipped here — no Hive jars in this environment,
     // and in-engine registration targets the session catalog anyway

@@ -451,13 +451,11 @@ object DeltaExport {
     * commits only: graft's clusterBy is table-level state, and domain
     * replay is latest-wins, so one statement per log suffices.
     */
-  private def clusteringDomain(t: ResourceTable): Seq[ObjectNode] =
-    clusteringDomain(t, t.schema().json)
-
-  /** As [[clusteringDomain]] but physical names resolve against an
-    * EXPLICIT schema (the one the surrounding commit/checkpoint also
-    * states), so a concurrent schema change can't make the domain and
-    * its metaData row disagree inside one entry.
+  /** The `delta.clustering` domainMetadata action. Physical names
+    * resolve against an EXPLICIT schema (the one the surrounding
+    * commit/checkpoint also states), so a concurrent schema change
+    * can't make the domain and its metaData row disagree inside one
+    * entry.
     */
   private def clusteringDomain(t: ResourceTable,
                                schemaJson: String): Seq[ObjectNode] = {
@@ -522,11 +520,16 @@ object DeltaExport {
     // column names — physical names are also rename-stable, so a
     // later logical rename leaves historical change files joinable
     val cdf = {
-      val schemaAtG = FileStats.schemaOf(t.commitBody(g))
-        .flatMap(j => scala.util.Try(
-          DataType.fromJson(j).asInstanceOf[StructType]).toOption)
-        .getOrElse(t.schema())
-      val renames = schemaAtG.fields.collect {
+      // KEY THE RENAME MAP BY THE LIVE HEAD SCHEMA, not the schema at
+      // commit g: ResourceTable.changes/changesByContent read historical
+      // files through readFilesWithSchema, which aliases every physical
+      // column to its CURRENT logical name — so cdfLogical's column
+      // names are live-logical regardless of g. Physical names are
+      // rename-stable, so live-logical -> physical is the correct map
+      // for every commit; keying by schema-at-g would miss columns
+      // renamed after g and leak post-rename LOGICAL names into the
+      // change file (unreadable by a spec-conformant CDF reader).
+      val renames = t.schema().fields.collect {
         case fd if fd.metadata.contains(ResourceTable.PhysKey) =>
           fd.name -> fd.metadata.getString(ResourceTable.PhysKey)
       }.toMap
@@ -941,6 +944,14 @@ object DeltaExport {
   private def exportOnce(t: ResourceTable): Long = {
     val latest = t.latestVersion.getOrElse(
       throw new IllegalStateException(s"no table at ${t.path}"))
+    // the schema AT the replayed head, not the live one: a concurrent
+    // writer can advance the table's schema between `latest` and any
+    // later t.schema() read, and everything this run publishes
+    // (anchor/re-anchor metaData, protocol flags, the checkpoint) must
+    // be a pure function of the log at `latest` — the same invariant
+    // publishCheckpoint's never-overwrite rule relies on
+    val schemaAtLatest = FileStats.schemaOf(t.commitBody(latest))
+      .getOrElse(t.schema().json)
     // ICT tables surface the (already monotonic) graft commit clock in
     // every exported commitInfo
     def ict(ts: Long): Option[Long] =
@@ -967,20 +978,20 @@ object DeltaExport {
             // incremental paths already export that way
             needDv = files.exists(_._2.dv.isDefined) || t.dvEnabled,
             needCdf = t.changeDataFeedEnabled,
-            needMapping = isMapped(t.schema().json),
+            needMapping = isMapped(schemaAtLatest),
             needGen = t.generatedColumns().nonEmpty,
             needIdentity = t.identityColumns().nonEmpty,
             needConstraints = t.checkConstraints().nonEmpty,
             needRowTracking = t.rowTrackingEnabled,
-            needWidening = isWidened(t.schema().json),
-            needDefaults = isDefaulted(t.schema().json),
+            needWidening = isWidened(schemaAtLatest),
+            needDefaults = isDefaulted(schemaAtLatest),
             needClustering = t.clusterBy().nonEmpty,
             needIct = t.ictEnabled,
-            needNtz = hasNtz(t.schema().json),
+            needNtz = hasNtz(schemaAtLatest),
             needAppendOnly = t.appendOnly) +:
-          metaData(t, t.schema().json, ts) +:
+          metaData(t, schemaAtLatest, ts) +:
           (rowTrackingDomain(t, latest) ++
-            clusteringDomain(t) ++
+            clusteringDomain(t, schemaAtLatest) ++
             txnDelta(Map.empty,
             FileStats.txnsOf(t.commitBody(latest)), ts) ++
             files.map { case (r, st) => add(r, st, sz(r), ts, types) }))
@@ -1011,7 +1022,7 @@ object DeltaExport {
         commitInfo(latest, ts,
           "GRAFT EXPORT RE-ANCHOR (source log trimmed)",
           ict = ict(ts)) +:
-          metaData(t, t.schema().json, ts,
+          metaData(t, schemaAtLatest, ts,
             // mid-log-enabled tables re-state their provenance on
             // every metaData restatement; a first-time declaration
             // stamps this commit as the enablement point
@@ -1024,33 +1035,33 @@ object DeltaExport {
           // means the predecessor state is unknowable, and re-stating
           // a watermark is idempotent under log replay
           ((if (files.exists(_._2.dv.isDefined) || t.changeDataFeedEnabled ||
-                isMapped(t.schema().json) || isWidened(t.schema().json) ||
-                isDefaulted(t.schema().json) || t.clusterBy().nonEmpty ||
-                t.ictEnabled || hasNtz(t.schema().json))
+                isMapped(schemaAtLatest) || isWidened(schemaAtLatest) ||
+                isDefaulted(schemaAtLatest) || t.clusterBy().nonEmpty ||
+                t.ictEnabled || hasNtz(schemaAtLatest))
               Seq(protocol(
                 needDv = files.exists(_._2.dv.isDefined) || t.dvEnabled,
                 needCdf = t.changeDataFeedEnabled,
-                needMapping = isMapped(t.schema().json),
+                needMapping = isMapped(schemaAtLatest),
                 needGen = t.generatedColumns().nonEmpty,
                 needIdentity = t.identityColumns().nonEmpty,
             needConstraints = t.checkConstraints().nonEmpty,
             needRowTracking = t.rowTrackingEnabled,
-            needWidening = isWidened(t.schema().json),
-            needDefaults = isDefaulted(t.schema().json),
+            needWidening = isWidened(schemaAtLatest),
+            needDefaults = isDefaulted(schemaAtLatest),
             needClustering = t.clusterBy().nonEmpty,
             needIct = t.ictEnabled,
-            needNtz = hasNtz(t.schema().json),
+            needNtz = hasNtz(schemaAtLatest),
             needAppendOnly = t.appendOnly))
             else Seq.empty) ++
             rowTrackingDomain(t, latest) ++
-            clusteringDomain(t) ++
+            clusteringDomain(t, schemaAtLatest) ++
             txnDelta(Map.empty,
               FileStats.txnsOf(t.commitBody(latest)), ts) ++
             prev.toSeq.sorted.filterNot(cur).map(remove(_, ts)) ++
             files.map { case (r, st) =>
               add(r, st, sz(r), ts, types) }))
       writeCrc(t, dv + 1, files, ts)
-      maybeCheckpoint(t, dv + 1, t.schema().json, ts, latest)
+      maybeCheckpoint(t, dv + 1, schemaAtLatest, ts, latest)
       return dv + 1
     }
     // mid-log ICT upgrade: the table turned ICT on after this log's
@@ -1116,7 +1127,7 @@ object DeltaExport {
           ((if (schemaChanged || ictUpgrade)
               Seq(metaData(t,
                 FileStats.schemaOf(t.commitBody(g))
-                  .getOrElse(t.schema().json), ts,
+                  .getOrElse(schemaAtLatest), ts,
                 ictEnablement =
                   if (ictUpgrade) Some((dv + 1, ts))
                   else ictProvenance))
@@ -1167,7 +1178,7 @@ object DeltaExport {
       lastG = g
     }
     if (dv > lastDelta)
-      maybeCheckpoint(t, dv, t.schema().json, commitTs(t, latest),
+      maybeCheckpoint(t, dv, schemaAtLatest, commitTs(t, latest),
         latest)
     dv
   }
@@ -1306,15 +1317,18 @@ object DeltaExport {
     val tail = listEntries(t).filter(v => v > ckptV && v <= dv)
     val addT = checkpointSchema("add").dataType
     val txnT = checkpointSchema("txn").dataType
+    val domT = checkpointSchema("domainMetadata").dataType
     val lineSchema = StructType(Seq(
       StructField("add", addT),
       StructField("remove", StructType(Seq(
         StructField("path", StringType)))),
       StructField("txn", StructType(Seq(
         StructField("appId", StringType),
-        StructField("version", LongType))))))
-    // the json tail as (log version, add, remove, txn) — version from
-    // the file name, so later entries win the per-path reconciliation
+        StructField("version", LongType)))),
+      StructField("domainMetadata", domT)))
+    // the json tail as (log version, add, remove, txn, domainMetadata)
+    // — version from the file name, so later entries win the per-path
+    // (and per-domain) reconciliation
     val tailActs =
       if (tail.isEmpty)
         spark.createDataFrame(
@@ -1324,6 +1338,7 @@ object DeltaExport {
           .withColumn("remove",
             lit(null).cast(lineSchema("remove").dataType))
           .withColumn("txn", lit(null).cast(lineSchema("txn").dataType))
+          .withColumn("domainMetadata", lit(null).cast(domT))
       else
         spark.read.text(tail.map(v => entryFile(t, v).toString): _*)
           .select(
@@ -1331,16 +1346,19 @@ object DeltaExport {
               .cast(LongType).as("v"),
             from_json(col("value"), lineSchema).as("a"))
           .select(col("v"), col("a.add").as("add"),
-            col("a.remove").as("remove"), col("a.txn").as("txn"))
+            col("a.remove").as("remove"), col("a.txn").as("txn"),
+            col("a.domainMetadata").as("domainMetadata"))
     // prior checkpoint's adds (live set at ckptV) and txn watermarks.
     // Rebuild the add struct field-by-field: a checkpoint written by
     // another writer may order or extend the struct differently
-    val (baseAdds, baseTxns) =
+    val (baseAdds, baseTxns, baseDoms) =
       if (ckptV < 0) {
         val none = tailActs.limit(0)
         (none.select(col("v"), col("add")),
           none.select(col("txn.appId").as("appId"),
-            col("txn.version").as("version")))
+            col("txn.version").as("version")),
+          none.select(col("v"),
+            col("domainMetadata").cast(domT).as("domainMetadata")))
       } else {
         val ckRaw = spark.read.parquet(ckptFiles.map(_.toString): _*)
         // a prior V2 checkpoint keeps its FILE actions in sidecars —
@@ -1378,7 +1396,20 @@ object DeltaExport {
           else ck.filter(col("txn").isNotNull)
             .select(col("txn.appId").as("appId"),
               col("txn.version").as("version"))
-        (adds, txns)
+        // the prior checkpoint's domain states (rebuilt field-by-field
+        // like the add struct: a foreign writer's checkpoint may order
+        // or extend the struct differently)
+        val doms =
+          if (!ck.schema.fieldNames.contains("domainMetadata"))
+            adds.limit(0).select(col("v"),
+              lit(null).cast(domT).as("domainMetadata"))
+          else ck.filter(col("domainMetadata").isNotNull)
+            .select(lit(ckptV).as("v"), struct(
+              col("domainMetadata.domain").as("domain"),
+              col("domainMetadata.configuration").as("configuration"),
+              col("domainMetadata.removed").as("removed"))
+              .cast(domT).as("domainMetadata"))
+        (adds, txns, doms)
       }
     // last action per path wins (base adds carry the checkpoint's
     // version, strictly below every tail entry); survivors are adds
@@ -1402,9 +1433,28 @@ object DeltaExport {
         .select(col("txn.appId").as("appId"),
           col("txn.version").as("version")))
       .groupBy(col("appId")).agg(max(col("version")).as("version"))
+    // latest state per DOMAIN replayed from the prior checkpoint + the
+    // json tail — carried forward verbatim (incl. removed-domain
+    // tombstones): the protocol requires a checkpoint to hold the
+    // latest domainMetadata action of EVERY domain, not just the two
+    // graft writes itself. Bounded driver collect: domains are
+    // table-level singletons (a handful of rows).
+    val replayedDoms = baseDoms
+      .unionByName(tailActs.filter(col("domainMetadata").isNotNull)
+        .select(col("v"), col("domainMetadata")))
+      .groupBy(col("domainMetadata.domain").as("domain"))
+      .agg(max_by(col("domainMetadata"), col("v")).as("d"))
+      .select(col("d"))
+      .collect()
+      .map { r =>
+        val d = r.getStruct(0)
+        // a foreign entry may omit `removed` — the protocol default
+        // is an active (non-removed) domain
+        d.getString(0) -> (d.getString(1),
+          !d.isNullAt(2) && d.getBoolean(2))
+      }.toMap
     val protoT = checkpointSchema("protocol").dataType
     val metaT = checkpointSchema("metaData").dataType
-    val domT = checkpointSchema("domainMetadata").dataType
     val body = liveAdds
       .select(lit(null).cast(protoT).as("protocol"),
         lit(null).cast(metaT).as("metaData"), col("add"),
@@ -1510,17 +1560,24 @@ object DeltaExport {
       // head, which a concurrent writer may already have advanced:
       // a checkpoint at dv must be a pure function of the log at dv,
       // or two racing exporters publish non-equivalent checkpoints).
-      // rowTracking reads the hwm from graftHead's own commit body;
-      // clustering physical names come from the same schemaJson the
-      // checkpoint metaData row carries. The V2 path inherits these
-      // rows too since the manifest carries `head`.
-      val domainRows = (clusteringDomain(t, schemaJson) ++
+      // Graft's OWN two domains are recomputed (rowTracking reads the
+      // hwm from graftHead's commit body; clustering physical names
+      // come from the same schemaJson the checkpoint metaData row
+      // carries) and override the replayed state; every OTHER domain
+      // found in the prior checkpoint or json tail is carried forward
+      // verbatim — dropping one would permanently lose its state once
+      // cleanupLog trims the entries that declared it. The V2 path
+      // inherits these rows too since the manifest carries `head`.
+      val graftDoms = (clusteringDomain(t, schemaJson) ++
           rowTrackingDomain(t, graftHead))
         .map { n =>
           val d = n.get("domainMetadata")
-          Row(null, null, null, null,
-            Row(d.get("domain").asText, d.get("configuration").asText,
-              d.get("removed").asBoolean))
+          d.get("domain").asText ->
+            (d.get("configuration").asText, d.get("removed").asBoolean)
+        }.toMap
+      val domainRows = (replayedDoms ++ graftDoms).toSeq.sortBy(_._1)
+        .map { case (name, (conf, removed)) =>
+          Row(null, null, null, null, Row(name, conf, removed))
         }
       // _last_checkpoint.size counts the checkpoint's ACTIONS —
       // protocol + metaData + the domain rows + the body

@@ -277,4 +277,52 @@ class CdfExportSpec extends SparkSpec {
     assert(proc.exitValue() == 0, s"python reader failed:\n$out")
     assert(out.contains("cdc commits verified OK"), out)
   }
+
+  test("cdc for commits exported AFTER a later rename still stores " +
+      "physical names") {
+    // the other half of the rename hazard: the cdc-bearing commits
+    // happen FIRST, the rename later, and ONE export replays both.
+    // ResourceTable.changes reads historical files under the LIVE
+    // logical names, so writeChangeData's rename map must be keyed by
+    // the live schema — keying by the schema AT the cdc commit would
+    // miss the renamed column and leak the post-rename LOGICAL name
+    // into the change file (unreadable by a spec-conformant reader).
+    val dir = tmpDir("cdf6")
+    val path = s"$dir/T.parquet"
+    val t = ResourceTable(spark, path)
+      .createIfNotExists(schema).enableChangeDataFeed()
+      .enableColumnMapping()
+    t.upsert(df("k1" -> 1, "k2" -> 2, "k3" -> 3), "id")
+    DeltaExport.export(t) // anchor: later exports replay per-commit
+    t.upsert(df("k2" -> 20), "id") // update pair -> cdc
+    t.deleteWhere(org.apache.spark.sql.functions.col("id") === "k1")
+    t.renameColumn("n", "val") // AFTER the cdc commits
+    val dv = DeltaExport.export(t)
+
+    // every cdc file carries the PHYSICAL name "n", never the
+    // post-rename logical "val"
+    val all = (0L to dv).flatMap(entryActions(path, _))
+    val cdcFiles = all.filter(_.contains("\"cdc\""))
+      .map(l => s"$path/${mapper.readTree(l).get("cdc").get("path").asText}")
+    assert(cdcFiles.size >= 2, all.mkString("\n"))
+    cdcFiles.foreach { fpath =>
+      val cols = spark.read.parquet(fpath).columns.toSeq
+      assert(cols.contains("n"), s"$fpath expected physical n: $cols")
+      assert(!cols.contains("val"), s"$fpath leaked logical name: $cols")
+    }
+
+    // the independent python reader (whose proj_for REFUSES
+    // logical-name leaks in mapped files) replays the feed
+    t.read().coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/expected.parquet")
+    val pb = new ProcessBuilder("python3", "tools/check_delta_export.py",
+      path, s"$dir/expected.parquet")
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(),
+      StandardCharsets.UTF_8)
+    proc.waitFor()
+    assert(proc.exitValue() == 0, s"python reader failed:\n$out")
+    assert(out.contains("cdc commits verified OK"), out)
+  }
 }

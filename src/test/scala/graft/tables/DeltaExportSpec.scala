@@ -1747,4 +1747,54 @@ class DeltaExportSpec extends SparkSpec {
       ictTs)
     assert(DeltaExport.readSnapshot(spark, path).count() == 3L)
   }
+
+  test("checkpoint carries FOREIGN domainMetadata forward (incl. " +
+      "tombstones), not just graft's own domains") {
+    // PROTOCOL.md: a checkpoint must hold the latest domainMetadata
+    // action of EVERY domain. A foreign writer (or a future graft)
+    // may stamp domains this exporter doesn't know; dropping them at
+    // checkpoint time would lose their state permanently once
+    // cleanupLog trims the declaring entries.
+    val path = s"${tmpDir("dxdom")}/T.parquet"
+    val t = ResourceTable(spark, path).createIfNotExists(schema)
+    t.upsert(df("k0" -> 0), "id")
+    DeltaExport.export(t) // delta v0
+    // a foreign writer appends domain actions to an exported entry:
+    // one live domain and one removed-domain tombstone
+    val e0 = Paths.get(path, "_delta_log", f"${0L}%020d.json")
+    Files.write(e0, (new String(Files.readAllBytes(e0),
+      StandardCharsets.UTF_8) +
+      """{"domainMetadata":{"domain":"com.example.widget","configuration":"{\"w\":1}","removed":false}}""" +
+      "\n" +
+      """{"domainMetadata":{"domain":"com.example.gone","configuration":"{}","removed":true}}""" +
+      "\n").getBytes(StandardCharsets.UTF_8))
+    // the out-of-band append invalidates the local-FS checksum sidecar
+    Files.deleteIfExists(
+      Paths.get(path, "_delta_log", f".${0L}%020d.json.crc"))
+    (1 to 10).foreach(i => t.upsert(df(s"k$i" -> i), "id"))
+    val dv = DeltaExport.export(t) // crosses interval → checkpoint
+    val ckpt = Paths.get(path, "_delta_log",
+      f"$dv%020d.checkpoint.parquet")
+    assert(Files.exists(ckpt), s"expected checkpoint at $dv")
+    val doms = spark.read.parquet(ckpt.toString)
+      .filter("domainMetadata IS NOT NULL")
+      .select("domainMetadata.domain", "domainMetadata.configuration",
+        "domainMetadata.removed")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getBoolean(2))).toMap
+    assert(doms.get("com.example.widget")
+      .contains(("""{"w":1}""", false)), doms.toString)
+    assert(doms.get("com.example.gone").contains(("{}", true)),
+      doms.toString)
+    // _last_checkpoint.size still counts every action incl. the
+    // carried domains
+    val lc = mapper.readTree(new String(Files.readAllBytes(
+      Paths.get(path, "_delta_log", "_last_checkpoint")),
+      StandardCharsets.UTF_8))
+    assert(lc.get("size").asLong ==
+      spark.read.parquet(ckpt.toString).count())
+    // cleanup drops the declaring entry; the domain state survives in
+    // the checkpoint and replay still works
+    assert(DeltaExport.readSnapshot(spark, path).count() == 11L)
+  }
 }

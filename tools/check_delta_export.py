@@ -380,6 +380,18 @@ def proj_for(con, fpath, cols, types, phys):
     NULL-fill when the file predates the column entirely."""
     have = {r[0] for r in con.sql(
         f"SELECT name FROM parquet_schema('{fpath}')").fetchall()}
+    for c in cols:
+        # a renamed mapped column (physical != logical) must appear
+        # under its PHYSICAL name in every data/cdc file: pre-mapping
+        # files carry physical-at-enablement (= logical then), mapped
+        # writers always write physical. A file holding the CURRENT
+        # logical name instead is a spec violation (e.g. a change file
+        # written under post-rename logical names) — fail loudly
+        # instead of silently projecting it.
+        if phys[c] != c and phys[c] not in have and c in have:
+            raise AssertionError(
+                f"{fpath}: column-mapped file stores LOGICAL name "
+                f"'{c}' instead of physical '{phys[c]}'")
     return ", ".join(
         f'"{phys[c]}" AS "{c}"' if phys[c] in have
         else (f'"{c}"' if c in have
