@@ -14,8 +14,10 @@ import scala.util.Random
   * feature lattice — DV × columnMapping × ICT × ntz × widening ×
   * appendOnly × CDF × rowTracking × clustering — with and without
   * MID-LOG upgrades
-  * and across the 10-commit checkpoint cut, and round-trips every
-  * combination through BOTH readers:
+  * and across the 10-commit checkpoint cut — plus FOREIGN-WRITER
+  * domainMetadata injection (an unknown domain appended to an exported
+  * entry must survive every later checkpoint rebuild verbatim) — and
+  * round-trips every combination through BOTH readers:
   *
   *  1. [[DeltaExport.readSnapshot]] must equal the table's own read
   *     (row multiset, compared per trial in-process), and
@@ -138,6 +140,8 @@ class ExportFuzzSpec extends SparkSpec {
     var live = Set.empty[String]
     var widened = false
     var renamed = false
+    var injectedDomain = false
+    var injectedAtV = ""
     (0 until f.nCommits).foreach { c =>
       // mid-log feature upgrades land between commits — the protocol
       // row must restate correctly through later checkpoints
@@ -192,9 +196,66 @@ class ExportFuzzSpec extends SparkSpec {
       }
       // interleaved exports at random points exercise incremental
       // export + the 10-commit checkpoint cut (final export below)
-      if (rng.nextInt(3) == 0) DeltaExport.export(t)
+      if (rng.nextInt(3) == 0) {
+        DeltaExport.export(t)
+        // FOREIGN-WRITER domain injection (half the trials that export
+        // early): append an unknown domainMetadata action to the
+        // newest exported entry — a later checkpoint must carry it
+        // forward verbatim (asserted below), never silently rebuild
+        // only graft's own domains
+        if (!injectedDomain && rng.nextBoolean()) {
+          val logDir = new java.io.File(s"$localPath/_delta_log")
+          val all = Option(logDir.listFiles()).toSeq.flatten
+          // only inject ABOVE the newest checkpoint: an entry at or
+          // below it is never part of a later rebuild's tail, so the
+          // domain would be legitimately invisible to the next
+          // checkpoint (replay starts at the checkpoint)
+          val ckV = all.filter(_.getName.contains(".checkpoint"))
+            .map(_.getName.take(20)).sorted.lastOption.getOrElse("")
+          val newest = all
+            .filter(_.getName.matches("\\d{20}\\.json"))
+            .sortBy(_.getName).lastOption
+            .filter(_.getName.take(20) > ckV)
+          newest.foreach { e =>
+            java.nio.file.Files.write(e.toPath,
+              ("""{"domainMetadata":{"domain":"com.example.fuzz","configuration":"{\"i\":""" +
+                i + """}","removed":false}}""" + "\n")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              java.nio.file.StandardOpenOption.APPEND)
+            java.nio.file.Files.deleteIfExists(
+              new java.io.File(logDir, s".${e.getName}.crc").toPath)
+            injectedDomain = true
+            injectedAtV = e.getName.take(20)
+          }
+        }
+      }
     }
     DeltaExport.export(t)
+
+    // a checkpoint cut AFTER the foreign-domain injection must have
+    // carried the unknown domain forward (classic single/multi-part
+    // and V2 manifests all keep non-file actions in the named
+    // checkpoint files)
+    if (injectedDomain) {
+      val logDir = new java.io.File(s"$localPath/_delta_log")
+      val ckParts = Option(logDir.listFiles()).toSeq.flatten
+        .filter(_.getName.matches("\\d{20}\\.checkpoint.*\\.parquet"))
+      // only checkpoints cut AT/after the injected entry can have
+      // replayed it — an older checkpoint predates the injection
+      val newestCk = ckParts.map(_.getName.take(20)).sorted.lastOption
+        .filter(_ >= injectedAtV)
+      newestCk.foreach { v =>
+        val parts = ckParts.filter(_.getName.startsWith(v))
+          .map(_.toString)
+        val doms = spark.read.parquet(parts: _*)
+          .filter("domainMetadata IS NOT NULL")
+          .select("domainMetadata.domain")
+          .collect().map(_.getString(0)).toSet
+        assert(doms.contains("com.example.fuzz"),
+          s"trial $i ($f): checkpoint $v dropped the foreign domain " +
+            s"(kept: $doms)")
+      }
+    }
 
     // reader 1: readSnapshot equals the table's own snapshot (multiset)
     val mine = t.read().collect().map(_.toString).sorted.toSeq
