@@ -280,21 +280,20 @@ object Curation {
     val last = flagsTable.txnVersion(appId)
     if (last.exists(_ >= cur)) return (cur, 0L)
     last match {
-      case None =>
-        // seed THROUGH the merge too: a pre-populated flags table (a
-        // manual backfill, a lost watermark) reconciles instead of
-        // duplicating — on an empty table the merge is a pure insert
-        val full = flags(docs.read(), bench, idCol, textCol)
-        val removed = flagsTable.read().select(col(idCol))
-          .join(full.select(col(idCol)), Seq(idCol), "left_anti")
-        (cur, foldDelta(flagsTable, removed, full, idCol, appId, cur))
-      case Some(from) if !docs.versionExists(from) =>
-        // docs history trimmed past the watermark (cleanupMetadata):
-        // the CDF slice is gone, so fall back to a full RESEED through
-        // the same single-commit merge — the flags table stays
-        // continuously readable and the watermark still rides the
-        // mutation (removed = state ids the corpus no longer has)
-        val full = flags(docs.read(), bench, idCol, textCol)
+      case w if w.forall(v => !docs.versionExists(v)) =>
+        // seed (no watermark yet — a pre-populated flags table, a
+        // manual backfill, a lost watermark, reconciles instead of
+        // duplicating: on an empty table the merge is a pure insert)
+        // OR reseed (docs history trimmed past the watermark by
+        // cleanupMetadata: the CDF slice is gone) — both are a full
+        // rebuild THROUGH the same single-commit merge, the flags
+        // table stays continuously readable and the watermark rides
+        // the mutation. Read AT the pinned version `cur`, never the
+        // live head: a concurrent docs commit between latestVersion
+        // and the read would otherwise land in the flags under a
+        // watermark that says it didn't, and the next run would
+        // replay its changes into duplicate rows.
+        val full = flags(docs.readVersion(cur), bench, idCol, textCol)
         val removed = flagsTable.read().select(col(idCol))
           .join(full.select(col(idCol)), Seq(idCol), "left_anti")
         (cur, foldDelta(flagsTable, removed, full, idCol, appId, cur))

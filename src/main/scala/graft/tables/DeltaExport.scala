@@ -2349,7 +2349,14 @@ object DeltaExport {
         if (lf.size >= 0) lf.size
         else fs.getFileStatus(new HPath(root, r)).getLen,
         lf.modTime,
-        lf.stats.flatMap(StatsFileIndex.fromDeltaStats))
+        // thread the add's deletion vector into the FileStat: the
+        // exact-stats consumers (exactMinMax et al) refuse DV-bearing
+        // files — their extremum may be a deleted row — and that guard
+        // keys on FileStat.dv
+        lf.stats.flatMap(StatsFileIndex.fromDeltaStats)
+          .map(st => lf.dv.fold(st)(d => st.copy(dv =
+            Some(FileStats.DvInfo(d.storageType, d.pathOrInlineDv,
+              d.offset, d.sizeInBytes, d.cardinality))))))
     }
     def scan(rels: Seq[String], logical: StructType): DataFrame = {
       import org.apache.spark.sql.functions.{col, regexp_replace, lit}

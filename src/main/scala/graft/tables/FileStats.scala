@@ -123,15 +123,41 @@ object FileStats {
     if (st == null) return None
     val nulls = if (st.isNumNullsSet) Some(st.getNumNulls) else None
     if (!st.hasNonNullValue)
-      // all-null (or empty) chunk: min/max undefined but nulls known
-      return Some(ColStats(None, None, nulls))
-    val isString = cc.getPrimitiveType.getLogicalTypeAnnotation match {
+      // distinguish a provably ALL-NULL chunk (every value null:
+      // min/max undefined but the absence is known) from stats that
+      // were simply NOT COLLECTED — parquet-mr hands back an EMPTY
+      // Statistics object when min/max were dropped (over the stats
+      // size cap, or flagged corrupt), and reading that as "no values
+      // here" would skip files whose real values are unknown
+      return if (st.isNumNullsSet && st.getNumNulls == cc.getValueCount)
+        Some(ColStats(None, None, nulls))
+      else None
+    val ann = cc.getPrimitiveType.getLogicalTypeAnnotation
+    val isString = ann match {
       case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => true
       case _ => false
     }
+    // the compare domain stores timestamps as epoch MICROS (Spark's
+    // TimestampType literals): MILLIS-annotated INT64 stats rescale,
+    // MICROS pass through, NANOS pass through UNSCALED because Spark
+    // only reads them via nanosAsLong (LongType column → raw-nanos
+    // literals, the same domain). Unsigned ints are incomparable as
+    // signed longs — refuse.
+    def tsScale(l: Long): Option[Long] = ann match {
+      case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        t.getUnit match {
+          case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+            if (math.abs(l) > Long.MaxValue / 1000) None
+            else Some(l * 1000L)
+          case _ => Some(l) // MICROS exact; NANOS = nanosAsLong domain
+        }
+      case u: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+          if !u.isSigned => None
+      case _ => Some(l)
+    }
     def norm(v: Any): Option[Any] = v match {
-      case i: java.lang.Integer => Some(i.longValue)
-      case l: java.lang.Long => Some(l.longValue)
+      case i: java.lang.Integer => tsScale(i.longValue)
+      case l: java.lang.Long => tsScale(l.longValue)
       case f: java.lang.Float => Some(f.doubleValue)
       case d: java.lang.Double => Some(d.doubleValue)
       case b: Binary if isString => Some(b.toStringUsingUTF8)
@@ -291,28 +317,37 @@ object FileStats {
     var ts: Option[Long] = None
     var op: Option[String] = None
 
-    // header parse: everything up to (and excluding) the files body
-    if (parser.nextToken() != JsonToken.START_OBJECT)
-      throw new IllegalStateException("commit body is not a JSON object")
-    private var headerDone = false
-    while (!headerDone) {
-      parser.nextToken() match {
-        case JsonToken.FIELD_NAME => parser.currentName() match {
-          case "files" =>
-            if (parser.nextToken() != JsonToken.START_OBJECT)
-              throw new IllegalStateException("files is not an object")
-            atFiles = true; headerDone = true
-          case "dir" => parser.nextToken(); dir = Some(parser.getText)
-          case "schema" =>
-            parser.nextToken()
-            schemaJson = Some(mapper.readTree[JsonNode](parser).toString)
-          case "ts" => parser.nextToken(); ts = Some(parser.getLongValue)
-          case "op" => parser.nextToken(); op = Some(parser.getText)
-          case _ => parser.nextToken(); parser.skipChildren()
+    // header parse: everything up to (and excluding) the files body.
+    // A malformed body throws out of the CONSTRUCTOR — close the
+    // parser (and its underlying stream) on the way out, since the
+    // caller never gets a reference to close()
+    try {
+      if (parser.nextToken() != JsonToken.START_OBJECT)
+        throw new IllegalStateException("commit body is not a JSON object")
+      var headerDone = false
+      while (!headerDone) {
+        parser.nextToken() match {
+          case JsonToken.FIELD_NAME => parser.currentName() match {
+            case "files" =>
+              if (parser.nextToken() != JsonToken.START_OBJECT)
+                throw new IllegalStateException("files is not an object")
+              atFiles = true; headerDone = true
+            case "dir" => parser.nextToken(); dir = Some(parser.getText)
+            case "schema" =>
+              parser.nextToken()
+              schemaJson = Some(mapper.readTree[JsonNode](parser).toString)
+            case "ts" => parser.nextToken(); ts = Some(parser.getLongValue)
+            case "op" => parser.nextToken(); op = Some(parser.getText)
+            case _ => parser.nextToken(); parser.skipChildren()
+          }
+          case JsonToken.END_OBJECT | null => headerDone = true
+          case t => throw new IllegalStateException(s"unexpected token $t")
         }
-        case JsonToken.END_OBJECT | null => headerDone = true
-        case t => throw new IllegalStateException(s"unexpected token $t")
       }
+    } catch {
+      case e: Throwable =>
+        try parser.close() catch { case _: Throwable => () }
+        throw e
     }
 
     /** The per-file manifest, streamed. One-shot: entries are produced
@@ -536,7 +571,13 @@ object FileStats {
       Some(BigDecimal(x).compare(BigDecimal(y)))
     case (x: Double, y: Long) if java.lang.Double.isFinite(x) =>
       Some(BigDecimal(x).compare(BigDecimal(y)))
-    case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+    // +0.0 == -0.0 under SQL comparison semantics but Double.compare
+    // ORDERS them (-0.0 < 0.0) — normalize signed zero (x + 0.0) so a
+    // file holding +0.0 rows is never skipped for the literal -0.0.
+    // NaN keeps Double.compare's greatest-value ordering, matching
+    // Spark's NaN semantics.
+    case (x: Double, y: Double) =>
+      Some(java.lang.Double.compare(x + 0.0, y + 0.0))
     case (x: String, y: String) if isAscii(x) && isAscii(y) =>
       Some(Integer.signum(x.compareTo(y)))
     case _ => None

@@ -164,8 +164,11 @@ final class StatsFileIndex private (
     val it = source()
     while (it.hasNext && !unknown) {
       it.next()._2.stats match {
-        case Some(st) => total += st.rows
-        case None => unknown = true
+        // rows < 0 is fromDeltaStats' unknown-count sentinel (a
+        // foreign add whose stats carry min/max but no numRecords) —
+        // unknowable, never guessed
+        case Some(st) if st.rows >= 0 => total += st.rows
+        case _ => unknown = true
       }
     }
     if (unknown) None else Some(total)
@@ -189,6 +192,7 @@ final class StatsFileIndex private (
     while (it.hasNext) {
       val (row, e) = it.next()
       val st = e.stats.getOrElse(return None)
+      if (st.rows < 0) return None // unknown-count sentinel
       // the source reuses one row reference across consecutive
       // entries — key structurally, copy once per distinct group
       val key = row.toSeq(types).toIndexedSeq
@@ -217,7 +221,15 @@ final class StatsFileIndex private (
       st.cols.get(column) match {
         case None => return None
         case Some(cs) => (cs.min, cs.max) match {
-          case (None, None) => () // all-null file
+          // absent min/max is all-null ONLY when the null count proves
+          // it (nullCount == rows) — stats can legitimately omit
+          // min/max for a column that HAS values (foreign writers
+          // recording only nullCount, string chunks over the stats
+          // size cap), and treating those as "no values" would rewrite
+          // MIN/MAX to NULL over real data
+          case (None, None) =>
+            if (!cs.numNulls.contains(st.rows) || st.rows <= 0)
+              return None
           case (Some(a @ (_: Long | _: Double)),
                 Some(b @ (_: Long | _: Double))) =>
             if (mn == null || FileStats.cmp(a, mn).exists(_ < 0)) mn = a
@@ -289,6 +301,11 @@ object StatsFileIndex {
   def fromDeltaStats(json: String): Option[FileStats.FileStat] =
     try {
       val n = mapper.readTree(json)
+      // -1 = numRecords absent (legal partial stats from foreign
+      // writers): min/max/nullCount still serve file skipping, but
+      // every exact-count consumer (exactRowCount,
+      // exactPartitionCounts, exactMinMax's all-null proof) treats a
+      // negative count as unknowable
       val rows = Option(n.get("numRecords")).map(_.asLong).getOrElse(-1L)
       def obj(k: String) = Option(n.get(k)).filter(_.isObject)
       val mins = obj("minValues")
