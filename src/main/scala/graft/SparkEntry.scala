@@ -4015,14 +4015,16 @@ object SparkEntry {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_clone").toString
       val c = tab.shallowCloneTo(s"$tmp/clone.parquet", Some(v2))
+      // absolute refs are FULLY-QUALIFIED URIs (scheme-full) so a
+      // cross-store clone can never re-anchor against the wrong store
       require(c.fileManifest(0L).nonEmpty &&
-        c.fileManifest(0L).forall(_.startsWith("/")),
+        c.fileManifest(0L).forall(_.startsWith("file:/")),
         "shallow clone must reference, not copy")
       c.deleteMatching(
         c.read().filter(col("c_mktsegment") === "NEWSEG")
           .select("c_custkey"), "c_custkey")
       val after = c.fileManifest(c.latestVersion.get)
-      require(after.exists(_.startsWith("/")),
+      require(after.exists(_.startsWith("file:/")),
         "divergence must keep untouched foreign refs foreign")
       c.read()
     }),

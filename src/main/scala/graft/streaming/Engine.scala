@@ -96,6 +96,16 @@ final case class Settings(
   */
 object Engine {
 
+  /** Checkpoint locations of queries THIS process started, so a second
+    * engine misconfigured onto the same checkpointDir is refused
+    * loudly instead of silently stopping the first engine's query
+    * (stopActiveRunOnRestart recovers the same query id from the
+    * shared checkpoint). Stale entries of terminated queries are
+    * overwritten on the next start — only `isActive` priors refuse.
+    */
+  private val activeByCheckpoint =
+    new java.util.concurrent.ConcurrentHashMap[String, StreamingQuery]()
+
   /** Session-builder configuration mirroring the reference's
     * SparkSession.builder chain (main.py:60–100): driver memory,
     * console-progress/Prometheus UI flags, warehouse dir, S3A
@@ -203,15 +213,31 @@ object Engine {
         if (!taken.contains(name)) name
         else Iterator.from(1).map(i => s"$name-$i")
           .find(!taken.contains(_)).get
-      df.writeStream
+      // the suffix disambiguates the NAME, but two engines pointed at
+      // the SAME checkpointDir would still share this query's
+      // checkpoint — the second recovers the first's query id and
+      // Spark's stopActiveRunOnRestart SILENTLY stops the running one.
+      // Refuse loudly instead (the cross-engine analogue of the
+      // duplicate-resourceTypes check below).
+      val ckptLoc = s"${settings.checkpointDir}/$name"
+      val prior = activeByCheckpoint.get(ckptLoc)
+      if (prior != null && prior.isActive)
+        throw new IllegalStateException(
+          s"checkpoint $ckptLoc is already in use by the active query " +
+            s"'${Option(prior.name).getOrElse(prior.id)}' — two engines " +
+            "must not share a checkpointDir; configure a distinct " +
+            "Settings.checkpointDir per engine")
+      val q = df.writeStream
         .queryName(queryName)
         .outputMode(settings.outputMode) // T2, settings.py:41
-        .option("checkpointLocation", s"${settings.checkpointDir}/$name")
+        .option("checkpointLocation", ckptLoc)
         .trigger(trigger)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           processor.processBatch(batch, batchId): Unit // S2
         }
         .start()
+      activeByCheckpoint.put(ckptLoc, q)
+      q
     }
 
     // checkpoint paths are keyed by the PLAIN name under this engine's

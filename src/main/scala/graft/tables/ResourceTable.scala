@@ -660,14 +660,19 @@ final class ResourceTable(val spark: SparkSession, val path: String,
           s"file(s) vacuumed (first: ${gone.head})")
     val schemaJson = FileStats.schemaOf(commitBody(v))
       .getOrElse(schema().json)
+    // FULLY-QUALIFIED URIs (scheme + authority), not bare paths: a
+    // bare `/table/snap-0/x.parquet` re-anchors against the TARGET's
+    // scheme/authority at read time, silently pointing a cross-bucket
+    // or cross-filesystem clone at the wrong store — and a
+    // relative-rooted source would re-root under the clone entirely
     val absFiles = files.map { case (rel, st) =>
       val dv = st.dv.map { d =>
         if (d.st == "u")
-          d.copy(st = "p", d = DeletionVectors
-            .filePath(root, d.descriptor).toUri.getPath)
+          d.copy(st = "p", d = fs.makeQualified(DeletionVectors
+            .filePath(root, d.descriptor)).toUri.toString)
         else d
       }
-      resolve(rel).toUri.getPath -> st.copy(dv = dv)
+      fs.makeQualified(resolve(rel)).toUri.toString -> st.copy(dv = dv)
     }
     val tgt = new ResourceTable(spark, targetPath, checkpointInterval)
     if (tgt.exists)
@@ -835,16 +840,16 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     * a selective key predicate reads O(1) files instead of the table.
     */
   def read(filter: org.apache.spark.sql.Column): DataFrame = {
-    val (kept, _) = pruneFiles(filter)
+    val (kept, _, vSchema) = pruneFilesAt(filter)
     if (kept.isEmpty)
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema())
-    else readFiles(kept, schema()).filter(filter)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vSchema)
+    else readFiles(kept, vSchema).filter(filter)
   }
 
   /** (files read, files total) for `filter` — the skipping telemetry. */
   def pruneInfo(filter: org.apache.spark.sql.Column): (Int, Int) = {
-    val (kept, total) = pruneFiles(filter)
+    val (kept, total, _) = pruneFilesAt(filter)
     (kept.size, total)
   }
 
@@ -908,23 +913,35 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     }
   }
 
-  private def pruneFiles(filter: org.apache.spark.sql.Column)
-      : (Seq[(String, FileStats.FileStat)], Int) = {
+  private def pruneFilesAt(filter: org.apache.spark.sql.Column)
+      : (Seq[(String, FileStats.FileStat)], Int, StructType) = {
     val v = latestVersion.getOrElse(
       throw new IllegalStateException(s"no table at $path"))
     val files = fileListAt(v)
+    // EVERYTHING pins to version v's own schema, never a second
+    // latest-head read: a concurrent rename commit landing between the
+    // file-list resolution and a live schema() read would translate
+    // the predicate with the NEW name map against version-v stats —
+    // pruning files whose rows match under v's meaning of the column,
+    // silently dropping them from the result (readVersion pins the
+    // same way). Pre-schema-field commit bodies fall back to the head.
+    val vSchema = FileStats.schemaOf(commitBody(v))
+      .flatMap(j => scala.util.Try(
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[StructType]).toOption)
+      .getOrElse(schema())
     // Resolve the Column against the table schema: the Column DSL
     // builds UnresolvedFunction nodes (">=", "and", …) that only the
     // analyzer turns into the comparison expressions stats understand.
     val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema())
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], vSchema)
     val pred = empty.filter(filter).queryExecution.analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         f.condition
     }
     // column mapping: stats key PHYSICAL names — translate the
     // predicate's attribute names before probing them
-    val nameMap = schema().fields.map(f => f.name -> physName(f)).toMap
+    val nameMap = vSchema.fields.map(f => f.name -> physName(f)).toMap
     val physPred = pred.map(_.transform {
       case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
           if nameMap.getOrElse(a.name, a.name) != a.name =>
@@ -936,7 +953,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         case None => true // no predicate → never skip
       }
     }
-    (kept, files.size)
+    (kept, files.size, vSchema)
   }
 
   // ---------------- manifest plumbing ---------------------------------
@@ -2337,19 +2354,7 @@ final class ResourceTable(val spark: SparkSession, val path: String,
             (adds, _) => adds.exists(f => mayOverlap(f._2)))))
         nIds
       } else {
-        // RAW scan (no DV filter): rows already dead may re-match;
-        // the per-file union with the existing DV dedups them
-        val tableSchema = schema()
-        val physT = physSchema(tableSchema)
-        val rawScan = spark.read.schema(physT)
-          .parquet(touched.map(f => resolve(f._1).toString): _*)
-          .withColumn("_gdv_file", regexp_replace(
-            col("_metadata.file_path"), DvSchemeRe, "/"))
-          .withColumn("_gdv_pos", col("_metadata.row_index"))
-        val matches = (if (physT == tableSchema) rawScan
-          else rawScan.select(tableSchema.fields.map(f =>
-            col(physName(f)).as(f.name)) ++
-            Seq(col("_gdv_file"), col("_gdv_pos")): _*))
+        val matches = rawDvScan(touched)
           .join(
             if (nIds <= broadcastRowLimit) broadcast(idsKeyed)
             else idsKeyed,
@@ -2362,6 +2367,29 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       }
     } finally idsKeyed.unpersist()
     result
+  }
+
+  /** Shared DV-delete head: a RAW scan of the touched files (no DV
+    * filter — rows already dead may re-match; the per-file union with
+    * the existing DV inside [[commitDvMatches]] dedups them) tagged
+    * with `_gdv_file`/`_gdv_pos`, physical parquet names restored to
+    * logical under column mapping. The keyed and predicate delete
+    * paths must stay byte-identical here — a mapping or
+    * path-normalization fix applied to one must reach the other.
+    */
+  private def rawDvScan(
+      touched: Seq[(String, FileStats.FileStat)]): DataFrame = {
+    val tableSchema = schema()
+    val physT = physSchema(tableSchema)
+    val rawScan = spark.read.schema(physT)
+      .parquet(touched.map(f => resolve(f._1).toString): _*)
+      .withColumn("_gdv_file", regexp_replace(
+        col("_metadata.file_path"), DvSchemeRe, "/"))
+      .withColumn("_gdv_pos", col("_metadata.row_index"))
+    if (physT == tableSchema) rawScan
+    else rawScan.select(tableSchema.fields.map(f =>
+      col(physName(f)).as(f.name)) ++
+      Seq(col("_gdv_file"), col("_gdv_pos")): _*)
   }
 
   /** Shared DV-delete tail: union the matched (file, position) rows
@@ -2611,20 +2639,8 @@ final class ResourceTable(val spark: SparkSession, val path: String,
     val matching = coalesce(predicate, lit(false))
     if (dvEnabled && touched.nonEmpty) {
       // same routing as deleteMatching: under the DV property the
-      // predicate delete writes bitmaps, not files — O(deleted rows).
-      // RAW scan (no DV filter): already-dead rows re-matching is
-      // fine, the per-file union dedups them
-      val tableSchema = schema()
-      val physT = physSchema(tableSchema)
-      val rawScan = spark.read.schema(physT)
-        .parquet(touched.map(f => resolve(f._1).toString): _*)
-        .withColumn("_gdv_file", regexp_replace(
-          col("_metadata.file_path"), DvSchemeRe, "/"))
-        .withColumn("_gdv_pos", col("_metadata.row_index"))
-      val matches = (if (physT == tableSchema) rawScan
-        else rawScan.select(tableSchema.fields.map(f =>
-          col(physName(f)).as(f.name)) ++
-          Seq(col("_gdv_file"), col("_gdv_pos")): _*))
+      // predicate delete writes bitmaps, not files — O(deleted rows)
+      val matches = rawDvScan(touched)
         .filter(matching)
         .select(col("_gdv_file").as[String], col("_gdv_pos").as[Long])
       // rebase: a winner ADD that may hold a predicate-matching row
@@ -2766,28 +2782,39 @@ final class ResourceTable(val spark: SparkSession, val path: String,
   def overwriteWhere(predicate: org.apache.spark.sql.Column,
                      source: DataFrame): Long = {
     val src = applyGenerated(applyIdentity(applyDefaults(source))).cache()
-    try retry() {
+    val matching = coalesce(predicate, lit(false))
+    // deterministic refusals run ONCE, before the retry loop: a
+    // constraint violation or an out-of-scope source row cannot
+    // succeed on re-drive (upsert/append make the same split)
+    try {
       enforceConstraints(src)
-      val matching = coalesce(predicate, lit(false))
       if (src.filter(!matching).limit(1).count() > 0)
         throw new IllegalArgumentException(
           s"$path: replaceWhere source contains rows that do not " +
             "satisfy the predicate — refusing to write outside the " +
             "declared scope (delta replaceWhere contract)")
+    } catch { case e: Throwable => src.unpersist(); throw e }
+    try retry() {
       val cur = latestVersion
       val curV = cur.getOrElse(
         throw new IllegalStateException(s"no table at $path"))
       val files = fileListAt(curV)
-      val cols = schema().fieldNames.toSeq.map(col)
+      // type reconciliation like EVERY other write path: the batch
+      // conforms to the table types or refuses loudly — without it a
+      // type-mismatched source writes data files diverging from the
+      // committed schema, leaving the head unreadable
+      val (srcT, tableSchema) =
+        conformTypes(src, schema(), mergeSchema = false)
+      val cols = tableSchema.fieldNames.toSeq.map(col)
       val (touched, untouched) = splitByPredicate(files, predicate)
       val newData =
-        if (touched.isEmpty) src.select(cols: _*)
-        else readFiles(touched, schema()).filter(!matching)
-          .unionByName(src.select(cols: _*))
+        if (touched.isEmpty) srcT.select(cols: _*)
+        else readFiles(touched, tableSchema).filter(!matching)
+          .unionByName(srcT.select(cols: _*))
       // rebase: winner adds that may match the predicate must be
       // replaced too (replaceWhere's atomic-scope contract) → re-run
       commitFiles(Some(newData), untouched.filterNot(_._2.rows == 0),
-        schema().json, cur, op = "REPLACE WHERE",
+        tableSchema.json, cur, op = "REPLACE WHERE",
         rebase = Some(Rebase(files.filterNot(_._2.rows == 0),
           (adds, _) => splitByPredicate(adds, predicate)._1.nonEmpty)))
       src.count()
@@ -3204,6 +3231,16 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         }
       reapOrphanSidecars(cur, cutoff, dryRun)
       reapOrphanBloomSidecars(cutoff, dryRun)
+      // commit-publish tmp orphans reap here too (serial vacuum's
+      // `.N.commit.<uuid>.tmp` sweep): a deployment that only runs the
+      // distributed variant — the 10M-file object-store shape it
+      // exists for — must not accumulate dead tmp files that inflate
+      // every _log listing forever
+      fs.listStatus(logDir)
+        .filter(s => !s.isDirectory && s.getPath.getName.startsWith(".") &&
+          s.getPath.getName.endsWith(".tmp") &&
+          s.getModificationTime < cutoff)
+        .foreach(s => fs.delete(s.getPath, false))
     }
     removedParquet
   }
@@ -3255,7 +3292,12 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         val files = fileListAt(v)
         (v, FileStats.tsOf(body).map(new java.sql.Timestamp(_)).orNull,
           FileStats.opOf(body).orNull, files.size.toLong,
-          files.map(_._2.rows).sum, missingFiles(files.map(_._1)).isEmpty)
+          // LIVE rows (physical minus DV-dead), the same convention
+          // as describeDetail/statsCount — reconciling the two
+          // surfaces must not show phantom rows after a DV delete
+          files.map(f =>
+            f._2.rows - f._2.dv.map(_.card).getOrElse(0L)).sum,
+          missingFiles(files.map(_._1)).isEmpty)
       }
     rows.toDF("version", "timestamp", "operation", "num_files",
       "num_rows", "is_intact")

@@ -737,6 +737,76 @@ class EngineSpec extends SparkSpec {
       spark.sql("DROP SCHEMA IF EXISTS regdb CASCADE")
     }
   }
+
+  test("a second engine on the SAME checkpointDir is refused loudly " +
+      "instead of silently stopping the first engine's query") {
+    val base = tmpDir("enginedup")
+    val settings = Settings(
+      checkpointDir = s"$base/checkpoint",
+      deltaDatabaseDir = s"$base/delta/default",
+      resourceTypes = Seq("Patient"),
+      upkeepInterval = 0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val streamA = MemoryStream[KafkaRecord]
+    val qa = Engine.start(streamA.toDF(), settings)
+    try {
+      // engine B, same session, SAME checkpointDir: without the guard
+      // its "Patient-1" query would recover A's query id from the
+      // shared checkpoint and stopActiveRunOnRestart would silently
+      // stop A
+      val streamB = MemoryStream[KafkaRecord]
+      val e = intercept[IllegalStateException](
+        Engine.start(streamB.toDF(), settings))
+      assert(e.getMessage.contains("checkpointDir"), e.getMessage)
+      assert(qa.forall(_.isActive),
+        "engine A's queries must keep running after the refusal")
+      // a DIFFERENT checkpointDir on the same session still starts
+      // (the name-suffix path) and both engines drain independently
+      val settingsC = settings.copy(
+        checkpointDir = s"$base/checkpointC",
+        deltaDatabaseDir = s"$base/delta/c")
+      val streamC = MemoryStream[KafkaRecord]
+      val qc = Engine.start(streamC.toDF(), settingsC)
+      try {
+        streamA.addData(rec(fixture("single-patient.json"), 0, 0L))
+        streamC.addData(rec(fixture("single-patient.json"), 0, 0L))
+        qa.foreach(_.processAllAvailable())
+        qc.foreach(_.processAllAvailable())
+        assert(ResourceTable(spark,
+          s"${settings.deltaDatabaseDir}/Patient.parquet")
+          .read().count() == 1)
+        assert(ResourceTable(spark,
+          s"${settingsC.deltaDatabaseDir}/Patient.parquet")
+          .read().count() == 1)
+      } finally qc.foreach(_.stop())
+    } finally qa.foreach(_.stop())
+  }
+
+  test("a RESTART on the same checkpointDir (prior queries stopped) " +
+      "is not refused — the guard only fires on ACTIVE priors") {
+    val base = tmpDir("enginerestart")
+    val settings = Settings(
+      checkpointDir = s"$base/checkpoint",
+      deltaDatabaseDir = s"$base/delta/default",
+      resourceTypes = Seq("Patient"),
+      upkeepInterval = 0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val streamA = MemoryStream[KafkaRecord]
+    val qa = Engine.start(streamA.toDF(), settings)
+    streamA.addData(rec(fixture("single-patient.json"), 0, 0L))
+    qa.foreach(_.processAllAvailable())
+    qa.foreach(_.stop())
+    // restart over the SAME source (the checkpoint's offsets belong to
+    // it): the guard must not refuse — the prior queries are stopped
+    val qb = Engine.start(streamA.toDF(), settings) // legit restart
+    try {
+      streamA.addData(rec(fixture("delete-single-patient.json"), 0, 1L))
+      qb.foreach(_.processAllAvailable())
+      assert(ResourceTable(spark,
+        s"${settings.deltaDatabaseDir}/Patient.parquet")
+        .read().count() == 0)
+    } finally qb.foreach(_.stop())
+  }
 }
 
 class EngineRestartSpec extends graft.SparkSpec {

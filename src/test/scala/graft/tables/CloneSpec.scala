@@ -93,9 +93,11 @@ class CloneSpec extends SparkSpec {
     val tgt = src.shallowCloneTo(s"$base/C.parquet")
     val ids = tgt.read().collect().map(_.getString(0)).toSet
     assert(ids.size == 198 && !ids("k3") && !ids("k7"))
+    // absolute = FULLY-QUALIFIED URI (scheme + authority), so a
+    // cross-bucket clone can never re-anchor it against the wrong store
     assert(tgt.fileListAt(0L).exists(_._2.dv.exists(d =>
-      d.st == "p" && d.d.startsWith("/"))),
-      "sidecar DV must travel as an absolute p descriptor")
+      d.st == "p" && d.d.startsWith("file:/"))),
+      "sidecar DV must travel as an absolute qualified-URI p descriptor")
   }
 
   test("clone vacuum cannot reap source bytes; source vacuum breaks clone loudly") {
@@ -129,7 +131,8 @@ class CloneSpec extends SparkSpec {
     // every C2 reference is absolute and none points under C2 itself;
     // the untouched source file resolves straight to S, not through C1
     val refs = c2.fileManifest(0L)
-    assert(refs.nonEmpty && refs.forall(_.startsWith("/")))
+    // absolute refs are fully-qualified URIs (scheme-full)
+    assert(refs.nonEmpty && refs.forall(_.startsWith("file:/")))
     assert(refs.exists(_.contains("/S.parquet/")),
       s"grand-clone must reference the original files directly: $refs")
     assert(c2.read().collect().map(r =>
@@ -195,6 +198,40 @@ class ReplaceWhereSpec extends SparkSpec {
     assert(t.read().collect().map(r =>
       r.getString(0) -> r.getInt(1)).toMap ==
       Map("a" -> 1, "b" -> 2, "c" -> 300, "e" -> 500))
+  }
+
+  test("overwriteWhere refuses a type-mismatched source instead of " +
+      "writing files that diverge from the committed schema") {
+    val t = ResourceTable(spark, s"${tmpDir("rwtype")}/T.parquet")
+      .createIfNotExists(schema) // v is IntegerType
+    t.upsert(df("a" -> 1), "id")
+    val v = t.latestVersion.get
+    val badSrc = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("x", "not-an-int"))),
+      StructType(Seq(StructField("id", StringType),
+        StructField("v", StringType))))
+    val e = intercept[IllegalArgumentException](
+      t.overwriteWhere(org.apache.spark.sql.functions.lit(true), badSrc))
+    assert(e.getMessage.contains("no lossless conversion") ||
+      e.getMessage.contains("in the source but"), e.getMessage)
+    assert(t.latestVersion.contains(v), "refusal must not commit")
+    // the head stays readable (a silent mismatched write would break
+    // every subsequent read)
+    assert(t.read().collect().map(r =>
+      r.getString(0) -> r.getInt(1)).toMap == Map("a" -> 1))
+    // and a WIDENABLE source (int source into long table) still works
+    // through the same conformTypes cast the other write paths use
+    val tl = ResourceTable(spark, s"${tmpDir("rwtypew")}/T.parquet")
+      .createIfNotExists(StructType(Seq(StructField("id", StringType),
+        StructField("v", LongType))))
+    tl.upsert(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("a", 1L))),
+      StructType(Seq(StructField("id", StringType),
+        StructField("v", LongType)))), "id")
+    tl.overwriteWhere(org.apache.spark.sql.functions.lit(true),
+      df("b" -> 2)) // int v — widens to the table's long
+    assert(tl.read().collect().map(r =>
+      r.getString(0) -> r.getLong(1)).toMap == Map("b" -> 2L))
   }
 
   test("overwriteWhere refuses source rows outside the predicate") {

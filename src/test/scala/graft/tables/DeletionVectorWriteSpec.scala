@@ -294,4 +294,22 @@ class DeletionVectorWriteSpec extends SparkSpec {
       assert(got == (0 until 25).map(i => s"s$i").toSet -- Set("s2", "s17"))
     } finally spark.conf.unset("graft.manifest.streamPlanBytes")
   }
+
+  test("history/describeDetail/statsCount agree on LIVE rows after a " +
+      "DV delete") {
+    val t = ResourceTable(spark, s"${tmpDir("dvhist")}/T.parquet")
+      .createIfNotExists(schema).enableDeletionVectors()
+    t.upsert(df((0 until 100).map(i => s"k$i" -> i): _*), "id")
+    t.deleteMatchingDv(df("k1" -> 0, "k2" -> 0, "k3" -> 0)
+      .select("id"), "id")
+    val head = t.latestVersion.get
+    val hist = t.history().collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(hist(head) == 97L,
+      s"history must report live rows (phys minus DV-dead): $hist")
+    assert(t.describeDetail().collect()(0)
+      .getAs[Long]("num_rows") == 97L)
+    assert(t.statsCount() == 97L)
+    assert(t.read().count() == 97L)
+  }
 }
