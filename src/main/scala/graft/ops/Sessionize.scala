@@ -51,6 +51,40 @@ object Sessionize {
   case class Session(userId: Long, sessionStartUs: Long, sessionEndUs: Long,
                      nEvents: Long, firstEventId: Long)
 
+  /** Pure gap-session fold shared by the flatMapGroupsWithState and
+    * transformWithState operators (one algorithm, two state APIs):
+    * merge the carried open session with this batch's events as
+    * INTERVALS, standard gap merge over (start, firstId)-sorted spans.
+    * In-watermark LATE events are the whole point of the interval
+    * form — a naive "last = e.ts" fold would REWIND the open session's
+    * end below its start (inverted sessions) and split contiguous
+    * sessions; here a late event extends `start` backwards, never
+    * drags `last` down, and a late event more than a gap BEFORE the
+    * open session forms its own, immediately-closed session. Returns
+    * (closed sessions in ascending start order, the still-open state —
+    * always the latest span).
+    */
+  def foldSessions(key: Long, prev: Option[SessionState],
+                   events: Seq[TimedEvent], gapUs: Long)
+      : (List[Session], Option[SessionState]) = {
+    if (events.isEmpty) return (Nil, prev)
+    val evs = events.sortBy(e => (e.tsMicros, e.eventId))
+      .map(e => SessionState(e.tsMicros, e.tsMicros, 1, e.eventId))
+    val all = (prev.toList ++ evs).sortBy(s => (s.start, s.firstId))
+    var merged = List.empty[SessionState] // reverse order (head latest)
+    all.foreach { iv =>
+      merged match {
+        case h :: t if iv.start <= h.last + gapUs =>
+          merged = h.copy(last = math.max(h.last, iv.last),
+            n = h.n + iv.n) :: t
+        case _ => merged = iv :: merged
+      }
+    }
+    val closed = merged.tail.reverse
+      .map(s => Session(key, s.start, s.last, s.n, s.firstId))
+    (closed, Some(merged.head))
+  }
+
   /** Streaming sessionization: a session closes (and is emitted) when
     * a later event for the same user arrives more than `gapSeconds` of
     * *event time* after the session's last event. State per key is one
@@ -122,20 +156,9 @@ object Sessionize {
             state.remove()
             Iterator.single(Session(userId, s.start, s.last, s.n, s.firstId))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.eventId))
-            var closed = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              cur match {
-                case Some(s) if e.tsMicros - s.last <= gapUs =>
-                  cur = Some(s.copy(last = e.tsMicros, n = s.n + 1))
-                case Some(s) =>
-                  closed ::= Session(userId, s.start, s.last, s.n, s.firstId)
-                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.eventId))
-                case None =>
-                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.eventId))
-              }
-            }
+            val (foldClosed, cur) =
+              foldSessions(userId, state.getOption, rows.toSeq, gapUs)
+            var closed = foldClosed.reverse // keep ascending on emit
             cur.foreach { s =>
               val closeAtMs = s.last / 1000 + gapSeconds * 1000
               if (closeAtMs <= state.getCurrentWatermarkMs()) {

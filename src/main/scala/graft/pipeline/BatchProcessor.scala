@@ -134,7 +134,9 @@ final class BatchProcessor(
           try ResourceTable.retry() {
             Lakehousekeeper.registerTable(spark, tablePath(rt)): Unit
           } catch {
-            case e: Throwable => System.err.println(
+            // NonFatal only: an interrupt (query stop) or OOM must
+            // propagate, not be logged-and-continued
+            case scala.util.control.NonFatal(e) => System.err.println(
               s"catalog registration failed for ${tablePath(rt)} " +
                 s"(data committed, entry stale): ${e.getMessage}")
           }
@@ -144,7 +146,7 @@ final class BatchProcessor(
         if (deltaExport)
           try DeltaExport.export(table): Unit
           catch {
-            case e: Throwable => System.err.println(
+            case scala.util.control.NonFatal(e) => System.err.println(
               s"delta export failed for ${tablePath(rt)} " +
                 s"(data committed, exported log stale): ${e.getMessage}")
           }
@@ -185,7 +187,14 @@ object BatchMetrics {
     def upkeepSeconds(s: Double): Unit = ()
   }
 
-  /** Simple in-memory accumulator (test/observability default). */
+  /** Simple in-memory accumulator (test/observability default).
+    * SYNCHRONIZED: one instance is shared across the N+1 concurrently
+    * running streaming queries Engine wires it into, each calling from
+    * its own micro-batch thread — unsynchronized read-modify-writes
+    * would lose counts and concurrent mutable.Map inserts can corrupt
+    * the map (PrometheusBridge uses LongAdder/ConcurrentHashMap for
+    * the same hooks for the same reason).
+    */
   final class Recording extends BatchMetrics {
     val written = scala.collection.mutable.Map.empty[String, Long]
     val deleted = scala.collection.mutable.Map.empty[String, Long]
@@ -193,12 +202,13 @@ object BatchMetrics {
     var batches = 0L
     var rows = 0L
     override def topicCount(topic: String, n: Long): Unit =
-      topics(topic) = topics.getOrElse(topic, 0L) + n
-    def batchSize(n: Long): Unit = { batches += 1; rows += n }
+      synchronized { topics(topic) = topics.getOrElse(topic, 0L) + n }
+    def batchSize(n: Long): Unit =
+      synchronized { batches += 1; rows += n }
     def resourcesWritten(rt: String, n: Long): Unit =
-      written(rt) = written.getOrElse(rt, 0L) + n
+      synchronized { written(rt) = written.getOrElse(rt, 0L) + n }
     def resourcesDeleted(rt: String, n: Long): Unit =
-      deleted(rt) = deleted.getOrElse(rt, 0L) + n
+      synchronized { deleted(rt) = deleted.getOrElse(rt, 0L) + n }
     def mergeSeconds(s: Double): Unit = ()
     def deleteSeconds(s: Double): Unit = ()
     def upkeepSeconds(s: Double): Unit = ()

@@ -98,7 +98,11 @@ object ChangeFeed {
             checkpointDir: String,
             handler: (Long, DataFrame) => Unit,
             trigger: Trigger = Trigger.AvailableNow(),
-            startingVersion: Long = 1L): StreamingQuery = {
+            startingVersion: Long = 1L,
+            // bound each micro-batch to N commit files (file-source
+            // maxFilesPerTrigger): paces a backfill over a long log so
+            // one batch never holds thousands of handler invocations
+            maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     val table = ResourceTable(spark, tablePath)
     val wmDir = highWaterDir(checkpointDir)
     val wmFs = wmDir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -117,6 +121,9 @@ object ChangeFeed {
         StructField("length", LongType),
         StructField("content", BinaryType))))
       .option("pathGlobFilter", "*.commit")
+      .options(maxFilesPerTrigger
+        .map(n => Map("maxFilesPerTrigger" -> n.toString))
+        .getOrElse(Map.empty))
       .load(s"$tablePath/_log")
       // the commit BODY is never read — the file NAME is the event
       .select(col("path").as("file"))
@@ -127,14 +134,8 @@ object ChangeFeed {
       // session-global query name — and takeRight(40) can collide two
       // distinct long paths. The CHECKPOINT stays caller-scoped, so
       // recovery identity is unaffected by the start order.
-      .queryName {
-        val base = s"changefeed-${versionSafeName(tablePath)}"
-        val taken = spark.streams.active
-          .flatMap(q => Option(q.name)).toSet
-        if (!taken.contains(base)) base
-        else Iterator.from(1).map(i => s"$base-$i")
-          .find(!taken.contains(_)).get
-      }
+      .queryName(Engine.uniqueQueryName(spark,
+        s"changefeed-${versionSafeName(tablePath)}"))
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -175,25 +176,34 @@ object ChangeFeed {
             // means skip.
             ()
           } else {
-            if (lastSeen >= 1 && v > lastSeen + 1) {
-              // the listing skipped lastSeen+1..v-1. Two causes, two
-              // answers: if the commits EXIST on disk this is a
-              // listing-order artifact (mod-time ties, eventually-
-              // consistent stores, maxFilesPerTrigger splits) — handle
-              // them in order right now; the file source will list
-              // them later and the v<=lastSeen skip absorbs the
-              // duplicates. Only a commit that is truly ABSENT is a
-              // trim — fail loudly as ever.
-              (lastSeen + 1 until v).foreach { w =>
-                if (!table.versionExists(w))
+            // the listing skipped versions below v. Two causes, two
+            // answers: if the commits EXIST on disk this is a
+            // listing-order artifact (mod-time ties, eventually-
+            // consistent stores, maxFilesPerTrigger splits) — handle
+            // them in order right now; the file source will list
+            // them later and the v<=lastSeen skip absorbs the
+            // duplicates. Only a commit that is truly ABSENT is a
+            // trim — mid-stream that fails loudly as ever; a FRESH
+            // consumer (no mark yet) backfills from `floor` instead,
+            // where an absent version is simply below its base
+            // snapshot. Without the fresh-consumer arm, a first batch
+            // that lists a non-prefix of the log (the exact listing
+            // artifacts above) would persist a mark ABOVE the missed
+            // versions and the skip branch would silently drop them
+            // forever.
+            val from = if (lastSeen >= 1) lastSeen + 1 else floor
+            if (v > from) (from until v).foreach { w =>
+              if (!table.versionExists(w)) {
+                if (lastSeen >= 1)
                   throw new IllegalStateException(
                     s"change feed gap on $tablePath: version $w never " +
                       s"arrived (high-water mark $lastSeen persisted " +
                       s"at $wmDir) — commit log trimmed under a " +
                       "lagging consumer? raise cleanupMetadata " +
                       "keepLast above the consumer lag")
-                handleOne(w)
-              }
+                // fresh consumer: w is below the retained base — the
+                // first existing version base-snapshots in handleOne
+              } else handleOne(w)
             }
             handleOne(v)
           }
@@ -201,8 +211,18 @@ object ChangeFeed {
           // the batch is the replay unit (foreachBatch is
           // at-least-once): a crash before this point replays the
           // batch, and the marker makes the replay skip what was
-          // already delivered
-          if (lastSeen >= 1) advanceHighWater(wmFs, wmDir, lastSeen)
+          // already delivered. The write is BEST-EFFORT in a finally:
+          // a transient FS error here must not replace an in-flight
+          // exception (losing the actionable gap diagnosis) — a missed
+          // advance only costs duplicate-skip work on replay.
+          if (lastSeen >= 1)
+            try advanceHighWater(wmFs, wmDir, lastSeen)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"change feed on $tablePath: high-water marker " +
+                    s"write failed (will re-skip on replay): $e")
+            }
         }
       }
       .start()

@@ -106,6 +106,21 @@ object Engine {
   private val activeByCheckpoint =
     new java.util.concurrent.ConcurrentHashMap[String, StreamingQuery]()
 
+  /** Smallest-free-numeric-suffix disambiguation of a session-global
+    * streaming query name (shared by [[Engine]]'s per-type queries and
+    * [[ChangeFeed]] consumers). Best-effort: two concurrent starts can
+    * still race to the same free name — Spark then fails the loser
+    * loudly, which is acceptable; the helper exists so the NORMAL
+    * multi-consumer path doesn't fail at all.
+    */
+  private[streaming] def uniqueQueryName(
+      spark: org.apache.spark.sql.SparkSession, base: String): String = {
+    val taken = spark.streams.active.flatMap(q => Option(q.name)).toSet
+    if (!taken.contains(base)) base
+    else Iterator.from(1).map(i => s"$base-$i")
+      .find(!taken.contains(_)).get
+  }
+
   /** Session-builder configuration mirroring the reference's
     * SparkSession.builder chain (main.py:60–100): driver memory,
     * console-progress/Prometheus UI flags, warehouse dir, S3A
@@ -207,12 +222,7 @@ object Engine {
       // "Patient" — disambiguate with the smallest free numeric suffix
       // (checkpoint paths keep the PLAIN name: they are already scoped
       // by this engine's checkpointDir and must be restart-stable)
-      val taken = source.sparkSession.streams.active
-        .flatMap(q => Option(q.name)).toSet
-      val queryName =
-        if (!taken.contains(name)) name
-        else Iterator.from(1).map(i => s"$name-$i")
-          .find(!taken.contains(_)).get
+      val queryName = uniqueQueryName(source.sparkSession, name)
       // the suffix disambiguates the NAME, but two engines pointed at
       // the SAME checkpointDir would still share this query's
       // checkpoint — the second recovers the first's query id and

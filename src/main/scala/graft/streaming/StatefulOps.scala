@@ -115,20 +115,13 @@ object StatefulOps {
     override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
                                  tv: TimerValues): Iterator[Session] = {
       val gapUs = gapSeconds * 1000000L
-      val sorted = rows.toSeq.sortBy(e => (e.tsMicros, e.eventId))
-      var closed = List.empty[Session]
-      var cur = if (st.exists()) Some(st.get()) else None
-      sorted.foreach { e =>
-        cur match {
-          case Some(s) if e.tsMicros - s.last <= gapUs =>
-            cur = Some(s.copy(last = e.tsMicros, n = s.n + 1))
-          case Some(s) =>
-            closed ::= Session(key, s.start, s.last, s.n, s.firstId)
-            cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.eventId))
-          case None =>
-            cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.eventId))
-        }
-      }
+      // the shared interval fold (Sessionize.foldSessions): the one
+      // algorithm for both state APIs, late-event-safe (never rewinds
+      // a session's end)
+      val (foldClosed, cur) = graft.ops.Sessionize.foldSessions(
+        key, if (st.exists()) Some(st.get()) else None, rows.toSeq,
+        gapUs)
+      var closed = foldClosed.reverse // keep ascending on emit
       // one pending timer per key: drop stale ones, re-arm at the
       // (possibly moved) close instant
       getHandle.listTimers().foreach(getHandle.deleteTimer)

@@ -428,6 +428,38 @@ class EngineSpec extends SparkSpec {
     assert(got == Set(t.latestVersion.get), got.toString)
   }
 
+  test("ChangeFeed fresh consumer: a first batch listing a NON-PREFIX " +
+      "of the log backfills the missed versions instead of silently " +
+      "dropping them") {
+    val base = tmpDir("cdffresh")
+    val path = s"$base/T.parquet"
+    val t = ResourceTable(spark, path)
+      .createIfNotExists(Seq(("a", 1)).toDF("id", "v").schema)
+    (1 to 3).foreach(i => t.upsert(Seq(("a", i)).toDF("id", "v"), "id"))
+    // simulate the listing artifact (mod-time ties / eventually-
+    // consistent stores): v3's commit file sorts FIRST for the
+    // mod-time-ordered file source, v1/v2 arrive in later batches
+    val log = java.nio.file.Paths.get(path, "_log")
+    def touch(v: Long, ts: Long): Unit =
+      java.nio.file.Files.setLastModifiedTime(
+        log.resolve(f"$v%020d.commit"),
+        java.nio.file.attribute.FileTime.fromMillis(ts))
+    val t0 = System.currentTimeMillis() - 60000
+    touch(3L, t0); touch(1L, t0 + 10000); touch(2L, t0 + 20000)
+    val got = scala.collection.mutable.Map.empty[Long, Long]
+    val q = ChangeFeed.start(spark, path, "id", s"$base/ckpt",
+      (v, df) => {
+        val n = df.count()
+        got.synchronized { got(v) = got.getOrElse(v, 0L) + n }: Unit
+      },
+      maxFilesPerTrigger = Some(1)) // one commit file per batch
+    q.awaitTermination()
+    // all three versions delivered exactly once, in spite of batch 1
+    // carrying only v3 — without the fresh-consumer backfill, v1/v2
+    // would be below the persisted mark and silently skipped forever
+    assert(got.keySet == Set(1L, 2L, 3L), got.toString)
+  }
+
   test("TableSink: exactly-once streaming append and idempotent streaming upsert") {
     val base = tmpDir("tsink")
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -84,6 +84,78 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("foldSessions: in-watermark late events never rewind a " +
+      "session's end (no inverted sessions, no spurious splits)") {
+    import graft.ops.Sessionize.{foldSessions, SessionState, TimedEvent}
+    val gapUs = 60L * 1000000L
+    def ev(tsSec: Long, id: Long) =
+      TimedEvent(7L, tsSec * 1000000L, id, null)
+    // carried open session [100s,100s]; batch brings a LATE t=50s and
+    // an in-order t=115s — the naive fold rewound last to 50s and then
+    // split 100/115 (only 15s apart) across an inverted session
+    val (closed, open) = foldSessions(7L,
+      Some(SessionState(100000000L, 100000000L, 1, 1L)),
+      Seq(ev(50, 2), ev(115, 3)), gapUs)
+    assert(closed.isEmpty, closed.toString)
+    val s = open.get
+    assert(s.start == 50000000L && s.last == 115000000L && s.n == 3,
+      s.toString)
+    assert(s.last >= s.start)
+
+    // a late event more than a gap BEFORE the open session is its own,
+    // immediately-closed session — never merged, never inverted
+    val (closed2, open2) = foldSessions(7L,
+      Some(SessionState(100000000L, 100000000L, 2, 1L)),
+      Seq(ev(10, 9)), gapUs)
+    assert(closed2.map(c => (c.sessionStartUs, c.sessionEndUs,
+      c.nEvents, c.firstEventId)) ==
+      List((10000000L, 10000000L, 1L, 9L)), closed2.toString)
+    assert(open2.get.start == 100000000L && open2.get.n == 2)
+
+    // two late events within gap of EACH OTHER merge into one closed
+    // session, not two singletons
+    val (closed3, _) = foldSessions(7L,
+      Some(SessionState(500000000L, 500000000L, 1, 1L)),
+      Seq(ev(10, 9), ev(40, 10)), gapUs)
+    assert(closed3.map(c => (c.sessionStartUs, c.sessionEndUs,
+      c.nEvents)) == List((10000000L, 40000000L, 2L)), closed3.toString)
+  }
+
+  test("sessionizeTws: a cross-batch in-watermark late event extends " +
+      "the open session backwards instead of inverting it") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.Sessionize
+    val stream = MemoryStream[Sessionize.Event]
+    withRocksDbState(spark) {
+      val q = sessionizeTws(stream.toDS(), gapSeconds = 60,
+        watermarkDelay = "120 seconds")
+        .toDF().writeStream.format("memory").queryName("twslate")
+        .outputMode(OutputMode.Append).start()
+      try {
+        val t0 = 1700000000000000L // micros
+        stream.addData(Sessionize.Event(7, t0 + 100000000L, 1))
+        q.processAllAvailable()
+        // batch 2: late (t0+50s, inside the 120s watermark) + t0+115s
+        stream.addData(
+          Sessionize.Event(7, t0 + 50000000L, 2),
+          Sessionize.Event(7, t0 + 115000000L, 3))
+        q.processAllAvailable()
+        assert(spark.table("twslate").isEmpty,
+          "contiguous events must stay ONE open session")
+        // close it on arrival with a far-future same-key event
+        stream.addData(Sessionize.Event(7, t0 + 400000000L, 4))
+        q.processAllAvailable()
+        val closed = spark.table("twslate").collect()
+        assert(closed.length == 1, closed.mkString(";"))
+        val c = closed.head
+        assert(c.getAs[Long]("sessionStartUs") == t0 + 50000000L &&
+          c.getAs[Long]("sessionEndUs") == t0 + 115000000L &&
+          c.getAs[Long]("nEvents") == 3,
+          c.toString)
+      } finally q.stop()
+    }
+  }
+
   test("emitted totals are independent of row order within a batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     def run(data: Seq[Contribution]): Set[Totals] =
