@@ -38,8 +38,25 @@ object VectorExpressions {
         throw new IllegalArgumentException(s"not a float/double array: $other")
     }
 
+  /** Loud length guard shared by eval and codegen (static call keeps
+    * the generated code one line): silent prefix math over ragged
+    * arrays — a truncated embedding, a corrupt PQ codebook row —
+    * would return a plausible-but-wrong number; the HOF forms these
+    * expressions replace surface the mismatch as NULL, and a loud
+    * error beats both.
+    */
+  def requireSameLength(a: ArrayData, b: ArrayData, fn: String): Int = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"$fn: array length mismatch ($n vs ${b.numElements()})")
+    n
+  }
+
   /** dot(a, b): double, left-to-right accumulation (deterministic,
-    * same order as the HOF form so oracle results are unchanged).
+    * same order as the HOF form so oracle results are unchanged for
+    * equal-length input; ragged input FAILS LOUDLY where the HOF
+    * returns null).
     * Full `doGenCode` so the loop inlines into whole-stage codegen —
     * no boxing, no virtual calls in the 100 TB scan path.
     */
@@ -51,7 +68,7 @@ object VectorExpressions {
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
+      val n = requireSameLength(a, b, "dot_product")
       var s = 0.0
       var i = 0
       while (i < n) { s += readL(a, i) * readR(b, i); i += 1 }
@@ -63,7 +80,8 @@ object VectorExpressions {
         val i = ctx.freshName("i")
         val n = ctx.freshName("n")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = graft.functions.VectorExpressions
+           |  .requireSameLength($a, $b, "dot_product");
            |double ${ev.value}_acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
            |  ${ev.value}_acc +=
@@ -84,12 +102,16 @@ object VectorExpressions {
   case class CosineSimilarity(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    // a ZERO vector on either side has no direction: cosine is
+    // undefined — NULL, never NaN (NaN silently fails every
+    // >= threshold filter and poisons downstream aggregates)
+    override def nullable: Boolean = true
     @transient private lazy val readL = elemReader(left.dataType)
     @transient private lazy val readR = elemReader(right.dataType)
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
+      val n = requireSameLength(a, b, "cosine_sim")
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
@@ -97,7 +119,8 @@ object VectorExpressions {
         dot += x * y; na += x * x; nb += y * y
         i += 1
       }
-      dot / math.sqrt(na) / math.sqrt(nb)
+      if (na == 0.0 || nb == 0.0) null
+      else dot / math.sqrt(na) / math.sqrt(nb)
     }
     override protected def doGenCode(ctx: CodegenContext,
                                      ev: ExprCode): ExprCode =
@@ -110,15 +133,20 @@ object VectorExpressions {
         val x = ctx.freshName("x")
         val y = ctx.freshName("y")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = graft.functions.VectorExpressions
+           |  .requireSameLength($a, $b, "cosine_sim");
            |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
            |  double $x = ${genRead(left.dataType, a, i)};
            |  double $y = ${genRead(right.dataType, b, i)};
            |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
            |}
-           |${ev.value} = $dot / java.lang.Math.sqrt($na)
-           |  / java.lang.Math.sqrt($nb);
+           |if ($na == 0.0 || $nb == 0.0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = $dot / java.lang.Math.sqrt($na)
+           |    / java.lang.Math.sqrt($nb);
+           |}
            |""".stripMargin
       })
     override protected def withNewChildrenInternal(
@@ -175,7 +203,7 @@ object VectorExpressions {
     */
   /** Shared eval body / static codegen target. */
   def hammingEval(a: ArrayData, b: ArrayData): Int = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = requireSameLength(a, b, "hamming")
     var d = 0; var i = 0
     while (i < n) {
       d += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i)); i += 1
@@ -223,7 +251,7 @@ object VectorExpressions {
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
+      val n = requireSameLength(a, b, "int_dist2")
       var s = 0L
       var i = 0
       while (i < n) {
@@ -240,7 +268,8 @@ object VectorExpressions {
         val n = ctx.freshName("n")
         val d = ctx.freshName("d")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = graft.functions.VectorExpressions
+           |  .requireSameLength($a, $b, "int_dist2");
            |long ${ev.value}_acc = 0L;
            |for (int $i = 0; $i < $n; $i++) {
            |  long $d = $a.getLong($i) - $b.getLong($i);

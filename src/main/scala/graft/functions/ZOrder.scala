@@ -29,11 +29,21 @@ object ZOrder {
     * as an unsigned magnitude (order-preserving up to that prefix).
     */
   def stringOrderedDouble(s: UTF8String): Double = {
-    val bytes = s.getBytes
+    // zero-copy prefix read: only the first 8 bytes matter, and
+    // s.getBytes would copy the WHOLE string per row — a multi-KB
+    // document column z-ordered at corpus scale pays that allocation
+    // millions of times (same Platform idiom as the bloom shingle
+    // walker in this package)
+    val n = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
     var acc = 0.0
     var i = 0
     while (i < 8) {
-      acc = acc * 256.0 + (if (i < bytes.length) bytes(i) & 0xFF else 0)
+      acc = acc * 256.0 +
+        (if (i < n) org.apache.spark.unsafe.Platform.getByte(
+          base, off + i) & 0xFF
+         else 0)
       i += 1
     }
     acc

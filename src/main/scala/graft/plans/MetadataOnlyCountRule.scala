@@ -44,9 +44,14 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   */
 object MetadataOnlyCountRule extends Rule[LogicalPlan] {
 
+  // a result-REWRITING rule must fail DISABLED on an unparseable conf
+  // (same convention as RangeBinJoinRule): an operator killing the
+  // rule mid-incident with "0"/"no"/"false " must not be ignored.
+  // Only an UNSET conf defaults to enabled.
   private def enabled: Boolean =
-    scala.util.Try(conf.getConfString(
-      "graft.rules.metadataOnlyCount", "true").toBoolean).getOrElse(true)
+    conf.getConfString("graft.rules.metadataOnlyCount", "true") match {
+      case v => scala.util.Try(v.trim.toBoolean).getOrElse(false)
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan

@@ -42,6 +42,16 @@ object RangeBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       conf.getConfString("graft.rules.intervalJoin.binUs", "0").toLong
     ).getOrElse(0L)
 
+  /** Per-interval bin-count ceiling (fail-loud guard on the Sequence
+    * expansion); malformed → the default, never a throw in the
+    * optimizer.
+    */
+  private def maxBinsPerRow: Long =
+    scala.util.Try(
+      conf.getConfString("graft.rules.intervalJoin.maxBinsPerRow",
+        "1000000").toLong
+    ).getOrElse(1000000L)
+
   /** (point ts, lower bound, upper bound, upper is exclusive) when the
     * condition is exactly a two-sided long range with no equi part.
     * A `p >= lo` predicate is syntactically also a reversed closed
@@ -99,11 +109,29 @@ object RangeBinJoinRule extends Rule[LogicalPlan] with PredicateHelper {
               if (upperExclusive) Subtract(hi, Literal(1L)) else hi
             val binL = Alias(div(p, b), "_graft_bin")()
             val binR = AttributeReference("_graft_bin_r", LongType)()
+            // bound the per-interval expansion: ONE outlier-long
+            // interval at a too-fine binUs would explode into millions
+            // of bin rows (Sequence allocates the whole array) and
+            // fail or OOM a query the un-rewritten BNLJ completed.
+            // Past the cap, fail LOUDLY naming the knobs instead of
+            // letting the array allocation be the error message.
+            val cap = maxBinsPerRow
+            val loBin = div(lo, b)
+            val hiBin = div(hiBinSrc, b)
+            val guardedHi = If(
+              LessThanOrEqual(Subtract(hiBin, loBin), Literal(cap)),
+              hiBin,
+              Cast(RaiseError(Literal(
+                s"range-bin join: an interval spans more than $cap " +
+                  s"bins at graft.rules.intervalJoin.binUs=$b — raise " +
+                  "binUs (or set it to 0 to disable the rewrite), or " +
+                  "raise graft.rules.intervalJoin.maxBinsPerRow")),
+                LongType))
             // Sequence is TimeZoneAware: past analysis nothing runs
             // ResolveTimeZone, so the tz must be supplied here or the
             // expression stays unresolved
             val gen = Generate(
-              Explode(Sequence(div(lo, b), div(hiBinSrc, b), None,
+              Explode(Sequence(loBin, guardedHi, None,
                 Some(conf.sessionLocalTimeZone))),
               unrequiredChildIndex = Nil, outer = false, qualifier = None,
               generatorOutput = Seq(binR),

@@ -30,13 +30,29 @@ object FileBundleSource {
   private def toWire(lines: DataFrame): DataFrame =
     lines
       .withColumn("j", from_json(col("value"), journalSchema))
+      // REJECT malformed lines loudly instead of defaulting them: a
+      // line that is not an envelope (from_json → null) or that lacks
+      // bundle/offset would otherwise coalesce onto ('file', 0, 0) —
+      // ties at offset 0 make the (partition asc, offset desc)
+      // latest-wins dedup nondeterministic, silent wrong state. The
+      // Kafka wire this source stands in for never produces null
+      // values or unordered records, so neither may the stand-in.
       .select(
         lit(null).cast(BinaryType).as("key"),
-        encode(col("j.bundle"), "UTF-8").as("value"),
+        encode(raiseWhenNull(col("j.bundle"), col("value"),
+          "journal line has no bundle"), "UTF-8").as("value"),
         coalesce(col("j.topic"), lit("file")).as("topic"),
         coalesce(col("j.partition"), lit(0)).as("partition"),
-        coalesce(col("j.offset"), lit(0L)).as("offset"),
+        raiseWhenNull(col("j.offset"), col("value"),
+          "journal line has no offset").as("offset"),
         lit(null).cast(TimestampType).as("timestamp"))
+
+  private def raiseWhenNull(c: org.apache.spark.sql.Column,
+                            raw: org.apache.spark.sql.Column,
+                            what: String): org.apache.spark.sql.Column =
+    when(c.isNull, raise_error(concat(
+      lit(s"FileBundleSource: $what (not a journal envelope): "),
+      substring(raw, 1, 200)))).otherwise(c)
 
   /** Streaming read of a journal directory (new files picked up
     * incrementally, offsets checkpointed by the engine).

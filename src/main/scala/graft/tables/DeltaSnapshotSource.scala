@@ -43,10 +43,19 @@ class DeltaSnapshotSource extends RelationProvider with DataSourceRegister {
         "graft-delta: OPTIONS must carry a path"))
     val version = parameters.get("versionAsOf").map(_.toLong).getOrElse(-1L)
     val df = DeltaExport.readSnapshot(ctx.sparkSession, path, version)
-    df.queryExecution.analyzed.collectFirst {
+    // the fast path applies ONLY when the analyzed plan IS a bare file
+    // relation at the ROOT: collectFirst-anywhere would descend past
+    // everything readSnapshot planned ABOVE the scan — the deletion-
+    // vector anti-join (dead rows would resurface), the column-mapping
+    // physical→logical restore Project (the entry would expose
+    // physical names), the partitioned column-order Project — and hand
+    // back the raw scan without them. Those shapes take the fallback,
+    // which delegates the WHOLE DataFrame.
+    df.queryExecution.analyzed match {
       case LogicalRelation(rel, _, _, _, _) => rel
-    }.getOrElse(new DeltaSnapshotSource.FallbackScan(
-      ctx.sparkSession, path, version, df.schema))
+      case _ => new DeltaSnapshotSource.FallbackScan(
+        ctx.sparkSession, path, version, df.schema)
+    }
   }
 }
 

@@ -193,7 +193,27 @@ object Lakehousekeeper {
     */
   private def hiveTypeOf(f: org.apache.spark.sql.types.StructField)
       : String =
-    f.dataType.catalogString.replace("timestamp_ntz", "timestamp")
+    hiveType(f.dataType).catalogString
+
+  /** Map TimestampNTZType → TimestampType RECURSIVELY over the
+    * DataType tree before serializing: a string replace over
+    * catalogString would also mangle FIELD NAMES containing the
+    * substring (struct<event_timestamp_ntz:bigint> must keep its
+    * field name — only TYPE tokens translate).
+    */
+  private def hiveType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampNTZType => TimestampType
+      case s: StructType =>
+        StructType(s.fields.map(f => f.copy(dataType = hiveType(f.dataType))))
+      case a: ArrayType => a.copy(elementType = hiveType(a.elementType))
+      case m: MapType => m.copy(keyType = hiveType(m.keyType),
+        valueType = hiveType(m.valueType))
+      case other => other
+    }
+  }
 
   /** Incremental bin-packing over every table (Delta OPTIMIZE's real
     * scope): coalesce only files under `minBytes`, carry right-sized
@@ -346,8 +366,15 @@ object Lakehousekeeper {
       // the CLI favors external engines: an external `LOCATION` must
       // be one dir, so compact multi-dir snapshots first (the
       // reference's upkeep pairs OPTIMIZE with registration the same
-      // way, lakehousekeeper.py:196–291)
-      if (!t.isSingleLocation(v0)) t.optimize()
+      // way, lakehousekeeper.py:196–291) — UNLESS a CURRENT delta
+      // export exists: registerTable then emits the constant-size
+      // log-backed datasource entry, and compacting first would both
+      // rewrite O(table) data and advance the manifest past the
+      // export, silently downgrading the registration to a static
+      // LOCATION that goes stale on the next commit
+      val exportCurrent = DeltaExport.exported(t) &&
+        DeltaExport.liveFiles(t) == t.fileManifest(v0).toSet
+      if (!t.isSingleLocation(v0) && !exportCurrent) t.optimize()
       registerTable(spark, p)
     }
 
@@ -385,12 +412,18 @@ object Lakehousekeeper {
     try {
       cmd match {
         case "vacuum" =>
-          val hours = args.lift(2).map(_.toLong).getOrElse(168L)
-          val dry = args.lift(3).contains("dry") // VACUUM ... DRY RUN parity
+          // flags are position-independent from arg 2 on: `vacuum
+          // <dir> no-enforce dry` must DRY-RUN, never silently delete
+          // because "dry" sat in the wrong slot; a non-numeric arg 2
+          // is a flag, not a retention (`vacuum <dir> dry` works)
+          val hours = args.lift(2).flatMap(a =>
+            scala.util.Try(a.toLong).toOption).getOrElse(168L)
+          val flags = args.drop(2).toSet
+          val dry = flags.contains("dry") // VACUUM ... DRY RUN parity
           // --enforce-retention-duration=false analogue
-          val enforce = !args.drop(3).contains("no-enforce")
+          val enforce = !flags.contains("no-enforce")
           // `dist`: run the listing + deletes as Spark jobs
-          val dist = args.drop(3).contains("dist")
+          val dist = flags.contains("dist")
           vacuum(spark, dir, hours, dry, enforce, dist).foreach { case (p, n) =>
             println(s"vacuumed $p: $n files removed" +
               (if (dry) " (dry run)" else ""))

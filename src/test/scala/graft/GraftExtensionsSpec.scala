@@ -316,4 +316,64 @@ class FhirEncoderSpec extends SparkSpec {
     assert(p.getSeq[org.apache.spark.sql.Row](p.fieldIndex("followUp"))
       .head.getAs[String]("text") == "wound check")
   }
+
+  test("vector kernels: ragged arrays fail loudly, zero-vector cosine " +
+      "is NULL (never NaN), huge bin expansion refuses with the knob " +
+      "named") {
+    graft.GraftExtensions.register(spark)
+    // ragged input: silent prefix math would return a plausible-but-
+    // wrong number (e.g. a corrupt PQ codebook row) — must throw
+    val e1 = intercept[Exception](spark.sql(
+      "SELECT dot_product(array(1.0D,2.0D,3.0D), array(1.0D,2.0D))")
+      .collect())
+    assert(e1.getMessage != null &&
+      (e1.getMessage.contains("length mismatch") ||
+        Option(e1.getCause).exists(_.getMessage.contains("length mismatch"))),
+      e1.toString)
+    // a zero vector has no direction: cosine NULL, not NaN (NaN fails
+    // every >= threshold filter silently)
+    val c = spark.sql(
+      "SELECT cosine_similarity(array(0.0D,0.0D), array(1.0D,2.0D)) AS c")
+      .collect()(0)
+    assert(c.isNullAt(0), c.toString)
+    // range-bin join: one outlier interval beyond maxBinsPerRow must
+    // refuse loudly with the confs named, not OOM on the Sequence
+    import spark.implicits._
+    spark.conf.set("graft.rules.intervalJoin.binUs", "1000000")
+    spark.conf.set("graft.rules.intervalJoin.maxBinsPerRow", "1000")
+    try {
+      val points = Seq(5000000L).toDF("ts")
+      val ivals = Seq((0L, 10000000000L)).toDF("lo", "hi") // 10k bins
+      val e2 = intercept[Exception](
+        points.join(ivals,
+          points("ts") >= ivals("lo") && points("ts") < ivals("hi"))
+          .collect())
+      val msg = Option(e2.getMessage).getOrElse("") +
+        Option(e2.getCause).flatMap(c2 => Option(c2.getMessage)).getOrElse("")
+      assert(msg.contains("maxBinsPerRow") || msg.contains("binUs"), e2.toString)
+    } finally {
+      spark.conf.unset("graft.rules.intervalJoin.binUs")
+      spark.conf.unset("graft.rules.intervalJoin.maxBinsPerRow")
+    }
+  }
+
+  test("FileBundleSource rejects non-envelope journal lines loudly " +
+      "instead of coalescing them onto offset 0") {
+    val dir = graft.SparkSpec.tmpDir("badjournal")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "j.ndjson"),
+      "this is not an envelope\n".getBytes("UTF-8"))
+    val e = intercept[Exception](
+      graft.sources.FileBundleSource.batch(spark, dir).collect())
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("journal") || msg.contains("envelope"), e.toString)
+    // a well-formed journal still reads
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "j.ndjson"),
+      ("""{"topic":"t","partition":0,"offset":7,"bundle":"{}"}""" + "\n")
+        .getBytes("UTF-8"))
+    val rows = graft.sources.FileBundleSource.batch(spark, dir).collect()
+    assert(rows.length == 1 && rows(0).getAs[Long]("offset") == 7L)
+  }
 }

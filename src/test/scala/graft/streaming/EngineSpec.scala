@@ -602,6 +602,35 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("graft-delta registration serves DV deletes and LOGICAL names " +
+      "— the fast path must not strip what readSnapshot plans above " +
+      "the scan") {
+    val base = tmpDir("regdvmap")
+    val path = s"$base/dvmapdb/T.parquet"
+    val t = ResourceTable(spark, path)
+      .createIfNotExists(Seq(("a", 1)).toDF("id", "v").schema)
+      .enableDeletionVectors().enableColumnMapping()
+    t.upsert(Seq(("a", 1), ("b", 2), ("c", 3)).toDF("id", "v"), "id")
+    t.upsert(Seq(("z", 9)).toDF("id", "v"), "id") // second dir
+    t.renameColumn("v", "val") // physical stays "v"
+    t.deleteWhere(org.apache.spark.sql.functions.col("id") === "b") // DV
+    graft.tables.DeltaExport.export(t)
+    assert(!t.isSingleLocation(t.latestVersion.get))
+    try {
+      assert(Lakehousekeeper.registerTable(spark, path) == "dvmapdb.T")
+      val df = spark.table("dvmapdb.T")
+      // logical names, not the physical parquet ones
+      assert(df.columns.toSeq == Seq("id", "val"), df.columns.toSeq)
+      // DV-killed row must be absent
+      val rows = df.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(rows == Map("a" -> 1, "c" -> 3, "z" -> 9), rows.toString)
+      // and a COUNT over the entry must agree (the metadata-only rule
+      // must not resurface the dead row either)
+      assert(spark.sql("SELECT count(*) FROM dvmapdb.T")
+        .collect()(0).getLong(0) == 3L)
+    } finally spark.sql("DROP SCHEMA IF EXISTS dvmapdb CASCADE")
+  }
+
   test("graft_delta_scan SQL table function: snapshot and versionAsOf") {
     val base = tmpDir("tvf")
     val path = s"$base/T.parquet"
