@@ -52,9 +52,13 @@ final class QueryProgressListener extends StreamingQueryListener {
     if (!p.processedRowsPerSecond.isNaN)
       rowsPerSecond.put(name, p.processedRowsPerSecond)
     // java.lang.Long, not Long: a Scala-primitive map would unbox the
-    // first put's null to 0 and silently skip batch 0's rows
+    // first put's null to 0 and silently skip batch 0's rows.
+    // batchId REGRESSING below the watermark is a restart with a
+    // fresh/reset checkpoint under the same name — a new counting
+    // epoch whose batch 0 must be counted, not mistaken for a
+    // duplicate re-delivery (only an EQUAL batchId is one of those).
     val counted: java.lang.Long = lastBatch.put(name, p.batchId)
-    if (counted == null || counted.longValue() < p.batchId)
+    if (counted == null || counted.longValue() != p.batchId)
       inputRows.merge(name, p.numInputRows, (a, b) => a + b)
     p.sources.foreach { s =>
       recordOffsets(name, "start", s.startOffset)
@@ -67,11 +71,14 @@ final class QueryProgressListener extends StreamingQueryListener {
     * {"topic":{"0":123,"1":456}} (metrics.py:96–113). Parsed with a
     * small regex walk — no JSON library needed for this fixed shape.
     */
+  // compiled once: three recordOffsets calls per progress event would
+  // otherwise re-compile both patterns on the listener-bus thread
+  private val topicBlock = """"([^"]+)"\s*:\s*\{([^}]*)\}""".r
+  private val partOffset = """"(\d+)"\s*:\s*(-?\d+)""".r
+
   private def recordOffsets(query: String, kind: String,
                             json: String): Unit = {
     if (json == null) return
-    val topicBlock = """"([^"]+)"\s*:\s*\{([^}]*)\}""".r
-    val partOffset = """"(\d+)"\s*:\s*(-?\d+)""".r
     topicBlock.findAllMatchIn(json).foreach { tm =>
       val topic = tm.group(1)
       partOffset.findAllMatchIn(tm.group(2)).foreach { pm =>

@@ -43,8 +43,17 @@ final class OtlpExporter(bridge: PrometheusBridge,
   private val f = JsonNodeFactory.instance
   private val mapper = new ObjectMapper()
   private val startNano = System.currentTimeMillis() * 1000000L
-  private val http = java.net.http.HttpClient.newHttpClient()
+  // bounded connect time: a blackholed collector must not wedge the
+  // export loop on connection establishment forever
+  private val http = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10))
+    .build()
   @volatile private var running = false
+  // generation token: a stop()+start() pair must never leave the OLD
+  // loop alive next to the new one (the old thread could re-read
+  // `running` only after start() set it true again) — each loop exits
+  // as soon as it is no longer the current generation
+  @volatile private var generation = 0L
   private var thread: Thread = _
 
   private def attr(k: String, v: String): ObjectNode = {
@@ -203,6 +212,10 @@ final class OtlpExporter(bridge: PrometheusBridge,
       .header("Content-Type", "application/json")
       .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
         payload(), StandardCharsets.UTF_8))
+      // bounded request time: a collector that accepts the connection
+      // but never answers must surface as a logged timeout, not a
+      // forever-blocked send that silently stops all export
+      .timeout(java.time.Duration.ofSeconds(30))
       .build()
     http.send(req,
       java.net.http.HttpResponse.BodyHandlers.discarding()).statusCode()
@@ -214,8 +227,10 @@ final class OtlpExporter(bridge: PrometheusBridge,
   def start(): Unit = synchronized {
     if (running) return
     running = true
+    generation += 1
+    val myGen = generation
     thread = new Thread(() => {
-      while (running) {
+      while (running && generation == myGen) {
         try pushOnce()
         catch { case e: Exception =>
           System.err.println(s"otlp push failed: ${e.getMessage}")
@@ -230,6 +245,7 @@ final class OtlpExporter(bridge: PrometheusBridge,
 
   def stop(): Unit = synchronized {
     running = false
+    generation += 1 // retire the current loop even if start() races
     if (thread != null) thread.interrupt()
   }
 }

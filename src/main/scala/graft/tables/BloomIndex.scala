@@ -138,38 +138,46 @@ object BloomIndex {
   def eqHashes(filters: Seq[Expression],
                indexed: Set[String]): Map[String, Seq[Long]] = {
     val out = scala.collection.mutable.Map.empty[String, Vector[Long]]
-    def hashOf(l: Literal): Option[Long] =
-      if (l.value == null) None
-      else scala.util.Try(
-        XxHash64Function.hash(l.value, l.dataType, Seed)).toOption
+    // a column where ANY probed value failed to hash is DISQUALIFIED,
+    // not narrowed: pruning on the surviving subset would drop files
+    // that contain only the unhashable value — a false negative. Null
+    // literals are different and sound to skip (`x IN (…, NULL)` is
+    // never TRUE where the non-null elements don't match).
+    val poisoned = scala.collection.mutable.Set.empty[String]
+    def hashOf(a: AttributeReference, v: Any, dt: org.apache.spark.sql
+        .types.DataType): Option[Long] =
+      try Some(XxHash64Function.hash(v, dt, Seed))
+      catch { case scala.util.control.NonFatal(_) =>
+        poisoned += a.name; None
+      }
+    def litHash(a: AttributeReference, l: Literal): Seq[Long] =
+      if (l.value == null) Seq.empty
+      else hashOf(a, l.value, l.dataType).toSeq
     def add(a: AttributeReference, hs: Seq[Long]): Unit =
       if (indexed(a.name) && hs.nonEmpty)
         out(a.name) = out.getOrElse(a.name, Vector.empty) ++ hs
     def walk(e: Expression): Unit = e match {
       case And(l, r) => walk(l); walk(r)
       case EqualTo(a: AttributeReference, l: Literal) =>
-        add(a, hashOf(l).toSeq)
+        add(a, litHash(a, l))
       case EqualTo(l: Literal, a: AttributeReference) =>
-        add(a, hashOf(l).toSeq)
+        add(a, litHash(a, l))
       case EqualNullSafe(a: AttributeReference, l: Literal)
-          if l.value != null => add(a, hashOf(l).toSeq)
+          if l.value != null => add(a, litHash(a, l))
       case EqualNullSafe(l: Literal, a: AttributeReference)
-          if l.value != null => add(a, hashOf(l).toSeq)
+          if l.value != null => add(a, litHash(a, l))
       case In(a: AttributeReference, list)
           if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
-        // null elements contribute nothing: `x IN (…, NULL)` is never
-        // TRUE for an x the non-null elements don't match, and a
-        // filter drops non-TRUE rows
-        add(a, list.collect { case l: Literal => l }.flatMap(hashOf))
+        add(a, list.collect { case l: Literal => l }
+          .flatMap(l => litHash(a, l)))
       case InSet(a: AttributeReference, hset) =>
         // the optimizer's large-IN form: raw values, child's type
         add(a, hset.toSeq.filter(_ != null).flatMap(v =>
-          scala.util.Try(
-            XxHash64Function.hash(v, a.dataType, Seed)).toOption))
+          hashOf(a, v, a.dataType)))
       case _ => ()
     }
     filters.foreach(walk)
-    out.view.mapValues(_.distinct.toSeq).toMap
+    (out -- poisoned).view.mapValues(_.distinct.toSeq).toMap
   }
 
   /** Probe the index: for each (indexed, filtered) column, one
@@ -189,33 +197,53 @@ object BloomIndex {
     val idx = indexRoot(root)
     val sidecars =
       try fs.listStatus(idx).filter(s =>
-          s.isDirectory && s.getPath.getName.endsWith(".bloom"))
+          s.isDirectory && s.getPath.getName.endsWith(".bloom") &&
+          // an in-flight build's temp dir also ends in .bloom — its
+          // overwrite-delete mid-scan must not blow up the probe
+          !s.getPath.getName.startsWith("."))
         .map(_.getPath.toString)
       catch { case _: java.io.FileNotFoundException => Array.empty[String] }
     if (sidecars.isEmpty) return None
-    val df = spark.read.parquet(sidecars.toIndexedSeq: _*)
-    val perCol = colHashes.flatMap { case (c, hs) =>
-      val rows = df.filter(col("column") === c)
-      // column-pruned scan: `dir` only — the bits column never loads
-      val dirs = rows.select("dir").distinct()
-        .collect().map(_.getString(0)).toSet
-      if (dirs.isEmpty) None
-      else {
-        val keep = rows
-          .filter(BloomExpressions.bloom_any(col("bits"), hs))
-          .select("file").limit(keepCap + 1)
-          .collect().map(_.getString(0))
-        if (keep.length > keepCap) None // not selective: don't prune
-        else Some(c -> ((dirs, keep.toSet)))
-      }
-    }
-    if (perCol.isEmpty) None
-    else Some { rel =>
-      val slash = rel.lastIndexOf('/')
-      val dir = if (slash <= 0) "" else rel.substring(0, slash)
-      perCol.values.forall { case (dirs, keep) =>
-        !dirs.contains(dir) || keep.contains(rel)
-      }
+    // FAILURE ISOLATION: the index is an accelerator, never
+    // load-bearing — a sidecar deleted between the listing and the
+    // read (lost commit election, vacuum) must degrade to "no
+    // pruning", not fail the caller's unrelated SELECT. The build
+    // side already has the same NonFatal stance.
+    try {
+      // one cached read serves every probed column's two passes
+      // (dirs + survivors) instead of re-scanning the sidecars 2N×
+      val df = spark.read.parquet(sidecars.toIndexedSeq: _*)
+        .select(col("column"), col("dir"), col("file"), col("bits"))
+        .persist()
+      try {
+        val perCol = colHashes.flatMap { case (c, hs) =>
+          val rows = df.filter(col("column") === c)
+          val dirs = rows.select("dir").distinct()
+            .collect().map(_.getString(0)).toSet
+          if (dirs.isEmpty) None
+          else {
+            val keep = rows
+              .filter(BloomExpressions.bloom_any(col("bits"), hs))
+              .select("file").limit(keepCap + 1)
+              .collect().map(_.getString(0))
+            if (keep.length > keepCap) None // not selective: don't prune
+            else Some(c -> ((dirs, keep.toSet)))
+          }
+        }
+        if (perCol.isEmpty) None
+        else Some { rel =>
+          val slash = rel.lastIndexOf('/')
+          val dir = if (slash <= 0) "" else rel.substring(0, slash)
+          perCol.values.forall { case (dirs, keep) =>
+            !dirs.contains(dir) || keep.contains(rel)
+          }
+        }
+      } finally df.unpersist()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"$root: bloom-index probe failed, scan proceeds unpruned", e)
+        None
     }
   }
 }

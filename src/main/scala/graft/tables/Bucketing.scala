@@ -54,8 +54,12 @@ object Bucketing {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     // a leftover warehouse dir from a previous session blocks CREATE
-    // even after DROP — the fresh in-memory catalog never owned it
-    val loc = new HPath(spark.conf.get("spark.sql.warehouse.dir"), name)
+    // even after DROP — the fresh in-memory catalog never owned it.
+    // Spark LOWERCASES table identifiers (SessionCatalog
+    // formatTableName), so the dir to probe is the lowercased name; a
+    // mixed-case caller would otherwise check a path that never exists
+    val loc = new HPath(spark.conf.get("spark.sql.warehouse.dir"),
+      name.toLowerCase(java.util.Locale.ROOT))
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")

@@ -97,6 +97,12 @@ object DeletionVectors {
         acc = acc * 85 + v
         j += 1
       }
+      // a 5-char group can encode past 2^32-1 with per-char-legal
+      // digits; truncating to the low 32 bits would decode corrupt
+      // inline-DV text (no CRC there) into a plausible-but-wrong
+      // bitmap — reject per the z85 spec instead
+      require(acc <= 0xFFFFFFFFL,
+        s"z85 group overflows 32 bits at offset $i")
       out.putInt(acc.toInt)
       i += 5
     }
