@@ -5553,7 +5553,8 @@ object SparkEntry {
         |     AS BIGINT) - 1, 0) // 2) + 1 AS n_frames,
         |  (greatest(CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0)
         |     AS BIGINT) - 1, 0) // 2) * 2 AS max_idx
-        |FROM documents""".stripMargin,
+        |FROM documents
+        |WHERE octet_length(CAST(text AS BLOB)) > 0""".stripMargin,
 
     // thresholds: floor(0.8*65536)=52428=0xcccc, floor(0.9*65536)=58982=0xe666
     "q_hash_split" ->

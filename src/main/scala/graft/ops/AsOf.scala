@@ -40,6 +40,12 @@ object AsOf {
       col(key).as("_k"), col(rightTime).as("_t"), lit(true).as("_isRight"),
       col(tieBreak).as("_tie"), lit(null).cast(lType).as("_l"),
       rStruct.as("_r"))
+      // NULL-time or NULL-key right rows can match NOTHING (DuckDB's
+      // ASOF semantics: rightTime <= leftTime is never TRUE with a
+      // NULL side, and equality keys don't match NULL) — left in the
+      // union they'd sort nulls-FIRST and become every early left
+      // row's match
+      .where(col("_t").isNotNull && col("_k").isNotNull)
 
     // at equal time, right rows sort first (isRight desc) → inclusive
     val w = Window.partitionBy("_k")
@@ -47,7 +53,12 @@ object AsOf {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = lSide.unionByName(rSide)
-      .withColumn("_match", last(col("_r"), ignoreNulls = true).over(w))
+      .withColumn("_match",
+        // a NULL-time or NULL-key LEFT row is still EMITTED (left-join
+        // shape) but matches nothing, like the oracle
+        when(col("_t").isNull || col("_k").isNull,
+          lit(null).cast(rType))
+          .otherwise(last(col("_r"), ignoreNulls = true).over(w)))
       .filter(!col("_isRight"))
 
     val outCols = left.columns.map(c => col(s"_l.`$c`").as(c)) ++

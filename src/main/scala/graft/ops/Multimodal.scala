@@ -81,7 +81,11 @@ object Multimodal {
   def sampleFrames(media: DataFrame, frameBytes: Int = 256,
                    stride: Int = 4): DataFrame = {
     val nFrames = ceil(col("meta.n_bytes") / lit(frameBytes)).cast("int")
-    media.select(col("media_id"), col("meta"),
+    // an EMPTY payload has zero frames — without the guard the
+    // greatest(-1, 0) clamp emits one phantom frame_idx=0 row of
+    // empty bytes for it
+    media.where(col("meta.n_bytes") > 0)
+      .select(col("media_id"), col("meta"),
         explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride)))
           .as("frame_idx"),
         col("payload"))

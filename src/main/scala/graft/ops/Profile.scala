@@ -36,10 +36,15 @@ object Profile {
         max(col(c)).cast("string").as(s"_mx_$c"))
     }
     val scal = df.agg(count(lit(1)).as("_n"), aggs: _*)
-    // long format via stack: (column, n, n_null, n_distinct, min, max)
+    // long format via stack — column names are spliced into the SQL
+    // string, so escape the two metacharacters that could break or
+    // mis-parse it (backticks in identifiers, quotes in the label)
+    def qLit(c: String) = "'" + c.replace("'", "''") + "'"
+    def qId(c: String) = "`" + c.replace("`", "``") + "`"
     val stacked = scal.select(expr(
       s"stack(${cols.size}, " + cols.map(c =>
-        s"'$c', _n, _n - `_nn_$c`, `_nd_$c`, `_mn_$c`, `_mx_$c`")
+        s"${qLit(c)}, _n, _n - ${qId(s"_nn_$c")}, ${qId(s"_nd_$c")}, " +
+          s"${qId(s"_mn_$c")}, ${qId(s"_mx_$c")}")
         .mkString(", ") +
         ") as (col_name, n, n_null, n_distinct, min_value, max_value)"))
     // ---- pass 2: modal value per column (nulls excluded) ----
@@ -47,12 +52,20 @@ object Profile {
         Seq(lit(c), col(c).cast("string"))): _*))
       .as(Seq("col_name", "value")))
       .filter(col("value").isNotNull)
-    val w = Window.partitionBy("col_name")
-      .orderBy(col("top_count").desc, col("top_value").asc)
-    val top = pairs.groupBy(col("col_name"), col("value").as("top_value"))
+    // modal value WITHOUT a per-column window: row_number partitioned
+    // by col_name funnels every distinct (value, count) pair of a
+    // near-unique column through ONE reducer. Two map-side-combined
+    // aggregates + a tiny (k-row) broadcast join keep it distributed:
+    // max count per column, then the min value AT that count.
+    val counts = pairs
+      .groupBy(col("col_name"), col("value").as("top_value"))
       .agg(count(lit(1)).as("top_count"))
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") === 1).drop("_rk")
+    val maxPer = counts.groupBy(col("col_name"))
+      .agg(max(col("top_count")).as("top_count"))
+    val top = counts.join(broadcast(maxPer),
+        Seq("col_name", "top_count"))
+      .groupBy(col("col_name"), col("top_count"))
+      .agg(min(col("top_value")).as("top_value"))
     stacked.join(top, Seq("col_name"), "left")
   }
 }

@@ -20,10 +20,18 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int, spread: Option[Column] = None): DataFrame = {
     require(salts >= 1)
+    val nonKey = big.columns.filter(_ != key)
     val spreadExpr = spread.getOrElse(
-      xxhash64(big.columns.filter(_ != key).map(col): _*))
+      // a key-only big side has nothing to hash — spread over the key
+      // itself (no skew relief, but the join still works and stays
+      // row-identical, same as the plain join it replaces)
+      if (nonKey.isEmpty) xxhash64(col(key))
+      else xxhash64(nonKey.map(col): _*))
     val bigS = big.withColumn("_salt",
-      pmod(spreadExpr, lit(salts)).cast("int"))
+      // a NULL spread value (caller passed e.g. a nullable ts) must
+      // not make the row vanish from the inner equi-join — that would
+      // break the row-identical-to-plain-join contract
+      coalesce(pmod(spreadExpr, lit(salts)), lit(0)).cast("int"))
     val smallS = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     bigS.join(smallS, Seq(key, "_salt")).drop("_salt")
@@ -34,10 +42,20 @@ object Skew {
     * here for the count/sum family, which re-aggregates losslessly.
     */
   def saltedSumCount(df: DataFrame, key: String, valueCol: String,
-                     salts: Int): DataFrame =
-    df.withColumn("_salt", pmod(xxhash64(col(valueCol)), lit(salts)))
+                     salts: Int): DataFrame = {
+    require(salts >= 1)
+    // the salt must vary PER ROW, not per value: a hot key whose value
+    // column is constant (quantity=1, the classic heavy hitter) would
+    // otherwise land every row in ONE (key, salt) group and hot-spot
+    // the reducer exactly like the plain groupBy. The aggregate result
+    // is salt-invariant (sum/count re-aggregate losslessly), so any
+    // per-row spread is correct — a partition-local id is free.
+    df.withColumn("_salt",
+      pmod(xxhash64(col(valueCol), monotonically_increasing_id()),
+        lit(salts)))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_c"), sum(col(valueCol)).as("_s"))
       .groupBy(col(key))
       .agg(sum(col("_c")).as("cnt"), sum(col("_s")).as("sum_val"))
+  }
 }

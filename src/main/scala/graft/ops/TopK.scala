@@ -74,6 +74,11 @@ object TopK {
     val scored = c.join(broadcast(q))
       .select(col("q_id"), col("n_id"),
         Similarity.cosine(col("q_vec"), col("n_vec")).as("sim"))
+      // a zero-norm (or null) embedding scores NULL cosine — the
+      // rank-window formulation sorts those nulls-last, so they never
+      // enter a top-k; drop them BEFORE the primitive-Double typed
+      // encode, which would otherwise throw on the null
+      .filter(col("sim").isNotNull)
       .as[(Long, Long, Double)]
     val agg = new TopKAggregator(k)
     scored.groupByKey(_._1)
