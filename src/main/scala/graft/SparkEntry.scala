@@ -1099,6 +1099,63 @@ object SparkEntry {
         .read().select(col("id"), col("active"))
     }),
 
+    // ---- T5 as a CORRECTNESS gate (not just ScaleBench-measured):
+    //      the engine's real N+1 fan-out — Engine.start over a journal
+    //      file source, THREE typed queries (Patient/Observation/
+    //      Encounter) plus the default catch-all (Procedure lands
+    //      there), Trigger.AvailableNow drain, per-type tables read
+    //      back and union-compared against the relational oracle.
+    //      PUT-then-DELETE at a higher offset for every 10th key also
+    //      exercises W1's latest-wins across the fan-out (the analogue
+    //      of the reference's only integration assertion,
+    //      test_deployment_in_k8s.py:55–60) ----
+    "q_fanout_e2e" -> ((s, dir) => {
+      import graft.streaming.{Engine, Settings}
+      val typeOf = element_at(
+        array(lit("Patient"), lit("Observation"), lit("Encounter"),
+          lit("Procedure")),
+        (col("o_orderkey") % 4 + 1).cast(IntegerType))
+      // every 3rd order: plenty of rows per type, bounded gate cost
+      val orders = t(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
+      def envelope(offset: Column, bundle: Column) =
+        to_json(struct(lit("fhir.msg").as("topic"),
+          lit(0).as("partition"), offset.as("offset"),
+          bundle.as("bundle"))).as("value")
+      val puts = orders.select(envelope(col("o_orderkey") * 2,
+        to_json(struct(array(struct(
+          to_json(struct(typeOf.as("resourceType"),
+            col("o_orderkey").cast(StringType).as("id"))).as("resource"),
+          struct(lit("PUT").as("method"),
+            concat_ws("/", typeOf, col("o_orderkey")).as("url"))
+            .as("request"))).as("entry")))))
+      val deletes = orders.filter(col("o_orderkey") % 10 === 0)
+        .select(envelope(col("o_orderkey") * 2 + 1,
+          to_json(struct(array(struct(
+            lit(null).cast(StringType).as("resource"),
+            struct(lit("DELETE").as("method"),
+              concat_ws("/", typeOf, col("o_orderkey")).as("url"))
+              .as("request"))).as("entry")))))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_fanout").toString
+      puts.unionAll(deletes).write.mode("overwrite")
+        .text(s"$base/journal")
+      val settings = Settings(
+        checkpointDir = s"$base/checkpoint",
+        deltaDatabaseDir = s"$base/delta",
+        resourceTypes = Seq("Patient", "Observation", "Encounter"),
+        upkeepInterval = 0,
+        triggerAvailableNow = true)
+      val queries = Engine.start(
+        graft.sources.FileBundleSource.stream(s, s"$base/journal"),
+        settings)
+      try queries.foreach(_.awaitTermination())
+      finally queries.foreach(_.stop())
+      Seq("Patient", "Observation", "Encounter", "Procedure").map { rt =>
+        graft.tables.ResourceTable(s, s"$base/delta/$rt.parquet")
+          .read().select(lit(rt).as("resource_type"), col("id"))
+      }.reduce(_ unionAll _)
+    }),
+
     // ---- §2.2 P1 casts across types ----
     "q_cast_types" -> ((s, dir) => {
       t(s, dir, "lineitem").select(
@@ -6440,6 +6497,18 @@ object SparkEntry {
       """SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS id,
         |  o_orderstatus = 'O' AS active
         |FROM orders""".stripMargin,
+
+    // N+1 fan-out e2e: every 3rd order becomes a PUT bundle of the
+    // type keyed by o_orderkey%4; every 10th key is then DELETEd at a
+    // higher offset, so latest-wins drops it from the tables
+    "q_fanout_e2e" ->
+      """SELECT CASE CAST(o_orderkey % 4 AS INTEGER)
+        |    WHEN 0 THEN 'Patient' WHEN 1 THEN 'Observation'
+        |    WHEN 2 THEN 'Encounter' ELSE 'Procedure' END
+        |    AS resource_type,
+        |  CAST(o_orderkey AS VARCHAR) AS id
+        |FROM orders
+        |WHERE o_orderkey % 3 = 0 AND o_orderkey % 10 <> 0""".stripMargin,
 
     "q_stream_window" ->
       """SELECT date_trunc('hour', ts) AS w_start, event_type,

@@ -42,7 +42,12 @@ object FileBundleSource {
         encode(raiseWhenNull(col("j.bundle"), col("value"),
           "journal line has no bundle"), "UTF-8").as("value"),
         coalesce(col("j.topic"), lit("file")).as("topic"),
-        coalesce(col("j.partition"), lit(0)).as("partition"),
+        // partition is as load-bearing for the latest-wins tie-break
+        // as offset: a partial envelope missing only partition must
+        // fail loudly, not merge into partition 0's offset space where
+        // it could tie with a real (0, offset) record.
+        raiseWhenNull(col("j.partition"), col("value"),
+          "journal line has no partition").as("partition"),
         raiseWhenNull(col("j.offset"), col("value"),
           "journal line has no offset").as("offset"),
         lit(null).cast(TimestampType).as("timestamp"))

@@ -100,11 +100,15 @@ object Engine {
     * engine misconfigured onto the same checkpointDir is refused
     * loudly instead of silently stopping the first engine's query
     * (stopActiveRunOnRestart recovers the same query id from the
-    * shared checkpoint). Stale entries of terminated queries are
-    * overwritten on the next start — only `isActive` priors refuse.
+    * shared checkpoint). The slot is RESERVED atomically (compute)
+    * BEFORE the query starts — a check-then-start-then-put sequence
+    * would let two concurrent starts both pass the check, and the
+    * loser would silently stop the winner, exactly the failure this
+    * guard refuses. Values are either an in-flight reservation token
+    * or the live query; terminated entries are purged on each start.
     */
   private val activeByCheckpoint =
-    new java.util.concurrent.ConcurrentHashMap[String, StreamingQuery]()
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
   /** Smallest-free-numeric-suffix disambiguation of a session-global
     * streaming query name (shared by [[Engine]]'s per-type queries and
@@ -230,23 +234,52 @@ object Engine {
       // Refuse loudly instead (the cross-engine analogue of the
       // duplicate-resourceTypes check below).
       val ckptLoc = s"${settings.checkpointDir}/$name"
-      val prior = activeByCheckpoint.get(ckptLoc)
-      if (prior != null && prior.isActive)
+      // Drop terminated entries so the map tracks only live queries
+      // and in-flight reservations (no unbounded retention).
+      activeByCheckpoint.entrySet.removeIf { e =>
+        e.getValue match {
+          case q: StreamingQuery => !q.isActive
+          case _ => false
+        }
+      }
+      // Reserve the slot ATOMICALLY before starting: compute keeps an
+      // active prior (or another start's reservation) in place and we
+      // refuse; only a free/stale slot yields our token.
+      val reservation = new Object
+      val claimed = activeByCheckpoint.compute(ckptLoc, (_, cur) =>
+        cur match {
+          case q: StreamingQuery if q.isActive => cur
+          case null | _: StreamingQuery => reservation
+          case other => other // another start's in-flight reservation
+        })
+      if (claimed ne reservation) {
+        val who = claimed match {
+          case q: StreamingQuery => Option(q.name).getOrElse(q.id).toString
+          case _ => "a concurrent Engine.start in this process"
+        }
         throw new IllegalStateException(
           s"checkpoint $ckptLoc is already in use by the active query " +
-            s"'${Option(prior.name).getOrElse(prior.id)}' — two engines " +
+            s"'$who' — two engines " +
             "must not share a checkpointDir; configure a distinct " +
             "Settings.checkpointDir per engine")
-      val q = df.writeStream
-        .queryName(queryName)
-        .outputMode(settings.outputMode) // T2, settings.py:41
-        .option("checkpointLocation", ckptLoc)
-        .trigger(trigger)
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          processor.processBatch(batch, batchId): Unit // S2
+      }
+      val q =
+        try {
+          df.writeStream
+            .queryName(queryName)
+            .outputMode(settings.outputMode) // T2, settings.py:41
+            .option("checkpointLocation", ckptLoc)
+            .trigger(trigger)
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              processor.processBatch(batch, batchId): Unit // S2
+            }
+            .start()
+        } catch {
+          case t: Throwable =>
+            activeByCheckpoint.remove(ckptLoc, reservation)
+            throw t
         }
-        .start()
-      activeByCheckpoint.put(ckptLoc, q)
+      activeByCheckpoint.replace(ckptLoc, reservation, q)
       q
     }
 

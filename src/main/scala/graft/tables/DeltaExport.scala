@@ -334,7 +334,8 @@ object DeltaExport {
     }
   }
 
-  private def metaData(t: ResourceTable, schemaJson: String,
+  private def metaData(t: ResourceTable, p: Pinned,
+                       schemaJson: String,
                        ts: Long,
                        ictEnablement: Option[(Long, Long)] = None)
       : ObjectNode = {
@@ -348,13 +349,13 @@ object DeltaExport {
     // GENERATED ALWAYS AS: delta-spark stores the SQL text as field
     // metadata `delta.generationExpression` (PROTOCOL.md "Generated
     // Columns"); aware writers enforce/compute, readers ignore it
-    val gens = t.generatedColumns()
+    val gens = p.gens
     // GENERATED ALWAYS AS IDENTITY: delta-spark stores start/step/
     // allowExplicitInsert plus the furthest-allocated value as
     // `delta.identity.*` field metadata (PROTOCOL.md "Identity
     // Columns"); the high-water mark lets a foreign aware writer
     // continue the sequence without scanning data
-    val idents = t.identityColumns()
+    val idents = p.idents
     val deltaJson =
       if (gens.isEmpty && idents.isEmpty) deltaJson0
       else {
@@ -374,7 +375,7 @@ object DeltaExport {
                 .putLong("delta.identity.start", start)
                 .putLong("delta.identity.step", step)
                 .putBoolean("delta.identity.allowExplicitInsert", false)
-              t.identityHighWaterMark(withGen.name).foreach(hw =>
+              p.identityHwm.get(withGen.name).foreach(hw =>
                 mb.putLong("delta.identity.highWaterMark", hw))
               withGen.copy(metadata = mb.build())
             case None => withGen
@@ -387,7 +388,7 @@ object DeltaExport {
     // the table property external CDF readers key on — set iff this
     // table opted into change-data export (then every mutating commit
     // in this log carries cdc actions or is inference-safe)
-    if (t.changeDataFeedEnabled)
+    if (p.cdf)
       conf.put("delta.enableChangeDataFeed", "true")
     maxColId.foreach { mx =>
       conf.put("delta.columnMapping.mode", "name")
@@ -396,16 +397,16 @@ object DeltaExport {
     // CHECK constraints travel as `delta.constraints.<name>` table
     // properties (PROTOCOL.md "CHECK Constraints") so a foreign aware
     // writer keeps enforcing them; readers ignore the keys
-    t.checkConstraints().foreach { case (name, sql) =>
+    p.constraints.foreach { case (name, sql) =>
       conf.put(s"delta.constraints.$name", sql)
     }
-    if (t.rowTrackingEnabled)
+    if (p.rowTracking)
       conf.put("delta.enableRowTracking", "true")
     // appendOnly rides legacy writer 2 (every protocol this export
     // emits already satisfies it) — property only
-    if (t.appendOnly)
+    if (p.appendOnly)
       conf.put("delta.appendOnly", "true")
-    if (t.ictEnabled) {
+    if (p.ict) {
       conf.put("delta.enableInCommitTimestamps", "true")
       // a table that turned ICT on AFTER its first export records the
       // provenance (PROTOCOL.md: commits before the enablement version
@@ -430,9 +431,9 @@ object DeltaExport {
     * live json tail always carries the current mark; readers ignore
     * domain metadata entirely.
     */
-  private def rowTrackingDomain(t: ResourceTable, g: Long)
+  private def rowTrackingDomain(t: ResourceTable, p: Pinned, g: Long)
       : Seq[ObjectNode] =
-    if (!t.rowTrackingEnabled) Seq.empty
+    if (!p.rowTracking) Seq.empty
     else FileStats.rowHwmOf(t.commitBody(g)).toSeq
       // graft's mark is the next UNASSIGNED id; Delta's is the highest
       // ASSIGNED one — off by one, and absent before any assignment
@@ -457,9 +458,9 @@ object DeltaExport {
     * can't make the domain and its metaData row disagree inside one
     * entry.
     */
-  private def clusteringDomain(t: ResourceTable,
+  private def clusteringDomain(p: Pinned,
                                schemaJson: String): Seq[ObjectNode] = {
-    val cols = t.clusterBy()
+    val cols = p.clusterBy
     if (cols.isEmpty) Seq.empty
     else {
       val s = DataType.fromJson(schemaJson).asInstanceOf[StructType]
@@ -737,7 +738,7 @@ object DeltaExport {
     * must not fail the already-published export entry (delta treats
     * its own crc the same way).
     */
-  private def writeCrc(t: ResourceTable, v: Long,
+  private def writeCrc(t: ResourceTable, p: Pinned, v: Long,
                        files: Seq[(String, FileStats.FileStat)],
                        ts: Long): Unit =
     try {
@@ -747,9 +748,9 @@ object DeltaExport {
       c.put("numFiles", files.size.toLong)
       c.put("numMetadata", 1L)
       c.put("numProtocol", 1L)
-      if (t.ictEnabled) c.put("inCommitTimestampOpt", ts)
+      if (p.ict) c.put("inCommitTimestampOpt", ts)
       val dvs = files.flatMap(_._2.dv)
-      if (dvs.nonEmpty || t.dvEnabled) {
+      if (dvs.nonEmpty || p.dvEnabled) {
         c.put("numDeletedRecordsOpt", dvs.map(_.card).sum)
         c.put("numDeletionVectorsOpt", dvs.size.toLong)
       }
@@ -941,21 +942,52 @@ object DeltaExport {
         .toSeq.lastOption
     }.nextOption()
 
+  /** Protocol/domain inputs pinned ONCE per export run (r16 ADVICE):
+    * exportOnce pins the schema to the replayed head, and these
+    * side-file-backed table properties must be read exactly once per
+    * run too — re-reading t.dvEnabled / t.clusterBy() etc. at each of
+    * the several emission sites would let a concurrent property change
+    * flip mid-run and publish an entry whose protocol, metaData,
+    * domain and checkpoint rows disagree with each other. The flags
+    * live in `_meta_*` side files, not the commit log, so they cannot
+    * be derived from commitBody(latest); single-read pinning restores
+    * the internal-consistency half of the purity invariant (a property
+    * change racing the export still lands in the NEXT run, atomically).
+    */
+  private final class Pinned(t: ResourceTable) {
+    val dvEnabled: Boolean = t.dvEnabled
+    val cdf: Boolean = t.changeDataFeedEnabled
+    val clusterBy: Seq[String] = t.clusterBy()
+    val constraints: Map[String, String] = t.checkConstraints()
+    val rowTracking: Boolean = t.rowTrackingEnabled
+    val ict: Boolean = t.ictEnabled
+    val appendOnly: Boolean = t.appendOnly
+    val gens: Map[String, String] = t.generatedColumns()
+    val idents: Map[String, (Long, Long)] = t.identityColumns()
+    val identityHwm: Map[String, Long] =
+      idents.keysIterator.flatMap(n =>
+        t.identityHighWaterMark(n).map(n -> _)).toMap
+  }
+
   private def exportOnce(t: ResourceTable): Long = {
     val latest = t.latestVersion.getOrElse(
       throw new IllegalStateException(s"no table at ${t.path}"))
+    // pin every side-file-backed protocol/domain input ONCE for this
+    // run — see [[Pinned]]
+    val p = new Pinned(t)
     // the schema AT the replayed head, not the live one: a concurrent
     // writer can advance the table's schema between `latest` and any
-    // later t.schema() read, and everything this run publishes
-    // (anchor/re-anchor metaData, protocol flags, the checkpoint) must
-    // be a pure function of the log at `latest` — the same invariant
-    // publishCheckpoint's never-overwrite rule relies on
+    // later t.schema() read. Schema-derived fields are thereby a pure
+    // function of the log at `latest` (the invariant publishCheckpoint's
+    // never-overwrite rule relies on); the side-file-backed property
+    // flags can't be log-derived, so they are pinned once in `p` —
+    // internally consistent across everything this run publishes.
     val schemaAtLatest = FileStats.schemaOf(t.commitBody(latest))
       .getOrElse(t.schema().json)
     // ICT tables surface the (already monotonic) graft commit clock in
     // every exported commitInfo
     def ict(ts: Long): Option[Long] =
-      if (t.ictEnabled) Some(ts) else None
+      if (p.ict) Some(ts) else None
     val entries = listEntries(t)
     if (entries.isEmpty) {
       // a checkpoint with no json entries would make a fresh anchor at
@@ -976,26 +1008,26 @@ object DeltaExport {
             // dvEnabled counts even with no DV yet: delta-spark
             // upgrades the protocol at ENABLEMENT, and the re-anchor/
             // incremental paths already export that way
-            needDv = files.exists(_._2.dv.isDefined) || t.dvEnabled,
-            needCdf = t.changeDataFeedEnabled,
+            needDv = files.exists(_._2.dv.isDefined) || p.dvEnabled,
+            needCdf = p.cdf,
             needMapping = isMapped(schemaAtLatest),
-            needGen = t.generatedColumns().nonEmpty,
-            needIdentity = t.identityColumns().nonEmpty,
-            needConstraints = t.checkConstraints().nonEmpty,
-            needRowTracking = t.rowTrackingEnabled,
+            needGen = p.gens.nonEmpty,
+            needIdentity = p.idents.nonEmpty,
+            needConstraints = p.constraints.nonEmpty,
+            needRowTracking = p.rowTracking,
             needWidening = isWidened(schemaAtLatest),
             needDefaults = isDefaulted(schemaAtLatest),
-            needClustering = t.clusterBy().nonEmpty,
-            needIct = t.ictEnabled,
+            needClustering = p.clusterBy.nonEmpty,
+            needIct = p.ict,
             needNtz = hasNtz(schemaAtLatest),
-            needAppendOnly = t.appendOnly) +:
-          metaData(t, schemaAtLatest, ts) +:
-          (rowTrackingDomain(t, latest) ++
-            clusteringDomain(t, schemaAtLatest) ++
+            needAppendOnly = p.appendOnly) +:
+          metaData(t, p, schemaAtLatest, ts) +:
+          (rowTrackingDomain(t, p, latest) ++
+            clusteringDomain(p, schemaAtLatest) ++
             txnDelta(Map.empty,
             FileStats.txnsOf(t.commitBody(latest)), ts) ++
             files.map { case (r, st) => add(r, st, sz(r), ts, types) }))
-      writeCrc(t, 0L, files, ts)
+      writeCrc(t, p, 0L, files, ts)
       return 0L
     }
     val lastDelta = entries.last
@@ -1022,46 +1054,46 @@ object DeltaExport {
         commitInfo(latest, ts,
           "GRAFT EXPORT RE-ANCHOR (source log trimmed)",
           ict = ict(ts)) +:
-          metaData(t, schemaAtLatest, ts,
+          metaData(t, p, schemaAtLatest, ts,
             // mid-log-enabled tables re-state their provenance on
             // every metaData restatement; a first-time declaration
             // stamps this commit as the enablement point
             ictEnablement = {
               val st = exportedIctState(t, entries)
-              if (t.ictEnabled && !st.exists(_._1)) Some((dv + 1, ts))
+              if (p.ict && !st.exists(_._1)) Some((dv + 1, ts))
               else st.flatMap(_._2)
             }) +:
           // full txn state, not a delta: the trimmed source chain
           // means the predecessor state is unknowable, and re-stating
           // a watermark is idempotent under log replay
-          ((if (files.exists(_._2.dv.isDefined) || t.changeDataFeedEnabled ||
+          ((if (files.exists(_._2.dv.isDefined) || p.cdf ||
                 isMapped(schemaAtLatest) || isWidened(schemaAtLatest) ||
-                isDefaulted(schemaAtLatest) || t.clusterBy().nonEmpty ||
-                t.ictEnabled || hasNtz(schemaAtLatest))
+                isDefaulted(schemaAtLatest) || p.clusterBy.nonEmpty ||
+                p.ict || hasNtz(schemaAtLatest))
               Seq(protocol(
-                needDv = files.exists(_._2.dv.isDefined) || t.dvEnabled,
-                needCdf = t.changeDataFeedEnabled,
+                needDv = files.exists(_._2.dv.isDefined) || p.dvEnabled,
+                needCdf = p.cdf,
                 needMapping = isMapped(schemaAtLatest),
-                needGen = t.generatedColumns().nonEmpty,
-                needIdentity = t.identityColumns().nonEmpty,
-            needConstraints = t.checkConstraints().nonEmpty,
-            needRowTracking = t.rowTrackingEnabled,
+                needGen = p.gens.nonEmpty,
+                needIdentity = p.idents.nonEmpty,
+            needConstraints = p.constraints.nonEmpty,
+            needRowTracking = p.rowTracking,
             needWidening = isWidened(schemaAtLatest),
             needDefaults = isDefaulted(schemaAtLatest),
-            needClustering = t.clusterBy().nonEmpty,
-            needIct = t.ictEnabled,
+            needClustering = p.clusterBy.nonEmpty,
+            needIct = p.ict,
             needNtz = hasNtz(schemaAtLatest),
-            needAppendOnly = t.appendOnly))
+            needAppendOnly = p.appendOnly))
             else Seq.empty) ++
-            rowTrackingDomain(t, latest) ++
-            clusteringDomain(t, schemaAtLatest) ++
+            rowTrackingDomain(t, p, latest) ++
+            clusteringDomain(p, schemaAtLatest) ++
             txnDelta(Map.empty,
               FileStats.txnsOf(t.commitBody(latest)), ts) ++
             prev.toSeq.sorted.filterNot(cur).map(remove(_, ts)) ++
             files.map { case (r, st) =>
               add(r, st, sz(r), ts, types) }))
-      writeCrc(t, dv + 1, files, ts)
-      maybeCheckpoint(t, dv + 1, schemaAtLatest, ts, latest)
+      writeCrc(t, p, dv + 1, files, ts)
+      maybeCheckpoint(t, p, dv + 1, schemaAtLatest, ts, latest)
       return dv + 1
     }
     // mid-log ICT upgrade: the table turned ICT on after this log's
@@ -1071,7 +1103,7 @@ object DeltaExport {
     // resolving timestampAsOf by wall-clock, per the protocol's split)
     val ictState = if (lastG < latest) exportedIctState(t, entries)
                    else None
-    var ictUpgrade = lastG < latest && t.ictEnabled &&
+    var ictUpgrade = lastG < latest && p.ict &&
       !ictState.exists(_._1)
     // provenance already stamped by an earlier upgrade commit — every
     // later metaData restatement (schema change) must carry it, or the
@@ -1112,7 +1144,7 @@ object DeltaExport {
       // Insert-only commits stay inference-read (delta writers skip
       // cdc there too); OPTIMIZE steps change no logical row.
       val cdc =
-        if (t.changeDataFeedEnabled && dc && removes.nonEmpty)
+        if (p.cdf && dc && removes.nonEmpty)
           Seq(writeChangeData(t, g, dv + 1))
         else Seq.empty
       val body =
@@ -1125,7 +1157,7 @@ object DeltaExport {
           // intermediate version readable (versionAsOf) under the
           // schema its files were written with
           ((if (schemaChanged || ictUpgrade)
-              Seq(metaData(t,
+              Seq(metaData(t, p,
                 FileStats.schemaOf(t.commitBody(g))
                   .getOrElse(schemaAtLatest), ts,
                 ictEnablement =
@@ -1143,26 +1175,26 @@ object DeltaExport {
                    .exists(s => isMapped(s) || isWidened(s) ||
                      isDefaulted(s) || hasNtz(s))))
                Seq(protocol(
-                 needDv = adds.exists(_._2.dv.isDefined) || t.dvEnabled ||
+                 needDv = adds.exists(_._2.dv.isDefined) || p.dvEnabled ||
                    after.exists(_._2.dv.isDefined),
-                 needCdf = t.changeDataFeedEnabled,
+                 needCdf = p.cdf,
                  needMapping = FileStats.schemaOf(t.commitBody(g))
                    .exists(isMapped),
-                 needGen = t.generatedColumns().nonEmpty,
-                 needIdentity = t.identityColumns().nonEmpty,
-            needConstraints = t.checkConstraints().nonEmpty,
-            needRowTracking = t.rowTrackingEnabled,
+                 needGen = p.gens.nonEmpty,
+                 needIdentity = p.idents.nonEmpty,
+            needConstraints = p.constraints.nonEmpty,
+            needRowTracking = p.rowTracking,
             needWidening = FileStats.schemaOf(t.commitBody(g))
               .exists(isWidened),
             needDefaults = FileStats.schemaOf(t.commitBody(g))
               .exists(isDefaulted),
-            needClustering = t.clusterBy().nonEmpty,
-            needIct = t.ictEnabled,
+            needClustering = p.clusterBy.nonEmpty,
+            needIct = p.ict,
             needNtz = FileStats.schemaOf(t.commitBody(g))
               .exists(hasNtz),
-            needAppendOnly = t.appendOnly))
+            needAppendOnly = p.appendOnly))
              else Seq.empty) ++
-            rowTrackingDomain(t, g) ++
+            rowTrackingDomain(t, p, g) ++
             cdc ++
             txnDelta(FileStats.txnsOf(t.commitBody(g - 1)),
               FileStats.txnsOf(t.commitBody(g)), ts) ++
@@ -1172,13 +1204,13 @@ object DeltaExport {
               add(r, st, sz(r), ts, types, dataChange = dc) })
       dv += 1
       writeEntry(t, dv, body)
-      writeCrc(t, dv, after, ts)
+      writeCrc(t, p, dv, after, ts)
       if (ictUpgrade) ictProvenance = Some((dv, ts))
       ictUpgrade = false
       lastG = g
     }
     if (dv > lastDelta)
-      maybeCheckpoint(t, dv, schemaAtLatest, commitTs(t, latest),
+      maybeCheckpoint(t, p, dv, schemaAtLatest, commitTs(t, latest),
         latest)
     dv
   }
@@ -1306,7 +1338,7 @@ object DeltaExport {
     * flips only after every part is published, so a concurrent reader
     * never follows the pointer into a torn checkpoint.
     */
-  private def writeCheckpoint(t: ResourceTable, dv: Long,
+  private def writeCheckpoint(t: ResourceTable, p: Pinned, dv: Long,
                               schemaJson: String, ts: Long,
                               graftHead: Long): Unit = {
     import org.apache.spark.sql.Row
@@ -1490,19 +1522,19 @@ object DeltaExport {
       // protocol-bearing entry, so both forms stay mirror-identical
       val baseProto = newestExportedProtocolRow(t).getOrElse(
         protoNodeRow(protocol(
-          needDv = needDv || t.dvEnabled,
-          needCdf = t.changeDataFeedEnabled,
+          needDv = needDv || p.dvEnabled,
+          needCdf = p.cdf,
           needMapping = mappedT,
-          needGen = t.generatedColumns().nonEmpty,
-          needIdentity = t.identityColumns().nonEmpty,
-          needConstraints = t.checkConstraints().nonEmpty,
-          needRowTracking = t.rowTrackingEnabled,
+          needGen = p.gens.nonEmpty,
+          needIdentity = p.idents.nonEmpty,
+          needConstraints = p.constraints.nonEmpty,
+          needRowTracking = p.rowTracking,
           needWidening = isWidened(schemaJson),
           needDefaults = isDefaulted(schemaJson),
-          needClustering = t.clusterBy().nonEmpty,
-          needIct = t.ictEnabled,
+          needClustering = p.clusterBy.nonEmpty,
+          needIct = p.ict,
           needNtz = ntzT,
-          needAppendOnly = t.appendOnly).get("protocol")))
+          needAppendOnly = p.appendOnly).get("protocol")))
       val protoRow =
         if (!v2Mode) baseProto
         else {
@@ -1530,24 +1562,24 @@ object DeltaExport {
       // translation the json metaData action gets
       val (deltaJson, maxColId) = deltaSchemaJson(schemaJson)
       val conf = Map.empty[String, String] ++
-        (if (t.changeDataFeedEnabled)
+        (if (p.cdf)
            Map("delta.enableChangeDataFeed" -> "true") else Map.empty) ++
         // enablement provenance is NOT restated here: anchor-enabled
         // logs never have any, and a mid-log upgrade's provenance only
         // matters for resolving timestamps of PRE-upgrade commits —
         // which log cleanup (the only path to checkpoint-only history)
         // has already dropped
-        (if (t.ictEnabled)
+        (if (p.ict)
            Map("delta.enableInCommitTimestamps" -> "true")
          else Map.empty) ++
         // append-only enforcement must survive checkpoint-only replay:
         // a foreign writer that never reads the cleaned json tail
         // still may not remove data
-        (if (t.appendOnly) Map("delta.appendOnly" -> "true")
+        (if (p.appendOnly) Map("delta.appendOnly" -> "true")
          else Map.empty) ++
-        (if (t.rowTrackingEnabled)
+        (if (p.rowTracking)
            Map("delta.enableRowTracking" -> "true") else Map.empty) ++
-        t.checkConstraints().map { case (name, sql) =>
+        p.constraints.map { case (name, sql) =>
           s"delta.constraints.$name" -> sql } ++
         maxColId.fold(Map.empty[String, String])(mx =>
           Map("delta.columnMapping.mode" -> "name",
@@ -1568,8 +1600,8 @@ object DeltaExport {
       // verbatim — dropping one would permanently lose its state once
       // cleanupLog trims the entries that declared it. The V2 path
       // inherits these rows too since the manifest carries `head`.
-      val graftDoms = (clusteringDomain(t, schemaJson) ++
-          rowTrackingDomain(t, graftHead))
+      val graftDoms = (clusteringDomain(p, schemaJson) ++
+          rowTrackingDomain(t, p, graftHead))
         .map { n =>
           val d = n.get("domainMetadata")
           d.get("domain").asText ->
@@ -1857,11 +1889,11 @@ object DeltaExport {
     * run — domain state is derived from it, never from the table's
     * possibly-advanced live head).
     */
-  private def maybeCheckpoint(t: ResourceTable, dv: Long,
+  private def maybeCheckpoint(t: ResourceTable, p: Pinned, dv: Long,
                               schemaJson: String, ts: Long,
                               graftHead: Long): Unit = {
     if (dv - newestCheckpoint(t.fs, deltaDir(t))._1 >= CheckpointInterval)
-      writeCheckpoint(t, dv, schemaJson, ts, graftHead)
+      writeCheckpoint(t, p, dv, schemaJson, ts, graftHead)
   }
 
   /** Delta's metadata cleanup (`delta.logRetentionDuration`) for the

@@ -147,7 +147,10 @@ object FileStats {
       case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
         t.getUnit match {
           case LogicalTypeAnnotation.TimeUnit.MILLIS =>
-            if (math.abs(l) > Long.MaxValue / 1000) None
+            // abs-free bound check: math.abs(Long.MinValue) is
+            // negative, which would let MinValue slip past an
+            // abs-based guard and overflow into a corrupt stat.
+            if (l > Long.MaxValue / 1000 || l < Long.MinValue / 1000) None
             else Some(l * 1000L)
           case _ => Some(l) // MICROS exact; NANOS = nanosAsLong domain
         }
