@@ -1964,7 +1964,7 @@ object SparkEntry {
 
     "q_fhir_encode_foreign" -> ((s, dir) => {
       val raw = t(s, dir, "orders").select(to_json(struct(
-        lit("Specimen").as("resourceType"),
+        lit("Basic").as("resourceType"),
         col("o_orderkey").cast(StringType).as("id"),
         struct(col("o_orderkey").cast(StringType).as("versionId"),
           lit("2024-01-01T00:00:00Z").as("lastUpdated")).as("meta"),
@@ -1975,11 +1975,11 @@ object SparkEntry {
         array(struct(lit("http://graft/status").as("url"),
           col("o_orderstatus").as("valueString"))).as("extension"),
         col("o_orderpriority").as("conclusion"))).as("resource"))
-      // Specimen stays OUTSIDE the registry (round 16 typed the
-      // tier-3 Synthea set incl. Device — this gate's previous
-      // foreign type), so it keeps proving the generic-backbone path
-      // for ANY unseen type
-      graft.fhir.FhirEncoder.encode(raw, "Specimen").select(
+      // Basic is R4's by-design generic resource and stays OUTSIDE
+      // the registry (round 17 typed Specimen — this gate's previous
+      // foreign type — in the tier-6 set), so it keeps proving the
+      // generic-backbone path for ANY unseen type
+      graft.fhir.FhirEncoder.encode(raw, "Basic").select(
         col("id"),
         col("meta").getField("versionId").as("version_id"),
         col("meta").getField("lastUpdated").as("last_updated"),
@@ -2843,6 +2843,275 @@ object SparkEntry {
           .as("na_desc"),
         element_at(col("notAvailable"), 1).getField("during")
           .getField("end").as("na_end"))
+    }),
+
+    // ---- tier-6 typed FHIR: the configured-type long tail. The
+    //      reference accepts ANY resource_types config
+    //      (settings.py:69–75); bzkf's oncology deployment makes
+    //      Specimen / ServiceRequest / MedicationStatement / Coverage
+    //      / RelatedPerson realistic traffic. One exact-oracled encode
+    //      round trip per type ----
+    "q_fhir_encode_specimen" -> ((s, dir) => {
+      val raw = t(s, dir, "part").select(to_json(struct(
+        lit("Specimen").as("resourceType"),
+        col("p_partkey").cast(StringType).as("id"),
+        struct(lit("urn:graft:accession").as("system"),
+          concat(lit("ACC-"), col("p_partkey").cast(StringType))
+            .as("value")).as("accessionIdentifier"),
+        lit("available").as("status"),
+        struct(array(struct(
+          lit("http://snomed.info/sct").as("system"),
+          lit("119376003").as("code"),
+          col("p_type").as("display"))).as("coding")).as("type"),
+        struct(concat(lit("Patient/"),
+          (col("p_partkey") % 100).cast(StringType)).as("reference"))
+          .as("subject"),
+        lit("2024-03-01T08:30:00Z").as("receivedTime"),
+        struct(
+          lit("2024-03-01T08:00:00Z").as("collectedDateTime"),
+          struct(col("p_size").cast(DecimalType(32, 6)).as("value"),
+            lit("mL").as("unit")).as("quantity"),
+          struct(array(struct(lit("368149001").as("code"))).as("coding"))
+            .as("bodySite")).as("collection"),
+        array(struct(
+          col("p_brand").as("description"),
+          struct((col("p_partkey") % 50).cast(DecimalType(32, 6))
+            .as("value"), lit("mL").as("unit")).as("capacity")))
+          .as("container"))).as("resource"))
+      graft.fhir.FhirEncoder.encode(raw, "Specimen").select(
+        col("id"),
+        col("accessionIdentifier").getField("value").as("accession"),
+        col("status"),
+        element_at(col("type").getField("coding"), 1)
+          .getField("display").as("type_display"),
+        col("subject").getField("reference").as("subject_ref"),
+        col("receivedTime").as("received_time"),
+        col("collection").getField("collectedDateTime")
+          .as("collected_at"),
+        col("collection").getField("quantity").getField("value")
+          .cast(StringType).as("coll_qty"),
+        element_at(col("collection").getField("bodySite")
+          .getField("coding"), 1).getField("code").as("body_site"),
+        element_at(col("container"), 1).getField("description")
+          .as("container_desc"),
+        element_at(col("container"), 1).getField("capacity")
+          .getField("value").cast(StringType).as("container_cap"))
+    }),
+
+    "q_fhir_encode_servicerequest" -> ((s, dir) => {
+      val raw = t(s, dir, "orders").select(to_json(struct(
+        lit("ServiceRequest").as("resourceType"),
+        col("o_orderkey").cast(StringType).as("id"),
+        lit("active").as("status"),
+        lit("order").as("intent"),
+        array(struct(array(struct(
+          lit("http://snomed.info/sct").as("system"),
+          lit("108252007").as("code"))).as("coding"))).as("category"),
+        when(col("o_orderkey") % 2 === 0, "routine")
+          .otherwise("urgent").as("priority"),
+        lit(false).as("doNotPerform"),
+        struct(array(struct(lit("15220000").as("code"),
+          lit("Laboratory test").as("display"))).as("coding"),
+          col("o_orderpriority").as("text")).as("code"),
+        struct((col("o_orderkey") % 5 + 1).cast(DecimalType(32, 6))
+          .as("value"), lit("unit").as("unit")).as("quantityQuantity"),
+        struct(concat(lit("Patient/"),
+          col("o_custkey").cast(StringType)).as("reference"))
+          .as("subject"),
+        col("o_orderdate").cast(StringType).as("occurrenceDateTime"),
+        col("o_orderdate").cast(StringType).as("authoredOn"),
+        struct(concat(lit("Practitioner/"),
+          (col("o_orderkey") % 7).cast(StringType)).as("reference"))
+          .as("requester"),
+        array(struct(array(struct(lit("183524004").as("code")))
+          .as("coding"), concat(lit("Ref: "), col("o_orderstatus"))
+          .as("text"))).as("reasonCode")))
+        .as("resource"))
+      graft.fhir.FhirEncoder.encode(raw, "ServiceRequest").select(
+        col("id"), col("status"), col("intent"),
+        element_at(element_at(col("category"), 1).getField("coding"), 1)
+          .getField("code").as("category_code"),
+        col("priority"), col("doNotPerform").as("do_not_perform"),
+        element_at(col("code").getField("coding"), 1)
+          .getField("display").as("code_display"),
+        col("code").getField("text").as("code_text"),
+        col("quantityQuantity").getField("value").cast(StringType)
+          .as("qty"),
+        col("subject").getField("reference").as("subject_ref"),
+        col("occurrenceDateTime").as("occurrence_at"),
+        col("authoredOn").as("authored_on"),
+        col("requester").getField("reference").as("requester_ref"),
+        element_at(element_at(col("reasonCode"), 1)
+          .getField("coding"), 1).getField("code").as("reason_code"),
+        element_at(col("reasonCode"), 1).getField("text")
+          .as("reason_text"))
+    }),
+
+    "q_fhir_encode_medstatement" -> ((s, dir) => {
+      val raw = t(s, dir, "customer").select(to_json(struct(
+        lit("MedicationStatement").as("resourceType"),
+        col("c_custkey").cast(StringType).as("id"),
+        lit("active").as("status"),
+        struct(array(struct(lit("inpatient").as("code"))).as("coding"))
+          .as("category"),
+        struct(array(struct(
+          lit("http://www.nlm.nih.gov/research/umls/rxnorm").as("system"),
+          (col("c_custkey") % 1000).cast(StringType).as("code"),
+          col("c_name").as("display"))).as("coding"))
+          .as("medicationCodeableConcept"),
+        struct(concat(lit("Patient/"),
+          col("c_custkey").cast(StringType)).as("reference"))
+          .as("subject"),
+        struct(lit("2024-01-01").as("start"),
+          lit("2024-06-30").as("end")).as("effectivePeriod"),
+        lit("2024-07-01").as("dateAsserted"),
+        array(struct(
+          lit(1).as("sequence"),
+          concat(lit("Take as directed: "), col("c_mktsegment"))
+            .as("text"),
+          struct(struct(lit(2).as("frequency"),
+            lit(1).cast(DecimalType(32, 6)).as("period"),
+            lit("d").as("periodUnit")).as("repeat")).as("timing"),
+          array(struct(struct(
+            (col("c_custkey") % 3 + 1).cast(DecimalType(32, 6))
+              .as("value"),
+            lit("tablet").as("unit")).as("doseQuantity")))
+            .as("doseAndRate"))).as("dosage"))).as("resource"))
+      graft.fhir.FhirEncoder.encode(raw, "MedicationStatement").select(
+        col("id"), col("status"),
+        element_at(col("category").getField("coding"), 1)
+          .getField("code").as("category_code"),
+        element_at(col("medicationCodeableConcept")
+          .getField("coding"), 1).getField("code").as("med_code"),
+        element_at(col("medicationCodeableConcept")
+          .getField("coding"), 1).getField("display").as("med_display"),
+        col("subject").getField("reference").as("subject_ref"),
+        col("effectivePeriod").getField("start").as("eff_start"),
+        col("effectivePeriod").getField("end").as("eff_end"),
+        col("dateAsserted").as("date_asserted"),
+        element_at(col("dosage"), 1).getField("text").as("dosage_text"),
+        element_at(col("dosage"), 1).getField("timing")
+          .getField("repeat").getField("frequency").as("dose_freq"),
+        element_at(col("dosage"), 1).getField("timing")
+          .getField("repeat").getField("periodUnit").as("dose_unit"),
+        element_at(element_at(col("dosage"), 1)
+          .getField("doseAndRate"), 1).getField("doseQuantity")
+          .getField("value").cast(StringType).as("dose_qty"))
+    }),
+
+    "q_fhir_encode_coverage" -> ((s, dir) => {
+      val raw = t(s, dir, "supplier").select(to_json(struct(
+        lit("Coverage").as("resourceType"),
+        col("s_suppkey").cast(StringType).as("id"),
+        lit("active").as("status"),
+        struct(array(struct(lit("EHCPOL").as("code"))).as("coding"))
+          .as("type"),
+        concat(lit("SUB-"), col("s_suppkey").cast(StringType))
+          .as("subscriberId"),
+        struct(concat(lit("Patient/"),
+          col("s_suppkey").cast(StringType)).as("reference"))
+          .as("beneficiary"),
+        struct(array(struct(lit("self").as("code"))).as("coding"))
+          .as("relationship"),
+        struct(lit("2024-01-01").as("start")).as("period"),
+        array(struct(concat(lit("Organization/"),
+          col("s_nationkey").cast(StringType)).as("reference"),
+          col("s_name").as("display"))).as("payor"),
+        array(struct(
+          struct(array(struct(lit("group").as("code"))).as("coding"))
+            .as("type"),
+          concat(lit("GRP-"), (col("s_suppkey") % 10).cast(StringType))
+            .as("value"),
+          col("s_name").as("name"))).as("class"),
+        (col("s_suppkey") % 3 + 1).cast(IntegerType).as("order"),
+        lit("provider-network").as("network"),
+        array(struct(
+          struct(array(struct(lit("copay").as("code"))).as("coding"))
+            .as("type"),
+          struct((col("s_suppkey") % 20).cast(DecimalType(32, 6))
+            .as("value"), lit("USD").as("currency")).as("valueMoney")))
+          .as("costToBeneficiary"),
+        lit(true).as("subrogation"))).as("resource"))
+      graft.fhir.FhirEncoder.encode(raw, "Coverage").select(
+        col("id"), col("status"),
+        element_at(col("type").getField("coding"), 1)
+          .getField("code").as("type_code"),
+        col("subscriberId").as("subscriber_id"),
+        col("beneficiary").getField("reference").as("beneficiary_ref"),
+        element_at(col("relationship").getField("coding"), 1)
+          .getField("code").as("relationship_code"),
+        col("period").getField("start").as("period_start"),
+        element_at(col("payor"), 1).getField("reference")
+          .as("payor_ref"),
+        element_at(col("payor"), 1).getField("display")
+          .as("payor_display"),
+        element_at(col("class"), 1).getField("value").as("class_value"),
+        element_at(col("class"), 1).getField("name").as("class_name"),
+        col("order").as("cov_order"),
+        col("network"),
+        element_at(col("costToBeneficiary"), 1).getField("valueMoney")
+          .getField("value").cast(StringType).as("copay_value"),
+        element_at(col("costToBeneficiary"), 1).getField("valueMoney")
+          .getField("currency").as("copay_currency"),
+        col("subrogation"))
+    }),
+
+    "q_fhir_encode_relatedperson" -> ((s, dir) => {
+      val raw = t(s, dir, "nation").select(to_json(struct(
+        lit("RelatedPerson").as("resourceType"),
+        col("n_nationkey").cast(StringType).as("id"),
+        lit(true).as("active"),
+        struct(concat(lit("Patient/"),
+          col("n_nationkey").cast(StringType)).as("reference"))
+          .as("patient"),
+        array(struct(array(struct(
+          lit("http://terminology.hl7.org/CodeSystem/v3-RoleCode")
+            .as("system"),
+          lit("SPS").as("code"))).as("coding"))).as("relationship"),
+        array(struct(lit("official").as("use"),
+          col("n_name").as("family"),
+          array(lit("Alex"), lit("J")).as("given"))).as("name"),
+        array(struct(lit("phone").as("system"),
+          concat(lit("+1-555-"),
+            lpad(col("n_nationkey").cast(StringType), 4, "0"))
+            .as("value"),
+          lit("home").as("use"), lit(1).as("rank"))).as("telecom"),
+        when(col("n_nationkey") % 2 === 0, "female")
+          .otherwise("male").as("gender"),
+        lit("1980-05-15").as("birthDate"),
+        array(struct(lit("home").as("use"),
+          array(concat(col("n_nationkey").cast(StringType),
+            lit(" Main St"))).as("line"),
+          lit("Springfield").as("city"),
+          col("n_name").as("country"))).as("address"),
+        struct(lit("2020-01-01").as("start")).as("period"),
+        array(struct(
+          struct(array(struct(lit("en").as("code"))).as("coding"))
+            .as("language"),
+          lit(true).as("preferred"))).as("communication")))
+        .as("resource"))
+      graft.fhir.FhirEncoder.encode(raw, "RelatedPerson").select(
+        col("id"), col("active"),
+        col("patient").getField("reference").as("patient_ref"),
+        element_at(element_at(col("relationship"), 1)
+          .getField("coding"), 1).getField("code").as("rel_code"),
+        element_at(col("name"), 1).getField("family").as("name_family"),
+        element_at(element_at(col("name"), 1).getField("given"), 2)
+          .as("given2"),
+        element_at(col("telecom"), 1).getField("value")
+          .as("telecom_value"),
+        element_at(col("telecom"), 1).getField("rank")
+          .as("telecom_rank"),
+        col("gender"), col("birthDate").as("birth_date"),
+        element_at(element_at(col("address"), 1).getField("line"), 1)
+          .as("addr_line"),
+        element_at(col("address"), 1).getField("city").as("addr_city"),
+        element_at(col("address"), 1).getField("country").as("country"),
+        element_at(element_at(col("communication"), 1)
+          .getField("language").getField("coding"), 1)
+          .getField("code").as("comm_lang"),
+        element_at(col("communication"), 1).getField("preferred")
+          .as("comm_preferred"))
     }),
 
     // ---- approx distinct (HLL++) made hash-decidable: DuckDB can't
@@ -7260,6 +7529,99 @@ object SparkEntry {
         |  'public holidays' AS na_desc,
         |  '2024-12-26' AS na_end
         |FROM supplier""".stripMargin,
+
+    "q_fhir_encode_specimen" ->
+      """SELECT CAST(p_partkey AS VARCHAR) AS id,
+        |  'ACC-' || CAST(p_partkey AS VARCHAR) AS accession,
+        |  'available' AS status,
+        |  p_type AS type_display,
+        |  'Patient/' || CAST(p_partkey % 100 AS VARCHAR) AS subject_ref,
+        |  '2024-03-01T08:30:00Z' AS received_time,
+        |  '2024-03-01T08:00:00Z' AS collected_at,
+        |  CAST(CAST(p_size AS DECIMAL(32,6)) AS VARCHAR) AS coll_qty,
+        |  '368149001' AS body_site,
+        |  p_brand AS container_desc,
+        |  CAST(CAST(p_partkey % 50 AS DECIMAL(32,6)) AS VARCHAR)
+        |    AS container_cap
+        |FROM part""".stripMargin,
+
+    "q_fhir_encode_servicerequest" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS id,
+        |  'active' AS status,
+        |  'order' AS intent,
+        |  '108252007' AS category_code,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN 'routine'
+        |    ELSE 'urgent' END AS priority,
+        |  FALSE AS do_not_perform,
+        |  'Laboratory test' AS code_display,
+        |  o_orderpriority AS code_text,
+        |  CAST(CAST(o_orderkey % 5 + 1 AS DECIMAL(32,6)) AS VARCHAR)
+        |    AS qty,
+        |  'Patient/' || CAST(o_custkey AS VARCHAR) AS subject_ref,
+        |  CAST(o_orderdate AS VARCHAR) AS occurrence_at,
+        |  CAST(o_orderdate AS VARCHAR) AS authored_on,
+        |  'Practitioner/' || CAST(o_orderkey % 7 AS VARCHAR)
+        |    AS requester_ref,
+        |  '183524004' AS reason_code,
+        |  'Ref: ' || o_orderstatus AS reason_text
+        |FROM orders""".stripMargin,
+
+    "q_fhir_encode_medstatement" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS id,
+        |  'active' AS status,
+        |  'inpatient' AS category_code,
+        |  CAST(c_custkey % 1000 AS VARCHAR) AS med_code,
+        |  c_name AS med_display,
+        |  'Patient/' || CAST(c_custkey AS VARCHAR) AS subject_ref,
+        |  '2024-01-01' AS eff_start,
+        |  '2024-06-30' AS eff_end,
+        |  '2024-07-01' AS date_asserted,
+        |  'Take as directed: ' || c_mktsegment AS dosage_text,
+        |  CAST(2 AS INTEGER) AS dose_freq,
+        |  'd' AS dose_unit,
+        |  CAST(CAST(c_custkey % 3 + 1 AS DECIMAL(32,6)) AS VARCHAR)
+        |    AS dose_qty
+        |FROM customer""".stripMargin,
+
+    "q_fhir_encode_coverage" ->
+      """SELECT CAST(s_suppkey AS VARCHAR) AS id,
+        |  'active' AS status,
+        |  'EHCPOL' AS type_code,
+        |  'SUB-' || CAST(s_suppkey AS VARCHAR) AS subscriber_id,
+        |  'Patient/' || CAST(s_suppkey AS VARCHAR) AS beneficiary_ref,
+        |  'self' AS relationship_code,
+        |  '2024-01-01' AS period_start,
+        |  'Organization/' || CAST(s_nationkey AS VARCHAR) AS payor_ref,
+        |  s_name AS payor_display,
+        |  'GRP-' || CAST(s_suppkey % 10 AS VARCHAR) AS class_value,
+        |  s_name AS class_name,
+        |  CAST(s_suppkey % 3 + 1 AS INTEGER) AS cov_order,
+        |  'provider-network' AS network,
+        |  CAST(CAST(s_suppkey % 20 AS DECIMAL(32,6)) AS VARCHAR)
+        |    AS copay_value,
+        |  'USD' AS copay_currency,
+        |  TRUE AS subrogation
+        |FROM supplier""".stripMargin,
+
+    "q_fhir_encode_relatedperson" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS id,
+        |  TRUE AS active,
+        |  'Patient/' || CAST(n_nationkey AS VARCHAR) AS patient_ref,
+        |  'SPS' AS rel_code,
+        |  n_name AS name_family,
+        |  'J' AS given2,
+        |  '+1-555-' || lpad(CAST(n_nationkey AS VARCHAR), 4, '0')
+        |    AS telecom_value,
+        |  CAST(1 AS INTEGER) AS telecom_rank,
+        |  CASE WHEN n_nationkey % 2 = 0 THEN 'female'
+        |    ELSE 'male' END AS gender,
+        |  '1980-05-15' AS birth_date,
+        |  CAST(n_nationkey AS VARCHAR) || ' Main St' AS addr_line,
+        |  'Springfield' AS addr_city,
+        |  n_name AS country,
+        |  'en' AS comm_lang,
+        |  TRUE AS comm_preferred
+        |FROM nation""".stripMargin,
 
     "q_ann_topk_agg" ->
       """SELECT q_id, n_id, rank FROM (

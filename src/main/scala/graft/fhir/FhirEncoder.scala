@@ -28,8 +28,11 @@ import org.apache.spark.sql.types._
   * Organization, Practitioner, (tier 3) Device, Location,
   * Medication, Provenance, SupplyDelivery, ImagingStudy, and
   * (tier 4) CareTeam, MedicationAdministration, DocumentReference,
-  * and (tier 5) Goal, PractitionerRole — 25 typed R4 schemas total,
-  * covering the COMPLETE Synthea default-module emission set. Every R4 element of each type is
+  * and (tier 5) Goal, PractitionerRole — covering the COMPLETE Synthea
+  * default-module emission set — plus (tier 6) the configured-type
+  * long tail realistic for bzkf's oncology context (settings.py:69–75
+  * accepts ANY type): Specimen, ServiceRequest, MedicationStatement,
+  * Coverage, RelatedPerson — 30 typed R4 schemas total. Every R4 element of each type is
   * declared below, choice types (`value[x]`, `onset[x]`,
   * `performed[x]`, …) expanded per variant, exactly as Pathling's
   * encoder emits them. Conventions also match
@@ -1336,7 +1339,179 @@ object FhirEncoder {
         StructField("description", StringType),
         StructField("during", period))))),
       StructField("availabilityExceptions", StringType),
-      StructField("endpoint", refList)))
+      StructField("endpoint", refList)),
+
+    // ------- tier 6: the configured-type long tail -------
+    // The reference accepts ARBITRARY resource_types config
+    // (settings.py:69–75); bzkf's oncology deployment context makes
+    // Specimen, ServiceRequest, MedicationStatement, Coverage and
+    // RelatedPerson the realistic next set of configured types.
+    // Element sets per the R4 spec, choice types expanded à la
+    // Pathling (bundle_processor.py:162–166 derivation conventions).
+
+    "Specimen" -> domainResource(
+      StructField("identifier", identifierType),
+      StructField("accessionIdentifier", identifierElem),
+      StructField("status", StringType),
+      StructField("type", codeableConcept),
+      StructField("subject", reference),
+      StructField("receivedTime", StringType), // dateTime
+      StructField("parent", refList),
+      StructField("request", refList),
+      StructField("collection", StructType(Seq(
+        StructField("collector", reference),
+        StructField("collectedDateTime", StringType),
+        StructField("collectedPeriod", period),
+        // Duration is structurally Quantity in R4
+        StructField("duration", quantity),
+        StructField("quantity", quantity),
+        StructField("method", codeableConcept),
+        StructField("bodySite", codeableConcept),
+        StructField("fastingStatusCodeableConcept", codeableConcept),
+        StructField("fastingStatusDuration", quantity)))),
+      StructField("processing", ArrayType(StructType(Seq(
+        StructField("description", StringType),
+        StructField("procedure", codeableConcept),
+        StructField("additive", refList),
+        StructField("timeDateTime", StringType),
+        StructField("timePeriod", period))))),
+      StructField("container", ArrayType(StructType(Seq(
+        StructField("identifier", identifierType),
+        StructField("description", StringType),
+        StructField("type", codeableConcept),
+        StructField("capacity", quantity),
+        StructField("specimenQuantity", quantity),
+        StructField("additiveCodeableConcept", codeableConcept),
+        StructField("additiveReference", reference))))),
+      StructField("condition", ccList),
+      StructField("note", annotationType)),
+
+    "ServiceRequest" -> domainResource(
+      StructField("identifier", identifierType),
+      StructField("instantiatesCanonical", ArrayType(StringType)),
+      StructField("instantiatesUri", ArrayType(StringType)),
+      StructField("basedOn", refList),
+      StructField("replaces", refList),
+      StructField("requisition", identifierElem),
+      StructField("status", StringType),
+      StructField("intent", StringType),
+      StructField("category", ccList),
+      StructField("priority", StringType),
+      StructField("doNotPerform", BooleanType),
+      StructField("code", codeableConcept),
+      StructField("orderDetail", ccList),
+      StructField("quantityQuantity", quantity),
+      StructField("quantityRatio", ratio),
+      StructField("quantityRange", range),
+      StructField("subject", reference),
+      StructField("encounter", reference),
+      StructField("occurrenceDateTime", StringType),
+      StructField("occurrencePeriod", period),
+      StructField("occurrenceTiming", StructType(Seq(
+        StructField("repeat", StructType(Seq(
+          StructField("frequency", IntegerType),
+          StructField("period", DecimalType(32, 6)),
+          StructField("periodUnit", StringType)))),
+        StructField("code", codeableConcept)))),
+      StructField("asNeededBoolean", BooleanType),
+      StructField("asNeededCodeableConcept", codeableConcept),
+      StructField("authoredOn", StringType),
+      StructField("requester", reference),
+      StructField("performerType", codeableConcept),
+      StructField("performer", refList),
+      StructField("locationCode", ccList),
+      StructField("locationReference", refList),
+      StructField("reasonCode", ccList),
+      StructField("reasonReference", refList),
+      StructField("insurance", refList),
+      StructField("supportingInfo", refList),
+      StructField("specimen", refList),
+      StructField("bodySite", ccList),
+      StructField("note", annotationType),
+      StructField("patientInstruction", StringType),
+      StructField("relevantHistory", refList)),
+
+    "MedicationStatement" -> domainResource(
+      StructField("identifier", identifierType),
+      StructField("basedOn", refList),
+      StructField("partOf", refList),
+      StructField("status", StringType),
+      StructField("statusReason", ccList),
+      StructField("category", codeableConcept),
+      StructField("medicationCodeableConcept", codeableConcept),
+      StructField("medicationReference", reference),
+      StructField("subject", reference),
+      StructField("context", reference),
+      StructField("effectiveDateTime", StringType),
+      StructField("effectivePeriod", period),
+      StructField("dateAsserted", StringType),
+      StructField("informationSource", reference),
+      StructField("derivedFrom", refList),
+      StructField("reasonCode", ccList),
+      StructField("reasonReference", refList),
+      StructField("note", annotationType),
+      StructField("dosage", ArrayType(StructType(Seq(
+        StructField("sequence", IntegerType),
+        StructField("text", StringType),
+        StructField("asNeededBoolean", BooleanType),
+        StructField("asNeededCodeableConcept", codeableConcept),
+        StructField("site", codeableConcept),
+        StructField("route", codeableConcept),
+        StructField("method", codeableConcept),
+        StructField("timing", StructType(Seq(
+          StructField("repeat", StructType(Seq(
+            StructField("frequency", IntegerType),
+            StructField("period", DecimalType(32, 6)),
+            StructField("periodUnit", StringType)))),
+          StructField("code", codeableConcept)))),
+        StructField("doseAndRate", ArrayType(StructType(Seq(
+          StructField("type", codeableConcept),
+          StructField("doseQuantity", quantity),
+          StructField("doseRange", range)))))))))),
+
+    "Coverage" -> domainResource(
+      StructField("identifier", identifierType),
+      StructField("status", StringType),
+      StructField("type", codeableConcept),
+      StructField("policyHolder", reference),
+      StructField("subscriber", reference),
+      StructField("subscriberId", StringType),
+      StructField("beneficiary", reference),
+      StructField("dependent", StringType),
+      StructField("relationship", codeableConcept),
+      StructField("period", period),
+      StructField("payor", refList),
+      StructField("class", ArrayType(StructType(Seq(
+        StructField("type", codeableConcept),
+        StructField("value", StringType),
+        StructField("name", StringType))))),
+      StructField("order", IntegerType), // positiveInt
+      StructField("network", StringType),
+      StructField("costToBeneficiary", ArrayType(StructType(Seq(
+        StructField("type", codeableConcept),
+        StructField("valueQuantity", quantity),
+        StructField("valueMoney", money),
+        StructField("exception", ArrayType(StructType(Seq(
+          StructField("type", codeableConcept),
+          StructField("period", period))))))))),
+      StructField("subrogation", BooleanType),
+      StructField("contract", refList)),
+
+    "RelatedPerson" -> domainResource(
+      StructField("identifier", identifierType),
+      StructField("active", BooleanType),
+      StructField("patient", reference),
+      StructField("relationship", ccList),
+      StructField("name", humanName),
+      StructField("telecom", contactPoint),
+      StructField("gender", StringType),
+      StructField("birthDate", StringType),
+      StructField("address", address),
+      StructField("photo", ArrayType(attachment)),
+      StructField("period", period),
+      StructField("communication", ArrayType(StructType(Seq(
+        StructField("language", codeableConcept),
+        StructField("preferred", BooleanType)))))))
 
   /** Fallback schema for resource types without a registered schema —
     * the generic R4 DomainResource backbone (id, meta, implicitRules,

@@ -32,10 +32,13 @@ class FhirEncoderSpec extends AnyFunSuite {
       // tier 4 (round 16)
       "CareTeam", "MedicationAdministration", "DocumentReference",
       // tier 5 (round 16)
-      "Goal", "PractitionerRole")
+      "Goal", "PractitionerRole",
+      // tier 6 (round 17): the configured-type long tail
+      "Specimen", "ServiceRequest", "MedicationStatement",
+      "Coverage", "RelatedPerson")
     assert(FhirEncoder.schemas.keySet == expected)
     // unknown types still fall back to the generic backbone
-    assert(FhirEncoder.schemaFor("Specimen") == FhirEncoder.genericSchema)
+    assert(FhirEncoder.schemaFor("Basic") == FhirEncoder.genericSchema)
   }
 
   test("Device: UDI carrier backbone and typed refs") {
@@ -377,5 +380,159 @@ class FhirEncoderSpec extends AnyFunSuite {
     assert(na.getAs[String]("description") == "holidays")
     assert(na.getAs[org.apache.spark.sql.Row]("during")
       .getAs[String]("end") == "2024-12-26")
+  }
+
+  test("Specimen: collection choice types and container backbone") {
+    val row = one("Specimen",
+      """{"resourceType":"Specimen","id":"sp1","status":"available",
+        |"accessionIdentifier":{"system":"urn:acc","value":"ACC-9"},
+        |"type":{"coding":[{"code":"119376003"}]},
+        |"subject":{"reference":"Patient/p1"},
+        |"receivedTime":"2024-03-01T08:30:00Z",
+        |"collection":{"collectedDateTime":"2024-03-01T08:00:00Z",
+        |"quantity":{"value":5.5,"unit":"mL"},
+        |"bodySite":{"coding":[{"code":"368149001"}]}},
+        |"processing":[{"description":"spun",
+        |"timeDateTime":"2024-03-01T09:00:00Z"}],
+        |"container":[{"description":"red-top",
+        |"capacity":{"value":10,"unit":"mL"},
+        |"additiveCodeableConcept":{"coding":[{"code":"EDTA"}]}}],
+        |"condition":[{"coding":[{"code":"hemolyzed"}]}]}"""
+        .stripMargin.replace("\n", "")).collect()(0)
+    assert(row.getAs[String]("status") == "available")
+    assert(row.getAs[org.apache.spark.sql.Row]("accessionIdentifier")
+      .getAs[String]("value") == "ACC-9")
+    val coll = row.getAs[org.apache.spark.sql.Row]("collection")
+    assert(coll.getAs[String]("collectedDateTime") == "2024-03-01T08:00:00Z")
+    assert(coll.getAs[org.apache.spark.sql.Row]("quantity")
+      .getAs[java.math.BigDecimal]("value")
+      .compareTo(new java.math.BigDecimal("5.5")) == 0)
+    val cont = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("container")(0)
+    assert(cont.getAs[String]("description") == "red-top")
+    assert(cont.getAs[org.apache.spark.sql.Row]("additiveCodeableConcept")
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("coding")(0)
+      .getAs[String]("code") == "EDTA")
+    assert(row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("processing")(0)
+      .getAs[String]("timeDateTime") == "2024-03-01T09:00:00Z")
+  }
+
+  test("ServiceRequest: occurrence/quantity/asNeeded choice types") {
+    val row = one("ServiceRequest",
+      """{"resourceType":"ServiceRequest","id":"sr1","status":"active",
+        |"intent":"order","priority":"urgent","doNotPerform":false,
+        |"code":{"coding":[{"code":"15220000"}],"text":"Lab test"},
+        |"quantityQuantity":{"value":2,"unit":"unit"},
+        |"subject":{"reference":"Patient/p1"},
+        |"occurrenceDateTime":"2024-04-01",
+        |"occurrenceTiming":{"repeat":{"frequency":1,"period":7,
+        |"periodUnit":"d"}},
+        |"asNeededBoolean":true,
+        |"authoredOn":"2024-03-31",
+        |"requester":{"reference":"Practitioner/doc"},
+        |"specimen":[{"reference":"Specimen/sp1"}],
+        |"patientInstruction":"fast overnight"}"""
+        .stripMargin.replace("\n", "")).collect()(0)
+    assert(row.getAs[String]("intent") == "order")
+    assert(row.getAs[org.apache.spark.sql.Row]("code")
+      .getAs[String]("text") == "Lab test")
+    assert(row.getAs[org.apache.spark.sql.Row]("quantityQuantity")
+      .getAs[java.math.BigDecimal]("value")
+      .compareTo(new java.math.BigDecimal("2")) == 0)
+    assert(row.getAs[String]("occurrenceDateTime") == "2024-04-01")
+    assert(row.getAs[org.apache.spark.sql.Row]("occurrenceTiming")
+      .getAs[org.apache.spark.sql.Row]("repeat")
+      .getAs[String]("periodUnit") == "d")
+    assert(row.getAs[Boolean]("asNeededBoolean"))
+    assert(row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("specimen")(0)
+      .getAs[String]("reference") == "Specimen/sp1")
+    assert(row.getAs[String]("patientInstruction") == "fast overnight")
+  }
+
+  test("MedicationStatement: medication choice + dosage timing/dose") {
+    val row = one("MedicationStatement",
+      """{"resourceType":"MedicationStatement","id":"ms1",
+        |"status":"active",
+        |"medicationCodeableConcept":{"coding":[{"code":"197361"}]},
+        |"subject":{"reference":"Patient/p1"},
+        |"effectivePeriod":{"start":"2024-01-01","end":"2024-06-30"},
+        |"dateAsserted":"2024-07-01",
+        |"dosage":[{"sequence":1,"text":"BID",
+        |"timing":{"repeat":{"frequency":2,"period":1,"periodUnit":"d"}},
+        |"doseAndRate":[{"doseQuantity":{"value":1,"unit":"tablet"}}]}]}"""
+        .stripMargin.replace("\n", "")).collect()(0)
+    assert(row.getAs[org.apache.spark.sql.Row]("medicationCodeableConcept")
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("coding")(0)
+      .getAs[String]("code") == "197361")
+    assert(row.getAs[org.apache.spark.sql.Row]("effectivePeriod")
+      .getAs[String]("end") == "2024-06-30")
+    val d = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("dosage")(0)
+    assert(d.getAs[String]("text") == "BID")
+    assert(d.getAs[org.apache.spark.sql.Row]("timing")
+      .getAs[org.apache.spark.sql.Row]("repeat").getAs[Int]("frequency") == 2)
+    assert(d.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("doseAndRate")(0)
+      .getAs[org.apache.spark.sql.Row]("doseQuantity")
+      .getAs[String]("unit") == "tablet")
+  }
+
+  test("Coverage: class/costToBeneficiary backbones with Money") {
+    val row = one("Coverage",
+      """{"resourceType":"Coverage","id":"cov1","status":"active",
+        |"type":{"coding":[{"code":"EHCPOL"}]},
+        |"subscriberId":"SUB-7",
+        |"beneficiary":{"reference":"Patient/p1"},
+        |"relationship":{"coding":[{"code":"self"}]},
+        |"period":{"start":"2024-01-01"},
+        |"payor":[{"reference":"Organization/ins"}],
+        |"class":[{"type":{"coding":[{"code":"group"}]},
+        |"value":"GRP-1","name":"Acme Group"}],
+        |"order":2,"network":"in-network",
+        |"costToBeneficiary":[{"type":{"coding":[{"code":"copay"}]},
+        |"valueMoney":{"value":25.5,"currency":"USD"},
+        |"exception":[{"type":{"coding":[{"code":"retired"}]},
+        |"period":{"start":"2024-01-01"}}]}],
+        |"subrogation":true}"""
+        .stripMargin.replace("\n", "")).collect()(0)
+    assert(row.getAs[String]("subscriberId") == "SUB-7")
+    val cls = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("class")(0)
+    assert(cls.getAs[String]("value") == "GRP-1")
+    assert(row.getAs[Int]("order") == 2)
+    val ctb = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("costToBeneficiary")(0)
+    assert(ctb.getAs[org.apache.spark.sql.Row]("valueMoney")
+      .getAs[java.math.BigDecimal]("value")
+      .compareTo(new java.math.BigDecimal("25.5")) == 0)
+    assert(ctb.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("exception")(0)
+      .getAs[org.apache.spark.sql.Row]("period")
+      .getAs[String]("start") == "2024-01-01")
+    assert(row.getAs[Boolean]("subrogation"))
+  }
+
+  test("RelatedPerson: name/telecom/address/communication backbones") {
+    val row = one("RelatedPerson",
+      """{"resourceType":"RelatedPerson","id":"rp1","active":true,
+        |"patient":{"reference":"Patient/p1"},
+        |"relationship":[{"coding":[{"code":"SPS"}]}],
+        |"name":[{"use":"official","family":"Doe","given":["Jo","A"]}],
+        |"telecom":[{"system":"phone","value":"+1-555-0100","rank":1}],
+        |"gender":"female","birthDate":"1980-05-15",
+        |"address":[{"city":"Springfield","line":["1 Main St"]}],
+        |"period":{"start":"2020-01-01"},
+        |"communication":[{"language":{"coding":[{"code":"en"}]},
+        |"preferred":true}]}"""
+        .stripMargin.replace("\n", "")).collect()(0)
+    assert(row.getAs[org.apache.spark.sql.Row]("patient")
+      .getAs[String]("reference") == "Patient/p1")
+    val nm = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("name")(0)
+    assert(nm.getAs[String]("family") == "Doe")
+    assert(nm.getAs[scala.collection.Seq[String]]("given").toSeq == Seq("Jo", "A"))
+    assert(row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("telecom")(0)
+      .getAs[Int]("rank") == 1)
+    assert(row.getAs[String]("birthDate") == "1980-05-15")
+    assert(row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("address")(0)
+      .getAs[scala.collection.Seq[String]]("line").toSeq == Seq("1 Main St"))
+    val comm = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("communication")(0)
+    assert(comm.getAs[org.apache.spark.sql.Row]("language")
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("coding")(0)
+      .getAs[String]("code") == "en")
+    assert(comm.getAs[Boolean]("preferred"))
   }
 }
