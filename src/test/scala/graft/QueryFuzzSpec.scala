@@ -120,14 +120,13 @@ class QueryFuzzSpec extends AnyFunSuite {
       val m = 2 + r.nextInt(3)
       val rFiltered = rr.df.filter(col(rk) % m === 0)
       Src(
-        l.df.join(rFiltered, l.df(lk) === rFiltered(rk), "left")
-          .drop(rFiltered(rk)),
+        l.df.join(rFiltered, l.df(lk) === rFiltered(rk), "left"),
         s"${l.from} LEFT JOIN (SELECT * FROM ${rr.from} " +
           s"WHERE $rk % $m = 0) ${rr.from} ON $lk = $rk",
-        l.cols ++ rr.cols.filterNot(_.sql.contains(s"($rk ")),
+        l.cols ++ rr.cols,
         l.uniq)
     } else {
-      Src(l.df.join(rr.df, l.df(lk) === rr.df(rk)).drop(rr.df(rk)),
+      Src(l.df.join(rr.df, l.df(lk) === rr.df(rk)),
         s"${l.from} JOIN ${rr.from} ON $lk = $rk",
         l.cols ++ rr.cols, l.uniq)
     }
@@ -272,7 +271,10 @@ class QueryFuzzSpec extends AnyFunSuite {
     if (ts.isEmpty) return intProj(r, cols)
     val c = pick(r, ts)
     if (r.nextBoolean())
-      Ex(unix_micros(c.c), s"epoch_us(${c.sql})", 'i')
+      // the session reads parquet timestamps as NTZ; the UTC session
+      // pins the NTZ->LTZ cast so epoch micros agree with DuckDB's
+      // naive epoch_us
+      Ex(unix_micros(c.c.cast("timestamp_ltz")), s"epoch_us(${c.sql})", 'i')
     else Ex(year(c.c).cast("long"),
       s"CAST(extract(year FROM ${c.sql}) AS BIGINT)", 'i')
   }
