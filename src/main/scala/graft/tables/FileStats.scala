@@ -20,10 +20,10 @@ import scala.jdk.CollectionConverters._
   *
   * Stats come from the parquet FOOTERS of the just-written snapshot —
   * row groups already carry typed min/max, so collection is a
-  * metadata-only read (no second data scan). At this table's scale
-  * (micro-batch snapshots, bounded file counts) footer reads are
-  * driver-side; a 100 TB table layer would lift the same loop into
-  * `sc.parallelize(files).map(readFooter)` unchanged.
+  * metadata-only read (no second data scan). Micro-batch commits read
+  * footers on the driver (a handful of RPCs); above a file-count
+  * threshold [[readFooters]] lifts the same loop into a Spark job, so
+  * a 10k-file backfill commit scales with the cluster, not the driver.
   *
   * Skipping is CONSERVATIVE: any expression shape, type pairing, or
   * missing statistic we cannot reason about keeps the file. String
@@ -171,6 +171,44 @@ object FileStats {
       case _ => None
     }
   }
+
+  /** Footer stats for a commit's new files — serial on the driver for
+    * the common micro-batch shape (a handful of files: one metadata
+    * RPC each, no job-scheduling overhead), lifted into a Spark job
+    * above `distributedThreshold` files so a 10k-file commit (large
+    * backfill, wide repartition) never serializes 10k footer reads on
+    * the driver. Results are identical by construction: both paths run
+    * the same [[readFooter]] per status (the hadoop Configuration is
+    * shipped via its own Writable round trip so foreign-FS settings —
+    * s3a endpoints, auth providers — reach the executors too).
+    * Keyed by the file NAME (commit manifests key `dirName/fileName`,
+    * and every status here comes from one listing of one directory).
+    */
+  def readFooters(spark: org.apache.spark.sql.SparkSession,
+                  conf: Configuration,
+                  statuses: Seq[org.apache.hadoop.fs.FileStatus],
+                  distributedThreshold: Int): Map[String, FileStat] =
+    if (statuses.size <= distributedThreshold)
+      statuses.map(st => st.getPath.getName -> readFooter(conf, st)).toMap
+    else {
+      val confBytes = {
+        val baos = new java.io.ByteArrayOutputStream()
+        conf.write(new java.io.DataOutputStream(baos))
+        baos.toByteArray
+      }
+      val sc = spark.sparkContext
+      val parallelism = math.min(statuses.size,
+        math.max(1, sc.defaultParallelism))
+      sc.parallelize(statuses, parallelism)
+        .mapPartitions { it =>
+          // one Configuration rebuild per task, not per file
+          val c = new Configuration(false)
+          c.readFields(new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(confBytes)))
+          it.map(st => st.getPath.getName -> readFooter(c, st))
+        }
+        .collect().toMap
+    }
 
   private def mergeStats(a: ColStats, b: ColStats): Option[ColStats] = {
     def pick(x: Option[Any], y: Option[Any], wantMin: Boolean): Option[Option[Any]] =

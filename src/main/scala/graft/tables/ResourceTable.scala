@@ -3463,12 +3463,17 @@ final class ResourceTable(val spark: SparkSession, val path: String,
         df.write.mode("overwrite").option("compression", compression)
           .parquet(dir.toString)
         // per-file min/max/null stats for data skipping, straight from
-        // the just-written parquet footers (metadata-only read)
-        fs.listStatus(dir)
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .map(st => s"$dirName/${st.getPath.getName}" ->
-            FileStats.readFooter(conf, st))
-          .toSeq
+        // the just-written parquet footers (metadata-only read).
+        // Serial on the driver for micro-batch file counts; above the
+        // threshold the reads run as a Spark job (a 10k-file backfill
+        // commit must not serialize 10k footer RPCs on the driver)
+        val parts = fs.listStatus(dir)
+          .filter(_.getPath.getName.endsWith(".parquet")).toSeq
+        val byName = FileStats.readFooters(spark, conf, parts,
+          spark.conf.get("graft.table.statsDistributedThreshold",
+            "64").toInt)
+        parts.map(st => s"$dirName/${st.getPath.getName}" ->
+            byName(st.getPath.getName))
           // empty part files (a writer partition with no rows) carry no
           // data and have no stats, so every later merge would
           // conservatively rewrite them — keep them out of the
