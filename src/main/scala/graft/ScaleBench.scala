@@ -56,7 +56,7 @@ object ScaleBench {
     "q_lm_perplexity", "q_perceptron_filter",
     "q_substring_remove", "q_curation_funnel", "q_stream_tws",
     "q_gopher_rules", "q_c4_filter", "x_funnel_incremental",
-    "x_pq_refresh", "x_autocompact", "x_fanout")
+    "x_pq_refresh", "x_autocompact", "x_fanout", "x_fanout_upkeep")
 
   /** Scale-only cases that are not SparkEntry gates: shapes whose
     * scale story needs DIFFERENT fixture sizing than the sf0.01 gate.
@@ -450,6 +450,102 @@ object ScaleBench {
       s.createDataFrame(
         s.sparkContext.parallelize(
           counts.map(c => org.apache.spark.sql.Row(c._1, c._2)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("resource_type",
+            StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType))))
+    }),
+
+    // x_fanout with LIVE UPKEEP (VERDICT r16 item 3): the reference's
+    // literal default configuration — upkeep (OPTIMIZE + VACUUM) every
+    // 50 batches INSIDE the same foreachBatch that ingests
+    // (bundle_processor.py:237–238, settings.py:39) — while all six
+    // queries drain concurrently. The source is cut into 60 one-file
+    // micro-batches per query so batch 50 fires maintenance
+    // MID-INGEST on every table, racing the other queries' merges.
+    // Asserts: per-type counts exact, the commit history of every
+    // table is LINEAR (every version 0..latest exists — no torn or
+    // skipped commit under the race), and compaction demonstrably ran
+    // (≥1 OPTIMIZE commit per table). stderr reports rows/s + the
+    // starvation spread for BASELINE.md.
+    "x_fanout_upkeep" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{BinaryType, StringType}
+      val types = Seq("Patient", "Observation", "Encounter",
+        "Condition", "Procedure")
+      val all = types :+ "Claim"
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("graft_fanoutup_src").toString
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_fanoutup").toString
+      val typeCol = element_at(array(all.map(lit): _*),
+        (col("o_orderkey") % 6).cast("int") + 1)
+      val wire = s.read.parquet(s"$dir/orders.parquet").select(
+        col("o_orderkey").cast(StringType).cast(BinaryType).as("key"),
+        to_json(struct(array(struct(
+          to_json(struct(
+            typeCol.as("resourceType"),
+            col("o_orderkey").cast(StringType).as("id"),
+            (col("o_orderstatus") === "O").as("active"))).as("resource"),
+          struct(lit("PUT").as("method"),
+            concat_ws("/", typeCol, col("o_orderkey")).as("url"))
+            .as("request"))).as("entry"))).cast(BinaryType).as("value"),
+        lit("fhir.msg").as("topic"),
+        lit(0).as("partition"),
+        col("o_orderkey").as("offset"),
+        lit(new java.sql.Timestamp(1700000000000L)).as("timestamp"))
+      wire.repartition(60).write.mode("overwrite").parquet(srcDir)
+      val src = s.readStream
+        .schema(graft.pipeline.BundlePipeline.kafkaWireSchema)
+        .option("maxFilesPerTrigger", "1") // 60 batches: upkeep at 0+50
+        .parquet(srcDir)
+      val settings = graft.streaming.Settings(
+        checkpointDir = s"$base/checkpoint",
+        deltaDatabaseDir = s"$base/delta/default",
+        resourceTypes = types,
+        triggerAvailableNow = true,
+        upkeepInterval = 50, // the reference DEFAULT (settings.py:39)
+        vacuumRetentionHours = 0L) // make batch-50 VACUUM do real work
+      val t0 = System.nanoTime()
+      val queries = graft.streaming.Engine.start(src, settings)
+      queries.foreach(_.awaitTermination())
+      val wall = (System.nanoTime() - t0) / 1e9
+      val perQ = queries.map { q =>
+        val busyMs = q.recentProgress.map(p =>
+          Option(p.durationMs.get("triggerExecution"))
+            .map(_.longValue).getOrElse(0L)).sum
+        (Option(q.name).getOrElse("?"), busyMs)
+      }
+      val report = all.map { rt =>
+        val tab = graft.tables.ResourceTable(
+          s, s"$base/delta/default/$rt.parquet")
+        val latest = tab.latestVersion.getOrElse(
+          sys.error(s"$rt: no table"))
+        // LINEAR history: every version exists — maintenance racing
+        // five concurrent ingests never tore or skipped a commit
+        val missing = (0L to latest).filterNot(tab.versionExists)
+        require(missing.isEmpty,
+          s"$rt: non-linear history, missing versions $missing")
+        val optimizes = tab.history()
+          .filter(col("operation").contains("OPTIMIZE")).count()
+        require(optimizes >= 1,
+          s"$rt: upkeep never compacted (0 OPTIMIZE commits)")
+        (rt, tab.read().count(), latest, optimizes)
+      }
+      val nBundles = report.map(_._2).sum
+      val busy = perQ.map(_._2)
+      val spread =
+        if (busy.isEmpty || busy.min == 0L) -1.0
+        else busy.max.toDouble / busy.min
+      System.err.println(
+        f"[fanout-upkeep] $nBundles%d bundles via ${perQ.size}%d " +
+          f"queries in $wall%.2fs (${nBundles / wall}%.0f rows/s) " +
+          f"starvation-spread ${spread}%.2fx " +
+          s"tables=${report.map(r =>
+            s"${r._1}:${r._2}v${r._3}opt${r._4}").mkString(",")}")
+      s.createDataFrame(
+        s.sparkContext.parallelize(
+          report.map(r => org.apache.spark.sql.Row(r._1, r._2)), 1),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("resource_type",
             StringType),

@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
   /** events.parquet carries TIMESTAMP(NANOS) which Spark only reads as
@@ -31,7 +31,7 @@ object SparkEntry {
     * division (ns epoch values overflow double precision — never go
     * through double) — matching DuckDB's ns→µs truncation exactly.
     */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     val raw = t(s, dir, "events")
     if (raw.schema("ts").dataType == LongType)
       // timestampadd on a TIMESTAMP_NTZ literal is pure field
@@ -46,7 +46,7 @@ object SparkEntry {
   /** events with an epoch-microseconds long column (integral
     * timestamps end-to-end; DuckDB's `epoch_us` matches exactly).
     */
-  private def eventsUs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def eventsUs(s: SparkSession, dir: String): DataFrame = {
     val raw = t(s, dir, "events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts_us", expr("ts DIV 1000"))
@@ -63,7 +63,7 @@ object SparkEntry {
   /** sum(CAST(x AS DECIMAL(18,s))) cast back to double — exact,
     * order-independent aggregation of a double column.
     */
-  private def dsum(c: Column, scale: Int = 2): Column =
+  private[graft] def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
 
   /** Moment statistics recomputed from exact decimal sums — one SQL
@@ -71,7 +71,7 @@ object SparkEntry {
     * (the only inexact steps) is literally the same expression tree on
     * both sides and the results hash-match bit-for-bit.
     */
-  private def statsFormulaSql(table: String): String =
+  private[graft] def statsFormulaSql(table: String): String =
     s"""WITH s AS (
        |  SELECT l_returnflag AS flag, count(*) AS n,
        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
@@ -99,4601 +99,57 @@ object SparkEntry {
   // =================================================================
   // Queries — one per implemented operator from SURVEY.md §2 (+ LLM ops)
   // =================================================================
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Driver contract: the per-domain gate maps composed back into one
+    * surface (the split is organizational only — same 226 keys).
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.gates.RelationalGates.queries ++
+      graft.gates.TableGates.queries ++
+      graft.gates.StreamGates.queries ++
+      graft.gates.LlmGates.queries ++
+      graft.gates.FhirGates.queries
 
-    // ---- §2.4 aggregation: TPC-H Q1 shape (A1/A4 + scalar arith) ----
-    "q1_agg" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          sum(col("l_quantity")).as("sum_qty"),
-          count(lit(1)).as("cnt"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
-              (lit(1).cast(DecimalType(18, 2)) -
-               col("l_discount").cast(DecimalType(18, 2))))
-            .cast(DoubleType).as("sum_disc_price"))
-    }),
-
-    // ---- §2.2 P7/P9 filter + projection (pushdown surface) ----
-    "q_filter_proj" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .filter(col("l_shipdate").cast(DateType) <
-          lit(java.sql.Date.valueOf("1996-01-01")))
-        .filter(col("l_quantity") >= 30)
-        .select("l_orderkey", "l_linenumber", "l_quantity",
-          "l_extendedprice")
-    }),
-
-    // ---- §2.5/§2.6 join + agg (the MERGE-shaped equi-join) ----
-    "q_join_agg" -> ((s, dir) => {
-      val orders = t(s, dir, "orders")
-      val customer = t(s, dir, "customer")
-      val nation = t(s, dir, "nation")
-      orders
-        .join(customer, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name"))
-        .agg(count(lit(1)).as("cnt"),
-          dsum(col("o_totalprice")).as("total_price"))
-    }),
-
-    // ---- broadcast join explicit (small dim side) ----
-    "q_broadcast_join" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val part = t(s, dir, "part").filter(col("p_size") <= 10)
-      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-        .groupBy(col("p_brand"))
-        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
-    }),
-
-    // ---- §2.3 W1: latest-wins dedup (row_number, desc order) ----
-    "q_window_dedup" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts").desc, col("event_id").desc)
-      events(s, dir)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("user_id", "event_id", "event_type", "value")
-    }),
-
-    // ---- running/analytic window frame ----
-    "q_window_running" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts").asc, col("event_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      events(s, dir).select(
-        col("event_id"), col("user_id"),
-        count(lit(1)).over(w).as("running_cnt"),
-        sum(col("value").cast(DecimalType(18, 6))).over(w)
-          .cast(DoubleType).as("running_val"))
-    }),
-
-    // ---- event-time RANGE frame: sliding 60 s per-user activity
-    //      window (range frames size by VALUE distance, not row
-    //      count — order within the frame is irrelevant) ----
-    "q_window_range" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts_us").asc)
-        .rangeBetween(-60000000L, 0L) // 60 s of microseconds back
-      eventsUs(s, dir).select(
-        col("event_id"), col("user_id"), col("ts_us"),
-        count(lit(1)).over(w).as("cnt_60s"),
-        max(col("value")).over(w).as("max_60s"))
-    }),
-
-    // ---- per-group top-n (rank window) ----
-    "q_topn_per_group" -> ((s, dir) => {
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      t(s, dir, "orders")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 2)
-        .select("o_custkey", "o_orderkey", "o_totalprice")
-    }),
-
-    // ---- §2.2 P3 explode (the reference's only generator) ----
-    "q_explode_wordcount" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
-    }),
-
-    // ---- §2.2 P2 from_json (partial fixed schema, resource opaque) ----
-    "q_from_json" -> ((s, dir) => {
-      events(s, dir)
-        .select(from_json(col("props"),
-          StructType(Seq(StructField("k", IntegerType))))
-          .getField("k").as("k"))
-        .groupBy("k").agg(count(lit(1)).as("cnt"))
-    }),
-
-    // ---- §2.2 P5/P6 split + getItem (the request_url parse) ----
-    "q_split_part" -> ((s, dir) => {
-      events(s, dir)
-        .withColumn("request_url",
-          concat_ws("/", col("event_type"), col("user_id")))
-        .withColumn("parts", split(col("request_url"), "/"))
-        .select(col("event_id"), col("request_url"),
-          col("parts").getItem(0).as("rtype"),
-          col("parts").getItem(1).as("rid"))
-    }),
-
-    // ---- §2.2 P8 isin / NOT IN fan-out filter ----
-    "q_isin_filter" -> ((s, dir) => {
-      events(s, dir)
-        .filter(!col("event_type").isin("click", "view"))
-        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
-    }),
-
-    // ---- as-of join: latest purchase at-or-before each event ----
-    "q_asof_join" -> ((s, dir) => {
-      val ev = eventsUs(s, dir)
-        .select("event_id", "user_id", "ts_us", "event_type")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_event_id"), col("user_id"),
-          col("ts_us").as("p_ts_us"), col("event_id"))
-      graft.ops.AsOf.joinAsOf(
-        ev, purchases, key = "user_id",
-        leftTime = "ts_us", rightTime = "p_ts_us",
-        rightCols = Map("p_event_id" -> "purchase_id",
-          "p_ts_us" -> "purchase_ts_us"),
-        tieBreak = "event_id")
-    }),
-
-    // ---- interval containment join: views attributed to 2-hour
-    //      purchase windows via the bin-bucketed equi-join (a bare
-    //      range-predicate join would plan as a nested loop; see
-    //      ops/IntervalJoin for the 100 TB shape) ----
-    "q_interval_join" -> ((s, dir) => {
-      val ev = eventsUs(s, dir)
-      val points = ev.filter(col("event_type") === "view")
-        .select(col("event_id"), col("user_id"), col("ts_us"))
-      val iv = ev.filter(col("event_type") === "purchase" &&
-          col("event_id") % 40 === 0)
-        .select(col("event_id").as("iv_id"), col("ts_us").as("start_us"),
-          (col("ts_us") + 7200000000L).as("end_us"))
-      graft.ops.IntervalJoin.joinPointsToIntervals(
-          points, "ts_us", iv, "start_us", "end_us", binUs = 7200000000L)
-        .select("event_id", "user_id", "ts_us", "iv_id", "start_us")
-    }),
-
-    // ---- the SAME semantics written as a NAIVE range join, fixed by
-    //      the Catalyst optimizer rule (plans/RangeBinJoinRule): the
-    //      rule rewrites the nested-loop shape into the bin equi-join
-    //      inside this query, and the driver's oracle hash-verifies
-    //      the rewrite end-to-end ----
-    "q_interval_join_rule" -> ((s, dir) => {
-      graft.GraftExtensions.register(s)
-      val prev = try Some(s.conf.get("graft.rules.intervalJoin.binUs"))
-        catch { case _: Throwable => None }
-      s.conf.set("graft.rules.intervalJoin.binUs", "7200000000")
-      try {
-        val ev = eventsUs(s, dir)
-        val points = ev.filter(col("event_type") === "view")
-          .select(col("event_id"), col("user_id"), col("ts_us"))
-        val iv = ev.filter(col("event_type") === "purchase" &&
-            col("event_id") % 40 === 0)
-          .select(col("event_id").as("iv_id"),
-            col("ts_us").as("start_us"),
-            (col("ts_us") + 7200000000L).as("end_us"))
-        // the naive join Catalyst would nested-loop; the rule fixes it
-        val out = points.join(iv,
-            col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
-          .select("event_id", "user_id", "ts_us", "iv_id", "start_us")
-        out.cache().count() // materialize while the conf is set
-        out
-      } finally prev match {
-        case Some(v) => s.conf.set("graft.rules.intervalJoin.binUs", v)
-        case None => s.conf.unset("graft.rules.intervalJoin.binUs")
-      }
-    }),
-
-    // ---- analytic window functions: lag/lead/first/last/ntile ----
-    "q_window_analytics" -> ((s, dir) => {
-      val order = Window.partitionBy("user_id")
-        .orderBy(col("ts").asc, col("event_id").asc)
-      val frame = order.rowsBetween(Window.unboundedPreceding,
-        Window.unboundedFollowing)
-      events(s, dir).select(
-        col("user_id"), col("event_id"),
-        lag(col("event_id"), 1).over(order).as("prev_id"),
-        lead(col("event_id"), 1).over(order).as("next_id"),
-        first(col("event_id")).over(frame).as("first_id"),
-        last(col("event_id")).over(frame).as("last_id"),
-        ntile(4).over(order).as("quartile"))
-    }),
-
-    // ---- left outer join with null-group aggregation ----
-    "q_left_join" -> ((s, dir) => {
-      val customer = t(s, dir, "customer")
-      val bigOrders = t(s, dir, "orders")
-        .filter(col("o_totalprice") >= 200000)
-      customer.join(bigOrders,
-          col("c_custkey") === col("o_custkey"), "left")
-        .groupBy(col("c_custkey"))
-        .agg(count(col("o_orderkey")).as("n_big_orders"),
-          dsum(coalesce(col("o_totalprice"), lit(0.0))).as("big_total"))
-    }),
-
-    // ---- PII redaction (emails/phone runs → placeholders) ----
-    "q_pii_redact" -> ((s, dir) => {
-      events(s, dir).select(
-        col("event_id"),
-        TextStats.redactPii(concat_ws(" ",
-          lit("contact"),
-          concat(col("event_type"), lit("@example.com")),
-          lit("tel"),
-          (col("user_id") * 1234567).cast(StringType))).as("redacted"))
-    }),
-
-    // ---- dedup cluster resolution over near-dup pairs (no oracle) ----
-    "q_dedup_resolve" -> ((s, dir) =>
-      Dedup.resolveClusters(
-        Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-          minJaccard = 0.2))),
-
-    // ---- cluster resolution over EXACT cosine pairs — the same
-    //      resolveClusters, but with a deterministic pair producer so a
-    //      DuckDB recursive CTE (min-label connected components) can
-    //      oracle the clustering itself ----
-    "q_dedup_resolve_exact" -> ((s, dir) =>
-      Dedup.resolveClusters(
-        Similarity.cosinePairs(t(s, dir, "embeddings"), threshold = 0.45)
-          .select(col("a_id").as("doc_a"), col("b_id").as("doc_b")))
-        .select(col("doc_id").cast(LongType).as("doc_id"),
-          col("canonical_id").cast(LongType).as("canonical_id"))),
-
-    // ---- survivor selection after clustering: keep the best-quality
-    //      member of each duplicate cluster (score = n_chars of the
-    //      matching document, deterministic in both engines), ties to
-    //      the smaller id. ONE max_by aggregate — no corpus window ----
-    "q_dedup_keepbest" -> ((s, dir) => {
-      val labels = Dedup.resolveClusters(
-        Similarity.cosinePairs(t(s, dir, "embeddings"), threshold = 0.45)
-          .select(col("a_id").as("doc_a"), col("b_id").as("doc_b")))
-        .select(col("doc_id").cast(LongType).as("doc_id"),
-          col("canonical_id").cast(LongType).as("canonical_id"))
-      val scores = t(s, dir, "documents")
-        .select(col("doc_id"), col("n_chars").cast(DoubleType).as("score"))
-      Dedup.keepBest(labels, scores)
-    }),
-
-    // ---- GENERATED ALWAYS AS columns (Delta writer feature): the
-    //      source omits o_year, the table computes year(o_orderdate)
-    //      at write; the predicate UPDATE shifts a key slice's dates
-    //      across a year boundary and the generated column recomputes
-    //      from the POST-update row — the read-back must equal the
-    //      relational expression at every row ----
-    "q_generated_col" -> ((s, dir) => {
-      val orders = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderdate"),
-          col("o_totalprice"))
-      val tdir = java.nio.file.Files
-        .createTempDirectory("graft_genc").toString
-      val rt = graft.tables.ResourceTable(s, s"$tdir/o.parquet")
-      rt.createIfNotExists(StructType(orders.schema.fields :+
-        StructField("o_year", IntegerType)))
-      rt.addGeneratedColumn("o_year", "year(o_orderdate)")
-      rt.upsert(orders, "o_orderkey")
-      rt.updateWhere(col("o_orderkey") % 1000 === 0,
-        Map("o_orderdate" ->
-          (col("o_orderdate") + expr("INTERVAL 366 DAYS"))))
-      rt.read().select(col("o_orderkey"), col("o_year"))
-    }),
-
-    // ---- GENERATED ALWAYS AS IDENTITY (Delta writer feature 6):
-    //      three appended batches each claim the next contiguous id
-    //      range off the table's high-water mark; deleting a whole
-    //      batch does NOT recycle its range (Delta's documented gap
-    //      semantics). WHICH row of a batch gets WHICH id is
-    //      partition-layout dependent, so the gate keys each surviving
-    //      row by its batch (doc_id % 3) — the (batch, id-range)
-    //      mapping is exact and DuckDB replays it as generate_series ----
-    "q_identity_col" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
-      val tdir = java.nio.file.Files
-        .createTempDirectory("graft_ident").toString
-      val rt = graft.tables.ResourceTable(s, s"$tdir/d.parquet")
-      rt.createIfNotExists(StructType(Seq(
-        StructField("doc_id", LongType), StructField("lang", StringType),
-        StructField("rid", LongType))))
-      rt.addIdentityColumn("rid")
-      val a = docs.filter(col("doc_id") % 3 === 0)
-      rt.append(a)
-      rt.append(docs.filter(col("doc_id") % 3 === 1))
-      rt.deleteMatching(a.select("doc_id"), "doc_id")
-      rt.append(docs.filter(col("doc_id") % 3 === 2))
-      rt.read().select((col("doc_id") % 3).as("batch"), col("rid"))
-    }),
-
-    // ---- rank-weighted per-host keep quotas (the consumption side
-    //      of host ranking): each source keeps ceil(10·rank/maxRank)
-    //      docs by ascending id — integer ceil-DIV quota math over a
-    //      broadcast host table + one per-host ranking window ----
-    "q_host_quota" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val ranks = docs.groupBy(col("source").as("node"))
-        .agg(sum(col("n_chars")).as("rank"))
-      graft.ops.Graph.keepByHostRank(docs, "source", col("doc_id"),
-          ranks, maxPerHost = 10)
-        .select(col("doc_id"), col("source"))
-    }),
-
-    // ---- count-min sketch (Cormode-Muthukrishnan): d=4 × w=1024
-    //      integer-count frequency sketch of the corpus token
-    //      distribution — bounded memory however large the key space;
-    //      probed estimates are overestimate-only (est >= exact).
-    //      Integer sums + the splitmix hash family make the WHOLE
-    //      sketch exactly oracle-replayable, unlike HLL/GK ----
-    "q_cms_heavy" -> ((s, dir) => {
-      import s.implicits._
-      val docs = t(s, dir, "documents")
-      val sketch = graft.ops.TextStats.cmsSketch(docs, "text")
-      val probes = CmsProbeWords.toDF("word")
-      val est = graft.ops.TextStats.cmsEstimate(sketch, probes)
-      val exact = docs
-        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
-        .filter(length(col("tok")) > 0)
-        .groupBy("tok").agg(count(lit(1)).as("exact"))
-      est.join(exact, est("word") === exact("tok"), "left")
-        .select(col("word"), col("est"),
-          coalesce(col("exact"), lit(0L)).as("exact"))
-    }),
-
-    // ---- DSIR importance-resampling selection (Xie et al. 2023):
-    //      hashed-token bag models of target (lang 'de') vs raw
-    //      corpus, add-1 smoothed; per-doc importance log-weight is a
-    //      ROW-LOCAL dot product against the 64 inlined model deltas
-    //      (zero joins — the literal-model k-means pattern), then one
-    //      bounded top-k. Doubles fold in fixed bucket order, so the
-    //      oracle's ordered list_reduce replays the ranking exactly ----
-    "q_dsir_select" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      graft.ops.Sampling.dsirSelect(
-        docs.filter(col("lang") =!= "de"),
-        docs.filter(col("lang") === "de"),
-        "doc_id", "text", k = 50)
-    }),
-
-    // ---- trained quality classifier (fastText-shaped linear model,
-    //      batch perceptron over hash_embed buckets): integer-exact
-    //      training on the even-doc_id half against a length-quality
-    //      label (the corpus's lang/source columns are DRAWN FROM ONE
-    //      WORD POOL — unlearnable by construction; n_chars ≥ 300 is
-    //      a genuinely linear target the model hits ~97% on), every
-    //      doc scored by the learned margin. The discriminative
-    //      member of the quality triad (heuristics / LM / learned) ----
-    "q_perceptron_filter" -> ((s, dir) =>
-      graft.ops.Classifier.perceptronFilter(t(s, dir, "documents"),
-        labelCol = col("n_chars") >= 300L,
-        trainPred = col("doc_id") % 2 === 0)),
-
-    // ---- host-graph PageRank (fixed-point integer, 3 iterations):
-    //      the link-analysis quality signal web-scale pipelines weight
-    //      documents by. Edges: customer→supplier per lineitem (with
-    //      multiplicity — the raw link-graph shape) + supplier→customer
-    //      back-edges for first line items, so mass propagates through
-    //      real cycles; node ids namespaced (cust*10 / supp*10+1).
-    //      Integer ranks are order-independent, so DuckDB replays all
-    //      3 unrolled iterations bit-for-bit with BIGINT // division ----
-    "q_pagerank" -> ((s, dir) => {
-      val j = t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"),
-          col("l_orderkey") === col("o_orderkey"))
-      val fwd = j.select((col("o_custkey") * 10).as("src"),
-        (col("l_suppkey") * 10 + 1).as("dst"))
-      val rev = j.filter(col("l_linenumber") === 1)
-        .select((col("l_suppkey") * 10 + 1).as("src"),
-          (col("o_custkey") * 10).as("dst"))
-      graft.ops.Graph.pageRank(fwd.unionByName(rev), "src", "dst",
-          iterations = 3)
-        .select(col("node"), col("rank"))
-    }),
-
-    // ---- distributed k-means (spherical Lloyd's, k=4, 2 iterations):
-    //      row-local argmax-cosine assignment against inlined literal
-    //      centroids (zero joins/shuffles per scan) + one exact
-    //      fixed-point aggregate per update. DuckDB replays the whole
-    //      chain — init from the 4 smallest ids, both updates, final
-    //      assignment — from the same parquet ----
-    "q_kmeans" -> ((s, dir) =>
-      graft.ops.Clustering.kmeansAssign(t(s, dir, "embeddings"),
-        k = 4, iters = 2)
-        .select(col("vec_id").cast(LongType).as("vec_id"),
-          col("cluster"))),
-
-    // ---- cluster-balanced downsample: at most 10 members per k-means
-    //      cluster, chosen by salted-md5 rank (engine-replayable) —
-    //      the topic-capping step after clustering ----
-    "q_cluster_capped" -> ((s, dir) =>
-      graft.ops.Clustering.clusterCapped(
-        graft.ops.Clustering.kmeansAssign(t(s, dir, "embeddings"),
-          k = 4, iters = 2)
-          .select(col("vec_id").cast(LongType).as("vec_id"),
-            col("cluster")),
-        "vec_id", "cap1", perCluster = 10)),
-
-    // ---- leakage-safe split: split by the near-dup CLUSTER root, so
-    //      train/test never shares a near-duplicate pair — the
-    //      contamination uniform hash splits cannot prevent ----
-    "q_split_leakage_safe" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val labels = Dedup.resolveClusters(
-        Similarity.cosinePairs(emb, threshold = 0.45)
-          .select(col("a_id").as("doc_a"), col("b_id").as("doc_b")))
-        .select(col("doc_id").cast(LongType).as("doc_id"),
-          col("canonical_id").cast(LongType).as("canonical_id"))
-      graft.ops.Sampling.leakageSafeSplit(
-        emb.select(col("vec_id").cast(LongType).as("vec_id")),
-        "vec_id", labels, "doc_id", "canonical_id", "ls1",
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .select(col("vec_id"), col("root_id"), col("split"))
-    }),
-
-    // ---- the SQL entry point itself + correlated scalar subquery:
-    //      identical SQL text runs on spark.sql and the oracle ----
-    "q_scalar_subquery" -> ((s, dir) => {
-      t(s, dir, "orders").createOrReplaceTempView("orders_v")
-      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
-      s.sql(
-        """SELECT o_orderkey,
-          |  (SELECT count(*) FROM lineitem_v l
-          |   WHERE l.l_orderkey = o.o_orderkey) AS n_items,
-          |  (SELECT sum(l_quantity) FROM lineitem_v l
-          |   WHERE l.l_orderkey = o.o_orderkey) AS total_qty
-          |FROM orders_v o""".stripMargin)
-    }),
-
-    // ---- §2.4 A3 distinct ----
-    "q_distinct" -> ((s, dir) => {
-      t(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
-    }),
-
-    // ---- §2.9 order by + limit (deterministic tie-break) ----
-    "q_topn" -> ((s, dir) => {
-      t(s, dir, "orders")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-        .limit(10)
-        .select("o_orderkey", "o_totalprice")
-    }),
-
-    // ---- §2.6 J1 MERGE upsert semantics (pure-query form) ----
-    "q_merge_upsert" -> ((s, dir) => {
-      val customer = t(s, dir, "customer")
-      val source = customer.filter(col("c_custkey") % 10 === 0)
-        .select(col("c_custkey"), upper(col("c_name")).as("c_name"),
-          col("c_nationkey"), (col("c_acctbal") + 1000).as("c_acctbal"),
-          col("c_mktsegment"))
-      ResourceTable.mergeUpsert(customer, source, "c_custkey")
-    }),
-
-    // ---- ROW TRACKING (Delta fresh row ids): three appended batches
-    //      claim contiguous id ranges off the commit-carried mark;
-    //      a deletion-vector delete of the whole first batch kills
-    //      its rows IN PLACE, so every surviving row keeps its id
-    //      (positions never move under a DV). WHICH row of a batch
-    //      holds WHICH id is layout-dependent; the (batch, id-range)
-    //      mapping is exact and DuckDB replays it as row_number
-    //      series — same convention as q_identity_col ----
-    "q_row_ids" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
-      val tdir = java.nio.file.Files
-        .createTempDirectory("graft_rowid").toString
-      val rt = graft.tables.ResourceTable(s, s"$tdir/d.parquet")
-      rt.createIfNotExists(StructType(Seq(
-        StructField("doc_id", LongType), StructField("lang", StringType))))
-      rt.enableRowTracking()
-      rt.enableDeletionVectors()
-      val a = docs.filter(col("doc_id") % 3 === 0)
-      rt.append(a)
-      rt.append(docs.filter(col("doc_id") % 3 === 1))
-      rt.append(docs.filter(col("doc_id") % 3 === 2))
-      rt.deleteMatching(a.select("doc_id"), "doc_id")
-      rt.readWithRowIds()
-        .select((col("doc_id") % 3).as("batch"), col("_row_id"))
-    }),
-
-    // ---- OPTIMISTIC MULTI-WRITER COMMITS (Delta ConflictChecker
-    //      shape): four genuinely concurrent writers upsert disjoint
-    //      key slices of orders into ONE table. Losing writers with
-    //      logically-disjoint commits REBASE their already-written
-    //      files onto the new head (zero recompute) instead of
-    //      re-running; overlap would force a re-run. Either path is
-    //      serializable, so the final content is deterministic — the
-    //      gate additionally asserts the history stayed linear (one
-    //      commit per writer, no lost updates) ----
-    "q_concurrent_upsert" -> ((s, dir) => {
-      val customer = t(s, dir, "customer")
-        .select(col("c_custkey"), col("c_acctbal"))
-      val tdir = java.nio.file.Files
-        .createTempDirectory("graft_occ").toString
-      val path = s"$tdir/c.parquet"
-      graft.tables.ResourceTable(s, path).createIfNotExists(
-        StructType(Seq(StructField("c_custkey", LongType),
-          StructField("c_acctbal", DoubleType))))
-      val failures =
-        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-      val threads = (0 until 4).map { w =>
-        new Thread(() => {
-          try graft.tables.ResourceTable(s, path)
-            .upsert(customer.filter(col("c_custkey") % 4 === w),
-              "c_custkey"): Unit
-          catch { case e: Throwable => failures.add(e) }
-        })
-      }
-      threads.foreach(_.start()); threads.foreach(_.join())
-      require(failures.isEmpty, s"writer failed: ${failures.peek()}")
-      val rt = graft.tables.ResourceTable(s, path)
-      require(rt.latestVersion.contains(4L),
-        s"history not linear: ${rt.latestVersion}")
-      rt.read()
-    }),
-
-    // ---- §2.6 J2 MERGE delete semantics (anti join) ----
-    "q_merge_delete" -> ((s, dir) => {
-      val orders = t(s, dir, "orders")
-      val buildingCust = t(s, dir, "customer")
-        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
-      ResourceTable.mergeDelete(orders, buildingCust, "o_custkey")
-    }),
-
-    // ---- deletion-vector DELETE (J2 at O(deleted rows)): two DV
-    //      deletes mark rows dead by roaring bitmap — zero data files
-    //      rewritten (the fixture asserts the manifest is unchanged) —
-    //      and the snapshot read drops the dead positions. The oracle
-    //      replays the deletes as a filter over the same source ----
-    "q_delete_dv" -> ((s, dir) =>
-      dvDemo(s, dir).read()
-        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
-          col("c_acctbal"), col("c_mktsegment"))),
-
-    // ---- CHANGE DATA FEED export (Delta cdc actions + _change_data
-    //      files): the exported log's change files, read back as plain
-    //      parquet, must equal the changes the mutations made — update
-    //      pre/post pairs from the MERGE, delete images (post-update
-    //      values!) from the DV kill. DuckDB replays both ----
-    "q_cdf_export" -> ((s, dir) => {
-      val tab = cdfDemo(s, dir)
-      s.read.parquet(s"${tab.path}/_change_data")
-        .select(col("c_custkey"), col("c_acctbal"),
-          col("_change_type").as("change_type"))
-    }),
-
-    // ---- metadata-only COUNT(*) via the Catalyst rule: with
-    //      GraftExtensions registered, count(*) over the pre-DV
-    //      snapshot COLLAPSES to a LocalRelation (zero files opened —
-    //      MetadataAggSpec asserts the plan); the DV-bearing head
-    //      plans its anti-join normally and counts through it, so
-    //      both legs stay exact ----
-    "q_count_metadata" -> ((s, dir) => {
-      graft.GraftExtensions.register(s)
-      val tab = dvDemo(s, dir)
-      val v0 = tab.latestVersion.get - 2
-      tab.readVersion(v0).agg(count(lit(1)).as("cnt_v0"),
-          min(col("c_custkey")).as("min_key"),
-          max(col("c_custkey")).as("max_key"))
-        .crossJoin(tab.read().agg(count(lit(1)).as("cnt_live")))
-    }),
-
-    // ---- metadata-only aggregates (Delta "metadata-only query"):
-    //      COUNT(*) and numeric MIN/MAX answered from the commit
-    //      manifest alone — zero data files opened, no Spark job.
-    //      The pre-DV version's min/max is provably exact; the head
-    //      (DV-bearing) min/max must REFUSE (the extremal row may be
-    //      dead) — the refusal is part of the contract and the gate ----
-    "q_stats_agg" -> ((s, dir) => {
-      import s.implicits._
-      val tab = dvDemo(s, dir)
-      val head = tab.latestVersion.get
-      val v0 = head - 2 // before the two DV deletes
-      val (mn, mx) = tab.statsMinMax("c_custkey", v0)
-        .getOrElse(sys.error("pre-DV min/max must be metadata-answerable"))
-      Seq((tab.statsCount(v0), tab.statsCount(),
-          mn.asInstanceOf[Long], mx.asInstanceOf[Long],
-          tab.statsMinMax("c_custkey").isEmpty))
-        .toDF("cnt_v0", "cnt_live", "min_key", "max_key",
-          "head_minmax_refused")
-    }),
-
-    // ---- REORG TABLE ... APPLY (PURGE) parity (J3 meets J2): files
-    //      whose DV dead fraction crossed the threshold are rewritten
-    //      (survivors materialized, DV cleared), the rest carry by
-    //      reference — O(purged bytes), never O(table). Same oracle
-    //      shape as q_delete_dv: the purge must not change logical
-    //      content, so DuckDB replays the deletes as a filter ----
-    "q_dv_purge" -> ((s, dir) =>
-      dvPurgeDemo(s, dir).read()
-        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
-          col("c_acctbal"), col("c_mktsegment"))),
-
-    // ---- left semi join (EXISTS) ----
-    "q_semi_join" -> ((s, dir) => {
-      val orders = t(s, dir, "orders")
-      val bigLines = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
-      orders.join(bigLines, col("o_orderkey") === col("l_orderkey"),
-          "left_semi")
-        .select("o_orderkey", "o_totalprice")
-    }),
-
-    // ---- set op: INTERSECT ----
-    "q_intersect" -> ((s, dir) => {
-      val orders = t(s, dir, "orders")
-      orders.filter(col("o_orderstatus") === "O").select("o_custkey")
-        .intersect(
-          orders.filter(col("o_orderstatus") === "F").select("o_custkey"))
-    }),
-
-    // ---- set op: UNION ALL ----
-    "q_union_all" -> ((s, dir) => {
-      t(s, dir, "supplier")
-        .select(col("s_suppkey").as("id"), lit("supplier").as("kind"))
-        .unionByName(t(s, dir, "customer")
-          .select(col("c_custkey").as("id"), lit("customer").as("kind")))
-    }),
-
-    // ---- §2.8 event-time tumbling window (streaming-shaped agg) ----
-    "q_time_window" -> ((s, dir) => {
-      events(s, dir)
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"),
-          sum(col("value").cast(DecimalType(18, 6)))
-            .cast(DoubleType).as("sum_val"))
-        .select(col("window.start").as("w_start"), col("event_type"),
-          col("cnt"), col("sum_val"))
-    }),
-
-    // ---- Structured Streaming in the gate: a real streaming query
-    //      (parquet file stream → event-time window agg → memory sink,
-    //      complete mode) whose final table must equal the batch
-    //      oracle — exactly-once stream/batch parity ----
-    "q_stream_window" -> ((s, dir) => {
-      val raw = t(s, dir, "events")
-      // the file-stream source needs a directory/glob base — a glob
-      // matching exactly events.parquet keeps the parent as basePath
-      val stream = s.readStream.schema(raw.schema)
-        .parquet(s"$dir/events.parque[t]")
-      val withTs =
-        if (raw.schema("ts").dataType == LongType)
-          stream.withColumn("ts",
-            expr("timestamp_micros(ts DIV 1000)").cast(TimestampNTZType))
-        else stream.withColumn("ts", col("ts").cast(TimestampNTZType))
-      val agg = withTs
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"))
-        .select(col("window.start").as("w_start"), col("event_type"),
-          col("cnt"))
-      val name = s"stream_window_${System.nanoTime()}"
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
-      // materialize before the sink table goes away
-      val out = s.table(name).cache()
-      out.count()
-      out
-    }),
-
-    // ---- the SAME streaming window aggregation under the ROCKSDB
-    //      state-store provider (+ changelog checkpointing) — the
-    //      out-of-core state path: per-key state lives in an embedded
-    //      LSM tree bounded by executor disk, not heap, and checkpoint
-    //      cost is O(batch) deltas. Drop-in for every stateful op in
-    //      this file; shares q_stream_window's oracle — the provider
-    //      must not change a single row ----
-    "q_stream_rocksdb" -> ((s, dir) =>
-      graft.streaming.StatefulOps.withRocksDbState(s) {
-        val raw = t(s, dir, "events")
-        val stream = s.readStream.schema(raw.schema)
-          .parquet(s"$dir/events.parque[t]")
-        val withTs =
-          if (raw.schema("ts").dataType == LongType)
-            stream.withColumn("ts",
-              expr("timestamp_micros(ts DIV 1000)").cast(TimestampNTZType))
-          else stream.withColumn("ts", col("ts").cast(TimestampNTZType))
-        val agg = withTs
-          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("cnt"))
-          .select(col("window.start").as("w_start"), col("event_type"),
-            col("cnt"))
-        val name = s"stream_rocksdb_${System.nanoTime()}"
-        val q = agg.writeStream.format("memory").queryName(name)
-          .outputMode("complete").start()
-        try q.processAllAvailable() finally q.stop()
-        val out = s.table(name).cache()
-        out.count()
-        out
-      }),
-
-    // ---- ARBITRARY STATEFUL STREAMING (Spark 4 transformWithState):
-    //      per-key running count/sum over three ordered micro-batches,
-    //      one output row per key per batch it appears in. The
-    //      StatefulProcessor owns a named ValueState per key in
-    //      RocksDB (the API refuses the heap provider) — the custom-
-    //      state successor to flatMapGroupsWithState. Integer measure
-    //      (floor(value*100)) keeps every fold order-free, so DuckDB
-    //      replays the per-batch emissions as cumulative window sums
-    //      over the same batch split. MemoryStream feeding is gate
-    //      harness, not operator semantics ----
-    "q_stream_tws" -> ((s, dir) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      import graft.streaming.StatefulOps
-      val ev = t(s, dir, "events")
-        .select(col("event_type"), (col("event_id") % 3).as("b"),
-          floor(col("value") * 100).cast(LongType).as("m"))
-        .collect()
-      val stream = MemoryStream[StatefulOps.Contribution]
-      StatefulOps.withRocksDbState(s) {
-        val totals = StatefulOps.runningTotals(stream.toDS())
-        // stateful-operator cost is per-partition fixed overhead —
-        // pin the stream's shuffle partitions low (captured at START)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val name = s"stream_tws_${System.nanoTime()}"
-        val q =
-          try totals.toDF().writeStream.format("memory").queryName(name)
-            .outputMode("append").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        try for (b <- 0L to 2L) {
-          stream.addData(ev.filter(_.getLong(1) == b).map(r =>
-            StatefulOps.Contribution(r.getString(0), r.getLong(2))).toSeq)
-          q.processAllAvailable()
-        } finally q.stop()
-        val out = s.table(name).cache()
-        out.count()
-        out
-      }
-    }),
-
-    // ---- watermarked stream-stream LEFT-OUTER range join in the gate:
-    //      views attributed to purchases within 10 minutes; unmatched
-    //      views are RELEASED with null once the watermark proves no
-    //      purchase can arrive (two far-future sentinel batches advance
-    //      it; sentinels are filtered back out). MemoryStream feeding
-    //      is gate harness plumbing, not operator semantics — the
-    //      operator itself holds bounded state keyed by the watermark ----
-    // ---- benchmark decontamination: char-5-gram overlap of the
-    //      corpus (doc_id % 50 != 0) against a broadcast holdout set
-    //      (doc_id % 50 == 0) ----
-    "q_decontaminate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      TextStats.contamination(
-        docs.filter(col("doc_id") % 50 =!= 0),
-        docs.filter(col("doc_id") % 50 === 0))
-    }),
-
-    // ---- decontamination at unbroadcastable benchmark scale: Bloom
-    //      membership gate on the corpus scan (codegen'd two-hash
-    //      probe, no join) + exact confirm on the survivors only.
-    //      Shares q_decontaminate's oracle — bloom+confirm must equal
-    //      the exact set intersection bit-for-bit ----
-    "q_decontaminate_bloom" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      TextStats.contaminationBloom(
-        docs.filter(col("doc_id") % 50 =!= 0),
-        docs.filter(col("doc_id") % 50 === 0))
-    }),
-
-    // ---- SemDeDup: IVF-cell coarse quantization, then keep-first
-    //      embedding dedup within each cell (drop a vector if an
-    //      EARLIER same-cell vector is within cosine 0.4). Candidate
-    //      work is O(sum cell^2) on the cell shuffle key, never
-    //      corpus^2. Exact-oracled: the deterministic centroids are
-    //      inlined into the SQL and DuckDB replays the same
-    //      assignment + NOT EXISTS predicate (nearest within-cell
-    //      pair sits ~1.7e-3 from the threshold at sf0.01) ----
-    "q_dedup_semdedup" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      graft.ops.Dedup.semDedup(emb, threshold = 0.4, nCells = 8,
-          dim = 64)
-        .select(col("vec_id"), col("label"))
-    }),
-
-    // ---- semantic decontamination: corpus embeddings within cosine
-    //      0.45 of a benchmark embedding probing their IVF cell are
-    //      dropped — the leakage n-gram decontamination misses.
-    //      Benchmark side fans out to its 2 nearest cells and is
-    //      broadcast; the anti-join carries `cell` as a hash equi-key
-    //      (BroadcastHashJoin, not a nested loop), so each corpus row
-    //      scores only against benchmark vectors sharing its cell —
-    //      O(N·B·probes/nCells) and the corpus never shuffles.
-    //      Exact-oracled: the deterministic centroids are inlined and
-    //      DuckDB replays the same assignment + NOT EXISTS predicate ----
-    "q_decontaminate_semantic" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      graft.ops.Similarity.semanticDecontaminateIvf(
-          emb.filter(col("vec_id") >= 50),
-          emb.filter(col("vec_id") < 50), threshold = 0.45,
-          nCells = 8, dim = 64, probes = 2)
-        .select(col("vec_id"), col("label"))
-    }),
-
-    // ---- RETROACTIVE decontamination of a live table: the benchmark
-    //      arrives AFTER ingest, contaminated docs (char-25-gram
-    //      overlap ratio >= 0.5) are purged via deletion-vector
-    //      deletes — zero data files rewritten (the fixture asserts
-    //      the manifest is unchanged), O(purged rows) not O(table).
-    //      At 100 TB a benchmark refresh otherwise means rewriting
-    //      every file that holds a contaminated doc. The oracle
-    //      replays identify+delete as a NOT-IN filter over the same
-    //      deterministic shingle overlap ----
-    "q_decontaminate_retro" -> ((s, dir) =>
-      retroDemo(s, dir)._1.read()
-        .select(col("doc_id"), col("lang"), col("source"),
-          col("n_chars"))),
-
-    // ---- the same purge as seen by a DOWNSTREAM consumer: CDF of
-    //      the delete commit emits exactly the purged docs as delete
-    //      events (file-granular — only files whose DV changed are
-    //      read), so incremental consumers (LSH index refresh, shard
-    //      rebuild) process O(purged) rows, never a table rescan ----
-    "q_decontaminate_retro_cdf" -> ((s, dir) => {
-      val (tab, v1, v2) = retroDemo(s, dir)
-      tab.changes(v1, v2, "doc_id")
-        .select(col("doc_id"), col("lang"),
-          col("_change_type").as("change_type"))
-    }),
-
-    // ---- time-series resample + gap-fill: hourly activity grid per
-    //      user over each user's own active span, missing hours
-    //      zero-filled (sequence+explode up-sample, then a left join
-    //      back to the observed buckets) ----
-    "q_resample" -> ((s, dir) => {
-      val hourUs = 3600000000L
-      val ev = eventsUs(s, dir).select(col("user_id"),
-        (col("ts_us") - (col("ts_us") % hourUs)).as("hr_us"))
-      val counts = ev.groupBy(col("user_id"), col("hr_us"))
-        .agg(count(lit(1)).as("cnt"))
-      val slots = counts.groupBy(col("user_id"))
-        .agg(min(col("hr_us")).as("lo"), max(col("hr_us")).as("hi"))
-        .select(col("user_id"),
-          explode(sequence(col("lo"), col("hi"), lit(hourUs))).as("hr_us"))
-      slots.join(counts, Seq("user_id", "hr_us"), "left")
-        .select(col("user_id"), col("hr_us"),
-          coalesce(col("cnt"), lit(0L)).as("cnt"),
-          col("cnt").isNull.as("is_gap"))
-    }),
-
-    // ---- gap-fill with LOCF interpolation: hourly max(value) per
-    //      user, missing hours carry the last observed value forward
-    //      (last(ignoreNulls) over a rows window) ----
-    "q_gap_ffill" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val hourUs = 3600000000L
-      val ev = eventsUs(s, dir).select(col("user_id"),
-        (col("ts_us") - (col("ts_us") % hourUs)).as("hr_us"), col("value"))
-      val hourly = ev.groupBy(col("user_id"), col("hr_us"))
-        .agg(max(col("value")).as("v"))
-      val slots = hourly.groupBy(col("user_id"))
-        .agg(min(col("hr_us")).as("lo"), max(col("hr_us")).as("hi"))
-        .select(col("user_id"),
-          explode(sequence(col("lo"), col("hi"), lit(hourUs))).as("hr_us"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("hr_us"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      slots.join(hourly, Seq("user_id", "hr_us"), "left")
-        .select(col("user_id"), col("hr_us"),
-          last(col("v"), ignoreNulls = true).over(w).as("v_ffill"),
-          col("v").isNull.as("is_filled"))
-        .filter(col("user_id") < 200)
-    }),
-
-    // ---- stream-stream LEFT SEMI range join: "views that converted
-    //      within 10 minutes", emitted as soon as the match arrives —
-    //      no watermark wait for matched rows, state still bounded by
-    //      the range condition + watermarks ----
-    "q_stream_semi_join" -> ((s, dir) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val ev = eventsUs(s, dir)
-        .select(col("event_id"), col("ts_us"), col("user_id"),
-          col("event_type"))
-        .filter(col("event_type").isin("view", "purchase"))
-        .collect()
-      val views = MemoryStream[(Long, Long, Long)]
-      val purch = MemoryStream[(Long, Long, Long)]
-      def tup(r: org.apache.spark.sql.Row) =
-        (r.getLong(0), r.getLong(1), r.getLong(2))
-      views.addData(ev.filter(_.getString(3) == "view").map(tup).toSeq)
-      purch.addData(ev.filter(_.getString(3) == "purchase").map(tup).toSeq)
-      val vDf = views.toDF().toDF("v_id", "v_ts_us", "user_id")
-        .withColumn("v_ts", expr("timestamp_micros(v_ts_us)"))
-      val pDf = purch.toDF().toDF("p_id", "p_ts_us", "p_user")
-        .withColumn("p_ts", expr("timestamp_micros(p_ts_us)"))
-      val joined = graft.streaming.StreamOps.eventTimeRangeJoin(
-        vDf, pDf, "v_ts", "p_ts", col("p_user") === col("user_id"),
-        maxDelay = "10 minutes", joinType = "left_semi")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val name = s"stream_semi_${System.nanoTime()}"
-      val q =
-        try joined.writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try q.processAllAvailable() finally q.stop()
-      val out = s.table(name)
-        .select(col("v_id"), col("user_id"), col("v_ts_us")).cache()
-      out.count()
-      out
-    }),
-
-    "q_stream_outer_join" -> ((s, dir) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val ev = eventsUs(s, dir)
-        .select(col("event_id"), col("ts_us"), col("user_id"),
-          col("event_type"))
-        .filter(col("event_type").isin("view", "purchase"))
-        .collect()
-      val views = MemoryStream[(Long, Long, Long)]
-      val purch = MemoryStream[(Long, Long, Long)]
-      def tup(r: org.apache.spark.sql.Row) =
-        (r.getLong(0), r.getLong(1), r.getLong(2))
-      views.addData(ev.filter(_.getString(3) == "view").map(tup).toSeq)
-      purch.addData(ev.filter(_.getString(3) == "purchase").map(tup).toSeq)
-      val maxTs = ev.map(_.getLong(1)).max
-      val vDf = views.toDF().toDF("v_id", "v_ts_us", "user_id")
-        .withColumn("v_ts", expr("timestamp_micros(v_ts_us)"))
-      val pDf = purch.toDF().toDF("p_id", "p_ts_us", "p_user")
-        .withColumn("p_ts", expr("timestamp_micros(p_ts_us)"))
-      val joined = graft.streaming.StreamOps.eventTimeRangeJoinOuter(
-        vDf, pDf, "v_ts", "p_ts", col("p_user") === col("user_id"),
-        maxDelay = "10 minutes")
-      // Stateful-operator cost here is per-partition fixed overhead
-      // (state store open/commit/eviction × partitions × sides ×
-      // batches), not row throughput — pin the stream's shuffle
-      // partitions low; the conf is captured at query START, so restore
-      // right after. (On a real cluster you'd size this to executors.)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val name = s"stream_outer_${System.nanoTime()}"
-      val q =
-        try joined.writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try {
-        q.processAllAvailable()
-        // two sentinel rounds: watermark advances at batch END, and the
-        // eviction that releases unmatched rows runs in the NEXT batch
-        for (day <- 1 to 2) {
-          val ts = maxTs + day * 86400000000L
-          views.addData(Seq((-1L, ts, -1L)))
-          purch.addData(Seq((-1L, ts, -1L)))
-          q.processAllAvailable()
-        }
-      } finally q.stop()
-      val out = s.table(name)
-        .filter(col("user_id") >= 0)
-        .select(col("v_id"), col("user_id"), col("v_ts_us"),
-          coalesce(col("p_id"), lit(-1L)).as("p_id"),
-          coalesce(col("p_ts_us"), lit(-1L)).as("p_ts_us"))
-        .cache()
-      out.count()
-      out
-    }),
-
-    // ---- the REAL ingest path in the gate: bundles synthesized from
-    //      orders go through BatchProcessor (prepare → dedup → encode
-    //      → ResourceTable upsert), then the table is read back; its
-    //      id set must equal the relational oracle ----
-    "q_ingest_e2e" -> ((s, dir) => {
-      val bundles = t(s, dir, "orders").select(
-        to_json(struct(array(struct(
-          to_json(struct(
-            lit("Patient").as("resourceType"),
-            col("o_orderkey").cast(StringType).as("id"),
-            (col("o_orderstatus") === "O").as("active"))).as("resource"),
-          struct(lit("PUT").as("method"),
-            concat_ws("/", lit("Patient"), col("o_orderkey")).as("url"))
-            .as("request"))).as("entry"))).as("value"),
-        lit(0).as("partition"),
-        col("o_orderkey").as("offset"))
-      val tableDir = java.nio.file.Files
-        .createTempDirectory("graft_ingest").toString
-      val bp = new graft.pipeline.BatchProcessor(tableDir, upkeepInterval = 0)
-      bp.processBatch(
-        graft.pipeline.BundlePipeline.prepare(bundles), batchId = 1)
-      graft.tables.ResourceTable(s, s"$tableDir/Patient.parquet")
-        .read().select(col("id"), col("active"))
-    }),
-
-    // ---- T5 as a CORRECTNESS gate (not just ScaleBench-measured):
-    //      the engine's real N+1 fan-out — Engine.start over a journal
-    //      file source, THREE typed queries (Patient/Observation/
-    //      Encounter) plus the default catch-all (Procedure lands
-    //      there), Trigger.AvailableNow drain, per-type tables read
-    //      back and union-compared against the relational oracle.
-    //      PUT-then-DELETE at a higher offset for every 10th key also
-    //      exercises W1's latest-wins across the fan-out (the analogue
-    //      of the reference's only integration assertion,
-    //      test_deployment_in_k8s.py:55–60) ----
-    "q_fanout_e2e" -> ((s, dir) => {
-      import graft.streaming.{Engine, Settings}
-      val typeOf = element_at(
-        array(lit("Patient"), lit("Observation"), lit("Encounter"),
-          lit("Procedure")),
-        (col("o_orderkey") % 4 + 1).cast(IntegerType))
-      // every 3rd order: plenty of rows per type, bounded gate cost
-      val orders = t(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
-      def envelope(offset: Column, bundle: Column) =
-        to_json(struct(lit("fhir.msg").as("topic"),
-          lit(0).as("partition"), offset.as("offset"),
-          bundle.as("bundle"))).as("value")
-      val puts = orders.select(envelope(col("o_orderkey") * 2,
-        to_json(struct(array(struct(
-          to_json(struct(typeOf.as("resourceType"),
-            col("o_orderkey").cast(StringType).as("id"))).as("resource"),
-          struct(lit("PUT").as("method"),
-            concat_ws("/", typeOf, col("o_orderkey")).as("url"))
-            .as("request"))).as("entry")))))
-      val deletes = orders.filter(col("o_orderkey") % 10 === 0)
-        .select(envelope(col("o_orderkey") * 2 + 1,
-          to_json(struct(array(struct(
-            lit(null).cast(StringType).as("resource"),
-            struct(lit("DELETE").as("method"),
-              concat_ws("/", typeOf, col("o_orderkey")).as("url"))
-              .as("request"))).as("entry")))))
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_fanout").toString
-      puts.unionAll(deletes).write.mode("overwrite")
-        .text(s"$base/journal")
-      val settings = Settings(
-        checkpointDir = s"$base/checkpoint",
-        deltaDatabaseDir = s"$base/delta",
-        resourceTypes = Seq("Patient", "Observation", "Encounter"),
-        upkeepInterval = 0,
-        triggerAvailableNow = true)
-      val queries = Engine.start(
-        graft.sources.FileBundleSource.stream(s, s"$base/journal"),
-        settings)
-      try queries.foreach(_.awaitTermination())
-      finally queries.foreach(_.stop())
-      Seq("Patient", "Observation", "Encounter", "Procedure").map { rt =>
-        graft.tables.ResourceTable(s, s"$base/delta/$rt.parquet")
-          .read().select(lit(rt).as("resource_type"), col("id"))
-      }.reduce(_ unionAll _)
-    }),
-
-    // ---- §2.2 P1 casts across types ----
-    "q_cast_types" -> ((s, dir) => {
-      t(s, dir, "lineitem").select(
-        col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity").cast(LongType).as("qty_int"),
-        col("l_orderkey").cast(StringType).as("key_str"),
-        col("l_shipdate").cast(DateType).cast(StringType).as("ship_date"))
-    }),
-
-    // ---- scalar expressions: CASE WHEN / coalesce / floor ----
-    "q_case_expr" -> ((s, dir) => {
-      t(s, dir, "lineitem").select(
-        col("l_orderkey"), col("l_linenumber"),
-        when(col("l_discount") >= 0.05, "hi")
-          .when(col("l_discount") >= 0.02, "mid")
-          .otherwise("lo").as("disc_band"),
-        floor(col("l_extendedprice")).as("price_floor"),
-        coalesce(lit(null).cast(StringType), col("l_returnflag")).as("rf"))
-    }),
-
-    // =============================================================
-    // LLM-data-pipeline operators (north star, first-class)
-    // =============================================================
-
-    // ---- exact dedup: hash groupBy ----
-    "q_dedup_exact" -> ((s, dir) =>
-      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
-
-    // ---- normalized content fingerprint (md5, oracle-matched) ----
-    "q_dedup_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
-    }),
-
-    // ---- MinHash + LSH near-dup candidates (no SQL oracle) ----
-    "q_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        minJaccard = 0.2)),
-
-    // ---- SimHash near-dup pairs (no SQL oracle) ----
-    "q_dedup_simhash" -> ((s, dir) =>
-      // maxHamming=3 — the canonical 64-bit simhash near-dup distance
-      // (Manku et al., WWW'07): 4 bands of 16 bits, small buckets.
-      // The operator's banding scales to any maxHamming (pigeonhole,
-      // maxHamming+1 bands), but wider distances legitimately cost
-      // more candidates — the gate exercises the standard config.
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3)),
-
-    // ---- exact n-gram Jaccard on LSH candidates (no SQL oracle) ----
-    "q_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        minJaccard = 0.1)),
-
-    // ---- HTML main-content extraction (boilerplate removal): the
-    //      docs wrapped in a deterministic page template (script/
-    //      style/nav/ad/footer chrome), then the extractor must
-    //      recover exactly the paragraph content — a true dual
-    //      implementation (Spark column algebra vs DuckDB SQL), not
-    //      an inlined-constant replay ----
-    "q_html_extract" -> ((s, dir) => {
-      val html = concat(
-        lit("<html><head><script>var x = 1 < 2;</script>" +
-          "<style>p{margin:0}</style></head>\n"),
-        lit("<!-- rendered by graft -->\n"),
-        lit("<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>\n"),
-        lit("<h1>"), col("source"), lit("</h1>\n"),
-        lit("<p>"), col("text"), lit(" &amp; more</p>\n"),
-        lit("<div><a href=\"/ad\">Sponsored</a></div>\n"),
-        lit("<footer>&copy; 2026 <a href=\"/t\">Terms</a></footer>\n"),
-        lit("</html>"))
-      TextStats.extractMainContent(
-        t(s, dir, "documents").withColumn("html", html))
-    }),
-
-    // ---- all-pairs bag-of-words similarity join: df-cut inverted-
-    //      index candidates (Bayardo WWW'07 shape) + exact integer
-    //      confirm; dot evidence column is exact BIGINT ----
-    "q_allpairs_sim" -> ((s, dir) =>
-      TextStats.allPairsSimilarity(t(s, dir, "documents"),
-        threshold = 0.8, dfCap = 100)),
-
-    // ---- embedding cosine near-dup pairs (exact, oracle-matched) ----
-    "q_dedup_embedding" -> ((s, dir) =>
-      Similarity.cosinePairs(t(s, dir, "embeddings"), threshold = 0.45)),
-
-    // ---- per-label embedding centroids (k-means E-step / IVF coarse
-    //      quantizer training): DECIMAL sums → order-independent,
-    //      engine-reproducible ----
-    "q_centroids" -> ((s, dir) =>
-      Similarity.centroids(t(s, dir, "embeddings"), "label", "embedding")),
-
-    // ---- int8 symmetric embedding quantization (the training-serving
-    //      compression step), exploded to scalar rows so the gate
-    //      hash-compares pure integers. q = floor(v·127/max|v| + 0.5):
-    //      identical-expression half-up rounding in both engines;
-    //      row-local, zero shuffles, codegen'd end to end ----
-    "q_quantize_embedding" -> ((s, dir) => {
-      t(s, dir, "embeddings")
-        .withColumn("_maxabs",
-          array_max(transform(col("embedding"), v => abs(v)))
-            .cast(DoubleType))
-        .select(col("vec_id"), col("_maxabs"),
-          posexplode(col("embedding")).as(Seq("idx", "v")))
-        .select(col("vec_id"), col("idx"),
-          floor(col("v").cast(DoubleType) * lit(127.0) / col("_maxabs")
-            + lit(0.5)).cast(IntegerType).as("qv"))
-    }),
-
-    // ---- ANN: brute-force cosine top-k (oracle-matched) ----
-    "q_ann_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.bruteForceTopK(
-        emb.filter(col("vec_id") < 3), emb.filter(col("vec_id") >= 3),
-        k = 10)
-    }),
-
-    // ---- Johnson–Lindenstrauss random projection 64→8 dims (exact:
-    //      Rademacher signs × fixed-point inputs — every component is
-    //      an integer), exploded to scalar rows for the hash compare ----
-    "q_rp_project" -> ((s, dir) =>
-      Similarity.randomProject(t(s, dir, "embeddings"), kOut = 8)
-        .select(col("vec_id"),
-          posexplode(col("rp")).as(Seq("pos", "comp")))
-        .select(col("vec_id"), col("pos").cast(LongType).as("pos"),
-          col("comp"))),
-
-    // ---- top-k in the 16-dim PROJECTED space (the JL memory/IO
-    //      trade); integer dots/norms make rank + dot evidence exact ----
-    "q_rp_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.rpTopK(
-        emb.filter(col("vec_id") < 3), emb.filter(col("vec_id") >= 3),
-        k = 10, kOut = 16)
-    }),
-
-    // ---- product quantization encode: sample-trained codebooks
-    //      (vec_id < 64, FAISS's bounded-sample contract), row-local
-    //      argmin over literal centroids — all integer-exact ----
-    "q_pq_encode" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val cb = pqMemo.computeIfAbsent(dir, _ => graft.ops.Pq.trainOn(emb))
-      graft.ops.Pq.encode(emb, cb)
-        .select(col("vec_id"),
-          posexplode(col("codes")).as(Seq("sub", "code")))
-    }),
-
-    // ---- PQ ADC top-k: m integer table lookups per candidate instead
-    //      of a dim-float loop; exact BIGINT adc evidence ----
-    "q_pq_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val cb = pqMemo.computeIfAbsent(dir, _ => graft.ops.Pq.trainOn(emb))
-      graft.ops.Pq.adcTopK(emb.filter(col("vec_id") < 3),
-        emb.filter(col("vec_id") >= 3), cb, topK = 10)
-    }),
-
-    // ---- PQ re-rank: ADC shortlists k·4 candidates, the exact
-    //      fixed-point distance re-ranks them — Jégou's accuracy
-    //      rescue, integer-exact through the oracle ----
-    "q_pq_rerank" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val cb = pqMemo.computeIfAbsent(dir, _ => graft.ops.Pq.trainOn(emb))
-      graft.ops.Pq.adcRerankTopK(emb.filter(col("vec_id") < 3),
-        emb.filter(col("vec_id") >= 3), cb, topK = 10, rerank = 4)
-    }),
-
-    // ---- CDF-maintained PQ codes: deleted/re-delivered vectors
-    //      leave the code table, new ones encode row-locally under
-    //      the UNCHANGED codebook (FAISS add/remove_ids shape) — the
-    //      gate proves refresh ≡ re-encode row-identically via a real
-    //      table's change feed, and the oracle replays the encode
-    //      chain over the post-change vectors with training pinned to
-    //      the original corpus ----
-    "q_pq_refresh" -> ((s, dir) => {
-      import s.implicits._
-      val emb = t(s, dir, "embeddings")
-      val cb = pqMemo.computeIfAbsent(dir, _ => graft.ops.Pq.trainOn(emb))
-      val tableDir = java.nio.file.Files
-        .createTempDirectory("graft_pq_refresh").toString
-      val tab = graft.tables.ResourceTable(s, s"$tableDir/emb.parquet")
-      tab.createIfNotExists(emb.select("vec_id", "embedding").schema)
-      tab.upsert(emb.select("vec_id", "embedding")
-        .filter(col("vec_id") % 10 =!= 0), "vec_id")
-      val v1 = tab.latestVersion.get
-      // inserts (the held-out %10 tranche) + updates (%7 vectors
-      // negated — a content change the old codes cannot cover)
-      tab.upsert(emb.select("vec_id", "embedding")
-        .filter(col("vec_id") % 10 === 0)
-        .unionByName(emb.select("vec_id", "embedding")
-          .filter(col("vec_id") % 7 === 0 && col("vec_id") % 10 =!= 0)
-          .withColumn("embedding",
-            transform(col("embedding"), v => -v))), "vec_id")
-      tab.deleteWhere(col("vec_id") % 9 === 0)
-      val v2 = tab.latestVersion.get
-      val codes1 = graft.ops.Pq.encode(tab.readVersion(v1), cb)
-        .select(col("vec_id"), col("codes"))
-      val refreshed = graft.ops.Pq.refreshCodes(codes1,
-        tab.changes(v1, v2, "vec_id"), cb).cache()
-      val reencoded = graft.ops.Pq.encode(tab.read(), cb)
-        .select(col("vec_id"), col("codes")).cache()
-      val equal = refreshed.exceptAll(reencoded).count() == 0 &&
-        reencoded.exceptAll(refreshed).count() == 0
-      val out = refreshed
-        .select(col("vec_id"),
-          posexplode(col("codes")).as(Seq("sub", "code")))
-        .withColumn("refresh_equals_reencode", lit(equal)).cache()
-      out.count()
-      refreshed.unpersist(); reencoded.unpersist()
-      out
-    }),
-
-    // ---- IVF-PQ: coarse-cell candidate restriction + ADC scoring,
-    //      the full FAISS query shape; probes=2 of 8 cells ----
-    "q_pq_ivf" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val cb = pqMemo.computeIfAbsent(dir, _ => graft.ops.Pq.trainOn(emb))
-      graft.ops.Pq.ivfAdcTopK(emb.filter(col("vec_id") < 3),
-        emb.filter(col("vec_id") >= 3), cb, topK = 5, probes = 2)
-    }),
-
-    // ---- ANN scale path: LSH-bucketed near-dup. Exact oracle: the
-    //      deterministic hyperplanes are inlined into the SQL ----
-    "q_ann_lsh" -> ((s, dir) =>
-      Similarity.lshCosinePairs(t(s, dir, "embeddings"), threshold = 0.3,
-        planes = 8)),
-
-    // ---- token counting ----
-    "q_token_count" -> ((s, dir) => {
-      t(s, dir, "documents").select(col("doc_id"),
-        TextStats.tokenCount(col("text")).as("n_tokens"),
-        length(col("text")).cast(LongType).as("n_chars"))
-    }),
-
-    // ---- quality scoring ----
-    "q_text_quality" -> ((s, dir) => {
-      TextStats.qualityFeatures(t(s, dir, "documents"))
-        .select("doc_id", "n_tokens", "avg_word_len", "stopword_ratio")
-    }),
-
-    // ---- salted skew join: hot keys scatter over (key, salt); result
-    //      must be row-identical to the plain join ----
-    "q_skew_join" -> ((s, dir) => {
-      import graft.ops.Skew
-      Skew.saltedJoin(
-          t(s, dir, "lineitem").withColumnRenamed("l_suppkey", "suppkey"),
-          t(s, dir, "supplier")
-            .select(col("s_suppkey").as("suppkey"), col("s_nationkey")),
-          key = "suppkey", salts = 8)
-        .groupBy(col("s_nationkey"))
-        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
-    }),
-
-    // ---- deterministic hash split (train/val/test): stable across
-    //      re-runs/appends; md5 makes it engine-reproducible ----
-    "q_hash_split" -> ((s, dir) => {
-      graft.ops.Sampling.hashSplit(t(s, dir, "documents"), "doc_id", "s1",
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .groupBy(col("split"))
-        .agg(count(lit(1)).as("cnt"),
-          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
-    }),
-
-    // ---- stratified deterministic sampling: sampleBy semantics with a
-    //      content hash — per-source up/down-weighting of a corpus ----
-    "q_stratified_sample" -> ((s, dir) => {
-      graft.ops.Sampling.stratifiedByHash(t(s, dir, "documents"),
-          "doc_id", "lang", "mix1",
-          Seq("en" -> 0.25, "de" -> 1.0, "fr" -> 0.5, "zh" -> 0.1))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_doc"),
-          max(col("doc_id")).as("max_doc"))
-    }),
-
-    // ---- STREAMING similarity search: a stream of query vectors
-    //      scored against the static corpus (stateless stream-static
-    //      join) — the exact-threshold baseline of the ANN family,
-    //      run through a real streaming query and hash-matched. The
-    //      brute-force scan is the semantics here; the LSH/IVF gate
-    //      queries are the sub-linear scale paths ----
-    "q_stream_ann" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val stream = s.readStream.schema(emb.schema)
-        .parquet(s"$dir/embeddings.parque[t]")
-        .filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 100000).as("q_id"),
-          col("embedding").as("q_vec"))
-      val corpus = emb.select(col("vec_id").as("c_id"),
-        col("embedding").as("c_vec"))
-      val hits = stream.join(corpus,
-          Similarity.cosine(col("q_vec"), col("c_vec")) >= 0.45)
-        .select(col("q_id"), col("c_id"))
-      val name = s"stream_ann_${System.nanoTime()}"
-      val q = hits.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      val out = s.table(name).cache()
-      out.count()
-      out
-    }),
-
-    // ---- STREAMING PQ: a stream of query vectors probes the encoded
-    //      static corpus — stateless cell equi-join, exact integer ADC
-    //      threshold as the residual condition ----
-    "q_stream_pq" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val cb = pqMemo.computeIfAbsent(dir, _ => graft.ops.Pq.trainOn(emb))
-      val stream = s.readStream.schema(emb.schema)
-        .parquet(s"$dir/embeddings.parque[t]")
-        .filter(col("vec_id") % 25 === 0)
-        .withColumn("vec_id", col("vec_id") + 200000)
-      val hits = graft.ops.Pq.adcHitsStream(
-        stream, emb, cb, maxAdc = 900000000000L, probes = 2)
-      val name = s"stream_pq_${System.nanoTime()}"
-      val q = hits.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      val out = s.table(name).cache()
-      out.count()
-      out
-    }),
-
-    // ---- corpus-level segment dedup (C4-style boilerplate removal):
-    //      fixed 8-word windows; any window text appearing >= 2 times
-    //      ACROSS the corpus is dropped from every document ----
-    "q_dedup_segments" -> ((s, dir) => {
-      val segmented = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), expr(
-          "transform(sequence(0, (size(w)-1) DIV 8), " +
-            "i -> array_join(slice(w, i*8+1, 8), ' '))").as("segs"))
-      Dedup.dedupSegments(segmented, "doc_id", "segs", minDupCount = 2)
-    }),
-
-    // ---- exact-substring dedup at window granularity (Lee et al.
-    //      "Deduplicating Training Data" shape): every 8-token window
-    //      repeated anywhere in the corpus marks its span; per-doc
-    //      union of marked spans → removable-token bookkeeping.
-    //      All-integer output; the oracle replays the splitmix window
-    //      hashes bit-for-bit ----
-    "q_substring_dedup" -> ((s, dir) =>
-      Dedup.duplicatedWindowSpans(t(s, dir, "documents"),
-        "doc_id", "text", w = 8)),
-
-    // ---- the TRANSFORM half of exact-substring dedup: each doc
-    //      rewritten with every duplicated 8-token span CUT, survivors
-    //      re-joined in order (the corpus a trainer feeds). Oracle
-    //      replays hash → dup → covered-index set → ordered string_agg
-    //      reassembly — the full rewritten TEXT hash-matches ----
-    "q_substring_remove" -> ((s, dir) =>
-      Dedup.removeDuplicatedSpans(t(s, dir, "documents"),
-        "doc_id", "text", w = 8)),
-
-    // ---- CCNet-style LM quality filter: bigram stupid-backoff LM
-    //      trained on the even-doc_id half (the "Wikipedia" reference
-    //      corpus), odd-doc_id half scored by avg token log-prob;
-    //      top-25 most-reference-like docs. The double score ranks
-    //      but is NOT output (ln() is not bit-portable across
-    //      engines — the q_bm25 convention); rank + the exact integer
-    //      evidence hash-match ----
-    "q_lm_score" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val train = docs.filter(col("doc_id") % 2 === 0)
-      val cand = docs.filter(col("doc_id") % 2 === 1)
-      val scored = graft.ops.LangModel.scoreDocs(cand,
-        graft.ops.LangModel.bigramLm(train),
-        graft.ops.LangModel.unigramLm(train))
-      scored.orderBy(col("avg_logp").desc, col("doc").asc).limit(25)
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("avg_logp").desc, col("doc").asc)))
-        .select(col("rank"), col("doc"), col("n_bigrams"),
-          col("n_hits"), col("n_backoff"), col("n_oov"))
-    }),
-
-    // ---- temperature-based source mixing: per-source keep rates
-    //      (n_min/n_s)^(1-α) flatten a skewed corpus toward uniform;
-    //      hash-threshold selection, corpus never shuffles. The
-    //      stratum is synthesized skewed (6:3:1) because the fixture's
-    //      real sources are uniform ----
-    "q_temperature_mix" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").withColumn("src_grp",
-        when(col("doc_id") % 10 < 6, "big")
-          .when(col("doc_id") % 10 < 9, "mid")
-          .otherwise("small"))
-      graft.ops.Sampling.temperatureMix(docs, "doc_id", "src_grp",
-          salt = "mix2", alpha = 0.5)
-        .groupBy(col("src_grp"))
-        .agg(count(lit(1)).as("kept_cnt"),
-          min(col("doc_id")).as("min_doc"),
-          max(col("doc_id")).as("max_doc"))
-    }),
-
-    // ---- STREAMING near-dup against a corpus LSH index: incoming
-    //      docs (a simulated re-crawl: corpus docs re-keyed +10000)
-    //      probe the banded minhash index as a stateless stream-static
-    //      equi-join; candidates are confirmed by exact text equality,
-    //      which makes the result exactly oracle-able — an identical
-    //      text has an identical signature, so LSH NEVER misses an
-    //      exact duplicate ----
-    "q_stream_neardup" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val index = Dedup.bandedIndex(docs, "doc_id", "text")
-      val stream = s.readStream.schema(docs.schema)
-        .parquet(s"$dir/documents.parque[t]")
-        .filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
-      val cand = Dedup.nearDupAgainstIndex(
-        stream, index, "doc_id", "text", minJaccard = 0.5)
-      // exact confirm: join the candidate's corpus doc back to its
-      // text and compare with the incoming text (both stream-static)
-      val corpusText = docs.select(col("doc_id").as("corpus_doc"),
-        col("text").as("corpus_text"))
-      val inText = docs.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 10000).as("doc"),
-          col("text").as("in_text"))
-      val confirmed = cand
-        .join(corpusText, Seq("corpus_doc"))
-        .join(inText, Seq("doc"))
-        .filter(col("in_text") === col("corpus_text"))
-        .select(col("doc"), col("corpus_doc"))
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val name = s"stream_neardup_${System.nanoTime()}"
-      val q =
-        try confirmed.writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try q.processAllAvailable() finally q.stop()
-      // band multiplicity collapses AFTER materialization (a stream
-      // can't dropDuplicates unboundedly; the memory table can)
-      val out = s.table(name).distinct().cache()
-      out.count()
-      out
-    }),
-
-    // ---- GPT-style sequence packing: per-shard token stream cut into
-    //      fixed 512-token training sequences; window running sum ----
-    "q_seq_pack" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
-        TextStats.tokenCount(col("text")).as("n_tokens"))
-      graft.ops.Packing.packSequences(docs, "source", "doc_id",
-        "n_tokens", budget = 512L)
-    }),
-
-    // ---- fixed-size overlapping chunk windows (RAG/context prep) ----
-    "q_chunk_windows" -> ((s, dir) => {
-      graft.ops.Packing.chunkWindows(
-        t(s, dir, "documents").filter(col("doc_id") < 100),
-        "doc_id", "text", size = 120, stride = 90)
-    }),
-
-    // ---- bucketed co-located join: both sides pre-shuffled at write
-    //      time by the join key, join itself is exchange-free ----
-    "q_bucketed_join" -> ((s, dir) => {
-      import graft.tables.Bucketing
-      val joined = Bucketing.bucketedEquiJoin(
-        t(s, dir, "orders").withColumnRenamed("o_custkey", "custkey"),
-        t(s, dir, "customer").withColumnRenamed("c_custkey", "custkey"),
-        key = "custkey", buckets = 8,
-        leftName = "b_orders", rightName = "b_customer")
-      joined.groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("cnt"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2)))
-            .cast(DoubleType).as("total_price"))
-    }),
-
-    // ---- language ID heuristic (stopword-fraction argmax; oracled:
-    //      the same scoring is plain SQL over a profiles VALUES list) --
-    "q_lang_id" -> ((s, dir) =>
-      TextStats.langId(t(s, dir, "documents"))
-        .select("doc_id", "lang", "predicted_lang")),
-
-    // ---- VARIANT ingestion: parse JSON once to the binary variant
-    //      encoding, typed path access via variant_get ----
-    "q_variant_get" -> ((s, dir) => {
-      t(s, dir, "events").select(
-        col("event_id"),
-        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
-    }),
-
-    // ---- UNPIVOT/melt (wide → long) ----
-    "q_unpivot" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_quantity",
-          "l_extendedprice", "l_discount")
-        .unpivot(
-          ids = Array(col("l_orderkey"), col("l_linenumber")),
-          values = Array(col("l_quantity"), col("l_extendedprice"),
-            col("l_discount")),
-          variableColumnName = "metric", valueColumnName = "val")
-    }),
-
-    // ---- explicit GROUPING SETS with grouping_id ----
-    "q_grouping_sets" -> ((s, dir) => {
-      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
-      s.sql(
-        """SELECT o_orderstatus, o_orderpriority,
-          |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
-          |  count(*) AS cnt
-          |FROM orders_gs
-          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
-          .stripMargin)
-    }),
-
-    // ---- correlated EXISTS through the SQL entry point ----
-    "q_exists_subquery" -> ((s, dir) => {
-      t(s, dir, "customer").createOrReplaceTempView("customer_ex")
-      t(s, dir, "orders").createOrReplaceTempView("orders_ex")
-      s.sql(
-        """SELECT c_custkey, c_name FROM customer_ex c
-          |WHERE EXISTS (SELECT 1 FROM orders_ex o
-          |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)"""
-          .stripMargin)
-    }),
-
-    // ---- higher-order array functions (filter/transform/aggregate) --
-    "q_hof_arrays" -> ((s, dir) => {
-      val ts = split(trim(col("text")), "\\s+")
-      t(s, dir, "documents").select(col("doc_id"),
-        size(filter(ts, x => length(x) > 3)).cast(LongType).as("n_long"),
-        aggregate(ts, lit(0L), (a, x) => a + length(x).cast(LongType))
-          .as("total_len"))
-    }),
-
-    // ---- exact interpolated percentiles per group ----
-    "q_percentile" -> ((s, dir) => {
-      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
-          expr("percentile(l_quantity, 0.5)").as("p50"),
-          expr("percentile(l_quantity, 0.9)").as("p90"))
-    }),
-
-    // ---- approximate percentile sketch (GK-style mergeable summary).
-    //      The sketch internals aren't replayable in DuckDB, so the
-    //      gate emits the GK rank-guarantee DECISION instead of the
-    //      raw estimate: approx_percentile(q, acc) must return a
-    //      dataset element whose rank interval [count(<v), count(≤v)]
-    //      intersects [(q−ε)·N, (q+ε)·N] with ε = 1/acc — decidable
-    //      from two conditional counts, exactly the published
-    //      contract. The oracle replays N and TRUE literals, so any
-    //      estimator regression hash-fails the gate ----
-    "q_approx_percentile" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val eps = 1.0 / 1000
-      val ap = li.groupBy(col("l_returnflag")).agg(
-        expr("approx_percentile(l_quantity, 0.5, 1000)").as("ap50"),
-        expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("ap90"))
-      li.join(broadcast(ap), "l_returnflag")
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("l_quantity") < col("ap50"), 1L).otherwise(0L))
-            .as("_lt50"),
-          sum(when(col("l_quantity") <= col("ap50"), 1L).otherwise(0L))
-            .as("_le50"),
-          sum(when(col("l_extendedprice") < col("ap90"), 1L).otherwise(0L))
-            .as("_lt90"),
-          sum(when(col("l_extendedprice") <= col("ap90"), 1L).otherwise(0L))
-            .as("_le90"))
-        .select(col("l_returnflag"), col("n"),
-          (col("_lt50").cast(DoubleType) <=
-            (lit(0.5) + lit(eps)) * col("n").cast(DoubleType) &&
-            col("_le50").cast(DoubleType) >=
-              (lit(0.5) - lit(eps)) * col("n").cast(DoubleType))
-            .as("ap50_ok"),
-          (col("_lt90").cast(DoubleType) <=
-            (lit(0.9) + lit(eps)) * col("n").cast(DoubleType) &&
-            col("_le90").cast(DoubleType) >=
-              (lit(0.9) - lit(eps)) * col("n").cast(DoubleType))
-            .as("ap90_ok"))
-    }),
-
-    // ---- explicit shuffle-hash join strategy (no sort phase; the
-    //      right physical choice when both sides are large but one
-    //      hashes comfortably per partition) ----
-    "q_shuffle_hash_join" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val ord = t(s, dir, "orders").hint("shuffle_hash")
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("cnt"),
-          sum(col("l_quantity")).as("sum_qty"))
-    }),
-
-    // ---- rollup (hierarchical grouping sets) ----
-    "q_rollup" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
-    }),
-
-    // ---- cube (full grouping-set lattice) ----
-    "q_cube" -> ((s, dir) => {
-      t(s, dir, "orders")
-        .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("cnt"),
-          dsum(col("o_totalprice")).as("total_price"))
-    }),
-
-    // ---- pivot (wide conditional aggregation) ----
-    "q_pivot" -> ((s, dir) => {
-      events(s, dir)
-        .groupBy(col("user_id"))
-        .pivot("event_type",
-          Seq("click", "view", "signup", "purchase", "error"))
-        .agg(count(lit(1)))
-        .na.fill(0L)
-    }),
-
-    // ---- scalar function batch: strings, dates, math ----
-    "q_scalar_funcs" -> ((s, dir) => {
-      t(s, dir, "orders").select(
-        col("o_orderkey"),
-        substring(col("o_orderpriority"), 1, 1).as("prio_code"),
-        lpad(col("o_orderkey").cast(StringType), 10, "0").as("key_pad"),
-        regexp_extract(col("o_orderpriority"), "(\\d+)", 1).as("prio_num"),
-        year(col("o_orderdate")).as("o_year"),
-        month(col("o_orderdate")).as("o_month"),
-        abs(col("o_totalprice") * -1).as("abs_price"),
-        sqrt(col("o_totalprice")).as("sqrt_price"),
-        (col("o_totalprice") * col("o_totalprice")).as("price_sq"),
-        length(col("o_orderpriority")).cast(LongType).as("prio_len"))
-    }),
-
-    // ---- null semantics: coalesce / nullif / null-safe equality ----
-    "q_null_semantics" -> ((s, dir) => {
-      t(s, dir, "customer").select(
-        col("c_custkey"),
-        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
-        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")),
-          lit("REDACTED")).as("seg_coalesced"),
-        (nullif(col("c_mktsegment"), lit("BUILDING")) <=> lit(null))
-          .as("is_building"))
-    }),
-
-    // ---- gap sessionization (batch form of the stateful op) ----
-    "q_sessionize" -> ((s, dir) =>
-      graft.ops.Sessionize.byGap(eventsUs(s, dir), gapSeconds = 21600)),
-
-    // ---- the SAME sessions from a REAL streaming query on the
-    //      transformWithState API: event-time TIMERS flush idle keys
-    //      once the watermark passes last+gap (v2 stateful, RocksDB
-    //      state). Time-contiguous batches (cuts extended to strict
-    //      ts boundaries so nothing is watermark-late) + a far-future
-    //      sentinel key closing the tail — emitted sessions must
-    //      equal the batch gap-sessionization relationally ----
-    "q_stream_tws_session" -> ((s, dir) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      import graft.ops.Sessionize
-      import graft.streaming.StatefulOps
-      val ev = eventsUs(s, dir)
-        .select(col("user_id"), col("ts_us"), col("event_id")).collect()
-        .map(r => Sessionize.Event(r.getLong(0), r.getLong(1),
-          r.getLong(2)))
-        .sortBy(e => (e.tsMicros, e.eventId))
-      val n = ev.length
-      def cutAt(target: Int, floor: Int): Int = {
-        var i = math.max(target, floor)
-        while (i > 0 && i < n && ev(i).tsMicros == ev(i - 1).tsMicros)
-          i += 1
-        i
-      }
-      val c1 = cutAt(n / 3, 1)
-      val c2 = cutAt(2 * n / 3, c1)
-      val stream = MemoryStream[Sessionize.Event]
-      StatefulOps.withRocksDbState(s) {
-        val sess = StatefulOps.sessionizeTws(stream.toDS(),
-          gapSeconds = 21600)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "4")
-        val name = s"stream_tws_sess_${System.nanoTime()}"
-        val q =
-          try sess.toDF().writeStream.format("memory").queryName(name)
-            .outputMode("append").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        try {
-          Seq(ev.slice(0, c1), ev.slice(c1, c2), ev.slice(c2, n))
-            .foreach { b =>
-              stream.addData(b.toSeq)
-              q.processAllAvailable()
-            }
-          // sentinel key far past every last+gap: timers flush the
-          // tail sessions; the sentinel's own first session closes on
-          // its second event and is filtered back out
-          val maxTs = ev.last.tsMicros
-          for (d <- 1 to 2) {
-            stream.addData(Seq(Sessionize.Event(-1L,
-              maxTs + d * 2592000000000L, 0L)))
-            q.processAllAvailable()
-          }
-        } finally q.stop()
-        val out = s.table(name).filter(col("userId") =!= -1L)
-          .select(col("userId").as("user_id"),
-            col("sessionStartUs").as("session_start_us"),
-            col("sessionEndUs").as("session_end_us"),
-            col("nEvents").as("n_events"),
-            col("firstEventId").as("first_event_id"))
-          .cache()
-        out.count()
-        out
-      }
-    }),
-
-    // ---- the FHIR envelope pipeline itself (P1–P6 + W1), fed with
-    //      bundles synthesized from the events table; the oracle
-    //      computes the expected relational result directly ----
-    "q_fhir_pipeline" -> ((s, dir) => {
-      val kafkaish = t(s, dir, "events").select(
-        to_json(struct(array(struct(
-          to_json(struct(
-            lit("Patient").as("resourceType"),
-            col("user_id").cast(StringType).as("id"))).as("resource"),
-          struct(
-            when(col("event_type") === "error", "DELETE")
-              .otherwise("PUT").as("method"),
-            concat_ws("/", lit("Patient"), col("user_id")).as("url"))
-            .as("request"))).as("entry"))).as("value"),
-        (col("user_id") % 4).cast(IntegerType).as("partition"),
-        col("event_id").as("offset"))
-      graft.pipeline.BundlePipeline.deduplicate(
-          graft.pipeline.BundlePipeline.prepare(kafkaish))
-        .select(col("request_url"), col("request_method"),
-          col("resource_type"), col("request_resource_id"),
-          col("partition").as("msg_partition"),
-          col("offset").as("msg_offset"))
-    }),
-
-    // ---- full-R4 encode round-trip: rich Patient JSON synthesized
-    //      from `customer`, parsed through the widened Pathling-parity
-    //      schema (telecom/communication/meta/managingOrganization),
-    //      nested fields projected back out. The oracle recomputes the
-    //      same values relationally — equality proves the JSON →
-    //      typed-struct round trip drops nothing ----
-    "q_fhir_encode_wide" -> ((s, dir) => {
-      val raw = t(s, dir, "customer").select(to_json(struct(
-        lit("Patient").as("resourceType"),
-        col("c_custkey").cast(StringType).as("id"),
-        struct(col("c_custkey").cast(StringType).as("versionId"))
-          .as("meta"),
-        array(struct(
-          lit("phone").as("system"),
-          concat(lit("555-"), col("c_custkey").cast(StringType))
-            .as("value"),
-          lit("home").as("use"))).as("telecom"),
-        array(struct(
-          struct(
-            array(struct(lit("urn:ietf:bcp:47").as("system"),
-              lit("en-US").as("code"))).as("coding"),
-            lit("English").as("text")).as("language"),
-          lit(true).as("preferred"))).as("communication"),
-        struct(col("c_mktsegment").as("text")).as("maritalStatus"),
-        struct(concat(lit("Organization/"),
-          col("c_nationkey").cast(StringType)).as("reference"))
-          .as("managingOrganization"))).as("resource"))
-      graft.fhir.FhirEncoder.encode(raw, "Patient").select(
-        col("id"),
-        element_at(col("telecom"), 1).getField("value").as("phone"),
-        element_at(element_at(col("communication"), 1)
-          .getField("language").getField("coding"), 1)
-          .getField("code").as("lang_code"),
-        col("maritalStatus").getField("text").as("segment"),
-        col("managingOrganization").getField("reference").as("org_ref"),
-        col("meta").getField("versionId").as("version_id"))
-    }),
-
-    // ---- typed encode through one of the round-12 registry additions
-    //      (Immunization): nested choice types, decimal(32,6) dose,
-    //      protocolApplied backbone — the any-Synthea-type parity leg ----
-    "q_fhir_encode_immunization" -> ((s, dir) => {
-      val raw = t(s, dir, "orders").select(to_json(struct(
-        lit("Immunization").as("resourceType"),
-        col("o_orderkey").cast(StringType).as("id"),
-        lit("completed").as("status"),
-        struct(
-          array(struct(lit("http://hl7.org/fhir/sid/cvx").as("system"),
-            (col("o_orderkey") % 10).cast(StringType).as("code"),
-            col("o_orderpriority").as("display"))).as("coding"),
-          col("o_orderstatus").as("text")).as("vaccineCode"),
-        struct(concat(lit("Patient/"),
-          col("o_custkey").cast(StringType)).as("reference"))
-          .as("patient"),
-        col("o_orderdate").cast(DateType).as("occurrenceDateTime"),
-        lit(true).as("primarySource"),
-        struct(col("o_totalprice").as("value"), lit("mL").as("unit"))
-          .as("doseQuantity"),
-        array(struct(lit("seriesA").as("series"),
-          lit(1).as("doseNumberPositiveInt"))).as("protocolApplied")))
-        .as("resource"))
-      graft.fhir.FhirEncoder.encode(raw, "Immunization").select(
-        col("id"), col("status"),
-        element_at(col("vaccineCode").getField("coding"), 1)
-          .getField("code").as("vax_code"),
-        col("vaccineCode").getField("text").as("vax_text"),
-        col("patient").getField("reference").as("patient_ref"),
-        col("occurrenceDateTime").as("occurred"),
-        col("primarySource").as("primary_source"),
-        // decimal AS STRING: duckdb's pandas bridge floats decimals,
-        // the canonical "1013.700000" rendering compares exactly
-        col("doseQuantity").getField("value").cast(StringType)
-          .as("dose_value"),
-        element_at(col("protocolApplied"), 1)
-          .getField("doseNumberPositiveInt").as("dose_number"),
-        element_at(col("protocolApplied"), 1)
-          .getField("series").as("series"))
-    }),
-
-    "q_fhir_encode_foreign" -> ((s, dir) => {
-      val raw = t(s, dir, "orders").select(to_json(struct(
-        lit("Basic").as("resourceType"),
-        col("o_orderkey").cast(StringType).as("id"),
-        struct(col("o_orderkey").cast(StringType).as("versionId"),
-          lit("2024-01-01T00:00:00Z").as("lastUpdated")).as("meta"),
-        lit("en").as("language"),
-        array(struct(lit("urn:graft:order").as("system"),
-          col("o_orderkey").cast(StringType).as("value")))
-          .as("identifier"),
-        array(struct(lit("http://graft/status").as("url"),
-          col("o_orderstatus").as("valueString"))).as("extension"),
-        col("o_orderpriority").as("conclusion"))).as("resource"))
-      // Basic is R4's by-design generic resource and stays OUTSIDE
-      // the registry (round 17 typed Specimen — this gate's previous
-      // foreign type — in the tier-6 set), so it keeps proving the
-      // generic-backbone path for ANY unseen type
-      graft.fhir.FhirEncoder.encode(raw, "Basic").select(
-        col("id"),
-        col("meta").getField("versionId").as("version_id"),
-        col("meta").getField("lastUpdated").as("last_updated"),
-        col("language"),
-        element_at(col("identifier"), 1).getField("value")
-          .as("ident_value"),
-        element_at(col("extension"), 1).getField("valueString")
-          .as("status_ext"),
-        get_json_object(col("resource_json"), "$.conclusion")
-          .as("conclusion"))
-    }),
-
-    // ---- round-15 typed registry tier: the six remaining Synthea
-    //      default types (reference data/generate-sample-data.sh:22–28
-    //      → bundle_processor.py:162–166 encodes via Pathling). One
-    //      exact-oracled encode round trip per type; nested choice
-    //      types, Money decimal(32,6), 3-level item→detail→subDetail
-    //      backbones all proven value-exact against the relational
-    //      recomputation ----
-    "q_fhir_encode_allergy" -> ((s, dir) => {
-      val raw = t(s, dir, "customer").select(to_json(struct(
-        lit("AllergyIntolerance").as("resourceType"),
-        col("c_custkey").cast(StringType).as("id"),
-        struct(array(struct(
-          lit("http://terminology.hl7.org/CodeSystem/allergyintolerance-clinical")
-            .as("system"),
-          lit("active").as("code"))).as("coding")).as("clinicalStatus"),
-        lit("allergy").as("type"),
-        array(lit("food"), lit("environment")).as("category"),
-        when(col("c_acctbal") > 0, "high").otherwise("low")
-          .as("criticality"),
-        struct(col("c_mktsegment").as("text")).as("code"),
-        struct(concat(lit("Patient/"),
-          col("c_custkey").cast(StringType)).as("reference"))
-          .as("patient"),
-        array(struct(
-          array(struct(col("c_name").as("text"))).as("manifestation"),
-          lit("moderate").as("severity"))).as("reaction")))
-        .as("resource"))
-      graft.fhir.FhirEncoder.encode(raw, "AllergyIntolerance").select(
-        col("id"),
-        element_at(col("clinicalStatus").getField("coding"), 1)
-          .getField("code").as("clinical_status"),
-        col("type").as("allergy_type"),
-        element_at(col("category"), 2).as("category2"),
-        col("criticality"),
-        col("code").getField("text").as("code_text"),
-        col("patient").getField("reference").as("patient_ref"),
-        element_at(element_at(col("reaction"), 1)
-          .getField("manifestation"), 1).getField("text")
-          .as("manifestation_text"),
-        element_at(col("reaction"), 1).getField("severity")
-          .as("severity"))
-    }),
-
-    "q_fhir_encode_careplan" -> ((s, dir) => {
-      val raw = t(s, dir, "part").select(to_json(struct(
-        lit("CarePlan").as("resourceType"),
-        col("p_partkey").cast(StringType).as("id"),
-        lit("active").as("status"),
-        lit("order").as("intent"),
-        array(struct(
-          array(struct(lit("http://snomed.info/sct").as("system"),
-            (col("p_partkey") % 7).cast(StringType).as("code")))
-            .as("coding"),
-          col("p_type").as("text"))).as("category"),
-        col("p_name").as("title"),
-        struct(concat(lit("Patient/"),
-          col("p_partkey").cast(StringType)).as("reference"))
-          .as("subject"),
-        struct(lit("2020-01-01").as("start"),
-          lit("2021-01-01").as("end")).as("period"),
-        array(struct(struct(
-          lit("scheduled").as("status"),
-          struct(col("p_brand").as("text")).as("code"),
-          struct(col("p_retailprice").as("value"), lit("1/d").as("unit"))
-            .as("dailyAmount"),
-          col("p_type").as("description")).as("detail")))
-          .as("activity"))).as("resource"))
-      graft.fhir.FhirEncoder.encode(raw, "CarePlan").select(
-        col("id"), col("status"), col("intent"),
-        element_at(col("category"), 1).getField("text")
-          .as("category_text"),
-        element_at(element_at(col("category"), 1).getField("coding"), 1)
-          .getField("code").as("category_code"),
-        col("title"),
-        col("subject").getField("reference").as("subject_ref"),
-        col("period").getField("start").as("period_start"),
-        element_at(col("activity"), 1).getField("detail")
-          .getField("status").as("activity_status"),
-        element_at(col("activity"), 1).getField("detail")
-          .getField("code").getField("text").as("activity_code_text"),
-        element_at(col("activity"), 1).getField("detail")
-          .getField("dailyAmount").getField("value").cast(StringType)
-          .as("daily_amount"),
-        element_at(col("activity"), 1).getField("detail")
-          .getField("description").as("activity_desc"))
-    }),
-
-    "q_fhir_encode_claim" -> ((s, dir) => {
-      val raw = t(s, dir, "supplier").select(to_json(struct(
-        lit("Claim").as("resourceType"),
-        col("s_suppkey").cast(StringType).as("id"),
-        lit("active").as("status"),
-        struct(array(struct(
-          lit("http://terminology.hl7.org/CodeSystem/claim-type")
-            .as("system"),
-          lit("institutional").as("code"))).as("coding")).as("type"),
-        lit("claim").as("use"),
-        struct(concat(lit("Patient/"),
-          col("s_nationkey").cast(StringType)).as("reference"))
-          .as("patient"),
-        struct(lit("2023-01-01").as("start"),
-          lit("2023-12-31").as("end")).as("billablePeriod"),
-        lit("2024-01-01T00:00:00Z").as("created"),
-        struct(concat(lit("Practitioner/"),
-          col("s_suppkey").cast(StringType)).as("reference"))
-          .as("provider"),
-        array(struct(lit(1).as("sequence"),
-          struct(col("s_name").as("text"))
-            .as("diagnosisCodeableConcept"))).as("diagnosis"),
-        array(struct(lit(1).as("sequence"), lit(true).as("focal"),
-          struct(concat(lit("Coverage/"),
-            col("s_suppkey").cast(StringType)).as("reference"))
-            .as("coverage"))).as("insurance"),
-        array(struct(
-          lit(1).as("sequence"),
-          struct(concat(lit("svc-"), (col("s_suppkey") % 5)
-            .cast(StringType)).as("text")).as("productOrService"),
-          struct(col("s_acctbal").as("value"), lit("USD").as("currency"))
-            .as("net"),
-          array(struct(lit(1).as("sequence"),
-            struct(col("s_acctbal").as("value"),
-              lit("USD").as("currency")).as("unitPrice"),
-            array(struct(lit(1).as("sequence"),
-              struct(col("s_acctbal").as("value"),
-                lit("USD").as("currency")).as("net"))).as("subDetail")))
-            .as("detail"))).as("item"),
-        struct(col("s_acctbal").as("value"), lit("USD").as("currency"))
-          .as("total"))).as("resource"))
-      graft.fhir.FhirEncoder.encode(raw, "Claim").select(
-        col("id"), col("status"),
-        element_at(col("type").getField("coding"), 1).getField("code")
-          .as("claim_type"),
-        col("use").as("claim_use"),
-        col("patient").getField("reference").as("patient_ref"),
-        col("billablePeriod").getField("start").as("billable_start"),
-        col("provider").getField("reference").as("provider_ref"),
-        element_at(col("diagnosis"), 1)
-          .getField("diagnosisCodeableConcept").getField("text")
-          .as("diagnosis_text"),
-        element_at(col("insurance"), 1).getField("focal")
-          .as("insurance_focal"),
-        element_at(col("item"), 1).getField("productOrService")
-          .getField("text").as("item_service"),
-        element_at(col("item"), 1).getField("net").getField("value")
-          .cast(StringType).as("item_net"),
-        element_at(element_at(col("item"), 1).getField("detail"), 1)
-          .getField("unitPrice").getField("value").cast(StringType)
-          .as("detail_unit_price"),
-        element_at(element_at(element_at(col("item"), 1)
-          .getField("detail"), 1).getField("subDetail"), 1)
-          .getField("net").getField("value").cast(StringType)
-          .as("subdetail_net"),
-        col("total").getField("value").cast(StringType)
-          .as("total_value"),
-        col("total").getField("currency").as("currency"))
-    }),
-
-    "q_fhir_encode_eob" -> ((s, dir) => {
-      val raw = t(s, dir, "customer").select(to_json(struct(
-        lit("ExplanationOfBenefit").as("resourceType"),
-        col("c_custkey").cast(StringType).as("id"),
-        lit("active").as("status"),
-        lit("claim").as("use"),
-        struct(concat(lit("Patient/"),
-          col("c_custkey").cast(StringType)).as("reference"))
-          .as("patient"),
-        lit("2024-02-02T00:00:00Z").as("created"),
-        struct(lit("Organization/ins1").as("reference")).as("insurer"),
-        struct(concat(lit("Practitioner/"),
-          col("c_nationkey").cast(StringType)).as("reference"))
-          .as("provider"),
-        lit("complete").as("outcome"),
-        array(struct(lit(true).as("focal"),
-          struct(concat(lit("Coverage/"),
-            col("c_custkey").cast(StringType)).as("reference"))
-            .as("coverage"))).as("insurance"),
-        array(struct(lit(1).as("sequence"),
-          struct(col("c_mktsegment").as("text")).as("productOrService"),
-          array(struct(struct(lit("submitted").as("text")).as("category"),
-            struct(col("c_acctbal").as("value"),
-              lit("USD").as("currency")).as("amount")))
-            .as("adjudication"))).as("item"),
-        array(struct(struct(lit("submitted").as("text")).as("category"),
-          struct(col("c_acctbal").as("value"), lit("USD").as("currency"))
-            .as("amount"))).as("total"),
-        struct(lit("2024-03-01").as("date"),
-          struct(col("c_acctbal").as("value"), lit("USD").as("currency"))
-            .as("amount")).as("payment"),
-        array(struct(struct(col("c_name").as("text")).as("category"),
-          array(struct(struct(lit("allowed").as("text")).as("type"),
-            lit(10).as("allowedUnsignedInt"))).as("financial")))
-          .as("benefitBalance"))).as("resource"))
-      graft.fhir.FhirEncoder.encode(raw, "ExplanationOfBenefit").select(
-        col("id"), col("status"), col("outcome"),
-        col("patient").getField("reference").as("patient_ref"),
-        col("provider").getField("reference").as("provider_ref"),
-        element_at(col("item"), 1).getField("productOrService")
-          .getField("text").as("item_service"),
-        element_at(element_at(col("item"), 1).getField("adjudication"), 1)
-          .getField("amount").getField("value").cast(StringType)
-          .as("item_adj_amount"),
-        element_at(col("total"), 1).getField("category").getField("text")
-          .as("total_category"),
-        element_at(col("total"), 1).getField("amount").getField("value")
-          .cast(StringType).as("total_amount"),
-        col("payment").getField("date").as("payment_date"),
-        element_at(col("benefitBalance"), 1).getField("category")
-          .getField("text").as("benefit_category"),
-        element_at(element_at(col("benefitBalance"), 1)
-          .getField("financial"), 1).getField("allowedUnsignedInt")
-          .as("benefit_allowed"))
-    }),
-
-    "q_fhir_encode_org" -> ((s, dir) => {
-      val raw = t(s, dir, "nation").select(to_json(struct(
-        lit("Organization").as("resourceType"),
-        col("n_nationkey").cast(StringType).as("id"),
-        lit(true).as("active"),
-        array(struct(array(struct(
-          lit("http://terminology.hl7.org/CodeSystem/organization-type")
-            .as("system"),
-          lit("prov").as("code"))).as("coding"))).as("type"),
-        col("n_name").as("name"),
-        array(lower(col("n_name"))).as("alias"),
-        array(struct(lit("phone").as("system"),
-          concat(lit("+1-"), col("n_nationkey").cast(StringType))
-            .as("value"))).as("telecom"),
-        array(struct(col("n_name").as("city"))).as("address"),
-        struct(concat(lit("Organization/region-"),
-          col("n_regionkey").cast(StringType)).as("reference"))
-          .as("partOf"))).as("resource"))
-      graft.fhir.FhirEncoder.encode(raw, "Organization").select(
-        col("id"), col("active"), col("name"),
-        element_at(element_at(col("type"), 1).getField("coding"), 1)
-          .getField("code").as("org_type"),
-        element_at(col("alias"), 1).as("alias1"),
-        element_at(col("telecom"), 1).getField("value").as("phone"),
-        element_at(col("address"), 1).getField("city").as("city"),
-        col("partOf").getField("reference").as("part_of"))
-    }),
-
-    "q_fhir_encode_practitioner" -> ((s, dir) => {
-      val raw = t(s, dir, "supplier").select(to_json(struct(
-        lit("Practitioner").as("resourceType"),
-        col("s_suppkey").cast(StringType).as("id"),
-        lit(true).as("active"),
-        array(struct(lit("official").as("use"),
-          col("s_name").as("family"),
-          array(lit("Dr")).as("prefix"),
-          split(col("s_name"), "#").as("given"))).as("name"),
-        when(col("s_suppkey") % 2 === 0, "female").otherwise("male")
-          .as("gender"),
-        lit("1980-01-01").as("birthDate"),
-        array(struct(
-          struct(array(struct(
-            lit("http://terminology.hl7.org/CodeSystem/v2-0360")
-              .as("system"),
-            lit("MD").as("code"))).as("coding")).as("code"),
-          struct(concat(lit("Organization/"),
-            col("s_nationkey").cast(StringType)).as("reference"))
-            .as("issuer"))).as("qualification"),
-        array(struct(col("s_name").as("text"))).as("communication")))
-        .as("resource"))
-      graft.fhir.FhirEncoder.encode(raw, "Practitioner").select(
-        col("id"), col("active"),
-        element_at(col("name"), 1).getField("family").as("family"),
-        element_at(element_at(col("name"), 1).getField("given"), 1)
-          .as("given1"),
-        col("gender"),
-        col("birthDate").as("birth_date"),
-        element_at(element_at(col("qualification"), 1).getField("code")
-          .getField("coding"), 1).getField("code").as("qual_code"),
-        element_at(col("qualification"), 1).getField("issuer")
-          .getField("reference").as("issuer_ref"),
-        element_at(col("communication"), 1).getField("text")
-          .as("comm_text"))
-    }),
-
-    // ---- tier-3 typed FHIR encodes (VERDICT r15 item 3): the six
-    //      remaining Synthea default-module types, each through the
-    //      full JSON round trip (to_json -> FhirEncoder.encode ->
-    //      typed projection) with an exact DuckDB oracle. Each gate
-    //      exercises a schema corner the others don't: Device the
-    //      UDI backbone, Location the 0..1 address + decimal
-    //      geo-position, Medication nested Ratio quantities,
-    //      Provenance the truncated entity.agent recursion,
-    //      SupplyDelivery a choice-typed occurrence, ImagingStudy
-    //      three levels of series/instance nesting ----
-
-    "q_fhir_encode_device" -> ((s, dir) => {
-      val raw = t(s, dir, "part").select(to_json(struct(
-        lit("Device").as("resourceType"),
-        col("p_partkey").cast(StringType).as("id"),
-        array(struct(
-          concat(lit("(01)"), col("p_partkey").cast(StringType))
-            .as("deviceIdentifier"),
-          lit("https://nhi.fda.gov").as("issuer"),
-          concat(lit("(01)"), col("p_partkey").cast(StringType),
-            lit("(11)220101")).as("carrierHRF"))).as("udiCarrier"),
-        lit("active").as("status"),
-        col("p_brand").as("manufacturer"),
-        lit("2022-01-01").as("manufactureDate"),
-        concat(lit("L-"), col("p_size").cast(StringType))
-          .as("lotNumber"),
-        concat(lit("SN-"), col("p_partkey").cast(StringType))
-          .as("serialNumber"),
-        array(struct(col("p_name").as("name"),
-          lit("user-friendly-name").as("type"))).as("deviceName"),
-        col("p_type").as("modelNumber"),
-        struct(array(struct(lit("http://snomed.info/sct").as("system"),
-          (col("p_partkey") % 7).cast(StringType).as("code"),
-          col("p_type").as("display"))).as("coding")).as("type"),
-        struct(concat(lit("Patient/"),
-          (col("p_partkey") % 100).cast(StringType)).as("reference"))
-          .as("patient"))).as("resource"))
-      graft.fhir.FhirEncoder.encode(raw, "Device").select(
-        col("id"), col("status"),
-        element_at(col("udiCarrier"), 1).getField("deviceIdentifier")
-          .as("udi_di"),
-        element_at(col("udiCarrier"), 1).getField("carrierHRF")
-          .as("udi_hrf"),
-        col("manufacturer"),
-        col("lotNumber").as("lot"),
-        col("serialNumber").as("serial"),
-        element_at(col("deviceName"), 1).getField("name")
-          .as("device_name"),
-        col("modelNumber").as("model"),
-        element_at(col("type").getField("coding"), 1).getField("code")
-          .as("type_code"),
-        element_at(col("type").getField("coding"), 1)
-          .getField("display").as("type_display"),
-        col("patient").getField("reference").as("patient_ref"))
-    }),
-
-    "q_fhir_encode_location" -> ((s, dir) => {
-      val raw = t(s, dir, "nation").select(to_json(struct(
-        lit("Location").as("resourceType"),
-        col("n_nationkey").cast(StringType).as("id"),
-        lit("active").as("status"),
-        col("n_name").as("name"),
-        array(lower(col("n_name"))).as("alias"),
-        lit("instance").as("mode"),
-        array(struct(array(struct(
-          lit("http://terminology.hl7.org/CodeSystem/v3-RoleCode")
-            .as("system"),
-          lit("HOSP").as("code"))).as("coding"))).as("type"),
-        // Location.address is 0..1 (unlike Patient's list)
-        struct(col("n_name").as("city"), lit("US").as("country"))
-          .as("address"),
-        struct(array(struct(lit("bu").as("code"),
-          lit("Building").as("display"))).as("coding"))
-          .as("physicalType"),
-        // quarter-step coordinates stay binary-exact in the double ->
-        // json -> decimal round trip, so the oracle's DECIMAL algebra
-        // lands on identical digits
-        struct(
-          (col("n_nationkey") * lit(3.25) - lit(40.0)).as("longitude"),
-          (col("n_nationkey") * lit(1.5) - lit(12.0)).as("latitude"))
-          .as("position"),
-        struct(concat(lit("Organization/"),
-          col("n_regionkey").cast(StringType)).as("reference"))
-          .as("managingOrganization"),
-        array(struct(array(lit("mon"), lit("tue")).as("daysOfWeek"),
-          lit(true).as("allDay"))).as("hoursOfOperation")))
-        .as("resource"))
-      graft.fhir.FhirEncoder.encode(raw, "Location").select(
-        col("id"), col("status"), col("name"),
-        element_at(col("alias"), 1).as("alias1"),
-        element_at(element_at(col("type"), 1).getField("coding"), 1)
-          .getField("code").as("loc_type"),
-        col("address").getField("city").as("city"),
-        col("address").getField("country").as("country"),
-        element_at(col("physicalType").getField("coding"), 1)
-          .getField("code").as("phys_code"),
-        col("position").getField("longitude").cast(StringType)
-          .as("longitude"),
-        col("position").getField("latitude").cast(StringType)
-          .as("latitude"),
-        col("managingOrganization").getField("reference")
-          .as("org_ref"),
-        element_at(element_at(col("hoursOfOperation"), 1)
-          .getField("daysOfWeek"), 1).as("day1"),
-        element_at(col("hoursOfOperation"), 1).getField("allDay")
-          .as("all_day"))
-    }),
-
-    "q_fhir_encode_medication" -> ((s, dir) => {
-      val raw = t(s, dir, "part").select(to_json(struct(
-        lit("Medication").as("resourceType"),
-        col("p_partkey").cast(StringType).as("id"),
-        struct(array(struct(
-          lit("http://www.nlm.nih.gov/research/umls/rxnorm")
-            .as("system"),
-          (col("p_partkey") % 1000).cast(StringType).as("code"),
-          col("p_name").as("display"))).as("coding")).as("code"),
-        lit("active").as("status"),
-        struct(concat(lit("Organization/"), col("p_brand"))
-          .as("reference")).as("manufacturer"),
-        struct(array(struct(lit("385055001").as("code"),
-          lit("Tablet").as("display"))).as("coding")).as("form"),
-        struct(
-          struct(col("p_size").cast("double").as("value"),
-            lit("mg").as("unit")).as("numerator"),
-          struct(lit(1.0).as("value"), lit("TAB").as("unit"))
-            .as("denominator")).as("amount"),
-        array(struct(
-          struct(col("p_type").as("text")).as("itemCodeableConcept"),
-          lit(true).as("isActive"),
-          struct(
-            struct((col("p_size") * lit(0.5)).as("value"),
-              lit("mg").as("unit")).as("numerator"),
-            struct(lit(1.0).as("value"), lit("TAB").as("unit"))
-              .as("denominator")).as("strength"))).as("ingredient"),
-        struct(col("p_brand").as("lotNumber"),
-          lit("2027-12-31").as("expirationDate")).as("batch")))
-        .as("resource"))
-      graft.fhir.FhirEncoder.encode(raw, "Medication").select(
-        col("id"), col("status"),
-        element_at(col("code").getField("coding"), 1).getField("code")
-          .as("rx_code"),
-        element_at(col("code").getField("coding"), 1)
-          .getField("display").as("rx_display"),
-        col("manufacturer").getField("reference").as("mfr_ref"),
-        element_at(col("form").getField("coding"), 1).getField("code")
-          .as("form_code"),
-        col("amount").getField("numerator").getField("value")
-          .cast(StringType).as("amount_num"),
-        col("amount").getField("denominator").getField("unit")
-          .as("amount_den_unit"),
-        element_at(col("ingredient"), 1)
-          .getField("itemCodeableConcept").getField("text")
-          .as("ingredient_text"),
-        element_at(col("ingredient"), 1).getField("isActive")
-          .as("ingredient_active"),
-        element_at(col("ingredient"), 1).getField("strength")
-          .getField("numerator").getField("value").cast(StringType)
-          .as("strength_num"),
-        col("batch").getField("lotNumber").as("lot"),
-        col("batch").getField("expirationDate").as("expires"))
-    }),
-
-    "q_fhir_encode_provenance" -> ((s, dir) => {
-      val raw = t(s, dir, "supplier").select(to_json(struct(
-        lit("Provenance").as("resourceType"),
-        col("s_suppkey").cast(StringType).as("id"),
-        array(struct(concat(lit("Patient/"),
-          col("s_nationkey").cast(StringType)).as("reference")),
-          struct(concat(lit("Encounter/"),
-            col("s_suppkey").cast(StringType)).as("reference")))
-          .as("target"),
-        lit("2024-03-01T10:00:00Z").as("occurredDateTime"),
-        lit("2024-03-01T10:05:00Z").as("recorded"),
-        struct(array(struct(lit("CREATE").as("code"),
-          lit("create").as("display"))).as("coding")).as("activity"),
-        array(struct(
-          struct(array(struct(lit("author").as("code"))).as("coding"))
-            .as("type"),
-          struct(concat(lit("Practitioner/"),
-            col("s_suppkey").cast(StringType)).as("reference"))
-            .as("who"),
-          struct(concat(lit("Organization/"),
-            col("s_nationkey").cast(StringType)).as("reference"))
-            .as("onBehalfOf"))).as("agent"),
-        array(struct(lit("source").as("role"),
-          struct(concat(lit("DocumentReference/"),
-            col("s_suppkey").cast(StringType)).as("reference"))
-            .as("what"),
-          // the one-level entity.agent recursion the schema keeps
-          array(struct(
-            struct(concat(lit("Device/"),
-              (col("s_suppkey") % 50).cast(StringType))
-              .as("reference")).as("who"))).as("agent")))
-          .as("entity"))).as("resource"))
-      graft.fhir.FhirEncoder.encode(raw, "Provenance").select(
-        col("id"),
-        element_at(col("target"), 1).getField("reference")
-          .as("target1"),
-        element_at(col("target"), 2).getField("reference")
-          .as("target2"),
-        col("occurredDateTime").as("occurred"),
-        col("recorded"),
-        element_at(col("activity").getField("coding"), 1)
-          .getField("code").as("activity_code"),
-        element_at(element_at(col("agent"), 1).getField("type")
-          .getField("coding"), 1).getField("code").as("agent_type"),
-        element_at(col("agent"), 1).getField("who")
-          .getField("reference").as("agent_who"),
-        element_at(col("agent"), 1).getField("onBehalfOf")
-          .getField("reference").as("agent_org"),
-        element_at(col("entity"), 1).getField("role")
-          .as("entity_role"),
-        element_at(col("entity"), 1).getField("what")
-          .getField("reference").as("entity_what"),
-        element_at(element_at(col("entity"), 1).getField("agent"), 1)
-          .getField("who").getField("reference").as("entity_agent"))
-    }),
-
-    "q_fhir_encode_supplydelivery" -> ((s, dir) => {
-      val raw = t(s, dir, "supplier").select(to_json(struct(
-        lit("SupplyDelivery").as("resourceType"),
-        col("s_suppkey").cast(StringType).as("id"),
-        lit("completed").as("status"),
-        struct(concat(lit("Patient/"),
-          col("s_nationkey").cast(StringType)).as("reference"))
-          .as("patient"),
-        struct(array(struct(lit("device").as("code"))).as("coding"))
-          .as("type"),
-        struct(
-          struct(col("s_acctbal").as("value"), lit("{each}").as("unit"))
-            .as("quantity"),
-          struct(col("s_name").as("text")).as("itemCodeableConcept"))
-          .as("suppliedItem"),
-        lit("2024-06-01T08:00:00Z").as("occurrenceDateTime"),
-        struct(concat(lit("Organization/"),
-          col("s_suppkey").cast(StringType)).as("reference"))
-          .as("supplier"),
-        struct(concat(lit("Location/"),
-          col("s_nationkey").cast(StringType)).as("reference"))
-          .as("destination"),
-        array(struct(concat(lit("Practitioner/"),
-          (col("s_suppkey") % 10).cast(StringType)).as("reference")))
-          .as("receiver"))).as("resource"))
-      graft.fhir.FhirEncoder.encode(raw, "SupplyDelivery").select(
-        col("id"), col("status"),
-        col("patient").getField("reference").as("patient_ref"),
-        element_at(col("type").getField("coding"), 1).getField("code")
-          .as("type_code"),
-        col("suppliedItem").getField("quantity").getField("value")
-          .cast(StringType).as("qty"),
-        col("suppliedItem").getField("quantity").getField("unit")
-          .as("qty_unit"),
-        col("suppliedItem").getField("itemCodeableConcept")
-          .getField("text").as("item_text"),
-        col("occurrenceDateTime").as("occurred"),
-        col("supplier").getField("reference").as("supplier_ref"),
-        col("destination").getField("reference").as("dest_ref"),
-        element_at(col("receiver"), 1).getField("reference")
-          .as("receiver_ref"))
-    }),
-
-    "q_fhir_encode_careteam" -> ((s, dir) => {
-      val raw = t(s, dir, "nation").select(to_json(struct(
-        lit("CareTeam").as("resourceType"),
-        col("n_nationkey").cast(StringType).as("id"),
-        lit("active").as("status"),
-        array(struct(array(struct(
-          lit("http://loinc.org").as("system"),
-          lit("LA27976-2").as("code"))).as("coding"))).as("category"),
-        concat(lit("Team "), col("n_name")).as("name"),
-        struct(concat(lit("Patient/"),
-          col("n_nationkey").cast(StringType)).as("reference"))
-          .as("subject"),
-        struct(lit("2024-01-01").as("start")).as("period"),
-        array(
-          struct(array(struct(col("n_name").as("text"))).as("role"),
-            struct(concat(lit("Practitioner/"),
-              col("n_nationkey").cast(StringType)).as("reference"))
-              .as("member")),
-          struct(array(struct(lit("patient").as("text"))).as("role"),
-            struct(concat(lit("Patient/"),
-              col("n_nationkey").cast(StringType)).as("reference"))
-              .as("member"))).as("participant"),
-        array(struct(concat(lit("Organization/"),
-          col("n_regionkey").cast(StringType)).as("reference")))
-          .as("managingOrganization"))).as("resource"))
-      graft.fhir.FhirEncoder.encode(raw, "CareTeam").select(
-        col("id"), col("status"), col("name"),
-        element_at(element_at(col("category"), 1).getField("coding"), 1)
-          .getField("code").as("category_code"),
-        col("subject").getField("reference").as("subject_ref"),
-        col("period").getField("start").as("period_start"),
-        element_at(element_at(col("participant"), 1).getField("role"), 1)
-          .getField("text").as("role1"),
-        element_at(col("participant"), 1).getField("member")
-          .getField("reference").as("member1"),
-        element_at(col("participant"), 2).getField("member")
-          .getField("reference").as("member2"),
-        element_at(col("managingOrganization"), 1)
-          .getField("reference").as("org_ref"))
-    }),
-
-    "q_fhir_encode_medadmin" -> ((s, dir) => {
-      val raw = t(s, dir, "supplier").select(to_json(struct(
-        lit("MedicationAdministration").as("resourceType"),
-        col("s_suppkey").cast(StringType).as("id"),
-        lit("completed").as("status"),
-        struct(array(struct(
-          lit("http://www.nlm.nih.gov/research/umls/rxnorm")
-            .as("system"),
-          (col("s_suppkey") % 500).cast(StringType).as("code"),
-          col("s_name").as("display"))).as("coding"))
-          .as("medicationCodeableConcept"),
-        struct(concat(lit("Patient/"),
-          col("s_nationkey").cast(StringType)).as("reference"))
-          .as("subject"),
-        struct(concat(lit("Encounter/"),
-          col("s_suppkey").cast(StringType)).as("reference"))
-          .as("context"),
-        lit("2024-04-01T12:00:00Z").as("effectiveDateTime"),
-        array(struct(
-          struct(concat(lit("Practitioner/"),
-            (col("s_suppkey") % 10).cast(StringType)).as("reference"))
-            .as("actor"))).as("performer"),
-        struct(concat(lit("MedicationRequest/"),
-          col("s_suppkey").cast(StringType)).as("reference"))
-          .as("request"),
-        struct(
-          lit("Once daily").as("text"),
-          struct(array(struct(lit("26643006").as("code"),
-            lit("Oral route").as("display"))).as("coding")).as("route"),
-          struct(col("s_acctbal").as("value"), lit("mg").as("unit"))
-            .as("dose")).as("dosage"))).as("resource"))
-      graft.fhir.FhirEncoder.encode(raw, "MedicationAdministration")
-        .select(
-          col("id"), col("status"),
-          element_at(col("medicationCodeableConcept")
-            .getField("coding"), 1).getField("code").as("rx_code"),
-          element_at(col("medicationCodeableConcept")
-            .getField("coding"), 1).getField("display")
-            .as("rx_display"),
-          col("subject").getField("reference").as("subject_ref"),
-          col("context").getField("reference").as("context_ref"),
-          col("effectiveDateTime").as("effective"),
-          element_at(col("performer"), 1).getField("actor")
-            .getField("reference").as("performer_ref"),
-          col("request").getField("reference").as("request_ref"),
-          col("dosage").getField("text").as("dosage_text"),
-          element_at(col("dosage").getField("route")
-            .getField("coding"), 1).getField("code").as("route_code"),
-          col("dosage").getField("dose").getField("value")
-            .cast(StringType).as("dose_value"))
-    }),
-
-    "q_fhir_encode_docref" -> ((s, dir) => {
-      val raw = t(s, dir, "customer").select(to_json(struct(
-        lit("DocumentReference").as("resourceType"),
-        col("c_custkey").cast(StringType).as("id"),
-        struct(lit("urn:graft:doc").as("system"),
-          col("c_custkey").cast(StringType).as("value"))
-          .as("masterIdentifier"),
-        lit("current").as("status"),
-        lit("final").as("docStatus"),
-        struct(array(struct(lit("http://loinc.org").as("system"),
-          lit("34133-9").as("code"))).as("coding")).as("type"),
-        struct(concat(lit("Patient/"),
-          col("c_custkey").cast(StringType)).as("reference"))
-          .as("subject"),
-        lit("2024-05-01T00:00:00Z").as("date"),
-        array(struct(concat(lit("Practitioner/"),
-          (col("c_custkey") % 10).cast(StringType)).as("reference")))
-          .as("author"),
-        struct(concat(lit("Organization/"),
-          col("c_nationkey").cast(StringType)).as("reference"))
-          .as("custodian"),
-        array(struct(
-          struct(lit("text/plain; charset=utf-8").as("contentType"),
-            concat(lit("note-"), col("c_custkey").cast(StringType))
-              .as("title")).as("attachment"),
-          struct(lit("urn:ihe:iti:xds:2017:mimeTypeSufficient")
-            .as("code")).as("format"))).as("content"),
-        struct(
-          array(struct(concat(lit("Encounter/"),
-            col("c_custkey").cast(StringType)).as("reference")))
-            .as("encounter"),
-          struct(col("c_mktsegment").as("text")).as("practiceSetting"))
-          .as("context"))).as("resource"))
-      graft.fhir.FhirEncoder.encode(raw, "DocumentReference").select(
-        col("id"), col("status"),
-        col("docStatus").as("doc_status"),
-        col("masterIdentifier").getField("value").as("master_id"),
-        element_at(col("type").getField("coding"), 1).getField("code")
-          .as("type_code"),
-        col("subject").getField("reference").as("subject_ref"),
-        col("date").as("doc_date"),
-        element_at(col("author"), 1).getField("reference")
-          .as("author_ref"),
-        col("custodian").getField("reference").as("custodian_ref"),
-        element_at(col("content"), 1).getField("attachment")
-          .getField("contentType").as("mime"),
-        element_at(col("content"), 1).getField("attachment")
-          .getField("title").as("title"),
-        element_at(col("content"), 1).getField("format")
-          .getField("code").as("format_code"),
-        element_at(col("context").getField("encounter"), 1)
-          .getField("reference").as("encounter_ref"),
-        col("context").getField("practiceSetting").getField("text")
-          .as("setting"))
-    }),
-
-    "q_fhir_encode_imagingstudy" -> ((s, dir) => {
-      val raw = t(s, dir, "customer").select(to_json(struct(
-        lit("ImagingStudy").as("resourceType"),
-        col("c_custkey").cast(StringType).as("id"),
-        lit("available").as("status"),
-        array(struct(
-          lit("http://dicom.nema.org/resources/ontology/DCM")
-            .as("system"),
-          when(col("c_custkey") % 2 === 0, "CT").otherwise("MR")
-            .as("code"))).as("modality"),
-        struct(concat(lit("Patient/"),
-          col("c_custkey").cast(StringType)).as("reference"))
-          .as("subject"),
-        lit("2024-02-15T09:30:00Z").as("started"),
-        ((col("c_custkey") % 4) + 1).cast(IntegerType)
-          .as("numberOfSeries"),
-        ((col("c_custkey") % 4 + 1) * 10).cast(IntegerType)
-          .as("numberOfInstances"),
-        array(struct(array(struct(
-          lit("http://snomed.info/sct").as("system"),
-          lit("241615005").as("code"))).as("coding")))
-          .as("procedureCode"),
-        array(struct(
-          concat(lit("1.2.840."), col("c_custkey").cast(StringType))
-            .as("uid"),
-          lit(1).as("number"),
-          struct(lit("DX").as("code")).as("modality"),
-          col("c_mktsegment").as("description"),
-          lit(10).as("numberOfInstances"),
-          array(struct(
-            concat(lit("1.2.840."), col("c_custkey").cast(StringType),
-              lit(".1")).as("uid"),
-            struct(lit("1.2.840.10008.5.1.4.1.1.1.1").as("code"))
-              .as("sopClass"),
-            lit(1).as("number"),
-            lit("frame-1").as("title"))).as("instance")))
-          .as("series"))).as("resource"))
-      graft.fhir.FhirEncoder.encode(raw, "ImagingStudy").select(
-        col("id"), col("status"),
-        element_at(col("modality"), 1).getField("code")
-          .as("modality_code"),
-        col("subject").getField("reference").as("subject_ref"),
-        col("started"),
-        col("numberOfSeries").as("n_series"),
-        col("numberOfInstances").as("n_instances"),
-        element_at(element_at(col("procedureCode"), 1)
-          .getField("coding"), 1).getField("code").as("proc_code"),
-        element_at(col("series"), 1).getField("uid").as("series_uid"),
-        element_at(col("series"), 1).getField("modality")
-          .getField("code").as("series_modality"),
-        element_at(col("series"), 1).getField("description")
-          .as("series_desc"),
-        element_at(element_at(col("series"), 1).getField("instance"), 1)
-          .getField("uid").as("instance_uid"),
-        element_at(element_at(col("series"), 1).getField("instance"), 1)
-          .getField("sopClass").getField("code").as("sop_class"),
-        element_at(element_at(col("series"), 1).getField("instance"), 1)
-          .getField("title").as("instance_title"))
-    }),
-
-    // ---- tier-5 typed FHIR: Goal — target backbone with choice
-    //      types (detailQuantity decimals, dueDate) exercised through
-    //      from_json against the registered schema ----
-    "q_fhir_encode_goal" -> ((s, dir) => {
-      val raw = t(s, dir, "nation").select(to_json(struct(
-        lit("Goal").as("resourceType"),
-        col("n_nationkey").cast(StringType).as("id"),
-        lit("active").as("lifecycleStatus"),
-        struct(array(struct(
-          lit("http://terminology.hl7.org/CodeSystem/goal-achievement")
-            .as("system"),
-          lit("in-progress").as("code"))).as("coding"))
-          .as("achievementStatus"),
-        struct(concat(lit("Goal for "), col("n_name")).as("text"))
-          .as("description"),
-        struct(concat(lit("Patient/"),
-          col("n_nationkey").cast(StringType)).as("reference"))
-          .as("subject"),
-        lit("2024-01-01").as("startDate"),
-        array(struct(
-          struct(array(struct(lit("4548-4").as("code"))).as("coding"))
-            .as("measure"),
-          struct(((col("n_nationkey") % 5) + lit(5))
-            .cast(DecimalType(32, 6)).as("value"),
-            lit("%").as("unit")).as("detailQuantity"),
-          lit("2024-12-31").as("dueDate"))).as("target"),
-        array(struct(concat(lit("Condition/"),
-          col("n_nationkey").cast(StringType)).as("reference")))
-          .as("addresses"))).as("resource"))
-      graft.fhir.FhirEncoder.encode(raw, "Goal").select(
-        col("id"),
-        col("lifecycleStatus").as("lifecycle_status"),
-        element_at(col("achievementStatus").getField("coding"), 1)
-          .getField("code").as("achievement_code"),
-        col("description").getField("text").as("description_text"),
-        col("subject").getField("reference").as("subject_ref"),
-        col("startDate").as("start_date"),
-        element_at(element_at(col("target"), 1).getField("measure")
-          .getField("coding"), 1).getField("code").as("measure_code"),
-        element_at(col("target"), 1).getField("detailQuantity")
-          .getField("value").cast(StringType).as("target_value"),
-        element_at(col("target"), 1).getField("detailQuantity")
-          .getField("unit").as("target_unit"),
-        element_at(col("target"), 1).getField("dueDate").as("due_date"),
-        element_at(col("addresses"), 1).getField("reference")
-          .as("addresses_ref"))
-    }),
-
-    // ---- tier-5 typed FHIR: PractitionerRole — availableTime /
-    //      notAvailable backbones with time strings kept
-    //      precision-preserving ----
-    "q_fhir_encode_practitionerrole" -> ((s, dir) => {
-      val raw = t(s, dir, "supplier").select(to_json(struct(
-        lit("PractitionerRole").as("resourceType"),
-        col("s_suppkey").cast(StringType).as("id"),
-        lit(true).as("active"),
-        struct(lit("2020-01-01").as("start")).as("period"),
-        struct(concat(lit("Practitioner/"),
-          (col("s_suppkey") % 10).cast(StringType)).as("reference"))
-          .as("practitioner"),
-        struct(concat(lit("Organization/"),
-          col("s_nationkey").cast(StringType)).as("reference"))
-          .as("organization"),
-        array(struct(array(struct(
-          lit("http://terminology.hl7.org/CodeSystem/practitioner-role")
-            .as("system"),
-          lit("doctor").as("code"))).as("coding"))).as("code"),
-        array(struct(array(struct(
-          lit("394814009").as("code"),
-          col("s_name").as("display"))).as("coding"))).as("specialty"),
-        array(struct(concat(lit("Location/"),
-          col("s_nationkey").cast(StringType)).as("reference")))
-          .as("location"),
-        array(struct(
-          array(lit("mon"), lit("wed"), lit("fri")).as("daysOfWeek"),
-          lit(false).as("allDay"),
-          lit("09:00:00").as("availableStartTime"),
-          lit("17:00:00").as("availableEndTime"))).as("availableTime"),
-        array(struct(
-          lit("public holidays").as("description"),
-          struct(lit("2024-12-24").as("start"),
-            lit("2024-12-26").as("end")).as("during")))
-          .as("notAvailable"))).as("resource"))
-      graft.fhir.FhirEncoder.encode(raw, "PractitionerRole").select(
-        col("id"), col("active"),
-        col("period").getField("start").as("period_start"),
-        col("practitioner").getField("reference").as("practitioner_ref"),
-        col("organization").getField("reference").as("org_ref"),
-        element_at(element_at(col("code"), 1).getField("coding"), 1)
-          .getField("code").as("role_code"),
-        element_at(element_at(col("specialty"), 1).getField("coding"), 1)
-          .getField("display").as("specialty_display"),
-        element_at(col("location"), 1).getField("reference")
-          .as("location_ref"),
-        element_at(element_at(col("availableTime"), 1)
-          .getField("daysOfWeek"), 2).as("day2"),
-        element_at(col("availableTime"), 1)
-          .getField("availableStartTime").as("avail_start"),
-        element_at(col("notAvailable"), 1).getField("description")
-          .as("na_desc"),
-        element_at(col("notAvailable"), 1).getField("during")
-          .getField("end").as("na_end"))
-    }),
-
-    // ---- tier-6 typed FHIR: the configured-type long tail. The
-    //      reference accepts ANY resource_types config
-    //      (settings.py:69–75); bzkf's oncology deployment makes
-    //      Specimen / ServiceRequest / MedicationStatement / Coverage
-    //      / RelatedPerson realistic traffic. One exact-oracled encode
-    //      round trip per type ----
-    "q_fhir_encode_specimen" -> ((s, dir) => {
-      val raw = t(s, dir, "part").select(to_json(struct(
-        lit("Specimen").as("resourceType"),
-        col("p_partkey").cast(StringType).as("id"),
-        struct(lit("urn:graft:accession").as("system"),
-          concat(lit("ACC-"), col("p_partkey").cast(StringType))
-            .as("value")).as("accessionIdentifier"),
-        lit("available").as("status"),
-        struct(array(struct(
-          lit("http://snomed.info/sct").as("system"),
-          lit("119376003").as("code"),
-          col("p_type").as("display"))).as("coding")).as("type"),
-        struct(concat(lit("Patient/"),
-          (col("p_partkey") % 100).cast(StringType)).as("reference"))
-          .as("subject"),
-        lit("2024-03-01T08:30:00Z").as("receivedTime"),
-        struct(
-          lit("2024-03-01T08:00:00Z").as("collectedDateTime"),
-          struct(col("p_size").cast(DecimalType(32, 6)).as("value"),
-            lit("mL").as("unit")).as("quantity"),
-          struct(array(struct(lit("368149001").as("code"))).as("coding"))
-            .as("bodySite")).as("collection"),
-        array(struct(
-          col("p_brand").as("description"),
-          struct((col("p_partkey") % 50).cast(DecimalType(32, 6))
-            .as("value"), lit("mL").as("unit")).as("capacity")))
-          .as("container"))).as("resource"))
-      graft.fhir.FhirEncoder.encode(raw, "Specimen").select(
-        col("id"),
-        col("accessionIdentifier").getField("value").as("accession"),
-        col("status"),
-        element_at(col("type").getField("coding"), 1)
-          .getField("display").as("type_display"),
-        col("subject").getField("reference").as("subject_ref"),
-        col("receivedTime").as("received_time"),
-        col("collection").getField("collectedDateTime")
-          .as("collected_at"),
-        col("collection").getField("quantity").getField("value")
-          .cast(StringType).as("coll_qty"),
-        element_at(col("collection").getField("bodySite")
-          .getField("coding"), 1).getField("code").as("body_site"),
-        element_at(col("container"), 1).getField("description")
-          .as("container_desc"),
-        element_at(col("container"), 1).getField("capacity")
-          .getField("value").cast(StringType).as("container_cap"))
-    }),
-
-    "q_fhir_encode_servicerequest" -> ((s, dir) => {
-      val raw = t(s, dir, "orders").select(to_json(struct(
-        lit("ServiceRequest").as("resourceType"),
-        col("o_orderkey").cast(StringType).as("id"),
-        lit("active").as("status"),
-        lit("order").as("intent"),
-        array(struct(array(struct(
-          lit("http://snomed.info/sct").as("system"),
-          lit("108252007").as("code"))).as("coding"))).as("category"),
-        when(col("o_orderkey") % 2 === 0, "routine")
-          .otherwise("urgent").as("priority"),
-        lit(false).as("doNotPerform"),
-        struct(array(struct(lit("15220000").as("code"),
-          lit("Laboratory test").as("display"))).as("coding"),
-          col("o_orderpriority").as("text")).as("code"),
-        struct((col("o_orderkey") % 5 + 1).cast(DecimalType(32, 6))
-          .as("value"), lit("unit").as("unit")).as("quantityQuantity"),
-        struct(concat(lit("Patient/"),
-          col("o_custkey").cast(StringType)).as("reference"))
-          .as("subject"),
-        col("o_orderdate").cast(StringType).as("occurrenceDateTime"),
-        col("o_orderdate").cast(StringType).as("authoredOn"),
-        struct(concat(lit("Practitioner/"),
-          (col("o_orderkey") % 7).cast(StringType)).as("reference"))
-          .as("requester"),
-        array(struct(array(struct(lit("183524004").as("code")))
-          .as("coding"), concat(lit("Ref: "), col("o_orderstatus"))
-          .as("text"))).as("reasonCode")))
-        .as("resource"))
-      graft.fhir.FhirEncoder.encode(raw, "ServiceRequest").select(
-        col("id"), col("status"), col("intent"),
-        element_at(element_at(col("category"), 1).getField("coding"), 1)
-          .getField("code").as("category_code"),
-        col("priority"), col("doNotPerform").as("do_not_perform"),
-        element_at(col("code").getField("coding"), 1)
-          .getField("display").as("code_display"),
-        col("code").getField("text").as("code_text"),
-        col("quantityQuantity").getField("value").cast(StringType)
-          .as("qty"),
-        col("subject").getField("reference").as("subject_ref"),
-        col("occurrenceDateTime").as("occurrence_at"),
-        col("authoredOn").as("authored_on"),
-        col("requester").getField("reference").as("requester_ref"),
-        element_at(element_at(col("reasonCode"), 1)
-          .getField("coding"), 1).getField("code").as("reason_code"),
-        element_at(col("reasonCode"), 1).getField("text")
-          .as("reason_text"))
-    }),
-
-    "q_fhir_encode_medstatement" -> ((s, dir) => {
-      val raw = t(s, dir, "customer").select(to_json(struct(
-        lit("MedicationStatement").as("resourceType"),
-        col("c_custkey").cast(StringType).as("id"),
-        lit("active").as("status"),
-        struct(array(struct(lit("inpatient").as("code"))).as("coding"))
-          .as("category"),
-        struct(array(struct(
-          lit("http://www.nlm.nih.gov/research/umls/rxnorm").as("system"),
-          (col("c_custkey") % 1000).cast(StringType).as("code"),
-          col("c_name").as("display"))).as("coding"))
-          .as("medicationCodeableConcept"),
-        struct(concat(lit("Patient/"),
-          col("c_custkey").cast(StringType)).as("reference"))
-          .as("subject"),
-        struct(lit("2024-01-01").as("start"),
-          lit("2024-06-30").as("end")).as("effectivePeriod"),
-        lit("2024-07-01").as("dateAsserted"),
-        array(struct(
-          lit(1).as("sequence"),
-          concat(lit("Take as directed: "), col("c_mktsegment"))
-            .as("text"),
-          struct(struct(lit(2).as("frequency"),
-            lit(1).cast(DecimalType(32, 6)).as("period"),
-            lit("d").as("periodUnit")).as("repeat")).as("timing"),
-          array(struct(struct(
-            (col("c_custkey") % 3 + 1).cast(DecimalType(32, 6))
-              .as("value"),
-            lit("tablet").as("unit")).as("doseQuantity")))
-            .as("doseAndRate"))).as("dosage"))).as("resource"))
-      graft.fhir.FhirEncoder.encode(raw, "MedicationStatement").select(
-        col("id"), col("status"),
-        element_at(col("category").getField("coding"), 1)
-          .getField("code").as("category_code"),
-        element_at(col("medicationCodeableConcept")
-          .getField("coding"), 1).getField("code").as("med_code"),
-        element_at(col("medicationCodeableConcept")
-          .getField("coding"), 1).getField("display").as("med_display"),
-        col("subject").getField("reference").as("subject_ref"),
-        col("effectivePeriod").getField("start").as("eff_start"),
-        col("effectivePeriod").getField("end").as("eff_end"),
-        col("dateAsserted").as("date_asserted"),
-        element_at(col("dosage"), 1).getField("text").as("dosage_text"),
-        element_at(col("dosage"), 1).getField("timing")
-          .getField("repeat").getField("frequency").as("dose_freq"),
-        element_at(col("dosage"), 1).getField("timing")
-          .getField("repeat").getField("periodUnit").as("dose_unit"),
-        element_at(element_at(col("dosage"), 1)
-          .getField("doseAndRate"), 1).getField("doseQuantity")
-          .getField("value").cast(StringType).as("dose_qty"))
-    }),
-
-    "q_fhir_encode_coverage" -> ((s, dir) => {
-      val raw = t(s, dir, "supplier").select(to_json(struct(
-        lit("Coverage").as("resourceType"),
-        col("s_suppkey").cast(StringType).as("id"),
-        lit("active").as("status"),
-        struct(array(struct(lit("EHCPOL").as("code"))).as("coding"))
-          .as("type"),
-        concat(lit("SUB-"), col("s_suppkey").cast(StringType))
-          .as("subscriberId"),
-        struct(concat(lit("Patient/"),
-          col("s_suppkey").cast(StringType)).as("reference"))
-          .as("beneficiary"),
-        struct(array(struct(lit("self").as("code"))).as("coding"))
-          .as("relationship"),
-        struct(lit("2024-01-01").as("start")).as("period"),
-        array(struct(concat(lit("Organization/"),
-          col("s_nationkey").cast(StringType)).as("reference"),
-          col("s_name").as("display"))).as("payor"),
-        array(struct(
-          struct(array(struct(lit("group").as("code"))).as("coding"))
-            .as("type"),
-          concat(lit("GRP-"), (col("s_suppkey") % 10).cast(StringType))
-            .as("value"),
-          col("s_name").as("name"))).as("class"),
-        (col("s_suppkey") % 3 + 1).cast(IntegerType).as("order"),
-        lit("provider-network").as("network"),
-        array(struct(
-          struct(array(struct(lit("copay").as("code"))).as("coding"))
-            .as("type"),
-          struct((col("s_suppkey") % 20).cast(DecimalType(32, 6))
-            .as("value"), lit("USD").as("currency")).as("valueMoney")))
-          .as("costToBeneficiary"),
-        lit(true).as("subrogation"))).as("resource"))
-      graft.fhir.FhirEncoder.encode(raw, "Coverage").select(
-        col("id"), col("status"),
-        element_at(col("type").getField("coding"), 1)
-          .getField("code").as("type_code"),
-        col("subscriberId").as("subscriber_id"),
-        col("beneficiary").getField("reference").as("beneficiary_ref"),
-        element_at(col("relationship").getField("coding"), 1)
-          .getField("code").as("relationship_code"),
-        col("period").getField("start").as("period_start"),
-        element_at(col("payor"), 1).getField("reference")
-          .as("payor_ref"),
-        element_at(col("payor"), 1).getField("display")
-          .as("payor_display"),
-        element_at(col("class"), 1).getField("value").as("class_value"),
-        element_at(col("class"), 1).getField("name").as("class_name"),
-        col("order").as("cov_order"),
-        col("network"),
-        element_at(col("costToBeneficiary"), 1).getField("valueMoney")
-          .getField("value").cast(StringType).as("copay_value"),
-        element_at(col("costToBeneficiary"), 1).getField("valueMoney")
-          .getField("currency").as("copay_currency"),
-        col("subrogation"))
-    }),
-
-    "q_fhir_encode_relatedperson" -> ((s, dir) => {
-      val raw = t(s, dir, "nation").select(to_json(struct(
-        lit("RelatedPerson").as("resourceType"),
-        col("n_nationkey").cast(StringType).as("id"),
-        lit(true).as("active"),
-        struct(concat(lit("Patient/"),
-          col("n_nationkey").cast(StringType)).as("reference"))
-          .as("patient"),
-        array(struct(array(struct(
-          lit("http://terminology.hl7.org/CodeSystem/v3-RoleCode")
-            .as("system"),
-          lit("SPS").as("code"))).as("coding"))).as("relationship"),
-        array(struct(lit("official").as("use"),
-          col("n_name").as("family"),
-          array(lit("Alex"), lit("J")).as("given"))).as("name"),
-        array(struct(lit("phone").as("system"),
-          concat(lit("+1-555-"),
-            lpad(col("n_nationkey").cast(StringType), 4, "0"))
-            .as("value"),
-          lit("home").as("use"), lit(1).as("rank"))).as("telecom"),
-        when(col("n_nationkey") % 2 === 0, "female")
-          .otherwise("male").as("gender"),
-        lit("1980-05-15").as("birthDate"),
-        array(struct(lit("home").as("use"),
-          array(concat(col("n_nationkey").cast(StringType),
-            lit(" Main St"))).as("line"),
-          lit("Springfield").as("city"),
-          col("n_name").as("country"))).as("address"),
-        struct(lit("2020-01-01").as("start")).as("period"),
-        array(struct(
-          struct(array(struct(lit("en").as("code"))).as("coding"))
-            .as("language"),
-          lit(true).as("preferred"))).as("communication")))
-        .as("resource"))
-      graft.fhir.FhirEncoder.encode(raw, "RelatedPerson").select(
-        col("id"), col("active"),
-        col("patient").getField("reference").as("patient_ref"),
-        element_at(element_at(col("relationship"), 1)
-          .getField("coding"), 1).getField("code").as("rel_code"),
-        element_at(col("name"), 1).getField("family").as("name_family"),
-        element_at(element_at(col("name"), 1).getField("given"), 2)
-          .as("given2"),
-        element_at(col("telecom"), 1).getField("value")
-          .as("telecom_value"),
-        element_at(col("telecom"), 1).getField("rank")
-          .as("telecom_rank"),
-        col("gender"), col("birthDate").as("birth_date"),
-        element_at(element_at(col("address"), 1).getField("line"), 1)
-          .as("addr_line"),
-        element_at(col("address"), 1).getField("city").as("addr_city"),
-        element_at(col("address"), 1).getField("country").as("country"),
-        element_at(element_at(col("communication"), 1)
-          .getField("language").getField("coding"), 1)
-          .getField("code").as("comm_lang"),
-        element_at(col("communication"), 1).getField("preferred")
-          .as("comm_preferred"))
-    }),
-
-    // ---- approx distinct (HLL++) made hash-decidable: DuckDB can't
-    //      replay Spark's sketch, so the gate emits the exact counts
-    //      plus booleans asserting the estimate sits inside 3·rsd of
-    //      exact (default rsd = 0.05; the estimate is deterministic,
-    //      the 3× headroom keeps the gate stable across SFs while
-    //      still hash-failing on any estimator regression) ----
-    "q_approx_distinct" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .agg(
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_orderkey")).as("exact_orders"),
-          approx_count_distinct(col("l_partkey")).as("_ap"),
-          approx_count_distinct(col("l_orderkey")).as("_ao"))
-        .select(col("exact_parts"), col("exact_orders"),
-          (abs(col("_ap") - col("exact_parts")).cast(DoubleType) <=
-            lit(0.15) * col("exact_parts").cast(DoubleType))
-            .as("approx_parts_ok"),
-          (abs(col("_ao") - col("exact_orders")).cast(DoubleType) <=
-            lit(0.15) * col("exact_orders").cast(DoubleType))
-            .as("approx_orders_ok"))
-    }),
-
-    // ---- ANN via typed per-partition-heap Aggregator — must equal
-    //      the rank-window result exactly (same oracle) ----
-    "q_ann_topk_agg" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      graft.ops.TopK.bruteForceTopKAgg(
-        emb.filter(col("vec_id") < 3), emb.filter(col("vec_id") >= 3),
-        k = 10)
-    }),
-
-    // ---- ANN scale path 2: IVF cell-pruned top-k (no oracle) ----
-    "q_ann_ivf" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(
-        emb.filter(col("vec_id") < 3), emb.filter(col("vec_id") >= 3),
-        k = 5)
-    }),
-
-    // ---- IVF multi-probe: queries fan out to their 3 best cells —
-    //      the recall knob of the scale path. Exact oracle: the
-    //      deterministic centroids are inlined into the SQL ----
-    "q_ann_ivf_probe" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(
-        emb.filter(col("vec_id") < 3), emb.filter(col("vec_id") >= 3),
-        k = 5, probes = 3)
-    }),
-
-    // ---- persisted IVF index: corpus partitioned by coarse cell at
-    //      write time, probes prune partitions before IO; identical
-    //      results to q_ann_ivf_probe by construction (same oracle) ----
-    "q_ann_ivf_indexed" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft_ivf").toString
-      Similarity.writeIvfIndex(emb.filter(col("vec_id") >= 3), idx)
-      Similarity.ivfTopKIndexed(emb.filter(col("vec_id") < 3),
-        s.read.parquet(idx), k = 5, probes = 3)
-    }),
-
-    // ---- BPE-ish subword counting (the lookahead split itself is not
-    //      RE2-expressible; the oracle counts token starts instead) ----
-    "q_subword_count" -> ((s, dir) => {
-      t(s, dir, "documents").select(col("doc_id"),
-        TextStats.subwordCount(col("text")).as("n_subwords"))
-    }),
-
-    // ---- KMV bottom-k sketches: per-language vocabulary sketch and
-    //      pairwise Jaccard between languages (TypedImperativeAggregate;
-    //      deterministic; no SQL oracle — DuckDB has no KMV) ----
-    "q_sketch_jaccard" -> ((s, dir) => {
-      import graft.functions.BottomKSketch.{bottom_k_sketch, jaccard}
-      val k = 128
-      val words = t(s, dir, "documents")
-        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
-      val sketches = words.groupBy("lang")
-        .agg(bottom_k_sketch(col("word"), k).as("sketch"))
-      val a = sketches.select(col("lang").as("lang_a"),
-        col("sketch").as("sk_a"))
-      val b = sketches.select(col("lang").as("lang_b"),
-        col("sketch").as("sk_b"))
-      a.join(b, col("lang_a") < col("lang_b"))
-        .select(col("lang_a"), col("lang_b"),
-          jaccard(col("sk_a"), col("sk_b"), k).as("est_jaccard"))
-    }),
-
-    // ---- multimodal frame sampling: explode payload into strided
-    //      fixed-size frames, aggregate per media (integer math only,
-    //      so the frame arithmetic oracles exactly) ----
-    "q_multimodal_frames" -> ((s, dir) => {
-      Multimodal.sampleFrames(
-          Multimodal.asMediaTable(t(s, dir, "documents")),
-          frameBytes = 64, stride = 2)
-        .groupBy(col("media_id"))
-        .agg(first(col("meta.n_bytes")).as("n_bytes"),
-          count(lit(1)).as("n_frames"),
-          max(col("frame_idx")).cast(LongType).as("max_idx"))
-    }),
-
-    // ---- multimodal metadata path: format + byte count only (the
-    //      md5-derived width/height fakes are oracled end-to-end by
-    //      q_multimodal_features). Reading meta.* only also proves the
-    //      binary payload column is pruned at the scan ----
-    "q_multimodal_meta" -> ((s, dir) =>
-      Multimodal.asMediaTable(t(s, dir, "documents"))
-        .select(col("media_id"), col("meta.format").as("format"),
-          col("meta.n_bytes").as("n_bytes"))),
-
-    // ---- multimodal exact dedup: checksum the opaque BINARY payload
-    //      (the first dedup pass of any image/audio corpus — no decode
-    //      needed, one hash-aggregate shuffle) ----
-    "q_multimodal_dedup" -> ((s, dir) =>
-      Multimodal.asMediaTable(t(s, dir, "documents"))
-        .groupBy(md5(col("payload")).as("payload_md5"))
-        .agg(min(col("media_id")).as("keep_id"),
-          count(lit(1)).as("dup_cnt"))),
-
-    // ---- multimodal plumbing: binary payloads + features — exact
-    //      oracle since the stub decode is md5-derived ----
-    "q_multimodal_features" -> ((s, dir) => {
-      // Scalars only in the output: the driver's rows-only stability
-      // check sorts the result with pandas, and an array column crashes
-      // that sort (round-1 q_multimodal_features err). The array itself
-      // is exercised by reducing it, not by returning it.
-      Multimodal.extractFeatures(
-          Multimodal.asMediaTable(t(s, dir, "documents")))
-        .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
-          col("meta.width").as("width"), col("meta.height").as("height"),
-          size(col("features")).cast("long").as("n_features"),
-          aggregate(col("features"), lit(0.0d), (a, x) => a + x)
-            .as("feat_sum"),
-          element_at(col("features"), 1).as("feat0"))
-    }),
-
-    // ---- anti join (NOT EXISTS shape — the complement of q_semi_join) --
-    "q_anti_join" -> ((s, dir) => {
-      val big = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
-      t(s, dir, "orders")
-        .join(big, col("o_orderkey") === col("l_orderkey"), "left_anti")
-        .select("o_orderkey", "o_totalprice")
-    }),
-
-    // ---- EXCEPT (set difference, null-safe distinct semantics) ----
-    "q_except" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
-        .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
-    }),
-
-    // ---- FULL OUTER join with unmatched rows on both sides ----
-    "q_full_outer" -> ((s, dir) => {
-      val bigOrders = t(s, dir, "orders")
-        .filter(col("o_totalprice") >= 250000)
-        .groupBy(col("o_custkey").as("custkey"))
-        .agg(count(lit(1)).as("n_orders"))
-      val richCust = t(s, dir, "customer")
-        .filter(col("c_acctbal") >= 9000)
-        .select(col("c_custkey").as("custkey"), col("c_name"))
-      richCust.join(bigOrders, Seq("custkey"), "full_outer")
-    }),
-
-    // ---- explicit CROSS join (dimension lattice, no key) ----
-    "q_cross_join" -> ((s, dir) => {
-      t(s, dir, "nation").crossJoin(t(s, dir, "region"))
-        .select(col("n_name"), col("r_name"),
-          (col("n_regionkey") === col("r_regionkey")).as("is_home"))
-    }),
-
-    // ---- several DISTINCT aggregates in one GROUP BY (Expand plan) ----
-    "q_count_distinct_multi" -> ((s, dir) => {
-      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
-        .agg(countDistinct(col("l_partkey")).as("n_parts"),
-          countDistinct(col("l_suppkey")).as("n_supps"),
-          count(lit(1)).as("cnt"))
-    }),
-
-    // ---- conditional aggregation: count_if / FILTER-style sums /
-    //      boolean any/all ----
-    "q_conditional_agg" -> ((s, dir) => {
-      t(s, dir, "orders").groupBy(col("o_orderpriority"))
-        .agg(expr("count_if(o_totalprice > 150000)").as("n_big"),
-          dsum(when(col("o_orderstatus") === "F", col("o_totalprice"))
-            .otherwise(lit(0))).as("f_total"),
-          expr("bool_or(o_orderstatus = 'P')").as("any_pending"),
-          expr("bool_and(o_totalprice > 0)").as("all_positive"))
-    }),
-
-    // ---- ranking distributions: rank / dense_rank / percent_rank /
-    //      cume_dist / ntile (unique order key ⇒ deterministic) ----
-    "q_rank_dist" -> ((s, dir) => {
-      val w = Window.partitionBy("o_orderpriority")
-        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-      t(s, dir, "orders").select(
-        col("o_orderkey"), col("o_orderpriority"),
-        rank().over(w).as("rnk"),
-        dense_rank().over(w).as("drnk"),
-        percent_rank().over(w).as("pct_rank"),
-        cume_dist().over(w).as("cdist"),
-        ntile(4).over(w).as("quartile"))
-    }),
-
-    // ---- value windows over explicit ROWS frames: first/last/nth ----
-    "q_first_last" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts").asc, col("event_id").asc)
-      val w3 = w.rowsBetween(-2, 0)
-      val wf = w.rowsBetween(Window.unboundedPreceding,
-        Window.unboundedFollowing)
-      events(s, dir).select(col("user_id"), col("event_id"),
-        first(col("event_id")).over(w3).as("first_in_3"),
-        last(col("event_id")).over(w3).as("last_in_3"),
-        nth_value(col("event_id"), 2).over(wf).as("second_id"))
-    }),
-
-    // ---- global total sort (range-partitioned exchange + sort) ----
-    "q_global_sort" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
-          col("l_linenumber").asc)
-        .select(col("l_orderkey"), col("l_linenumber"),
-          col("l_shipdate").cast(DateType).cast(StringType).as("ship_date"))
-    }),
-
-    // ---- string edit/transform functions (levenshtein & friends) ----
-    "q_string_edit" -> ((s, dir) => {
-      t(s, dir, "customer").select(col("c_custkey"),
-        levenshtein(col("c_name"), lit("Customer#000000001"))
-          .cast(LongType).as("edit_dist"),
-        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_tr"),
-        reverse(col("c_name")).as("name_rev"),
-        instr(col("c_name"), "9").cast(LongType).as("pos9"),
-        repeat(col("c_mktsegment"), 2).as("seg2"),
-        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"))
-    }),
-
-    // ---- calendar functions: trunc/extract/diff/last_day/add_months --
-    "q_date_funcs" -> ((s, dir) => {
-      t(s, dir, "orders").select(col("o_orderkey"),
-        date_trunc("month", col("o_orderdate")).cast(DateType)
-          .cast(StringType).as("month_start"),
-        quarter(col("o_orderdate")).as("qtr"),
-        weekofyear(col("o_orderdate")).as("iso_week"),
-        dayofweek(col("o_orderdate")).as("dow"),
-        datediff(lit(java.sql.Date.valueOf("1998-12-31")),
-          col("o_orderdate").cast(DateType)).as("days_to_end"),
-        last_day(col("o_orderdate").cast(DateType)).cast(StringType)
-          .as("month_end"),
-        add_months(col("o_orderdate").cast(DateType), 3).cast(StringType)
-          .as("plus3m"))
-    }),
-
-    // ---- KMV (k-minimum-values) distinct sketch, oracled: md5 is
-    //      bit-identical across engines, so the kth-smallest-hash
-    //      estimate is an EXACT cross-engine match — the oracle-able
-    //      twin of the HLL path in q_approx_distinct ----
-    "q_kmv_distinct" -> ((s, dir) => {
-      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_kmv")
-      s.sql(
-        """WITH keys AS (
-          |  SELECT DISTINCT l_returnflag AS flag, l_partkey
-          |  FROM lineitem_kmv),
-          |hashed AS (
-          |  SELECT DISTINCT flag,
-          |    CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15),
-          |         16, 10) AS BIGINT) AS h
-          |  FROM keys),
-          |ranked AS (
-          |  SELECT flag, h,
-          |    row_number() OVER (PARTITION BY flag ORDER BY h ASC) AS rn,
-          |    count(*) OVER (PARTITION BY flag) AS total
-          |  FROM hashed)
-          |SELECT flag,
-          |  CAST(CASE WHEN total < 256 THEN CAST(total AS DOUBLE)
-          |       ELSE 255.0 / (CAST(h AS DOUBLE) / 1152921504606846976.0)
-          |       END AS DOUBLE) AS est_distinct,
-          |  CAST(total AS BIGINT) AS n_hashes
-          |FROM ranked WHERE rn = least(256, total)""".stripMargin)
-    }),
-
-    // ---- exact character-3-gram Jaccard, all pairs over a pinned
-    //      subset — the oracle-able anchor for the LSH candidate paths
-    //      (q_dedup_minhash / q_ngram_jaccard estimate this) ----
-    "q_ngram_exact" -> ((s, dir) => {
-      t(s, dir, "documents").createOrReplaceTempView("documents_ng")
-      s.sql(
-        """WITH docs AS (
-          |  SELECT doc_id,
-          |    array_distinct(transform(sequence(1, char_length(text) - 2),
-          |      i -> substring(text, i, 3))) AS sh
-          |  FROM documents_ng WHERE doc_id < 60 AND char_length(text) >= 3)
-          |SELECT doc_a, doc_b, jaccard FROM (
-          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-          |    CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE) /
-          |    CAST(size(a.sh) + size(b.sh)
-          |         - size(array_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
-          |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id)
-          |WHERE jaccard >= 0.1""".stripMargin)
-    }),
-
-    // ---- stats-based data skipping: a clustered ResourceTable read
-    //      with a selective key range opens only the files whose
-    //      commit-log min/max overlap it (Delta data-skipping parity);
-    //      results must equal the plain relational filter ----
-    "q_table_skipping" -> ((s, dir) => {
-      val orders = t(s, dir, "orders")
-      val tdir = java.nio.file.Files
-        .createTempDirectory("graft_skip").toString
-      val rt = graft.tables.ResourceTable(s, s"$tdir/orders_t.parquet")
-      rt.createIfNotExists(orders.schema, clusterCols = Seq("o_orderkey"))
-      rt.upsert(orders, "o_orderkey")
-      rt.optimize(numFiles = 8)
-      rt.read(col("o_orderkey").between(100L, 1500L))
-        .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("cnt"),
-          dsum(col("o_totalprice")).as("total_price"))
-    }),
-
-    // ---- LIQUID-CLUSTERING ON THE INCREMENTAL PATH (Delta re-clusters
-    //      via autoCompact too, reference bundle_processor.py:176–202):
-    //      8 interleaved appends each span the FULL key range, so every
-    //      small file's min/max covers everything and stats skipping
-    //      prunes nothing. ONE compactSmallFiles pass — never a full
-    //      optimize() — range-sorts the coalesced bins on the cluster
-    //      key, and the same range predicate now skips most files.
-    //      Both prune states ride the output as hash-checked booleans;
-    //      the aggregate rows are exact-oracled ----
-    "q_incremental_cluster" -> ((s, dir) => {
-      val orders = t(s, dir, "orders")
-      val tdir = java.nio.file.Files
-        .createTempDirectory("graft_inccl").toString
-      val rt = graft.tables.ResourceTable(s, s"$tdir/orders_ic.parquet")
-      rt.createIfNotExists(orders.schema, clusterCols = Seq("o_orderkey"))
-      // 8 APPENDS (not upserts): appends never rewrite existing files,
-      // so the pre-compaction layout is 8 full-range files at ANY
-      // executor count — an upsert fixture consolidated files under
-      // local[4] merges (AQE-coalesced rewrites), flipping
-      // full_scan_before on machines that don't export
-      // SPARK_GRAFT_CPUS. Keys ≡ i (mod 8) are disjoint, so the table
-      // content is identical either way.
-      (0 until 8).foreach { i =>
-        rt.append(orders.filter(col("o_orderkey") % 8 === i)
-          .coalesce(1))
-      }
-      val pred = col("o_orderkey").between(100L, 1500L)
-      val (keptBefore, totalBefore) = rt.pruneInfo(pred)
-      // incremental compaction only: everything qualifies as small,
-      // fixed 8 range-disjoint bins so the layout is SF-independent
-      rt.compactSmallFiles(minBytes = 1L << 26, targetBytes = 1L << 26,
-        numFiles = Some(8))
-      val (keptAfter, totalAfter) = rt.pruneInfo(pred)
-      rt.read(pred)
-        .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("cnt"),
-          dsum(col("o_totalprice")).as("total_price"))
-        .withColumn("full_scan_before",
-          lit(keptBefore == totalBefore && totalBefore >= 8))
-        .withColumn("skipping_after",
-          lit(keptAfter < totalAfter && keptAfter <= 2))
-    }),
-
-    // ---- file-level BLOOM MEMBERSHIP INDEX (Delta's bloom filter
-    //      index): a point lookup on a high-cardinality column that
-    //      is NOT the clustering key overlaps every file's [min,max],
-    //      so stats skipping opens the whole table — the per-file
-    //      bloom sidecar prunes to the files that might match, with
-    //      results identical to the relational filter ----
-    "q_bloom_skipping" -> ((s, dir) => {
-      val orders = t(s, dir, "orders")
-      val tdir = java.nio.file.Files
-        .createTempDirectory("graft_bloom").toString
-      val rt = graft.tables.ResourceTable(s, s"$tdir/orders_b.parquet")
-      // clustered by DATE → o_orderkey interleaves across every file
-      rt.createIfNotExists(orders.schema, clusterCols = Seq("o_orderdate"))
-      rt.enableBloomIndex(Seq("o_orderkey"))
-      rt.upsert(orders, "o_orderkey")
-      rt.optimize(numFiles = 8)
-      // lazy read → the StatsFileIndex + bloom-probe hook prunes at
-      // PLAN time from the pushed IN filter (read(filter)'s eager
-      // pruning is the stats-only path; this exercises the index)
-      rt.read().filter(col("o_orderkey").isin(7L, 311L, 1202L))
-        .select(col("o_orderkey"), col("o_orderstatus"),
-          col("o_totalprice"))
-    }),
-
-    // ---- DYNAMIC FILE PRUNING join (Delta DFP): the fact table is
-    //      clustered by the join key but the query has NO fact-side
-    //      predicate — a static plan scans every fact file. joinPruned
-    //      collects the dim side's actual key set (bounded), turns it
-    //      into an IN filter on the fact scan, and the manifest
-    //      min/max stats (the InSet skipping case) shrink the scan to
-    //      the files whose key range intersects the dim keys. Results
-    //      are identical to the plain join; only the IO differs ----
-    "q_dfp_join" -> ((s, dir) => {
-      val orders = t(s, dir, "orders")
-      val tdir = java.nio.file.Files
-        .createTempDirectory("graft_dfp").toString
-      val rt = graft.tables.ResourceTable(s, s"$tdir/orders_f.parquet")
-      rt.createIfNotExists(orders.schema, clusterCols = Seq("o_custkey"))
-      rt.upsert(orders, "o_orderkey")
-      rt.optimize(numFiles = 8)
-      val dim = t(s, dir, "customer")
-        .filter(col("c_custkey") % 100 === 7) // selective dim side
-        .select(col("c_custkey"), col("c_mktsegment"))
-      rt.joinPruned(dim, "o_custkey", "c_custkey")
-        .groupBy(col("c_custkey"), col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_orders"),
-          dsum(col("o_totalprice")).as("total_price"))
-    }),
-
-    // ---- hive-style partitioned layout: the scan must prune to the
-    //      one matching partition directory (PartitionFilters) ----
-    "q_partition_pruning" -> ((s, dir) => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_ppart").toString
-      events(s, dir).write.partitionBy("event_type")
-        .mode("overwrite").parquet(s"$base/ev")
-      s.read.parquet(s"$base/ev")
-        .filter(col("event_type") === "purchase")
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("cnt"),
-          dsum(col("value"), 6).as("sum_val"))
-    }),
-
-    // ---- stream ⋈ static-dimension broadcast join (T5-style fan-out
-    //      enrichment; the static side never re-scans per batch) ----
-    "q_stream_static_join" -> ((s, dir) => {
-      import s.implicits._
-      val raw = t(s, dir, "events")
-      val stream = s.readStream.schema(raw.schema)
-        .parquet(s"$dir/events.parque[t]")
-      val dim = Seq(("click", 1L), ("view", 2L), ("signup", 5L),
-        ("purchase", 10L), ("error", 0L)).toDF("event_type", "weight")
-      val agg = stream.join(broadcast(dim), Seq("event_type"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("cnt"), sum(col("weight")).as("weighted"))
-      val name = s"stream_static_${System.nanoTime()}"
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
-      val out = s.table(name).cache()
-      out.count()
-      out
-    }),
-
-    // ---- built-in session_window (event-time gap sessions as a
-    //      native operator — must agree with the q_sessionize logic) --
-    "q_session_window" -> ((s, dir) => {
-      events(s, dir)
-        .groupBy(col("user_id"), session_window(col("ts"), "6 hours"))
-        .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event_id"))
-        .select(col("user_id"),
-          unix_micros(col("session_window.start").cast(TimestampType))
-            .as("session_start_us"),
-          col("n_events"), col("first_event_id"))
-    }),
-
-    // ---- moment statistics through exact decimal sums: stddev and
-    //      correlation recomputed from (n, Σx, Σx², Σxy) so the double
-    //      math is bit-identical across engines ----
-    "q_stats_formula" -> ((s, dir) => {
-      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_st")
-      s.sql(statsFormulaSql("lineitem_st"))
-    }),
-
-    // ---- TPC-H Q3 shape: selective 3-table join → agg → top-k.
-    //      customer is the small filtered side (broadcast); lineitem
-    //      never shuffles before the aggregate ----
-    "q_tpch_q3" -> ((s, dir) => {
-      val cust = t(s, dir, "customer")
-        .filter(col("c_mktsegment") === "BUILDING")
-        .select("c_custkey")
-      val ord = t(s, dir, "orders")
-        .filter(col("o_orderdate").cast(DateType) <
-          lit(java.sql.Date.valueOf("1997-06-01")))
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_shipdate").cast(DateType) >
-          lit(java.sql.Date.valueOf("1997-06-01")))
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("l_orderkey"),
-          col("o_orderdate").cast(DateType).cast(StringType)
-            .as("order_date"))
-        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
-            (lit(1).cast(DecimalType(18, 2)) -
-             col("l_discount").cast(DecimalType(18, 2))))
-          .cast(DoubleType).as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey").asc)
-        .limit(10)
-    }),
-
-    // ---- TPC-H Q5 shape: six-table snowflake join with the dimension
-    //      chain broadcast and one shuffle on the fact key ----
-    // ---- TPC-H Q18 shape (large-volume customers): HAVING over a
-    //      lineitem rollup, then joins back to orders/customer. The
-    //      big-order key set is tiny after the HAVING (<1% of orders),
-    //      so both enrichment joins broadcast it — one full lineitem
-    //      aggregation, zero fact-table shuffles beyond it ----
-    "q_tpch_q18" -> ((s, dir) => {
-      val big = t(s, dir, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(sum(col("l_quantity")).as("sum_qty"))
-        .filter(col("sum_qty") > 300)
-      t(s, dir, "orders")
-        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
-          col("o_totalprice"), col("sum_qty"))
-    }),
-
-    // ---- event funnel (view → click → purchase, order-respecting):
-    //      stage k's first timestamp must not precede stage k-1's.
-    //      Three conditional min-aggregations chained on user_id — one
-    //      shuffle key throughout, so every join after the first
-    //      reuses the partitioning (or broadcasts the shrinking
-    //      stage sets) ----
-    "q_funnel" -> ((s, dir) => {
-      val ev = eventsUs(s, dir)
-        .select(col("user_id"), col("ts_us"), col("event_type"))
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts_us").as("vt"))
-      val c = ev.join(v, "user_id")
-        .filter(col("event_type") === "click" && col("ts_us") >= col("vt"))
-        .groupBy("user_id").agg(min("ts_us").as("ct"))
-      val p = ev.join(c, "user_id")
-        .filter(col("event_type") === "purchase" && col("ts_us") >= col("ct"))
-        .groupBy("user_id").agg(min("ts_us").as("pt"))
-      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
-        .select(col("user_id"), col("vt"),
-          coalesce(col("ct"), lit(-1L)).as("ct"),
-          coalesce(col("pt"), lit(-1L)).as("pt"),
-          when(col("pt").isNotNull, 3).when(col("ct").isNotNull, 2)
-            .otherwise(1).cast(LongType).as("stage"))
-    }),
-
-    "q_tpch_q5" -> ((s, dir) => {
-      val asia = t(s, dir, "region").filter(col("r_name") === "ASIA")
-      val nat = t(s, dir, "nation")
-        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
-      val cust = t(s, dir, "customer")
-        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
-      val ord = t(s, dir, "orders")
-        .filter(col("o_orderdate").cast(DateType) >=
-            lit(java.sql.Date.valueOf("1996-01-01")) &&
-          col("o_orderdate").cast(DateType) <
-            lit(java.sql.Date.valueOf("1997-01-01")))
-      val sup = t(s, dir, "supplier")
-      t(s, dir, "lineitem")
-        .join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust.select("c_custkey", "c_nationkey", "n_name")),
-          col("o_custkey") === col("c_custkey"))
-        .join(broadcast(sup),
-          col("l_suppkey") === col("s_suppkey") &&
-            col("s_nationkey") === col("c_nationkey"))
-        .groupBy(col("n_name"))
-        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
-            (lit(1).cast(DecimalType(18, 2)) -
-             col("l_discount").cast(DecimalType(18, 2))))
-          .cast(DoubleType).as("revenue"))
-    }),
-
-    // ---- TPC-H Q6 shape: forecasting-revenue-change — a pure
-    //      scan+filter+agg with every predicate pushed to parquet;
-    //      per-row double product cast to DECIMAL before the sum so
-    //      the total is partition-order independent ----
-    "q_tpch_q6" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .filter(col("l_shipdate").cast(DateType) >= lit("1996-01-01") &&
-          col("l_shipdate").cast(DateType) < lit("1997-01-01") &&
-          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
-          col("l_quantity") < 24)
-        .agg(sum((col("l_extendedprice") * col("l_discount"))
-            .cast(DecimalType(18, 4)))
-          .cast(DoubleType).as("revenue"))),
-
-    // ---- TF-IDF-style top term per document (tf weighted by inverse
-    //      document frequency; exact int ratio so it oracles) ----
-    "q_tfidf" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      val tf = toks.groupBy("doc_id", "word")
-        .agg(count(lit(1)).as("tf"))
-      val dfreq = toks.groupBy("word")
-        .agg(countDistinct(col("doc_id")).as("df"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("score").desc, col("word").asc)
-      tf.join(dfreq, Seq("word"))
-        .withColumn("score",
-          col("tf").cast(DoubleType) / col("df").cast(DoubleType))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("word").as("top_word"),
-          col("tf"), col("df"), col("score"))
-    }),
-
-    // ---- Gopher-style repetition filters per document: distinct-word
-    //      ratio, top word share, top bigram share (word-granular — the
-    //      corpus is single-line). Boilerplate/degenerate-generation
-    //      detection that exact and near dedup both miss ----
-    "q_doc_repetition" -> ((s, dir) =>
-      TextStats.repetitionFeatures(t(s, dir, "documents"))),
-
-    // ---- CCNet-style LM perplexity filter (Wenzek 2019): bigram LM
-    //      trained on the clean English slice, every doc scored by
-    //      integer-exact mean surprisal (fixed-point p, binary-length
-    //      log2 — no libm), bucketed head/middle/tail ----
-    "q_lm_perplexity" -> ((s, dir) =>
-      TextStats.lmPerplexity(t(s, dir, "documents"),
-        col("lang") === "en" && col("source").isin(
-          "src0", "src1", "src2", "src3"),
-        headMaxMilliBits = 6200L, tailMinMilliBits = 7200L)),
-
-    // ---- frequency-ranked vocabulary (tokenizer-training precursor):
-    //      global wordcount, top-100 by (count desc, word) ----
-    "q_vocab_build" -> ((s, dir) =>
-      TextStats.vocabulary(t(s, dir, "documents"), topN = 100)),
-
-    // ---- one-pass data profiling (deequ-style QA): per column —
-    //      n / nulls / exact distinct / min / max / modal value.
-    //      One Expand-backed aggregate + one pair-count pass ----
-    "q_profile" -> ((s, dir) =>
-      graft.ops.Profile.profile(t(s, dir, "documents"),
-        Seq("doc_id", "lang", "source", "n_chars", "text"))),
-
-    // ---- BPE tokenizer training (6 merge rounds over the corpus
-    //      word-frequency table): weighted pair counts, lexicographic
-    //      tie-break, greedy non-overlapping apply; output is the
-    //      merge table a tokenizer ships. The oracle replays every
-    //      round's counts, argmax, and merge application ----
-    "q_bpe_train" -> ((s, dir) =>
-      graft.ops.BpeTrainer.train(
-        graft.ops.BpeTrainer.wordCounts(t(s, dir, "documents")),
-        rounds = 6)),
-
-    // ---- tokenizer ENCODE under the learned merges: segment the
-    //      VOCABULARY once (a word's BPE split is a function of the
-    //      word), then per-doc token counts are one vocab-sized join —
-    //      corpus text is never re-segmented per occurrence ----
-    "q_bpe_encode" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val wc = graft.ops.BpeTrainer.wordCounts(docs)
-      val merges = bpeMergesMemo.computeIfAbsent(dir, _ =>
-        graft.ops.BpeTrainer.train(wc, rounds = 6)
-          .orderBy("round").collect()
-          .map(r => (r.getString(1), r.getString(2))).toSeq)
-      val pieces = graft.ops.BpeTrainer.segment(wc, merges)
-      docs.select(col("doc_id"),
-          explode(TextStats.tokens(col("text"))).as("word"))
-        .join(pieces, Seq("word"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("n_pieces")).as("bpe_tokens"),
-          count(lit(1)).as("words"))
-    }),
-
-    // ---- END-TO-END tokenization: corpus text → BPE token-ID
-    //      sequences (frequency-ranked ids), fully in-engine ----
-    "q_tokenize_ids" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val merges = bpeMergesMemo.computeIfAbsent(dir, _ =>
-        graft.ops.BpeTrainer.train(
-            graft.ops.BpeTrainer.wordCounts(docs), rounds = 6)
-          .orderBy("round").collect()
-          .map(r => (r.getString(1), r.getString(2))).toSeq)
-      graft.ops.BpeTrainer.tokenIds(docs, merges)
-    }),
-
-    // ---- BM25 retrieval scoring for a 3-term query, top-25 docs.
-    //      The double score ranks but is NOT output (ln() is not
-    //      bit-portable across engines); rank + the exact integer
-    //      evidence (dl, per-term tf) hash-match ----
-    "q_bm25" -> ((s, dir) => {
-      val scored = TextStats.bm25(t(s, dir, "documents"),
-        Seq("spark", "merge", "window"))
-      scored.orderBy(col("score").desc, col("doc_id")).limit(25)
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(TopK.singleBucket(col("doc_id")))
-            .orderBy(col("score").desc, col("doc_id"))).cast(LongType))
-        .select(col("rank"), col("doc_id"), col("dl"),
-          col("tf_spark"), col("tf_merge"), col("tf_window"))
-    }),
-
-    // ---- hybrid retrieval: BM25 lexical ranks fused with embedding
-    //      cosine ranks (reciprocal-rank-fusion shape, integer rank
-    //      arithmetic so it oracles exactly). Each side is top-k'd
-    //      FIRST (TakeOrderedAndProject — per-partition heaps, no
-    //      global sort, no corpus-sized window); ranks within a top-k
-    //      list equal the global ranks (prefix of the same total
-    //      order), a doc absent from one list takes rank k+1, and the
-    //      fusion window runs over the ≤2k-row candidate union ----
-    "q_hybrid_retrieval" -> ((s, dir) => {
-      val k = 50
-      val docs = t(s, dir, "documents")
-      val emb = t(s, dir, "embeddings")
-      val qvec = emb.filter(col("vec_id") === 0)
-        .select(col("embedding").as("q_vec"))
-      val scored = TextStats.bm25(docs, Seq("spark", "merge", "window"))
-        .select(col("doc_id"), col("score"))
-      val cos = emb.crossJoin(broadcast(qvec))
-        .select(col("vec_id").as("doc_id"),
-          Similarity.cosine(col("embedding"), col("q_vec")).as("cos"))
-      val one = TopK.singleBucket(col("doc_id"))
-      val bmTop = scored.orderBy(col("score").desc, col("doc_id")).limit(k)
-        .withColumn("bm25_rank", row_number().over(
-          Window.partitionBy(one)
-            .orderBy(col("score").desc, col("doc_id"))).cast(LongType))
-        .select(col("doc_id"), col("bm25_rank"))
-      val annTop = cos.orderBy(col("cos").desc, col("doc_id")).limit(k)
-        .withColumn("ann_rank", row_number().over(
-          Window.partitionBy(one)
-            .orderBy(col("cos").desc, col("doc_id"))).cast(LongType))
-        .select(col("doc_id"), col("ann_rank"))
-      val fused = bmTop.join(annTop, Seq("doc_id"), "full_outer")
-        .select(col("doc_id"),
-          coalesce(col("bm25_rank"), lit(k + 1L)).as("bm25_rank"),
-          coalesce(col("ann_rank"), lit(k + 1L)).as("ann_rank"))
-      fused.withColumn("rank", row_number().over(
-          Window.partitionBy(one)
-            .orderBy((col("bm25_rank") + col("ann_rank")).asc,
-              col("doc_id").asc)).cast(LongType))
-        .filter(col("rank") <= 10)
-        .select(col("rank"), col("doc_id"), col("bm25_rank"),
-          col("ann_rank"))
-    }),
-
-    // ---- NFC unicode normalization via the native codegen'd
-    //      expression; decomposed combining marks appended to corpus
-    //      text so the normalization is observable (composed output is
-    //      shorter in codepoints) ----
-    "q_unicode_norm" -> ((s, dir) => {
-      // combining marks e+U+0301, n+U+0303, u+U+0308 — NFC composes
-      // them to é/ñ/ü, so len_nfc < len_raw proves the pass ran
-      val decomposed = concat(substring(col("text"), 1, 16),
-        lit(" cafe\u0301 nin\u0303o plu\u0308s"))
-      t(s, dir, "documents").select(col("doc_id"),
-        graft.functions.TextExpressions.nfc_normalize(decomposed)
-          .as("norm"),
-        length(decomposed).cast(LongType).as("len_raw"),
-        length(graft.functions.TextExpressions.nfc_normalize(decomposed))
-          .cast(LongType).as("len_nfc"))
-    }),
-
-    // ---- URL parsing (host / path / query param) + per-host rollup;
-    //      URLs synthesized from source/doc_id/lang so the oracle can
-    //      regex the same parts ----
-    "q_url_extract" -> ((s, dir) => {
-      val url = concat(lit("https://"), col("source"),
-        lit(".example.com/d/"), col("doc_id").cast(StringType),
-        lit("?ref="), col("lang"))
-      t(s, dir, "documents")
-        .select(parse_url(url, lit("HOST")).as("host"),
-          parse_url(url, lit("PATH")).as("path"),
-          parse_url(url, lit("QUERY"), lit("ref")).as("ref"))
-        .groupBy(col("host"))
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("ref")).as("n_refs"),
-          min(col("path")).as("first_path"))
-    }),
-
-    // ---- deterministic k-per-group sample (reservoir semantics,
-    //      content-hash order instead of an RNG) ----
-    "q_sample_per_group" -> ((s, dir) =>
-      graft.ops.Sampling.samplePerGroup(
-          t(s, dir, "documents"), "doc_id", "source", k = 5)
-        .select(col("source"), col("doc_id"), col("sample_rank"))),
-
-    // ---- deterministic training-shard manifest: stable md5 shard
-    //      assignment + the per-shard summary a dataloader reads ----
-    "q_train_shards" -> ((s, dir) =>
-      graft.ops.Sampling.shardManifest(
-        graft.ops.Sampling.shardAssign(
-          t(s, dir, "documents"), "doc_id", "sh1", nShards = 16),
-        "doc_id", "n_chars")),
-
-    // ---- canonical-URL dedup: the crawl's re-fetch variants (scheme
-    //      case, www, tracking params, fragments, trailing slash)
-    //      collapse onto one canonical key; first-crawled doc wins.
-    //      Variants are synthesized 3-per-page from doc_id since the
-    //      fixture has no URL column ----
-    "q_dedup_url" -> ((s, dir) => {
-      val page = expr("doc_id DIV 3").cast("string")
-      val host = concat(lit("h"), expr("(doc_id DIV 3) % 50").cast("string"))
-      val url = when(col("doc_id") % 3 === 0,
-          concat(lit("https://www."), host,
-            lit(".example.com/p/"), page, lit("?utm_source=feed&id="), page))
-        .when(col("doc_id") % 3 === 1,
-          concat(lit("HTTP://"), host,
-            lit(".EXAMPLE.com/p/"), page, lit("?id="), page,
-            lit("&utm_campaign=x")))
-        .otherwise(
-          concat(lit("https://"), host,
-            lit(".example.com/p/"), page, lit("/?id="), page,
-            lit("#sec-2")))
-      graft.ops.Urls.dedupByUrl(
-        t(s, dir, "documents").withColumn("url", url), "url", "doc_id")
-    }),
-
-    // ---- fixed-weight linear quality classifier: the fasttext-style
-    //      keep/drop gate between heuristic filters and dedup ----
-    "q_quality_classifier" -> ((s, dir) =>
-      TextStats.qualityScore(t(s, dir, "documents"))
-        .select(col("doc_id"), col("quality_score"), col("keep"))),
-
-    // ---- the GOPHER quality rules (Rae et al. 2021): each published
-    //      threshold as a per-doc flag, every comparison an integer
-    //      cross-multiplication — no float ratio anywhere, so the
-    //      oracle replay is bit-exact by construction. One codegen'd
-    //      row-local projection. The stopword set is the one the
-    //      synthetic corpus's vocabulary pool can express (Gopher's
-    //      published 8 words are the op's default; only 'the' exists
-    //      in this corpus, which would inert-fail every doc) ----
-    "q_gopher_rules" -> ((s, dir) =>
-      TextStats.gopherRules(t(s, dir, "documents"),
-        stopWords = Seq("the", "a", "of", "and", "to", "in", "is",
-          "it"))),
-
-    // ---- C4 line-level cleaning (Raffel et al. 2020 §2.2): keep
-    //      lines ending in terminal punctuation with >=5 words and no
-    //      curly brace; drop docs with <3 surviving sentences. The
-    //      corpus is a bag of words, so the fixture SYNTHESIZES line
-    //      structure deterministically (8-word lines, every line
-    //      whose index % 3 != 0 gets a period — both engines replay
-    //      the construction); the op itself is one row-local
-    //      projection returning the REWRITTEN text ----
-    "q_c4_filter" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val toks = graft.ops.TextStats.tokens(col("text"))
-      val lineArr = when(size(toks) === 0,
-          array().cast("array<string>"))
-        .otherwise(transform(
-          sequence(lit(0L),
-            floor((size(toks) - lit(1)) / lit(8)).cast(LongType)),
-          i => concat(
-            array_join(slice(toks, (i * 8 + 1).cast(IntegerType),
-              lit(8)), " "),
-            when(i % 3 =!= 0, lit(".")).otherwise(lit("")))))
-      val lined = docs.select(col("doc_id"),
-        array_join(lineArr, "\n").as("text"))
-      TextStats.c4LineFilter(lined)
-    }),
-
-    // ---- END-TO-END CURATION FUNNEL (the FineWeb/RefinedWeb shape,
-    //      batch form): language gate -> quality-classifier keep ->
-    //      exact keep-first dedup -> benchmark decontamination, each
-    //      stage feeding the next, with per-stage survivor counts as
-    //      the decidable output. Every stage is an existing operator
-    //      whose oracle already hash-matches standalone; the funnel
-    //      proves they COMPOSE (semi/anti joins carry the full rows,
-    //      no collects between stages — at 100 TB each arrow is one
-    //      shuffle or less, and the text column is never widened) ----
-    "q_curation_funnel" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      // FUSED since round 14: every row-local stage flag (lang,
-      // quality, content hash, bloom-probed shingle candidates) is
-      // computed in ONE projection over ONE corpus scan — the unfused
-      // form paid 4 corpus scans + 3 doc-keyed joins for the same
-      // numbers (see ops/Curation.scala for the plan-shape contract;
-      // the oracle and output hash are unchanged)
-      Curation.funnel(docs.filter(col("doc_id") % 50 =!= 0),
-        docs.filter(col("doc_id") % 50 === 0), n = 25)
-    }),
-
-    // ---- INCREMENTAL curation over the change feed: flags at v2 are
-    //      maintained from the v1 flag state + CDF rows only — changed
-    //      docs get fresh row-local flags, keeper election re-runs
-    //      only in touched content-hash groups, everything else is
-    //      carried. The oracle recomputes the full funnel over the
-    //      post-change corpus, so the hash match proves the refreshed
-    //      stage counts equal a rebuild's (row-identity is proven in
-    //      CurationSpec/CurationMaintenanceSpec — not re-proven in the
-    //      timed gate); cost is O(state + changed docs) where the
-    //      batch touches ~19% of docs ----
-    "q_funnel_incremental" -> ((s, dir) => {
-      import s.implicits._
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val bench = docs.filter(col("doc_id") % 50 === 0)
-      val tableDir = java.nio.file.Files
-        .createTempDirectory("graft_funnel_incr").toString
-      val tab = graft.tables.ResourceTable(s, s"$tableDir/docs.parquet")
-      tab.createIfNotExists(docs.schema)
-      val corpusAt = (v: org.apache.spark.sql.DataFrame) =>
-        v.filter(col("doc_id") % 50 =!= 0)
-      tab.upsert(docs.filter(col("doc_id") % 10 =!= 0), "doc_id")
-      val v1 = tab.latestVersion.get
-      // inserts (the %10 tranche), updates (%7 docs get new text —
-      // new content hash, so their old group re-elects), deletes
-      // (%9 docs leave — deleted keepers re-elect successors)
-      tab.upsert(docs.filter(col("doc_id") % 10 === 0)
-        .unionByName(docs
-          .filter(col("doc_id") % 7 === 0 && col("doc_id") % 10 =!= 0)
-          .withColumn("text", concat(col("text"), lit(" upd v2")))),
-        "doc_id")
-      tab.deleteWhere(col("doc_id") % 9 === 0)
-      val v2 = tab.latestVersion.get
-      // the benchmark index is STATIC across refreshes — built once,
-      // shared by the v1 flags, the refresh, and the rebuild
-      val bx = Curation.benchmarkIndex(bench)
-      val flags1 = Curation.flags(corpusAt(tab.readVersion(v1)), bx,
-        "doc_id", "text")
-      val changes = tab.changes(v1, v2, "doc_id")
-        .filter(col("doc_id") % 50 =!= 0)
-      // refresh ≡ rebuild (row-identical) is proven in the spec suite
-      // (CurationSpec "refreshFlags ≡ full recompute...",
-      // CurationMaintenanceSpec) — the gate times ONLY the refresh;
-      // the oracle's full-funnel replay over the post-change corpus
-      // remains the exact hash check of the refreshed stage counts
-      val refreshed = Curation.refreshFlags(flags1, changes, bx,
-        "doc_id", "text").cache()
-      val out = Curation.stages(refreshed)
-        .select(col("stage"), col("n")).cache()
-      out.count()
-      refreshed.unpersist()
-      out
-    }),
-
-    // ---- STREAMING curation: refreshFlags as the foreachBatch state
-    //      maintainer of a REAL streaming query — three ordered
-    //      micro-batches (two with re-deliveries carrying new text)
-    //      fold into the standing flag state as delete+insert change
-    //      rows; the stage counts hash-match the oracle's batch
-    //      recompute over the final corpus (row-identity of the
-    //      final state is proven in CurationSpec's streaming-fold
-    //      test, not re-proven in the timed gate).
-    //      At 100 TB this is the shape that never re-reads the
-    //      corpus: each batch costs O(batch + flag-state scan) ----
-    "q_stream_funnel" -> ((s, dir) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
-      val bx = Curation.benchmarkIndex(
-        docs.filter(col("doc_id") % 50 === 0))
-      val all = corpus.as[(Long, String)].collect().sortBy(_._1)
-      // b0: ids≡0 (mod 3); b1: ids≡1 + RE-delivery of (≡0 ∧ %5=0)
-      // with ' v2' text; b2: ids≡2 + re-delivery of (≡1 ∧ %5=0)
-      def redeliver(m: Int) = all.filter(r =>
-        r._1 % 3 == m && r._1 % 5 == 0).map(r => (r._1, r._2 + " v2"))
-      val batches = Seq(
-        all.filter(_._1 % 3 == 0).toSeq,
-        (all.filter(_._1 % 3 == 1) ++ redeliver(0)).toSeq,
-        (all.filter(_._1 % 3 == 2) ++ redeliver(1)).toSeq)
-      val empty = s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("doc_id", LongType),
-          StructField("h", StringType), StructField("f1", BooleanType),
-          StructField("f2", BooleanType),
-          StructField("clean", BooleanType),
-          StructField("f3", BooleanType),
-          StructField("f4", BooleanType))))
-      var state = empty
-      val ms = MemoryStream[(Long, String)]
-      val q = ms.toDF().toDF("doc_id", "text").writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          // re-delivered keys leave the state then re-enter with the
-          // batch's text — delete+insert is the keyed-upsert CDF shape
-          val known = batch.select(col("doc_id"))
-            .join(state.select(col("doc_id")), Seq("doc_id"),
-              "left_semi")
-          val changes = batch
-            .withColumn("_change_type", lit("insert"))
-            .unionByName(known
-              .withColumn("text", lit(null).cast(StringType))
-              .select(col("doc_id"), col("text"))
-              .withColumn("_change_type", lit("delete")))
-          state = Curation.refreshFlags(state, changes, bx,
-            "doc_id", "text").localCheckpoint(true)
-          ()
-        }.start()
-      try { batches.foreach { b =>
-        ms.addData(b: _*): Unit; q.processAllAvailable() } }
-      finally q.stop()
-      // stream ≡ batch (row-identical final state) is proven in the
-      // spec suite (CurationSpec's streaming-fold test) — the gate
-      // times only the streamed fold; the oracle replays the final
-      // corpus through the funnel and hash-checks the stage counts
-      val out = Curation.stages(state)
-        .select(col("stage"), col("n")).cache()
-      out.count()
-      out
-    }),
-
-    // ---- END-TO-END training-data ingest: a REAL streaming query
-    //      chains quality gate -> canonical-URL keep-first -> shard
-    //      assignment -> INSERT-ONLY merge (zero file rewrites,
-    //      exactly-once txn watermarks) into an ACID table, across
-    //      three ordered micro-batches; the driver-side batch split
-    //      is gate fixture, not engine. Cross-batch keep-first +
-    //      in-batch min(doc_id) + doc_id-ordered batches == the
-    //      global min-per-canonical the oracle computes ----
-    "q_train_ingest_e2e" -> ((s, dir) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val fixture = t(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-        .as[(Long, String)].collect().sortBy(_._1)
-      val batches = fixture.grouped(
-        math.max((fixture.length + 2) / 3, 1)).toSeq
-      val tableDir = java.nio.file.Files
-        .createTempDirectory("graft_train_ingest").toString
-      val tab = graft.tables.ResourceTable(s, s"$tableDir/docs.parquet")
-      tab.createIfNotExists(StructType(Seq(
-        StructField("canonical_url", StringType),
-        StructField("doc_id", LongType),
-        StructField("shard", LongType))))
-      val ms = MemoryStream[(Long, String)]
-      val q = ms.toDF().toDF("doc_id", "text").writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val page = expr("doc_id DIV 3").cast(StringType)
-          val host = concat(lit("h"),
-            expr("(doc_id DIV 3) % 50").cast(StringType))
-          val url = when(col("doc_id") % 3 === 0,
-              concat(lit("https://www."), host, lit(".example.com/p/"),
-                page, lit("?utm_source=feed&id="), page))
-            .when(col("doc_id") % 3 === 1,
-              concat(lit("HTTP://"), host, lit(".EXAMPLE.com/p/"),
-                page, lit("?id="), page, lit("&utm_campaign=x")))
-            .otherwise(
-              concat(lit("https://"), host, lit(".example.com/p/"),
-                page, lit("/?id="), page, lit("#sec-2")))
-          val kept = TextStats.qualityScore(batch).filter(col("keep"))
-            .withColumn("canonical_url", graft.ops.Urls.canonicalize(url))
-          val firstPerKey = kept.groupBy(col("canonical_url"))
-            .agg(min(col("doc_id")).as("doc_id"))
-          val sharded = graft.ops.Sampling
-            .shardAssign(firstPerKey, "doc_id", "sh1", nShards = 16)
-            .select(col("canonical_url"), col("doc_id"), col("shard"))
-          tab.insertIfAbsent(sharded, "canonical_url",
-            txn = Some(("train_ingest", batchId)))
-          ()
-        }.start()
-      try batches.foreach { b =>
-        ms.addData(b.toIndexedSeq); q.processAllAvailable()
-      } finally q.stop()
-      tab.read()
-    }),
-
-    // ---- term-frequency hash embedding (hashing trick): model-free
-    //      deterministic text vectors, exact-oracled via the splitmix
-    //      token-hash replay; output scalars derived from the vector ----
-    "q_hash_embed" -> ((s, dir) => {
-      val emb = TextStats.hashEmbedding(t(s, dir, "documents"))
-      emb.select(col("doc_id"),
-        aggregate(col("hash_vec"), lit(0L),
-          (a, v) => a + v.cast(LongType) * v.cast(LongType)).as("l2sq"),
-        size(filter(col("hash_vec"), v => v > 0)).cast(LongType).as("nnz"),
-        (array_position(col("hash_vec"), array_max(col("hash_vec"))) - 1)
-          .as("top_bucket"))
-    }),
-
-    // ---- retrieval over hash embeddings: one broadcast query vector
-    //      against the corpus scan, exact integer dot/norms, one IEEE
-    //      division + sqrt — float cosines hash-match the oracle ----
-    "q_hash_embed_sim" -> ((s, dir) => {
-      val emb = TextStats.hashEmbedding(t(s, dir, "documents"))
-        .select(col("doc_id"), col("hash_vec"))
-      val qv = broadcast(emb.filter(col("doc_id") === 0L)
-        .select(col("hash_vec").as("q_vec")))
-      emb.crossJoin(qv)
-        .withColumn("cos",
-          TextStats.cosineIntVectors(col("hash_vec"), col("q_vec")))
-        .filter(col("doc_id") =!= 0L &&
-          size(filter(col("hash_vec"), v => v > 0)) > 0 &&
-          size(filter(col("q_vec"), v => v > 0)) > 0 &&
-          col("cos") >= 0.75)
-        .select(col("doc_id"), col("cos"))
-    }),
-
-    // ---- incremental LSH-index maintenance from the change feed:
-    //      refresh(index@v1, CDF v1->v2) must equal a from-scratch
-    //      rebuild over v2 — the gate ASSERTS the equality (multiset,
-    //      signatures included) and emits the decidable row the
-    //      oracle replays: 4 band rows per >=3-token doc ----
-    "q_index_refresh" -> ((s, dir) => {
-      import s.implicits._
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val tableDir = java.nio.file.Files
-        .createTempDirectory("graft_idx_refresh").toString
-      val tab = graft.tables.ResourceTable(s, s"$tableDir/docs.parquet")
-      tab.createIfNotExists(docs.schema)
-      tab.upsert(docs.filter(col("doc_id") % 10 =!= 0), "doc_id")
-      val v1 = tab.latestVersion.get
-      val batch = docs.filter(col("doc_id") % 10 === 0)
-        .unionByName(docs
-          .filter(col("doc_id") % 7 === 0 && col("doc_id") % 10 =!= 0)
-          .withColumn("text", concat(col("text"), lit(" upd v2"))))
-      tab.upsert(batch, "doc_id")
-      val v2 = tab.latestVersion.get
-      val idx1 = Dedup.bandedIndex(tab.readVersion(v1), "doc_id", "text")
-      val refreshed = Dedup.refreshBandedIndex(idx1,
-        tab.changes(v1, v2, "doc_id"), "doc_id", "text").cache()
-      val rebuilt = Dedup.bandedIndex(tab.read(), "doc_id", "text").cache()
-      val equal = refreshed.exceptAll(rebuilt).count() == 0 &&
-        rebuilt.exceptAll(refreshed).count() == 0
-      val n = rebuilt.count()
-      refreshed.unpersist(); rebuilt.unpersist()
-      Seq((equal, n)).toDF("refresh_equals_rebuild", "n_index_rows")
-    }),
-
-    // ---- sliding event-time windows (10 min length / 5 min slide):
-    //      each event lands in two overlapping windows; watermarked
-    //      state is dropped as windows close ----
-    "q_stream_sliding" -> ((s, dir) => {
-      val raw = t(s, dir, "events")
-      val stream = s.readStream.schema(raw.schema)
-        .parquet(s"$dir/events.parque[t]")
-      val withTs =
-        if (raw.schema("ts").dataType == LongType)
-          stream.withColumn("ts",
-            expr("timestamp_micros(ts DIV 1000)").cast(TimestampType))
-        else stream.withColumn("ts", col("ts").cast(TimestampType))
-      val agg = graft.streaming.StreamOps.slidingCounts(
-          withTs, "ts", windowLength = "10 minutes", slide = "5 minutes",
-          watermark = "30 minutes")
-        .select(unix_micros(col("w_start")).as("w_start_us"), col("cnt"))
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val name = s"stream_sliding_${System.nanoTime()}"
-      val q =
-        try agg.writeStream.format("memory").queryName(name)
-          .outputMode("complete").start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try q.processAllAvailable() finally q.stop()
-      val out = s.table(name).cache()
-      out.count()
-      out
-    }),
-
-    // ---- streaming dedup with watermarked state eviction: duplicate
-    //      (user_id, event_type) arrivals within the watermark are
-    //      dropped and key state is evicted as the watermark advances —
-    //      bounded state on unbounded streams (vs dropDuplicates'
-    //      unbounded key set) ----
-    "q_stream_dedup" -> ((s, dir) => {
-      val raw = t(s, dir, "events")
-      val stream = s.readStream.schema(raw.schema)
-        .parquet(s"$dir/events.parque[t]")
-      // watermarks require TIMESTAMP (not NTZ); the session is UTC and
-      // no time column is output, so the cast cannot skew results
-      val withTs =
-        if (raw.schema("ts").dataType == LongType)
-          stream.withColumn("ts",
-            expr("timestamp_micros(ts DIV 1000)").cast(TimestampType))
-        else stream.withColumn("ts", col("ts").cast(TimestampType))
-      val dd = graft.streaming.StreamOps.dedupWithinWatermark(
-          withTs, "ts", Seq("user_id", "event_type"), watermark = "1 hour")
-        .select(col("user_id"), col("event_type"))
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      val name = s"stream_dedup_${System.nanoTime()}"
-      val q =
-        try dd.writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try q.processAllAvailable() finally q.stop()
-      val out = s.table(name).cache()
-      out.count()
-      out
-    }),
-
-    // ---- MapType construction + lookup (scalar outputs only) ----
-    "q_map_ops" -> ((s, dir) => {
-      val m = map(lit("type"), col("event_type"),
-        lit("user"), col("user_id").cast(StringType))
-      t(s, dir, "events").select(col("event_id"),
-        element_at(m, "type").as("m_type"),
-        element_at(m, "user").as("m_user"),
-        element_at(m, "missing").as("m_missing"),
-        size(m).cast(LongType).as("m_size"))
-    }),
-
-    // ---- array aggregation: collect_list/collect_set canonicalized by
-    //      sort_array + array_join so the output stays scalar and
-    //      order-independent (collect_* ordering is nondeterministic
-    //      under parallel merge — never emit the raw array) ----
-    "q_array_agg" -> ((s, dir) => {
-      t(s, dir, "orders")
-        .filter(col("o_custkey") <= 200)
-        .groupBy(col("o_custkey"))
-        .agg(
-          array_join(sort_array(collect_list(col("o_orderstatus"))), ",")
-            .as("statuses"),
-          array_join(sort_array(collect_set(col("o_orderpriority"))), ",")
-            .as("priorities"),
-          count(lit(1)).as("n_orders"))
-    }),
-
-    // ---- LATERAL correlated subquery join (per-customer top-3 orders
-    //      by price; Catalyst decorrelates to a ranked window) ----
-    "q_lateral" -> ((s, dir) => {
-      t(s, dir, "customer").createOrReplaceTempView("customer_lat")
-      t(s, dir, "orders").createOrReplaceTempView("orders_lat")
-      s.sql(
-        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
-          |FROM customer_lat c,
-          |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat o
-          |         WHERE o.o_custkey = c.c_custkey
-          |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
-          |WHERE c.c_custkey % 7 = 0""".stripMargin)
-    }),
-
-    // ---- blocked fuzzy dedup: (lang, length-bucket) blocking, banded
-    //      levenshtein verify over a 100-char prefix ----
-    "q_dedup_fuzzy" -> ((s, dir) =>
-      Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
-        blockKey = struct(col("lang"),
-          (length(col("text")) / lit(50)).cast(IntegerType)))),
-
-    // ---- time travel (Delta versionAsOf parity): read the snapshot
-    //      BEFORE the delete that followed it; the oracle reconstructs
-    //      that intermediate state relationally ----
-    "q_time_travel" -> ((s, dir) => {
-      val (tab, _, v2, _) = versionedDemo(s, dir)
-      tab.readVersion(v2)
-    }),
-
-    // ---- SHALLOW CLONE (Delta zero-copy fork): clone v2 of the
-    //      versioned history — the fixture REQUIRES the clone manifest
-    //      to be 100% absolute references (zero bytes copied) — then
-    //      diverge the CLONE by deleting its NEWSEG rows: the rewrite
-    //      localizes only the touched files, the rest stay foreign,
-    //      and the SOURCE history is untouched ----
-    "q_shallow_clone" -> ((s, dir) => {
-      val (tab, _, v2, _) = versionedDemo(s, dir)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_clone").toString
-      val c = tab.shallowCloneTo(s"$tmp/clone.parquet", Some(v2))
-      // absolute refs are FULLY-QUALIFIED URIs (scheme-full) so a
-      // cross-store clone can never re-anchor against the wrong store
-      require(c.fileManifest(0L).nonEmpty &&
-        c.fileManifest(0L).forall(_.startsWith("file:/")),
-        "shallow clone must reference, not copy")
-      c.deleteMatching(
-        c.read().filter(col("c_mktsegment") === "NEWSEG")
-          .select("c_custkey"), "c_custkey")
-      val after = c.fileManifest(c.latestVersion.get)
-      require(after.exists(_.startsWith("file:/")),
-        "divergence must keep untouched foreign refs foreign")
-      c.read()
-    }),
-
-    // ---- RENAME COLUMN under column mapping (Delta name mode): the
-    //      rename is a metadata-only commit (fixture REQUIRES zero
-    //      files touched), then a MERGE flows THROUGH the new logical
-    //      name while the files keep their physical one ----
-    "q_rename_column" -> ((s, dir) => {
-      val tab = renameDemoMemo.computeIfAbsent(dir, _ => {
-        val base = t(s, dir, "customer").repartition(4)
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_cm").toString
-        val tb = ResourceTable(s, s"$tmp/customer.parquet")
-          .createIfNotExists(base.schema)
-        tb.upsert(base, "c_custkey")
-        tb.enableColumnMapping()
-        val before = tb.fileManifest(tb.latestVersion.get)
-        tb.renameColumn("c_acctbal", "account_balance")
-        require(tb.fileManifest(tb.latestVersion.get) == before,
-          "rename must be metadata-only")
-        val mods = tb.read().filter(col("c_custkey") % 10 === 0)
-          .withColumn("account_balance", col("account_balance") + 1000)
-        tb.upsert(mods, "c_custkey")
-        tb
-      })
-      tab.read()
-    }),
-
-    // ---- conditional MERGE builder (Delta whenMatched/whenNotMatched
-    //      with conditions): one commit deletes FURNITURE matches,
-    //      doubles the others' balances (t+s pre-merge), and inserts
-    //      only positive-balance new rows ----
-    "q_merge_builder" -> ((s, dir) => {
-      val tab = mergeDemoMemo.computeIfAbsent(dir, _ => {
-        val base = t(s, dir, "customer").repartition(4)
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_mb").toString
-        val tb = ResourceTable(s, s"$tmp/customer.parquet")
-          .createIfNotExists(base.schema)
-        tb.upsert(base, "c_custkey")
-        val source = base.filter(col("c_custkey") % 7 === 0)
-          .unionByName(base.filter(col("c_custkey") % 100 === 3)
-            .withColumn("c_custkey", col("c_custkey") + 2000000L))
-        tb.merge(source, "c_custkey")
-          .whenMatchedDelete(col("t.c_mktsegment") === "FURNITURE")
-          .whenMatchedUpdate(Map("c_acctbal" ->
-            (col("t.c_acctbal") + col("s.c_acctbal"))))
-          .whenNotMatchedInsert(col("s.c_acctbal") > 0)
-          .execute()
-        tb
-      })
-      tab.read()
-    }),
-
-    // ---- predicate DML (Delta DELETE WHERE + UPDATE SET WHERE): no
-    //      key anywhere — DELETE drops negative balances, UPDATE then
-    //      reprices the AUTOMOBILE segment from the pre-update row ----
-    "q_delete_update_where" -> ((s, dir) => {
-      val tab = dmlDemoMemo.computeIfAbsent(dir, _ => {
-        val base = t(s, dir, "customer").repartition(4)
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_dml").toString
-        val tb = ResourceTable(s, s"$tmp/customer.parquet")
-          .createIfNotExists(base.schema)
-        tb.upsert(base, "c_custkey")
-        tb.deleteWhere(col("c_acctbal") < 0)
-        tb.updateWhere(col("c_mktsegment") === "AUTOMOBILE",
-          Map("c_acctbal" -> col("c_custkey") * lit(2.0)))
-        tb
-      })
-      tab.read()
-    }),
-
-    // ---- REPLACE WHERE (Delta predicate overwrite): BUILDING-segment
-    //      rows atomically replaced with a reloaded batch in ONE
-    //      commit; the fixture REQUIRES stats pruning to carry
-    //      non-matching files by reference AND matching files to
-    //      rewrite. Idempotent content → safe under re-runs ----
-    "q_replace_where" -> ((s, dir) => {
-      val tab = replaceDemoMemo.computeIfAbsent(dir, _ => {
-        val base = t(s, dir, "customer").repartition(4)
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_rw").toString
-        val tb = ResourceTable(s, s"$tmp/customer.parquet")
-          .createIfNotExists(base.schema,
-            clusterCols = Seq("c_mktsegment"))
-        tb.upsert(base, "c_custkey")
-        tb.optimize(numFiles = 4) // segment-clustered → stats prune
-        tb
-      })
-      val before = tab.fileManifest(tab.latestVersion.get).toSet
-      val repl = t(s, dir, "customer")
-        .filter(col("c_mktsegment") === "BUILDING")
-        .withColumn("c_acctbal", lit(0.0))
-      tab.overwriteWhere(col("c_mktsegment") === lit("BUILDING"), repl)
-      val after = tab.fileManifest(tab.latestVersion.get).toSet
-      require((before & after).nonEmpty,
-        "stats pruning must carry non-matching files by reference")
-      require(before != after, "matching files must rewrite")
-      tab.read()
-    }),
-
-    // ---- STREAMING change feed (Delta readChangeFeed-as-a-stream):
-    //      the commit log replayed through a checkpointed file source,
-    //      one exactly-once micro-batch event per committed version;
-    //      the union of every streamed version's row-level changes
-    //      hash-matches a per-version SQL reconstruction ----
-    "q_change_feed_stream" -> ((s, dir) => {
-      val (tab, _, _, _) = versionedDemo(s, dir)
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_cdfs").toString
-      val buf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-      val q = graft.streaming.ChangeFeed.start(s, tab.path, "c_custkey",
-        ckpt, (v, df) => buf.synchronized {
-          buf += df.withColumn("version", lit(v)): Unit
-        })
-      q.awaitTermination() // AvailableNow: drain the log, then stop
-      buf.synchronized(buf.reduce(_.unionByName(_)))
-    }),
-
-    // ---- transactional APPEND (Delta txnAppId/txnVersion parity):
-    //      a replayed (appId, batchId) append is a no-op, a later
-    //      batch id lands — duplicate rows from the real append prove
-    //      no key semantics interfered ----
-    "q_append_txn" -> ((s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_append").toString
-      val supplier = t(s, dir, "supplier")
-      val tab = ResourceTable(s, s"$tmp/S.parquet")
-        .createIfNotExists(supplier.schema)
-      tab.append(supplier, txn = Some(("gate", 1L)))
-      tab.append(supplier, txn = Some(("gate", 1L))) // replay: skipped
-      tab.append(supplier.filter(col("s_suppkey") <= 10),
-        txn = Some(("gate", 2L)))
-      tab.read()
-    }),
-
-    // ---- RESTORE (Delta RESTORE ... VERSION AS OF parity): mutate
-    //      twice, then roll the head back to the pre-mutation snapshot
-    //      as a NEW commit (history preserved, no data copied); the
-    //      read-back equals the original table exactly ----
-    "q_restore" -> ((s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_restore").toString
-      val supplier = t(s, dir, "supplier")
-      val tab = ResourceTable(s, s"$tmp/Supplier.parquet")
-        .createIfNotExists(supplier.schema)
-      tab.upsert(supplier, "s_suppkey")
-      val v1 = tab.latestVersion.get
-      tab.upsert(supplier.filter(col("s_suppkey") % 3 === 0)
-          .select(col("s_suppkey"), upper(col("s_name")).as("s_name"),
-            col("s_nationkey"), (col("s_acctbal") + 1).as("s_acctbal")),
-        "s_suppkey")
-      tab.deleteMatching(
-        supplier.filter(col("s_suppkey") % 4 === 0).select("s_suppkey"),
-        "s_suppkey")
-      tab.restore(v1)
-      tab.read()
-    }),
-
-    // ---- schema evolution (Delta mergeSchema parity): a widened
-    //      upsert flips schema and data in one atomic commit; files
-    //      written before the new column existed read back null-filled
-    //      through the evolved schema ----
-    "q_schema_evolution" -> ((s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_evo").toString
-      val nation = t(s, dir, "nation")
-      val tab = ResourceTable(s, s"$tmp/Nation.parquet")
-        .createIfNotExists(nation.schema)
-      tab.upsert(nation, "n_nationkey")
-      val widened = nation.filter(col("n_nationkey") < 10)
-        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
-          concat(lit("note-"), col("n_name")).as("note"))
-      tab.upsert(widened, "n_nationkey", mergeSchema = true)
-      tab.read().select(col("n_nationkey"), col("n_name"),
-        col("n_regionkey"), col("note"))
-    }),
-
-    // ---- TYPE WIDENING (Delta typeWidening): an INT table column
-    //      widens to LONG when a mergeSchema batch carries the wider
-    //      type — schema-only commit, the original int32 files are
-    //      served upcast in place (never rewritten). The aggregate
-    //      spans rows from both narrow and wide files ----
-    "q_type_widening" -> ((s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_twiden").toString
-      val orders = t(s, dir, "orders")
-      def cents(dt: String) = (col("o_totalprice")
-        .cast(DecimalType(18, 2)) * 100).cast(dt).as("cents")
-      val narrow = orders.filter(col("o_orderkey") % 2 === 0)
-        .select(col("o_orderkey"), cents("int"))
-      val tab = ResourceTable(s, s"$tmp/O.parquet")
-        .createIfNotExists(narrow.schema)
-      tab.append(narrow)
-      tab.upsert(orders.filter(col("o_orderkey") % 2 === 1)
-        .select(col("o_orderkey"), cents("long")),
-        "o_orderkey", mergeSchema = true)
-      tab.read().groupBy((col("o_orderkey") % 10).as("bucket"))
-        .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
-    }),
-
-    // ---- COLUMN DEFAULTS (Delta allowColumnDefaults): ALTER COLUMN
-    //      SET DEFAULT is a metadata-only commit; batches that OMIT
-    //      the column get the default computed, batches that carry it
-    //      keep their values — the aggregate spans both kinds ----
-    "q_column_defaults" -> ((s, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_cdef").toString
-      val cust = t(s, dir, "customer")
-      val full = cust.select(col("c_custkey"), col("c_acctbal"),
-        col("c_mktsegment").as("segment"))
-      val tab = ResourceTable(s, s"$tmp/C.parquet")
-        .createIfNotExists(full.schema)
-      tab.append(full.filter(col("c_custkey") % 3 === 0))
-      tab.setColumnDefault("segment", "'UNSEGMENTED'")
-      // the rest arrives WITHOUT the segment column → default fills
-      tab.append(full.filter(col("c_custkey") % 3 =!= 0)
-        .drop("segment"))
-      tab.read().groupBy(col("segment"))
-        .agg(count(lit(1)).as("cnt"),
-          sum(col("c_acctbal").cast(DecimalType(18, 2))).as("bal"))
-    }),
-
-    // ---- change data feed (Delta table_changes parity): row-level
-    //      diff between the base version and the head across an
-    //      upsert+insert batch and a delete batch ----
-    "q_change_feed" -> ((s, dir) => {
-      val (tab, v1, _, v3) = versionedDemo(s, dir)
-      tab.changes(v1, v3, "c_custkey")
-    }),
-
-    // ---- the same change feed through the SQL TABLE FUNCTION
-    //      surface (delta's `table_changes`): shares q_change_feed's
-    //      oracle — the TVF must be row-identical to the API call ----
-    "q_cdf_tvf" -> ((s, dir) => {
-      graft.GraftExtensions.register(s)
-      val (tab, v1, _, v3) = versionedDemo(s, dir)
-      s.sql("SELECT * FROM graft_table_changes(" +
-        s"'${tab.path}', $v1, $v3, 'c_custkey')")
-    }),
-
-    // ---- incremental view maintenance from the change feed: a
-    //      per-segment (count, sum) aggregate at v1 is advanced to the
-    //      v3 state purely from CDF deltas (+post/insert, -pre/delete)
-    //      — never rescanning the new snapshot. The oracle aggregates
-    //      the reconstructed v3 directly, so a hash match proves the
-    //      feed is algebraically complete (preimages included). At
-    //      100 TB this is the difference between touching the delta
-    //      and recomputing the world ----
-    "q_incremental_agg" -> ((s, dir) => {
-      val (tab, v1, _, v3) = versionedDemo(s, dir)
-      val dec = col("c_acctbal").cast(DecimalType(18, 2))
-      val base = tab.readVersion(v1).groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("bcnt"), sum(dec).as("bsum"))
-      val delta = tab.changes(v1, v3, "c_custkey")
-        .withColumn("sgn",
-          when(col("_change_type").isin("insert", "update_postimage"), 1L)
-            .otherwise(-1L))
-        .groupBy(col("c_mktsegment"))
-        .agg(sum(col("sgn")).as("dcnt"),
-          sum(dec * col("sgn").cast(DecimalType(18, 2))).as("dsum"))
-      base.join(delta, Seq("c_mktsegment"), "full_outer")
-        .select(col("c_mktsegment"),
-          (coalesce(col("bcnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L)))
-            .as("cnt"),
-          (coalesce(col("bsum"), lit(0).cast(DecimalType(28, 2))) +
-           coalesce(col("dsum"), lit(0).cast(DecimalType(28, 2))))
-            .cast(DoubleType).as("sum_bal"))
-        .filter(col("cnt") > 0)
-    }),
-
-    // ---- Delta Lake log interop (the reference's tables are REAL
-    //      Delta tables read by Trino/DuckDB delta_scan,
-    //      hack/trino/catalog/fhir.properties:1–9): mirror the commit
-    //      log as a standard `_delta_log`, then read the snapshot back
-    //      ONLY through that exported log — a hash match against the
-    //      relational v3 oracle proves the exported actions describe
-    //      the exact snapshot any external delta reader would see ----
-    "q_delta_export" -> ((s, dir) => {
-      val (tab, _, _, _) = versionedDemo(s, dir)
-      graft.tables.DeltaExport.export(tab)
-      graft.tables.DeltaExport.readSnapshot(s, tab.path)
-        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
-          col("c_acctbal"), col("c_mktsegment"))
-    }),
-
-    // ---- selective read through the exported log: the pushed key
-    //      predicate reaches StatsFileIndex, which prunes files whose
-    //      exported min/max stats prove both disjuncts false (the
-    //      mid-range files) before any footer is opened; the hash
-    //      match proves pruning never drops a qualifying file ----
-    "q_delta_export_skip" -> ((s, dir) => {
-      val (tab, _, _, _) = versionedDemo(s, dir)
-      graft.tables.DeltaExport.export(tab)
-      graft.tables.DeltaExport.readSnapshot(s, tab.path)
-        .filter(col("c_custkey") <= 500 || col("c_custkey") >= 1000000)
-        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
-          col("c_acctbal"), col("c_mktsegment"))
-    })
-  )
 
   /** Shared fixture for the time-travel/CDF queries: a versioned table
     * built from `customer` with three deterministic commits — base
     * load, an update+insert upsert, then a segment delete. Returns the
     * table plus the three commit versions.
     */
-  private val versionedDemoMemo =
+  private[graft] val versionedDemoMemo =
     new java.util.concurrent.ConcurrentHashMap[
       String, (ResourceTable, Long, Long, Long)]()
 
-  private val dvDemoMemo =
+  private[graft] val dvDemoMemo =
     new java.util.concurrent.ConcurrentHashMap[String, ResourceTable]()
 
-  private val cdfDemoMemo =
+  private[graft] val cdfDemoMemo =
     new java.util.concurrent.ConcurrentHashMap[String, ResourceTable]()
 
   // learned BPE merges per testdata dir (deterministic; q_bpe_encode
   // reuses q_bpe_train's result instead of re-running the rounds)
-  private val bpeMergesMemo =
+  private[graft] val bpeMergesMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
 
   // PQ codebooks per testdata dir (deterministic sample training;
   // q_pq_encode and q_pq_topk share one training run)
-  private val pqMemo =
+  private[graft] val pqMemo =
     new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Pq.Codebook]()
 
   // q_replace_where's segment-clustered table (content-idempotent
   // under repeated overwriteWhere calls, so one fixture per dir)
-  private val replaceDemoMemo =
+  private[graft] val replaceDemoMemo =
     new java.util.concurrent.ConcurrentHashMap[String, ResourceTable]()
 
   // q_rename_column's column-mapped table (rename + merge built once)
-  private val renameDemoMemo =
+  private[graft] val renameDemoMemo =
     new java.util.concurrent.ConcurrentHashMap[String, ResourceTable]()
 
   // q_delete_update_where's table (both predicate DMLs in the build)
-  private val dmlDemoMemo =
+  private[graft] val dmlDemoMemo =
     new java.util.concurrent.ConcurrentHashMap[String, ResourceTable]()
 
   // q_merge_builder's table (the three-clause merge in the build)
-  private val mergeDemoMemo =
+  private[graft] val mergeDemoMemo =
     new java.util.concurrent.ConcurrentHashMap[String, ResourceTable]()
 
   /** Change-data-feed export fixture: CDF-enabled customer table,
@@ -4702,7 +158,7 @@ object SparkEntry {
     * export materializes both commits' row-level changes as
     * `_change_data/` files with cdc actions. Memoized per dir.
     */
-  private def cdfDemo(s: SparkSession, dir: String): ResourceTable =
+  private[graft] def cdfDemo(s: SparkSession, dir: String): ResourceTable =
     cdfDemoMemo.computeIfAbsent(dir, _ => {
       val base = t(s, dir, "customer").repartition(4)
       val tmp = java.nio.file.Files.createTempDirectory("graft_cdf").toString
@@ -4719,7 +175,7 @@ object SparkEntry {
       tab
     })
 
-  private val retroDemoMemo =
+  private[graft] val retroDemoMemo =
     new java.util.concurrent.ConcurrentHashMap[
       String, (ResourceTable, Long, Long)]()
 
@@ -4740,7 +196,7 @@ object SparkEntry {
     * benchmark-refresh purge over 100 TB).
     * Memoized per dir like [[versionedDemo]].
     */
-  private def retroDemo(
+  private[graft] def retroDemo(
       s: SparkSession, dir: String): (ResourceTable, Long, Long) =
     retroDemoMemo.computeIfAbsent(dir, _ => {
       val docs = t(s, dir, "documents")
@@ -4770,7 +226,7 @@ object SparkEntry {
     * the first file's bitmap). No data file is ever rewritten; reads
     * drop the dead positions. Memoized per dir like [[versionedDemo]].
     */
-  private def dvDemo(s: SparkSession, dir: String): ResourceTable =
+  private[graft] def dvDemo(s: SparkSession, dir: String): ResourceTable =
     dvDemoMemo.computeIfAbsent(dir, _ => {
       val base = t(s, dir, "customer").repartition(4)
       val tmp = java.nio.file.Files.createTempDirectory("graft_dv").toString
@@ -4790,7 +246,7 @@ object SparkEntry {
       tab
     })
 
-  private val dvPurgeDemoMemo =
+  private[graft] val dvPurgeDemoMemo =
     new java.util.concurrent.ConcurrentHashMap[String, ResourceTable]()
 
   /** REORG-PURGE fixture: the [[dvDemo]] construction (two DV deletes,
@@ -4800,7 +256,7 @@ object SparkEntry {
     * gate then proves via DuckDB that the rewrite preserved logical
     * content bit-for-bit.
     */
-  private def dvPurgeDemo(s: SparkSession, dir: String): ResourceTable =
+  private[graft] def dvPurgeDemo(s: SparkSession, dir: String): ResourceTable =
     dvPurgeDemoMemo.computeIfAbsent(dir, _ => {
       val base = t(s, dir, "customer").repartition(4)
       val tmp =
@@ -4825,14 +281,14 @@ object SparkEntry {
       tab
     })
 
-  private def versionedDemo(
+  private[graft] def versionedDemo(
       s: SparkSession, dir: String): (ResourceTable, Long, Long, Long) =
     // one immutable fixture per input dir & JVM: q_time_travel and
     // q_change_feed read DIFFERENT versions of the SAME version
     // history, so building it twice is pure waste
     versionedDemoMemo.computeIfAbsent(dir, _ => buildVersionedDemo(s, dir))
 
-  private def buildVersionedDemo(
+  private[graft] def buildVersionedDemo(
       s: SparkSession, dir: String): (ResourceTable, Long, Long, Long) = {
     // the fixture table is small (customer rows); 4-file snapshots keep
     // the per-commit footer-stat reads proportionate
@@ -4867,7 +323,7 @@ object SparkEntry {
     * LATERAL, and the corpus pins to its single best cell — exactly
     * [[graft.ops.Similarity.ivfTopK]].
     */
-  private def ivfOracle(k: Int, probes: Int): String = {
+  private[graft] def ivfOracle(k: Int, probes: Int): String = {
     val values = graft.ops.Similarity.ivfCentroids(8, 64).zipWithIndex
       .map { case (c, i) => s"($i, [${c.mkString(",")}]::DOUBLE[])" }
       .mkString(",\n        ")
@@ -4912,11 +368,11 @@ object SparkEntry {
   /** q_cms_heavy probe keys: frequent generator-vocab words, one
     * mid-frequency, one guaranteed-absent (collision-only estimate).
     */
-  private val CmsProbeWords: Seq[String] =
+  private[graft] val CmsProbeWords: Seq[String] =
     Seq("table", "query", "customer", "the", "value", "stream",
       "quantumxyz")
 
-  private object SplitmixOracle {
+  private[graft] object SplitmixOracle {
     private val Gamma = "11400714819323198485" // 0x9E3779B97F4A7C15
     private val C2 = "13787848793156543929"    // 0xBF58476D1CE4E5B9
     private val C3 = "10723151780598845931"    // 0x94D049BB133111EB
@@ -5334,7 +790,7 @@ object SparkEntry {
     * even offsets from each island start — the same function the
     * Spark side computes with its row-local fold.
     */
-  private object BpeOracle {
+  private[graft] object BpeOracle {
     def merges(rounds: Int): String =
       s"""${chain(rounds)}
          |${(1 to rounds).map(r =>
@@ -5458,7 +914,7 @@ object SparkEntry {
     * so projection AND projected-space ranking hash-match
     * [[graft.ops.Similarity.randomProject]]/[[rpTopK]] bit-for-bit.
     */
-  private object RpOracle {
+  private[graft] object RpOracle {
     private def compCte(kOut: Int): String = {
       val rows = graft.ops.Similarity.rpSigns(kOut).zipWithIndex
         .map { case (sv, j) => s"($j, [${sv.mkString(",")}]::DOUBLE[])" }
@@ -5511,7 +967,7 @@ object SparkEntry {
     * ≤ 2^27, exact in double on any engine). All subspaces train in
     * ONE set-based chain keyed by `sub` — no per-subspace unrolling.
     */
-  private object PqOracle {
+  private[graft] object PqOracle {
     private def iter(r: Int): String = {
       val p = r - 1
       s"""d$r AS (
@@ -5746,7 +1202,7 @@ object SparkEntry {
     }
   }
 
-  private object KmeansOracle {
+  private[graft] object KmeansOracle {
     private def assignCte(name: String, cents: String): String =
       s"""$name AS (
          |  SELECT e.vec_id, e.embedding, c.cl
@@ -5798,2993 +1254,11 @@ object SparkEntry {
   // =================================================================
   // DuckDB oracles — same column names/types as the Spark results.
   // =================================================================
-  def oracleSql: Map[String, String] = Map(
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  sum(l_quantity) AS sum_qty,
-        |  count(*) AS cnt,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+  def oracleSql: Map[String, String] =
+    graft.gates.RelationalGates.oracleSql ++
+      graft.gates.TableGates.oracleSql ++
+      graft.gates.StreamGates.oracleSql ++
+      graft.gates.LlmGates.oracleSql ++
+      graft.gates.FhirGates.oracleSql
 
-    "q_filter_proj" ->
-      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-        |FROM lineitem
-        |WHERE CAST(l_shipdate AS DATE) < DATE '1996-01-01' AND l_quantity >= 30""".stripMargin,
-
-    "q_join_agg" ->
-      """SELECT n_name, count(*) AS cnt,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-        |FROM orders
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name""".stripMargin,
-
-    "q_broadcast_join" ->
-      """SELECT p_brand, count(*) AS cnt, sum(l_quantity) AS sum_qty
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |WHERE p_size <= 10 GROUP BY p_brand""".stripMargin,
-
-    "q_skew_join" ->
-      """SELECT s_nationkey, count(*) AS cnt, sum(l_quantity) AS sum_qty
-        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-        |GROUP BY s_nationkey""".stripMargin,
-
-    "q_variant_get" ->
-      """SELECT event_id,
-        |  CAST(json_extract(props, '$.k') AS INTEGER) AS k
-        |FROM events""".stripMargin,
-
-    "q_unpivot" ->
-      """SELECT l_orderkey, l_linenumber, metric, val FROM (
-        |  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
-        |             l_extendedprice, l_discount FROM lineitem)
-        |  ON l_quantity, l_extendedprice, l_discount
-        |  INTO NAME metric VALUE val)""".stripMargin,
-
-    "q_grouping_sets" ->
-      """SELECT o_orderstatus, o_orderpriority,
-        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
-        |  count(*) AS cnt
-        |FROM orders
-        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
-        .stripMargin,
-
-    "q_exists_subquery" ->
-      """SELECT c_custkey, c_name FROM customer c
-        |WHERE EXISTS (SELECT 1 FROM orders o
-        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)"""
-        .stripMargin,
-
-    "q_hof_arrays" ->
-      """SELECT doc_id,
-        |  CAST(len(list_filter(ts, t -> length(t) > 3)) AS BIGINT) AS n_long,
-        |  CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT) AS total_len
-        |FROM (SELECT doc_id,
-        |        regexp_split_to_array(trim(text), '\s+') AS ts
-        |      FROM documents)""".stripMargin,
-
-    "q_percentile" ->
-      """SELECT l_returnflag,
-        |  quantile_cont(l_quantity, 0.25) AS p25,
-        |  quantile_cont(l_quantity, 0.5) AS p50,
-        |  quantile_cont(l_quantity, 0.9) AS p90
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-
-    // frame arithmetic: nFrames = ceil(bytes/64), sampled every 2nd
-    "q_multimodal_frames" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-        |  (greatest(CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0)
-        |     AS BIGINT) - 1, 0) // 2) + 1 AS n_frames,
-        |  (greatest(CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0)
-        |     AS BIGINT) - 1, 0) // 2) * 2 AS max_idx
-        |FROM documents
-        |WHERE octet_length(CAST(text AS BLOB)) > 0""".stripMargin,
-
-    // thresholds: floor(0.8*65536)=52428=0xcccc, floor(0.9*65536)=58982=0xe666
-    "q_hash_split" ->
-      """SELECT split, count(*) AS cnt,
-        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
-        |FROM (
-        |  SELECT doc_id,
-        |    CASE WHEN md5('s1:' || CAST(doc_id AS VARCHAR)) < 'cccc' THEN 'train'
-        |         WHEN md5('s1:' || CAST(doc_id AS VARCHAR)) < 'e666' THEN 'val'
-        |         ELSE 'test' END AS split
-        |  FROM documents)
-        |GROUP BY split""".stripMargin,
-
-    "q_stratified_sample" ->
-      """SELECT lang, count(*) AS cnt,
-        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
-        |FROM documents
-        |WHERE md5('mix1:' || CAST(doc_id AS VARCHAR)) <
-        |  CASE lang WHEN 'en' THEN '4000' WHEN 'de' THEN 'g'
-        |            WHEN 'fr' THEN '8000' WHEN 'zh' THEN '1999'
-        |            ELSE '0000' END
-        |GROUP BY lang""".stripMargin,
-
-    // shard = (first 16 md5 bits) mod 16 — exact integer arithmetic
-    "q_train_shards" ->
-      """SELECT shard, count(*) AS n_docs,
-        |  CAST(sum(n_chars) AS BIGINT) AS total_size,
-        |  min(doc_id) AS min_id, max(doc_id) AS max_id
-        |FROM (
-        |  SELECT doc_id, n_chars,
-        |    ('0x' || substr(md5('sh1:' || CAST(doc_id AS VARCHAR)), 1, 4))
-        |      ::BIGINT % 16 AS shard
-        |  FROM documents)
-        |GROUP BY shard""".stripMargin,
-
-    "q_dedup_url" ->
-      """WITH u AS (
-        |  SELECT doc_id,
-        |    CASE doc_id % 3
-        |      WHEN 0 THEN 'https://www.h' || CAST((doc_id // 3) % 50 AS VARCHAR)
-        |        || '.example.com/p/' || CAST(doc_id // 3 AS VARCHAR)
-        |        || '?utm_source=feed&id=' || CAST(doc_id // 3 AS VARCHAR)
-        |      WHEN 1 THEN 'HTTP://h' || CAST((doc_id // 3) % 50 AS VARCHAR)
-        |        || '.EXAMPLE.com/p/' || CAST(doc_id // 3 AS VARCHAR)
-        |        || '?id=' || CAST(doc_id // 3 AS VARCHAR) || '&utm_campaign=x'
-        |      ELSE 'https://h' || CAST((doc_id // 3) % 50 AS VARCHAR)
-        |        || '.example.com/p/' || CAST(doc_id // 3 AS VARCHAR)
-        |        || '/?id=' || CAST(doc_id // 3 AS VARCHAR) || '#sec-2'
-        |    END AS url
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
-        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(url),
-        |      '^[a-z][a-z0-9+.-]*://', '', 'g'),
-        |      '^www\.', '', 'g'),
-        |      '#.*$', '', 'g'),
-        |      '(utm_[a-z]+|fbclid|gclid|msclkid)=[^&#]*&?', '', 'g'),
-        |      '[?&]+$', '', 'g'),
-        |      '/\?', '?', 'g'),
-        |      '/$', '', 'g') AS canonical_url
-        |  FROM u)
-        |SELECT canonical_url, min(doc_id) AS doc_id,
-        |  count(*) AS n_variants
-        |FROM c GROUP BY canonical_url""".stripMargin,
-
-    // same feature expressions as q_text_quality, same left-assoc
-    // double arithmetic as TextStats.qualityScore — bit-identical
-    "q_c4_filter" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(trim(text), '\s+'),
-        |      x -> x != '') AS ts
-        |  FROM documents),
-        |lined AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(ts) = 0 THEN []
-        |    ELSE list_transform(
-        |      generate_series(0, CAST((len(ts) - 1) // 8 AS BIGINT)),
-        |      i -> array_to_string(ts[i*8+1 : i*8+8], ' ') ||
-        |           CASE WHEN i % 3 <> 0 THEN '.' ELSE '' END)
-        |    END AS la
-        |  FROM f),
-        |kept AS (
-        |  SELECT doc_id, list_filter(la, l ->
-        |    regexp_matches(l, '[.!?"'']\s*$')
-        |    AND len(list_filter(string_split_regex(trim(l), '\s+'),
-        |      x -> x != '')) >= 5
-        |    AND NOT contains(l, '{') AND NOT contains(l, '}')) AS ka
-        |  FROM lined)
-        |SELECT doc_id, CAST(len(ka) AS BIGINT) AS n_lines_kept,
-        |  CASE WHEN len(ka) >= 3 THEN array_to_string(ka, chr(10))
-        |       ELSE '' END AS clean_text,
-        |  len(ka) >= 3 AS keep
-        |FROM kept""".stripMargin,
-
-    "q_gopher_rules" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(trim(text), '\s+'),
-        |      x -> x != '') AS ts,
-        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
-        |      AS nonspace,
-        |    CAST(length(text) -
-        |      length(regexp_replace(text, '[#…]', '', 'g')) AS BIGINT)
-        |      AS symbols,
-        |    string_split(text, chr(10)) AS lines
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id,
-        |    CAST(len(ts) AS BIGINT) AS words, nonspace, symbols,
-        |    CAST(len(list_filter(ts,
-        |      t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT)
-        |      AS alpha_words,
-        |    CAST(len(lines) AS BIGINT) AS n_lines,
-        |    CAST(len(list_filter(lines,
-        |      l -> regexp_matches(l, '^\s*[-•*]'))) AS BIGINT)
-        |      AS bullet_lines,
-        |    CAST(len(list_filter(lines,
-        |      l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT)
-        |      AS ellipsis_lines,
-        |    CAST(len(list_intersect(
-        |      list_distinct(list_transform(ts, t -> lower(t))),
-        |      ['the','a','of','and','to','in','is','it']))
-        |      AS BIGINT) AS stop_hits
-        |  FROM f)
-        |SELECT doc_id,
-        |  words >= 50 AND words <= 100000 AS f_word_count,
-        |  3 * words <= nonspace AND nonspace <= 10 * words
-        |    AS f_mean_word_len,
-        |  symbols * 10 <= words AS f_symbol_ratio,
-        |  bullet_lines * 10 <= n_lines * 9 AS f_bullet_lines,
-        |  ellipsis_lines * 10 <= n_lines * 3 AS f_ellipsis_lines,
-        |  alpha_words * 10 >= words * 8 AS f_alpha_words,
-        |  stop_hits >= 2 AS f_stop_words,
-        |  (words >= 50 AND words <= 100000)
-        |    AND (3 * words <= nonspace AND nonspace <= 10 * words)
-        |    AND symbols * 10 <= words
-        |    AND bullet_lines * 10 <= n_lines * 9
-        |    AND ellipsis_lines * 10 <= n_lines * 3
-        |    AND alpha_words * 10 >= words * 8
-        |    AND stop_hits >= 2 AS keep
-        |FROM g""".stripMargin,
-
-    "q_quality_classifier" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
-        |        x -> x != '')) AS BIGINT) AS n_tokens,
-        |    CAST(length(text) AS BIGINT) AS n_chars,
-        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
-        |      AS n_nonspace,
-        |    CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
-        |        x -> lower(x) IN ('the','a','of','and','to','in','is','it')))
-        |      AS BIGINT) AS stop_cnt,
-        |    CAST(length(list_filter(string_split(text, ''),
-        |        x -> regexp_matches(x, '[[:punct:]]'))) AS BIGINT) AS punct_cnt
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id,
-        |    CAST(n_nonspace AS DOUBLE)
-        |      / CAST(greatest(n_tokens, 1) AS DOUBLE) AS awl,
-        |    CAST(stop_cnt AS DOUBLE)
-        |      / CAST(greatest(n_tokens, 1) AS DOUBLE) AS swr,
-        |    CAST(punct_cnt AS DOUBLE)
-        |      / CAST(greatest(n_chars, 1) AS DOUBLE) AS pr,
-        |    CAST(n_tokens AS DOUBLE)
-        |      / (CAST(n_tokens AS DOUBLE) + 50.0) AS lt
-        |  FROM f)
-        |SELECT doc_id,
-        |  -0.6 + 0.12 * awl + 2.4 * swr - 1.8 * pr + 0.9 * lt
-        |    AS quality_score,
-        |  (-0.6 + 0.12 * awl + 2.4 * swr - 1.8 * pr + 0.9 * lt) >= 0.5
-        |    AS keep
-        |FROM s""".stripMargin,
-
-    // the funnel composes four already-hash-matched stage oracles:
-    // lang-id argmax (q_lang_id), the quality linear model
-    // (q_quality_classifier), md5 keep-first (q_dedup_exact) and
-    // 5-gram holdout overlap (q_decontaminate), each over the
-    // previous stage's survivors
-    "q_curation_funnel" ->
-      """WITH corpus0 AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
-        |profiles(plang, pidx, stops) AS (VALUES
-        |  ('en', 0, ['the','and','of','to','a','in','is','it','that']),
-        |  ('de', 1, ['der','die','das','und','ist','nicht','ein','zu']),
-        |  ('fr', 2, ['le','la','les','et','est','un','une','que']),
-        |  ('es', 3, ['el','la','los','y','es','un','una','que']),
-        |  ('zh', 4, ['的','是','了','在','和','有'])),
-        |ltoks AS (
-        |  SELECT doc_id,
-        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ts
-        |  FROM corpus0),
-        |s1 AS (
-        |  SELECT c.doc_id, c.text FROM corpus0 c JOIN (
-        |    SELECT doc_id FROM (
-        |      SELECT t.doc_id, p.plang, row_number() OVER (
-        |          PARTITION BY t.doc_id ORDER BY
-        |          CAST(len(list_filter(t.ts, x -> list_contains(p.stops, x))) AS DOUBLE)
-        |            / greatest(len(t.ts), 1) DESC, p.pidx ASC) AS rn
-        |      FROM ltoks t CROSS JOIN profiles p)
-        |    WHERE rn = 1 AND plang = 'en') e USING (doc_id)),
-        |qf AS (
-        |  SELECT doc_id,
-        |    CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
-        |        x -> x != '')) AS BIGINT) AS n_tokens,
-        |    CAST(length(text) AS BIGINT) AS n_chars,
-        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
-        |      AS n_nonspace,
-        |    CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
-        |        x -> lower(x) IN ('the','a','of','and','to','in','is','it')))
-        |      AS BIGINT) AS stop_cnt,
-        |    CAST(length(list_filter(string_split(text, ''),
-        |        x -> regexp_matches(x, '[[:punct:]]'))) AS BIGINT) AS punct_cnt
-        |  FROM s1),
-        |qs AS (
-        |  SELECT doc_id,
-        |    -0.6 + 0.12 * (CAST(n_nonspace AS DOUBLE)
-        |        / CAST(greatest(n_tokens, 1) AS DOUBLE))
-        |      + 2.4 * (CAST(stop_cnt AS DOUBLE)
-        |        / CAST(greatest(n_tokens, 1) AS DOUBLE))
-        |      - 1.8 * (CAST(punct_cnt AS DOUBLE)
-        |        / CAST(greatest(n_chars, 1) AS DOUBLE))
-        |      + 0.9 * (CAST(n_tokens AS DOUBLE)
-        |        / (CAST(n_tokens AS DOUBLE) + 50.0)) AS score
-        |  FROM qf),
-        |s2 AS (
-        |  SELECT s1.doc_id, s1.text FROM s1
-        |  JOIN qs USING (doc_id) WHERE qs.score >= 0.5),
-        |s3 AS (
-        |  SELECT s2.doc_id, s2.text FROM s2 JOIN (
-        |    SELECT min(doc_id) AS doc_id FROM s2 GROUP BY md5(text)
-        |  ) k USING (doc_id)),
-        |bsh AS (
-        |  SELECT DISTINCT unnest(list_distinct(list_transform(
-        |    range(1, length(text) - 23),
-        |    i -> substr(text, CAST(i AS INT), 25)))) AS sh
-        |  FROM documents WHERE doc_id % 50 = 0 AND length(text) >= 25),
-        |dirty AS (
-        |  SELECT DISTINCT doc_id FROM (
-        |    SELECT doc_id, unnest(list_distinct(list_transform(
-        |      range(1, length(text) - 23),
-        |      i -> substr(text, CAST(i AS INT), 25)))) AS sh
-        |    FROM s3 WHERE length(text) >= 25)
-        |  WHERE sh IN (SELECT sh FROM bsh)),
-        |s4 AS (
-        |  SELECT doc_id FROM s3
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty))
-        |SELECT 'corpus' AS stage, count(*) AS n FROM corpus0
-        |UNION ALL SELECT 'lang_en', count(*) FROM s1
-        |UNION ALL SELECT 'quality', count(*) FROM s2
-        |UNION ALL SELECT 'exact_dedup', count(*) FROM s3
-        |UNION ALL SELECT 'decontaminated', count(*) FROM s4""".stripMargin,
-
-    // refresh ≡ rebuild (row-identical) is proven in CurationSpec /
-    // CurationMaintenanceSpec; the gate times only the refresh. The
-    // oracle replays the post-change corpus construction and the
-    // full funnel over it — identical CTE chain to q_curation_funnel
-    // with `post` swapped in for the raw table — so the hash check
-    // still proves the refreshed counts equal a full recompute's
-    "q_funnel_incremental" ->
-      """WITH post AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 7 = 0 AND doc_id % 10 != 0
-        |         THEN text || ' upd v2' ELSE text END AS text
-        |  FROM documents WHERE doc_id % 9 != 0),
-        |corpus0 AS (
-        |  SELECT doc_id, text FROM post WHERE doc_id % 50 <> 0),
-        |profiles(plang, pidx, stops) AS (VALUES
-        |  ('en', 0, ['the','and','of','to','a','in','is','it','that']),
-        |  ('de', 1, ['der','die','das','und','ist','nicht','ein','zu']),
-        |  ('fr', 2, ['le','la','les','et','est','un','une','que']),
-        |  ('es', 3, ['el','la','los','y','es','un','una','que']),
-        |  ('zh', 4, ['的','是','了','在','和','有'])),
-        |ltoks AS (
-        |  SELECT doc_id,
-        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ts
-        |  FROM corpus0),
-        |s1 AS (
-        |  SELECT c.doc_id, c.text FROM corpus0 c JOIN (
-        |    SELECT doc_id FROM (
-        |      SELECT t.doc_id, p.plang, row_number() OVER (
-        |          PARTITION BY t.doc_id ORDER BY
-        |          CAST(len(list_filter(t.ts, x -> list_contains(p.stops, x))) AS DOUBLE)
-        |            / greatest(len(t.ts), 1) DESC, p.pidx ASC) AS rn
-        |      FROM ltoks t CROSS JOIN profiles p)
-        |    WHERE rn = 1 AND plang = 'en') e USING (doc_id)),
-        |qf AS (
-        |  SELECT doc_id,
-        |    CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
-        |        x -> x != '')) AS BIGINT) AS n_tokens,
-        |    CAST(length(text) AS BIGINT) AS n_chars,
-        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
-        |      AS n_nonspace,
-        |    CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
-        |        x -> lower(x) IN ('the','a','of','and','to','in','is','it')))
-        |      AS BIGINT) AS stop_cnt,
-        |    CAST(length(list_filter(string_split(text, ''),
-        |        x -> regexp_matches(x, '[[:punct:]]'))) AS BIGINT) AS punct_cnt
-        |  FROM s1),
-        |qs AS (
-        |  SELECT doc_id,
-        |    -0.6 + 0.12 * (CAST(n_nonspace AS DOUBLE)
-        |        / CAST(greatest(n_tokens, 1) AS DOUBLE))
-        |      + 2.4 * (CAST(stop_cnt AS DOUBLE)
-        |        / CAST(greatest(n_tokens, 1) AS DOUBLE))
-        |      - 1.8 * (CAST(punct_cnt AS DOUBLE)
-        |        / CAST(greatest(n_chars, 1) AS DOUBLE))
-        |      + 0.9 * (CAST(n_tokens AS DOUBLE)
-        |        / (CAST(n_tokens AS DOUBLE) + 50.0)) AS score
-        |  FROM qf),
-        |s2 AS (
-        |  SELECT s1.doc_id, s1.text FROM s1
-        |  JOIN qs USING (doc_id) WHERE qs.score >= 0.5),
-        |s3 AS (
-        |  SELECT s2.doc_id, s2.text FROM s2 JOIN (
-        |    SELECT min(doc_id) AS doc_id FROM s2 GROUP BY md5(text)
-        |  ) k USING (doc_id)),
-        |bsh AS (
-        |  SELECT DISTINCT unnest(list_distinct(list_transform(
-        |    range(1, length(text) - 23),
-        |    i -> substr(text, CAST(i AS INT), 25)))) AS sh
-        |  FROM documents WHERE doc_id % 50 = 0 AND length(text) >= 25),
-        |dirty AS (
-        |  SELECT DISTINCT doc_id FROM (
-        |    SELECT doc_id, unnest(list_distinct(list_transform(
-        |      range(1, length(text) - 23),
-        |      i -> substr(text, CAST(i AS INT), 25)))) AS sh
-        |    FROM s3 WHERE length(text) >= 25)
-        |  WHERE sh IN (SELECT sh FROM bsh)),
-        |s4 AS (
-        |  SELECT doc_id FROM s3
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty))
-        |SELECT 'corpus' AS stage, count(*) AS n FROM corpus0
-        |UNION ALL SELECT 'lang_en', count(*) FROM s1
-        |UNION ALL SELECT 'quality', count(*) FROM s2
-        |UNION ALL SELECT 'exact_dedup', count(*) FROM s3
-        |UNION ALL SELECT 'decontaminated', count(*) FROM s4"""
-        .stripMargin,
-
-    // stream ≡ batch (final state) is proven in CurationSpec's
-    // streaming-fold test; the gate times only the streamed fold. The
-    // oracle replays the final corpus (base + the two re-delivery
-    // waves' text) through the same funnel CTE chain, so the hash
-    // check still pins the streamed counts to a batch recompute's
-    "q_stream_funnel" ->
-      """WITH corpus0 AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 5 = 0 AND doc_id % 3 <> 2
-        |         THEN text || ' v2' ELSE text END AS text
-        |  FROM documents WHERE doc_id % 50 <> 0),
-        |profiles(plang, pidx, stops) AS (VALUES
-        |  ('en', 0, ['the','and','of','to','a','in','is','it','that']),
-        |  ('de', 1, ['der','die','das','und','ist','nicht','ein','zu']),
-        |  ('fr', 2, ['le','la','les','et','est','un','une','que']),
-        |  ('es', 3, ['el','la','los','y','es','un','una','que']),
-        |  ('zh', 4, ['的','是','了','在','和','有'])),
-        |ltoks AS (
-        |  SELECT doc_id,
-        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ts
-        |  FROM corpus0),
-        |s1 AS (
-        |  SELECT c.doc_id, c.text FROM corpus0 c JOIN (
-        |    SELECT doc_id FROM (
-        |      SELECT t.doc_id, p.plang, row_number() OVER (
-        |          PARTITION BY t.doc_id ORDER BY
-        |          CAST(len(list_filter(t.ts, x -> list_contains(p.stops, x))) AS DOUBLE)
-        |            / greatest(len(t.ts), 1) DESC, p.pidx ASC) AS rn
-        |      FROM ltoks t CROSS JOIN profiles p)
-        |    WHERE rn = 1 AND plang = 'en') e USING (doc_id)),
-        |qf AS (
-        |  SELECT doc_id,
-        |    CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
-        |        x -> x != '')) AS BIGINT) AS n_tokens,
-        |    CAST(length(text) AS BIGINT) AS n_chars,
-        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
-        |      AS n_nonspace,
-        |    CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
-        |        x -> lower(x) IN ('the','a','of','and','to','in','is','it')))
-        |      AS BIGINT) AS stop_cnt,
-        |    CAST(length(list_filter(string_split(text, ''),
-        |        x -> regexp_matches(x, '[[:punct:]]'))) AS BIGINT) AS punct_cnt
-        |  FROM s1),
-        |qs AS (
-        |  SELECT doc_id,
-        |    -0.6 + 0.12 * (CAST(n_nonspace AS DOUBLE)
-        |        / CAST(greatest(n_tokens, 1) AS DOUBLE))
-        |      + 2.4 * (CAST(stop_cnt AS DOUBLE)
-        |        / CAST(greatest(n_tokens, 1) AS DOUBLE))
-        |      - 1.8 * (CAST(punct_cnt AS DOUBLE)
-        |        / CAST(greatest(n_chars, 1) AS DOUBLE))
-        |      + 0.9 * (CAST(n_tokens AS DOUBLE)
-        |        / (CAST(n_tokens AS DOUBLE) + 50.0)) AS score
-        |  FROM qf),
-        |s2 AS (
-        |  SELECT s1.doc_id, s1.text FROM s1
-        |  JOIN qs USING (doc_id) WHERE qs.score >= 0.5),
-        |s3 AS (
-        |  SELECT s2.doc_id, s2.text FROM s2 JOIN (
-        |    SELECT min(doc_id) AS doc_id FROM s2 GROUP BY md5(text)
-        |  ) k USING (doc_id)),
-        |bsh AS (
-        |  SELECT DISTINCT unnest(list_distinct(list_transform(
-        |    range(1, length(text) - 23),
-        |    i -> substr(text, CAST(i AS INT), 25)))) AS sh
-        |  FROM documents WHERE doc_id % 50 = 0 AND length(text) >= 25),
-        |dirty AS (
-        |  SELECT DISTINCT doc_id FROM (
-        |    SELECT doc_id, unnest(list_distinct(list_transform(
-        |      range(1, length(text) - 23),
-        |      i -> substr(text, CAST(i AS INT), 25)))) AS sh
-        |    FROM s3 WHERE length(text) >= 25)
-        |  WHERE sh IN (SELECT sh FROM bsh)),
-        |s4 AS (
-        |  SELECT doc_id FROM s3
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM dirty))
-        |SELECT 'corpus' AS stage, count(*) AS n FROM corpus0
-        |UNION ALL SELECT 'lang_en', count(*) FROM s1
-        |UNION ALL SELECT 'quality', count(*) FROM s2
-        |UNION ALL SELECT 'exact_dedup', count(*) FROM s3
-        |UNION ALL SELECT 'decontaminated', count(*) FROM s4"""
-        .stripMargin,
-
-    // the streamed pipeline's cross-batch keep-first over doc_id-
-    // ordered batches == a global min-per-canonical over kept docs
-    "q_train_ingest_e2e" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
-        |        x -> x != '')) AS BIGINT) AS n_tokens,
-        |    CAST(length(text) AS BIGINT) AS n_chars,
-        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
-        |      AS n_nonspace,
-        |    CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
-        |        x -> lower(x) IN ('the','a','of','and','to','in','is','it')))
-        |      AS BIGINT) AS stop_cnt,
-        |    CAST(length(list_filter(string_split(text, ''),
-        |        x -> regexp_matches(x, '[[:punct:]]'))) AS BIGINT) AS punct_cnt
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id,
-        |    CAST(n_nonspace AS DOUBLE)
-        |      / CAST(greatest(n_tokens, 1) AS DOUBLE) AS awl,
-        |    CAST(stop_cnt AS DOUBLE)
-        |      / CAST(greatest(n_tokens, 1) AS DOUBLE) AS swr,
-        |    CAST(punct_cnt AS DOUBLE)
-        |      / CAST(greatest(n_chars, 1) AS DOUBLE) AS pr,
-        |    CAST(n_tokens AS DOUBLE)
-        |      / (CAST(n_tokens AS DOUBLE) + 50.0) AS lt
-        |  FROM f),
-        |kq AS (
-        |  SELECT doc_id FROM s
-        |  WHERE (-0.6 + 0.12 * awl + 2.4 * swr - 1.8 * pr + 0.9 * lt) >= 0.5),
-        |u AS (
-        |  SELECT doc_id,
-        |    CASE doc_id % 3
-        |      WHEN 0 THEN 'https://www.h' || CAST((doc_id // 3) % 50 AS VARCHAR)
-        |        || '.example.com/p/' || CAST(doc_id // 3 AS VARCHAR)
-        |        || '?utm_source=feed&id=' || CAST(doc_id // 3 AS VARCHAR)
-        |      WHEN 1 THEN 'HTTP://h' || CAST((doc_id // 3) % 50 AS VARCHAR)
-        |        || '.EXAMPLE.com/p/' || CAST(doc_id // 3 AS VARCHAR)
-        |        || '?id=' || CAST(doc_id // 3 AS VARCHAR) || '&utm_campaign=x'
-        |      ELSE 'https://h' || CAST((doc_id // 3) % 50 AS VARCHAR)
-        |        || '.example.com/p/' || CAST(doc_id // 3 AS VARCHAR)
-        |        || '/?id=' || CAST(doc_id // 3 AS VARCHAR) || '#sec-2'
-        |    END AS url
-        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM kq)),
-        |c AS (
-        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
-        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |      lower(url),
-        |      '^[a-z][a-z0-9+.-]*://', '', 'g'),
-        |      '^www\.', '', 'g'),
-        |      '#.*$', '', 'g'),
-        |      '(utm_[a-z]+|fbclid|gclid|msclkid)=[^&#]*&?', '', 'g'),
-        |      '[?&]+$', '', 'g'),
-        |      '/\?', '?', 'g'),
-        |      '/$', '', 'g') AS canonical_url
-        |  FROM u),
-        |fk AS (
-        |  SELECT canonical_url, min(doc_id) AS doc_id
-        |  FROM c GROUP BY canonical_url)
-        |SELECT canonical_url, doc_id,
-        |  ('0x' || substr(md5('sh1:' || CAST(doc_id AS VARCHAR)), 1, 4))
-        |    ::BIGINT % 16 AS shard
-        |FROM fk""".stripMargin,
-
-    // the TRUE asserts refresh == rebuild inside the gate; the row
-    // count is 4 bands x every post-change doc with >= 3 tokens
-    "q_index_refresh" ->
-      """WITH post AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 7 = 0 AND doc_id % 10 != 0
-        |         THEN text || ' upd v2' ELSE text END AS text
-        |  FROM documents)
-        |SELECT TRUE AS refresh_equals_rebuild,
-        |  CAST(4 * count(*) AS BIGINT) AS n_index_rows
-        |FROM post
-        |WHERE length(list_filter(string_split_regex(trim(text), '\s+'),
-        |  x -> x != '')) >= 3""".stripMargin,
-
-    "q_stream_ann" ->
-      """SELECT a.vec_id + 100000 AS q_id, b.vec_id AS c_id
-        |FROM embeddings a, embeddings b
-        |WHERE a.vec_id % 10 = 0
-        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45"""
-        .stripMargin,
-
-    "q_dedup_segments" ->
-      """WITH segs AS (
-        |  SELECT doc_id AS doc, CAST(t.i AS INTEGER) AS seg_idx,
-        |    array_to_string(words[t.i*8+1 : t.i*8+8], ' ') AS segment
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS words
-        |        FROM documents),
-        |    UNNEST(generate_series(0, (len(words)-1)//8)) AS t(i)),
-        |freq AS (
-        |  SELECT segment FROM segs GROUP BY segment HAVING count(*) >= 2)
-        |SELECT s.doc, s.seg_idx, s.segment FROM segs s
-        |WHERE s.segment NOT IN (SELECT segment FROM freq)""".stripMargin,
-
-    "q_substring_dedup" -> SplitmixOracle.substringDedupSpans,
-
-    "q_substring_remove" -> SplitmixOracle.substringRemove,
-
-    "q_bpe_train" -> BpeOracle.merges(6),
-
-    "q_bpe_encode" -> BpeOracle.encodeCounts(6),
-
-    "q_tokenize_ids" -> BpeOracle.tokenIds(6),
-
-    "q_profile" -> {
-      val cols = Seq("doc_id", "lang", "source", "n_chars", "text")
-      val scal = cols.map(c =>
-        s"""SELECT '$c' AS col_name, count(*) AS n,
-           |  count(*) - count($c) AS n_null,
-           |  count(DISTINCT $c) AS n_distinct,
-           |  CAST(min($c) AS VARCHAR) AS min_value,
-           |  CAST(max($c) AS VARCHAR) AS max_value
-           |FROM documents""".stripMargin).mkString("\nUNION ALL\n")
-      val pairs = cols.map(c =>
-        s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS value FROM documents")
-        .mkString("\nUNION ALL\n")
-      s"""WITH scal AS (
-         |$scal
-         |),
-         |pairs AS (
-         |$pairs
-         |),
-         |tops AS (
-         |  SELECT col_name, value AS top_value, cnt AS top_count FROM (
-         |    SELECT col_name, value, cnt, row_number() OVER (
-         |        PARTITION BY col_name ORDER BY cnt DESC, value ASC) AS rk
-         |    FROM (SELECT col_name, value, count(*) AS cnt FROM pairs
-         |          WHERE value IS NOT NULL GROUP BY col_name, value))
-         |  WHERE rk = 1)
-         |SELECT s.col_name, s.n, s.n_null, s.n_distinct, s.min_value,
-         |  s.max_value, t.top_value, t.top_count
-         |FROM scal s LEFT JOIN tops t USING (col_name)""".stripMargin
-    },
-
-    // bigram stupid-backoff LM scoring: counts and joins replay
-    // exactly; per-doc log-prob sums fold in ascending value order in
-    // BOTH engines (sort_array+aggregate vs list ORDER BY+list_reduce)
-    // so the double ranks deterministically; only rank + integer
-    // evidence are output (the q_bm25 ln-portability convention)
-    "q_lm_score" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(trim(text), '\s+'),
-        |                t -> t <> '') AS ts
-        |  FROM documents),
-        |bi AS (
-        |  SELECT doc_id, ts[g.i] AS w1, ts[g.i + 1] AS w2
-        |  FROM toks, unnest(generate_series(1, len(ts) - 1)) AS g(i)
-        |  WHERE len(ts) >= 2),
-        |tru AS (SELECT unnest(ts) AS w FROM toks WHERE doc_id % 2 = 0),
-        |uni AS (SELECT w, count(*) AS c_w FROM tru GROUP BY w),
-        |tot AS (SELECT count(*) AS t_tok FROM tru),
-        |bic AS (SELECT w1, w2, count(*) AS c_bi FROM bi
-        |        WHERE doc_id % 2 = 0 GROUP BY w1, w2),
-        |w1c AS (SELECT w1, count(*) AS c_w1 FROM bi
-        |        WHERE doc_id % 2 = 0 GROUP BY w1),
-        |lp AS (
-        |  SELECT b.doc_id, round(CASE
-        |      WHEN bc.c_bi IS NOT NULL THEN
-        |        ln(CAST(bc.c_bi AS DOUBLE) / CAST(wc.c_w1 AS DOUBLE))
-        |      WHEN u.c_w IS NOT NULL THEN
-        |        ln(0.4 * CAST(u.c_w AS DOUBLE) / CAST(t.t_tok AS DOUBLE))
-        |      ELSE ln(0.4 / CAST(t.t_tok AS DOUBLE)) END, 9) AS lp,
-        |    (bc.c_bi IS NOT NULL) AS hit,
-        |    (bc.c_bi IS NULL AND u.c_w IS NOT NULL) AS back
-        |  FROM bi b
-        |  LEFT JOIN bic bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
-        |  LEFT JOIN w1c wc ON wc.w1 = b.w1
-        |  LEFT JOIN uni u ON u.w = b.w2
-        |  CROSS JOIN tot t
-        |  WHERE b.doc_id % 2 = 1),
-        |agg AS (
-        |  SELECT doc_id AS doc, count(*) AS n_bigrams,
-        |    count(*) FILTER (WHERE hit) AS n_hits,
-        |    count(*) FILTER (WHERE back) AS n_backoff,
-        |    count(*) FILTER (WHERE NOT hit AND NOT back) AS n_oov,
-        |    list_reduce(list_prepend(0.0::DOUBLE, list(lp ORDER BY lp)),
-        |                (a, x) -> a + x) / count(*) AS avg_logp
-        |  FROM lp GROUP BY doc_id)
-        |SELECT CAST(row_number() OVER (ORDER BY avg_logp DESC, doc ASC)
-        |         AS INTEGER) AS rank,
-        |  doc, n_bigrams, n_hits, n_backoff, n_oov
-        |FROM agg ORDER BY avg_logp DESC, doc ASC LIMIT 25""".stripMargin,
-
-    "q_temperature_mix" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 10 < 6 THEN 'big'
-        |         WHEN doc_id % 10 < 9 THEN 'mid'
-        |         ELSE 'small' END AS src_grp
-        |  FROM documents),
-        |n AS (SELECT src_grp, count(*) AS cnt FROM d GROUP BY src_grp),
-        |r AS (SELECT src_grp,
-        |        pow(CAST((SELECT min(cnt) FROM n) AS DOUBLE) / cnt,
-        |            0.5) AS rate
-        |      FROM n),
-        |r4 AS (SELECT src_grp,
-        |         CAST(floor(rate * 10000 + 0.5) AS BIGINT) AS rate1e4
-        |       FROM r),
-        |kept AS (
-        |  SELECT d.doc_id, d.src_grp FROM d JOIN r4 USING (src_grp)
-        |  WHERE md5('mix2:' || CAST(d.doc_id AS VARCHAR)) <
-        |    CASE WHEN r4.rate1e4 >= 10000 THEN 'g'
-        |         ELSE lower(lpad(hex(CAST(floor(r4.rate1e4 * 65536 / 10000.0)
-        |           AS BIGINT)), 4, '0')) END)
-        |SELECT src_grp, count(*) AS kept_cnt,
-        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
-        |FROM kept GROUP BY src_grp""".stripMargin,
-
-    "q_seq_pack" ->
-      """WITH docs AS (
-        |  SELECT doc_id, source,
-        |    CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT)
-        |      AS n_tokens
-        |  FROM documents),
-        |placed AS (
-        |  SELECT doc_id, source, n_tokens,
-        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
-        |  FROM docs)
-        |SELECT doc_id, source, n_tokens,
-        |  CAST(floor(start_offset / 512) AS BIGINT) AS seq_id,
-        |  CAST(start_offset % 512 AS BIGINT) AS seq_pos,
-        |  CASE WHEN n_tokens = 0 THEN 1
-        |       ELSE CAST(floor((start_offset + n_tokens - 1) / 512)
-        |              - floor(start_offset / 512) + 1 AS BIGINT)
-        |  END AS n_seqs
-        |FROM placed""".stripMargin,
-
-    "q_chunk_windows" ->
-      """SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
-        |  substring(text, CAST(1 + k * 90 AS INT), 120) AS chunk_text,
-        |  CAST(1 + k * 90 AS BIGINT) AS chunk_start,
-        |  CAST(length(substring(text, CAST(1 + k * 90 AS INT), 120))
-        |    AS BIGINT) AS chunk_len
-        |FROM documents,
-        |  LATERAL unnest(range(0, CAST(ceil(greatest(length(text), 1)
-        |    / 90.0) AS BIGINT))) AS t(k)
-        |WHERE doc_id < 100""".stripMargin,
-
-    "q_bucketed_join" ->
-      """SELECT c_mktsegment, count(*) AS cnt,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment""".stripMargin,
-
-    "q_window_dedup" ->
-      """SELECT user_id, event_id, event_type, value FROM (
-        |  SELECT user_id, event_id, event_type, value,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events) WHERE rn = 1""".stripMargin,
-
-    "q_window_running" ->
-      """SELECT event_id, user_id,
-        |  count(*) OVER w AS running_cnt,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_val
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
-
-    "q_window_range" ->
-      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
-        |  count(*) OVER w AS cnt_60s,
-        |  max(value) OVER w AS max_60s
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC
-        |             RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW)"""
-        .stripMargin,
-
-    "q_topn_per_group" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
-        |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-        |  FROM orders) WHERE rn <= 2""".stripMargin,
-
-    "q_explode_wordcount" ->
-      """SELECT word, count(*) AS cnt FROM (
-        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |GROUP BY word""".stripMargin,
-
-    "q_from_json" ->
-      """SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
-        |  count(*) AS cnt
-        |FROM events GROUP BY k""".stripMargin,
-
-    "q_split_part" ->
-      """SELECT event_id,
-        |  concat(event_type, '/', CAST(user_id AS VARCHAR)) AS request_url,
-        |  split_part(concat(event_type, '/', CAST(user_id AS VARCHAR)), '/', 1) AS rtype,
-        |  split_part(concat(event_type, '/', CAST(user_id AS VARCHAR)), '/', 2) AS rid
-        |FROM events""".stripMargin,
-
-    "q_isin_filter" ->
-      """SELECT event_type, count(*) AS cnt FROM events
-        |WHERE event_type NOT IN ('click', 'view') GROUP BY event_type""".stripMargin,
-
-    "q_distinct" ->
-      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
-
-    "q_scalar_subquery" ->
-      """SELECT o_orderkey,
-        |  (SELECT count(*) FROM lineitem l
-        |   WHERE l.l_orderkey = o.o_orderkey) AS n_items,
-        |  (SELECT sum(l_quantity) FROM lineitem l
-        |   WHERE l.l_orderkey = o.o_orderkey) AS total_qty
-        |FROM orders o""".stripMargin,
-
-    "q_asof_join" ->
-      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
-        |  e.event_type, p.event_id AS purchase_id,
-        |  epoch_us(p.ts) AS purchase_ts_us
-        |FROM events e ASOF LEFT JOIN (
-        |  SELECT * FROM events WHERE event_type = 'purchase') p
-        |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
-
-    "q_window_analytics" ->
-      """SELECT user_id, event_id,
-        |  lag(event_id, 1) OVER w AS prev_id,
-        |  lead(event_id, 1) OVER w AS next_id,
-        |  first_value(event_id) OVER wf AS first_id,
-        |  last_value(event_id) OVER wf AS last_id,
-        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
-        |  wf AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
-
-    "q_left_join" ->
-      """SELECT c_custkey, count(o_orderkey) AS n_big_orders,
-        |  CAST(sum(CAST(coalesce(o_totalprice, 0) AS DECIMAL(18,2)))
-        |    AS DOUBLE) AS big_total
-        |FROM customer LEFT JOIN (
-        |  SELECT * FROM orders WHERE o_totalprice >= 200000) o
-        |  ON c_custkey = o_custkey
-        |GROUP BY c_custkey""".stripMargin,
-
-    "q_pii_redact" ->
-      """SELECT event_id,
-        |  regexp_replace(regexp_replace(
-        |    concat('contact ', event_type, '@example.com tel ',
-        |           CAST(user_id * 1234567 AS VARCHAR)),
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '[0-9][0-9 ()+.-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
-        |FROM events""".stripMargin,
-
-    "q_topn" ->
-      """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
-
-    "q_merge_upsert" ->
-      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-        |FROM customer WHERE c_custkey % 10 <> 0
-        |UNION ALL
-        |SELECT c_custkey, upper(c_name) AS c_name, c_nationkey,
-        |  c_acctbal + 1000 AS c_acctbal, c_mktsegment
-        |FROM customer WHERE c_custkey % 10 = 0""".stripMargin,
-
-    "q_merge_delete" ->
-      """SELECT * FROM orders
-        |WHERE o_custkey NOT IN (
-        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin,
-
-    // four disjoint concurrent upserts serialize to the plain union
-    "q_concurrent_upsert" ->
-      "SELECT c_custkey, c_acctbal FROM customer",
-
-    // zero-based contiguous ranges per append batch; the DV delete of
-    // batch A leaves B's and C's id ranges untouched
-    "q_row_ids" ->
-      """WITH n AS (
-        |  SELECT count(*) FILTER (WHERE doc_id % 3 = 0) AS na,
-        |         count(*) FILTER (WHERE doc_id % 3 = 1) AS nb
-        |  FROM documents),
-        |b AS (SELECT row_number() OVER () AS i FROM documents
-        |      WHERE doc_id % 3 = 1),
-        |c AS (SELECT row_number() OVER () AS i FROM documents
-        |      WHERE doc_id % 3 = 2)
-        |SELECT CAST(1 AS BIGINT) AS batch,
-        |  (SELECT na FROM n) + i - 1 AS _row_id FROM b
-        |UNION ALL
-        |SELECT CAST(2 AS BIGINT),
-        |  (SELECT na + nb FROM n) + i - 1 FROM c""".stripMargin,
-
-    "q_delete_dv" ->
-      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-        |FROM customer
-        |WHERE NOT (c_custkey % 7 = 0 OR c_custkey % 11 = 0)""".stripMargin,
-
-    // change-data-feed export: update pairs from the MERGE, delete
-    // images (carrying the post-update values) from the DV kill
-    "q_cdf_export" ->
-      """WITH upd AS (
-        |  SELECT c_custkey, c_acctbal FROM customer
-        |  WHERE c_custkey % 13 = 0)
-        |SELECT c_custkey, c_acctbal,
-        |  'update_preimage' AS change_type FROM upd
-        |UNION ALL
-        |SELECT c_custkey, c_acctbal + 1000.0,
-        |  'update_postimage' AS change_type FROM upd
-        |UNION ALL
-        |SELECT c_custkey,
-        |  CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 1000.0
-        |       ELSE c_acctbal END,
-        |  'delete' AS change_type
-        |FROM customer WHERE c_custkey % 17 = 0""".stripMargin,
-
-    // rule-rewritten count/min/max (pre-DV snapshot) + anti-join count
-    "q_count_metadata" ->
-      """SELECT count(*) AS cnt_v0,
-        |  min(c_custkey) AS min_key, max(c_custkey) AS max_key,
-        |  (SELECT count(*) FROM customer
-        |   WHERE NOT (c_custkey % 7 = 0 OR c_custkey % 11 = 0))
-        |    AS cnt_live
-        |FROM customer""".stripMargin,
-
-    // metadata-only aggregates: the manifest's answer must equal the
-    // data's answer (count pre/post DV, exact numeric min/max), and
-    // the DV-bearing head must refuse min/max
-    "q_stats_agg" ->
-      """SELECT count(*) AS cnt_v0,
-        |  count(*) FILTER (WHERE NOT (c_custkey % 7 = 0
-        |                           OR c_custkey % 11 = 0)) AS cnt_live,
-        |  min(c_custkey) AS min_key, max(c_custkey) AS max_key,
-        |  TRUE AS head_minmax_refused
-        |FROM customer""".stripMargin,
-
-    // REORG PURGE must be logically invisible: same oracle as the DV
-    // deletes it compacts away
-    "q_dv_purge" ->
-      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-        |FROM customer
-        |WHERE NOT (c_custkey % 7 = 0 OR c_custkey % 11 = 0)""".stripMargin,
-
-    "q_semi_join" ->
-      """SELECT o_orderkey, o_totalprice FROM orders o
-        |WHERE EXISTS (SELECT 1 FROM lineitem l
-        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)""".stripMargin,
-
-    "q_intersect" ->
-      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-        |INTERSECT
-        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
-
-    "q_union_all" ->
-      """SELECT s_suppkey AS id, 'supplier' AS kind FROM supplier
-        |UNION ALL
-        |SELECT c_custkey AS id, 'customer' AS kind FROM customer""".stripMargin,
-
-    "q_time_window" ->
-      """SELECT date_trunc('hour', ts) AS w_start, event_type,
-        |  count(*) AS cnt,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
-        |FROM events GROUP BY 1, 2""".stripMargin,
-
-    "q_ingest_e2e" ->
-      """SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS id,
-        |  o_orderstatus = 'O' AS active
-        |FROM orders""".stripMargin,
-
-    // N+1 fan-out e2e: every 3rd order becomes a PUT bundle of the
-    // type keyed by o_orderkey%4; every 10th key is then DELETEd at a
-    // higher offset, so latest-wins drops it from the tables
-    "q_fanout_e2e" ->
-      """SELECT CASE CAST(o_orderkey % 4 AS INTEGER)
-        |    WHEN 0 THEN 'Patient' WHEN 1 THEN 'Observation'
-        |    WHEN 2 THEN 'Encounter' ELSE 'Procedure' END
-        |    AS resource_type,
-        |  CAST(o_orderkey AS VARCHAR) AS id
-        |FROM orders
-        |WHERE o_orderkey % 3 = 0 AND o_orderkey % 10 <> 0""".stripMargin,
-
-    "q_stream_window" ->
-      """SELECT date_trunc('hour', ts) AS w_start, event_type,
-        |  count(*) AS cnt
-        |FROM events GROUP BY 1, 2""".stripMargin,
-
-    // the RocksDB provider must be row-for-row identical to the
-    // default provider — same oracle as q_stream_window
-    "q_stream_rocksdb" ->
-      """SELECT date_trunc('hour', ts) AS w_start, event_type,
-        |  count(*) AS cnt
-        |FROM events GROUP BY 1, 2""".stripMargin,
-
-    // transformWithState running totals: per-batch emissions replay as
-    // cumulative window sums over the same event_id%3 batch split
-    "q_stream_tws" ->
-      """WITH e AS (
-        |  SELECT event_type AS key, event_id % 3 AS b,
-        |    CAST(floor(value * 100) AS BIGINT) AS m
-        |  FROM events),
-        |per AS (
-        |  SELECT key, b, count(*) AS c, sum(m) AS s
-        |  FROM e GROUP BY 1, 2)
-        |SELECT key,
-        |  row_number() OVER (PARTITION BY key ORDER BY b) AS upd,
-        |  CAST(sum(c) OVER (PARTITION BY key ORDER BY b) AS BIGINT)
-        |    AS cnt,
-        |  CAST(sum(s) OVER (PARTITION BY key ORDER BY b) AS BIGINT)
-        |    AS total
-        |FROM per""".stripMargin,
-
-    "q_cast_types" ->
-      """SELECT l_orderkey, l_linenumber,
-        |  CAST(l_quantity AS BIGINT) AS qty_int,
-        |  CAST(l_orderkey AS VARCHAR) AS key_str,
-        |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date
-        |FROM lineitem""".stripMargin,
-
-    "q_case_expr" ->
-      """SELECT l_orderkey, l_linenumber,
-        |  CASE WHEN l_discount >= 0.05 THEN 'hi'
-        |       WHEN l_discount >= 0.02 THEN 'mid'
-        |       ELSE 'lo' END AS disc_band,
-        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
-        |  coalesce(NULL, l_returnflag) AS rf
-        |FROM lineitem""".stripMargin,
-
-    "q_dedup_exact" ->
-      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
-        |  count(*) AS dup_cnt
-        |FROM documents GROUP BY md5(text)""".stripMargin,
-
-    "q_dedup_fingerprint" ->
-      """SELECT doc_id,
-        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
-        |FROM documents""".stripMargin,
-
-    "q_dedup_embedding" ->
-      """SELECT a.vec_id AS a_id, b.vec_id AS b_id
-        |FROM embeddings a, embeddings b
-        |WHERE a.vec_id < b.vec_id
-        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45""".stripMargin,
-
-    // the SAME page template and extraction pipeline re-expressed in
-    // DuckDB: RE2-safe patterns verbatim, entities decoded &amp;-last,
-    // jusText-style nLinks*20 < len(clean) line filter, order-stable
-    // string_agg re-assembly
-    "q_html_extract" ->
-      """WITH raw AS (
-        |  SELECT doc_id,
-        |    '<html><head><script>var x = 1 < 2;</script>' ||
-        |    '<style>p{margin:0}</style></head>' || chr(10) ||
-        |    '<!-- rendered by graft -->' || chr(10) ||
-        |    '<nav><a href="/">Home</a> <a href="/a">About</a></nav>' ||
-        |    chr(10) || '<h1>' || source || '</h1>' || chr(10) ||
-        |    '<p>' || text || ' &amp; more</p>' || chr(10) ||
-        |    '<div><a href="/ad">Sponsored</a></div>' || chr(10) ||
-        |    '<footer>&copy; 2026 <a href="/t">Terms</a></footer>' ||
-        |    chr(10) || '</html>' AS html
-        |  FROM documents),
-        |noblocks AS (
-        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
-        |    html,
-        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-        |    '(?s)<!--.*?-->', ' ', 'g') AS h
-        |  FROM raw),
-        |lines AS (
-        |  SELECT doc_id,
-        |    unnest(range(0, len(string_split(h, chr(10))))) AS pos,
-        |    unnest(string_split(h, chr(10))) AS ln
-        |  FROM noblocks),
-        |feat AS (
-        |  SELECT doc_id, pos,
-        |    CAST(len(string_split_regex(ln, '<a[ >]')) - 1 AS INTEGER)
-        |      AS n_links,
-        |    trim(regexp_replace(
-        |      replace(replace(replace(replace(replace(replace(
-        |        regexp_replace(ln, '<[^>]+>', ' ', 'g'),
-        |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-        |        '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
-        |      '[ \t]+', ' ', 'g')) AS clean
-        |  FROM lines)
-        |SELECT doc_id,
-        |  string_agg(clean, ' ' ORDER BY pos) AS content,
-        |  count(*) AS n_kept
-        |FROM feat
-        |WHERE len(clean) >= 20 AND n_links * 20 < len(clean)
-        |GROUP BY doc_id""".stripMargin,
-
-    // identical candidate semantics (pairs sharing a df<=100 word) and
-    // exact BIGINT dot/norm arithmetic as TextStats.allPairsSimilarity
-    "q_allpairs_sim" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
-        |                       x -> x <> '')) AS w
-        |  FROM documents),
-        |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
-        |       FROM t GROUP BY 1, 2),
-        |rare AS (SELECT w FROM (SELECT w, count(*) AS df FROM tf
-        |                        GROUP BY 1) WHERE df <= 100),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM tf a JOIN tf b USING (w) JOIN rare USING (w)
-        |  WHERE a.doc_id < b.doc_id),
-        |dots AS (
-        |  SELECT c.a_id, c.b_id, CAST(sum(ta.tf * tb.tf) AS BIGINT) AS dot
-        |  FROM cand c
-        |  JOIN tf ta ON ta.doc_id = c.a_id
-        |  JOIN tf tb ON tb.doc_id = c.b_id AND tb.w = ta.w
-        |  GROUP BY 1, 2),
-        |norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS nn
-        |          FROM tf GROUP BY 1)
-        |SELECT d.a_id, d.b_id, d.dot
-        |FROM dots d
-        |JOIN norms na ON na.doc_id = d.a_id
-        |JOIN norms nb ON nb.doc_id = d.b_id
-        |WHERE CAST(d.dot AS DOUBLE) /
-        |  sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) >= 0.8""".stripMargin,
-
-    // fixed-point accumulation: ×2^20 (exact for float→double), floor,
-    // exact integer sum, ÷2^20 — order- and engine-independent
-    "q_centroids" ->
-      """SELECT label, pos,
-        |  CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT))
-        |       AS DOUBLE) / 1048576.0 AS sum_v,
-        |  count(*) AS n_vecs
-        |FROM (SELECT label, unnest(embedding) AS v,
-        |        unnest(range(0, len(embedding))) AS pos
-        |      FROM embeddings)
-        |GROUP BY label, pos""".stripMargin,
-
-    // PINNED-EXPECTATION oracle (judge-sanctioned, VERDICT r7 #2): the
-    // minhash pair producer is xxhash64-based, which DuckDB cannot
-    // recompute, but its output is fully deterministic (fixed seeds,
-    // deterministic shingles — the same bit-stability the four
-    // rows-only xxhash64 queries rely on), so the sf0.01 clustering is
-    // pinned inline. The clustering ALGORITHM itself is independently
-    // oracled against a DuckDB recursive CTE by q_dedup_resolve_exact.
-    "q_dedup_resolve" ->
-      ("""SELECT CAST(c0 AS BIGINT) AS doc_id,
-        |  CAST(c1 AS BIGINT) AS canonical_id
-        |FROM (VALUES """.stripMargin +
-        "(8, 8), (26, 26), (31, 31), (44, 44), (45, 45), (58, 58), " +
-        "(61, 61), (70, 70), (72, 72), (87, 87), (92, 92), (98, 98), " +
-        "(107, 107), (120, 120), (134, 87), (152, 152), (166, 166), " +
-        "(178, 152), (185, 61), (245, 8), (267, 45), (285, 285), " +
-        "(290, 98), (293, 58), (295, 295), (301, 285), (310, 310), " +
-        "(323, 166), (326, 326), (332, 120), (374, 295), (377, 72), " +
-        "(383, 31), (387, 107), (389, 310), (393, 393), (413, 45), " +
-        "(420, 393), (435, 435), (446, 44), (447, 70), (450, 92), " +
-        "(455, 26), (457, 326), (458, 458), (462, 458), (486, 435)" +
-        ") t(c0, c1)"),
-
-    // connected components (min reachable id) over the exact cosine
-    // pairs, as a recursive CTE — oracles resolveClusters' semantics
-    "q_dedup_resolve_exact" ->
-      """WITH RECURSIVE pairs AS (
-        |  SELECT a.vec_id AS pa, b.vec_id AS pb
-        |  FROM embeddings a, embeddings b
-        |  WHERE a.vec_id < b.vec_id
-        |    AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
-        |edges AS (SELECT pa AS ea, pb AS eb FROM pairs
-        |          UNION SELECT pb, pa FROM pairs),
-        |nodes AS (SELECT DISTINCT ea AS doc FROM edges),
-        |reach(doc, lbl) AS (
-        |  SELECT doc, doc FROM nodes
-        |  UNION
-        |  SELECT e.ea, r.lbl FROM edges e JOIN reach r ON r.doc = e.eb)
-        |SELECT CAST(doc AS BIGINT) AS doc_id,
-        |       CAST(min(lbl) AS BIGINT) AS canonical_id
-        |FROM reach GROUP BY doc""".stripMargin,
-
-    // same connected components, then argmax-by-(score, -id) per
-    // cluster — oracles keepBest's survivor pick and tie-break
-    "q_dedup_keepbest" ->
-      """WITH RECURSIVE pairs AS (
-        |  SELECT a.vec_id AS pa, b.vec_id AS pb
-        |  FROM embeddings a, embeddings b
-        |  WHERE a.vec_id < b.vec_id
-        |    AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
-        |edges AS (SELECT pa AS ea, pb AS eb FROM pairs
-        |          UNION SELECT pb, pa FROM pairs),
-        |nodes AS (SELECT DISTINCT ea AS doc FROM edges),
-        |reach(doc, lbl) AS (
-        |  SELECT doc, doc FROM nodes
-        |  UNION
-        |  SELECT e.ea, r.lbl FROM edges e JOIN reach r ON r.doc = e.eb),
-        |labels AS (
-        |  SELECT CAST(doc AS BIGINT) AS doc_id,
-        |         CAST(min(lbl) AS BIGINT) AS canonical_id
-        |  FROM reach GROUP BY doc),
-        |scored AS (
-        |  SELECT l.canonical_id, l.doc_id,
-        |         CAST(d.n_chars AS DOUBLE) AS score
-        |  FROM labels l JOIN documents d ON d.doc_id = l.doc_id)
-        |SELECT canonical_id, keep_id, keep_score, cluster_size
-        |FROM (
-        |  SELECT canonical_id, doc_id AS keep_id, score AS keep_score,
-        |    count(*) OVER (PARTITION BY canonical_id) AS cluster_size,
-        |    row_number() OVER (PARTITION BY canonical_id
-        |      ORDER BY score DESC, doc_id ASC) AS rn
-        |  FROM scored) WHERE rn = 1""".stripMargin,
-
-    // full Lloyd's replay — see KmeansOracle
-    "q_kmeans" -> KmeansOracle.assignSql,
-    "q_cluster_capped" -> KmeansOracle.cappedSql,
-
-    // fixed-point integer PageRank: 3 unrolled iterations, BIGINT //
-    // division everywhere — the engine's long DIV arithmetic replays
-    // exactly (dangling mass redistributed as dang // N per node)
-    "q_pagerank" -> {
-      def iter(k: Int): String = {
-        val prev = if (k == 1) "r0" else s"r${k - 1}"
-        s"""d$k AS (
-           |  SELECT COALESCE(sum(r.rank), 0) AS dang FROM $prev r
-           |  LEFT JOIN deg ON deg.src = r.node WHERE deg.src IS NULL),
-           |c$k AS (
-           |  SELECT e.dst AS node, sum(r.rank // d.deg) AS c
-           |  FROM e JOIN deg d ON d.src = e.src
-           |  JOIN $prev r ON r.node = e.src GROUP BY e.dst),
-           |r$k AS (
-           |  SELECT n.node, 150000 + (85 * (COALESCE(c$k.c, 0) +
-           |    (SELECT dang FROM d$k) // (SELECT n FROM nn))) // 100
-           |    AS rank
-           |  FROM nodes n LEFT JOIN c$k ON c$k.node = n.node)""".stripMargin
-      }
-      s"""WITH j AS (
-         |  SELECT o_custkey * 10 AS c, l_suppkey * 10 + 1 AS sp,
-         |    l_linenumber
-         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-         |e AS (
-         |  SELECT c AS src, sp AS dst FROM j
-         |  UNION ALL
-         |  SELECT sp AS src, c AS dst FROM j WHERE l_linenumber = 1),
-         |nodes AS (SELECT DISTINCT node FROM (
-         |  SELECT src AS node FROM e
-         |  UNION ALL SELECT dst AS node FROM e)),
-         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
-         |nn AS (SELECT count(*) AS n FROM nodes),
-         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank
-         |       FROM nodes),
-         |${iter(1)},
-         |${iter(2)},
-         |${iter(3)}
-         |SELECT CAST(node AS BIGINT) AS node,
-         |  CAST(rank AS BIGINT) AS rank FROM r3""".stripMargin
-    },
-
-    // same connected components as q_dedup_resolve_exact, singletons
-    // rooted at themselves, then the md5 split threshold on the root
-    "q_split_leakage_safe" ->
-      """WITH RECURSIVE pairs AS (
-        |  SELECT a.vec_id AS pa, b.vec_id AS pb
-        |  FROM embeddings a, embeddings b
-        |  WHERE a.vec_id < b.vec_id
-        |    AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45),
-        |edges AS (SELECT pa AS ea, pb AS eb FROM pairs
-        |          UNION SELECT pb, pa FROM pairs),
-        |nodes AS (SELECT DISTINCT ea AS doc FROM edges),
-        |reach(doc, lbl) AS (
-        |  SELECT doc, doc FROM nodes
-        |  UNION
-        |  SELECT e.ea, r.lbl FROM edges e JOIN reach r ON r.doc = e.eb),
-        |labels AS (
-        |  SELECT doc AS vid, min(lbl) AS root FROM reach GROUP BY doc),
-        |rooted AS (
-        |  SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
-        |         CAST(coalesce(l.root, e.vec_id) AS BIGINT) AS root_id
-        |  FROM embeddings e LEFT JOIN labels l ON l.vid = e.vec_id)
-        |SELECT vec_id, root_id,
-        |  CASE WHEN md5('ls1:' || CAST(root_id AS VARCHAR)) < 'cccc' THEN 'train'
-        |       WHEN md5('ls1:' || CAST(root_id AS VARCHAR)) < 'e666' THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM rooted""".stripMargin,
-
-    "q_lang_id" ->
-      """WITH profiles(plang, pidx, stops) AS (VALUES
-        |  ('en', 0, ['the','and','of','to','a','in','is','it','that']),
-        |  ('de', 1, ['der','die','das','und','ist','nicht','ein','zu']),
-        |  ('fr', 2, ['le','la','les','et','est','un','une','que']),
-        |  ('es', 3, ['el','la','los','y','es','un','una','que']),
-        |  ('zh', 4, ['的','是','了','在','和','有'])),
-        |toks AS (
-        |  SELECT doc_id, lang,
-        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ts
-        |  FROM documents),
-        |scored AS (
-        |  SELECT doc_id, lang, plang, pidx,
-        |    CAST(len(list_filter(ts, t -> list_contains(stops, t))) AS DOUBLE)
-        |      / greatest(len(ts), 1) AS score
-        |  FROM toks CROSS JOIN profiles)
-        |SELECT doc_id, lang, plang AS predicted_lang FROM (
-        |  SELECT doc_id, lang, plang,
-        |    row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY score DESC, pidx ASC) AS rn
-        |  FROM scored) WHERE rn = 1""".stripMargin,
-
-    "q_ann_topk" ->
-      """SELECT q_id, n_id, rank FROM (
-        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
-        |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
-        |               n.vec_id ASC) AS rank
-        |  FROM embeddings q, embeddings n
-        |  WHERE q.vec_id < 3 AND n.vec_id >= 3)
-        |WHERE rank <= 10""".stripMargin,
-
-    "q_ann_ivf" -> ivfOracle(k = 5, probes = 1),
-    "q_ann_ivf_probe" -> ivfOracle(k = 5, probes = 3),
-    // identical semantics to q_ann_ivf_probe — the index is the same
-    // assignment persisted as cell-partitioned parquet
-    "q_ann_ivf_indexed" -> ivfOracle(k = 5, probes = 3),
-
-    "q_rp_project" -> RpOracle.projectSql,
-    "q_rp_topk" -> RpOracle.topkSql,
-
-    "q_pq_encode" -> PqOracle.encodeSql,
-    "q_pq_topk" -> PqOracle.topkSql,
-    "q_pq_rerank" -> PqOracle.rerankSql,
-    "q_pq_refresh" -> PqOracle.refreshSql,
-    "q_pq_ivf" -> PqOracle.ivfSql,
-    "q_stream_pq" -> PqOracle.streamSql,
-
-    "q_ann_lsh" -> {
-      // the 8 hyperplanes inlined (shortest-round-trip doubles); bucket
-      // = packed sign bits, then pairs on equal buckets verified by
-      // exact cosine — exactly Similarity.lshCosinePairs(threshold=0.3)
-      val planes = graft.ops.Similarity.lshHyperplanes(8).zipWithIndex
-        .map { case (h, p) => s"($p, [${h.mkString(",")}]::DOUBLE[])" }
-        .mkString(",\n        ")
-      s"""WITH hp(p, hvec) AS (VALUES $planes),
-         |b AS (
-         |  SELECT e.vec_id AS id, e.embedding AS vec,
-         |    (SELECT sum(CASE WHEN
-         |        list_dot_product(e.embedding::DOUBLE[], hvec) >= 0
-         |        THEN 1 << p ELSE 0 END) FROM hp) AS bucket
-         |  FROM embeddings e)
-         |SELECT l.id AS a_id, r.id AS b_id
-         |FROM b l JOIN b r ON l.bucket = r.bucket AND l.id < r.id
-         |WHERE list_cosine_similarity(l.vec, r.vec) >= 0.3""".stripMargin
-    },
-
-    "q_rollup" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-        |  sum(l_quantity) AS sum_qty
-        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
-
-    "q_cube" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |    AS total_price
-        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
-
-    "q_pivot" ->
-      """SELECT user_id,
-        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS "click",
-        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS "view",
-        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS "signup",
-        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS "purchase",
-        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS "error"
-        |FROM events GROUP BY user_id""".stripMargin,
-
-    "q_scalar_funcs" ->
-      """SELECT o_orderkey,
-        |  substring(o_orderpriority, 1, 1) AS prio_code,
-        |  lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_pad,
-        |  regexp_extract(o_orderpriority, '(\d+)', 1) AS prio_num,
-        |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
-        |  CAST(month(o_orderdate) AS INTEGER) AS o_month,
-        |  abs(o_totalprice * -1) AS abs_price,
-        |  sqrt(o_totalprice) AS sqrt_price,
-        |  o_totalprice * o_totalprice AS price_sq,
-        |  CAST(length(o_orderpriority) AS BIGINT) AS prio_len
-        |FROM orders""".stripMargin,
-
-    "q_null_semantics" ->
-      """SELECT c_custkey,
-        |  nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
-        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'REDACTED')
-        |    AS seg_coalesced,
-        |  nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL
-        |    AS is_building
-        |FROM customer""".stripMargin,
-
-    "q_sessionize" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
-        |flagged AS (
-        |  SELECT user_id, event_id, ts_us,
-        |    CASE WHEN lag(ts_us) OVER w IS NULL
-        |              OR ts_us - lag(ts_us) OVER w > 21600000000
-        |         THEN 1 ELSE 0 END AS new_session
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-        |numbered AS (
-        |  SELECT user_id, event_id, ts_us,
-        |    CAST(sum(new_session) OVER (PARTITION BY user_id
-        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
-        |      AS session_id
-        |  FROM flagged)
-        |SELECT user_id, session_id, count(*) AS n_events,
-        |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
-        |  min(event_id) AS first_event_id
-        |FROM numbered GROUP BY user_id, session_id""".stripMargin,
-
-    // the streamed (transformWithState + timers) sessions must equal
-    // the batch gap sessionization — same oracle minus session_id
-    "q_stream_tws_session" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
-        |flagged AS (
-        |  SELECT user_id, event_id, ts_us,
-        |    CASE WHEN lag(ts_us) OVER w IS NULL
-        |              OR ts_us - lag(ts_us) OVER w > 21600000000
-        |         THEN 1 ELSE 0 END AS new_session
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-        |numbered AS (
-        |  SELECT user_id, event_id, ts_us,
-        |    CAST(sum(new_session) OVER (PARTITION BY user_id
-        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
-        |      AS session_id
-        |  FROM flagged)
-        |SELECT user_id, min(ts_us) AS session_start_us,
-        |  max(ts_us) AS session_end_us, count(*) AS n_events,
-        |  min(event_id) AS first_event_id
-        |FROM numbered GROUP BY user_id, session_id""".stripMargin,
-
-    "q_fhir_pipeline" ->
-      """SELECT request_url, request_method, resource_type,
-        |  request_resource_id, msg_partition, msg_offset
-        |FROM (
-        |  SELECT concat('Patient/', CAST(user_id AS VARCHAR)) AS request_url,
-        |    CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'PUT' END
-        |      AS request_method,
-        |    'Patient' AS resource_type,
-        |    CAST(user_id AS VARCHAR) AS request_resource_id,
-        |    CAST(user_id % 4 AS INTEGER) AS msg_partition,
-        |    event_id AS msg_offset,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY user_id % 4 ASC, event_id DESC) AS rn
-        |  FROM events)
-        |WHERE rn = 1""".stripMargin,
-
-    "q_fhir_encode_wide" ->
-      """SELECT CAST(c_custkey AS VARCHAR) AS id,
-        |  concat('555-', CAST(c_custkey AS VARCHAR)) AS phone,
-        |  'en-US' AS lang_code,
-        |  c_mktsegment AS segment,
-        |  concat('Organization/', CAST(c_nationkey AS VARCHAR)) AS org_ref,
-        |  CAST(c_custkey AS VARCHAR) AS version_id
-        |FROM customer""".stripMargin,
-
-    "q_fhir_encode_immunization" ->
-      """SELECT CAST(o_orderkey AS VARCHAR) AS id,
-        |  'completed' AS status,
-        |  CAST(o_orderkey % 10 AS VARCHAR) AS vax_code,
-        |  o_orderstatus AS vax_text,
-        |  'Patient/' || CAST(o_custkey AS VARCHAR) AS patient_ref,
-        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS occurred,
-        |  TRUE AS primary_source,
-        |  CAST(CAST(o_totalprice AS DECIMAL(32,6)) AS VARCHAR) AS dose_value,
-        |  CAST(1 AS INTEGER) AS dose_number,
-        |  'seriesA' AS series
-        |FROM orders""".stripMargin,
-
-    "q_fhir_encode_foreign" ->
-      """SELECT CAST(o_orderkey AS VARCHAR) AS id,
-        |  CAST(o_orderkey AS VARCHAR) AS version_id,
-        |  '2024-01-01T00:00:00Z' AS last_updated,
-        |  'en' AS language,
-        |  CAST(o_orderkey AS VARCHAR) AS ident_value,
-        |  o_orderstatus AS status_ext,
-        |  o_orderpriority AS conclusion
-        |FROM orders""".stripMargin,
-
-    "q_fhir_encode_allergy" ->
-      """SELECT CAST(c_custkey AS VARCHAR) AS id,
-        |  'active' AS clinical_status,
-        |  'allergy' AS allergy_type,
-        |  'environment' AS category2,
-        |  CASE WHEN c_acctbal > 0 THEN 'high' ELSE 'low' END AS criticality,
-        |  c_mktsegment AS code_text,
-        |  'Patient/' || CAST(c_custkey AS VARCHAR) AS patient_ref,
-        |  c_name AS manifestation_text,
-        |  'moderate' AS severity
-        |FROM customer""".stripMargin,
-
-    "q_fhir_encode_careplan" ->
-      """SELECT CAST(p_partkey AS VARCHAR) AS id,
-        |  'active' AS status,
-        |  'order' AS intent,
-        |  p_type AS category_text,
-        |  CAST(p_partkey % 7 AS VARCHAR) AS category_code,
-        |  p_name AS title,
-        |  'Patient/' || CAST(p_partkey AS VARCHAR) AS subject_ref,
-        |  '2020-01-01' AS period_start,
-        |  'scheduled' AS activity_status,
-        |  p_brand AS activity_code_text,
-        |  CAST(CAST(p_retailprice AS DECIMAL(32,6)) AS VARCHAR) AS daily_amount,
-        |  p_type AS activity_desc
-        |FROM part""".stripMargin,
-
-    "q_fhir_encode_claim" ->
-      """SELECT CAST(s_suppkey AS VARCHAR) AS id,
-        |  'active' AS status,
-        |  'institutional' AS claim_type,
-        |  'claim' AS claim_use,
-        |  'Patient/' || CAST(s_nationkey AS VARCHAR) AS patient_ref,
-        |  '2023-01-01' AS billable_start,
-        |  'Practitioner/' || CAST(s_suppkey AS VARCHAR) AS provider_ref,
-        |  s_name AS diagnosis_text,
-        |  TRUE AS insurance_focal,
-        |  'svc-' || CAST(s_suppkey % 5 AS VARCHAR) AS item_service,
-        |  CAST(CAST(s_acctbal AS DECIMAL(32,6)) AS VARCHAR) AS item_net,
-        |  CAST(CAST(s_acctbal AS DECIMAL(32,6)) AS VARCHAR) AS detail_unit_price,
-        |  CAST(CAST(s_acctbal AS DECIMAL(32,6)) AS VARCHAR) AS subdetail_net,
-        |  CAST(CAST(s_acctbal AS DECIMAL(32,6)) AS VARCHAR) AS total_value,
-        |  'USD' AS currency
-        |FROM supplier""".stripMargin,
-
-    "q_fhir_encode_eob" ->
-      """SELECT CAST(c_custkey AS VARCHAR) AS id,
-        |  'active' AS status,
-        |  'complete' AS outcome,
-        |  'Patient/' || CAST(c_custkey AS VARCHAR) AS patient_ref,
-        |  'Practitioner/' || CAST(c_nationkey AS VARCHAR) AS provider_ref,
-        |  c_mktsegment AS item_service,
-        |  CAST(CAST(c_acctbal AS DECIMAL(32,6)) AS VARCHAR) AS item_adj_amount,
-        |  'submitted' AS total_category,
-        |  CAST(CAST(c_acctbal AS DECIMAL(32,6)) AS VARCHAR) AS total_amount,
-        |  '2024-03-01' AS payment_date,
-        |  c_name AS benefit_category,
-        |  CAST(10 AS INTEGER) AS benefit_allowed
-        |FROM customer""".stripMargin,
-
-    "q_fhir_encode_org" ->
-      """SELECT CAST(n_nationkey AS VARCHAR) AS id,
-        |  TRUE AS active,
-        |  n_name AS name,
-        |  'prov' AS org_type,
-        |  lower(n_name) AS alias1,
-        |  '+1-' || CAST(n_nationkey AS VARCHAR) AS phone,
-        |  n_name AS city,
-        |  'Organization/region-' || CAST(n_regionkey AS VARCHAR) AS part_of
-        |FROM nation""".stripMargin,
-
-    "q_fhir_encode_practitioner" ->
-      """SELECT CAST(s_suppkey AS VARCHAR) AS id,
-        |  TRUE AS active,
-        |  s_name AS family,
-        |  string_split(s_name, '#')[1] AS given1,
-        |  CASE WHEN s_suppkey % 2 = 0 THEN 'female' ELSE 'male' END AS gender,
-        |  '1980-01-01' AS birth_date,
-        |  'MD' AS qual_code,
-        |  'Organization/' || CAST(s_nationkey AS VARCHAR) AS issuer_ref,
-        |  s_name AS comm_text
-        |FROM supplier""".stripMargin,
-
-    "q_fhir_encode_device" ->
-      """SELECT CAST(p_partkey AS VARCHAR) AS id,
-        |  'active' AS status,
-        |  '(01)' || CAST(p_partkey AS VARCHAR) AS udi_di,
-        |  '(01)' || CAST(p_partkey AS VARCHAR) || '(11)220101' AS udi_hrf,
-        |  p_brand AS manufacturer,
-        |  'L-' || CAST(p_size AS VARCHAR) AS lot,
-        |  'SN-' || CAST(p_partkey AS VARCHAR) AS serial,
-        |  p_name AS device_name,
-        |  p_type AS model,
-        |  CAST(p_partkey % 7 AS VARCHAR) AS type_code,
-        |  p_type AS type_display,
-        |  'Patient/' || CAST(p_partkey % 100 AS VARCHAR) AS patient_ref
-        |FROM part""".stripMargin,
-
-    "q_fhir_encode_location" ->
-      """SELECT CAST(n_nationkey AS VARCHAR) AS id,
-        |  'active' AS status,
-        |  n_name AS name,
-        |  lower(n_name) AS alias1,
-        |  'HOSP' AS loc_type,
-        |  n_name AS city,
-        |  'US' AS country,
-        |  'bu' AS phys_code,
-        |  CAST(CAST(n_nationkey * 3.25 - 40 AS DECIMAL(32,6)) AS VARCHAR)
-        |    AS longitude,
-        |  CAST(CAST(n_nationkey * 1.5 - 12 AS DECIMAL(32,6)) AS VARCHAR)
-        |    AS latitude,
-        |  'Organization/' || CAST(n_regionkey AS VARCHAR) AS org_ref,
-        |  'mon' AS day1,
-        |  TRUE AS all_day
-        |FROM nation""".stripMargin,
-
-    "q_fhir_encode_medication" ->
-      """SELECT CAST(p_partkey AS VARCHAR) AS id,
-        |  'active' AS status,
-        |  CAST(p_partkey % 1000 AS VARCHAR) AS rx_code,
-        |  p_name AS rx_display,
-        |  'Organization/' || p_brand AS mfr_ref,
-        |  '385055001' AS form_code,
-        |  CAST(CAST(p_size AS DECIMAL(32,6)) AS VARCHAR) AS amount_num,
-        |  'TAB' AS amount_den_unit,
-        |  p_type AS ingredient_text,
-        |  TRUE AS ingredient_active,
-        |  CAST(CAST(p_size * 0.5 AS DECIMAL(32,6)) AS VARCHAR)
-        |    AS strength_num,
-        |  p_brand AS lot,
-        |  '2027-12-31' AS expires
-        |FROM part""".stripMargin,
-
-    "q_fhir_encode_provenance" ->
-      """SELECT CAST(s_suppkey AS VARCHAR) AS id,
-        |  'Patient/' || CAST(s_nationkey AS VARCHAR) AS target1,
-        |  'Encounter/' || CAST(s_suppkey AS VARCHAR) AS target2,
-        |  '2024-03-01T10:00:00Z' AS occurred,
-        |  '2024-03-01T10:05:00Z' AS recorded,
-        |  'CREATE' AS activity_code,
-        |  'author' AS agent_type,
-        |  'Practitioner/' || CAST(s_suppkey AS VARCHAR) AS agent_who,
-        |  'Organization/' || CAST(s_nationkey AS VARCHAR) AS agent_org,
-        |  'source' AS entity_role,
-        |  'DocumentReference/' || CAST(s_suppkey AS VARCHAR) AS entity_what,
-        |  'Device/' || CAST(s_suppkey % 50 AS VARCHAR) AS entity_agent
-        |FROM supplier""".stripMargin,
-
-    "q_fhir_encode_supplydelivery" ->
-      """SELECT CAST(s_suppkey AS VARCHAR) AS id,
-        |  'completed' AS status,
-        |  'Patient/' || CAST(s_nationkey AS VARCHAR) AS patient_ref,
-        |  'device' AS type_code,
-        |  CAST(CAST(s_acctbal AS DECIMAL(32,6)) AS VARCHAR) AS qty,
-        |  '{each}' AS qty_unit,
-        |  s_name AS item_text,
-        |  '2024-06-01T08:00:00Z' AS occurred,
-        |  'Organization/' || CAST(s_suppkey AS VARCHAR) AS supplier_ref,
-        |  'Location/' || CAST(s_nationkey AS VARCHAR) AS dest_ref,
-        |  'Practitioner/' || CAST(s_suppkey % 10 AS VARCHAR) AS receiver_ref
-        |FROM supplier""".stripMargin,
-
-    "q_fhir_encode_careteam" ->
-      """SELECT CAST(n_nationkey AS VARCHAR) AS id,
-        |  'active' AS status,
-        |  'Team ' || n_name AS name,
-        |  'LA27976-2' AS category_code,
-        |  'Patient/' || CAST(n_nationkey AS VARCHAR) AS subject_ref,
-        |  '2024-01-01' AS period_start,
-        |  n_name AS role1,
-        |  'Practitioner/' || CAST(n_nationkey AS VARCHAR) AS member1,
-        |  'Patient/' || CAST(n_nationkey AS VARCHAR) AS member2,
-        |  'Organization/' || CAST(n_regionkey AS VARCHAR) AS org_ref
-        |FROM nation""".stripMargin,
-
-    "q_fhir_encode_medadmin" ->
-      """SELECT CAST(s_suppkey AS VARCHAR) AS id,
-        |  'completed' AS status,
-        |  CAST(s_suppkey % 500 AS VARCHAR) AS rx_code,
-        |  s_name AS rx_display,
-        |  'Patient/' || CAST(s_nationkey AS VARCHAR) AS subject_ref,
-        |  'Encounter/' || CAST(s_suppkey AS VARCHAR) AS context_ref,
-        |  '2024-04-01T12:00:00Z' AS effective,
-        |  'Practitioner/' || CAST(s_suppkey % 10 AS VARCHAR) AS performer_ref,
-        |  'MedicationRequest/' || CAST(s_suppkey AS VARCHAR) AS request_ref,
-        |  'Once daily' AS dosage_text,
-        |  '26643006' AS route_code,
-        |  CAST(CAST(s_acctbal AS DECIMAL(32,6)) AS VARCHAR) AS dose_value
-        |FROM supplier""".stripMargin,
-
-    "q_fhir_encode_docref" ->
-      """SELECT CAST(c_custkey AS VARCHAR) AS id,
-        |  'current' AS status,
-        |  'final' AS doc_status,
-        |  CAST(c_custkey AS VARCHAR) AS master_id,
-        |  '34133-9' AS type_code,
-        |  'Patient/' || CAST(c_custkey AS VARCHAR) AS subject_ref,
-        |  '2024-05-01T00:00:00Z' AS doc_date,
-        |  'Practitioner/' || CAST(c_custkey % 10 AS VARCHAR) AS author_ref,
-        |  'Organization/' || CAST(c_nationkey AS VARCHAR) AS custodian_ref,
-        |  'text/plain; charset=utf-8' AS mime,
-        |  'note-' || CAST(c_custkey AS VARCHAR) AS title,
-        |  'urn:ihe:iti:xds:2017:mimeTypeSufficient' AS format_code,
-        |  'Encounter/' || CAST(c_custkey AS VARCHAR) AS encounter_ref,
-        |  c_mktsegment AS setting
-        |FROM customer""".stripMargin,
-
-    "q_fhir_encode_imagingstudy" ->
-      """SELECT CAST(c_custkey AS VARCHAR) AS id,
-        |  'available' AS status,
-        |  CASE WHEN c_custkey % 2 = 0 THEN 'CT' ELSE 'MR' END
-        |    AS modality_code,
-        |  'Patient/' || CAST(c_custkey AS VARCHAR) AS subject_ref,
-        |  '2024-02-15T09:30:00Z' AS started,
-        |  CAST(c_custkey % 4 + 1 AS INTEGER) AS n_series,
-        |  CAST((c_custkey % 4 + 1) * 10 AS INTEGER) AS n_instances,
-        |  '241615005' AS proc_code,
-        |  '1.2.840.' || CAST(c_custkey AS VARCHAR) AS series_uid,
-        |  'DX' AS series_modality,
-        |  c_mktsegment AS series_desc,
-        |  '1.2.840.' || CAST(c_custkey AS VARCHAR) || '.1' AS instance_uid,
-        |  '1.2.840.10008.5.1.4.1.1.1.1' AS sop_class,
-        |  'frame-1' AS instance_title
-        |FROM customer""".stripMargin,
-
-    "q_fhir_encode_goal" ->
-      """SELECT CAST(n_nationkey AS VARCHAR) AS id,
-        |  'active' AS lifecycle_status,
-        |  'in-progress' AS achievement_code,
-        |  'Goal for ' || n_name AS description_text,
-        |  'Patient/' || CAST(n_nationkey AS VARCHAR) AS subject_ref,
-        |  '2024-01-01' AS start_date,
-        |  '4548-4' AS measure_code,
-        |  CAST(CAST(n_nationkey % 5 + 5 AS DECIMAL(32,6)) AS VARCHAR)
-        |    AS target_value,
-        |  '%' AS target_unit,
-        |  '2024-12-31' AS due_date,
-        |  'Condition/' || CAST(n_nationkey AS VARCHAR) AS addresses_ref
-        |FROM nation""".stripMargin,
-
-    "q_fhir_encode_practitionerrole" ->
-      """SELECT CAST(s_suppkey AS VARCHAR) AS id,
-        |  TRUE AS active,
-        |  '2020-01-01' AS period_start,
-        |  'Practitioner/' || CAST(s_suppkey % 10 AS VARCHAR)
-        |    AS practitioner_ref,
-        |  'Organization/' || CAST(s_nationkey AS VARCHAR) AS org_ref,
-        |  'doctor' AS role_code,
-        |  s_name AS specialty_display,
-        |  'Location/' || CAST(s_nationkey AS VARCHAR) AS location_ref,
-        |  'wed' AS day2,
-        |  '09:00:00' AS avail_start,
-        |  'public holidays' AS na_desc,
-        |  '2024-12-26' AS na_end
-        |FROM supplier""".stripMargin,
-
-    "q_fhir_encode_specimen" ->
-      """SELECT CAST(p_partkey AS VARCHAR) AS id,
-        |  'ACC-' || CAST(p_partkey AS VARCHAR) AS accession,
-        |  'available' AS status,
-        |  p_type AS type_display,
-        |  'Patient/' || CAST(p_partkey % 100 AS VARCHAR) AS subject_ref,
-        |  '2024-03-01T08:30:00Z' AS received_time,
-        |  '2024-03-01T08:00:00Z' AS collected_at,
-        |  CAST(CAST(p_size AS DECIMAL(32,6)) AS VARCHAR) AS coll_qty,
-        |  '368149001' AS body_site,
-        |  p_brand AS container_desc,
-        |  CAST(CAST(p_partkey % 50 AS DECIMAL(32,6)) AS VARCHAR)
-        |    AS container_cap
-        |FROM part""".stripMargin,
-
-    "q_fhir_encode_servicerequest" ->
-      """SELECT CAST(o_orderkey AS VARCHAR) AS id,
-        |  'active' AS status,
-        |  'order' AS intent,
-        |  '108252007' AS category_code,
-        |  CASE WHEN o_orderkey % 2 = 0 THEN 'routine'
-        |    ELSE 'urgent' END AS priority,
-        |  FALSE AS do_not_perform,
-        |  'Laboratory test' AS code_display,
-        |  o_orderpriority AS code_text,
-        |  CAST(CAST(o_orderkey % 5 + 1 AS DECIMAL(32,6)) AS VARCHAR)
-        |    AS qty,
-        |  'Patient/' || CAST(o_custkey AS VARCHAR) AS subject_ref,
-        |  CAST(o_orderdate AS VARCHAR) AS occurrence_at,
-        |  CAST(o_orderdate AS VARCHAR) AS authored_on,
-        |  'Practitioner/' || CAST(o_orderkey % 7 AS VARCHAR)
-        |    AS requester_ref,
-        |  '183524004' AS reason_code,
-        |  'Ref: ' || o_orderstatus AS reason_text
-        |FROM orders""".stripMargin,
-
-    "q_fhir_encode_medstatement" ->
-      """SELECT CAST(c_custkey AS VARCHAR) AS id,
-        |  'active' AS status,
-        |  'inpatient' AS category_code,
-        |  CAST(c_custkey % 1000 AS VARCHAR) AS med_code,
-        |  c_name AS med_display,
-        |  'Patient/' || CAST(c_custkey AS VARCHAR) AS subject_ref,
-        |  '2024-01-01' AS eff_start,
-        |  '2024-06-30' AS eff_end,
-        |  '2024-07-01' AS date_asserted,
-        |  'Take as directed: ' || c_mktsegment AS dosage_text,
-        |  CAST(2 AS INTEGER) AS dose_freq,
-        |  'd' AS dose_unit,
-        |  CAST(CAST(c_custkey % 3 + 1 AS DECIMAL(32,6)) AS VARCHAR)
-        |    AS dose_qty
-        |FROM customer""".stripMargin,
-
-    "q_fhir_encode_coverage" ->
-      """SELECT CAST(s_suppkey AS VARCHAR) AS id,
-        |  'active' AS status,
-        |  'EHCPOL' AS type_code,
-        |  'SUB-' || CAST(s_suppkey AS VARCHAR) AS subscriber_id,
-        |  'Patient/' || CAST(s_suppkey AS VARCHAR) AS beneficiary_ref,
-        |  'self' AS relationship_code,
-        |  '2024-01-01' AS period_start,
-        |  'Organization/' || CAST(s_nationkey AS VARCHAR) AS payor_ref,
-        |  s_name AS payor_display,
-        |  'GRP-' || CAST(s_suppkey % 10 AS VARCHAR) AS class_value,
-        |  s_name AS class_name,
-        |  CAST(s_suppkey % 3 + 1 AS INTEGER) AS cov_order,
-        |  'provider-network' AS network,
-        |  CAST(CAST(s_suppkey % 20 AS DECIMAL(32,6)) AS VARCHAR)
-        |    AS copay_value,
-        |  'USD' AS copay_currency,
-        |  TRUE AS subrogation
-        |FROM supplier""".stripMargin,
-
-    "q_fhir_encode_relatedperson" ->
-      """SELECT CAST(n_nationkey AS VARCHAR) AS id,
-        |  TRUE AS active,
-        |  'Patient/' || CAST(n_nationkey AS VARCHAR) AS patient_ref,
-        |  'SPS' AS rel_code,
-        |  n_name AS name_family,
-        |  'J' AS given2,
-        |  '+1-555-' || lpad(CAST(n_nationkey AS VARCHAR), 4, '0')
-        |    AS telecom_value,
-        |  CAST(1 AS INTEGER) AS telecom_rank,
-        |  CASE WHEN n_nationkey % 2 = 0 THEN 'female'
-        |    ELSE 'male' END AS gender,
-        |  '1980-05-15' AS birth_date,
-        |  CAST(n_nationkey AS VARCHAR) || ' Main St' AS addr_line,
-        |  'Springfield' AS addr_city,
-        |  n_name AS country,
-        |  'en' AS comm_lang,
-        |  TRUE AS comm_preferred
-        |FROM nation""".stripMargin,
-
-    "q_ann_topk_agg" ->
-      """SELECT q_id, n_id, rank FROM (
-        |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
-        |    row_number() OVER (PARTITION BY q.vec_id
-        |      ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
-        |               n.vec_id ASC) AS rank
-        |  FROM embeddings q, embeddings n
-        |  WHERE q.vec_id < 3 AND n.vec_id >= 3)
-        |WHERE rank <= 10""".stripMargin,
-
-    "q_token_count" ->
-      """SELECT doc_id,
-        |  CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-        |  CAST(length(text) AS BIGINT) AS n_chars
-        |FROM documents""".stripMargin,
-
-    // Spark splits with a lookahead ("(?=[\p{Punct}])|\s+") that RE2
-    // can't run; the RE2-safe identity counts token STARTS instead:
-    // every punct char opens a token, plus every non-punct non-space
-    // char at string start or after whitespace (verified char-exact
-    // against the Spark split on the full corpus).
-    "q_subword_count" ->
-      """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) +
-        |       len(regexp_extract_all(text,
-        |         '(?:^|[\t\n\x0b\f\r ])[^\t\n\x0b\f\r !-/:-@\[-`{-~]'))
-        |       AS BIGINT) AS n_subwords
-        |FROM documents""".stripMargin,
-
-    "q_text_quality" ->
-      """SELECT doc_id,
-        |  CAST(length(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-        |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
-        |    / length(string_split_regex(trim(text), '\s+')) AS avg_word_len,
-        |  CAST(length(list_filter(string_split_regex(trim(text), '\s+'),
-        |      x -> lower(x) IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
-        |    / length(string_split_regex(trim(text), '\s+')) AS stopword_ratio
-        |FROM documents""".stripMargin,
-
-    "q_anti_join" ->
-      """SELECT o_orderkey, o_totalprice FROM orders o
-        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
-        |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)""".stripMargin,
-
-    "q_except" ->
-      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-        |EXCEPT
-        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
-
-    "q_full_outer" ->
-      """SELECT coalesce(c.custkey, o.custkey) AS custkey, c.c_name,
-        |  o.n_orders
-        |FROM (SELECT c_custkey AS custkey, c_name FROM customer
-        |      WHERE c_acctbal >= 9000) c
-        |FULL OUTER JOIN (
-        |  SELECT o_custkey AS custkey, count(*) AS n_orders FROM orders
-        |  WHERE o_totalprice >= 250000 GROUP BY o_custkey) o
-        |  USING (custkey)""".stripMargin,
-
-    "q_cross_join" ->
-      """SELECT n_name, r_name, n_regionkey = r_regionkey AS is_home
-        |FROM nation CROSS JOIN region""".stripMargin,
-
-    "q_count_distinct_multi" ->
-      """SELECT l_returnflag,
-        |  count(DISTINCT l_partkey) AS n_parts,
-        |  count(DISTINCT l_suppkey) AS n_supps,
-        |  count(*) AS cnt
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-
-    "q_conditional_agg" ->
-      """SELECT o_orderpriority,
-        |  count(*) FILTER (o_totalprice > 150000) AS n_big,
-        |  CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice
-        |       ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS f_total,
-        |  bool_or(o_orderstatus = 'P') AS any_pending,
-        |  bool_and(o_totalprice > 0) AS all_positive
-        |FROM orders GROUP BY o_orderpriority""".stripMargin,
-
-    "q_rank_dist" ->
-      """SELECT o_orderkey, o_orderpriority,
-        |  CAST(rank() OVER w AS INTEGER) AS rnk,
-        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
-        |  percent_rank() OVER w AS pct_rank,
-        |  cume_dist() OVER w AS cdist,
-        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_orderpriority
-        |             ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
-
-    "q_first_last" ->
-      """SELECT user_id, event_id,
-        |  first_value(event_id) OVER w3 AS first_in_3,
-        |  last_value(event_id) OVER w3 AS last_in_3,
-        |  nth_value(event_id, 2) OVER wf AS second_id
-        |FROM events
-        |WINDOW w3 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
-        |  wf AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
-        .stripMargin,
-
-    "q_global_sort" ->
-      """SELECT l_orderkey, l_linenumber,
-        |  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date
-        |FROM lineitem
-        |ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC""".stripMargin,
-
-    "q_string_edit" ->
-      """SELECT c_custkey,
-        |  CAST(levenshtein(c_name, 'Customer#000000001') AS BIGINT)
-        |    AS edit_dist,
-        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
-        |  reverse(c_name) AS name_rev,
-        |  CAST(strpos(c_name, '9') AS BIGINT) AS pos9,
-        |  repeat(c_mktsegment, 2) AS seg2,
-        |  concat_ws('|', c_mktsegment, c_name) AS joined
-        |FROM customer""".stripMargin,
-
-    "q_date_funcs" ->
-      """SELECT o_orderkey,
-        |  CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR)
-        |    AS month_start,
-        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
-        |  CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
-        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
-        |  CAST(datediff('day', CAST(o_orderdate AS DATE),
-        |       DATE '1998-12-31') AS INTEGER) AS days_to_end,
-        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
-        |  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
-        |       AS VARCHAR) AS plus3m
-        |FROM orders""".stripMargin,
-
-    "q_kmv_distinct" ->
-      """WITH keys AS (
-        |  SELECT DISTINCT l_returnflag AS flag, l_partkey
-        |  FROM lineitem),
-        |hashed AS (
-        |  SELECT DISTINCT flag,
-        |    ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
-        |  FROM keys),
-        |ranked AS (
-        |  SELECT flag, h,
-        |    row_number() OVER (PARTITION BY flag ORDER BY h ASC) AS rn,
-        |    count(*) OVER (PARTITION BY flag) AS total
-        |  FROM hashed)
-        |SELECT flag,
-        |  CAST(CASE WHEN total < 256 THEN CAST(total AS DOUBLE)
-        |       ELSE 255.0 / (CAST(h AS DOUBLE) / 1152921504606846976.0)
-        |       END AS DOUBLE) AS est_distinct,
-        |  CAST(total AS BIGINT) AS n_hashes
-        |FROM ranked WHERE rn = least(256, total)""".stripMargin,
-
-    "q_ngram_exact" ->
-      """WITH docs AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, length(text) - 1),
-        |      i -> substr(text, CAST(i AS INT), 3))) AS sh
-        |  FROM documents WHERE doc_id < 60 AND length(text) >= 3)
-        |SELECT doc_a, doc_b, jaccard FROM (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |    CAST(len(a.sh) + len(b.sh)
-        |         - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
-        |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id)
-        |WHERE jaccard >= 0.1""".stripMargin,
-
-    "q_table_skipping" ->
-      """SELECT o_orderstatus, count(*) AS cnt,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |    AS total_price
-        |FROM orders WHERE o_orderkey BETWEEN 100 AND 1500
-        |GROUP BY o_orderstatus""".stripMargin,
-
-    "q_incremental_cluster" ->
-      """SELECT o_orderstatus, count(*) AS cnt,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |    AS total_price,
-        |  TRUE AS full_scan_before,
-        |  TRUE AS skipping_after
-        |FROM orders WHERE o_orderkey BETWEEN 100 AND 1500
-        |GROUP BY o_orderstatus""".stripMargin,
-
-    "q_bloom_skipping" ->
-      """SELECT o_orderkey, o_orderstatus, o_totalprice
-        |FROM orders WHERE o_orderkey IN (7, 311, 1202)""".stripMargin,
-
-    "q_dfp_join" ->
-      """SELECT c_custkey, c_mktsegment, count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-        |    AS total_price
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |WHERE c_custkey % 100 = 7
-        |GROUP BY c_custkey, c_mktsegment""".stripMargin,
-
-    "q_partition_pruning" ->
-      """SELECT user_id, count(*) AS cnt,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
-        |FROM events WHERE event_type = 'purchase'
-        |GROUP BY user_id""".stripMargin,
-
-    "q_stream_static_join" ->
-      """SELECT event_type, count(*) AS cnt,
-        |  count(*) * CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
-        |    WHEN 'signup' THEN 5 WHEN 'purchase' THEN 10 ELSE 0 END
-        |    AS weighted
-        |FROM events
-        |WHERE event_type IN ('click','view','signup','purchase','error')
-        |GROUP BY event_type""".stripMargin,
-
-    "q_session_window" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
-        |flagged AS (
-        |  SELECT user_id, event_id, ts_us,
-        |    CASE WHEN lag(ts_us) OVER w IS NULL
-        |              OR ts_us - lag(ts_us) OVER w >= 21600000000
-        |         THEN 1 ELSE 0 END AS new_session
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-        |numbered AS (
-        |  SELECT user_id, event_id, ts_us,
-        |    sum(new_session) OVER (PARTITION BY user_id
-        |      ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM flagged)
-        |SELECT user_id, min(ts_us) AS session_start_us,
-        |  count(*) AS n_events, min(event_id) AS first_event_id
-        |FROM numbered GROUP BY user_id, sid""".stripMargin,
-
-    "q_stats_formula" -> statsFormulaSql("lineitem"),
-
-    "q_map_ops" ->
-      """SELECT event_id, event_type AS m_type,
-        |  CAST(user_id AS VARCHAR) AS m_user,
-        |  CAST(NULL AS VARCHAR) AS m_missing,
-        |  CAST(2 AS BIGINT) AS m_size
-        |FROM events""".stripMargin,
-
-    "q_tpch_q3" ->
-      """SELECT l_orderkey,
-        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-        |    AS DOUBLE) AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND CAST(o_orderdate AS DATE) < DATE '1997-06-01'
-        |  AND CAST(l_shipdate AS DATE) > DATE '1997-06-01'
-        |GROUP BY l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR)
-        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
-
-    "q_tpch_q18" ->
-      """WITH big AS (
-        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
-        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
-        |SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
-        |FROM orders
-        |JOIN big ON o_orderkey = l_orderkey
-        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
-
-    "q_funnel" ->
-      """WITH u AS (
-        |  SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
-        |v AS (
-        |  SELECT user_id, min(t) AS vt FROM u
-        |  WHERE event_type = 'view' GROUP BY user_id),
-        |c AS (
-        |  SELECT u.user_id, min(t) AS ct FROM u JOIN v USING (user_id)
-        |  WHERE event_type = 'click' AND t >= vt GROUP BY u.user_id),
-        |p AS (
-        |  SELECT u.user_id, min(t) AS pt FROM u JOIN c USING (user_id)
-        |  WHERE event_type = 'purchase' AND t >= ct GROUP BY u.user_id)
-        |SELECT v.user_id, v.vt,
-        |  COALESCE(c.ct, -1) AS ct,
-        |  COALESCE(p.pt, -1) AS pt,
-        |  CAST(CASE WHEN p.pt IS NOT NULL THEN 3
-        |            WHEN c.ct IS NOT NULL THEN 2
-        |            ELSE 1 END AS BIGINT) AS stage
-        |FROM v
-        |LEFT JOIN c ON v.user_id = c.user_id
-        |LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
-
-    "q_tpch_q5" ->
-      """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
-        |    AS DOUBLE) AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |  AND s_nationkey = c_nationkey
-        |WHERE r_name = 'ASIA'
-        |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
-        |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
-        |GROUP BY n_name""".stripMargin,
-
-    "q_tpch_q6" ->
-      """SELECT CAST(sum(CAST(l_extendedprice * l_discount
-        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-        |FROM lineitem
-        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
-        |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
-        |  AND l_discount >= 0.05 AND l_discount <= 0.07
-        |  AND l_quantity < 24""".stripMargin,
-
-    "q_interval_join" ->
-      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
-        |  iv.iv_id, iv.start_us
-        |FROM events e
-        |JOIN (SELECT event_id AS iv_id, epoch_us(ts) AS start_us,
-        |        epoch_us(ts) + 7200000000 AS end_us
-        |      FROM events
-        |      WHERE event_type = 'purchase' AND event_id % 40 = 0) iv
-        |  ON epoch_us(e.ts) >= iv.start_us AND epoch_us(e.ts) < iv.end_us
-        |WHERE e.event_type = 'view'""".stripMargin,
-
-    "q_interval_join_rule" ->
-      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
-        |  iv.iv_id, iv.start_us
-        |FROM events e
-        |JOIN (SELECT event_id AS iv_id, epoch_us(ts) AS start_us,
-        |        epoch_us(ts) + 7200000000 AS end_us
-        |      FROM events
-        |      WHERE event_type = 'purchase' AND event_id % 40 = 0) iv
-        |  ON epoch_us(e.ts) >= iv.start_us AND epoch_us(e.ts) < iv.end_us
-        |WHERE e.event_type = 'view'""".stripMargin,
-
-    "q_quantize_embedding" ->
-      """SELECT m.vec_id, CAST(t.i - 1 AS INTEGER) AS idx,
-        |  CAST(floor(CAST(m.embedding[t.i] AS DOUBLE) * 127.0 / m.maxabs
-        |    + 0.5) AS INTEGER) AS qv
-        |FROM (SELECT vec_id, embedding,
-        |        CAST(list_max(list_transform(embedding, x -> abs(x)))
-        |          AS DOUBLE) AS maxabs
-        |      FROM embeddings) m,
-        |  UNNEST(generate_series(1, len(m.embedding))) AS t(i)""".stripMargin,
-
-    "q_tfidf" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
-        |  FROM documents),
-        |tf AS (
-        |  SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word),
-        |dfreq AS (
-        |  SELECT word, count(DISTINCT doc_id) AS df FROM toks GROUP BY word),
-        |scored AS (
-        |  SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
-        |    CAST(tf.tf AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS score,
-        |    row_number() OVER (PARTITION BY tf.doc_id
-        |      ORDER BY CAST(tf.tf AS DOUBLE) / CAST(dfreq.df AS DOUBLE) DESC,
-        |               tf.word ASC) AS rn
-        |  FROM tf JOIN dfreq USING (word))
-        |SELECT doc_id, word AS top_word, tf, df, score
-        |FROM scored WHERE rn = 1""".stripMargin,
-
-    "q_doc_repetition" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
-        |  FROM documents),
-        |ucnt AS (
-        |  SELECT doc_id, g, count(*) AS n
-        |  FROM (SELECT doc_id, unnest(l) AS g FROM toks)
-        |  GROUP BY doc_id, g),
-        |uagg AS (
-        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS total_w,
-        |    CAST(max(n) AS BIGINT) AS top_w,
-        |    CAST(count(*) AS BIGINT) AS distinct_w
-        |  FROM ucnt GROUP BY doc_id),
-        |bcnt AS (
-        |  SELECT doc_id, g, count(*) AS n
-        |  FROM (SELECT doc_id,
-        |          unnest(list_transform(range(1, len(l)),
-        |                                i -> l[i] || ' ' || l[i + 1])) AS g
-        |        FROM toks WHERE len(l) >= 2)
-        |  GROUP BY doc_id, g),
-        |bagg AS (
-        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS total_b,
-        |    CAST(max(n) AS BIGINT) AS top_b
-        |  FROM bcnt GROUP BY doc_id)
-        |SELECT u.doc_id, u.total_w AS n_words,
-        |  CAST(u.distinct_w AS DOUBLE) / u.total_w AS distinct_word_ratio,
-        |  CAST(u.top_w AS DOUBLE) / u.total_w AS top_word_share,
-        |  CAST(COALESCE(b.top_b, 0) AS DOUBLE) /
-        |    GREATEST(COALESCE(b.total_b, 0), 1) AS top_bigram_share
-        |FROM uagg u LEFT JOIN bagg b ON u.doc_id = b.doc_id""".stripMargin,
-
-    "q_lm_perplexity" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang, source,
-        |         string_split_regex(trim(text), '\s+') AS l
-        |  FROM documents),
-        |bg AS (
-        |  SELECT doc_id, lang, source,
-        |         unnest(list_transform(range(1, len(l)),
-        |                i -> l[i] || ' ' || l[i + 1])) AS bg
-        |  FROM toks),
-        |c2 AS (
-        |  SELECT bg, string_split(bg, ' ')[1] AS w1,
-        |         CAST(count(*) AS BIGINT) AS c2
-        |  FROM bg
-        |  WHERE lang = 'en' AND source IN ('src0','src1','src2','src3')
-        |  GROUP BY 1, 2),
-        |c1 AS (
-        |  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
-        |model AS (
-        |  SELECT c2.bg,
-        |    CASE WHEN (1048576 * c2.c2) // c1.c1 >= 1
-        |         THEN 20 - (length(format('{:b}',
-        |                (1048576 * c2.c2) // c1.c1)) - 1)
-        |         ELSE 21 END AS bits
-        |  FROM c2 JOIN c1 USING (w1)),
-        |scored AS (
-        |  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |    (1000 * CAST(sum(coalesce(model.bits, 21)) AS BIGINT))
-        |      // CAST(count(*) AS BIGINT) AS milli_bits
-        |  FROM bg LEFT JOIN model USING (bg)
-        |  GROUP BY bg.doc_id)
-        |SELECT d.doc_id,
-        |  CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-        |  CAST(s.milli_bits AS BIGINT) AS milli_bits,
-        |  CASE WHEN s.milli_bits IS NULL THEN 'unscored'
-        |       WHEN s.milli_bits < 6200 THEN 'head'
-        |       WHEN s.milli_bits < 7200 THEN 'middle'
-        |       ELSE 'tail' END AS bucket
-        |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin,
-
-    "q_vocab_build" ->
-      """WITH cnt AS (
-        |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
-        |  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
-        |        FROM documents)
-        |  GROUP BY word)
-        |SELECT word, cnt,
-        |  CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank
-        |FROM cnt ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
-
-    "q_bm25" ->
-      """WITH tf AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl,
-        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-        |                         x -> x = 'spark')) AS BIGINT) AS tf_spark,
-        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-        |                         x -> x = 'merge')) AS BIGINT) AS tf_merge,
-        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-        |                         x -> x = 'window')) AS BIGINT) AS tf_window
-        |  FROM documents),
-        |st AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
-        |    CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
-        |    CAST(sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_merge,
-        |    CAST(sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_window
-        |  FROM tf),
-        |sc AS (
-        |  SELECT doc_id, dl, tf_spark, tf_merge, tf_window,
-        |      ln(1 + (n - df_spark + 0.5) / (df_spark + 0.5)) * tf_spark
-        |        * (1.2 + 1) / (tf_spark + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
-        |    + ln(1 + (n - df_merge + 0.5) / (df_merge + 0.5)) * tf_merge
-        |        * (1.2 + 1) / (tf_merge + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
-        |    + ln(1 + (n - df_window + 0.5) / (df_window + 0.5)) * tf_window
-        |        * (1.2 + 1) / (tf_window + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
-        |    AS score
-        |  FROM tf, st)
-        |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
-        |    AS rank,
-        |  doc_id, dl, tf_spark, tf_merge, tf_window
-        |FROM sc ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
-
-    "q_hybrid_retrieval" ->
-      """WITH tf AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl,
-        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-        |                         x -> x = 'spark')) AS BIGINT) AS tf_spark,
-        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-        |                         x -> x = 'merge')) AS BIGINT) AS tf_merge,
-        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
-        |                         x -> x = 'window')) AS BIGINT) AS tf_window
-        |  FROM documents),
-        |st AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
-        |    CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
-        |    CAST(sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_merge,
-        |    CAST(sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_window
-        |  FROM tf),
-        |sc AS (
-        |  SELECT doc_id,
-        |      ln(1 + (n - df_spark + 0.5) / (df_spark + 0.5)) * tf_spark
-        |        * (1.2 + 1) / (tf_spark + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
-        |    + ln(1 + (n - df_merge + 0.5) / (df_merge + 0.5)) * tf_merge
-        |        * (1.2 + 1) / (tf_merge + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
-        |    + ln(1 + (n - df_window + 0.5) / (df_window + 0.5)) * tf_window
-        |        * (1.2 + 1) / (tf_window + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
-        |    AS score
-        |  FROM tf, st),
-        |qv AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 0),
-        |cs AS (
-        |  SELECT vec_id AS doc_id,
-        |    list_cosine_similarity(embedding, q_vec) AS cos
-        |  FROM embeddings, qv),
-        |bm AS (
-        |  SELECT doc_id,
-        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id)
-        |      AS BIGINT) AS bm25_rank
-        |  FROM sc ORDER BY score DESC, doc_id LIMIT 50),
-        |an AS (
-        |  SELECT doc_id,
-        |    CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
-        |      AS BIGINT) AS ann_rank
-        |  FROM cs ORDER BY cos DESC, doc_id LIMIT 50),
-        |fused AS (
-        |  SELECT COALESCE(bm.doc_id, an.doc_id) AS doc_id,
-        |    COALESCE(bm.bm25_rank, 51) AS bm25_rank,
-        |    COALESCE(an.ann_rank, 51) AS ann_rank
-        |  FROM bm FULL OUTER JOIN an ON bm.doc_id = an.doc_id)
-        |SELECT CAST(row_number() OVER (
-        |    ORDER BY bm25_rank + ann_rank ASC, doc_id ASC) AS BIGINT)
-        |    AS rank,
-        |  doc_id, bm25_rank, ann_rank
-        |FROM fused
-        |ORDER BY bm25_rank + ann_rank ASC, doc_id ASC LIMIT 10""".stripMargin,
-
-    "q_unicode_norm" ->
-      """SELECT doc_id,
-        |  nfc_normalize(substr(text, 1, 16) || ' café niño plüs') AS norm,
-        |  CAST(length(substr(text, 1, 16) || ' café niño plüs') AS BIGINT) AS len_raw,
-        |  CAST(length(nfc_normalize(substr(text, 1, 16) || ' café niño plüs')) AS BIGINT) AS len_nfc
-        |FROM documents""".stripMargin,
-
-    "q_url_extract" ->
-      """WITH p AS (
-        |  SELECT
-        |    regexp_extract(url, 'https://([^/]+)/', 1) AS host,
-        |    regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
-        |    regexp_extract(url, '\?ref=([^&]*)', 1) AS ref
-        |  FROM (SELECT 'https://' || source || '.example.com/d/' ||
-        |          CAST(doc_id AS VARCHAR) || '?ref=' || lang AS url
-        |        FROM documents))
-        |SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(count(DISTINCT ref) AS BIGINT) AS n_refs,
-        |  min(path) AS first_path
-        |FROM p GROUP BY host""".stripMargin,
-
-    "q_sample_per_group" ->
-      """SELECT source, doc_id, sample_rank FROM (
-        |  SELECT source, doc_id,
-        |    CAST(row_number() OVER (PARTITION BY source
-        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
-        |      AS sample_rank
-        |  FROM documents)
-        |WHERE sample_rank <= 5""".stripMargin,
-
-    "q_stream_dedup" ->
-      "SELECT DISTINCT user_id, event_type FROM events",
-
-    // exact-dup recall of the LSH index probe is total (identical
-    // text ⇒ identical signature ⇒ every band collides), so the
-    // text-confirmed candidate set IS the exact equality join
-    "q_stream_neardup" ->
-      """SELECT DISTINCT a.doc_id + 10000 AS doc, b.doc_id AS corpus_doc
-        |FROM documents a JOIN documents b ON a.text = b.text
-        |WHERE a.doc_id % 7 = 0""".stripMargin,
-
-    // each event belongs to the two 10-min windows whose starts are
-    // floor(t/5min)*5min and that minus 5min (µs integer arithmetic)
-    "q_stream_sliding" ->
-      """SELECT ws AS w_start_us, count(*) AS cnt FROM (
-        |  SELECT (epoch_us(ts) // 300000000) * 300000000
-        |           - k.k * 300000000 AS ws
-        |  FROM events, (SELECT unnest([0, 1]) AS k) k)
-        |GROUP BY ws""".stripMargin,
-
-    "q_gap_ffill" ->
-      """WITH e AS (
-        |  SELECT user_id,
-        |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS hr_us, value
-        |  FROM events),
-        |hourly AS (
-        |  SELECT user_id, hr_us, max(value) AS v FROM e GROUP BY 1, 2),
-        |spans AS (
-        |  SELECT user_id, min(hr_us) AS lo, max(hr_us) AS hi
-        |  FROM hourly GROUP BY 1),
-        |slots AS (
-        |  SELECT user_id, CAST(h AS BIGINT) AS hr_us
-        |  FROM spans, LATERAL unnest(
-        |    range(lo, hi + 3600000000, 3600000000)) AS t(h))
-        |SELECT s.user_id, s.hr_us,
-        |  last_value(h.v IGNORE NULLS) OVER (PARTITION BY s.user_id
-        |    ORDER BY s.hr_us ROWS UNBOUNDED PRECEDING) AS v_ffill,
-        |  h.v IS NULL AS is_filled
-        |FROM slots s
-        |LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hr_us = h.hr_us
-        |WHERE s.user_id < 200""".stripMargin,
-
-    "q_decontaminate" ->
-      """WITH sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, length(text) - 3),
-        |    i -> substr(text, CAST(i AS INT), 5)))) AS sh
-        |  FROM documents WHERE length(text) >= 5),
-        |bench AS (
-        |  SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
-        |corpus AS (
-        |  SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0),
-        |overlap AS (
-        |  SELECT doc_id, count(*) AS n_overlap FROM corpus
-        |  WHERE sh IN (SELECT sh FROM bench) GROUP BY doc_id),
-        |totals AS (
-        |  SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id)
-        |SELECT t.doc_id, t.n_shingles,
-        |  COALESCE(o.n_overlap, 0) AS n_overlap,
-        |  CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) /
-        |    CAST(t.n_shingles AS DOUBLE) AS contamination
-        |FROM totals t LEFT JOIN overlap o ON t.doc_id = o.doc_id""".stripMargin,
-
-    // identical semantics to q_decontaminate by construction: the
-    // bloom filter admits a superset (never a false negative) and the
-    // exact confirm strips the rest
-    "q_decontaminate_bloom" ->
-      """WITH sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, length(text) - 3),
-        |    i -> substr(text, CAST(i AS INT), 5)))) AS sh
-        |  FROM documents WHERE length(text) >= 5),
-        |bench AS (
-        |  SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
-        |corpus AS (
-        |  SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0),
-        |overlap AS (
-        |  SELECT doc_id, count(*) AS n_overlap FROM corpus
-        |  WHERE sh IN (SELECT sh FROM bench) GROUP BY doc_id),
-        |totals AS (
-        |  SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id)
-        |SELECT t.doc_id, t.n_shingles,
-        |  COALESCE(o.n_overlap, 0) AS n_overlap,
-        |  CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) /
-        |    CAST(t.n_shingles AS DOUBLE) AS contamination
-        |FROM totals t LEFT JOIN overlap o ON t.doc_id = o.doc_id""".stripMargin,
-
-    // identify-then-DV-delete replayed as a NOT-IN filter: the final
-    // snapshot must equal the corpus minus every doc whose 25-gram
-    // overlap ratio reached 0.5 (integer/integer division — both
-    // engines compute the identical double, so the threshold compare
-    // agrees bit-for-bit)
-    "q_decontaminate_retro" ->
-      """WITH sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, length(text) - 23),
-        |    i -> substr(text, CAST(i AS INT), 25)))) AS sh
-        |  FROM documents WHERE length(text) >= 25),
-        |bench AS (
-        |  SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0),
-        |corpus AS (
-        |  SELECT doc_id, sh FROM sh WHERE doc_id % 10 <> 0),
-        |overlap AS (
-        |  SELECT doc_id, count(*) AS n_overlap FROM corpus
-        |  WHERE sh IN (SELECT sh FROM bench) GROUP BY doc_id),
-        |totals AS (
-        |  SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
-        |doomed AS (
-        |  SELECT t.doc_id FROM totals t
-        |  LEFT JOIN overlap o ON t.doc_id = o.doc_id
-        |  WHERE CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) /
-        |    CAST(t.n_shingles AS DOUBLE) >= 0.5)
-        |SELECT doc_id, lang, source, n_chars FROM documents
-        |WHERE doc_id % 10 <> 0
-        |  AND doc_id NOT IN (SELECT doc_id FROM doomed)""".stripMargin,
-
-    // the purge's change feed: exactly the doomed docs, each as one
-    // delete event carrying its pre-image
-    "q_decontaminate_retro_cdf" ->
-      """WITH sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, length(text) - 23),
-        |    i -> substr(text, CAST(i AS INT), 25)))) AS sh
-        |  FROM documents WHERE length(text) >= 25),
-        |bench AS (
-        |  SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0),
-        |corpus AS (
-        |  SELECT doc_id, sh FROM sh WHERE doc_id % 10 <> 0),
-        |overlap AS (
-        |  SELECT doc_id, count(*) AS n_overlap FROM corpus
-        |  WHERE sh IN (SELECT sh FROM bench) GROUP BY doc_id),
-        |totals AS (
-        |  SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
-        |doomed AS (
-        |  SELECT t.doc_id FROM totals t
-        |  LEFT JOIN overlap o ON t.doc_id = o.doc_id
-        |  WHERE CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) /
-        |    CAST(t.n_shingles AS DOUBLE) >= 0.5)
-        |SELECT d.doc_id, d.lang, 'delete' AS change_type
-        |FROM documents d
-        |WHERE d.doc_id % 10 <> 0
-        |  AND d.doc_id IN (SELECT doc_id FROM doomed)""".stripMargin,
-
-    "q_dedup_semdedup" -> {
-      val values = graft.ops.Similarity.ivfCentroids(8, 64).zipWithIndex
-        .map { case (c, i) => s"($i, [${c.mkString(",")}]::DOUBLE[])" }
-        .mkString(",\n        ")
-      s"""WITH cents(cell, cvec) AS (VALUES $values),
-         |a AS (
-         |  SELECT e.vec_id, e.label, e.embedding, c.cell
-         |  FROM embeddings e, LATERAL (
-         |    SELECT cell FROM cents
-         |    ORDER BY list_dot_product(e.embedding::DOUBLE[], cvec) DESC,
-         |             cell DESC
-         |    LIMIT 1) c)
-         |SELECT vec_id, label FROM a
-         |WHERE NOT EXISTS (
-         |  SELECT 1 FROM a b
-         |  WHERE b.cell = a.cell AND b.vec_id < a.vec_id
-         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
-         |)""".stripMargin
-    },
-
-    // exact replays of the splitmix64 hash family (see SplitmixOracle
-    // scaladoc): every hash, signature, band bucket, and pair is
-    // recomputed bit-for-bit in DuckDB via HUGEINT mod-2^64 arithmetic
-    "q_dedup_minhash" -> SplitmixOracle.minhashPairs,
-    "q_ngram_jaccard" -> SplitmixOracle.ngramJaccardPairs,
-    "q_dedup_simhash" -> SplitmixOracle.simhashPairs,
-    "q_hash_embed" -> SplitmixOracle.hashEmbedStats,
-    "q_hash_embed_sim" -> SplitmixOracle.hashEmbedSim,
-    "q_dsir_select" -> SplitmixOracle.dsirSelect,
-    "q_perceptron_filter" -> SplitmixOracle.perceptronFilter(20),
-    "q_cms_heavy" -> SplitmixOracle.cmsHeavy(CmsProbeWords),
-
-    "q_generated_col" ->
-      """SELECT o_orderkey,
-        |  CAST(year(CASE WHEN o_orderkey % 1000 = 0
-        |    THEN o_orderdate + INTERVAL 366 DAY
-        |    ELSE o_orderdate END) AS INTEGER) AS o_year
-        |FROM orders""".stripMargin,
-
-    // each batch owns the contiguous id range claimed off the
-    // high-water mark at its append; batch A (doc_id%3=0, ids
-    // 1..na) is deleted afterwards and its range never recycles
-    "q_identity_col" ->
-      """WITH n AS (
-        |  SELECT count(*) FILTER (WHERE doc_id % 3 = 0) AS na,
-        |         count(*) FILTER (WHERE doc_id % 3 = 1) AS nb
-        |  FROM documents),
-        |b AS (SELECT row_number() OVER () AS i FROM documents
-        |      WHERE doc_id % 3 = 1),
-        |c AS (SELECT row_number() OVER () AS i FROM documents
-        |      WHERE doc_id % 3 = 2)
-        |SELECT CAST(1 AS BIGINT) AS batch,
-        |  (SELECT na FROM n) + i AS rid FROM b
-        |UNION ALL
-        |SELECT CAST(2 AS BIGINT),
-        |  (SELECT na + nb FROM n) + i FROM c""".stripMargin,
-
-    // integer ceil-division quotas: (rank·10 + max−1) // max, docs
-    // kept by ascending id within each source
-    "q_host_quota" ->
-      """WITH ranks AS (
-        |  SELECT source, sum(n_chars) AS r FROM documents
-        |  GROUP BY source),
-        |mx AS (SELECT max(r) AS m FROM ranks),
-        |q AS (
-        |  SELECT source,
-        |    (r * 10 + (SELECT m FROM mx) - 1) // (SELECT m FROM mx)
-        |      AS quota
-        |  FROM ranks),
-        |rn AS (
-        |  SELECT doc_id, source,
-        |    row_number() OVER (PARTITION BY source ORDER BY doc_id)
-        |      AS rn
-        |  FROM documents)
-        |SELECT doc_id, source FROM rn JOIN q USING (source)
-        |WHERE rn <= quota""".stripMargin,
-
-    // exact because the KMV sketches are COMPLETE at this corpus: the
-    // per-language vocabulary is 31 distinct words (measured at sf0.01
-    // AND sf0.1 — the generator draws from a fixed 31-word pool), so a
-    // k=128 bottom-k sketch retains every hash and the estimate
-    // degenerates to exact |A∩B| / |A∪B| of the word sets, which DuckDB
-    // computes without replaying xxhash64. Margin: |A∪B| ≤ 62 ≪ 128.
-    "q_sketch_jaccard" ->
-      """WITH v AS (
-        |  SELECT DISTINCT lang, word FROM (
-        |    SELECT lang, unnest(string_split(text, ' ')) AS word
-        |    FROM documents)),
-        |cnt AS (SELECT lang, count(*) AS n FROM v GROUP BY lang),
-        |inter AS (
-        |  SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS ni
-        |  FROM v a JOIN v b ON a.word = b.word AND a.lang < b.lang
-        |  GROUP BY a.lang, b.lang)
-        |SELECT ca.lang AS lang_a, cb.lang AS lang_b,
-        |  CAST(COALESCE(i.ni, 0) AS DOUBLE) /
-        |  CAST(ca.n + cb.n - COALESCE(i.ni, 0) AS DOUBLE) AS est_jaccard
-        |FROM cnt ca JOIN cnt cb ON ca.lang < cb.lang
-        |LEFT JOIN inter i ON i.lang_a = ca.lang AND i.lang_b = cb.lang""".stripMargin,
-
-    "q_approx_distinct" ->
-      """SELECT count(DISTINCT l_partkey) AS exact_parts,
-        |  count(DISTINCT l_orderkey) AS exact_orders,
-        |  TRUE AS approx_parts_ok, TRUE AS approx_orders_ok
-        |FROM lineitem""".stripMargin,
-
-    "q_approx_percentile" ->
-      """SELECT l_returnflag, count(*) AS n,
-        |  TRUE AS ap50_ok, TRUE AS ap90_ok
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-
-    // cell-restricted replay of the IVF-prefiltered anti-join: the
-    // inlined centroids make the assignment reproducible; cosine
-    // boundary safety as before (nearest per-row max-similarity to
-    // the 0.45 threshold ~1e-3 away at every SF, measured — vastly
-    // above any double-rounding divergence between the two engines)
-    "q_decontaminate_semantic" -> {
-      val values = graft.ops.Similarity.ivfCentroids(8, 64).zipWithIndex
-        .map { case (c, i) => s"($i, [${c.mkString(",")}]::DOUBLE[])" }
-        .mkString(",\n        ")
-      s"""WITH cents(cell, cvec) AS (VALUES $values),
-         |corpus AS (
-         |  SELECT e.vec_id, e.label, e.embedding, c.cell
-         |  FROM embeddings e, LATERAL (
-         |    SELECT cell FROM cents
-         |    ORDER BY list_dot_product(e.embedding::DOUBLE[], cvec) DESC,
-         |             cell DESC
-         |    LIMIT 1) c
-         |  WHERE e.vec_id >= 50),
-         |bench AS (
-         |  SELECT e.vec_id, e.embedding, c.cell
-         |  FROM embeddings e, LATERAL (
-         |    SELECT cell FROM cents
-         |    ORDER BY list_dot_product(e.embedding::DOUBLE[], cvec) DESC,
-         |             cell DESC
-         |    LIMIT 2) c
-         |  WHERE e.vec_id < 50)
-         |SELECT c.vec_id, c.label FROM corpus c
-         |WHERE NOT EXISTS (
-         |  SELECT 1 FROM bench b WHERE b.cell = c.cell
-         |  AND list_cosine_similarity(c.embedding, b.embedding) >= 0.45
-         |)""".stripMargin
-    },
-
-    "q_multimodal_meta" ->
-      """SELECT doc_id AS media_id, 'fake/raw' AS format,
-        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
-        |FROM documents""".stripMargin,
-
-    // md5 of the payload BYTES == md5 of the UTF-8 text both engines
-    "q_multimodal_dedup" ->
-      """SELECT md5(text) AS payload_md5,
-        |  min(doc_id) AS keep_id, count(*) AS dup_cnt
-        |FROM documents GROUP BY md5(text)""".stripMargin,
-
-    // the stub decode is md5-derived (Multimodal.md5Long), so every
-    // fake dimension/feature recomputes exactly in DuckDB:
-    // conv(substring(md5 x),1,15),16,10) ≡ ('0x'||substring(md5(x),1,15))
-    // ::BIGINT. feat_sum adds the 8 features left-to-right in BOTH
-    // engines (Spark aggregate() folds left), so the doubles are
-    // bit-identical.
-    "q_multimodal_features" ->
-      ("""WITH f AS (
-        |  SELECT doc_id AS media_id,
-        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-        |    CAST(('0x' || substring(md5(text), 1, 15))::BIGINT % 1920
-        |      AS INT) AS width,
-        |    CAST(('0x' || substring(md5(text || '#h'), 1, 15))::BIGINT
-        |      % 1080 AS INT) AS height,
-        |    [""".stripMargin +
-        (0 until 8).map(d =>
-          s"(('0x' || substring(md5('f$d#' || substring(text, ${d * 16 + 1}, 64)), 1, 15))::BIGINT % 1000000) / 1000000.0")
-          .mkString(",\n      ") +
-        """] AS feats
-        |  FROM documents)
-        |SELECT media_id, n_bytes, width, height,
-        |  CAST(8 AS BIGINT) AS n_features,
-        |  feats[1] + feats[2] + feats[3] + feats[4] + feats[5] +
-        |    feats[6] + feats[7] + feats[8] AS feat_sum,
-        |  feats[1] AS feat0
-        |FROM f""".stripMargin),
-
-    "q_resample" ->
-      """WITH e AS (
-        |  SELECT user_id,
-        |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS hr_us
-        |  FROM events),
-        |counts AS (
-        |  SELECT user_id, hr_us, count(*) AS cnt FROM e GROUP BY 1, 2),
-        |spans AS (
-        |  SELECT user_id, min(hr_us) AS lo, max(hr_us) AS hi
-        |  FROM counts GROUP BY 1),
-        |slots AS (
-        |  SELECT user_id, CAST(h AS BIGINT) AS hr_us
-        |  FROM spans, LATERAL unnest(
-        |    range(lo, hi + 3600000000, 3600000000)) AS t(h))
-        |SELECT s.user_id, s.hr_us,
-        |  COALESCE(c.cnt, 0) AS cnt, c.cnt IS NULL AS is_gap
-        |FROM slots s
-        |LEFT JOIN counts c ON s.user_id = c.user_id AND s.hr_us = c.hr_us""".stripMargin,
-
-    "q_stream_semi_join" ->
-      """WITH v AS (
-        |  SELECT event_id AS v_id, epoch_us(ts) AS v_ts_us, user_id
-        |  FROM events WHERE event_type = 'view'),
-        |p AS (
-        |  SELECT event_id, epoch_us(ts) AS p_ts_us, user_id
-        |  FROM events WHERE event_type = 'purchase')
-        |SELECT v_id, user_id, v_ts_us FROM v
-        |WHERE EXISTS (
-        |  SELECT 1 FROM p
-        |  WHERE p.user_id = v.user_id
-        |    AND p.p_ts_us >= v.v_ts_us
-        |    AND p.p_ts_us <= v.v_ts_us + 600000000)""".stripMargin,
-
-    "q_stream_outer_join" ->
-      """WITH v AS (
-        |  SELECT event_id AS v_id, user_id, epoch_us(ts) AS v_ts_us
-        |  FROM events WHERE event_type = 'view'),
-        |p AS (
-        |  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_ts_us
-        |  FROM events WHERE event_type = 'purchase')
-        |SELECT v.v_id, v.user_id, v.v_ts_us,
-        |  coalesce(p.p_id, -1) AS p_id,
-        |  coalesce(p.p_ts_us, -1) AS p_ts_us
-        |FROM v LEFT JOIN p ON v.user_id = p.user_id
-        |  AND p.p_ts_us >= v.v_ts_us
-        |  AND p.p_ts_us <= v.v_ts_us + 600000000""".stripMargin,
-
-    "q_array_agg" ->
-      """SELECT o_custkey,
-        |  array_to_string(list_sort(list(o_orderstatus)), ',') AS statuses,
-        |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
-        |    AS priorities,
-        |  count(*) AS n_orders
-        |FROM orders WHERE o_custkey <= 200
-        |GROUP BY o_custkey""".stripMargin,
-
-    "q_lateral" ->
-      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
-        |FROM customer c,
-        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
-        |         WHERE o.o_custkey = c.c_custkey
-        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
-        |WHERE c.c_custkey % 7 = 0""".stripMargin,
-
-    "q_dedup_fuzzy" ->
-      """WITH docs AS (
-        |  SELECT doc_id, lang, length(text) // 50 AS lb,
-        |         substr(text, 1, 100) AS pref
-        |  FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(levenshtein(a.pref, b.pref) AS BIGINT) AS dist
-        |FROM docs a JOIN docs b
-        |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
-        |WHERE levenshtein(a.pref, b.pref) <= 25""".stripMargin,
-
-    // the rename is invisible relationally: same values, new column name
-    "q_rename_column" ->
-      """SELECT c_custkey, c_name, c_nationkey,
-        |  CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000
-        |       ELSE c_acctbal END AS account_balance,
-        |  c_mktsegment
-        |FROM customer""".stripMargin,
-
-    // clause order: delete fires first for FURNITURE matches; update
-    // doubles via t+s (the source IS the base row); inserts filtered
-    "q_merge_builder" ->
-      """SELECT c_custkey, c_name, c_nationkey,
-        |  CASE WHEN c_custkey % 7 = 0 AND c_mktsegment <> 'FURNITURE'
-        |       THEN c_acctbal + c_acctbal ELSE c_acctbal END
-        |    AS c_acctbal,
-        |  c_mktsegment
-        |FROM customer
-        |WHERE NOT (c_custkey % 7 = 0 AND c_mktsegment = 'FURNITURE')
-        |UNION ALL
-        |SELECT c_custkey + 2000000, c_name, c_nationkey, c_acctbal,
-        |       c_mktsegment
-        |FROM customer WHERE c_custkey % 100 = 3 AND c_acctbal > 0"""
-        .stripMargin,
-
-    // DELETE (on the pre-update balance) then UPDATE from the old row
-    "q_delete_update_where" ->
-      """SELECT c_custkey, c_name, c_nationkey,
-        |  CASE WHEN c_mktsegment = 'AUTOMOBILE'
-        |       THEN CAST(c_custkey * 2.0 AS DOUBLE)
-        |       ELSE c_acctbal END AS c_acctbal,
-        |  c_mktsegment
-        |FROM customer WHERE c_acctbal >= 0""".stripMargin,
-
-    // non-matching rows untouched ∪ the reloaded BUILDING batch
-    "q_replace_where" ->
-      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-        |FROM customer WHERE c_mktsegment <> 'BUILDING'
-        |UNION ALL
-        |SELECT c_custkey, c_name, c_nationkey,
-        |       CAST(0.0 AS DOUBLE) AS c_acctbal, c_mktsegment
-        |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
-
-    // v2 state minus the NEWSEG rows the clone-side delete removed
-    "q_shallow_clone" ->
-      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-        |FROM customer WHERE c_custkey % 10 <> 0
-        |UNION ALL
-        |SELECT c_custkey, upper(c_name), c_nationkey, c_acctbal + 1000,
-        |       c_mktsegment
-        |FROM customer WHERE c_custkey % 10 = 0""".stripMargin,
-
-    "q_time_travel" ->
-      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-        |FROM customer WHERE c_custkey % 10 <> 0
-        |UNION ALL
-        |SELECT c_custkey, upper(c_name), c_nationkey, c_acctbal + 1000,
-        |       c_mktsegment
-        |FROM customer WHERE c_custkey % 10 = 0
-        |UNION ALL
-        |SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
-        |       'NEWSEG'
-        |FROM customer WHERE c_custkey % 100 = 1""".stripMargin,
-
-    "q_restore" ->
-      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
-
-    "q_append_txn" ->
-      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
-        |UNION ALL
-        |SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
-        |WHERE s_suppkey <= 10""".stripMargin,
-
-    "q_change_feed_stream" ->
-      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
-        |  'insert' AS _change_type, CAST(1 AS BIGINT) AS version
-        |FROM customer
-        |UNION ALL
-        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
-        |  'update_preimage', 2
-        |FROM customer WHERE c_custkey % 10 = 0
-        |UNION ALL
-        |SELECT c_custkey, upper(c_name), c_nationkey, c_acctbal + 1000,
-        |  c_mktsegment, 'update_postimage', 2
-        |FROM customer WHERE c_custkey % 10 = 0
-        |UNION ALL
-        |SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
-        |  'NEWSEG', 'insert', 2
-        |FROM customer WHERE c_custkey % 100 = 1
-        |UNION ALL
-        |SELECT c_custkey,
-        |  CASE WHEN c_custkey % 10 = 0 THEN upper(c_name)
-        |       ELSE c_name END,
-        |  c_nationkey,
-        |  CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 1000
-        |       ELSE c_acctbal END,
-        |  c_mktsegment, 'delete', 3
-        |FROM customer WHERE c_mktsegment = 'MACHINERY'""".stripMargin,
-
-    "q_schema_evolution" ->
-      """SELECT n_nationkey, n_name, n_regionkey,
-        |  CASE WHEN n_nationkey < 10 THEN 'note-' || n_name
-        |       ELSE NULL END AS note
-        |FROM nation""".stripMargin,
-
-    "q_type_widening" ->
-      """SELECT o_orderkey % 10 AS bucket, count(*) AS cnt,
-        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-        |    AS BIGINT)) AS BIGINT) AS sum_cents
-        |FROM orders GROUP BY 1""".stripMargin,
-
-    "q_column_defaults" ->
-      """SELECT CASE WHEN c_custkey % 3 = 0 THEN c_mktsegment
-        |            ELSE 'UNSEGMENTED' END AS segment,
-        |       count(*) AS cnt,
-        |       sum(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
-        |FROM customer GROUP BY 1""".stripMargin,
-
-    "q_change_feed" ->
-      """SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey,
-        |       c_acctbal, 'NEWSEG' AS c_mktsegment,
-        |       'insert' AS _change_type
-        |FROM customer WHERE c_custkey % 100 = 1
-        |UNION ALL
-        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
-        |       'delete'
-        |FROM customer WHERE c_mktsegment = 'MACHINERY'
-        |UNION ALL
-        |SELECT c_custkey, upper(c_name), c_nationkey, c_acctbal + 1000,
-        |       c_mktsegment, 'update_postimage'
-        |FROM customer
-        |WHERE c_custkey % 10 = 0 AND c_mktsegment <> 'MACHINERY'
-        |UNION ALL
-        |SELECT c_custkey, c_name, c_nationkey, c_acctbal,
-        |       c_mktsegment, 'update_preimage'
-        |FROM customer
-        |WHERE c_custkey % 10 = 0 AND c_mktsegment <> 'MACHINERY'""".stripMargin,
-
-    // the TVF must be row-identical to the API call — same oracle
-    "q_cdf_tvf" ->
-      """SELECT c_custkey + 1000000 AS c_custkey, c_name, c_nationkey,
-        |       c_acctbal, 'NEWSEG' AS c_mktsegment,
-        |       'insert' AS _change_type
-        |FROM customer WHERE c_custkey % 100 = 1
-        |UNION ALL
-        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
-        |       'delete'
-        |FROM customer WHERE c_mktsegment = 'MACHINERY'
-        |UNION ALL
-        |SELECT c_custkey, upper(c_name), c_nationkey, c_acctbal + 1000,
-        |       c_mktsegment, 'update_postimage'
-        |FROM customer
-        |WHERE c_custkey % 10 = 0 AND c_mktsegment <> 'MACHINERY'
-        |UNION ALL
-        |SELECT c_custkey, c_name, c_nationkey, c_acctbal,
-        |       c_mktsegment, 'update_preimage'
-        |FROM customer
-        |WHERE c_custkey % 10 = 0 AND c_mktsegment <> 'MACHINERY'""".stripMargin,
-
-    "q_shuffle_hash_join" ->
-      """SELECT o_orderpriority, count(*) AS cnt,
-        |  sum(l_quantity) AS sum_qty
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority""".stripMargin,
-
-    "q_incremental_agg" ->
-      """WITH v3 AS (
-        |  SELECT c_acctbal, c_mktsegment FROM customer
-        |  WHERE c_mktsegment <> 'MACHINERY' AND c_custkey % 10 <> 0
-        |  UNION ALL
-        |  SELECT c_acctbal + 1000, c_mktsegment FROM customer
-        |  WHERE c_mktsegment <> 'MACHINERY' AND c_custkey % 10 = 0
-        |  UNION ALL
-        |  SELECT c_acctbal, 'NEWSEG' FROM customer
-        |  WHERE c_custkey % 100 = 1)
-        |SELECT c_mktsegment, count(*) AS cnt,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
-        |FROM v3 GROUP BY c_mktsegment""".stripMargin,
-
-    "q_delta_export" ->
-      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-        |FROM customer
-        |WHERE c_mktsegment <> 'MACHINERY' AND c_custkey % 10 <> 0
-        |UNION ALL
-        |SELECT c_custkey, upper(c_name), c_nationkey, c_acctbal + 1000,
-        |       c_mktsegment
-        |FROM customer
-        |WHERE c_mktsegment <> 'MACHINERY' AND c_custkey % 10 = 0
-        |UNION ALL
-        |SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
-        |       'NEWSEG'
-        |FROM customer WHERE c_custkey % 100 = 1""".stripMargin,
-
-    "q_delta_export_skip" ->
-      """WITH v3 AS (
-        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-        |  FROM customer
-        |  WHERE c_mktsegment <> 'MACHINERY' AND c_custkey % 10 <> 0
-        |  UNION ALL
-        |  SELECT c_custkey, upper(c_name), c_nationkey, c_acctbal + 1000,
-        |         c_mktsegment
-        |  FROM customer
-        |  WHERE c_mktsegment <> 'MACHINERY' AND c_custkey % 10 = 0
-        |  UNION ALL
-        |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
-        |         'NEWSEG'
-        |  FROM customer WHERE c_custkey % 100 = 1)
-        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-        |FROM v3 WHERE c_custkey <= 500 OR c_custkey >= 1000000""".stripMargin
-  )
 }
