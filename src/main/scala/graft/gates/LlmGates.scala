@@ -1954,6 +1954,10 @@ private[graft] object LlmGates {
     // rows-only xxhash64 queries rely on), so the sf0.01 clustering is
     // pinned inline. The clustering ALGORITHM itself is independently
     // oracled against a DuckDB recursive CTE by q_dedup_resolve_exact.
+    // NOTE: being sf0.01-pinned, this is the ONE gate whose oracle is
+    // wrong at any other scale factor (the r17 sf0.1 sweep records it
+    // as the expected 225/226 holdout in BASELINE.md — Spark's 477-row
+    // sf0.1 clustering is correct; this 47-row VALUES list is sf0.01's).
     "q_dedup_resolve" ->
       ("""SELECT CAST(c0 AS BIGINT) AS doc_id,
         |  CAST(c1 AS BIGINT) AS canonical_id
