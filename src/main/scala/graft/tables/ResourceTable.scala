@@ -3063,22 +3063,32 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("snap-"))
       .foreach { s =>
         val dname = s.getPath.getName
-        val entries = fs.listStatus(s.getPath)
-        var remaining = entries.length
-        entries.foreach { e =>
-          val rel = s"$dname/${e.getPath.getName}"
-          if (!e.isDirectory && !referenced(rel) &&
-              e.getModificationTime < cutoff) {
-            if (!dryRun) fs.delete(e.getPath, false)
-            if (e.getPath.getName.endsWith(".parquet")) n += 1
-            remaining -= 1
+        // a snap dir can VANISH between the root listing and here: a
+        // concurrent writer that loses its commit election deletes its
+        // own staged dir (commitFiles' cleanup). Such a dir is by
+        // definition uncommitted — skip it; retention only protects
+        // COMMITTED files from deletion, it cannot make the listing
+        // race go away.
+        val vanished =
+          try Some(fs.listStatus(s.getPath))
+          catch { case _: java.io.FileNotFoundException => None }
+        vanished.foreach { entries =>
+          var remaining = entries.length
+          entries.foreach { e =>
+            val rel = s"$dname/${e.getPath.getName}"
+            if (!e.isDirectory && !referenced(rel) &&
+                e.getModificationTime < cutoff) {
+              if (!dryRun) fs.delete(e.getPath, false)
+              if (e.getPath.getName.endsWith(".parquet")) n += 1
+              remaining -= 1
+            }
           }
+          // sweep dirs emptied by file deletion (never the current
+          // commit's own dir — its next write target may race)
+          if (!dryRun && remaining == 0 && dname != curDir &&
+              s.getModificationTime < cutoff)
+            fs.delete(s.getPath, true)
         }
-        // sweep dirs emptied by file deletion (never the current
-        // commit's own dir — its next write target may race)
-        if (!dryRun && remaining == 0 && dname != curDir &&
-            s.getModificationTime < cutoff)
-          fs.delete(s.getPath, true)
       }
     reapOrphanSidecars(cur, cutoff, dryRun)
     reapOrphanBloomSidecars(cutoff, dryRun)
@@ -3196,7 +3206,14 @@ final class ResourceTable(val spark: SparkSession, val path: String,
       .mapPartitions { dirs =>
         val f = new HPath(rootStr).getFileSystem(conf.value)
         dirs.flatMap { d =>
-          f.listStatus(new HPath(s"$rootStr/$d")).iterator
+          // same vanishing-dir tolerance as the serial vacuum: a
+          // concurrent writer losing its election deletes its staged
+          // dir between the root listing and this per-dir listing
+          val entries =
+            try f.listStatus(new HPath(s"$rootStr/$d"))
+            catch { case _: java.io.FileNotFoundException =>
+              Array.empty[org.apache.hadoop.fs.FileStatus] }
+          entries.iterator
             .filter(e => !e.isDirectory && e.getModificationTime < cutoff)
             .map(e => (s"$d/${e.getPath.getName}", e.getPath.toString))
         }
