@@ -258,7 +258,7 @@ private[graft] object StreamGates {
     //      Encounter) plus the default catch-all (Procedure lands
     //      there), Trigger.AvailableNow drain, per-type tables read
     //      back and union-compared against the relational oracle.
-    //      PUT-then-DELETE at a higher offset for every 10th key also
+    //      PUT-then-DELETE at a higher offset for every 2nd kept key
     //      exercises W1's latest-wins across the fan-out (the analogue
     //      of the reference's only integration assertion,
     //      test_deployment_in_k8s.py:55–60) ----
@@ -268,8 +268,11 @@ private[graft] object StreamGates {
         array(lit("Patient"), lit("Observation"), lit("Encounter"),
           lit("Procedure")),
         (col("o_orderkey") % 4 + 1).cast(IntegerType))
-      // every 3rd order: plenty of rows per type, bounded gate cost
-      val orders = t(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
+      // every 5th order (5 is coprime with the %4 type mapping, so
+      // all four types still see traffic): bounded gate cost
+      // (the engine e2e is the expensive shape — 4 concurrent queries
+      // each scanning the journal and merging; volume adds no proof)
+      val orders = t(s, dir, "orders").filter(col("o_orderkey") % 5 === 0)
       def envelope(offset: Column, bundle: Column) =
         to_json(struct(lit("fhir.msg").as("topic"),
           lit(0).as("partition"), offset.as("offset"),
@@ -885,7 +888,7 @@ private[graft] object StreamGates {
 
 
     // N+1 fan-out e2e: every 3rd order becomes a PUT bundle of the
-    // type keyed by o_orderkey%4; every 10th key is then DELETEd at a
+    // type keyed by o_orderkey%4; every 2nd kept key is then DELETEd at a
     // higher offset, so latest-wins drops it from the tables
     "q_fanout_e2e" ->
       """SELECT CASE CAST(o_orderkey % 4 AS INTEGER)
@@ -894,7 +897,7 @@ private[graft] object StreamGates {
         |    AS resource_type,
         |  CAST(o_orderkey AS VARCHAR) AS id
         |FROM orders
-        |WHERE o_orderkey % 3 = 0 AND o_orderkey % 10 <> 0""".stripMargin,
+        |WHERE o_orderkey % 5 = 0 AND o_orderkey % 10 <> 0""".stripMargin,
 
 
     "q_stream_window" ->
