@@ -34,6 +34,10 @@ import scala.util.Random
   *    whole-valued and travels as BIGINT,
   *  - timestamps leave as epoch micros (unix_micros vs epoch_us) or
   *    extracted years — never as strings (fraction rendering differs),
+  *  - Spark's rollup/cube over an EMPTY (filtered-out) input yields
+  *    zero rows where DuckDB follows the standard and emits the
+  *    grand-total grouping-set row — the generator avoids the empty
+  *    case and the difference is documented at the shape,
   *  - window shapes are TIE-INSENSITIVE (rank/dense_rank/RANGE-frame
   *    aggregates) with NULLS FIRST rendered explicitly: the synthetic
   *    lineitem has duplicate (l_orderkey, l_linenumber) pairs, so no
@@ -302,7 +306,7 @@ class QueryFuzzSpec extends AnyFunSuite {
         (src0.df.filter(p.c), s" WHERE ${p.sql}")
       } else (src0.df, "")
 
-    r.nextInt(5) match {
+    r.nextInt(6) match {
       case 0 => // plain projection (sometimes DISTINCT)
         val exprs = Seq.fill(2 + r.nextInt(3))(anyProj(r, src0.cols))
         val named = exprs.zipWithIndex.map { case (e, i) =>
@@ -430,7 +434,7 @@ class QueryFuzzSpec extends AnyFunSuite {
           case _ => (a.except(b), s"$selA EXCEPT $selB")
         }
 
-      case _ => // global aggregate, no keys
+      case 4 => // global aggregate, no keys
         val ints = ofKind(src0.cols, 'i')
         val c1 = pick(r, ints); val c2 = pick(r, ints)
         val df = df1.agg(
@@ -442,6 +446,45 @@ class QueryFuzzSpec extends AnyFunSuite {
           s"SELECT count(*) AS cnt, CAST(sum(${c1.sql}) AS BIGINT) AS sm, " +
             s"count(DISTINCT ${c2.sql}) AS cntd, min(${c1.sql}) AS mn, " +
             s"max(${c2.sql}) AS mx FROM ${src0.from}$where")
+
+      case _ => // ROLLUP / CUBE with grouping() markers (grouping-set
+        // NULL keys vs genuine data NULLs are disambiguated by g0/g1
+        // on both sides, so null-rich keys stay hash-decidable)
+        val e0 = strProj(r, src0.cols)
+        val e1 = {
+          val c = pick(r, ofKind(src0.cols, 'i'))
+          val (k, m) = (2 + r.nextInt(5), r.nextInt(2))
+          Ex(nullif(c.c % k, lit(m)), s"NULLIF(${c.sql} % $k, $m)", 'i')
+        }
+        // Spark's rollup/cube over an EMPTY input yields ZERO rows,
+        // while DuckDB follows the SQL standard: the () grouping set
+        // contributes one grand-total row (cnt=0) even with no input
+        // (seed 119 caught this). A documented engine difference, not
+        // a bug in either generator side — fall back to the unfiltered
+        // source when the filter emptied the input.
+        val pre0 = df1.select(e0.c.as("c0"), e1.c.as("c1"))
+        val (pre, fromSql) =
+          if (pre0.isEmpty)
+            (src0.df.select(e0.c.as("c0"), e1.c.as("c1")),
+              s"FROM ${src0.from}")
+          else (pre0, s"FROM ${src0.from}$where")
+        val cube = r.nextBoolean()
+        val grouped =
+          if (cube) pre.cube(col("c0"), col("c1"))
+          else pre.rollup(col("c0"), col("c1"))
+        val v = pick(r, ofKind(src0.cols, 'i'))
+        val df = grouped.agg(
+          count(lit(1)).as("cnt"),
+          grouping(col("c0")).cast("long").as("g0"),
+          grouping(col("c1")).cast("long").as("g1"))
+        val kw = if (cube) "CUBE" else "ROLLUP"
+        (df,
+          s"SELECT c0, c1, count(*) AS cnt, " +
+            s"CAST(GROUPING(c0) AS BIGINT) AS g0, " +
+            s"CAST(GROUPING(c1) AS BIGINT) AS g1 " +
+            s"FROM (SELECT ${e0.sql} AS c0, ${e1.sql} AS c1 " +
+            s"$fromSql) " +
+            s"GROUP BY $kw(c0, c1)")
     }
   }
 
