@@ -90,6 +90,8 @@ object DumpPlans {
     "q_pagerank" -> "host-graph PageRank: edges/degrees built once and CACHED across iterations, each Lloyd-style step is one hash aggregate on dst + a broadcast one-row dangling-mass aggregate (integer fixed point, no driver collect per iteration) — the dumped plan is the final rank read; per-iteration plans are the cached-scan + agg shape",
     "q_fhir_encode_immunization" -> "typed FHIR encode round trip: to_json synthesis + from_json(JsonToStructs) + nested-field projection all in ONE codegen'd row-local projection over the scan — zero shuffles, zero UDFs; the 4-6 s bench cost is an honest 150k-row JSON parse under the full-R4 Immunization schema",
     "q_fhir_encode_foreign" -> "generic-backbone FHIR encode (unregistered type): same single-projection from_json shape plus a get_json_object retention probe — row-local, zero shuffles",
+    "q_fhir_encode_servicerequest" -> "tier-6 typed encode under the widest new schema (ServiceRequest: 38 top-level elements, 3 choice-type groups): still ONE codegen'd row-local projection — from_json breadth costs parse time, never a shuffle",
+    "q_fhir_encode_coverage" -> "tier-6 typed encode with Money decimals and 2-level class/costToBeneficiary backbones: single projection over the supplier scan, zero shuffles",
     "q_ingest_e2e" -> "end-to-end ingest: envelope pipeline (cast/from_json/explode/window dedup) feeds per-type MERGE upserts into ACID tables — per batch: one window shuffle on the resource URL + one key-overlap-pruned merge join per touched table; the dumped plan is the final table read-back through StatsFileIndex (zero FS listings)",
     "q_train_ingest_e2e" -> "training-corpus ingest: the same exactly-once envelope → typed-encode → MERGE path over the documents stream — per-batch cost is the window dedup shuffle + the key-pruned merge; read-back plans as a manifest-planned scan",
     "q_stream_outer_join" -> "stream-stream OUTER join: watermarked state-store join — per-batch work is state lookups + watermark eviction (the honest stateful-streaming fixed cost the bench tail documents); the dumped plan is the drained result read",
