@@ -37,11 +37,15 @@ class TableFuzzSpec extends SparkSpec {
     StructField("v", LongType),
     StructField("seg", StringType)))
 
-  private def df(rows: Seq[(Long, Long, String)]): DataFrame =
+  private def df(rows: Seq[(Long, Long, String)], segName: String)
+      : DataFrame =
     spark.createDataFrame(
       spark.sparkContext.parallelize(
         rows.map(r => Row(r._1, r._2, r._3)), math.max(1, 2)),
-      schema)
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("v", LongType),
+        StructField(segName, StringType))))
 
   test(s"$nSeqs seeded DML sequences match the model at every version") {
     (1 to nSeqs).foreach { seed =>
@@ -50,6 +54,7 @@ class TableFuzzSpec extends SparkSpec {
       val t = ResourceTable(spark, s"$dir/t.parquet")
         .createIfNotExists(schema)
       if (r.nextBoolean()) t.enableDeletionVectors()
+      t.enableColumnMapping() // rename ops require it (delta contract)
 
       val segs = Vector("A", "B", "C", "D")
       val model = mutable.Map.empty[Long, (Long, String)]
@@ -64,12 +69,13 @@ class TableFuzzSpec extends SparkSpec {
       def randKeys(n: Int): Seq[Long] =
         Seq.fill(n)(r.nextInt(150).toLong).distinct
 
+      var segName = "seg"
       (1 to stepsPerSeq).foreach { step =>
-        r.nextInt(10) match {
+        r.nextInt(12) match {
           case 0 | 1 => // keyed upsert: insert + overwrite mix
             val rows = randKeys(12 + r.nextInt(20))
               .map(k => (k, step.toLong, segs(r.nextInt(4))))
-            t.upsert(df(rows), "id")
+            t.upsert(df(rows, segName), "id")
             rows.foreach { case (k, v, s) => model(k) = (v, s) }
             snap()
           case 2 => // append of guaranteed-fresh keys (no dedup path)
@@ -77,20 +83,20 @@ class TableFuzzSpec extends SparkSpec {
               (fresh + i, step.toLong, segs(r.nextInt(4)))
             }
             fresh += 100
-            t.append(df(rows))
+            t.append(df(rows, segName))
             rows.foreach { case (k, v, s) => model(k) = (v, s) }
             snap()
           case 3 => // insert-if-absent: present keys must NOT change
             val rows = randKeys(10 + r.nextInt(15))
               .map(k => (k, 9000L + step, segs(r.nextInt(4))))
-            t.insertIfAbsent(df(rows), "id")
+            t.insertIfAbsent(df(rows, segName), "id")
             rows.foreach { case (k, v, s) =>
               if (!model.contains(k)) model(k) = (v, s)
             }
             snap()
           case 4 => // keyed delete — classic rewrite or DV route
             val ids = randKeys(8 + r.nextInt(12))
-            val idsDf = df(ids.map(k => (k, 0L, "X"))).select("id")
+            val idsDf = df(ids.map(k => (k, 0L, "X")), segName).select("id")
             if (r.nextBoolean() && t.latestVersion.get > 0)
               t.deleteMatchingDv(idsDf, "id")
             else t.deleteMatching(idsDf, "id")
@@ -103,7 +109,7 @@ class TableFuzzSpec extends SparkSpec {
             snap()
           case 6 => // predicate update (non-key columns)
             val sg = segs(r.nextInt(4))
-            t.updateWhere(col("seg") === sg,
+            t.updateWhere(col(segName) === sg,
               Map("v" -> (col("v") + 1000L)))
             model.mapValuesInPlace { case (_, (v, s)) =>
               if (s == sg) (v + 1000L, s) else (v, s)
@@ -119,7 +125,7 @@ class TableFuzzSpec extends SparkSpec {
             val sg = segs(r.nextInt(4))
             val rows = randKeys(5 + r.nextInt(8))
               .map(k => (k + 1000000L + step * 1000L, step.toLong, sg))
-            t.overwriteWhere(col("seg") === sg, df(rows))
+            t.overwriteWhere(col(segName) === sg, df(rows, segName))
             model.filterInPlace { case (_, (_, s)) => s != sg }
             rows.foreach { case (k, v, s) => model(k) = (v, s) }
             snap()
@@ -128,6 +134,24 @@ class TableFuzzSpec extends SparkSpec {
             t.restore(v)
             model.clear(); model ++= ms
             snap()
+          case 9 => // rename toggle: schema evolution mid-sequence.
+            // Column mapping aliases physical names to the CURRENT
+            // logical name on every read (incl. time travel), so the
+            // positional model checks below are rename-transparent —
+            // the op tests that DML/restore/time travel survive a
+            // rename, not the rename itself (ColumnMappingSpec does).
+            val next = if (segName == "seg") "segment" else "seg"
+            t.renameColumn(segName, next)
+            segName = next
+            snap()
+          case 10 => // CHECK constraint add/drop: every later write
+            // path must evaluate it (values here always satisfy it,
+            // so enforcement plumbing runs without refusals)
+            if (t.checkConstraints().contains("v_nonneg"))
+              t.dropCheckConstraint("v_nonneg")
+            else t.addCheckConstraint("v_nonneg", "v >= 0")
+            // constraint changes don't commit a data version in every
+            // path — no snap; current-state checks below still run
           case _ => // maintenance: logical no-ops for the model
             r.nextInt(3) match {
               case 0 => t.optimize(numFiles = 2)
