@@ -58,18 +58,23 @@ class TableFuzzSpec extends SparkSpec {
 
       val segs = Vector("A", "B", "C", "D")
       val model = mutable.Map.empty[Long, (Long, String)]
-      // version → model snapshot AT that commit (for time travel)
-      val snapshots = mutable.ArrayBuffer.empty[(Long, Map[Long, (Long, String)])]
+      // version → (model snapshot, live seg-column name) AT that
+      // commit: RESTORE reverts the SCHEMA too (Delta semantics — a
+      // rename is undone by restoring past it; the 100-seed campaign
+      // caught the harness assuming otherwise), so the column name is
+      // part of the restorable state.
+      val snapshots = mutable.ArrayBuffer
+        .empty[(Long, Map[Long, (Long, String)], String)]
       var fresh = 10000L // disjoint key range for append (append path has no dedup)
+      var segName = "seg"
 
       def snap(): Unit =
-        snapshots += ((t.latestVersion.get, model.toMap))
+        snapshots += ((t.latestVersion.get, model.toMap, segName))
       snap() // v0: empty table
 
       def randKeys(n: Int): Seq[Long] =
         Seq.fill(n)(r.nextInt(150).toLong).distinct
 
-      var segName = "seg"
       (1 to stepsPerSeq).foreach { step =>
         r.nextInt(12) match {
           case 0 | 1 => // keyed upsert: insert + overwrite mix
@@ -129,10 +134,12 @@ class TableFuzzSpec extends SparkSpec {
             model.filterInPlace { case (_, (_, s)) => s != sg }
             rows.foreach { case (k, v, s) => model(k) = (v, s) }
             snap()
-          case 8 => // restore to a random earlier version
-            val (v, ms) = snapshots(r.nextInt(snapshots.size))
+          case 8 => // restore to a random earlier version — content AND
+            // schema (a rename restored past reverts the column name)
+            val (v, ms, sn) = snapshots(r.nextInt(snapshots.size))
             t.restore(v)
             model.clear(); model ++= ms
+            segName = sn
             snap()
           case 9 => // rename toggle: schema evolution mid-sequence.
             // Column mapping aliases physical names to the CURRENT
@@ -184,7 +191,7 @@ class TableFuzzSpec extends SparkSpec {
       assert((0L to head).forall(t.versionExists),
         s"seed $seed: commit chain has gaps")
       // time travel: every recorded version replays to its snapshot
-      snapshots.foreach { case (v, ms) =>
+      snapshots.foreach { case (v, ms, _) =>
         val got = t.readVersion(v).collect()
           .map(row => row.getLong(0) -> (row.getLong(1), row.getString(2)))
           .toMap
