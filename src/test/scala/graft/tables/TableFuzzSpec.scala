@@ -190,6 +190,36 @@ class TableFuzzSpec extends SparkSpec {
       val head = t.latestVersion.get
       assert((0L to head).forall(t.versionExists),
         s"seed $seed: commit chain has gaps")
+      // CDF algebraic completeness: for random recorded version pairs,
+      // the keyed change feed must equal the model diff between the
+      // two snapshots exactly — inserts/deletes plus pre/post image
+      // PAIRS for changed keys (the q_incremental_agg contract, here
+      // across arbitrary DML/schema-op/restore compositions)
+      (1 to 3).foreach { _ =>
+        val i = r.nextInt(snapshots.size)
+        val j = r.nextInt(snapshots.size)
+        val ((v1, m1, _), (v2, m2, _)) =
+          if (snapshots(i)._1 <= snapshots(j)._1) (snapshots(i), snapshots(j))
+          else (snapshots(j), snapshots(i))
+        val expected = (m1.keySet ++ m2.keySet).toSeq.flatMap { k =>
+          (m1.get(k), m2.get(k)) match {
+            case (None, Some((v, s))) => Seq((k, v, s, "insert"))
+            case (Some((v, s)), None) => Seq((k, v, s, "delete"))
+            case (Some(a), Some(b)) if a != b =>
+              Seq((k, a._1, a._2, "update_preimage"),
+                (k, b._1, b._2, "update_postimage"))
+            case _ => Seq.empty
+          }
+        }.toSet
+        val got = t.changes(v1, v2, "id").collect().map { row =>
+          (row.getLong(0), row.getLong(1), row.getString(2),
+            row.getString(3))
+        }.toSet
+        assert(got == expected,
+          s"seed $seed: changes($v1, $v2) diverged from the model diff " +
+            s"(got ${got.size} events, want ${expected.size})")
+      }
+
       // time travel: every recorded version replays to its snapshot
       snapshots.foreach { case (v, ms, _) =>
         val got = t.readVersion(v).collect()
