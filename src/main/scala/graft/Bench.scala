@@ -7,7 +7,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query is materialized through the `noop` sink — a full
   * evaluation of every output column (a bare `count()` would let
-  * Catalyst drop projections and understate the real work).
+  * Catalyst drop projections and understate the real work) — and run
+  * SPARK_GRAFT_REPS (default 3) times; the recorded number is the
+  * per-query MEDIAN, so one ambient stall on the shared host cannot
+  * fabricate a regression on untouched code. "value" is the sum of
+  * medians — the same one-run-per-query unit as earlier rounds.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -93,33 +97,75 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // UNTIMED hygiene between queries: the stream/table gate queries
-      // cache their materialized outputs and never unpersist (the
-      // fixture caches are per-query perf aids, not cross-query state),
-      // so a 120+-query run otherwise accumulates storage memory and
-      // late queries measure their neighbors' GC pressure.
-      try spark.catalog.clearCache() catch { case _: Throwable => () }
-      // ...and collect the garbage the unpersist just unreferenced:
-      // otherwise the NEXT allocation-heavy query pays this query's
-      // collection debt, and a floating multi-second outlier wanders
-      // through the suite (observed q_lang_id 0.8 s -> 9 s with the
-      // same code, purely by alphabetical neighborhood)
-      System.gc()
-      name -> elapsed
+    // NOISE-ROBUST protocol (VERDICT r17 #1): single-timing on a shared
+    // host recorded 2x swings on byte-identical code three rounds
+    // running (q_funnel_incremental 5.6->12.5 s with an untouched
+    // Curation.scala). Each query now runs `reps` times back-to-back
+    // and the official number is the per-query MEDIAN — one ambient
+    // stall (neighbor VM, page-cache eviction, CPU steal) can poison
+    // at most one rep, and the median discards it. Host load average
+    // before/after rides along in the JSON line so a loaded window is
+    // visible in the artifact itself instead of needing a forensic
+    // BASELINE.md note the round after.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
+    def loadavg(): Double =
+      try {
+        val s = java.nio.file.Files
+          .readString(java.nio.file.Paths.get("/proc/loadavg"))
+        s.split(" ")(0).toDouble
+      } catch { case _: Throwable => -1.0 }
+    val load0 = loadavg()
+    val repDetail: Seq[(String, Seq[Double])] = selected.map {
+      case (name, fn) =>
+        var failed = false
+        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var r = 0
+        while (r < reps && !failed) {
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            // a failing query is re-reported, not re-run: reps exist to
+            // defeat timing noise, and an exception's time is not a
+            // timing — one rep records the failure honestly
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            failed = true
+          }
+          times += (System.nanoTime() - t0) / 1e9
+          // UNTIMED hygiene between runs: the stream/table gate queries
+          // cache their materialized outputs and never unpersist (the
+          // fixture caches are per-query perf aids, not cross-query
+          // state), so a 226x3-run otherwise accumulates storage memory
+          // and late queries measure their neighbors' GC pressure.
+          try spark.catalog.clearCache() catch { case _: Throwable => () }
+          // ...and collect the garbage the unpersist just unreferenced:
+          // otherwise the NEXT allocation-heavy run pays this run's
+          // collection debt, and a floating multi-second outlier wanders
+          // through the suite (observed q_lang_id 0.8 s -> 9 s with the
+          // same code, purely by alphabetical neighborhood)
+          System.gc()
+          r += 1
+        }
+        name -> times.toSeq
     }
-    val out = renderLine(results, sfDir)
+    val results = repDetail.map { case (n, ts) => n -> median(ts) }
+    val load1 = loadavg()
+    val out = renderLine(results, sfDir, reps = reps, load = (load0, load1))
     // The stdout line is budget-trimmed; the FULL per-query map goes to
     // a repo-local file for anyone auditing individual query times.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"),
-      renderLine(results, sfDir, budget = Int.MaxValue) + "\n")
+      renderLine(results, sfDir, budget = Int.MaxValue,
+        reps = reps, load = (load0, load1)) + "\n")
+    catch { case _: Throwable => () }
+    // Per-rep raw timings for noise forensics: if a median still moves
+    // round-over-round, this file shows whether the reps agree (a code
+    // change) or one rep is a wild outlier (ambient).
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_REPS.json"),
+      repDetail.map { case (n, ts) =>
+        "\"" + n + "\":[" + ts.map(t => BigDecimal(t)
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP)).mkString(",") + "]"
+      }.mkString("{", ",", "}") + "\n")
     catch { case _: Throwable => () }
     // UNTIMED estimator-quality lines (measured error vs exact on the
     // bench SF): printed before the headline line — they scroll out of
@@ -155,15 +201,22 @@ object Bench {
     * Exposed for the guard spec: the suite fails if a future query-set
     * size could ever push the line past the driver's window again.
     */
+  private[graft] def median(ts: Seq[Double]): Double =
+    if (ts.isEmpty) 0.0 else ts.sorted.apply((ts.size - 1) / 2)
+
   private[graft] def renderLine(results: Seq[(String, Double)],
-                                sfDir: String, budget: Int = 1700): String = {
+                                sfDir: String, budget: Int = 1700,
+                                reps: Int = 1,
+                                load: (Double, Double) = (-1.0, -1.0)): String = {
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def fmt1(v: Double): String = BigDecimal(v)
+      .setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).sum
     def line(qs: Seq[(String, Double)]): String = {
       val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"queries":$m,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"reps":$reps,"load":[${fmt1(load._1)},${fmt1(load._2)}],"queries":$m,"sf":"$sfDir"}"""
     }
     var keep = results.size
     val bySlow = results.sortBy(-_._2)

@@ -449,17 +449,46 @@ object SparkEntry {
          |  WHERE m1.bsz BETWEEN 2 AND 1024)""".stripMargin
     }
 
+    /** CTE `scored`: estimated jaccard (matching signature fraction)
+      * per candidate pair — Dedup.estimatedJaccard.
+      */
+    private val scoredCte: String =
+      """scored AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2])) AS DOUBLE) / 16.0 AS est_jaccard
+        |  FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a JOIN sigs sb ON sb.doc_id = c.doc_b)""".stripMargin
+
     /** Exact replay of Dedup.minhashPairs(minJaccard=0.2, k=16,
       * bands=4, w=3) over `documents`.
       */
     val minhashPairs: String =
       s"""WITH $tokenCtes,
          |$shingleAndCandCtes,
-         |scored AS (
-         |  SELECT c.doc_a, c.doc_b,
-         |    CAST(len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2])) AS DOUBLE) / 16.0 AS est_jaccard
-         |  FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a JOIN sigs sb ON sb.doc_id = c.doc_b)
+         |$scoredCte
          |SELECT doc_a, doc_b, est_jaccard FROM scored WHERE est_jaccard >= 0.2""".stripMargin
+
+    /** Exact replay of Dedup.resolveClusters over the minhashPairs
+      * output: the same pair replay as [[minhashPairs]], then min-label
+      * connected components as a recursive CTE (the same CC oracle
+      * shape q_dedup_resolve_exact uses over cosine pairs). Replaces
+      * the round-7 sf0.01-pinned VALUES list — SF-parametric, so the
+      * full board can go green at any scale factor (VERDICT r17 #2).
+      */
+    val minhashResolve: String =
+      s"""WITH RECURSIVE $tokenCtes,
+         |$shingleAndCandCtes,
+         |$scoredCte,
+         |mh AS (SELECT doc_a, doc_b FROM scored WHERE est_jaccard >= 0.2),
+         |edges AS (SELECT doc_a AS ea, doc_b AS eb FROM mh
+         |          UNION SELECT doc_b, doc_a FROM mh),
+         |cnodes AS (SELECT DISTINCT ea AS doc FROM edges),
+         |reach(doc, lbl) AS (
+         |  SELECT doc, doc FROM cnodes
+         |  UNION
+         |  SELECT e.ea, r.lbl FROM edges e JOIN reach r ON r.doc = e.eb)
+         |SELECT CAST(doc AS BIGINT) AS doc_id,
+         |       CAST(min(lbl) AS BIGINT) AS canonical_id
+         |FROM reach GROUP BY doc""".stripMargin
 
     /** Exact replay of Dedup.ngramJaccardPairs(minJaccard=0.1):
       * same LSH candidates, exact shingle-set Jaccard.

@@ -34,7 +34,9 @@ private[graft] object LlmGates {
     }),
 
 
-    // ---- dedup cluster resolution over near-dup pairs (no oracle) ----
+    // ---- dedup cluster resolution over minhash near-dup pairs,
+    //      exact-oracled end-to-end (splitmix pair replay + recursive
+    //      CC CTE) at any SF ----
     "q_dedup_resolve" -> ((s, dir) =>
       Dedup.resolveClusters(
         Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -1947,31 +1949,14 @@ private[graft] object LlmGates {
         |GROUP BY label, pos""".stripMargin,
 
 
-    // PINNED-EXPECTATION oracle (judge-sanctioned, VERDICT r7 #2): the
-    // minhash pair producer is xxhash64-based, which DuckDB cannot
-    // recompute, but its output is fully deterministic (fixed seeds,
-    // deterministic shingles — the same bit-stability the four
-    // rows-only xxhash64 queries rely on), so the sf0.01 clustering is
-    // pinned inline. The clustering ALGORITHM itself is independently
-    // oracled against a DuckDB recursive CTE by q_dedup_resolve_exact.
-    // NOTE: being sf0.01-pinned, this is the ONE gate whose oracle is
-    // wrong at any other scale factor (the r17 sf0.1 sweep records it
-    // as the expected 225/226 holdout in BASELINE.md — Spark's 477-row
-    // sf0.1 clustering is correct; this 47-row VALUES list is sf0.01's).
-    "q_dedup_resolve" ->
-      ("""SELECT CAST(c0 AS BIGINT) AS doc_id,
-        |  CAST(c1 AS BIGINT) AS canonical_id
-        |FROM (VALUES """.stripMargin +
-        "(8, 8), (26, 26), (31, 31), (44, 44), (45, 45), (58, 58), " +
-        "(61, 61), (70, 70), (72, 72), (87, 87), (92, 92), (98, 98), " +
-        "(107, 107), (120, 120), (134, 87), (152, 152), (166, 166), " +
-        "(178, 152), (185, 61), (245, 8), (267, 45), (285, 285), " +
-        "(290, 98), (293, 58), (295, 295), (301, 285), (310, 310), " +
-        "(323, 166), (326, 326), (332, 120), (374, 295), (377, 72), " +
-        "(383, 31), (387, 107), (389, 310), (393, 393), (413, 45), " +
-        "(420, 393), (435, 435), (446, 44), (447, 70), (450, 92), " +
-        "(455, 26), (457, 326), (458, 458), (462, 458), (486, 435)" +
-        ") t(c0, c1)"),
+    // SF-PARAMETRIC oracle (VERDICT r17 #2, replacing the round-7
+    // sf0.01-pinned VALUES list): the full splitmix minhash pair
+    // replay (the q_dedup_minhash oracle) feeding the same recursive
+    // min-label connected-components CTE q_dedup_resolve_exact uses —
+    // DuckDB now recomputes BOTH the pair producer and the clustering
+    // at any scale factor, so the board can go 226/226 at sf0.01 AND
+    // sf0.1.
+    "q_dedup_resolve" -> SplitmixOracle.minhashResolve,
 
 
     // connected components (min reachable id) over the exact cosine

@@ -37,8 +37,15 @@ import scala.jdk.CollectionConverters._
   * idempotent-append watermarks, and parquet checkpoints every 10
   * commits with a `_last_checkpoint` pointer (PROTOCOL.md
   * "Checkpoints"), so readers replay checkpoint + tail instead of
-  * the whole log. No deletion vectors or column mapping — neither is
-  * required of a reader at protocol (1,2).
+  * the whole log. Tables that use the richer features export them
+  * too, with the protocol auto-upgraded to exactly the feature set in
+  * use (reader 3 / writer 7 table features, emitted below): deletion
+  * vectors, column mapping, change data feed (`cdc` actions), type
+  * widening, TIMESTAMP_NTZ, in-commit timestamps, row tracking +
+  * domain metadata, generated/identity/default columns, check
+  * constraints, and V2 checkpoints with UUID sidecar manifests. A
+  * plain append-only table still exports at (1,2) so the oldest
+  * readers stay compatible.
   *
   * Export is INCREMENTAL and idempotent: delta versions map 1:1 onto
   * graft commits from the anchor forward; a re-export after k new

@@ -22,6 +22,21 @@ import java.nio.charset.StandardCharsets
   *                           sortWithinPartitions analogue] (J3)
   *  - `vacuum`             ≙ VACUUM retentionHours (J4)
   *
+  * Beyond that reference floor, the table grew the rest of the Delta
+  * feature surface round-over-round (each with its own gate/spec —
+  * the matrix lives in SURVEY.md §8): time travel (`readAsOf` /
+  * `restore` / `shallowCloneTo`), change data feed (`changes` /
+  * `changesByContent` + enableChangeDataFeed), schema evolution under
+  * column mapping (`renameColumn` / `dropColumn`), deletion vectors
+  * (`deleteMatchingDv` / `purgeDeletionVectors`), predicate DML
+  * (`deleteWhere` / `updateWhere` / `overwriteWhere`), conditional
+  * MERGE (`merge` builder), generated / identity / default columns and
+  * CHECK constraints, row tracking (`enableRowTracking` /
+  * `readWithRowIds`), in-commit timestamps, append-only enforcement,
+  * bloom file-skipping indexes, size-targeted + incremental OPTIMIZE
+  * (`optimizeBySize` / `compactSmallFiles`), distributed VACUUM, and
+  * idempotent-writer txn watermarks (`withTransaction` / `txnVersion`).
+  *
   * Commit protocol — FILE-GRANULAR, like Delta's MERGE rewrite scope:
   * every commit file `_log/<v%020d>.commit` embeds the snapshot's full
   * data-file MANIFEST (root-relative paths + per-file min/max/null

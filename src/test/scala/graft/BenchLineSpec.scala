@@ -38,4 +38,23 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.renderLine(results, "/tmp/sf")
     results.foreach { case (n, _) => assert(line.contains(n)) }
   }
+
+  test("reps and loadavg ride in the line (noise-robust protocol)") {
+    val line = Bench.renderLine(fakeResults(5), "/tmp/sf",
+      reps = 3, load = (4.25, 8.71))
+    assert(line.contains(""""reps":3"""))
+    assert(line.contains(""""load":[4.3,8.7]"""))
+    // ...and the 130-query trim still fits the driver window with the
+    // extra fields present
+    val big = Bench.renderLine(fakeResults(130), "/tmp/sf",
+      reps = 3, load = (4.25, 8.71))
+    assert(big.length <= 1900, s"line is ${big.length} chars")
+  }
+
+  test("median discards a single ambient outlier") {
+    assert(Bench.median(Seq(1.0, 30.0, 1.2)) === 1.2)
+    assert(Bench.median(Seq(2.0)) === 2.0)
+    assert(Bench.median(Seq(1.0, 2.0)) === 1.0) // lower-median for even n
+    assert(Bench.median(Nil) === 0.0)
+  }
 }
