@@ -49,7 +49,7 @@ object ScaleBench {
     "q_delta_export", "x_decontaminate_ivf", "x_fuzzy_split",
     "x_delete_rewrite", "x_delete_dv", "x_cdf_export",
     "x_url_dedup", "x_upsert_overlap", "x_insert_absent", "x_dv_purge",
-    "q_substring_dedup", "q_lm_score", "q_bpe_train",
+    "q_substring_dedup", "q_lm_score", "q_bpe_train", "q_tokenize_ids",
     "q_rp_topk", "q_allpairs_sim", "x_shallow_clone", "q_pq_encode",
     "x_rename_column", "x_bloom_lookup", "x_bloom_lookup_off",
     "x_occ_rebase", "x_occ_rerun", "x_dfp_join", "x_dfp_join_off",

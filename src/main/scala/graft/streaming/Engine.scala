@@ -20,7 +20,7 @@ final case class KafkaSslSettings(
   * (bzkf/fhir-to-lakehouse src/settings.py), same defaults.
   */
 final case class Settings(
-    kafkaBootstrapServers: String = "localhost:9092",
+    kafkaBootstrapServers: String = "localhost:9094", // settings.py:21
     kafkaTopics: Seq[String] = Seq("fhir.msg"),
     maxOffsetsPerTrigger: Long = 10000L,     // settings.py:23
     minOffsetsPerTrigger: Long = 1L,         // settings.py:24
@@ -307,16 +307,36 @@ object Engine {
     typed :+ default
   }
 
-  /** Convenience: full engine from a live Kafka source (requires the
-    * spark-sql-kafka connector jar at runtime).
+  /** True when the spark-sql-kafka connector is resolvable on this
+    * classpath (DataSource registration probe — the same lookup
+    * `format("kafka")` performs). KafkaActivationSpec keys off this so
+    * the live-Kafka path activates automatically the day the jar
+    * appears, instead of bit-rotting silently.
     */
-  def startFromKafka(spark: SparkSession, settings: Settings,
-                     metrics: BatchMetrics = BatchMetrics.noop): Seq[StreamingQuery] = {
-    val src = kafkaOptions(settings)
+  def kafkaConnectorAvailable(spark: SparkSession): Boolean =
+    try {
+      org.apache.spark.sql.execution.datasources.DataSource
+        .lookupDataSource("kafka", spark.sessionState.conf)
+      true
+    } catch { case _: Throwable => false }
+
+  /** The live Kafka wire DataFrame exactly as the engine consumes it
+    * (reference main.py:125–153): `format("kafka")` + [[kafkaOptions]].
+    * Building the unresolved plan needs only the connector jar — no
+    * broker contact until the stream starts — so conformance tests can
+    * assert the full option surface and wire schema offline.
+    */
+  def kafkaSource(spark: SparkSession, settings: Settings): DataFrame =
+    kafkaOptions(settings)
       .foldLeft(spark.readStream.format("kafka")) {
         case (r, (k, v)) => r.option(k, v)
       }
       .load()
-    start(src, settings, metrics)
-  }
+
+  /** Convenience: full engine from a live Kafka source (requires the
+    * spark-sql-kafka connector jar at runtime).
+    */
+  def startFromKafka(spark: SparkSession, settings: Settings,
+                     metrics: BatchMetrics = BatchMetrics.noop): Seq[StreamingQuery] =
+    start(kafkaSource(spark, settings), settings, metrics)
 }

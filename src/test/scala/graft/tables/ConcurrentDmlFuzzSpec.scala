@@ -1,0 +1,268 @@
+package graft.tables
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.util.Random
+
+/** Model-based CONCURRENT DML fuzzing (round-17 verdict item 4):
+  * TableFuzzSpec proves arbitrary single-threaded verb interleavings;
+  * OccRebaseSpec proves ten hand-enumerated two-writer races. This
+  * randomizes the race matrix: per seed, 2–3 writer threads each run
+  * a seeded sequence of keyed/predicate DML (upsert, append,
+  * insertIfAbsent, deleteMatching classic + DV, deleteWhere,
+  * updateWhere) against ONE table — genuinely concurrently, through
+  * the real OCC retry/rebase path, over deliberately OVERLAPPING key
+  * ranges — and the checker reconstructs what serializable execution
+  * must have produced:
+  *
+  *  - linear history: versions 0..head all exist, exactly one winner
+  *    per version;
+  *  - LINEARIZATION: there exists an interleaving of the threads'
+  *    op sequences (each thread's order preserved — ops in a thread
+  *    commit in program order) such that replaying the pure model of
+  *    each op reproduces EVERY committed version's time-travel
+  *    snapshot exactly. Found by backtracking over ≤3 candidates per
+  *    version; a version no candidate op explains = a torn/merged/
+  *    lost commit;
+  *  - final-state equality: the surviving interleaving's model equals
+  *    the live read AND statsCount.
+  *
+  * An op that loses an election and REBASES must still land as ITS
+  * OWN version with exactly its logical effect — that is what the
+  * per-version snapshot match asserts; a rebase that leaked or
+  * dropped rival rows cannot match any candidate and fails the seed.
+  *
+  * CI runs SPARK_GRAFT_CDMLFUZZ_N seeds (default 8); the recorded
+  * 50-seed campaign lives in BASELINE.md.
+  */
+class ConcurrentDmlFuzzSpec extends SparkSpec {
+  import graft.SparkSpec._
+
+  private val nSeqs =
+    sys.env.get("SPARK_GRAFT_CDMLFUZZ_N").map(_.toInt).getOrElse(8)
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("v", LongType),
+    StructField("seg", StringType)))
+
+  private type Model = Map[Long, (Long, String)]
+
+  // ------------------------------------------------------ op model
+
+  private sealed trait Op {
+    def apply(m: Model): Model
+    def desc: String
+  }
+  private final case class Upsert(rows: Seq[(Long, Long, String)])
+      extends Op {
+    def apply(m: Model): Model = m ++ rows.map(r => r._1 -> (r._2, r._3))
+    def desc = s"upsert(${rows.map(_._1).mkString(",")})"
+  }
+  private final case class InsertAbsent(rows: Seq[(Long, Long, String)])
+      extends Op {
+    def apply(m: Model): Model =
+      m ++ rows.filterNot(r => m.contains(r._1))
+        .map(r => r._1 -> (r._2, r._3))
+    def desc = s"insertIfAbsent(${rows.map(_._1).mkString(",")})"
+  }
+  private final case class Append(rows: Seq[(Long, Long, String)])
+      extends Op {
+    def apply(m: Model): Model = m ++ rows.map(r => r._1 -> (r._2, r._3))
+    def desc = s"append(${rows.map(_._1).mkString(",")})"
+  }
+  private final case class DeleteKeys(ids: Seq[Long], dv: Boolean)
+      extends Op {
+    def apply(m: Model): Model = m -- ids
+    def desc = s"delete${if (dv) "Dv" else ""}(${ids.mkString(",")})"
+  }
+  private final case class DeleteWhere(mod: Long, rem: Long) extends Op {
+    def apply(m: Model): Model =
+      m.filterNot { case (_, (v, _)) => v % mod == rem }
+    def desc = s"deleteWhere(v%$mod=$rem)"
+  }
+  private final case class UpdateWhere(sg: String, delta: Long)
+      extends Op {
+    def apply(m: Model): Model = m.map { case (k, (v, s)) =>
+      if (s == sg) k -> (v + delta, s) else k -> (v, s)
+    }
+    def desc = s"updateWhere(seg=$sg,+$delta)"
+  }
+
+  private def run(t: ResourceTable, op: Op): Unit = op match {
+    case Upsert(rows) => t.upsert(df(rows), "id")
+    case InsertAbsent(rows) => t.insertIfAbsent(df(rows), "id")
+    case Append(rows) => t.append(df(rows))
+    case DeleteKeys(ids, dv) =>
+      val idsDf = df(ids.map(k => (k, 0L, "X"))).select("id")
+      if (dv) t.deleteMatchingDv(idsDf, "id") else t.deleteMatching(idsDf, "id")
+    case DeleteWhere(mod, rem) => t.deleteWhere(col("v") % mod === rem)
+    case UpdateWhere(sg, delta) =>
+      t.updateWhere(col("seg") === sg, Map("v" -> (col("v") + delta)))
+  }
+
+  private def df(rows: Seq[(Long, Long, String)]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map(r => Row(r._1, r._2, r._3)), 2), schema)
+
+  // -------------------------------------------------- op generator
+
+  private val segs = Vector("A", "B", "C", "D")
+
+  /** Seeded op list for one thread. `opIdBase` keeps written v values
+    * globally unique per op, so every write is its own linearization
+    * witness (two candidate ops can never produce identical inserted
+    * rows).
+    */
+  private def genOps(r: Random, threadId: Int, nOps: Int,
+                     opIdBase: Long): List[Op] =
+    (0 until nOps).map { i =>
+      val opId = opIdBase + i
+      def sharedKeys(n: Int): Seq[Long] =
+        Seq.fill(n)(r.nextInt(60).toLong).distinct
+      r.nextInt(10) match {
+        case 0 | 1 | 2 => // overlapping keyed upsert — the contended verb
+          Upsert(sharedKeys(6 + r.nextInt(8))
+            .map(k => (k, opId * 1000L, segs(r.nextInt(4)))))
+        case 3 => // disjoint fresh append (per-thread key range)
+          Append((0 until 4 + r.nextInt(5)).map(j =>
+            (threadId * 1000000L + opId * 100L + j, opId * 1000L,
+              segs(r.nextInt(4)))))
+        case 4 => InsertAbsent(sharedKeys(5 + r.nextInt(8))
+          .map(k => (k, opId * 1000L, segs(r.nextInt(4)))))
+        case 5 | 6 => DeleteKeys(sharedKeys(4 + r.nextInt(6)),
+          dv = r.nextBoolean())
+        case 7 => DeleteWhere(2 + r.nextInt(4), r.nextInt(2))
+        case _ => UpdateWhere(segs(r.nextInt(4)), 1000000L + opId)
+      }
+    }.toList
+
+  // ---------------------------------------------- linearization
+
+  /** Backtracking search for an interleaving (thread order preserved)
+    * whose pure-model replay reproduces every version snapshot.
+    * Returns the op order found, or None.
+    */
+  private def linearize(model: Model, snaps: Vector[Model],
+                        pending: Vector[List[Op]]): Option[List[(Int, Op)]] = {
+    if (snaps.isEmpty) {
+      if (pending.forall(_.isEmpty)) Some(Nil) else None
+    } else {
+      val target = snaps.head
+      pending.indices.iterator.flatMap { i =>
+        pending(i) match {
+          case op :: rest =>
+            val m2 = op(model)
+            if (m2 == target)
+              linearize(m2, snaps.tail, pending.updated(i, rest))
+                .map((i, op) :: _)
+            else None
+          case Nil => None
+        }
+      }.nextOption()
+    }
+  }
+
+  /** Rebase witness (same as OccRebaseSpec): a snapshot dir is minted
+    * as `snap-<plannedVersion>-<uuid>` BEFORE the commit election, so
+    * a version whose dir prefix is LOWER than itself lost at least one
+    * election and re-anchored. Counts only rebases (re-runs re-mint at
+    * the new version and look uncontended) — a lower bound on races.
+    */
+  private def rebasedVersions(t: ResourceTable, from: Long, to: Long): Int =
+    (from to to).count { v =>
+      """"dir":"snap-(\d+)-""".r.findFirstMatchIn(t.commitBody(v))
+        .exists(_.group(1).toLong < v)
+    }
+
+  test(s"$nSeqs seeded concurrent multi-writer DML races linearize " +
+      "and match the model") {
+    var totalRebases = 0
+    (1 to nSeqs).foreach { seed =>
+      val r = new Random(seed)
+      val dir = tmpDir(s"cdmlfuzz_$seed")
+      val path = s"$dir/t.parquet"
+      val t0 = ResourceTable(spark, path).createIfNotExists(schema)
+      if (r.nextBoolean()) t0.enableDeletionVectors()
+      // seed rows so predicate/DV verbs have content from step one
+      val seedRows = (0L until 40L).map(k =>
+        (k, k % 7, segs((k % 4).toInt)))
+      t0.upsert(df(seedRows), "id")
+      val base: Model = seedRows.map(x => x._1 -> (x._2, x._3)).toMap
+      val baseVersion = t0.latestVersion.get
+
+      val nThreads = 2 + r.nextInt(2)
+      val opLists = (0 until nThreads).map(i =>
+        genOps(r, i, 3 + r.nextInt(2), seed * 100L + i * 25L)).toVector
+
+      val failures =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = opLists.zipWithIndex.map { case (ops, i) =>
+        new Thread(() => {
+          try {
+            val t = ResourceTable(spark, path)
+            ops.foreach(op => run(t, op))
+          } catch { case e: Throwable => failures.add(e) }
+        }, s"cdml-$seed-$i")
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(300000))
+      assert(failures.isEmpty,
+        s"seed $seed: writer failed: ${Option(failures.peek()).map(_.toString)}")
+
+      val t = ResourceTable(spark, path)
+      val head = t.latestVersion.get
+      // linear history: no gaps, no forks
+      assert((0L to head).forall(t.versionExists),
+        s"seed $seed: commit chain has gaps (head=$head)")
+      val nOps = opLists.map(_.size).sum
+      assert(head == baseVersion + nOps,
+        s"seed $seed: ${nOps} ops committed ${head - baseVersion} " +
+          "versions — lost or duplicated commit")
+
+      def snapAt(v: Long): Model =
+        t.readVersion(v).collect()
+          .map(row => row.getLong(0) -> (row.getLong(1), row.getString(2)))
+          .toMap
+      val snaps = ((baseVersion + 1) to head).map(snapAt).toVector
+
+      val order = linearize(base, snaps, opLists)
+      assert(order.isDefined,
+        s"seed $seed: NO interleaving of the ${nThreads} threads' ops " +
+          s"explains the committed versions — serializability violated.\n" +
+          opLists.zipWithIndex.map { case (ops, i) =>
+            s"  thread $i: ${ops.map(_.desc).mkString(" ; ")}"
+          }.mkString("\n"))
+
+      // final state: live read + manifest stats equal the linearized model
+      val finalModel = order.get.foldLeft(base) { case (m, (_, op)) => op(m) }
+      val got = t.read().collect()
+        .map(row => row.getLong(0) -> (row.getLong(1), row.getString(2)))
+        .toMap
+      assert(got == finalModel,
+        s"seed $seed: final snapshot diverged from linearized replay " +
+          s"(got ${got.size} rows, want ${finalModel.size})")
+      assert(t.statsCount() == finalModel.size.toLong,
+        s"seed $seed: statsCount != linearized model size")
+
+      val rebases = rebasedVersions(t, baseVersion + 1, head)
+      totalRebases += rebases
+      System.err.println(s"[cdmlfuzz] seed $seed: $nThreads threads, " +
+        s"$nOps ops, $rebases rebased commits")
+    }
+    // campaign-sized runs must have provoked REAL contention — an
+    // all-quiet matrix would vacuously pass. CI-sized runs (few
+    // seeds) stay flake-free by only reporting.
+    if (nSeqs >= 20)
+      assert(totalRebases > 0,
+        s"$nSeqs-seed campaign saw zero rebased commits — " +
+          "writers never actually raced; check thread interleaving")
+    System.err.println(
+      s"[cdmlfuzz] campaign total: $totalRebases rebased commits " +
+        s"across $nSeqs seeds")
+  }
+}
