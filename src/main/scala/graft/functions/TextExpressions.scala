@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -278,7 +278,62 @@ object TextExpressions {
       copy(child = c)
   }
 
+  /** One greedy left-to-right non-overlapping BPE merge pass: every
+    * adjacent (w1, w2) symbol pair becomes the concatenated symbol; a
+    * consumed position cannot open the next match (Sennrich
+    * semantics — (a,a) over "aaa" merges positions 1–2 and leaves the
+    * 3rd). Single O(n) pass with a flat output buffer.
+    *
+    * Exists because the same fold phrased as `functions.aggregate`
+    * with an array accumulator is O(n²) AND interpreted
+    * (ArrayAggregate has no codegen; every array_append copies the
+    * accumulator row) — measured: the 100× scaled corpus, whose pad
+    * words reach ~5,200 chars, drove one merge round from seconds to
+    * tens of minutes. Real corpora contain such tokens (base64 blobs,
+    * DNA strings, minified JS), so the tokenizer hot path must be
+    * linear in word length, not quadratic.
+    */
+  def bpeMergeEval(syms: ArrayData, w1: UTF8String,
+                   w2: UTF8String): ArrayData = {
+    val n = syms.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](n)
+    val merged = UTF8String.concat(w1, w2)
+    var i = 0
+    while (i < n) {
+      val s = if (syms.isNullAt(i)) null else syms.getUTF8String(i)
+      if (s != null && i + 1 < n && s.equals(w1) && !syms.isNullAt(i + 1)
+          && syms.getUTF8String(i + 1).equals(w2)) {
+        out += merged
+        i += 2
+      } else {
+        out += s
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  case class BpeMergeFold(first: Expression, second: Expression,
+                          third: Expression) extends TernaryExpression {
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = true)
+    override def nullSafeEval(s: Any, a: Any, b: Any): Any =
+      bpeMergeEval(s.asInstanceOf[ArrayData],
+        a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (s, a, b) =>
+        s"${ev.value} = graft.functions.TextExpressions.bpeMergeEval($s, $a, $b);")
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+  }
+
   // ----- Column API -----
+  def bpe_merge(syms: Column, w1: Column, w2: Column): Column =
+    ColumnBridge.column(BpeMergeFold(ColumnBridge.expression(syms),
+      ColumnBridge.expression(w1), ColumnBridge.expression(w2)))
+
   def shingle_hashes(text: Column, w: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), w))
 

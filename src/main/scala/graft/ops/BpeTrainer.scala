@@ -48,31 +48,21 @@ object BpeTrainer {
   }
 
   /** Greedy left-to-right non-overlapping replacement of (bw1, bw2)
-    * by their concatenation, as a row-local fold: `pend` holds the
-    * symbol that may open a merge; a hit appends the merged symbol
-    * and clears it, otherwise `pend` flushes and the cursor advances.
-    * (In a run of equal symbols — pair (a,a) over "aaa" — this merges
-    * positions 1–2 and leaves the 3rd, the Sennrich semantics.)
+    * by their concatenation, as a row-local single pass. (In a run of
+    * equal symbols — pair (a,a) over "aaa" — this merges positions 1–2
+    * and leaves the 3rd, the Sennrich semantics.)
+    *
+    * Native codegen'd expression, NOT a `functions.aggregate` fold:
+    * the fold phrasing (an array-accumulator `aggregate` with
+    * `array_append`) is interpreted (ArrayAggregate has no codegen)
+    * and O(word²) — each append copies the accumulator — which the
+    * 100× scale corpus exposed: its ~5,200-char pad words pushed one
+    * merge pass from seconds into tens of minutes. Long tokens are a
+    * fact of real corpora (base64, DNA, minified JS); the merge pass
+    * must stay O(word).
     */
-  private def applyMerge(syms: Column, bw1: Column, bw2: Column): Column = {
-    val arrT = ArrayType(StringType, containsNull = true)
-    aggregate(
-      syms,
-      struct(array().cast(arrT).as("out"),
-        lit(null).cast(StringType).as("pend")),
-      (acc, s) => {
-        val hit = acc("pend") === bw1 && s === bw2
-        struct(
-          when(acc("pend").isNull, acc("out"))
-            .when(hit, array_append(acc("out"), concat(bw1, bw2)))
-            .otherwise(array_append(acc("out"), acc("pend"))).as("out"),
-          when(acc("pend").isNull, s)
-            .when(hit, lit(null).cast(StringType))
-            .otherwise(s).as("pend"))
-      },
-      acc => when(acc("pend").isNull, acc("out"))
-        .otherwise(array_append(acc("out"), acc("pend"))))
-  }
+  private def applyMerge(syms: Column, bw1: Column, bw2: Column): Column =
+    graft.functions.TextExpressions.bpe_merge(syms, bw1, bw2)
 
   /** Learn `rounds` merges from a (word, cnt) table. Returns the
     * merge table (round, w1, w2, pair_cnt) — the BPE artifact a

@@ -6,7 +6,15 @@ import org.apache.spark.sql.SparkSession
 /** Batch maintenance CLI over every table under a database dir — the
   * reference's `lakehousekeeper` (bzkf/fhir-to-lakehouse
   * src/lakehousekeeper.py:101–291): vacuum / optimize / register, one
-  * command over all discovered tables.
+  * command over all discovered tables. Grown since to the full admin
+  * surface (20+ subcommands, each spec-covered in EngineSpec /
+  * HmsRegistrationSpec): vacuum with the reference's DRY RUN / RETAIN
+  * parity, optimize / compact, register (catalog DDL) and
+  * register-hms (thrift metastore), curate, export-delta /
+  * cleanup-delta-log, purge-dv, restore, clone, history / describe /
+  * count / stats, rename-column / drop-column, and the table-property
+  * toggles (enable-mapping / enable-cdf / enable-ict / enable-bloom /
+  * set-append-only).
   *
   * Table discovery (S7) uses the Hadoop FS API (works on HDFS/S3A the
   * same as local disk), replacing the reference's boto3
