@@ -313,6 +313,40 @@ object TextExpressions {
     new GenericArrayData(out.toArray[Any])
   }
 
+  /** Code-point split of a string into single-character strings —
+    * equivalent to `transform(sequence(1, length(s)), i ->
+    * substring(s, i, 1))` but one linear byte walk instead of an
+    * interpreted ArrayTransform whose per-char Substring seeks from
+    * the string start (O(n²) on long words — the same pathological-
+    * token hazard as the merge fold, and the other interpreted HOF on
+    * the BPE path).
+    */
+  def charsEval(v: UTF8String): ArrayData = {
+    val bytes = v.getBytes
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      val n = UTF8String.numBytesForFirstByte(bytes(i))
+      out += UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(bytes, i, math.min(i + n, bytes.length)))
+      i += n
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  case class Chars(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      charsEval(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExpressions.charsEval($c);")
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   case class BpeMergeFold(first: Expression, second: Expression,
                           third: Expression) extends TernaryExpression {
     override def dataType: DataType =
@@ -330,6 +364,9 @@ object TextExpressions {
   }
 
   // ----- Column API -----
+  def chars(s: Column): Column =
+    ColumnBridge.column(Chars(ColumnBridge.expression(s)))
+
   def bpe_merge(syms: Column, w1: Column, w2: Column): Column =
     ColumnBridge.column(BpeMergeFold(ColumnBridge.expression(syms),
       ColumnBridge.expression(w1), ColumnBridge.expression(w2)))

@@ -80,8 +80,7 @@ object BpeTrainer {
     */
   def train(wordCnts: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    var vocab = wordCnts.select(col("word"), col("cnt"), expr(
-      "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    var vocab = wordCnts.select(col("word"), col("cnt"), graft.functions.TextExpressions.chars(col("word"))
       .as("syms"))
       .cache() // vocab-sized, NOT corpus-sized — see class doc
     val cached = scala.collection.mutable.ListBuffer(vocab)
@@ -135,8 +134,7 @@ object BpeTrainer {
     */
   def segmentPieces(wordCnts: DataFrame,
                     merges: Seq[(String, String)]): DataFrame = {
-    var v = wordCnts.select(col("word"), expr(
-      "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+    var v = wordCnts.select(col("word"), graft.functions.TextExpressions.chars(col("word"))
       .as("syms"))
     merges.foreach { case (a, b) =>
       v = v.withColumn("syms", applyMerge(col("syms"), lit(a), lit(b)))

@@ -1,0 +1,113 @@
+package graft.tables
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Activation seams for the two remaining environment-blocked
+  * integrations, in the same shape as KafkaActivationSpec: probe the
+  * environment at runtime, CANCEL visibly (never silently skip) while
+  * the dependency is absent, and run the REAL integration — through
+  * the production code paths, no test doubles — the day it appears.
+  *
+  *  1. Real S3A execution (reference main.py:52, lakehousekeeper.py:
+  *     59–98): S3SemanticsSpec proves the commit/export protocol over
+  *     a faithful in-process fake; this seam runs the actual
+  *     hadoop-aws client against a real endpoint when one exists.
+  *  2. A real third-party engine reading the exported `_delta_log`
+  *     (reference tests/integration/check-counts.sql:11–15): the
+  *     fuzz-hardened independent python reader is today's ceiling;
+  *     this seam runs DuckDB's own `delta_scan` the day the delta
+  *     extension is installable (it needs egress or a pre-seeded
+  *     ~/.duckdb/extensions cache — BASELINE.md round-16 records the
+  *     offline install attempts).
+  */
+class ExternalActivationSpec extends SparkSpec {
+  import graft.SparkSpec._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", LongType)))
+
+  private def df(rows: Seq[(Long, Long)]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 2),
+      schema)
+
+  // ------------------------------------------------------- S3A seam
+
+  test("full table lifecycle on real S3A (activates with hadoop-aws " +
+      "jar + GRAFT_S3_ENDPOINT)") {
+    val hasS3a =
+      try { Class.forName("org.apache.hadoop.fs.s3a.S3AFileSystem"); true }
+      catch { case _: Throwable => false }
+    if (!hasS3a)
+      cancel("hadoop-aws NOT on the classpath (/opt/spark/jars ships " +
+        "no S3A client in this environment) — real-S3 conformance is " +
+        "dormant; S3SemanticsSpec covers the protocol over a faithful " +
+        "fake. Drop hadoop-aws + aws-sdk-bundle jars in to activate.")
+    val endpoint = sys.env.getOrElse("GRAFT_S3_ENDPOINT",
+      cancel("GRAFT_S3_ENDPOINT not set — no S3/MinIO endpoint to " +
+        "write to; export GRAFT_S3_ENDPOINT=http://host:9000 (plus " +
+        "GRAFT_S3_BUCKET / AWS_ACCESS_KEY_ID / AWS_SECRET_ACCESS_KEY) " +
+        "to run the live lifecycle"))
+    val bucket = sys.env.getOrElse("GRAFT_S3_BUCKET", "graft-test")
+    // the reference's exact client config (main.py:79–91), scoped to
+    // this session's hadoop conf like Engine.sessionConfigs
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.endpoint", endpoint)
+    hc.set("fs.s3a.path.style.access", "true")
+    hc.set("fs.s3a.connection.ssl.enabled",
+      endpoint.startsWith("https").toString)
+    val path = s"s3a://$bucket/graft_activation/${System.nanoTime()}/t.parquet"
+    val t = ResourceTable(spark, path).createIfNotExists(schema)
+    t.upsert(df((0L until 50L).map(i => (i, i % 7))), "id")
+    t.upsert(df((25L until 75L).map(i => (i, 100L))), "id")
+    t.deleteMatching(df(Seq((0L, 0L), (1L, 0L))).select("id"), "id")
+    assert(t.read().count() == 73L)
+    t.optimize(numFiles = 1)
+    assert(t.read().count() == 73L)
+    assert(DeltaExport.export(t) > 0L)
+    // time travel across the remote store: version 2 pre-delete
+    assert(t.readVersion(2L).count() == 75L)
+  }
+
+  // -------------------------------------- third-party delta reader
+
+  test("DuckDB delta_scan reads the exported _delta_log (activates " +
+      "when the delta extension is installable)") {
+    val probe = new ProcessBuilder("python3", "-c",
+      "import duckdb\n" +
+        "c = duckdb.connect()\n" +
+        "try:\n" +
+        "    c.load_extension('delta')\n" +
+        "except Exception:\n" +
+        "    c.install_extension('delta'); c.load_extension('delta')\n" +
+        "print('OK')").start()
+    val probeOut = new String(probe.getInputStream.readAllBytes()).trim
+    if (probe.waitFor() != 0 || probeOut != "OK")
+      cancel("DuckDB delta extension unavailable (zero-egress env and " +
+        "no ~/.duckdb/extensions cache; install attempts recorded in " +
+        "BASELINE.md round 16) — the independent python log-replay " +
+        "reader (tools/check_delta_export.py) remains the external-" +
+        "reader ceiling. Pre-seed the extension cache to activate.")
+    // a table with enough history to cross a checkpoint boundary
+    val dir = tmpDir("delta_act")
+    val t = ResourceTable(spark, s"$dir/t.parquet").createIfNotExists(schema)
+    (1 to 12).foreach(i =>
+      t.upsert(df((0L until 20L).map(k => (i * 100L + k, i.toLong))), "id"))
+    DeltaExport.export(t)
+    val expected = t.read().count()
+    val rd = new ProcessBuilder("python3", "-c",
+      "import duckdb\n" +
+        "c = duckdb.connect()\n" +
+        "c.load_extension('delta')\n" +
+        s"print(c.sql(\"SELECT count(*) FROM delta_scan('$dir/t.parquet')\").fetchone()[0])")
+      .start()
+    val out = new String(rd.getInputStream.readAllBytes()).trim
+    assert(rd.waitFor() == 0, s"delta_scan failed: " +
+      new String(rd.getErrorStream.readAllBytes()).take(300))
+    assert(out == expected.toString,
+      s"delta_scan counted $out rows, table has $expected " +
+        "(reference check-counts.sql semantics)")
+  }
+}
