@@ -34,6 +34,10 @@ import scala.util.Random
   * OWN version with exactly its logical effect — that is what the
   * per-version snapshot match asserts; a rebase that leaked or
   * dropped rival rows cannot match any candidate and fails the seed.
+  * Every third seed additionally races a maintenance loop
+  * (optimize / compact / vacuum) against the writers; its commits
+  * must be logical no-ops, modeled as an extra skip branch in the
+  * linearization search.
   *
   * CI runs SPARK_GRAFT_CDMLFUZZ_N seeds (default 8); the recorded
   * 50-seed campaign lives in BASELINE.md.
@@ -146,24 +150,38 @@ class ConcurrentDmlFuzzSpec extends SparkSpec {
   /** Backtracking search for an interleaving (thread order preserved)
     * whose pure-model replay reproduces every version snapshot.
     * Returns the op order found, or None.
+    *
+    * With `allowMaintenance`, a version whose snapshot EQUALS the
+    * current model may also be explained as a maintenance commit
+    * (optimize/compact — logical no-ops that still take a version) —
+    * explored as an extra branch, so a DML op that happens to be a
+    * logical no-op is never mistaken for one: the search tries both.
     */
   private def linearize(model: Model, snaps: Vector[Model],
-                        pending: Vector[List[Op]]): Option[List[(Int, Op)]] = {
+                        pending: Vector[List[Op]],
+                        allowMaintenance: Boolean = false)
+      : Option[List[(Int, Op)]] = {
     if (snaps.isEmpty) {
       if (pending.forall(_.isEmpty)) Some(Nil) else None
     } else {
       val target = snaps.head
-      pending.indices.iterator.flatMap { i =>
+      val dmlBranches = pending.indices.iterator.flatMap { i =>
         pending(i) match {
           case op :: rest =>
             val m2 = op(model)
             if (m2 == target)
-              linearize(m2, snaps.tail, pending.updated(i, rest))
-                .map((i, op) :: _)
+              linearize(m2, snaps.tail, pending.updated(i, rest),
+                allowMaintenance).map((i, op) :: _)
             else None
           case Nil => None
         }
-      }.nextOption()
+      }
+      val maintBranch =
+        if (allowMaintenance && target == model)
+          Iterator(linearize(model, snaps.tail, pending,
+            allowMaintenance)).flatten
+        else Iterator.empty
+      (dmlBranches ++ maintBranch).nextOption()
     }
   }
 
@@ -198,9 +216,16 @@ class ConcurrentDmlFuzzSpec extends SparkSpec {
       val nThreads = 2 + r.nextInt(2)
       val opLists = (0 until nThreads).map(i =>
         genOps(r, i, 3 + r.nextInt(2), seed * 100L + i * 25L)).toVector
+      // every third seed additionally races a MAINTENANCE loop
+      // (optimize / compact / vacuum) against the DML writers — the
+      // reference's upkeep-vs-ingest composition, here under the
+      // linearization check (maintenance must take versions without
+      // ever changing logical content)
+      val withMaintenance = seed % 3 == 0
 
       val failures =
         new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      @volatile var dmlDone = false
       val threads = opLists.zipWithIndex.map { case (ops, i) =>
         new Thread(() => {
           try {
@@ -209,8 +234,30 @@ class ConcurrentDmlFuzzSpec extends SparkSpec {
           } catch { case e: Throwable => failures.add(e) }
         }, s"cdml-$seed-$i")
       }
+      val maint = new Thread(() => {
+        try {
+          val t = ResourceTable(spark, path)
+          var k = 0
+          // cap the upkeep commits: every one adds a version the
+          // checker must snapshot-replay; 24 keeps the race live for
+          // the whole DML window without bloating the replay
+          while (!dmlDone && k < 24) {
+            k % 3 match {
+              case 0 => t.optimize(numFiles = 2)
+              case 1 => t.compactSmallFiles(minBytes = 1L << 20)
+              // 1h retention: nothing this seed wrote ages out, so
+              // every version stays time-travelable for the checker
+              case _ => t.vacuum(retentionMs = 3600L * 1000)
+            }
+            k += 1
+          }
+        } catch { case e: Throwable => failures.add(e) }
+      }, s"cdml-$seed-maint")
       threads.foreach(_.start())
+      if (withMaintenance) maint.start()
       threads.foreach(_.join(300000))
+      dmlDone = true
+      if (withMaintenance) maint.join(300000)
       assert(failures.isEmpty,
         s"seed $seed: writer failed: ${Option(failures.peek()).map(_.toString)}")
 
@@ -220,9 +267,14 @@ class ConcurrentDmlFuzzSpec extends SparkSpec {
       assert((0L to head).forall(t.versionExists),
         s"seed $seed: commit chain has gaps (head=$head)")
       val nOps = opLists.map(_.size).sum
-      assert(head == baseVersion + nOps,
-        s"seed $seed: ${nOps} ops committed ${head - baseVersion} " +
-          "versions — lost or duplicated commit")
+      if (!withMaintenance)
+        assert(head == baseVersion + nOps,
+          s"seed $seed: ${nOps} ops committed ${head - baseVersion} " +
+            "versions — lost or duplicated commit")
+      else
+        assert(head >= baseVersion + nOps,
+          s"seed $seed: ${nOps} ops + maintenance committed only " +
+            s"${head - baseVersion} versions — lost commit")
 
       def snapAt(v: Long): Model =
         t.readVersion(v).collect()
@@ -230,9 +282,11 @@ class ConcurrentDmlFuzzSpec extends SparkSpec {
           .toMap
       val snaps = ((baseVersion + 1) to head).map(snapAt).toVector
 
-      val order = linearize(base, snaps, opLists)
+      val order = linearize(base, snaps, opLists,
+        allowMaintenance = withMaintenance)
       assert(order.isDefined,
         s"seed $seed: NO interleaving of the ${nThreads} threads' ops " +
+          (if (withMaintenance) "(+ maintenance no-ops) " else "") +
           s"explains the committed versions — serializability violated.\n" +
           opLists.zipWithIndex.map { case (ops, i) =>
             s"  thread $i: ${ops.map(_.desc).mkString(" ; ")}"
@@ -252,7 +306,11 @@ class ConcurrentDmlFuzzSpec extends SparkSpec {
       val rebases = rebasedVersions(t, baseVersion + 1, head)
       totalRebases += rebases
       System.err.println(s"[cdmlfuzz] seed $seed: $nThreads threads, " +
-        s"$nOps ops, $rebases rebased commits")
+        s"$nOps ops" +
+        (if (withMaintenance)
+           s" + ${head - baseVersion - nOps} maintenance commits"
+         else "") +
+        s", $rebases rebased commits")
     }
     // campaign-sized runs must have provoked REAL contention — an
     // all-quiet matrix would vacuously pass. CI-sized runs (few
