@@ -31,6 +31,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // metadata-only COUNT(*) over manifest-backed scans (Delta's
     // metadata-only query; on by default, graft.rules.metadataOnlyCount)
     e.injectOptimizerRule(_ => graft.plans.MetadataOnlyCountRule)
+    // Disjunctive-correlation EXISTS/IN: Spark 4.1.2's decorrelation
+    // internal-errors on them; rewrite to an OR of conjunctive branches
+    // where sound, refuse with a named error otherwise. Analyzer-phase
+    // (post-hoc + check) — the optimizer hook fires too late, so this
+    // pair is only active on sessions BUILT with these extensions
+    // (Verify/Bench/test sessions are); register() on an existing
+    // session cannot retrofit analyzer rules.
+    e.injectPostHocResolutionRule(_ =>
+      graft.plans.DisjunctiveCorrelationRewrite)
+    e.injectCheckRule(_ => graft.plans.DisjunctiveCorrelationCheck)
     e.injectTableFunction((FunctionIdentifier("graft_delta_scan"),
       GraftExtensions.deltaScanInfo, GraftExtensions.deltaScanBuilder _))
     e.injectTableFunction((FunctionIdentifier("graft_table_changes"),

@@ -56,7 +56,8 @@ object ScaleBench {
     "q_lm_perplexity", "q_perceptron_filter",
     "q_substring_remove", "q_curation_funnel", "q_stream_tws",
     "q_gopher_rules", "q_c4_filter", "x_funnel_incremental",
-    "x_pq_refresh", "x_autocompact", "x_fanout", "x_fanout_upkeep")
+    "x_pq_refresh", "x_autocompact", "x_fanout", "x_fanout_upkeep",
+    "q_kmeans", "q_dsir_select", "x_pagerank")
 
   /** Scale-only cases that are not SparkEntry gates: shapes whose
     * scale story needs DIFFERENT fixture sizing than the sf0.01 gate.
@@ -238,6 +239,29 @@ object ScaleBench {
     }),
     "x_occ_rebase" -> occCase(rebaseOn = true),
     "x_occ_rerun" -> occCase(rebaseOn = false),
+    // PAGERANK at scale (VERDICT r18 task 3): q_pagerank's own tables
+    // (lineitem/orders) have no scale recipe, so the decade runs the
+    // same Graph.pageRank over an edge set derived from the scaled
+    // events table — built to contain GROWING HUBS, the shape where a
+    // skewed key would surface: every event links its (copy-remapped,
+    // cardinality-growing) user to one of 997 fixed hub nodes whose
+    // in-degree grows linearly with the corpus, and every 10th event
+    // adds the reverse edge, so hubs also accumulate out-degree
+    // (their rank spreads over ~corpus/10 edges — the hot SRC key in
+    // the per-iteration eDeg⋈ranks join; in-degree hubs stress the
+    // groupBy(dst) side, which partial aggregation absorbs). 3
+    // iterations, like the gate.
+    "x_pagerank" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val fwd = ev.select(col("user_id").as("src"),
+        (col("event_id") % 997).as("dst"))
+      val rev = ev.filter(col("event_id") % 10 === 0)
+        .select((col("event_id") % 997).as("src"),
+          col("user_id").as("dst"))
+      graft.ops.Graph.pageRank(fwd.unionByName(rev), "src", "dst",
+          iterations = 3)
+        .select(col("node"), col("rank"))
+    }),
     // dim-driven join with vs without dynamic file pruning: the
     // scan-footprint contrast is the claim (see dfpLookup)
     "x_dfp_join" -> ((s, dir) => {

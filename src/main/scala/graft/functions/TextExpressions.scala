@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -334,7 +334,11 @@ object TextExpressions {
     new GenericArrayData(out.toArray[Any])
   }
 
-  case class Chars(child: Expression) extends UnaryExpression {
+  case class Chars(child: Expression) extends UnaryExpression
+      with ExpectsInputTypes {
+    // Seq[DataType] refines Seq[AbstractDataType] covariantly
+    // (AbstractDataType itself is private[sql] in Spark 4)
+    override def inputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType =
       ArrayType(StringType, containsNull = false)
     override def nullSafeEval(v: Any): Any =
@@ -348,7 +352,10 @@ object TextExpressions {
   }
 
   case class BpeMergeFold(first: Expression, second: Expression,
-                          third: Expression) extends TernaryExpression {
+                          third: Expression) extends TernaryExpression
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(StringType), StringType, StringType)
     override def dataType: DataType =
       ArrayType(StringType, containsNull = true)
     override def nullSafeEval(s: Any, a: Any, b: Any): Any =
@@ -367,6 +374,14 @@ object TextExpressions {
   def chars(s: Column): Column =
     ColumnBridge.column(Chars(ColumnBridge.expression(s)))
 
+  /** One greedy merge pass over a symbol array (see [[bpeMergeEval]]).
+    * NULL ARRAY ELEMENTS are preserved in place and never participate
+    * in a merge (a null is an opaque non-symbol: neither `(w1, null)`
+    * nor `(null, w2)` matches). The trainer path never produces them
+    * (`chars()` has containsNull=false), but the behavior is part of
+    * this public Column API's contract and pinned by
+    * BpeExpressionsSpec.
+    */
   def bpe_merge(syms: Column, w1: Column, w2: Column): Column =
     ColumnBridge.column(BpeMergeFold(ColumnBridge.expression(syms),
       ColumnBridge.expression(w1), ColumnBridge.expression(w2)))

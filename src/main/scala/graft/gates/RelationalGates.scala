@@ -846,6 +846,47 @@ private[graft] object RelationalGates {
           |WHERE c.c_custkey % 7 = 0""".stripMargin)
     }),
 
+
+    // ---- DISJUNCTIVE-correlation EXISTS: legal ANSI that stock Spark
+    //      4.1.2 internal-errors on (None.get in decorrelation —
+    //      SubfuzzRepro seed 397, BASELINE.md round 18); executes here
+    //      via graft.plans.DisjunctiveCorrelationRewrite's OR-of-
+    //      conjunctive-branches split. Two genuinely correlated
+    //      branches plus one empty uncorrelated arm, so the result
+    //      depends on BOTH correlated paths, not on a vacuous
+    //      always-true disjunct ----
+    "q_disjunctive_exists" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_dx")
+      t(s, dir, "orders").createOrReplaceTempView("orders_dx")
+      s.sql(
+        """SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS seg
+          |FROM customer_dx
+          |WHERE EXISTS (SELECT 1 FROM orders_dx
+          |  WHERE (o_custkey = customer_dx.c_custkey
+          |         AND (o_orderkey % 7) = 2)
+          |     OR (o_custkey = customer_dx.c_custkey
+          |         AND (o_orderkey % 5) = 1)
+          |     OR o_totalprice < 0)
+          |  AND (c_custkey % 3) <> 0""".stripMargin)
+    }),
+
+
+    // ---- disjunctive-correlation IN (same cliff, ListQuery path):
+    //      the uncorrelated arm contributes a real value-set, the
+    //      correlated arm narrows per-row — IN's value-set semantics
+    //      make the branch overlap harmless by construction ----
+    "q_disjunctive_in" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_din")
+      t(s, dir, "orders").createOrReplaceTempView("orders_din")
+      s.sql(
+        """SELECT CAST(c_custkey AS BIGINT) AS k
+          |FROM customer_din
+          |WHERE c_custkey IN (SELECT o_custkey FROM orders_din
+          |  WHERE o_custkey = customer_din.c_custkey
+          |    AND (o_orderkey % 7) = 2 OR (o_orderkey % 11) = 3)
+          |  AND (c_custkey % 2) = 0""".stripMargin)
+    }),
+
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1389,6 +1430,27 @@ private[graft] object RelationalGates {
         |  sum(l_quantity) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+
+
+    "q_disjunctive_exists" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS seg
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE (o_custkey = customer.c_custkey
+        |         AND (o_orderkey % 7) = 2)
+        |     OR (o_custkey = customer.c_custkey
+        |         AND (o_orderkey % 5) = 1)
+        |     OR o_totalprice < 0)
+        |  AND (c_custkey % 3) <> 0""".stripMargin,
+
+
+    "q_disjunctive_in" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS k
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |  WHERE o_custkey = customer.c_custkey
+        |    AND (o_orderkey % 7) = 2 OR (o_orderkey % 11) = 3)
+        |  AND (c_custkey % 2) = 0""".stripMargin,
 
   )
 }

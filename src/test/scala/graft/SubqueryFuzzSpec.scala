@@ -164,10 +164,30 @@ class SubqueryFuzzSpec extends AnyFunSuite {
 
   // ------------------------------------------------- plan shapes
 
-  /** One seeded dual-dialect SQL text. */
+  /** One seeded dual-dialect SQL text.
+    *
+    * Shapes 0–9: the round-18 grammar (EXISTS/IN/scalar/LATERAL/
+    * HAVING/set-ops, nested two FK hops). Shapes 10–12 (round 19)
+    * RE-ENABLE disjunctive correlation — the exact class the round-18
+    * generator had to parenthesize around because stock Spark 4.1.2's
+    * decorrelation crashes on it — now that
+    * [[graft.plans.DisjunctiveCorrelationRewrite]] splits such
+    * predicates into OR-of-conjunctive-branches at analysis time;
+    * every such seed differentially validates the rewrite against
+    * DuckDB's native execution of the unrewritten form. Shapes 13–15
+    * are the round-19 corner set: bare (NULL-surfacing) correlated
+    * scalar aggregates in SELECT position, subqueries inside
+    * CASE/COALESCE arms, and correlated NOT IN with a null-producing
+    * projection (three-valued-logic killer under correlation).
+    */
   private[graft] def genSql(seed: Int): String = {
     val r = new Random(seed)
-    r.nextInt(10) match {
+    // NOT nextInt(16): power-of-two bounds take the HIGH bits of the
+    // first java.util.Random draw, which are nearly constant across
+    // small sequential seeds — 200/200 seeds landed on one shape.
+    // nextInt(16000) goes through the modulo (low-bit) path and 16000
+    // is divisible by 16, so the shape draw stays uniform AND varied.
+    r.nextInt(16000) % 16 match {
 
       case 0 => // correlated EXISTS / NOT EXISTS (semi/anti semantics)
         val (o, i, ok, ik) = pick(r, edges)
@@ -283,7 +303,7 @@ class SubqueryFuzzSpec extends AnyFunSuite {
           s"(SELECT 1 FROM ${i.name} WHERE $ifk = ${m.name}.$mk " +
           s"AND ${pred(r, i)}) AND ${pred(r, m)}) AND ${pred(r, o)}"
 
-      case _ => // (NOT) IN nested INSIDE a correlated EXISTS body —
+      case 9 => // (NOT) IN nested INSIDE a correlated EXISTS body —
         // quantified-subquery null semantics evaluated under an
         // outer correlation
         val (o, m, i, ok, mfk, mk, ifk) = pick(r, chains)
@@ -298,6 +318,93 @@ class SubqueryFuzzSpec extends AnyFunSuite {
           s"WHERE $mfk = ${o.name}.$ok AND $mk " +
           s"${if (neg) "NOT " else ""}IN (SELECT $innerExpr " +
           s"FROM ${i.name} WHERE ${pred(r, i)})) AND ${pred(r, o)}"
+
+      case 10 => // DISJUNCTIVE-correlation (NOT) EXISTS — two
+        // correlated arms with distinct residual predicates,
+        // sometimes a third uncorrelated arm; validated against
+        // DuckDB's native disjunctive decorrelation
+        val (o, i, ok, ik) = pick(r, edges)
+        // NOT EXISTS with a row-bearing uncorrelated arm is vacuously
+        // empty (the arm makes EXISTS true for every outer row), so
+        // negation is drawn sparingly and never with the third arm
+        val isNeg = r.nextInt(4) == 0
+        val neg = if (isNeg) "NOT " else ""
+        val corr = s"$ik = ${o.name}.$ok"
+        val arms = Seq(s"($corr AND ${pred(r, i)})",
+          s"($corr AND ${pred(r, i)})") ++
+          (if (!isNeg && r.nextInt(3) == 0) Seq(s"(${pred(r, i)})")
+           else Nil)
+        s"SELECT CAST($ok AS BIGINT) AS k FROM ${o.name} " +
+          s"WHERE ${neg}EXISTS (SELECT 1 FROM ${i.name} " +
+          s"WHERE ${arms.mkString(" OR ")}) AND ${pred(r, o)}"
+
+      case 11 => // disjunctive correlation under AND (the
+        // distribution path: shared AND-factor over a correlated OR),
+        // plus the plain corr-AND-p1-OR-p2 precedence form of the
+        // round-18 triage (seed-397 shape, unparenthesized)
+        val (o, i, ok, ik) = pick(r, edges)
+        val corr = s"$ik = ${o.name}.$ok"
+        val body = if (r.nextBoolean())
+          s"(${pred(r, i)}) AND ($corr OR (${pred(r, i)}))"
+        else s"$corr AND (${pred(r, i)}) OR ($corr AND ${pred(r, i)})"
+        s"SELECT CAST($ok AS BIGINT) AS k FROM ${o.name} " +
+          s"WHERE EXISTS (SELECT 1 FROM ${i.name} WHERE $body) " +
+          s"AND ${pred(r, o)}"
+
+      case 12 => // disjunctive-correlation IN (ListQuery split path):
+        // one correlated arm, one uncorrelated value-set arm
+        val (o, i, ok, ik) = pick(r, edges)
+        s"SELECT CAST($ok AS BIGINT) AS k FROM ${o.name} " +
+          s"WHERE $ok IN (SELECT $ik FROM ${i.name} " +
+          s"WHERE $ik = ${o.name}.$ok AND (${pred(r, i)}) " +
+          s"OR (${pred(r, i)})) AND ${pred(r, o)}"
+
+      case 13 => // BARE correlated scalar aggregate in SELECT — no
+        // COALESCE wrapper (unlike shape 2), so no-match groups must
+        // surface as NULL identically on both engines; min/max/sum
+        // over an empty correlated slice is the NULL-vs-0 trap
+        val (o, i, ok, ik) = pick(r, edges)
+        val agg = pick(r, Seq(s"sum(${pick(r, i.ints)})",
+          s"min(${pick(r, i.ints)})", s"max(${pick(r, i.ints)})"))
+        s"SELECT CAST($ok AS BIGINT) AS k, " +
+          s"CAST((SELECT $agg FROM ${i.name} " +
+          s"WHERE $ik = ${o.name}.$ok AND ${pred(r, i)}) AS BIGINT) AS v " +
+          s"FROM ${o.name} WHERE ${pred(r, o)}"
+
+      case 14 => // subqueries inside CASE / COALESCE arms: EXISTS as
+        // a CASE condition and a correlated scalar as a COALESCE
+        // fallback — conditional-expression decorrelation
+        val (o, i, ok, ik) = pick(r, edges)
+        val aggC = pick(r, i.ints)
+        if (r.nextBoolean())
+          s"SELECT CAST($ok AS BIGINT) AS k, " +
+            s"CASE WHEN EXISTS (SELECT 1 FROM ${i.name} " +
+            s"WHERE $ik = ${o.name}.$ok AND ${pred(r, i)}) " +
+            s"THEN CAST(1 AS BIGINT) " +
+            s"WHEN ($ok % ${2 + r.nextInt(5)}) = 0 THEN CAST(2 AS BIGINT) " +
+            s"ELSE CAST(0 AS BIGINT) END AS v " +
+            s"FROM ${o.name} WHERE ${pred(r, o)}"
+        else
+          s"SELECT CAST($ok AS BIGINT) AS k, " +
+            s"CAST(COALESCE((SELECT min($aggC) FROM ${i.name} " +
+            s"WHERE $ik = ${o.name}.$ok AND ${pred(r, i)}), " +
+            s"(SELECT max($aggC) FROM ${i.name} WHERE ${pred(r, i)}), " +
+            s"-1) AS BIGINT) AS v " +
+            s"FROM ${o.name} WHERE ${pred(r, o)}"
+
+      case _ => // CORRELATED NOT IN with a null-producing projection:
+        // the three-valued-logic killer under correlation — a NULL in
+        // THIS row's correlated list annihilates that row only, so
+        // engines must agree per-row, not just globally (round-18's
+        // grammar only drew uncorrelated null lists)
+        val (o, i, ok, ik) = pick(r, edges)
+        val (k2, m2) = (2 + r.nextInt(5), r.nextInt(2))
+        val innerExpr = if (r.nextInt(4) == 0) ik
+          else s"NULLIF($ik % $k2, $m2) + ($ik - $ik % $k2)"
+        s"SELECT CAST($ok AS BIGINT) AS k FROM ${o.name} " +
+          s"WHERE $ok NOT IN (SELECT $innerExpr FROM ${i.name} " +
+          s"WHERE $ik = ${o.name}.$ok AND ${pred(r, i)}) " +
+          s"AND ${pred(r, o)}"
     }
   }
 

@@ -55,6 +55,43 @@ class BpeExpressionsSpec extends SparkSpec {
     assert(got == Seq("aa", "a"))
   }
 
+  test("BpeMergeFold preserves null elements in place and never " +
+      "merges across them (public bpe_merge contract)") {
+    import spark.implicits._
+    // the replaced aggregate-fold silently DROPPED nulls; the native
+    // expression's documented behavior is pass-through: a null is an
+    // opaque non-symbol, so neither (a, null) nor (null, a) matches.
+    // Unreachable via chars() (containsNull=false) but observable —
+    // and now pinned — through the public Column API.
+    val cases = Seq(
+      (Seq[String]("a", null, "a"), Seq[String]("a", null, "a")),
+      (Seq[String](null, "a", "a"), Seq[String](null, "aa")),
+      (Seq[String]("a", "a", null), Seq[String]("aa", null)),
+      (Seq[String](null, null), Seq[String](null, null)))
+    val got = cases.map(_._1).toDF("syms")
+      .select(graft.functions.TextExpressions
+        .bpe_merge(col("syms"), lit("a"), lit("a")).as("m"))
+      .collect().map(_.getSeq[String](0))
+    cases.zip(got).foreach { case ((in, want), m) =>
+      assert(m == want, s"merge($in, a, a): got $m, want $want")
+    }
+  }
+
+  test("Chars/BpeMergeFold reject mistyped inputs at analysis time, " +
+      "not execution time") {
+    import spark.implicits._
+    val df = Seq((1, Seq(2, 3))).toDF("n", "xs")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.TextExpressions.chars(col("n"))).collect()
+    }
+    assert(e1.getMessage.toLowerCase.contains("type"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.TextExpressions
+        .bpe_merge(col("xs"), lit("a"), lit("b"))).collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("type"))
+  }
+
   test("Chars matches transform(sequence(1, length), substring) " +
       "on non-empty words, including multi-byte code points") {
     import spark.implicits._

@@ -535,4 +535,70 @@ class FhirEncoderSpec extends AnyFunSuite {
       .getAs[String]("code") == "en")
     assert(comm.getAs[Boolean]("preferred"))
   }
+
+  test("extension recursion-depth property: typed to exactly depth 2, " +
+    "silently schema-truncated beyond, raw JSON retained losslessly") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // the defined truncation contract (FhirEncoder.extensionType,
+    // Pathling-style): level-1 extensions carry url/valueString/
+    // valueCode/valueDecimal + ONE nested extension array; level-2
+    // structs carry url/valueString/valueDecimal/valueCoding and NO
+    // further extension field — deeper nesting is dropped from the
+    // typed columns (from_json ignores fields outside the schema) and
+    // survives only in resource_json, byte-identical to the input.
+    val r = new scala.util.Random(19)
+    def extJson(depth: Int, tag: String): String = {
+      val nested =
+        if (depth > 1) s""","extension":[${extJson(depth - 1, tag + "n")}]"""
+        else ""
+      s"""{"url":"http://x/$tag","valueString":"s-$tag"$nested}"""
+    }
+    val cases = (1 to 60).map { i =>
+      val d = 1 + r.nextInt(6) // depths 1..6, well past the truncation
+      val json = s"""{"resourceType":"Patient","id":"p$i",""" +
+        s""""extension":[${extJson(d, s"t$i")}]}"""
+      (s"p$i", d, json)
+    }
+    val df = cases.map { case (_, _, j) => Tuple1(j) }.toDF("resource")
+    val enc = FhirEncoder.encode(df, "Patient")
+    // the SCHEMA itself truncates: a third extension level is not a
+    // column that exists, not a null-filled one
+    intercept[org.apache.spark.sql.AnalysisException] {
+      enc.select(expr("extension[0].extension[0].extension")).collect()
+    }
+    val got = enc.select(col("id"),
+        expr("extension[0].url").as("u1"),
+        expr("extension[0].valueString").as("s1"),
+        expr("extension[0].extension[0].url").as("u2"),
+        expr("extension[0].extension[0].valueString").as("s2"),
+        col("resource_json"))
+      .collect().map(r0 => r0.getString(0) -> r0).toMap
+    cases.foreach { case (id, d, json) =>
+      val row = got(id)
+      assert(row.getString(5) == json, s"$id: resource_json not lossless")
+      assert(row.getString(1) == s"http://x/t${id.drop(1)}" &&
+        row.getString(2) == s"s-t${id.drop(1)}", s"$id: level 1 not typed")
+      if (d >= 2) {
+        assert(row.getString(3) == s"http://x/t${id.drop(1)}n" &&
+          row.getString(4) == s"s-t${id.drop(1)}n",
+          s"$id (depth $d): level 2 not typed")
+      } else {
+        assert(row.isNullAt(3) && row.isNullAt(4),
+          s"$id (depth 1): phantom level-2 values")
+      }
+    }
+    // and the dropped depth-3+ content is still queryable through the
+    // variant retention path (withVariant), proving "truncated" never
+    // means "lost"
+    val deep = cases.filter(_._2 >= 3)
+    assert(deep.nonEmpty)
+    val needle = "\"id\":\"" + deep.head._1 + "\""
+    val v = FhirEncoder.withVariant(
+        df.filter(col("resource").contains(needle)), "resource")
+      .selectExpr("variant_get(resource_variant, " +
+        "'$.extension[0].extension[0].extension[0].url', 'string')")
+      .collect()(0).getString(0)
+    assert(v == s"http://x/t${deep.head._1.drop(1)}nn",
+      "variant retention lost the depth-3 extension")
+  }
 }

@@ -256,8 +256,18 @@ class ConcurrentDmlFuzzSpec extends SparkSpec {
       threads.foreach(_.start())
       if (withMaintenance) maint.start()
       threads.foreach(_.join(300000))
+      // a writer hung past the join timeout would otherwise leave its
+      // thread racing the checker below and surface as a confusing
+      // serializability violation — fail loudly as a timeout instead
+      threads.foreach(th => assert(!th.isAlive,
+        s"seed $seed: writer ${th.getName} still alive after 300 s — " +
+          "hung commit, not a linearizability result"))
       dmlDone = true
-      if (withMaintenance) maint.join(300000)
+      if (withMaintenance) {
+        maint.join(300000)
+        assert(!maint.isAlive,
+          s"seed $seed: maintenance thread still alive after 300 s")
+      }
       assert(failures.isEmpty,
         s"seed $seed: writer failed: ${Option(failures.peek()).map(_.toString)}")
 

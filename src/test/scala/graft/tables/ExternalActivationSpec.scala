@@ -97,17 +97,20 @@ class ExternalActivationSpec extends SparkSpec {
       t.upsert(df((0L until 20L).map(k => (i * 100L + k, i.toLong))), "id"))
     DeltaExport.export(t)
     val expected = t.read().count()
-    val rd = new ProcessBuilder("python3", "-c",
+    val pb = new ProcessBuilder("python3", "-c",
       "import duckdb\n" +
         "c = duckdb.connect()\n" +
         "c.load_extension('delta')\n" +
         s"print(c.sql(\"SELECT count(*) FROM delta_scan('$dir/t.parquet')\").fetchone()[0])")
-      .start()
+    // merge stderr into the drained stream: reading stdout to EOF with
+    // stderr on its own pipe deadlocks if a chatty extension-load
+    // traceback fills the unread buffer
+    pb.redirectErrorStream(true)
+    val rd = pb.start()
     val out = new String(rd.getInputStream.readAllBytes()).trim
-    assert(rd.waitFor() == 0, s"delta_scan failed: " +
-      new String(rd.getErrorStream.readAllBytes()).take(300))
-    assert(out == expected.toString,
-      s"delta_scan counted $out rows, table has $expected " +
+    assert(rd.waitFor() == 0, s"delta_scan failed: ${out.take(300)}")
+    assert(out.linesIterator.toSeq.lastOption.contains(expected.toString),
+      s"delta_scan counted '${out.take(300)}' rows, table has $expected " +
         "(reference check-counts.sql semantics)")
   }
 }
