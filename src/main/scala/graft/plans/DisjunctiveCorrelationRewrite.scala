@@ -88,14 +88,26 @@ object DisjunctiveCorrelationRewrite extends Rule[LogicalPlan] {
       }
     }
 
+  /** OuterReference belonging to THIS scope somewhere in `e`. The
+    * traversal stops at nested [[SubqueryExpression]] nodes: their
+    * `outerAttrs` children are OuterReference-wrapped attributes of
+    * the NESTED subquery's outer scope (this level or deeper — Spark
+    * rejects two-hop correlation at analysis), so `p OR EXISTS(inner
+    * one-hop-correlated)` is NOT disjunctive correlation at this
+    * level and must neither split nor refuse.
+    */
+  private[plans] def outerHere(e: Expression): Boolean = e match {
+    case _: OuterReference => true
+    case _: SubqueryExpression => false
+    case other => other.children.exists(outerHere)
+  }
+
   /** Correlation to THIS subquery's outer scope somewhere under an OR
-    * in the condition. `Expression.exists` does not descend into
-    * nested subquery PLANS, so an inner subquery's own (one-hop)
-    * correlation does not trigger a split at this level — only
-    * genuine this-level disjunctive correlation does.
+    * in the condition — the exact class Spark 4.1.2's decorrelation
+    * crashes on.
     */
   private def disjunctiveOuter(cond: Expression): Boolean = cond.exists {
-    case o: Or => SubExprUtils.containsOuter(o)
+    case o: Or => outerHere(o)
     case _ => false
   }
 
@@ -203,10 +215,7 @@ object DisjunctiveCorrelationCheck extends (LogicalPlan => Unit) {
     s.plan.foreach { node =>
       node.expressions.foreach { e =>
         val bad = e.exists {
-          case o: Or => o.exists {
-            case _: OuterReference => true
-            case _ => false
-          }
+          case o: Or => DisjunctiveCorrelationRewrite.outerHere(o)
           case _ => false
         }
         if (bad) throw new AnalysisException(

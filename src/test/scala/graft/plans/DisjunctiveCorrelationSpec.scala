@@ -18,6 +18,7 @@ class DisjunctiveCorrelationSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private lazy val customer = spark.read.parquet(s"$sf/customer.parquet")
   private lazy val orders = spark.read.parquet(s"$sf/orders.parquet")
+  private lazy val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
 
   private def views(): Unit = {
     customer.createOrReplaceTempView("customer_djs")
@@ -130,6 +131,42 @@ class DisjunctiveCorrelationSpec extends SparkSpec {
       case Or(_, _: Exists) => true
     }.nonEmpty)
     assert(!orOfExists)
+  }
+
+  test("a NESTED one-hop-correlated EXISTS under an OR is not " +
+    "this-level correlation: no split, no refusal, correct result") {
+    views()
+    // the nested subquery's outerAttrs wrap OuterReferences to the
+    // MID scope (orders) — precision regression guard: detection must
+    // stop at nested subquery boundaries or this legal,
+    // Spark-supported shape would split needlessly (or refuse in
+    // non-splittable positions)
+    lineitem.createOrReplaceTempView("lineitem_djs")
+    val got = spark.sql(
+      """SELECT CAST(c_custkey AS BIGINT) AS k FROM customer_djs
+        |WHERE EXISTS (SELECT 1 FROM orders_djs
+        |  WHERE o_custkey = customer_djs.c_custkey
+        |    AND ((o_orderkey % 3) = 1
+        |         OR EXISTS (SELECT 1 FROM lineitem_djs
+        |                    WHERE l_orderkey = orders_djs.o_orderkey
+        |                      AND l_quantity > 45)))""".stripMargin)
+    val outerExists = got.queryExecution.analyzed.collect { case op =>
+      op.expressions.map(_.collect { case e: Exists => e }.size).sum
+    }.sum
+    assert(outerExists == 1,
+      s"outer filter split needlessly: $outerExists Exists nodes")
+    val bigItems = lineitem.filter(col("l_quantity") > 45)
+      .select(col("l_orderkey"))
+    val matching = orders
+      .join(bigItems, col("o_orderkey") === col("l_orderkey"), "leftsemi")
+      .select(col("o_custkey"))
+      .union(orders.filter(col("o_orderkey") % 3 === 1)
+        .select(col("o_custkey")))
+    val expected = customer
+      .join(matching, col("c_custkey") === col("o_custkey"), "leftsemi")
+      .select(col("c_custkey").cast("long"))
+    assert(keySet(got) == keySet(expected))
+    assert(keySet(got).nonEmpty, "vacuous fixture")
   }
 
   test("out-of-scope shape (LIMIT above the filter) refuses with the " +

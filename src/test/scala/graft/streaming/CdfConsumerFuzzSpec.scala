@@ -76,8 +76,10 @@ class CdfConsumerFuzzSpec extends SparkSpec {
         // aggressive seeds run a deliberately LAGGY consumer so the
         // keepLast=2 trim genuinely races ahead of it — otherwise the
         // 50 ms cadence always keeps up and the loud-stop arm never
-        // exercises
-        if (aggressive) Thread.sleep(150L)
+        // exercises (first campaign attempt: 150 ms lag → 50/50
+        // consumers still kept pace; a commit costs ~250 ms of Spark
+        // job, so the lag must exceed the writers' commit cadence)
+        if (aggressive) Thread.sleep(400L)
         got.put(v, collectChanges(df)); ()
       },
       trigger = Trigger.ProcessingTime("50 milliseconds"))
@@ -110,7 +112,9 @@ class CdfConsumerFuzzSpec extends SparkSpec {
                 tw.deleteMatching(
                   (plo until plo + 4L).toDF("id"), "id")
             }
-            Thread.sleep(rw.nextInt(80).toLong)
+            // aggressive seeds commit rapid-fire so the head genuinely
+            // runs ahead of the lagged consumer
+            if (!aggressive) Thread.sleep(rw.nextInt(80).toLong)
           }
         } catch { case e: Throwable => failures.add(e); () }
       }, s"cdffuzz-$seed-w$w")
@@ -119,13 +123,21 @@ class CdfConsumerFuzzSpec extends SparkSpec {
       try {
         val tm = ResourceTable(spark, path)
         while (!writersDone) {
-          // NO vacuum here: retention-0 vacuum races the WRITERS'
-          // in-flight merges (a reader contract all its own, not the
-          // consumer contract under test). cleanupMetadata is the trim
-          // that matters for the feed: it removes COMMIT files, which
-          // is exactly what the consumer's gap guard watches.
+          // cleanupMetadata only trims commits whose data was already
+          // vacuumed (versionIntact guard), so this loop is a benign
+          // no-op until the post-drain vacuum below — it still races
+          // the listing/locking paths against live writers
           tm.cleanupMetadata(keepLast = if (aggressive) 2 else 100)
           Thread.sleep(60L)
+        }
+        if (aggressive) {
+          // writers are done, the LAGGED consumer is still draining
+          // its backlog: vacuum + trim now genuinely race the feed.
+          // (Retention-0 vacuum DURING writes would race the writers'
+          // own snapshot reads — a vacuum-retention contract tested
+          // elsewhere, not the consumer contract under test here.)
+          tm.vacuum(retentionMs = 0L)
+          tm.cleanupMetadata(keepLast = 2)
         }
       } catch { case e: Throwable => failures.add(e); () }
     }, s"cdffuzz-$seed-maint")
@@ -157,7 +169,8 @@ class CdfConsumerFuzzSpec extends SparkSpec {
         val msg = e.toString
         assert(msg.contains("change feed gap") ||
           msg.contains("version") || msg.contains("commit") ||
-          msg.contains("FileNotFound") || msg.contains("does not exist"),
+          msg.contains("FileNotFound") || msg.contains("does not exist") ||
+          msg.contains("vacuumed"), // ResourceTable's own missing-file guard
           s"seed $seed: consumer died with an UNDOCUMENTED error: " +
             msg.take(500))
         assert(aggressive,
