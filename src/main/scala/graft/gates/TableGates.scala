@@ -270,7 +270,14 @@ private[graft] object TableGates {
         rt.append(orders.filter(col("o_orderkey") % 8 === i)
           .coalesce(1))
       }
-      val pred = col("o_orderkey").between(100L, 1500L)
+      // SF-PARAMETRIC range: o_orderkey is dense 0..max, so
+      // [100, max/10] is ~10% of the keyspace at every SF and lands in
+      // ≤2 of the 8 range bins after compaction. (A fixed hi of 1500
+      // covered 93% of the sf0.001 keyspace — nothing could skip;
+      // caught by the round-19 sf0.001 board sweep.)
+      val maxKey = orders.agg(max(col("o_orderkey")))
+        .collect()(0).getLong(0)
+      val pred = col("o_orderkey").between(100L, maxKey / 10L)
       val (keptBefore, totalBefore) = rt.pruneInfo(pred)
       // incremental compaction only: everything qualifies as small,
       // fixed 8 range-disjoint bins so the layout is SF-independent
@@ -792,7 +799,9 @@ private[graft] object TableGates {
         |    AS total_price,
         |  TRUE AS full_scan_before,
         |  TRUE AS skipping_after
-        |FROM orders WHERE o_orderkey BETWEEN 100 AND 1500
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 100
+        |  AND (SELECT max(o_orderkey) FROM orders) // 10
         |GROUP BY o_orderstatus""".stripMargin,
 
 
