@@ -104,6 +104,7 @@ object DumpPlans {
     val out = args.lift(1).getOrElse("/root/repo/PLANS.md")
     val spark = SparkSession.builder()
       .master("local[4]")
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
