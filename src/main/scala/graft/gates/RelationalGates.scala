@@ -97,6 +97,40 @@ private[graft] object RelationalGates {
     }),
 
 
+    // ---- bounded + EMPTY ROWS frames (round 19, promoted from
+    //      WindowFuzzSpec): pure-following / pure-preceding frames
+    //      are empty at partition edges — aggregates must surface
+    //      NULL (min/max) there, and the bounded trailing count must
+    //      shrink at the head. Order by the unique o_orderkey, so
+    //      every frame is bit-deterministic ----
+    "q_window_frames" -> ((s, dir) => {
+      val p = col("o_custkey") % 10
+      def w = Window.partitionBy(p).orderBy(col("o_orderkey").asc)
+      t(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        count(lit(1)).over(w.rowsBetween(-2, 0)).as("cnt3"),
+        max(col("o_orderkey")).over(w.rowsBetween(1, 3)).as("mx_f"),
+        min(col("o_orderkey")).over(w.rowsBetween(-5, -2)).as("mn_p"))
+    }),
+
+
+    // ---- preserved-side residual ON predicate (round 19, promoted
+    //      from JoinFuzzSpec): `ON key AND a.pred` on the PRESERVED
+    //      side of a LEFT join null-extends the failing rows instead
+    //      of filtering them — the exact opposite of the same
+    //      predicate in WHERE, and the shape optimizers get wrong
+    //      when EliminateOuterJoin over-fires ----
+    "q_outer_join_residual" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey") &&
+          (o("o_orderkey") % 3) === 0, "left")
+        .select(o("o_orderkey").as("k"),
+          coalesce(c("c_nationkey"), lit(-1L)).cast(LongType).as("nat"),
+          when(c("c_custkey").isNull, 0L).otherwise(1L).as("matched"))
+    }),
+
+
     // ---- per-group top-n (rank window) ----
     "q_topn_per_group" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
@@ -983,6 +1017,30 @@ private[graft] object RelationalGates {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC
         |             RANGE BETWEEN 60000000 PRECEDING AND CURRENT ROW)"""
+        .stripMargin,
+
+
+    "q_window_frames" ->
+      """SELECT o_orderkey AS k,
+        |  count(*) OVER (PARTITION BY o_custkey % 10
+        |    ORDER BY o_orderkey ASC
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cnt3,
+        |  CAST(max(o_orderkey) OVER (PARTITION BY o_custkey % 10
+        |    ORDER BY o_orderkey ASC
+        |    ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS BIGINT) AS mx_f,
+        |  CAST(min(o_orderkey) OVER (PARTITION BY o_custkey % 10
+        |    ORDER BY o_orderkey ASC
+        |    ROWS BETWEEN 5 PRECEDING AND 2 PRECEDING) AS BIGINT) AS mn_p
+        |FROM orders""".stripMargin,
+
+
+    "q_outer_join_residual" ->
+      """SELECT a.o_orderkey AS k,
+        |  CAST(COALESCE(b.c_nationkey, -1) AS BIGINT) AS nat,
+        |  CAST(CASE WHEN b.c_custkey IS NULL THEN 0 ELSE 1 END
+        |       AS BIGINT) AS matched
+        |FROM orders a LEFT JOIN customer b
+        |  ON a.o_custkey = b.c_custkey AND (a.o_orderkey % 3) = 0"""
         .stripMargin,
 
 

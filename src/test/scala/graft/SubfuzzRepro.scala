@@ -19,7 +19,7 @@ object SubfuzzRepro {
     val empt = scala.collection.mutable.Map.empty[Int, Int]
     val tot = scala.collection.mutable.Map.empty[Int, Int]
     (1 to n).foreach { seed =>
-      val shape = new scala.util.Random(seed).nextInt(16000) % 16
+      val shape = new scala.util.Random(seed).nextInt(18000) % 18
       tot(shape) = tot.getOrElse(shape, 0) + 1
       val sql = s.genSql(seed)
       try {
@@ -30,7 +30,7 @@ object SubfuzzRepro {
         println(s"SQL: $sql")
       }
     }
-    (0 to 15).foreach(k => println(s"shape $k: ${empt.getOrElse(k,0)}/${tot.getOrElse(k,0)} empty"))
+    (0 to 17).foreach(k => println(s"shape $k: ${empt.getOrElse(k,0)}/${tot.getOrElse(k,0)} empty"))
     println("DONE")
     spark.stop()
   }

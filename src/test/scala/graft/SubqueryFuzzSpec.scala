@@ -114,24 +114,30 @@ class SubqueryFuzzSpec extends AnyFunSuite {
 
   /** A boolean predicate over `t`'s columns, dual-dialect. */
   private def pred(r: Random, t: T): String = {
+    // every alternative floors a ≥ ~10% hit-rate on ANY int column —
+    // including 0–24-valued nation/region keys (JoinFuzzSpec learned
+    // this the hard way: absolute BETWEEN ranges, `% 50 IN (47)` over
+    // small keys, `(c % k) < 0`, and `>= 'Z'` over tiny flag
+    // alphabets emptied a quarter of its first board; the round-18
+    // pool here had the same flaws, tolerated by a looser bound,
+    // and the 18-shape remap pushed empties past it)
     def intP = {
       val c = pick(r, t.ints)
       r.nextInt(4) match {
         case 0 =>
-          val (k, m) = (2 + r.nextInt(9), r.nextInt(3))
-          s"($c % $k) ${pick(r, Seq("=", "<>", "<", ">"))} $m"
+          val k = 2 + r.nextInt(8)
+          val m = 1 + r.nextInt(k - 1)
+          s"($c % $k) ${pick(r, Seq("=", "<>", "<", ">="))} $m"
         case 1 =>
-          // modulo-IN, not raw-literal IN: three literals under 5000
-          // against sparse 6-digit keys select ~nothing, and with the
-          // composite predicates now correctly parenthesized (see
-          // somePred note) those vacuous conjuncts emptied ~44% of the
-          // board. (c % 50) IN (…) keeps IN-list semantics with a
-          // guaranteed ~2-6% hit rate per value.
-          val vs = Seq.fill(3)(r.nextInt(50))
-          s"($c % 50) IN (${vs.mkString(", ")})"
+          // modulo-IN, not raw-literal IN: literals against sparse
+          // 6-digit keys select ~nothing; modulus ≤ 11 keeps every
+          // drawn value reachable even on 0–24-valued keys
+          val k = 7 + r.nextInt(5)
+          val vs = r.shuffle((0 until k).toList).take(3)
+          s"($c % $k) IN (${vs.mkString(", ")})"
         case 2 =>
-          val lo = r.nextInt(2000); val hi = lo + 1 + r.nextInt(40000)
-          s"$c BETWEEN $lo AND $hi"
+          val lo = r.nextInt(4); val hi = lo + 2 + r.nextInt(5)
+          s"($c % 10) BETWEEN $lo AND $hi"
         case _ =>
           val (k, m) = (2 + r.nextInt(5), r.nextInt(2))
           s"NULLIF($c % $k, $m) IS ${if (r.nextBoolean()) "" else "NOT "}NULL"
@@ -140,7 +146,7 @@ class SubqueryFuzzSpec extends AnyFunSuite {
     def strP = {
       val c = pick(r, t.strs)
       r.nextInt(3) match {
-        case 0 => s"$c >= '${('A' + r.nextInt(26)).toChar}'"
+        case 0 => s"$c >= '${('A' + r.nextInt(14)).toChar}'"
         case 1 => s"length($c) % 2 = 0"
         case _ => s"$c < '${('a' + r.nextInt(26)).toChar}'"
       }
@@ -196,15 +202,21 @@ class SubqueryFuzzSpec extends AnyFunSuite {
     * scalar aggregates in SELECT position, subqueries inside
     * CASE/COALESCE arms, and correlated NOT IN with a null-producing
     * projection (three-valued-logic killer under correlation).
+    * Shapes 16–17 put disjunctive correlation where the graft rewrite
+    * deliberately does NOT apply — scalar aggregates and LATERAL —
+    * because Spark's DecorrelateInnerQuery plans those via domain
+    * joins (no crash, probe-verified by ScalarDisjRepro); these seeds
+    * check that the domain-join results are also CORRECT.
     */
   private[graft] def genSql(seed: Int): String = {
     val r = new Random(seed)
-    // NOT nextInt(16): power-of-two bounds take the HIGH bits of the
-    // first java.util.Random draw, which are nearly constant across
-    // small sequential seeds — 200/200 seeds landed on one shape.
-    // nextInt(16000) goes through the modulo (low-bit) path and 16000
-    // is divisible by 16, so the shape draw stays uniform AND varied.
-    r.nextInt(16000) % 16 match {
+    // NOT nextInt(18): power-of-two-ish bounds take the HIGH bits of
+    // the first java.util.Random draw, which are nearly constant
+    // across small sequential seeds — 200/200 seeds landed on one
+    // shape. nextInt(18000) goes through the modulo (low-bit) path
+    // and 18000 is divisible by 18, so the draw stays uniform AND
+    // varied.
+    r.nextInt(18000) % 18 match {
 
       case 0 => // correlated EXISTS / NOT EXISTS (semi/anti semantics)
         val (o, i, ok, ik) = pick(r, edges)
@@ -409,7 +421,7 @@ class SubqueryFuzzSpec extends AnyFunSuite {
             s"-1) AS BIGINT) AS v " +
             s"FROM ${o.name} WHERE ${pred(r, o)}"
 
-      case _ => // CORRELATED NOT IN with a null-producing projection:
+      case 15 => // CORRELATED NOT IN with a null-producing projection:
         // the three-valued-logic killer under correlation — a NULL in
         // THIS row's correlated list annihilates that row only, so
         // engines must agree per-row, not just globally (round-18's
@@ -422,6 +434,33 @@ class SubqueryFuzzSpec extends AnyFunSuite {
           s"WHERE $ok NOT IN (SELECT $innerExpr FROM ${i.name} " +
           s"WHERE $ik = ${o.name}.$ok AND ${pred(r, i)}) " +
           s"AND ${pred(r, o)}"
+
+      case 16 => // DISJUNCTIVE correlation in a SCALAR aggregate — the
+        // graft rewrite deliberately leaves this to Spark's
+        // DecorrelateInnerQuery domain-join path; these seeds verify
+        // that path's RESULTS. Both the precedence form
+        // (corr AND p1 OR p2) and the parenthesized two-arm form are
+        // drawn; small edges keep DuckDB's dependent join tractable
+        val (o, i, ok, ik) = pick(r, smallEdges)
+        val corr = s"$ik = ${o.name}.$ok"
+        val agg = pick(r, Seq("count(*)", s"min(${pick(r, i.ints)})",
+          s"sum(${pick(r, i.ints)})"))
+        val body = if (r.nextBoolean())
+          s"$corr AND (${pred(r, i)}) OR (${pred(r, i)})"
+        else s"($corr AND ${pred(r, i)}) OR ($corr AND ${pred(r, i)})"
+        s"SELECT CAST($ok AS BIGINT) AS k, " +
+          s"CAST(COALESCE((SELECT $agg FROM ${i.name} WHERE $body), " +
+          s"-1) AS BIGINT) AS v FROM ${o.name} WHERE ${pred(r, o)}"
+
+      case _ => // DISJUNCTIVE correlation under LATERAL — same
+        // domain-join path, aggregate over a correlated-OR slice
+        val (o, i, ok, ik) = pick(r, smallEdges)
+        s"SELECT CAST($ok AS BIGINT) AS k, t.cnt, t.sm " +
+          s"FROM ${o.name}, LATERAL (" +
+          s"SELECT count(*) AS cnt, " +
+          s"CAST(COALESCE(sum(${pick(r, i.ints)}), 0) AS BIGINT) AS sm " +
+          s"FROM ${i.name} WHERE $ik = ${o.name}.$ok " +
+          s"OR (${pred(r, i)})) t WHERE ${pred(r, o)}"
     }
   }
 
