@@ -104,7 +104,11 @@ private[graft] object RelationalGates {
     //      shrink at the head. Order by the unique o_orderkey, so
     //      every frame is bit-deterministic ----
     "q_window_frames" -> ((s, dir) => {
-      val p = col("o_custkey") % 10
+      // % 1000, not % 10: the bucket count IS the window stage's
+      // max parallelism at scale — 10 buckets would serialize a
+      // 100 TB shuffle onto 10 tasks; 1000 keeps frames exercised at
+      // every test SF (15–150 rows/bucket) AND the stage wide
+      val p = col("o_custkey") % 1000
       def w = Window.partitionBy(p).orderBy(col("o_orderkey").asc)
       t(s, dir, "orders").select(
         col("o_orderkey").as("k"),
@@ -1022,13 +1026,13 @@ private[graft] object RelationalGates {
 
     "q_window_frames" ->
       """SELECT o_orderkey AS k,
-        |  count(*) OVER (PARTITION BY o_custkey % 10
+        |  count(*) OVER (PARTITION BY o_custkey % 1000
         |    ORDER BY o_orderkey ASC
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cnt3,
-        |  CAST(max(o_orderkey) OVER (PARTITION BY o_custkey % 10
+        |  CAST(max(o_orderkey) OVER (PARTITION BY o_custkey % 1000
         |    ORDER BY o_orderkey ASC
         |    ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS BIGINT) AS mx_f,
-        |  CAST(min(o_orderkey) OVER (PARTITION BY o_custkey % 10
+        |  CAST(min(o_orderkey) OVER (PARTITION BY o_custkey % 1000
         |    ORDER BY o_orderkey ASC
         |    ROWS BETWEEN 5 PRECEDING AND 2 PRECEDING) AS BIGINT) AS mn_p
         |FROM orders""".stripMargin,
