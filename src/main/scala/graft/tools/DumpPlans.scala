@@ -14,6 +14,8 @@ object DumpPlans {
     "q_filter_proj" -> "predicate pushdown into the parquet scan (incl. the date cast)",
     "q_broadcast_join" -> "dimension side broadcast, no shuffle of the fact table",
     "q_window_dedup" -> "single hash shuffle on the dedup key",
+    "q_window_frames" -> "one Exchange on the 1000-way bucket key serves all three frame specs (one Window operator, no re-shuffle per frame)",
+    "q_outer_join_residual" -> "residual ON predicate stays inside the LEFT join condition — no outer->inner rewrite, preserved rows intact",
     "q_fhir_pipeline" -> "whole envelope pipeline fused into codegen stages",
     "q_dedup_minhash" -> "LSH banding: projection pass + one bucket groupBy, no cross join",
     "q_ann_topk" -> "broadcast queries over a single corpus scan",
