@@ -31,6 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // metadata-only COUNT(*) over manifest-backed scans (Delta's
     // metadata-only query; on by default, graft.rules.metadataOnlyCount)
     e.injectOptimizerRule(_ => graft.plans.MetadataOnlyCountRule)
+    // from_json schema pruning through a Project boundary (the
+    // withColumn-then-select shape Spark's OptimizeCsvJsonExprs cannot
+    // see); gated on spark.sql.optimizer.enableJsonExpressionOptimization
+    e.injectOptimizerRule(_ => graft.plans.JsonPruneThroughProject)
+    // per-field JSON roundtrip elimination:
+    // from_json(to_json(struct(... f: x ...))).f -> x for
+    // roundtrip-exact types (same conf gate as Spark's JSON opts)
+    e.injectOptimizerRule(_ => graft.plans.JsonRoundTripFieldElim)
     // Disjunctive-correlation EXISTS/IN: Spark 4.1.2's decorrelation
     // internal-errors on them; rewrite to an OR of conjunctive branches
     // where sound, refuse with a named error otherwise. Analyzer-phase
@@ -224,5 +232,13 @@ object GraftExtensions {
         .contains(graft.plans.MetadataOnlyCountRule))
       spark.experimental.extraOptimizations ++=
         Seq(graft.plans.MetadataOnlyCountRule)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.JsonPruneThroughProject))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.JsonPruneThroughProject)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.JsonRoundTripFieldElim))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.JsonRoundTripFieldElim)
   }
 }

@@ -22,8 +22,39 @@ import org.apache.spark.sql.types._
   */
 object SparkEntry {
 
-  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Parquet footer schema, inferred once per (path, nanos-conf) and
+    * reused: the testdata files are immutable, and a 230-query bench
+    * run otherwise re-infers each table's schema on every t() call —
+    * driver-side footer reads that add up across ~1,500 invocations
+    * per run while telling us nothing new. Keyed on the nanosAsLong
+    * conf too because events.parquet's TIMESTAMP(NANOS) column infers
+    * to a different Spark type under it (schema is metadata only —
+    * every query still computes from the parquet bytes).
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), StructType]()
+
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val nanosConf = s.conf
+      .get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val schema = schemaCache.computeIfAbsent((path, nanosConf),
+      _ => s.read.parquet(path).schema)
+    s.read.schema(schema).parquet(path)
+    // NOTE (round 19): a blanket repartition-after-read here was tried
+    // for the single-row-group (unsplittable, one-task) testdata files
+    // and MEASURED NET-NEGATIVE on the full board (+37 s): it fixes
+    // the serial first stage of single-pass compute-heavy queries, but
+    // it also inflates every cached table to cluster-width partitions
+    // (each of an iterative op's k rounds then schedules 32× the
+    // tasks) and fans every ACID commit's write into 32 small files
+    // (slower manifests, read-backs and change feeds for the rest of
+    // the gate). The spread now lives INSIDE the per-row-expensive
+    // operators (Par.spread — FhirEncoder.encode, BundlePipeline
+    // parse, editDistancePairs probe, curation flag pass), where the
+    // exchange is paid exactly once, right before the work it
+    // parallelizes.
+  }
 
   /** events.parquet carries TIMESTAMP(NANOS) which Spark only reads as
     * long (spark.sql.legacy.parquet.nanosAsLong=true, set in

@@ -1537,7 +1537,11 @@ object FhirEncoder {
   def encode(df: DataFrame, resourceType: String,
              column: String = "resource"): DataFrame = {
     val schema = schemaFor(resourceType)
-    val parsed = df
+    // spread BEFORE the parse: a one-task input (unsplittable file,
+    // single-partition micro-batch) would otherwise run the whole
+    // wide-schema from_json serially — graft.Par.spread is a no-op on
+    // already-parallel inputs
+    val parsed = graft.Par.spread(df)
       .withColumn("_r", from_json(col(column), schema))
       .filter(col("_r.resourceType") === resourceType)
     val fields = schema.fieldNames.filter(_ != "resourceType").map(f =>

@@ -88,7 +88,8 @@ object Curation {
     * is cross-doc and belongs to [[electKeepers]].
     */
   private def docFlags(docs: DataFrame, bench: BenchmarkIndex,
-                       idCol: String, textCol: String)
+                       idCol: String, textCol: String,
+                       spread: Boolean = true)
       : DataFrame = {
     val text = col(textCol)
     // materialized ONCE (eager local checkpoint): base feeds both the
@@ -98,7 +99,12 @@ object Curation {
     // bloom-admitted shingles of the contaminated few), ~60 bytes/doc
     // against KBs of text, so the checkpoint is the cheap side of the
     // trade at any scale
-    val base = docs.select(
+    // spread before the fused flag pass: md5 + langid + quality +
+    // bloom shingle probe are all per-row CPU, serial on a one-task
+    // input (no-op when already parallel). The incremental refresh
+    // arm opts OUT: its input is micro-batch-bounded by contract, and
+    // a per-batch exchange there is pure overhead.
+    val base = (if (spread) graft.Par.spread(docs) else docs).select(
       col(idCol),
       md5(text).as("h"),
       (TextStats.langIdCol(text) === "en").as("f1"),
@@ -233,7 +239,8 @@ object Curation {
     val added = changes
       .filter(col("_change_type").isin("insert", "update_postimage"))
       .select(col(idCol), col(textCol))
-    val addedFlags = docFlags(added, bench, idCol, textCol)
+    val addedFlags = docFlags(added, bench, idCol, textCol,
+      spread = false)
     val removedB = broadcast(removed)
     // hash groups whose membership changed: removed docs' old hashes
     // + added docs' hashes — bounded by the micro-batch

@@ -171,9 +171,14 @@ object Dedup {
                         blockKey: Column, prefixLen: Int = 100,
                         maxDist: Int = 25,
                         maxBlockRows: Int = 0): DataFrame = {
-    val docs = df.select(col(idCol).as("_id"),
+    // spread the narrow (id, prefix, block) projection: the banded
+    // levenshtein runs on the PROBE side of a broadcast join, so a
+    // one-task input (unsplittable file) would verify every candidate
+    // pair on one core (measured 11x on the bench board). No-op when
+    // the input is already parallel; only ~prefixLen bytes/row move.
+    val docs = graft.Par.spread(df.select(col(idCol).as("_id"),
       substring(col(textCol), 1, prefixLen).as("_pref"),
-      blockKey.as("_blk"))
+      blockKey.as("_blk")))
     // maxBlockRows > 0 enables the TRIANGLE SPLIT for oversized blocks
     // (Okcan & Riedewald's θ-join distribution, specialized to the
     // self-join): a block of n rows is hash-split into s = ⌈n /

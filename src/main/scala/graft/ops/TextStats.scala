@@ -475,7 +475,11 @@ object TextStats {
                     n: Int = 5): DataFrame = {
     val benchSet = charShingles(benchmark, idCol, textCol, n)
       .select(col("sh")).distinct()
-    val corpusSh = charShingles(corpus, idCol, textCol, n)
+    // spread the corpus side before shingling: the per-row explode is
+    // the expensive step and serial on a one-task input (no-op when
+    // already parallel)
+    val corpusSh = charShingles(graft.Par.spread(corpus),
+      idCol, textCol, n)
     val overlap = corpusSh
       .join(broadcast(benchSet), Seq("sh"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
@@ -506,7 +510,8 @@ object TextStats {
     val expected = math.max(benchSet.count(), 1L)
     val bf = benchSet.select(xxhash64(col("sh")).as("shl"))
       .stat.bloomFilter("shl", expected, fpp)
-    val corpusSh = charShingles(corpus, idCol, textCol, n)
+    val corpusSh = charShingles(graft.Par.spread(corpus),
+      idCol, textCol, n)
     val candidates = corpusSh
       .filter(might_contain_long(bf, xxhash64(col("sh"))))
     // exact confirm on the bloom survivors only; NOT broadcast — at

@@ -53,7 +53,12 @@ object BundlePipeline {
     * (PERMISSIVE), whose null `entry` is dropped by the inner explode.
     */
   def prepare(df: DataFrame): DataFrame =
-    df.withColumn("bundle", col("value").cast(StringType))
+    // spread before the bundle parse: per-row from_json + explode is
+    // the expensive step, and a single-partition batch (one journal
+    // file, one-task scan) would pay it serially (no-op when the
+    // input is already parallel)
+    graft.Par.spread(df)
+      .withColumn("bundle", col("value").cast(StringType))
       .withColumn("parsed_bundle", from_json(col("bundle"), bundleSchema))
       .withColumn("entry", explode(col("parsed_bundle.entry")))
       .withColumn("resource", col("entry.resource"))
