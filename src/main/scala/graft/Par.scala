@@ -39,4 +39,19 @@ object Par {
       catch { case _: Throwable => target }
     if (parts * 2 <= target) df.repartition(target) else df
   }
+
+  /** [[spread]] additionally gated on the optimizer's size estimate —
+    * for a bare table scan that estimate is the file size, so tiny
+    * dimension tables (whose whole read costs less than an exchange)
+    * pass through. For the pure-query gate files that shadow their
+    * table loader with this: fact tables spread, `nation`/`region`
+    * stay one cheap task, and broadcast sides stay exchange-free.
+    */
+  def spreadIfLarge(df: DataFrame, minBytes: Long = 1L << 20): DataFrame = {
+    val big =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes >=
+        BigInt(minBytes)
+      catch { case _: Throwable => false }
+    if (big) spread(df) else df
+  }
 }

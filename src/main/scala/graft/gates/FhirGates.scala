@@ -19,6 +19,19 @@ import graft.SparkEntry._
   * above) so memoization remains JVM-global across domains.
   */
 private[graft] object FhirGates {
+
+  /** Shadows the imported loader for THIS file's pure-query gates
+    * (same rationale as RelationalGates.t): the encode gates
+    * synthesize JSON from `orders`/`customer` scans, and spreading
+    * the fact-sized read moves the exchange BELOW the `to_json`
+    * projection, so the serialize side parallelizes too —
+    * FhirEncoder.encode's own spread only covers the parse side (its
+    * input already carries the to_json projection). No fixtures, no
+    * writes in this file.
+    */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Par.spreadIfLarge(graft.SparkEntry.t(s, dir, name))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- §2.3 W1: latest-wins dedup (row_number, desc order) ----

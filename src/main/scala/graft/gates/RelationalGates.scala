@@ -20,6 +20,20 @@ import graft.SparkEntry._
   * above) so memoization remains JVM-global across domains.
   */
 private[graft] object RelationalGates {
+
+  /** Shadows the imported loader for THIS file's pure-query gates:
+    * fact-sized tables (the optimizer size estimate is the file size)
+    * spread to cluster width right after the read — the testdata
+    * files are single-row-group and therefore one-task scans, so the
+    * scan+filter+partial-agg stage of every lineitem/orders query
+    * otherwise runs on one core (guide §2.5). Dimension tables and
+    * broadcast sides pass through untouched; this file builds no
+    * fixtures and writes no tables, so none of the cached-partition /
+    * small-file-commit hazards of a blanket spread apply here.
+    */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Par.spreadIfLarge(graft.SparkEntry.t(s, dir, name))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")

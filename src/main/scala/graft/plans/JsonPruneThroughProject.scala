@@ -40,6 +40,11 @@ object JsonPruneThroughProject extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.jsonExpressionOptimization) return plan
+    // tree-pattern pruning: no from_json anywhere -> no traversal
+    // (this rule runs in the fixed-point batch for EVERY query)
+    if (!plan.containsPattern(
+        org.apache.spark.sql.catalyst.trees.TreePattern.JSON_TO_STRUCT))
+      return plan
     plan.transformUp {
       case p @ Project(_, inner: Project) =>
         prune(p.projectList, inner) match {

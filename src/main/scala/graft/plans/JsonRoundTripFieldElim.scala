@@ -48,6 +48,12 @@ object JsonRoundTripFieldElim extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.jsonExpressionOptimization) return plan
+    // tree-pattern pruning: the rule is a no-op (bitmask check, no
+    // traversal) for the vast majority of plans, which carry no
+    // from_json — this runs in the fixed-point batch for EVERY query
+    if (!plan.containsPattern(
+        org.apache.spark.sql.catalyst.trees.TreePattern.JSON_TO_STRUCT))
+      return plan
     plan.transformAllExpressions {
       case g @ GetStructField(j: JsonToStructs, ord, _)
           if j.options.isEmpty && j.schema.isInstanceOf[StructType] =>
