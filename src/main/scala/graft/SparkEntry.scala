@@ -22,23 +22,31 @@ import org.apache.spark.sql.types._
   */
 object SparkEntry {
 
-  /** Parquet footer schema, inferred once per (path, nanos-conf) and
-    * reused: the testdata files are immutable, and a 230-query bench
-    * run otherwise re-infers each table's schema on every t() call —
-    * driver-side footer reads that add up across ~1,500 invocations
-    * per run while telling us nothing new. Keyed on the nanosAsLong
-    * conf too because events.parquet's TIMESTAMP(NANOS) column infers
-    * to a different Spark type under it (schema is metadata only —
-    * every query still computes from the parquet bytes).
+  /** Parquet footer schema, inferred once per (path, len, mtime,
+    * nanos-conf) and reused: the testdata files are immutable, and a
+    * 230-query bench run otherwise re-infers each table's schema on
+    * every t() call — driver-side footer reads that add up across
+    * ~1,500 invocations per run while telling us nothing new. The key
+    * carries the file's length+mtime (one cheap local stat) so a
+    * rewritten file at the same path in a long-lived JVM can never
+    * serve a stale schema, and the nanosAsLong conf because
+    * events.parquet's TIMESTAMP(NANOS) column infers to a different
+    * Spark type under it. Other inference-affecting session confs
+    * (binaryAsString, int96AsTimestamp, caseSensitive) are fixed
+    * across every session this loader serves — Verify/Bench/gates all
+    * leave them at defaults (schema is metadata only — every query
+    * still computes from the parquet bytes).
     */
-  private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), StructType]()
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long, String), StructType]()
 
   private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val nanosConf = s.conf
       .get("spark.sql.legacy.parquet.nanosAsLong", "false")
-    val schema = schemaCache.computeIfAbsent((path, nanosConf),
+    val f = new java.io.File(path)
+    val schema = schemaCache.computeIfAbsent(
+      (path, f.length(), f.lastModified(), nanosConf),
       _ => s.read.parquet(path).schema)
     s.read.schema(schema).parquet(path)
     // NOTE (round 19): a blanket repartition-after-read here was tried
