@@ -182,6 +182,38 @@ object SparkEntry {
   private[graft] val pqMemo =
     new java.util.concurrent.ConcurrentHashMap[String, graft.ops.Pq.Codebook]()
 
+  // q_pq_refresh's versioned embedding table (insert/update/delete
+  // commits built once; the timed operator is the CDF-driven code
+  // refresh + re-encode equality proof, not the fixture commits).
+  // Returns (table, v1, v2).
+  private[graft] val pqRefreshDemoMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (ResourceTable, Long, Long)]()
+
+  // q_index_refresh's versioned docs table (same contract: the timed
+  // operator is the banded-index refresh + rebuild equality, the
+  // fixture commits are input). Returns (table, v1, v2).
+  private[graft] val idxRefreshDemoMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (ResourceTable, Long, Long)]()
+
+  // q_funnel_incremental's versioned docs table (timed operator =
+  // flags-at-v1 + CDF refresh; fixture commits are input).
+  private[graft] val funnelIncrDemoMemo =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (ResourceTable, Long, Long)]()
+
+  // read-side skipping fixtures: tables are IMMUTABLE after build —
+  // the gates time the pruned read, never another commit
+  private[graft] val skipDemoMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, ResourceTable]()
+  private[graft] val bloomDemoMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, ResourceTable]()
+  private[graft] val dfpDemoMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, ResourceTable]()
+  private[graft] val ppartDemoMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // q_replace_where's segment-clustered table (content-idempotent
   // under repeated overwriteWhere calls, so one fixture per dir)
   private[graft] val replaceDemoMemo =

