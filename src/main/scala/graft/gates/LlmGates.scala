@@ -1202,8 +1202,13 @@ private[graft] object LlmGates {
       // the benchmark index is STATIC across refreshes — built once,
       // shared by the v1 flags, the refresh, and the rebuild
       val bx = Curation.benchmarkIndex(bench)
+      // the v1 flag state is the refresh's STANDING input (in a real
+      // deployment it's a flags-table read — maintainFlags); the
+      // refresh consumes it three times (touched-hash probe,
+      // re-election, carried arm), so materialize it once instead of
+      // re-running the v1 funnel per consumption
       val flags1 = Curation.flags(corpusAt(tab.readVersion(v1)), bx,
-        "doc_id", "text")
+        "doc_id", "text").localCheckpoint(true)
       val changes = tab.changes(v1, v2, "doc_id")
         .filter(col("doc_id") % 50 =!= 0)
       // refresh ≡ rebuild (row-identical) is proven in the spec suite

@@ -50,11 +50,16 @@ object Classifier {
       array(lit(biasScale)))
 
   /** Integer margin of one row under literal weights: Σ w_b · x_b
-    * over the buckets+1 features. Row-local, codegen'd.
+    * over the buckets+1 features. Row-local. The weights are ONE
+    * array-typed literal (`typedlit`), not a 65-node `array(lit…)`
+    * tree: the training loop re-plans this expression every epoch,
+    * and the per-epoch analysis/optimization cost scales with the
+    * expression tree size (measured ~0.15 s/epoch driver gap at 20
+    * epochs, the dominant cost of the whole op).
     */
   private def marginExpr(feats: Column, w: Array[Long]): Column =
     aggregate(
-      zip_with(feats, array(w.map(lit).toIndexedSeq: _*),
+      zip_with(feats, typedlit(w.toSeq),
         (c, wb) => c.cast("long") * wb),
       lit(0L), (acc, x) => acc + x)
 

@@ -212,8 +212,14 @@ object Curation {
                    bench: BenchmarkIndex,
                    idCol: String, textCol: String)
       : DataFrame = {
-    val (removed, reElected) =
+    val (removed, reElected0) =
       refreshDelta(flagDf, changes, bench, idCol, textCol)
+    // reElected is consumed TWICE below (the touched-hash probe that
+    // splits carried from re-elected, and the output union) and its
+    // plan re-reads the flag state + re-runs the re-election window;
+    // it is micro-batch-bounded by contract, so pin it once (eager
+    // local checkpoint) instead of evaluating the delta twice
+    val reElected = reElected0.localCheckpoint(true)
     val touchedH = broadcast(reElected.select(col("h")).distinct())
     val carried = flagDf
       .join(broadcast(removed), Seq(idCol), "left_anti")

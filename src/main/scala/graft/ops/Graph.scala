@@ -60,17 +60,13 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int, scale: Long = 1000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val spark = edges.sparkSession
     // the edge list persists FIRST: however expensive the join/scan
     // that built it, it computes exactly once — outdeg, eDeg and the
     // node set all derive from this cache (two narrow longs per edge)
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // outdeg persists too: the per-iteration dangling anti-join probes
-    // it, and re-deriving it would re-shuffle the edges per iteration
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // edges carry their source's degree once; every iteration reuses
     // this one table (re-deriving it per round would re-shuffle the
     // raw edges k times)
@@ -78,16 +74,28 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // the dangling node SET is iteration-invariant (nodes with no
-    // out-edges) — derive it once; only its rank MASS changes per round
-    val danglingNodes = nodes
-      .join(outdeg.withColumnRenamed("src", "node"),
-        Seq("node"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count() // one long — also materializes the caches
-    var ranks = nodes.select(col("node"), lit(scale).as("rank"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the dangling flag (no out-edges) is iteration-invariant, so it
+    // RIDES IN the rank table itself: the per-round dangling mass is
+    // then a filter+sum over the already-cached ranks — the previous
+    // shape re-joined a persisted dangling-node set against the ranks
+    // every round, a whole join (two exchanges) per iteration for a
+    // bit that never changes (guide §2.4: remove shuffles outright)
+    // every round's rank table is an EAGER LOCAL CHECKPOINT, not a
+    // bare persist: persist caches the data but the logical plan keeps
+    // growing — iteration k's tree embeds iteration k-1's whole tree
+    // once per ranks reference, so analysis + cache-lookup
+    // canonicalization cost grows exponentially in k (measured: the
+    // driver gap between iteration jobs grew ~1 s/round at 3 rounds).
+    // The checkpoint truncates the plan to the materialized RDD, so
+    // every iteration analyzes an O(1)-size tree (guide §5) — the same
+    // MLlib-iteration hygiene the persist/unpersist dance was for,
+    // done at the plan layer too.
+    var ranks = nodes
+      .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), col("deg").isNull.as("dangling"),
+        lit(scale).as("rank"))
+      .localCheckpoint(true)
+    val n = ranks.count() // one long off the checkpoint
     val base = 15L * scale / 100L
     for (_ <- 1 to iterations) {
       // dangling mass: one aggregated row that rides the iteration's
@@ -95,34 +103,51 @@ object Graph {
       // second job per round. `sum DIV n` in long arithmetic equals
       // the truncating division the oracle replays with BIGINT `//`
       // (mass is non-negative).
-      val shareDf = ranks
-        .join(danglingNodes, Seq("node"), "left_semi")
+      val shareDf = ranks.filter(col("dangling"))
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dmass"))
         .select(expr(s"dmass DIV $n").as("share"))
-      val contribs = eDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"),
-          expr("rank DIV deg").as("contrib"))
-        .groupBy("node").agg(sum(col("contrib")).as("c"))
+      // per-edge contributions UNION a zero row per node, then ONE
+      // hash aggregate keyed on the node: the previous shape paid a
+      // groupBy exchange for the contributions AND a second
+      // nodes⟕contribs join (two more exchanges + a sort) just to
+      // put back zero-inbound nodes; the union form re-attaches them
+      // in the same aggregate that sums the contributions, and
+      // max(dangling) carries the invariant flag through (every node
+      // has exactly one ranks-arm row, contribution rows are false).
       // `/` on longs is DOUBLE in Spark SQL (and lossy past 2^53);
       // DIV is the integer division DuckDB's `//` replays exactly
-      val next = nodes.join(contribs, Seq("node"), "left")
+      val perEdge = eDeg
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .select(col("dst").as("node"), lit(false).as("dangling"),
+          expr("rank DIV deg").as("c"))
+      val next = ranks
+        .select(col("node"), col("dangling"), lit(0L).as("c"))
+        .unionByName(perEdge)
+        .groupBy("node")
+        .agg(max(col("dangling")).as("dangling"), sum(col("c")).as("c"))
         .crossJoin(broadcast(shareDf))
-        .select(col("node"),
-          (lit(base) +
-            expr("(85 * (coalesce(c, 0) + share)) DIV 100")).as("rank"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before dropping the parent
-      ranks.unpersist(false)
+        .select(col("node"), col("dangling"),
+          (lit(base) + expr("(85 * (c + share)) DIV 100")).as("rank"))
+        .localCheckpoint(true) // eager: materialized before the drop
+      dropCheckpoint(ranks)
       ranks = next
     }
-    danglingNodes.unpersist(false)
     eDeg.unpersist(false)
-    outdeg.unpersist(false)
-    nodes.unpersist(false)
     e.unpersist(false)
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
+
+  /** Free a [[org.apache.spark.sql.Dataset.localCheckpoint]]'s backing
+    * RDD once the next round no longer references it — the iterative
+    * unpersist hygiene; without it a k-iteration run holds k rank
+    * tables until the ContextCleaner gets around to them.
+    */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false): Unit
+      case _ => ()
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** In/out degree profile per node — the adjacency sanity stats a
     * link-graph build reports (one aggregate per direction, one

@@ -27,8 +27,13 @@ import org.apache.spark.sql.types.StructType
   * to exactly the accessed fields (original order), remapping the
   * consumers' field ordinals. Values of retained fields are unchanged
   * (per-field JSON conversion is independent), so results are
-  * identical — the same contract Spark's single-expression prune
-  * relies on.
+  * identical for well-formed records — and for records whose
+  * malformation PERMISSIVE mode maps to a fully-null row either way.
+  * The one observable delta (the same contract Spark's
+  * single-expression prune relies on): a record whose ONLY
+  * malformation lies inside a pruned field can partial-parse to
+  * null/partial retained values under the wide schema but parse fully
+  * under the pruned one.
   *
   * Guards mirror `OptimizeCsvJsonExprs`: gated on
   * `spark.sql.optimizer.enableJsonExpressionOptimization`, fires only

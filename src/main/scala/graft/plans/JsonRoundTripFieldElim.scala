@@ -35,6 +35,15 @@ import org.apache.spark.sql.types._
   *    Fractional, temporal, decimal and nested types stay out —
   *    formatting is not bit-stable there.
   *
+  * STRING caveat (same contract class as Spark's whole-struct
+  * roundtrip elimination): for a string `x` that is NOT valid UTF-8 —
+  * unpaired surrogates / invalid byte sequences — the Jackson
+  * roundtrip substitutes U+FFFD, so the unoptimized plan returns the
+  * replaced string while the rewrite returns `x`'s raw bytes. Result
+  * identity therefore holds for well-formed UTF-8 strings (all JSON
+  * the engine itself synthesizes); malformed inputs trade one lossy
+  * representation for the verbatim original.
+  *
   * Matches both the pre-`ReplaceExpressions` `StructsToJson` form and
   * the post-replacement `Invoke(StructsToJsonEvaluator.evaluate)` form
   * (this rule runs in the operatorOptimization batch, after
