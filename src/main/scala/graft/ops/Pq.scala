@@ -136,18 +136,27 @@ object Pq {
 
   /** Row-local PQ encoding: adds `codes` (array<int>, length m) — per
     * subspace, the argmin-distance codebook entry (ties to the
-    * smallest code via struct-min). One codegen'd scan, no shuffle.
+    * smallest code via struct-min). One codegen'd scan, no shuffle —
+    * except the input spread below, exactly when the input itself is
+    * under-parallel: the m·k argmin is the heaviest per-row kernel in
+    * the vector stack, and on a single-row-group parquet corpus the
+    * whole encode otherwise runs as ONE task (guide §2.5 input skew;
+    * measured: q_pq_topk's 1.9 s single-task stage). No-op on already
+    * parallel or streaming inputs; `spread = false` for callers whose
+    * input is micro-batch-bounded by contract ([[refreshCodes]]).
     */
   def encode(df: DataFrame, cb: Codebook,
              vecCol: String = "embedding",
-             outCol: String = "codes"): DataFrame = {
+             outCol: String = "codes",
+             spread: Boolean = true): DataFrame = {
     val codes = array((0 until cb.m).map { s =>
       val sub = subVec(col("_pq_fp"), cb, s)
       array_min(array(cb.cents(s).zipWithIndex.map { case (cv, cl) =>
         struct(dist2Col(sub, cv).as("d"), lit(cl).as("cl"))
       }: _*)).getField("cl")
     }: _*)
-    df.withColumn("_pq_fp", fixedPoint(col(vecCol)))
+    (if (spread) graft.Par.spread(df) else df)
+      .withColumn("_pq_fp", fixedPoint(col(vecCol)))
       .withColumn(outCol, codes)
       .drop("_pq_fp")
   }
@@ -242,7 +251,9 @@ object Pq {
       .filter(col("_change_type").isin("insert", "update_postimage"))
       .select(col(idCol), col(vecCol))
     codes.join(broadcast(removed), Seq(idCol), "left_anti")
-      .unionByName(encode(added, cb, vecCol, codesCol)
+      // spread = false: `added` is micro-batch-bounded by contract —
+      // a per-refresh exchange would cost more than the serial encode
+      .unionByName(encode(added, cb, vecCol, codesCol, spread = false)
         .select(col(idCol), col(codesCol)))
   }
 

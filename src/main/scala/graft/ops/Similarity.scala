@@ -148,7 +148,14 @@ object Similarity {
   def cosinePairs(df: DataFrame, threshold: Double,
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
-    val a = df.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    // spread the STREAM side: the O(n²/2) cosine work of this
+    // BroadcastNestedLoopJoin runs entirely in the stream side's scan
+    // tasks, so a single-row-group corpus file serializes the whole
+    // quadratic verify onto 1-2 cores (guide §2.5; measured 0.9 s
+    // single-stage on the bench board). Row placement only — the pair
+    // set is unchanged. No-op when the input is already parallel.
+    val a = graft.Par.spread(
+      df.select(col(idCol).as("a_id"), col(vecCol).as("a_vec")))
     val b = df.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"))
     a.join(b, col("a_id") < col("b_id"))
       .filter(cosine(col("a_vec"), col("b_vec")) >= threshold)
