@@ -29,6 +29,20 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // MEASUREMENT HYGIENE, not a query optimization: even with the
+      // UI off, SQLAppStatusListener retains the last 1000 executions'
+      // plan graphs + metrics in driver heap. A 230-query × 3-rep run
+      // is ~700 executions — some with multi-MB plan descriptions
+      // (iterative/streaming gates) — so late-alphabet queries measure
+      // the earlier queries' accumulated GC pressure instead of their
+      // own cost (observed: q_stream_outer_join 4.5 s in a subset run
+      // vs 8.1 s late in the full board, byte-identical code). Keeping
+      // a handful preserves post-mortem debuggability; no production
+      // query carries 700 predecessors in one driver.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup on the smallest sf so per-query times measure
