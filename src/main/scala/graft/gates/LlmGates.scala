@@ -813,7 +813,11 @@ private[graft] object LlmGates {
     //      estimate is an EXACT cross-engine match — the oracle-able
     //      twin of the HLL path in q_approx_distinct ----
     "q_kmv_distinct" -> ((s, dir) => {
-      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_kmv")
+      // fact-table spread (the RelationalGates loader-shadow pattern):
+      // the scan+partial-distinct otherwise runs as the single task of
+      // the one-row-group file (guide §2.5). Placement only.
+      graft.Par.spreadIfLarge(t(s, dir, "lineitem"))
+        .createOrReplaceTempView("lineitem_kmv")
       s.sql(
         """WITH keys AS (
           |  SELECT DISTINCT l_returnflag AS flag, l_partkey

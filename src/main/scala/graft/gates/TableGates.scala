@@ -270,11 +270,25 @@ private[graft] object TableGates {
       // local[4] merges (AQE-coalesced rewrites), flipping
       // full_scan_before on machines that don't export
       // SPARK_GRAFT_CPUS. Keys ≡ i (mod 8) are disjoint, so the table
-      // content is identical either way.
-      (0 until 8).foreach { i =>
-        rt.append(orders.filter(col("o_orderkey") % 8 === i)
-          .coalesce(1))
+      // content is identical either way — including under the
+      // CONCURRENT submission below (guide §2.6: overlap independent
+      // jobs): append-only commits are always logically disjoint, so
+      // losing writers REBASE their already-written file onto the new
+      // head (the q_concurrent_upsert-proven J5 path) and the final
+      // snapshot is the same 8 full-range files whatever the commit
+      // order. Sequential submission left ~7/8 of the cluster idle
+      // during each append's single-file write.
+      val failures =
+        new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val writers = (0 until 8).map { i =>
+        new Thread(() => {
+          try rt.append(orders.filter(col("o_orderkey") % 8 === i)
+            .coalesce(1)): Unit
+          catch { case e: Throwable => failures.add(e) }
+        })
       }
+      writers.foreach(_.start()); writers.foreach(_.join())
+      require(failures.isEmpty, s"append failed: ${failures.peek()}")
       // SF-PARAMETRIC range: o_orderkey is dense 0..max, so
       // [100, max/10] is ~10% of the keyspace at every SF and lands in
       // ≤2 of the 8 range bins after compaction. (A fixed hi of 1500
