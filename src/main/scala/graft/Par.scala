@@ -87,6 +87,13 @@ object Par {
         case fs: HadoopFsRelation => scanSplits(fs, df)
         case _                    => None
       }
+    // a materialized RDD (foreachBatch micro-batch, localCheckpoint)
+    // knows its partition count as plain metadata — no job. This is
+    // what lets a per-row-expensive op inside foreachBatch (e.g. the
+    // curation refresh's flag pass) see that its MemoryStream batch
+    // arrived as ONE partition.
+    case l: org.apache.spark.sql.execution.LogicalRDD =>
+      Some(l.rdd.getNumPartitions)
     case _ => None
   }
 

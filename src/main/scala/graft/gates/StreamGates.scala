@@ -231,7 +231,12 @@ private[graft] object StreamGates {
     //      → ResourceTable upsert), then the table is read back; its
     //      id set must equal the relational oracle ----
     "q_ingest_e2e" -> ((s, dir) => {
-      val bundles = t(s, dir, "orders").select(
+      // spread BEFORE the bundle synthesis: the nested to_json runs in
+      // the scan task, and BundlePipeline.prepare's own spread sits
+      // ABOVE this projection — too late for a one-row-group file
+      // (profiled: 0.53 s single-task synthesis job). Placement only;
+      // dedup/upsert key on id+offset, not row order.
+      val bundles = graft.Par.spreadIfLarge(t(s, dir, "orders")).select(
         to_json(struct(array(struct(
           to_json(struct(
             lit("Patient").as("resourceType"),
@@ -272,7 +277,11 @@ private[graft] object StreamGates {
       // all four types still see traffic): bounded gate cost
       // (the engine e2e is the expensive shape — 4 concurrent queries
       // each scanning the journal and merging; volume adds no proof)
-      val orders = t(s, dir, "orders").filter(col("o_orderkey") % 5 === 0)
+      // spread before the envelope/bundle to_json synthesis (see
+      // q_ingest_e2e); journal row order is irrelevant — latest-wins
+      // dedup keys on the envelope OFFSET, not file position
+      val orders = graft.Par.spreadIfLarge(t(s, dir, "orders"))
+        .filter(col("o_orderkey") % 5 === 0)
       def envelope(offset: Column, bundle: Column) =
         to_json(struct(lit("fhir.msg").as("topic"),
           lit(0).as("partition"), offset.as("offset"),

@@ -245,8 +245,14 @@ object Curation {
     val added = changes
       .filter(col("_change_type").isin("insert", "update_postimage"))
       .select(col(idCol), col(textCol))
-    val addedFlags = docFlags(added, bench, idCol, textCol,
-      spread = false)
+    // spread = true since round 20: the flag pass (md5 + langid +
+    // quality + bloom shingle probe) is per-row expensive, and a
+    // foreachBatch micro-batch arrives as ONE partition — profiled
+    // 0.54 s/batch serial on the stream-funnel gate. Par.spread is
+    // still a no-op when the batch is already parallel, and for a
+    // genuinely tiny batch the one narrow (id, text) exchange costs
+    // ~tens of ms against the serial flag pass it replaces.
+    val addedFlags = docFlags(added, bench, idCol, textCol)
     val removedB = broadcast(removed)
     // hash groups whose membership changed: removed docs' old hashes
     // + added docs' hashes — bounded by the micro-batch
