@@ -73,7 +73,13 @@ object Dedup {
     */
   def signatures(df: DataFrame, idCol: String, textCol: String,
                  k: Int = 16, w: Int = 3): DataFrame =
-    df.select(col(idCol).as("doc"),
+    // spread before the shingle+minhash projection: the signature
+    // work runs in the INPUT's scan tasks, before the band shuffle
+    // can provide parallelism — serial on a one-row-group file
+    // (guide §2.5; profiled 0.6 s single-task on the simhash twin).
+    // No-op on parallel/streaming inputs (nearDupAgainstIndex's
+    // streaming probe side passes through untouched).
+    graft.Par.spread(df).select(col(idCol).as("doc"),
         graft.functions.TextExpressions.shingle_hashes(col(textCol), w)
           .as("sh"))
       // a doc with fewer than w tokens has NO shingle set; minhash of
@@ -396,7 +402,10 @@ object Dedup {
     * only shuffle in simhash dedup is the band-bucket groupBy.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc"),
+    // spread for the same reason as [[signatures]]: the tokenise +
+    // 64-bit-counts pass is per-row expensive and otherwise runs in
+    // the input's (possibly single) scan task
+    graft.Par.spread(df).select(col(idCol).as("doc"),
       graft.functions.TextExpressions.simhash64(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, via

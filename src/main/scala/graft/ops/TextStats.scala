@@ -715,11 +715,16 @@ object TextStats {
     * (doc); the corpus is scanned twice (train, score), same as
     * CCNet's train/apply split.
     */
-  def lmPerplexity(df: DataFrame, trainPred: Column,
+  def lmPerplexity(df0: DataFrame, trainPred: Column,
                    idCol: String = "doc_id", textCol: String = "text",
                    headMaxMilliBits: Long = 9000L,
                    tailMinMilliBits: Long = 15000L,
                    unseenBits: Long = 21L): DataFrame = {
+    // the corpus is scanned twice (train, score) and BOTH passes pay
+    // the tokenise+bigram explode in the scan tasks — spread once so
+    // neither pass is serial on a one-row-group file (guide §2.5;
+    // no-op on already-parallel inputs)
+    val df = graft.Par.spread(df0)
     val toks = tokens(col(textCol))
     val nm1 = greatest(size(toks) - 1, lit(0))
     val bigram = zip_with(slice(toks, lit(1), nm1),
