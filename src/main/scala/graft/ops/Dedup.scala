@@ -73,13 +73,15 @@ object Dedup {
     */
   def signatures(df: DataFrame, idCol: String, textCol: String,
                  k: Int = 16, w: Int = 3): DataFrame =
-    // spread before the shingle+minhash projection: the signature
-    // work runs in the INPUT's scan tasks, before the band shuffle
-    // can provide parallelism — serial on a one-row-group file
-    // (guide §2.5; profiled 0.6 s single-task on the simhash twin).
-    // No-op on parallel/streaming inputs (nearDupAgainstIndex's
-    // streaming probe side passes through untouched).
-    graft.Par.spread(df).select(col(idCol).as("doc"),
+    // NO input spread here (tried and REVERTED, round 20): the
+    // signature projection is cheap relative to the band shuffle it
+    // feeds — a full-board A/B measured the spread NEGATIVE
+    // (q_dedup_minhash +85%, q_index_refresh +80% ambient-corrected):
+    // the extra exchange + cluster-width tiny tasks cost more than
+    // the serial hash work they parallelize. Contrast Pq.encode /
+    // cosinePairs, where the per-row kernel dominates and the same
+    // spread won 2–3×.
+    df.select(col(idCol).as("doc"),
         graft.functions.TextExpressions.shingle_hashes(col(textCol), w)
           .as("sh"))
       // a doc with fewer than w tokens has NO shingle set; minhash of
@@ -402,10 +404,8 @@ object Dedup {
     * only shuffle in simhash dedup is the band-bucket groupBy.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    // spread for the same reason as [[signatures]]: the tokenise +
-    // 64-bit-counts pass is per-row expensive and otherwise runs in
-    // the input's (possibly single) scan task
-    graft.Par.spread(df).select(col(idCol).as("doc"),
+    // no input spread — same measured-negative result as [[signatures]]
+    df.select(col(idCol).as("doc"),
       graft.functions.TextExpressions.simhash64(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, via

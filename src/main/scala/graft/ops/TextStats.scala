@@ -40,8 +40,12 @@ object TextStats {
     * Downstream filters (e.g. `stopword_ratio between 0.05 and 0.5`)
     * mirror C4/Gopher-style heuristics.
     */
-  def qualityFeatures(df: DataFrame, textCol: String = "text",
+  def qualityFeatures(df0: DataFrame, textCol: String = "text",
                       stopwords: Seq[String] = defaultStopwords): DataFrame = {
+    // tokenise + per-token filters are per-row expensive and run in
+    // the input's scan tasks — spread (no-op on parallel/streaming
+    // inputs; a foreachBatch micro-batch arrives as ONE partition)
+    val df = graft.Par.spread(df0)
     val t = col(textCol)
     val toks = tokens(t)
     val nTokens = size(toks).cast("long")
